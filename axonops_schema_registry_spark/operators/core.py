@@ -1,0 +1,122 @@
+"""Core relational operators: scans, windows, set-diffs, pagination.
+
+Reference parity (all citations into /root/reference/):
+- ``list_with_prefix``     — ListSchemas w/ prefix + pagination
+                             (internal/storage/storage.go:355-361,
+                             internal/storage/memory/store.go:1076-1169).
+- ``latest_per_key``       — latest-version-per-subject window W1
+                             (internal/storage/postgres/store.go:210-212).
+- ``content_addressed_ids``— first-writer-wins fingerprint → ID map W3
+                             (internal/storage/postgres/migrations.go:138-141).
+- ``with_prev_value``      — prior-version comparison W5
+                             (internal/compatibility/checker.go:58-65).
+- ``diff_keyed_sets``      — schema diff added/removed/changed E1
+                             (internal/api/handlers/analysis.go:838-871).
+
+Scale notes: every window partitions by the natural key (subject /
+customer), so state per partition is bounded by versions-per-subject, not
+table size.  ``content_addressed_ids`` aggregates to fingerprint
+granularity BEFORE the (cheap, dimension-sized) global ordering step.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def list_with_prefix(df: DataFrame, col: str, prefix: str,
+                     order_by: Sequence[str],
+                     offset: int = 0, limit: int | None = None) -> DataFrame:
+    """Prefix-filtered, deterministically-ordered, paginated listing (S1/O2).
+
+    ``startswith`` compiles to a ``StartsWith`` pushed filter on the parquet
+    scan; limit is pushed down by Catalyst (CollectLimitExec).
+    """
+    out = df.filter(F.col(col).startswith(prefix)).orderBy(*order_by)
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def point_lookup_min(df: DataFrame, key: str) -> DataFrame:
+    """Point lookup of the row(s) with the minimum key (S2/S3).
+
+    Parameter resolution stays distributed: the 1-row min aggregate is
+    broadcast into an equi-join instead of a driver-side collect.
+    """
+    min_key = F.broadcast(df.agg(F.min(key).alias("__k")))
+    return df.join(min_key, df[key] == min_key["__k"], "inner").drop("__k")
+
+
+def latest_per_key(df: DataFrame, keys: Sequence[str],
+                   order_desc: Sequence[str]) -> DataFrame:
+    """Latest row per key via row_number window (W1/W2).
+
+    ``order_desc`` must end with a tiebreaker column that is unique within
+    the partition so the result is deterministic.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_desc])
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def content_addressed_ids(df: DataFrame, fingerprint_col: str,
+                          id_col: str) -> DataFrame:
+    """First-writer-wins content addressing (W3/A3).
+
+    Every row with the same fingerprint maps to the id of its first
+    occurrence; a dense rank over first-seen order yields contiguous
+    content-addressed ids (the reference's ``ctx_id_alloc`` +
+    fingerprint-claim semantics, minus the transaction).
+
+    The global ordering window runs over *distinct fingerprints* (dimension
+    cardinality), not the fact table, so the single-partition step is safe.
+    """
+    per_fp = df.groupBy(fingerprint_col).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    w = Window.orderBy("canonical_id")
+    return per_fp.withColumn("content_id", F.dense_rank().over(w))
+
+
+def with_prev_value(df: DataFrame, keys: Sequence[str],
+                    order_by: Sequence[str], value: str,
+                    prev_alias: str = "prev_value") -> DataFrame:
+    """lag() of ``value`` within key history (W5 pairwise version diffs)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(prev_alias, F.lag(value).over(w))
+
+
+def diff_keyed_sets(a: DataFrame, b: DataFrame, key: str, value: str,
+                    status_col: str = "status") -> DataFrame:
+    """Schema-diff set comparison (E1): added / removed / changed.
+
+    Full outer join on ``key``; rows present only in ``b`` are ``added``,
+    only in ``a`` are ``removed``, in both with differing ``value`` are
+    ``changed``.  Unchanged rows are dropped.
+    """
+    left = a.select(F.col(key).alias("__k"), F.col(value).alias("value_a"))
+    right = b.select(F.col(key).alias("__k"), F.col(value).alias("value_b"))
+    joined = left.join(right, "__k", "full_outer")
+    status = (
+        F.when(F.col("value_a").isNull(), F.lit("added"))
+        .when(F.col("value_b").isNull(), F.lit("removed"))
+        .when(F.col("value_a") != F.col("value_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (joined.withColumn(status_col, status)
+                  .filter(F.col(status_col) != "unchanged")
+                  .withColumnRenamed("__k", key))
+
+
+def coalesce_fallback(specific: Column, fallback: Column,
+                      default: str) -> Column:
+    """Config fallback chain subject → global → default (J6;
+    internal/registry/registry.go:747-799)."""
+    return F.coalesce(specific, fallback, F.lit(default))

@@ -1,0 +1,118 @@
+"""Text/matching operators: tokenization, Jaccard similarity, fuzzy match,
+glob translation.
+
+Reference parity (citations into /root/reference/):
+- ``jaccard_pairs``  — similarity self-join J4/E3
+                       (internal/api/handlers/analysis.go:376-429).
+- ``fuzzy_pairs``    — Levenshtein fuzzy matching F7-F9
+                       (internal/analysis/fuzzy.go:9-56,121-130).
+- ``glob_to_regex``  — glob search F3 (analysis.go:684-715).
+
+Scale notes: ``jaccard_pairs`` is the join-based (not cross-product)
+formulation — explode to (id, token), equi-join on token, aggregate pair
+intersections — so cost is Σ_token df(token)², not n².  For 100 TB-scale
+corpora swap the exact pass for MinHash-LSH
+(axonops_schema_registry_spark.llm.dedup.minhash_lsh_pairs) which buckets
+candidates first and verifies exactly, keeping the quadratic term bounded
+by band-bucket sizes.  ``fuzzy_pairs`` restricts the cross join to a
+blocking key for the same reason.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_set(df: DataFrame, id_col: str, text_col: str,
+              ngram: int = 1) -> DataFrame:
+    """Distinct (id, token) pairs; word n-gram shingles when ``ngram`` > 1.
+
+    Stays entirely in whole-stage codegen: split / transform / explode are
+    JVM-side, no Python UDF.
+    """
+    toks = F.split(F.col(text_col), " ")
+    if ngram == 1:
+        tok = F.explode(toks).alias("token")
+    else:
+        body = ", ' ', ".join(f"split({text_col}, ' ')[i + {j}]"
+                              for j in range(ngram))
+        shingles = F.expr(
+            f"transform(sequence(0, size(split({text_col}, ' ')) - {ngram}), "
+            f"i -> concat({body}))"
+        )
+        tok = F.explode(shingles).alias("token")
+    return (df.filter(F.size(toks) >= ngram)
+              .select(F.col(id_col).alias("id"), tok)
+              .distinct())
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  threshold: float, ngram: int = 1) -> DataFrame:
+    """All (id_a < id_b) pairs with token-set Jaccard >= threshold.
+
+    Join-based: |A ∩ B| from an equi-join on token, |A ∪ B| = |A|+|B|-|∩|.
+    Jaccard is BIGINT/BIGINT double division — bit-deterministic.
+    """
+    toks = token_set(df, id_col, text_col, ngram)
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = toks.select(F.col("id").alias("id_a"), "token")
+    b = toks.select(F.col("id").alias("id_b"), "token")
+    inter = (a.join(b, "token")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (
+        inter
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("set_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("set_size").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+def fuzzy_pairs(df: DataFrame, id_col: str, name_col: str, block_col: str,
+                threshold: float) -> DataFrame:
+    """Fuzzy-score pairs within a blocking key (F7-F9).
+
+    score = 1 - levenshtein(lower(a), lower(b)) / max(len(a), len(b)),
+    the reference's FuzzyScore (internal/analysis/fuzzy.go:41-56).
+    """
+    a = df.select(F.col(block_col).alias("block"),
+                  F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a"))
+    b = df.select(F.col(block_col).alias("block"),
+                  F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b"))
+    pairs = (a.join(b, "block").filter(F.col("id_a") < F.col("id_b")))
+    lev = F.levenshtein(F.lower(F.col("name_a")), F.lower(F.col("name_b")))
+    maxlen = F.greatest(F.length("name_a"), F.length("name_b"))
+    return (pairs
+            .withColumn("lev", lev)
+            .withColumn("fuzzy_score",
+                        F.lit(1.0) - F.col("lev").cast("double")
+                        / maxlen.cast("double"))
+            .filter(F.col("fuzzy_score") >= threshold)
+            .select("block", "id_a", "id_b", "name_a", "name_b", "lev",
+                    "fuzzy_score"))
+
+
+def glob_to_regex(glob: str) -> str:
+    """Translate a ``*``-glob into an anchored regex (F3;
+    internal/api/handlers/analysis.go:684-715 — case-insensitive ``*`` only).
+    """
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"

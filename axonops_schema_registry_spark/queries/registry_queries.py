@@ -1,0 +1,273 @@
+"""Registry-domain query specs: corpus lifecycle queries (SQL-oracle) and
+the schema-intelligence operators (pandas-UDF cores with golden oracles).
+
+The corpus queries run over the deterministic ``registry_corpus``
+derivation (model.py) so they remain DuckDB-checkable; the compatibility /
+field-extraction queries run the real domain library via Arrow UDFs against
+fixture documents, with frozen golden VALUES oracles (the goldens are
+pinned by tests/test_registry_domain.py's spec-derived unit tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from axonops_schema_registry_spark.queries.base import QuerySpec
+from axonops_schema_registry_spark.registry import model
+from axonops_schema_registry_spark.registry.model import (
+    corpus_cte,
+    fixture_schemas,
+    registry_corpus,
+)
+from axonops_schema_registry_spark.registry.registration import register_batch
+from axonops_schema_registry_spark.registry.spark_udfs import (
+    check_pair_udf,
+    extract_fields_udf,
+    ship_package,
+)
+
+
+def r1_latest_live_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+P1 on the registry corpus: latest non-deleted version per subject
+    (GET /subjects/{s}/versions/latest; postgres/store.go:210-212)."""
+    corpus = registry_corpus(spark, sf_dir).filter(~F.col("deleted"))
+    w = Window.partitionBy("subject").orderBy(F.desc("version"))
+    return (corpus.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select("subject", "version", "schema_id", "fingerprint"))
+
+
+R1_ORACLE = f"""
+WITH corpus AS ({corpus_cte()})
+SELECT subject, version, schema_id, fingerprint
+FROM corpus WHERE NOT deleted
+QUALIFY row_number() OVER (PARTITION BY subject ORDER BY version DESC) = 1
+"""
+
+
+def r2_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/W4: full version history of one subject, soft-deletes visible
+    (GET /subjects/{s}/versions?deleted=true)."""
+    return (registry_corpus(spark, sf_dir)
+            .filter(F.col("subject") == "src1")
+            .select("subject", "version", "schema_id", "fingerprint",
+                    "deleted"))
+
+
+R2_ORACLE = f"""
+WITH corpus AS ({corpus_cte()})
+SELECT subject, version, schema_id, fingerprint, deleted
+FROM corpus WHERE subject = 'src1'
+"""
+
+
+def r3_schema_versions_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the schema_versions materialized view
+    (postgres/migrations.go:230-234)."""
+    return (registry_corpus(spark, sf_dir)
+            .filter(~F.col("deleted"))
+            .groupBy("subject")
+            .agg(F.max("version").alias("latest_version"),
+                 F.count(F.lit(1)).alias("version_count")))
+
+
+R3_ORACLE = f"""
+WITH corpus AS ({corpus_cte()})
+SELECT subject, MAX(version) AS latest_version, COUNT(*) AS version_count
+FROM corpus WHERE NOT deleted GROUP BY subject
+"""
+
+
+def r4_registration_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: the registration pipeline end-to-end on the corpus — docs
+    >= 450 registered against the < 450 corpus (mode NONE: dedup +
+    deterministic version allocation; the compatibility-gated variant is
+    r5/r7).  Runs the REAL register_batch job; the oracle re-derives the
+    same semantics in SQL."""
+    existing = (registry_corpus(spark, sf_dir, max_schema_id=450)
+                .filter(~F.col("deleted"))
+                .select("subject", "version",
+                        F.lit("RAW").alias("schema_type"), "schema_text"))
+    docs = model.load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") >= 450)
+    incoming = docs.select(F.col("source").alias("subject"),
+                           F.col("doc_id").alias("seq"),
+                           F.lit("RAW").alias("schema_type"),
+                           F.col("text").alias("schema_text"))
+    return register_batch(spark, existing, incoming, mode="NONE")
+
+
+R4_ORACLE = f"""
+WITH corpus AS ({corpus_cte('doc_id < 450')}),
+existing AS (SELECT * FROM corpus WHERE NOT deleted),
+incoming AS (
+  SELECT source AS subject, doc_id AS seq, text AS schema_text,
+         sha256(text) AS fingerprint
+  FROM documents WHERE doc_id >= 450),
+marked AS (
+  SELECT i.*,
+         (EXISTS (SELECT 1 FROM existing e
+                  WHERE e.subject = i.subject
+                    AND e.fingerprint = i.fingerprint)
+          OR row_number() OVER (PARTITION BY i.subject, i.fingerprint
+                                ORDER BY i.seq) > 1) AS is_duplicate
+  FROM incoming i),
+prior AS (SELECT subject, MAX(version) AS prior_max FROM existing
+          GROUP BY subject)
+SELECT m.subject, m.seq,
+       CASE WHEN m.is_duplicate THEN 'duplicate' ELSE 'registered' END
+         AS status,
+       CASE WHEN m.is_duplicate THEN NULL
+            ELSE CAST(COALESCE(p.prior_max, 0)
+                 + row_number() OVER (PARTITION BY m.subject, m.is_duplicate
+                                      ORDER BY m.seq) AS INT)
+       END AS assigned_version,
+       0 AS n_issues
+FROM marked m LEFT JOIN prior p ON m.subject = p.subject
+"""
+
+
+_COMPAT_CASES = [
+    (1, "AVRO", "BACKWARD", model.AVRO_USER_V2, model.AVRO_USER_V1),
+    (2, "AVRO", "BACKWARD", model.AVRO_USER_V2_BAD, model.AVRO_USER_V1),
+    (3, "AVRO", "FORWARD", model.AVRO_USER_V2_BAD, model.AVRO_USER_V1),
+    (4, "AVRO", "FULL", model.AVRO_USER_V2_BAD, model.AVRO_USER_V1),
+    (5, "AVRO", "BACKWARD", model.AVRO_USER_V3, model.AVRO_USER_V2),
+    (6, "JSON", "BACKWARD", model.JSON_USER_V2, model.JSON_USER_V1),
+    (7, "JSON", "FORWARD", model.JSON_USER_V2, model.JSON_USER_V1),
+    (8, "PROTOBUF", "BACKWARD", model.PROTO_EVENT_V2, model.PROTO_EVENT_V1),
+    (9, "PROTOBUF", "FULL", model.PROTO_EVENT_V2, model.PROTO_EVENT_V1),
+    (10, "AVRO", "NONE", model.AVRO_USER_V2_BAD, model.AVRO_USER_V1),
+]
+
+
+def c1_compatibility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C3 + mode orchestration (checker.go:39-92) as a DataFrame job:
+    candidate pairs → direction-aware pandas-UDF checks → verdict."""
+    ship_package(spark)
+    check = check_pair_udf()
+    df = spark.createDataFrame(
+        _COMPAT_CASES,
+        "case_id int, schema_type string, mode string, new_schema string, "
+        "old_schema string")
+    backward = check("new_schema", "old_schema", "schema_type")
+    forward = check("old_schema", "new_schema", "schema_type")
+    df = (df.withColumn("__b", backward).withColumn("__f", forward)
+            .withColumn(
+                "n_issues",
+                F.when(F.col("mode") == "NONE", F.lit(0))
+                .when(F.col("mode") == "BACKWARD", F.size("__b.messages"))
+                .when(F.col("mode") == "FORWARD", F.size("__f.messages"))
+                .otherwise(F.size("__b.messages") + F.size("__f.messages")))
+            .withColumn("is_compatible", F.col("n_issues") == 0)
+            .select("case_id", "schema_type", "mode", "is_compatible",
+                    "n_issues"))
+    return df
+
+
+C1_ORACLE = """
+SELECT * FROM (VALUES
+    (1, 'AVRO', 'BACKWARD', TRUE, 0),
+    (2, 'AVRO', 'BACKWARD', FALSE, 1),
+    (3, 'AVRO', 'FORWARD', TRUE, 0),
+    (4, 'AVRO', 'FULL', FALSE, 1),
+    (5, 'AVRO', 'BACKWARD', TRUE, 0),
+    (6, 'JSON', 'BACKWARD', TRUE, 0),
+    (7, 'JSON', 'FORWARD', TRUE, 0),
+    (8, 'PROTOBUF', 'BACKWARD', TRUE, 0),
+    (9, 'PROTOBUF', 'FULL', TRUE, 0),
+    (10, 'AVRO', 'NONE', TRUE, 0)
+) AS t(case_id, schema_type, mode, is_compatible, n_issues)
+"""
+
+
+def f13_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: recursive field extraction exploded into the fields table
+    (internal/analysis/fields.go:28-242) — compute once, reuse everywhere."""
+    ship_package(spark)
+    fields = extract_fields_udf()
+    fx = fixture_schemas(spark).filter(
+        F.col("subject").isin("user-value", "order-events-value",
+                              "profile-value", "event-value")
+        & (F.col("version") == F.when(F.col("subject") == "order-events-value",
+                                      1).otherwise(2)))
+    return (fx.withColumn("field", F.explode(fields("schema_text",
+                                                    "schema_type")))
+              .select("subject", "version",
+                      F.col("field.name").alias("name"),
+                      F.col("field.path").alias("path"),
+                      F.col("field.type").alias("type"),
+                      F.col("field.required").alias("required"),
+                      F.col("field.has_default").alias("has_default"),
+                      F.col("field.doc").alias("doc")))
+
+
+F13_ORACLE = """
+SELECT * FROM (VALUES
+    ('user-value', 2, 'name', 'name', 'string', TRUE, FALSE, NULL),
+    ('user-value', 2, 'age', 'age', 'int', TRUE, TRUE, NULL),
+    ('order-events-value', 1, 'order_id', 'order_id', 'long', TRUE, FALSE,
+     'primary key'),
+    ('order-events-value', 1, 'customerId', 'customerId', 'union[null,long]',
+     FALSE, TRUE, NULL),
+    ('order-events-value', 1, 'items', 'items', 'array', TRUE, FALSE, NULL),
+    ('order-events-value', 1, 'sku', 'items[].sku', 'string', TRUE, FALSE,
+     NULL),
+    ('order-events-value', 1, 'qty', 'items[].qty', 'int', TRUE, TRUE, NULL),
+    ('order-events-value', 1, 'attrs', 'attrs', 'map', TRUE, FALSE, NULL),
+    ('profile-value', 2, 'name', 'name', 'string', TRUE, FALSE, NULL),
+    ('profile-value', 2, 'email', 'email', 'string', FALSE, FALSE, NULL),
+    ('event-value', 2, 'id', 'id', 'string', FALSE, FALSE, NULL),
+    ('event-value', 2, 'source', 'source', 'string', FALSE, FALSE, NULL)
+) AS t(subject, version, name, path, type, required, has_default, doc)
+"""
+
+
+def r7_registration_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 flagship: the full compatibility-GATED registration pipeline on
+    real schema documents — dedup, BACKWARD_TRANSITIVE gate (the whole
+    history must remain readable: USER_V2_BAD passes against latest V2 but
+    fails against V1, so only the transitive gate rejects it), version
+    allocation."""
+    existing = fixture_schemas(spark)
+    incoming = spark.createDataFrame(
+        [
+            ("user-value", 1, "AVRO", model.AVRO_USER_V2),      # duplicate
+            ("user-value", 2, "AVRO", model.AVRO_USER_V2_BAD),  # incompatible
+            ("user-value", 3, "AVRO", model.AVRO_USER_V3),      # → v3
+            ("event-value", 4, "PROTOBUF", model.PROTO_EVENT_V2),  # duplicate
+            ("metrics-value", 5, "AVRO", model.AVRO_USER_V1),   # new subject
+        ],
+        "subject string, seq int, schema_type string, schema_text string")
+    return register_batch(spark, existing, incoming,
+                          mode="BACKWARD_TRANSITIVE")
+
+
+R7_ORACLE = """
+SELECT * FROM (VALUES
+    ('user-value', 1, 'duplicate', NULL, 0),
+    ('user-value', 2, 'incompatible', NULL, 1),
+    ('user-value', 3, 'registered', 3, 0),
+    ('event-value', 4, 'duplicate', NULL, 0),
+    ('metrics-value', 5, 'registered', 1, 0)
+) AS t(subject, seq, status, assigned_version, n_issues)
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("r1_latest_live_schema", r1_latest_live_schema, R1_ORACLE,
+              tags=("registry", "window")),
+    QuerySpec("r2_version_history", r2_version_history, R2_ORACLE,
+              tags=("registry",)),
+    QuerySpec("r3_schema_versions_view", r3_schema_versions_view, R3_ORACLE,
+              tags=("registry", "agg")),
+    QuerySpec("r4_registration_batch", r4_registration_batch, R4_ORACLE,
+              tags=("registry", "pipeline"), bench=True),
+    QuerySpec("c1_compatibility_matrix", c1_compatibility_matrix, C1_ORACLE,
+              tags=("registry", "compat", "udf")),
+    QuerySpec("f13_field_extraction", f13_field_extraction, F13_ORACLE,
+              tags=("registry", "udf")),
+    QuerySpec("r7_registration_gated", r7_registration_gated, R7_ORACLE,
+              tags=("registry", "pipeline", "compat", "udf")),
+]

@@ -1,0 +1,130 @@
+"""The registration pipeline (SURVEY.md §2.10) as one declarative Spark job.
+
+Reference write path (/root/reference/internal/registry/registry.go:63-220 +
+postgres/store.go:540-680): parse → canonicalize → fingerprint → dedup →
+compatibility gate → version allocation → append.  The reference needs DB
+transactions and optimistic retries for the version/ID race; in the batch
+model the race disappears — versions are assigned with a deterministic
+window over the batch order.
+
+Pipeline stages (all lazy, one job):
+1. fingerprint incoming via the canonical-form pandas UDF (F10-F12);
+2. duplicate detection: left join against existing (subject, fingerprint)
+   + first-occurrence window within the batch (J7);
+3. compatibility gate: join candidates to the subject's history (latest or
+   full per mode), pairwise ``check_pair`` UDF, aggregate verdict (C1-C3);
+4. version assignment: ``prior_max + row_number()`` over accepted rows
+   (A2 without the transaction).
+
+Scale: every join/window keys on ``subject`` — co-partitioned end to end,
+a single shuffle lineage; history joins broadcast when small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from axonops_schema_registry_spark.registry.spark_udfs import (
+    check_pair_udf,
+    fingerprint_udf,
+    ship_package,
+)
+
+
+def register_batch(spark: SparkSession, existing: DataFrame,
+                   incoming: DataFrame, mode: str = "BACKWARD") -> DataFrame:
+    """Process a registration batch.
+
+    ``existing``: (subject, version, schema_type, schema_text) current
+    corpus (live rows).  ``incoming``: (subject, seq, schema_type,
+    schema_text) where ``seq`` is the deterministic batch order.
+
+    Returns (subject, seq, status, assigned_version, n_issues) with status
+    ∈ {registered, duplicate, incompatible}.
+    """
+    ship_package(spark)
+    fp = fingerprint_udf(strict=True)  # dedup must distinguish defaults
+    check = check_pair_udf()
+
+    existing_fp = existing.withColumn(
+        "fingerprint", fp("schema_text", "schema_type"))
+    inc = incoming.withColumn("fingerprint", fp("schema_text", "schema_type"))
+
+    # -- stage 2: dedup ----------------------------------------------------
+    dup_vs_existing = existing_fp.select("subject", "fingerprint").distinct() \
+        .withColumn("dup_existing", F.lit(True))
+    w_batch = (Window.partitionBy("subject", "fingerprint").orderBy("seq"))
+    inc = (inc
+           .join(dup_vs_existing, ["subject", "fingerprint"], "left")
+           .withColumn("dup_in_batch", F.row_number().over(w_batch) > 1)
+           .withColumn("is_duplicate",
+                       F.coalesce(F.col("dup_existing"), F.lit(False))
+                       | F.col("dup_in_batch")))
+
+    # -- stage 3: compatibility gate --------------------------------------
+    transitive = mode.endswith("_TRANSITIVE")
+    w_latest = Window.partitionBy("subject").orderBy(F.desc("version"))
+    history = existing_fp.select("subject", "version",
+                                 F.col("schema_text").alias("old_text"))
+    if not transitive:
+        history = (history.withColumn("__rn", F.row_number().over(w_latest))
+                          .filter(F.col("__rn") == 1).drop("__rn"))
+    base = mode.replace("_TRANSITIVE", "").upper()
+
+    candidates = inc.filter(~F.col("is_duplicate"))
+    paired = candidates.join(history, "subject", "left")
+    if base in ("NONE",):
+        verdict = candidates.select(
+            "subject", "seq", F.lit(True).alias("is_compatible"),
+            F.lit(0).alias("n_issues"))
+    else:
+        backward = check("schema_text", "old_text", "schema_type") \
+            if base in ("BACKWARD", "FULL") else None
+        forward = check("old_text", "schema_text", "schema_type") \
+            if base in ("FORWARD", "FULL") else None
+        issue_cols = []
+        if backward is not None:
+            issue_cols.append(F.size(backward["messages"]))
+        if forward is not None:
+            issue_cols.append(F.size(forward["messages"]))
+        pair_issues = sum(issue_cols[1:], issue_cols[0])
+        verdict = (paired
+                   .withColumn("pair_issues",
+                               F.when(F.col("old_text").isNull(), F.lit(0))
+                               .otherwise(pair_issues))
+                   .groupBy("subject", "seq")
+                   .agg(F.sum("pair_issues").cast("int").alias("n_issues"))
+                   .withColumn("is_compatible", F.col("n_issues") == 0))
+
+    # -- stage 4: version assignment --------------------------------------
+    prior_max = existing_fp.groupBy("subject").agg(
+        F.max("version").alias("prior_max"))
+    accepted = (candidates.join(verdict.select("subject", "seq",
+                                               "is_compatible", "n_issues"),
+                                ["subject", "seq"])
+                .filter(F.col("is_compatible")))
+    w_assign = Window.partitionBy("subject").orderBy("seq")
+    assigned = (accepted
+                .join(F.broadcast(prior_max), "subject", "left")
+                .withColumn("assigned_version",
+                            (F.coalesce(F.col("prior_max"), F.lit(0))
+                             + F.row_number().over(w_assign)).cast("int")))
+
+    # -- assemble statuses -------------------------------------------------
+    dupes = inc.filter(F.col("is_duplicate")).select(
+        "subject", "seq", F.lit("duplicate").alias("status"),
+        F.lit(None).cast("int").alias("assigned_version"),
+        F.lit(0).alias("n_issues"))
+    rejected = (candidates.join(verdict.select("subject", "seq",
+                                               "is_compatible", "n_issues"),
+                                ["subject", "seq"])
+                .filter(~F.col("is_compatible"))
+                .select("subject", "seq",
+                        F.lit("incompatible").alias("status"),
+                        F.lit(None).cast("int").alias("assigned_version"),
+                        "n_issues"))
+    registered = assigned.select(
+        "subject", "seq", F.lit("registered").alias("status"),
+        "assigned_version", F.lit(0).alias("n_issues"))
+    return registered.unionByName(rejected).unionByName(dupes)

@@ -1,0 +1,99 @@
+"""Text analysis operators: language ID, token counting, quality scoring,
+rolling-hash document fingerprinting.
+
+All pure column expressions (whole-stage codegen, no Python), each with a
+DuckDB-twin SQL builder so the query specs stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword profiles for the n-gram/stopword-hit
+#: heuristic.  (The driver corpus is synthetic English-ish vocabulary for
+#: every ``lang`` label, so the detector's value here is determinism, not
+#: label recovery.)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def lang_hits(text_col: str, lang: str) -> Column:
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.expr(
+        "filter(split({c}, ' '), t -> t IN ({lst}))".format(
+            c=text_col, lst=", ".join(f"'{w}'" for w in words))))
+
+
+def lang_hits_sql(text_col: str, lang: str) -> str:
+    words = LANG_STOPWORDS[lang]
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (f"len(list_filter(string_split({text_col}, ' '), "
+            f"t -> t IN ({lst})))")
+
+
+def predict_lang(text_col: str) -> Column:
+    """argmax over language stopword-hit scores; 'unknown' when all zero.
+
+    Deterministic tie-break: languages evaluated in sorted order, strict
+    greater-than keeps the earlier winner.
+    """
+    langs = sorted(LANG_STOPWORDS)
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0)
+    for lang in langs:
+        h = lang_hits(text_col, lang)
+        is_better = h > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, h).otherwise(best_score)
+    return best_lang
+
+
+def predict_lang_sql(text_col: str) -> str:
+    langs = sorted(LANG_STOPWORDS)
+    expr = "'unknown'"
+    score = "0"
+    for lang in langs:
+        h = lang_hits_sql(text_col, lang)
+        expr = (f"CASE WHEN {h} > {score} THEN '{lang}' ELSE {expr} END")
+        score = f"CASE WHEN {h} > {score} THEN {h} ELSE {score} END"
+    return expr
+
+
+def token_count_ws(text_col: str) -> Column:
+    """Whitespace tokenization count."""
+    return F.size(F.split(F.col(text_col), "\\s+")).cast("bigint")
+
+
+def token_count_bpe_ish(text_col: str) -> Column:
+    """BPE-ish regex token count: letter runs, digit runs, single symbols."""
+    return F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("bigint")
+
+
+ROLLING_BASE = 31
+ROLLING_MOD = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def rolling_fingerprint(text_col: str) -> Column:
+    """Polynomial rolling hash over codepoints (Karp-Rabin family):
+    h = fold(h * 31 + code) mod (2^31 - 1).  Sequential fold keeps it
+    bit-identical to the DuckDB twin."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({text_col})), "
+        f"i -> CAST(ascii(substring({text_col}, i, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD})")
+
+
+def rolling_fingerprint_sql(text_col: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(generate_series(1, len({text_col})), "
+            f"i -> CAST(ascii({text_col}[i]) AS BIGINT))), "
+            f"(acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD})")

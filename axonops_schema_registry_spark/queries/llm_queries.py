@@ -1,0 +1,227 @@
+"""LLM-data-pipeline query specs: dedup, similarity search, text analysis,
+multimodal plumbing — the north-star operators (BASELINE.json), each
+oracle-checked where deterministically SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axonops_schema_registry_spark.catalog import load_table
+from axonops_schema_registry_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from axonops_schema_registry_spark.llm.multimodal import (
+    attach_payload,
+    decode_features,
+)
+from axonops_schema_registry_spark.llm.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+)
+from axonops_schema_registry_spark.llm.text import (
+    predict_lang,
+    predict_lang_sql,
+    rolling_fingerprint,
+    rolling_fingerprint_sql,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from axonops_schema_registry_spark.queries.base import QuerySpec
+
+
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint, first-writer-wins (hash-groupBy;
+    the 100 TB shape of J7/W3)."""
+    ev = load_table(spark, sf_dir, "events")
+    return exact_dedup(ev, "event_id", "props")
+
+
+DD1_ORACLE = """
+SELECT sha256(props) AS fingerprint, MIN(event_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM events GROUP BY 1
+"""
+
+# Exact all-pairs oracle shared by the MinHash query: LSH + exact verify
+# must return the SAME pairs as the exact operator (banding recall ~1 at
+# the 0.8 threshold with 16 bands x 4 rows).
+_JACCARD_ALLPAIRS_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM documents),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b, n_inter, sa.set_size AS size_a, sb.set_size AS size_b,
+       CAST(n_inter AS DOUBLE)
+         / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_inter AS DOUBLE)
+        / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.8
+"""
+
+
+def dd2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection (shingle → minhash → band →
+    bucket-join → exact verify) — the scale path for J4/E3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, ngram=3)
+
+
+def dd3_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with chunk-blocked hamming join.  No SQL
+    oracle (xxhash64-specific bit patterns); pinned instead by
+    tests/test_llm_ops.py against the exact-Jaccard pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, ngram=3)
+
+
+def _emb_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"))
+    return queries, corpus
+
+
+def nn1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 (the ANN correctness baseline)."""
+    queries, corpus = _emb_split(spark, sf_dir)
+    return cosine_topk(queries, corpus, k=5)
+
+
+NN1_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+pairs AS (
+  SELECT query_id, corpus_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(qv, cv), x -> x[1] * x[2])),
+             (a, b) -> a + b) AS dot,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qn,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS cn
+  FROM q CROSS JOIN c)
+SELECT query_id, corpus_id, cosine_sim, rank
+FROM (
+  SELECT query_id, corpus_id, ROUND(dot / (qn * cn), 4) AS cosine_sim,
+         CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND(dot / (qn * cn), 4) DESC, corpus_id) AS INT)
+           AS rank
+  FROM pairs)
+WHERE rank <= 5
+"""
+
+
+def nn2_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed approximate top-5 with exact rerank.
+    No SQL oracle (approximate by construction); recall vs the exact
+    baseline is pinned by tests/test_llm_ops.py."""
+    queries, corpus = _emb_split(spark, sf_dir)
+    return lsh_ann_topk(queries, corpus, k=5)
+
+
+def tx1_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-profile scoring (pure column expressions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.col("lang").alias("labeled_lang"),
+                       predict_lang("text").alias("predicted_lang"))
+
+
+TX1_ORACLE = f"""
+SELECT doc_id, lang AS labeled_lang,
+       {predict_lang_sql('text')} AS predicted_lang
+FROM documents
+"""
+
+
+def tx2_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokenizations."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "n_chars",
+        token_count_ws("text").alias("n_ws_tokens"),
+        token_count_bpe_ish("text").alias("n_bpe_tokens"))
+
+
+TX2_ORACLE = r"""
+SELECT doc_id, n_chars,
+       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def tx3_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash document fingerprint (deterministic fold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       rolling_fingerprint("text").alias("fingerprint_hash"))
+
+
+TX3_ORACLE = f"""
+SELECT doc_id, {rolling_fingerprint_sql('text')} AS fingerprint_hash
+FROM documents
+"""
+
+
+def mm1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload + typed metadata →
+    Arrow-batched decode (stub kernel) → feature columns.  The oracle
+    mirrors the deterministic stub features."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(attach_payload(docs, "doc_id", "text"), stub=True)
+
+
+MM1_ORACLE = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) % 640 AS INT) AS width,
+       CAST((strlen(text) * 7) % 480 AS INT) AS height,
+       CAST(strlen(text) % 30 AS INT) AS n_frames
+FROM documents
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,
+              tags=("llm", "dedup")),
+    QuerySpec("dd2_minhash_lsh_dedup", dd2_minhash_lsh_dedup,
+              _JACCARD_ALLPAIRS_ORACLE, tags=("llm", "dedup"), bench=True),
+    QuerySpec("dd3_simhash_dedup", dd3_simhash_dedup, None,
+              tags=("llm", "dedup")),
+    QuerySpec("nn1_cosine_topk", nn1_cosine_topk, NN1_ORACLE,
+              tags=("llm", "similarity"), bench=True),
+    QuerySpec("nn2_lsh_ann_topk", nn2_lsh_ann_topk, None,
+              tags=("llm", "similarity")),
+    QuerySpec("tx1_language_id", tx1_language_id, TX1_ORACLE,
+              tags=("llm", "text")),
+    QuerySpec("tx2_token_stats", tx2_token_stats, TX2_ORACLE,
+              tags=("llm", "text")),
+    QuerySpec("tx3_rolling_fingerprint", tx3_rolling_fingerprint, TX3_ORACLE,
+              tags=("llm", "text")),
+    QuerySpec("mm1_multimodal_decode", mm1_multimodal_decode, MM1_ORACLE,
+              tags=("llm", "multimodal")),
+]

@@ -1,0 +1,82 @@
+"""Semantic tests for the approximate LLM operators (the ones without SQL
+oracles): SimHash and LSH-ANN are pinned against their exact baselines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from axonops_schema_registry_spark.catalog import load_table
+from axonops_schema_registry_spark.llm.dedup import minhash_lsh_pairs
+from axonops_schema_registry_spark.llm.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+)
+from axonops_schema_registry_spark.operators.text import jaccard_pairs
+from axonops_schema_registry_spark.queries import SPEC_BY_NAME
+
+
+def test_minhash_equals_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.id_a, r.id_b)
+             for r in jaccard_pairs(docs, "doc_id", "text", 0.8, 3).collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in minhash_lsh_pairs(docs, "doc_id", "text", 0.8, 3).collect()}
+    assert lsh == exact
+
+
+def test_simhash_finds_exact_duplicates(spark, sf_dir):
+    """Identical documents must collide at hamming 0; every reported pair
+    must be genuinely similar (precision floor).  (The corpus's planted
+    near-dups sit at jaccard 0.9-0.99, where SimHash@k=3 is selective by
+    design — so exact-dup recall is the guaranteed property to pin.)"""
+    from axonops_schema_registry_spark.llm.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    planted = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    with_dups = docs.select("doc_id", "text").unionByName(planted)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_pairs(with_dups, "doc_id", "text",
+                                    max_hamming=3, ngram=3).collect()}
+    for r in docs.select("doc_id").collect():
+        assert pairs.get((r.doc_id, r.doc_id + 100000)) == 0
+    # precision floor: reported non-planted pairs are high-jaccard
+    exact = {(r.id_a, r.id_b)
+             for r in jaccard_pairs(docs, "doc_id", "text", 0.5, 3).collect()}
+    reported = {p for p in pairs if p[1] < 100000}
+    assert reported <= exact
+
+
+def test_lsh_ann_planted_recall(spark, sf_dir):
+    """LSH-ANN guarantees recall for HIGH-similarity neighbors: a query
+    identical to a corpus vector lands in the same bucket in every table,
+    so the planted match must be rank 1.  (The driver embeddings are
+    uniform random — true top-5 cosine ~0.33 — a regime no LSH recalls;
+    the guaranteed property is planted-duplicate retrieval.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"))
+    planted = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)) \
+        .select((F.col("vec_id") - 10).alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    ann = lsh_ann_topk(planted, corpus, k=5).collect()
+    top1 = {r.query_id: r.corpus_id for r in ann if r.rank == 1}
+    for qid in range(10):
+        assert top1.get(qid) == qid + 10, f"planted match missed for {qid}"
+
+
+def test_lsh_ann_sims_match_exact(spark, sf_dir):
+    """Every (query, corpus) pair the ANN returns carries the same rounded
+    cosine the exact operator computes (rerank correctness)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"))
+    exact = {(r.query_id, r.corpus_id): r.cosine_sim
+             for r in cosine_topk(queries, corpus, k=490).collect()}
+    for r in lsh_ann_topk(queries, corpus, k=5).collect():
+        assert exact[(r.query_id, r.corpus_id)] == r.cosine_sim

@@ -15,7 +15,7 @@ def _collect_specs() -> list[QuerySpec]:
     from axonops_schema_registry_spark.queries import relational
 
     specs: list[QuerySpec] = list(relational.SPECS)
-    for mod_name in ("registry_queries", "llm_queries"):
+    for mod_name in ("registry_queries", "llm_queries", "streaming_queries"):
         try:
             mod = __import__(
                 f"axonops_schema_registry_spark.queries.{mod_name}",

@@ -1,0 +1,160 @@
+"""Audit-event streaming analytics.
+
+Reference surface (citations into /root/reference/):
+- ST1 async event bus w/ background writer  → Structured Streaming source
+  (internal/auth/audit.go:229-234); backpressure is native.
+- ST2 enabled-type filtering                (audit.go:244-251)
+- ST3 multi-sink fanout w/ JSON/CEF formats (audit.go:253-299,
+  audit_format.go) → one input stream, N queries / foreachBatch
+- ST4 webhook batching                      (audit_webhook.go) →
+  foreachBatch + processingTime trigger
+- ST6 rate limiting (token bucket)          (internal/auth/ratelimit.go) →
+  windowed per-actor counts + threshold flag (analytics analog)
+- ST7 request metrics                       (internal/metrics/metrics.go:
+  517-560) → event-time windowed counts/percentiles
+
+The reference has no watermarks or late-data handling (in-process,
+in-order delivery); we add standard Spark semantics: every event-time
+aggregation takes ``withWatermark`` so state is bounded, and exactly-once
+-ish dedup uses ``dropDuplicatesWithinWatermark`` on the request id.
+
+Every transformation is a pure DataFrame → DataFrame function, so the
+SAME code runs in batch mode (unit tests, backfills) and streaming mode —
+the idiomatic Structured Streaming design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Structured audit event (FIXTURES.md §2 / audit.go:166-209, abridged to
+#: the driver corpus's observable fields).
+AUDIT_DDL = ("event_id bigint, ts timestamp, actor_id bigint, "
+             "event_type string, value double, props string, "
+             "outcome string, request_id string")
+
+
+def audit_stream_from_events(spark: SparkSession, source_dir: str,
+                             max_files_per_trigger: int = 1) -> DataFrame:
+    """Replay an events parquet directory as a file-source audit stream.
+
+    ``maxFilesPerTrigger`` bounds micro-batch size (the reference's
+    channel-buffer analog, audit.go:229-234).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream
+           .schema("event_id bigint, ts bigint, user_id bigint, "
+                   "event_type string, value double, props string")
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(source_dir))
+    return normalize_audit(raw)
+
+
+def normalize_audit(raw: DataFrame) -> DataFrame:
+    """events → audit-event shape (works on batch and stream inputs)."""
+    ts = F.when(F.col("ts").cast("string").rlike("^[0-9]+$"),
+                F.timestamp_micros(F.expr("CAST(ts AS BIGINT) div 1000"))) \
+        .otherwise(F.col("ts").cast("timestamp"))
+    return raw.select(
+        "event_id",
+        ts.alias("ts"),
+        F.col("user_id").alias("actor_id"),
+        "event_type",
+        "value",
+        "props",
+        F.when(F.col("event_type") == "error", "failure")
+         .otherwise("success").alias("outcome"),
+        F.concat_ws("-", F.col("user_id").cast("string"),
+                    F.col("event_id").cast("string")).alias("request_id"),
+    )
+
+
+def filter_event_types(audit: DataFrame,
+                       enabled: tuple[str, ...]) -> DataFrame:
+    """ST2: enabled-event-type filter (audit.go:244-251)."""
+    return audit.filter(F.col("event_type").isin(*enabled))
+
+
+def json_format(audit: DataFrame) -> DataFrame:
+    """ST3: JSON sink format."""
+    return audit.select(
+        F.to_json(F.struct(*audit.columns)).alias("line"))
+
+
+def cef_format(audit: DataFrame, vendor: str = "axonops",
+               product: str = "schema-registry-spark") -> DataFrame:
+    """ST3: CEF (Common Event Format) line formatting
+    (audit_format.go's CEF writer re-expressed as column ops):
+    CEF:0|vendor|product|version|signature|name|severity|extensions
+    """
+    severity = F.when(F.col("outcome") == "failure", F.lit(7)) \
+        .otherwise(F.lit(3))
+    ext = F.concat_ws(" ",
+                      F.concat(F.lit("act="), F.col("actor_id")),
+                      F.concat(F.lit("request="), F.col("request_id")),
+                      F.concat(F.lit("outcome="), F.col("outcome")))
+    return audit.select(F.concat_ws(
+        "|", F.lit("CEF:0"), F.lit(vendor), F.lit(product), F.lit("1.0"),
+        F.col("event_type"), F.col("event_type"), severity.cast("string"),
+        ext).alias("line"))
+
+
+def dedup_by_request_id(audit: DataFrame,
+                        watermark: str = "30 seconds") -> DataFrame:
+    """Exactly-once-ish dedup on request_id within the watermark horizon."""
+    wm = audit.withWatermark("ts", watermark)
+    if audit.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(["request_id"])
+    return wm.dropDuplicates(["request_id"])  # batch-mode equivalent
+
+
+def rate_limit_flags(audit: DataFrame, window: str = "1 minute",
+                     watermark: str = "30 seconds",
+                     max_per_window: int = 10) -> DataFrame:
+    """ST6: token-bucket rate limiting as windowed per-actor analytics —
+    actors exceeding ``max_per_window`` requests per window are flagged."""
+    return (audit
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), F.col("actor_id"))
+            .agg(F.count(F.lit(1)).alias("n_requests"))
+            .select(F.col("w.start").alias("window_start"),
+                    "actor_id", "n_requests",
+                    (F.col("n_requests") > max_per_window)
+                    .alias("rate_limited")))
+
+
+def windowed_metrics(audit: DataFrame, window: str = "1 hour",
+                     watermark: str = "30 seconds") -> DataFrame:
+    """ST7: per-window, per-type request metrics (count / failures / p95)
+    — the streaming analog of the reference's Prometheus histograms."""
+    return (audit
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("outcome") == "failure", 1)
+                       .otherwise(0)).alias("n_failures"),
+                 F.round(F.expr("percentile_approx(value, 0.95)"), 4)
+                 .alias("p95_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "n_failures", "p95_value"))
+
+
+class CollectingWebhookSink:
+    """ST4/ST5: webhook batch sink with offset/state tracking — the
+    exporter state machine (internal/exporter/exporter.go:199-324) as a
+    ``foreachBatch`` target.  Real deployments POST the batch; tests and
+    local runs collect it."""
+
+    def __init__(self) -> None:
+        self.batches: list[tuple[int, int]] = []  # (epoch_id, n_rows)
+        self.rows: list = []
+        self.state = "STARTING"
+        self.offset = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()
+        self.rows.extend(rows)
+        self.batches.append((epoch_id, len(rows)))
+        self.offset += len(rows)
+        self.state = "RUNNING"

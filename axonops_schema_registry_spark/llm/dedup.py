@@ -35,14 +35,25 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def minhash_signatures(toks: DataFrame, n_hashes: int = 64) -> DataFrame:
-    """(id, h0..h{n-1}) MinHash signature via seeded xxhash64 min-aggregates.
+    """(id, sig: array<bigint>) MinHash signature via seeded xxhash64.
 
-    One groupBy over the exploded token set; each permutation is a seeded
-    64-bit hash, so no token dictionary or broadcast state is needed.
+    Explode-seeds formulation: (token × seed) rows → min per (id, seed) →
+    seed-ordered array.  A 64-column min-aggregate plan would do the same
+    arithmetic but costs seconds of whole-stage-codegen compilation (it
+    dominates single-shot runs); the narrow plan compiles instantly and
+    shuffles (tokens × n_hashes) skinny rows instead.
     """
-    aggs = [F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"h{i}")
-            for i in range(n_hashes)]
-    return toks.groupBy("id").agg(*aggs)
+    per_seed = (toks
+                .select("id",
+                        F.explode(F.expr(f"sequence(0, {n_hashes - 1})"))
+                        .alias("seed"),
+                        "token")
+                .withColumn("h", F.xxhash64(F.col("token"), F.col("seed"))))
+    return (per_seed.groupBy("id", "seed").agg(F.min("h").alias("mh"))
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("seed", "mh")))
+                 .alias("__s"))
+            .select("id", F.expr("transform(__s, x -> x.mh)").alias("sig")))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -55,16 +66,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     but with candidate generation linear in corpus size.
     """
     rows = n_hashes // bands
-    toks = token_set(df, id_col, text_col, ngram)
+    # cached: consumed by the signature aggregation AND the exact-verify
+    # joins (see operators.text.jaccard_pairs note)
+    toks = token_set(df, id_col, text_col, ngram).cache()
     sigs = minhash_signatures(toks, n_hashes)
 
-    band_keys = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.concat_ws(
-                ",", *[F.col(f"h{b * rows + r}").cast("string")
-                       for r in range(rows)])).alias("key"))
-        for b in range(bands)])
+    band_keys = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> struct("
+        f"b AS band, "
+        f"xxhash64(array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
+        f"x -> cast(x AS string)), ',')) AS key))")
     bucketed = (sigs.select("id", F.explode(band_keys).alias("bk"))
                     .select("id", F.col("bk.band").alias("band"),
                             F.col("bk.key").alias("key")))

@@ -33,20 +33,23 @@ def token_set(df: DataFrame, id_col: str, text_col: str,
     Stays entirely in whole-stage codegen: split / transform / explode are
     JVM-side, no Python UDF.
     """
-    toks = F.split(F.col(text_col), " ")
+    # Materialize the token array ONCE per row before shingling — a lambda
+    # that calls split() per element re-tokenizes the whole text for every
+    # shingle (O(len²) per doc; 4x wall-clock on the sf0.1 corpus).
+    # repartition first: the corpus arrives as one parquet split, and the
+    # explode/hash chain should run on all cores.
+    base = (df.repartition(F.col(id_col))
+              .select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), " ").alias("__toks"))
+              .filter(F.size("__toks") >= ngram))
     if ngram == 1:
-        tok = F.explode(toks).alias("token")
+        tok = F.explode(F.col("__toks")).alias("token")
     else:
-        body = ", ' ', ".join(f"split({text_col}, ' ')[i + {j}]"
-                              for j in range(ngram))
         shingles = F.expr(
-            f"transform(sequence(0, size(split({text_col}, ' ')) - {ngram}), "
-            f"i -> concat({body}))"
-        )
+            f"transform(sequence(1, size(__toks) - {ngram - 1}), "
+            f"i -> array_join(slice(__toks, i, {ngram}), ' '))")
         tok = F.explode(shingles).alias("token")
-    return (df.filter(F.size(toks) >= ngram)
-              .select(F.col(id_col).alias("id"), tok)
-              .distinct())
+    return base.select("id", tok).distinct()
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -56,7 +59,11 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     Join-based: |A ∩ B| from an equi-join on token, |A ∪ B| = |A|+|B|-|∩|.
     Jaccard is BIGINT/BIGINT double division — bit-deterministic.
     """
-    toks = token_set(df, id_col, text_col, ngram)
+    # The exploded token set feeds three consumers (sizes, both join sides);
+    # cache it so the explode/shingle pipeline runs once.  Size is
+    # O(corpus tokens) — the derived frame, not the corpus — and at 100 TB
+    # this would be a checkpointed intermediate table instead.
+    toks = token_set(df, id_col, text_col, ngram).cache()
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a = toks.select(F.col("id").alias("id_a"), "token")
     b = toks.select(F.col("id").alias("id_b"), "token")

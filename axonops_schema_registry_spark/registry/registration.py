@@ -47,9 +47,12 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     fp = fingerprint_udf(strict=True)  # dedup must distinguish defaults
     check = check_pair_udf()
 
+    # cached: existing feeds dedup, the compat history AND prior-max —
+    # without the cache the fingerprint UDF would run 3x over the corpus
     existing_fp = existing.withColumn(
-        "fingerprint", fp("schema_text", "schema_type"))
-    inc = incoming.withColumn("fingerprint", fp("schema_text", "schema_type"))
+        "fingerprint", fp("schema_text", "schema_type")).cache()
+    inc = incoming.withColumn(
+        "fingerprint", fp("schema_text", "schema_type")).cache()
 
     # -- stage 2: dedup ----------------------------------------------------
     dup_vs_existing = existing_fp.select("subject", "fingerprint").distinct() \

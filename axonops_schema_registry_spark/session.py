@@ -30,6 +30,10 @@ def get_spark(app_name: str = "axonops-schema-registry-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-mode: the driver corpus arrives as single ~10 MB parquet
+        # files; split small so scans use the cores.  On a real cluster
+        # with properly-sized files leave this at the 128m default.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

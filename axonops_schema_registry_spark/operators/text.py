@@ -112,6 +112,31 @@ def fuzzy_pairs(df: DataFrame, id_col: str, name_col: str, block_col: str,
                     "fuzzy_score"))
 
 
+def naming_variants(words_col: str) -> F.Column:
+    """F6 NamingVariants (internal/analysis/fuzzy.go:60-94): snake, camel,
+    Pascal and kebab casings of a tokenized name, deduplicated, as an
+    array column.  ``words_col`` must be an array<string> of lowercase
+    words."""
+    snake = F.array_join(F.col(words_col), "_")
+    kebab = F.array_join(F.col(words_col), "-")
+    pascal = F.expr(
+        f"array_join(transform({words_col}, "
+        f"w -> concat(upper(substring(w, 1, 1)), substring(w, 2))), '')")
+    camel = F.expr(
+        f"concat(element_at({words_col}, 1), "
+        f"array_join(transform(slice({words_col}, 2, 1000000), "
+        f"w -> concat(upper(substring(w, 1, 1)), substring(w, 2))), ''))")
+    return F.array_distinct(F.array(snake, camel, pascal, kebab))
+
+
+def normalize_name_snake(col: F.Column) -> F.Column:
+    """F5 NormalizeFieldName (internal/analysis/fields.go:245-261):
+    camel/Pascal/kebab/space → snake_case."""
+    c = F.regexp_replace(col, "([a-z0-9])([A-Z])", r"$1_$2")
+    c = F.regexp_replace(c, "[-\\s]+", "_")
+    return F.lower(c)
+
+
 def glob_to_regex(glob: str) -> str:
     """Translate a ``*``-glob into an anchored regex (F3;
     internal/api/handlers/analysis.go:684-715 — case-insensitive ``*`` only).

@@ -255,6 +255,93 @@ SELECT * FROM (VALUES
 """
 
 
+def s9_import_with_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: bulk import with explicit IDs + conflict detection
+    (registry.go:1184-1309): ids 100-104 re-imported unchanged (exists),
+    105-109 with mutated content (conflict), 10000+ fresh (imported)."""
+    docs = model.load_table(spark, sf_dir, "documents")
+    existing = docs.select(F.col("doc_id").alias("schema_id"),
+                           F.sha2("text", 256).alias("fingerprint"))
+    unchanged = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 105)) \
+        .select(F.col("doc_id").alias("schema_id"),
+                F.col("source").alias("subject"),
+                F.sha2("text", 256).alias("fingerprint"))
+    mutated = docs.filter((F.col("doc_id") >= 105) & (F.col("doc_id") < 110)) \
+        .select(F.col("doc_id").alias("schema_id"),
+                F.col("source").alias("subject"),
+                F.sha2(F.concat(F.col("text"), F.lit(" x")), 256)
+                .alias("fingerprint"))
+    fresh = docs.filter((F.col("doc_id") >= 110) & (F.col("doc_id") < 115)) \
+        .select((F.col("doc_id") + 10000).alias("schema_id"),
+                F.col("source").alias("subject"),
+                F.sha2("text", 256).alias("fingerprint"))
+    incoming = unchanged.unionByName(mutated).unionByName(fresh)
+    from axonops_schema_registry_spark.registry.registration import (
+        import_batch,
+    )
+
+    return import_batch(spark, existing, incoming)
+
+
+S9_ORACLE = """
+WITH existing AS (SELECT doc_id AS schema_id, sha256(text) AS fingerprint
+                  FROM documents),
+incoming AS (
+  SELECT doc_id AS schema_id, source AS subject, sha256(text) AS fingerprint
+  FROM documents WHERE doc_id >= 100 AND doc_id < 105
+  UNION ALL
+  SELECT doc_id, source, sha256(text || ' x')
+  FROM documents WHERE doc_id >= 105 AND doc_id < 110
+  UNION ALL
+  SELECT doc_id + 10000, source, sha256(text)
+  FROM documents WHERE doc_id >= 110 AND doc_id < 115)
+SELECT i.schema_id, i.subject, i.fingerprint,
+       CASE WHEN e.schema_id IS NULL THEN 'imported'
+            WHEN e.fingerprint = i.fingerprint THEN 'exists'
+            ELSE 'conflict' END AS status
+FROM incoming i LEFT JOIN existing e ON i.schema_id = e.schema_id
+"""
+
+
+def fs1_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 restructured field search: the reference's O(subjects) N+1
+    loop (analysis.go:157-264) becomes ONE join against the precomputed
+    exploded fields table, with snake-normalization on both sides so
+    naming variants match (exact mode)."""
+    from axonops_schema_registry_spark.operators.text import (
+        normalize_name_snake,
+    )
+
+    ship_package(spark)
+    fields_udf = extract_fields_udf()
+    fields = (fixture_schemas(spark)
+              .withColumn("field", F.explode(fields_udf("schema_text",
+                                                        "schema_type")))
+              .select("subject", "version",
+                      F.col("field.name").alias("name"),
+                      F.col("field.path").alias("path"))
+              .withColumn("norm_name",
+                          normalize_name_snake(F.col("name"))))
+    terms = spark.createDataFrame(
+        [("name",), ("customer_id",), ("qty",)], "term string") \
+        .withColumn("norm_term", normalize_name_snake(F.col("term")))
+    return (fields.join(F.broadcast(terms),
+                        fields["norm_name"] == terms["norm_term"])
+            .select("term", "subject", "version", "path"))
+
+
+FS1_ORACLE = """
+SELECT * FROM (VALUES
+    ('name', 'user-value', 1, 'name'),
+    ('name', 'user-value', 2, 'name'),
+    ('name', 'profile-value', 1, 'name'),
+    ('name', 'profile-value', 2, 'name'),
+    ('customer_id', 'order-events-value', 1, 'customerId'),
+    ('qty', 'order-events-value', 1, 'items[].qty')
+) AS t(term, subject, version, path)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("r1_latest_live_schema", r1_latest_live_schema, R1_ORACLE,
               tags=("registry", "window")),
@@ -270,4 +357,8 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "udf")),
     QuerySpec("r7_registration_gated", r7_registration_gated, R7_ORACLE,
               tags=("registry", "pipeline", "compat", "udf")),
+    QuerySpec("s9_import_with_ids", s9_import_with_ids, S9_ORACLE,
+              tags=("registry", "pipeline")),
+    QuerySpec("fs1_field_search", fs1_field_search, FS1_ORACLE,
+              tags=("registry", "udf")),
 ]

@@ -897,6 +897,161 @@ FROM (SELECT DISTINCT source FROM documents)
 """
 
 
+# --------------------------------------------------------------------------
+# Coverage completions: J2/J9/E4/F1/F6/W2/A3
+# --------------------------------------------------------------------------
+
+def j2_subjects_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: schema-ID → subjects/versions reverse lookup — which event types
+    (subjects) carry each content fingerprint (postgres/store.go:242-258)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "fingerprint", F.sha2(F.col("props"), 256))
+    return (ev.groupBy("fingerprint")
+              .agg(F.sort_array(F.collect_set("event_type"))
+                   .alias("subjects"),
+                   F.countDistinct("user_id").alias("n_actors")))
+
+
+J2_ORACLE = """
+SELECT sha256(props) AS fingerprint,
+       list_sort(list_distinct(array_agg(event_type))) AS subjects,
+       COUNT(DISTINCT user_id) AS n_actors
+FROM events GROUP BY 1
+"""
+
+_ALIASES = [("legacy-src1", "src1"), ("legacy-src3", "src3")]
+
+
+def j9_alias_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: subject alias resolution before any lookup
+    (registry_helpers.go:28) — requests against aliased names resolve to
+    the target subject's corpus rows."""
+    docs = _t(spark, sf_dir, "documents")
+    aliases = spark.createDataFrame(_ALIASES, "alias string, target string")
+    # resolve the *request* side: every alias behaves like its target
+    requested = aliases.join(
+        F.broadcast(docs.select(F.col("source").alias("target"))
+                    .distinct()), "target")
+    return (requested.join(docs, docs["source"] == requested["target"])
+            .groupBy("alias", "target")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max("doc_id").alias("max_doc_id")))
+
+
+J9_ORACLE = """
+WITH aliases(alias, target) AS (VALUES ('legacy-src1', 'src1'),
+                                       ('legacy-src3', 'src3'))
+SELECT alias, target, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc_id
+FROM aliases JOIN documents ON source = target
+GROUP BY alias, target
+"""
+
+
+def e4_migration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: migration plan steps between two snapshots — anti-join deltas
+    rendered as add/remove messages (analysis.go:944-973)."""
+    diff = e1_schema_diff(spark, sf_dir)
+    step = (F.when(F.col("status") == "added", F.lit("add"))
+             .when(F.col("status") == "removed", F.lit("remove"))
+             .otherwise(F.lit("change")))
+    msg = F.concat(step, F.lit(" field '"), F.col("p_name"), F.lit("'"))
+    return diff.select("p_name", step.alias("step_type"),
+                       msg.alias("message"))
+
+
+E4_ORACLE = """
+WITH b1 AS (SELECT p_name, MIN(p_size) AS min_size FROM part
+            WHERE p_brand = 'Brand#1' GROUP BY p_name),
+     b2 AS (SELECT p_name, MIN(p_size) AS min_size FROM part
+            WHERE p_brand = 'Brand#2' GROUP BY p_name),
+diff AS (
+  SELECT COALESCE(b1.p_name, b2.p_name) AS p_name,
+         CASE WHEN b1.p_name IS NULL THEN 'add'
+              WHEN b2.p_name IS NULL THEN 'remove'
+              WHEN b1.min_size <> b2.min_size THEN 'change'
+              ELSE 'unchanged' END AS step_type
+  FROM b1 FULL OUTER JOIN b2 ON b1.p_name = b2.p_name)
+SELECT p_name, step_type,
+       step_type || ' field ''' || p_name || '''' AS message
+FROM diff WHERE step_type <> 'unchanged'
+"""
+
+
+def f1_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: substring search over document text (analysis.go:142)."""
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").contains("spark merge"))
+            .select("doc_id", "source"))
+
+
+F1_ORACLE = """
+SELECT doc_id, source FROM documents WHERE text LIKE '%spark merge%'
+"""
+
+
+def f6_naming_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: snake/camel/Pascal/kebab naming variants, deduped
+    (internal/analysis/fuzzy.go:60-94)."""
+    from axonops_schema_registry_spark.operators.text import naming_variants
+
+    part = _t(spark, sf_dir, "part")
+    return (part.withColumn("__words", F.split("p_name", " "))
+                .select("p_partkey", "p_name",
+                        F.sort_array(naming_variants("__words"))
+                        .alias("variants")))
+
+
+F6_ORACLE = """
+SELECT p_partkey, p_name,
+       list_sort(list_distinct([
+         array_to_string(words, '_'),
+         words[1] || array_to_string(list_transform(words[2:],
+             w -> upper(w[1]) || w[2:]), ''),
+         array_to_string(list_transform(words,
+             w -> upper(w[1]) || w[2:]), ''),
+         array_to_string(words, '-')
+       ])) AS variants
+FROM (SELECT p_partkey, p_name, string_split(p_name, ' ') AS words FROM part)
+"""
+
+
+def w2_listing_with_latest_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: listing annotated with a latest-only flag
+    (memory/store.go:1087-1101)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (orders.withColumn("is_latest", F.row_number().over(w) == 1)
+                  .select("o_custkey", "o_orderkey", "is_latest"))
+
+
+W2_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+         AS is_latest
+FROM orders WHERE o_custkey <= 50
+"""
+
+
+def a3_global_id_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: GetMaxSchemaID + global counters (storage.go:287,
+    registry.go:511-536)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.max("o_orderkey").alias("max_schema_id"),
+        F.countDistinct("o_custkey").alias("n_subjects"),
+        F.count(F.lit(1)).alias("n_versions"))
+
+
+A3_ORACLE = """
+SELECT MAX(o_orderkey) AS max_schema_id,
+       COUNT(DISTINCT o_custkey) AS n_subjects,
+       COUNT(*) AS n_versions
+FROM orders
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE,
               doc="scan+agg flagship", tags=("agg", "bench"), bench=True),
@@ -957,4 +1112,18 @@ SPECS: list[QuerySpec] = [
               tags=("string",)),
     QuerySpec("f14_subject_name_strategy", f14_subject_name_strategy,
               F14_ORACLE, tags=("string",)),
+    QuerySpec("j2_subjects_by_fingerprint", j2_subjects_by_fingerprint,
+              J2_ORACLE, tags=("join",)),
+    QuerySpec("j9_alias_resolution", j9_alias_resolution, J9_ORACLE,
+              tags=("join",)),
+    QuerySpec("e4_migration_plan", e4_migration_plan, E4_ORACLE,
+              tags=("setop",)),
+    QuerySpec("f1_substring_search", f1_substring_search, F1_ORACLE,
+              tags=("string",)),
+    QuerySpec("f6_naming_variants", f6_naming_variants, F6_ORACLE,
+              tags=("string",)),
+    QuerySpec("w2_listing_with_latest_flag", w2_listing_with_latest_flag,
+              W2_ORACLE, tags=("window",)),
+    QuerySpec("a3_global_id_stats", a3_global_id_stats, A3_ORACLE,
+              tags=("agg",)),
 ]

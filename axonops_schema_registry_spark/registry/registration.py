@@ -131,3 +131,28 @@ def register_batch(spark: SparkSession, existing: DataFrame,
         "subject", "seq", F.lit("registered").alias("status"),
         "assigned_version", F.lit(0).alias("n_issues"))
     return registered.unionByName(rejected).unionByName(dupes)
+
+
+def import_batch(spark: SparkSession, existing: DataFrame,
+                 incoming: DataFrame) -> DataFrame:
+    """S9 bulk import with explicit IDs + conflict detection
+    (/root/reference/internal/registry/registry.go:1184-1309).
+
+    ``existing``: (schema_id, fingerprint); ``incoming``: (schema_id,
+    subject, fingerprint).  Status per incoming row:
+    - ``imported``  — id unknown, claim it;
+    - ``exists``    — id known with the SAME fingerprint (idempotent);
+    - ``conflict``  — id known with a DIFFERENT fingerprint (the
+      reference's 409/42201 import conflict).
+    """
+    # No broadcast hint: ``existing`` is the full corpus (the BIG side at
+    # scale) — the shuffle keys on schema_id and AQE picks broadcast when
+    # the batch actually is small.
+    ex = existing.select(F.col("schema_id"),
+                         F.col("fingerprint").alias("existing_fp"))
+    joined = incoming.join(ex, "schema_id", "left")
+    status = (F.when(F.col("existing_fp").isNull(), "imported")
+               .when(F.col("existing_fp") == F.col("fingerprint"), "exists")
+               .otherwise("conflict"))
+    return joined.select("schema_id", "subject", "fingerprint",
+                         status.alias("status"))

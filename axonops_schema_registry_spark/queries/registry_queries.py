@@ -342,6 +342,94 @@ SELECT * FROM (VALUES
 """
 
 
+def a8r_schema_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 registry flavor: per-schema quality counters + grade bucketing
+    over extracted fields (internal/analysis/quality.go:25-141) —
+    integer counters so the check is arithmetic-exact."""
+    ship_package(spark)
+    fields_udf = extract_fields_udf()
+    fields = (fixture_schemas(spark)
+              .withColumn("field", F.explode(fields_udf("schema_text",
+                                                        "schema_type")))
+              .select("subject", "version", "field.*"))
+    counts = (fields.groupBy("subject", "version")
+              .agg(F.count(F.lit(1)).alias("n_fields"),
+                   F.sum(F.when(F.col("doc").isNotNull(), 1).otherwise(0))
+                   .alias("n_documented"),
+                   F.sum(F.when(F.col("required"), 1).otherwise(0))
+                   .alias("n_required"),
+                   F.sum(F.when(F.col("has_default"), 1).otherwise(0))
+                   .alias("n_with_default")))
+    grade = (F.when(F.col("n_documented") * 2 >= F.col("n_fields"), "good")
+              .when(F.col("n_documented") > 0, "fair")
+              .otherwise("poor"))
+    return counts.withColumn("grade", grade)
+
+
+A8R_ORACLE = """
+SELECT * FROM (VALUES
+    ('user-value', 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+     CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'poor'),
+    ('user-value', 2, 2, 0, 2, 1, 'poor'),
+    ('order-events-value', 1, 6, 1, 5, 2, 'fair'),
+    ('profile-value', 1, 1, 0, 1, 0, 'poor'),
+    ('profile-value', 2, 2, 0, 1, 0, 'poor'),
+    ('event-value', 1, 1, 0, 0, 0, 'poor'),
+    ('event-value', 2, 2, 0, 0, 0, 'poor')
+) AS t(subject, version, n_fields, n_documented, n_required,
+       n_with_default, grade)
+"""
+
+
+def j4r_subject_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 registry flavor: subject-pair similarity — Jaccard over the
+    normalized field-name sets of each subject's LATEST schema
+    (analysis.go:376-429), as a join + aggregate, not a cross product."""
+    from axonops_schema_registry_spark.operators.text import (
+        normalize_name_snake,
+    )
+
+    ship_package(spark)
+    fields_udf = extract_fields_udf()
+    fx = fixture_schemas(spark)
+    w = Window.partitionBy("subject").orderBy(F.desc("version"))
+    latest = (fx.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1))
+    names = (latest
+             .withColumn("field", F.explode(fields_udf("schema_text",
+                                                       "schema_type")))
+             .select("subject",
+                     normalize_name_snake(F.col("field.name"))
+                     .alias("norm_name"))
+             .distinct())
+    sizes = names.groupBy("subject").agg(F.count(F.lit(1)).alias("set_size"))
+    a = names.select(F.col("subject").alias("subject_a"), "norm_name")
+    b = names.select(F.col("subject").alias("subject_b"), "norm_name")
+    inter = (a.join(b, "norm_name")
+              .filter(F.col("subject_a") < F.col("subject_b"))
+              .groupBy("subject_a", "subject_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (inter
+            .join(sizes.select(F.col("subject").alias("subject_a"),
+                               F.col("set_size").alias("size_a")), "subject_a")
+            .join(sizes.select(F.col("subject").alias("subject_b"),
+                               F.col("set_size").alias("size_b")), "subject_b")
+            .withColumn("jaccard",
+                        F.col("n_shared").cast("double")
+                        / (F.col("size_a") + F.col("size_b")
+                           - F.col("n_shared")).cast("double"))
+            .filter(F.col("jaccard") >= 0.3)
+            .select("subject_a", "subject_b", "n_shared", "size_a", "size_b",
+                    "jaccard"))
+
+
+J4R_ORACLE = """
+SELECT 'profile-value' AS subject_a, 'user-value' AS subject_b,
+       CAST(1 AS BIGINT) AS n_shared, CAST(2 AS BIGINT) AS size_a,
+       CAST(2 AS BIGINT) AS size_b, CAST(1 AS DOUBLE) / 3 AS jaccard
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("r1_latest_live_schema", r1_latest_live_schema, R1_ORACLE,
               tags=("registry", "window")),
@@ -361,4 +449,8 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "pipeline")),
     QuerySpec("fs1_field_search", fs1_field_search, FS1_ORACLE,
               tags=("registry", "udf")),
+    QuerySpec("a8r_schema_quality", a8r_schema_quality, A8R_ORACLE,
+              tags=("registry", "udf", "agg")),
+    QuerySpec("j4r_subject_similarity", j4r_subject_similarity, J4R_ORACLE,
+              tags=("registry", "udf", "join")),
 ]

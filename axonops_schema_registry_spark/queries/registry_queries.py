@@ -86,9 +86,9 @@ def r4_registration_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     r5/r7).  Runs the REAL register_batch job; the oracle re-derives the
     same semantics in SQL."""
     existing = (registry_corpus(spark, sf_dir, max_schema_id=450)
-                .filter(~F.col("deleted"))
                 .select("subject", "version",
-                        F.lit("RAW").alias("schema_type"), "schema_text"))
+                        F.lit("RAW").alias("schema_type"), "schema_text",
+                        "deleted"))
     docs = model.load_table(spark, sf_dir, "documents") \
         .filter(F.col("doc_id") >= 450)
     incoming = docs.select(F.col("source").alias("subject"),
@@ -100,20 +100,20 @@ def r4_registration_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 R4_ORACLE = f"""
 WITH corpus AS ({corpus_cte('doc_id < 450')}),
-existing AS (SELECT * FROM corpus WHERE NOT deleted),
+live AS (SELECT * FROM corpus WHERE NOT deleted),
 incoming AS (
   SELECT source AS subject, doc_id AS seq, text AS schema_text,
          sha256(text) AS fingerprint
   FROM documents WHERE doc_id >= 450),
 marked AS (
   SELECT i.*,
-         (EXISTS (SELECT 1 FROM existing e
+         (EXISTS (SELECT 1 FROM live e
                   WHERE e.subject = i.subject
                     AND e.fingerprint = i.fingerprint)
           OR row_number() OVER (PARTITION BY i.subject, i.fingerprint
                                 ORDER BY i.seq) > 1) AS is_duplicate
   FROM incoming i),
-prior AS (SELECT subject, MAX(version) AS prior_max FROM existing
+prior AS (SELECT subject, MAX(version) AS prior_max FROM corpus
           GROUP BY subject)
 SELECT m.subject, m.seq,
        CASE WHEN m.is_duplicate THEN 'duplicate' ELSE 'registered' END
@@ -342,6 +342,122 @@ SELECT * FROM (VALUES
 """
 
 
+def r8_delete_reregister(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-delete lifecycle (delete_and_reregister.feature,
+    postgres/store.go:617-625): schemas whose fingerprint lives ONLY on
+    deleted rows re-register as NEW versions — dedup ignores deleted rows,
+    but version allocation never reuses their numbers."""
+    existing = (registry_corpus(spark, sf_dir, max_schema_id=450)
+                .select("subject", "version",
+                        F.lit("RAW").alias("schema_type"), "schema_text",
+                        "deleted"))
+    docs = model.load_table(spark, sf_dir, "documents")
+    resubmit = (docs.filter((F.col("doc_id") % 20 == 0)
+                            & (F.col("doc_id") < 200))
+                .select(F.col("source").alias("subject"),
+                        (F.col("doc_id") + 100000).alias("seq"),
+                        F.lit("RAW").alias("schema_type"),
+                        F.col("text").alias("schema_text")))
+    return register_batch(spark, existing, resubmit, mode="NONE")
+
+
+R8_ORACLE = f"""
+WITH corpus AS ({corpus_cte('doc_id < 450')}),
+incoming AS (
+  SELECT source AS subject, doc_id + 100000 AS seq, sha256(text) AS fp,
+         doc_id
+  FROM documents WHERE doc_id % 20 = 0 AND doc_id < 200),
+prior AS (SELECT subject, MAX(version) AS prior_max FROM corpus
+          GROUP BY subject)
+SELECT i.subject, i.seq, 'registered' AS status,
+       CAST(p.prior_max + row_number() OVER (PARTITION BY i.subject
+                                             ORDER BY i.seq) AS INT)
+         AS assigned_version,
+       0 AS n_issues
+FROM incoming i JOIN prior p ON i.subject = p.subject
+"""
+
+
+def j8_kek_dek_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 + F18: DEK↔KEK join with version windows and expiry checks
+    (internal/registry/registry_dek.go:67-179; KEK/DEK model
+    storage.go:197-220).  KEKs ← distinct event types; DEKs ← events,
+    versioned per KEK by arrival order, expiring before a cutoff."""
+    ev = model.load_table(spark, sf_dir, "events")
+    deks = ev.select(F.col("event_type").alias("kek_name"),
+                     F.col("event_id").alias("dek_id"),
+                     F.col("ts"))
+    w = Window.partitionBy("kek_name").orderBy("ts", "dek_id")
+    versioned = deks.withColumn("dek_version", F.row_number().over(w))
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (versioned
+            .withColumn("expired", F.col("ts") < cutoff)
+            .groupBy("kek_name")
+            .agg(F.count(F.lit(1)).alias("n_deks"),
+                 F.sum(F.when(F.col("expired"), 1).otherwise(0))
+                 .alias("n_expired"),
+                 F.max("dek_version").alias("latest_version")))
+
+
+J8_ORACLE = """
+SELECT event_type AS kek_name, COUNT(*) AS n_deks,
+       SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                THEN 1 ELSE 0 END) AS n_expired,
+       CAST(COUNT(*) AS INT) AS latest_version
+FROM events GROUP BY event_type
+"""
+
+_META_LAYERS = [
+    # (subject, key, value, layer): 0=default config, 1=schema-specific,
+    # 2=override config — later layers win (registry.go:1724-1800)
+    ("user-value", "owner", "platform-team", 0),
+    ("user-value", "env", "prod", 0),
+    ("user-value", "owner", "identity-team", 1),
+    ("user-value", "pii", "true", 1),
+    ("user-value", "env", "staging", 2),
+    ("order-events-value", "owner", "platform-team", 0),
+    ("order-events-value", "retention", "30d", 1),
+]
+
+
+def m1_metadata_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10's 3-layer metadata merge default → specific → override
+    (registry.go:184-187, 1724-1800): per-key, the highest layer wins;
+    the merged map is rendered as a sorted k=v string so the comparison
+    is order-proof."""
+    layers = spark.createDataFrame(
+        _META_LAYERS, "subject string, key string, value string, layer int")
+    w = Window.partitionBy("subject", "key").orderBy(F.desc("layer"))
+    merged = (layers.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1))
+    return (merged.groupBy("subject")
+            .agg(F.array_join(
+                F.sort_array(F.collect_list(
+                    F.concat_ws("=", "key", "value"))), ",")
+                .alias("merged_metadata")))
+
+
+M1_ORACLE = """
+WITH layers(subject, key, value, layer) AS (VALUES
+    ('user-value', 'owner', 'platform-team', 0),
+    ('user-value', 'env', 'prod', 0),
+    ('user-value', 'owner', 'identity-team', 1),
+    ('user-value', 'pii', 'true', 1),
+    ('user-value', 'env', 'staging', 2),
+    ('order-events-value', 'owner', 'platform-team', 0),
+    ('order-events-value', 'retention', '30d', 1)),
+winner AS (
+  SELECT subject, key, value
+  FROM layers
+  QUALIFY row_number() OVER (PARTITION BY subject, key
+                             ORDER BY layer DESC) = 1)
+SELECT subject,
+       array_to_string(list_sort(array_agg(key || '=' || value)), ',')
+         AS merged_metadata
+FROM winner GROUP BY subject
+"""
+
+
 def a8r_schema_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 registry flavor: per-schema quality counters + grade bucketing
     over extracted fields (internal/analysis/quality.go:25-141) —
@@ -453,4 +569,10 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "udf", "agg")),
     QuerySpec("j4r_subject_similarity", j4r_subject_similarity, J4R_ORACLE,
               tags=("registry", "udf", "join")),
+    QuerySpec("r8_delete_reregister", r8_delete_reregister, R8_ORACLE,
+              tags=("registry", "pipeline")),
+    QuerySpec("j8_kek_dek_lifecycle", j8_kek_dek_lifecycle, J8_ORACLE,
+              tags=("registry", "join")),
+    QuerySpec("m1_metadata_merge", m1_metadata_merge, M1_ORACLE,
+              tags=("registry",)),
 ]

@@ -36,9 +36,16 @@ def register_batch(spark: SparkSession, existing: DataFrame,
                    incoming: DataFrame, mode: str = "BACKWARD") -> DataFrame:
     """Process a registration batch.
 
-    ``existing``: (subject, version, schema_type, schema_text) current
-    corpus (live rows).  ``incoming``: (subject, seq, schema_type,
+    ``existing``: (subject, version, schema_type, schema_text[, deleted])
+    current corpus.  ``incoming``: (subject, seq, schema_type,
     schema_text) where ``seq`` is the deterministic batch order.
+
+    Soft-delete lifecycle (postgres/store.go:617-625,
+    delete_and_reregister.feature): DEDUP and the COMPAT HISTORY consider
+    only live rows — a schema whose fingerprint exists solely on deleted
+    rows re-registers — but VERSION allocation takes MAX(version) over ALL
+    rows including deleted ones (store.go:553-557), so version numbers are
+    never reused.
 
     Returns (subject, seq, status, assigned_version, n_issues) with status
     ∈ {registered, duplicate, incompatible}.
@@ -47,15 +54,18 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     fp = fingerprint_udf(strict=True)  # dedup must distinguish defaults
     check = check_pair_udf()
 
+    if "deleted" not in existing.columns:
+        existing = existing.withColumn("deleted", F.lit(False))
     # cached: existing feeds dedup, the compat history AND prior-max —
     # without the cache the fingerprint UDF would run 3x over the corpus
     existing_fp = existing.withColumn(
         "fingerprint", fp("schema_text", "schema_type")).cache()
+    existing_live = existing_fp.filter(~F.col("deleted"))
     inc = incoming.withColumn(
         "fingerprint", fp("schema_text", "schema_type")).cache()
 
-    # -- stage 2: dedup ----------------------------------------------------
-    dup_vs_existing = existing_fp.select("subject", "fingerprint").distinct() \
+    # -- stage 2: dedup (live rows only) ----------------------------------
+    dup_vs_existing = existing_live.select("subject", "fingerprint").distinct() \
         .withColumn("dup_existing", F.lit(True))
     w_batch = (Window.partitionBy("subject", "fingerprint").orderBy("seq"))
     inc = (inc
@@ -68,8 +78,8 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     # -- stage 3: compatibility gate --------------------------------------
     transitive = mode.endswith("_TRANSITIVE")
     w_latest = Window.partitionBy("subject").orderBy(F.desc("version"))
-    history = existing_fp.select("subject", "version",
-                                 F.col("schema_text").alias("old_text"))
+    history = existing_live.select("subject", "version",
+                                   F.col("schema_text").alias("old_text"))
     if not transitive:
         history = (history.withColumn("__rn", F.row_number().over(w_latest))
                           .filter(F.col("__rn") == 1).drop("__rn"))
@@ -100,7 +110,7 @@ def register_batch(spark: SparkSession, existing: DataFrame,
                    .agg(F.sum("pair_issues").cast("int").alias("n_issues"))
                    .withColumn("is_compatible", F.col("n_issues") == 0))
 
-    # -- stage 4: version assignment --------------------------------------
+    # -- stage 4: version assignment (max over ALL rows incl. deleted) ----
     prior_max = existing_fp.groupBy("subject").agg(
         F.max("version").alias("prior_max"))
     accepted = (candidates.join(verdict.select("subject", "seq",

@@ -81,6 +81,51 @@ def hyperplane_bucket_udf(dim: int, n_bits: int, seed: int):
     return _bucket
 
 
+def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                 n_centroids: int = 16, n_probe: int = 4,
+                 round_digits: int = 4) -> DataFrame:
+    """IVF-style approximate top-k: corpus rows are assigned to their
+    nearest centroid (inverted lists); each query probes its ``n_probe``
+    closest centroids and reranks exactly within those lists only.
+
+    Centroids here are a deterministic corpus sample (lowest ids) — at
+    scale they come from k-means and the corpus side is WRITTEN
+    partitioned by ``centroid_id``, so a probe reads n_probe/n_centroids
+    of the data (partition pruning does the rest).
+    """
+    w_cent = Window.orderBy("corpus_id")
+    centroids = (corpus.orderBy("corpus_id").limit(n_centroids)
+                 .select(F.row_number().over(w_cent).alias("centroid_id"),
+                         F.col("corpus_vec").alias("centroid_vec")))
+    cent_n = with_norm(centroids, "centroid_vec", "cent_norm")
+
+    def nearest(df: DataFrame, vec: str, norm: str, keep: int) -> DataFrame:
+        sim = _dot_expr(vec, "centroid_vec") / (F.col(norm)
+                                                * F.col("cent_norm"))
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.desc("cent_sim"), F.asc("centroid_id"))
+        return (df.crossJoin(F.broadcast(cent_n))
+                  .withColumn("cent_sim", F.round(sim, round_digits))
+                  .withColumn("__r", F.row_number().over(w))
+                  .filter(F.col("__r") <= keep)
+                  .drop("centroid_vec", "cent_norm", "cent_sim", "__r"))
+
+    c = nearest(with_norm(corpus, "corpus_vec", "c_norm"),
+                "corpus_vec", "c_norm", 1)           # inverted lists
+    q = nearest(with_norm(queries, "query_vec", "q_norm"),
+                "query_vec", "q_norm", n_probe)      # probe lists
+    pairs = q.join(c, "centroid_id")
+    sim = _dot_expr("query_vec", "corpus_vec") / (F.col("q_norm")
+                                                  * F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("corpus_id"))
+    return (pairs.withColumn("cosine_sim", F.round(sim, round_digits))
+                 .withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .select("query_id", "corpus_id", "cosine_sim", "rank")
+                 .distinct())
+
+
 def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                  n_bits: int = 12, n_tables: int = 8, dim: int = 64,
                  round_digits: int = 4) -> DataFrame:

@@ -20,6 +20,7 @@ from axonops_schema_registry_spark.llm.multimodal import (
 )
 from axonops_schema_registry_spark.llm.similarity import (
     cosine_topk,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from axonops_schema_registry_spark.llm.text import (
@@ -142,6 +143,14 @@ def nn2_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(queries, corpus, k=5)
 
 
+def nn3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (inverted centroid lists + probe-P
+    rerank).  No SQL oracle (approximate); planted-recall pinned by
+    tests/test_llm_ops.py."""
+    queries, corpus = _emb_split(spark, sf_dir)
+    return ivf_ann_topk(queries, corpus, k=5)
+
+
 def tx1_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword-profile scoring (pure column expressions)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -215,6 +224,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("nn1_cosine_topk", nn1_cosine_topk, NN1_ORACLE,
               tags=("llm", "similarity"), bench=True),
     QuerySpec("nn2_lsh_ann_topk", nn2_lsh_ann_topk, None,
+              tags=("llm", "similarity")),
+    QuerySpec("nn3_ivf_ann_topk", nn3_ivf_ann_topk, None,
               tags=("llm", "similarity")),
     QuerySpec("tx1_language_id", tx1_language_id, TX1_ORACLE,
               tags=("llm", "text")),

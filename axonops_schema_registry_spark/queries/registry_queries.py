@@ -546,6 +546,72 @@ SELECT 'profile-value' AS subject_a, 'user-value' AS subject_b,
 """
 
 
+_REF_EDGES = [
+    # (subject, ref_name, ref_subject) — the schema_references DAG
+    # (FIXTURES.md §1: schema_references; acyclic)
+    ("user-value", "com.example.Profile", "profile-value"),
+    ("profile-value", "com.example.Event", "event-value"),
+    ("order-events-value", "com.example.Profile", "profile-value"),
+]
+
+
+def j3r_reference_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: recursive reference resolution over the schema_references DAG
+    (registry.go:1546-1592 resolves one level per call; here two
+    self-joins resolve the 2-level closure declaratively)."""
+    edges = spark.createDataFrame(
+        _REF_EDGES, "subject string, ref_name string, ref_subject string")
+    direct = edges.select("subject", "ref_subject",
+                          F.lit(1).alias("depth"))
+    hop = edges.select(F.col("subject").alias("via"),
+                       F.col("ref_subject").alias("ref2"))
+    transitive = (edges.join(hop, edges["ref_subject"] == hop["via"])
+                  .select("subject", F.col("ref2").alias("ref_subject"),
+                          F.lit(2).alias("depth")))
+    return direct.unionByName(transitive)
+
+
+J3R_ORACLE = """
+WITH edges(subject, ref_name, ref_subject) AS (VALUES
+    ('user-value', 'com.example.Profile', 'profile-value'),
+    ('profile-value', 'com.example.Event', 'event-value'),
+    ('order-events-value', 'com.example.Profile', 'profile-value'))
+SELECT subject, ref_subject, 1 AS depth FROM edges
+UNION ALL
+SELECT a.subject, b.ref_subject, 2 AS depth
+FROM edges a JOIN edges b ON a.ref_subject = b.subject
+"""
+
+
+def fs2_type_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 search-by-type (analysis.go:266-339), restructured to one
+    filter over the precomputed fields table."""
+    ship_package(spark)
+    fields_udf = extract_fields_udf()
+    return (fixture_schemas(spark)
+            .withColumn("field", F.explode(fields_udf("schema_text",
+                                                      "schema_type")))
+            .select("subject", "version",
+                    F.col("field.path").alias("path"),
+                    F.col("field.type").alias("type"))
+            .filter(F.col("type") == "string"))
+
+
+FS2_ORACLE = """
+SELECT * FROM (VALUES
+    ('user-value', 1, 'name', 'string'),
+    ('user-value', 2, 'name', 'string'),
+    ('order-events-value', 1, 'items[].sku', 'string'),
+    ('profile-value', 1, 'name', 'string'),
+    ('profile-value', 2, 'name', 'string'),
+    ('profile-value', 2, 'email', 'string'),
+    ('event-value', 1, 'id', 'string'),
+    ('event-value', 2, 'id', 'string'),
+    ('event-value', 2, 'source', 'string')
+) AS t(subject, version, path, type)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("r1_latest_live_schema", r1_latest_live_schema, R1_ORACLE,
               tags=("registry", "window")),
@@ -575,4 +641,8 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "join")),
     QuerySpec("m1_metadata_merge", m1_metadata_merge, M1_ORACLE,
               tags=("registry",)),
+    QuerySpec("j3r_reference_resolution", j3r_reference_resolution,
+              J3R_ORACLE, tags=("registry", "join")),
+    QuerySpec("fs2_type_search", fs2_type_search, FS2_ORACLE,
+              tags=("registry", "udf")),
 ]

@@ -165,6 +165,80 @@ GROUP BY n_name
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: shipping volume between two nations by year —
+    the multi-dimension broadcast + fact shuffle pattern."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("ship_year"))
+        .agg(psum(revenue).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q7_ORACLE = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       {psum_expr('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: revenue lost to returns per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(psum(revenue).alias("lost_revenue"),
+             F.count(F.lit(1)).alias("n_returned"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, c_mktsegment,
+       {psum_expr('l_extendedprice * (1.0 - l_discount)')} AS lost_revenue,
+       COUNT(*) AS n_returned
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.1 scans / §2.6 pagination
 # --------------------------------------------------------------------------
@@ -1059,6 +1133,11 @@ SPECS: list[QuerySpec] = [
               doc="join+agg+topk", tags=("join", "bench"), bench=True),
     QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, Q5_ORACLE,
               doc="star join", tags=("join", "bench"), bench=True),
+    QuerySpec("q7_nation_volume", q7_nation_volume, Q7_ORACLE,
+              doc="two-dimension volume join", tags=("join", "bench"),
+              bench=True),
+    QuerySpec("q10_returned_items", q10_returned_items, Q10_ORACLE,
+              doc="returned-items topk", tags=("join", "bench"), bench=True),
     QuerySpec("s1_prefix_listing", s1_prefix_listing, S1_ORACLE, tags=("scan",)),
     QuerySpec("s2_point_lookup", s2_point_lookup, S2_ORACLE, tags=("scan",)),
     QuerySpec("s3_subject_version_lookup", s3_subject_version_lookup,

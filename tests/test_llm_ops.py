@@ -66,6 +66,26 @@ def test_lsh_ann_planted_recall(spark, sf_dir):
         assert top1.get(qid) == qid + 10, f"planted match missed for {qid}"
 
 
+def test_ivf_ann_planted_recall(spark, sf_dir):
+    """A query identical to a corpus vector maps to the same centroid, so
+    IVF must return it at rank 1 with similarity 1.0."""
+    from axonops_schema_registry_spark.llm.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"))
+    planted = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 40)) \
+        .select((F.col("vec_id") - 30).alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    ann = ivf_ann_topk(planted, corpus, k=5)
+    top1 = {r.query_id: (r.corpus_id, r.cosine_sim)
+            for r in ann.collect() if r.rank == 1}
+    for qid in range(10):
+        cid, sim = top1[qid]
+        assert cid == qid + 30 and sim == 1.0
+
+
 def test_lsh_ann_sims_match_exact(spark, sf_dir):
     """Every (query, corpus) pair the ANN returns carries the same rounded
     cosine the exact operator computes (rerank correctness)."""

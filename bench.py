@@ -43,6 +43,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for spec in q.bench_specs():
+        # clear cached frames from warm-up/previous queries so each
+        # measurement is self-contained (caching inside one query still
+        # counts — it's part of that query's plan)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         spec.build(spark, sf_dir).collect()
         timings[spec.name] = round(time.perf_counter() - t0, 3)

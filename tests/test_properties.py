@@ -1,0 +1,92 @@
+"""Property-based tests (Hypothesis) for the pure-Python domain cores:
+invariants that hold for ALL inputs, not just the fixture corpus."""
+
+from __future__ import annotations
+
+import json
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from axonops_schema_registry_spark.operators.text import glob_to_regex
+from axonops_schema_registry_spark.registry.avro import (
+    avro_canonical_form,
+    avro_fingerprint,
+)
+from axonops_schema_registry_spark.registry.compat import check_pair
+from axonops_schema_registry_spark.registry.spark_udfs import (
+    canonical_fingerprint,
+)
+
+names = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+primitives = st.sampled_from(
+    ["null", "boolean", "int", "long", "float", "double", "bytes", "string"])
+
+
+@st.composite
+def avro_records(draw):
+    n = draw(st.integers(1, 5))
+    fields = []
+    used = set()
+    for _ in range(n):
+        fname = draw(names.filter(lambda s: s not in used))
+        used.add(fname)
+        fields.append({"name": fname, "type": draw(primitives)})
+    return {"type": "record", "name": draw(names), "fields": fields}
+
+
+@settings(max_examples=60, deadline=None)
+@given(avro_records())
+def test_canonical_form_is_idempotent_and_format_invariant(rec):
+    text = json.dumps(rec)
+    spaced = json.dumps(rec, indent=3)
+    canon = avro_canonical_form(text)
+    assert avro_canonical_form(spaced) == canon
+    assert avro_canonical_form(canon) == canon        # idempotent
+    assert avro_fingerprint(spaced) == avro_fingerprint(text)
+
+
+@settings(max_examples=60, deadline=None)
+@given(avro_records())
+def test_canonical_form_drops_docs_not_identity(rec):
+    with_doc = json.loads(json.dumps(rec))
+    for f in with_doc["fields"]:
+        f["doc"] = "some documentation"
+    assert avro_fingerprint(json.dumps(with_doc)) == \
+        avro_fingerprint(json.dumps(rec))
+    # but the STRICT registration fingerprint distinguishes them
+    assert canonical_fingerprint(json.dumps(with_doc), "AVRO", strict=True) \
+        != canonical_fingerprint(json.dumps(rec), "AVRO", strict=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(avro_records())
+def test_self_compatibility(rec):
+    """Every schema is compatible with itself in every direction."""
+    text = json.dumps(rec)
+    assert check_pair(text, text, "AVRO") == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(avro_records(), st.integers(0, 4))
+def test_field_addition_with_default_is_backward_compatible(rec, pos):
+    """Adding a defaulted field never breaks backward compatibility."""
+    widened = json.loads(json.dumps(rec))
+    widened["fields"].insert(
+        min(pos, len(widened["fields"])),
+        {"name": "zz_new_field", "type": "int", "default": 0})
+    assert check_pair(json.dumps(widened), json.dumps(rec), "AVRO") == []
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=30))
+def test_glob_regex_matches_glob_semantics(s):
+    """glob_to_regex('<literal>') matches exactly the literal; '*'
+    wildcards match any expansion."""
+    literal = s.replace("*", "")
+    rx = glob_to_regex(literal)
+    assert re.match(rx, literal)
+    rx_star = glob_to_regex(literal + "*")
+    assert re.match(rx_star, literal + "anything")

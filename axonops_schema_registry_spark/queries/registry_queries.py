@@ -10,6 +10,7 @@ pinned by tests/test_registry_domain.py's spec-derived unit tests).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas-UDF type hints resolve from here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -612,6 +613,123 @@ SELECT * FROM (VALUES
 """
 
 
+def ctx1_multitenant_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.1 registry context (tenant namespace, context.go:13-18): the
+    corpus partitioned by registry_ctx first — per-(ctx, subject) latest
+    live version.  At scale registry_ctx is the leading partition column,
+    so per-tenant queries prune to one partition subtree."""
+    corpus = registry_corpus(spark, sf_dir).filter(~F.col("deleted"))
+    ctx = (F.when(F.substring("subject", 4, 10).cast("int") % 3 == 0,
+                  "tenant-a").otherwise("."))
+    return (corpus.withColumn("registry_ctx", ctx)
+            .groupBy("registry_ctx", "subject")
+            .agg(F.max("version").alias("latest_version"),
+                 F.count(F.lit(1)).alias("n_versions")))
+
+
+CTX1_ORACLE = f"""
+WITH corpus AS ({corpus_cte()})
+SELECT CASE WHEN CAST(subject[4:] AS INT) % 3 = 0
+            THEN 'tenant-a' ELSE '.' END AS registry_ctx,
+       subject, MAX(version) AS latest_version, COUNT(*) AS n_versions
+FROM corpus WHERE NOT deleted
+GROUP BY 1, 2
+"""
+
+
+def err1_lookup_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 404xx error-code taxonomy as result-status columns
+    (internal/api/types/types.go:170-205; the 40401/40402/40406 split in
+    handlers.go:506-563): subject-not-found vs version-not-found vs
+    version-deleted vs ok."""
+    corpus = registry_corpus(spark, sf_dir)
+    deleted_probe = (corpus.filter(F.col("schema_id") == 0)
+                     .select("subject", "version"))
+    requests = (spark.createDataFrame(
+        [("src1", 1), ("src1", 999999), ("no-such-subject", 1)],
+        "subject string, version int")
+        .unionByName(deleted_probe))
+    subjects = corpus.select("subject").distinct() \
+        .withColumn("subject_exists", F.lit(True))
+    hit = corpus.select("subject", "version",
+                        F.col("deleted").alias("hit_deleted"),
+                        F.lit(True).alias("version_exists"))
+    status = (F.when(F.col("subject_exists").isNull(),
+                     "subject_not_found_40401")
+               .when(F.col("version_exists").isNull(),
+                     "version_not_found_40402")
+               .when(F.col("hit_deleted"), "version_deleted_40406")
+               .otherwise("ok_200"))
+    return (requests
+            .join(F.broadcast(subjects), "subject", "left")
+            .join(hit, ["subject", "version"], "left")
+            .select("subject", "version", status.alias("status")))
+
+
+ERR1_ORACLE = f"""
+WITH corpus AS ({corpus_cte()}),
+requests AS (
+  SELECT 'src1' AS subject, 1 AS version
+  UNION ALL SELECT 'src1', 999999
+  UNION ALL SELECT 'no-such-subject', 1
+  UNION ALL SELECT subject, version FROM corpus WHERE schema_id = 0)
+SELECT r.subject, r.version,
+       CASE WHEN NOT EXISTS (SELECT 1 FROM corpus c
+                             WHERE c.subject = r.subject)
+              THEN 'subject_not_found_40401'
+            WHEN c.version IS NULL THEN 'version_not_found_40402'
+            WHEN c.deleted THEN 'version_deleted_40406'
+            ELSE 'ok_200' END AS status
+FROM requests r
+LEFT JOIN corpus c ON c.subject = r.subject AND c.version = r.version
+"""
+
+_RULESET_CASES = [
+    (1, '{"domainRules":[{"name":"encrypt_pii","kind":"TRANSFORM",'
+        '"mode":"WRITEREAD","type":"ENCRYPT","tags":["PII"]}]}'),
+    (2, '{"migrationRules":[{"name":"v1_to_v2","kind":"TRANSFORM",'
+        '"mode":"UPGRADE","expr":"..."}]}'),
+    (3, '{"domainRules":[{"name":"bad","kind":"NOPE","mode":"WRITE"}]}'),
+    (4, '{"migrationRules":[{"name":"wrongphase","kind":"TRANSFORM",'
+        '"mode":"WRITE"}]}'),
+    (5, '{"domainRules":[{"name":"dup","kind":"CONDITION","mode":"WRITE",'
+        '"expr":"x"},{"name":"dup","kind":"CONDITION","mode":"WRITE",'
+        '"expr":"y"}]}'),
+    (6, '{"domainRules":[{"name":"noexpr","kind":"CONDITION",'
+        '"mode":"READ"}]}'),
+    (7, 'null'),
+]
+
+
+def rv1_ruleset_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract ruleSet structural validation
+    (internal/rules/validator.go:49-99) via Arrow UDF over stored
+    rulesets; golden-pinned verdicts."""
+    ship_package(spark)
+
+    @F.pandas_udf("int")
+    def _n_issues(rs: pd.Series) -> pd.Series:
+        from axonops_schema_registry_spark.registry.rules import (
+            validate_ruleset,
+        )
+
+        return pd.Series([len(validate_ruleset(r)) for r in rs])
+
+    df = spark.createDataFrame(_RULESET_CASES,
+                               "case_id int, ruleset string")
+    return (df.withColumn("n_issues", _n_issues("ruleset"))
+              .select("case_id", (F.col("n_issues") == 0).alias("valid"),
+                      "n_issues"))
+
+
+RV1_ORACLE = """
+SELECT * FROM (VALUES
+    (1, TRUE, 0), (2, TRUE, 0), (3, FALSE, 1), (4, FALSE, 1),
+    (5, FALSE, 1), (6, FALSE, 1), (7, TRUE, 0)
+) AS t(case_id, valid, n_issues)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("r1_latest_live_schema", r1_latest_live_schema, R1_ORACLE,
               tags=("registry", "window")),
@@ -644,5 +762,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("j3r_reference_resolution", j3r_reference_resolution,
               J3R_ORACLE, tags=("registry", "join")),
     QuerySpec("fs2_type_search", fs2_type_search, FS2_ORACLE,
+              tags=("registry", "udf")),
+    QuerySpec("ctx1_multitenant_listing", ctx1_multitenant_listing,
+              CTX1_ORACLE, tags=("registry",)),
+    QuerySpec("err1_lookup_taxonomy", err1_lookup_taxonomy, ERR1_ORACLE,
+              tags=("registry",)),
+    QuerySpec("rv1_ruleset_validation", rv1_ruleset_validation, RV1_ORACLE,
               tags=("registry", "udf")),
 ]

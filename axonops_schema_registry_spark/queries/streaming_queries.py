@@ -58,9 +58,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+def st8_exporter_filter_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: exporter subject filtering + rename + context re-homing
+    (exporter.go:274-305; context addressing context.go:47-60) — batch
+    analog of the schema-linking push."""
+    from axonops_schema_registry_spark.registry.model import registry_corpus
+    from axonops_schema_registry_spark.streaming.exporter import (
+        exporter_transform,
+    )
+
+    corpus = registry_corpus(spark, sf_dir).filter(~F.col("deleted"))
+    return exporter_transform(
+        corpus.select("subject", "version", "schema_id"),
+        subjects=["src1*"],
+        subject_rename_format="${subject}-mirror",
+        context_type="CUSTOM", context="dr-site")
+
+
+ST8_ORACLE = """
+WITH corpus AS (
+  SELECT source AS subject,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT)
+           AS version,
+         doc_id AS schema_id, (doc_id % 20 = 0) AS deleted
+  FROM documents)
+SELECT subject, version, schema_id,
+       ':.dr-site:' || subject || '-mirror' AS exported_subject
+FROM corpus
+WHERE NOT deleted AND regexp_matches(lower(subject), '^src1.*$')
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("st2_filtered_cef_lines", st2_filtered_cef_lines, ST2_ORACLE,
               tags=("streaming",)),
     QuerySpec("st6_rate_limit_flags", st6_rate_limit_flags, ST6_ORACLE,
               tags=("streaming",)),
+    QuerySpec("st8_exporter_filter_rename", st8_exporter_filter_rename,
+              ST8_ORACLE, tags=("streaming", "registry")),
 ]

@@ -730,6 +730,41 @@ SELECT * FROM (VALUES
 """
 
 
+def u1_user_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """users/api_keys minor dimensions (FIXTURES.md §1,
+    migrations.go:68-99): per-role account stats with enabled/expiry
+    flags, users derived deterministically from the event actors."""
+    ev = model.load_table(spark, sf_dir, "events")
+    users = (ev.groupBy(F.col("user_id"))
+             .agg(F.count(F.lit(1)).alias("n_requests"),
+                  F.max("ts").alias("last_used")))
+    role = (F.when(F.col("user_id") % 4 == 0, "admin")
+             .when(F.col("user_id") % 4 == 1, "developer")
+             .when(F.col("user_id") % 4 == 2, "readonly")
+             .otherwise("readwrite"))
+    enabled = F.col("user_id") % 10 != 0
+    return (users.withColumn("role", role).withColumn("enabled", enabled)
+            .groupBy("role")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum(F.when(F.col("enabled"), 1).otherwise(0))
+                 .alias("n_enabled"),
+                 F.sum("n_requests").alias("n_requests")))
+
+
+U1_ORACLE = """
+WITH users AS (
+  SELECT user_id, COUNT(*) AS n_requests FROM events GROUP BY user_id)
+SELECT CASE WHEN user_id % 4 = 0 THEN 'admin'
+            WHEN user_id % 4 = 1 THEN 'developer'
+            WHEN user_id % 4 = 2 THEN 'readonly'
+            ELSE 'readwrite' END AS role,
+       COUNT(*) AS n_users,
+       SUM(CASE WHEN user_id % 10 <> 0 THEN 1 ELSE 0 END) AS n_enabled,
+       SUM(n_requests) AS n_requests
+FROM users GROUP BY 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("r1_latest_live_schema", r1_latest_live_schema, R1_ORACLE,
               tags=("registry", "window")),
@@ -769,4 +804,6 @@ SPECS: list[QuerySpec] = [
               tags=("registry",)),
     QuerySpec("rv1_ruleset_validation", rv1_ruleset_validation, RV1_ORACLE,
               tags=("registry", "udf")),
+    QuerySpec("u1_user_role_stats", u1_user_role_stats, U1_ORACLE,
+              tags=("registry", "agg")),
 ]

@@ -43,13 +43,15 @@ def token_set(df: DataFrame, id_col: str, text_col: str,
                       F.split(F.col(text_col), " ").alias("__toks"))
               .filter(F.size("__toks") >= ngram))
     if ngram == 1:
-        tok = F.explode(F.col("__toks")).alias("token")
+        tokens = F.col("__toks")
     else:
-        shingles = F.expr(
+        tokens = F.expr(
             f"transform(sequence(1, size(__toks) - {ngram - 1}), "
             f"i -> array_join(slice(__toks, i, {ngram}), ' '))")
-        tok = F.explode(shingles).alias("token")
-    return base.select("id", tok).distinct()
+    # dedup is PER-DOCUMENT, so array_distinct before the explode does it
+    # row-locally — no cross-row distinct shuffle needed.
+    return base.select("id",
+                       F.explode(F.array_distinct(tokens)).alias("token"))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -96,7 +96,8 @@ def r4_registration_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("doc_id").alias("seq"),
                            F.lit("RAW").alias("schema_type"),
                            F.col("text").alias("schema_text"))
-    return register_batch(spark, existing, incoming, mode="NONE")
+    return register_batch(spark, existing, incoming, mode="NONE",
+                          native_fingerprint=True)
 
 
 R4_ORACLE = f"""
@@ -359,7 +360,8 @@ def r8_delete_reregister(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("doc_id") + 100000).alias("seq"),
                         F.lit("RAW").alias("schema_type"),
                         F.col("text").alias("schema_text")))
-    return register_batch(spark, existing, resubmit, mode="NONE")
+    return register_batch(spark, existing, resubmit, mode="NONE",
+                          native_fingerprint=True)
 
 
 R8_ORACLE = f"""

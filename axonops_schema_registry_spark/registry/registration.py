@@ -33,7 +33,8 @@ from axonops_schema_registry_spark.registry.spark_udfs import (
 
 
 def register_batch(spark: SparkSession, existing: DataFrame,
-                   incoming: DataFrame, mode: str = "BACKWARD") -> DataFrame:
+                   incoming: DataFrame, mode: str = "BACKWARD",
+                   native_fingerprint: bool = False) -> DataFrame:
     """Process a registration batch.
 
     ``existing``: (subject, version, schema_type, schema_text[, deleted])
@@ -51,7 +52,14 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     ∈ {registered, duplicate, incompatible}.
     """
     ship_package(spark)
-    fp = fingerprint_udf(strict=True)  # dedup must distinguish defaults
+    if native_fingerprint:
+        # opaque (non-schema) content: sha2 over raw text stays entirely
+        # JVM-side — no Python workers in the fingerprint stage.  Use for
+        # RAW corpora; parsed schema types need the canonical-form UDF.
+        def fp(text_col: str, _type_col: str):
+            return F.sha2(F.col(text_col), 256)
+    else:
+        fp = fingerprint_udf(strict=True)  # dedup must distinguish defaults
     check = check_pair_udf()
 
     if "deleted" not in existing.columns:

@@ -37,12 +37,22 @@ _CHECKERS = {
 }
 
 
-def check_pair(reader: str, writer: str, schema_type: str = "AVRO") -> list[str]:
-    """Can ``reader`` read data written with ``writer``?  Empty list = yes."""
+def check_pair(reader: str, writer: str, schema_type: str = "AVRO",
+               reader_refs: tuple[str, ...] = (),
+               writer_refs: tuple[str, ...] = ()) -> list[str]:
+    """Can ``reader`` read data written with ``writer``?  Empty list = yes.
+
+    ``*_refs`` carry the schema texts of referenced subjects (resolved by
+    the caller from the schema_references table), so named types / $refs
+    across subjects resolve before checking.
+    """
     checker = _CHECKERS.get(schema_type or "AVRO")
     if checker is None:
         return [f"unsupported schema type: {schema_type}"]
     try:
+        if (reader_refs or writer_refs) and schema_type in ("AVRO", None, ""):
+            return check_avro(reader, writer, tuple(reader_refs),
+                              tuple(writer_refs))
         return checker(reader, writer)
     except Exception as exc:  # malformed schema text
         return [f"schema parse error: {exc}"]

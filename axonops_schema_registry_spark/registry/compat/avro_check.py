@@ -80,11 +80,21 @@ def _collect_named(schema: Any, acc: dict[str, Any]) -> None:
             _collect_named(t, acc)
 
 
-def check_avro(reader_text: str, writer_text: str) -> list[str]:
+def check_avro(reader_text: str, writer_text: str,
+               reader_refs: tuple[str, ...] = (),
+               writer_refs: tuple[str, ...] = ()) -> list[str]:
+    """``*_refs``: schema texts of referenced subjects — their named types
+    become resolvable, mirroring the reference's resolve-refs-then-check
+    flow (/root/reference/internal/registry/registry.go:336-351,
+    1546-1592)."""
     reader = json.loads(reader_text)
     writer = json.loads(writer_text)
     rnames: dict[str, Any] = {}
     wnames: dict[str, Any] = {}
+    for ref in reader_refs:
+        _collect_named(json.loads(ref), rnames)
+    for ref in writer_refs:
+        _collect_named(json.loads(ref), wnames)
     _collect_named(reader, rnames)
     _collect_named(writer, wnames)
     issues: list[str] = []

@@ -74,9 +74,18 @@ def canonical_fingerprint(schema_text: str, schema_type: str = "AVRO",
             canonical = json.dumps(json.loads(schema_text), sort_keys=True,
                                    separators=(",", ":"), ensure_ascii=False)
             return hashlib.sha256(canonical.encode()).hexdigest()
+        if st == "PROTOBUF":
+            # canonical proto text: strip comments, collapse whitespace —
+            # formatting-invariant like the JSON/Avro canonical forms
+            import re
+
+            stripped = re.sub(r"//[^\n]*|/\*.*?\*/", " ", schema_text,
+                              flags=re.DOTALL)
+            canonical = re.sub(r"\s+", " ", stripped).strip()
+            return hashlib.sha256(canonical.encode()).hexdigest()
     except Exception:
         pass
-    # PROTOBUF and unparseable text: fingerprint of the raw text
+    # unparseable / unknown type: fingerprint of the raw text
     return hashlib.sha256(schema_text.encode()).hexdigest()
 
 

@@ -248,6 +248,50 @@ class TestProtobuf:
         assert {f["path"] for f in fields} == {"id", "source"}
 
 
+ADDRESS_V1 = ('{"type":"record","name":"Address","namespace":"com.example",'
+              '"fields":[{"name":"street","type":"string"}]}')
+ADDRESS_V2 = ('{"type":"record","name":"Address","namespace":"com.example",'
+              '"fields":[{"name":"street","type":"string"},'
+              '{"name":"city","type":"string","default":""}]}')
+ADDRESS_V2_BAD = ('{"type":"record","name":"Address","namespace":"com.example",'
+                  '"fields":[{"name":"street","type":"string"},'
+                  '{"name":"city","type":"string"}]}')
+USER_WITH_REF = ('{"type":"record","name":"User","fields":'
+                 '[{"name":"name","type":"string"},'
+                 '{"name":"addr","type":"com.example.Address"}]}')
+
+
+class TestCrossSubjectRefs:
+    """Reference resolution before compat (registry.go:336-351): named
+    types defined in OTHER subjects resolve via the refs lists."""
+
+    def test_ref_evolution_compatible(self):
+        issues = check_pair(USER_WITH_REF, USER_WITH_REF, "AVRO",
+                            reader_refs=(ADDRESS_V2,),
+                            writer_refs=(ADDRESS_V1,))
+        assert issues == []  # city has a default → readable
+
+    def test_ref_evolution_incompatible(self):
+        issues = check_pair(USER_WITH_REF, USER_WITH_REF, "AVRO",
+                            reader_refs=(ADDRESS_V2_BAD,),
+                            writer_refs=(ADDRESS_V1,))
+        assert issues and "city" in issues[0]
+
+    def test_proto_fingerprint_formatting_invariant(self):
+        from axonops_schema_registry_spark.registry.spark_udfs import (
+            canonical_fingerprint,
+        )
+
+        a = 'syntax = "proto3";\nmessage E {\n  string id = 1;\n}\n'
+        b = ('syntax   =   "proto3";  // header comment\n'
+             'message E { string id = 1; /* inline */ }')
+        c = 'syntax = "proto3";\nmessage E {\n  string id = 2;\n}\n'
+        assert canonical_fingerprint(a, "PROTOBUF") == \
+            canonical_fingerprint(b, "PROTOBUF")
+        assert canonical_fingerprint(a, "PROTOBUF") != \
+            canonical_fingerprint(c, "PROTOBUF")
+
+
 class TestFieldDispatch:
     def test_jsonschema_fields(self):
         fields = jsonschema_extract_fields(JS_V2)

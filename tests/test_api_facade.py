@@ -1,0 +1,77 @@
+"""RegistryAnalytics facade: the reference's endpoint surface as methods."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from axonops_schema_registry_spark.api import RegistryAnalytics
+from axonops_schema_registry_spark.registry.model import (
+    AVRO_USER_V2_BAD,
+    AVRO_USER_V3,
+    fixture_schemas,
+)
+
+
+@pytest.fixture(scope="module")
+def reg(spark):
+    return RegistryAnalytics(spark, fixture_schemas(spark))
+
+
+@pytest.fixture(scope="module")
+def corpus_reg(spark, sf_dir):
+    return RegistryAnalytics.from_sf_dir(spark, sf_dir)
+
+
+def test_subjects_and_latest(reg):
+    assert {r.subject for r in reg.subjects().collect()} == {
+        "user-value", "order-events-value", "profile-value", "event-value"}
+    latest = {r.subject: r.version for r in reg.latest().collect()}
+    assert latest["user-value"] == 2 and latest["order-events-value"] == 1
+
+
+def test_history_ordering(reg):
+    hist = reg.history("user-value").collect()
+    assert [r.version for r in hist] == [1, 2]
+
+
+def test_statistics(reg):
+    stats = {r.schema_type: (r.n_subjects, r.n_versions)
+             for r in reg.statistics().collect()}
+    assert stats["AVRO"] == (2, 3)
+    assert stats["JSON"] == (1, 2)
+    assert stats["PROTOBUF"] == (1, 2)
+
+
+def test_field_search_variants(reg):
+    hits = reg.search_fields("customer_id").collect()
+    assert [(r.subject, r.path) for r in hits] == \
+        [("order-events-value", "customerId")]
+
+
+def test_similar_subjects(reg):
+    sims = reg.similar_subjects(0.3).collect()
+    assert [(r.subject_a, r.subject_b) for r in sims] == \
+        [("profile-value", "user-value")]
+
+
+def test_check_verdicts(reg):
+    ok, _ = reg.check(AVRO_USER_V3, "user-value", "BACKWARD")
+    assert ok
+    bad, msgs = reg.check(AVRO_USER_V2_BAD, "user-value",
+                          "BACKWARD_TRANSITIVE")
+    assert not bad and msgs
+
+
+def test_register_through_facade(spark, reg):
+    incoming = spark.createDataFrame(
+        [("user-value", 1, "AVRO", AVRO_USER_V3)],
+        "subject string, seq int, schema_type string, schema_text string")
+    out = {r.status: r for r in reg.register(incoming).collect()}
+    assert out["registered"].assigned_version == 3
+
+
+def test_corpus_backed_facade(corpus_reg):
+    assert corpus_reg.latest().count() > 0
+    view = corpus_reg.versions_view().collect()
+    assert all(r.latest_version >= r.version_count for r in view)

@@ -43,12 +43,16 @@ def minhash_signatures(toks: DataFrame, n_hashes: int = 64) -> DataFrame:
     dominates single-shot runs); the narrow plan compiles instantly and
     shuffles (tokens × n_hashes) skinny rows instead.
     """
+    # hash the string ONCE, then derive the n seeded variants from the
+    # 8-byte base hash — xxhash64(long, seed) instead of 64 rehashes of a
+    # ~50-char shingle string
     per_seed = (toks
+                .withColumn("__h0", F.xxhash64(F.col("token")))
                 .select("id",
                         F.explode(F.expr(f"sequence(0, {n_hashes - 1})"))
                         .alias("seed"),
-                        "token")
-                .withColumn("h", F.xxhash64(F.col("token"), F.col("seed"))))
+                        "__h0")
+                .withColumn("h", F.xxhash64(F.col("__h0"), F.col("seed"))))
     return (per_seed.groupBy("id", "seed").agg(F.min("h").alias("mh"))
             .groupBy("id")
             .agg(F.array_sort(F.collect_list(F.struct("seed", "mh")))

@@ -239,6 +239,32 @@ LIMIT 20
 """
 
 
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: promo revenue share — conditional aggregate ratio
+    over a broadcast-dim join, single-row result."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue) \
+        .otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(part),
+                     F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (F.lit(100.0) * psum(promo) / psum(revenue)).alias("promo_share_pct"),
+        psum(revenue).alias("total_revenue"))
+
+
+Q14_ORACLE = f"""
+SELECT 100.0 * {psum_expr("CASE WHEN p_type LIKE 'PROMO%' "
+                          "THEN l_extendedprice * (1.0 - l_discount) "
+                          "ELSE 0.0 END")}
+         / {psum_expr('l_extendedprice * (1.0 - l_discount)')}
+         AS promo_share_pct,
+       {psum_expr('l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.1 scans / §2.6 pagination
 # --------------------------------------------------------------------------
@@ -1138,6 +1164,8 @@ SPECS: list[QuerySpec] = [
               bench=True),
     QuerySpec("q10_returned_items", q10_returned_items, Q10_ORACLE,
               doc="returned-items topk", tags=("join", "bench"), bench=True),
+    QuerySpec("q14_promo_revenue_share", q14_promo_revenue_share, Q14_ORACLE,
+              doc="promo share ratio", tags=("join", "bench"), bench=True),
     QuerySpec("s1_prefix_listing", s1_prefix_listing, S1_ORACLE, tags=("scan",)),
     QuerySpec("s2_point_lookup", s2_point_lookup, S2_ORACLE, tags=("scan",)),
     QuerySpec("s3_subject_version_lookup", s3_subject_version_lookup,

@@ -50,9 +50,16 @@ def check_pair(reader: str, writer: str, schema_type: str = "AVRO",
     if checker is None:
         return [f"unsupported schema type: {schema_type}"]
     try:
-        if (reader_refs or writer_refs) and schema_type in ("AVRO", None, ""):
-            return check_avro(reader, writer, tuple(reader_refs),
-                              tuple(writer_refs))
+        if reader_refs or writer_refs:
+            st = (schema_type or "AVRO").upper()
+            if st == "AVRO":
+                return check_avro(reader, writer, tuple(reader_refs),
+                                  tuple(writer_refs))
+            if st == "JSON":
+                # JSON refs arrive as a {ref_name: schema_text} mapping
+                return check_jsonschema(reader, writer,
+                                        dict(reader_refs),
+                                        dict(writer_refs))
         return checker(reader, writer)
     except Exception as exc:  # malformed schema text
         return [f"schema parse error: {exc}"]

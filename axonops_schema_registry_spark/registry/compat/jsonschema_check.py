@@ -28,11 +28,17 @@ def _types(schema: dict) -> set[str] | None:
     return set(t) if isinstance(t, list) else {t}
 
 
-def _resolve_ref(schema: Any, root: dict) -> Any:
+def _resolve_ref(schema: Any, root: dict,
+                 external: dict[str, Any] | None = None) -> Any:
     while isinstance(schema, dict) and "$ref" in schema:
         ref = schema["$ref"]
         if not ref.startswith("#/"):
-            break  # external refs handled by reference resolution upstream
+            # cross-subject reference: resolve from the external refs map
+            # (checker.go:133-251's cross-subject $ref support)
+            if external and ref in external:
+                schema = external[ref]
+                continue
+            break
         node: Any = root
         for part in ref[2:].split("/"):
             if not isinstance(node, dict) or part not in node:
@@ -42,16 +48,24 @@ def _resolve_ref(schema: Any, root: dict) -> Any:
     return schema
 
 
-def check_jsonschema(reader_text: str, writer_text: str) -> list[str]:
+def check_jsonschema(reader_text: str, writer_text: str,
+                     reader_refs: dict[str, str] | None = None,
+                     writer_refs: dict[str, str] | None = None) -> list[str]:
+    """``*_refs``: map of $ref name → schema text for cross-subject
+    references (resolved by the caller from the schema_references table).
+    """
     reader = json.loads(reader_text)
     writer = json.loads(writer_text)
+    rext = {k: json.loads(v) for k, v in (reader_refs or {}).items()}
+    wext = {k: json.loads(v) for k, v in (writer_refs or {}).items()}
     issues: list[str] = []
-    _check(reader, writer, reader, writer, "", issues, set())
+    _check(reader, writer, reader, writer, "", issues, set(), rext, wext)
     return issues
 
 
 def _check(reader: Any, writer: Any, rroot: dict, wroot: dict,
-           path: str, issues: list[str], visited: set) -> None:
+           path: str, issues: list[str], visited: set,
+           rext: dict | None = None, wext: dict | None = None) -> None:
     at = path or "<root>"
     # boolean schemas: true accepts all, false accepts none
     if reader is True or reader == {}:
@@ -63,8 +77,8 @@ def _check(reader: Any, writer: Any, rroot: dict, wroot: dict,
         return
     if writer is True or writer == {}:
         writer = {}
-    reader = _resolve_ref(reader, rroot)
-    writer = _resolve_ref(writer, wroot)
+    reader = _resolve_ref(reader, rroot, rext)
+    writer = _resolve_ref(writer, wroot, wext)
     if not isinstance(reader, dict) or not isinstance(writer, dict):
         return
     key = (id(reader), id(writer))
@@ -76,20 +90,20 @@ def _check(reader: Any, writer: Any, rroot: dict, wroot: dict,
     for comb in ("allOf",):
         for i, sub in enumerate(reader.get(comb, [])):
             _check(sub, writer, rroot, wroot, f"{path}/allOf[{i}]", issues,
-                   visited)
+                   visited, rext, wext)
     if "anyOf" in writer or "oneOf" in writer:
         branches = writer.get("anyOf", []) + writer.get("oneOf", [])
         for i, wb in enumerate(branches):
             sub_issues: list[str] = []
             _check(reader, wb, rroot, wroot, f"{path}/branch[{i}]",
-                   sub_issues, visited)
+                   sub_issues, visited, rext, wext)
             issues.extend(sub_issues)
         return
     if "anyOf" in reader or "oneOf" in reader:
         branches = reader.get("anyOf", []) + reader.get("oneOf", [])
         for rb in branches:
             sub_issues = []
-            _check(rb, writer, rroot, wroot, path, sub_issues, visited)
+            _check(rb, writer, rroot, wroot, path, sub_issues, visited, rext, wext)
             if not sub_issues:
                 return
         issues.append(f"{at}: no reader anyOf/oneOf branch accepts the "
@@ -172,7 +186,7 @@ def _check(reader: Any, writer: Any, rroot: dict, wroot: dict,
     for name, rsub in rprops.items():
         if name in wprops:
             _check(rsub, wprops[name], rroot, wroot,
-                   f"{path}.{name}" if path else name, issues, visited)
+                   f"{path}.{name}" if path else name, issues, visited, rext, wext)
         elif w_closed:
             pass  # writer never emits it
         # open writer + new reader property: unconstrained writer values
@@ -180,17 +194,26 @@ def _check(reader: Any, writer: Any, rroot: dict, wroot: dict,
         # property when present, so a non-trivial rsub narrows:
         elif rsub not in (True, {}) and name in set(reader.get("required", [])):
             pass  # already reported as newly required
-    # tuple items (array positional)
-    if isinstance(reader.get("items"), dict) or isinstance(
-            writer.get("items"), dict):
+    # tuple items — Draft-07 list-form "items" and Draft-2020 "prefixItems"
+    # normalize to the same positional check
+    r_tuple = reader.get("prefixItems",
+                         reader["items"]
+                         if isinstance(reader.get("items"), list) else None)
+    w_tuple = writer.get("prefixItems",
+                         writer["items"]
+                         if isinstance(writer.get("items"), list) else None)
+    if isinstance(reader.get("items"), dict) or (
+            isinstance(writer.get("items"), dict)
+            and r_tuple is None and w_tuple is None):
         _check(reader.get("items", {}), writer.get("items", {}), rroot,
-               wroot, path + "[]", issues, visited)
-    elif isinstance(reader.get("items"), list) and isinstance(
-            writer.get("items"), list):
-        for i, (ri, wi) in enumerate(zip(reader["items"], writer["items"])):
-            _check(ri, wi, rroot, wroot, f"{path}[{i}]", issues, visited)
-        if len(reader["items"]) < len(writer["items"]) and \
-                reader.get("additionalItems") is False:
+               wroot, path + "[]", issues, visited, rext, wext)
+    elif r_tuple is not None and w_tuple is not None:
+        for i, (ri, wi) in enumerate(zip(r_tuple, w_tuple)):
+            _check(ri, wi, rroot, wroot, f"{path}[{i}]", issues, visited, rext, wext)
+        # 2020: "items" false closes the tuple; 07: "additionalItems" false
+        r_closed_tuple = (reader.get("additionalItems") is False
+                          or reader.get("items") is False)
+        if len(r_tuple) < len(w_tuple) and r_closed_tuple:
             issues.append(f"{at}: reader tuple shorter with "
                           f"additionalItems: false")
 
@@ -214,4 +237,4 @@ def _check(reader: Any, writer: Any, rroot: dict, wroot: dict,
               if isinstance(v, dict)}}
     for prop, rsub in rds.items():
         _check(rsub, wds.get(prop, {}), rroot, wroot,
-               f"{path}/dependentSchemas/{prop}", issues, visited)
+               f"{path}/dependentSchemas/{prop}", issues, visited, rext, wext)

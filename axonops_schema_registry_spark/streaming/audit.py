@@ -140,6 +140,23 @@ def windowed_metrics(audit: DataFrame, window: str = "1 hour",
                     "n_events", "n_failures", "p95_value"))
 
 
+def session_metrics(audit: DataFrame, gap: str = "5 minutes",
+                    watermark: str = "30 seconds") -> DataFrame:
+    """Session-windowed per-actor activity (idiomatic extension the
+    reference lacks — SURVEY.md §2.11): sessions close after ``gap`` of
+    actor inactivity; one row per (actor, session) with bounds + counts."""
+    return (audit
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"),
+                     F.col("actor_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("outcome") == "failure", 1)
+                       .otherwise(0)).alias("n_failures"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "actor_id", "n_events", "n_failures"))
+
+
 class CollectingWebhookSink:
     """ST4/ST5: webhook batch sink with offset/state tracking — the
     exporter state machine (internal/exporter/exporter.go:199-324) as a

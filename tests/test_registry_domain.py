@@ -303,3 +303,32 @@ class TestFieldDispatch:
         assert extract_fields(JS_V1, "JSON")[0]["name"] == "name"
         assert extract_fields(PROTO_V1, "PROTOBUF")[0]["name"] == "id"
         assert extract_fields("not json", "AVRO") == []
+
+
+class TestJsonCrossSubjectRefs:
+    def test_external_ref_resolution(self):
+        user = ('{"type":"object","properties":'
+                '{"addr":{"$ref":"address.json"}},"required":["addr"]}')
+        addr_v1 = '{"type":"object","properties":{"street":{"type":"string"}}}'
+        addr_v2 = ('{"type":"object","properties":{"street":{"type":"string"},'
+                   '"city":{"type":"string"}}}')
+        addr_narrow = ('{"type":"object","properties":'
+                       '{"street":{"type":"string","maxLength":3}}}')
+        ok = check_pair(user, user, "JSON",
+                        reader_refs={"address.json": addr_v2},
+                        writer_refs={"address.json": addr_v1})
+        assert ok == []
+        bad = check_pair(user, user, "JSON",
+                         reader_refs={"address.json": addr_narrow},
+                         writer_refs={"address.json": addr_v1})
+        assert bad and "maxLength" in bad[0]
+
+    def test_prefix_items_draft2020(self):
+        w = ('{"type":"array","prefixItems":'
+             '[{"type":"string"},{"type":"integer"}]}')
+        r_ok = ('{"type":"array","prefixItems":'
+                '[{"type":"string"},{"type":"number"}]}')
+        r_short_closed = ('{"type":"array","prefixItems":'
+                          '[{"type":"string"}],"items":false}')
+        assert check_pair(r_ok, w, "JSON") == []
+        assert check_pair(r_short_closed, w, "JSON") != []

@@ -108,3 +108,21 @@ def test_webhook_sink_offset_tracking(spark, stream_source):
     assert sink.state == "RUNNING"
     assert sink.offset == sum(n for _, n in sink.batches)
     assert sink.offset > 0
+
+
+def test_session_windows_batch_mode(audit_batch):
+    from axonops_schema_registry_spark.streaming.audit import session_metrics
+
+    sessions = session_metrics(audit_batch, gap="10 minutes").collect()
+    assert len(sessions) > 0
+    for r in sessions:
+        assert r.session_end > r.session_start
+        assert r.n_events >= 1 and r.n_failures <= r.n_events
+    # per-actor event counts are conserved across that actor's sessions
+    by_actor: dict[int, int] = {}
+    for r in sessions:
+        by_actor[r.actor_id] = by_actor.get(r.actor_id, 0) + r.n_events
+    want = {r.actor_id: r.n
+            for r in audit_batch.groupBy("actor_id").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert by_actor == want

@@ -15,7 +15,7 @@ equi-join loses no true pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from axonops_schema_registry_spark.operators.text import token_set

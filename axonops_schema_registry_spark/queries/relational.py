@@ -1134,6 +1134,31 @@ FROM orders WHERE o_custkey <= 50
 """
 
 
+def a4c_cube_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 at scale: statistics over all (event_type × outcome) grouping
+    combinations in ONE pass via CUBE — the reference computes each
+    breakdown with a separate query; a 100 TB deployment wants one scan."""
+    ev = _t(spark, sf_dir, "events")
+    outcome = (F.when(F.col("event_type") == "error", "failure")
+                .otherwise("success"))
+    return (ev.withColumn("outcome", outcome)
+              .cube("event_type", "outcome")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.countDistinct("user_id").alias("n_users")))
+
+
+A4C_ORACLE = """
+SELECT event_type,
+       CASE WHEN event_type = 'error' THEN 'failure' ELSE 'success' END
+         AS outcome,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY CUBE (event_type,
+               CASE WHEN event_type = 'error' THEN 'failure'
+                    ELSE 'success' END)
+"""
+
+
 def a3_global_id_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: GetMaxSchemaID + global counters (storage.go:287,
     registry.go:511-536)."""
@@ -1232,5 +1257,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("w2_listing_with_latest_flag", w2_listing_with_latest_flag,
               W2_ORACLE, tags=("window",)),
     QuerySpec("a3_global_id_stats", a3_global_id_stats, A3_ORACLE,
+              tags=("agg",)),
+    QuerySpec("a4c_cube_statistics", a4c_cube_statistics, A4C_ORACLE,
               tags=("agg",)),
 ]

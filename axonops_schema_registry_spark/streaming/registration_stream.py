@@ -1,0 +1,88 @@
+"""Continuous registration: the §2.10 write path as a streaming job.
+
+The reference registers schemas online (one HTTP request at a time,
+transactions for the races); the engine's equivalent is a Structured
+Streaming ``foreachBatch`` loop over a registration-request stream:
+
+  requests stream → [per micro-batch] register_batch(corpus, batch)
+                  → append accepted rows to the corpus table
+                  → emit per-request statuses
+
+The corpus lives in a parquet directory (at scale: an iceberg/delta
+table); each micro-batch registers against everything accepted so far, so
+cross-batch duplicates and version continuity behave exactly like the
+online server — the micro-batch boundary plays the role of the
+transaction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from axonops_schema_registry_spark.registry.registration import register_batch
+
+CORPUS_DDL = ("subject string, version int, schema_type string, "
+              "schema_text string, deleted boolean")
+
+
+class StreamingRegistry:
+    """foreachBatch target maintaining a parquet-backed corpus."""
+
+    def __init__(self, spark: SparkSession, corpus_path: str,
+                 mode: str = "BACKWARD",
+                 native_fingerprint: bool = False) -> None:
+        self.spark = spark
+        self.corpus_path = corpus_path
+        self.mode = mode
+        self.native_fingerprint = native_fingerprint
+        self.statuses: list = []
+
+    def corpus(self) -> DataFrame:
+        if os.path.isdir(self.corpus_path) and any(
+                f.endswith(".parquet")
+                for f in os.listdir(self.corpus_path)):
+            return self.spark.read.schema(CORPUS_DDL).parquet(self.corpus_path)
+        return self.spark.createDataFrame([], CORPUS_DDL)
+
+    def bootstrap(self, corpus: DataFrame) -> None:
+        if "deleted" not in corpus.columns:
+            corpus = corpus.withColumn("deleted", F.lit(False))
+        corpus.select("subject", "version", "schema_type", "schema_text",
+                      "deleted") \
+            .write.mode("overwrite").parquet(self.corpus_path)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Register one micro-batch; append accepted rows to the corpus."""
+        batch_df = batch_df.cache()
+        if not batch_df.take(1):
+            return
+        corpus = self.corpus()
+        result = register_batch(
+            self.spark, corpus, batch_df, mode=self.mode,
+            native_fingerprint=self.native_fingerprint).cache()
+        self.statuses.extend(
+            result.withColumn("epoch", F.lit(epoch_id)).collect())
+        accepted = (result.filter(F.col("status") == "registered")
+                    .join(batch_df, ["subject", "seq"])
+                    .select("subject",
+                            F.col("assigned_version").alias("version"),
+                            "schema_type", "schema_text",
+                            F.lit(False).alias("deleted")))
+        accepted.write.mode("append").parquet(self.corpus_path)
+
+
+def run_registration_stream(spark: SparkSession, requests_dir: str,
+                            registry: StreamingRegistry,
+                            checkpoint: str):
+    """Wire a request-file stream into the registry; availableNow drain."""
+    requests = (spark.readStream
+                .schema("subject string, seq long, schema_type string, "
+                        "schema_text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(requests_dir))
+    return (requests.writeStream.foreachBatch(registry)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

@@ -110,6 +110,52 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "n_inter", "size_a", "size_b", "jaccard"))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Duplicate clusters: connected components over the near-dup pair
+    graph via iterative min-label propagation.
+
+    Each node starts labeled with itself; every iteration each node takes
+    the minimum label in its neighborhood; stop at fixpoint.  Iterations
+    needed = graph diameter — near-dup clusters are tiny, so this
+    converges in 2-3 rounds; ``max_iter`` bounds pathological chains.
+
+    Returns (doc_id, cluster_id, cluster_size) for every node appearing
+    in ``pairs``; ``cluster_id`` is the smallest doc id in the component
+    (the keep-first dedup representative).
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct().cache())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).cache())
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels,
+                                   edges["dst"] == labels["node"])
+                        .groupBy("src")
+                        .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["node"] == neighbor_min["src"],
+                                  "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("nbr_label"),
+                                                 F.col("label")))
+                              .alias("label")).cache())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label")).take(1))
+        labels = new_labels
+        if not changed:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("label").alias("cluster_id"), "cluster_size"))
+
+
 N_SIMHASH_BITS = 63  # stay within positive signed-64 range
 N_CHUNKS = 4
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from axonops_schema_registry_spark.catalog import load_table
 from axonops_schema_registry_spark.llm.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -88,6 +89,52 @@ def dd3_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py against the exact-Jaccard pair set."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3, ngram=3)
+
+
+def dd4_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: MinHash candidate pairs → connected components
+    (iterative min-label propagation) → cluster id/size per member.
+    cluster_id doubles as the keep-first representative."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, ngram=3)
+    return connected_components(pairs)
+
+
+DD4_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM documents),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id),
+dup_pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.8),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs),
+reach AS (
+  WITH RECURSIVE r(root, node) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.root, e.dst FROM r JOIN edges e ON e.src = r.node)
+  SELECT root, node FROM r),
+labels AS (SELECT root AS doc_id, MIN(node) AS cluster_id
+           FROM reach GROUP BY root)
+SELECT l.doc_id, l.cluster_id,
+       (SELECT COUNT(*) FROM labels l2
+        WHERE l2.cluster_id = l.cluster_id) AS cluster_size
+FROM labels l
+"""
 
 
 def _emb_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -221,6 +268,8 @@ SPECS: list[QuerySpec] = [
               _JACCARD_ALLPAIRS_ORACLE, tags=("llm", "dedup"), bench=True),
     QuerySpec("dd3_simhash_dedup", dd3_simhash_dedup, None,
               tags=("llm", "dedup")),
+    QuerySpec("dd4_dedup_clusters", dd4_dedup_clusters, DD4_ORACLE,
+              tags=("llm", "dedup", "iterative")),
     QuerySpec("nn1_cosine_topk", nn1_cosine_topk, NN1_ORACLE,
               tags=("llm", "similarity"), bench=True),
     QuerySpec("nn2_lsh_ann_topk", nn2_lsh_ann_topk, None,

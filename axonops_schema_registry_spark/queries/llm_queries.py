@@ -244,6 +244,100 @@ FROM documents
 """
 
 
+def tx4_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — a cheap
+    model-free quality/noise signal for corpus curation.  Computed as an
+    explode + groupBy (JVM-side); entropy rounded to 4 so the
+    log-implementation last bits can't flip the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.length("text").alias("n"),
+        F.explode(F.split(F.col("text"), "")).alias("ch"))
+    freq = (chars.groupBy("doc_id", "n", "ch")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    return (freq.withColumn("term", -p * F.log(p))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("term").cast("decimal(25,10)")
+                         .cast("double"), 4).alias("char_entropy"),
+                 F.countDistinct("ch").alias("n_distinct_chars")))
+
+
+TX4_ORACLE = """
+SELECT doc_id,
+       ROUND(CAST(SUM(CAST(-p * ln(p) AS DECIMAL(25,10))) AS DOUBLE), 4)
+         AS char_entropy,
+       COUNT(DISTINCT ch) AS n_distinct_chars
+FROM (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE) AS p
+  FROM (SELECT doc_id, len(text) AS n,
+               unnest(string_split(text, '')) AS ch
+        FROM documents)
+  GROUP BY doc_id, ch, n)
+GROUP BY doc_id
+"""
+
+
+def tx5_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card for training-data curation: volume, token
+    mass, near-dup membership rate, quality-token ratios — one pass plus
+    a broadcast join against the dup-cluster members."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup_members = (minhash_lsh_pairs(docs, "doc_id", "text", 0.8, 3)
+                   .select(F.explode(F.array("id_a", "id_b"))
+                           .alias("doc_id")).distinct()
+                   .withColumn("is_dup", F.lit(True)))
+    toks = F.split(F.col("text"), " ")
+    enriched = (docs
+                .join(F.broadcast(dup_members), "doc_id", "left")
+                .withColumn("n_tokens", F.size(toks).cast("bigint"))
+                .withColumn("n_distinct",
+                            F.size(F.array_distinct(toks)).cast("bigint")))
+    return (enriched.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                 .alias("n_near_dup_docs"),
+                 (F.sum("n_distinct").cast("double")
+                  / F.sum("n_tokens").cast("double"))
+                 .alias("distinct_token_ratio")))
+
+
+TX5_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM documents),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id),
+dup_pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.8),
+dup_members AS (
+  SELECT DISTINCT id_a AS doc_id FROM dup_pairs
+  UNION SELECT DISTINCT id_b FROM dup_pairs)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       SUM(n_chars) AS total_chars,
+       SUM(CASE WHEN doc_id IN (SELECT doc_id FROM dup_members)
+                THEN 1 ELSE 0 END) AS n_near_dup_docs,
+       CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
+         / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+         AS distinct_token_ratio
+FROM documents GROUP BY source
+"""
+
+
 def mm1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary payload + typed metadata →
     Arrow-batched decode (stub kernel) → feature columns.  The oracle
@@ -282,6 +376,10 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "text")),
     QuerySpec("tx3_rolling_fingerprint", tx3_rolling_fingerprint, TX3_ORACLE,
               tags=("llm", "text")),
+    QuerySpec("tx4_char_entropy", tx4_char_entropy, TX4_ORACLE,
+              tags=("llm", "text")),
+    QuerySpec("tx5_dataset_card", tx5_dataset_card, TX5_ORACLE,
+              tags=("llm", "text"), bench=True),
     QuerySpec("mm1_multimodal_decode", mm1_multimodal_decode, MM1_ORACLE,
               tags=("llm", "multimodal")),
 ]

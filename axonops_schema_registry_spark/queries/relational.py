@@ -239,6 +239,64 @@ LIMIT 20
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: pure filter + aggregate — every predicate reaches
+    the parquet scan (PushedFilters), one scalar out."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                      & (F.col("l_discount") >= 0.02)
+                      & (F.col("l_discount") <= 0.08)
+                      & (F.col("l_quantity") < 24))
+            .agg(psum(F.col("l_extendedprice") * F.col("l_discount"))
+                 .alias("forecast_revenue"),
+                 F.count(F.lit(1)).alias("n_lineitems")))
+
+
+Q6_ORACLE = f"""
+SELECT {psum_expr('l_extendedprice * l_discount')} AS forecast_revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity < 24
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: aggregate-then-semi-join (HAVING over the fact,
+    joined back to dimensions), deterministic top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+             .agg(dsum("l_quantity", 2, "total_qty"))
+             .filter(F.col("total_qty") > 150))
+    return (big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+               .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+               .select("c_name", "c_custkey", "o_orderkey",
+                       F.date_format("o_orderdate", TS_FMT_SPARK)
+                       .alias("o_orderdate"), "o_totalprice", "total_qty")
+               .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+               .limit(100))
+
+
+Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+       o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {dsum_expr('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {dsum_expr('l_quantity')} > 150) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14-shaped: promo revenue share — conditional aggregate ratio
     over a broadcast-dim join, single-row result."""
@@ -1191,6 +1249,11 @@ SPECS: list[QuerySpec] = [
               doc="returned-items topk", tags=("join", "bench"), bench=True),
     QuerySpec("q14_promo_revenue_share", q14_promo_revenue_share, Q14_ORACLE,
               doc="promo share ratio", tags=("join", "bench"), bench=True),
+    QuerySpec("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE,
+              doc="pushdown filter agg", tags=("agg", "bench"), bench=True),
+    QuerySpec("q18_large_orders", q18_large_orders, Q18_ORACLE,
+              doc="having semi-join topk", tags=("join", "bench"),
+              bench=True),
     QuerySpec("s1_prefix_listing", s1_prefix_listing, S1_ORACLE, tags=("scan",)),
     QuerySpec("s2_point_lookup", s2_point_lookup, S2_ORACLE, tags=("scan",)),
     QuerySpec("s3_subject_version_lookup", s3_subject_version_lookup,

@@ -732,6 +732,34 @@ SELECT * FROM (VALUES
 """
 
 
+def rc1_version_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 × C1: audit every consecutive version pair per subject — lag()
+    over the history, pairwise checker UDF on (prev, curr) — the
+    compatibility-history endpoint as one window + UDF pass."""
+    ship_package(spark)
+    check = check_pair_udf()
+    fx = fixture_schemas(spark)
+    w = Window.partitionBy("subject").orderBy("version")
+    chained = (fx.withColumn("prev_text", F.lag("schema_text").over(w))
+                 .withColumn("prev_version", F.lag("version").over(w))
+                 .filter(F.col("prev_text").isNotNull()))
+    verdict = check("schema_text", "prev_text", "schema_type")
+    return (chained.withColumn("__v", verdict)
+            .select("subject", "prev_version",
+                    F.col("version").alias("curr_version"),
+                    F.col("__v.is_compatible").alias("backward_compatible"),
+                    F.size("__v.messages").alias("n_issues")))
+
+
+RC1_ORACLE = """
+SELECT * FROM (VALUES
+    ('user-value', 1, 2, TRUE, 0),
+    ('profile-value', 1, 2, TRUE, 0),
+    ('event-value', 1, 2, TRUE, 0)
+) AS t(subject, prev_version, curr_version, backward_compatible, n_issues)
+"""
+
+
 def u1_user_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """users/api_keys minor dimensions (FIXTURES.md §1,
     migrations.go:68-99): per-role account stats with enabled/expiry
@@ -808,4 +836,6 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "udf")),
     QuerySpec("u1_user_role_stats", u1_user_role_stats, U1_ORACLE,
               tags=("registry", "agg")),
+    QuerySpec("rc1_version_chain_audit", rc1_version_chain_audit, RC1_ORACLE,
+              tags=("registry", "compat", "window", "udf")),
 ]

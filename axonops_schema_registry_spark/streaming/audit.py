@@ -51,6 +51,26 @@ def audit_stream_from_events(spark: SparkSession, source_dir: str,
     return normalize_audit(raw)
 
 
+def audit_stream_from_kafka(spark: SparkSession, bootstrap_servers: str,
+                            topic: str) -> DataFrame:
+    """Production source: audit events from a Kafka topic (the deployment
+    path for the reference's webhook/exporter fanout at scale).  Requires
+    the spark-sql-kafka package and a reachable broker — not exercised in
+    this container; the file-source replay above is the tested path and
+    shares every downstream transformation."""
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", bootstrap_servers)
+           .option("subscribe", topic)
+           .option("startingOffsets", "latest")
+           .load())
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"),
+                    "event_id bigint, ts timestamp, user_id bigint, "
+                    "event_type string, value double, props string")
+        .alias("e")).select("e.*")
+    return normalize_audit(parsed)
+
+
 def normalize_audit(raw: DataFrame) -> DataFrame:
     """events → audit-event shape (works on batch and stream inputs)."""
     ts = F.when(F.col("ts").cast("string").rlike("^[0-9]+$"),

@@ -12,17 +12,19 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 
 
 def _collect_specs() -> list[QuerySpec]:
-    from axonops_schema_registry_spark.queries import relational
+    # imports are deliberately STRICT: a broken spec module must fail
+    # loudly here, not silently shrink the driver-visible query surface
+    from axonops_schema_registry_spark.queries import (
+        llm_queries,
+        registry_queries,
+        relational,
+        streaming_queries,
+    )
 
-    specs: list[QuerySpec] = list(relational.SPECS)
-    for mod_name in ("registry_queries", "llm_queries", "streaming_queries"):
-        try:
-            mod = __import__(
-                f"axonops_schema_registry_spark.queries.{mod_name}",
-                fromlist=["SPECS"])
-            specs.extend(mod.SPECS)
-        except ImportError:
-            pass
+    specs: list[QuerySpec] = (list(relational.SPECS)
+                              + list(registry_queries.SPECS)
+                              + list(llm_queries.SPECS)
+                              + list(streaming_queries.SPECS))
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     return specs

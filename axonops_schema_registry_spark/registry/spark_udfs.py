@@ -25,7 +25,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 _PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 FIELD_STRUCT_DDL = (
     "array<struct<name:string,path:string,type:string,required:boolean,"
@@ -35,7 +35,7 @@ CHECK_STRUCT_DDL = "struct<is_compatible:boolean,messages:array<string>>"
 
 def ship_package(spark: SparkSession) -> None:
     """Make ``axonops_schema_registry_spark`` importable on executors."""
-    key = id(spark.sparkContext)
+    key = spark.sparkContext.applicationId  # stable per context, GC-proof
     if key in _SHIPPED:
         return
     zip_path = os.path.join(tempfile.gettempdir(),

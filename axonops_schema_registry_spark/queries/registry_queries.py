@@ -184,6 +184,40 @@ SELECT * FROM (VALUES
 """
 
 
+def c2_compat_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Issue-message fidelity: the checker's human-readable diagnostics
+    are part of the API surface (the reference returns them in the 409
+    body) — pin the exact strings for representative failures."""
+    ship_package(spark)
+    check = check_pair_udf()
+    cases = spark.createDataFrame(
+        [
+            (1, "AVRO", model.AVRO_USER_V2_BAD, model.AVRO_USER_V1),
+            (2, "JSON",
+             '{"type":"object","properties":{"v":{"type":"string",'
+             '"maxLength":10}}}',
+             '{"type":"object","properties":{"v":{"type":"string"}}}'),
+            (3, "PROTOBUF",
+             'syntax = "proto3";\nmessage E {\n  string v = 1;\n}\n',
+             'syntax = "proto3";\nmessage E {\n  int32 v = 1;\n}\n'),
+        ],
+        "case_id int, schema_type string, new_schema string, old_schema string")
+    v = check("new_schema", "old_schema", "schema_type")
+    return (cases.withColumn("__v", v)
+            .select("case_id", "schema_type",
+                    F.explode("__v.messages").alias("message")))
+
+
+C2_ORACLE = """
+SELECT * FROM (VALUES
+    (1, 'AVRO',
+     'age: reader field has no default and is missing from writer'),
+    (2, 'JSON', 'v: reader narrows maxLength (None → 10)'),
+    (3, 'PROTOBUF', 'E.v#1: wire type changed int32(varint) → string(lendelim)')
+) AS t(case_id, schema_type, message)
+"""
+
+
 def f13_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: recursive field extraction exploded into the fields table
     (internal/analysis/fields.go:28-242) — compute once, reuse everywhere."""
@@ -838,4 +872,6 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "agg")),
     QuerySpec("rc1_version_chain_audit", rc1_version_chain_audit, RC1_ORACLE,
               tags=("registry", "compat", "window", "udf")),
+    QuerySpec("c2_compat_messages", c2_compat_messages, C2_ORACLE,
+              tags=("registry", "compat", "udf")),
 ]

@@ -90,3 +90,44 @@ def test_glob_regex_matches_glob_semantics(s):
     assert re.match(rx, literal)
     rx_star = glob_to_regex(literal + "*")
     assert re.match(rx_star, literal + "anything")
+
+
+json_types = st.sampled_from(["string", "integer", "number", "boolean"])
+
+
+@st.composite
+def json_objects(draw):
+    n = draw(st.integers(1, 4))
+    props = {}
+    for _ in range(n):
+        name = draw(names.filter(lambda s: s not in props))
+        props[name] = {"type": draw(json_types)}
+    required = draw(st.lists(st.sampled_from(sorted(props)), unique=True))
+    return {"type": "object", "properties": props, "required": required}
+
+
+@settings(max_examples=60, deadline=None)
+@given(json_objects())
+def test_json_self_compatibility(schema):
+    text = json.dumps(schema)
+    assert check_pair(text, text, "JSON") == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(json_objects())
+def test_json_adding_optional_property_is_compatible(schema):
+    import copy
+    widened = copy.deepcopy(schema)
+    widened["properties"]["zz_extra"] = {"type": "string"}
+    assert check_pair(json.dumps(widened), json.dumps(schema), "JSON") == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(json_objects())
+def test_json_new_required_flagged(schema):
+    import copy
+    narrowed = copy.deepcopy(schema)
+    narrowed["properties"]["zz_req"] = {"type": "string"}
+    narrowed["required"] = list(schema.get("required", [])) + ["zz_req"]
+    issues = check_pair(json.dumps(narrowed), json.dumps(schema), "JSON")
+    assert issues and "newly required" in issues[0]

@@ -13,9 +13,15 @@ from axonops_schema_registry_spark.operators.core import (  # noqa: F401
     point_lookup_min,
     with_prev_value,
 )
+from axonops_schema_registry_spark.operators.skew import (  # noqa: F401
+    salted_join,
+    write_bucketed,
+)
 from axonops_schema_registry_spark.operators.text import (  # noqa: F401
     fuzzy_pairs,
     glob_to_regex,
     jaccard_pairs,
+    naming_variants,
+    normalize_name_snake,
     token_set,
 )

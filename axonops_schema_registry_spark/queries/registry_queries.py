@@ -218,6 +218,54 @@ SELECT * FROM (VALUES
 """
 
 
+_ADDRESS_V1 = ('{"type":"record","name":"Address","namespace":"com.example",'
+               '"fields":[{"name":"street","type":"string"}]}')
+_ADDRESS_V2 = ('{"type":"record","name":"Address","namespace":"com.example",'
+               '"fields":[{"name":"street","type":"string"},'
+               '{"name":"city","type":"string","default":""}]}')
+_ADDRESS_V2_BAD = ('{"type":"record","name":"Address",'
+                   '"namespace":"com.example","fields":'
+                   '[{"name":"street","type":"string"},'
+                   '{"name":"city","type":"string"}]}')
+_USER_WITH_REF = ('{"type":"record","name":"User","fields":'
+                  '[{"name":"name","type":"string"},'
+                  '{"name":"addr","type":"com.example.Address"}]}')
+
+
+def c3_compat_with_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-subject reference resolution through the Spark layer: the
+    schema under check references a type registered under ANOTHER subject;
+    ref texts ride along as array columns (pre-joined from
+    schema_references), resolved before the pairwise check
+    (registry.go:336-351, 1546-1592)."""
+    from axonops_schema_registry_spark.registry.spark_udfs import (
+        check_pair_with_refs_udf,
+    )
+
+    ship_package(spark)
+    check = check_pair_with_refs_udf()
+    cases = spark.createDataFrame(
+        [
+            (1, "AVRO", _USER_WITH_REF, _USER_WITH_REF,
+             [_ADDRESS_V2], [_ADDRESS_V1]),      # city has default → ok
+            (2, "AVRO", _USER_WITH_REF, _USER_WITH_REF,
+             [_ADDRESS_V2_BAD], [_ADDRESS_V1]),  # no default → fails
+        ],
+        "case_id int, schema_type string, new_schema string, "
+        "old_schema string, new_refs array<string>, old_refs array<string>")
+    v = check("new_schema", "old_schema", "schema_type", "new_refs",
+              "old_refs")
+    return cases.select("case_id",
+                        v["is_compatible"].alias("is_compatible"),
+                        F.size(v["messages"]).alias("n_issues"))
+
+
+C3_ORACLE = """
+SELECT * FROM (VALUES (1, TRUE, 0), (2, FALSE, 1))
+  AS t(case_id, is_compatible, n_issues)
+"""
+
+
 def f13_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: recursive field extraction exploded into the fields table
     (internal/analysis/fields.go:28-242) — compute once, reuse everywhere."""
@@ -873,5 +921,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("rc1_version_chain_audit", rc1_version_chain_audit, RC1_ORACLE,
               tags=("registry", "compat", "window", "udf")),
     QuerySpec("c2_compat_messages", c2_compat_messages, C2_ORACLE,
+              tags=("registry", "compat", "udf")),
+    QuerySpec("c3_compat_with_refs", c3_compat_with_refs, C3_ORACLE,
               tags=("registry", "compat", "udf")),
 ]

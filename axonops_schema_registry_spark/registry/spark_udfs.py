@@ -108,6 +108,28 @@ def extract_fields_udf():
     return _fields
 
 
+def check_pair_with_refs_udf():
+    """Pairwise check with cross-subject reference resolution: the ref
+    columns carry arrays of referenced-schema texts (Avro named types),
+    pre-joined from the schema_references table."""
+
+    @F.pandas_udf(CHECK_STRUCT_DDL)
+    def _check(reader: pd.Series, writer: pd.Series, stype: pd.Series,
+               reader_refs: pd.Series, writer_refs: pd.Series) -> pd.DataFrame:
+        from axonops_schema_registry_spark.registry.compat import check_pair
+
+        out = []
+        for r, w, s, rr, wr in zip(reader, writer, stype, reader_refs,
+                                   writer_refs):
+            msgs = check_pair(r, w, s,
+                              tuple(rr) if rr is not None else (),
+                              tuple(wr) if wr is not None else ())
+            out.append({"is_compatible": not msgs, "messages": msgs})
+        return pd.DataFrame(out)
+
+    return _check
+
+
 def check_pair_udf():
     @F.pandas_udf(CHECK_STRUCT_DDL)
     def _check(reader: pd.Series, writer: pd.Series,

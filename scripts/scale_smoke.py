@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Empirical scaling smoke: replicate the fact tables k× (distinct keys)
+and measure the headline plan shapes at 1x / 4x / 10x sf0.1 — evidence
+that the scan+agg, star-join and window plans scale ~linearly in rows
+(the property that carries to a 1000-executor cluster).
+
+Writes docs/SCALING.md.  Usage: python scripts/scale_smoke.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from axonops_schema_registry_spark.catalog import load_table
+from axonops_schema_registry_spark.queries.base import dsum, psum
+from axonops_schema_registry_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTORS = (1, 4, 10)
+
+
+def replicate(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
+    """k distinct copies: shift every key column by i * 1e9 per copy."""
+    if k == 1:
+        return df
+    copies = []
+    for i in range(k):
+        c = df
+        for col in key_cols:
+            c = c.withColumn(col, F.col(col) + F.lit(i * 1_000_000_000))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    li0 = load_table(spark, SF_DIR, "lineitem")
+    orders0 = load_table(spark, SF_DIR, "orders")
+    supp = load_table(spark, SF_DIR, "supplier")
+
+    # warm-up: run each plan shape once so k=1 isn't charged for codegen
+    li0.groupBy("l_returnflag").agg(dsum("l_quantity", 2, "s")).collect()
+    li0.join(orders0, F.col("l_orderkey") == F.col("o_orderkey")) \
+       .agg(F.count(F.lit(1))).collect()
+    w0 = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"))
+    orders0.withColumn("rn", F.row_number().over(w0)) \
+           .filter(F.col("rn") == 1).agg(F.count(F.lit(1))).collect()
+
+    rows = []
+    for k in FACTORS:
+        li = replicate(li0, ["l_orderkey"], k)
+        orders = replicate(orders0, ["o_orderkey"], k)
+        n = li.count()
+
+        t0 = time.perf_counter()  # scan + agg (q1 shape)
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            dsum("l_quantity", 2, "sq"),
+            psum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .alias("sd"),
+            F.count(F.lit(1)).alias("c")).collect()
+        t_agg = time.perf_counter() - t0
+
+        t0 = time.perf_counter()  # fact-fact join + agg (q5 shape)
+        (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+           .groupBy("s_name")
+           .agg(F.count(F.lit(1)).alias("c"))).collect()
+        t_join = time.perf_counter() - t0
+
+        t0 = time.perf_counter()  # window (w1 shape)
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey"))
+        (orders.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1).agg(F.count(F.lit(1))).collect())
+        t_win = time.perf_counter() - t0
+
+        rows.append((k, n, t_agg, t_join, t_win))
+        print(f"k={k}: rows={n:,} agg={t_agg:.2f}s join={t_join:.2f}s "
+              f"window={t_win:.2f}s", flush=True)
+
+    base = rows[0]
+    lines = [
+        "# SCALING — empirical smoke at 1x / 4x / 10x of sf0.1",
+        "",
+        "Fact tables replicated with distinct keys; same plans as the",
+        "benchmark set.  Near-linear time-vs-rows means the plan has no",
+        "super-linear term (no cross products, bounded window state,",
+        "map-side combine before every shuffle) — the property that",
+        "transfers to a 1000-executor cluster.",
+        "",
+        "| factor | lineitem rows | scan+agg s | join+agg s | window s | "
+        "agg ratio vs rows | join ratio | window ratio |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for k, n, ta, tj, tw in rows:
+        rr = n / base[1]
+        lines.append(
+            f"| {k}x | {n:,} | {ta:.2f} | {tj:.2f} | {tw:.2f} | "
+            f"{ta / base[2] / rr:.2f} | {tj / base[3] / rr:.2f} | "
+            f"{tw / base[4] / rr:.2f} |")
+    lines.append("")
+    lines.append("Ratios near or below 1.0 = scaling at-or-better than "
+                 "linear in rows (fixed per-job overhead amortizes; "
+                 "values well above 1.0 would flag a super-linear term).")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "SCALING.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote docs/SCALING.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,3 +23,20 @@ compatibility recursion), and then as Arrow-batched pandas UDFs.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name: str):
+    # lazy top-level conveniences (avoid importing pyspark at package import)
+    if name == "RegistryAnalytics":
+        from axonops_schema_registry_spark.api import RegistryAnalytics
+
+        return RegistryAnalytics
+    if name == "register_all":
+        from axonops_schema_registry_spark.sql_surface import register_all
+
+        return register_all
+    if name == "get_spark":
+        from axonops_schema_registry_spark.session import get_spark
+
+        return get_spark
+    raise AttributeError(name)

@@ -151,9 +151,13 @@ def _match(reader: Any, writer: Any, rnames: dict, wnames: dict,
         return
 
     if rt == "record" or rt == "error":
-        key = (_name_of(reader), _name_of(writer), path)
+        # recursion guard keys on the NAME pair only — the structural
+        # comparison of a named record pair is path-independent, and a
+        # path-qualified key never repeats on self-referential types
+        # (Node → next: Node would recurse forever)
+        key = (_name_of(reader), _name_of(writer))
         if key in visited:
-            return  # recursive types
+            return
         visited.add(key)
         wfields = {f["name"]: f for f in writer.get("fields", [])}
         # reader aliases: alias name → reader field

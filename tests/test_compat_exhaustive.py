@@ -204,3 +204,48 @@ class TestProtobufExhaustive:
         v2 = proto("  string id = 1;\n  int32 n = 2;")
         ok, _ = check_compatibility(v2, [v1], "FULL_TRANSITIVE", "PROTOBUF")
         assert ok
+
+
+class TestParserEdgeCases:
+    def test_avro_recursive_record_self_compatible(self):
+        ll = ('{"type":"record","name":"Node","fields":'
+              '[{"name":"value","type":"int"},'
+              '{"name":"next","type":["null","Node"],"default":null}]}')
+        assert check_pair(ll, ll, "AVRO") == []
+
+    def test_avro_recursive_record_field_change_detected(self):
+        v1 = ('{"type":"record","name":"Node","fields":'
+              '[{"name":"value","type":"int"},'
+              '{"name":"next","type":["null","Node"],"default":null}]}')
+        v2 = ('{"type":"record","name":"Node","fields":'
+              '[{"name":"value","type":"string"},'
+              '{"name":"next","type":["null","Node"],"default":null}]}')
+        assert check_pair(v2, v1, "AVRO") != []
+
+    def test_avro_short_name_reference_in_namespace(self):
+        ns = ('{"type":"record","name":"Outer","namespace":"com.x","fields":['
+              '{"name":"a","type":{"type":"record","name":"Inner","fields":'
+              '[{"name":"v","type":"int"}]}},{"name":"b","type":"Inner"}]}')
+        assert check_pair(ns, ns, "AVRO") == []
+
+    def test_proto_package_options_imports_parse(self):
+        from axonops_schema_registry_spark.registry.protobuf_parse import (
+            parse_proto,
+        )
+
+        text = ('syntax = "proto3";\npackage com.example.events;\n'
+                'import "other.proto";\noption java_package = "x";\n'
+                'message A {\n  int32 x = 1 [deprecated = true];\n'
+                '  B b = 2;\n}\nmessage B {\n  string y = 1;\n'
+                '  enum Kind { option allow_alias = true; K_U = 0; }\n'
+                '  Kind kind = 2;\n}\n')
+        pf = parse_proto(text)
+        assert pf.package == "com.example.events"
+        assert sorted(pf.messages) == ["A", "B"]
+        assert pf.messages["B"].enums["Kind"] == {"K_U": 0}
+        assert check_pair(text, text, "PROTOBUF") == []
+
+    def test_json_boolean_schemas(self):
+        assert check_pair('{"type":"string"}', "true", "JSON") != []
+        assert check_pair("true", '{"type":"string"}', "JSON") == []
+        assert check_pair("false", '{"type":"string"}', "JSON") != []

@@ -131,3 +131,42 @@ def test_json_new_required_flagged(schema):
     narrowed["required"] = list(schema.get("required", [])) + ["zz_req"]
     issues = check_pair(json.dumps(narrowed), json.dumps(schema), "JSON")
     assert issues and "newly required" in issues[0]
+
+
+@st.composite
+def avro_mutation_case(draw):
+    """(schema, mutated, expected_backward_ok): apply one known mutation
+    and carry the rule-book verdict with it."""
+    base = draw(avro_records())
+    kind = draw(st.sampled_from(
+        ["add_default", "add_no_default", "remove_field", "widen_type",
+         "narrow_type"]))
+    mut = json.loads(json.dumps(base))
+    if kind == "add_default":
+        mut["fields"].append({"name": "zz_m", "type": "int", "default": 0})
+        ok = True
+    elif kind == "add_no_default":
+        mut["fields"].append({"name": "zz_m", "type": "int"})
+        ok = False
+    elif kind == "remove_field":
+        mut["fields"] = mut["fields"][1:]
+        ok = len(mut["fields"]) >= 0  # reader may drop fields freely
+        if not mut["fields"]:
+            mut["fields"] = [{"name": "zz_keep", "type": "int",
+                              "default": 0}]
+        ok = True
+    elif kind == "widen_type":
+        mut["fields"][0]["type"] = "double"
+        ok = base["fields"][0]["type"] in ("int", "long", "float", "double")
+    else:  # narrow_type
+        mut["fields"][0]["type"] = "int"
+        ok = base["fields"][0]["type"] == "int"
+    return json.dumps(base), json.dumps(mut), ok
+
+
+@settings(max_examples=120, deadline=None)
+@given(avro_mutation_case())
+def test_avro_mutation_rulebook(case):
+    """Every known mutation's backward verdict matches the Avro rule book."""
+    base, mut, expected_ok = case
+    assert (check_pair(mut, base, "AVRO") == []) is expected_ok

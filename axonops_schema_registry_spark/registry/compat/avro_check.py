@@ -151,6 +151,18 @@ def _match(reader: Any, writer: Any, rnames: dict, wnames: dict,
         return
 
     if rt == "record" or rt == "error":
+        # spec resolution rule: record (unqualified) names must match, or
+        # the reader must alias the writer's name (checker.go:102-180)
+        rname = _name_of(reader).split(".")[-1]
+        wname = _name_of(writer).split(".")[-1]
+        if rname and wname and rname != wname:
+            aliases = {a.split(".")[-1]
+                       for a in (reader.get("aliases", [])
+                                 if isinstance(reader, dict) else [])}
+            if wname not in aliases:
+                issues.append(f"{at}: record name mismatch "
+                              f"'{wname}' → '{rname}' (no alias)")
+                return
         # recursion guard keys on the NAME pair only — the structural
         # comparison of a named record pair is path-independent, and a
         # path-qualified key never repeats on self-referential types

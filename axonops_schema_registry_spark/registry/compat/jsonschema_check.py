@@ -127,6 +127,10 @@ def _check(reader: Any, writer: Any, rroot: dict, wroot: dict,
                 f"reader type(s) {sorted(rtypes)}")
             return
 
+    # --- negation --------------------------------------------------------
+    if "not" in reader and reader["not"] != writer.get("not"):
+        issues.append(f"{at}: reader adds/changes a 'not' restriction")
+
     # --- enum / const ----------------------------------------------------
     if "enum" in reader:
         renum = reader["enum"]

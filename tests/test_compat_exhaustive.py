@@ -249,3 +249,41 @@ class TestParserEdgeCases:
         assert check_pair('{"type":"string"}', "true", "JSON") != []
         assert check_pair("true", '{"type":"string"}', "JSON") == []
         assert check_pair("false", '{"type":"string"}', "JSON") != []
+
+
+class TestNameMatching:
+    def test_record_rename_without_alias_fails(self):
+        w = '{"type":"record","name":"Old","fields":[{"name":"v","type":"int"}]}'
+        r = '{"type":"record","name":"New","fields":[{"name":"v","type":"int"}]}'
+        issues = check_pair(r, w, "AVRO")
+        assert issues and "name mismatch" in issues[0]
+
+    def test_record_rename_with_alias_ok(self):
+        w = '{"type":"record","name":"Old","fields":[{"name":"v","type":"int"}]}'
+        r = ('{"type":"record","name":"New","aliases":["Old"],"fields":'
+             '[{"name":"v","type":"int"}]}')
+        assert check_pair(r, w, "AVRO") == []
+
+    def test_namespace_change_same_shortname_ok(self):
+        w = ('{"type":"record","name":"U","namespace":"com.a","fields":'
+             '[{"name":"v","type":"int"}]}')
+        r = ('{"type":"record","name":"U","namespace":"com.b","fields":'
+             '[{"name":"v","type":"int"}]}')
+        assert check_pair(r, w, "AVRO") == []
+
+    def test_union_of_records_resolves_by_name(self):
+        a = '{"type":"record","name":"A","fields":[{"name":"x","type":"int"}]}'
+        b = '{"type":"record","name":"B","fields":[{"name":"x","type":"string"}]}'
+        w = f'{{"type":"record","name":"R","fields":[{{"name":"u","type":[{a},{b}]}}]}}'
+        # reader union has B's int-x variant removed: writer branch A ok,
+        # writer branch B (string x) must fail against reader's A-only union
+        r = f'{{"type":"record","name":"R","fields":[{{"name":"u","type":[{a}]}}]}}'
+        issues = check_pair(r, w, "AVRO")
+        assert issues  # branch B unreadable
+        assert check_pair(f'{{"type":"record","name":"R","fields":[{{"name":"u","type":[{a},{b}]}}]}}', w, "AVRO") == []
+
+    def test_json_not_restriction(self):
+        w = '{"type":"string"}'
+        r = '{"type":"string","not":{"enum":["forbidden"]}}'
+        assert check_pair(r, w, "JSON") != []
+        assert check_pair(w, r, "JSON") == []

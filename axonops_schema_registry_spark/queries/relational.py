@@ -1064,15 +1064,18 @@ def j2_subjects_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (subjects) carry each content fingerprint (postgres/store.go:242-258)."""
     ev = _t(spark, sf_dir, "events").withColumn(
         "fingerprint", F.sha2(F.col("props"), 256))
+    # array results are serialized to one string: the driver's pandas
+    # canonicalizer sorts all columns and cannot hash python lists
     return (ev.groupBy("fingerprint")
-              .agg(F.sort_array(F.collect_set("event_type"))
+              .agg(F.array_join(F.sort_array(F.collect_set("event_type")), ",")
                    .alias("subjects"),
                    F.countDistinct("user_id").alias("n_actors")))
 
 
 J2_ORACLE = """
 SELECT sha256(props) AS fingerprint,
-       list_sort(list_distinct(array_agg(event_type))) AS subjects,
+       array_to_string(list_sort(list_distinct(array_agg(event_type))), ',')
+         AS subjects,
        COUNT(DISTINCT user_id) AS n_actors
 FROM events GROUP BY 1
 """
@@ -1153,22 +1156,24 @@ def f6_naming_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     from axonops_schema_registry_spark.operators.text import naming_variants
 
     part = _t(spark, sf_dir, "part")
+    # serialized to a single string for the driver canonicalizer (no lists)
     return (part.withColumn("__words", F.split("p_name", " "))
                 .select("p_partkey", "p_name",
-                        F.sort_array(naming_variants("__words"))
+                        F.array_join(
+                            F.sort_array(naming_variants("__words")), ",")
                         .alias("variants")))
 
 
 F6_ORACLE = """
 SELECT p_partkey, p_name,
-       list_sort(list_distinct([
+       array_to_string(list_sort(list_distinct([
          array_to_string(words, '_'),
          words[1] || array_to_string(list_transform(words[2:],
              w -> upper(w[1]) || w[2:]), ''),
          array_to_string(list_transform(words,
              w -> upper(w[1]) || w[2:]), ''),
          array_to_string(words, '-')
-       ])) AS variants
+       ])), ',') AS variants
 FROM (SELECT p_partkey, p_name, string_split(p_name, ' ') AS words FROM part)
 """
 

@@ -17,7 +17,8 @@ direction(s) × history scope and returns (is_compatible, messages).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import json
+from collections.abc import Mapping, Sequence
 
 from axonops_schema_registry_spark.registry.compat.avro_check import check_avro
 from axonops_schema_registry_spark.registry.compat.jsonschema_check import (
@@ -37,14 +38,43 @@ _CHECKERS = {
 }
 
 
+def _refs_as_texts(refs) -> tuple[str, ...]:
+    """Normalize either refs shape to a sequence of schema texts (Avro)."""
+    if isinstance(refs, Mapping):
+        return tuple(refs.values())
+    return tuple(refs)
+
+
+def _refs_as_mapping(refs) -> dict[str, str]:
+    """Normalize either refs shape to a $ref-name → schema-text mapping
+    (JSON).  A bare sequence of texts (the shape the Spark UDF ships) is
+    keyed by each schema's ``$id``/``title`` so cross-subject ``$ref``
+    strings resolve; previously ``dict(tuple_of_texts)`` raised and was
+    masked as 'schema parse error'."""
+    if isinstance(refs, Mapping):
+        return dict(refs)
+    out: dict[str, str] = {}
+    for i, text in enumerate(refs):
+        name = None
+        try:
+            doc = json.loads(text)
+            if isinstance(doc, dict):
+                name = doc.get("$id") or doc.get("title")
+        except (TypeError, ValueError):
+            pass
+        out[str(name) if name else f"#ref{i}"] = text
+    return out
+
+
 def check_pair(reader: str, writer: str, schema_type: str = "AVRO",
-               reader_refs: tuple[str, ...] = (),
-               writer_refs: tuple[str, ...] = ()) -> list[str]:
+               reader_refs: Sequence[str] | Mapping[str, str] = (),
+               writer_refs: Sequence[str] | Mapping[str, str] = ()) -> list[str]:
     """Can ``reader`` read data written with ``writer``?  Empty list = yes.
 
     ``*_refs`` carry the schema texts of referenced subjects (resolved by
     the caller from the schema_references table), so named types / $refs
-    across subjects resolve before checking.
+    across subjects resolve before checking.  Either shape is accepted for
+    any type: a sequence of texts or a {ref_name: text} mapping.
     """
     checker = _CHECKERS.get(schema_type or "AVRO")
     if checker is None:
@@ -53,13 +83,13 @@ def check_pair(reader: str, writer: str, schema_type: str = "AVRO",
         if reader_refs or writer_refs:
             st = (schema_type or "AVRO").upper()
             if st == "AVRO":
-                return check_avro(reader, writer, tuple(reader_refs),
-                                  tuple(writer_refs))
+                return check_avro(reader, writer,
+                                  _refs_as_texts(reader_refs),
+                                  _refs_as_texts(writer_refs))
             if st == "JSON":
-                # JSON refs arrive as a {ref_name: schema_text} mapping
                 return check_jsonschema(reader, writer,
-                                        dict(reader_refs),
-                                        dict(writer_refs))
+                                        _refs_as_mapping(reader_refs),
+                                        _refs_as_mapping(writer_refs))
         return checker(reader, writer)
     except Exception as exc:  # malformed schema text
         return [f"schema parse error: {exc}"]

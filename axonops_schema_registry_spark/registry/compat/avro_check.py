@@ -118,12 +118,16 @@ def _match(reader: Any, writer: Any, rnames: dict, wnames: dict,
     rt, wt = _type_of(reader), _type_of(writer)
 
     # union handling first (spec: resolve before anything else)
+    # Branch checks are SPECULATIVE: each gets a throwaway copy of
+    # `visited`, never committed back.  A shared set let a failed trial
+    # record a (reader, writer) name pair, making a later genuine
+    # comparison of the same pair return early as compatible.
     if wt == "union":
         branches = [_norm(b) for b in (writer if isinstance(writer, list)
                                        else writer.get("type"))]
         for b in branches:
             sub: list[str] = []
-            _match(reader, b, rnames, wnames, path, sub, visited)
+            _match(reader, b, rnames, wnames, path, sub, set(visited))
             if sub:
                 issues.append(
                     f"{at}: reader cannot read writer union branch "
@@ -134,7 +138,7 @@ def _match(reader: Any, writer: Any, rnames: dict, wnames: dict,
                                        else reader.get("type"))]
         for b in branches:
             sub = []
-            _match(b, writer, rnames, wnames, path, sub, visited)
+            _match(b, writer, rnames, wnames, path, sub, set(visited))
             if not sub:
                 return  # some branch accepts the writer
         issues.append(f"{at}: writer type '{wt}' matches no reader union branch")
@@ -192,6 +196,18 @@ def _match(reader: Any, writer: Any, rnames: dict, wnames: dict,
         return
 
     if rt == "enum":
+        # spec resolution: unqualified enum names must match or the reader
+        # must alias the writer's name (checker.go:182-190)
+        rname = _name_of(reader).split(".")[-1]
+        wname = _name_of(writer).split(".")[-1]
+        if rname and wname and rname != wname:
+            aliases = {a.split(".")[-1]
+                       for a in (reader.get("aliases", [])
+                                 if isinstance(reader, dict) else [])}
+            if wname not in aliases:
+                issues.append(f"{at}: enum name mismatch "
+                              f"'{wname}' → '{rname}' (no alias)")
+                return
         rsyms = set(reader.get("symbols", []))
         wsyms = set(writer.get("symbols", []))
         extra = wsyms - rsyms

@@ -75,7 +75,17 @@ def check_protobuf(reader_text: str, writer_text: str) -> list[str]:
 
 def _check_message(rmsg: ProtoMessage, wmsg: ProtoMessage,
                    rfile: ProtoFile, wfile: ProtoFile,
-                   path: str, issues: list[str]) -> None:
+                   path: str, issues: list[str],
+                   visited: set[tuple[str, str]] | None = None) -> None:
+    # recursion guard keyed on the (reader, writer) type-name pair — a legal
+    # self-referential message (message Node { Node next = 1; }) must
+    # terminate, mirroring the Avro checker's guard
+    if visited is None:
+        visited = set()
+    key = (rmsg.name, wmsg.name)
+    if key in visited:
+        return
+    visited.add(key)
     for num, wf in wmsg.fields.items():
         rf = rmsg.fields.get(num)
         at = f"{path}.{wf.name}#{num}"
@@ -100,7 +110,7 @@ def _check_message(rmsg: ProtoMessage, wmsg: ProtoMessage,
                           f"{wf.type} → {rf.type}")
         elif wsub is not None and rsub is not None:
             _check_message(rsub, wsub, rfile, wfile, f"{path}.{wf.name}",
-                           issues)
+                           issues, visited)
         # enum compatibility: numbers are what travel; removing a value the
         # writer emits is flagged
         wenum = _find_enum(wf.type, wfile, wmsg)

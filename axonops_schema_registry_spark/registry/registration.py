@@ -9,27 +9,76 @@ window over the batch order.
 
 Pipeline stages (all lazy, one job):
 1. fingerprint incoming via the canonical-form pandas UDF (F10-F12);
-2. duplicate detection: left join against existing (subject, fingerprint)
-   + first-occurrence window within the batch (J7);
-3. compatibility gate: join candidates to the subject's history (latest or
-   full per mode), pairwise ``check_pair`` UDF, aggregate verdict (C1-C3);
+2. duplicate detection vs the existing corpus: left join against existing
+   live (subject, fingerprint) (J7);
+3. compatibility gate: EXACT sequential per-subject semantics via a
+   cogrouped ``applyInPandas`` — each candidate (in ``seq`` order) is
+   checked against the subject's history PLUS the same-batch candidates
+   accepted before it, exactly like the reference's serialized write path
+   (registry.go:63-220 takes a per-subject lock).  A candidate identical
+   to an earlier *accepted* candidate is a duplicate; identical to an
+   earlier *rejected* one is re-checked (and rejected as incompatible,
+   not duplicate) — both match sequential-server behavior.
 4. version assignment: ``prior_max + row_number()`` over accepted rows
    (A2 without the transaction).
 
 Scale: every join/window keys on ``subject`` — co-partitioned end to end,
-a single shuffle lineage; history joins broadcast when small.
+a single shuffle lineage; history joins broadcast when small.  The
+sequential gate parallelizes across subjects (the reference serializes
+per subject too); per-group state is one subject's version history, which
+is bounded.  ``mode="NONE"`` short-circuits to a fully declarative plan
+with no Python stage.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from axonops_schema_registry_spark.registry.spark_udfs import (
-    check_pair_udf,
     fingerprint_udf,
     ship_package,
 )
+
+_GATE_SCHEMA = "subject string, seq long, status string, n_issues int"
+
+
+def _sequential_gate(mode: str):
+    """Per-subject sequential compat gate (cogrouped candidates × history).
+
+    Candidates arrive pre-filtered of duplicates vs the existing corpus;
+    history is the subject's live rows.  Accepted candidates join the
+    in-memory history/fingerprint set so later candidates see them —
+    the intra-batch pass the purely join-based gate lacked.
+    """
+
+    def gate(cand: pd.DataFrame, hist: pd.DataFrame) -> pd.DataFrame:
+        from axonops_schema_registry_spark.registry.compat import (
+            check_compatibility,
+        )
+
+        cand = cand.sort_values("seq")
+        hist = hist.sort_values("version")
+        texts = hist["old_text"].tolist()
+        accepted_fps: set[str] = set()
+        out = []
+        for row in cand.itertuples(index=False):
+            if row.fingerprint in accepted_fps:
+                out.append((row.subject, row.seq, "duplicate", 0))
+                continue
+            ok, msgs = check_compatibility(
+                row.schema_text, texts, mode, row.schema_type)
+            if ok:
+                texts.append(row.schema_text)
+                accepted_fps.add(row.fingerprint)
+                out.append((row.subject, row.seq, "registered", 0))
+            else:
+                out.append((row.subject, row.seq, "incompatible", len(msgs)))
+        return pd.DataFrame(
+            out, columns=["subject", "seq", "status", "n_issues"])
+
+    return gate
 
 
 def register_batch(spark: SparkSession, existing: DataFrame,
@@ -52,6 +101,7 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     ∈ {registered, duplicate, incompatible}.
     """
     ship_package(spark)
+    mode = (mode or "BACKWARD").upper()
     if native_fingerprint:
         # opaque (non-schema) content: sha2 over raw text stays entirely
         # JVM-side — no Python workers in the fingerprint stage.  Use for
@@ -60,7 +110,6 @@ def register_batch(spark: SparkSession, existing: DataFrame,
             return F.sha2(F.col(text_col), 256)
     else:
         fp = fingerprint_udf(strict=True)  # dedup must distinguish defaults
-    check = check_pair_udf()
 
     if "deleted" not in existing.columns:
         existing = existing.withColumn("deleted", F.lit(False))
@@ -72,59 +121,44 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     inc = incoming.withColumn(
         "fingerprint", fp("schema_text", "schema_type")).cache()
 
-    # -- stage 2: dedup (live rows only) ----------------------------------
+    # -- stage 2: dedup vs the existing corpus (live rows only) -----------
     dup_vs_existing = existing_live.select("subject", "fingerprint").distinct() \
         .withColumn("dup_existing", F.lit(True))
-    w_batch = (Window.partitionBy("subject", "fingerprint").orderBy("seq"))
     inc = (inc
            .join(dup_vs_existing, ["subject", "fingerprint"], "left")
-           .withColumn("dup_in_batch", F.row_number().over(w_batch) > 1)
-           .withColumn("is_duplicate",
-                       F.coalesce(F.col("dup_existing"), F.lit(False))
-                       | F.col("dup_in_batch")))
+           .withColumn("dup_existing",
+                       F.coalesce(F.col("dup_existing"), F.lit(False))))
+    candidates = inc.filter(~F.col("dup_existing"))
 
     # -- stage 3: compatibility gate --------------------------------------
-    transitive = mode.endswith("_TRANSITIVE")
-    w_latest = Window.partitionBy("subject").orderBy(F.desc("version"))
-    history = existing_live.select("subject", "version",
-                                   F.col("schema_text").alias("old_text"))
-    if not transitive:
-        history = (history.withColumn("__rn", F.row_number().over(w_latest))
-                          .filter(F.col("__rn") == 1).drop("__rn"))
-    base = mode.replace("_TRANSITIVE", "").upper()
-
-    candidates = inc.filter(~F.col("is_duplicate"))
-    paired = candidates.join(history, "subject", "left")
-    if base in ("NONE",):
-        verdict = candidates.select(
-            "subject", "seq", F.lit(True).alias("is_compatible"),
+    if mode == "NONE":
+        # no gate → every non-duplicate registers; sequential semantics
+        # degenerate to first-occurrence-wins, expressible declaratively
+        # with zero Python stages
+        w_batch = Window.partitionBy("subject", "fingerprint").orderBy("seq")
+        flagged = candidates.withColumn(
+            "__dup_in_batch", F.row_number().over(w_batch) > 1)
+        verdict = flagged.select(
+            "subject", "seq",
+            F.when(F.col("__dup_in_batch"), "duplicate")
+             .otherwise("registered").alias("status"),
             F.lit(0).alias("n_issues"))
     else:
-        backward = check("schema_text", "old_text", "schema_type") \
-            if base in ("BACKWARD", "FULL") else None
-        forward = check("old_text", "schema_text", "schema_type") \
-            if base in ("FORWARD", "FULL") else None
-        issue_cols = []
-        if backward is not None:
-            issue_cols.append(F.size(backward["messages"]))
-        if forward is not None:
-            issue_cols.append(F.size(forward["messages"]))
-        pair_issues = sum(issue_cols[1:], issue_cols[0])
-        verdict = (paired
-                   .withColumn("pair_issues",
-                               F.when(F.col("old_text").isNull(), F.lit(0))
-                               .otherwise(pair_issues))
-                   .groupBy("subject", "seq")
-                   .agg(F.sum("pair_issues").cast("int").alias("n_issues"))
-                   .withColumn("is_compatible", F.col("n_issues") == 0))
+        history = existing_live.select(
+            "subject", "version", F.col("schema_text").alias("old_text"))
+        verdict = (candidates
+                   .select("subject", "seq", "schema_type", "schema_text",
+                           "fingerprint")
+                   .groupBy("subject")
+                   .cogroup(history.groupBy("subject"))
+                   .applyInPandas(_sequential_gate(mode), _GATE_SCHEMA))
 
     # -- stage 4: version assignment (max over ALL rows incl. deleted) ----
     prior_max = existing_fp.groupBy("subject").agg(
         F.max("version").alias("prior_max"))
-    accepted = (candidates.join(verdict.select("subject", "seq",
-                                               "is_compatible", "n_issues"),
-                                ["subject", "seq"])
-                .filter(F.col("is_compatible")))
+    accepted = (candidates.join(
+        verdict.filter(F.col("status") == "registered")
+               .select("subject", "seq"), ["subject", "seq"]))
     w_assign = Window.partitionBy("subject").orderBy("seq")
     assigned = (accepted
                 .join(F.broadcast(prior_max), "subject", "left")
@@ -133,14 +167,23 @@ def register_batch(spark: SparkSession, existing: DataFrame,
                              + F.row_number().over(w_assign)).cast("int")))
 
     # -- assemble statuses -------------------------------------------------
-    dupes = inc.filter(F.col("is_duplicate")).select(
+    dupes_existing = inc.filter(F.col("dup_existing")).select(
         "subject", "seq", F.lit("duplicate").alias("status"),
         F.lit(None).cast("int").alias("assigned_version"),
         F.lit(0).alias("n_issues"))
-    rejected = (candidates.join(verdict.select("subject", "seq",
-                                               "is_compatible", "n_issues"),
-                                ["subject", "seq"])
-                .filter(~F.col("is_compatible"))
+    dupes_in_batch = (candidates
+                      .join(verdict.filter(F.col("status") == "duplicate")
+                                   .select("subject", "seq"),
+                            ["subject", "seq"])
+                      .select("subject", "seq",
+                              F.lit("duplicate").alias("status"),
+                              F.lit(None).cast("int")
+                              .alias("assigned_version"),
+                              F.lit(0).alias("n_issues")))
+    rejected = (candidates
+                .join(verdict.filter(F.col("status") == "incompatible")
+                             .select("subject", "seq", "n_issues"),
+                      ["subject", "seq"])
                 .select("subject", "seq",
                         F.lit("incompatible").alias("status"),
                         F.lit(None).cast("int").alias("assigned_version"),
@@ -148,7 +191,8 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     registered = assigned.select(
         "subject", "seq", F.lit("registered").alias("status"),
         "assigned_version", F.lit(0).alias("n_issues"))
-    return registered.unionByName(rejected).unionByName(dupes)
+    return (registered.unionByName(rejected)
+            .unionByName(dupes_in_batch).unionByName(dupes_existing))
 
 
 def import_batch(spark: SparkSession, existing: DataFrame,

@@ -12,7 +12,9 @@ The corpus lives in a parquet directory (at scale: an iceberg/delta
 table); each micro-batch registers against everything accepted so far, so
 cross-batch duplicates and version continuity behave exactly like the
 online server — the micro-batch boundary plays the role of the
-transaction.
+transaction.  WITHIN a batch the sequential per-subject gate in
+``register_batch`` checks each candidate against earlier same-batch
+acceptances too, so batch boundaries don't change outcomes at all.
 """
 
 from __future__ import annotations

@@ -1,0 +1,210 @@
+"""Regression tests for the round-1 advisory findings (ADVICE.md r1):
+
+1. Avro union-branch trials polluted the shared ``visited`` recursion
+   guard → false-COMPATIBLE on a later genuine comparison of the pair.
+2. Protobuf recursion into self-referential messages blew the stack →
+   legal recursive schemas judged 'schema parse error'.
+3. Avro enum renames passed (reference reports enum name mismatch,
+   checker.go:182-190).
+4. register_batch never checked two same-subject candidates of one batch
+   against each other (the reference's write path is sequential).
+5. check_pair's JSON branch called dict() on a tuple of ref texts →
+   cross-subject JSON refs always masked as 'schema parse error'.
+"""
+
+from __future__ import annotations
+
+import json
+
+from axonops_schema_registry_spark.registry.compat import check_pair
+from axonops_schema_registry_spark.registry.compat.avro_check import check_avro
+from axonops_schema_registry_spark.registry.compat.protobuf_check import (
+    check_protobuf,
+)
+
+# ---------------------------------------------------------------------------
+# 1. union-branch trials must not pollute the recursion guard
+# ---------------------------------------------------------------------------
+
+_R_V1 = {"type": "record", "name": "R",
+         "fields": [{"name": "x", "type": "string"}]}
+_R_V2_NODEFAULT = {"type": "record", "name": "R",
+                   "fields": [{"name": "x", "type": "string"},
+                              {"name": "y", "type": "string"}]}
+_B_ALIASES_R = {"type": "record", "name": "B", "aliases": ["R"],
+                "fields": [{"name": "x", "type": "string"}]}
+
+
+def test_union_trial_does_not_mask_later_comparison():
+    """Field `a`: reader union [R(incompat), B aliases R(compat)] — the
+    failed R-branch trial must not record (R, R) as visited, or field
+    `b`'s genuine R-vs-R comparison silently passes."""
+    writer = json.dumps({
+        "type": "record", "name": "Top",
+        "fields": [{"name": "a", "type": _R_V1}, {"name": "b", "type": "R"}]})
+    reader = json.dumps({
+        "type": "record", "name": "Top",
+        "fields": [{"name": "a", "type": [_R_V2_NODEFAULT, _B_ALIASES_R]},
+                   {"name": "b", "type": "R"}]})
+    issues = check_avro(reader, writer)
+    assert any("b" in i and "no default" in i for i in issues), issues
+
+
+def test_direct_comparison_still_reports():
+    issues = check_avro(json.dumps(_R_V2_NODEFAULT), json.dumps(_R_V1))
+    assert any("no default" in i for i in issues)
+
+
+# ---------------------------------------------------------------------------
+# 2. recursive protobuf messages terminate
+# ---------------------------------------------------------------------------
+
+_PROTO_NODE = ('syntax = "proto3";\n'
+               'message Node {\n  Node next = 1;\n  string v = 2;\n}\n')
+_PROTO_NODE_RETYPED = ('syntax = "proto3";\n'
+                       'message Node {\n  Node next = 1;\n  int32 v = 2;\n}\n')
+
+
+def test_recursive_protobuf_compatible():
+    assert check_protobuf(_PROTO_NODE, _PROTO_NODE) == []
+
+
+def test_recursive_protobuf_detects_real_issue():
+    issues = check_protobuf(_PROTO_NODE_RETYPED, _PROTO_NODE)
+    assert any("wire type changed" in i for i in issues), issues
+
+
+def test_recursive_protobuf_via_check_pair_not_parse_error():
+    issues = check_pair(_PROTO_NODE, _PROTO_NODE, "PROTOBUF")
+    assert issues == []
+
+
+# ---------------------------------------------------------------------------
+# 3. enum name mismatch (alias escape)
+# ---------------------------------------------------------------------------
+
+def _enum(name, symbols, aliases=None):
+    e = {"type": "enum", "name": name, "symbols": symbols}
+    if aliases:
+        e["aliases"] = aliases
+    return json.dumps(e)
+
+
+def test_enum_rename_without_alias_flagged():
+    issues = check_avro(_enum("Color2", ["RED", "BLUE"]),
+                        _enum("Color", ["RED", "BLUE"]))
+    assert any("enum name mismatch" in i for i in issues), issues
+
+
+def test_enum_rename_with_alias_passes():
+    assert check_avro(_enum("Color2", ["RED", "BLUE"], aliases=["Color"]),
+                      _enum("Color", ["RED", "BLUE"])) == []
+
+
+def test_enum_same_name_symbol_rules_unchanged():
+    issues = check_avro(_enum("Color", ["RED"]),
+                        _enum("Color", ["RED", "BLUE"]))
+    assert any("missing from" in i for i in issues)
+
+
+# ---------------------------------------------------------------------------
+# 4. intra-batch sequential gate
+# ---------------------------------------------------------------------------
+
+_A = json.dumps({"type": "record", "name": "S",
+                 "fields": [{"name": "x", "type": "string"}]})
+# incompatible as reader of _A: adds a defaultless field
+_B_BAD = json.dumps({"type": "record", "name": "S",
+                     "fields": [{"name": "x", "type": "string"},
+                                {"name": "z", "type": "string"}]})
+# compatible with _A (default) — and with history [_A] only
+_C_OK = json.dumps({"type": "record", "name": "S",
+                    "fields": [{"name": "x", "type": "string"},
+                               {"name": "w", "type": "string",
+                                "default": ""}]})
+
+
+def _run_batch(spark, rows, mode="BACKWARD"):
+    from axonops_schema_registry_spark.registry.registration import (
+        register_batch,
+    )
+
+    existing = spark.createDataFrame(
+        [], "subject string, version int, schema_type string, "
+            "schema_text string")
+    incoming = spark.createDataFrame(
+        rows, "subject string, seq int, schema_type string, "
+              "schema_text string")
+    out = register_batch(spark, existing, incoming, mode=mode)
+    return {r["seq"]: (r["status"], r["assigned_version"])
+            for r in out.collect()}
+
+
+def test_intra_batch_incompatibility_rejected(spark):
+    """[A, B-incompatible-with-A] in ONE batch on a fresh subject: the
+    sequential server would reject B; the join-only gate registered both."""
+    got = _run_batch(spark, [("s", 1, "AVRO", _A), ("s", 2, "AVRO", _B_BAD)])
+    assert got[1] == ("registered", 1)
+    assert got[2][0] == "incompatible"
+
+
+def test_intra_batch_rejected_does_not_join_history(spark):
+    """Cascade: [A, B-bad, C-ok-vs-A]. B is rejected so C is checked
+    against latest ACCEPTED (= A), not against B — C registers as v2."""
+    got = _run_batch(spark, [("s", 1, "AVRO", _A),
+                             ("s", 2, "AVRO", _B_BAD),
+                             ("s", 3, "AVRO", _C_OK)])
+    assert got[1] == ("registered", 1)
+    assert got[2][0] == "incompatible"
+    assert got[3] == ("registered", 2)
+
+
+def test_intra_batch_duplicate_of_accepted_is_duplicate(spark):
+    got = _run_batch(spark, [("s", 1, "AVRO", _A), ("s", 2, "AVRO", _A)])
+    assert got[1] == ("registered", 1)
+    assert got[2] == ("duplicate", None)
+
+
+def test_intra_batch_duplicate_of_rejected_is_rechecked(spark):
+    """A copy of a REJECTED candidate is not a duplicate — the server
+    would re-run the check and reject it again."""
+    got = _run_batch(spark, [("s", 1, "AVRO", _A),
+                             ("s", 2, "AVRO", _B_BAD),
+                             ("s", 3, "AVRO", _B_BAD)])
+    assert got[2][0] == "incompatible"
+    assert got[3][0] == "incompatible"
+
+
+# ---------------------------------------------------------------------------
+# 5. JSON cross-subject refs through the tuple-of-texts (UDF) shape
+# ---------------------------------------------------------------------------
+
+_JSON_MAIN = json.dumps({
+    "type": "object",
+    "properties": {"addr": {"$ref": "common.json"}}})
+_JSON_REF_WIDE = json.dumps({
+    "$id": "common.json", "type": "object",
+    "properties": {"street": {"type": "string"}}})
+_JSON_REF_NARROW = json.dumps({
+    "$id": "common.json", "type": "object",
+    "properties": {"street": {"type": "string", "maxLength": 5}}})
+
+
+def test_json_refs_tuple_shape_resolves():
+    issues = check_pair(_JSON_MAIN, _JSON_MAIN, "JSON",
+                        (_JSON_REF_WIDE,), (_JSON_REF_WIDE,))
+    assert issues == []
+    assert not any("schema parse error" in i for i in issues)
+
+
+def test_json_refs_tuple_shape_detects_narrowing():
+    issues = check_pair(_JSON_MAIN, _JSON_MAIN, "JSON",
+                        (_JSON_REF_NARROW,), (_JSON_REF_WIDE,))
+    assert issues and not any("schema parse error" in i for i in issues)
+
+
+def test_json_refs_mapping_shape_still_works():
+    issues = check_pair(_JSON_MAIN, _JSON_MAIN, "JSON",
+                        {"common.json": _JSON_REF_WIDE},
+                        {"common.json": _JSON_REF_WIDE})
+    assert issues == []

@@ -24,6 +24,7 @@ _PRIORITY: tuple[str, ...] = (
     "c1_compatibility_matrix", "c2_compat_messages", "c3_compat_with_refs",
     "rc1_version_chain_audit", "r4_registration_batch",
     "r7_registration_gated", "r8_delete_reregister", "s9_import_with_ids",
+    "mode1_write_gating",
     "m1_metadata_merge", "r1_latest_live_schema", "r2_version_history",
     "r3_schema_versions_view", "f13_field_extraction", "fs1_field_search",
     "fs2_type_search", "a8r_schema_quality", "j4r_subject_similarity",

@@ -877,6 +877,72 @@ FROM users GROUP BY 1
 """
 
 
+_MODE_FIXTURE = [(None, "READWRITE"), ("src1", "READONLY"),
+                 ("src2", "IMPORT")]
+
+
+def mode1_write_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-mode gating on the registration batch (storage.go:144-147
+    ModeRecord, registry_helpers.go:14 CheckModeForWrite,
+    handlers.go:605-660): src1 is READONLY → every src1 row blocks with
+    ``readonly_mode`` (the 42205 error); src2 is IMPORT → normal
+    registration blocks with ``import_mode``; everything else falls back
+    to the global READWRITE row and flows through the r4 pipeline."""
+    existing = (registry_corpus(spark, sf_dir, max_schema_id=450)
+                .select("subject", "version",
+                        F.lit("RAW").alias("schema_type"), "schema_text",
+                        "deleted"))
+    docs = model.load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") >= 450)
+    incoming = docs.select(F.col("source").alias("subject"),
+                           F.col("doc_id").alias("seq"),
+                           F.lit("RAW").alias("schema_type"),
+                           F.col("text").alias("schema_text"))
+    modes = spark.createDataFrame(_MODE_FIXTURE,
+                                  "subject string, mode string")
+    return register_batch(spark, existing, incoming, mode="NONE",
+                          native_fingerprint=True, modes=modes)
+
+
+MODE1_ORACLE = f"""
+WITH corpus AS ({corpus_cte('doc_id < 450')}),
+live AS (SELECT * FROM corpus WHERE NOT deleted),
+incoming AS (
+  SELECT source AS subject, doc_id AS seq, text AS schema_text,
+         sha256(text) AS fingerprint
+  FROM documents WHERE doc_id >= 450),
+gated AS (
+  SELECT i.*, CASE WHEN i.subject = 'src1' THEN 'readonly_mode'
+                   WHEN i.subject = 'src2' THEN 'import_mode' END AS block
+  FROM incoming i),
+allowed AS (SELECT * FROM gated WHERE block IS NULL),
+marked AS (
+  SELECT a.*,
+         (EXISTS (SELECT 1 FROM live e
+                  WHERE e.subject = a.subject
+                    AND e.fingerprint = a.fingerprint)
+          OR row_number() OVER (PARTITION BY a.subject, a.fingerprint
+                                ORDER BY a.seq) > 1) AS is_duplicate
+  FROM allowed a),
+prior AS (SELECT subject, MAX(version) AS prior_max FROM corpus
+          GROUP BY subject)
+SELECT m.subject, m.seq,
+       CASE WHEN m.is_duplicate THEN 'duplicate' ELSE 'registered' END
+         AS status,
+       CASE WHEN m.is_duplicate THEN NULL
+            ELSE CAST(COALESCE(p.prior_max, 0)
+                 + row_number() OVER (PARTITION BY m.subject, m.is_duplicate
+                                      ORDER BY m.seq) AS INT)
+       END AS assigned_version,
+       0 AS n_issues
+FROM marked m LEFT JOIN prior p ON m.subject = p.subject
+UNION ALL
+SELECT subject, seq, block AS status, NULL AS assigned_version,
+       0 AS n_issues
+FROM gated WHERE block IS NOT NULL
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("r1_latest_live_schema", r1_latest_live_schema, R1_ORACLE,
               tags=("registry", "window")),
@@ -924,4 +990,6 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "compat", "udf")),
     QuerySpec("c3_compat_with_refs", c3_compat_with_refs, C3_ORACLE,
               tags=("registry", "compat", "udf")),
+    QuerySpec("mode1_write_gating", mode1_write_gating, MODE1_ORACLE,
+              tags=("registry", "pipeline")),
 ]

@@ -1,0 +1,71 @@
+"""Write-mode gating (READWRITE / READONLY / READONLY_OVERRIDE / IMPORT).
+
+Re-expresses the reference's mode dimension and write gate
+(/root/reference/internal/storage/storage.go:144-147 ModeRecord,
+/root/reference/internal/registry/registry_helpers.go:14-23
+CheckModeForWrite, registry.go:889-930 GetMode fallback chain,
+api/handlers/handlers.go:605-660 registration gating) as declarative
+Spark joins:
+
+- a ``modes`` table of (subject, mode) rows where ``subject IS NULL``
+  carries the global mode (ModeRecord's "empty for global" convention);
+- resolution per subject: READONLY_OVERRIDE on the global row is a kill
+  switch that beats per-subject modes; otherwise per-subject → global →
+  READWRITE default;
+- normal registration is blocked by READONLY/READONLY_OVERRIDE
+  (status ``readonly_mode``, the 42205 error) and by IMPORT (status
+  ``import_mode`` — explicit-ID import is the only write IMPORT allows);
+- bulk import with explicit IDs REQUIRES IMPORT mode (status
+  ``not_import_mode`` otherwise, handlers.go:1656-1664).
+
+Scale: the modes table is configuration (tiny) — always broadcast; the
+resolution is one broadcast join + a literal coalesce chain, no shuffle
+of the data side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MODES = ("READWRITE", "READONLY", "READONLY_OVERRIDE", "IMPORT")
+
+WRITE_BLOCKING = ("READONLY", "READONLY_OVERRIDE")
+
+
+def _global_mode(modes: DataFrame) -> Column:
+    """The global mode as a scalar subquery-style literal-ish column:
+    a 1-row aggregate cross-joined by the caller."""
+    return (modes.filter(F.col("subject").isNull())
+            .agg(F.max("mode").alias("global_mode")))
+
+
+def with_resolved_mode(df: DataFrame, modes: DataFrame,
+                       subject_col: str = "subject") -> DataFrame:
+    """Attach ``resolved_mode`` to ``df`` per the fallback chain.
+
+    ``modes``: (subject nullable string, mode string).  The subject side
+    of ``df`` is untouched — one broadcast join, no extra shuffle.
+    """
+    subj_modes = (modes.filter(F.col("subject").isNotNull())
+                  .select(F.col("subject").alias(subject_col),
+                          F.col("mode").alias("__subject_mode")))
+    glob = _global_mode(modes)
+    out = (df
+           .join(F.broadcast(subj_modes), subject_col, "left")
+           .crossJoin(F.broadcast(glob)))
+    resolved = (F.when(F.col("global_mode") == "READONLY_OVERRIDE",
+                       F.lit("READONLY_OVERRIDE"))
+                .otherwise(F.coalesce(F.col("__subject_mode"),
+                                      F.col("global_mode"),
+                                      F.lit("READWRITE"))))
+    return (out.withColumn("resolved_mode", resolved)
+               .drop("__subject_mode", "global_mode"))
+
+
+def write_block_status(mode_col: str = "resolved_mode") -> Column:
+    """NULL when writes are allowed, else the blocking status string for
+    NORMAL registration (no explicit ID)."""
+    return (F.when(F.col(mode_col).isin(*WRITE_BLOCKING),
+                   F.lit("readonly_mode"))
+            .when(F.col(mode_col) == "IMPORT", F.lit("import_mode")))

@@ -83,12 +83,21 @@ def _sequential_gate(mode: str):
 
 def register_batch(spark: SparkSession, existing: DataFrame,
                    incoming: DataFrame, mode: str = "BACKWARD",
-                   native_fingerprint: bool = False) -> DataFrame:
+                   native_fingerprint: bool = False,
+                   modes: DataFrame | None = None) -> DataFrame:
     """Process a registration batch.
 
     ``existing``: (subject, version, schema_type, schema_text[, deleted])
     current corpus.  ``incoming``: (subject, seq, schema_type,
     schema_text) where ``seq`` is the deterministic batch order.
+
+    ``modes``: optional (subject nullable, mode) write-mode table
+    (storage.go:144-147); rows whose resolved mode blocks normal
+    registration short-circuit with status ``readonly_mode``
+    (READONLY/READONLY_OVERRIDE → the 42205 error) or ``import_mode``
+    (IMPORT requires explicit IDs → import_batch), before any
+    fingerprint/compat work — mirroring CheckModeForWrite running ahead
+    of the write path (registry_helpers.go:14, handlers.go:605-660).
 
     Soft-delete lifecycle (postgres/store.go:617-625,
     delete_and_reregister.feature): DEDUP and the COMPAT HISTORY consider
@@ -102,6 +111,24 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     """
     ship_package(spark)
     mode = (mode or "BACKWARD").upper()
+
+    # -- stage 0: write-mode gate (before any schema work) -----------------
+    blocked = None
+    if modes is not None:
+        from axonops_schema_registry_spark.registry.modes import (
+            with_resolved_mode,
+            write_block_status,
+        )
+
+        flagged = with_resolved_mode(incoming, modes) \
+            .withColumn("__block", write_block_status())
+        blocked = flagged.filter(F.col("__block").isNotNull()).select(
+            "subject", "seq", F.col("__block").alias("status"),
+            F.lit(None).cast("int").alias("assigned_version"),
+            F.lit(0).alias("n_issues"))
+        incoming = (flagged.filter(F.col("__block").isNull())
+                    .drop("__block", "resolved_mode"))
+
     if native_fingerprint:
         # opaque (non-schema) content: sha2 over raw text stays entirely
         # JVM-side — no Python workers in the fingerprint stage.  Use for
@@ -191,12 +218,16 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     registered = assigned.select(
         "subject", "seq", F.lit("registered").alias("status"),
         "assigned_version", F.lit(0).alias("n_issues"))
-    return (registered.unionByName(rejected)
-            .unionByName(dupes_in_batch).unionByName(dupes_existing))
+    out = (registered.unionByName(rejected)
+           .unionByName(dupes_in_batch).unionByName(dupes_existing))
+    if blocked is not None:
+        out = out.unionByName(blocked)
+    return out
 
 
 def import_batch(spark: SparkSession, existing: DataFrame,
-                 incoming: DataFrame) -> DataFrame:
+                 incoming: DataFrame,
+                 modes: DataFrame | None = None) -> DataFrame:
     """S9 bulk import with explicit IDs + conflict detection
     (/root/reference/internal/registry/registry.go:1184-1309).
 
@@ -205,8 +236,17 @@ def import_batch(spark: SparkSession, existing: DataFrame,
     - ``imported``  — id unknown, claim it;
     - ``exists``    — id known with the SAME fingerprint (idempotent);
     - ``conflict``  — id known with a DIFFERENT fingerprint (the
-      reference's 409/42201 import conflict).
+      reference's 409/42201 import conflict);
+    - ``not_import_mode`` — when a ``modes`` table is given and the
+      subject's resolved mode is not IMPORT (explicit-ID import REQUIRES
+      IMPORT mode, handlers.go:1656-1664).
     """
+    if modes is not None:
+        from axonops_schema_registry_spark.registry.modes import (
+            with_resolved_mode,
+        )
+
+        incoming = with_resolved_mode(incoming, modes)
     # No broadcast hint: ``existing`` is the full corpus (the BIG side at
     # scale) — the shuffle keys on schema_id and AQE picks broadcast when
     # the batch actually is small.
@@ -216,5 +256,8 @@ def import_batch(spark: SparkSession, existing: DataFrame,
     status = (F.when(F.col("existing_fp").isNull(), "imported")
                .when(F.col("existing_fp") == F.col("fingerprint"), "exists")
                .otherwise("conflict"))
+    if modes is not None:
+        status = F.when(F.col("resolved_mode") != "IMPORT",
+                        "not_import_mode").otherwise(status)
     return joined.select("schema_id", "subject", "fingerprint",
                          status.alias("status"))

@@ -1,0 +1,115 @@
+"""Write-mode gating lifecycle (reference: mode_enforcement.feature,
+import_mode_comprehensive.feature, registry.go:889-930 GetMode chain)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from axonops_schema_registry_spark.registry.modes import with_resolved_mode
+from axonops_schema_registry_spark.registry.registration import (
+    import_batch,
+    register_batch,
+)
+
+_SCHEMA = json.dumps({"type": "record", "name": "S",
+                      "fields": [{"name": "x", "type": "string"}]})
+
+
+def _modes(spark, rows):
+    return spark.createDataFrame(rows, "subject string, mode string")
+
+
+def _resolve(spark, subjects, mode_rows):
+    df = spark.createDataFrame([(s,) for s in subjects], "subject string")
+    out = with_resolved_mode(df, _modes(spark, mode_rows))
+    return {r["subject"]: r["resolved_mode"] for r in out.collect()}
+
+
+def test_fallback_chain_subject_then_global_then_default(spark):
+    got = _resolve(spark, ["a", "b"],
+                   [("a", "IMPORT"), (None, "READONLY")])
+    assert got == {"a": "IMPORT", "b": "READONLY"}
+
+
+def test_default_readwrite_with_empty_modes_table(spark):
+    got = _resolve(spark, ["a"], [])
+    assert got == {"a": "READWRITE"}
+
+
+def test_readonly_override_kill_switch_beats_subject_modes(spark):
+    """READONLY_OVERRIDE on the global row overrides per-subject modes
+    (registry.go:893-897, Confluent kill-switch behavior)."""
+    got = _resolve(spark, ["a", "b"],
+                   [("a", "READWRITE"), (None, "READONLY_OVERRIDE")])
+    assert got == {"a": "READONLY_OVERRIDE", "b": "READONLY_OVERRIDE"}
+
+
+def _register(spark, mode_rows):
+    existing = spark.createDataFrame(
+        [], "subject string, version int, schema_type string, "
+            "schema_text string")
+    incoming = spark.createDataFrame(
+        [("roset", 1, "AVRO", _SCHEMA), ("open", 2, "AVRO", _SCHEMA),
+         ("imp", 3, "AVRO", _SCHEMA)],
+        "subject string, seq int, schema_type string, schema_text string")
+    out = register_batch(spark, existing, incoming, mode="BACKWARD",
+                         modes=_modes(spark, mode_rows))
+    return {r["seq"]: (r["status"], r["assigned_version"])
+            for r in out.collect()}
+
+
+def test_register_batch_blocks_readonly_and_import_subjects(spark):
+    got = _register(spark, [("roset", "READONLY"), ("imp", "IMPORT"),
+                            (None, "READWRITE")])
+    assert got[1] == ("readonly_mode", None)
+    assert got[2] == ("registered", 1)
+    assert got[3] == ("import_mode", None)
+
+
+def test_register_batch_kill_switch_blocks_everything(spark):
+    got = _register(spark, [("open", "READWRITE"),
+                            (None, "READONLY_OVERRIDE")])
+    assert {v[0] for v in got.values()} == {"readonly_mode"}
+
+
+def test_register_batch_without_modes_table_unchanged(spark):
+    existing = spark.createDataFrame(
+        [], "subject string, version int, schema_type string, "
+            "schema_text string")
+    incoming = spark.createDataFrame(
+        [("s", 1, "AVRO", _SCHEMA)],
+        "subject string, seq int, schema_type string, schema_text string")
+    out = register_batch(spark, existing, incoming).collect()
+    assert out[0]["status"] == "registered"
+
+
+def test_import_batch_requires_import_mode(spark):
+    """Explicit-ID import demands IMPORT mode (handlers.go:1656-1664)."""
+    existing = spark.createDataFrame(
+        [(1, "fp1")], "schema_id long, fingerprint string")
+    incoming = spark.createDataFrame(
+        [(1, "impok", "fp1"),    # exists (idempotent re-import)
+         (9, "impok", "fp9"),    # imported (fresh id)
+         (9, "rw", "fp9")],      # blocked: subject not in IMPORT mode
+        "schema_id long, subject string, fingerprint string")
+    out = import_batch(spark, existing, incoming,
+                       modes=_modes(spark, [("impok", "IMPORT"),
+                                            (None, "READWRITE")]))
+    got = {(r["schema_id"], r["subject"]): r["status"]
+           for r in out.collect()}
+    assert got[(1, "impok")] == "exists"
+    assert got[(9, "impok")] == "imported"
+    assert got[(9, "rw")] == "not_import_mode"
+
+
+def test_import_batch_global_import_mode(spark):
+    existing = spark.createDataFrame(
+        [], "schema_id long, fingerprint string")
+    incoming = spark.createDataFrame(
+        [(5, "any", "fp5")],
+        "schema_id long, subject string, fingerprint string")
+    out = import_batch(spark, existing, incoming,
+                       modes=_modes(spark, [(None, "IMPORT")]))
+    assert out.collect()[0]["status"] == "imported"

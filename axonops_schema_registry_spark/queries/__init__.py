@@ -29,6 +29,7 @@ _PRIORITY: tuple[str, ...] = (
     "r3_schema_versions_view", "f13_field_extraction", "fs1_field_search",
     "fs2_type_search", "a8r_schema_quality", "j4r_subject_similarity",
     "j8_kek_dek_lifecycle", "j3r_reference_resolution",
+    "j3d_dependency_closure", "x1_export_subject",
     "ctx1_multitenant_listing", "err1_lookup_taxonomy",
     "rv1_ruleset_validation", "u1_user_role_stats",
     # LLM pipeline operators

@@ -668,6 +668,51 @@ FROM edges a JOIN edges b ON a.ref_subject = b.subject
 """
 
 
+_DEEP_REF_EDGES = [
+    # ≥3-level DAG with a diamond: user reaches event both directly and
+    # via profile, so the closure must keep the SHORTEST depth
+    ("user-value", "com.example.Profile", "profile-value"),
+    ("user-value", "com.example.Event", "event-value"),
+    ("profile-value", "com.example.Event", "event-value"),
+    ("event-value", "com.example.Common", "common-value"),
+    ("order-events-value", "com.example.Profile", "profile-value"),
+]
+
+
+def j3d_dependency_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep J3: dependency closure to FIXPOINT over schema_references
+    (GetDependencyGraph walks recursively, analysis.go:758-797;
+    registry.go:1546-1592 resolves one level per call) — iterate until
+    the frontier empties, depth = shortest hop count, cycle-guarded by
+    the seen-set anti-join."""
+    from axonops_schema_registry_spark.operators.graph import (
+        dependency_closure,
+    )
+
+    edges = spark.createDataFrame(
+        _DEEP_REF_EDGES,
+        "subject string, ref_name string, ref_subject string")
+    return dependency_closure(edges)
+
+
+J3D_ORACLE = """
+WITH RECURSIVE edges(subject, ref_subject) AS (VALUES
+    ('user-value', 'profile-value'),
+    ('user-value', 'event-value'),
+    ('profile-value', 'event-value'),
+    ('event-value', 'common-value'),
+    ('order-events-value', 'profile-value')),
+reach(subject, ref_subject, depth) AS (
+  SELECT subject, ref_subject, 1 FROM edges
+  UNION ALL
+  SELECT r.subject, e.ref_subject, r.depth + 1
+  FROM reach r JOIN edges e ON r.ref_subject = e.subject
+  WHERE r.depth < 10)
+SELECT subject, ref_subject, MIN(depth) AS depth
+FROM reach GROUP BY subject, ref_subject
+"""
+
+
 def fs2_type_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 search-by-type (analysis.go:266-339), restructured to one
     filter over the precomputed fields table."""
@@ -877,6 +922,72 @@ FROM users GROUP BY 1
 """
 
 
+_EXPORT_REFS = [
+    # subject → referenced subject (schema_references rows over the corpus)
+    ("src1", "src0"), ("src2", "src0"), ("src3", "src1"), ("src3", "src2"),
+]
+
+
+def x1_export_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export bundle per subject (ExportSubject/ExportSchema,
+    analysis.go:985-1060): every live version as one serialized document
+    plus the subject's references resolved to their target's latest live
+    fingerprint.  Arrays are serialized with array_join (driver
+    canonicalizer takes atomic columns only)."""
+    corpus = registry_corpus(spark, sf_dir).filter(~F.col("deleted"))
+    entry = F.concat_ws(
+        ":", F.lpad(F.col("version").cast("string"), 4, "0"),
+        F.col("schema_id").cast("string"), F.col("fingerprint"))
+    bundle = corpus.groupBy("subject").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.array_join(F.sort_array(F.collect_list(entry)), "|")
+        .alias("versions_bundle"))
+    w = Window.partitionBy("subject").orderBy(F.desc("version"))
+    latest = (corpus.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .select(F.col("subject").alias("ref_subject"),
+                      F.col("fingerprint").alias("ref_fp")))
+    refs = spark.createDataFrame(
+        _EXPORT_REFS, "subject string, ref_subject string")
+    resolved = (refs.join(F.broadcast(latest), "ref_subject")
+                .groupBy("subject")
+                .agg(F.array_join(F.sort_array(F.collect_list(
+                    F.concat_ws(":", "ref_subject", "ref_fp"))), ",")
+                    .alias("resolved_refs")))
+    return (bundle.join(F.broadcast(resolved), "subject", "left")
+            .withColumn("resolved_refs",
+                        F.coalesce("resolved_refs", F.lit(""))))
+
+
+X1_ORACLE = f"""
+WITH corpus AS ({corpus_cte()}),
+live AS (SELECT * FROM corpus WHERE NOT deleted),
+bundle AS (
+  SELECT subject, COUNT(*) AS n_versions,
+         array_to_string(list_sort(array_agg(
+           lpad(CAST(version AS VARCHAR), 4, '0') || ':' ||
+           CAST(schema_id AS VARCHAR) || ':' || fingerprint)), '|')
+           AS versions_bundle
+  FROM live GROUP BY subject),
+latest AS (
+  SELECT subject AS ref_subject, fingerprint AS ref_fp FROM live
+  QUALIFY row_number() OVER (PARTITION BY subject
+                             ORDER BY version DESC) = 1),
+refs(subject, ref_subject) AS (VALUES
+    ('src1', 'src0'), ('src2', 'src0'), ('src3', 'src1'),
+    ('src3', 'src2')),
+resolved AS (
+  SELECT r.subject,
+         array_to_string(list_sort(array_agg(
+           r.ref_subject || ':' || l.ref_fp)), ',') AS resolved_refs
+  FROM refs r JOIN latest l USING (ref_subject)
+  GROUP BY r.subject)
+SELECT b.subject, b.n_versions, b.versions_bundle,
+       COALESCE(r.resolved_refs, '') AS resolved_refs
+FROM bundle b LEFT JOIN resolved r ON b.subject = r.subject
+"""
+
+
 _MODE_FIXTURE = [(None, "READWRITE"), ("src1", "READONLY"),
                  ("src2", "IMPORT")]
 
@@ -992,4 +1103,8 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "compat", "udf")),
     QuerySpec("mode1_write_gating", mode1_write_gating, MODE1_ORACLE,
               tags=("registry", "pipeline")),
+    QuerySpec("j3d_dependency_closure", j3d_dependency_closure, J3D_ORACLE,
+              tags=("registry", "join", "iterative")),
+    QuerySpec("x1_export_subject", x1_export_subject, X1_ORACLE,
+              tags=("registry", "agg", "join")),
 ]

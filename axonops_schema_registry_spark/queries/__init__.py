@@ -32,6 +32,7 @@ _PRIORITY: tuple[str, ...] = (
     "j3d_dependency_closure", "x1_export_subject",
     "ctx1_multitenant_listing", "err1_lookup_taxonomy",
     "rv1_ruleset_validation", "u1_user_role_stats",
+    "sg1_suggest_evolution", "v1_validate_normalize",
     # LLM pipeline operators
     "dd1_exact_dedup", "dd2_minhash_lsh_dedup", "dd3_simhash_dedup",
     "dd4_dedup_clusters", "nn1_cosine_topk", "nn2_lsh_ann_topk",

@@ -988,6 +988,146 @@ FROM bundle b LEFT JOIN resolved r ON b.subject = r.subject
 """
 
 
+_ENUM_STATUS = '{"type":"enum","name":"Status","symbols":["ACTIVE","INACTIVE"]}'
+
+_SG1_CASES = [
+    # (case_id, subject, schema_type, level, change_type,
+    #  field_name, field_type, enum_symbol, schema_text)
+    (1, "user-value", "AVRO", "BACKWARD", "add_field", "email", "string",
+     "", model.AVRO_USER_V2),
+    (2, "user-value", "AVRO", "NONE", "add_field", "nickname", "string",
+     "", model.AVRO_USER_V2),
+    (3, "profile-value", "JSON", "BACKWARD", "add_field", "age", "integer",
+     "", model.JSON_USER_V2),
+    (4, "event-value", "PROTOBUF", "BACKWARD", "add_field", "region",
+     "string", "", model.PROTO_EVENT_V2),
+    (5, "user-value", "AVRO", "BACKWARD", "deprecate_field", "age", "",
+     "", model.AVRO_USER_V2),
+    (6, "status-value", "AVRO", "BACKWARD", "add_enum_symbol", "", "",
+     "PENDING", _ENUM_STATUS),
+    (7, "user-value", "AVRO", "FULL", "remove_field", "name", "", "",
+     model.AVRO_USER_V2),
+    (8, "user-value", "AVRO", "BACKWARD", "retype_field", "name", "int",
+     "", model.AVRO_USER_V2),
+]
+
+
+def sg1_suggest_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evolution advisory (SuggestSchemaEvolution, analysis.go:875-983 +
+    tools_intelligence.go:579-710; SuggestCompatibleChange level guidance,
+    analysis.go:1105-1139): each change request is answered with the
+    reference's pinned advice/snippet strings AND actually applied to the
+    current schema, then judged by the real compatibility checker — so
+    the verdict column is evidence, not prose."""
+    from axonops_schema_registry_spark.registry.spark_udfs import (
+        suggest_evolution_udf,
+    )
+
+    ship_package(spark)
+    suggest = suggest_evolution_udf()
+    cases = spark.createDataFrame(
+        _SG1_CASES,
+        "case_id int, subject string, schema_type string, level string, "
+        "change_type string, field_name string, field_type string, "
+        "enum_symbol string, schema_text string")
+    v = suggest("schema_text", "schema_type", "level", "change_type",
+                "field_name", "field_type", "enum_symbol")
+    return (cases.withColumn("__v", v)
+            .select("case_id", "subject", "level", "change_type",
+                    F.col("__v.advice").alias("advice"),
+                    F.col("__v.snippet").alias("snippet"),
+                    F.col("__v.is_compatible").alias("is_compatible"),
+                    F.col("__v.n_issues").alias("n_issues")))
+
+
+SG1_ORACLE = """
+SELECT * FROM (VALUES
+    (1, 'user-value', 'BACKWARD', 'add_field',
+     'Add with default value for BACKWARD compatibility',
+     '{"name":"email","type":["null","string"],"default":null}', TRUE, 0),
+    (2, 'user-value', 'NONE', 'add_field',
+     'Add without default since compatibility level is NONE',
+     '{"name":"nickname","type":"string"}', TRUE, 0),
+    (3, 'profile-value', 'BACKWARD', 'add_field',
+     'Add to properties; do not add to required array if backward-compatible',
+     '"age":{"type":"integer"}', TRUE, 0),
+    (4, 'event-value', 'BACKWARD', 'add_field',
+     'Add with a new unique field number',
+     'string region = <next_number>;', TRUE, 0),
+    (5, 'user-value', 'BACKWARD', 'deprecate_field',
+     'Add @deprecated to doc, add aliases for future rename, set default value',
+     '', TRUE, 0),
+    (6, 'status-value', 'BACKWARD', 'add_enum_symbol',
+     'Add the new symbol to the end of the symbols array. This is backward-compatible.',
+     '', TRUE, 0),
+    (7, 'user-value', 'FULL', 'remove_field',
+     'Only add optional fields with defaults; Do NOT remove or rename fields',
+     '', FALSE, 1),
+    (8, 'user-value', 'BACKWARD', 'retype_field',
+     'Add new fields with default values; Do NOT remove existing fields; Do NOT change field types',
+     '', FALSE, 1)
+) AS t(case_id, subject, level, change_type, advice, snippet,
+       is_compatible, n_issues)
+"""
+
+
+_V1_CASES = [
+    (1, "AVRO", model.AVRO_USER_V1),
+    (2, "AVRO", '{"type":"record","name":"Broken"'),
+    (3, "JSON", model.JSON_USER_V1),
+    (4, "JSON", "{nope"),
+    (5, "PROTOBUF", model.PROTO_EVENT_V1),
+    (6, "PROTOBUF", "this is not proto"),
+    (7, "THRIFT", "whatever"),
+]
+
+
+def v1_validate_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone validate/normalize (ValidateSchema/NormalizeSchema,
+    analysis.go:19-86): parse-error messages and canonical text +
+    content-address fingerprint as RESULT columns, per schema language,
+    including the invalid-type rejection message."""
+    from axonops_schema_registry_spark.registry.spark_udfs import (
+        validate_normalize_udf,
+    )
+
+    ship_package(spark)
+    validate = validate_normalize_udf()
+    cases = spark.createDataFrame(
+        _V1_CASES, "case_id int, schema_type string, schema_text string")
+    v = validate("schema_text", "schema_type")
+    return (cases.withColumn("__v", v)
+            .select("case_id", "schema_type",
+                    F.col("__v.is_valid").alias("is_valid"),
+                    F.col("__v.error").alias("error"),
+                    F.col("__v.canonical").alias("canonical"),
+                    F.col("__v.fingerprint").alias("fingerprint")))
+
+
+V1_ORACLE = """
+SELECT * FROM (VALUES
+    (1, 'AVRO', TRUE, '',
+     '{"name":"User","type":"record","fields":[{"name":"name","type":"string"}]}',
+     'fe179f482b1d9b3b3be3cb7cda226be2b2bd31096bc4cbeb613992cba7524db2'),
+    (2, 'AVRO', FALSE,
+     'Expecting '','' delimiter: line 1 column 33 (char 32)', '', ''),
+    (3, 'JSON', TRUE, '',
+     '{"properties":{"name":{"type":"string"}},"required":["name"],"type":"object"}',
+     '098974972159a1c508b6fed6baed3bba04cd70d4ee9bbe30f926fb1db0188008'),
+    (4, 'JSON', FALSE,
+     'Expecting property name enclosed in double quotes: line 1 column 2 (char 1)',
+     '', ''),
+    (5, 'PROTOBUF', TRUE, '',
+     'syntax = "proto3"; message Event { string id = 1; }',
+     'f347d83aad44e3abbbf9b3c9e195f8e681bfe7b2762fee11a63a1683eb391ed9'),
+    (6, 'PROTOBUF', FALSE, 'no message or enum definitions', '', ''),
+    (7, 'THRIFT', FALSE,
+     'Invalid schema type ''THRIFT''. Accepted types are AVRO, PROTOBUF, and JSON',
+     '', '')
+) AS t(case_id, schema_type, is_valid, error, canonical, fingerprint)
+"""
+
+
 _MODE_FIXTURE = [(None, "READWRITE"), ("src1", "READONLY"),
                  ("src2", "IMPORT")]
 
@@ -1107,4 +1247,8 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "join", "iterative")),
     QuerySpec("x1_export_subject", x1_export_subject, X1_ORACLE,
               tags=("registry", "agg", "join")),
+    QuerySpec("sg1_suggest_evolution", sg1_suggest_evolution, SG1_ORACLE,
+              tags=("registry", "compat", "udf")),
+    QuerySpec("v1_validate_normalize", v1_validate_normalize, V1_ORACLE,
+              tags=("registry", "udf")),
 ]

@@ -143,3 +143,46 @@ def check_pair_udf():
         return pd.DataFrame(out)
 
     return _check
+
+EVOLVE_STRUCT_DDL = ("struct<advice:string,snippet:string,"
+                     "is_compatible:boolean,n_issues:int>")
+VALIDATE_STRUCT_DDL = ("struct<is_valid:boolean,error:string,"
+                       "canonical:string,fingerprint:string>")
+
+
+def suggest_evolution_udf():
+    """SuggestSchemaEvolution/SuggestCompatibleChange advisory core
+    (analysis.go:875-983, 1105-1139; tools_intelligence.go:579-710)."""
+
+    @F.pandas_udf(EVOLVE_STRUCT_DDL)
+    def _suggest(schema_text: pd.Series, schema_type: pd.Series,
+                 level: pd.Series, change_type: pd.Series,
+                 field_name: pd.Series, field_type: pd.Series,
+                 enum_symbol: pd.Series) -> pd.DataFrame:
+        from axonops_schema_registry_spark.registry.evolution import (
+            suggest_and_verify,
+        )
+
+        return pd.DataFrame([
+            suggest_and_verify(tx, st, lv, ct, fn or "", ft or "", es or "")
+            for tx, st, lv, ct, fn, ft, es in zip(
+                schema_text, schema_type, level, change_type, field_name,
+                field_type, enum_symbol)])
+
+    return _suggest
+
+
+def validate_normalize_udf():
+    """ValidateSchema/NormalizeSchema core (analysis.go:19-86)."""
+
+    @F.pandas_udf(VALIDATE_STRUCT_DDL)
+    def _validate(schema_text: pd.Series,
+                  schema_type: pd.Series) -> pd.DataFrame:
+        from axonops_schema_registry_spark.registry.evolution import (
+            validate_and_normalize,
+        )
+
+        return pd.DataFrame([validate_and_normalize(tx, st)
+                             for tx, st in zip(schema_text, schema_type)])
+
+    return _validate

@@ -28,7 +28,7 @@ _PRIORITY: tuple[str, ...] = (
     "m1_metadata_merge", "r1_latest_live_schema", "r2_version_history",
     "r3_schema_versions_view", "f13_field_extraction", "fs1_field_search",
     "fs2_type_search", "a8r_schema_quality", "j4r_subject_similarity",
-    "j8_kek_dek_lifecycle", "j3r_reference_resolution",
+    "j8_kek_dek_lifecycle", "j8b_dek_rewrap", "j3r_reference_resolution",
     "j3d_dependency_closure", "x1_export_subject",
     "ctx1_multitenant_listing", "err1_lookup_taxonomy",
     "rv1_ruleset_validation", "u1_user_role_stats",

@@ -492,6 +492,71 @@ SELECT event_type AS kek_name, COUNT(*) AS n_deks,
 FROM events GROUP BY event_type
 """
 
+def j8b_dek_rewrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEK rewrap after KEK rotation (RewrapDEK,
+    registry_dek.go:131-179) as one batch transform: KEKs ← distinct
+    event types (even-suffixed ones rotated to key version 2), DEKs ←
+    events wrapped under version 1; every DEK under a rotated KEK gets
+    new material wrapped under the current version, the rest stay
+    byte-identical.  Rolled up per KEK so the result is compact."""
+    from axonops_schema_registry_spark.registry.dek import rewrap_deks
+
+    ev = model.load_table(spark, sf_dir, "events")
+    deks = ev.select(F.col("event_type").alias("kek_name"),
+                     F.col("event_type").alias("subject"),
+                     F.col("event_id").alias("dek_version"),
+                     F.sha2(F.col("props"), 256).alias("key_material"),
+                     F.lit(1).alias("wrapped_with_version"))
+    kt = ev.select("event_type").distinct()
+    keks = kt.select(
+        F.col("event_type").alias("kek_name"),
+        F.concat(F.lit("kms-"), "event_type").alias("kms_key_id"),
+        F.when(F.length("event_type") % 2 == 0, 2).otherwise(1)
+         .alias("key_version"))
+    out = rewrap_deks(deks, keks)
+    return (out.groupBy("kek_name", "action", "wrapped_with_version")
+            .agg(F.count(F.lit(1)).alias("n_deks"),
+                 F.countDistinct("encrypted_key_material")
+                 .alias("n_distinct_wrapped"),
+                 F.sum(F.when(F.col("encrypted_key_material")
+                              == F.col("old_encrypted_key_material"), 1)
+                       .otherwise(0)).alias("n_unchanged")))
+
+
+J8B_ORACLE = """
+WITH deks AS (
+  SELECT event_type AS kek_name, event_id AS dek_version,
+         sha256(props) AS key_material, 1 AS wrapped_with_version
+  FROM events),
+keks AS (
+  SELECT event_type AS kek_name, 'kms-' || event_type AS kms_key_id,
+         CASE WHEN strlen(event_type) % 2 = 0 THEN 2 ELSE 1 END
+           AS key_version
+  FROM (SELECT DISTINCT event_type FROM events)),
+rewrapped AS (
+  SELECT d.kek_name,
+         CASE WHEN d.wrapped_with_version < k.key_version
+              THEN 'rewrapped' ELSE 'current' END AS action,
+         CASE WHEN d.wrapped_with_version < k.key_version
+              THEN k.key_version ELSE d.wrapped_with_version END
+           AS wrapped_with_version,
+         sha256(k.kms_key_id || ':' || CAST(d.wrapped_with_version
+                AS VARCHAR) || ':' || d.key_material) AS old_material,
+         CASE WHEN d.wrapped_with_version < k.key_version
+              THEN sha256(k.kms_key_id || ':' || CAST(k.key_version
+                   AS VARCHAR) || ':' || d.key_material)
+              ELSE sha256(k.kms_key_id || ':' ||
+                   CAST(d.wrapped_with_version AS VARCHAR) || ':' ||
+                   d.key_material) END AS new_material
+  FROM deks d JOIN keks k ON d.kek_name = k.kek_name)
+SELECT kek_name, action, wrapped_with_version, COUNT(*) AS n_deks,
+       COUNT(DISTINCT new_material) AS n_distinct_wrapped,
+       SUM(CASE WHEN new_material = old_material THEN 1 ELSE 0 END)
+         AS n_unchanged
+FROM rewrapped GROUP BY kek_name, action, wrapped_with_version
+"""
+
+
 _META_LAYERS = [
     # (subject, key, value, layer): 0=default config, 1=schema-specific,
     # 2=override config — later layers win (registry.go:1724-1800)
@@ -1220,6 +1285,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("r8_delete_reregister", r8_delete_reregister, R8_ORACLE,
               tags=("registry", "pipeline")),
     QuerySpec("j8_kek_dek_lifecycle", j8_kek_dek_lifecycle, J8_ORACLE,
+              tags=("registry", "join")),
+    QuerySpec("j8b_dek_rewrap", j8b_dek_rewrap, J8B_ORACLE,
               tags=("registry", "join")),
     QuerySpec("m1_metadata_merge", m1_metadata_merge, M1_ORACLE,
               tags=("registry",)),

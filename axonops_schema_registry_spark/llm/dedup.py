@@ -162,20 +162,31 @@ N_CHUNKS = 4
 
 def simhash63(df: DataFrame, id_col: str, text_col: str,
               ngram: int = 1) -> DataFrame:
-    """63-bit SimHash per document: sign of per-bit weighted token sums."""
+    """63-bit SimHash per document: sign of per-bit weighted token sums.
+
+    Explode-bits formulation, mirroring ``minhash_signatures``: a
+    63-column SUM(CASE) aggregate does the same arithmetic but costs
+    seconds of whole-stage-codegen compilation; the narrow plan compiles
+    instantly, shuffles (tokens × 63) skinny rows with map-side partial
+    aggregation, and reassembles the hash with one more groupBy(id).
+    """
     toks = token_set(df, id_col, text_col, ngram).withColumn(
         "h", F.xxhash64("token"))
-    bit_aggs = [
-        F.sum(F.when(F.expr(f"(h >> {i}) & 1") == 1, 1)
-              .otherwise(-1)).alias(f"b{i}")
-        for i in range(N_SIMHASH_BITS)]
-    per_doc = toks.groupBy("id").agg(*bit_aggs)
-    sim = None
-    for i in range(N_SIMHASH_BITS):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)) \
-                .otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return per_doc.select("id", sim.alias("simhash"))
+    per_bit = (toks
+               .select("id",
+                       F.explode(F.expr(f"sequence(0, {N_SIMHASH_BITS - 1})"))
+                       .alias("bit"),
+                       "h")
+               .withColumn("contrib",
+                           F.when(F.expr("(h >> bit) & 1") == 1, 1)
+                           .otherwise(-1))
+               .groupBy("id", "bit")
+               .agg(F.sum("contrib").alias("s")))
+    weight = F.when(F.col("s") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)")) \
+              .otherwise(F.lit(0).cast("long"))
+    return (per_bit.groupBy("id")
+            .agg(F.sum(weight).cast("long").alias("simhash")))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,

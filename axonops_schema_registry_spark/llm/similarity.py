@@ -81,6 +81,28 @@ def hyperplane_bucket_udf(dim: int, n_bits: int, seed: int):
     return _bucket
 
 
+def hyperplane_buckets_all_tables_udf(dim: int, n_bits: int, n_tables: int,
+                                      seed0: int = 1000):
+    """All ``n_tables`` bucket ids in ONE UDF pass: a single
+    (dim, n_tables·n_bits) matmul per Arrow batch, reshaped to per-table
+    sign patterns.  One Python crossing per DataFrame instead of one per
+    (table, frame) pair — at 8 tables that is 16× fewer Arrow transfers
+    of the vector column, which dominates the bucketing stage cost."""
+    planes = np.concatenate(
+        [np.random.default_rng(seed0 + t).standard_normal((dim, n_bits))
+         for t in range(n_tables)], axis=1)       # (dim, T*B)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())           # (batch, dim)
+        bits = (mat @ planes) > 0                  # (batch, T*B)
+        per_table = bits.reshape(len(mat), -1, len(weights)) @ weights
+        return pd.Series(list(per_table))          # (batch, T)
+
+    return _buckets
+
+
 def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                  n_centroids: int = 16, n_probe: int = 4,
                  round_digits: int = 4) -> DataFrame:
@@ -129,23 +151,19 @@ def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                  n_bits: int = 12, n_tables: int = 8, dim: int = 64,
                  round_digits: int = 4) -> DataFrame:
-    """Approximate top-k: union of per-table bucket-join candidates,
-    exact cosine rerank on the candidate set only."""
-    buckets = []
-    for t in range(n_tables):
-        udf = hyperplane_bucket_udf(dim, n_bits, seed=1000 + t)
-        qb = queries.withColumn("bucket", udf("query_vec")) \
-                    .withColumn("table", F.lit(t))
-        cb = corpus.withColumn("bucket", udf("corpus_vec")) \
-                   .withColumn("table", F.lit(t))
-        buckets.append((qb, cb))
-    cand = None
-    for qb, cb in buckets:
-        c = qb.select("query_id", "table", "bucket").join(
-            cb.select("corpus_id", "table", "bucket"), ["table", "bucket"]) \
-            .select("query_id", "corpus_id")
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.distinct()
+    """Approximate top-k: per-table bucket-join candidates, exact cosine
+    rerank on the candidate set only.
+
+    All tables' buckets come from one UDF pass (array column +
+    posexplode), so candidate generation is ONE equi-join on
+    (table, bucket) — not a union of per-table joins."""
+    udf = hyperplane_buckets_all_tables_udf(dim, n_bits, n_tables)
+    qb = (queries.select("query_id", udf("query_vec").alias("__bs"))
+          .select("query_id", F.posexplode("__bs").alias("table", "bucket")))
+    cb = (corpus.select("corpus_id", udf("corpus_vec").alias("__bs"))
+          .select("corpus_id", F.posexplode("__bs").alias("table", "bucket")))
+    cand = (qb.join(cb, ["table", "bucket"])
+            .select("query_id", "corpus_id").distinct())
 
     q = with_norm(queries, "query_vec", "q_norm")
     c = with_norm(corpus, "corpus_vec", "c_norm")

@@ -364,10 +364,13 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup")),
     QuerySpec("dd4_dedup_clusters", dd4_dedup_clusters, DD4_ORACLE,
               tags=("llm", "dedup", "iterative")),
+    # nn1 is the exact-oracle baseline; the BENCH headline is the LSH
+    # path — the crossJoin must never be the number we optimize, it is a
+    # cartesian product at 100x corpus (round-1 verdict item 4)
     QuerySpec("nn1_cosine_topk", nn1_cosine_topk, NN1_ORACLE,
-              tags=("llm", "similarity"), bench=True),
-    QuerySpec("nn2_lsh_ann_topk", nn2_lsh_ann_topk, None,
               tags=("llm", "similarity")),
+    QuerySpec("nn2_lsh_ann_topk", nn2_lsh_ann_topk, None,
+              tags=("llm", "similarity"), bench=True),
     QuerySpec("nn3_ivf_ann_topk", nn3_ivf_ann_topk, None,
               tags=("llm", "similarity")),
     QuerySpec("tx1_language_id", tx1_language_id, TX1_ORACLE,

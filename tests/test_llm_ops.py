@@ -86,6 +86,29 @@ def test_ivf_ann_planted_recall(spark, sf_dir):
         assert cid == qid + 30 and sim == 1.0
 
 
+def test_lsh_ann_recall_vs_exact_baseline(spark, sf_dir):
+    """nn2 (bench headline) recall against nn1 (exact oracle) ≥ 0.9 at
+    rank 1 on the planted query set.  Rank-1 is the honest recall metric
+    here: the driver embeddings are uniform random, so exact ranks 2-5
+    sit at cosine ~0.33 — not near neighbors, and no sublinear ANN
+    recalls them by design.  Genuine near-duplicates (the planted
+    queries) must be found."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"))
+    planted = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 30)) \
+        .select((F.col("vec_id") - 10).alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    exact_top1 = {r.query_id: r.corpus_id
+                  for r in cosine_topk(planted, corpus, k=1).collect()}
+    ann_top1 = {r.query_id: r.corpus_id
+                for r in lsh_ann_topk(planted, corpus, k=1).collect()}
+    hits = sum(1 for q, c in exact_top1.items() if ann_top1.get(q) == c)
+    recall = hits / len(exact_top1)
+    assert recall >= 0.9, f"nn2 rank-1 recall vs nn1: {recall}"
+
+
 def test_lsh_ann_sims_match_exact(spark, sf_dir):
     """Every (query, corpus) pair the ANN returns carries the same rounded
     cosine the exact operator computes (rerank correctness)."""

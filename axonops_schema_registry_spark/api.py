@@ -143,12 +143,21 @@ class RegistryAnalytics:
 
     # -- write surface -----------------------------------------------------
 
+    # A subject's history is versions-per-subject sized (small), but a
+    # point check must not OOM the driver on a pathological subject: cap
+    # the collect at the NEWEST versions — exactly the scope every
+    # latest-only mode uses, and the tail transitive modes check first.
+    CHECK_HISTORY_CAP = 1000
+
     def check(self, new_schema: str, subject: str, mode: str = "BACKWARD",
               schema_type: str = "AVRO") -> tuple[bool, list[str]]:
         """POST /compatibility/subjects/{s}/versions — driver-side verdict
-        against the subject's (collected, small) history."""
-        history = [r.schema_text for r in
-                   self.history(subject).select("schema_text").collect()]
+        against the subject's (collected, capped) history."""
+        rows = (self.history(subject).select("version", "schema_text")
+                .orderBy(F.desc("version")).limit(self.CHECK_HISTORY_CAP)
+                .collect())
+        history = [r.schema_text for r in sorted(rows,
+                                                 key=lambda r: r.version)]
         return check_compatibility(new_schema, history, mode, schema_type)
 
     def register(self, incoming: DataFrame,

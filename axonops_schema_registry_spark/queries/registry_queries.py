@@ -1193,6 +1193,67 @@ SELECT * FROM (VALUES
 """
 
 
+_PROTO_EVENT_RETYPED = ('syntax = "proto3";\nmessage Event {\n'
+                        '  int32 id = 1;\n  string source = 2;\n}\n')
+
+_EX1_CASES = [
+    # (case_id, subject, schema_type, level, candidate, current)
+    (1, "user-value", "AVRO", "BACKWARD", model.AVRO_USER_V3,
+     model.AVRO_USER_V2),
+    (2, "user-value", "AVRO", "BACKWARD", model.AVRO_USER_V2_BAD,
+     model.AVRO_USER_V1),
+    (3, "profile-value", "JSON", "BACKWARD", model.JSON_USER_V1,
+     model.JSON_USER_V2),
+    (4, "event-value", "PROTOBUF", "FULL", _PROTO_EVENT_RETYPED,
+     model.PROTO_EVENT_V2),
+]
+
+
+def ex1_explain_failure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExplainCompatibilityFailure (analysis.go:1141-1189): the verdict
+    at the subject's configured level (direction-correct: FULL checks
+    both ways) PLUS the explanation sentence the handler renders when
+    the check fails ('The schema is not compatible with the existing
+    schema under <level> compatibility'), empty when compatible."""
+    ship_package(spark)
+    check = check_pair_udf()
+    cases = spark.createDataFrame(
+        _EX1_CASES,
+        "case_id int, subject string, schema_type string, level string, "
+        "candidate string, current string")
+    backward = check("candidate", "current", "schema_type")
+    forward = check("current", "candidate", "schema_type")
+    n = (F.when(F.col("level").startswith("BACKWARD"),
+                F.size(backward["messages"]))
+          .when(F.col("level").startswith("FORWARD"),
+                F.size(forward["messages"]))
+          .when(F.col("level").startswith("FULL"),
+                F.size(backward["messages"]) + F.size(forward["messages"]))
+          .otherwise(F.lit(0)))
+    ok = n == 0
+    explanation = F.when(ok, F.lit("")).otherwise(
+        F.concat(F.lit("The schema is not compatible with the existing "
+                       "schema under "), F.col("level"),
+                 F.lit(" compatibility")))
+    return cases.select(
+        "case_id", "subject", F.col("level").alias("compatibility_level"),
+        ok.alias("is_compatible"), n.alias("n_messages"),
+        explanation.alias("explanation"))
+
+
+EX1_ORACLE = """
+SELECT * FROM (VALUES
+    (1, 'user-value', 'BACKWARD', TRUE, 0, ''),
+    (2, 'user-value', 'BACKWARD', FALSE, 1,
+     'The schema is not compatible with the existing schema under BACKWARD compatibility'),
+    (3, 'profile-value', 'BACKWARD', TRUE, 0, ''),
+    (4, 'event-value', 'FULL', FALSE, 2,
+     'The schema is not compatible with the existing schema under FULL compatibility')
+) AS t(case_id, subject, compatibility_level, is_compatible, n_messages,
+       explanation)
+"""
+
+
 _MODE_FIXTURE = [(None, "READWRITE"), ("src1", "READONLY"),
                  ("src2", "IMPORT")]
 
@@ -1318,4 +1379,6 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "compat", "udf")),
     QuerySpec("v1_validate_normalize", v1_validate_normalize, V1_ORACLE,
               tags=("registry", "udf")),
+    QuerySpec("ex1_explain_failure", ex1_explain_failure, EX1_ORACLE,
+              tags=("registry", "compat", "udf")),
 ]

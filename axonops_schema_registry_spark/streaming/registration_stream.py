@@ -35,11 +35,17 @@ class StreamingRegistry:
 
     def __init__(self, spark: SparkSession, corpus_path: str,
                  mode: str = "BACKWARD",
-                 native_fingerprint: bool = False) -> None:
+                 native_fingerprint: bool = False,
+                 status_path: str | None = None) -> None:
+        """``status_path``: when set, per-request statuses append to a
+        parquet status TABLE (the scale path — nothing rides the
+        driver); when None they collect into ``self.statuses``, which is
+        test scaffolding for asserting batch/online equivalence."""
         self.spark = spark
         self.corpus_path = corpus_path
         self.mode = mode
         self.native_fingerprint = native_fingerprint
+        self.status_path = status_path
         self.statuses: list = []
 
     def corpus(self) -> DataFrame:
@@ -65,8 +71,11 @@ class StreamingRegistry:
         result = register_batch(
             self.spark, corpus, batch_df, mode=self.mode,
             native_fingerprint=self.native_fingerprint).cache()
-        self.statuses.extend(
-            result.withColumn("epoch", F.lit(epoch_id)).collect())
+        stamped = result.withColumn("epoch", F.lit(epoch_id))
+        if self.status_path is not None:
+            stamped.write.mode("append").parquet(self.status_path)
+        else:
+            self.statuses.extend(stamped.collect())
         accepted = (result.filter(F.col("status") == "registered")
                     .join(batch_df, ["subject", "seq"])
                     .select("subject",

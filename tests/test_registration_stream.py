@@ -66,6 +66,34 @@ def test_streaming_registration_accumulates(spark, tmp_path):
     assert corpus.filter(F.col("subject") == "metrics-value").count() == 1
 
 
+def test_streaming_registration_status_sink_table(spark, tmp_path):
+    """The scale path: statuses append to a parquet status table instead
+    of riding the driver (round-1 verdict: per-batch collect is test
+    scaffolding only).  Same outcomes, nothing in self.statuses."""
+    corpus_path = str(tmp_path / "corpus3")
+    req_dir = str(tmp_path / "requests3")
+    ckpt = str(tmp_path / "ckpt3")
+    status_path = str(tmp_path / "statuses3")
+    os.makedirs(req_dir)
+
+    registry = StreamingRegistry(spark, corpus_path, mode="BACKWARD",
+                                 status_path=status_path)
+    registry.bootstrap(fixture_schemas(spark))
+    _write_requests(os.path.join(req_dir, "b1.parquet"),
+                    [("user-value", 1, "AVRO", AVRO_USER_V3)])
+    _write_requests(os.path.join(req_dir, "b2.parquet"),
+                    [("user-value", 2, "AVRO", AVRO_USER_V3)])
+    q = run_registration_stream(spark, req_dir, registry, ckpt)
+    q.awaitTermination(180)
+
+    assert registry.statuses == []  # nothing collected on the driver
+    statuses = {r.seq: r for r in
+                spark.read.parquet(status_path).collect()}
+    assert statuses[1].status == "registered"
+    assert statuses[2].status == "duplicate"
+    assert statuses[1].epoch != statuses[2].epoch
+
+
 def test_streaming_registration_compat_gate(spark, tmp_path):
     corpus_path = str(tmp_path / "corpus2")
     req_dir = str(tmp_path / "requests2")

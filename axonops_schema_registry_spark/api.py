@@ -160,20 +160,94 @@ class RegistryAnalytics:
                                                  key=lambda r: r.version)]
         return check_compatibility(new_schema, history, mode, schema_type)
 
-    def register(self, incoming: DataFrame,
-                 mode: str = "BACKWARD") -> DataFrame:
-        """POST /subjects/{s}/versions as a batch job (§2.10 pipeline)."""
+    def register(self, incoming: DataFrame, mode: str = "BACKWARD",
+                 modes: DataFrame | None = None) -> DataFrame:
+        """POST /subjects/{s}/versions as a batch job (§2.10 pipeline);
+        ``modes`` enables write-mode gating (PUT /mode semantics)."""
         return register_batch(
             self.spark,
             self.corpus.select("subject", "version", "schema_type",
                                "schema_text", "deleted"),
-            incoming, mode=mode)
+            incoming, mode=mode, modes=modes)
 
-    def import_schemas(self, incoming: DataFrame) -> DataFrame:
-        """PUT /import — explicit IDs with conflict detection."""
+    def import_schemas(self, incoming: DataFrame,
+                       modes: DataFrame | None = None) -> DataFrame:
+        """PUT /import — explicit IDs with conflict detection; with a
+        ``modes`` table, import requires IMPORT mode."""
         id_col = "schema_id" if "schema_id" in self.corpus.columns \
             else "version"
         existing = self.corpus.withColumn(
             "fingerprint", F.sha2("schema_text", 256)) \
             .select(F.col(id_col).alias("schema_id"), "fingerprint")
-        return import_batch(self.spark, existing, incoming)
+        return import_batch(self.spark, existing, incoming, modes=modes)
+
+    # -- advisory / admin surface (round-2) --------------------------------
+
+    def resolve_modes(self, modes: DataFrame) -> DataFrame:
+        """GET /mode/{s} for every subject (fallback chain + kill
+        switch)."""
+        from axonops_schema_registry_spark.registry.modes import (
+            with_resolved_mode,
+        )
+
+        return with_resolved_mode(self.subjects(), modes)
+
+    def dependency_graph(self, edges: DataFrame) -> DataFrame:
+        """GET /subjects/{s}/versions/{v}/dependencies at arbitrary
+        depth: transitive closure with depth + cycle guard."""
+        from axonops_schema_registry_spark.operators.graph import (
+            dependency_closure,
+        )
+
+        return dependency_closure(edges)
+
+    def export_subject(self, subject: str | None = None) -> DataFrame:
+        """GET /subjects/{s}/export — every live version as one bundle
+        row per subject."""
+        live = self.live()
+        if subject is not None:
+            live = live.filter(F.col("subject") == subject)
+        fp = F.coalesce(
+            *( [F.col("fingerprint")] if "fingerprint" in live.columns
+               else [] ),
+            F.sha2("schema_text", 256))
+        entry = F.concat_ws(
+            ":", F.lpad(F.col("version").cast("string"), 4, "0"),
+            fp)
+        return live.groupBy("subject").agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.array_join(F.sort_array(F.collect_list(entry)), "|")
+            .alias("versions_bundle"))
+
+    def suggest_evolution(self, subject: str, change_type: str,
+                          field_name: str = "", field_type: str = "",
+                          enum_symbol: str = "",
+                          level: str = "BACKWARD") -> dict:
+        """POST /subjects/{s}/evolution — advice + applied-change verdict
+        against the subject's latest schema (driver-side point call)."""
+        from axonops_schema_registry_spark.registry.evolution import (
+            suggest_and_verify,
+        )
+
+        row = (self.latest(subject)
+               .select("schema_type", "schema_text").take(1))
+        if not row:
+            return {"error": "Subject not found"}
+        return suggest_and_verify(row[0].schema_text, row[0].schema_type,
+                                  level, change_type, field_name,
+                                  field_type, enum_symbol)
+
+    def validate_schema(self, schema_text: str,
+                        schema_type: str = "AVRO") -> dict:
+        """POST /schemas/validate + /schemas/normalize (driver-side)."""
+        from axonops_schema_registry_spark.registry.evolution import (
+            validate_and_normalize,
+        )
+
+        return validate_and_normalize(schema_text, schema_type)
+
+    def rewrap_deks(self, deks: DataFrame, keks: DataFrame) -> DataFrame:
+        """POST /dek-registry/.../rewrap for the whole DEK table."""
+        from axonops_schema_registry_spark.registry.dek import rewrap_deks
+
+        return rewrap_deks(deks, keks)

@@ -64,8 +64,30 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
         return pd.Series([not check_pair(r, w, s)
                           for r, w, s in zip(reader, writer, stype)])
 
+    @F.pandas_udf("boolean")
+    def validate_schema_udf(text: pd.Series,
+                            stype: pd.Series) -> pd.Series:
+        from axonops_schema_registry_spark.registry.evolution import (
+            validate_and_normalize,
+        )
+
+        return pd.Series([validate_and_normalize(t, s)["is_valid"]
+                          for t, s in zip(text, stype)])
+
+    @F.pandas_udf("string")
+    def normalize_schema_udf(text: pd.Series,
+                             stype: pd.Series) -> pd.Series:
+        from axonops_schema_registry_spark.registry.evolution import (
+            validate_and_normalize,
+        )
+
+        return pd.Series([validate_and_normalize(t, s)["canonical"]
+                          for t, s in zip(text, stype)])
+
     spark.udf.register("canonical_fingerprint", canonical_fingerprint_udf)
     spark.udf.register("check_compat", check_compat_udf)
+    spark.udf.register("validate_schema", validate_schema_udf)
+    spark.udf.register("normalize_schema", normalize_schema_udf)
 
     # scalar helpers (cold path, tiny args — plain Python UDFs are fine)
     import re

@@ -75,3 +75,53 @@ def test_corpus_backed_facade(corpus_reg):
     assert corpus_reg.latest().count() > 0
     view = corpus_reg.versions_view().collect()
     assert all(r.latest_version >= r.version_count for r in view)
+
+
+def test_facade_mode_gating(spark, reg):
+    modes = spark.createDataFrame([("user-value", "READONLY"),
+                                   (None, "READWRITE")],
+                                  "subject string, mode string")
+    incoming = spark.createDataFrame(
+        [("user-value", 1, "AVRO", AVRO_USER_V3)],
+        "subject string, seq int, schema_type string, schema_text string")
+    out = reg.register(incoming, modes=modes).collect()
+    assert out[0].status == "readonly_mode"
+    resolved = {r.subject: r.resolved_mode
+                for r in reg.resolve_modes(modes).collect()}
+    assert resolved["user-value"] == "READONLY"
+    assert resolved["event-value"] == "READWRITE"
+
+
+def test_facade_export_subject(reg):
+    bundle = {r.subject: r for r in reg.export_subject().collect()}
+    assert bundle["user-value"].n_versions == 2
+    assert bundle["user-value"].versions_bundle.startswith("0001:")
+
+
+def test_facade_dependency_graph(spark, reg):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "subject string, ref_subject string")
+    got = {(r.subject, r.ref_subject): r.depth
+           for r in reg.dependency_graph(edges).collect()}
+    assert got[("a", "c")] == 2
+
+
+def test_facade_suggest_and_validate(reg):
+    s = reg.suggest_evolution("user-value", "add_field", "email", "string")
+    assert s["is_compatible"] and "default value" in s["advice"]
+    assert reg.suggest_evolution("nope-value", "add_field")["error"] \
+        == "Subject not found"
+    v = reg.validate_schema('{"type":"record","name":"R","fields":[]}')
+    assert v["is_valid"]
+
+
+def test_facade_rewrap(spark, reg):
+    deks = spark.createDataFrame(
+        [("k", "s", 1, "m", 1)],
+        "kek_name string, subject string, dek_version int, "
+        "key_material string, wrapped_with_version int")
+    keks = spark.createDataFrame(
+        [("k", "kms", 2)],
+        "kek_name string, kms_key_id string, key_version int")
+    out = reg.rewrap_deks(deks, keks).collect()
+    assert out[0].action == "rewrapped"

@@ -66,3 +66,16 @@ def test_glob_regex_sql(spark):
     """).collect()
     assert len(rows) > 0
     assert all(r.p_name.startswith("sm") for r in rows)
+
+
+def test_validate_normalize_sql(spark):
+    row = spark.sql("""
+        SELECT validate_schema('{"type":"record","name":"U","fields":[]}',
+                               'AVRO') AS ok,
+               validate_schema('{broken', 'AVRO') AS bad,
+               normalize_schema(
+                 '{ "fields": [], "name": "U", "type": "record" }',
+                 'AVRO') AS canon
+    """).first()
+    assert row.ok is True and row.bad is False
+    assert row.canon == '{"name":"U","type":"record","fields":[]}'

@@ -42,12 +42,35 @@ def replicate(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
     return out
 
 
+def replicate_salted_docs(df: DataFrame, k: int) -> DataFrame:
+    """k distinct copies of documents: ids shifted AND text salted per
+    copy, so cross-copy near-dup pairs don't exist — true-pair volume
+    stays linear and any super-linearity is the PLAN's fault."""
+    if k == 1:
+        return df
+    copies = []
+    for i in range(k):
+        copies.append(df.withColumn("doc_id",
+                                    F.col("doc_id") + F.lit(i * 1_000_000_000))
+                      .withColumn("text", F.concat(F.col("text"),
+                                                   F.lit(f" copysalt{i}"))))
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     li0 = load_table(spark, SF_DIR, "lineitem")
     orders0 = load_table(spark, SF_DIR, "orders")
     supp = load_table(spark, SF_DIR, "supplier")
+    docs0 = load_table(spark, SF_DIR, "documents")
+    emb0 = load_table(spark, SF_DIR, "embeddings")
+    emb_q = emb0.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
 
     # warm-up: run each plan shape once so k=1 isn't charged for codegen
     li0.groupBy("l_returnflag").agg(dsum("l_quantity", 2, "s")).collect()
@@ -57,10 +80,25 @@ def main() -> None:
     orders0.withColumn("rn", F.row_number().over(w0)) \
            .filter(F.col("rn") == 1).agg(F.count(F.lit(1))).collect()
 
+    from axonops_schema_registry_spark.llm.dedup import minhash_lsh_pairs
+    from axonops_schema_registry_spark.llm.similarity import lsh_ann_topk
+
+    # warm-up for the LLM shapes too
+    lsh_ann_topk(emb_q, emb0.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec")), k=5).collect()
+    minhash_lsh_pairs(docs0.limit(200), "doc_id", "text").collect()
+
     rows = []
     for k in FACTORS:
         li = replicate(li0, ["l_orderkey"], k)
         orders = replicate(orders0, ["o_orderkey"], k)
+        docs = replicate_salted_docs(docs0, k)
+        corpus = replicate(
+            emb0.filter(F.col("vec_id") >= 10)
+                .select(F.col("vec_id").alias("corpus_id"),
+                        F.col("embedding").alias("corpus_vec")),
+            ["corpus_id"], k)
         n = li.count()
 
         t0 = time.perf_counter()  # scan + agg (q1 shape)
@@ -85,9 +123,19 @@ def main() -> None:
                .filter(F.col("rn") == 1).agg(F.count(F.lit(1))).collect())
         t_win = time.perf_counter() - t0
 
-        rows.append((k, n, t_agg, t_join, t_win))
+        t0 = time.perf_counter()  # LSH-ANN (nn2, the similarity headline)
+        lsh_ann_topk(emb_q, corpus, k=5).agg(F.count(F.lit(1))).collect()
+        t_ann = time.perf_counter() - t0
+
+        t0 = time.perf_counter()  # MinHash-LSH dedup (dd2 shape)
+        minhash_lsh_pairs(docs, "doc_id", "text") \
+            .agg(F.count(F.lit(1))).collect()
+        t_dd = time.perf_counter() - t0
+
+        rows.append((k, n, t_agg, t_join, t_win, t_ann, t_dd))
         print(f"k={k}: rows={n:,} agg={t_agg:.2f}s join={t_join:.2f}s "
-              f"window={t_win:.2f}s", flush=True)
+              f"window={t_win:.2f}s ann={t_ann:.2f}s dedup={t_dd:.2f}s",
+              flush=True)
 
     base = rows[0]
     lines = [
@@ -100,19 +148,26 @@ def main() -> None:
         "transfers to a 1000-executor cluster.",
         "",
         "| factor | lineitem rows | scan+agg s | join+agg s | window s | "
-        "agg ratio vs rows | join ratio | window ratio |",
-        "|---|---|---|---|---|---|---|---|",
+        "lsh-ann s | minhash-dedup s | agg ratio vs rows | join ratio | "
+        "window ratio | ann ratio | dedup ratio |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for k, n, ta, tj, tw in rows:
+    for k, n, ta, tj, tw, tn, td in rows:
         rr = n / base[1]
         lines.append(
             f"| {k}x | {n:,} | {ta:.2f} | {tj:.2f} | {tw:.2f} | "
+            f"{tn:.2f} | {td:.2f} | "
             f"{ta / base[2] / rr:.2f} | {tj / base[3] / rr:.2f} | "
-            f"{tw / base[4] / rr:.2f} |")
+            f"{tw / base[4] / rr:.2f} | {tn / base[5] / rr:.2f} | "
+            f"{td / base[6] / rr:.2f} |")
     lines.append("")
     lines.append("Ratios near or below 1.0 = scaling at-or-better than "
                  "linear in rows (fixed per-job overhead amortizes; "
-                 "values well above 1.0 would flag a super-linear term).")
+                 "values well above 1.0 would flag a super-linear term).  "
+                 "LSH-ANN and MinHash-dedup replicas are content-distinct "
+                 "(salted), so candidate volume — and measured time — "
+                 "must stay linear in corpus size; a cross-product would "
+                 "show up as a k² ratio here.")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "docs", "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -41,15 +41,24 @@ def main() -> None:
             except Exception:
                 pass
 
+    # min of N_RUNS per query: the host this runs on shows multi-second
+    # scheduling noise spikes (observed 25x on an unchanged plan); the
+    # minimum is the standard steady-state estimator under asymmetric
+    # noise and makes round-over-round comparisons attributable to plan
+    # changes instead of host weather.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for spec in q.bench_specs():
-        # clear cached frames from warm-up/previous queries so each
-        # measurement is self-contained (caching inside one query still
-        # counts — it's part of that query's plan)
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        spec.build(spark, sf_dir).collect()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            # clear cached frames from warm-up/previous queries so each
+            # measurement is self-contained (caching inside one query
+            # still counts — it's part of that query's plan)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[spec.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -58,6 +67,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": n_runs,
+        "estimator": "min",
     }))
 
 

@@ -1254,6 +1254,76 @@ SELECT * FROM (VALUES
 """
 
 
+_MP1_CASES = [
+    # (case_id, subject, schema_type, source_text, target_text)
+    (1, "user-value", "AVRO", model.AVRO_USER_V1, model.AVRO_USER_V3),
+    (2, "event-value", "PROTOBUF", model.PROTO_EVENT_V2,
+     model.PROTO_EVENT_V1),
+    (3, "user-value", "AVRO", model.AVRO_USER_V2, model.AVRO_USER_V2),
+]
+
+
+def mp1_migration_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PlanMigrationPath (analysis.go:914-983): field-set diff between the
+    subject's current schema and a target schema, rendered as the
+    handler's exact step strings — Add field '<n>' (type: <t>) with a
+    default value / Remove field '<n>' (may require compatibility level
+    change) / the no-steps sentinel."""
+    ship_package(spark)
+    fields_udf = extract_fields_udf()
+    cases = spark.createDataFrame(
+        _MP1_CASES,
+        "case_id int, subject string, schema_type string, "
+        "source_text string, target_text string")
+
+    def side(col: str, alias: str) -> DataFrame:
+        return (cases
+                .withColumn("f", F.explode(fields_udf(col, "schema_type")))
+                .select(F.col("case_id").alias(f"{alias}_case_id"),
+                        F.col("subject").alias(f"{alias}_subject"),
+                        F.col("f.name").alias(f"{alias}_name"),
+                        F.col("f.type").alias(f"{alias}_type")))
+
+    src = side("source_text", "src")
+    tgt = side("target_text", "tgt")
+    joined = src.join(
+        tgt, (F.col("src_case_id") == F.col("tgt_case_id"))
+        & (F.col("src_name") == F.col("tgt_name")), "full_outer")
+    adds = (joined.filter(F.col("src_name").isNull())
+            .select(F.col("tgt_case_id").alias("case_id"),
+                    F.col("tgt_subject").alias("subject"),
+                    F.concat(F.lit("Add field '"), F.col("tgt_name"),
+                             F.lit("' (type: "), F.col("tgt_type"),
+                             F.lit(") with a default value"))
+                    .alias("step")))
+    removes = (joined.filter(F.col("tgt_name").isNull())
+               .select(F.col("src_case_id").alias("case_id"),
+                       F.col("src_subject").alias("subject"),
+                       F.concat(F.lit("Remove field '"), F.col("src_name"),
+                                F.lit("' (may require compatibility level "
+                                      "change)")).alias("step")))
+    steps = adds.unionByName(removes)
+    stepped = steps.select("case_id").distinct()
+    no_steps = (cases.join(stepped, "case_id", "left_anti")
+                .select("case_id", "subject",
+                        F.lit("No migration steps needed — schemas have "
+                              "the same fields").alias("step")))
+    return steps.unionByName(no_steps)
+
+
+MP1_ORACLE = """
+SELECT * FROM (VALUES
+    (1, 'user-value', 'Add field ''age'' (type: int) with a default value'),
+    (1, 'user-value',
+     'Add field ''email'' (type: union[null,string]) with a default value'),
+    (2, 'event-value',
+     'Remove field ''source'' (may require compatibility level change)'),
+    (3, 'user-value',
+     'No migration steps needed — schemas have the same fields')
+) AS t(case_id, subject, step)
+"""
+
+
 _MODE_FIXTURE = [(None, "READWRITE"), ("src1", "READONLY"),
                  ("src2", "IMPORT")]
 
@@ -1381,4 +1451,6 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "udf")),
     QuerySpec("ex1_explain_failure", ex1_explain_failure, EX1_ORACLE,
               tags=("registry", "compat", "udf")),
+    QuerySpec("mp1_migration_path", mp1_migration_path, MP1_ORACLE,
+              tags=("registry", "udf", "setop")),
 ]

@@ -170,3 +170,76 @@ def test_avro_mutation_rulebook(case):
     """Every known mutation's backward verdict matches the Avro rule book."""
     base, mut, expected_ok = case
     assert (check_pair(mut, base, "AVRO") == []) is expected_ok
+
+
+# ---------------------------------------------------------------------------
+# Evolution advisory properties (registry/evolution.py)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(avro_records(), names, st.sampled_from(["int", "long", "string"]))
+def test_suggested_add_field_is_always_compatible(rec, fname, ftype):
+    """The add_field suggestion APPLIED under a default-requiring level
+    must pass its own compatibility check — for any record and any new
+    field name/type (collision with an existing field = same type re-add,
+    also fine)."""
+    from axonops_schema_registry_spark.registry.evolution import (
+        suggest_and_verify,
+    )
+
+    text = json.dumps(rec)
+    r = suggest_and_verify(text, "AVRO", "BACKWARD", "add_field",
+                           fname, ftype)
+    existing = {f["name"] for f in rec["fields"]}
+    if fname in existing:
+        return  # re-adding an existing name mutates semantics; skip
+    assert r["is_compatible"], r
+
+
+@settings(max_examples=60, deadline=None)
+@given(avro_records())
+def test_deprecate_then_remove_is_the_two_step_path(rec):
+    """Deprecating any field keeps the schema self-compatible (the
+    advisory's step 1); removal under BACKWARD also passes (Avro readers
+    ignore writer-only fields), matching the advisory's 'remove later'
+    step."""
+    from axonops_schema_registry_spark.registry.evolution import (
+        apply_change,
+    )
+
+    text = json.dumps(rec)
+    fname = rec["fields"][0]["name"]
+    deprecated = apply_change(text, "AVRO", "BACKWARD",
+                              "deprecate_field", fname)
+    assert check_pair(deprecated, text) == []
+    removed = apply_change(text, "AVRO", "BACKWARD", "remove_field", fname)
+    assert check_pair(removed, text) == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(avro_records())
+def test_validate_normalize_agrees_with_canonical_form(rec):
+    from axonops_schema_registry_spark.registry.evolution import (
+        validate_and_normalize,
+    )
+
+    text = json.dumps(rec)
+    r = validate_and_normalize(text, "AVRO")
+    assert r["is_valid"]
+    assert r["canonical"] == avro_canonical_form(text)
+    # normalize is idempotent through validate
+    again = validate_and_normalize(r["canonical"], "AVRO")
+    assert again["canonical"] == r["canonical"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=80))
+def test_validate_never_raises_on_garbage(garbage):
+    """ValidateSchema reports, never crashes — any input, all 3 types."""
+    from axonops_schema_registry_spark.registry.evolution import (
+        validate_and_normalize,
+    )
+
+    for st_name in ("AVRO", "JSON", "PROTOBUF", "THRIFT"):
+        r = validate_and_normalize(garbage, st_name)
+        assert isinstance(r["is_valid"], bool)

@@ -161,14 +161,16 @@ class RegistryAnalytics:
         return check_compatibility(new_schema, history, mode, schema_type)
 
     def register(self, incoming: DataFrame, mode: str = "BACKWARD",
-                 modes: DataFrame | None = None) -> DataFrame:
+                 modes: DataFrame | None = None,
+                 levels: DataFrame | None = None) -> DataFrame:
         """POST /subjects/{s}/versions as a batch job (§2.10 pipeline);
-        ``modes`` enables write-mode gating (PUT /mode semantics)."""
+        ``modes`` enables write-mode gating (PUT /mode semantics) and
+        ``levels`` per-subject configured compatibility (PUT /config)."""
         return register_batch(
             self.spark,
             self.corpus.select("subject", "version", "schema_type",
                                "schema_text", "deleted"),
-            incoming, mode=mode, modes=modes)
+            incoming, mode=mode, modes=modes, levels=levels)
 
     def import_schemas(self, incoming: DataFrame,
                        modes: DataFrame | None = None) -> DataFrame:

@@ -51,6 +51,11 @@ def _sequential_gate(mode: str):
     history is the subject's live rows.  Accepted candidates join the
     in-memory history/fingerprint set so later candidates see them —
     the intra-batch pass the purely join-based gate lacked.
+
+    When candidates carry a ``__level`` column (per-subject configured
+    compatibility, resolved subject → global → ``mode`` default like the
+    reference's GetConfigFull chain), it overrides ``mode`` for that
+    subject's group.
     """
 
     def gate(cand: pd.DataFrame, hist: pd.DataFrame) -> pd.DataFrame:
@@ -60,6 +65,9 @@ def _sequential_gate(mode: str):
 
         cand = cand.sort_values("seq")
         hist = hist.sort_values("version")
+        level = mode
+        if "__level" in cand.columns and len(cand):
+            level = cand["__level"].iloc[0] or mode
         texts = hist["old_text"].tolist()
         accepted_fps: set[str] = set()
         out = []
@@ -68,7 +76,7 @@ def _sequential_gate(mode: str):
                 out.append((row.subject, row.seq, "duplicate", 0))
                 continue
             ok, msgs = check_compatibility(
-                row.schema_text, texts, mode, row.schema_type)
+                row.schema_text, texts, level, row.schema_type)
             if ok:
                 texts.append(row.schema_text)
                 accepted_fps.add(row.fingerprint)
@@ -84,7 +92,8 @@ def _sequential_gate(mode: str):
 def register_batch(spark: SparkSession, existing: DataFrame,
                    incoming: DataFrame, mode: str = "BACKWARD",
                    native_fingerprint: bool = False,
-                   modes: DataFrame | None = None) -> DataFrame:
+                   modes: DataFrame | None = None,
+                   levels: DataFrame | None = None) -> DataFrame:
     """Process a registration batch.
 
     ``existing``: (subject, version, schema_type, schema_text[, deleted])
@@ -98,6 +107,13 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     (IMPORT requires explicit IDs → import_batch), before any
     fingerprint/compat work — mirroring CheckModeForWrite running ahead
     of the write path (registry_helpers.go:14, handlers.go:605-660).
+
+    ``levels``: optional (subject nullable, level) configured
+    compatibility table — per subject the gate uses subject level →
+    global row → ``mode`` default, the reference's GetConfigFull chain
+    (registry.go:1342-1360; j6_config_fallback is the read-side twin).
+    One broadcast join; the sequential gate reads the resolved level
+    per subject group.
 
     Soft-delete lifecycle (postgres/store.go:617-625,
     delete_and_reregister.feature): DEDUP and the COMPAT HISTORY consider
@@ -158,7 +174,7 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     candidates = inc.filter(~F.col("dup_existing"))
 
     # -- stage 3: compatibility gate --------------------------------------
-    if mode == "NONE":
+    if mode == "NONE" and levels is None:
         # no gate → every non-duplicate registers; sequential semantics
         # degenerate to first-occurrence-wins, expressible declaratively
         # with zero Python stages
@@ -171,11 +187,25 @@ def register_batch(spark: SparkSession, existing: DataFrame,
              .otherwise("registered").alias("status"),
             F.lit(0).alias("n_issues"))
     else:
+        gate_in = candidates.select("subject", "seq", "schema_type",
+                                    "schema_text", "fingerprint")
+        if levels is not None:
+            subj_lv = (levels.filter(F.col("subject").isNotNull())
+                       .select("subject",
+                               F.col("level").alias("__subj_level")))
+            glob_lv = (levels.filter(F.col("subject").isNull())
+                       .agg(F.max("level").alias("__glob_level")))
+            gate_in = (gate_in
+                       .join(F.broadcast(subj_lv), "subject", "left")
+                       .crossJoin(F.broadcast(glob_lv))
+                       .withColumn("__level",
+                                   F.upper(F.coalesce("__subj_level",
+                                                      "__glob_level",
+                                                      F.lit(mode))))
+                       .drop("__subj_level", "__glob_level"))
         history = existing_live.select(
             "subject", "version", F.col("schema_text").alias("old_text"))
-        verdict = (candidates
-                   .select("subject", "seq", "schema_type", "schema_text",
-                           "fingerprint")
+        verdict = (gate_in
                    .groupBy("subject")
                    .cogroup(history.groupBy("subject"))
                    .applyInPandas(_sequential_gate(mode), _GATE_SCHEMA))

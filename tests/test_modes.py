@@ -113,3 +113,41 @@ def test_import_batch_global_import_mode(spark):
     out = import_batch(spark, existing, incoming,
                        modes=_modes(spark, [(None, "IMPORT")]))
     assert out.collect()[0]["status"] == "imported"
+
+
+def _register_levels(spark, level_rows, mode="BACKWARD"):
+    existing = spark.createDataFrame(
+        [("gated", 1, "AVRO", _SCHEMA), ("open", 1, "AVRO", _SCHEMA)],
+        "subject string, version int, schema_type string, "
+        "schema_text string")
+    doc = json.loads(_SCHEMA)
+    doc["fields"] = [{"name": "z", "type": "string"}] + doc["fields"]
+    bad = json.dumps(doc)  # adds defaultless field z → BACKWARD-incompatible
+    incoming = spark.createDataFrame(
+        [("gated", 1, "AVRO", bad), ("open", 2, "AVRO", bad)],
+        "subject string, seq int, schema_type string, schema_text string")
+    levels = spark.createDataFrame(level_rows,
+                                   "subject string, level string")
+    out = register_batch(spark, existing, incoming, mode=mode,
+                         levels=levels)
+    return {r["seq"]: r["status"] for r in out.collect()}
+
+
+def test_per_subject_compat_levels(spark):
+    """The reference resolves the compatibility level per subject
+    (GetConfigFull chain): 'open' configured NONE accepts what 'gated'
+    (BACKWARD via global row) rejects — same candidate schema."""
+    got = _register_levels(spark, [("open", "NONE"), (None, "BACKWARD")])
+    assert got[1] == "incompatible"
+    assert got[2] == "registered"
+
+
+def test_levels_global_row_overrides_mode_param(spark):
+    got = _register_levels(spark, [(None, "NONE")], mode="BACKWARD")
+    assert got[1] == "registered" and got[2] == "registered"
+
+
+def test_levels_fall_back_to_mode_param(spark):
+    got = _register_levels(spark, [("unrelated", "NONE")],
+                           mode="BACKWARD")
+    assert got[1] == "incompatible" and got[2] == "incompatible"

@@ -93,7 +93,8 @@ def register_batch(spark: SparkSession, existing: DataFrame,
                    incoming: DataFrame, mode: str = "BACKWARD",
                    native_fingerprint: bool = False,
                    modes: DataFrame | None = None,
-                   levels: DataFrame | None = None) -> DataFrame:
+                   levels: DataFrame | None = None,
+                   group_col: str | None = None) -> DataFrame:
     """Process a registration batch.
 
     ``existing``: (subject, version, schema_type, schema_text[, deleted])
@@ -114,6 +115,13 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     (registry.go:1342-1360; j6_config_fallback is the read-side twin).
     One broadcast join; the sequential gate reads the resolved level
     per subject group.
+
+    ``group_col``: compatibility-group column name present in BOTH
+    ``existing`` and ``incoming`` (the metadata property the subject's
+    ``compatibilityGroup`` config names, registry.go:1399-1431): the
+    gate and the duplicate check scope to (subject, group) — history in
+    other groups is invisible, exactly the reference's filter — while
+    version allocation stays per subject (store.go:553-557).
 
     Soft-delete lifecycle (postgres/store.go:617-625,
     delete_and_reregister.feature): DEDUP and the COMPAT HISTORY consider
@@ -165,20 +173,24 @@ def register_batch(spark: SparkSession, existing: DataFrame,
         "fingerprint", fp("schema_text", "schema_type")).cache()
 
     # -- stage 2: dedup vs the existing corpus (live rows only) -----------
-    dup_vs_existing = existing_live.select("subject", "fingerprint").distinct() \
+    # with a compatibility group, idempotency scopes to the group too
+    # (reference dedup requires metadata equality, registry.go:121-131)
+    dup_keys = ["subject", "fingerprint"] + ([group_col] if group_col else [])
+    dup_vs_existing = existing_live.select(*dup_keys).distinct() \
         .withColumn("dup_existing", F.lit(True))
     inc = (inc
-           .join(dup_vs_existing, ["subject", "fingerprint"], "left")
+           .join(dup_vs_existing, dup_keys, "left")
            .withColumn("dup_existing",
                        F.coalesce(F.col("dup_existing"), F.lit(False))))
     candidates = inc.filter(~F.col("dup_existing"))
 
     # -- stage 3: compatibility gate --------------------------------------
+    gate_keys = ["subject"] + ([group_col] if group_col else [])
     if mode == "NONE" and levels is None:
         # no gate → every non-duplicate registers; sequential semantics
         # degenerate to first-occurrence-wins, expressible declaratively
         # with zero Python stages
-        w_batch = Window.partitionBy("subject", "fingerprint").orderBy("seq")
+        w_batch = Window.partitionBy(*dup_keys).orderBy("seq")
         flagged = candidates.withColumn(
             "__dup_in_batch", F.row_number().over(w_batch) > 1)
         verdict = flagged.select(
@@ -188,7 +200,8 @@ def register_batch(spark: SparkSession, existing: DataFrame,
             F.lit(0).alias("n_issues"))
     else:
         gate_in = candidates.select("subject", "seq", "schema_type",
-                                    "schema_text", "fingerprint")
+                                    "schema_text", "fingerprint",
+                                    *([group_col] if group_col else []))
         if levels is not None:
             subj_lv = (levels.filter(F.col("subject").isNotNull())
                        .select("subject",
@@ -204,10 +217,11 @@ def register_batch(spark: SparkSession, existing: DataFrame,
                                                       F.lit(mode))))
                        .drop("__subj_level", "__glob_level"))
         history = existing_live.select(
-            "subject", "version", F.col("schema_text").alias("old_text"))
+            "subject", "version", F.col("schema_text").alias("old_text"),
+            *([group_col] if group_col else []))
         verdict = (gate_in
-                   .groupBy("subject")
-                   .cogroup(history.groupBy("subject"))
+                   .groupBy(*gate_keys)
+                   .cogroup(history.groupBy(*gate_keys))
                    .applyInPandas(_sequential_gate(mode), _GATE_SCHEMA))
 
     # -- stage 4: version assignment (max over ALL rows incl. deleted) ----

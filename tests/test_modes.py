@@ -151,3 +151,35 @@ def test_levels_fall_back_to_mode_param(spark):
     got = _register_levels(spark, [("unrelated", "NONE")],
                            mode="BACKWARD")
     assert got[1] == "incompatible" and got[2] == "incompatible"
+
+
+def test_compatibility_group_scopes_the_gate(spark):
+    """compatibilityGroup semantics (registry.go:1399-1431): history in
+    OTHER group values is invisible to the gate, so a schema
+    incompatible with group A's history registers cleanly under group B;
+    dedup also scopes to the group."""
+    doc = json.loads(_SCHEMA)
+    doc["fields"] = [{"name": "z", "type": "string"}] + doc["fields"]
+    bad = json.dumps(doc)
+    existing = spark.createDataFrame(
+        [("s", 1, "AVRO", _SCHEMA, "v1")],
+        "subject string, version int, schema_type string, "
+        "schema_text string, app_version string")
+    incoming = spark.createDataFrame(
+        [("s", 1, "AVRO", bad, "v1"),     # same group → incompatible
+         ("s", 2, "AVRO", bad, "v2"),     # other group → registers
+         ("s", 3, "AVRO", _SCHEMA, "v2"),  # dup of group-v1 text, group v2
+         ("s", 4, "AVRO", _SCHEMA, "v1")],  # true duplicate in v1
+        "subject string, seq int, schema_type string, schema_text string, "
+        "app_version string")
+    out = register_batch(spark, existing, incoming, mode="BACKWARD",
+                         group_col="app_version")
+    got = {r["seq"]: (r["status"], r["assigned_version"])
+           for r in out.collect()}
+    assert got[1][0] == "incompatible"
+    assert got[2][0] == "registered"
+    # identical text in a DIFFERENT group is a new registration, not a dup
+    assert got[3][0] == "registered"
+    assert got[4] == ("duplicate", None)
+    # version allocation stays per subject across groups
+    assert {got[2][1], got[3][1]} == {2, 3}

@@ -40,27 +40,77 @@ def _global_mode(modes: DataFrame) -> Column:
             .agg(F.max("mode").alias("global_mode")))
 
 
+DEFAULT_CONTEXT = "."
+GLOBAL_CONTEXT = "__GLOBAL"
+
+
 def with_resolved_mode(df: DataFrame, modes: DataFrame,
-                       subject_col: str = "subject") -> DataFrame:
+                       subject_col: str = "subject",
+                       ctx_col: str | None = None) -> DataFrame:
     """Attach ``resolved_mode`` to ``df`` per the fallback chain.
 
-    ``modes``: (subject nullable string, mode string).  The subject side
-    of ``df`` is untouched — one broadcast join, no extra shuffle.
+    Two shapes:
+
+    - ``modes`` = (subject nullable, mode): 3-tier chain — kill switch →
+      per-subject → global row → READWRITE.
+    - ``modes`` = (registry_ctx, subject nullable, mode) AND ``ctx_col``
+      given: the reference's full 4-tier chain (registry.go:889-930) —
+      READONLY_OVERRIDE on the default context's global row (itself
+      resolved default ctx → __GLOBAL, registry.go:933-960) beats all;
+      then per-(ctx, subject) → ctx global → __GLOBAL context global →
+      READWRITE.
+
+    Everything is configuration-sized → broadcast joins only; the data
+    side of ``df`` never shuffles.
     """
+    if ctx_col is None or "registry_ctx" not in modes.columns:
+        subj_modes = (modes.filter(F.col("subject").isNotNull())
+                      .select(F.col("subject").alias(subject_col),
+                              F.col("mode").alias("__subject_mode")))
+        glob = _global_mode(modes)
+        out = (df
+               .join(F.broadcast(subj_modes), subject_col, "left")
+               .crossJoin(F.broadcast(glob)))
+        resolved = (F.when(F.col("global_mode") == "READONLY_OVERRIDE",
+                           F.lit("READONLY_OVERRIDE"))
+                    .otherwise(F.coalesce(F.col("__subject_mode"),
+                                          F.col("global_mode"),
+                                          F.lit("READWRITE"))))
+        return (out.withColumn("resolved_mode", resolved)
+                   .drop("__subject_mode", "global_mode"))
+
+    globals_ = modes.filter(F.col("subject").isNull())
+    # resolveGlobalMode: default ctx global, else __GLOBAL ctx global
+    kill = (globals_
+            .filter(F.col("registry_ctx").isin(DEFAULT_CONTEXT,
+                                               GLOBAL_CONTEXT))
+            .agg(F.max(F.when(F.col("registry_ctx") == DEFAULT_CONTEXT,
+                              F.col("mode"))).alias("__default_glob"),
+                 F.max(F.when(F.col("registry_ctx") == GLOBAL_CONTEXT,
+                              F.col("mode"))).alias("__global_glob")))
     subj_modes = (modes.filter(F.col("subject").isNotNull())
-                  .select(F.col("subject").alias(subject_col),
+                  .select(F.col("registry_ctx").alias(ctx_col),
+                          F.col("subject").alias(subject_col),
                           F.col("mode").alias("__subject_mode")))
-    glob = _global_mode(modes)
+    ctx_glob = (globals_
+                .filter(F.col("registry_ctx") != GLOBAL_CONTEXT)
+                .select(F.col("registry_ctx").alias(ctx_col),
+                        F.col("mode").alias("__ctx_mode")))
     out = (df
-           .join(F.broadcast(subj_modes), subject_col, "left")
-           .crossJoin(F.broadcast(glob)))
-    resolved = (F.when(F.col("global_mode") == "READONLY_OVERRIDE",
+           .join(F.broadcast(subj_modes), [ctx_col, subject_col], "left")
+           .join(F.broadcast(ctx_glob), ctx_col, "left")
+           .crossJoin(F.broadcast(kill)))
+    resolved_kill = F.coalesce(F.col("__default_glob"),
+                               F.col("__global_glob"))
+    resolved = (F.when(resolved_kill == "READONLY_OVERRIDE",
                        F.lit("READONLY_OVERRIDE"))
                 .otherwise(F.coalesce(F.col("__subject_mode"),
-                                      F.col("global_mode"),
+                                      F.col("__ctx_mode"),
+                                      F.col("__global_glob"),
                                       F.lit("READWRITE"))))
     return (out.withColumn("resolved_mode", resolved)
-               .drop("__subject_mode", "global_mode"))
+               .drop("__subject_mode", "__ctx_mode", "__default_glob",
+                     "__global_glob"))
 
 
 def write_block_status(mode_col: str = "resolved_mode") -> Column:

@@ -183,3 +183,50 @@ def test_compatibility_group_scopes_the_gate(spark):
     assert got[4] == ("duplicate", None)
     # version allocation stays per subject across groups
     assert {got[2][1], got[3][1]} == {2, 3}
+
+
+def _resolve_ctx(spark, rows, mode_rows):
+    df = spark.createDataFrame(rows, "registry_ctx string, subject string")
+    modes = spark.createDataFrame(
+        mode_rows, "registry_ctx string, subject string, mode string")
+    out = with_resolved_mode(df, modes, ctx_col="registry_ctx")
+    return {(r["registry_ctx"], r["subject"]): r["resolved_mode"]
+            for r in out.collect()}
+
+
+def test_context_mode_four_tier_chain(spark):
+    """registry.go:889-930: per-(ctx,subject) → ctx global → __GLOBAL
+    context global → READWRITE."""
+    got = _resolve_ctx(
+        spark,
+        [("tenant-a", "s1"), ("tenant-a", "s2"), ("tenant-b", "s1"),
+         ("tenant-c", "s1")],
+        [("tenant-a", "s1", "IMPORT"),      # tier 1
+         ("tenant-a", None, "READONLY"),    # tier 2
+         ("__GLOBAL", None, "READONLY")])   # tier 3
+    assert got[("tenant-a", "s1")] == "IMPORT"
+    assert got[("tenant-a", "s2")] == "READONLY"
+    assert got[("tenant-b", "s1")] == "READONLY"   # __GLOBAL fallback
+    assert got[("tenant-c", "s1")] == "READONLY"
+
+
+def test_context_mode_default_when_nothing_configured(spark):
+    got = _resolve_ctx(spark, [("t", "s")], [])
+    assert got[("t", "s")] == "READWRITE"
+
+
+def test_context_kill_switch_on_default_context(spark):
+    """READONLY_OVERRIDE on the default context's global row (resolved
+    '.' → __GLOBAL) beats every per-context/per-subject mode
+    (registry.go:893-897)."""
+    got = _resolve_ctx(
+        spark, [("tenant-a", "s1")],
+        [("tenant-a", "s1", "READWRITE"),
+         (".", None, "READONLY_OVERRIDE")])
+    assert got[("tenant-a", "s1")] == "READONLY_OVERRIDE"
+    # __GLOBAL can also carry the kill switch when '.' has none
+    got2 = _resolve_ctx(
+        spark, [("tenant-a", "s1")],
+        [("tenant-a", "s1", "READWRITE"),
+         ("__GLOBAL", None, "READONLY_OVERRIDE")])
+    assert got2[("tenant-a", "s1")] == "READONLY_OVERRIDE"

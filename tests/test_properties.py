@@ -243,3 +243,62 @@ def test_validate_never_raises_on_garbage(garbage):
     for st_name in ("AVRO", "JSON", "PROTOBUF", "THRIFT"):
         r = validate_and_normalize(garbage, st_name)
         assert isinstance(r["is_valid"], bool)
+
+
+# ---------------------------------------------------------------------------
+# Protobuf parser/checker properties
+# ---------------------------------------------------------------------------
+
+_proto_scalar = st.sampled_from(
+    ["int32", "int64", "uint32", "sint64", "bool", "string", "bytes",
+     "double", "float", "fixed32"])
+
+
+@st.composite
+def proto_files(draw):
+    n_msg = draw(st.integers(1, 3))
+    out = ['syntax = "proto3";']
+    used_msgs = set()
+    for _ in range(n_msg):
+        mname = draw(names.filter(lambda s: s not in used_msgs))
+        used_msgs.add(mname)
+        out.append(f"message {mname} {{")
+        n_fields = draw(st.integers(0, 5))
+        used = set()
+        for i in range(n_fields):
+            fname = draw(names.filter(lambda s: s not in used))
+            used.add(fname)
+            label = draw(st.sampled_from(["", "repeated "]))
+            ftype = draw(_proto_scalar)
+            out.append(f"  {label}{ftype} {fname} = {i + 1};")
+        out.append("}")
+    return "\n".join(out) + "\n"
+
+
+@settings(max_examples=60, deadline=None)
+@given(proto_files())
+def test_proto_self_compatibility(text):
+    assert check_pair(text, text, "PROTOBUF") == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(proto_files(), proto_files())
+def test_proto_checker_never_raises(a, b):
+    """Any generated pair produces a verdict list, never an exception
+    (check_pair masks none of these as parse errors)."""
+    msgs = check_pair(a, b, "PROTOBUF")
+    assert isinstance(msgs, list)
+    assert not any("schema parse error" in m for m in msgs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="message{}=;123abc \n", max_size=120))
+def test_proto_parser_never_crashes_on_noise(noise):
+    from axonops_schema_registry_spark.registry.protobuf_parse import (
+        parse_proto,
+    )
+
+    try:
+        parse_proto(noise)
+    except (ValueError, IndexError):
+        pass  # a *reported* parse failure is fine; a hang/crash is not

@@ -281,7 +281,10 @@ GROUP BY doc_id
 def tx5_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset card for training-data curation: volume, token
     mass, near-dup membership rate, quality-token ratios — one pass plus
-    a broadcast join against the dup-cluster members."""
+    a join against the dup-cluster members.  No forced broadcast hint:
+    dup membership can approach corpus size at 100 TB (a crawl can be
+    30-50% near-dup), so AQE picks broadcast only when the member set
+    actually is small (round-2 fix of the round-1 watch-item)."""
     docs = load_table(spark, sf_dir, "documents")
     dup_members = (minhash_lsh_pairs(docs, "doc_id", "text", 0.8, 3)
                    .select(F.explode(F.array("id_a", "id_b"))
@@ -289,7 +292,7 @@ def tx5_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .withColumn("is_dup", F.lit(True)))
     toks = F.split(F.col("text"), " ")
     enriched = (docs
-                .join(F.broadcast(dup_members), "doc_id", "left")
+                .join(dup_members, "doc_id", "left")
                 .withColumn("n_tokens", F.size(toks).cast("bigint"))
                 .withColumn("n_distinct",
                             F.size(F.array_distinct(toks)).cast("bigint")))

@@ -231,8 +231,11 @@ def register_batch(spark: SparkSession, existing: DataFrame,
         verdict.filter(F.col("status") == "registered")
                .select("subject", "seq"), ["subject", "seq"]))
     w_assign = Window.partitionBy("subject").orderBy("seq")
+    # no broadcast hint: prior_max is one row per CORPUS subject (can be
+    # millions at fleet scale) while the batch side is small — AQE
+    # broadcasts whichever side actually is small
     assigned = (accepted
-                .join(F.broadcast(prior_max), "subject", "left")
+                .join(prior_max, "subject", "left")
                 .withColumn("assigned_version",
                             (F.coalesce(F.col("prior_max"), F.lit(0))
                              + F.row_number().over(w_assign)).cast("int")))

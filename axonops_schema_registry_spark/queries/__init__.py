@@ -43,8 +43,10 @@ _PRIORITY: tuple[str, ...] = (
     "st2_filtered_cef_lines", "st6_rate_limit_flags",
     "st8_exporter_filter_rename",
     # round-1 driver failures (fixed: arrays serialized) + flagship sample
+    # (q18/e3 rotated out after their round-1 green rows to make room for
+    # the round-2 advisory specs)
     "j2_subjects_by_fingerprint", "f6_naming_variants",
-    "q1_pricing_summary", "q18_large_orders", "e3_similarity_selfjoin",
+    "q1_pricing_summary", "ex1_explain_failure", "mp1_migration_path",
 )
 
 

@@ -103,22 +103,67 @@ def hyperplane_buckets_all_tables_udf(dim: int, n_bits: int, n_tables: int,
     return _buckets
 
 
+def _refine_centroids(corpus: DataFrame, centroids: DataFrame,
+                      n_iter: int) -> DataFrame:
+    """Lloyd's k-means iterations, fully distributed: assign each corpus
+    row to its nearest centroid, then recompute each centroid as the
+    element-wise mean of its members via the narrow posexplode →
+    groupBy(centroid, pos) avg shape (no driver-side vectors).  Empty
+    clusters keep their previous centroid."""
+    for _ in range(n_iter):
+        cent_n = with_norm(centroids, "centroid_vec", "cent_norm")
+        sim = _dot_expr("corpus_vec", "centroid_vec") / (F.col("c_norm")
+                                                         * F.col("cent_norm"))
+        w = Window.partitionBy("corpus_id").orderBy(
+            F.desc("__sim"), F.asc("centroid_id"))
+        assigned = (with_norm(corpus, "corpus_vec", "c_norm")
+                    .crossJoin(F.broadcast(cent_n))
+                    .withColumn("__sim", sim)
+                    .withColumn("__r", F.row_number().over(w))
+                    .filter(F.col("__r") == 1)
+                    .select("centroid_id", "corpus_vec"))
+        means = (assigned
+                 .select("centroid_id",
+                         F.posexplode("corpus_vec").alias("pos", "val"))
+                 .groupBy("centroid_id", "pos")
+                 # rounded: float partial-sum order varies across runs;
+                 # 6 decimals collapses that noise so assignments (and
+                 # the rows-only stability check) stay deterministic
+                 .agg(F.round(F.avg("val"), 6).alias("m"))
+                 .groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("__s"))
+                 .select("centroid_id",
+                         F.expr("transform(__s, x -> cast(x.m as float))")
+                         .alias("new_vec")))
+        centroids = (centroids.join(F.broadcast(means), "centroid_id",
+                                    "left")
+                     .select("centroid_id",
+                             F.coalesce("new_vec", "centroid_vec")
+                             .alias("centroid_vec")))
+    return centroids
+
+
 def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                  n_centroids: int = 16, n_probe: int = 4,
-                 round_digits: int = 4) -> DataFrame:
+                 round_digits: int = 4, n_kmeans_iter: int = 2) -> DataFrame:
     """IVF-style approximate top-k: corpus rows are assigned to their
     nearest centroid (inverted lists); each query probes its ``n_probe``
     closest centroids and reranks exactly within those lists only.
 
-    Centroids here are a deterministic corpus sample (lowest ids) — at
-    scale they come from k-means and the corpus side is WRITTEN
-    partitioned by ``centroid_id``, so a probe reads n_probe/n_centroids
-    of the data (partition pruning does the rest).
+    Centroids seed from a deterministic corpus sample (lowest ids) and
+    are refined with ``n_kmeans_iter`` distributed Lloyd iterations; at
+    scale the corpus side is WRITTEN partitioned by ``centroid_id``, so
+    a probe reads n_probe/n_centroids of the data (partition pruning
+    does the rest).
     """
     w_cent = Window.orderBy("corpus_id")
     centroids = (corpus.orderBy("corpus_id").limit(n_centroids)
                  .select(F.row_number().over(w_cent).alias("centroid_id"),
                          F.col("corpus_vec").alias("centroid_vec")))
+    if n_kmeans_iter > 0:
+        centroids = _refine_centroids(corpus, centroids,
+                                      n_kmeans_iter).localCheckpoint()
     cent_n = with_norm(centroids, "centroid_vec", "cent_norm")
 
     def nearest(df: DataFrame, vec: str, norm: str, keep: int) -> DataFrame:

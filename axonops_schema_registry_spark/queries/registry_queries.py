@@ -1324,6 +1324,80 @@ SELECT * FROM (VALUES
 """
 
 
+_DEL1_REQUESTS = [
+    ("src1", False), ("src1", True), ("src0", False), ("src0", True),
+    ("ghost", False),
+]
+
+
+def del1_delete_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-delete taxonomy (DELETE /subjects/{s},
+    handlers.go:806-860): soft delete returns the LIVE versions;
+    re-soft-deleting an already-soft-deleted subject is 40404
+    ('Set permanent=true'); permanent delete REQUIRES prior soft delete
+    (40405 'was not deleted first') and then returns ALL versions;
+    unknown subjects are 40401.  src0 is the corpus's fully-soft-deleted
+    subject."""
+    corpus = registry_corpus(spark, sf_dir)
+    ver = F.lpad(F.col("version").cast("string"), 4, "0")
+    agg = (corpus.groupBy("subject")
+           .agg(F.sum(F.when(~F.col("deleted"), 1).otherwise(0))
+                .alias("n_live"),
+                F.count(F.lit(1)).alias("n_total"),
+                F.array_join(F.sort_array(F.collect_list(
+                    F.when(~F.col("deleted"), ver))), ",")
+                .alias("live_versions"),
+                F.array_join(F.sort_array(F.collect_list(ver)), ",")
+                .alias("all_versions")))
+    requests = spark.createDataFrame(
+        _DEL1_REQUESTS, "subject string, permanent boolean")
+    j = requests.join(agg, "subject", "left")
+    status = (F.when(F.col("n_total").isNull(), "subject_not_found_40401")
+               .when(~F.col("permanent") & (F.col("n_live") > 0),
+                     "soft_deleted_200")
+               .when(~F.col("permanent"), "already_soft_deleted_40404")
+               .when(F.col("n_live") > 0, "not_soft_deleted_40405")
+               .otherwise("permanently_deleted_200"))
+    affected = (F.when(status == "soft_deleted_200",
+                       F.col("live_versions"))
+                 .when(status == "permanently_deleted_200",
+                       F.col("all_versions"))
+                 .otherwise(F.lit("")))
+    return j.select("subject", "permanent", status.alias("status"),
+                    affected.alias("versions_affected"))
+
+
+DEL1_ORACLE = f"""
+WITH corpus AS ({corpus_cte()}),
+agg AS (
+  SELECT subject,
+         SUM(CASE WHEN NOT deleted THEN 1 ELSE 0 END) AS n_live,
+         COUNT(*) AS n_total,
+         array_to_string(list_sort(array_agg(
+           lpad(CAST(version AS VARCHAR), 4, '0'))
+           FILTER (WHERE NOT deleted)), ',') AS live_versions,
+         array_to_string(list_sort(array_agg(
+           lpad(CAST(version AS VARCHAR), 4, '0'))), ',') AS all_versions
+  FROM corpus GROUP BY subject),
+requests(subject, permanent) AS (VALUES
+    ('src1', FALSE), ('src1', TRUE), ('src0', FALSE), ('src0', TRUE),
+    ('ghost', FALSE)),
+j AS (SELECT r.subject, r.permanent, a.n_live, a.n_total,
+             a.live_versions, a.all_versions
+      FROM requests r LEFT JOIN agg a ON r.subject = a.subject)
+SELECT subject, permanent,
+       CASE WHEN n_total IS NULL THEN 'subject_not_found_40401'
+            WHEN NOT permanent AND n_live > 0 THEN 'soft_deleted_200'
+            WHEN NOT permanent THEN 'already_soft_deleted_40404'
+            WHEN n_live > 0 THEN 'not_soft_deleted_40405'
+            ELSE 'permanently_deleted_200' END AS status,
+       CASE WHEN NOT permanent AND n_live > 0 THEN live_versions
+            WHEN permanent AND COALESCE(n_live, 1) = 0 THEN all_versions
+            ELSE '' END AS versions_affected
+FROM j
+"""
+
+
 _MODE_FIXTURE = [(None, "READWRITE"), ("src1", "READONLY"),
                  ("src2", "IMPORT")]
 
@@ -1453,4 +1527,6 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "compat", "udf")),
     QuerySpec("mp1_migration_path", mp1_migration_path, MP1_ORACLE,
               tags=("registry", "udf", "setop")),
+    QuerySpec("del1_delete_taxonomy", del1_delete_taxonomy, DEL1_ORACLE,
+              tags=("registry", "filter")),
 ]

@@ -302,3 +302,13 @@ def test_proto_parser_never_crashes_on_noise(noise):
         parse_proto(noise)
     except (ValueError, IndexError):
         pass  # a *reported* parse failure is fine; a hang/crash is not
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=120), st.text(max_size=120),
+       st.sampled_from(["AVRO", "JSON", "PROTOBUF"]))
+def test_check_pair_never_raises_on_noise(reader, writer, stype):
+    """check_pair returns a verdict list for ANY input pair — malformed
+    text lands in the parse-error fallback, never an exception."""
+    msgs = check_pair(reader, writer, stype)
+    assert isinstance(msgs, list)

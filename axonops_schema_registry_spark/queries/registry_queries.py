@@ -1324,6 +1324,89 @@ SELECT * FROM (VALUES
 """
 
 
+def exp1_exporter_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exporter lifecycle fold (PauseExporter/ResumeExporter/
+    ResetExporter, registry_exporter.go:71-118; states
+    storage.go:190): an event-sourced action log per exporter collapses
+    to current state (last lifecycle action: create→STARTING,
+    pause→PAUSED, resume→RUNNING) and current offset (progress deltas
+    AFTER the last reset — reset zeroes the offset but not the state).
+    One groupBy pass of conditional aggregates; no per-exporter
+    iteration."""
+    ev = model.load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("exporter").orderBy("seq")
+    log = (ev.select(F.col("event_type").alias("exporter"),
+                     F.col("event_id").alias("seq"))
+           .withColumn("__rn", F.row_number().over(w_first))
+           .withColumn("action",
+                       F.when(F.col("__rn") == 1, "create")
+                        .when(F.col("seq") % 4 == 1, "pause")
+                        .when(F.col("seq") % 4 == 2, "resume")
+                        .when(F.col("seq") % 4 == 3, "reset")
+                        .otherwise("progress"))
+           .withColumn("delta",
+                       F.when(F.col("action") == "progress",
+                              F.col("seq") % 100).otherwise(F.lit(0))))
+    agg = (log.groupBy("exporter").agg(
+        F.expr("max_by(action, CASE WHEN action IN ('create','pause',"
+               "'resume') THEN seq END)").alias("last_lifecycle"),
+        F.max(F.when(F.col("action") == "reset", F.col("seq")))
+        .alias("last_reset"),
+        F.sum(F.when(F.col("action") == "progress", F.col("delta"))
+              .otherwise(0)).alias("total_progress"),
+        F.count(F.lit(1)).alias("n_events")))
+    post_reset = (log.join(agg.select("exporter", "last_reset"), "exporter")
+                  .filter((F.col("action") == "progress")
+                          & (F.col("seq") > F.coalesce(F.col("last_reset"),
+                                                       F.lit(-1))))
+                  .groupBy("exporter")
+                  .agg(F.sum("delta").alias("current_offset")))
+    state = (F.when(F.col("last_lifecycle") == "pause", "PAUSED")
+              .when(F.col("last_lifecycle") == "resume", "RUNNING")
+              .otherwise("STARTING"))
+    return (agg.join(post_reset, "exporter", "left")
+            .select("exporter", state.alias("state"),
+                    F.coalesce("current_offset", F.lit(0))
+                    .cast("bigint").alias("current_offset"),
+                    "n_events"))
+
+
+EXP1_ORACLE = """
+WITH log AS (
+  SELECT event_type AS exporter, event_id AS seq,
+         CASE WHEN row_number() OVER (PARTITION BY event_type
+                                      ORDER BY event_id) = 1
+              THEN 'create'
+              WHEN event_id % 4 = 1 THEN 'pause'
+              WHEN event_id % 4 = 2 THEN 'resume'
+              WHEN event_id % 4 = 3 THEN 'reset'
+              ELSE 'progress' END AS action
+  FROM events),
+log2 AS (
+  SELECT *, CASE WHEN action = 'progress' THEN seq % 100 ELSE 0 END
+            AS delta
+  FROM log),
+agg AS (
+  SELECT exporter,
+         max_by(action, CASE WHEN action IN ('create','pause','resume')
+                             THEN seq END) AS last_lifecycle,
+         MAX(CASE WHEN action = 'reset' THEN seq END) AS last_reset,
+         COUNT(*) AS n_events
+  FROM log2 GROUP BY exporter),
+post AS (
+  SELECT l.exporter, SUM(l.delta) AS current_offset
+  FROM log2 l JOIN agg a ON l.exporter = a.exporter
+  WHERE l.action = 'progress' AND l.seq > COALESCE(a.last_reset, -1)
+  GROUP BY l.exporter)
+SELECT a.exporter,
+       CASE a.last_lifecycle WHEN 'pause' THEN 'PAUSED'
+            WHEN 'resume' THEN 'RUNNING' ELSE 'STARTING' END AS state,
+       CAST(COALESCE(p.current_offset, 0) AS BIGINT) AS current_offset,
+       a.n_events
+FROM agg a LEFT JOIN post p ON a.exporter = p.exporter
+"""
+
+
 _DEL1_REQUESTS = [
     ("src1", False), ("src1", True), ("src0", False), ("src0", True),
     ("ghost", False),
@@ -1529,4 +1612,6 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "udf", "setop")),
     QuerySpec("del1_delete_taxonomy", del1_delete_taxonomy, DEL1_ORACLE,
               tags=("registry", "filter")),
+    QuerySpec("exp1_exporter_lifecycle", exp1_exporter_lifecycle,
+              EXP1_ORACLE, tags=("registry", "streaming", "agg")),
 ]

@@ -1055,6 +1055,93 @@ FROM (SELECT DISTINCT source FROM documents)
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS semi-join: orders of one quarter that have
+    at least one returned line, counted by priority (adapted to the
+    simplified lineitem schema: l_returnflag='R' plays the late-line
+    predicate).  The plan must be a LeftSemi join, never a join+distinct."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01")))
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R").select("l_orderkey")
+    return (orders.join(returned,
+                        orders["o_orderkey"] == returned["l_orderkey"],
+                        "leftsemi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q12_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped case-sum over a fact-fact join: per linestatus,
+    how many 1996 lines belong to high- vs low-priority orders (adapted:
+    l_linestatus plays shipmode)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01")))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey",
+                                                "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped anti-join + grouped COUNT(DISTINCT): per brand,
+    distinct suppliers shipping it, EXCLUDING suppliers in the
+    complaints set (negative balance stands in for the LIKE
+    '%Complaints%' filter; lineitem is the part↔supplier bridge since
+    the corpus has no partsupp)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1") \
+        .select("p_partkey", "p_brand")
+    complaints = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (li.join(complaints,
+                    li["l_suppkey"] == complaints["s_suppkey"], "leftanti")
+            .join(F.broadcast(part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+Q16_ORACLE = """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand
+"""
+
+
 # --------------------------------------------------------------------------
 # Coverage completions: J2/J9/E4/F1/F6/W2/A3
 # --------------------------------------------------------------------------
@@ -1259,6 +1346,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q18_large_orders", q18_large_orders, Q18_ORACLE,
               doc="having semi-join topk", tags=("join", "bench"),
               bench=True),
+    QuerySpec("q4_order_priority", q4_order_priority, Q4_ORACLE,
+              doc="EXISTS semi-join", tags=("join",)),
+    QuerySpec("q12_priority_linestatus", q12_priority_linestatus,
+              Q12_ORACLE, doc="case-sum fact-fact join", tags=("join",)),
+    QuerySpec("q16_supplier_counts", q16_supplier_counts, Q16_ORACLE,
+              doc="anti-join + count-distinct", tags=("join",)),
     QuerySpec("s1_prefix_listing", s1_prefix_listing, S1_ORACLE, tags=("scan",)),
     QuerySpec("s2_point_lookup", s2_point_lookup, S2_ORACLE, tags=("scan",)),
     QuerySpec("s3_subject_version_lookup", s3_subject_version_lookup,

@@ -1407,6 +1407,35 @@ FROM agg a LEFT JOIN post p ON a.exporter = p.exporter
 """
 
 
+def aud1_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 extension: tamper-evident audit hash chain per event type —
+    fold sha256(acc || event_id ':' props) over ts-ordered events,
+    seeded 'genesis' (the before/after hash links on every reference
+    audit event, mode_enforcement.feature).  Equal head hashes prove
+    byte-equal histories; the oracle reproduces the fold with DuckDB's
+    list_reduce."""
+    from axonops_schema_registry_spark.streaming.audit import (
+        audit_hash_chain,
+    )
+
+    ev = model.load_table(spark, sf_dir, "events").select(
+        F.col("event_type"), F.col("ts"), F.col("event_id"),
+        F.concat_ws(":", F.col("event_id").cast("string"),
+                    F.col("props")).alias("record"))
+    return audit_hash_chain(ev, "event_type", ["ts", "event_id"], "record")
+
+
+AUD1_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       list_reduce(
+         list_prepend('genesis',
+           array_agg(CAST(event_id AS VARCHAR) || ':' || props
+                     ORDER BY ts, event_id)),
+         (acc, x) -> sha256(acc || x)) AS head_hash
+FROM events GROUP BY event_type
+"""
+
+
 _DEL1_REQUESTS = [
     ("src1", False), ("src1", True), ("src0", False), ("src0", True),
     ("ghost", False),
@@ -1614,4 +1643,6 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "filter")),
     QuerySpec("exp1_exporter_lifecycle", exp1_exporter_lifecycle,
               EXP1_ORACLE, tags=("registry", "streaming", "agg")),
+    QuerySpec("aud1_audit_chain", aud1_audit_chain, AUD1_ORACLE,
+              tags=("registry", "streaming", "iterative")),
 ]

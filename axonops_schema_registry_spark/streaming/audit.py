@@ -195,3 +195,34 @@ class CollectingWebhookSink:
         self.batches.append((epoch_id, len(rows)))
         self.offset += len(rows)
         self.state = "RUNNING"
+
+
+def audit_hash_chain(df: DataFrame, key_col: str, order_cols: list[str],
+                     record_col: str) -> DataFrame:
+    """Tamper-evident audit chain per key (F16: the before_hash /
+    after_hash chaining the reference's audit events carry,
+    mode_enforcement.feature): fold sha256(acc || record) over the
+    key's records in ``order_cols`` order, seeded with 'genesis'.
+
+    The fold is inherently sequential per key — same cogrouped
+    applyInPandas shape as the registration gate; keys parallelize,
+    records stream through hashlib one Arrow batch at a time.  Returns
+    (key, n_events, head_hash): equal head hashes prove equal histories.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    schema = f"{key_col} string, n_events long, head_hash string"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        acc = "genesis"
+        for rec in pdf["__rec"]:
+            acc = hashlib.sha256((acc + rec).encode()).hexdigest()
+        return pd.DataFrame([{key_col: pdf[key_col].iloc[0],
+                              "n_events": len(pdf), "head_hash": acc}])
+
+    return (df.withColumn("__rec", F.col(record_col))
+            .select(key_col, *order_cols, "__rec")
+            .groupBy(key_col).applyInPandas(fold, schema))

@@ -126,3 +126,28 @@ def test_session_windows_batch_mode(audit_batch):
             for r in audit_batch.groupBy("actor_id").count()
             .withColumnRenamed("count", "n").collect()}
     assert by_actor == want
+
+
+def test_audit_chain_detects_tampering(spark):
+    from axonops_schema_registry_spark.streaming.audit import (
+        audit_hash_chain,
+    )
+
+    rows = [("k", 1, "a"), ("k", 2, "b"), ("k", 3, "c")]
+    df = spark.createDataFrame(rows, "key string, seq int, record string")
+    base = audit_hash_chain(df, "key", ["seq"], "record").collect()[0]
+    assert base["n_events"] == 3 and len(base["head_hash"]) == 64
+
+    # same records, any single byte changed ANYWHERE → different head
+    tampered = spark.createDataFrame(
+        [("k", 1, "a"), ("k", 2, "X"), ("k", 3, "c")],
+        "key string, seq int, record string")
+    t = audit_hash_chain(tampered, "key", ["seq"], "record").collect()[0]
+    assert t["head_hash"] != base["head_hash"]
+
+    # reordering with the same multiset of records also changes the head
+    reordered = spark.createDataFrame(
+        [("k", 1, "b"), ("k", 2, "a"), ("k", 3, "c")],
+        "key string, seq int, record string")
+    r = audit_hash_chain(reordered, "key", ["seq"], "record").collect()[0]
+    assert r["head_hash"] != base["head_hash"]

@@ -198,6 +198,107 @@ def nn3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(queries, corpus, k=5)
 
 
+def dd5_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation view: WHICH sources duplicate each other — near-dup pairs
+    (MinHash-LSH + exact verify) rolled up to an (source_a, source_b)
+    matrix with pair counts; src_a <= src_b so each source pair appears
+    once.  At 100 TB this is the contamination report between crawl
+    snapshots — same linear candidate generation as dd2, plus one
+    broadcast-sized rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", 0.8, 3)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"),
+                   F.col("source").alias("src_of_a"))
+    b = src.select(F.col("doc_id").alias("id_b"),
+                   F.col("source").alias("src_of_b"))
+    lab = (pairs.join(a, "id_a").join(b, "id_b")
+           .select(F.least("src_of_a", "src_of_b").alias("source_a"),
+                   F.greatest("src_of_a", "src_of_b").alias("source_b")))
+    return (lab.groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_dup_pairs")))
+
+
+DD5_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM documents),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id),
+dup_pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.8),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM dup_pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b)
+SELECT source_a, source_b, COUNT(*) AS n_dup_pairs
+FROM lab GROUP BY source_a, source_b
+"""
+
+
+def tx6_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring via corpus-relative token rarity — all-integer /
+    decimal arithmetic so the score is bit-exact (no float-order
+    hazards): per doc, the average corpus frequency of its tokens and
+    the out-of-vocabulary rate (tokens seen < 5 times corpus-wide).
+    Low avg frequency + high OOV = unusual/noisy text; the pretraining
+    filter signal.  One vocab aggregate (map-side combined) + one
+    re-join of the exploded tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tok_count"))
+    per_doc = (toks.join(vocab, "token")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("tok_count").alias("freq_mass"),
+                    F.sum(F.when(F.col("tok_count") < 5, 1).otherwise(0))
+                    .alias("n_oov")))
+    avg_freq = (F.col("freq_mass").cast("decimal(20,6)")
+                / F.col("n_tokens").cast("decimal(20,6)"))
+    oov_rate = (F.col("n_oov").cast("decimal(20,6)")
+                / F.col("n_tokens").cast("decimal(20,6)"))
+    return per_doc.select(
+        "doc_id", "n_tokens",
+        avg_freq.cast("decimal(20,6)").alias("avg_token_freq"),
+        oov_rate.cast("decimal(20,6)").alias("oov_rate"))
+
+
+TX6_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+vocab AS (SELECT token, COUNT(*) AS tok_count FROM toks GROUP BY token),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         SUM(v.tok_count) AS freq_mass,
+         SUM(CASE WHEN v.tok_count < 5 THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t JOIN vocab v ON t.token = v.token
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tokens,
+       CAST(CAST(freq_mass AS DECIMAL(20,6))
+            / CAST(n_tokens AS DECIMAL(20,6)) AS DECIMAL(20,6))
+         AS avg_token_freq,
+       CAST(CAST(n_oov AS DECIMAL(20,6))
+            / CAST(n_tokens AS DECIMAL(20,6)) AS DECIMAL(20,6)) AS oov_rate
+FROM per_doc
+"""
+
+
 def tx1_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword-profile scoring (pure column expressions)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -367,6 +468,10 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup")),
     QuerySpec("dd4_dedup_clusters", dd4_dedup_clusters, DD4_ORACLE,
               tags=("llm", "dedup", "iterative")),
+    QuerySpec("dd5_cross_source_dup_matrix", dd5_cross_source_dup_matrix,
+              DD5_ORACLE, tags=("llm", "dedup")),
+    QuerySpec("tx6_token_rarity", tx6_token_rarity, TX6_ORACLE,
+              tags=("llm", "text")),
     # nn1 is the exact-oracle baseline; the BENCH headline is the LSH
     # path — the crossJoin must never be the number we optimize, it is a
     # cartesian product at 100x corpus (round-1 verdict item 4)

@@ -120,3 +120,44 @@ def coalesce_fallback(specific: Column, fallback: Column,
     """Config fallback chain subject → global → default (J6;
     internal/registry/registry.go:747-799)."""
     return F.coalesce(specific, fallback, F.lit(default))
+
+
+def as_of_join(left: DataFrame, right: DataFrame, key: str,
+               left_ts: str, right_ts: str,
+               value_cols: Sequence[str]) -> DataFrame:
+    """As-of (point-in-time) join: each ``left`` row picks up the LATEST
+    ``right`` row of the same key with ``right_ts <= left_ts`` — the
+    config/state that was in force when the event happened.
+
+    Spark has no native ASOF join; the declarative re-expression is the
+    union + running-last-value window: tag both sides, sort the merged
+    stream by (key, ts, side) with the right side first on ties so a
+    same-timestamp snapshot IS visible to the event, carry each value
+    column forward with ``last(ignorenulls)``, keep left rows.
+
+    ONE shuffle of left+right together, window state bounded per key —
+    the same cost as a single sort-merge join; no range-explode, no n².
+    Rows with no prior snapshot keep NULL values (ASOF LEFT semantics).
+    """
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__side", F.lit(1))
+    for c in value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    lt = lt.withColumn("__rts",
+                       F.lit(None).cast(right.schema[right_ts].dataType))
+    rt = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+        F.col(right_ts).alias("__rts"))
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
+    merged = lt.unionByName(rt.select(*lt.columns))
+    w = (Window.partitionBy(key).orderBy("__ts", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for c in list(value_cols) + ["__rts"]:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return (merged.filter(F.col("__side") == 1)
+            .withColumnRenamed("__rts", "asof_ts")
+            .drop("__ts", "__side"))

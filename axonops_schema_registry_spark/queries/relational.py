@@ -1142,6 +1142,43 @@ GROUP BY p_brand
 """
 
 
+def asof1_config_at_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time lookup): every event picks up the config
+    snapshot that was in force when it happened — snapshots are every
+    10th event per type (deduped per timestamp), lookups are the rest.
+    Spark has no native ASOF; ``operators.core.as_of_join`` re-expresses
+    it as union + running-last-value window (one shuffle); the oracle is
+    DuckDB's native ASOF LEFT JOIN, so the window formulation is proven
+    equivalent to the real operator semantics."""
+    from axonops_schema_registry_spark.operators.core import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = (ev.filter(F.col("event_id") % 10 == 0)
+             .groupBy("event_type", "ts")
+             .agg(F.max("value").alias("config_value")))
+    lefts = (ev.filter(F.col("event_id") % 10 != 0)
+             .select("event_id", "event_type",
+                     F.col("ts").alias("event_ts")))
+    out = as_of_join(lefts, snaps, "event_type", "event_ts", "ts",
+                     ["config_value"])
+    return out.select("event_id", "event_type", "event_ts",
+                      "config_value", "asof_ts")
+
+
+ASOF1_ORACLE = """
+WITH snaps AS (
+  SELECT event_type, ts, MAX(value) AS config_value
+  FROM events WHERE event_id % 10 = 0 GROUP BY event_type, ts),
+lefts AS (
+  SELECT event_id, event_type, ts AS event_ts
+  FROM events WHERE event_id % 10 <> 0)
+SELECT l.event_id, l.event_type, l.event_ts, s.config_value,
+       s.ts AS asof_ts
+FROM lefts l ASOF LEFT JOIN snaps s
+  ON l.event_type = s.event_type AND l.event_ts >= s.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Coverage completions: J2/J9/E4/F1/F6/W2/A3
 # --------------------------------------------------------------------------
@@ -1352,6 +1389,9 @@ SPECS: list[QuerySpec] = [
               Q12_ORACLE, doc="case-sum fact-fact join", tags=("join",)),
     QuerySpec("q16_supplier_counts", q16_supplier_counts, Q16_ORACLE,
               doc="anti-join + count-distinct", tags=("join",)),
+    QuerySpec("asof1_config_at_event_time", asof1_config_at_event_time,
+              ASOF1_ORACLE, doc="as-of point-in-time join",
+              tags=("join", "window")),
     QuerySpec("s1_prefix_listing", s1_prefix_listing, S1_ORACLE, tags=("scan",)),
     QuerySpec("s2_point_lookup", s2_point_lookup, S2_ORACLE, tags=("scan",)),
     QuerySpec("s3_subject_version_lookup", s3_subject_version_lookup,

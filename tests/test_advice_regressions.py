@@ -208,3 +208,25 @@ def test_json_refs_mapping_shape_still_works():
                         {"common.json": _JSON_REF_WIDE},
                         {"common.json": _JSON_REF_WIDE})
     assert issues == []
+
+
+# ---------------------------------------------------------------------------
+# as-of join operator edges (operators/core.py as_of_join)
+# ---------------------------------------------------------------------------
+
+def test_as_of_join_edges(spark):
+    from axonops_schema_registry_spark.operators.core import as_of_join
+
+    lefts = spark.createDataFrame(
+        [("k", 5, 1), ("k", 10, 2), ("k", 4, 3), ("other", 7, 4)],
+        "key string, lts int, lid int")
+    rights = spark.createDataFrame(
+        [("k", 5, "at5"), ("k", 9, "at9")],
+        "key string, rts int, v string")
+    out = {r["lid"]: (r["v"], r["asof_ts"])
+           for r in as_of_join(lefts, rights, "key", "lts", "rts",
+                               ["v"]).collect()}
+    assert out[1] == ("at5", 5)     # tie: same-ts snapshot IS visible
+    assert out[2] == ("at9", 9)     # latest prior wins
+    assert out[3] == (None, None)   # before any snapshot → NULL
+    assert out[4] == (None, None)   # key with no snapshots at all

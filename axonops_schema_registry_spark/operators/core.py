@@ -122,6 +122,36 @@ def coalesce_fallback(specific: Column, fallback: Column,
     return F.coalesce(specific, fallback, F.lit(default))
 
 
+def range_join_bucketed(left: DataFrame, ts_col: str,
+                        intervals: DataFrame, start_col: str, end_col: str,
+                        bucket_seconds: int = 86400) -> DataFrame:
+    """Range join (ts ∈ [start, end)) without the n² inequality join.
+
+    Intervals explode to the fixed-width time buckets they cover; each
+    left row computes its single bucket; candidates come from one
+    EQUI-join on the bucket id and the exact ``[start, end)`` predicate
+    filters them.  Work is |left| + Σ interval-spans/bucket_width — at
+    100 TB pick ``bucket_seconds`` near the median interval length so
+    each interval lands in O(1) buckets.  A plain ``l.ts >= r.start AND
+    l.ts < r.end`` join is Catalyst's BroadcastNestedLoop — correct but
+    quadratic when intervals outgrow broadcast; this shape never is.
+    """
+    b = F.lit(bucket_seconds)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(
+            (F.unix_timestamp(start_col) / b).cast("long"),
+            # end is exclusive: a bucket is covered iff start of the
+            # next second still falls inside
+            ((F.unix_timestamp(end_col) - 1) / b).cast("long"))))
+    lt = left.withColumn(
+        "__bucket", (F.unix_timestamp(ts_col) / b).cast("long"))
+    return (lt.join(iv, "__bucket")
+            .filter((F.col(ts_col) >= F.col(start_col))
+                    & (F.col(ts_col) < F.col(end_col)))
+            .drop("__bucket"))
+
+
 def as_of_join(left: DataFrame, right: DataFrame, key: str,
                left_ts: str, right_ts: str,
                value_cols: Sequence[str]) -> DataFrame:

@@ -1179,6 +1179,58 @@ FROM lefts l ASOF LEFT JOIN snaps s
 """
 
 
+def rj1_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: events counted per maintenance window
+    (windows derived deterministically from each type's first event:
+    [min_ts, +3d) and [min_ts+10d, +13d)).  The plan is an EQUI-join on
+    day buckets + exact predicate — never the quadratic inequality
+    BroadcastNestedLoop; the oracle uses the plain inequality join."""
+    from axonops_schema_registry_spark.operators.core import (
+        range_join_bucketed,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(F.min("ts").alias("t0"))
+    w1 = base.select(
+        "event_type", F.concat(F.col("event_type"), F.lit(":w1"))
+        .alias("window_id"), F.col("t0").alias("w_start"),
+        (F.col("t0") + F.expr("INTERVAL 3 DAYS")).alias("w_end"))
+    w2 = base.select(
+        "event_type", F.concat(F.col("event_type"), F.lit(":w2"))
+        .alias("window_id"),
+        (F.col("t0") + F.expr("INTERVAL 10 DAYS")).alias("w_start"),
+        (F.col("t0") + F.expr("INTERVAL 13 DAYS")).alias("w_end"))
+    windows = (w1.unionByName(w2)
+               .withColumnRenamed("event_type", "w_event_type"))
+    joined = range_join_bucketed(ev.select("event_id", "event_type", "ts"),
+                                 "ts", windows, "w_start", "w_end")
+    # a maintenance calendar is keyed by system: exact type equality
+    return (joined
+            .filter(F.col("event_type") == F.col("w_event_type"))
+            .groupBy("window_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event")))
+
+
+RJ1_ORACLE = """
+WITH base AS (SELECT event_type, MIN(ts) AS t0 FROM events
+              GROUP BY event_type),
+windows AS (
+  SELECT event_type, event_type || ':w1' AS window_id, t0 AS w_start,
+         t0 + INTERVAL 3 DAY AS w_end FROM base
+  UNION ALL
+  SELECT event_type, event_type || ':w2', t0 + INTERVAL 10 DAY,
+         t0 + INTERVAL 13 DAY FROM base)
+SELECT w.window_id, COUNT(*) AS n_events, MIN(e.event_id) AS first_event,
+       MAX(e.event_id) AS last_event
+FROM events e JOIN windows w
+  ON e.event_type = w.event_type
+ AND e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Coverage completions: J2/J9/E4/F1/F6/W2/A3
 # --------------------------------------------------------------------------
@@ -1392,6 +1444,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("asof1_config_at_event_time", asof1_config_at_event_time,
               ASOF1_ORACLE, doc="as-of point-in-time join",
               tags=("join", "window")),
+    QuerySpec("rj1_events_in_windows", rj1_events_in_windows, RJ1_ORACLE,
+              doc="bucketed range join", tags=("join",)),
     QuerySpec("s1_prefix_listing", s1_prefix_listing, S1_ORACLE, tags=("scan",)),
     QuerySpec("s2_point_lookup", s2_point_lookup, S2_ORACLE, tags=("scan",)),
     QuerySpec("s3_subject_version_lookup", s3_subject_version_lookup,

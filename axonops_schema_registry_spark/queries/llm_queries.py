@@ -299,6 +299,34 @@ FROM per_doc
 """
 
 
+def sk1_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token counting three ways per source: exact
+    COUNT(DISTINCT), Spark's built-in HLL++ (approx_count_distinct, the
+    production path), and the KMV sketch estimate (operators.sketch —
+    mergeable as plain arrays, the COUNT DISTINCT analogue of the
+    hypertable rollup).  Deterministic, but only the exact column is
+    SQL-portable, so the driver records the rows-only check; estimator
+    accuracy (±8%) and merge associativity are pinned in pytest."""
+    from axonops_schema_registry_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source",
+                       F.explode(F.split("text", " ")).alias("token"))
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("token").alias("exact_distinct"),
+        F.approx_count_distinct("token").alias("hll_estimate"))
+    kmv = kmv_sketch(toks, ["source"], "token", k=256)
+    est = kmv.select("source",
+                     F.round(kmv_estimate(F.col("kmv"), 256), 2)
+                     .alias("kmv_estimate"))
+    return (exact.join(est, "source")
+            .select("source", "exact_distinct", "hll_estimate",
+                    "kmv_estimate"))
+
+
 def tx1_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword-profile scoring (pure column expressions)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -472,6 +500,8 @@ SPECS: list[QuerySpec] = [
               DD5_ORACLE, tags=("llm", "dedup")),
     QuerySpec("tx6_token_rarity", tx6_token_rarity, TX6_ORACLE,
               tags=("llm", "text")),
+    QuerySpec("sk1_distinct_sketches", sk1_distinct_sketches, None,
+              tags=("llm", "sketch")),
     # nn1 is the exact-oracle baseline; the BENCH headline is the LSH
     # path — the crossJoin must never be the number we optimize, it is a
     # cartesian product at 100x corpus (round-1 verdict item 4)

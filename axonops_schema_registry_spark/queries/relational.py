@@ -1231,6 +1231,54 @@ GROUP BY w.window_id
 """
 
 
+def hr1_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: hourly → daily → weekly,
+    each grain re-aggregated FROM the previous one, never from raw —
+    the continuous-aggregate pattern that makes coarse grains O(fine
+    buckets) instead of O(events) at 100 TB.  count/sum/min/max
+    re-aggregate losslessly (avg derives from sum/count at read time);
+    the oracle computes weekly straight from raw, proving the cascade
+    exact."""
+    ev = _t(spark, sf_dir, "events")
+    # the running sums stay DECIMAL through every grain (exact,
+    # associative re-aggregation); only the final output casts to double
+    hourly = (ev.groupBy(F.col("event_type"),
+                         F.date_trunc("hour", "ts").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("value").cast("decimal(18,3)"))
+                   .alias("sum_value"),
+                   F.min("value").alias("min_value"),
+                   F.max("value").alias("max_value")))
+    daily = (hourly.groupBy("event_type",
+                            F.date_trunc("day", "bucket").alias("bucket"))
+             .agg(F.sum("n").alias("n"),
+                  F.sum("sum_value").alias("sum_value"),
+                  F.min("min_value").alias("min_value"),
+                  F.max("max_value").alias("max_value")))
+    weekly = (daily.groupBy("event_type",
+                            F.date_trunc("week", "bucket").alias("bucket"))
+              .agg(F.sum("n").alias("n"),
+                   F.sum("sum_value").alias("sum_value"),
+                   F.min("min_value").alias("min_value"),
+                   F.max("max_value").alias("max_value")))
+    return weekly.select(
+        "event_type",
+        F.date_format("bucket", TS_FMT_SPARK).alias("week"),
+        "n", F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value", "max_value")
+
+
+HR1_ORACLE = f"""
+SELECT event_type,
+       strftime(date_trunc('week', ts), '{TS_FMT_DUCK}') AS week,
+       COUNT(*) AS n,
+       {dsum_expr('value', 3)} AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events
+GROUP BY event_type, date_trunc('week', ts)
+"""
+
+
 # --------------------------------------------------------------------------
 # Coverage completions: J2/J9/E4/F1/F6/W2/A3
 # --------------------------------------------------------------------------
@@ -1446,6 +1494,8 @@ SPECS: list[QuerySpec] = [
               tags=("join", "window")),
     QuerySpec("rj1_events_in_windows", rj1_events_in_windows, RJ1_ORACLE,
               doc="bucketed range join", tags=("join",)),
+    QuerySpec("hr1_hypertable_rollup", hr1_hypertable_rollup, HR1_ORACLE,
+              doc="hierarchical continuous aggregate", tags=("agg",)),
     QuerySpec("s1_prefix_listing", s1_prefix_listing, S1_ORACLE, tags=("scan",)),
     QuerySpec("s2_point_lookup", s2_point_lookup, S2_ORACLE, tags=("scan",)),
     QuerySpec("s3_subject_version_lookup", s3_subject_version_lookup,

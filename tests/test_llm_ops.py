@@ -123,3 +123,34 @@ def test_lsh_ann_sims_match_exact(spark, sf_dir):
              for r in cosine_topk(queries, corpus, k=490).collect()}
     for r in lsh_ann_topk(queries, corpus, k=5).collect():
         assert exact[(r.query_id, r.corpus_id)] == r.cosine_sim
+
+
+def test_kmv_sketch_accuracy_and_merge(spark, sf_dir):
+    """KMV estimate within ~8% of exact at k=256 (expected rsd ~6%);
+    merging two half-corpus sketches equals sketching the union."""
+    from pyspark.sql import functions as F
+
+    from axonops_schema_registry_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.lit("all").alias("g"),
+                       F.explode(F.split("text", " ")).alias("token"),
+                       "doc_id")
+    exact = toks.select("token").distinct().count()
+    est = kmv_sketch(toks, ["g"], "token", 256) \
+        .select(kmv_estimate(F.col("kmv"), 256).alias("e")).collect()[0]["e"]
+    assert abs(est - exact) / exact < 0.08, (est, exact)
+
+    # mergeability: sketch(left) ⊕ sketch(right) == sketch(all)
+    left = kmv_sketch(toks.filter(F.col("doc_id") % 2 == 0), ["g"],
+                      "token", 256).select(F.col("kmv").alias("a"))
+    right = kmv_sketch(toks.filter(F.col("doc_id") % 2 == 1), ["g"],
+                       "token", 256).select(F.col("kmv").alias("b"))
+    merged = left.crossJoin(right).select(
+        kmv_merge(F.col("a"), F.col("b"), 256).alias("kmv"))
+    whole = kmv_sketch(toks, ["g"], "token", 256)
+    assert merged.collect()[0]["kmv"] == whole.collect()[0]["kmv"]

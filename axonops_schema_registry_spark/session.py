@@ -34,6 +34,12 @@ def get_spark(app_name: str = "axonops-schema-registry-spark",
         # files; split small so scans use the cores.  On a real cluster
         # with properly-sized files leave this at the 128m default.
         .config("spark.sql.files.maxPartitionBytes", "4m")
+        # NOTE on runtime filters: bloom-filter join pruning
+        # (spark.sql.optimizer.runtime.bloomFilter.enabled) is on by
+        # default in Spark 4 and is the right 100 TB behavior; forcing
+        # semiJoinReduction on top was measured to slow the local suite
+        # ~5x (per-join aggregate subqueries dominate at test scale), so
+        # it stays at its default.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

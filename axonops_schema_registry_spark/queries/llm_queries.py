@@ -459,10 +459,10 @@ dup_members AS (
   SELECT DISTINCT id_a AS doc_id FROM dup_pairs
   UNION SELECT DISTINCT id_b FROM dup_pairs)
 SELECT source, COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
-       SUM(n_chars) AS total_chars,
-       SUM(CASE WHEN doc_id IN (SELECT doc_id FROM dup_members)
-                THEN 1 ELSE 0 END) AS n_near_dup_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM dup_members)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_docs,
        CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS DOUBLE)
          / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
          AS distinct_token_ratio

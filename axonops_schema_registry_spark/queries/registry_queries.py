@@ -486,8 +486,8 @@ def j8_kek_dek_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 J8_ORACLE = """
 SELECT event_type AS kek_name, COUNT(*) AS n_deks,
-       SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
-                THEN 1 ELSE 0 END) AS n_expired,
+       CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
        CAST(COUNT(*) AS INT) AS latest_version
 FROM events GROUP BY event_type
 """
@@ -551,8 +551,8 @@ rewrapped AS (
   FROM deks d JOIN keks k ON d.kek_name = k.kek_name)
 SELECT kek_name, action, wrapped_with_version, COUNT(*) AS n_deks,
        COUNT(DISTINCT new_material) AS n_distinct_wrapped,
-       SUM(CASE WHEN new_material = old_material THEN 1 ELSE 0 END)
-         AS n_unchanged
+       CAST(SUM(CASE WHEN new_material = old_material THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_unchanged
 FROM rewrapped GROUP BY kek_name, action, wrapped_with_version
 """
 
@@ -981,8 +981,9 @@ SELECT CASE WHEN user_id % 4 = 0 THEN 'admin'
             WHEN user_id % 4 = 2 THEN 'readonly'
             ELSE 'readwrite' END AS role,
        COUNT(*) AS n_users,
-       SUM(CASE WHEN user_id % 10 <> 0 THEN 1 ELSE 0 END) AS n_enabled,
-       SUM(n_requests) AS n_requests
+       CAST(SUM(CASE WHEN user_id % 10 <> 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_enabled,
+       CAST(SUM(n_requests) AS BIGINT) AS n_requests
 FROM users GROUP BY 1
 """
 

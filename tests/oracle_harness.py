@@ -1,9 +1,17 @@
 """Local replica of the driver's DuckDB-oracle hash compare.
 
 Runs a spec's Spark DataFrame and its DuckDB oracle on the same parquet
-tables and asserts the collected row multisets are EXACTLY equal (columns
-sorted by name, order-insensitive, bit-exact values).  If a query passes
-here it should hash-match in the driver's CORRECTNESS gate.
+tables and asserts the row multisets are EXACTLY equal (columns sorted by
+name, order-insensitive, bit-exact values).  If a query passes here it
+should hash-match in the driver's CORRECTNESS gate.
+
+CRITICAL FIDELITY NOTE (round-3 fix): the driver canonicalizes BOTH sides
+through pandas (`toPandas()` / `fetchdf()`), so this harness must too.
+Rounds 1-2 fetched the oracle via ``fetchall`` (lossless Python ints),
+which silently blessed oracles whose uncast ``SUM(...)`` DuckDB returns as
+HUGEINT: pandas coerces HUGEINT to float64 while Spark's bigint stays
+int64, so the driver hash-failed four specs the local harness passed.
+Going through pandas on both sides makes local green predict driver green.
 """
 
 from __future__ import annotations
@@ -14,6 +22,8 @@ import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -28,21 +38,32 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    """Normalize one pandas-sourced cell to a comparable tagged tuple.
+
+    Both sides arrive through pandas, so dtype coercions (HUGEINT→float64,
+    nullable int→float64, timestamp→Timestamp) have already happened
+    identically to the driver; here we only canonicalize the Python-level
+    representation."""
+    if v is None or v is pd.NaT:
+        return ("null",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("int", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("float", "nan")
+        return ("float", repr(f))
     if isinstance(v, decimal.Decimal):
         return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("float", "nan")
-        return ("float", repr(v))
+    if isinstance(v, pd.Timestamp):
+        return ("ts", v.isoformat())
     if isinstance(v, (datetime.datetime, datetime.date)):
         return ("ts", v.isoformat())
-    if isinstance(v, bool):
-        return ("bool", v)
-    if isinstance(v, int):
-        return ("int", v)
-    if v is None:
-        return ("null",)
-    if isinstance(v, list):
+    if isinstance(v, np.ndarray):
+        return ("list", tuple(_norm(x) for x in v.tolist()))
+    if isinstance(v, (list, tuple)):
         return ("list", tuple(_norm(x) for x in v))
     return (type(v).__name__, str(v))
 
@@ -51,19 +72,19 @@ def _row_key(row):
     return tuple(str(x) for x in row)
 
 
-def spark_result(spark, spec, sf_dir: str):
-    df = spec.build(spark, sf_dir)
+def _frame_result(df: pd.DataFrame):
     cols = sorted(df.columns)
-    rows = [tuple(_norm(r[c]) for c in cols) for r in df.collect()]
+    df = df[cols]
+    rows = [tuple(_norm(v) for v in rec) for rec in df.itertuples(index=False)]
     return cols, sorted(rows, key=_row_key)
 
 
+def spark_result(spark, spec, sf_dir: str):
+    return _frame_result(spec.build(spark, sf_dir).toPandas())
+
+
 def oracle_result(con, spec):
-    cur = con.execute(spec.oracle)
-    cols = [d[0] for d in cur.description]
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = [tuple(_norm(r[i]) for i in order) for r in cur.fetchall()]
-    return sorted(cols), sorted(rows, key=_row_key)
+    return _frame_result(con.execute(spec.oracle).fetchdf())
 
 
 def compare(spark, con, spec, sf_dir: str) -> None:

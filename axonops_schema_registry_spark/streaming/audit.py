@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 #: Structured audit event (FIXTURES.md §2 / audit.go:166-209, abridged to
 #: the driver corpus's observable fields).
@@ -43,8 +44,15 @@ def audit_stream_from_events(spark: SparkSession, source_dir: str,
     channel-buffer analog, audit.go:229-234).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Sniff the file footer's ts type with a batch read so the stream's
+    # user-supplied schema matches the actual parquet physical type
+    # (nanos-as-LONG generator runs vs TIMESTAMP(MICROS) runs).
+    footer = spark.read.parquet(source_dir)
+    ts_ddl = ("ts bigint"
+              if isinstance(footer.schema["ts"].dataType, LongType)
+              else "ts timestamp_ntz")
     raw = (spark.readStream
-           .schema("event_id bigint, ts bigint, user_id bigint, "
+           .schema(f"event_id bigint, {ts_ddl}, user_id bigint, "
                    "event_type string, value double, props string")
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .parquet(source_dir))
@@ -72,10 +80,18 @@ def audit_stream_from_kafka(spark: SparkSession, bootstrap_servers: str,
 
 
 def normalize_audit(raw: DataFrame) -> DataFrame:
-    """events → audit-event shape (works on batch and stream inputs)."""
-    ts = F.when(F.col("ts").cast("string").rlike("^[0-9]+$"),
-                F.timestamp_micros(F.expr("CAST(ts AS BIGINT) div 1000"))) \
-        .otherwise(F.col("ts").cast("timestamp"))
+    """events → audit-event shape (works on batch and stream inputs).
+
+    ``ts`` arrives either as nanos-in-a-LONG (legacy generator +
+    nanosAsLong) or as a real TIMESTAMP/TIMESTAMP_NTZ.  Branch on the
+    dtype in PYTHON — Spark type-checks every CASE branch at analysis
+    time, so an illegal ``CAST(ts AS BIGINT)`` in a never-taken branch
+    still throws DATATYPE_MISMATCH on timestamp inputs.
+    """
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
     return raw.select(
         "event_id",
         ts.alias("ts"),

@@ -136,16 +136,21 @@ def range_join_bucketed(left: DataFrame, ts_col: str,
     l.ts < r.end`` join is Catalyst's BroadcastNestedLoop — correct but
     quadratic when intervals outgrow broadcast; this shape never is.
     """
-    b = F.lit(bucket_seconds)
+    # Bucket ids are derived from MICROSECONDS, not unix_timestamp():
+    # unix_timestamp truncates sub-second precision, so an interval
+    # ending just past a bucket boundary (e.g. end = boundary + 0.5 s)
+    # would under-cover its last bucket and silently drop matches.
+    bus = F.lit(bucket_seconds * 1_000_000)
     iv = intervals.withColumn(
         "__bucket",
         F.explode(F.sequence(
-            (F.unix_timestamp(start_col) / b).cast("long"),
-            # end is exclusive: a bucket is covered iff start of the
-            # next second still falls inside
-            ((F.unix_timestamp(end_col) - 1) / b).cast("long"))))
+            F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / bus),
+            # end is exclusive: the last covered instant is end - 1 µs
+            F.floor((F.unix_micros(F.col(end_col).cast("timestamp")) - 1)
+                    / bus))))
     lt = left.withColumn(
-        "__bucket", (F.unix_timestamp(ts_col) / b).cast("long"))
+        "__bucket",
+        F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / bus))
     return (lt.join(iv, "__bucket")
             .filter((F.col(ts_col) >= F.col(start_col))
                     & (F.col(ts_col) < F.col(end_col)))
@@ -162,32 +167,43 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str,
     Spark has no native ASOF join; the declarative re-expression is the
     union + running-last-value window: tag both sides, sort the merged
     stream by (key, ts, side) with the right side first on ties so a
-    same-timestamp snapshot IS visible to the event, carry each value
-    column forward with ``last(ignorenulls)``, keep left rows.
+    same-timestamp snapshot IS visible to the event, carry the snapshot
+    forward with ``last(ignorenulls)``, keep left rows.
+
+    The carried value is ONE struct of all value columns + the snapshot
+    ts — carrying columns independently would let a snapshot with a
+    legitimately-NULL column inherit that column from an OLDER snapshot
+    (the ignorenulls skip applies per column).  The struct itself is
+    never NULL for right rows, so ignorenulls only skips left rows.
 
     ONE shuffle of left+right together, window state bounded per key —
     the same cost as a single sort-merge join; no range-explode, no n².
     Rows with no prior snapshot keep NULL values (ASOF LEFT semantics).
     """
-    lt = left.withColumn("__ts", F.col(left_ts)).withColumn(
-        "__side", F.lit(1))
-    for c in value_cols:
-        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    lt = lt.withColumn("__rts",
-                       F.lit(None).cast(right.schema[right_ts].dataType))
+    from pyspark.sql.types import StructField, StructType
+
+    snap_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [StructField("__rts", right.schema[right_ts].dataType)])
+    lt = (left.withColumn("__ts", F.col(left_ts))
+          .withColumn("__side", F.lit(1))
+          .drop(*value_cols)
+          .withColumn("__snap", F.lit(None).cast(snap_type)))
     rt = right.select(
         F.col(key),
         F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
-        *[F.col(c) for c in value_cols],
-        F.col(right_ts).alias("__rts"))
+        F.struct(*[F.col(c) for c in value_cols],
+                 F.col(right_ts).alias("__rts")).alias("__snap"))
     for c in lt.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
     merged = lt.unionByName(rt.select(*lt.columns))
     w = (Window.partitionBy(key).orderBy("__ts", "__side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    for c in list(value_cols) + ["__rts"]:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return (merged.filter(F.col("__side") == 1)
-            .withColumnRenamed("__rts", "asof_ts")
-            .drop("__ts", "__side"))
+    merged = merged.withColumn(
+        "__snap", F.last("__snap", ignorenulls=True).over(w))
+    out = merged.filter(F.col("__side") == 1)
+    for c in value_cols:
+        out = out.withColumn(c, F.col("__snap")[c])
+    return (out.withColumn("asof_ts", F.col("__snap")["__rts"])
+            .drop("__ts", "__side", "__snap"))

@@ -20,33 +20,39 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
 _PRIORITY: tuple[str, ...] = (
+    # Round-4 rotation (VERDICT r3 ask #2): the 13 never-driver-verified
+    # specs take the slots of 13 multi-round-green specs (r1-r3, f13,
+    # fs1, fs2, j2, f6, q1, dd1, tx1-tx3 — all double-green, still
+    # guarded by tests/test_queries_oracle.py locally).
+    "asof1_config_at_event_time", "rj1_events_in_windows",
+    "hr1_hypertable_rollup", "aud1_audit_chain", "exp1_exporter_lifecycle",
+    "del1_delete_taxonomy", "dd5_cross_source_dup_matrix",
+    "tx6_token_rarity", "sk1_distinct_sketches", "a4c_cube_statistics",
+    "q4_order_priority", "q12_priority_linestatus", "q16_supplier_counts",
+    # round-4 new features
+    "del2_version_delete_taxonomy", "j8c_dek_undelete_lifecycle",
+    "lv1_context_level_resolution",
     # compat checkers + registration pipeline (registry family)
     "c1_compatibility_matrix", "c2_compat_messages", "c3_compat_with_refs",
     "rc1_version_chain_audit", "r4_registration_batch",
     "r7_registration_gated", "r8_delete_reregister", "s9_import_with_ids",
-    "mode1_write_gating",
-    "m1_metadata_merge", "r1_latest_live_schema", "r2_version_history",
-    "r3_schema_versions_view", "f13_field_extraction", "fs1_field_search",
-    "fs2_type_search", "a8r_schema_quality", "j4r_subject_similarity",
+    "mode1_write_gating", "m1_metadata_merge",
+    "a8r_schema_quality", "j4r_subject_similarity",
     "j8_kek_dek_lifecycle", "j8b_dek_rewrap", "j3r_reference_resolution",
     "j3d_dependency_closure", "x1_export_subject",
     "ctx1_multitenant_listing", "err1_lookup_taxonomy",
     "rv1_ruleset_validation", "u1_user_role_stats",
     "sg1_suggest_evolution", "v1_validate_normalize",
     # LLM pipeline operators
-    "dd1_exact_dedup", "dd2_minhash_lsh_dedup", "dd3_simhash_dedup",
+    "dd2_minhash_lsh_dedup", "dd3_simhash_dedup",
     "dd4_dedup_clusters", "nn1_cosine_topk", "nn2_lsh_ann_topk",
-    "nn3_ivf_ann_topk", "tx1_language_id", "tx2_token_stats",
-    "tx3_rolling_fingerprint", "tx4_char_entropy", "tx5_dataset_card",
+    "nn3_ivf_ann_topk", "tx4_char_entropy", "tx5_dataset_card",
     "mm1_multimodal_decode",
     # streaming
     "st2_filtered_cef_lines", "st6_rate_limit_flags",
     "st8_exporter_filter_rename",
-    # round-1 driver failures (fixed: arrays serialized) + flagship sample
-    # (q18/e3 rotated out after their round-1 green rows to make room for
-    # the round-2 advisory specs)
-    "j2_subjects_by_fingerprint", "f6_naming_variants",
-    "q1_pricing_summary", "ex1_explain_failure", "mp1_migration_path",
+    # round-1 driver failures (fixed: arrays serialized)
+    "ex1_explain_failure", "mp1_migration_path",
 )
 
 

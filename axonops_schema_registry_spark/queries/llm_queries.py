@@ -273,10 +273,16 @@ def tx6_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_tokens").cast("decimal(20,6)"))
     oov_rate = (F.col("n_oov").cast("decimal(20,6)")
                 / F.col("n_tokens").cast("decimal(20,6)"))
+    # Final cast to DOUBLE: DuckDB's DECIMAL comes back through fetchdf()
+    # as float64, so a DECIMAL-typed Spark column would hash-mismatch
+    # under the driver's pandas canonicalization.  The arithmetic stays
+    # exact in DECIMAL; only the last conversion is float, and
+    # decimal->double is correctly rounded identically in both engines.
     return per_doc.select(
         "doc_id", "n_tokens",
-        avg_freq.cast("decimal(20,6)").alias("avg_token_freq"),
-        oov_rate.cast("decimal(20,6)").alias("oov_rate"))
+        avg_freq.cast("decimal(20,6)").cast("double")
+        .alias("avg_token_freq"),
+        oov_rate.cast("decimal(20,6)").cast("double").alias("oov_rate"))
 
 
 TX6_ORACLE = """
@@ -290,11 +296,12 @@ per_doc AS (
   FROM toks t JOIN vocab v ON t.token = v.token
   GROUP BY t.doc_id)
 SELECT doc_id, n_tokens,
-       CAST(CAST(freq_mass AS DECIMAL(20,6))
-            / CAST(n_tokens AS DECIMAL(20,6)) AS DECIMAL(20,6))
+       CAST(CAST(CAST(freq_mass AS DECIMAL(20,6))
+            / CAST(n_tokens AS DECIMAL(20,6)) AS DECIMAL(20,6)) AS DOUBLE)
          AS avg_token_freq,
-       CAST(CAST(n_oov AS DECIMAL(20,6))
-            / CAST(n_tokens AS DECIMAL(20,6)) AS DECIMAL(20,6)) AS oov_rate
+       CAST(CAST(CAST(n_oov AS DECIMAL(20,6))
+            / CAST(n_tokens AS DECIMAL(20,6)) AS DECIMAL(20,6)) AS DOUBLE)
+         AS oov_rate
 FROM per_doc
 """
 

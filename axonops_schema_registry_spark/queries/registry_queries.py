@@ -1577,6 +1577,273 @@ FROM gated WHERE block IS NOT NULL
 """
 
 
+_DEL2_REQUESTS = [
+    # (subject, version, permanent): every branch of the taxonomy
+    ("src1", 1, False),     # soft delete a live version
+    ("src1", -1, False),    # "latest" sentinel → max LIVE version
+    ("src1", 999, False),   # unknown version → 40402
+    ("src1", 0, False),     # invalid version id → 42202
+    ("src1", 2, True),      # permanent without prior soft delete?
+    ("src0", -1, True),     # "latest" sentinel permanent → max DELETED
+    ("src0", 1, False),     # soft-deleting an already-deleted version
+    ("ghost", 1, False),    # unknown subject → 40401
+    ("ghost", 0, True),     # invalid version beats unknown subject
+]
+
+
+def del2_version_delete_taxonomy(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Version-level delete taxonomy (DELETE /subjects/{s}/versions/{v},
+    handlers.go:880-935, registry.go:623-676): version ids must be in
+    [1, 2^31-1] or the sentinel ``latest``/-1 (42202 otherwise, parsed
+    BEFORE any storage access); soft delete resolves ``latest`` against
+    LIVE versions and rejects already-deleted or unknown versions with
+    40402 (GetSchemaBySubjectVersion filters deleted rows); permanent
+    delete resolves ``latest`` against SOFT-DELETED versions, requires
+    the version be soft-deleted first (40405), and unknown subjects are
+    40401.  Successful deletes report the RESOLVED version number."""
+    corpus = registry_corpus(spark, sf_dir)
+    per_subj = corpus.groupBy("subject").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.max(F.when(~F.col("deleted"), F.col("version"))).alias("max_live"),
+        F.max(F.when(F.col("deleted"), F.col("version")))
+        .alias("max_deleted"))
+    requests = spark.createDataFrame(
+        _DEL2_REQUESTS, "subject string, version int, permanent boolean")
+    req = requests.join(F.broadcast(per_subj), "subject", "left")
+    resolved = F.when(
+        F.col("version") == -1,
+        F.when(F.col("permanent"), F.col("max_deleted"))
+         .otherwise(F.col("max_live"))).otherwise(F.col("version"))
+    req = req.withColumn("resolved_version", resolved)
+    ver = corpus.select("subject",
+                        F.col("version").alias("resolved_version"),
+                        F.col("deleted").alias("ver_deleted"))
+    j = req.join(ver, ["subject", "resolved_version"], "left")
+    status = (
+        F.when((F.col("version") < -1) | (F.col("version") == 0),
+               "invalid_version_42202")
+        .when(F.col("n_total").isNull(), "subject_not_found_40401")
+        .when(F.col("ver_deleted").isNull(), "version_not_found_40402")
+        .when(~F.col("permanent") & ~F.col("ver_deleted"),
+              "soft_deleted_200")
+        .when(~F.col("permanent"), "version_not_found_40402")
+        .when(F.col("ver_deleted"), "permanently_deleted_200")
+        .otherwise("not_soft_deleted_40405"))
+    return j.select(
+        "subject", "version", "permanent", status.alias("status"),
+        F.when(status.endswith("_200"), F.col("resolved_version"))
+         .cast("int").alias("resolved_version"))
+
+
+DEL2_ORACLE = f"""
+WITH corpus AS ({corpus_cte()}),
+per_subj AS (
+  SELECT subject, COUNT(*) AS n_total,
+         MAX(CASE WHEN NOT deleted THEN version END) AS max_live,
+         MAX(CASE WHEN deleted THEN version END) AS max_deleted
+  FROM corpus GROUP BY subject),
+requests(subject, version, permanent) AS (VALUES
+    ('src1', 1, FALSE), ('src1', -1, FALSE), ('src1', 999, FALSE),
+    ('src1', 0, FALSE), ('src1', 2, TRUE), ('src0', -1, TRUE),
+    ('src0', 1, FALSE), ('ghost', 1, FALSE), ('ghost', 0, TRUE)),
+req AS (
+  SELECT r.subject, r.version, r.permanent, p.n_total,
+         CASE WHEN r.version = -1
+              THEN CASE WHEN r.permanent THEN p.max_deleted
+                        ELSE p.max_live END
+              ELSE r.version END AS resolved_version
+  FROM requests r LEFT JOIN per_subj p ON r.subject = p.subject),
+j AS (
+  SELECT q.*, c.deleted AS ver_deleted
+  FROM req q LEFT JOIN corpus c
+    ON q.subject = c.subject AND q.resolved_version = c.version),
+labeled AS (
+  SELECT subject, version, permanent, resolved_version,
+         CASE WHEN version < -1 OR version = 0 THEN 'invalid_version_42202'
+              WHEN n_total IS NULL THEN 'subject_not_found_40401'
+              WHEN ver_deleted IS NULL THEN 'version_not_found_40402'
+              WHEN NOT permanent AND NOT ver_deleted THEN 'soft_deleted_200'
+              WHEN NOT permanent THEN 'version_not_found_40402'
+              WHEN ver_deleted THEN 'permanently_deleted_200'
+              ELSE 'not_soft_deleted_40405' END AS status
+  FROM j)
+SELECT subject, version, permanent, status,
+       CAST(CASE WHEN status LIKE '%_200' THEN resolved_version END AS INT)
+         AS resolved_version
+FROM labeled
+"""
+
+
+#: DEK lifecycle op log derived from events: op kind from event_id mod 4,
+#: key = (event_type, user_id mod 5), op order = event_id.
+_J8C_OPS = ("create", "soft_delete", "undelete", "permanent_delete")
+
+
+def _dek_op_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = model.load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("kek_name"),
+        (F.col("user_id") % 5).cast("int").alias("dek_version"),
+        F.col("event_id"),
+        F.element_at(F.array(*[F.lit(o) for o in _J8C_OPS]),
+                     (F.col("event_id") % 4 + 1).cast("int")).alias("op"))
+
+
+def j8c_dek_undelete_lifecycle(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """DEK soft-delete → undelete → permanent-delete lifecycle
+    (registry_dek.go:104-127 Delete/UndeleteDEK; memory/store.go:
+    1915-2030): replay an op log per (kek, version) through the exact
+    storage-layer state machine — create on an existing key is
+    ErrDEKExists (no state change), soft delete of an absent key and
+    undelete of a non-deleted key are ErrDEKNotFound, permanent delete
+    purges regardless of the soft flag, and a purged key CAN be
+    re-created.  The fold is inherently sequential per key (same
+    cogrouped shape as the registration gate — keys parallelize, each
+    group's state is O(1)); rolled up per KEK: final live / soft-deleted
+    / purged counts plus how many ops the store rejected."""
+    ops = _dek_op_log(spark, sf_dir)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        state, n_err = "absent", 0
+        for op in pdf["op"]:
+            if op == "create":
+                if state == "absent":
+                    state = "live"
+                else:
+                    n_err += 1          # ErrDEKExists
+            elif op == "soft_delete":
+                if state == "absent":
+                    n_err += 1          # ErrDEKNotFound
+                else:
+                    state = "deleted"
+            elif op == "undelete":
+                if state == "deleted":
+                    state = "live"
+                else:
+                    n_err += 1          # ErrDEKNotFound (not soft-deleted)
+            else:  # permanent_delete
+                if state == "absent":
+                    n_err += 1          # ErrDEKNotFound
+                else:
+                    state = "absent"
+        return pd.DataFrame([{
+            "kek_name": pdf["kek_name"].iloc[0],
+            "dek_version": int(pdf["dek_version"].iloc[0]),
+            "final_state": state, "n_rejected": n_err}])
+
+    per_key = ops.groupBy("kek_name", "dek_version").applyInPandas(
+        fold, "kek_name string, dek_version int, final_state string, "
+              "n_rejected long")
+    return (per_key.groupBy("kek_name")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum(F.when(F.col("final_state") == "live", 1)
+                       .otherwise(0)).alias("n_live"),
+                 F.sum(F.when(F.col("final_state") == "deleted", 1)
+                       .otherwise(0)).alias("n_soft_deleted"),
+                 F.sum(F.when(F.col("final_state") == "absent", 1)
+                       .otherwise(0)).alias("n_purged"),
+                 F.sum("n_rejected").alias("n_rejected_ops")))
+
+
+J8C_ORACLE = """
+WITH RECURSIVE ops AS (
+  SELECT event_type AS kek_name, CAST(user_id % 5 AS INT) AS dek_version,
+         event_id,
+         ['create','soft_delete','undelete','permanent_delete']
+           [CAST(event_id % 4 AS INT) + 1] AS op,
+         row_number() OVER (PARTITION BY event_type, user_id % 5
+                            ORDER BY event_id) AS rn
+  FROM events),
+fold AS (
+  SELECT kek_name, dek_version, rn,
+         CASE WHEN op = 'create' THEN 'live' ELSE 'absent' END AS state,
+         CASE WHEN op = 'create' THEN 0 ELSE 1 END AS n_err
+  FROM ops WHERE rn = 1
+  UNION ALL
+  SELECT o.kek_name, o.dek_version, o.rn,
+         CASE WHEN o.op = 'create' AND f.state = 'absent' THEN 'live'
+              WHEN o.op = 'soft_delete' AND f.state <> 'absent'
+                THEN 'deleted'
+              WHEN o.op = 'undelete' AND f.state = 'deleted' THEN 'live'
+              WHEN o.op = 'permanent_delete' AND f.state <> 'absent'
+                THEN 'absent'
+              ELSE f.state END AS state,
+         f.n_err + CASE
+              WHEN o.op = 'create' AND f.state <> 'absent' THEN 1
+              WHEN o.op = 'soft_delete' AND f.state = 'absent' THEN 1
+              WHEN o.op = 'undelete' AND f.state <> 'deleted' THEN 1
+              WHEN o.op = 'permanent_delete' AND f.state = 'absent' THEN 1
+              ELSE 0 END AS n_err
+  FROM ops o JOIN fold f
+    ON o.kek_name = f.kek_name AND o.dek_version = f.dek_version
+   AND o.rn = f.rn + 1),
+final AS (
+  SELECT kek_name, dek_version, state, n_err,
+         row_number() OVER (PARTITION BY kek_name, dek_version
+                            ORDER BY rn DESC) AS rr
+  FROM fold)
+SELECT kek_name, COUNT(*) AS n_keys,
+       CAST(SUM(CASE WHEN state = 'live' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_live,
+       CAST(SUM(CASE WHEN state = 'deleted' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_soft_deleted,
+       CAST(SUM(CASE WHEN state = 'absent' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purged,
+       CAST(SUM(n_err) AS BIGINT) AS n_rejected_ops
+FROM final WHERE rr = 1
+GROUP BY kek_name
+"""
+
+
+def lv1_context_level_resolution(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Context tier for compatibility levels (GetConfigFull's 4-tier
+    chain, registry.go:706-776) driving the registration gate: the same
+    incompatible candidate registers in ctx ``team-a`` (ctx-global NONE)
+    but is rejected in ``.`` and ``team-b`` (fall through to the
+    __GLOBAL context's BACKWARD), while ``order-value`` in ``.`` hits
+    its per-(ctx, subject) FORWARD row — the tier-1 override.  Histories
+    are ctx-scoped end to end (dedup, gate, version allocation)."""
+    rows = [
+        (".", "user-value", 1, "AVRO", model.AVRO_USER_V1),
+        (".", "order-value", 1, "AVRO", model.AVRO_USER_V2_BAD),
+        ("team-a", "user-value", 1, "AVRO", model.AVRO_USER_V1),
+        ("team-b", "user-value", 1, "AVRO", model.AVRO_USER_V1),
+    ]
+    existing = spark.createDataFrame(
+        rows, "registry_ctx string, subject string, version int, "
+              "schema_type string, schema_text string")
+    levels = spark.createDataFrame(
+        [("team-a", None, "NONE"),
+         ("__GLOBAL", None, "BACKWARD"),
+         (".", "order-value", "FORWARD")],
+        "registry_ctx string, subject string, level string")
+    incoming = spark.createDataFrame(
+        [(".", "user-value", 1, "AVRO", model.AVRO_USER_V2_BAD),
+         ("team-a", "user-value", 2, "AVRO", model.AVRO_USER_V2_BAD),
+         ("team-b", "user-value", 3, "AVRO", model.AVRO_USER_V2_BAD),
+         (".", "order-value", 4, "AVRO", model.AVRO_USER_V1),
+         ("team-a", "order-value", 5, "AVRO", model.AVRO_USER_V1)],
+        "registry_ctx string, subject string, seq int, "
+        "schema_type string, schema_text string")
+    return register_batch(spark, existing, incoming, mode="BACKWARD",
+                          levels=levels, ctx_col="registry_ctx")
+
+
+LV1_ORACLE = """
+SELECT * FROM (VALUES
+    ('.', 'user-value', 1, 'incompatible', NULL, 1),
+    ('team-a', 'user-value', 2, 'registered', 2, 0),
+    ('team-b', 'user-value', 3, 'incompatible', NULL, 1),
+    ('.', 'order-value', 4, 'incompatible', NULL, 1),
+    ('team-a', 'order-value', 5, 'registered', 1, 0)
+) AS t(registry_ctx, subject, seq, status, assigned_version, n_issues)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("r1_latest_live_schema", r1_latest_live_schema, R1_ORACLE,
               tags=("registry", "window")),
@@ -1646,4 +1913,10 @@ SPECS: list[QuerySpec] = [
               EXP1_ORACLE, tags=("registry", "streaming", "agg")),
     QuerySpec("aud1_audit_chain", aud1_audit_chain, AUD1_ORACLE,
               tags=("registry", "streaming", "iterative")),
+    QuerySpec("del2_version_delete_taxonomy", del2_version_delete_taxonomy,
+              DEL2_ORACLE, tags=("registry", "filter")),
+    QuerySpec("j8c_dek_undelete_lifecycle", j8c_dek_undelete_lifecycle,
+              J8C_ORACLE, tags=("registry", "iterative", "udf")),
+    QuerySpec("lv1_context_level_resolution", lv1_context_level_resolution,
+              LV1_ORACLE, tags=("registry", "pipeline", "compat", "udf")),
 ]

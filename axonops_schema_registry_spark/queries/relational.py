@@ -1491,11 +1491,12 @@ SPECS: list[QuerySpec] = [
               doc="anti-join + count-distinct", tags=("join",)),
     QuerySpec("asof1_config_at_event_time", asof1_config_at_event_time,
               ASOF1_ORACLE, doc="as-of point-in-time join",
-              tags=("join", "window")),
+              tags=("join", "window"), bench=True),
     QuerySpec("rj1_events_in_windows", rj1_events_in_windows, RJ1_ORACLE,
-              doc="bucketed range join", tags=("join",)),
+              doc="bucketed range join", tags=("join",), bench=True),
     QuerySpec("hr1_hypertable_rollup", hr1_hypertable_rollup, HR1_ORACLE,
-              doc="hierarchical continuous aggregate", tags=("agg",)),
+              doc="hierarchical continuous aggregate", tags=("agg",),
+              bench=True),
     QuerySpec("s1_prefix_listing", s1_prefix_listing, S1_ORACLE, tags=("scan",)),
     QuerySpec("s2_point_lookup", s2_point_lookup, S2_ORACLE, tags=("scan",)),
     QuerySpec("s3_subject_version_lookup", s3_subject_version_lookup,

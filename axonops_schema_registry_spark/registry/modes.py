@@ -113,6 +113,60 @@ def with_resolved_mode(df: DataFrame, modes: DataFrame,
                      "__global_glob"))
 
 
+def with_resolved_level(df: DataFrame, levels: DataFrame,
+                        subject_col: str = "subject",
+                        ctx_col: str | None = None,
+                        default: str = "BACKWARD") -> DataFrame:
+    """Attach ``resolved_level`` (compatibility level) per the reference's
+    GetConfigFull 4-tier chain (registry.go:706-776):
+
+    - ``levels`` = (subject nullable, level): subject config → global row
+      → ``default`` (the 3-tier shape j6/r7 already used).
+    - ``levels`` = (registry_ctx, subject nullable, level) AND ``ctx_col``
+      given: per-(ctx, subject) config → ctx-level global → __GLOBAL
+      context global → ``default``.  Unlike modes there is NO kill
+      switch — levels only fall through.
+
+    Configuration-sized broadcast joins only; ``df`` never shuffles.
+    """
+    if ctx_col is None or "registry_ctx" not in levels.columns:
+        subj = (levels.filter(F.col("subject").isNotNull())
+                .select(F.col("subject").alias(subject_col),
+                        F.col("level").alias("__subject_level")))
+        glob = (levels.filter(F.col("subject").isNull())
+                .agg(F.max("level").alias("__global_level")))
+        out = (df.join(F.broadcast(subj), subject_col, "left")
+                 .crossJoin(F.broadcast(glob)))
+        resolved = F.upper(F.coalesce(F.col("__subject_level"),
+                                      F.col("__global_level"),
+                                      F.lit(default)))
+        return (out.withColumn("resolved_level", resolved)
+                   .drop("__subject_level", "__global_level"))
+
+    globals_ = levels.filter(F.col("subject").isNull())
+    subj = (levels.filter(F.col("subject").isNotNull())
+            .select(F.col("registry_ctx").alias(ctx_col),
+                    F.col("subject").alias(subject_col),
+                    F.col("level").alias("__subject_level")))
+    ctx_glob = (globals_
+                .filter(F.col("registry_ctx") != GLOBAL_CONTEXT)
+                .select(F.col("registry_ctx").alias(ctx_col),
+                        F.col("level").alias("__ctx_level")))
+    global_glob = (globals_
+                   .filter(F.col("registry_ctx") == GLOBAL_CONTEXT)
+                   .agg(F.max("level").alias("__global_level")))
+    out = (df
+           .join(F.broadcast(subj), [ctx_col, subject_col], "left")
+           .join(F.broadcast(ctx_glob), ctx_col, "left")
+           .crossJoin(F.broadcast(global_glob)))
+    resolved = F.upper(F.coalesce(F.col("__subject_level"),
+                                  F.col("__ctx_level"),
+                                  F.col("__global_level"),
+                                  F.lit(default)))
+    return (out.withColumn("resolved_level", resolved)
+               .drop("__subject_level", "__ctx_level", "__global_level"))
+
+
 def write_block_status(mode_col: str = "resolved_mode") -> Column:
     """NULL when writes are allowed, else the blocking status string for
     NORMAL registration (no explicit ID)."""

@@ -94,7 +94,8 @@ def register_batch(spark: SparkSession, existing: DataFrame,
                    native_fingerprint: bool = False,
                    modes: DataFrame | None = None,
                    levels: DataFrame | None = None,
-                   group_col: str | None = None) -> DataFrame:
+                   group_col: str | None = None,
+                   ctx_col: str | None = None) -> DataFrame:
     """Process a registration batch.
 
     ``existing``: (subject, version, schema_type, schema_text[, deleted])
@@ -109,12 +110,20 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     fingerprint/compat work — mirroring CheckModeForWrite running ahead
     of the write path (registry_helpers.go:14, handlers.go:605-660).
 
-    ``levels``: optional (subject nullable, level) configured
-    compatibility table — per subject the gate uses subject level →
-    global row → ``mode`` default, the reference's GetConfigFull chain
-    (registry.go:1342-1360; j6_config_fallback is the read-side twin).
-    One broadcast join; the sequential gate reads the resolved level
-    per subject group.
+    ``levels``: optional configured-compatibility table — per subject
+    the gate uses subject level → global row → ``mode`` default, the
+    reference's GetConfigFull chain (registry.go:706-776;
+    j6_config_fallback is the read-side twin).  With ``ctx_col`` set and
+    a (registry_ctx, subject, level) table, the FULL 4-tier chain
+    applies: per-(ctx, subject) → ctx global → __GLOBAL context global
+    → ``mode``.  Broadcast joins only; the sequential gate reads the
+    resolved level per group.
+
+    ``ctx_col``: multi-tenant context column present in BOTH ``existing``
+    and ``incoming`` (the reference scopes every registry operation by
+    context, registrycontext): dedup, the compat gate, and version
+    allocation all key on (ctx, subject) — histories in other contexts
+    are invisible.
 
     ``group_col``: compatibility-group column name present in BOTH
     ``existing`` and ``incoming`` (the metadata property the subject's
@@ -135,6 +144,7 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     """
     ship_package(spark)
     mode = (mode or "BACKWARD").upper()
+    base_keys = ([ctx_col] if ctx_col else []) + ["subject"]
 
     # -- stage 0: write-mode gate (before any schema work) -----------------
     blocked = None
@@ -144,10 +154,11 @@ def register_batch(spark: SparkSession, existing: DataFrame,
             write_block_status,
         )
 
-        flagged = with_resolved_mode(incoming, modes) \
+        flagged = with_resolved_mode(incoming, modes, ctx_col=ctx_col) \
             .withColumn("__block", write_block_status())
         blocked = flagged.filter(F.col("__block").isNotNull()).select(
-            "subject", "seq", F.col("__block").alias("status"),
+            *(([ctx_col] if ctx_col else []) + ["subject"]), "seq",
+            F.col("__block").alias("status"),
             F.lit(None).cast("int").alias("assigned_version"),
             F.lit(0).alias("n_issues"))
         incoming = (flagged.filter(F.col("__block").isNull())
@@ -175,7 +186,7 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     # -- stage 2: dedup vs the existing corpus (live rows only) -----------
     # with a compatibility group, idempotency scopes to the group too
     # (reference dedup requires metadata equality, registry.go:121-131)
-    dup_keys = ["subject", "fingerprint"] + ([group_col] if group_col else [])
+    dup_keys = base_keys + ["fingerprint"] + ([group_col] if group_col else [])
     dup_vs_existing = existing_live.select(*dup_keys).distinct() \
         .withColumn("dup_existing", F.lit(True))
     inc = (inc
@@ -185,7 +196,7 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     candidates = inc.filter(~F.col("dup_existing"))
 
     # -- stage 3: compatibility gate --------------------------------------
-    gate_keys = ["subject"] + ([group_col] if group_col else [])
+    gate_keys = base_keys + ([group_col] if group_col else [])
     if mode == "NONE" and levels is None:
         # no gate → every non-duplicate registers; sequential semantics
         # degenerate to first-occurrence-wins, expressible declaratively
@@ -199,25 +210,19 @@ def register_batch(spark: SparkSession, existing: DataFrame,
              .otherwise("registered").alias("status"),
             F.lit(0).alias("n_issues"))
     else:
-        gate_in = candidates.select("subject", "seq", "schema_type",
+        gate_in = candidates.select(*base_keys, "seq", "schema_type",
                                     "schema_text", "fingerprint",
                                     *([group_col] if group_col else []))
         if levels is not None:
-            subj_lv = (levels.filter(F.col("subject").isNotNull())
-                       .select("subject",
-                               F.col("level").alias("__subj_level")))
-            glob_lv = (levels.filter(F.col("subject").isNull())
-                       .agg(F.max("level").alias("__glob_level")))
-            gate_in = (gate_in
-                       .join(F.broadcast(subj_lv), "subject", "left")
-                       .crossJoin(F.broadcast(glob_lv))
-                       .withColumn("__level",
-                                   F.upper(F.coalesce("__subj_level",
-                                                      "__glob_level",
-                                                      F.lit(mode))))
-                       .drop("__subj_level", "__glob_level"))
+            from axonops_schema_registry_spark.registry.modes import (
+                with_resolved_level,
+            )
+
+            gate_in = (with_resolved_level(gate_in, levels,
+                                           ctx_col=ctx_col, default=mode)
+                       .withColumnRenamed("resolved_level", "__level"))
         history = existing_live.select(
-            "subject", "version", F.col("schema_text").alias("old_text"),
+            *base_keys, "version", F.col("schema_text").alias("old_text"),
             *([group_col] if group_col else []))
         verdict = (gate_in
                    .groupBy(*gate_keys)
@@ -225,31 +230,31 @@ def register_batch(spark: SparkSession, existing: DataFrame,
                    .applyInPandas(_sequential_gate(mode), _GATE_SCHEMA))
 
     # -- stage 4: version assignment (max over ALL rows incl. deleted) ----
-    prior_max = existing_fp.groupBy("subject").agg(
+    prior_max = existing_fp.groupBy(*base_keys).agg(
         F.max("version").alias("prior_max"))
     accepted = (candidates.join(
         verdict.filter(F.col("status") == "registered")
                .select("subject", "seq"), ["subject", "seq"]))
-    w_assign = Window.partitionBy("subject").orderBy("seq")
+    w_assign = Window.partitionBy(*base_keys).orderBy("seq")
     # no broadcast hint: prior_max is one row per CORPUS subject (can be
     # millions at fleet scale) while the batch side is small — AQE
     # broadcasts whichever side actually is small
     assigned = (accepted
-                .join(prior_max, "subject", "left")
+                .join(prior_max, base_keys, "left")
                 .withColumn("assigned_version",
                             (F.coalesce(F.col("prior_max"), F.lit(0))
                              + F.row_number().over(w_assign)).cast("int")))
 
     # -- assemble statuses -------------------------------------------------
     dupes_existing = inc.filter(F.col("dup_existing")).select(
-        "subject", "seq", F.lit("duplicate").alias("status"),
+        *base_keys, "seq", F.lit("duplicate").alias("status"),
         F.lit(None).cast("int").alias("assigned_version"),
         F.lit(0).alias("n_issues"))
     dupes_in_batch = (candidates
                       .join(verdict.filter(F.col("status") == "duplicate")
                                    .select("subject", "seq"),
                             ["subject", "seq"])
-                      .select("subject", "seq",
+                      .select(*base_keys, "seq",
                               F.lit("duplicate").alias("status"),
                               F.lit(None).cast("int")
                               .alias("assigned_version"),
@@ -258,12 +263,12 @@ def register_batch(spark: SparkSession, existing: DataFrame,
                 .join(verdict.filter(F.col("status") == "incompatible")
                              .select("subject", "seq", "n_issues"),
                       ["subject", "seq"])
-                .select("subject", "seq",
+                .select(*base_keys, "seq",
                         F.lit("incompatible").alias("status"),
                         F.lit(None).cast("int").alias("assigned_version"),
                         "n_issues"))
     registered = assigned.select(
-        "subject", "seq", F.lit("registered").alias("status"),
+        *base_keys, "seq", F.lit("registered").alias("status"),
         "assigned_version", F.lit(0).alias("n_issues"))
     out = (registered.unionByName(rejected)
            .unionByName(dupes_in_batch).unionByName(dupes_existing))

@@ -46,7 +46,7 @@ def main() -> None:
     # minimum is the standard steady-state estimator under asymmetric
     # noise and makes round-over-round comparisons attributable to plan
     # changes instead of host weather.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for spec in q.bench_specs():
         best = float("inf")

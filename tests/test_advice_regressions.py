@@ -230,3 +230,47 @@ def test_as_of_join_edges(spark):
     assert out[2] == ("at9", 9)     # latest prior wins
     assert out[3] == (None, None)   # before any snapshot → NULL
     assert out[4] == (None, None)   # key with no snapshots at all
+
+
+def test_as_of_join_null_column_not_inherited(spark):
+    """A snapshot with a legitimately-NULL value column must NOT inherit
+    that column from an older snapshot (per-column last(ignorenulls)
+    would mix two snapshots; the struct carry keeps them atomic)."""
+    from axonops_schema_registry_spark.operators.core import as_of_join
+
+    lefts = spark.createDataFrame(
+        [("k", 10, 1)], "key string, lts int, lid int")
+    rights = spark.createDataFrame(
+        [("k", 5, "old-a", "old-b"), ("k", 9, "new-a", None)],
+        "key string, rts int, a string, b string")
+    row = as_of_join(lefts, rights, "key", "lts", "rts",
+                     ["a", "b"]).collect()[0]
+    assert row["a"] == "new-a"
+    assert row["b"] is None           # NOT "old-b"
+    assert row["asof_ts"] == 9
+
+
+def test_range_join_subsecond_interval_end(spark):
+    """An interval ending fractionally past a bucket boundary must still
+    cover that bucket (unix_timestamp() truncation dropped it)."""
+    import datetime
+
+    from axonops_schema_registry_spark.operators.core import (
+        range_join_bucketed,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    # interval [23:59:00, 1d+00:00:00.5): spans bucket 0 AND bucket 1
+    iv = spark.createDataFrame(
+        [("iv1",
+          base + datetime.timedelta(hours=23, minutes=59),
+          base + datetime.timedelta(days=1, microseconds=500_000))],
+        "iv_id string, s timestamp, e timestamp")
+    events = spark.createDataFrame(
+        [("in_last_bucket", base + datetime.timedelta(
+            days=1, microseconds=200_000)),
+         ("past_end", base + datetime.timedelta(days=1, seconds=1))],
+        "ev string, ts timestamp")
+    got = {r["ev"] for r in range_join_bucketed(
+        events, "ts", iv, "s", "e", bucket_seconds=86400).collect()}
+    assert got == {"in_last_bucket"}

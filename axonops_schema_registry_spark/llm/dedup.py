@@ -157,11 +157,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 
 N_SIMHASH_BITS = 63  # stay within positive signed-64 range
+N_PORTABLE_BITS = 48  # md5-prefix hash: 12 hex chars, engine-portable
 N_CHUNKS = 4
 
 
 def simhash63(df: DataFrame, id_col: str, text_col: str,
-              ngram: int = 1) -> DataFrame:
+              ngram: int = 1, portable: bool = False) -> DataFrame:
     """63-bit SimHash per document: sign of per-bit weighted token sums.
 
     Explode-bits formulation, mirroring ``minhash_signatures``: a
@@ -169,12 +170,25 @@ def simhash63(df: DataFrame, id_col: str, text_col: str,
     seconds of whole-stage-codegen compilation; the narrow plan compiles
     instantly, shuffles (tokens × 63) skinny rows with map-side partial
     aggregation, and reassembles the hash with one more groupBy(id).
+
+    ``portable=True`` swaps the xxhash64 token hash for a 48-bit
+    md5-prefix hash (``conv(substr(md5(token), 1, 12), 16, 10)``) that
+    DuckDB computes identically (``CAST('0x'||substr(md5(t),1,12) AS
+    BIGINT)``), making the whole SimHash DuckDB-oracle-checkable.
+    xxhash64 stays the default: one JVM hash beats md5+hex-parse in the
+    hot path.
     """
-    toks = token_set(df, id_col, text_col, ngram).withColumn(
-        "h", F.xxhash64("token"))
+    n_bits = N_PORTABLE_BITS if portable else N_SIMHASH_BITS
+    toks = token_set(df, id_col, text_col, ngram)
+    if portable:
+        toks = toks.withColumn(
+            "h", F.conv(F.substring(F.md5("token"), 1, 12), 16, 10)
+                  .cast("long"))
+    else:
+        toks = toks.withColumn("h", F.xxhash64("token"))
     per_bit = (toks
                .select("id",
-                       F.explode(F.expr(f"sequence(0, {N_SIMHASH_BITS - 1})"))
+                       F.explode(F.expr(f"sequence(0, {n_bits - 1})"))
                        .alias("bit"),
                        "h")
                .withColumn("contrib",
@@ -190,16 +204,19 @@ def simhash63(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3, ngram: int = 1) -> DataFrame:
+                  max_hamming: int = 3, ngram: int = 1,
+                  portable: bool = False) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
     Blocking: split the 63-bit hash into 4 chunks; distance <= 3 implies an
     identical chunk (pigeonhole), so candidates come from 4 chunk
-    equi-joins, not a cross product.
+    equi-joins, not a cross product.  The blocking is therefore EXACT for
+    the emitted predicate: the result is every pair at distance <=
+    max_hamming, independent of the candidate-generation path.
     """
     assert max_hamming < N_CHUNKS, "pigeonhole blocking needs k < chunks"
-    sigs = simhash63(df, id_col, text_col, ngram)
-    chunk_width = 16
+    sigs = simhash63(df, id_col, text_col, ngram, portable=portable)
+    chunk_width = (N_PORTABLE_BITS // N_CHUNKS) if portable else 16
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
                  F.expr(f"(simhash >> {c * chunk_width}) "

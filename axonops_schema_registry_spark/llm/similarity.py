@@ -193,6 +193,110 @@ def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                  .distinct())
 
 
+def lsh_ann_topk_portable(queries: DataFrame, corpus: DataFrame,
+                          k: int = 5, n_bits: int = 5, n_tables: int = 2,
+                          plane_base: int = 10,
+                          round_digits: int = 4) -> DataFrame:
+    """Hyperplane-LSH approximate top-k with DATA-DERIVED hyperplanes, so
+    an independent SQL engine can replay the exact same computation (the
+    DuckDB correctness oracle): plane g = corpus_vec(base + 2g) −
+    corpus_vec(base + 2g + 1), table = g div n_bits, bit = g mod n_bits.
+    Differences of corpus vectors point in data-spread directions — the
+    classic "use the data as its own projection pool" trick — and need no
+    RNG state.
+
+    Same shape and cost as :func:`lsh_ann_topk`: planes are
+    configuration-sized (broadcast); bucketing is one narrow
+    |corpus| × n_planes expansion with a map-side-combinable sum keyed on
+    the vector id; candidates come from ONE (table, bucket) equi-join;
+    exact rerank touches candidates only.
+    """
+    n_planes = n_bits * n_tables
+    ids = (plane_base, plane_base + 2 * n_planes)
+    pa = corpus.filter(F.col("corpus_id").between(ids[0], ids[1] - 1)
+                       & ((F.col("corpus_id") - plane_base) % 2 == 0)) \
+        .select(((F.col("corpus_id") - plane_base) / 2).cast("int")
+                .alias("g"), F.col("corpus_vec").alias("__av"))
+    pb = corpus.filter(F.col("corpus_id").between(ids[0], ids[1] - 1)
+                       & ((F.col("corpus_id") - plane_base) % 2 == 1)) \
+        .select(((F.col("corpus_id") - plane_base - 1) / 2).cast("int")
+                .alias("g"), F.col("corpus_vec").alias("__bv"))
+    planes = (pa.join(pb, "g")
+              .select("g", (F.col("g") / n_bits).cast("int").alias("table"),
+                      (F.col("g") % n_bits).alias("bit"),
+                      F.expr("zip_with(__av, __bv, (x, y) -> "
+                             "CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
+                      .alias("plane_vec")))
+
+    def buckets(df: DataFrame, id_col: str, vec: str) -> DataFrame:
+        dot = _dot_expr(vec, "plane_vec")
+        return (df.crossJoin(F.broadcast(planes))
+                .withColumn("__bv2",
+                            F.when(dot > 0, F.expr("shiftleft(1, bit)"))
+                            .otherwise(F.lit(0)))
+                .groupBy(id_col, "table")
+                .agg(F.sum("__bv2").alias("bucket")))
+
+    qb = buckets(queries, "query_id", "query_vec")
+    cb = buckets(corpus, "corpus_id", "corpus_vec")
+    cand = (qb.join(cb, ["table", "bucket"])
+            .select("query_id", "corpus_id").distinct())
+    q = with_norm(queries, "query_vec", "q_norm")
+    c = with_norm(corpus, "corpus_vec", "c_norm")
+    pairs = cand.join(q, "query_id").join(c, "corpus_id")
+    sim = _dot_expr("query_vec", "corpus_vec") / (F.col("q_norm")
+                                                  * F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("corpus_id"))
+    return (pairs.withColumn("cosine_sim", F.round(sim, round_digits))
+                 .withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .select("query_id", "corpus_id", "cosine_sim", "rank"))
+
+
+def ivf_ann_topk_portable(queries: DataFrame, corpus: DataFrame,
+                          k: int = 5, centroid_stride: int = 31,
+                          n_probe: int = 4,
+                          round_digits: int = 4) -> DataFrame:
+    """IVF approximate top-k with DETERMINISTIC data-sample centroids
+    (corpus rows where ``corpus_id % centroid_stride == 0``) and no Lloyd
+    refinement, so the whole computation — assignment, probe lists, exact
+    rerank — replays identically in the DuckDB oracle.  Centroid count
+    grows with the corpus (|corpus|/stride), the natural IVF scaling; at
+    100 TB the corpus is written partitioned by ``centroid_id`` and a
+    probe prunes to n_probe partitions.
+    """
+    centroids = (corpus.filter(F.col("corpus_id") % centroid_stride == 0)
+                 .select(F.col("corpus_id").alias("centroid_id"),
+                         F.col("corpus_vec").alias("centroid_vec")))
+    cent_n = with_norm(centroids, "centroid_vec", "cent_norm")
+
+    def nearest(df: DataFrame, vec: str, norm: str, keep: int) -> DataFrame:
+        sim = _dot_expr(vec, "centroid_vec") / (F.col(norm)
+                                                * F.col("cent_norm"))
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.desc("cent_sim"), F.asc("centroid_id"))
+        return (df.crossJoin(F.broadcast(cent_n))
+                  .withColumn("cent_sim", F.round(sim, round_digits))
+                  .withColumn("__r", F.row_number().over(w))
+                  .filter(F.col("__r") <= keep)
+                  .drop("centroid_vec", "cent_norm", "cent_sim", "__r"))
+
+    c = nearest(with_norm(corpus, "corpus_vec", "c_norm"),
+                "corpus_vec", "c_norm", 1)
+    q = nearest(with_norm(queries, "query_vec", "q_norm"),
+                "query_vec", "q_norm", n_probe)
+    pairs = q.join(c, "centroid_id")
+    sim = _dot_expr("query_vec", "corpus_vec") / (F.col("q_norm")
+                                                  * F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("corpus_id"))
+    return (pairs.withColumn("cosine_sim", F.round(sim, round_digits))
+                 .withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .select("query_id", "corpus_id", "cosine_sim", "rank"))
+
+
 def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                  n_bits: int = 12, n_tables: int = 8, dim: int = 64,
                  round_digits: int = 4) -> DataFrame:

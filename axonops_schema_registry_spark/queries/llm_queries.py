@@ -21,8 +21,8 @@ from axonops_schema_registry_spark.llm.multimodal import (
 )
 from axonops_schema_registry_spark.llm.similarity import (
     cosine_topk,
-    ivf_ann_topk,
-    lsh_ann_topk,
+    ivf_ann_topk_portable,
+    lsh_ann_topk_portable,
 )
 from axonops_schema_registry_spark.llm.text import (
     predict_lang,
@@ -84,11 +84,44 @@ def dd2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd3_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with chunk-blocked hamming join.  No SQL
-    oracle (xxhash64-specific bit patterns); pinned instead by
-    tests/test_llm_ops.py against the exact-Jaccard pair set."""
+    """SimHash near-dup pairs with chunk-blocked hamming join, in the
+    PORTABLE variant: the token hash is a 48-bit md5 prefix both engines
+    compute identically, so the full SimHash pipeline — signature, 4-chunk
+    pigeonhole blocking, hamming verify — is hash-checked against a DuckDB
+    replay.  Pigeonhole makes blocking exact for hamming <= 3, so the
+    oracle can simply compute all-pairs hamming over the (tiny) signature
+    table; the Spark side never materializes n² pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, ngram=3)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, ngram=3,
+                         portable=True)
+
+
+DD3_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM documents),
+h AS (
+  SELECT id, CAST(concat('0x', substr(md5(token), 1, 12)) AS BIGINT) AS th
+  FROM toks),
+bits AS (
+  SELECT id, bb.bit,
+         SUM(CASE WHEN (th >> bb.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS bit) bb
+  GROUP BY id, bb.bit),
+sims AS (
+  SELECT id, CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit
+                           ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY id)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def dd4_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,19 +216,136 @@ WHERE rank <= 5
 
 
 def nn2_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH-bucketed approximate top-5 with exact rerank.
-    No SQL oracle (approximate by construction); recall vs the exact
-    baseline is pinned by tests/test_llm_ops.py."""
+    """Hyperplane-LSH approximate top-5 with exact rerank, portable
+    variant: hyperplanes are DIFFERENCES OF FIXED CORPUS VECTORS instead
+    of seeded RNG draws, so the DuckDB oracle replays the identical
+    bucketing + rerank and the driver hash-checks the full ANN path.
+    (The RNG-seeded ``lsh_ann_topk`` remains the BLAS-batched production
+    variant; recall is pinned by tests/test_llm_ops.py.)"""
     queries, corpus = _emb_split(spark, sf_dir)
-    return lsh_ann_topk(queries, corpus, k=5)
+    return lsh_ann_topk_portable(queries, corpus, k=5)
+
+
+NN2_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+planes AS (
+  SELECT CAST(((a.corpus_id - 10) // 2) // 5 AS INT) AS tbl,
+         CAST(((a.corpus_id - 10) // 2) % 5 AS INT) AS bit,
+         list_transform(list_zip(a.cv, b.cv), x -> x[1] - x[2]) AS pv
+  FROM c a JOIN c b ON b.corpus_id = a.corpus_id + 1
+  WHERE a.corpus_id BETWEEN 10 AND 29 AND (a.corpus_id - 10) % 2 = 0),
+cb AS (
+  SELECT corpus_id, tbl,
+         SUM(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(cv, pv), x -> x[1] * x[2])),
+               (acc, v) -> acc + v) > 0 THEN 1 << bit ELSE 0 END) AS bucket
+  FROM c CROSS JOIN planes GROUP BY corpus_id, tbl),
+qb AS (
+  SELECT query_id, tbl,
+         SUM(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(qv, pv), x -> x[1] * x[2])),
+               (acc, v) -> acc + v) > 0 THEN 1 << bit ELSE 0 END) AS bucket
+  FROM q CROSS JOIN planes GROUP BY query_id, tbl),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.corpus_id
+  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket),
+pairs AS (
+  SELECT query_id, corpus_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(qv, cv), x -> x[1] * x[2])),
+             (acc, v) -> acc + v) AS dot,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(qv, x -> x * x)), (acc, v) -> acc + v)) AS qn,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(cv, x -> x * x)), (acc, v) -> acc + v)) AS cn
+  FROM cand JOIN q USING (query_id) JOIN c USING (corpus_id))
+SELECT query_id, corpus_id, cosine_sim, rank
+FROM (
+  SELECT query_id, corpus_id, ROUND(dot / (qn * cn), 4) AS cosine_sim,
+         CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND(dot / (qn * cn), 4) DESC, corpus_id) AS INT)
+           AS rank
+  FROM pairs)
+WHERE rank <= 5
+"""
 
 
 def nn3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-5 (inverted centroid lists + probe-P
-    rerank).  No SQL oracle (approximate); planted-recall pinned by
-    tests/test_llm_ops.py."""
+    """IVF-bucketed approximate top-5, portable variant: centroids are a
+    DETERMINISTIC corpus sample (corpus_id % 31 == 0, no Lloyd
+    refinement), so assignment, probe lists and exact rerank replay
+    identically in the DuckDB oracle.  (The Lloyd-refined
+    ``ivf_ann_topk`` remains the production variant; planted-recall is
+    pinned by tests/test_llm_ops.py.)"""
     queries, corpus = _emb_split(spark, sf_dir)
-    return ivf_ann_topk(queries, corpus, k=5)
+    return ivf_ann_topk_portable(queries, corpus, k=5)
+
+
+NN3_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+cent AS (SELECT corpus_id AS centroid_id, cv AS centv
+         FROM c WHERE corpus_id % 31 = 0),
+cassign AS (
+  SELECT corpus_id, centroid_id FROM (
+    SELECT c.corpus_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.corpus_id ORDER BY
+             ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(cv, centv), x -> x[1] * x[2])),
+                 (acc, v) -> acc + v)
+               / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(cv, x -> x * x)), (acc, v) -> acc + v))
+                  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(centv, x -> x * x)),
+                    (acc, v) -> acc + v))), 4) DESC,
+             cent.centroid_id) AS r
+    FROM c CROSS JOIN cent) WHERE r = 1),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(qv, centv), x -> x[1] * x[2])),
+                 (acc, v) -> acc + v)
+               / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(qv, x -> x * x)), (acc, v) -> acc + v))
+                  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(centv, x -> x * x)),
+                    (acc, v) -> acc + v))), 4) DESC,
+             cent.centroid_id) AS r
+    FROM q CROSS JOIN cent) WHERE r <= 4),
+pairs AS (
+  SELECT p.query_id, a.corpus_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(qv, cv), x -> x[1] * x[2])),
+             (acc, v) -> acc + v) AS dot,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(qv, x -> x * x)), (acc, v) -> acc + v)) AS qn,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(cv, x -> x * x)), (acc, v) -> acc + v)) AS cn
+  FROM probes p JOIN cassign a ON p.centroid_id = a.centroid_id
+  JOIN q ON q.query_id = p.query_id
+  JOIN c ON c.corpus_id = a.corpus_id)
+SELECT query_id, corpus_id, cosine_sim, rank
+FROM (
+  SELECT query_id, corpus_id, ROUND(dot / (qn * cn), 4) AS cosine_sim,
+         CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND(dot / (qn * cn), 4) DESC, corpus_id) AS INT)
+           AS rank
+  FROM pairs)
+WHERE rank <= 5
+"""
 
 
 def dd5_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,9 +461,12 @@ def sk1_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT), Spark's built-in HLL++ (approx_count_distinct, the
     production path), and the KMV sketch estimate (operators.sketch —
     mergeable as plain arrays, the COUNT DISTINCT analogue of the
-    hypertable rollup).  Deterministic, but only the exact column is
-    SQL-portable, so the driver records the rows-only check; estimator
-    accuracy (±8%) and merge associativity are pinned in pytest."""
+    hypertable rollup).  The estimators are deterministic but not
+    SQL-portable, so the DRIVER-CHECKED columns are the exact count plus
+    within-tolerance flags (the oracle asserts them true): a sketch
+    regression that drifts past ±15% flips a flag and hash-fails the
+    gate.  Exact estimator values and merge associativity stay pinned in
+    pytest (tests/test_llm_ops.py)."""
     from axonops_schema_registry_spark.operators.sketch import (
         kmv_estimate,
         kmv_sketch,
@@ -329,9 +482,27 @@ def sk1_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = kmv.select("source",
                      F.round(kmv_estimate(F.col("kmv"), 256), 2)
                      .alias("kmv_estimate"))
+    tol = 0.15
+
+    def within(est_col: str) -> F.Column:
+        return (F.abs(F.col(est_col) - F.col("exact_distinct"))
+                <= tol * F.col("exact_distinct"))
+
     return (exact.join(est, "source")
-            .select("source", "exact_distinct", "hll_estimate",
-                    "kmv_estimate"))
+            .select("source", "exact_distinct",
+                    within("hll_estimate").alias("hll_within_tol"),
+                    within("kmv_estimate").alias("kmv_within_tol")))
+
+
+SK1_ORACLE = """
+SELECT source,
+       COUNT(DISTINCT token) AS exact_distinct,
+       TRUE AS hll_within_tol,
+       TRUE AS kmv_within_tol
+FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents)
+GROUP BY source
+"""
 
 
 def tx1_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,7 +670,7 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup")),
     QuerySpec("dd2_minhash_lsh_dedup", dd2_minhash_lsh_dedup,
               _JACCARD_ALLPAIRS_ORACLE, tags=("llm", "dedup"), bench=True),
-    QuerySpec("dd3_simhash_dedup", dd3_simhash_dedup, None,
+    QuerySpec("dd3_simhash_dedup", dd3_simhash_dedup, DD3_ORACLE,
               tags=("llm", "dedup")),
     QuerySpec("dd4_dedup_clusters", dd4_dedup_clusters, DD4_ORACLE,
               tags=("llm", "dedup", "iterative")),
@@ -507,16 +678,16 @@ SPECS: list[QuerySpec] = [
               DD5_ORACLE, tags=("llm", "dedup")),
     QuerySpec("tx6_token_rarity", tx6_token_rarity, TX6_ORACLE,
               tags=("llm", "text")),
-    QuerySpec("sk1_distinct_sketches", sk1_distinct_sketches, None,
+    QuerySpec("sk1_distinct_sketches", sk1_distinct_sketches, SK1_ORACLE,
               tags=("llm", "sketch")),
     # nn1 is the exact-oracle baseline; the BENCH headline is the LSH
     # path — the crossJoin must never be the number we optimize, it is a
     # cartesian product at 100x corpus (round-1 verdict item 4)
     QuerySpec("nn1_cosine_topk", nn1_cosine_topk, NN1_ORACLE,
               tags=("llm", "similarity")),
-    QuerySpec("nn2_lsh_ann_topk", nn2_lsh_ann_topk, None,
+    QuerySpec("nn2_lsh_ann_topk", nn2_lsh_ann_topk, NN2_ORACLE,
               tags=("llm", "similarity"), bench=True),
-    QuerySpec("nn3_ivf_ann_topk", nn3_ivf_ann_topk, None,
+    QuerySpec("nn3_ivf_ann_topk", nn3_ivf_ann_topk, NN3_ORACLE,
               tags=("llm", "similarity")),
     QuerySpec("tx1_language_id", tx1_language_id, TX1_ORACLE,
               tags=("llm", "text")),

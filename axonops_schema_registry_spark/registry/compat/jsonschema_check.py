@@ -91,6 +91,23 @@ def _check(reader: Any, writer: Any, rroot: dict, wroot: dict,
         for i, sub in enumerate(reader.get(comb, [])):
             _check(sub, writer, rroot, wroot, f"{path}/allOf[{i}]", issues,
                    visited, rext, wext)
+    if "allOf" in writer:
+        # the writer emits only values satisfying EVERY allOf conjunct,
+        # so the reader accepting ANY single conjunct (or the base
+        # keywords) is sufficient — writer ⊆ conjunct ⊆ reader.
+        base = {k: v for k, v in writer.items() if k != "allOf"}
+        candidates = list(writer["allOf"]) + ([base] if base else [])
+        first_issues: list[str] | None = None
+        for wb in candidates:
+            sub_issues: list[str] = []
+            _check(reader, wb, rroot, wroot, path, sub_issues, visited,
+                   rext, wext)
+            if not sub_issues:
+                return
+            if first_issues is None:
+                first_issues = sub_issues
+        issues.extend(first_issues or [])
+        return
     if "anyOf" in writer or "oneOf" in writer:
         branches = writer.get("anyOf", []) + writer.get("oneOf", [])
         for i, wb in enumerate(branches):

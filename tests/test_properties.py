@@ -312,3 +312,116 @@ def test_check_pair_never_raises_on_noise(reader, writer, stype):
     text lands in the parse-error fallback, never an exception."""
     msgs = check_pair(reader, writer, stype)
     assert isinstance(msgs, list)
+
+
+# ---------------------------------------------------------------------------
+# JSON Schema checker structural fuzz (the jsonschema mirror of the
+# protobuf trio above — the reference's largest checker,
+# /root/reference/internal/compatibility/jsonschema/checker_test.go)
+# ---------------------------------------------------------------------------
+
+_json_scalar_types = st.sampled_from(
+    ["string", "integer", "number", "boolean", "null"])
+
+
+@st.composite
+def json_schemas(draw, depth=0):
+    """Structured JSON Schemas across the checker's full keyword surface:
+    type/properties/required/additionalProperties, numeric and string
+    constraints, array items/prefixItems/bounds, enum/const,
+    anyOf/oneOf/allOf/not, $ref into $defs, dependentRequired."""
+    choice = draw(st.integers(0, 9 if depth < 3 else 3))
+    if choice <= 1:  # scalar with constraints
+        t = draw(_json_scalar_types)
+        node: dict = {"type": t}
+        if t in ("integer", "number") and draw(st.booleans()):
+            lo = draw(st.integers(-10, 10))
+            node["minimum"] = lo
+            if draw(st.booleans()):
+                node["maximum"] = lo + draw(st.integers(0, 20))
+            if draw(st.booleans()):
+                node["multipleOf"] = draw(st.integers(1, 5))
+        if t == "string" and draw(st.booleans()):
+            node["minLength"] = draw(st.integers(0, 5))
+            if draw(st.booleans()):
+                node["maxLength"] = node["minLength"] + draw(
+                    st.integers(0, 20))
+            if draw(st.booleans()):
+                node["pattern"] = draw(st.sampled_from(
+                    ["^a", "[0-9]+", ".*", "^x{1,3}$"]))
+        return node
+    if choice == 2:
+        return {"enum": draw(st.lists(
+            st.one_of(st.integers(-5, 5), st.sampled_from(["a", "b", "c"])),
+            min_size=1, max_size=4, unique=True))}
+    if choice == 3:
+        return {"const": draw(st.one_of(st.integers(-5, 5),
+                                        st.sampled_from(["k", "v"])))}
+    if choice <= 5:  # object
+        props = {}
+        for _ in range(draw(st.integers(1, 3))):
+            props[draw(names)] = draw(json_schemas(depth=depth + 1))
+        node = {"type": "object", "properties": props}
+        req = [k for k in props if draw(st.booleans())]
+        if req:
+            node["required"] = req
+        if draw(st.booleans()):
+            node["additionalProperties"] = draw(st.booleans())
+        if len(props) >= 2 and draw(st.booleans()):
+            ks = sorted(props)
+            node["dependentRequired"] = {ks[0]: [ks[1]]}
+        return node
+    if choice == 6:  # array
+        node = {"type": "array",
+                "items": draw(json_schemas(depth=depth + 1))}
+        if draw(st.booleans()):
+            node["minItems"] = draw(st.integers(0, 3))
+        if draw(st.booleans()):
+            node["maxItems"] = draw(st.integers(3, 10))
+        return node
+    if choice == 7:
+        comb = draw(st.sampled_from(["anyOf", "oneOf", "allOf"]))
+        return {comb: [draw(json_schemas(depth=depth + 1))
+                       for _ in range(draw(st.integers(1, 3)))]}
+    if choice == 8:
+        return {"not": draw(json_schemas(depth=depth + 1))}
+    # $ref into $defs
+    inner = draw(json_schemas(depth=depth + 1))
+    return {"$defs": {"node": inner},
+            "type": "object",
+            "properties": {"child": {"$ref": "#/$defs/node"}}}
+
+
+@settings(max_examples=60, deadline=None)
+@given(json_schemas())
+def test_jsonschema_fuzz_self_compatibility(schema):
+    text = json.dumps(schema)
+    assert check_pair(text, text, "JSON") == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(json_schemas(), json_schemas())
+def test_jsonschema_fuzz_checker_never_raises(a, b):
+    """Any structured pair yields a verdict list — never an exception and
+    never a masked parse error (mirror of the protobuf pair fuzz)."""
+    msgs = check_pair(json.dumps(a), json.dumps(b), "JSON")
+    assert isinstance(msgs, list)
+    assert not any("schema parse error" in m for m in msgs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(json_schemas())
+def test_jsonschema_fuzz_new_required_is_flagged(schema):
+    """Adding a fresh required property to any fuzzed OBJECT schema with
+    open additionalProperties is a narrowing the checker must flag."""
+    if (schema.get("type") != "object" or "properties" not in schema
+            or schema.get("additionalProperties") is False
+            or "$defs" in schema):
+        return
+    reader = json.loads(json.dumps(schema))
+    reader["properties"] = dict(reader["properties"])
+    reader["properties"]["zz_new_req"] = {"type": "string"}
+    reader["required"] = sorted(set(reader.get("required", []))
+                                | {"zz_new_req"})
+    msgs = check_pair(json.dumps(reader), json.dumps(schema), "JSON")
+    assert msgs, "new required property must produce an incompatibility"

@@ -48,6 +48,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) (Spark's reader rejects it; read nanos as LONG
         # and floor to microseconds, identical to DuckDB/pandas µs
         # truncation) or plain TIMESTAMP(MICROS) (load as-is).
+        #
+        # nanosAsLong is intentionally left set for the SESSION, not
+        # scoped to this read: the conf is consulted at SCAN time (lazy),
+        # so a save/restore around the eager schema sniff would flip it
+        # back before a downstream .collect() executes the scan and the
+        # read would fail.  Session-wide it is also what the streaming
+        # replay path (streaming/audit.py) needs.  Side effect: any other
+        # nano-timestamped parquet read in this session comes back LONG
+        # instead of erroring — acceptable; no other table in the
+        # catalog carries nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F

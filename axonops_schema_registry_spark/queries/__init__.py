@@ -31,7 +31,7 @@ _PRIORITY: tuple[str, ...] = (
     "q4_order_priority", "q12_priority_linestatus", "q16_supplier_counts",
     # round-4 new features
     "del2_version_delete_taxonomy", "j8c_dek_undelete_lifecycle",
-    "lv1_context_level_resolution",
+    "lv1_context_level_resolution", "aud2_event_type_analytics",
     # compat checkers + registration pipeline (registry family)
     "c1_compatibility_matrix", "c2_compat_messages", "c3_compat_with_refs",
     "rc1_version_chain_audit", "r4_registration_batch",
@@ -43,16 +43,12 @@ _PRIORITY: tuple[str, ...] = (
     "ctx1_multitenant_listing", "err1_lookup_taxonomy",
     "rv1_ruleset_validation", "u1_user_role_stats",
     "sg1_suggest_evolution", "v1_validate_normalize",
-    # LLM pipeline operators
+    # LLM pipeline operators (mm1 rotated out after its r3-green row)
     "dd2_minhash_lsh_dedup", "dd3_simhash_dedup",
     "dd4_dedup_clusters", "nn1_cosine_topk", "nn2_lsh_ann_topk",
     "nn3_ivf_ann_topk", "tx4_char_entropy", "tx5_dataset_card",
-    "mm1_multimodal_decode",
-    # streaming
+    # streaming (st8/ex1/mp1 rotated out after their r3-green rows)
     "st2_filtered_cef_lines", "st6_rate_limit_flags",
-    "st8_exporter_filter_rename",
-    # round-1 driver failures (fixed: arrays serialized)
-    "ex1_explain_failure", "mp1_migration_path",
 )
 
 

@@ -89,9 +89,123 @@ WHERE NOT deleted AND regexp_matches(lower(subject), '^src1.*$')
 """
 
 
+#: The reference's full audit-event enum with its comment-group category
+#: and whether the op mutates registry state
+#: (/root/reference/internal/auth/audit.go:79-162).  ONE literal drives
+#: both the Spark dimension frame and the DuckDB oracle VALUES, so the
+#: two sides cannot drift.
+AUDIT_EVENT_ENUM: tuple[tuple[str, str, bool], ...] = (
+    ("schema_register", "schema", True),
+    ("schema_delete_soft", "schema", True),
+    ("schema_delete_permanent", "schema", True),
+    ("schema_get", "schema", False),
+    ("schema_lookup", "schema", False),
+    ("schema_import", "schema", True),
+    ("config_get", "config", False),
+    ("config_update", "config", True),
+    ("config_delete", "config", True),
+    ("mode_get", "mode", False),
+    ("mode_update", "mode", True),
+    ("mode_delete", "mode", True),
+    ("auth_success", "auth", False),
+    ("auth_failure", "auth", False),
+    ("auth_forbidden", "auth", False),
+    ("subject_delete_soft", "subject", True),
+    ("subject_delete_permanent", "subject", True),
+    ("subject_list", "subject", False),
+    ("user_create", "admin", True),
+    ("user_update", "admin", True),
+    ("user_delete", "admin", True),
+    ("password_change", "admin", True),
+    ("apikey_create", "admin", True),
+    ("apikey_update", "admin", True),
+    ("apikey_delete", "admin", True),
+    ("apikey_revoke", "admin", True),
+    ("apikey_rotate", "admin", True),
+    ("kek_create", "encryption", True),
+    ("kek_update", "encryption", True),
+    ("kek_delete_soft", "encryption", True),
+    ("kek_delete_permanent", "encryption", True),
+    ("kek_undelete", "encryption", True),
+    ("kek_test", "encryption", False),
+    ("dek_create", "encryption", True),
+    ("dek_delete_soft", "encryption", True),
+    ("dek_delete_permanent", "encryption", True),
+    ("dek_undelete", "encryption", True),
+    ("compatibility_check", "compatibility", False),
+    ("exporter_create", "exporter", True),
+    ("exporter_update", "exporter", True),
+    ("exporter_delete", "exporter", True),
+    ("exporter_pause", "exporter", True),
+    ("exporter_resume", "exporter", True),
+    ("exporter_reset", "exporter", True),
+    ("exporter_config_update", "exporter", True),
+    ("server_startup", "server", False),
+    ("server_shutdown", "server", False),
+    ("mcp_tool_call", "mcp", False),
+    ("mcp_tool_error", "mcp", False),
+    ("mcp_admin_action", "mcp", True),
+    ("mcp_confirm_issued", "mcp_confirm", False),
+    ("mcp_confirm_rejected", "mcp_confirm", False),
+    ("mcp_confirmed", "mcp_confirm", False),
+    ("security_warning", "security", False),
+    ("auth_ldap_fallback", "security", False),
+)
+
+
+def aud2_event_type_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config/mode-change audit analytics over the reference's full
+    audit-event enum (audit.go:79-162): the driver's raw event stream is
+    mapped deterministically onto the 55-type enum (event_id mod 55 —
+    the replay analog of a production stream that carries real audit
+    types), then rolled up per comment-group category: volume, distinct
+    actors, state-mutating ops, and failures.  The enum dimension is
+    configuration-sized and broadcast; the rollup is one
+    map-side-combinable aggregation at category cardinality."""
+    n = len(AUDIT_EVENT_ENUM)
+    enum_df = spark.createDataFrame(
+        [(i, t, c, m) for i, (t, c, m) in enumerate(AUDIT_EVENT_ENUM)],
+        "idx int, audit_type string, category string, is_mutation boolean")
+    ev = load_table(spark, sf_dir, "events")
+    tagged = (ev.withColumn("idx", (F.col("event_id") % n).cast("int"))
+              .join(F.broadcast(enum_df), "idx"))
+    return (tagged.groupBy("category")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("audit_type").alias("n_types"),
+                 F.countDistinct("user_id").alias("n_actors"),
+                 F.sum(F.when(F.col("is_mutation"), 1).otherwise(0))
+                 .alias("n_mutations"),
+                 F.sum(F.when(F.col("event_type") == "error", 1)
+                       .otherwise(0)).alias("n_failures")))
+
+
+_ENUM_VALUES_SQL = ",\n    ".join(
+    f"({i}, '{t}', '{c}', {'TRUE' if m else 'FALSE'})"
+    for i, (t, c, m) in enumerate(AUDIT_EVENT_ENUM))
+
+AUD2_ORACLE = f"""
+WITH enum_dim(idx, audit_type, category, is_mutation) AS (VALUES
+    {_ENUM_VALUES_SQL}),
+tagged AS (
+  SELECT e.*, d.audit_type, d.category, d.is_mutation
+  FROM events e JOIN enum_dim d
+    ON CAST(e.event_id % {len(AUDIT_EVENT_ENUM)} AS INT) = d.idx)
+SELECT category, COUNT(*) AS n_events,
+       COUNT(DISTINCT audit_type) AS n_types,
+       COUNT(DISTINCT user_id) AS n_actors,
+       CAST(SUM(CASE WHEN is_mutation THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mutations,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_failures
+FROM tagged GROUP BY category
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("st2_filtered_cef_lines", st2_filtered_cef_lines, ST2_ORACLE,
               tags=("streaming",)),
+    QuerySpec("aud2_event_type_analytics", aud2_event_type_analytics,
+              AUD2_ORACLE, tags=("streaming", "registry")),
     QuerySpec("st6_rate_limit_flags", st6_rate_limit_flags, ST6_ORACLE,
               tags=("streaming",)),
     QuerySpec("st8_exporter_filter_rename", st8_exporter_filter_rename,

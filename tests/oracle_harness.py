@@ -59,7 +59,18 @@ def _norm(v):
         return ("dec", str(v.normalize()))
     if isinstance(v, pd.Timestamp):
         return ("ts", v.isoformat())
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if type(v) is datetime.date:
+        # A bare DATE would normalize asymmetrically under the DRIVER's
+        # canonicalization (Spark toPandas → datetime.date '1996-01-01'
+        # vs DuckDB fetchdf → midnight Timestamp '1996-01-01T00:00:00'),
+        # i.e. a guaranteed hash-fail at the gate even when values agree.
+        # Fail loudly here instead of silently papering over it: specs
+        # must CAST date columns to TIMESTAMP (or VARCHAR) on BOTH sides.
+        raise AssertionError(
+            "spec emitted a DATE-typed column; cast it to TIMESTAMP or "
+            "VARCHAR on both the Spark and oracle side (driver "
+            "canonicalization is asymmetric for DATE)")
+    if isinstance(v, datetime.datetime):
         return ("ts", v.isoformat())
     if isinstance(v, np.ndarray):
         return ("list", tuple(_norm(x) for x in v.tolist()))

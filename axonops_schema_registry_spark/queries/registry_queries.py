@@ -1690,6 +1690,38 @@ def _dek_op_log(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("event_id") % 4 + 1).cast("int")).alias("op"))
 
 
+def dek_fold_state(ops: list[str]) -> tuple[str, int]:
+    """Replay one key's op sequence through the storage-layer DEK state
+    machine (memory/store.go:1915-2030).  Returns (final_state,
+    n_rejected): create on an existing key is ErrDEKExists; soft delete
+    of an absent key and undelete of a non-deleted key are
+    ErrDEKNotFound; permanent delete purges regardless of the soft flag;
+    a purged key can be re-created."""
+    state, n_err = "absent", 0
+    for op in ops:
+        if op == "create":
+            if state == "absent":
+                state = "live"
+            else:
+                n_err += 1          # ErrDEKExists
+        elif op == "soft_delete":
+            if state == "absent":
+                n_err += 1          # ErrDEKNotFound
+            else:
+                state = "deleted"
+        elif op == "undelete":
+            if state == "deleted":
+                state = "live"
+            else:
+                n_err += 1          # ErrDEKNotFound (not soft-deleted)
+        else:  # permanent_delete
+            if state == "absent":
+                n_err += 1          # ErrDEKNotFound
+            else:
+                state = "absent"
+    return state, n_err
+
+
 def j8c_dek_undelete_lifecycle(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """DEK soft-delete → undelete → permanent-delete lifecycle
@@ -1707,28 +1739,7 @@ def j8c_dek_undelete_lifecycle(spark: SparkSession,
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("event_id")
-        state, n_err = "absent", 0
-        for op in pdf["op"]:
-            if op == "create":
-                if state == "absent":
-                    state = "live"
-                else:
-                    n_err += 1          # ErrDEKExists
-            elif op == "soft_delete":
-                if state == "absent":
-                    n_err += 1          # ErrDEKNotFound
-                else:
-                    state = "deleted"
-            elif op == "undelete":
-                if state == "deleted":
-                    state = "live"
-                else:
-                    n_err += 1          # ErrDEKNotFound (not soft-deleted)
-            else:  # permanent_delete
-                if state == "absent":
-                    n_err += 1          # ErrDEKNotFound
-                else:
-                    state = "absent"
+        state, n_err = dek_fold_state(list(pdf["op"]))
         return pd.DataFrame([{
             "kek_name": pdf["kek_name"].iloc[0],
             "dek_version": int(pdf["dek_version"].iloc[0]),

@@ -274,3 +274,38 @@ def test_range_join_subsecond_interval_end(spark):
     got = {r["ev"] for r in range_join_bucketed(
         events, "ts", iv, "s", "e", bucket_seconds=86400).collect()}
     assert got == {"in_last_bucket"}
+
+
+# ---------------------------------------------------------------------------
+# DEK lifecycle state machine (queries/registry_queries.py dek_fold_state —
+# mirror of /root/reference/internal/storage/memory/store.go:1915-2030)
+# ---------------------------------------------------------------------------
+
+def test_dek_fold_transition_table():
+    from axonops_schema_registry_spark.queries.registry_queries import (
+        dek_fold_state,
+    )
+
+    # happy lifecycle: create → soft → undelete → soft → permanent
+    assert dek_fold_state(
+        ["create", "soft_delete", "undelete", "soft_delete",
+         "permanent_delete"]) == ("absent", 0)
+    # recreate after purge is allowed
+    assert dek_fold_state(
+        ["create", "permanent_delete", "create"]) == ("live", 0)
+    # create on an existing (even soft-deleted) key is ErrDEKExists and
+    # must NOT resurrect or refresh it
+    assert dek_fold_state(
+        ["create", "soft_delete", "create"]) == ("deleted", 1)
+    assert dek_fold_state(["create", "create"]) == ("live", 1)
+    # undelete of a live or absent key is ErrDEKNotFound
+    assert dek_fold_state(["create", "undelete"]) == ("live", 1)
+    assert dek_fold_state(["undelete"]) == ("absent", 1)
+    # soft delete of an absent key is ErrDEKNotFound; of an already
+    # soft-deleted key is an accepted no-op (store re-sets the flag)
+    assert dek_fold_state(["soft_delete"]) == ("absent", 1)
+    assert dek_fold_state(
+        ["create", "soft_delete", "soft_delete"]) == ("deleted", 0)
+    # permanent delete works from live AND deleted, errors from absent
+    assert dek_fold_state(["create", "permanent_delete"]) == ("absent", 0)
+    assert dek_fold_state(["permanent_delete"]) == ("absent", 1)

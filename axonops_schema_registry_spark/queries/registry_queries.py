@@ -1760,7 +1760,7 @@ def j8c_dek_undelete_lifecycle(spark: SparkSession,
 
 
 J8C_ORACLE = """
-WITH RECURSIVE ops AS (
+WITH RECURSIVE ops AS MATERIALIZED (
   SELECT event_type AS kek_name, CAST(user_id % 5 AS INT) AS dek_version,
          event_id,
          ['create','soft_delete','undelete','permanent_delete']
@@ -1806,6 +1806,221 @@ SELECT kek_name, COUNT(*) AS n_keys,
        CAST(SUM(n_err) AS BIGINT) AS n_rejected_ops
 FROM final WHERE rr = 1
 GROUP BY kek_name
+"""
+
+
+def j8d_kek_cascade_lifecycle(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Two-level KEK→DEK lifecycle with the permanent-delete cascade
+    (memory/store.go:1688-1740 DeleteKEK/UndeleteKEK + 1915-2030): KEK
+    ops (even event ids) and DEK ops (odd event ids) replay interleaved
+    in event order per KEK — permanently deleting a KEK wipes every DEK
+    under it (a later create can rebuild both), creating a DEK requires
+    the KEK to be present (soft-deleted counts as present: the store
+    only checks map membership), and the per-level DFAs match
+    :func:`dek_fold_state`.  One cogrouped fold per KEK (keys
+    parallelize; per-group state is the KEK's DEK map, bounded); the
+    oracle replays the same machine with two recursive-CTE folds glued
+    by a native DuckDB ASOF join of DEK ops onto the KEK state
+    timeline."""
+    ev = model.load_table(spark, sf_dir, "events")
+    op_arr = F.array(*[F.lit(o) for o in _J8C_OPS])
+    op_of = F.element_at(op_arr, ((F.col("event_id") / 2).cast("long")
+                                  % 4 + 1).cast("int"))
+    kek_ops = (ev.filter(F.col("event_id") % 2 == 0)
+               .select(F.col("event_type").alias("kek_name"), "event_id",
+                       F.lit(-1).alias("dek_version"), op_of.alias("op"),
+                       F.lit("kek").alias("level")))
+    dek_ops = (ev.filter(F.col("event_id") % 2 == 1)
+               .select(F.col("event_type").alias("kek_name"), "event_id",
+                       (F.col("user_id") % 3).cast("int")
+                       .alias("dek_version"), op_of.alias("op"),
+                       F.lit("dek").alias("level")))
+    ops = kek_ops.unionByName(dek_ops)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        kek_state, kek_err, dek_err = "absent", 0, 0
+        deks: dict[int, str] = {}
+        tracked: set[int] = set()
+        for row in pdf.itertuples(index=False):
+            op = row.op
+            if row.level == "kek":
+                if op == "create":
+                    if kek_state == "absent":
+                        kek_state = "live"
+                    else:
+                        kek_err += 1                 # ErrKEKExists
+                elif op == "soft_delete":
+                    if kek_state == "absent":
+                        kek_err += 1                 # ErrKEKNotFound
+                    else:
+                        kek_state = "deleted"
+                elif op == "undelete":
+                    if kek_state == "deleted":
+                        kek_state = "live"
+                    else:
+                        kek_err += 1                 # ErrKEKNotFound
+                else:                                # permanent_delete
+                    if kek_state == "absent":
+                        kek_err += 1
+                    else:
+                        kek_state = "absent"
+                        deks.clear()                 # cascade wipe
+            else:
+                v = int(row.dek_version)
+                tracked.add(v)
+                st = deks.get(v, "absent")
+                if op == "create":
+                    # CreateDEK checks s.keks membership — soft-deleted
+                    # KEKs are still in the map, only purged ones fail
+                    if kek_state == "absent" or st != "absent":
+                        dek_err += 1
+                    else:
+                        deks[v] = "live"
+                elif op == "soft_delete":
+                    if st == "absent":
+                        dek_err += 1
+                    else:
+                        deks[v] = "deleted"
+                elif op == "undelete":
+                    if st == "deleted":
+                        deks[v] = "live"
+                    else:
+                        dek_err += 1
+                else:                                # permanent_delete
+                    if st == "absent":
+                        dek_err += 1
+                    else:
+                        deks.pop(v, None)
+        n_live = sum(1 for s in deks.values() if s == "live")
+        n_soft = sum(1 for s in deks.values() if s == "deleted")
+        return pd.DataFrame([{
+            "kek_name": str(pdf["kek_name"].iloc[0]),
+            "kek_state": kek_state,
+            "n_dek_keys": len(tracked),
+            "n_dek_live": n_live,
+            "n_dek_soft_deleted": n_soft,
+            "n_dek_purged": len(tracked) - n_live - n_soft,
+            "n_kek_rejected": kek_err,
+            "n_dek_rejected": dek_err}])
+
+    return ops.groupBy("kek_name").applyInPandas(
+        fold, "kek_name string, kek_state string, n_dek_keys long, "
+              "n_dek_live long, n_dek_soft_deleted long, "
+              "n_dek_purged long, n_kek_rejected long, "
+              "n_dek_rejected long")
+
+
+J8D_ORACLE = """
+WITH RECURSIVE
+kek_ops AS MATERIALIZED (
+  SELECT event_type AS kek_name, event_id,
+         ['create','soft_delete','undelete','permanent_delete']
+           [CAST((event_id // 2) % 4 AS INT) + 1] AS op,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+           AS rn
+  FROM events WHERE event_id % 2 = 0),
+kek_fold AS (
+  SELECT kek_name, rn, event_id,
+         CASE WHEN op = 'create' THEN 'live' ELSE 'absent' END AS state,
+         CASE WHEN op = 'create' THEN 0 ELSE 1 END AS n_err,
+         FALSE AS purged
+  FROM kek_ops WHERE rn = 1
+  UNION ALL
+  SELECT o.kek_name, o.rn, o.event_id,
+         CASE WHEN o.op = 'create' AND f.state = 'absent' THEN 'live'
+              WHEN o.op = 'soft_delete' AND f.state <> 'absent'
+                THEN 'deleted'
+              WHEN o.op = 'undelete' AND f.state = 'deleted' THEN 'live'
+              WHEN o.op = 'permanent_delete' AND f.state <> 'absent'
+                THEN 'absent'
+              ELSE f.state END,
+         f.n_err + CASE
+              WHEN o.op = 'create' AND f.state <> 'absent' THEN 1
+              WHEN o.op = 'soft_delete' AND f.state = 'absent' THEN 1
+              WHEN o.op = 'undelete' AND f.state <> 'deleted' THEN 1
+              WHEN o.op = 'permanent_delete' AND f.state = 'absent' THEN 1
+              ELSE 0 END,
+         (o.op = 'permanent_delete' AND f.state <> 'absent')
+  FROM kek_ops o JOIN kek_fold f
+    ON o.kek_name = f.kek_name AND o.rn = f.rn + 1),
+dek_raw AS MATERIALIZED (
+  SELECT event_type AS kek_name, CAST(user_id % 3 AS INT) AS dek_version,
+         event_id,
+         ['create','soft_delete','undelete','permanent_delete']
+           [CAST((event_id // 2) % 4 AS INT) + 1] AS op
+  FROM events WHERE event_id % 2 = 1),
+enriched AS MATERIALIZED (
+  SELECT kek_name, dek_version, event_id, op FROM dek_raw
+  UNION ALL
+  SELECT p.kek_name, t.dek_version, p.event_id, 'kek_purge'
+  FROM (SELECT kek_name, event_id FROM kek_fold WHERE purged) p
+  JOIN (SELECT DISTINCT kek_name, dek_version FROM dek_raw) t
+    USING (kek_name)),
+with_kek AS MATERIALIZED (
+  SELECT e.kek_name, e.dek_version, e.event_id, e.op,
+         COALESCE(k.state, 'absent') AS kek_state
+  FROM enriched e ASOF LEFT JOIN kek_fold k
+    ON e.kek_name = k.kek_name AND k.event_id <= e.event_id),
+ordered AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY kek_name, dek_version
+                               ORDER BY event_id) AS rn
+  FROM with_kek),
+dek_fold AS (
+  SELECT kek_name, dek_version, rn,
+         CASE WHEN op = 'create' AND kek_state <> 'absent' THEN 'live'
+              ELSE 'absent' END AS state,
+         CASE WHEN op = 'kek_purge' THEN 0
+              WHEN op = 'create' AND kek_state <> 'absent' THEN 0
+              ELSE 1 END AS n_err
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.kek_name, o.dek_version, o.rn,
+         CASE WHEN o.op = 'kek_purge' THEN 'absent'
+              WHEN o.op = 'create' AND o.kek_state <> 'absent'
+                   AND f.state = 'absent' THEN 'live'
+              WHEN o.op = 'soft_delete' AND f.state <> 'absent'
+                THEN 'deleted'
+              WHEN o.op = 'undelete' AND f.state = 'deleted' THEN 'live'
+              WHEN o.op = 'permanent_delete' AND f.state <> 'absent'
+                THEN 'absent'
+              ELSE f.state END,
+         f.n_err + CASE
+              WHEN o.op = 'kek_purge' THEN 0
+              WHEN o.op = 'create' THEN
+                CASE WHEN o.kek_state = 'absent' OR f.state <> 'absent'
+                     THEN 1 ELSE 0 END
+              WHEN o.op = 'soft_delete' THEN
+                CASE WHEN f.state = 'absent' THEN 1 ELSE 0 END
+              WHEN o.op = 'undelete' THEN
+                CASE WHEN f.state <> 'deleted' THEN 1 ELSE 0 END
+              ELSE CASE WHEN f.state = 'absent' THEN 1 ELSE 0 END END
+  FROM ordered o JOIN dek_fold f
+    ON o.kek_name = f.kek_name AND o.dek_version = f.dek_version
+   AND o.rn = f.rn + 1),
+kek_final AS (
+  SELECT kek_name, state AS kek_state, n_err AS n_kek_rejected
+  FROM (SELECT *, row_number() OVER (PARTITION BY kek_name
+                                     ORDER BY rn DESC) AS rr
+        FROM kek_fold) WHERE rr = 1),
+dek_final AS (
+  SELECT kek_name, dek_version, state, n_err
+  FROM (SELECT *, row_number() OVER (PARTITION BY kek_name, dek_version
+                                     ORDER BY rn DESC) AS rr
+        FROM dek_fold) WHERE rr = 1)
+SELECT k.kek_name, k.kek_state,
+       COUNT(*) AS n_dek_keys,
+       CAST(SUM(CASE WHEN d.state = 'live' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dek_live,
+       CAST(SUM(CASE WHEN d.state = 'deleted' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_dek_soft_deleted,
+       CAST(SUM(CASE WHEN d.state = 'absent' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dek_purged,
+       CAST(MAX(k.n_kek_rejected) AS BIGINT) AS n_kek_rejected,
+       CAST(SUM(d.n_err) AS BIGINT) AS n_dek_rejected
+FROM kek_final k JOIN dek_final d USING (kek_name)
+GROUP BY k.kek_name, k.kek_state
 """
 
 
@@ -1928,6 +2143,8 @@ SPECS: list[QuerySpec] = [
               DEL2_ORACLE, tags=("registry", "filter")),
     QuerySpec("j8c_dek_undelete_lifecycle", j8c_dek_undelete_lifecycle,
               J8C_ORACLE, tags=("registry", "iterative", "udf")),
+    QuerySpec("j8d_kek_cascade_lifecycle", j8d_kek_cascade_lifecycle,
+              J8D_ORACLE, tags=("registry", "iterative", "udf")),
     QuerySpec("lv1_context_level_resolution", lv1_context_level_resolution,
               LV1_ORACLE, tags=("registry", "pipeline", "compat", "udf")),
 ]

@@ -254,6 +254,61 @@ def lsh_ann_topk_portable(queries: DataFrame, corpus: DataFrame,
                  .select("query_id", "corpus_id", "cosine_sim", "rank"))
 
 
+def lsh_cosine_pairs_portable(vectors: DataFrame, id_col: str,
+                              vec_col: str, threshold: float = 0.4,
+                              n_bits: int = 5, n_tables: int = 2,
+                              plane_base: int = 10,
+                              round_digits: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: hyperplane-LSH candidate
+    generation (data-derived planes, same construction as
+    :func:`lsh_ann_topk_portable`) + exact cosine verification at
+    ``threshold`` — the embedding-space sibling of MinHash near-dup.
+    Candidates come from one self-equi-join on (table, bucket); work is
+    Σ bucket² per table, never the n² cross product.  Recall follows
+    the standard LSH curve — production tunes n_bits/n_tables to the
+    target threshold; the DuckDB oracle replays the identical bucketing
+    so the driver hash-checks the full pipeline independent of recall.
+    """
+    n_planes = n_bits * n_tables
+    lo, hi = plane_base, plane_base + 2 * n_planes - 1
+    pa = vectors.filter(F.col(id_col).between(lo, hi)
+                        & ((F.col(id_col) - plane_base) % 2 == 0)) \
+        .select(((F.col(id_col) - plane_base) / 2).cast("int").alias("g"),
+                F.col(vec_col).alias("__av"))
+    pb = vectors.filter(F.col(id_col).between(lo, hi)
+                        & ((F.col(id_col) - plane_base) % 2 == 1)) \
+        .select(((F.col(id_col) - plane_base - 1) / 2).cast("int")
+                .alias("g"), F.col(vec_col).alias("__bv"))
+    planes = (pa.join(pb, "g")
+              .select((F.col("g") / n_bits).cast("int").alias("table"),
+                      (F.col("g") % n_bits).alias("bit"),
+                      F.expr("zip_with(__av, __bv, (x, y) -> "
+                             "CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
+                      .alias("plane_vec")))
+    dot = _dot_expr(vec_col, "plane_vec")
+    buckets = (vectors.crossJoin(F.broadcast(planes))
+               .withColumn("__b",
+                           F.when(dot > 0, F.expr("shiftleft(1, bit)"))
+                           .otherwise(F.lit(0)))
+               .groupBy(id_col, "table")
+               .agg(F.sum("__b").alias("bucket")))
+    a = buckets.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    cand = (a.join(b, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    v = with_norm(vectors, vec_col, "__n")
+    va = v.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
+    vb = v.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
+    sim = _dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine_sim", F.round(sim, round_digits))
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim"))
+
+
 def ivf_ann_topk_portable(queries: DataFrame, corpus: DataFrame,
                           k: int = 5, centroid_stride: int = 31,
                           n_probe: int = 4,

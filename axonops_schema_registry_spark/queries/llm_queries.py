@@ -170,6 +170,59 @@ FROM labels l
 """
 
 
+def dd6_embedding_cosine_dedup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidates + exact
+    cosine verify over the embeddings table (the dense-vector sibling of
+    dd2's MinHash pipeline).  Candidate generation is the portable
+    data-derived-hyperplane bucketing, so the DuckDB oracle replays the
+    identical computation and the driver hash-checks the full pipeline;
+    recall-vs-threshold is the standard LSH trade documented on the
+    operator."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        lsh_cosine_pairs_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs_portable(emb, "vec_id", "embedding",
+                                     threshold=0.4)
+
+
+DD6_ORACLE = """
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+           FROM embeddings),
+planes AS (
+  SELECT CAST(((a.vec_id - 10) // 2) // 5 AS INT) AS tbl,
+         CAST(((a.vec_id - 10) // 2) % 5 AS INT) AS bit,
+         list_transform(list_zip(a.ev, b.ev), x -> x[1] - x[2]) AS pv
+  FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id BETWEEN 10 AND 29 AND (a.vec_id - 10) % 2 = 0),
+buckets AS (
+  SELECT vec_id, tbl,
+         SUM(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(ev, pv), x -> x[1] * x[2])),
+               (acc, w) -> acc + w) > 0 THEN 1 << bit ELSE 0 END) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+verified AS (
+  SELECT id_a, id_b,
+         ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(va.ev, vb.ev), x -> x[1] * x[2])),
+             (acc, w) -> acc + w)
+           / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(va.ev, x -> x * x)), (acc, w) -> acc + w))
+              * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(vb.ev, x -> x * x)),
+                (acc, w) -> acc + w))), 4) AS cosine_sim
+  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
+SELECT id_a, id_b, cosine_sim FROM verified WHERE cosine_sim >= 0.4
+"""
+
+
 def _emb_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -676,6 +729,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup", "iterative")),
     QuerySpec("dd5_cross_source_dup_matrix", dd5_cross_source_dup_matrix,
               DD5_ORACLE, tags=("llm", "dedup")),
+    QuerySpec("dd6_embedding_cosine_dedup", dd6_embedding_cosine_dedup,
+              DD6_ORACLE, tags=("llm", "dedup", "similarity")),
     QuerySpec("tx6_token_rarity", tx6_token_rarity, TX6_ORACLE,
               tags=("llm", "text")),
     QuerySpec("sk1_distinct_sketches", sk1_distinct_sketches, SK1_ORACLE,

@@ -253,3 +253,17 @@ class RegistryAnalytics:
         from axonops_schema_registry_spark.registry.dek import rewrap_deks
 
         return rewrap_deks(deks, keks)
+
+    def delete_version(self, subject: str, version: int,
+                       permanent: bool = False) -> DataFrame:
+        """DELETE /subjects/{s}/versions/{v} (version -1 = 'latest'):
+        the full status taxonomy (42202/40401/40402/40405/200) with the
+        resolved version number, as a 1-row DataFrame."""
+        from axonops_schema_registry_spark.queries.registry_queries import (
+            version_delete_status,
+        )
+
+        requests = self.spark.createDataFrame(
+            [(subject, version, permanent)],
+            "subject string, version int, permanent boolean")
+        return version_delete_status(self.corpus, requests)

@@ -1591,8 +1591,8 @@ _DEL2_REQUESTS = [
 ]
 
 
-def del2_version_delete_taxonomy(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
+def version_delete_status(corpus: DataFrame,
+                          requests: DataFrame) -> DataFrame:
     """Version-level delete taxonomy (DELETE /subjects/{s}/versions/{v},
     handlers.go:880-935, registry.go:623-676): version ids must be in
     [1, 2^31-1] or the sentinel ``latest``/-1 (42202 otherwise, parsed
@@ -1601,15 +1601,16 @@ def del2_version_delete_taxonomy(spark: SparkSession,
     40402 (GetSchemaBySubjectVersion filters deleted rows); permanent
     delete resolves ``latest`` against SOFT-DELETED versions, requires
     the version be soft-deleted first (40405), and unknown subjects are
-    40401.  Successful deletes report the RESOLVED version number."""
-    corpus = registry_corpus(spark, sf_dir)
+    40401.  Successful deletes report the RESOLVED version number.
+
+    ``corpus``: (subject, version, deleted, ...);
+    ``requests``: (subject, version, permanent).
+    """
     per_subj = corpus.groupBy("subject").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.max(F.when(~F.col("deleted"), F.col("version"))).alias("max_live"),
         F.max(F.when(F.col("deleted"), F.col("version")))
         .alias("max_deleted"))
-    requests = spark.createDataFrame(
-        _DEL2_REQUESTS, "subject string, version int, permanent boolean")
     req = requests.join(F.broadcast(per_subj), "subject", "left")
     resolved = F.when(
         F.col("version") == -1,
@@ -1634,6 +1635,15 @@ def del2_version_delete_taxonomy(spark: SparkSession,
         "subject", "version", "permanent", status.alias("status"),
         F.when(status.endswith("_200"), F.col("resolved_version"))
          .cast("int").alias("resolved_version"))
+
+
+def del2_version_delete_taxonomy(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Driver spec for :func:`version_delete_status` — one request per
+    taxonomy branch against the registry corpus."""
+    requests = spark.createDataFrame(
+        _DEL2_REQUESTS, "subject string, version int, permanent boolean")
+    return version_delete_status(registry_corpus(spark, sf_dir), requests)
 
 
 DEL2_ORACLE = f"""

@@ -125,3 +125,16 @@ def test_facade_rewrap(spark, reg):
         "kek_name string, kms_key_id string, key_version int")
     out = reg.rewrap_deks(deks, keks).collect()
     assert out[0].action == "rewrapped"
+
+
+def test_delete_version_taxonomy(spark, sf_dir):
+    from axonops_schema_registry_spark.api import RegistryAnalytics
+
+    api = RegistryAnalytics.from_sf_dir(spark, sf_dir)
+    row = api.delete_version("src1", -1, permanent=False).collect()[0]
+    assert row["status"] == "soft_deleted_200"
+    assert row["resolved_version"] is not None
+    row = api.delete_version("ghost", 1).collect()[0]
+    assert row["status"] == "subject_not_found_40401"
+    row = api.delete_version("src1", 0).collect()[0]
+    assert row["status"] == "invalid_version_42202"

@@ -151,3 +151,32 @@ def test_audit_chain_detects_tampering(spark):
         "key string, seq int, record string")
     r = audit_hash_chain(reordered, "key", ["seq"], "record").collect()[0]
     assert r["head_hash"] != base["head_hash"]
+
+
+def test_stream_source_long_ts_schema(spark):
+    """Legacy generator runs carry ts as nanos-in-a-LONG; the footer
+    sniff in audit_stream_from_events must pick the bigint user schema
+    and normalize_audit must branch to timestamp_micros (the r3 driver
+    regression hit the reverse direction — TIMESTAMP_NTZ files against a
+    hardcoded 'ts bigint' schema)."""
+    import datetime
+
+    base_us = int(datetime.datetime(2024, 1, 10).timestamp()) * 1_000_000
+    rows = [(i, (base_us + i * 1_000_000) * 1000, i % 3,
+             "error" if i % 5 == 0 else "view", float(i), f"p{i}")
+            for i in range(20)]
+    d = tempfile.mkdtemp(prefix="audit_long_ts_")
+    try:
+        spark.createDataFrame(
+            rows, "event_id bigint, ts bigint, user_id bigint, "
+                  "event_type string, value double, props string") \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        stream = audit_stream_from_events(spark, d)
+        assert dict(stream.dtypes)["ts"].startswith("timestamp")
+        out = _run_stream(spark, filter_event_types(stream, ("error",)),
+                          "long_ts_audit")
+        got = {r["event_id"]: r["ts"] for r in out.collect()}
+        assert set(got) == {0, 5, 10, 15}
+        assert got[5].timestamp() == base_us / 1_000_000 + 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1142,6 +1142,186 @@ GROUP BY p_brand
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped outer-join distribution: orders per customer
+    (zero-preserving LEFT OUTER with a right-side predicate), then the
+    histogram of customers by order count — the classic two-level
+    aggregation over an outer join."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_orderkey", "o_custkey"))
+    per_cust = (cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated-average filter: revenue from
+    lineitems whose quantity is below 20% of their part's average.  The
+    correlated subquery decorrelates to one per-part aggregate + join;
+    the average COMPARISON avoids division entirely (qty*count*5 < sum
+    in exact DECIMAL) so both engines agree bit-exactly at the
+    threshold boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#2").select("p_partkey"))
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(20,6)")).alias("__qsum"),
+        F.count(F.lit(1)).alias("__qcnt"))
+    j = (li.join(part, li["l_partkey"] == part["p_partkey"])
+         .join(stats, "l_partkey")
+         .filter(F.col("l_quantity").cast("decimal(20,6)")
+                 * F.col("__qcnt") * 5 < F.col("__qsum")))
+    return j.agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+
+
+Q17_ORACLE = f"""
+SELECT {dsum_expr('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(20,6))) AS qsum,
+             COUNT(*) AS qcnt
+      FROM lineitem GROUP BY l_partkey) s USING (l_partkey)
+WHERE p_brand = 'Brand#2'
+  AND CAST(l_quantity AS DECIMAL(20,6)) * qcnt * 5 < qsum
+"""
+
+
+def q19_disjunctive_pushdown(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunction of conjunctive ranges: revenue under
+    an OR of three (brand, size, quantity) envelopes.  Catalyst pushes
+    the common sub-predicates and keeps the disjunction a single
+    post-join filter — no union-of-three-scans blowup."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand",
+                                            "p_size")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    env = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    rev = psum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.filter(env).agg(rev.alias("revenue"))
+
+
+Q19_ORACLE = f"""
+SELECT {psum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped EXISTS + NOT EXISTS pair: suppliers who were the
+    ONLY late shipper (shipdate > orderdate + 90 days) on finalized
+    multi-supplier orders.  Both correlated EXISTS decorrelate to one
+    semi-join and one anti-join on (orderkey, suppkey<>suppkey) — the
+    hardest relational shape in the TPC-H set."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                              "l_shipdate")
+    ords = (_t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"))
+    late = (li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            .select("l_orderkey", "l_suppkey").distinct())
+    allp = li.select("l_orderkey", "l_suppkey").distinct()
+    a = late.alias("a")
+    semi = a.join(
+        allp.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")), "leftsemi")
+    anti = semi.alias("s").join(
+        late.alias("c"),
+        (F.col("s.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("s.l_suppkey") != F.col("c.l_suppkey")), "leftanti")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (anti.groupBy("l_suppkey")
+            .agg(F.countDistinct("l_orderkey").alias("numwait"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_name", "numwait"))
+
+
+Q21_ORACLE = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY),
+allp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, COUNT(DISTINCT a.l_orderkey) AS numwait
+FROM late a JOIN supplier ON s_suppkey = a.l_suppkey
+WHERE EXISTS (SELECT 1 FROM allp b
+              WHERE b.l_orderkey = a.l_orderkey
+                AND b.l_suppkey <> a.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late c
+                  WHERE c.l_orderkey = a.l_orderkey
+                    AND c.l_suppkey <> a.l_suppkey)
+GROUP BY s_name
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped anti-join opportunity report: per market
+    segment, customers with above-average positive balance and NO
+    orders.  The global average comparison uses the division-free
+    bal*count > sum DECIMAL form; the no-orders predicate is one
+    anti-join."""
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = (cust.filter(F.col("c_acctbal") > 0)
+           .agg(F.sum(bal).alias("__bsum"),
+                F.count(F.lit(1)).alias("__bcnt")))
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    eligible = (cust.crossJoin(F.broadcast(pos))
+                .filter(bal * F.col("__bcnt") > F.col("__bsum")))
+    dormant = eligible.join(
+        orders, eligible["c_custkey"] == orders["o_custkey"], "leftanti")
+    return (dormant.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 dsum("c_acctbal", alias="totacctbal")))
+
+
+Q22_ORACLE = f"""
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bsum,
+         COUNT(*) AS bcnt
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       {dsum_expr('c_acctbal')} AS totacctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bcnt > bsum
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 def asof1_config_at_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (point-in-time lookup): every event picks up the config
     snapshot that was in force when it happened — snapshots are every
@@ -1489,6 +1669,17 @@ SPECS: list[QuerySpec] = [
               Q12_ORACLE, doc="case-sum fact-fact join", tags=("join",)),
     QuerySpec("q16_supplier_counts", q16_supplier_counts, Q16_ORACLE,
               doc="anti-join + count-distinct", tags=("join",)),
+    QuerySpec("q13_customer_distribution", q13_customer_distribution,
+              Q13_ORACLE, doc="outer-join histogram", tags=("join", "agg")),
+    QuerySpec("q17_small_quantity_revenue", q17_small_quantity_revenue,
+              Q17_ORACLE, doc="correlated-average filter",
+              tags=("join", "agg")),
+    QuerySpec("q19_disjunctive_pushdown", q19_disjunctive_pushdown,
+              Q19_ORACLE, doc="OR-of-conjunctions filter", tags=("scan",)),
+    QuerySpec("q21_waiting_suppliers", q21_waiting_suppliers, Q21_ORACLE,
+              doc="EXISTS + NOT EXISTS pair", tags=("join",)),
+    QuerySpec("q22_dormant_customers", q22_dormant_customers, Q22_ORACLE,
+              doc="global-average anti-join", tags=("join", "agg")),
     QuerySpec("asof1_config_at_event_time", asof1_config_at_event_time,
               ASOF1_ORACLE, doc="as-of point-in-time join",
               tags=("join", "window"), bench=True),

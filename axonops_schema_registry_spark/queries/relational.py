@@ -1322,6 +1322,109 @@ GROUP BY c_mktsegment
 """
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped share-of-total HAVING: parts whose shipped value
+    exceeds 1.3x the MEAN part value (the mean-relative form of Q11's
+    0.0001/SF knob, so the predicate stays selective at every scale
+    factor).  The global (total, count) enters as a 1-row broadcast and
+    the comparison stays in exact DECIMAL (val*n_parts*10 > total*13) —
+    division-free, so the HAVING boundary is bit-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.sum((F.col("l_extendedprice") * F.col("l_quantity"))
+                .cast("decimal(25,6)"))
+    per_part = li.groupBy("l_partkey").agg(val.alias("__val"))
+    total = per_part.agg(F.sum("__val").alias("__total"),
+                         F.count(F.lit(1)).alias("__nparts"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("__val") * F.col("__nparts") * 10
+                    > F.col("__total") * 13)
+            .select("l_partkey",
+                    F.col("__val").cast("double").alias("part_value")))
+
+
+Q11_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) AS val
+  FROM lineitem GROUP BY l_partkey),
+total AS (SELECT SUM(val) AS t, COUNT(*) AS n FROM per_part)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM per_part, total WHERE val * n * 10 > t * 13
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped view + max: the supplier(s) with the maximum
+    total revenue over a ship-date quarter.  The revenue 'view' is one
+    aggregate; the max filter is a rank-1 window over it (no
+    re-aggregation, no self-join of the view)."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(psum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("total_revenue")))
+    w = Window.orderBy(F.desc("total_revenue"))
+    top = (rev.withColumn("__r", F.rank().over(w))
+           .filter(F.col("__r") == 1).drop("__r"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (top.join(F.broadcast(supp),
+                     top["l_suppkey"] == supp["s_suppkey"])
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {psum_expr('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped nested semi-join: suppliers who shipped more
+    than half of some part's recent volume ('excess' share of a part's
+    quarter), as names — supplier ∈ (pairs whose shipped quantity
+    exceeds 50% of the part's total).  Two aggregates + one
+    division-free DECIMAL comparison + one semi-join."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") >= "2000-01-01"))
+    qty = F.sum(F.col("l_quantity").cast("decimal(20,6)"))
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(qty.alias("__pq"))
+    part_total = li.groupBy("l_partkey").agg(qty.alias("__pt"))
+    excess = (pair.join(part_total, "l_partkey")
+              .filter(F.col("__pq") * 2 > F.col("__pt"))
+              .select("l_suppkey").distinct())
+    supp = _t(spark, sf_dir, "supplier")
+    return (supp.join(excess,
+                      supp["s_suppkey"] == excess["l_suppkey"], "leftsemi")
+            .select("s_suppkey", "s_name"))
+
+
+Q20_ORACLE = """
+WITH li AS (SELECT * FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2000-01-01'),
+pair AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(20,6))) AS pq
+  FROM li GROUP BY l_partkey, l_suppkey),
+part_total AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(20,6))) AS pt
+  FROM li GROUP BY l_partkey)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM pair JOIN part_total USING (l_partkey)
+  WHERE pq * 2 > pt)
+"""
+
+
 def asof1_config_at_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (point-in-time lookup): every event picks up the config
     snapshot that was in force when it happened — snapshots are every
@@ -1680,6 +1783,12 @@ SPECS: list[QuerySpec] = [
               doc="EXISTS + NOT EXISTS pair", tags=("join",)),
     QuerySpec("q22_dormant_customers", q22_dormant_customers, Q22_ORACLE,
               doc="global-average anti-join", tags=("join", "agg")),
+    QuerySpec("q11_important_stock", q11_important_stock, Q11_ORACLE,
+              doc="share-of-total HAVING", tags=("agg",)),
+    QuerySpec("q15_top_supplier", q15_top_supplier, Q15_ORACLE,
+              doc="revenue view + rank-1 max", tags=("agg", "window")),
+    QuerySpec("q20_excess_shippers", q20_excess_shippers, Q20_ORACLE,
+              doc="nested semi-join", tags=("join",)),
     QuerySpec("asof1_config_at_event_time", asof1_config_at_event_time,
               ASOF1_ORACLE, doc="as-of point-in-time join",
               tags=("join", "window"), bench=True),

@@ -1588,7 +1588,13 @@ _DEL2_REQUESTS = [
     ("src0", 1, False),     # soft-deleting an already-deleted version
     ("ghost", 1, False),    # unknown subject → 40401
     ("ghost", 0, True),     # invalid version beats unknown subject
+    ("tomb", -1, False),    # latest soft delete, all versions deleted → 40401
+    ("tomb", -1, True),     # latest permanent delete, all deleted → 200
 ]
+
+#: synthetic subject whose versions are ALL soft-deleted — exercises the
+#: 'latest on fully-tombstoned subject' 40401 branch absent from the corpus
+_DEL2_TOMB = [("tomb", 1, True), ("tomb", 2, True)]
 
 
 def version_delete_status(corpus: DataFrame,
@@ -1625,6 +1631,12 @@ def version_delete_status(corpus: DataFrame,
         F.when((F.col("version") < -1) | (F.col("version") == 0),
                "invalid_version_42202")
         .when(F.col("n_total").isNull(), "subject_not_found_40401")
+        # 'latest' soft delete on a subject whose versions are ALL
+        # soft-deleted: GetSchemaBySubjectVersion(-1) sees no live rows
+        # and reports the SUBJECT as missing (memory/store.go
+        # GetLatestSchema path → ErrSubjectNotFound, 40401), not 40402
+        .when((F.col("version") == -1) & ~F.col("permanent")
+              & F.col("max_live").isNull(), "subject_not_found_40401")
         .when(F.col("ver_deleted").isNull(), "version_not_found_40402")
         .when(~F.col("permanent") & ~F.col("ver_deleted"),
               "soft_deleted_200")
@@ -1643,11 +1655,21 @@ def del2_version_delete_taxonomy(spark: SparkSession,
     taxonomy branch against the registry corpus."""
     requests = spark.createDataFrame(
         _DEL2_REQUESTS, "subject string, version int, permanent boolean")
-    return version_delete_status(registry_corpus(spark, sf_dir), requests)
+    tomb = spark.createDataFrame(
+        _DEL2_TOMB, "subject string, version int, deleted boolean")
+    corpus = (registry_corpus(spark, sf_dir)
+              .select("subject", "version", "deleted")
+              .unionByName(tomb))
+    return version_delete_status(corpus, requests)
 
 
 DEL2_ORACLE = f"""
-WITH corpus AS ({corpus_cte()}),
+WITH base AS ({corpus_cte()}),
+corpus AS (
+  SELECT subject, version, deleted FROM base
+  UNION ALL
+  SELECT * FROM (VALUES ('tomb', 1, TRUE), ('tomb', 2, TRUE))
+    AS t(subject, version, deleted)),
 per_subj AS (
   SELECT subject, COUNT(*) AS n_total,
          MAX(CASE WHEN NOT deleted THEN version END) AS max_live,
@@ -1656,9 +1678,10 @@ per_subj AS (
 requests(subject, version, permanent) AS (VALUES
     ('src1', 1, FALSE), ('src1', -1, FALSE), ('src1', 999, FALSE),
     ('src1', 0, FALSE), ('src1', 2, TRUE), ('src0', -1, TRUE),
-    ('src0', 1, FALSE), ('ghost', 1, FALSE), ('ghost', 0, TRUE)),
+    ('src0', 1, FALSE), ('ghost', 1, FALSE), ('ghost', 0, TRUE),
+    ('tomb', -1, FALSE), ('tomb', -1, TRUE)),
 req AS (
-  SELECT r.subject, r.version, r.permanent, p.n_total,
+  SELECT r.subject, r.version, r.permanent, p.n_total, p.max_live,
          CASE WHEN r.version = -1
               THEN CASE WHEN r.permanent THEN p.max_deleted
                         ELSE p.max_live END
@@ -1672,6 +1695,8 @@ labeled AS (
   SELECT subject, version, permanent, resolved_version,
          CASE WHEN version < -1 OR version = 0 THEN 'invalid_version_42202'
               WHEN n_total IS NULL THEN 'subject_not_found_40401'
+              WHEN version = -1 AND NOT permanent AND max_live IS NULL
+                   THEN 'subject_not_found_40401'
               WHEN ver_deleted IS NULL THEN 'version_not_found_40402'
               WHEN NOT permanent AND NOT ver_deleted THEN 'soft_deleted_200'
               WHEN NOT permanent THEN 'version_not_found_40402'
@@ -2019,18 +2044,24 @@ dek_final AS (
   FROM (SELECT *, row_number() OVER (PARTITION BY kek_name, dek_version
                                      ORDER BY rn DESC) AS rr
         FROM dek_fold) WHERE rr = 1)
-SELECT k.kek_name, k.kek_state,
-       COUNT(*) AS n_dek_keys,
-       CAST(SUM(CASE WHEN d.state = 'live' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_dek_live,
-       CAST(SUM(CASE WHEN d.state = 'deleted' THEN 1 ELSE 0 END)
-         AS BIGINT) AS n_dek_soft_deleted,
-       CAST(SUM(CASE WHEN d.state = 'absent' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_dek_purged,
-       CAST(MAX(k.n_kek_rejected) AS BIGINT) AS n_kek_rejected,
-       CAST(SUM(d.n_err) AS BIGINT) AS n_dek_rejected
-FROM kek_final k JOIN dek_final d USING (kek_name)
-GROUP BY k.kek_name, k.kek_state
+-- FULL join + COALESCE defaults: the Spark fold emits a row for a KEK
+-- with zero DEK ops (n_dek_keys = 0) and for DEK ops under a never-created
+-- KEK (kek_state 'absent'); an inner join would drop both, making
+-- agreement data-dependent on every event_type carrying both parities
+SELECT COALESCE(k.kek_name, d.kek_name) AS kek_name,
+       COALESCE(k.kek_state, 'absent') AS kek_state,
+       CAST(COUNT(d.dek_version) AS BIGINT) AS n_dek_keys,
+       CAST(COALESCE(SUM(CASE WHEN d.state = 'live' THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_dek_live,
+       CAST(COALESCE(SUM(CASE WHEN d.state = 'deleted' THEN 1 ELSE 0 END),
+         0) AS BIGINT) AS n_dek_soft_deleted,
+       CAST(COALESCE(SUM(CASE WHEN d.state = 'absent' THEN 1 ELSE 0 END),
+         0) AS BIGINT) AS n_dek_purged,
+       CAST(COALESCE(MAX(k.n_kek_rejected), 0) AS BIGINT)
+         AS n_kek_rejected,
+       CAST(COALESCE(SUM(d.n_err), 0) AS BIGINT) AS n_dek_rejected
+FROM kek_final k FULL JOIN dek_final d USING (kek_name)
+GROUP BY COALESCE(k.kek_name, d.kek_name), COALESCE(k.kek_state, 'absent')
 """
 
 

@@ -81,6 +81,14 @@ def _check(reader: Any, writer: Any, rroot: dict, wroot: dict,
     writer = _resolve_ref(writer, wroot, wext)
     if not isinstance(reader, dict) or not isinstance(writer, dict):
         return
+    # Structurally identical subschemas resolved against identical roots
+    # impose identical constraints — trivially compatible (this also keeps
+    # self-compatibility exact for unsatisfiable conjunctions like
+    # allOf[string, integer], where the conjunct-probe heuristic below
+    # would over-report).  Root equality matters: nested $refs resolve
+    # against their OWN roots, so textual equality alone is not enough.
+    if reader == writer and rroot == wroot and rext == wext:
+        return
     key = (id(reader), id(writer))
     if key in visited:
         return
@@ -100,8 +108,13 @@ def _check(reader: Any, writer: Any, rroot: dict, wroot: dict,
         first_issues: list[str] | None = None
         for wb in candidates:
             sub_issues: list[str] = []
-            _check(reader, wb, rroot, wroot, path, sub_issues, visited,
-                   rext, wext)
+            # probe with a COPY of visited: a failed earlier candidate must
+            # not poison the memo for later candidates that revisit the
+            # same (reader, subschema) pair (e.g. conjuncts $ref-ing a
+            # shared $defs node) — a shared set would short-circuit the
+            # later probe into a false 'compatible'
+            _check(reader, wb, rroot, wroot, path, sub_issues,
+                   set(visited), rext, wext)
             if not sub_issues:
                 return
             if first_issues is None:
@@ -120,7 +133,9 @@ def _check(reader: Any, writer: Any, rroot: dict, wroot: dict,
         branches = reader.get("anyOf", []) + reader.get("oneOf", [])
         for rb in branches:
             sub_issues = []
-            _check(rb, writer, rroot, wroot, path, sub_issues, visited, rext, wext)
+            # copied visited for the same reason as the writer-allOf probe
+            _check(rb, writer, rroot, wroot, path, sub_issues,
+                   set(visited), rext, wext)
             if not sub_issues:
                 return
         issues.append(f"{at}: no reader anyOf/oneOf branch accepts the "

@@ -41,10 +41,16 @@ from axonops_schema_registry_spark.registry.spark_udfs import (
     ship_package,
 )
 
-_GATE_SCHEMA = "subject string, seq long, status string, n_issues int"
+def _gate_schema(ctx_col: str | None) -> str:
+    """Verdict schema — MUST carry the context column when one is in play:
+    contexts can reuse (subject, seq) pairs (seq restarts per tenant), so a
+    verdict keyed on (subject, seq) alone would cross-match across contexts
+    in the downstream joins."""
+    ctx = f"{ctx_col} string, " if ctx_col else ""
+    return f"{ctx}subject string, seq long, status string, n_issues int"
 
 
-def _sequential_gate(mode: str):
+def _sequential_gate(mode: str, ctx_col: str | None = None):
     """Per-subject sequential compat gate (cogrouped candidates × history).
 
     Candidates arrive pre-filtered of duplicates vs the existing corpus;
@@ -72,19 +78,22 @@ def _sequential_gate(mode: str):
         accepted_fps: set[str] = set()
         out = []
         for row in cand.itertuples(index=False):
+            key = ((getattr(row, ctx_col), row.subject, row.seq)
+                   if ctx_col else (row.subject, row.seq))
             if row.fingerprint in accepted_fps:
-                out.append((row.subject, row.seq, "duplicate", 0))
+                out.append(key + ("duplicate", 0))
                 continue
             ok, msgs = check_compatibility(
                 row.schema_text, texts, level, row.schema_type)
             if ok:
                 texts.append(row.schema_text)
                 accepted_fps.add(row.fingerprint)
-                out.append((row.subject, row.seq, "registered", 0))
+                out.append(key + ("registered", 0))
             else:
-                out.append((row.subject, row.seq, "incompatible", len(msgs)))
-        return pd.DataFrame(
-            out, columns=["subject", "seq", "status", "n_issues"])
+                out.append(key + ("incompatible", len(msgs)))
+        cols = (([ctx_col] if ctx_col else [])
+                + ["subject", "seq", "status", "n_issues"])
+        return pd.DataFrame(out, columns=cols)
 
     return gate
 
@@ -205,7 +214,7 @@ def register_batch(spark: SparkSession, existing: DataFrame,
         flagged = candidates.withColumn(
             "__dup_in_batch", F.row_number().over(w_batch) > 1)
         verdict = flagged.select(
-            "subject", "seq",
+            *base_keys, "seq",
             F.when(F.col("__dup_in_batch"), "duplicate")
              .otherwise("registered").alias("status"),
             F.lit(0).alias("n_issues"))
@@ -227,14 +236,16 @@ def register_batch(spark: SparkSession, existing: DataFrame,
         verdict = (gate_in
                    .groupBy(*gate_keys)
                    .cogroup(history.groupBy(*gate_keys))
-                   .applyInPandas(_sequential_gate(mode), _GATE_SCHEMA))
+                   .applyInPandas(_sequential_gate(mode, ctx_col=ctx_col),
+                                  _gate_schema(ctx_col)))
 
     # -- stage 4: version assignment (max over ALL rows incl. deleted) ----
     prior_max = existing_fp.groupBy(*base_keys).agg(
         F.max("version").alias("prior_max"))
+    verdict_keys = base_keys + ["seq"]
     accepted = (candidates.join(
         verdict.filter(F.col("status") == "registered")
-               .select("subject", "seq"), ["subject", "seq"]))
+               .select(*verdict_keys), verdict_keys))
     w_assign = Window.partitionBy(*base_keys).orderBy("seq")
     # no broadcast hint: prior_max is one row per CORPUS subject (can be
     # millions at fleet scale) while the batch side is small — AQE
@@ -252,8 +263,8 @@ def register_batch(spark: SparkSession, existing: DataFrame,
         F.lit(0).alias("n_issues"))
     dupes_in_batch = (candidates
                       .join(verdict.filter(F.col("status") == "duplicate")
-                                   .select("subject", "seq"),
-                            ["subject", "seq"])
+                                   .select(*verdict_keys),
+                            verdict_keys)
                       .select(*base_keys, "seq",
                               F.lit("duplicate").alias("status"),
                               F.lit(None).cast("int")
@@ -261,8 +272,8 @@ def register_batch(spark: SparkSession, existing: DataFrame,
                               F.lit(0).alias("n_issues")))
     rejected = (candidates
                 .join(verdict.filter(F.col("status") == "incompatible")
-                             .select("subject", "seq", "n_issues"),
-                      ["subject", "seq"])
+                             .select(*verdict_keys, "n_issues"),
+                      verdict_keys)
                 .select(*base_keys, "seq",
                         F.lit("incompatible").alias("status"),
                         F.lit(None).cast("int").alias("assigned_version"),

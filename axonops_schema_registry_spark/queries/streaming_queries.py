@@ -201,9 +201,68 @@ FROM tagged GROUP BY category
 """
 
 
+#: token-bucket spec constants: burst of 2 requests, refill 1 token / 4 h —
+#: chosen so the test corpora (mean per-actor inter-arrival ~3.5 h at
+#: sf0.001, ~20 min at sf0.01) exercise BOTH admission outcomes heavily
+_TB_BURST = 2.0
+_TB_RATE = 1.0 / 14400.0
+
+
+def st9_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 companion with the reference's EXACT admission semantics: a
+    continuous-refill per-client token bucket (ratelimit.go:91-113 allow,
+    115-176 per-client map) replayed over the audit stream — the batch
+    analog of :func:`...streaming.stateful.token_bucket_flags`, which runs
+    the same kernel under ``applyInPandasWithState``.  Actors fold
+    independently (one O(1) state per actor); the full admission log is
+    emitted so the oracle can hash-check every refill/consume step.
+    """
+    from axonops_schema_registry_spark.streaming.stateful import (
+        token_bucket_flags,
+    )
+
+    audit = normalize_audit(load_table(spark, sf_dir, "events"))
+    audit = audit.withColumn("actor_id", F.col("actor_id") % 5)
+    return token_bucket_flags(audit, rate=_TB_RATE, burst=_TB_BURST)
+
+
+# The oracle replays the identical IEEE-double fold as a recursive CTE:
+# per actor ordered by (event-time µs, event_id), each step refills
+# LEAST(burst, tokens + Δs * rate) then consumes iff >= 1.  Every literal
+# is spelled in E-notation so DuckDB types the arithmetic DOUBLE (a bare
+# `1.0/14400.0` is DECIMAL division — quantized, not bit-equal to the
+# Python kernel); the expression sequence then matches _bucket_replay
+# operation for operation.
+_TB_REFILL = ("LEAST(2e0, f.tokens_after + "
+              "(CAST(r.us - f.us AS DOUBLE) / 1000000e0) * (1e0 / 14400e0))")
+
+ST9_ORACLE = f"""
+WITH RECURSIVE req AS MATERIALIZED (
+  SELECT CAST(user_id % 5 AS BIGINT) AS actor_id, event_id,
+         epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id % 5
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+fold AS (
+  SELECT actor_id, event_id, rn, us,
+         TRUE AS allowed, 1e0 AS tokens_after
+  FROM req WHERE rn = 1
+  UNION ALL
+  SELECT r.actor_id, r.event_id, r.rn, r.us,
+         {_TB_REFILL} >= 1e0,
+         CASE WHEN {_TB_REFILL} >= 1e0 THEN {_TB_REFILL} - 1e0
+              ELSE {_TB_REFILL} END
+  FROM req r JOIN fold f
+    ON r.actor_id = f.actor_id AND r.rn = f.rn + 1)
+SELECT actor_id, event_id, allowed, tokens_after FROM fold
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("st2_filtered_cef_lines", st2_filtered_cef_lines, ST2_ORACLE,
               tags=("streaming",)),
+    QuerySpec("st9_token_bucket", st9_token_bucket, ST9_ORACLE,
+              tags=("streaming", "stateful")),
     QuerySpec("aud2_event_type_analytics", aud2_event_type_analytics,
               AUD2_ORACLE, tags=("streaming", "registry")),
     QuerySpec("st6_rate_limit_flags", st6_rate_limit_flags, ST6_ORACLE,

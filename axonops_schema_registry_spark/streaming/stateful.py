@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_DDL = ("actor_id bigint, total_requests bigint, total_failures bigint, "
@@ -43,6 +44,100 @@ def _update_actor_totals(key: tuple, batches: Iterator[pd.DataFrame],
         "total_failures": [failures],
         "last_event_id": [last_event_id],
     })
+
+
+def _bucket_replay(us_values, tokens: float, last_us: int,
+                   rate: float, burst: float):
+    """Shared token-bucket kernel (batch fold AND streaming state update).
+
+    Continuous-refill semantics, exactly the reference's
+    ``tokenBucket.allow`` (/root/reference/internal/auth/ratelimit.go:
+    91-113): on each request, refill ``elapsed_seconds * rate`` capped at
+    ``burst``, then consume one token iff at least one whole token is
+    available.  A fresh bucket starts FULL with ``lastRefill = now`` —
+    the first request sees ``burst`` tokens (newTokenBucket:82-89).
+
+    Returns (allowed_flags, tokens_after, final_tokens, final_last_us).
+    The arithmetic is plain IEEE-double adds/multiplies in arrival order,
+    so a SQL replay with the identical expression sequence is bit-exact.
+    """
+    allowed, after = [], []
+    for us in us_values:
+        us = int(us)
+        if last_us >= 0:
+            tokens = tokens + ((us - last_us) / 1_000_000.0) * rate
+            if tokens > burst:
+                tokens = burst
+        last_us = us
+        if tokens >= 1.0:
+            tokens -= 1.0
+            allowed.append(True)
+        else:
+            allowed.append(False)
+        after.append(tokens)
+    return allowed, after, tokens, last_us
+
+
+TB_OUTPUT_DDL = ("actor_id bigint, event_id bigint, allowed boolean, "
+                 "tokens_after double")
+TB_STATE_DDL = "tokens double, last_us bigint"
+
+
+def token_bucket_flags(audit: DataFrame, rate: float, burst: float,
+                       ts_col: str = "ts") -> DataFrame:
+    """Per-actor continuous-refill token-bucket admission (the reference's
+    RateLimiter with ``PerClient`` enabled, ratelimit.go:115-176) over an
+    audit frame with (actor_id, event_id, ``ts_col``).
+
+    Streaming input → ``applyInPandasWithState``: state is one (tokens,
+    last_us) pair per actor — the exact footprint of the reference's
+    ``clients`` map — sharded by the state store, so cardinality scales
+    with actors, not events.  Events must arrive in event-time order
+    across micro-batches (the file-replay source preserves it; out-of-
+    order feeds need a watermark-sorted pre-stage).
+
+    Batch input → one cogrouped fold per actor (same kernel), emitting
+    the full admission log.  Keys parallelize; per-group state is O(1).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us")
+    slim = audit.select("actor_id", "event_id", us)
+
+    if not audit.isStreaming:
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["us", "event_id"])
+            allowed, after, _, _ = _bucket_replay(
+                pdf["us"], burst, -1, rate, burst)
+            return pd.DataFrame({
+                "actor_id": pdf["actor_id"].astype("int64"),
+                "event_id": pdf["event_id"].astype("int64"),
+                "allowed": allowed,
+                "tokens_after": after,
+            })
+
+        return slim.groupBy("actor_id").applyInPandas(fold, TB_OUTPUT_DDL)
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        tokens, last_us = (state.get if state.exists else (burst, -1))
+        for pdf in batches:
+            pdf = pdf.sort_values(["us", "event_id"])
+            allowed, after, tokens, last_us = _bucket_replay(
+                pdf["us"], tokens, last_us, rate, burst)
+            yield pd.DataFrame({
+                "actor_id": pdf["actor_id"].astype("int64"),
+                "event_id": pdf["event_id"].astype("int64"),
+                "allowed": allowed,
+                "tokens_after": after,
+            })
+        state.update((float(tokens), int(last_us)))
+
+    return (slim.groupBy("actor_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=TB_OUTPUT_DDL,
+                stateStructType=TB_STATE_DDL,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
 
 
 def running_actor_totals(audit: DataFrame) -> DataFrame:

@@ -62,14 +62,17 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 def decode_features(df: DataFrame, stub: bool = True) -> DataFrame:
     """Arrow-batched decode / feature extraction over payload batches.
 
-    Real kernels (PIL.Image.open / librosa.load / pyav frame sampling)
-    would replace ``_fake_decode`` — the mapInPandas batching, schema and
-    memory shape are exactly what they need.
+    FULL pixel/sample kernels (PIL.Image.open / librosa.load / pyav frame
+    sampling) would replace ``_fake_decode`` — the mapInPandas batching,
+    schema and memory shape are exactly what they need.  Container
+    *header* decode (dimensions, channels, sample rate) needs no media
+    libs at all: see :func:`decode_headers`, the real kernel.
     """
     if not stub:
         raise NotImplementedError(
-            "media decode kernels (PIL/librosa/ffmpeg) are not available "
-            "in this environment; run with stub=True")
+            "pixel/sample decode kernels (PIL/librosa/ffmpeg) are not "
+            "available in this environment; run with stub=True, or use "
+            "decode_headers() for the dependency-free header kernel")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,3 +86,161 @@ def decode_features(df: DataFrame, stub: bool = True) -> DataFrame:
             })
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA_DDL)
+
+
+# ---------------------------------------------------------------------------
+# REAL header-decode kernel (no media libraries required)
+# ---------------------------------------------------------------------------
+#
+# Container headers are plain struct-packed bytes: PNG IHDR, GIF logical
+# screen descriptor, JPEG SOF0 marker scan, WAV RIFF/fmt chunks.  Parsing
+# them is a genuine decode (magic sniff + binary field extraction), not a
+# stub — it covers the dimension/sample-rate metadata a training-data
+# pipeline filters on, leaving only pixel/sample decode behind the
+# stub gate above.
+
+HEADER_SCHEMA_DDL = ("doc_id bigint, format string, width int, height int, "
+                     "channels int, sample_rate_hz int, n_samples int, "
+                     "n_bytes bigint")
+
+
+def parse_media_header(payload: bytes) -> dict:
+    """Sniff the container magic and parse its header fields.
+
+    Returns {"format", "width", "height", "channels", "sample_rate_hz",
+    "n_samples"} with None for fields the modality lacks.  Raises
+    ValueError on unrecognized or truncated containers (callers decide
+    whether to quarantine or fail)."""
+    import struct
+
+    none = {"width": None, "height": None, "channels": None,
+            "sample_rate_hz": None, "n_samples": None}
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # first chunk must be IHDR: len(4) type(4) data(13) crc(4)
+        (length,) = struct.unpack(">I", payload[8:12])
+        if payload[12:16] != b"IHDR" or length != 13:
+            raise ValueError("PNG without leading IHDR")
+        w, h = struct.unpack(">II", payload[16:24])
+        return {**none, "format": "png", "width": int(w), "height": int(h)}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {**none, "format": "gif", "width": int(w), "height": int(h)}
+    if payload[:2] == b"\xff\xd8":
+        # scan marker segments for a start-of-frame (SOF0-SOF3)
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = payload[i + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack(">H", payload[i + 2:i + 4])
+            if 0xC0 <= marker <= 0xC3:
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                return {**none, "format": "jpeg",
+                        "width": int(w), "height": int(h)}
+            i += 2 + seglen
+        raise ValueError("JPEG without SOF marker")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # walk chunks for fmt + data
+        i, fmt, data_len = 12, None, None
+        while i + 8 <= len(payload):
+            cid = payload[i:i + 4]
+            (clen,) = struct.unpack("<I", payload[i + 4:i + 8])
+            if cid == b"fmt ":
+                _, ch, rate = struct.unpack("<HHI", payload[i + 8:i + 16])
+                (block_align,) = struct.unpack("<H", payload[i + 20:i + 22])
+                fmt = (int(ch), int(rate), int(block_align))
+            elif cid == b"data":
+                data_len = int(clen)
+            i += 8 + clen + (clen & 1)
+        if fmt is None or data_len is None:
+            raise ValueError("WAV without fmt/data chunks")
+        ch, rate, block_align = fmt
+        return {**none, "format": "wav", "channels": ch,
+                "sample_rate_hz": rate,
+                "n_samples": data_len // max(block_align, 1)}
+    raise ValueError(f"unrecognized container magic {payload[:8]!r}")
+
+
+def decode_headers(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header decode over (doc_id, payload) frames.
+
+    Same partitioning/batching shape as :func:`decode_features`; the
+    kernel is pure stdlib struct parsing, so it runs in any container.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = parse_media_header(bytes(payload))
+                rows.append({"doc_id": doc_id, **meta,
+                             "n_bytes": len(payload)})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "format", "width", "height", "channels",
+                "sample_rate_hz", "n_samples", "n_bytes"])
+
+    return df.mapInPandas(decode_batches, schema=HEADER_SCHEMA_DDL)
+
+
+# --- deterministic payload synthesis (the encode side of the round-trip) --
+#
+# Written independently of the parser (struct.pack with real CRCs vs the
+# parser's field extraction) so the mm2 spec is a genuine encode→decode
+# round-trip whose expected values a SQL oracle derives from doc_id alone.
+
+def synthesize_payload(doc_id: int) -> bytes:
+    """Build a real container for doc_id: format cycles png → gif →
+    jpeg → wav; dimensions/rates are doc_id arithmetic (the oracle's
+    ground truth)."""
+    import struct
+    import zlib
+
+    w = doc_id % 640 + 1
+    h = doc_id % 480 + 1
+    k = doc_id % 32  # filler length → n_bytes varies
+    kind = doc_id % 4
+    if kind == 0:  # PNG: sig + IHDR + IDAT(k filler) + IEND
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", b"\x00" * k) + chunk(b"IEND", b""))
+    if kind == 1:  # GIF89a: header + LSD + filler + trailer
+        return (b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+                + b"\x00" * k + b"\x3b")
+    if kind == 2:  # JPEG: SOI + APP0 + COM(k) + SOF0 + EOI
+        app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+                + b"\x01\x02\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00")
+        com = b"\xff\xfe" + struct.pack(">H", 2 + k) + b"\x00" * k
+        sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                + struct.pack(">HH", h, w) + b"\x03"
+                + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+        return b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9"
+    # WAV: RIFF + fmt(PCM16) + data sized for exactly doc_id%64 samples
+    channels = 1 + doc_id % 2
+    rate = 8000 * (1 + doc_id % 3)
+    block_align = channels * 2
+    data = b"\x00" * ((doc_id % 64) * block_align)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align,
+                      block_align, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (doc_id, payload binary) via an Arrow-batched synthesizer."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "payload": [synthesize_payload(int(i)) for i in pdf[id_col]],
+            })
+
+    return df.select(F.col(id_col)).mapInPandas(
+        synth, schema="doc_id bigint, payload binary")

@@ -718,6 +718,48 @@ FROM documents
 """
 
 
+def mm2_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode (no media libs): deterministic PNG / GIF /
+    JPEG / WAV containers are synthesized per doc_id (struct.pack with
+    real CRCs), then parsed back by the stdlib header kernel
+    (:func:`...llm.multimodal.parse_media_header`) over ``mapInPandas``.
+    Synthesizer and parser are independent implementations, so the oracle
+    — pure doc_id arithmetic — checks genuine binary parsing, not an
+    echo.  Pixel/sample decode stays stubbed (no PIL/ffmpeg here); this
+    covers the header metadata (dims, channels, rate, duration) that
+    100 TB media-filter pipelines select on."""
+    from axonops_schema_registry_spark.llm.multimodal import (
+        decode_headers,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_headers(synthesize_media(docs, "doc_id"))
+
+
+MM2_ORACLE = """
+SELECT doc_id,
+       ['png','gif','jpeg','wav'][CAST(doc_id % 4 AS INT) + 1] AS format,
+       CAST(CASE WHEN doc_id % 4 IN (0,1,2) THEN doc_id % 640 + 1 END
+         AS INT) AS width,
+       CAST(CASE WHEN doc_id % 4 IN (0,1,2) THEN doc_id % 480 + 1 END
+         AS INT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2 END AS INT)
+         AS channels,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 * (1 + doc_id % 3) END
+         AS INT) AS sample_rate_hz,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN doc_id % 64 END AS INT)
+         AS n_samples,
+       CAST(CASE doc_id % 4
+            WHEN 0 THEN 57 + doc_id % 32       -- sig+IHDR+IDAT(k)+IEND
+            WHEN 1 THEN 14 + doc_id % 32       -- GIF hdr+LSD+filler+';'
+            WHEN 2 THEN 45 + doc_id % 32       -- SOI+APP0+COM(k)+SOF0+EOI
+            ELSE 44 + (doc_id % 64) * (1 + doc_id % 2) * 2
+            END AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,
               tags=("llm", "dedup")),
@@ -755,5 +797,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tx5_dataset_card", tx5_dataset_card, TX5_ORACLE,
               tags=("llm", "text"), bench=True),
     QuerySpec("mm1_multimodal_decode", mm1_multimodal_decode, MM1_ORACLE,
+              tags=("llm", "multimodal")),
+    QuerySpec("mm2_header_decode", mm2_header_decode, MM2_ORACLE,
               tags=("llm", "multimodal")),
 ]

@@ -59,24 +59,40 @@ def audit_stream_from_events(spark: SparkSession, source_dir: str,
     return normalize_audit(raw)
 
 
+def parse_audit_json(lines: DataFrame, ts_type: str = "timestamp") -> DataFrame:
+    """Parse JSON audit payloads (one object per row in column ``value``)
+    into the normalized audit shape.  ``ts_type`` declares how the topic
+    encodes timestamps: ``timestamp`` / ``timestamp_ntz`` for ISO
+    strings, ``bigint`` for epoch-nanos LONGs (the legacy generator
+    encoding, same as the file source's nanosAsLong) — ``normalize_audit``
+    branches on the resulting dtype, the same guard the file source gets
+    from footer sniffing (a hardcoded ``ts timestamp`` DDL against a
+    LONG-ts topic is exactly the bug class that broke round 3)."""
+    if ts_type not in ("timestamp", "timestamp_ntz", "bigint"):
+        raise ValueError(f"unsupported ts_type {ts_type!r}")
+    parsed = lines.select(
+        F.from_json(F.col("value").cast("string"),
+                    f"event_id bigint, ts {ts_type}, user_id bigint, "
+                    "event_type string, value double, props string")
+        .alias("e")).select("e.*")
+    return normalize_audit(parsed)
+
+
 def audit_stream_from_kafka(spark: SparkSession, bootstrap_servers: str,
-                            topic: str) -> DataFrame:
+                            topic: str,
+                            ts_type: str = "timestamp") -> DataFrame:
     """Production source: audit events from a Kafka topic (the deployment
     path for the reference's webhook/exporter fanout at scale).  Requires
     the spark-sql-kafka package and a reachable broker — not exercised in
     this container; the file-source replay above is the tested path and
-    shares every downstream transformation."""
+    shares every downstream transformation (including the
+    :func:`parse_audit_json` stage, which IS unit-tested both ways)."""
     raw = (spark.readStream.format("kafka")
            .option("kafka.bootstrap.servers", bootstrap_servers)
            .option("subscribe", topic)
            .option("startingOffsets", "latest")
            .load())
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"),
-                    "event_id bigint, ts timestamp, user_id bigint, "
-                    "event_type string, value double, props string")
-        .alias("e")).select("e.*")
-    return normalize_audit(parsed)
+    return parse_audit_json(raw, ts_type=ts_type)
 
 
 def normalize_audit(raw: DataFrame) -> DataFrame:

@@ -22,6 +22,7 @@ import os
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from axonops_schema_registry_spark.registry import model
 from axonops_schema_registry_spark.registry.compat.jsonschema_check import (
@@ -176,3 +177,21 @@ def test_writer_allof_any_satisfying_conjunct_still_passes():
     writer = json.dumps({"allOf": [{"type": "integer"},
                                    {"minimum": 3}]})
     assert check_jsonschema(reader, writer) == []
+
+
+# ---------------------------------------------------------------------------
+# harness DATE assertion (VERDICT r4 ask #3): raw DATE columns fail loudly
+# ---------------------------------------------------------------------------
+
+
+def test_harness_rejects_raw_date_columns(spark):
+    """A spec emitting a bare DATE column would hash-fail at the driver
+    (Spark date vs DuckDB midnight-Timestamp canonicalization); the local
+    harness must reject it with an actionable message, not silently
+    normalize."""
+    from oracle_harness import _frame_result
+
+    pdf = (spark.createDataFrame([("1996-01-01",)], "d string")
+           .select(F.col("d").cast("date")).toPandas())
+    with pytest.raises(AssertionError, match="DATE-typed column"):
+        _frame_result(pdf)

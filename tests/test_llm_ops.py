@@ -154,3 +154,75 @@ def test_kmv_sketch_accuracy_and_merge(spark, sf_dir):
         kmv_merge(F.col("a"), F.col("b"), 256).alias("kmv"))
     whole = kmv_sketch(toks, ["g"], "token", 256)
     assert merged.collect()[0]["kmv"] == whole.collect()[0]["kmv"]
+
+
+# ---------------------------------------------------------------------------
+# real header-decode kernel (mm2): stdlib container parsing
+# ---------------------------------------------------------------------------
+
+def test_parse_media_header_round_trip_all_formats():
+    from axonops_schema_registry_spark.llm.multimodal import (
+        parse_media_header,
+        synthesize_payload,
+    )
+
+    for doc_id in range(0, 256):
+        meta = parse_media_header(synthesize_payload(doc_id))
+        kind = ("png", "gif", "jpeg", "wav")[doc_id % 4]
+        assert meta["format"] == kind, doc_id
+        if kind in ("png", "gif", "jpeg"):
+            assert meta["width"] == doc_id % 640 + 1
+            assert meta["height"] == doc_id % 480 + 1
+            assert meta["channels"] is None
+        else:
+            assert meta["channels"] == 1 + doc_id % 2
+            assert meta["sample_rate_hz"] == 8000 * (1 + doc_id % 3)
+            assert meta["n_samples"] == doc_id % 64
+            assert meta["width"] is None
+
+
+def test_parse_media_header_rejects_garbage_and_truncation():
+    import pytest as _pytest
+
+    from axonops_schema_registry_spark.llm.multimodal import (
+        parse_media_header,
+    )
+
+    with _pytest.raises(ValueError):
+        parse_media_header(b"not a container at all")
+    # PNG magic but the first chunk is not IHDR
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x04" + b"JUNK" + b"\x00" * 8
+    with _pytest.raises(ValueError):
+        parse_media_header(bad_png)
+    # JPEG with no SOF marker before EOI
+    with _pytest.raises(ValueError):
+        parse_media_header(b"\xff\xd8\xff\xd9")
+    # WAV missing the data chunk
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    with _pytest.raises(ValueError):
+        parse_media_header(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_parse_media_header_gif87a_and_odd_wav_padding():
+    import struct
+
+    from axonops_schema_registry_spark.llm.multimodal import (
+        parse_media_header,
+    )
+
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00\x3b"
+    assert parse_media_header(gif) == {
+        "format": "gif", "width": 320, "height": 200, "channels": None,
+        "sample_rate_hz": None, "n_samples": None}
+    # RIFF chunks pad odd lengths to even — a 3-byte LIST chunk before
+    # fmt/data must not desync the walk
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    body = (b"WAVE" + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 40) + b"\x00" * 40)
+    meta = parse_media_header(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert meta == {"format": "wav", "width": None, "height": None,
+                    "channels": 2, "sample_rate_hz": 16000, "n_samples": 10}

@@ -180,3 +180,54 @@ def test_stream_source_long_ts_schema(spark):
         assert got[5].timestamp() == base_us / 1_000_000 + 5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parse_audit_json_long_ts_payload(spark):
+    """Kafka-path guard (ADVICE r4): a LONG-ts (epoch-nanos) JSON topic
+    must flow through the same dtype branch as the file source — the old
+    hardcoded 'ts timestamp' DDL would null-out or misparse it."""
+    import datetime
+    import json as _json
+
+    from axonops_schema_registry_spark.streaming.audit import (
+        parse_audit_json,
+    )
+
+    base_us = int(datetime.datetime(2024, 1, 10).timestamp()) * 1_000_000
+    lines = [_json.dumps({
+        "event_id": i, "ts": (base_us + i * 1_000_000) * 1000,
+        "user_id": i % 3, "event_type": "error" if i % 5 == 0 else "view",
+        "value": float(i), "props": f"p{i}"}) for i in range(10)]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    out = parse_audit_json(df, ts_type="bigint")
+    assert dict(out.dtypes)["ts"].startswith("timestamp")
+    rows = {r.event_id: r for r in out.collect()}
+    assert len(rows) == 10 and rows[0].ts is not None
+    assert rows[0].ts.year == 2024 and rows[0].outcome == "failure"
+    assert (rows[1].ts - rows[0].ts).total_seconds() == 1.0
+
+
+def test_parse_audit_json_iso_ts_payload(spark):
+    from axonops_schema_registry_spark.streaming.audit import (
+        parse_audit_json,
+    )
+
+    df = spark.createDataFrame(
+        [('{"event_id": 1, "ts": "2024-01-10T00:00:05", "user_id": 7, '
+          '"event_type": "view", "value": 1.5, "props": "x"}',)],
+        "value string")
+    row = parse_audit_json(df, ts_type="timestamp_ntz").collect()[0]
+    assert row.ts is not None and row.ts.second == 5
+    assert row.actor_id == 7 and row.outcome == "success"
+
+
+def test_parse_audit_json_rejects_unknown_ts_type(spark):
+    import pytest as _pytest
+
+    from axonops_schema_registry_spark.streaming.audit import (
+        parse_audit_json,
+    )
+
+    df = spark.createDataFrame([("{}",)], "value string")
+    with _pytest.raises(ValueError):
+        parse_audit_json(df, ts_type="date")

@@ -175,7 +175,12 @@ SELECT * FROM (VALUES
     (3, 'AVRO', 'FORWARD', TRUE, 0),
     (4, 'AVRO', 'FULL', FALSE, 1),
     (5, 'AVRO', 'BACKWARD', TRUE, 0),
-    (6, 'JSON', 'BACKWARD', TRUE, 0),
+    -- JSON V1→V2 adds 'email' to an OPEN content model: backward-
+    -- incompatible per the reference's content-model rules (its own BDD
+    -- 'add optional property to open content model' uses this exact
+    -- pair and expects 409); the FORWARD direction removes the property
+    -- against an open reader — compatible
+    (6, 'JSON', 'BACKWARD', FALSE, 1),
     (7, 'JSON', 'FORWARD', TRUE, 0),
     (8, 'PROTOBUF', 'BACKWARD', TRUE, 0),
     (9, 'PROTOBUF', 'FULL', TRUE, 0),
@@ -946,7 +951,9 @@ def rc1_version_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 RC1_ORACLE = """
 SELECT * FROM (VALUES
     ('user-value', 1, 2, TRUE, 0),
-    ('profile-value', 1, 2, TRUE, 0),
+    -- JSON_USER_V1 -> V2 adds 'email' to an open content model:
+    -- backward-incompatible under reference content-model semantics
+    ('profile-value', 1, 2, FALSE, 1),
     ('event-value', 1, 2, TRUE, 0)
 ) AS t(subject, prev_version, curr_version, backward_compatible, n_issues)
 """
@@ -1116,7 +1123,7 @@ SELECT * FROM (VALUES
      '{"name":"nickname","type":"string"}', TRUE, 0),
     (3, 'profile-value', 'BACKWARD', 'add_field',
      'Add to properties; do not add to required array if backward-compatible',
-     '"age":{"type":"integer"}', TRUE, 0),
+     '"age":{"type":"integer"}', FALSE, 1),
     (4, 'event-value', 'BACKWARD', 'add_field',
      'Add with a new unique field number',
      'string region = <next_number>;', TRUE, 0),

@@ -25,6 +25,7 @@ from __future__ import annotations
 from axonops_schema_registry_spark.registry.protobuf_parse import (
     SCALARS,
     WIRE_GROUPS,
+    ProtoField,
     ProtoFile,
     ProtoMessage,
     parse_proto,
@@ -59,6 +60,11 @@ def check_protobuf(reader_text: str, writer_text: str) -> list[str]:
     reader = parse_proto(reader_text)
     writer = parse_proto(writer_text)
     issues: list[str] = []
+    # package change breaks the fully-qualified type namespace
+    # (checker.go:43-46)
+    if reader.package != writer.package:
+        issues.append(f"package changed from '{writer.package}' "
+                      f"to '{reader.package}'")
     for name, wmsg in writer.messages.items():
         rmsg = reader.messages.get(name)
         if rmsg is None:
@@ -86,13 +92,26 @@ def _check_message(rmsg: ProtoMessage, wmsg: ProtoMessage,
     if key in visited:
         return
     visited.add(key)
+    moved_to_oneof: dict[str, list[ProtoField]] = {}
     for num, wf in wmsg.fields.items():
         rf = rmsg.fields.get(num)
         at = f"{path}.{wf.name}#{num}"
         if rf is None:
-            if wf.label == "required" and rfile.syntax == "proto2":
+            if wf.label == "required":
                 issues.append(f"{at}: required field removed by reader")
-            continue  # removed optional field: unknown-field, fine
+            elif wf.oneof is not None:
+                # removing a member changes the oneof's exclusion
+                # semantics (checker.go:254-257)
+                issues.append(f"{at}: field removed from oneof "
+                              f"'{wf.oneof}'")
+            continue  # removed plain field: unknown-field, fine
+        # map entries compare as their synthetic entry message: key/value
+        # field pairs must stay wire-compatible (checker.go treats them
+        # as MessageKind and compares structurally)
+        if wf.label == "map" and rf.label == "map":
+            _check_map_entry(rf, wf, rfile, rmsg, wfile, wmsg, at, issues,
+                             visited)
+            continue
         # wire group
         wg = _wire_group(wf.type, wfile, wmsg)
         rg = _wire_group(rf.type, rfile, rmsg)
@@ -111,15 +130,16 @@ def _check_message(rmsg: ProtoMessage, wmsg: ProtoMessage,
         elif wsub is not None and rsub is not None:
             _check_message(rsub, wsub, rfile, wfile, f"{path}.{wf.name}",
                            issues, visited)
-        # enum compatibility: numbers are what travel; removing a value the
-        # writer emits is flagged
+        # enum-typed on both sides: the reference requires the enum TYPE
+        # name to match (checker.go:351-353); value adds AND removals are
+        # wire-compatible — enums are open varints, unknown numbers are
+        # preserved (checker.go:571-574), so no value-set check at all
         wenum = _find_enum(wf.type, wfile, wmsg)
         renum = _find_enum(rf.type, rfile, rmsg)
         if wenum is not None and renum is not None:
-            missing = set(wenum.values()) - set(renum.values())
-            if missing:
-                issues.append(f"{at}: enum numbers {sorted(missing)} "
-                              f"removed in reader")
+            if wf.type.split(".")[-1] != rf.type.split(".")[-1]:
+                issues.append(f"{at}: enum type changed "
+                              f"{wf.type} → {rf.type}")
         # cardinality
         w_rep = wf.label in ("repeated", "map")
         r_rep = rf.label in ("repeated", "map")
@@ -133,13 +153,64 @@ def _check_message(rmsg: ProtoMessage, wmsg: ProtoMessage,
         # required tightening (proto2)
         if rf.label == "required" and wf.label != "required":
             issues.append(f"{at}: reader requires previously-optional field")
-        # oneof moves
-        if (wf.oneof is None) != (rf.oneof is None):
-            issues.append(f"{at}: field moved "
-                          f"{'into' if rf.oneof else 'out of'} a oneof")
+        # oneof membership (checker.go:317-335): OUT of a real oneof is
+        # incompatible; INTO one is per-oneof aggregated below
+        if wf.oneof is not None and rf.oneof is None:
+            issues.append(f"{at}: field moved out of oneof '{wf.oneof}'")
+        elif wf.oneof is None and rf.oneof is not None:
+            moved_to_oneof.setdefault(rf.oneof, []).append(rf)
+    # moved-into-oneof aggregation (checker.go:202-244): >1 previously-
+    # independent field into one oneof, or joining a oneof with other
+    # pre-existing members, adds a mutual-exclusion constraint
+    for oneof_name, moved in moved_to_oneof.items():
+        if len(moved) > 1:
+            issues.append(f"{path}: multiple fields moved into oneof "
+                          f"'{oneof_name}', creating mutual exclusion")
+            continue
+        moved_f = moved[0]
+        for rf2 in rmsg.fields.values():
+            if (rf2.oneof == oneof_name and rf2.number != moved_f.number
+                    and rf2.number in wmsg.fields):
+                issues.append(
+                    f"{path}.{moved_f.name}#{moved_f.number}: field moved "
+                    f"into existing oneof '{oneof_name}'")
+                break
     # new required fields in reader (proto2)
-    if rfile.syntax == "proto2":
-        for num, rf in rmsg.fields.items():
-            if num not in wmsg.fields and rf.label == "required":
-                issues.append(f"{path}.{rf.name}#{num}: reader adds "
-                              f"required field absent from writer")
+    for num, rf in rmsg.fields.items():
+        if num not in wmsg.fields and rf.label == "required":
+            issues.append(f"{path}.{rf.name}#{num}: reader adds "
+                          f"required field absent from writer")
+    # nested message REMOVAL is incompatible (checker.go:499-501); nested
+    # pairs also compare by name even when no field references them
+    for nname, wnested in wmsg.messages.items():
+        rnested = rmsg.messages.get(nname)
+        if rnested is None:
+            issues.append(f"{path}: nested message '{nname}' was removed")
+        else:
+            _check_message(rnested, wnested, rfile, wfile,
+                           f"{path}.{nname}", issues, visited)
+    # nested enum removal is wire-compatible (ints on the wire) — no check
+
+
+def _check_map_entry(rf, wf, rfile: ProtoFile, rmsg: ProtoMessage,
+                     wfile: ProtoFile, wmsg: ProtoMessage, at: str,
+                     issues: list[str],
+                     visited: set[tuple[str, str]]) -> None:
+    for part, wtype, rtype in (("key", wf.map_key, rf.map_key),
+                               ("value", wf.map_value, rf.map_value)):
+        wg = _wire_group(wtype, wfile, wmsg)
+        rg = _wire_group(rtype, rfile, rmsg)
+        if wg != rg:
+            issues.append(f"{at}: map {part} wire type changed "
+                          f"{wtype}({wg}) → {rtype}({rg})")
+            continue
+        wsub = _find_message(wtype, wfile, wmsg) \
+            if wtype not in SCALARS else None
+        rsub = _find_message(rtype, rfile, rmsg) \
+            if rtype not in SCALARS else None
+        if (wsub is None) != (rsub is None):
+            issues.append(f"{at}: map {part} message/scalar kind changed "
+                          f"{wtype} → {rtype}")
+        elif wsub is not None and rsub is not None:
+            _check_message(rsub, wsub, rfile, wfile, f"{at}.{part}",
+                           issues, visited)

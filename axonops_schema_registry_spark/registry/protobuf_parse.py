@@ -20,12 +20,16 @@ SCALARS = {
 }
 
 #: Wire-type groups: changing type *within* a group is wire-compatible
-#: (checker.go:361-374).
+#: (checker.go:361-374).  float/double deliberately get singleton groups —
+#: the reference's compatibleGroups exclude them, so float↔fixed32 and
+#: double↔fixed64 are INCOMPATIBLE despite sharing a wire type (the bit
+#: patterns reinterpret).
 WIRE_GROUPS = {
     **{t: "varint" for t in ("int32", "int64", "uint32", "uint64", "bool")},
     **{t: "zigzag" for t in ("sint32", "sint64")},
-    **{t: "fixed32" for t in ("fixed32", "sfixed32", "float")},
-    **{t: "fixed64" for t in ("fixed64", "sfixed64", "double")},
+    **{t: "fixed32" for t in ("fixed32", "sfixed32")},
+    **{t: "fixed64" for t in ("fixed64", "sfixed64")},
+    "float": "float", "double": "double",
     **{t: "lendelim" for t in ("string", "bytes")},
 }
 

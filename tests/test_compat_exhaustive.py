@@ -161,8 +161,12 @@ class TestProtobufExhaustive:
         ("int32", "bool", True),              # varint group
         ("sint32", "sint64", True),           # zigzag group
         ("sint32", "int32", False),           # zigzag vs plain varint
-        ("fixed32", "sfixed32", True), ("fixed32", "float", True),
-        ("fixed64", "double", True), ("fixed32", "fixed64", False),
+        # float/double are NOT wire-compatible with (s)fixed despite the
+        # shared wire type — the bit patterns reinterpret (checker.go's
+        # compatibleGroups exclude them; BDD protobuf_diff parity)
+        ("fixed32", "sfixed32", True), ("fixed32", "float", False),
+        ("fixed64", "double", False), ("fixed32", "fixed64", False),
+        ("float", "float", True), ("double", "double", True),
         ("string", "bytes", True), ("bytes", "string", True),
         ("string", "int32", False), ("int32", "double", False),
     ])
@@ -188,15 +192,52 @@ class TestProtobufExhaustive:
         r = proto("  repeated int32 v = 1;")
         assert check_pair(r, w, "PROTOBUF") != []
 
-    def test_enum_value_removal(self):
+    def test_enum_value_add_and_removal_both_compatible(self):
+        # enums are open varints: unknown numbers are preserved, so value
+        # removal AND addition are wire-compatible (checker.go:571-574;
+        # BDD 'remove enum value is compatible' / 'add enum value')
         w = proto("  enum E { E_A = 0; E_B = 1; }\n  E v = 1;")
         r = proto("  enum E { E_A = 0; }\n  E v = 1;")
-        assert check_pair(r, w, "PROTOBUF") != []
+        assert check_pair(r, w, "PROTOBUF") == []
         assert check_pair(w, r, "PROTOBUF") == []
 
-    def test_oneof_move_flagged(self):
+    def test_enum_type_rename_flagged(self):
+        w = proto("  enum E { E_A = 0; }\n  E v = 1;")
+        r = proto("  enum F { E_A = 0; }\n  F v = 1;")
+        assert check_pair(r, w, "PROTOBUF") != []
+
+    def test_oneof_membership_rules(self):
+        # one field into a oneof whose other members are NEW → compatible
+        # (wire format unchanged; BDD protobuf_diff 18/22)
         w = proto("  string v = 1;")
         r = proto("  oneof sel { string v = 1; int32 n = 2; }")
+        assert check_pair(r, w, "PROTOBUF") == []
+        # two previously-independent fields into one oneof → mutual
+        # exclusion constraint added → incompatible (BDD 19)
+        w2 = proto("  string v = 1;\n  string u = 2;")
+        r2 = proto("  oneof sel { string v = 1; string u = 2; }")
+        assert check_pair(r2, w2, "PROTOBUF") != []
+        # into a oneof with PRE-EXISTING members → incompatible (BDD 23)
+        w3 = proto("  string v = 1;\n  oneof sel { string u = 2; }")
+        r3 = proto("  oneof sel { string v = 1; string u = 2; }")
+        assert check_pair(r3, w3, "PROTOBUF") != []
+        # removing a oneof member → incompatible (BDD 21)
+        w4 = proto("  oneof sel { string v = 1; string u = 2; }")
+        r4 = proto("  oneof sel { string v = 1; }")
+        assert check_pair(r4, w4, "PROTOBUF") != []
+        # moving OUT of a oneof → incompatible (checker.go:328-331)
+        w5 = proto("  oneof sel { string v = 1; }")
+        r5 = proto("  string v = 1;")
+        assert check_pair(r5, w5, "PROTOBUF") != []
+
+    def test_package_change_flagged(self):
+        w = 'syntax = "proto3";\npackage foo;\nmessage M { string v = 1; }'
+        r = 'syntax = "proto3";\npackage bar;\nmessage M { string v = 1; }'
+        assert check_pair(r, w, "PROTOBUF") != []
+
+    def test_nested_message_removal_flagged(self):
+        w = proto("  message Inner { int32 a = 1; }\n  string v = 1;")
+        r = proto("  string v = 1;")
         assert check_pair(r, w, "PROTOBUF") != []
 
     def test_mode_orchestration_protobuf(self):

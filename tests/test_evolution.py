@@ -91,8 +91,21 @@ def test_protobuf_retype_detected():
     assert not r["is_compatible"]
 
 
-def test_json_add_field_optional_passes():
+def test_json_add_field_open_model_fails():
+    # JSON_USER_V2 has an OPEN content model (no additionalProperties):
+    # the old writer may have emitted "age" with any type, so typing it
+    # is backward-incompatible (reference checker.go:344-347; BDD
+    # 'add optional property to open content model is incompatible')
     r = suggest_and_verify(model.JSON_USER_V2, "JSON", "BACKWARD",
+                           "add_field", "age", "integer")
+    assert not r["is_compatible"]
+
+
+def test_json_add_field_closed_model_passes():
+    closed = json.dumps({"type": "object",
+                         "properties": {"name": {"type": "string"}},
+                         "additionalProperties": False})
+    r = suggest_and_verify(closed, "JSON", "BACKWARD",
                            "add_field", "age", "integer")
     assert r["is_compatible"]
 

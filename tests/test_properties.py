@@ -115,11 +115,23 @@ def test_json_self_compatibility(schema):
 
 @settings(max_examples=60, deadline=None)
 @given(json_objects())
-def test_json_adding_optional_property_is_compatible(schema):
+def test_json_adding_optional_property_content_model(schema):
+    # reference content-model semantics: adding a typed property is
+    # compatible against a CLOSED writer (it could never emit the name)
+    # but INCOMPATIBLE against an open writer (it could emit anything
+    # under that name) — checker.go:344-358, BDD diff 043-045
     import copy
-    widened = copy.deepcopy(schema)
+    closed = copy.deepcopy(schema)
+    closed["additionalProperties"] = False
+    widened = copy.deepcopy(closed)
     widened["properties"]["zz_extra"] = {"type": "string"}
-    assert check_pair(json.dumps(widened), json.dumps(schema), "JSON") == []
+    assert check_pair(json.dumps(widened), json.dumps(closed), "JSON") == []
+    open_w = copy.deepcopy(schema)
+    open_w.pop("additionalProperties", None)
+    open_r = copy.deepcopy(open_w)
+    open_r["properties"]["zz_extra"] = {"type": "string"}
+    issues = check_pair(json.dumps(open_r), json.dumps(open_w), "JSON")
+    assert issues and "open content model" in issues[0]
 
 
 @settings(max_examples=60, deadline=None)

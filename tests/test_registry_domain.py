@@ -153,8 +153,15 @@ JS_V2 = ('{"type":"object","properties":{"name":{"type":"string"},'
 
 
 class TestJsonSchemaCompat:
-    def test_add_optional_property_ok(self):
-        assert check_pair(JS_V2, JS_V1, "JSON") == []
+    def test_add_optional_property_content_model(self):
+        # open writer model → typed add is incompatible (reference BDD
+        # 'add optional property to open content model'); closed writer
+        # model → compatible (it could never emit the name)
+        issues = check_pair(JS_V2, JS_V1, "JSON")
+        assert issues and "open content model" in issues[0]
+        closed_v1 = JS_V1[:-1] + ',"additionalProperties":false}'
+        closed_v2 = JS_V2[:-1] + ',"additionalProperties":false}'
+        assert check_pair(closed_v2, closed_v1, "JSON") == []
 
     def test_new_required_property_fails(self):
         v2_req = ('{"type":"object","properties":{"name":{"type":"string"},'
@@ -309,9 +316,14 @@ class TestJsonCrossSubjectRefs:
     def test_external_ref_resolution(self):
         user = ('{"type":"object","properties":'
                 '{"addr":{"$ref":"address.json"}},"required":["addr"]}')
-        addr_v1 = '{"type":"object","properties":{"street":{"type":"string"}}}'
+        # closed content models: the property add in v2 is then judged
+        # against additionalProperties:false and stays compatible under
+        # reference content-model semantics (an OPEN-model add would be
+        # incompatible and mask what this test exercises: resolution)
+        addr_v1 = ('{"type":"object","properties":{"street":{"type":"string"}},'
+                   '"additionalProperties":false}')
         addr_v2 = ('{"type":"object","properties":{"street":{"type":"string"},'
-                   '"city":{"type":"string"}}}')
+                   '"city":{"type":"string"}},"additionalProperties":false}')
         addr_narrow = ('{"type":"object","properties":'
                        '{"street":{"type":"string","maxLength":3}}}')
         ok = check_pair(user, user, "JSON",

@@ -20,35 +20,41 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-4 rotation (VERDICT r3 ask #2): the 13 never-driver-verified
-    # specs take the slots of 13 multi-round-green specs (r1-r3, f13,
-    # fs1, fs2, j2, f6, q1, dd1, tx1-tx3 — all double-green, still
-    # guarded by tests/test_queries_oracle.py locally).
-    "asof1_config_at_event_time", "rj1_events_in_windows",
-    "hr1_hypertable_rollup", "aud1_audit_chain", "exp1_exporter_lifecycle",
-    "del1_delete_taxonomy", "dd5_cross_source_dup_matrix",
-    "tx6_token_rarity", "sk1_distinct_sketches", "a4c_cube_statistics",
-    "q4_order_priority", "q12_priority_linestatus", "q16_supplier_counts",
-    # round-4 new features
-    "del2_version_delete_taxonomy", "j8c_dek_undelete_lifecycle",
-    "lv1_context_level_resolution", "aud2_event_type_analytics",
-    # compat checkers + registration pipeline (registry family)
-    "c1_compatibility_matrix", "c2_compat_messages", "c3_compat_with_refs",
-    "rc1_version_chain_audit", "r4_registration_batch",
-    "r7_registration_gated", "r8_delete_reregister", "s9_import_with_ids",
-    "mode1_write_gating", "m1_metadata_merge",
-    "a8r_schema_quality", "j4r_subject_similarity",
-    "j8_kek_dek_lifecycle", "j8b_dek_rewrap", "j3r_reference_resolution",
-    "j3d_dependency_closure", "x1_export_subject",
-    "ctx1_multitenant_listing", "err1_lookup_taxonomy",
-    "rv1_ruleset_validation", "u1_user_role_stats",
-    "sg1_suggest_evolution", "v1_validate_normalize",
-    # LLM pipeline operators (mm1 rotated out after its r3-green row)
-    "dd2_minhash_lsh_dedup", "dd3_simhash_dedup",
-    "dd4_dedup_clusters", "nn1_cosine_topk", "nn2_lsh_ann_topk",
-    "nn3_ivf_ann_topk", "tx4_char_entropy", "tx5_dataset_card",
-    # streaming (st8/ex1/mp1 rotated out after their r3-green rows)
-    "st2_filtered_cef_lines", "st6_rate_limit_flags",
+    # Round-5 rotation (VERDICT r4 ask #1): the 10 never-driver-sampled
+    # specs lead — after this round every one of the 125 specs has had
+    # >=1 green driver row across rounds 1-5.
+    "j8d_kek_cascade_lifecycle", "dd6_embedding_cosine_dedup",
+    "q11_important_stock", "q13_customer_distribution",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q19_disjunctive_pushdown", "q20_excess_shippers",
+    "q21_waiting_suppliers", "q22_dormant_customers",
+    # round-5 new features
+    "st9_token_bucket", "mm2_header_decode",
+    # re-verify: semantics/oracles changed in r5 (ADVICE fixes + the BDD
+    # parity sweep's content-model rules — c1/rc1/sg1 verdict flips,
+    # del2 40401 branch, ctx-scoped registration joins)
+    "del2_version_delete_taxonomy", "lv1_context_level_resolution",
+    "c1_compatibility_matrix", "c2_compat_messages",
+    "rc1_version_chain_audit", "sg1_suggest_evolution",
+    "r4_registration_batch",
+    # backfill: the least-recently-sampled greens (single r1 row, 4
+    # rounds stale); the 14 simplest r1 greens (s1/s2/s4/s5, o2,
+    # f1/f2/f3/f5/f7, p4/p5, w2, j9) wait for r6 — all remain guarded by
+    # tests/test_queries_oracle.py locally
+    "a1_versions_view", "a3_global_id_stats", "a4_registry_statistics",
+    "a5_field_patterns", "a6_type_consistency", "a8_quality_scores",
+    "a9_complexity", "a10_event_metrics",
+    "e1_schema_diff", "e2_subject_compare", "e3_similarity_selfjoin",
+    "e4_migration_plan", "e5_union_segments",
+    "f10_global_fingerprint", "f14_subject_name_strategy",
+    "j1_referenced_by", "j3_multilevel_resolution", "j6_config_fallback",
+    "j7_dedup_anti_join", "p1_live_view",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_volume", "q10_returned_items",
+    "q14_promo_revenue_share", "q18_large_orders",
+    "s3_subject_version_lookup",
+    "w1_latest_per_subject", "w3_content_addressed_ids",
+    "w5_prior_version_delta",
 )
 
 

@@ -772,7 +772,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dd5_cross_source_dup_matrix", dd5_cross_source_dup_matrix,
               DD5_ORACLE, tags=("llm", "dedup")),
     QuerySpec("dd6_embedding_cosine_dedup", dd6_embedding_cosine_dedup,
-              DD6_ORACLE, tags=("llm", "dedup", "similarity")),
+              DD6_ORACLE, tags=("llm", "dedup", "similarity"), bench=True),
     QuerySpec("tx6_token_rarity", tx6_token_rarity, TX6_ORACLE,
               tags=("llm", "text")),
     QuerySpec("sk1_distinct_sketches", sk1_distinct_sketches, SK1_ORACLE,

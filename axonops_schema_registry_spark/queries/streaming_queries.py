@@ -262,7 +262,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("st2_filtered_cef_lines", st2_filtered_cef_lines, ST2_ORACLE,
               tags=("streaming",)),
     QuerySpec("st9_token_bucket", st9_token_bucket, ST9_ORACLE,
-              tags=("streaming", "stateful")),
+              tags=("streaming", "stateful"), bench=True),
     QuerySpec("aud2_event_type_analytics", aud2_event_type_analytics,
               AUD2_ORACLE, tags=("streaming", "registry")),
     QuerySpec("st6_rate_limit_flags", st6_rate_limit_flags, ST6_ORACLE,

@@ -181,3 +181,155 @@ def avro_extract_fields(schema_text: str) -> list[dict[str, Any]]:
 
     walk(schema, "")
     return out
+
+
+# ---------------------------------------------------------------------------
+# structural validation (the parse-time checks the reference's 422 path runs)
+# ---------------------------------------------------------------------------
+
+def _default_matches(value: Any, ftype: Any, symbols_of: dict) -> bool:
+    """Spec: a field default is validated against the FIRST union branch."""
+    if isinstance(ftype, list):
+        return _default_matches(value, ftype[0] if ftype else None,
+                                symbols_of)
+    if isinstance(ftype, dict):
+        t = ftype.get("type")
+        if t == "enum":
+            return isinstance(value, str) and \
+                value in ftype.get("symbols", [])
+        if t == "array":
+            return isinstance(value, list)
+        if t == "map":
+            return isinstance(value, dict)
+        if t in ("record", "error"):
+            return isinstance(value, dict)
+        if t == "fixed":
+            return isinstance(value, str)
+        ftype = t
+    if isinstance(ftype, str):
+        if ftype == "null":
+            return value is None
+        if ftype == "boolean":
+            return isinstance(value, bool)
+        if ftype in ("int", "long"):
+            return isinstance(value, int) and not isinstance(value, bool)
+        if ftype in ("float", "double"):
+            return isinstance(value, (int, float)) \
+                and not isinstance(value, bool)
+        if ftype in ("string", "bytes"):
+            return isinstance(value, str)
+        if ftype in symbols_of:  # named enum reference
+            return isinstance(value, str) and value in symbols_of[ftype]
+        return True  # named record/fixed reference: accept shallowly
+    return True
+
+
+def avro_validate(schema_text: str) -> None:
+    """Raise ValueError for schemas the reference's parser rejects with
+    INVALID_SCHEMA (42201): unknown type names, duplicate field names,
+    defaults that don't type-check, empty enums, non-positive fixed
+    sizes.  Mirrors parse-time validation (hamba/avro semantics per
+    modeling_negative_validation.feature + schema_parsing_exhaustive),
+    re-derived from the Avro specification.
+
+    Two passes: collect every named definition, then walk and check
+    references — forward references are accepted (laxer than strict
+    single-pass Avro, strict enough for every reference rejection case).
+    """
+    schema = json.loads(schema_text)
+    defined: set[str] = set()
+    symbols_of: dict[str, list] = {}
+
+    def collect(node: Any, namespace: str | None) -> None:
+        if isinstance(node, list):
+            for b in node:
+                collect(b, namespace)
+            return
+        if not isinstance(node, dict):
+            return
+        t = node.get("type")
+        if t in NAMED_TYPES:
+            name = node.get("name")
+            if not name:
+                raise ValueError(f"{t} without a name")
+            ns = node.get("namespace", namespace)
+            full = _fullname(name, ns)
+            defined.add(full)
+            defined.add(full.rsplit(".", 1)[-1])
+            for alias in node.get("aliases", []):
+                defined.add(_fullname(alias, ns))
+            if t == "enum":
+                symbols_of[full] = node.get("symbols", [])
+                symbols_of[full.rsplit(".", 1)[-1]] = \
+                    node.get("symbols", [])
+            if t in ("record", "error"):
+                for f in node.get("fields", []):
+                    collect(f.get("type"), ns)
+        elif t == "array":
+            collect(node.get("items"), namespace)
+        elif t == "map":
+            collect(node.get("values"), namespace)
+        elif isinstance(t, (dict, list)):
+            collect(t, namespace)
+
+    def check(node: Any, namespace: str | None) -> None:
+        if isinstance(node, str):
+            if node not in PRIMITIVES and node not in defined \
+                    and _fullname(node, namespace) not in defined:
+                raise ValueError(f"unknown type reference '{node}'")
+            return
+        if isinstance(node, list):
+            for b in node:
+                check(b, namespace)
+            return
+        if not isinstance(node, dict):
+            raise ValueError(f"invalid schema node {node!r}")
+        t = node.get("type")
+        if t in ("record", "error"):
+            ns = node.get("namespace", namespace)
+            names = [f.get("name") for f in node.get("fields", [])]
+            if len(names) != len(set(names)):
+                dupes = sorted({n for n in names if names.count(n) > 1})
+                raise ValueError(f"duplicate field name(s) {dupes} in "
+                                 f"record '{node.get('name')}'")
+            for f in node.get("fields", []):
+                if not f.get("name"):
+                    raise ValueError("record field without a name")
+                check(f.get("type"), ns)
+                if "default" in f and not _default_matches(
+                        f["default"], f["type"], symbols_of):
+                    raise ValueError(
+                        f"default {f['default']!r} does not match type of "
+                        f"field '{f['name']}'")
+        elif t == "enum":
+            syms = node.get("symbols")
+            if not syms:
+                raise ValueError(
+                    f"enum '{node.get('name')}' has no symbols")
+            if len(syms) != len(set(syms)):
+                raise ValueError(
+                    f"enum '{node.get('name')}' has duplicate symbols")
+        elif t == "fixed":
+            size = node.get("size")
+            if not isinstance(size, int) or isinstance(size, bool) \
+                    or size <= 0:
+                raise ValueError(
+                    f"fixed '{node.get('name')}' size must be a positive "
+                    f"integer, got {size!r}")
+        elif t == "array":
+            if "items" not in node:
+                raise ValueError("array without items")
+            check(node["items"], namespace)
+        elif t == "map":
+            if "values" not in node:
+                raise ValueError("map without values")
+            check(node["values"], namespace)
+        elif isinstance(t, (dict, list)):
+            check(t, namespace)
+        elif isinstance(t, str):
+            check(t, namespace)
+        else:
+            raise ValueError(f"schema node without a type: {node!r}")
+
+    collect(schema, None)
+    check(schema, None)

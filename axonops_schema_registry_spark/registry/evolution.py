@@ -222,6 +222,11 @@ def validate_and_normalize(schema_text: str,
     st = (schema_type or "AVRO").upper()
     try:
         if st == "AVRO":
+            from axonops_schema_registry_spark.registry.avro import (
+                avro_validate,
+            )
+
+            avro_validate(schema_text)
             canonical = avro_canonical_form(schema_text)
         elif st == "JSON":
             canonical = json.dumps(json.loads(schema_text), sort_keys=True,
@@ -230,11 +235,13 @@ def validate_and_normalize(schema_text: str,
         elif st == "PROTOBUF":
             from axonops_schema_registry_spark.registry.protobuf_parse import (
                 parse_proto,
+                proto_validate,
             )
 
             parsed = parse_proto(schema_text)
             if not parsed.messages and not parsed.enums:
                 raise ValueError("no message or enum definitions")
+            proto_validate(parsed)
             stripped = re.sub(r"//[^\n]*|/\*.*?\*/", " ", schema_text,
                               flags=re.DOTALL)
             canonical = re.sub(r"\s+", " ", stripped).strip()

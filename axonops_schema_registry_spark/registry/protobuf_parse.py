@@ -51,6 +51,9 @@ class ProtoMessage:
     fields: dict[int, ProtoField] = field(default_factory=dict)
     messages: dict[str, "ProtoMessage"] = field(default_factory=dict)
     enums: dict[str, dict[str, int]] = field(default_factory=dict)
+    #: field numbers assigned more than once (parse stays lenient — the
+    #: last definition wins in ``fields`` — validation flags these)
+    duplicate_numbers: list[int] = field(default_factory=list)
 
 
 @dataclass
@@ -59,6 +62,7 @@ class ProtoFile:
     package: str = ""
     messages: dict[str, ProtoMessage] = field(default_factory=dict)
     enums: dict[str, dict[str, int]] = field(default_factory=dict)
+    imports: list[str] = field(default_factory=list)
 
 
 _TOKEN = re.compile(
@@ -148,6 +152,8 @@ def parse_proto(text: str) -> ProtoFile:
                 fname = toks[i + 6]
                 assert toks[i + 7] == "="
                 num = int(toks[i + 8])
+                if num in msg.fields:
+                    msg.duplicate_numbers.append(num)
                 msg.fields[num] = ProtoField(fname, num, "map", "map",
                                              oneof, k, v)
                 i += 9
@@ -156,6 +162,8 @@ def parse_proto(text: str) -> ProtoFile:
                 fname = toks[i + 1]
                 assert toks[i + 2] == "=", f"bad field at {toks[i:i+4]}"
                 num = int(toks[i + 3])
+                if num in msg.fields:
+                    msg.duplicate_numbers.append(num)
                 msg.fields[num] = ProtoField(fname, num, ftype, label, oneof)
                 i += 4
             while toks[i] != ";":
@@ -170,7 +178,13 @@ def parse_proto(text: str) -> ProtoFile:
         elif t == "package":
             out.package = toks[i + 1]
             i += 3
-        elif t in ("import", "option"):
+        elif t == "import":
+            while toks[i] != ";":
+                if toks[i].startswith('"'):
+                    out.imports.append(toks[i].strip('"'))
+                i += 1
+            i += 1
+        elif t == "option":
             while toks[i] != ";":
                 i += 1
             i += 1
@@ -183,3 +197,28 @@ def parse_proto(text: str) -> ProtoFile:
         else:
             i += 1
     return out
+
+
+def proto_validate(pf: ProtoFile,
+                   known_imports: tuple[str, ...] = ()) -> None:
+    """Raise ValueError for .proto files the reference's compiler rejects
+    (INVALID_SCHEMA 42201): duplicate field numbers within a message, and
+    imports that resolve to neither a well-known google/protobuf file nor
+    a declared schema reference (modeling_negative_validation.feature)."""
+    for imp in pf.imports:
+        if imp.startswith("google/protobuf/"):
+            continue  # standard imports ship with the compiler
+        if imp not in known_imports:
+            raise ValueError(f"import '{imp}' has no matching schema "
+                             f"reference")
+
+    def walk(msg: ProtoMessage, path: str) -> None:
+        if msg.duplicate_numbers:
+            raise ValueError(
+                f"duplicate field number(s) {sorted(set(msg.duplicate_numbers))} "
+                f"in message '{path}'")
+        for sub in msg.messages.values():
+            walk(sub, f"{path}.{sub.name}")
+
+    for m in pf.messages.values():
+        walk(m, m.name)

@@ -40,6 +40,9 @@ PARITY_FEATURES = (
     "modeling_avro_compatibility.feature",
     "modeling_jsonschema_compatibility.feature",
     "modeling_protobuf_compatibility.feature",
+    # register-path parsing acceptance: 200 (parses) vs 422 (invalid)
+    "schema_parsing_exhaustive.feature",
+    "modeling_negative_validation.feature",
 )
 
 _RE_GLOBAL = re.compile(r'the global compatibility level is "(\w+)"')
@@ -78,7 +81,11 @@ class Expectation:
     level: str
     history: tuple[str, ...]
     candidate: str
-    expect_compatible: bool
+    expect: str          # 'compatible' | 'incompatible' | 'invalid'
+
+    @property
+    def expect_compatible(self) -> bool:
+        return self.expect == "compatible"
 
 
 @dataclasses.dataclass
@@ -199,14 +206,15 @@ def _replay_scenario(feature: str, scenario: str, steps):
             if pending is None or pending[0] != "register":
                 pending = None
                 continue  # status assertion about a non-register call
-            if status not in (200, 409):
+            if status not in (200, 409, 422):
                 return [], f"non-compat status {status}"
             kind, subj, styp, cand = pending
+            expect = {200: "compatible", 409: "incompatible",
+                      422: "invalid"}[status]
             exps.append(Expectation(
                 feature, scenario, kind, styp,
                 levels.get(subj, glob_level),
-                tuple(history.get(subj, [])), cand,
-                expect_compatible=(status == 200)))
+                tuple(history.get(subj, [])), cand, expect))
             if status == 200:
                 history.setdefault(subj, []).append(cand)
             pending = None
@@ -221,8 +229,7 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 level = f"{level}_TRANSITIVE"
             exps.append(Expectation(
                 feature, scenario, kind, styp, level,
-                tuple(history.get(subj, [])), cand,
-                expect_compatible=(m.group(1) == "compatible")))
+                tuple(history.get(subj, [])), cand, m.group(1)))
             pending = None
             continue
         if any(tok in body for tok in _IGNORED):
@@ -234,20 +241,34 @@ def _replay_scenario(feature: str, scenario: str, steps):
 
 
 def run_parity(report: ParseReport):
-    """Returns (n_checked, mismatches) — mismatch = (expectation, got)."""
+    """Returns (n_checked, mismatches) — mismatch = (expectation, got).
+
+    Register verdicts are three-way, mirroring the server's order of
+    checks: parse/validate first (422), then dedup-idempotence (200),
+    then the compatibility gate (200/409)."""
     from axonops_schema_registry_spark.registry.compat import (
         check_compatibility,
+    )
+    from axonops_schema_registry_spark.registry.evolution import (
+        validate_and_normalize,
     )
 
     mismatches = []
     for exp in report.expectations:
-        # the reference dedups BEFORE the gate: re-registering an
-        # existing version is idempotent 200 even at an incompatible level
-        if exp.kind == "register" and exp.candidate in exp.history:
-            ok = True
+        if exp.kind == "register" and \
+                not validate_and_normalize(
+                    exp.candidate, exp.schema_type)["is_valid"]:
+            got = "invalid"
+        elif exp.kind == "register" and exp.candidate in exp.history:
+            # the reference dedups BEFORE the gate: re-registering an
+            # existing version is idempotent 200 even at an
+            # incompatible level
+            got = "compatible"
         else:
             ok, _ = check_compatibility(
-                exp.candidate, list(exp.history), exp.level, exp.schema_type)
-        if ok != exp.expect_compatible:
-            mismatches.append((exp, ok))
+                exp.candidate, list(exp.history), exp.level,
+                exp.schema_type)
+            got = "compatible" if ok else "incompatible"
+        if got != exp.expect:
+            mismatches.append((exp, got))
     return len(report.expectations), mismatches

@@ -1,9 +1,10 @@
 """Verdict-level parity with the reference's own BDD compatibility suite.
 
 Replays every server-free scenario from the reference's Gherkin features
-(16 files, ~630 register/check expectations across AVRO / JSON /
-PROTOBUF and all 7 levels) through ``check_compatibility`` and asserts
-the verdict matches the scenario's expected HTTP status / check result.
+(18 files, ~690 register/check expectations across AVRO / JSON /
+PROTOBUF and all 7 levels) through the validator + ``check_compatibility``
+and asserts the three-way verdict (200 ok / 409 incompatible / 422
+invalid schema) matches the scenario's expected status / check result.
 This is the round-5 VERDICT ask #8: parity beyond the repo's own
 hand-picked matrix, against the reference's acceptance tests themselves.
 """
@@ -27,7 +28,7 @@ def test_bdd_compatibility_parity():
     # the harness must actually be replaying a substantial suite — a
     # parser regression that silently skips everything would otherwise
     # pass vacuously
-    assert n >= 600, f"only {n} expectations parsed"
+    assert n >= 680, f"only {n} expectations parsed"
     lines = [
         f"{exp.feature} | {exp.scenario} | {exp.schema_type} {exp.level} "
         f"expected {'compatible' if exp.expect_compatible else 'incompatible'}"

@@ -344,3 +344,84 @@ class TestJsonCrossSubjectRefs:
                           '[{"type":"string"}],"items":false}')
         assert check_pair(r_ok, w, "JSON") == []
         assert check_pair(r_short_closed, w, "JSON") != []
+
+
+class TestStructuralValidation:
+    """Parse-time 422 rules (modeling_negative_validation.feature parity):
+    the reference's parser rejects these before any compat logic runs."""
+
+    def _avro_invalid(self, text):
+        import pytest as _pytest
+
+        from axonops_schema_registry_spark.registry.avro import avro_validate
+        with _pytest.raises(ValueError):
+            avro_validate(text)
+
+    def test_unknown_primitive_rejected(self):
+        self._avro_invalid('{"type":"record","name":"R","fields":'
+                           '[{"name":"f","type":"str"}]}')
+
+    def test_unknown_named_reference_rejected(self):
+        self._avro_invalid('{"type":"record","name":"R","fields":'
+                           '[{"name":"f","type":"com.x.Nope"}]}')
+
+    def test_duplicate_field_names_rejected(self):
+        self._avro_invalid('{"type":"record","name":"R","fields":'
+                           '[{"name":"x","type":"int"},'
+                           '{"name":"x","type":"string"}]}')
+
+    def test_bad_default_rejected(self):
+        self._avro_invalid('{"type":"record","name":"R","fields":'
+                           '[{"name":"n","type":"int","default":"nope"}]}')
+
+    def test_union_default_checks_first_branch(self):
+        from axonops_schema_registry_spark.registry.avro import avro_validate
+        avro_validate('{"type":"record","name":"R","fields":'
+                      '[{"name":"n","type":["null","int"],'
+                      '"default":null}]}')
+        self._avro_invalid('{"type":"record","name":"R","fields":'
+                           '[{"name":"n","type":["null","int"],'
+                           '"default":5}]}')
+
+    def test_empty_enum_and_zero_fixed_rejected(self):
+        self._avro_invalid('{"type":"enum","name":"E","symbols":[]}')
+        self._avro_invalid('{"type":"fixed","name":"F","size":0}')
+
+    def test_valid_schemas_pass(self):
+        from axonops_schema_registry_spark.registry.avro import avro_validate
+        avro_validate(USER_V2)
+        avro_validate('{"type":"record","name":"Node","fields":'
+                      '[{"name":"next","type":["null","Node"],'
+                      '"default":null}]}')  # recursive self-reference
+        avro_validate('{"type":"enum","name":"E","symbols":["A"]}')
+
+    def test_proto_duplicate_number_rejected(self):
+        import pytest as _pytest
+
+        from axonops_schema_registry_spark.registry.protobuf_parse import (
+            parse_proto,
+            proto_validate,
+        )
+
+        pf = parse_proto('syntax = "proto3";\nmessage M {\n'
+                         '  string a = 1;\n  int32 b = 1;\n}')
+        with _pytest.raises(ValueError):
+            proto_validate(pf)
+
+    def test_proto_import_rules(self):
+        import pytest as _pytest
+
+        from axonops_schema_registry_spark.registry.protobuf_parse import (
+            parse_proto,
+            proto_validate,
+        )
+
+        wk = parse_proto('syntax = "proto3";\n'
+                         'import "google/protobuf/timestamp.proto";\n'
+                         'message M { string a = 1; }')
+        proto_validate(wk)  # well-known imports need no reference
+        ext = parse_proto('syntax = "proto3";\nimport "other.proto";\n'
+                          'message M { string a = 1; }')
+        with _pytest.raises(ValueError):
+            proto_validate(ext)
+        proto_validate(ext, known_imports=("other.proto",))

@@ -257,7 +257,7 @@ class RegistryAnalytics:
     def delete_version(self, subject: str, version: int,
                        permanent: bool = False) -> DataFrame:
         """DELETE /subjects/{s}/versions/{v} (version -1 = 'latest'):
-        the full status taxonomy (42202/40401/40402/40405/200) with the
+        the full status taxonomy (42202/40401/40402/40407/200) with the
         resolved version number, as a 1-row DataFrame."""
         from axonops_schema_registry_spark.queries.registry_queries import (
             version_delete_status,

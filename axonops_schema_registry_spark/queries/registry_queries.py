@@ -1613,7 +1613,9 @@ def version_delete_status(corpus: DataFrame,
     LIVE versions and rejects already-deleted or unknown versions with
     40402 (GetSchemaBySubjectVersion filters deleted rows); permanent
     delete resolves ``latest`` against SOFT-DELETED versions, requires
-    the version be soft-deleted first (40405), and unknown subjects are
+    the version be soft-deleted first (40407 —
+    ErrorCodeVersionNotSoftDeleted, types.go:176; 40405 is the
+    SUBJECT-level sibling), and unknown subjects are
     40401.  Successful deletes report the RESOLVED version number.
 
     ``corpus``: (subject, version, deleted, ...);
@@ -1649,7 +1651,7 @@ def version_delete_status(corpus: DataFrame,
               "soft_deleted_200")
         .when(~F.col("permanent"), "version_not_found_40402")
         .when(F.col("ver_deleted"), "permanently_deleted_200")
-        .otherwise("not_soft_deleted_40405"))
+        .otherwise("not_soft_deleted_40407"))
     return j.select(
         "subject", "version", "permanent", status.alias("status"),
         F.when(status.endswith("_200"), F.col("resolved_version"))
@@ -1708,7 +1710,7 @@ labeled AS (
               WHEN NOT permanent AND NOT ver_deleted THEN 'soft_deleted_200'
               WHEN NOT permanent THEN 'version_not_found_40402'
               WHEN ver_deleted THEN 'permanently_deleted_200'
-              ELSE 'not_soft_deleted_40405' END AS status
+              ELSE 'not_soft_deleted_40407' END AS status
   FROM j)
 SELECT subject, version, permanent, status,
        CAST(CASE WHEN status LIKE '%_200' THEN resolved_version END AS INT)

@@ -1,0 +1,483 @@
+"""Replay the reference's deletion/lifecycle BDD scenarios against a pure
+registry state model built from THIS repo's semantics.
+
+``RegistrySim`` is the single-tenant in-memory model of the semantics our
+Spark operators implement — registration (dedup → gate → version
+allocation, ``registry/registration.py``), the soft/permanent delete
+taxonomy (``version_delete_status`` / del1 / del2), content-addressed
+schema ids (W3), and visibility rules (P1/P4).  The replay feeds it the
+reference's own acceptance scenarios (deletion_exhaustive,
+delete_and_reregister, confluent_conformance, schema_id_stability, ...)
+and asserts every HTTP status / error code / field assertion matches —
+status-level parity for the whole lifecycle surface, not just compat.
+
+The validator / compat / fingerprint calls are the REAL production
+functions; only the mutable-state bookkeeping is simulated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+from typing import Any
+
+from bdd_parity import FEATURES_DIR, _scenarios
+
+LIFECYCLE_FEATURES = (
+    "deletion.feature",
+    "deletion_exhaustive.feature",
+    "deletion_lifecycle.feature",
+    "deletion_advanced.feature",
+    "delete_and_reregister.feature",
+    "confluent_conformance.feature",
+    "schema_deduplication.feature",
+    "schema_identity.feature",
+    "schema_id_stability.feature",
+)
+
+MAX_VERSION = 2 ** 31 - 1
+
+
+class RegistrySim:
+    """Single-tenant registry state machine (memory/store.go semantics)."""
+
+    def __init__(self) -> None:
+        self.subjects: dict[str, list[dict]] = {}
+        self.ids: dict[str, int] = {}       # fingerprint -> schema id
+        self.next_id = 1
+        self.glob_level = "BACKWARD"
+        self.levels: dict[str, str] = {}
+
+    # -- helpers ----------------------------------------------------------
+    def _fp(self, text: str, stype: str) -> str | None:
+        from axonops_schema_registry_spark.registry.evolution import (
+            validate_and_normalize,
+        )
+
+        r = validate_and_normalize(text, stype)
+        return r["fingerprint"] if r["is_valid"] else None
+
+    def _live(self, subject: str) -> list[dict]:
+        return [v for v in self.subjects.get(subject, [])
+                if not v["deleted"]]
+
+    # -- write path -------------------------------------------------------
+    def register(self, subject: str, text: str,
+                 stype: str = "AVRO") -> tuple[int, Any]:
+        from axonops_schema_registry_spark.registry.compat import (
+            check_compatibility,
+        )
+
+        fp = self._fp(text, stype)
+        if fp is None:
+            return 422, {"error_code": 42201}
+        live = self._live(subject)
+        for v in live:
+            if v["fp"] == fp:
+                return 200, {"id": v["id"], "version": v["version"]}
+        level = self.levels.get(subject, self.glob_level)
+        ok, _ = check_compatibility(
+            text, [v["text"] for v in live], level, stype)
+        if not ok:
+            return 409, {"error_code": 409}
+        vers = self.subjects.setdefault(subject, [])
+        version = max((v["version"] for v in vers), default=0) + 1
+        sid = self.ids.setdefault(fp, self.next_id)
+        if sid == self.next_id:
+            self.next_id += 1
+        vers.append({"version": version, "text": text, "type": stype,
+                     "fp": fp, "id": sid, "deleted": False})
+        return 200, {"id": sid, "version": version}
+
+    # -- read path --------------------------------------------------------
+    def get_version(self, subject: str, v, *,
+                    deleted: bool = False) -> tuple[int, Any]:
+        pool = (self.subjects.get(subject, []) if deleted
+                else self._live(subject))
+        if not pool:
+            return 404, {"error_code": 40401}
+        if v in ("latest", -1):
+            v = max(x["version"] for x in pool)
+        if not isinstance(v, int) or v <= 0 or v > MAX_VERSION:
+            return 422, {"error_code": 42202}
+        for x in pool:
+            if x["version"] == v:
+                return 200, {"subject": subject, "version": v,
+                             "id": x["id"], "schema": x["text"]}
+        return 404, {"error_code": 40402}
+
+    def list_versions(self, subject: str, *,
+                      deleted: bool = False) -> tuple[int, Any]:
+        pool = (self.subjects.get(subject, []) if deleted
+                else self._live(subject))
+        if not pool:
+            return 404, {"error_code": 40401}
+        return 200, sorted(x["version"] for x in pool)
+
+    def list_subjects(self, *, deleted: bool = False) -> tuple[int, Any]:
+        if deleted:
+            return 200, sorted(s for s, vs in self.subjects.items() if vs)
+        return 200, sorted(s for s in self.subjects if self._live(s))
+
+    def lookup(self, subject: str, text: str, stype: str = "AVRO", *,
+               deleted: bool = False) -> tuple[int, Any]:
+        pool = (self.subjects.get(subject, []) if deleted
+                else self._live(subject))
+        if not pool:
+            return 404, {"error_code": 40401}
+        fp = self._fp(text, stype)
+        for x in pool:
+            if x["fp"] == fp:
+                return 200, {"subject": subject, "version": x["version"],
+                             "id": x["id"], "schema": x["text"]}
+        return 404, {"error_code": 40403}
+
+    def schema_by_id(self, sid: int) -> tuple[int, Any]:
+        for vs in self.subjects.values():
+            for x in vs:
+                if x["id"] == sid:
+                    return 200, {"schema": x["text"]}
+        return 404, {"error_code": 40403}
+
+    def subjects_for_id(self, sid: int) -> tuple[int, Any]:
+        subs = sorted(s for s in self.subjects
+                      if any(x["id"] == sid for x in self._live(s)))
+        if not subs:
+            return 404, {"error_code": 40403}
+        return 200, subs
+
+    # -- delete path ------------------------------------------------------
+    def delete_version(self, subject: str, v, *,
+                       permanent: bool = False) -> tuple[int, Any]:
+        if isinstance(v, int) and (v == 0 or v < -1 or v > MAX_VERSION):
+            return 422, {"error_code": 42202}
+        vers = self.subjects.get(subject)
+        if not vers:
+            return 404, {"error_code": 40401}
+        if not permanent:
+            live = self._live(subject)
+            if v in ("latest", -1):
+                if not live:
+                    # all versions tombstoned: GetSchemaBySubjectVersion
+                    # sees no live rows → SUBJECT not found (the del2
+                    # 40401 branch)
+                    return 404, {"error_code": 40401}
+                v = max(x["version"] for x in live)
+            for x in live:
+                if x["version"] == v:
+                    x["deleted"] = True
+                    return 200, v
+            return 404, {"error_code": 40402}
+        # permanent: resolves against soft-deleted versions
+        tombs = [x for x in vers if x["deleted"]]
+        if v in ("latest", -1):
+            if not tombs:
+                return 404, {"error_code": 40402}
+            v = max(x["version"] for x in tombs)
+        for x in vers:
+            if x["version"] == v:
+                if not x["deleted"]:
+                    # version-level not-soft-deleted is 40407
+                    # (ErrorCodeVersionNotSoftDeleted, types.go:176);
+                    # 40405 is the subject-level code
+                    return 404, {"error_code": 40407}
+                vers.remove(x)
+                return 200, v
+        return 404, {"error_code": 40402}
+
+    def delete_subject(self, subject: str, *,
+                       permanent: bool = False) -> tuple[int, Any]:
+        vers = self.subjects.get(subject)
+        if not vers:
+            return 404, {"error_code": 40401}
+        live = self._live(subject)
+        if not permanent:
+            if not live:
+                # double soft delete → 40404 (confluent_conformance)
+                return 404, {"error_code": 40404}
+            out = sorted(x["version"] for x in live)
+            for x in live:
+                x["deleted"] = True
+            return 200, out
+        if live:
+            # hard delete requires prior soft delete
+            return 404, {"error_code": 40405}
+        out = sorted(x["version"] for x in vers)
+        del self.subjects[subject]
+        return 200, out
+
+
+# ---------------------------------------------------------------------------
+# Gherkin replay
+# ---------------------------------------------------------------------------
+
+_RE_TYPED = r'(?:"(\w+)" )?'
+
+STEPS: list[tuple[re.Pattern, str]] = [
+    (re.compile(r'the global compatibility level is "(\w+)"'), "glob"),
+    (re.compile(r'^I set the global config to "(\w+)"'), "glob"),
+    (re.compile(r'subject "([^"]+)" has compatibility level "(\w+)"'),
+     "subj_level"),
+    (re.compile(r'I set the config for subject "([^"]+)" to "(\w+)"'),
+     "subj_level"),
+    (re.compile(rf'subject "([^"]+)" has {_RE_TYPED}schema:'), "seed"),
+    (re.compile(rf'I register a {_RE_TYPED}schema under subject "([^"]+)":$'),
+     "register"),
+    (re.compile(r'I delete version (\d+) of subject "([^"]+)"'), "del_ver"),
+    (re.compile(r'I permanently delete version (\d+) of subject "([^"]+)"'),
+     "hdel_ver"),
+    (re.compile(r'I delete subject "([^"]+)"'), "del_subj"),
+    (re.compile(r'I permanently delete subject "([^"]+)"'), "hdel_subj"),
+    (re.compile(r'I get the latest version of subject "([^"]+)"'),
+     "get_latest"),
+    (re.compile(r'I get version (\d+) of subject "([^"]+)"'), "get_ver"),
+    (re.compile(r'I list versions of subject "([^"]+)"'), "list_vers"),
+    (re.compile(r'I list all subjects'), "list_subj"),
+    (re.compile(r'I list subjects with deleted'), "list_subj_del"),
+    (re.compile(rf'I lookup schema in subject "([^"]+)" with deleted:'),
+     "lookup_del"),
+    (re.compile(rf'I lookup schema in subject "([^"]+)":'), "lookup"),
+    (re.compile(r'I get schema by ID (\S+)'), "schema_by_id"),
+    (re.compile(r'I get the subjects for schema ID (\S+)'), "subjects_for_id"),
+    (re.compile(r'I (GET|DELETE) "([^"]+)"'), "http"),
+    (re.compile(r'the response status should be (\d+)'), "assert_status"),
+    (re.compile(r'the response should have error code (\d+)'), "assert_err"),
+    (re.compile(r'the response should be an array of length (\d+)'),
+     "assert_len"),
+    (re.compile(r'the response array should contain "([^"]+)"'),
+     "assert_contains_item"),
+    (re.compile(r'the response array should not contain "([^"]+)"'),
+     "assert_not_contains_item"),
+    (re.compile(r'the response should contain "([^"]+)"'),
+     "assert_contains"),
+    (re.compile(r'the response body should not contain "([^"]+)"'),
+     "assert_not_contains"),
+    (re.compile(r'the response field "([^"]+)" should equal stored "([^"]+)"'),
+     "assert_field_stored"),
+    (re.compile(r'the response field "([^"]+)" should be (\d+)'),
+     "assert_field"),
+    (re.compile(r'I store the response field "([^"]+)" as "([^"]+)"'),
+     "store_field"),
+    (re.compile(r'the audit log should contain'), "ignore"),
+    (re.compile(r'the schema registry is running'), "ignore"),
+]
+
+_UNSUPPORTED_TOKENS = ("with reference", "references", "global mode",
+                       "I get the config", "metadata", "ruleset")
+
+
+@dataclasses.dataclass
+class Mismatch:
+    feature: str
+    scenario: str
+    step: str
+    expected: Any
+    got: Any
+
+
+def _parse_url(url: str):
+    """(path_parts, query_dict) for the handful of registry URL shapes."""
+    path, _, query = url.partition("?")
+    q = dict(kv.split("=", 1) for kv in query.split("&") if "=" in kv)
+    return [p for p in path.split("/") if p], q
+
+
+def replay(features=LIFECYCLE_FEATURES,
+           features_dir: str = FEATURES_DIR):
+    """Returns (n_assertions, mismatches, skipped)."""
+    n_checked = 0
+    mismatches: list[Mismatch] = []
+    skipped: list[tuple[str, str, str]] = []
+    for fname in features:
+        path = os.path.join(features_dir, fname)
+        if not os.path.exists(path):
+            skipped.append((fname, "<file>", "missing"))
+            continue
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+        for name, steps in _scenarios(text):
+            n, mm, reason = _replay_scenario(fname, name, steps)
+            if reason:
+                skipped.append((fname, name, reason))
+                continue
+            n_checked += n
+            mismatches.extend(mm)
+    return n_checked, mismatches, skipped
+
+
+def _replay_scenario(feature: str, scenario: str, steps):
+    sim = RegistrySim()
+    stored: dict[str, Any] = {}
+    status, body = None, None
+    n = 0
+    mm: list[Mismatch] = []
+
+    def sub_stored(s: str) -> str:
+        return re.sub(r"\{\{(\w+)\}\}",
+                      lambda m: str(stored.get(m.group(1), m.group(0))), s)
+
+    for line, doc in steps:
+        bodytext = re.sub(r"^(Given|When|Then|And|But)\s+", "", line)
+        bodytext = sub_stored(bodytext)
+        if any(tok in bodytext for tok in _UNSUPPORTED_TOKENS):
+            return 0, [], f"unsupported step: {bodytext[:60]}"
+        for rx, op in STEPS:
+            m = rx.search(bodytext)
+            if not m:
+                continue
+            if op == "glob":
+                sim.glob_level = m.group(1)
+            elif op == "subj_level":
+                sim.levels[m.group(1)] = m.group(2)
+            elif op == "seed":
+                stype = (m.group(2) or "AVRO").upper()
+                status, body = sim.register(m.group(1), doc, stype)
+                n += 1
+                if status != 200:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "seed 200", status))
+            elif op == "register":
+                stype = (m.group(1) or "AVRO").upper()
+                status, body = sim.register(m.group(2), doc, stype)
+            elif op == "del_ver":
+                status, body = sim.delete_version(m.group(2),
+                                                  int(m.group(1)))
+            elif op == "hdel_ver":
+                status, body = sim.delete_version(
+                    m.group(2), int(m.group(1)), permanent=True)
+            elif op == "del_subj":
+                status, body = sim.delete_subject(m.group(1))
+            elif op == "hdel_subj":
+                status, body = sim.delete_subject(m.group(1),
+                                                  permanent=True)
+            elif op == "get_latest":
+                status, body = sim.get_version(m.group(1), "latest")
+            elif op == "get_ver":
+                status, body = sim.get_version(m.group(2),
+                                               int(m.group(1)))
+            elif op == "list_vers":
+                status, body = sim.list_versions(m.group(1))
+            elif op == "list_subj":
+                status, body = sim.list_subjects()
+            elif op == "list_subj_del":
+                status, body = sim.list_subjects(deleted=True)
+            elif op == "lookup":
+                status, body = sim.lookup(m.group(1), doc)
+            elif op == "lookup_del":
+                status, body = sim.lookup(m.group(1), doc, deleted=True)
+            elif op == "schema_by_id":
+                try:
+                    status, body = sim.schema_by_id(int(m.group(1)))
+                except ValueError:
+                    return 0, [], f"unresolved placeholder: {bodytext[:50]}"
+            elif op == "subjects_for_id":
+                try:
+                    status, body = sim.subjects_for_id(int(m.group(1)))
+                except ValueError:
+                    return 0, [], f"unresolved placeholder: {bodytext[:50]}"
+            elif op == "http":
+                verb, url = m.group(1), m.group(2)
+                out = _dispatch_http(sim, verb, url, doc)
+                if out is None:
+                    return 0, [], f"unsupported URL: {verb} {url}"
+                status, body = out
+            elif op == "assert_status":
+                n += 1
+                if status != int(m.group(1)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       int(m.group(1)), (status, body)))
+            elif op == "assert_err":
+                n += 1
+                got = body.get("error_code") if isinstance(body, dict) \
+                    else None
+                if got != int(m.group(1)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       int(m.group(1)), got))
+            elif op == "assert_len":
+                n += 1
+                got = len(body) if isinstance(body, list) else None
+                if got != int(m.group(1)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       int(m.group(1)), body))
+            elif op == "assert_contains_item":
+                n += 1
+                if not (isinstance(body, list) and m.group(1) in body):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       m.group(1), body))
+            elif op == "assert_not_contains_item":
+                n += 1
+                if isinstance(body, list) and m.group(1) in body:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"not {m.group(1)}", body))
+            elif op == "assert_contains":
+                n += 1
+                if m.group(1) not in json.dumps(body):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       m.group(1), body))
+            elif op == "assert_not_contains":
+                n += 1
+                if m.group(1) in json.dumps(body):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"not {m.group(1)}", body))
+            elif op == "assert_field":
+                n += 1
+                got = body.get(m.group(1)) if isinstance(body, dict) \
+                    else None
+                if got != int(m.group(2)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       int(m.group(2)), got))
+            elif op == "assert_field_stored":
+                n += 1
+                got = body.get(m.group(1)) if isinstance(body, dict) \
+                    else None
+                if got != stored.get(m.group(2)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       stored.get(m.group(2)), got))
+            elif op == "store_field":
+                if isinstance(body, dict):
+                    stored[m.group(2)] = body.get(m.group(1))
+            break
+        else:
+            if bodytext.startswith("|"):
+                continue  # table rows of an ignored step
+            return 0, [], f"unrecognized step: {bodytext[:60]}"
+    return n, mm, None
+
+
+def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
+    parts, q = _parse_url(url)
+    deleted = q.get("deleted") == "true"
+    permanent = q.get("permanent") == "true"
+    if verb == "GET":
+        if parts == ["subjects"]:
+            return sim.list_subjects(deleted=deleted)
+        if len(parts) == 3 and parts[0] == "subjects" \
+                and parts[2] == "versions":
+            return sim.list_versions(parts[1], deleted=deleted)
+        if len(parts) == 4 and parts[0] == "subjects" \
+                and parts[2] == "versions":
+            v = parts[3] if parts[3] == "latest" else int(parts[3])
+            return sim.get_version(parts[1], v, deleted=deleted)
+        if len(parts) == 3 and parts[:2] == ["schemas", "ids"]:
+            return sim.schema_by_id(int(parts[2]))
+        if len(parts) == 4 and parts[:2] == ["schemas", "ids"] \
+                and parts[3] == "subjects":
+            return sim.subjects_for_id(int(parts[2]))
+        return None
+    if verb == "DELETE":
+        if len(parts) == 2 and parts[0] == "subjects":
+            return sim.delete_subject(parts[1], permanent=permanent)
+        if len(parts) == 4 and parts[0] == "subjects" \
+                and parts[2] == "versions":
+            if parts[3] == "latest":
+                v = "latest"
+            else:
+                try:
+                    v = int(parts[3])
+                except ValueError:
+                    return 422, {"error_code": 42202}
+            return sim.delete_version(parts[1], v, permanent=permanent)
+        return None
+    return None

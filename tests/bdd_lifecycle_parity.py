@@ -35,9 +35,24 @@ LIFECYCLE_FEATURES = (
     "schema_deduplication.feature",
     "schema_identity.feature",
     "schema_id_stability.feature",
+    # config / mode resolution + write gating (modes.py semantics)
+    "config_defaults.feature",
+    "config_inheritance.feature",
+    "config_merge.feature",
+    "configuration.feature",
+    "compatibility_config_exhaustive.feature",
+    "delete_global_config.feature",
+    "delete_global_mode.feature",
+    "mode_management.feature",
+    "mode_exhaustive.feature",
+    "mode_enforcement.feature",
+    "readonly_enforcement.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
+LEVELS = {"NONE", "BACKWARD", "FORWARD", "FULL", "BACKWARD_TRANSITIVE",
+          "FORWARD_TRANSITIVE", "FULL_TRANSITIVE"}
+MODES = {"READWRITE", "READONLY", "READONLY_OVERRIDE", "IMPORT"}
 
 
 class RegistrySim:
@@ -49,8 +64,52 @@ class RegistrySim:
         self.next_id = 1
         self.glob_level = "BACKWARD"
         self.levels: dict[str, str] = {}
+        self.glob_mode = "READWRITE"
+        self.subj_modes: dict[str, str] = {}
+        #: full config bodies (defaultMetadata / overrideMetadata /
+        #: defaultRuleSet / overrideRuleSet) per subject + global
+        self.cfg_extra: dict[str, dict] = {}
+        self.glob_cfg_extra: dict = {}
+
+    # -- mode resolution (modes.py semantics) -----------------------------
+    def resolved_mode(self, subject: str) -> str:
+        if self.glob_mode == "READONLY_OVERRIDE":
+            return "READONLY_OVERRIDE"  # global kill switch
+        return self.subj_modes.get(subject, self.glob_mode)
+
+    def _write_blocked(self, subject: str) -> bool:
+        return self.resolved_mode(subject) in ("READONLY",
+                                               "READONLY_OVERRIDE")
 
     # -- helpers ----------------------------------------------------------
+    @staticmethod
+    def _merge_meta(a, b):
+        """Section-wise deep merge, later argument wins on conflicts
+        (registry.go:1724-1800): dict sections merge key-wise, list
+        sections union preserving order."""
+        if a is None:
+            return json.loads(json.dumps(b)) if b is not None else None
+        if b is None:
+            return json.loads(json.dumps(a))
+        out = dict(a)
+        for k, v in b.items():
+            if k in out and isinstance(out[k], dict) \
+                    and isinstance(v, dict):
+                out[k] = {**out[k], **v}
+            elif k in out and isinstance(out[k], list) \
+                    and isinstance(v, list):
+                if all(isinstance(x, dict) and "name" in x
+                       for x in out[k] + v):
+                    # rule lists merge BY NAME, later layer replaces
+                    names_b = {x["name"] for x in v}
+                    out[k] = [x for x in out[k]
+                              if x["name"] not in names_b] + list(v)
+                else:
+                    out[k] = out[k] + [x for x in v if x not in out[k]]
+            else:
+                out[k] = v
+        return out
+
     def _fp(self, text: str, stype: str) -> str | None:
         from axonops_schema_registry_spark.registry.evolution import (
             validate_and_normalize,
@@ -64,18 +123,44 @@ class RegistrySim:
                 if not v["deleted"]]
 
     # -- write path -------------------------------------------------------
-    def register(self, subject: str, text: str,
-                 stype: str = "AVRO") -> tuple[int, Any]:
+    def register(self, subject: str, text: str, stype: str = "AVRO",
+                 metadata=None, rule_set=None) -> tuple[int, Any]:
         from axonops_schema_registry_spark.registry.compat import (
             check_compatibility,
         )
 
+        if self._write_blocked(subject):
+            return 422, {"error_code": 42205}
+        if self.resolved_mode(subject) == "IMPORT":
+            # normal registration is not allowed in IMPORT mode —
+            # explicit-ID import is the only permitted write
+            return 422, {"error_code": 42205}
         fp = self._fp(text, stype)
         if fp is None:
             return 422, {"error_code": 42201}
         live = self._live(subject)
+        # confluent metadata semantics (registry.go:121-131 dedup requires
+        # metadata equality; absent metadata/ruleSet INHERITS from the
+        # latest version): the global id is content-addressed on the
+        # schema text alone, but a metadata/ruleSet CHANGE creates a new
+        # VERSION carrying the same id (schema_identity.feature)
+        latest = max(live, key=lambda v: v["version"], default=None)
+        if metadata is None and latest is not None:
+            metadata = latest.get("metadata")
+        if rule_set is None and latest is not None:
+            rule_set = latest.get("rule_set")
+        # 3-layer merge: final = merge(merge(config.default, specific),
+        # config.override) — subject config replaces global wholesale
+        cfg = self.cfg_extra.get(subject, self.glob_cfg_extra)
+        metadata = self._merge_meta(
+            self._merge_meta(cfg.get("defaultMetadata"), metadata),
+            cfg.get("overrideMetadata"))
+        rule_set = self._merge_meta(
+            self._merge_meta(cfg.get("defaultRuleSet"), rule_set),
+            cfg.get("overrideRuleSet"))
         for v in live:
-            if v["fp"] == fp:
+            if v["fp"] == fp and v.get("metadata") == metadata \
+                    and v.get("rule_set") == rule_set:
                 return 200, {"id": v["id"], "version": v["version"]}
         level = self.levels.get(subject, self.glob_level)
         ok, _ = check_compatibility(
@@ -88,8 +173,126 @@ class RegistrySim:
         if sid == self.next_id:
             self.next_id += 1
         vers.append({"version": version, "text": text, "type": stype,
+                     "fp": fp, "id": sid, "deleted": False,
+                     "metadata": metadata, "rule_set": rule_set})
+        return 200, {"id": sid, "version": version}
+
+    def register_import(self, subject: str, text: str, stype: str,
+                        sid: int, version: int | None) -> tuple[int, Any]:
+        """Explicit-ID import (import_batch semantics: requires IMPORT
+        mode; same id must always carry the same fingerprint)."""
+        if self.resolved_mode(subject) != "IMPORT":
+            return 422, {"error_code": 42205}
+        fp = self._fp(text, stype)
+        if fp is None:
+            return 422, {"error_code": 42201}
+        existing_fp = next((f for f, i in self.ids.items() if i == sid),
+                           None)
+        if existing_fp is not None and existing_fp != fp:
+            # importing a DIFFERENT schema under a taken id is the
+            # operation-not-permitted error (mode_enforcement: 42205)
+            return 422, {"error_code": 42205}
+        vers = self.subjects.setdefault(subject, [])
+        if version is None:
+            version = max((v["version"] for v in vers), default=0) + 1
+        for v in vers:
+            if v["version"] == version and not v["deleted"]:
+                # duplicate version in an import returns the EXISTING
+                # version untouched (Confluent allows and ignores)
+                return 200, {"id": v["id"], "version": version}
+        self.ids[fp] = sid
+        self.next_id = max(self.next_id, sid + 1)
+        vers.append({"version": version, "text": text, "type": stype,
                      "fp": fp, "id": sid, "deleted": False})
         return 200, {"id": sid, "version": version}
+
+    # -- config / mode endpoints ------------------------------------------
+    def set_global_config(self, level: str,
+                          extra: dict | None = None) -> tuple[int, Any]:
+        if self.glob_mode in ("READONLY", "READONLY_OVERRIDE"):
+            return 422, {"error_code": 42205}
+        if level not in LEVELS:
+            return 422, {"error_code": 42203}
+        self.glob_level = level
+        if extra is not None:
+            self.glob_cfg_extra = {
+                k: v for k, v in extra.items() if k != "compatibility"}
+        return 200, {"compatibility": level}
+
+    def get_global_config(self) -> tuple[int, Any]:
+        return 200, {"compatibilityLevel": self.glob_level}
+
+    def delete_global_config(self) -> tuple[int, Any]:
+        if self.glob_mode in ("READONLY", "READONLY_OVERRIDE"):
+            return 422, {"error_code": 42205}
+        old = self.glob_level
+        self.glob_level = "BACKWARD"  # reset to server default
+        return 200, {"compatibilityLevel": old}
+
+    def set_subject_config(self, subject: str, level: str,
+                           extra: dict | None = None) -> tuple[int, Any]:
+        if self._write_blocked(subject):
+            return 422, {"error_code": 42205}
+        if level not in LEVELS:
+            return 422, {"error_code": 42203}
+        self.levels[subject] = level
+        if extra is not None:
+            self.cfg_extra[subject] = {
+                k: v for k, v in extra.items() if k != "compatibility"}
+        return 200, {"compatibility": level}
+
+    def get_subject_config(self, subject: str, *,
+                           default_to_global: bool = False
+                           ) -> tuple[int, Any]:
+        if subject in self.levels:
+            return 200, {"compatibilityLevel": self.levels[subject]}
+        if default_to_global:
+            return 200, {"compatibilityLevel": self.glob_level}
+        return 404, {"error_code": 40408}
+
+    def delete_subject_config(self, subject: str) -> tuple[int, Any]:
+        if self._write_blocked(subject):
+            return 422, {"error_code": 42205}
+        if subject not in self.levels:
+            return 404, {"error_code": 40408}
+        self.cfg_extra.pop(subject, None)
+        return 200, {"compatibilityLevel": self.levels.pop(subject)}
+
+    def set_global_mode(self, mode: str) -> tuple[int, Any]:
+        # mode changes are ALWAYS allowed (otherwise READONLY is a trap)
+        if mode not in MODES:
+            return 422, {"error_code": 42204}
+        self.glob_mode = mode
+        return 200, {"mode": mode}
+
+    def get_global_mode(self) -> tuple[int, Any]:
+        return 200, {"mode": self.glob_mode}
+
+    def set_subject_mode(self, subject: str, mode: str) -> tuple[int, Any]:
+        if mode not in MODES:
+            return 422, {"error_code": 42204}
+        self.subj_modes[subject] = mode
+        return 200, {"mode": mode}
+
+    def get_subject_mode(self, subject: str, *,
+                         default_to_global: bool = False
+                         ) -> tuple[int, Any]:
+        if subject in self.subj_modes:
+            return 200, {"mode": self.subj_modes[subject]}
+        if default_to_global:
+            return 200, {"mode": self.glob_mode}
+        return 404, {"error_code": 40409}
+
+    def delete_global_mode(self) -> tuple[int, Any]:
+        old = self.glob_mode
+        self.glob_mode = "READWRITE"  # server default
+        return 200, {"mode": old}
+
+    def delete_subject_mode(self, subject: str) -> tuple[int, Any]:
+        if subject not in self.subj_modes:
+            return 404, {"error_code": 40409}
+        del self.subj_modes[subject]
+        return 200, {"mode": self.glob_mode}
 
     # -- read path --------------------------------------------------------
     def get_version(self, subject: str, v, *,
@@ -104,8 +307,18 @@ class RegistrySim:
             return 422, {"error_code": 42202}
         for x in pool:
             if x["version"] == v:
-                return 200, {"subject": subject, "version": v,
-                             "id": x["id"], "schema": x["text"]}
+                out = {"subject": subject, "version": v,
+                       "id": x["id"], "schema": x["text"]}
+                # confluent:version is stamped into metadata.properties
+                # on every stored version (excluded from the dedup
+                # identity — it varies per version by construction)
+                md = self._merge_meta(
+                    x.get("metadata"),
+                    {"properties": {"confluent:version": str(v)}})
+                out["metadata"] = md
+                if x.get("rule_set") is not None:
+                    out["ruleSet"] = x["rule_set"]
+                return 200, out
         return 404, {"error_code": 40402}
 
     def list_versions(self, subject: str, *,
@@ -141,6 +354,14 @@ class RegistrySim:
                     return 200, {"schema": x["text"]}
         return 404, {"error_code": 40403}
 
+    def versions_for_id(self, sid: int) -> tuple[int, Any]:
+        out = [{"subject": s, "version": x["version"]}
+               for s in sorted(self.subjects)
+               for x in self._live(s) if x["id"] == sid]
+        if not out:
+            return 404, {"error_code": 40403}
+        return 200, out
+
     def subjects_for_id(self, sid: int) -> tuple[int, Any]:
         subs = sorted(s for s in self.subjects
                       if any(x["id"] == sid for x in self._live(s)))
@@ -151,6 +372,8 @@ class RegistrySim:
     # -- delete path ------------------------------------------------------
     def delete_version(self, subject: str, v, *,
                        permanent: bool = False) -> tuple[int, Any]:
+        if self._write_blocked(subject):
+            return 422, {"error_code": 42205}
         if isinstance(v, int) and (v == 0 or v < -1 or v > MAX_VERSION):
             return 422, {"error_code": 42202}
         vers = self.subjects.get(subject)
@@ -189,6 +412,8 @@ class RegistrySim:
 
     def delete_subject(self, subject: str, *,
                        permanent: bool = False) -> tuple[int, Any]:
+        if self._write_blocked(subject):
+            return 422, {"error_code": 42205}
         vers = self.subjects.get(subject)
         if not vers:
             return 404, {"error_code": 40401}
@@ -206,6 +431,12 @@ class RegistrySim:
             return 404, {"error_code": 40405}
         out = sorted(x["version"] for x in vers)
         del self.subjects[subject]
+        # permanent delete removes subject config/mode; SOFT delete
+        # preserves them (deletion_exhaustive 'config preserved on
+        # soft-delete, removed on permanent delete')
+        self.levels.pop(subject, None)
+        self.subj_modes.pop(subject, None)
+        self.cfg_extra.pop(subject, None)
         return 200, out
 
 
@@ -217,11 +448,36 @@ _RE_TYPED = r'(?:"(\w+)" )?'
 
 STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(r'the global compatibility level is "(\w+)"'), "glob"),
-    (re.compile(r'^I set the global config to "(\w+)"'), "glob"),
+    (re.compile(r'^I set the global config to "(\w+)"'), "set_glob_cfg"),
+    (re.compile(r'^I set the global compatibility level to "(\w+)"'),
+     "set_glob_cfg"),
     (re.compile(r'subject "([^"]+)" has compatibility level "(\w+)"'),
      "subj_level"),
     (re.compile(r'I set the config for subject "([^"]+)" to "(\w+)"'),
-     "subj_level"),
+     "set_subj_cfg"),
+    (re.compile(r'I get the global config'), "get_glob_cfg"),
+    (re.compile(r'I get the config for subject "([^"]+)"'), "get_subj_cfg"),
+    (re.compile(r'I delete the global config'), "del_glob_cfg"),
+    (re.compile(r'I delete the config for subject "([^"]+)"'),
+     "del_subj_cfg"),
+    (re.compile(r'(?:^I set the global mode to|^the global mode is) '
+                r'"(\w+)"'), "set_glob_mode"),
+    (re.compile(r'I get the global mode'), "get_glob_mode"),
+    (re.compile(r'I set the mode for subject "([^"]+)" to "(\w+)"'),
+     "set_subj_mode"),
+    (re.compile(r'I get the mode for subject "([^"]+)"'), "get_subj_mode"),
+    (re.compile(r'I delete the mode for subject "([^"]+)"'),
+     "del_subj_mode"),
+    (re.compile(r'I get versions for schema ID (\S+)'), "versions_for_id"),
+    (re.compile(r'I get the subjects for the stored schema ID'),
+     "subjects_for_stored_id"),
+    (re.compile(r'I check compatibility of (?:"(\w+)" )?schema against '
+                r'subject "([^"]+)" version (\d+):'), "compat_check_ver"),
+    (re.compile(r'I check compatibility of (?:"(\w+)" )?schema against '
+                r'subject "([^"]+)":'), "compat_check"),
+    (re.compile(r'the compatibility check should be (\w+)'),
+     "assert_compat"),
+    (re.compile(r'I (PUT|POST) "([^"]+)" with body:'), "http_body"),
     (re.compile(rf'subject "([^"]+)" has {_RE_TYPED}schema:'), "seed"),
     (re.compile(rf'I register a {_RE_TYPED}schema under subject "([^"]+)":$'),
      "register"),
@@ -256,16 +512,21 @@ STEPS: list[tuple[re.Pattern, str]] = [
      "assert_not_contains"),
     (re.compile(r'the response field "([^"]+)" should equal stored "([^"]+)"'),
      "assert_field_stored"),
-    (re.compile(r'the response field "([^"]+)" should be (\d+)'),
+    (re.compile(r'the response field "([^"]+)" should be (\d+)$'),
      "assert_field"),
+    (re.compile(r'the response field "([^"]+)" should be "([^"]+)"'),
+     "assert_field_str"),
+    (re.compile(r'the response should have field "([^"]+)"'),
+     "assert_has_field"),
+    (re.compile(r'the response body should contain "([^"]+)"'),
+     "assert_contains"),
     (re.compile(r'I store the response field "([^"]+)" as "([^"]+)"'),
      "store_field"),
     (re.compile(r'the audit log should contain'), "ignore"),
     (re.compile(r'the schema registry is running'), "ignore"),
 ]
 
-_UNSUPPORTED_TOKENS = ("with reference", "references", "global mode",
-                       "I get the config", "metadata", "ruleset")
+_UNSUPPORTED_TOKENS = ("with reference", "references",)
 
 
 @dataclasses.dataclass
@@ -331,6 +592,80 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 sim.glob_level = m.group(1)
             elif op == "subj_level":
                 sim.levels[m.group(1)] = m.group(2)
+            elif op == "set_glob_cfg":
+                status, body = sim.set_global_config(m.group(1))
+            elif op == "set_subj_cfg":
+                status, body = sim.set_subject_config(m.group(1),
+                                                      m.group(2))
+            elif op == "get_glob_cfg":
+                status, body = sim.get_global_config()
+            elif op == "get_subj_cfg":
+                status, body = sim.get_subject_config(m.group(1))
+            elif op == "del_glob_cfg":
+                status, body = sim.delete_global_config()
+            elif op == "del_subj_cfg":
+                status, body = sim.delete_subject_config(m.group(1))
+            elif op == "set_glob_mode":
+                status, body = sim.set_global_mode(m.group(1))
+            elif op == "get_glob_mode":
+                status, body = sim.get_global_mode()
+            elif op == "set_subj_mode":
+                status, body = sim.set_subject_mode(m.group(1),
+                                                    m.group(2))
+            elif op == "get_subj_mode":
+                status, body = sim.get_subject_mode(m.group(1))
+            elif op == "del_subj_mode":
+                status, body = sim.delete_subject_mode(m.group(1))
+            elif op == "versions_for_id":
+                try:
+                    status, body = sim.versions_for_id(int(m.group(1)))
+                except ValueError:
+                    return 0, [], f"unresolved placeholder: {bodytext[:50]}"
+            elif op == "subjects_for_stored_id":
+                sid = stored.get("schema_id")
+                if sid is None:
+                    return 0, [], "no stored schema_id"
+                status, body = sim.subjects_for_id(int(sid))
+            elif op == "compat_check_ver":
+                from axonops_schema_registry_spark.registry.compat import (
+                    check_pair,
+                )
+
+                stype = (m.group(1) or "AVRO").upper()
+                subj, ver = m.group(2), int(m.group(3))
+                target = next((v for v in sim._live(subj)
+                               if v["version"] == ver), None)
+                if target is None:
+                    status, body = 404, {"error_code": 40402}
+                else:
+                    msgs = check_pair(doc, target["text"], stype)
+                    status, body = 200, {"is_compatible": not msgs}
+            elif op == "compat_check":
+                from axonops_schema_registry_spark.registry.compat import (
+                    check_compatibility,
+                )
+
+                stype = (m.group(1) or "AVRO").upper()
+                subj = m.group(2)
+                live = sim._live(subj)
+                level = sim.levels.get(subj, sim.glob_level)
+                ok, _ = check_compatibility(
+                    doc, [v["text"] for v in live], level, stype)
+                status, body = 200, {"is_compatible": ok}
+            elif op == "assert_compat":
+                n += 1
+                want = m.group(1) == "compatible"
+                got = body.get("is_compatible") \
+                    if isinstance(body, dict) else None
+                if got != want:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       want, got))
+            elif op == "http_body":
+                verb, url = m.group(1), m.group(2)
+                out = _dispatch_http(sim, verb, url, doc)
+                if out is None:
+                    return 0, [], f"unsupported URL: {verb} {url}"
+                status, body = out
             elif op == "seed":
                 stype = (m.group(2) or "AVRO").upper()
                 status, body = sim.register(m.group(1), doc, stype)
@@ -428,6 +763,18 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 if got != int(m.group(2)):
                     mm.append(Mismatch(feature, scenario, bodytext,
                                        int(m.group(2)), got))
+            elif op == "assert_field_str":
+                n += 1
+                got = body.get(m.group(1)) if isinstance(body, dict) \
+                    else None
+                if got != m.group(2):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       m.group(2), got))
+            elif op == "assert_has_field":
+                n += 1
+                if not (isinstance(body, dict) and m.group(1) in body):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"field {m.group(1)}", body))
             elif op == "assert_field_stored":
                 n += 1
                 got = body.get(m.group(1)) if isinstance(body, dict) \
@@ -450,7 +797,47 @@ def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
     parts, q = _parse_url(url)
     deleted = q.get("deleted") == "true"
     permanent = q.get("permanent") == "true"
+    dtg = q.get("defaultToGlobal") == "true"
+    if verb in ("PUT", "POST"):
+        try:
+            payload = json.loads(doc) if doc else {}
+        except json.JSONDecodeError:
+            return 422, {"error_code": 42201}
+        if parts == ["config"]:
+            return sim.set_global_config(payload.get("compatibility", ""),
+                                         extra=payload)
+        if len(parts) == 2 and parts[0] == "config":
+            return sim.set_subject_config(
+                parts[1], payload.get("compatibility", ""), extra=payload)
+        if parts == ["mode"]:
+            return sim.set_global_mode(payload.get("mode", ""))
+        if len(parts) == 2 and parts[0] == "mode":
+            return sim.set_subject_mode(parts[1], payload.get("mode", ""))
+        if verb == "POST" and len(parts) == 2 and parts[0] == "subjects":
+            stype = (payload.get("schemaType") or "AVRO").upper()
+            return sim.lookup(parts[1], payload.get("schema", ""), stype,
+                              deleted=deleted)
+        if verb == "POST" and len(parts) == 3 and parts[0] == "subjects" \
+                and parts[2] == "versions":
+            stype = (payload.get("schemaType") or "AVRO").upper()
+            text = payload.get("schema", "")
+            if "id" in payload:
+                return sim.register_import(parts[1], text, stype,
+                                           int(payload["id"]),
+                                           payload.get("version"))
+            return sim.register(parts[1], text, stype,
+                                metadata=payload.get("metadata"),
+                                rule_set=payload.get("ruleSet"))
+        return None
     if verb == "GET":
+        if parts == ["config"]:
+            return sim.get_global_config()
+        if len(parts) == 2 and parts[0] == "config":
+            return sim.get_subject_config(parts[1], default_to_global=dtg)
+        if parts == ["mode"]:
+            return sim.get_global_mode()
+        if len(parts) == 2 and parts[0] == "mode":
+            return sim.get_subject_mode(parts[1], default_to_global=dtg)
         if parts == ["subjects"]:
             return sim.list_subjects(deleted=deleted)
         if len(parts) == 3 and parts[0] == "subjects" \
@@ -465,8 +852,19 @@ def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
         if len(parts) == 4 and parts[:2] == ["schemas", "ids"] \
                 and parts[3] == "subjects":
             return sim.subjects_for_id(int(parts[2]))
+        if len(parts) == 4 and parts[:2] == ["schemas", "ids"] \
+                and parts[3] == "versions":
+            return sim.versions_for_id(int(parts[2]))
         return None
     if verb == "DELETE":
+        if parts == ["mode"]:
+            return sim.delete_global_mode()
+        if parts == ["config"]:
+            return sim.delete_global_config()
+        if len(parts) == 2 and parts[0] == "config":
+            return sim.delete_subject_config(parts[1])
+        if len(parts) == 2 and parts[0] == "mode":
+            return sim.delete_subject_mode(parts[1])
         if len(parts) == 2 and parts[0] == "subjects":
             return sim.delete_subject(parts[1], permanent=permanent)
         if len(parts) == 4 and parts[0] == "subjects" \

@@ -224,7 +224,9 @@ def _default_matches(value: Any, ftype: Any, symbols_of: dict) -> bool:
     return True
 
 
-def avro_validate(schema_text: str) -> None:
+def avro_validate(schema_text: str,
+                  defined_extra: set[str] | frozenset[str] = frozenset(),
+                  ) -> None:
     """Raise ValueError for schemas the reference's parser rejects with
     INVALID_SCHEMA (42201): unknown type names, duplicate field names,
     defaults that don't type-check, empty enums, non-positive fixed
@@ -235,9 +237,14 @@ def avro_validate(schema_text: str) -> None:
     Two passes: collect every named definition, then walk and check
     references — forward references are accepted (laxer than strict
     single-pass Avro, strict enough for every reference rejection case).
+    ``defined_extra`` pre-seeds names provided by cross-subject schema
+    REFERENCES (the registry's references array resolves them at
+    registration time).
     """
     schema = json.loads(schema_text)
-    defined: set[str] = set()
+    defined: set[str] = set(defined_extra)
+    for name in defined_extra:
+        defined.add(name.rsplit(".", 1)[-1])
     symbols_of: dict[str, list] = {}
 
     def collect(node: Any, namespace: str | None) -> None:

@@ -47,6 +47,9 @@ LIFECYCLE_FEATURES = (
     "mode_exhaustive.feature",
     "mode_enforcement.feature",
     "readonly_enforcement.feature",
+    # cross-subject schema references (J1 referenced-by / J3 resolution)
+    "schema_references.feature",
+    "references_exhaustive.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -110,21 +113,64 @@ class RegistrySim:
                 out[k] = v
         return out
 
-    def _fp(self, text: str, stype: str) -> str | None:
+    def _fp(self, text: str, stype: str,
+            references: list[dict] | None = None) -> str | None:
         from axonops_schema_registry_spark.registry.evolution import (
             validate_and_normalize,
         )
+        from axonops_schema_registry_spark.registry.spark_udfs import (
+            canonical_fingerprint,
+        )
 
-        r = validate_and_normalize(text, stype)
-        return r["fingerprint"] if r["is_valid"] else None
+        if not references:
+            r = validate_and_normalize(text, stype)
+            return r["fingerprint"] if r["is_valid"] else None
+        # references pre-resolve external names: validate with them known
+        try:
+            if stype == "AVRO":
+                from axonops_schema_registry_spark.registry.avro import (
+                    avro_validate,
+                )
+
+                avro_validate(text, defined_extra={
+                    r["name"] for r in references})
+            elif stype == "PROTOBUF":
+                from axonops_schema_registry_spark.registry.protobuf_parse import (
+                    parse_proto,
+                    proto_validate,
+                )
+
+                proto_validate(parse_proto(text), known_imports=tuple(
+                    r["name"] for r in references))
+            else:
+                json.loads(text)
+            return canonical_fingerprint(text, stype)
+        except Exception:
+            return None
 
     def _live(self, subject: str) -> list[dict]:
         return [v for v in self.subjects.get(subject, [])
                 if not v["deleted"]]
 
     # -- write path -------------------------------------------------------
+    def _referenced_by(self, subject: str, versions: set[int],
+                       exclude_subject: str | None = None) -> list[int]:
+        """Schema ids of LIVE versions referencing (subject, version in
+        versions) — the J1 reverse-reference join."""
+        out = []
+        for s2 in self.subjects:
+            if s2 == exclude_subject:
+                continue
+            for x in self._live(s2):
+                for r in x.get("references") or []:
+                    if r.get("subject") == subject \
+                            and r.get("version") in versions:
+                        out.append(x["id"])
+        return sorted(set(out))
+
     def register(self, subject: str, text: str, stype: str = "AVRO",
-                 metadata=None, rule_set=None) -> tuple[int, Any]:
+                 metadata=None, rule_set=None,
+                 references: list[dict] | None = None) -> tuple[int, Any]:
         from axonops_schema_registry_spark.registry.compat import (
             check_compatibility,
         )
@@ -135,7 +181,13 @@ class RegistrySim:
             # normal registration is not allowed in IMPORT mode —
             # explicit-ID import is the only permitted write
             return 422, {"error_code": 42205}
-        fp = self._fp(text, stype)
+        for r in references or []:
+            # every reference must resolve to a LIVE (subject, version)
+            tgt = next((x for x in self._live(r.get("subject", ""))
+                        if x["version"] == r.get("version")), None)
+            if tgt is None:
+                return 422, {"error_code": 42201}
+        fp = self._fp(text, stype, references)
         if fp is None:
             return 422, {"error_code": 42201}
         live = self._live(subject)
@@ -174,7 +226,8 @@ class RegistrySim:
             self.next_id += 1
         vers.append({"version": version, "text": text, "type": stype,
                      "fp": fp, "id": sid, "deleted": False,
-                     "metadata": metadata, "rule_set": rule_set})
+                     "metadata": metadata, "rule_set": rule_set,
+                     "references": references or []})
         return 200, {"id": sid, "version": version}
 
     def register_import(self, subject: str, text: str, stype: str,
@@ -351,7 +404,10 @@ class RegistrySim:
         for vs in self.subjects.values():
             for x in vs:
                 if x["id"] == sid:
-                    return 200, {"schema": x["text"]}
+                    out = {"schema": x["text"]}
+                    if x.get("references"):
+                        out["references"] = x["references"]
+                    return 200, out
         return 404, {"error_code": 40403}
 
     def versions_for_id(self, sid: int) -> tuple[int, Any]:
@@ -381,6 +437,13 @@ class RegistrySim:
             return 404, {"error_code": 40401}
         if not permanent:
             live = self._live(subject)
+            resolved = v
+            if resolved in ("latest", -1) and live:
+                resolved = max(x["version"] for x in live)
+            if isinstance(resolved, int) and self._referenced_by(
+                    subject, {resolved}):
+                return 422, {"error_code": 42206,
+                             "message": "has active references"}
             if v in ("latest", -1):
                 if not live:
                     # all versions tombstoned: GetSchemaBySubjectVersion
@@ -418,6 +481,11 @@ class RegistrySim:
         if not vers:
             return 404, {"error_code": 40401}
         live = self._live(subject)
+        if self._referenced_by(subject,
+                               {x["version"] for x in live},
+                               exclude_subject=subject):
+            return 422, {"error_code": 42206,
+                         "message": "has active references"}
         if not permanent:
             if not live:
                 # double soft delete → 40404 (confluent_conformance)
@@ -471,6 +539,14 @@ STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(r'I get versions for schema ID (\S+)'), "versions_for_id"),
     (re.compile(r'I get the subjects for the stored schema ID'),
      "subjects_for_stored_id"),
+    (re.compile(r'subject "([^"]+)" has mode "(\w+)"'), "set_subj_mode"),
+    (re.compile(r'the response field "([^"]+)" should not equal stored '
+                r'"([^"]+)"'), "assert_field_not_stored"),
+    (re.compile(r'the response should be valid JSON'), "assert_valid_json"),
+    (re.compile(r'the stored "([^"]+)" should be greater than (\d+)'),
+     "assert_stored_gt"),
+    (re.compile(r'I check compatibility of (?:"(\w+)" )?schema against '
+                r'all versions of subject "([^"]+)":'), "compat_check_all"),
     (re.compile(r'I check compatibility of (?:"(\w+)" )?schema against '
                 r'subject "([^"]+)" version (\d+):'), "compat_check_ver"),
     (re.compile(r'I check compatibility of (?:"(\w+)" )?schema against '
@@ -481,6 +557,13 @@ STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(rf'subject "([^"]+)" has {_RE_TYPED}schema:'), "seed"),
     (re.compile(rf'I register a {_RE_TYPED}schema under subject "([^"]+)":$'),
      "register"),
+    (re.compile(rf'I register a {_RE_TYPED}schema under subject "([^"]+)" '
+                r'with references:'), "register_refs"),
+    (re.compile(r'I get the referenced by for subject "([^"]+)" '
+                r'version (\d+)'), "referenced_by"),
+    (re.compile(r'I get the stored schema by ID'), "stored_schema_by_id"),
+    (re.compile(r'the response array should contain stored integer '
+                r'"([^"]+)"'), "assert_contains_stored_int"),
     (re.compile(r'I delete version (\d+) of subject "([^"]+)"'), "del_ver"),
     (re.compile(r'I permanently delete version (\d+) of subject "([^"]+)"'),
      "hdel_ver"),
@@ -526,7 +609,7 @@ STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(r'the schema registry is running'), "ignore"),
 ]
 
-_UNSUPPORTED_TOKENS = ("with reference", "references",)
+_UNSUPPORTED_TOKENS = ()
 
 
 @dataclasses.dataclass
@@ -648,7 +731,13 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 stype = (m.group(1) or "AVRO").upper()
                 subj = m.group(2)
                 live = sim._live(subj)
+                # the plain check endpoint tests against LATEST only —
+                # the _TRANSITIVE suffix widens the REGISTRATION gate and
+                # the /versions/all endpoint, not this one
+                # (compatibility_config_exhaustive 'compatible with
+                # latest but not all versions')
                 level = sim.levels.get(subj, sim.glob_level)
+                level = level.replace("_TRANSITIVE", "")
                 ok, _ = check_compatibility(
                     doc, [v["text"] for v in live], level, stype)
                 status, body = 200, {"is_compatible": ok}
@@ -676,6 +765,69 @@ def _replay_scenario(feature: str, scenario: str, steps):
             elif op == "register":
                 stype = (m.group(1) or "AVRO").upper()
                 status, body = sim.register(m.group(2), doc, stype)
+            elif op == "register_refs":
+                stype = (m.group(1) or "AVRO").upper()
+                try:
+                    payload = json.loads(doc)
+                except json.JSONDecodeError:
+                    status, body = 422, {"error_code": 42201}
+                else:
+                    status, body = sim.register(
+                        m.group(2), payload.get("schema", ""),
+                        (payload.get("schemaType") or stype).upper(),
+                        metadata=payload.get("metadata"),
+                        rule_set=payload.get("ruleSet"),
+                        references=payload.get("references"))
+            elif op == "referenced_by":
+                subj, ver = m.group(1), int(m.group(2))
+                ids = sim._referenced_by(subj, {ver})
+                status, body = 200, ids
+            elif op == "stored_schema_by_id":
+                sid = stored.get("schema_id")
+                if sid is None:
+                    return 0, [], "no stored schema_id"
+                status, body = sim.schema_by_id(int(sid))
+            elif op == "assert_field_not_stored":
+                n += 1
+                got = body.get(m.group(1)) if isinstance(body, dict) \
+                    else None
+                if got == stored.get(m.group(2)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"!= {stored.get(m.group(2))}", got))
+            elif op == "assert_valid_json":
+                n += 1
+                try:
+                    json.loads(body.get("schema", "")
+                               if isinstance(body, dict) else body)
+                except (TypeError, json.JSONDecodeError):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "valid JSON", body))
+            elif op == "assert_stored_gt":
+                n += 1
+                val = stored.get(m.group(1))
+                if not (isinstance(val, int) and val > int(m.group(2))):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"> {m.group(2)}", val))
+            elif op == "compat_check_all":
+                from axonops_schema_registry_spark.registry.compat import (
+                    check_compatibility,
+                )
+
+                stype = (m.group(1) or "AVRO").upper()
+                subj = m.group(2)
+                live = sim._live(subj)
+                level = sim.levels.get(subj, sim.glob_level)
+                base = level.replace("_TRANSITIVE", "")
+                lvl = base + "_TRANSITIVE" if base != "NONE" else "NONE"
+                ok, _ = check_compatibility(
+                    doc, [v["text"] for v in live], lvl, stype)
+                status, body = 200, {"is_compatible": ok}
+            elif op == "assert_contains_stored_int":
+                n += 1
+                want = stored.get(m.group(1))
+                if not (isinstance(body, list) and want in body):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       want, body))
             elif op == "del_ver":
                 status, body = sim.delete_version(m.group(2),
                                                   int(m.group(1)))
@@ -827,7 +979,8 @@ def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
                                            payload.get("version"))
             return sim.register(parts[1], text, stype,
                                 metadata=payload.get("metadata"),
-                                rule_set=payload.get("ruleSet"))
+                                rule_set=payload.get("ruleSet"),
+                                references=payload.get("references"))
         return None
     if verb == "GET":
         if parts == ["config"]:

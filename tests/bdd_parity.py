@@ -224,9 +224,13 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 return [], "verdict assertion without pending check"
             kind, subj, styp, cand = pending
             level = levels.get(subj, glob_level)
-            if kind == "check_all" and not level.endswith("_TRANSITIVE") \
-                    and level != "NONE":
-                level = f"{level}_TRANSITIVE"
+            if kind == "check_all":
+                if not level.endswith("_TRANSITIVE") and level != "NONE":
+                    level = f"{level}_TRANSITIVE"
+            elif kind == "check":
+                # the plain check endpoint verifies against LATEST only;
+                # _TRANSITIVE widens registration and /versions/all
+                level = level.replace("_TRANSITIVE", "")
             exps.append(Expectation(
                 feature, scenario, kind, styp, level,
                 tuple(history.get(subj, [])), cand, m.group(1)))

@@ -50,6 +50,17 @@ LIFECYCLE_FEATURES = (
     # cross-subject schema references (J1 referenced-by / J3 resolution)
     "schema_references.feature",
     "references_exhaustive.feature",
+    # multi-tenant contexts (ctx1/lv1: :.ctx: addressing, per-context id
+    # spaces, the context config/mode tier)
+    "contexts.feature",
+    "contexts_isolation.feature",
+    "contexts_operations.feature",
+    "contexts_config_mode.feature",
+    "contexts_global_config.feature",
+    "contexts_edge_cases.feature",
+    "contexts_validation.feature",
+    "contexts_schema_types.feature",
+    "contexts_url_routing.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -63,22 +74,57 @@ class RegistrySim:
 
     def __init__(self) -> None:
         self.subjects: dict[str, list[dict]] = {}
-        self.ids: dict[str, int] = {}       # fingerprint -> schema id
-        self.next_id = 1
-        self.glob_level = "BACKWARD"
-        self.levels: dict[str, str] = {}
-        self.glob_mode = "READWRITE"
+        #: (context, fingerprint) -> schema id; EACH context has its own
+        #: id space (the reference scopes every registry op by context)
+        self.ids: dict[tuple[str, str], int] = {}
+        self.next_ids: dict[str, int] = {}
+        #: default-context tier (root /config и /mode); None = unset —
+        #: falls through to the __GLOBAL tier, then the server default
+        self.root_level: str | None = None
+        self.levels: dict[str, str] = {}     # subjects + ":.ctx:" tiers
+        self.root_mode: str | None = None
         self.subj_modes: dict[str, str] = {}
         #: full config bodies (defaultMetadata / overrideMetadata /
         #: defaultRuleSet / overrideRuleSet) per subject + global
         self.cfg_extra: dict[str, dict] = {}
         self.glob_cfg_extra: dict = {}
 
-    # -- mode resolution (modes.py semantics) -----------------------------
+    # -- context addressing (:.ctx:subject, default context ".") ---------
+    @staticmethod
+    def ctx_of(subject: str) -> str:
+        m = re.match(r"^:(\.[^:]*):", subject)
+        return m.group(1) if m else "."
+
+    def _ctx_key(self, subject: str) -> str | None:
+        """The context-tier config key (':.ctx:'), None in the default
+        context (whose tier IS the root row)."""
+        ctx = self.ctx_of(subject)
+        return f":{ctx}:" if ctx != "." else None
+
+    _GLOBAL_KEY = ":.__GLOBAL:"
+
+    @staticmethod
+    def valid_ctx(ctx: str) -> bool:
+        return ctx == "." or bool(re.fullmatch(r"\.[A-Za-z0-9._\-]+", ctx))
+
+    def list_contexts(self) -> tuple[int, Any]:
+        ctxs = {"."} | {self.ctx_of(s) for s, vs in self.subjects.items()
+                        if vs}
+        return 200, sorted(ctxs)
+
+    # -- mode resolution (modes.py semantics + the contexts tier) ---------
     def resolved_mode(self, subject: str) -> str:
-        if self.glob_mode == "READONLY_OVERRIDE":
-            return "READONLY_OVERRIDE"  # global kill switch
-        return self.subj_modes.get(subject, self.glob_mode)
+        if self.root_mode == "READONLY_OVERRIDE":
+            return "READONLY_OVERRIDE"  # root kill switch (modes.py)
+        if subject in self.subj_modes:
+            return self.subj_modes[subject]
+        ck = self._ctx_key(subject)
+        if ck is None:
+            if self.root_mode is not None:
+                return self.root_mode
+        elif ck in self.subj_modes:
+            return self.subj_modes[ck]
+        return self.subj_modes.get(self._GLOBAL_KEY, "READWRITE")
 
     def _write_blocked(self, subject: str) -> bool:
         return self.resolved_mode(subject) in ("READONLY",
@@ -175,6 +221,14 @@ class RegistrySim:
             check_compatibility,
         )
 
+        ctx = self.ctx_of(subject)
+        if not self.valid_ctx(ctx):
+            return 422, {"error_code": 42210,
+                         "message": "Invalid context name"}
+        if ctx == ".__GLOBAL":
+            # __GLOBAL is a virtual context holding only config/mode
+            return 400, {"error_code": 400,
+                         "message": "cannot register in __GLOBAL"}
         if self._write_blocked(subject):
             return 422, {"error_code": 42205}
         if self.resolved_mode(subject) == "IMPORT":
@@ -214,16 +268,18 @@ class RegistrySim:
             if v["fp"] == fp and v.get("metadata") == metadata \
                     and v.get("rule_set") == rule_set:
                 return 200, {"id": v["id"], "version": v["version"]}
-        level = self.levels.get(subject, self.glob_level)
+        level = self._resolved_level(subject)
         ok, _ = check_compatibility(
             text, [v["text"] for v in live], level, stype)
         if not ok:
             return 409, {"error_code": 409}
         vers = self.subjects.setdefault(subject, [])
         version = max((v["version"] for v in vers), default=0) + 1
-        sid = self.ids.setdefault(fp, self.next_id)
-        if sid == self.next_id:
-            self.next_id += 1
+        ctx = self.ctx_of(subject)
+        nxt = self.next_ids.get(ctx, 1)
+        sid = self.ids.setdefault((ctx, fp), nxt)
+        if sid == nxt:
+            self.next_ids[ctx] = nxt + 1
         vers.append({"version": version, "text": text, "type": stype,
                      "fp": fp, "id": sid, "deleted": False,
                      "metadata": metadata, "rule_set": rule_set,
@@ -239,8 +295,9 @@ class RegistrySim:
         fp = self._fp(text, stype)
         if fp is None:
             return 422, {"error_code": 42201}
-        existing_fp = next((f for f, i in self.ids.items() if i == sid),
-                           None)
+        ctx = self.ctx_of(subject)
+        existing_fp = next((f for (c, f), i in self.ids.items()
+                            if i == sid and c == ctx), None)
         if existing_fp is not None and existing_fp != fp:
             # importing a DIFFERENT schema under a taken id is the
             # operation-not-permitted error (mode_enforcement: 42205)
@@ -253,33 +310,57 @@ class RegistrySim:
                 # duplicate version in an import returns the EXISTING
                 # version untouched (Confluent allows and ignores)
                 return 200, {"id": v["id"], "version": version}
-        self.ids[fp] = sid
-        self.next_id = max(self.next_id, sid + 1)
+        self.ids[(ctx, fp)] = sid
+        self.next_ids[ctx] = max(self.next_ids.get(ctx, 1), sid + 1)
         vers.append({"version": version, "text": text, "type": stype,
                      "fp": fp, "id": sid, "deleted": False})
         return 200, {"id": sid, "version": version}
 
+    def _resolved_level(self, subject: str) -> str:
+        """4-tier chain (GetConfigFull, lv1): subject -> context tier
+        (root /config for the default context) -> __GLOBAL context ->
+        server default BACKWARD.  Root config does NOT leak into named
+        contexts (contexts_global_config)."""
+        if subject in self.levels:
+            return self.levels[subject]
+        ck = self._ctx_key(subject)
+        if ck is None:
+            if self.root_level is not None:
+                return self.root_level
+        elif ck in self.levels:
+            return self.levels[ck]
+        return self.levels.get(self._GLOBAL_KEY, "BACKWARD")
+
     # -- config / mode endpoints ------------------------------------------
+    def _root_blocked(self) -> bool:
+        return (self.root_mode or "READWRITE") in ("READONLY",
+                                                   "READONLY_OVERRIDE")
+
     def set_global_config(self, level: str,
                           extra: dict | None = None) -> tuple[int, Any]:
-        if self.glob_mode in ("READONLY", "READONLY_OVERRIDE"):
+        if self._root_blocked():
             return 422, {"error_code": 42205}
         if level not in LEVELS:
             return 422, {"error_code": 42203}
-        self.glob_level = level
+        self.root_level = level
         if extra is not None:
             self.glob_cfg_extra = {
                 k: v for k, v in extra.items() if k != "compatibility"}
         return 200, {"compatibility": level}
 
-    def get_global_config(self) -> tuple[int, Any]:
-        return 200, {"compatibilityLevel": self.glob_level}
+    def get_global_config(self, *,
+                          default_to_global: bool = False
+                          ) -> tuple[int, Any]:
+        lvl = self.root_level
+        if lvl is None and default_to_global:
+            lvl = self.levels.get(self._GLOBAL_KEY)
+        return 200, {"compatibilityLevel": lvl or "BACKWARD"}
 
     def delete_global_config(self) -> tuple[int, Any]:
-        if self.glob_mode in ("READONLY", "READONLY_OVERRIDE"):
+        if self._root_blocked():
             return 422, {"error_code": 42205}
-        old = self.glob_level
-        self.glob_level = "BACKWARD"  # reset to server default
+        old = self.root_level or "BACKWARD"
+        self.root_level = None
         return 200, {"compatibilityLevel": old}
 
     def set_subject_config(self, subject: str, level: str,
@@ -300,7 +381,8 @@ class RegistrySim:
         if subject in self.levels:
             return 200, {"compatibilityLevel": self.levels[subject]}
         if default_to_global:
-            return 200, {"compatibilityLevel": self.glob_level}
+            # walks the full 4-tier chain
+            return 200, {"compatibilityLevel": self._resolved_level(subject)}
         return 404, {"error_code": 40408}
 
     def delete_subject_config(self, subject: str) -> tuple[int, Any]:
@@ -315,11 +397,11 @@ class RegistrySim:
         # mode changes are ALWAYS allowed (otherwise READONLY is a trap)
         if mode not in MODES:
             return 422, {"error_code": 42204}
-        self.glob_mode = mode
+        self.root_mode = mode
         return 200, {"mode": mode}
 
     def get_global_mode(self) -> tuple[int, Any]:
-        return 200, {"mode": self.glob_mode}
+        return 200, {"mode": self.root_mode or "READWRITE"}
 
     def set_subject_mode(self, subject: str, mode: str) -> tuple[int, Any]:
         if mode not in MODES:
@@ -333,19 +415,19 @@ class RegistrySim:
         if subject in self.subj_modes:
             return 200, {"mode": self.subj_modes[subject]}
         if default_to_global:
-            return 200, {"mode": self.glob_mode}
+            return 200, {"mode": self.resolved_mode(subject)}
         return 404, {"error_code": 40409}
 
     def delete_global_mode(self) -> tuple[int, Any]:
-        old = self.glob_mode
-        self.glob_mode = "READWRITE"  # server default
+        old = self.root_mode or "READWRITE"
+        self.root_mode = None
         return 200, {"mode": old}
 
     def delete_subject_mode(self, subject: str) -> tuple[int, Any]:
         if subject not in self.subj_modes:
             return 404, {"error_code": 40409}
         del self.subj_modes[subject]
-        return 200, {"mode": self.glob_mode}
+        return 200, {"mode": self.resolved_mode(subject)}
 
     # -- read path --------------------------------------------------------
     def get_version(self, subject: str, v, *,
@@ -361,7 +443,8 @@ class RegistrySim:
         for x in pool:
             if x["version"] == v:
                 out = {"subject": subject, "version": v,
-                       "id": x["id"], "schema": x["text"]}
+                       "id": x["id"], "schema": x["text"],
+                       "schemaType": x["type"]}
                 # confluent:version is stamped into metadata.properties
                 # on every stored version (excluded from the dedup
                 # identity — it varies per version by construction)
@@ -382,10 +465,18 @@ class RegistrySim:
             return 404, {"error_code": 40401}
         return 200, sorted(x["version"] for x in pool)
 
-    def list_subjects(self, *, deleted: bool = False) -> tuple[int, Any]:
-        if deleted:
-            return 200, sorted(s for s, vs in self.subjects.items() if vs)
-        return 200, sorted(s for s in self.subjects if self._live(s))
+    def list_subjects(self, *, deleted: bool = False,
+                      ctx: str | None = None) -> tuple[int, Any]:
+        """Listings are ALWAYS context-scoped: the root /subjects shows
+        only the default context (contexts_isolation); /contexts/{ctx}/
+        subjects shows that context with unqualified names."""
+        scope = ctx if ctx is not None else "."
+        names = (sorted(s for s, vs in self.subjects.items() if vs)
+                 if deleted
+                 else sorted(s for s in self.subjects if self._live(s)))
+        names = [re.sub(r"^:\.[^:]*:", "", s) for s in names
+                 if self.ctx_of(s) == scope]
+        return 200, names
 
     def lookup(self, subject: str, text: str, stype: str = "AVRO", *,
                deleted: bool = False) -> tuple[int, Any]:
@@ -400,8 +491,10 @@ class RegistrySim:
                              "id": x["id"], "schema": x["text"]}
         return 404, {"error_code": 40403}
 
-    def schema_by_id(self, sid: int) -> tuple[int, Any]:
-        for vs in self.subjects.values():
+    def schema_by_id(self, sid: int, ctx: str = ".") -> tuple[int, Any]:
+        for subj, vs in self.subjects.items():
+            if self.ctx_of(subj) != ctx:
+                continue
             for x in vs:
                 if x["id"] == sid:
                     out = {"schema": x["text"]}
@@ -410,17 +503,20 @@ class RegistrySim:
                     return 200, out
         return 404, {"error_code": 40403}
 
-    def versions_for_id(self, sid: int) -> tuple[int, Any]:
+    def versions_for_id(self, sid: int, ctx: str = ".") -> tuple[int, Any]:
         out = [{"subject": s, "version": x["version"]}
                for s in sorted(self.subjects)
+               if self.ctx_of(s) == ctx
                for x in self._live(s) if x["id"] == sid]
         if not out:
             return 404, {"error_code": 40403}
         return 200, out
 
-    def subjects_for_id(self, sid: int) -> tuple[int, Any]:
-        subs = sorted(s for s in self.subjects
-                      if any(x["id"] == sid for x in self._live(s)))
+    def subjects_for_id(self, sid: int, ctx: str = ".") -> tuple[int, Any]:
+        subs = sorted(re.sub(r"^:\.[^:]*:", "", s)
+                      for s in self.subjects
+                      if self.ctx_of(s) == ctx
+                      and any(x["id"] == sid for x in self._live(s)))
         if not subs:
             return 404, {"error_code": 40403}
         return 200, subs
@@ -564,6 +660,8 @@ STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(r'I get the stored schema by ID'), "stored_schema_by_id"),
     (re.compile(r'the response array should contain stored integer '
                 r'"([^"]+)"'), "assert_contains_stored_int"),
+    (re.compile(r'the response array should contain integer (\d+)'),
+     "assert_contains_int"),
     (re.compile(r'I delete version (\d+) of subject "([^"]+)"'), "del_ver"),
     (re.compile(r'I permanently delete version (\d+) of subject "([^"]+)"'),
      "hdel_ver"),
@@ -597,6 +695,8 @@ STEPS: list[tuple[re.Pattern, str]] = [
      "assert_field_stored"),
     (re.compile(r'the response field "([^"]+)" should be (\d+)$'),
      "assert_field"),
+    (re.compile(r'the response field "([^"]+)" should be (true|false)$'),
+     "assert_field_bool"),
     (re.compile(r'the response field "([^"]+)" should be "([^"]+)"'),
      "assert_field_str"),
     (re.compile(r'the response should have field "([^"]+)"'),
@@ -672,7 +772,7 @@ def _replay_scenario(feature: str, scenario: str, steps):
             if not m:
                 continue
             if op == "glob":
-                sim.glob_level = m.group(1)
+                sim.root_level = m.group(1)
             elif op == "subj_level":
                 sim.levels[m.group(1)] = m.group(2)
             elif op == "set_glob_cfg":
@@ -736,7 +836,7 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 # the /versions/all endpoint, not this one
                 # (compatibility_config_exhaustive 'compatible with
                 # latest but not all versions')
-                level = sim.levels.get(subj, sim.glob_level)
+                level = sim._resolved_level(subj)
                 level = level.replace("_TRANSITIVE", "")
                 ok, _ = check_compatibility(
                     doc, [v["text"] for v in live], level, stype)
@@ -816,12 +916,17 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 stype = (m.group(1) or "AVRO").upper()
                 subj = m.group(2)
                 live = sim._live(subj)
-                level = sim.levels.get(subj, sim.glob_level)
+                level = sim._resolved_level(subj)
                 base = level.replace("_TRANSITIVE", "")
                 lvl = base + "_TRANSITIVE" if base != "NONE" else "NONE"
                 ok, _ = check_compatibility(
                     doc, [v["text"] for v in live], lvl, stype)
                 status, body = 200, {"is_compatible": ok}
+            elif op == "assert_contains_int":
+                n += 1
+                if not (isinstance(body, list) and int(m.group(1)) in body):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       int(m.group(1)), body))
             elif op == "assert_contains_stored_int":
                 n += 1
                 want = stored.get(m.group(1))
@@ -915,6 +1020,14 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 if got != int(m.group(2)):
                     mm.append(Mismatch(feature, scenario, bodytext,
                                        int(m.group(2)), got))
+            elif op == "assert_field_bool":
+                n += 1
+                want = m.group(2) == "true"
+                got = body.get(m.group(1)) if isinstance(body, dict) \
+                    else None
+                if got != want:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       want, got))
             elif op == "assert_field_str":
                 n += 1
                 got = body.get(m.group(1)) if isinstance(body, dict) \
@@ -947,6 +1060,89 @@ def _replay_scenario(feature: str, scenario: str, steps):
 
 def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
     parts, q = _parse_url(url)
+    # /contexts/{ctx}/rest... routes to the same handlers with subjects
+    # rewritten to the :.ctx: qualified form
+    if len(parts) >= 2 and parts[0] == "contexts" and parts[1] != "":
+        ctx = parts[1] if parts[1].startswith(".") else "." + parts[1]
+        if not RegistrySim.valid_ctx(ctx):
+            return 422, {"error_code": 42210,
+                         "message": "Invalid context name"}
+        rest = parts[2:]
+        if ctx == ".__GLOBAL" and rest and rest[0] in ("subjects",
+                                                       "schemas"):
+            return 400, {"error_code": 400,
+                         "message": "__GLOBAL holds no subjects"}
+        if verb == "GET" and rest == ["subjects"]:
+            return sim.list_subjects(
+                deleted=q.get("deleted") == "true", ctx=ctx)
+        if rest and rest[0] == "schemas" and len(rest) >= 3 \
+                and rest[1] == "ids":
+            sid = int(rest[2])
+            if len(rest) == 3:
+                return sim.schema_by_id(sid, ctx)
+            if len(rest) == 4 and rest[3] == "subjects":
+                return sim.subjects_for_id(sid, ctx)
+            if len(rest) == 4 and rest[3] == "versions":
+                return sim.versions_for_id(sid, ctx)
+        if rest and rest[0] == "subjects" and len(rest) >= 2:
+            rest = ["subjects", f":{ctx}:{rest[1]}"] + rest[2:]
+        elif rest and rest[0] in ("config", "mode") and len(rest) >= 2:
+            rest = [rest[0], f":{ctx}:{rest[1]}"] + rest[2:]
+        elif rest and rest[0] == "compatibility" and len(rest) >= 3 \
+                and rest[1] == "subjects":
+            rest = ["compatibility", "subjects",
+                    f":{ctx}:{rest[2]}"] + rest[3:]
+        sep = "?" + url.partition("?")[2] if "?" in url else ""
+        return _dispatch_http(sim, verb, "/" + "/".join(rest) + sep, doc)
+    if verb == "GET" and parts == ["contexts"]:
+        return sim.list_contexts()
+    if verb == "GET" and parts == ["schemas", "types"]:
+        return 200, ["AVRO", "JSON", "PROTOBUF"]
+    if verb == "POST" and len(parts) >= 4 \
+            and parts[0] == "compatibility" and parts[1] == "subjects" \
+            and parts[3] == "versions":
+        from axonops_schema_registry_spark.registry.compat import (
+            check_compatibility,
+            check_pair,
+        )
+
+        try:
+            payload = json.loads(doc) if doc else {}
+        except json.JSONDecodeError:
+            return 422, {"error_code": 42201}
+        subj = parts[2]
+        stype = (payload.get("schemaType") or "AVRO").upper()
+        cand = payload.get("schema", "")
+        live = sim._live(subj)
+        if len(parts) == 4:
+            # against ALL versions
+            if not live:
+                return 404, {"error_code": 40401}
+            level = sim._resolved_level(subj)
+            base = level.replace("_TRANSITIVE", "")
+            lvl = base + "_TRANSITIVE" if base != "NONE" else "NONE"
+            ok, _ = check_compatibility(
+                cand, [v["text"] for v in live], lvl, stype)
+            return 200, {"is_compatible": ok}
+        ver = parts[4]
+        if ver == "latest":
+            if not live:
+                return 404, {"error_code": 40401}
+            target = max(live, key=lambda v: v["version"])
+        else:
+            try:
+                nver = int(ver)
+            except ValueError:
+                return 422, {"error_code": 42202}
+            if nver <= 0 or nver > MAX_VERSION:
+                return 422, {"error_code": 42202}
+            if not live:
+                return 404, {"error_code": 40401}
+            target = next((v for v in live if v["version"] == nver), None)
+            if target is None:
+                return 404, {"error_code": 40402}
+        msgs = check_pair(cand, target["text"], stype)
+        return 200, {"is_compatible": not msgs}
     deleted = q.get("deleted") == "true"
     permanent = q.get("permanent") == "true"
     dtg = q.get("defaultToGlobal") == "true"
@@ -984,7 +1180,7 @@ def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
         return None
     if verb == "GET":
         if parts == ["config"]:
-            return sim.get_global_config()
+            return sim.get_global_config(default_to_global=dtg)
         if len(parts) == 2 and parts[0] == "config":
             return sim.get_subject_config(parts[1], default_to_global=dtg)
         if parts == ["mode"]:
@@ -1001,7 +1197,8 @@ def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
             v = parts[3] if parts[3] == "latest" else int(parts[3])
             return sim.get_version(parts[1], v, deleted=deleted)
         if len(parts) == 3 and parts[:2] == ["schemas", "ids"]:
-            return sim.schema_by_id(int(parts[2]))
+            ctx = RegistrySim.ctx_of(q.get("subject", ""))
+            return sim.schema_by_id(int(parts[2]), ctx)
         if len(parts) == 4 and parts[:2] == ["schemas", "ids"] \
                 and parts[3] == "subjects":
             return sim.subjects_for_id(int(parts[2]))

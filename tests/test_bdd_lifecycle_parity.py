@@ -4,7 +4,7 @@
 operators implement (registration dedup/gate/versioning, soft/permanent
 delete taxonomy, content-addressed ids, visibility) using the REAL
 validator / compat / fingerprint functions; the replay asserts every
-HTTP status, error code, and field assertion from 22 reference feature
+HTTP status, error code, and field assertion from 31 reference feature
 files — deletion taxonomy, config/mode resolution and write gating,
 3-layer metadata/ruleSet merge, explicit-ID import, id stability.  This caught a real taxonomy bug on first run: version-level
 permanent-delete-without-soft is 40407 (ErrorCodeVersionNotSoftDeleted),
@@ -26,7 +26,7 @@ pytestmark = pytest.mark.skipif(
 
 def test_lifecycle_parity():
     n, mismatches, skipped = replay()
-    assert n >= 1000, f"only {n} assertions replayed"
+    assert n >= 1480, f"only {n} assertions replayed"
     lines = [f"{m.feature} | {m.scenario} | {m.step} | "
              f"want {m.expected} got {m.got}" for m in mismatches]
     assert not mismatches, "lifecycle mismatches:\n" + "\n".join(lines)

@@ -891,12 +891,19 @@ _RULESET_CASES = [
     (3, '{"domainRules":[{"name":"bad","kind":"NOPE","mode":"WRITE"}]}'),
     (4, '{"migrationRules":[{"name":"wrongphase","kind":"TRANSFORM",'
         '"mode":"WRITE"}]}'),
-    (5, '{"domainRules":[{"name":"dup","kind":"CONDITION","mode":"WRITE",'
-        '"expr":"x"},{"name":"dup","kind":"CONDITION","mode":"WRITE",'
-        '"expr":"y"}]}'),
-    (6, '{"domainRules":[{"name":"noexpr","kind":"CONDITION",'
-        '"mode":"READ"}]}'),
+    # reference parity (validator.go): duplicate names and CONDITION
+    # rules without expr are BOTH legal; bad onSuccess/onFailure and a
+    # blank name are not (ruleset_validation.feature)
+    (5, '{"domainRules":[{"name":"dup","kind":"CONDITION","mode":"WRITE"},'
+        '{"name":"dup","kind":"CONDITION","mode":"WRITE"}]}'),
+    (6, '{"domainRules":[{"name":"badact","kind":"CONDITION",'
+        '"mode":"READ","onSuccess":"RETRY"}]}'),
     (7, 'null'),
+    (8, '{"domainRules":[{"name":"  ","kind":"TRANSFORM","mode":"WRITE"}]}'),
+    (9, '{"encodingRules":[{"name":"enc","kind":"TRANSFORM",'
+        '"mode":"UPGRADE"}]}'),
+    (10, '{"migrationRules":[{"name":"dual","kind":"TRANSFORM",'
+         '"mode":"UPDOWN","onSuccess":"ERROR,NONE","onFailure":"NONE"}]}'),
 ]
 
 
@@ -924,7 +931,8 @@ def rv1_ruleset_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 RV1_ORACLE = """
 SELECT * FROM (VALUES
     (1, TRUE, 0), (2, TRUE, 0), (3, FALSE, 1), (4, FALSE, 1),
-    (5, FALSE, 1), (6, FALSE, 1), (7, TRUE, 0)
+    (5, TRUE, 0), (6, FALSE, 1), (7, TRUE, 0), (8, FALSE, 1),
+    (9, FALSE, 1), (10, TRUE, 0)
 ) AS t(case_id, valid, n_issues)
 """
 

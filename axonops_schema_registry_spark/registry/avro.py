@@ -9,11 +9,21 @@ behaviors the reference exposes:
 - recursive field extraction into FieldInfo rows
   (reference: /root/reference/internal/analysis/fields.go:28-123)
 
-Canonical form follows the Avro spec's "Parsing Canonical Form":
-[STRIP] keep only type, name, fields, symbols, items, values, size;
-[ORDER] emit those keys in that order; [FULLNAMES] replace short names +
-namespace with fullnames; [PRIMITIVES] collapse {"type":"x"} to "x";
-[STRINGS] minimal JSON, no whitespace.
+Canonical form mirrors the REFERENCE's canonicalization
+(parser.go:141-312), which deliberately deviates from the strict Avro
+"Parsing Canonical Form" in three ways (confirmed by
+modeling_avro_conformance.feature):
+
+- record FIELD defaults are KEPT (so two schemas differing only in a
+  default get different fingerprints/ids);
+- primitive object forms keep their extra attributes ({"type":"int",
+  "logicalType":"date"} is not collapsed to "int");
+- bare named-type REFERENCES are emitted as-is (only definitions are
+  namespace-qualified, with Avro nested-namespace inheritance).
+
+doc / aliases / order (and object-level default) are stripped; named
+definitions emit fully-qualified names with the separate "namespace"
+key dropped; minimal JSON, no whitespace.
 """
 
 from __future__ import annotations
@@ -36,71 +46,97 @@ def _fullname(name: str, namespace: str | None) -> str:
     return f"{namespace}.{name}"
 
 
-def _canon(schema: Any, namespace: str | None,
-           known: set[str]) -> Any:
-    """Recursively build the canonical JSON value."""
-    if isinstance(schema, str):
-        if schema in PRIMITIVES:
-            return schema
-        return _fullname(schema, namespace)
-    if isinstance(schema, list):  # union
-        return [_canon(s, namespace, known) for s in schema]
-    if not isinstance(schema, dict):
-        raise ValueError(f"invalid avro schema node: {schema!r}")
+def _marshal(v: Any) -> str:
+    """Go json.Marshal-equivalent for scalar/JSON values: sorted map
+    keys, no spaces, integral floats printed as integers."""
+    if isinstance(v, float) and v.is_integer():
+        v = int(v)
+    if isinstance(v, dict):
+        return ("{" + ",".join(f'{_marshal(k)}:{_marshal(x)}'
+                               for k, x in sorted(v.items())) + "}")
+    if isinstance(v, list):
+        return "[" + ",".join(_marshal(x) for x in v) + "]"
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
 
-    t = schema.get("type")
-    if t in PRIMITIVES:
-        # primitive object form (possibly with logicalType etc.) → bare name;
-        # PCF strips every attribute of a primitive besides the type itself.
-        return t
-    if t == "array":
-        return {"type": "array",
-                "items": _canon(schema["items"], namespace, known)}
-    if t == "map":
-        return {"type": "map",
-                "values": _canon(schema["values"], namespace, known)}
+
+#: keys stripped from canonical objects (parser.go isNonCanonicalField);
+#: field-level defaults are re-added by _canon_field
+_NON_CANONICAL = {"doc", "aliases", "default", "order"}
+
+#: key order per schema type (parser.go:211-230); "namespace" is absent
+#: from every named-type order, which is how it gets dropped
+_KEY_ORDER = {
+    "record": ("name", "type", "fields"),
+    "error": ("name", "type", "fields"),
+    "enum": ("name", "type", "symbols"),
+    "array": ("type", "items"),
+    "map": ("type", "values"),
+    "fixed": ("name", "type", "size"),
+}
+
+
+def _canon_value(v: Any, parent_ns: str) -> str:
+    if isinstance(v, str):
+        # primitive or named-type REFERENCE — emitted verbatim
+        return f'"{v}"'
+    if isinstance(v, list):  # union
+        return "[" + ",".join(_canon_value(x, parent_ns) for x in v) + "]"
+    if isinstance(v, dict):
+        return _canon_object(v, parent_ns)
+    return _marshal(v)
+
+
+def _canon_field(field: dict, parent_ns: str) -> str:
+    # field key order: name, type, default — the default is KEPT so
+    # schemas differing only in defaults fingerprint differently
+    parts = []
+    if "name" in field:
+        parts.append(f'"name":"{field["name"]}"')
+    if "type" in field:
+        parts.append(f'"type":{_canon_value(field["type"], parent_ns)}')
+    if "default" in field:
+        parts.append(f'"default":{_marshal(field["default"])}')
+    return "{" + ",".join(parts) + "}"
+
+
+def _canon_object(obj: dict, parent_ns: str) -> str:
+    t = obj.get("type") if isinstance(obj.get("type"), str) else ""
+    resolved_ns = parent_ns
+    obj = dict(obj)
     if t in NAMED_TYPES:
-        ns = schema.get("namespace", namespace)
-        name = _fullname(schema["name"], ns)
-        out: dict[str, Any] = {"name": name, "type": t}
-        if t == "record" or t == "error":
-            out["type"] = "record" if t == "record" else "error"
-            fields = []
-            for f in schema.get("fields", []):
-                fields.append({
-                    "name": f["name"],
-                    "type": _canon(f["type"],
-                                   name.rsplit(".", 1)[0] if "." in name else ns,
-                                   known),
-                })
-            out["fields"] = fields
-        elif t == "enum":
-            out["symbols"] = list(schema["symbols"])
-        elif t == "fixed":
-            out["size"] = int(schema["size"])
-        known.add(name)
-        return out
-    if isinstance(t, (dict, list)):
-        return _canon(t, namespace, known)
-    if isinstance(t, str):
-        # e.g. {"type": "some.Named", ...}
-        return _canon(t, namespace, known)
-    raise ValueError(f"unsupported avro schema: {schema!r}")
-
-
-def _order_keys(node: Any) -> Any:
-    if isinstance(node, dict):
-        return {k: _order_keys(node[k]) for k in _FIELD_ORDER if k in node}
-    if isinstance(node, list):
-        return [_order_keys(v) for v in node]
-    return node
+        name = obj.get("name", "")
+        explicit = obj.get("namespace")
+        if isinstance(explicit, str) and explicit:
+            resolved_ns = explicit
+        if isinstance(name, str) and "." not in name and resolved_ns:
+            obj["name"] = f"{resolved_ns}.{name}"
+    order = _KEY_ORDER.get(t) or tuple(sorted(obj))
+    parts = []
+    for key in order:
+        if key not in obj or key in _NON_CANONICAL:
+            continue
+        val = obj[key]
+        if key == "fields" and isinstance(val, list):
+            s = "[" + ",".join(
+                _canon_field(f, resolved_ns) for f in val
+                if isinstance(f, dict)) + "]"
+        elif key == "symbols" and isinstance(val, list):
+            s = "[" + ",".join(f'"{x}"' for x in val) + "]"
+        else:
+            s = _canon_value(val, resolved_ns)
+        if s:
+            parts.append(f'"{key}":{s}')
+    return "{" + ",".join(parts) + "}"
 
 
 def avro_canonical_form(schema_text: str) -> str:
-    """Avro Parsing Canonical Form of a schema document."""
-    schema = json.loads(schema_text)
-    canon = _order_keys(_canon(schema, None, set()))
-    return json.dumps(canon, separators=(",", ":"), ensure_ascii=False)
+    """Reference-parity canonical form (parser.go:141-312) — see the
+    module docstring for the deliberate deviations from strict PCF."""
+    try:
+        obj = json.loads(schema_text)
+    except ValueError:
+        return schema_text.strip()
+    return _canon_value(obj, "")
 
 
 def avro_fingerprint(schema_text: str) -> str:

@@ -211,6 +211,100 @@ def suggest_and_verify(schema_text: str, schema_type: str, level: str,
 # ValidateSchema / NormalizeSchema (analysis.go:19-86)
 # ---------------------------------------------------------------------------
 
+_JS_TYPES = {"null", "boolean", "object", "array", "number", "string",
+             "integer"}
+#: keyword → shape validator; mirrors the Draft-07 meta-schema checks the
+#: reference gets from compiling with santhosh-tekuri/jsonschema
+#: (jsonschema/parser.go:64-87) — wrong keyword SHAPES fail compilation
+#: (schema_registration_exhaustive 'invalid JSON schema returns 422')
+
+
+def json_schema_validate(doc) -> None:
+    """Raise ValueError when ``doc`` violates the Draft-07 meta-schema
+    in any of the ways the reference's compiler rejects."""
+    import re as _re
+
+    def err(msg: str):
+        raise ValueError(f"failed to compile JSON schema: {msg}")
+
+    def sub(node, where: str):
+        if isinstance(node, bool):
+            return
+        if not isinstance(node, dict):
+            err(f"{where}: schema must be object or boolean")
+        t = node.get("type")
+        if t is not None:
+            types = t if isinstance(t, list) else [t]
+            if not isinstance(t, (str, list)) \
+                    or any(x not in _JS_TYPES for x in types):
+                err(f"{where}: invalid type {t!r}")
+        for kw in ("properties", "patternProperties", "definitions",
+                   "$defs", "dependencies"):
+            v = node.get(kw)
+            if v is None:
+                continue
+            if not isinstance(v, dict):
+                err(f"{where}: {kw} must be an object")
+            for k, s in v.items():
+                if kw == "dependencies" and isinstance(s, list):
+                    continue
+                sub(s, f"{where}/{kw}/{k}")
+        req = node.get("required")
+        if req is not None and (
+                not isinstance(req, list)
+                or any(not isinstance(x, str) for x in req)):
+            err(f"{where}: required must be an array of strings")
+        enum = node.get("enum")
+        if enum is not None and not isinstance(enum, list):
+            err(f"{where}: enum must be an array")
+        for kw in ("allOf", "anyOf", "oneOf"):
+            v = node.get(kw)
+            if v is None:
+                continue
+            if not isinstance(v, list) or not v:
+                err(f"{where}: {kw} must be a non-empty array")
+            for i, s in enumerate(v):
+                sub(s, f"{where}/{kw}/{i}")
+        items = node.get("items")
+        if items is not None:
+            if isinstance(items, list):
+                for i, s in enumerate(items):
+                    sub(s, f"{where}/items/{i}")
+            else:
+                sub(items, f"{where}/items")
+        for kw in ("additionalProperties", "additionalItems", "not",
+                   "propertyNames", "contains", "if", "then", "else"):
+            if kw in node:
+                sub(node[kw], f"{where}/{kw}")
+        pattern = node.get("pattern")
+        if pattern is not None:
+            if not isinstance(pattern, str):
+                err(f"{where}: pattern must be a string")
+            try:
+                _re.compile(pattern)
+            except _re.error as exc:
+                err(f"{where}: invalid pattern: {exc}")
+        ref = node.get("$ref")
+        if ref is not None and not isinstance(ref, str):
+            err(f"{where}: $ref must be a string")
+        for kw in ("minLength", "maxLength", "minItems", "maxItems",
+                   "minProperties", "maxProperties"):
+            v = node.get(kw)
+            if v is not None and (not isinstance(v, int)
+                                  or isinstance(v, bool) or v < 0):
+                err(f"{where}: {kw} must be a non-negative integer")
+        for kw in ("minimum", "maximum", "exclusiveMinimum",
+                   "exclusiveMaximum", "multipleOf"):
+            v = node.get(kw)
+            if v is not None and (not isinstance(v, (int, float))
+                                  or isinstance(v, bool)):
+                err(f"{where}: {kw} must be a number")
+
+    if not isinstance(doc, (dict, bool)):
+        err("root must be object or boolean")
+    sub(doc, "#")
+
+
 def validate_and_normalize(schema_text: str,
                            schema_type: str) -> dict[str, Any]:
     """(is_valid, error, canonical, fingerprint) per schema language.
@@ -229,7 +323,9 @@ def validate_and_normalize(schema_text: str,
             avro_validate(schema_text)
             canonical = avro_canonical_form(schema_text)
         elif st == "JSON":
-            canonical = json.dumps(json.loads(schema_text), sort_keys=True,
+            doc = json.loads(schema_text)
+            json_schema_validate(doc)
+            canonical = json.dumps(doc, sort_keys=True,
                                    separators=(",", ":"),
                                    ensure_ascii=False)
         elif st == "PROTOBUF":

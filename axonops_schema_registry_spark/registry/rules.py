@@ -1,11 +1,14 @@
 """Data-contract ruleSet structural validation.
 
 The reference stores migration/domain/encoding rules per schema and
-validates them STRUCTURALLY at write time — kinds, modes, phase
-consistency, name uniqueness, expr presence — without evaluating the CEL
-expression (/root/reference/internal/rules/validator.go:49-99; rule model
-/root/reference/internal/storage/storage.go:76-96).  Same contract here:
-``validate_ruleset`` returns issue strings, empty = structurally valid.
+validates them STRUCTURALLY at write time — rule name presence, kinds,
+category-scoped modes, and onSuccess/onFailure actions — without
+evaluating the CEL expression (/root/reference/internal/rules/
+validator.go:51-99; rule model /root/reference/internal/storage/
+storage.go:76-96).  Same contract here: ``validate_ruleset`` returns
+issue strings, empty = structurally valid.  The reference deliberately
+does NOT require name uniqueness or a CONDITION expr (confirmed against
+ruleset_validation.feature), so neither do we.
 """
 
 from __future__ import annotations
@@ -13,14 +16,23 @@ from __future__ import annotations
 import json
 
 RULE_KINDS = {"CONDITION", "TRANSFORM"}
-RULE_MODES = {"UPGRADE", "DOWNGRADE", "UPDOWN", "WRITE", "READ", "WRITEREAD"}
 #: phase → modes allowed there (migration rules move between versions,
-#: domain/encoding rules run on the read/write path)
+#: domain/encoding rules run on the read/write path) — validator.go:17-25
 PHASE_MODES = {
     "migrationRules": {"UPGRADE", "DOWNGRADE", "UPDOWN"},
     "domainRules": {"WRITE", "READ", "WRITEREAD"},
     "encodingRules": {"WRITE", "READ", "WRITEREAD"},
 }
+RULE_MODES = set().union(*PHASE_MODES.values())
+#: onSuccess/onFailure actions; comma-separated pairs are allowed for
+#: dual-mode (WRITEREAD/UPDOWN) rules — validator.go:29-47
+RULE_ACTIONS = {"", "NONE", "DLQ", "ERROR"}
+
+
+def _valid_action(action: str) -> bool:
+    if action in RULE_ACTIONS:
+        return True
+    return all(p.strip() in RULE_ACTIONS for p in action.split(","))
 
 
 def validate_ruleset(ruleset_json: str) -> list[str]:
@@ -28,12 +40,16 @@ def validate_ruleset(ruleset_json: str) -> list[str]:
         rs = json.loads(ruleset_json)
     except Exception as exc:
         return [f"ruleset is not valid JSON: {exc}"]
+    return validate_ruleset_obj(rs)
+
+
+def validate_ruleset_obj(rs) -> list[str]:
+    """Validate an already-parsed ruleSet object (dict or None)."""
     if rs is None:
         return []
     if not isinstance(rs, dict):
         return ["ruleset must be an object"]
     issues: list[str] = []
-    seen_names: set[str] = set()
     for phase, allowed_modes in PHASE_MODES.items():
         rules = rs.get(phase, []) or []
         if not isinstance(rules, list):
@@ -44,21 +60,20 @@ def validate_ruleset(ruleset_json: str) -> list[str]:
             if not isinstance(rule, dict):
                 issues.append(f"{at}: rule must be an object")
                 continue
-            name = rule.get("name", "")
-            if not name:
-                issues.append(f"{at}: rule name is required")
-            elif name in seen_names:
-                issues.append(f"{at}: duplicate rule name '{name}'")
-            else:
-                seen_names.add(name)
+            name = str(rule.get("name") or "")
+            if not name.strip():
+                issues.append(f"{at}: name is required")
             kind = rule.get("kind", "")
             if kind not in RULE_KINDS:
-                issues.append(f"{at}: invalid kind '{kind}'")
+                issues.append(f"{at}: kind must be CONDITION or "
+                              f"TRANSFORM, got '{kind}'")
             mode = rule.get("mode", "")
-            if mode not in RULE_MODES:
-                issues.append(f"{at}: invalid mode '{mode}'")
-            elif mode not in allowed_modes:
-                issues.append(f"{at}: mode '{mode}' not allowed in {phase}")
-            if kind == "CONDITION" and not rule.get("expr"):
-                issues.append(f"{at}: CONDITION rule requires expr")
+            if mode not in allowed_modes:
+                issues.append(f"{at}: invalid mode '{mode}' for {phase}")
+            for field in ("onSuccess", "onFailure"):
+                action = str(rule.get(field) or "")
+                if not _valid_action(action):
+                    issues.append(
+                        f"{at}: {field} must be NONE, DLQ, or ERROR "
+                        f"(comma-separated for dual-mode), got '{action}'")
     return issues

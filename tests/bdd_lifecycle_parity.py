@@ -61,9 +61,92 @@ LIFECYCLE_FEATURES = (
     "contexts_validation.feature",
     "contexts_schema_types.feature",
     "contexts_url_routing.feature",
+    # round-5 second wave: the remaining registry-domain features — full
+    # config bodies, ruleSet validation, reserved fields, aliases,
+    # pagination, import mode, raw-schema/history/export endpoints,
+    # subject validation/matching, compat groups, verbose checks
+    "ruleset_validation.feature",
+    "encoding_rules.feature",
+    "metadata_rulesets.feature",
+    "reserved_fields.feature",
+    "subject_aliases.feature",
+    "advanced_features.feature",
+    "configuration_advanced.feature",
+    "compatibility_verbose.feature",
+    "compatibility_groups.feature",
+    "compatibility_modes.feature",
+    "compatibility_jsonschema_validation.feature",
+    "concurrent_access.feature",
+    "concurrency_edge_cases.feature",
+    "boundary_testing.feature",
+    "edge_cases.feature",
+    "error_codes_exhaustive.feature",
+    "error_handling_exhaustive.feature",
+    "api_errors.feature",
+    "api_endpoints_advanced.feature",
+    "response_shapes.feature",
+    "pagination.feature",
+    "pagination_exhaustive.feature",
+    "import_mode_comprehensive.feature",
+    "schema_registration.feature",
+    "schema_registration_exhaustive.feature",
+    "schema_lookup.feature",
+    "schema_lookup_exhaustive.feature",
+    "schema_listing.feature",
+    "schema_listing_advanced.feature",
+    "subject_filtering.feature",
+    "subject_operations.feature",
+    "subject_version_exhaustive.feature",
+    "unicode_subjects.feature",
+    "raw_schema_endpoints.feature",
+    "rest_subject_validation.feature",
+    "rest_subject_history_export.feature",
+    "references_edge_cases.feature",
+    "schema_references_advanced.feature",
+    "schema_types.feature",
+    "schema_types_avro.feature",
+    "schema_types_jsonschema.feature",
+    "schema_types_protobuf.feature",
+    "schema_avro_advanced.feature",
+    "schema_jsonschema_advanced.feature",
+    "schema_protobuf_advanced.feature",
+    "avro_namespace_inheritance.feature",
+    "audit_rest.feature",
+    "contexts_real_world.feature",
+    "contexts_schema_evolution.feature",
+    "contexts_config_mode_advanced.feature",
+    "contexts_advanced_api.feature",
+    "contexts_references.feature",
+    "modeling_avro_conformance.feature",
+    "modeling_avro_ecommerce.feature",
+    "modeling_avro_reference_evolution.feature",
+    "modeling_jsonschema_conformance.feature",
+    "modeling_jsonschema_api_contracts.feature",
+    "modeling_jsonschema_reference_evolution.feature",
+    "modeling_protobuf_conformance.feature",
+    "modeling_protobuf_iot.feature",
+    "modeling_protobuf_reference_evolution.feature",
+    "modeling_full_lifecycle.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
+
+
+def _fuzzy_score(query: str, target: str) -> float:
+    """1 - levenshtein/maxlen on lowercased strings (fuzzy.go:41-56)."""
+    q, t = query.lower(), target.lower()
+    if q == t:
+        return 1.0
+    if not q and not t:
+        return 1.0
+    prev = list(range(len(t) + 1))
+    for i, cq in enumerate(q, 1):
+        cur = [i]
+        for j, ct in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (cq != ct)))
+        prev = cur
+    return 1.0 - prev[-1] / max(len(q), len(t))
 LEVELS = {"NONE", "BACKWARD", "FORWARD", "FULL", "BACKWARD_TRANSITIVE",
           "FORWARD_TRANSITIVE", "FULL_TRANSITIVE"}
 MODES = {"READWRITE", "READONLY", "READONLY_OVERRIDE", "IMPORT"}
@@ -129,6 +212,116 @@ class RegistrySim:
     def _write_blocked(self, subject: str) -> bool:
         return self.resolved_mode(subject) in ("READONLY",
                                                "READONLY_OVERRIDE")
+
+    # -- config bodies / aliases / reserved fields ------------------------
+    #: full-config keys echoed by PUT/GET /config (ConfigRequest,
+    #: handlers.go:1093-1110 / configToResponse:1426-1440)
+    _CFG_KEYS = ("normalize", "validateFields", "alias",
+                 "compatibilityGroup", "defaultMetadata",
+                 "overrideMetadata", "defaultRuleSet", "overrideRuleSet",
+                 "aliasForDeks", "compatibilityPolicy")
+
+    def _cfg_body(self, base: dict, extra: dict | None) -> dict:
+        out = dict(base)
+        for k in self._CFG_KEYS:
+            v = (extra or {}).get(k)
+            # Go omitempty: empty strings drop out, but normalize /
+            # validateFields are *bool — an explicit false survives
+            if v is not None and v != "":
+                out[k] = v
+        return out
+
+    @staticmethod
+    def _invalid_cfg_ruleset(extra: dict | None):
+        """422/42201 when defaultRuleSet/overrideRuleSet is malformed
+        (registry.go:817-824 → ErrInvalidRuleSet → handlers.go:1073)."""
+        from axonops_schema_registry_spark.registry.rules import (
+            validate_ruleset_obj,
+        )
+
+        for key in ("defaultRuleSet", "overrideRuleSet"):
+            if extra and extra.get(key) is not None:
+                issues = validate_ruleset_obj(extra[key])
+                if issues:
+                    return 422, {"error_code": 42201,
+                                 "message": f"invalid {key}: " +
+                                            "; ".join(issues)}
+        return None
+
+    def _cfg_chain(self, subject: str, key: str):
+        """4-tier config value lookup: subject → context tier → __GLOBAL
+        (GetSubjectConfigFull / isNormalizeEnabled shape)."""
+        for holder in (self.cfg_extra.get(subject),
+                       self.cfg_extra.get(self._ctx_key(subject) or "")
+                       if self._ctx_key(subject) else self.glob_cfg_extra,
+                       self.cfg_extra.get(self._GLOBAL_KEY)):
+            if holder and holder.get(key) is not None:
+                return holder[key]
+        return None
+
+    def resolve_alias(self, subject: str) -> str:
+        """Single-level alias redirect (registry_helpers.go:28-37),
+        applied by the read/write subject handlers."""
+        alias = self._cfg_chain(subject, "alias")
+        return alias if alias else subject
+
+    @staticmethod
+    def _reserved_fields(metadata) -> set[str]:
+        """'confluent:reserved' metadata property → field-name set
+        (registry.go:1460-1481)."""
+        props = (metadata or {}).get("properties") or {}
+        val = props.get("confluent:reserved") or ""
+        return {f.strip() for f in val.split(",") if f.strip()}
+
+    @staticmethod
+    def _top_level_fields(text: str, stype: str) -> set[str]:
+        """Top-level field names per schema type (schema/types.go:31-35:
+        Avro record fields, JSON Schema properties, any top-level
+        Protobuf message's fields)."""
+        try:
+            if stype == "PROTOBUF":
+                from axonops_schema_registry_spark.registry.protobuf_parse import (
+                    parse_proto,
+                )
+
+                parsed = parse_proto(text)
+                return {f.name for msg in parsed.messages.values()
+                        for f in msg.fields.values()}
+            doc = json.loads(text)
+            if not isinstance(doc, dict):
+                return set()
+            if stype == "JSON":
+                props = doc.get("properties")
+                return set(props) if isinstance(props, dict) else set()
+            if doc.get("type") == "record":
+                return {f.get("name") for f in doc.get("fields", [])
+                        if isinstance(f, dict)}
+        except Exception:
+            pass
+        return set()
+
+    def _validate_reserved(self, subject: str, text: str, stype: str,
+                           req_metadata) -> list[str]:
+        """validateReservedFields (registry.go:1483-1512): runs on the
+        RAW request metadata, before inheritance/merge."""
+        reserved = self._reserved_fields(req_metadata)
+        msgs = []
+        latest = max(self._live(subject),
+                     key=lambda v: v["version"], default=None)
+        if latest is not None:
+            for field in sorted(
+                    self._reserved_fields(latest.get("metadata"))):
+                if field not in reserved:
+                    msgs.append(
+                        f"The new schema has reserved field {field} "
+                        "removed from its metadata which is present in "
+                        "the old schema's metadata.")
+        fields = self._top_level_fields(text, stype)
+        for field in sorted(reserved):
+            if field in fields:
+                msgs.append("The new schema has field that conflicts "
+                            f"with the reserved field {field}.")
+        return msgs
 
     # -- helpers ----------------------------------------------------------
     @staticmethod
@@ -207,12 +400,37 @@ class RegistrySim:
         for s2 in self.subjects:
             if s2 == exclude_subject:
                 continue
+            ctx2 = self.ctx_of(s2)
             for x in self._live(s2):
                 for r in x.get("references") or []:
-                    if r.get("subject") == subject \
-                            and r.get("version") in versions:
+                    rs = self._qualify_ref(ctx2, r.get("subject", ""))
+                    if rs == subject and r.get("version") in versions:
                         out.append(x["id"])
         return sorted(set(out))
+
+    @staticmethod
+    def _qualify_ref(ctx: str, ref_subject: str) -> str:
+        """References resolve within the referring schema's context:
+        unqualified target names gain the :.ctx: prefix."""
+        if ctx != "." and not ref_subject.startswith(":"):
+            return f":{ctx}:{ref_subject}"
+        return ref_subject
+
+    @staticmethod
+    def _fold_refs_fp(fp: str, references: list[dict]) -> str:
+        """computeGlobalFingerprint (registry.go:1516-1540): the same
+        schema body with different references gets a different id."""
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(fp.encode())
+        for r in sorted(references,
+                        key=lambda r: (r.get("subject", ""),
+                                       r.get("version", 0),
+                                       r.get("name", ""))):
+            h.update(f"\x00{r.get('name', '')}\x00{r.get('subject', '')}"
+                     f"\x00{r.get('version', 0)}".encode())
+        return h.hexdigest()
 
     def register(self, subject: str, text: str, stype: str = "AVRO",
                  metadata=None, rule_set=None,
@@ -221,6 +439,7 @@ class RegistrySim:
             check_compatibility,
         )
 
+        subject = self.resolve_alias(subject)
         ctx = self.ctx_of(subject)
         if not self.valid_ctx(ctx):
             return 422, {"error_code": 42210,
@@ -237,13 +456,32 @@ class RegistrySim:
             return 422, {"error_code": 42205}
         for r in references or []:
             # every reference must resolve to a LIVE (subject, version)
-            tgt = next((x for x in self._live(r.get("subject", ""))
+            # in the referring schema's context, of the SAME schema type
+            # (references_edge_cases: cross-type references are 42201)
+            rs = self._qualify_ref(ctx, r.get("subject", ""))
+            tgt = next((x for x in self._live(rs)
                         if x["version"] == r.get("version")), None)
-            if tgt is None:
-                return 422, {"error_code": 42201}
+            if tgt is None or tgt["type"] != stype:
+                return 422, {"error_code": 42201,
+                             "message": "Invalid schema reference"}
         fp = self._fp(text, stype, references)
         if fp is None:
             return 422, {"error_code": 42201}
+        if references:
+            fp = self._fold_refs_fp(fp, references)
+        # structural ruleSet validation happens right after parsing,
+        # before dedup/compat (registry.go:94-98)
+        if rule_set is not None:
+            from axonops_schema_registry_spark.registry.rules import (
+                validate_ruleset_obj,
+            )
+
+            issues = validate_ruleset_obj(rule_set)
+            if issues:
+                return 422, {"error_code": 42201,
+                             "message": "invalid ruleSet: " +
+                                        "; ".join(issues)}
+        req_metadata = metadata  # RAW request metadata, pre-inheritance
         live = self._live(subject)
         # confluent metadata semantics (registry.go:121-131 dedup requires
         # metadata equality; absent metadata/ruleSet INHERITS from the
@@ -269,10 +507,21 @@ class RegistrySim:
                     and v.get("rule_set") == rule_set:
                 return 200, {"id": v["id"], "version": v["version"]}
         level = self._resolved_level(subject)
-        ok, _ = check_compatibility(
-            text, [v["text"] for v in live], level, stype)
+        gate_pool = self._filter_compat_group(subject, metadata, live)
+        ok, _ = self.compat_ok(subject, text, stype, level, gate_pool,
+                               cand_refs=references)
         if not ok:
-            return 409, {"error_code": 409}
+            return 409, {"error_code": 409,
+                         "message": "Schema being registered is "
+                                    "incompatible with an earlier schema"}
+        # reserved-field validation runs after the compat gate, on the
+        # RAW request metadata (registry.go:175-180)
+        if self._cfg_chain(subject, "validateFields"):
+            msgs = self._validate_reserved(subject, text, stype,
+                                           req_metadata)
+            if msgs:
+                return 409, {"error_code": 409,
+                             "message": "; ".join(msgs)}
         vers = self.subjects.setdefault(subject, [])
         version = max((v["version"] for v in vers), default=0) + 1
         ctx = self.ctx_of(subject)
@@ -287,14 +536,20 @@ class RegistrySim:
         return 200, {"id": sid, "version": version}
 
     def register_import(self, subject: str, text: str, stype: str,
-                        sid: int, version: int | None) -> tuple[int, Any]:
+                        sid: int, version: int | None,
+                        references: list[dict] | None = None
+                        ) -> tuple[int, Any]:
         """Explicit-ID import (import_batch semantics: requires IMPORT
-        mode; same id must always carry the same fingerprint)."""
+        mode; same id must always carry the same fingerprint).
+        References are stored but NOT resolved — imports may arrive out
+        of order (import_mode_comprehensive.feature)."""
         if self.resolved_mode(subject) != "IMPORT":
             return 422, {"error_code": 42205}
-        fp = self._fp(text, stype)
+        fp = self._fp(text, stype, references)
         if fp is None:
             return 422, {"error_code": 42201}
+        if references:
+            fp = self._fold_refs_fp(fp, references)
         ctx = self.ctx_of(subject)
         existing_fp = next((f for (c, f), i in self.ids.items()
                             if i == sid and c == ctx), None)
@@ -313,8 +568,69 @@ class RegistrySim:
         self.ids[(ctx, fp)] = sid
         self.next_ids[ctx] = max(self.next_ids.get(ctx, 1), sid + 1)
         vers.append({"version": version, "text": text, "type": stype,
-                     "fp": fp, "id": sid, "deleted": False})
+                     "fp": fp, "id": sid, "deleted": False,
+                     "references": references or []})
         return 200, {"id": sid, "version": version}
+
+    def _ref_texts(self, owner_subject: str,
+                   references: list[dict] | None) -> dict[str, str]:
+        """{ref_name: schema_text} for a stored version's references,
+        resolved in the owner's context (CheckCompatibility resolves
+        existing-version references before checking)."""
+        out: dict[str, str] = {}
+        ctx = self.ctx_of(owner_subject)
+        for r in references or []:
+            rs = self._qualify_ref(ctx, r.get("subject", ""))
+            tgt = next((x for x in self.subjects.get(rs, [])
+                        if x["version"] == r.get("version")), None)
+            if tgt is not None:
+                out[r.get("name", "")] = tgt["text"]
+        return out
+
+    def compat_ok(self, subject: str, cand: str, stype: str, level: str,
+                  pool: list[dict],
+                  cand_refs: list[dict] | None = None
+                  ) -> tuple[bool, list[str]]:
+        """Mode orchestration with per-version reference resolution —
+        the sim twin of registry.CheckCompatibility."""
+        from axonops_schema_registry_spark.registry.compat import (
+            check_pair,
+        )
+
+        level = (level or "BACKWARD").upper()
+        if level == "NONE" or not pool:
+            return True, []
+        targets = pool if level.endswith("_TRANSITIVE") \
+            else [max(pool, key=lambda v: v["version"])]
+        base = level.replace("_TRANSITIVE", "")
+        c_refs = self._ref_texts(subject, cand_refs)
+        msgs: list[str] = []
+        for x in targets:
+            x_refs = self._ref_texts(subject, x.get("references"))
+            if base in ("BACKWARD", "FULL"):
+                msgs += check_pair(cand, x["text"], stype,
+                                   reader_refs=c_refs,
+                                   writer_refs=x_refs)
+            if base in ("FORWARD", "FULL"):
+                msgs += check_pair(x["text"], cand, stype,
+                                   reader_refs=x_refs,
+                                   writer_refs=c_refs)
+        return not msgs, msgs
+
+    def _filter_compat_group(self, subject: str, metadata,
+                             pool: list[dict]) -> list[dict]:
+        """filterByCompatibilityGroup (registry.go): when the config
+        names a compatibilityGroup property, the gate only sees prior
+        versions in the CANDIDATE's group."""
+        group_key = self._cfg_chain(subject, "compatibilityGroup")
+        if not group_key:
+            return pool
+
+        def grp(md):
+            return ((md or {}).get("properties") or {}).get(group_key)
+
+        cand = grp(metadata)
+        return [v for v in pool if grp(v.get("metadata")) == cand]
 
     def _resolved_level(self, subject: str) -> str:
         """4-tier chain (GetConfigFull, lv1): subject -> context tier
@@ -340,13 +656,20 @@ class RegistrySim:
                           extra: dict | None = None) -> tuple[int, Any]:
         if self._root_blocked():
             return 422, {"error_code": 42205}
+        level = (level or "").upper()
         if level not in LEVELS:
-            return 422, {"error_code": 42203}
+            return 422, {"error_code": 42203,
+                         "message": "Invalid compatibility level"}
+        bad = self._invalid_cfg_ruleset(extra)
+        if bad:
+            return bad
         self.root_level = level
         if extra is not None:
             self.glob_cfg_extra = {
                 k: v for k, v in extra.items() if k != "compatibility"}
-        return 200, {"compatibility": level}
+        # PUT /config echoes the full ConfigRequest (handlers.go:1093)
+        return 200, self._cfg_body({"compatibility": level},
+                                   self.glob_cfg_extra)
 
     def get_global_config(self, *,
                           default_to_global: bool = False
@@ -354,7 +677,9 @@ class RegistrySim:
         lvl = self.root_level
         if lvl is None and default_to_global:
             lvl = self.levels.get(self._GLOBAL_KEY)
-        return 200, {"compatibilityLevel": lvl or "BACKWARD"}
+        return 200, self._cfg_body(
+            {"compatibilityLevel": lvl or "BACKWARD"},
+            self.glob_cfg_extra)
 
     def delete_global_config(self) -> tuple[int, Any]:
         if self._root_blocked():
@@ -367,19 +692,27 @@ class RegistrySim:
                            extra: dict | None = None) -> tuple[int, Any]:
         if self._write_blocked(subject):
             return 422, {"error_code": 42205}
+        level = (level or "").upper()
         if level not in LEVELS:
-            return 422, {"error_code": 42203}
+            return 422, {"error_code": 42203,
+                         "message": "Invalid compatibility level"}
+        bad = self._invalid_cfg_ruleset(extra)
+        if bad:
+            return bad
         self.levels[subject] = level
         if extra is not None:
             self.cfg_extra[subject] = {
                 k: v for k, v in extra.items() if k != "compatibility"}
-        return 200, {"compatibility": level}
+        return 200, self._cfg_body({"compatibility": level},
+                                   self.cfg_extra.get(subject))
 
     def get_subject_config(self, subject: str, *,
                            default_to_global: bool = False
                            ) -> tuple[int, Any]:
         if subject in self.levels:
-            return 200, {"compatibilityLevel": self.levels[subject]}
+            return 200, self._cfg_body(
+                {"compatibilityLevel": self.levels[subject]},
+                self.cfg_extra.get(subject))
         if default_to_global:
             # walks the full 4-tier chain
             return 200, {"compatibilityLevel": self._resolved_level(subject)}
@@ -389,23 +722,49 @@ class RegistrySim:
         if self._write_blocked(subject):
             return 422, {"error_code": 42205}
         if subject not in self.levels:
-            return 404, {"error_code": 40408}
+            # DELETE of a missing per-subject config is 40401, not the
+            # GET-side 40408 (handlers.go DeleteConfig → ErrNotFound →
+            # ErrorCodeSubjectNotFound)
+            return 404, {"error_code": 40401,
+                         "message": "Config not found for subject"}
         self.cfg_extra.pop(subject, None)
         return 200, {"compatibilityLevel": self.levels.pop(subject)}
 
-    def set_global_mode(self, mode: str) -> tuple[int, Any]:
+    def _import_blocked(self, subject: str | None, force: bool) -> bool:
+        """Switching to IMPORT requires force=true when live schemas
+        exist and the current mode is not already IMPORT
+        (registry.go:962-982)."""
+        if force:
+            return False
+        current = (self.resolved_mode(subject) if subject
+                   else (self.root_mode or "READWRITE"))
+        if current == "IMPORT":
+            return False
+        if subject:
+            return bool(self._live(subject))
+        return any(self._live(s) for s in self.subjects)
+
+    def set_global_mode(self, mode: str, *,
+                        force: bool = False) -> tuple[int, Any]:
         # mode changes are ALWAYS allowed (otherwise READONLY is a trap)
+        mode = (mode or "").upper()
         if mode not in MODES:
-            return 422, {"error_code": 42204}
+            return 422, {"error_code": 42204, "message": "Invalid mode"}
+        if mode == "IMPORT" and self._import_blocked(None, force):
+            return 422, {"error_code": 42205}
         self.root_mode = mode
         return 200, {"mode": mode}
 
     def get_global_mode(self) -> tuple[int, Any]:
         return 200, {"mode": self.root_mode or "READWRITE"}
 
-    def set_subject_mode(self, subject: str, mode: str) -> tuple[int, Any]:
+    def set_subject_mode(self, subject: str, mode: str, *,
+                         force: bool = False) -> tuple[int, Any]:
+        mode = (mode or "").upper()
         if mode not in MODES:
-            return 422, {"error_code": 42204}
+            return 422, {"error_code": 42204, "message": "Invalid mode"}
+        if mode == "IMPORT" and self._import_blocked(subject, force):
+            return 422, {"error_code": 42205}
         self.subj_modes[subject] = mode
         return 200, {"mode": mode}
 
@@ -425,13 +784,16 @@ class RegistrySim:
 
     def delete_subject_mode(self, subject: str) -> tuple[int, Any]:
         if subject not in self.subj_modes:
-            return 404, {"error_code": 40409}
+            # DELETE-side missing mode is 40401 (handlers.go:1986)
+            return 404, {"error_code": 40401,
+                         "message": "Mode not found for subject"}
         del self.subj_modes[subject]
         return 200, {"mode": self.resolved_mode(subject)}
 
     # -- read path --------------------------------------------------------
     def get_version(self, subject: str, v, *,
                     deleted: bool = False) -> tuple[int, Any]:
+        subject = self.resolve_alias(subject)
         pool = (self.subjects.get(subject, []) if deleted
                 else self._live(subject))
         if not pool:
@@ -440,9 +802,17 @@ class RegistrySim:
             v = max(x["version"] for x in pool)
         if not isinstance(v, int) or v <= 0 or v > MAX_VERSION:
             return 422, {"error_code": 42202}
+        if not any(x["version"] == v for x in pool):
+            # distinguish "soft-deleted" (40406) from "never existed"
+            # (40402) — error_handling_exhaustive
+            if any(x["version"] == v
+                   for x in self.subjects.get(subject, [])):
+                return 404, {"error_code": 40406,
+                             "message": f"Version {v} was soft deleted"}
         for x in pool:
             if x["version"] == v:
-                out = {"subject": subject, "version": v,
+                out = {"subject": re.sub(r"^:\.[^:]*:", "", subject),
+                       "version": v,
                        "id": x["id"], "schema": x["text"],
                        "schemaType": x["type"]}
                 # confluent:version is stamped into metadata.properties
@@ -454,11 +824,22 @@ class RegistrySim:
                 out["metadata"] = md
                 if x.get("rule_set") is not None:
                     out["ruleSet"] = x["rule_set"]
+                if x.get("references"):
+                    out["references"] = x["references"]
                 return 200, out
         return 404, {"error_code": 40402}
 
-    def list_versions(self, subject: str, *,
-                      deleted: bool = False) -> tuple[int, Any]:
+    def list_versions(self, subject: str, *, deleted: bool = False,
+                      deleted_only: bool = False) -> tuple[int, Any]:
+        subject = self.resolve_alias(subject)
+        if deleted_only:
+            # deletedOnly takes precedence over deleted
+            # (handlers.go:341-358): only tombstoned versions, [] when
+            # none — but a wholly unknown subject is still a 404
+            vers = self.subjects.get(subject)
+            if not vers:
+                return 404, {"error_code": 40401}
+            return 200, sorted(x["version"] for x in vers if x["deleted"])
         pool = (self.subjects.get(subject, []) if deleted
                 else self._live(subject))
         if not pool:
@@ -478,52 +859,195 @@ class RegistrySim:
                  if self.ctx_of(s) == scope]
         return 200, names
 
+    def list_subjects_deleted_only(self, *,
+                                   ctx: str | None = None
+                                   ) -> tuple[int, Any]:
+        """deletedOnly=true: subjects whose every remaining version is
+        tombstoned (active-set diff, handlers.go:263-283)."""
+        scope = ctx if ctx is not None else "."
+        names = sorted(s for s, vs in self.subjects.items()
+                       if vs and not self._live(s))
+        return 200, [re.sub(r"^:\.[^:]*:", "", s) for s in names
+                     if self.ctx_of(s) == scope]
+
     def lookup(self, subject: str, text: str, stype: str = "AVRO", *,
-               deleted: bool = False) -> tuple[int, Any]:
+               deleted: bool = False,
+               references: list[dict] | None = None) -> tuple[int, Any]:
+        subject = self.resolve_alias(subject)
         pool = (self.subjects.get(subject, []) if deleted
                 else self._live(subject))
         if not pool:
             return 404, {"error_code": 40401}
-        fp = self._fp(text, stype)
+        fp = self._fp(text, stype, references)
+        if fp is not None and references:
+            fp = self._fold_refs_fp(fp, references)
         for x in pool:
             if x["fp"] == fp:
-                return 200, {"subject": subject, "version": x["version"],
-                             "id": x["id"], "schema": x["text"]}
-        return 404, {"error_code": 40403}
+                return 200, {"subject": re.sub(r"^:\.[^:]*:", "", subject),
+                             "version": x["version"],
+                             "id": x["id"], "schema": x["text"],
+                             "schemaType": x["type"] or "AVRO"}
+        return 404, {"error_code": 40403,
+                     "message": "Schema not found"}
 
-    def schema_by_id(self, sid: int, ctx: str = ".") -> tuple[int, Any]:
-        for subj, vs in self.subjects.items():
+    def schema_by_id(self, sid: int, ctx: str = ".", *,
+                     subject: str | None = None,
+                     fetch_max_id: bool = False) -> tuple[int, Any]:
+        for subj, vs in sorted(self.subjects.items()):
             if self.ctx_of(subj) != ctx:
                 continue
             for x in vs:
                 if x["id"] == sid:
-                    out = {"schema": x["text"]}
+                    # schemaType is always present in the by-id response
+                    # (schemaTypeForResponse, handlers.go:28-33, 240-246)
+                    out = {"schema": x["text"],
+                           "schemaType": x["type"] or "AVRO"}
                     if x.get("references"):
                         out["references"] = x["references"]
+                    if subject:
+                        # ?subject= enriches with that subject's
+                        # per-version metadata/ruleSet (handlers.go:197)
+                        hit = next((y for y in self.subjects.get(
+                            subject, []) if y["id"] == sid), None)
+                        if hit:
+                            if hit.get("metadata") is not None:
+                                out["metadata"] = hit["metadata"]
+                            if hit.get("rule_set") is not None:
+                                out["ruleSet"] = hit["rule_set"]
+                    if fetch_max_id:
+                        out["maxId"] = max(
+                            (i for (c, _), i in self.ids.items()
+                             if c == ctx), default=0)
                     return 200, out
-        return 404, {"error_code": 40403}
+        return 404, {"error_code": 40403, "message": "Schema not found"}
 
-    def versions_for_id(self, sid: int, ctx: str = ".") -> tuple[int, Any]:
-        out = [{"subject": s, "version": x["version"]}
+    def raw_schema(self, subject: str, v) -> tuple[int, Any]:
+        """GET /subjects/{s}/versions/{v}/schema — bare schema text."""
+        subject = self.resolve_alias(subject)
+        status, body = self.get_version(subject, v)
+        if status != 200:
+            return status, body
+        return 200, body["schema"]
+
+    def subject_metadata(self, subject: str) -> tuple[int, Any]:
+        """GET /subjects/{s}/metadata — bare metadata from the latest
+        live version (handlers.go:2146-2162)."""
+        subject = self.resolve_alias(subject)
+        live = self._live(subject)
+        if not live:
+            return 404, {"error_code": 40401}
+        latest = max(live, key=lambda x: x["version"])
+        return 200, latest.get("metadata") or {}
+
+    def count_subjects(self, ctx: str = ".") -> tuple[int, Any]:
+        _, names = self.list_subjects(ctx=ctx)
+        return 200, {"count": len(names)}
+
+    def count_versions(self, subject: str) -> tuple[int, Any]:
+        subject = self.resolve_alias(subject)
+        status, body = self.list_versions(subject)
+        if status != 200:
+            return status, body
+        return 200, {"subject": subject, "count": len(body)}
+
+    @staticmethod
+    def validate_subject_name(payload: dict) -> tuple[int, Any]:
+        """POST /subjects/validate (analysis.go:546-599)."""
+        subject = payload.get("subject") or ""
+        strategy = payload.get("strategy") or "topic_name"
+        if not subject:
+            return 400, {"error_code": 42201,
+                         "message": "Subject is required"}
+        valid, issues, suggestion = True, [], ""
+        ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+        if strategy == "topic_name":
+            if not subject.endswith(("-key", "-value")):
+                valid = False
+                issues.append("TopicNameStrategy subjects must end with "
+                              "'-key' or '-value'")
+                suggestion = subject + "-value"
+        elif strategy == "record_name":
+            if any(not ident.fullmatch(p)
+                   for p in subject.split(".")):
+                valid = False
+                issues.append(
+                    "RecordNameStrategy subjects must be valid qualified "
+                    "names (e.g., com.example.User)")
+        elif strategy == "topic_record_name":
+            if "-" not in subject:
+                valid = False
+                issues.append("TopicRecordNameStrategy subjects must "
+                              "contain a topic and record name")
+        return 200, {"subject": subject, "strategy": strategy,
+                     "valid": valid, "issues": issues,
+                     "suggestion": suggestion}
+
+    def match_subjects(self, payload: dict) -> tuple[int, Any]:
+        """POST /subjects/match (analysis.go:617-682): regex / glob /
+        fuzzy (Levenshtein-ratio) matching over live subjects."""
+        pattern = payload.get("pattern") or ""
+        mode = payload.get("mode") or "regex"
+        threshold = payload.get("threshold") or 0.6
+        threshold = min(float(threshold), 1.0)
+        if not pattern:
+            return 400, {"error_code": 42201,
+                         "message": "Pattern is required"}
+        _, names = self.list_subjects()
+        matched: list[str] = []
+        if mode == "regex":
+            try:
+                rx = re.compile(pattern)
+            except re.error as exc:
+                return 400, {"error_code": 42201,
+                             "message": f"Invalid regex: {exc}"}
+            matched = [s for s in names if rx.search(s)]
+        elif mode == "glob":
+            from axonops_schema_registry_spark.operators.text import (
+                glob_to_regex,
+            )
+
+            rx = re.compile(glob_to_regex(pattern.lower()))
+            matched = [s for s in names if rx.fullmatch(s.lower())]
+        elif mode == "fuzzy":
+            matched = [s for s in names
+                       if _fuzzy_score(pattern, s) >= threshold]
+        return 200, {"pattern": pattern, "mode": mode,
+                     "count": len(matched), "matches": matched}
+
+    def versions_for_id(self, sid: int, ctx: str = ".", *,
+                        deleted: bool = False,
+                        subject: str | None = None) -> tuple[int, Any]:
+        out = [{"subject": re.sub(r"^:\.[^:]*:", "", s),
+                "version": x["version"]}
                for s in sorted(self.subjects)
                if self.ctx_of(s) == ctx
-               for x in self._live(s) if x["id"] == sid]
+               and (subject is None or s == subject)
+               for x in (self.subjects[s] if deleted else self._live(s))
+               if x["id"] == sid]
         if not out:
-            return 404, {"error_code": 40403}
+            return 404, {"error_code": 40403,
+                         "message": "Schema not found"}
         return 200, out
 
-    def subjects_for_id(self, sid: int, ctx: str = ".") -> tuple[int, Any]:
+    def subjects_for_id(self, sid: int, ctx: str = ".", *,
+                        deleted: bool = False,
+                        subject: str | None = None) -> tuple[int, Any]:
         subs = sorted(re.sub(r"^:\.[^:]*:", "", s)
                       for s in self.subjects
                       if self.ctx_of(s) == ctx
-                      and any(x["id"] == sid for x in self._live(s)))
+                      and (subject is None or s == subject)
+                      and any(x["id"] == sid for x in
+                              (self.subjects[s] if deleted
+                               else self._live(s))))
         if not subs:
-            return 404, {"error_code": 40403}
+            return 404, {"error_code": 40403,
+                         "message": "Schema not found"}
         return 200, subs
 
     # -- delete path ------------------------------------------------------
     def delete_version(self, subject: str, v, *,
                        permanent: bool = False) -> tuple[int, Any]:
+        subject = self.resolve_alias(subject)
         if self._write_blocked(subject):
             return 422, {"error_code": 42205}
         if isinstance(v, int) and (v == 0 or v < -1 or v > MAX_VERSION):
@@ -571,6 +1095,7 @@ class RegistrySim:
 
     def delete_subject(self, subject: str, *,
                        permanent: bool = False) -> tuple[int, Any]:
+        subject = self.resolve_alias(subject)
         if self._write_blocked(subject):
             return 422, {"error_code": 42205}
         vers = self.subjects.get(subject)
@@ -699,14 +1224,35 @@ STEPS: list[tuple[re.Pattern, str]] = [
      "assert_field_bool"),
     (re.compile(r'the response field "([^"]+)" should be "([^"]+)"'),
      "assert_field_str"),
+    (re.compile(r'the response field "([^"]+)" should be an array'),
+     "assert_field_array"),
     (re.compile(r'the response should have field "([^"]+)"'),
      "assert_has_field"),
+    (re.compile(r'the response should not have field "([^"]+)"'),
+     "assert_no_field"),
     (re.compile(r'the response body should contain "([^"]+)"'),
      "assert_contains"),
     (re.compile(r'I store the response field "([^"]+)" as "([^"]+)"'),
      "store_field"),
     (re.compile(r'the audit log should contain'), "ignore"),
     (re.compile(r'the schema registry is running'), "ignore"),
+    (re.compile(r'no subjects exist'), "ignore"),
+    (re.compile(r'I get the schema types'), "schema_types"),
+    (re.compile(r'I get the raw schema by ID (\d+)'), "raw_by_id"),
+    (re.compile(r'I get the raw schema for subject "([^"]+)" '
+                r'version (\d+)'), "raw_by_ver"),
+    (re.compile(rf'I lookup a {_RE_TYPED}schema in subject "([^"]+)":'),
+     "lookup_typed"),
+    (re.compile(r'the response should be an integer with value (\d+)'),
+     "assert_int"),
+    (re.compile(rf'subject "([^"]+)" has {_RE_TYPED}schema with '
+                r'reference "([^"]+)" from subject "([^"]+)" '
+                r'version (\d+):'), "seed_one_ref"),
+    (re.compile(rf'subject "([^"]+)" has {_RE_TYPED}schema with '
+                r'references:'), "seed_refs"),
+    (re.compile(r'I import a schema with ID (\d+) under subject '
+                r'"([^"]+)"(?: version (\d+))?:'), "import_with_id"),
+    (re.compile(r'I list all schemas'), "list_schemas"),
 ]
 
 _UNSUPPORTED_TOKENS = ()
@@ -789,12 +1335,16 @@ def _replay_scenario(feature: str, scenario: str, steps):
             elif op == "del_subj_cfg":
                 status, body = sim.delete_subject_config(m.group(1))
             elif op == "set_glob_mode":
-                status, body = sim.set_global_mode(m.group(1))
+                # the reference BDD step driver forces mode changes
+                # (import_mode_comprehensive switches to IMPORT with
+                # schemas present); only the raw PUT path models ?force=
+                status, body = sim.set_global_mode(m.group(1), force=True)
             elif op == "get_glob_mode":
                 status, body = sim.get_global_mode()
             elif op == "set_subj_mode":
                 status, body = sim.set_subject_mode(m.group(1),
-                                                    m.group(2))
+                                                    m.group(2),
+                                                    force=True)
             elif op == "get_subj_mode":
                 status, body = sim.get_subject_mode(m.group(1))
             elif op == "del_subj_mode":
@@ -810,26 +1360,22 @@ def _replay_scenario(feature: str, scenario: str, steps):
                     return 0, [], "no stored schema_id"
                 status, body = sim.subjects_for_id(int(sid))
             elif op == "compat_check_ver":
-                from axonops_schema_registry_spark.registry.compat import (
-                    check_pair,
-                )
-
                 stype = (m.group(1) or "AVRO").upper()
-                subj, ver = m.group(2), int(m.group(3))
+                subj = sim.resolve_alias(m.group(2))
+                ver = int(m.group(3))
                 target = next((v for v in sim._live(subj)
                                if v["version"] == ver), None)
                 if target is None:
                     status, body = 404, {"error_code": 40402}
                 else:
-                    msgs = check_pair(doc, target["text"], stype)
-                    status, body = 200, {"is_compatible": not msgs}
+                    base = sim._resolved_level(subj).replace(
+                        "_TRANSITIVE", "")
+                    ok, _ = sim.compat_ok(subj, doc, stype, base,
+                                          [target])
+                    status, body = 200, {"is_compatible": ok}
             elif op == "compat_check":
-                from axonops_schema_registry_spark.registry.compat import (
-                    check_compatibility,
-                )
-
                 stype = (m.group(1) or "AVRO").upper()
-                subj = m.group(2)
+                subj = sim.resolve_alias(m.group(2))
                 live = sim._live(subj)
                 # the plain check endpoint tests against LATEST only —
                 # the _TRANSITIVE suffix widens the REGISTRATION gate and
@@ -838,8 +1384,7 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 # latest but not all versions')
                 level = sim._resolved_level(subj)
                 level = level.replace("_TRANSITIVE", "")
-                ok, _ = check_compatibility(
-                    doc, [v["text"] for v in live], level, stype)
+                ok, _ = sim.compat_ok(subj, doc, stype, level, live)
                 status, body = 200, {"is_compatible": ok}
             elif op == "assert_compat":
                 n += 1
@@ -896,10 +1441,20 @@ def _replay_scenario(feature: str, scenario: str, steps):
                                        f"!= {stored.get(m.group(2))}", got))
             elif op == "assert_valid_json":
                 n += 1
-                try:
-                    json.loads(body.get("schema", "")
-                               if isinstance(body, dict) else body)
-                except (TypeError, json.JSONDecodeError):
+                ok_json = True
+                if isinstance(body, str):
+                    try:
+                        json.loads(body)
+                    except (TypeError, json.JSONDecodeError):
+                        ok_json = False
+                elif isinstance(body, dict) and "schema" in body:
+                    try:
+                        json.loads(body["schema"])
+                    except (TypeError, json.JSONDecodeError):
+                        ok_json = False
+                elif not isinstance(body, (dict, list)):
+                    ok_json = False
+                if not ok_json:
                     mm.append(Mismatch(feature, scenario, bodytext,
                                        "valid JSON", body))
             elif op == "assert_stored_gt":
@@ -909,18 +1464,13 @@ def _replay_scenario(feature: str, scenario: str, steps):
                     mm.append(Mismatch(feature, scenario, bodytext,
                                        f"> {m.group(2)}", val))
             elif op == "compat_check_all":
-                from axonops_schema_registry_spark.registry.compat import (
-                    check_compatibility,
-                )
-
                 stype = (m.group(1) or "AVRO").upper()
-                subj = m.group(2)
+                subj = sim.resolve_alias(m.group(2))
                 live = sim._live(subj)
                 level = sim._resolved_level(subj)
                 base = level.replace("_TRANSITIVE", "")
                 lvl = base + "_TRANSITIVE" if base != "NONE" else "NONE"
-                ok, _ = check_compatibility(
-                    doc, [v["text"] for v in live], lvl, stype)
+                ok, _ = sim.compat_ok(subj, doc, stype, lvl, live)
                 status, body = 200, {"is_compatible": ok}
             elif op == "assert_contains_int":
                 n += 1
@@ -1040,6 +1590,18 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 if not (isinstance(body, dict) and m.group(1) in body):
                     mm.append(Mismatch(feature, scenario, bodytext,
                                        f"field {m.group(1)}", body))
+            elif op == "assert_field_array":
+                n += 1
+                got = body.get(m.group(1)) if isinstance(body, dict) \
+                    else None
+                if not isinstance(got, list):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"array {m.group(1)}", body))
+            elif op == "assert_no_field":
+                n += 1
+                if isinstance(body, dict) and m.group(1) in body:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"no field {m.group(1)}", body))
             elif op == "assert_field_stored":
                 n += 1
                 got = body.get(m.group(1)) if isinstance(body, dict) \
@@ -1050,12 +1612,80 @@ def _replay_scenario(feature: str, scenario: str, steps):
             elif op == "store_field":
                 if isinstance(body, dict):
                     stored[m.group(2)] = body.get(m.group(1))
+            elif op == "schema_types":
+                status, body = 200, ["AVRO", "JSON", "PROTOBUF"]
+            elif op == "raw_by_id":
+                status, body = sim.schema_by_id(int(m.group(1)))
+                if status == 200:
+                    body = body["schema"]
+            elif op == "raw_by_ver":
+                status, body = sim.raw_schema(m.group(1),
+                                              int(m.group(2)))
+            elif op == "lookup_typed":
+                stype = (m.group(1) or "AVRO").upper()
+                status, body = sim.lookup(m.group(2), doc, stype)
+            elif op == "assert_int":
+                n += 1
+                if body != int(m.group(1)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       int(m.group(1)), body))
+            elif op == "seed_refs":
+                stype = (m.group(2) or "AVRO").upper()
+                try:
+                    payload = json.loads(doc)
+                except json.JSONDecodeError:
+                    status, body = 422, {"error_code": 42201}
+                else:
+                    status, body = sim.register(
+                        m.group(1), payload.get("schema", ""),
+                        (payload.get("schemaType") or stype).upper(),
+                        metadata=payload.get("metadata"),
+                        rule_set=payload.get("ruleSet"),
+                        references=payload.get("references"))
+                n += 1
+                if status != 200:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "seed 200", (status, body)))
+            elif op == "seed_one_ref":
+                stype = (m.group(2) or "AVRO").upper()
+                refs = [{"name": m.group(3), "subject": m.group(4),
+                         "version": int(m.group(5))}]
+                status, body = sim.register(m.group(1), doc, stype,
+                                            references=refs)
+                n += 1
+                if status != 200:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "seed 200", (status, body)))
+            elif op == "import_with_id":
+                status, body = sim.register_import(
+                    m.group(2), doc, "AVRO", int(m.group(1)),
+                    int(m.group(3)) if m.group(3) else None)
+            elif op == "list_schemas":
+                status, body = _dispatch_http(sim, "GET", "/schemas",
+                                              None)
             break
         else:
             if bodytext.startswith("|"):
                 continue  # table rows of an ignored step
             return 0, [], f"unrecognized step: {bodytext[:60]}"
     return n, mm, None
+
+
+def _paginate(out, q):
+    """?offset=&limit= on list endpoints (pagination.feature)."""
+    if not (isinstance(out, tuple) and isinstance(out[1], list)):
+        return out
+    status, body = out
+    try:
+        offset = int(q.get("offset", 0))
+        limit = int(q["limit"]) if "limit" in q else None
+    except ValueError:
+        return out
+    body = body[offset:]
+    if limit is not None and limit > 0:
+        # limit <= 0 means unlimited (pagination.feature)
+        body = body[:limit]
+    return status, body
 
 
 def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
@@ -1101,19 +1731,16 @@ def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
     if verb == "POST" and len(parts) >= 4 \
             and parts[0] == "compatibility" and parts[1] == "subjects" \
             and parts[3] == "versions":
-        from axonops_schema_registry_spark.registry.compat import (
-            check_compatibility,
-            check_pair,
-        )
-
         try:
             payload = json.loads(doc) if doc else {}
         except json.JSONDecodeError:
             return 422, {"error_code": 42201}
-        subj = parts[2]
+        subj = sim.resolve_alias(parts[2])
         stype = (payload.get("schemaType") or "AVRO").upper()
         cand = payload.get("schema", "")
+        cand_refs = payload.get("references")
         live = sim._live(subj)
+        verbose = q.get("verbose") == "true"
         if len(parts) == 4:
             # against ALL versions
             if not live:
@@ -1121,9 +1748,12 @@ def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
             level = sim._resolved_level(subj)
             base = level.replace("_TRANSITIVE", "")
             lvl = base + "_TRANSITIVE" if base != "NONE" else "NONE"
-            ok, _ = check_compatibility(
-                cand, [v["text"] for v in live], lvl, stype)
-            return 200, {"is_compatible": ok}
+            ok, msgs = sim.compat_ok(subj, cand, stype, lvl, live,
+                                     cand_refs=cand_refs)
+            out = {"is_compatible": ok}
+            if verbose:
+                out["messages"] = list(msgs or [])
+            return 200, out
         ver = parts[4]
         if ver == "latest":
             if not live:
@@ -1136,43 +1766,85 @@ def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
                 return 422, {"error_code": 42202}
             if nver <= 0 or nver > MAX_VERSION:
                 return 422, {"error_code": 42202}
-            if not live:
-                return 404, {"error_code": 40401}
+            # specific-version checks report the VERSION-level 40402
+            # even when the whole subject is missing
+            # (error_codes_exhaustive:52)
             target = next((v for v in live if v["version"] == nver), None)
             if target is None:
                 return 404, {"error_code": 40402}
-        msgs = check_pair(cand, target["text"], stype)
-        return 200, {"is_compatible": not msgs}
+        # single-version checks honor the configured level's base mode
+        # (contexts_config_mode_advanced: ctx-tier NONE ⇒ compatible)
+        base = sim._resolved_level(subj).replace("_TRANSITIVE", "")
+        ok, msgs = sim.compat_ok(subj, cand, stype, base, [target],
+                                 cand_refs=cand_refs)
+        out = {"is_compatible": ok}
+        if verbose:
+            out["messages"] = list(msgs)
+        return 200, out
     deleted = q.get("deleted") == "true"
+    deleted_only = q.get("deletedOnly") == "true"
     permanent = q.get("permanent") == "true"
     dtg = q.get("defaultToGlobal") == "true"
+    force = q.get("force") == "true"
     if verb in ("PUT", "POST"):
         try:
             payload = json.loads(doc) if doc else {}
         except json.JSONDecodeError:
             return 422, {"error_code": 42201}
         if parts == ["config"]:
+            if not payload.get("compatibility"):
+                # empty body returns the CURRENT config (edge_cases /
+                # handlers.go:1040-1049)
+                _, cur = sim.get_global_config()
+                return 200, {"compatibility": cur["compatibilityLevel"]}
             return sim.set_global_config(payload.get("compatibility", ""),
                                          extra=payload)
         if len(parts) == 2 and parts[0] == "config":
+            if not payload.get("compatibility"):
+                return 200, {"compatibility":
+                             sim._resolved_level(parts[1])}
             return sim.set_subject_config(
                 parts[1], payload.get("compatibility", ""), extra=payload)
         if parts == ["mode"]:
-            return sim.set_global_mode(payload.get("mode", ""))
+            if not payload.get("mode"):
+                # empty mode body is a tombstone write: reset to default
+                # (handlers.go:1333-1349)
+                sim.root_mode = None
+                return 200, {"mode": "READWRITE"}
+            return sim.set_global_mode(payload.get("mode", ""),
+                                       force=force)
         if len(parts) == 2 and parts[0] == "mode":
-            return sim.set_subject_mode(parts[1], payload.get("mode", ""))
+            if not payload.get("mode"):
+                sim.subj_modes.pop(parts[1], None)
+                return 200, {"mode": sim.resolved_mode(parts[1])}
+            return sim.set_subject_mode(parts[1], payload.get("mode", ""),
+                                        force=force)
+        if verb == "POST" and parts == ["subjects", "validate"]:
+            return sim.validate_subject_name(payload)
+        if verb == "POST" and parts == ["subjects", "match"]:
+            return sim.match_subjects(payload)
         if verb == "POST" and len(parts) == 2 and parts[0] == "subjects":
-            stype = (payload.get("schemaType") or "AVRO").upper()
+            stype = payload.get("schemaType") or "AVRO"
+            if stype not in ("AVRO", "JSON", "PROTOBUF"):
+                # schemaType is case-sensitive: "avro" is rejected
+                # (api_endpoints_advanced)
+                return 422, {"error_code": 42201,
+                             "message": f"Invalid schemaType {stype}"}
             return sim.lookup(parts[1], payload.get("schema", ""), stype,
-                              deleted=deleted)
+                              deleted=deleted,
+                              references=payload.get("references"))
         if verb == "POST" and len(parts) == 3 and parts[0] == "subjects" \
                 and parts[2] == "versions":
-            stype = (payload.get("schemaType") or "AVRO").upper()
+            stype = payload.get("schemaType") or "AVRO"
+            if stype not in ("AVRO", "JSON", "PROTOBUF"):
+                return 422, {"error_code": 42201,
+                             "message": f"Invalid schemaType {stype}"}
             text = payload.get("schema", "")
             if "id" in payload:
-                return sim.register_import(parts[1], text, stype,
-                                           int(payload["id"]),
-                                           payload.get("version"))
+                return sim.register_import(
+                    parts[1], text, stype, int(payload["id"]),
+                    payload.get("version"),
+                    references=payload.get("references"))
             return sim.register(parts[1], text, stype,
                                 metadata=payload.get("metadata"),
                                 rule_set=payload.get("ruleSet"),
@@ -1187,24 +1859,142 @@ def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
             return sim.get_global_mode()
         if len(parts) == 2 and parts[0] == "mode":
             return sim.get_subject_mode(parts[1], default_to_global=dtg)
+        if parts == ["subjects", "count"]:
+            return sim.count_subjects()
         if parts == ["subjects"]:
-            return sim.list_subjects(deleted=deleted)
+            if deleted_only:
+                out = sim.list_subjects_deleted_only()
+            else:
+                out = sim.list_subjects(deleted=deleted)
+            prefix = q.get("subjectPrefix")
+            if prefix and isinstance(out[1], list):
+                out = (out[0], [s for s in out[1]
+                                if s.startswith(prefix)])
+            return _paginate(out, q)
+        if parts == ["schemas"]:
+            # GET /schemas — flat version listing (handlers.go:1597-1641)
+            prefix = q.get("subjectPrefix", "")
+            latest_only = q.get("latestOnly") == "true"
+            rows = []
+            for s in sorted(sim.subjects):
+                if sim.ctx_of(s) != "." or not s.startswith(prefix):
+                    continue
+                pool = sim.subjects[s] if deleted else sim._live(s)
+                if latest_only and pool:
+                    pool = [max(pool, key=lambda x: x["version"])]
+                for x in sorted(pool, key=lambda x: x["version"]):
+                    row = {"subject": s, "version": x["version"],
+                           "id": x["id"],
+                           "schemaType": x["type"] or "AVRO",
+                           "schema": x["text"]}
+                    if x.get("references"):
+                        row["references"] = x["references"]
+                    rows.append(row)
+            return _paginate((200, rows), q)
+        if len(parts) == 3 and parts[0] == "subjects" \
+                and parts[2] == "metadata":
+            return sim.subject_metadata(parts[1])
+        if len(parts) == 3 and parts[0] == "subjects" \
+                and parts[2] == "history":
+            subj = sim.resolve_alias(parts[1])
+            if subj not in sim.subjects:
+                return 404, {"error_code": 40401,
+                             "message": "Subject not found"}
+            hist = [{"version": x["version"], "schema_id": x["id"],
+                     "schema_type": x["type"] or "AVRO"}
+                    for x in sorted(sim._live(subj),
+                                    key=lambda x: x["version"])][:50]
+            return 200, {"subject": subj, "count": len(hist),
+                         "history": hist}
+        if len(parts) == 3 and parts[0] == "subjects" \
+                and parts[2] == "export":
+            subj = sim.resolve_alias(parts[1])
+            live = sim._live(subj)
+            if not live:
+                return 404, {"error_code": 40401,
+                             "message": "Subject not found"}
+            entries = [{"subject": subj, "version": x["version"],
+                        "id": x["id"], "schema": x["text"],
+                        "schema_type": x["type"] or "AVRO"}
+                       for x in sorted(live,
+                                       key=lambda x: x["version"])]
+            return 200, {"subject": subj, "count": len(entries),
+                         "versions": entries}
+        if len(parts) == 5 and parts[0] == "subjects" \
+                and parts[2] == "versions" and parts[4] == "export":
+            subj = sim.resolve_alias(parts[1])
+            try:
+                nver = int(parts[3])
+            except ValueError:
+                # this endpoint 400s on a malformed version
+                # (analysis.go:1031-1035), unlike the 422 elsewhere
+                return 400, {"error_code": 42202,
+                             "message": "Invalid version"}
+            x = next((x for x in sim._live(subj)
+                      if x["version"] == nver), None)
+            if x is None:
+                return 404, {"error_code": 40403,
+                             "message": "Schema not found"}
+            return 200, {"subject": subj, "version": nver, "id": x["id"],
+                         "schema": x["text"],
+                         "schema_type": x["type"] or "AVRO",
+                         "compatibility_level":
+                             sim._resolved_level(subj)}
         if len(parts) == 3 and parts[0] == "subjects" \
                 and parts[2] == "versions":
-            return sim.list_versions(parts[1], deleted=deleted)
+            return _paginate(
+                sim.list_versions(parts[1], deleted=deleted,
+                                  deleted_only=deleted_only), q)
         if len(parts) == 4 and parts[0] == "subjects" \
+                and parts[2] == "versions" and parts[3] == "count":
+            return sim.count_versions(parts[1])
+        if len(parts) in (4, 5) and parts[0] == "subjects" \
                 and parts[2] == "versions":
-            v = parts[3] if parts[3] == "latest" else int(parts[3])
+            if parts[3] == "latest":
+                v = "latest"
+            else:
+                try:
+                    v = int(parts[3])
+                except ValueError:
+                    return 422, {"error_code": 42202}
+            if len(parts) == 5 and parts[4] == "schema":
+                return sim.raw_schema(parts[1], v)
+            if len(parts) == 5 and parts[4] == "referencedby":
+                # missing subject/version is a 404 here, not an empty
+                # list (raw_schema_endpoints.feature)
+                status, body = sim.get_version(parts[1], v)
+                if status != 200:
+                    return status, body
+                return 200, sim._referenced_by(
+                    sim.resolve_alias(parts[1]), {body["version"]})
+            if len(parts) == 5:
+                return None
             return sim.get_version(parts[1], v, deleted=deleted)
-        if len(parts) == 3 and parts[:2] == ["schemas", "ids"]:
-            ctx = RegistrySim.ctx_of(q.get("subject", ""))
-            return sim.schema_by_id(int(parts[2]), ctx)
-        if len(parts) == 4 and parts[:2] == ["schemas", "ids"] \
-                and parts[3] == "subjects":
-            return sim.subjects_for_id(int(parts[2]))
-        if len(parts) == 4 and parts[:2] == ["schemas", "ids"] \
-                and parts[3] == "versions":
-            return sim.versions_for_id(int(parts[2]))
+        if len(parts) in (3, 4) and parts[:2] == ["schemas", "ids"]:
+            try:
+                sid = int(parts[2])
+            except ValueError:
+                return 400, {"error_code": 42201,
+                             "message": "Invalid schema ID"}
+            subj = q.get("subject", "")
+            ctx = RegistrySim.ctx_of(subj)
+            if len(parts) == 3:
+                return sim.schema_by_id(
+                    sid, ctx, subject=subj or None,
+                    fetch_max_id=q.get("fetchMaxId") == "true")
+            if parts[3] == "schema":
+                status, body = sim.schema_by_id(sid, ctx)
+                if status != 200:
+                    return status, body
+                return 200, body["schema"]
+            if parts[3] == "subjects":
+                return _paginate(sim.subjects_for_id(
+                    sid, ctx, deleted=deleted,
+                    subject=subj or None), q)
+            if parts[3] == "versions":
+                return _paginate(sim.versions_for_id(
+                    sid, ctx, deleted=deleted,
+                    subject=subj or None), q)
         return None
     if verb == "DELETE":
         if parts == ["mode"]:

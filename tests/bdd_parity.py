@@ -95,18 +95,29 @@ class ParseReport:
 
 
 def _scenarios(text: str):
-    """Yield (name, [(step_line, docstring|None), ...]) per scenario."""
+    """Yield (name, [(step_line, docstring|None), ...]) per scenario.
+    ``Background:`` steps are prepended to every scenario, as Gherkin
+    requires (they typically reset state / set the compat level)."""
     lines = text.splitlines()
     i, cur, steps = 0, None, []
+    background: list = []
+    in_background = False
     while i < len(lines):
         line = lines[i].strip()
-        if line.startswith("Scenario:"):
-            if cur is not None:
-                yield cur, steps
-            cur, steps = line[len("Scenario:"):].strip(), []
+        if line.startswith("Background:"):
+            in_background = True
             i += 1
             continue
-        if cur is not None and re.match(r"^(Given|When|Then|And|But)\b", line):
+        if line.startswith("Scenario:"):
+            in_background = False
+            if cur is not None:
+                yield cur, steps
+            cur = line[len("Scenario:"):].strip()
+            steps = list(background)
+            i += 1
+            continue
+        if (cur is not None or in_background) \
+                and re.match(r"^(Given|When|Then|And|But)\b", line):
             doc = None
             j = i + 1
             # docstring directly after the step
@@ -122,7 +133,7 @@ def _scenarios(text: str):
                 i = j + 1
             else:
                 i += 1
-            steps.append((line, doc))
+            (background if in_background else steps).append((line, doc))
             continue
         i += 1
     if cur is not None:

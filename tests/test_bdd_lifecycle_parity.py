@@ -26,7 +26,7 @@ pytestmark = pytest.mark.skipif(
 
 def test_lifecycle_parity():
     n, mismatches, skipped = replay()
-    assert n >= 1480, f"only {n} assertions replayed"
+    assert n >= 4800, f"only {n} assertions replayed"
     lines = [f"{m.feature} | {m.scenario} | {m.step} | "
              f"want {m.expected} got {m.got}" for m in mismatches]
     assert not mismatches, "lifecycle mismatches:\n" + "\n".join(lines)
@@ -34,6 +34,7 @@ def test_lifecycle_parity():
 
 def test_lifecycle_skip_budget():
     _, _, skipped = replay()
-    # skips must stay confined to reference-bearing / REST-POST-shaped
-    # scenarios the sim does not model
-    assert len(skipped) <= 5, skipped
+    # skips must stay confined to scenarios the sim cannot model:
+    # goroutine concurrency steps, unknown-path 404 catch-alls, and the
+    # exporter/import-endpoint audit scenarios
+    assert len(skipped) <= 20, skipped

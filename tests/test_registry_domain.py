@@ -32,16 +32,32 @@ USER_V2_BAD = ('{"type":"record","name":"User","fields":[{"name":"name","type":"
 
 
 class TestAvroCanonical:
-    def test_primitive_collapse(self):
-        assert avro_canonical_form('{"type":"string"}') == '"string"'
+    def test_primitive_object_form_kept(self):
+        # reference parity (parser.go:230): primitive object forms are
+        # NOT collapsed — extra attributes like logicalType survive
+        assert avro_canonical_form('{"type":"string"}') == \
+            '{"type":"string"}'
+        assert avro_canonical_form('"string"') == '"string"'
+        assert avro_canonical_form(
+            '{"type":"int","logicalType":"date"}') == \
+            '{"logicalType":"date","type":"int"}'
 
-    def test_strips_doc_and_default_orders_keys(self):
+    def test_strips_doc_keeps_default_orders_keys(self):
+        # field defaults are KEPT (modeling_avro_conformance.feature:
+        # default differences produce different fingerprints)
         messy = ('{"fields":[{"doc":"d","default":"x","name":"name",'
                  '"type":{"type":"string"}}],"type":"record","doc":"top",'
                  '"name":"User"}')
         assert avro_canonical_form(messy) == (
             '{"name":"User","type":"record","fields":'
-            '[{"name":"name","type":"string"}]}')
+            '[{"name":"name","type":{"type":"string"},"default":"x"}]}')
+
+    def test_default_changes_fingerprint(self):
+        a = ('{"type":"record","name":"D","fields":'
+             '[{"name":"s","type":"string","default":""}]}')
+        b = ('{"type":"record","name":"D","fields":'
+             '[{"name":"s","type":"string","default":"hello"}]}')
+        assert avro_fingerprint(a) != avro_fingerprint(b)
 
     def test_namespace_qualification(self):
         s = ('{"type":"record","name":"Order","namespace":"com.example",'

@@ -127,6 +127,9 @@ LIFECYCLE_FEATURES = (
     "modeling_protobuf_iot.feature",
     "modeling_protobuf_reference_evolution.feature",
     "modeling_full_lifecycle.feature",
+    # CSFLE DEK registry (KEK/DEK CRUD, soft/permanent/undelete, version
+    # taxonomy; kms_encryption.feature stays out — it needs a live Vault)
+    "dek_registry.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -171,6 +174,11 @@ class RegistrySim:
         #: defaultRuleSet / overrideRuleSet) per subject + global
         self.cfg_extra: dict[str, dict] = {}
         self.glob_cfg_extra: dict = {}
+        #: DEK registry (dek_registry.feature; memory/store.go:1632-2010):
+        #: keks[name] -> record; deks[kek][subject][version] -> record
+        self.keks: dict[str, dict] = {}
+        self.deks: dict[str, dict[str, dict[int, dict]]] = {}
+        self._ts = 1700000000000
 
     # -- context addressing (:.ctx:subject, default context ".") ---------
     @staticmethod
@@ -1044,6 +1052,252 @@ class RegistrySim:
                          "message": "Schema not found"}
         return 200, subs
 
+    # -- DEK registry (Confluent CSFLE; registry_dek.go + dek.go) ---------
+    _DEK_ALGOS = {"AES128_GCM", "AES256_GCM", "AES256_SIV"}
+
+    def _tick(self) -> int:
+        self._ts += 1
+        return self._ts
+
+    @staticmethod
+    def _kek_body(k: dict) -> dict:
+        out = {"name": k["name"], "kmsType": k["kmsType"],
+               "kmsKeyId": k["kmsKeyId"], "shared": k["shared"],
+               "ts": k["ts"]}
+        if k.get("kmsProps"):
+            out["kmsProps"] = k["kmsProps"]
+        if k.get("doc"):
+            out["doc"] = k["doc"]
+        if k.get("deleted"):
+            out["deleted"] = True
+        return out
+
+    @staticmethod
+    def _dek_body(d: dict) -> dict:
+        out = {"kekName": d["kekName"], "subject": d["subject"],
+               "version": d["version"], "algorithm": d["algorithm"],
+               "ts": d["ts"]}
+        if d.get("encryptedKeyMaterial"):
+            out["encryptedKeyMaterial"] = d["encryptedKeyMaterial"]
+        if d.get("deleted"):
+            out["deleted"] = True
+        return out
+
+    def kek_create(self, payload: dict) -> tuple[int, Any]:
+        name = (payload.get("name") or "").strip()
+        if not name:
+            return 422, {"error_code": 42201,
+                         "message": "KEK name is required"}
+        if not (payload.get("kmsType") or "").strip():
+            return 422, {"error_code": 42201,
+                         "message": "kmsType is required"}
+        if not (payload.get("kmsKeyId") or "").strip():
+            return 422, {"error_code": 42201,
+                         "message": "kmsKeyId is required"}
+        if name in self.keks:
+            return 409, {"error_code": 40970,
+                         "message": "Key encryption key already exists: "
+                                    + name}
+        self.keks[name] = {
+            "name": name, "kmsType": payload["kmsType"],
+            "kmsKeyId": payload["kmsKeyId"],
+            "kmsProps": payload.get("kmsProps"),
+            "doc": payload.get("doc") or "",
+            "shared": bool(payload.get("shared")),
+            "deleted": False, "ts": self._tick()}
+        return 200, self._kek_body(self.keks[name])
+
+    def kek_get(self, name: str, *, deleted: bool = False):
+        k = self.keks.get(name)
+        if k is None or (k["deleted"] and not deleted):
+            return 404, {"error_code": 40470,
+                         "message": "Key encryption key not found: "
+                                    + name}
+        return 200, self._kek_body(k)
+
+    def kek_update(self, name: str, payload: dict) -> tuple[int, Any]:
+        k = self.keks.get(name)
+        if k is None or k["deleted"]:
+            return 404, {"error_code": 40470,
+                         "message": "Key encryption key not found: "
+                                    + name}
+        if payload.get("kmsProps") is not None:
+            k["kmsProps"] = payload["kmsProps"]
+        if payload.get("doc"):
+            k["doc"] = payload["doc"]
+        if payload.get("shared") is not None:
+            k["shared"] = bool(payload["shared"])
+        k["ts"] = self._tick()
+        return 200, self._kek_body(k)
+
+    def kek_delete(self, name: str, *, permanent: bool = False):
+        k = self.keks.get(name)
+        if k is None:
+            return 404, {"error_code": 40470,
+                         "message": "Key encryption key not found: "
+                                    + name}
+        if permanent:
+            # permanent KEK delete cascades to every DEK under it
+            del self.keks[name]
+            self.deks.pop(name, None)
+        else:
+            k["deleted"] = True
+            k["ts"] = self._tick()
+        return 204, None
+
+    def kek_undelete(self, name: str) -> tuple[int, Any]:
+        k = self.keks.get(name)
+        if k is None or not k["deleted"]:
+            return 404, {"error_code": 40470,
+                         "message": "Key encryption key not found: "
+                                    + name}
+        k["deleted"] = False
+        k["ts"] = self._tick()
+        return 204, None
+
+    def kek_list(self, *, deleted: bool = False) -> tuple[int, Any]:
+        return 200, sorted(n for n, k in self.keks.items()
+                           if deleted or not k["deleted"])
+
+    def dek_create(self, kek_name: str, payload: dict) -> tuple[int, Any]:
+        if kek_name not in self.keks:
+            return 404, {"error_code": 40470,
+                         "message": "Key encryption key not found: "
+                                    + kek_name}
+        subject = (payload.get("subject") or "").strip()
+        if not subject:
+            return 422, {"error_code": 42201,
+                         "message": "subject is required"}
+        algo = payload.get("algorithm") or "AES256_GCM"
+        if algo not in self._DEK_ALGOS:
+            return 422, {"error_code": 42201,
+                         "message": f"invalid algorithm: {algo}"}
+        vmap = self.deks.setdefault(kek_name, {}).setdefault(subject, {})
+        version = payload.get("version") or 0
+        if version <= 0:
+            version = max(vmap, default=0) + 1
+        if version in vmap:
+            return 409, {"error_code": 40971,
+                         "message": "Data encryption key already exists"}
+        vmap[version] = {
+            "kekName": kek_name, "subject": subject, "version": version,
+            "algorithm": algo,
+            "encryptedKeyMaterial":
+                payload.get("encryptedKeyMaterial") or "",
+            "deleted": False, "ts": self._tick()}
+        return 200, self._dek_body(vmap[version])
+
+    def _dek_find(self, kek_name: str, subject: str, version: int,
+                  algorithm: str, deleted: bool):
+        vmap = self.deks.get(kek_name, {}).get(subject)
+        if not vmap:
+            return None
+        if version <= 0:
+            cands = [v for v, d in vmap.items()
+                     if (deleted or not d["deleted"])
+                     and (not algorithm or d["algorithm"] == algorithm)]
+            if not cands:
+                return None
+            version = max(cands)
+        d = vmap.get(version)
+        if d is None or (algorithm and d["algorithm"] != algorithm) \
+                or (d["deleted"] and not deleted):
+            return None
+        return d
+
+    def dek_get(self, kek_name: str, subject: str, version: int,
+                algorithm: str, *, deleted: bool = False):
+        if kek_name not in self.keks:
+            return 404, {"error_code": 40470,
+                         "message": "Key encryption key not found: "
+                                    + kek_name}
+        d = self._dek_find(kek_name, subject, version, algorithm,
+                           deleted)
+        if d is None:
+            return 404, {"error_code": 40471,
+                         "message": "Data encryption key not found"}
+        return 200, self._dek_body(d)
+
+    def dek_list(self, kek_name: str, *, deleted: bool = False):
+        if kek_name not in self.keks:
+            return 404, {"error_code": 40470,
+                         "message": "Key encryption key not found: "
+                                    + kek_name}
+        subs = sorted(
+            s for s, vmap in self.deks.get(kek_name, {}).items()
+            if deleted or any(not d["deleted"] for d in vmap.values()))
+        return 200, subs
+
+    def dek_versions(self, kek_name: str, subject: str, algorithm: str,
+                     *, deleted: bool = False):
+        if kek_name not in self.keks:
+            return 404, {"error_code": 40470,
+                         "message": "Key encryption key not found: "
+                                    + kek_name}
+        vmap = self.deks.get(kek_name, {}).get(subject, {})
+        return 200, sorted(
+            v for v, d in vmap.items()
+            if (deleted or not d["deleted"])
+            and (not algorithm or d["algorithm"] == algorithm))
+
+    def dek_delete(self, kek_name: str, subject: str, version: int,
+                   algorithm: str, *, permanent: bool = False):
+        vmap = self.deks.get(kek_name, {}).get(subject)
+        if not vmap:
+            return 404, {"error_code": 40471,
+                         "message": "Data encryption key not found"}
+        if version == -1:
+            hits = [v for v, d in vmap.items()
+                    if not algorithm or d["algorithm"] == algorithm]
+            if not hits:
+                return 404, {"error_code": 40471,
+                             "message": "Data encryption key not found"}
+            for v in hits:
+                if permanent:
+                    del vmap[v]
+                else:
+                    vmap[v]["deleted"] = True
+                    vmap[v]["ts"] = self._tick()
+        else:
+            d = vmap.get(version)
+            if d is None or (algorithm and d["algorithm"] != algorithm):
+                return 404, {"error_code": 40471,
+                             "message": "Data encryption key not found"}
+            if permanent:
+                del vmap[version]
+            else:
+                d["deleted"] = True
+                d["ts"] = self._tick()
+        if permanent and not vmap:
+            self.deks[kek_name].pop(subject, None)
+        return 204, None
+
+    def dek_undelete(self, kek_name: str, subject: str, version: int,
+                     algorithm: str) -> tuple[int, Any]:
+        vmap = self.deks.get(kek_name, {}).get(subject)
+        if not vmap:
+            return 404, {"error_code": 40471,
+                         "message": "Data encryption key not found"}
+        if version == -1:
+            hits = [d for d in vmap.values()
+                    if (not algorithm or d["algorithm"] == algorithm)
+                    and d["deleted"]]
+            if not hits:
+                return 404, {"error_code": 40471,
+                             "message": "Data encryption key not found"}
+            for d in hits:
+                d["deleted"] = False
+                d["ts"] = self._tick()
+        else:
+            d = vmap.get(version)
+            if d is None or (algorithm and d["algorithm"] != algorithm) \
+                    or not d["deleted"]:
+                return 404, {"error_code": 40471,
+                             "message": "Data encryption key not found"}
+            d["deleted"] = False
+            d["ts"] = self._tick()
+        return 204, None
+
     # -- delete path ------------------------------------------------------
     def delete_version(self, subject: str, v, *,
                        permanent: bool = False) -> tuple[int, Any]:
@@ -1175,6 +1429,10 @@ STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(r'the compatibility check should be (\w+)'),
      "assert_compat"),
     (re.compile(r'I (PUT|POST) "([^"]+)" with body:'), "http_body"),
+    (re.compile(r'I (PUT|POST) "([^"]+)" with empty body'), "http_nobody"),
+    (re.compile(r'I (PUT|POST) "([^"]+)"$'), "http_nobody"),
+    (re.compile(r'the response field "([^"]+)" should be empty or '
+                r'absent'), "assert_field_empty"),
     (re.compile(rf'subject "([^"]+)" has {_RE_TYPED}schema:'), "seed"),
     (re.compile(rf'I register a {_RE_TYPED}schema under subject "([^"]+)":$'),
      "register"),
@@ -1597,6 +1855,19 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 if not isinstance(got, list):
                     mm.append(Mismatch(feature, scenario, bodytext,
                                        f"array {m.group(1)}", body))
+            elif op == "http_nobody":
+                out = _dispatch_http(sim, m.group(1), m.group(2), None)
+                if out is None:
+                    return 0, [], f"unsupported URL: {m.group(1)} " \
+                                  f"{m.group(2)}"
+                status, body = out
+            elif op == "assert_field_empty":
+                n += 1
+                got = body.get(m.group(1)) if isinstance(body, dict) \
+                    else None
+                if got not in (None, "", [], {}):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"empty {m.group(1)}", got))
             elif op == "assert_no_field":
                 n += 1
                 if isinstance(body, dict) and m.group(1) in body:
@@ -1688,8 +1959,103 @@ def _paginate(out, q):
     return status, body
 
 
+def _dispatch_dek(sim: RegistrySim, verb: str, parts, q, doc):
+    """/dek-registry/v1/keks... routes (server.go:226-248)."""
+    deleted = q.get("deleted") == "true"
+    permanent = q.get("permanent") == "true"
+    algorithm = q.get("algorithm", "")
+    try:
+        payload = json.loads(doc) if doc else {}
+    except json.JSONDecodeError:
+        return 400, {"error_code": 42201, "message": "Invalid request body"}
+    if parts == ["keks"]:
+        if verb == "GET":
+            return _paginate(sim.kek_list(deleted=deleted), q)
+        if verb == "POST":
+            return sim.kek_create(payload)
+        return None
+
+    def ver_of(s: str):
+        try:
+            v = int(s)
+        except ValueError:
+            return None
+        return v if v > 0 else None
+
+    if len(parts) >= 2 and parts[0] == "keks":
+        name = parts[1]
+        if len(parts) == 2:
+            if verb == "GET":
+                return sim.kek_get(name, deleted=deleted)
+            if verb == "PUT":
+                return sim.kek_update(name, payload)
+            if verb == "DELETE":
+                return sim.kek_delete(name, permanent=permanent)
+            return None
+        if parts[2] == "undelete" and len(parts) == 3:
+            return sim.kek_undelete(name)
+        if parts[2] == "test" and len(parts) == 3 and verb == "POST":
+            # no KMS provider configured in the BDD environment
+            return 422, {"error_code": 42201,
+                         "message": "KMS not configured"}
+        if parts[2] != "deks":
+            return None
+        if len(parts) == 3:
+            if verb == "GET":
+                return _paginate(sim.dek_list(name, deleted=deleted), q)
+            if verb == "POST":
+                return sim.dek_create(name, payload)
+            return None
+        subject = parts[3]
+        if len(parts) == 4:
+            if verb == "GET":
+                return sim.dek_get(name, subject, -1, algorithm,
+                                   deleted=deleted)
+            if verb == "POST":
+                if q.get("rewrap") == "true":
+                    # no KMS provider in the BDD environment
+                    # (dek.go:557-577 → registry_dek.go:133-136)
+                    return 422, {"error_code": 42201,
+                                 "message": "KMS not configured: rewrap "
+                                            "requires a KMS provider"}
+                body = dict(payload)
+                body["subject"] = subject
+                return sim.dek_create(name, body)
+            if verb == "DELETE":
+                return sim.dek_delete(name, subject, -1, algorithm,
+                                      permanent=permanent)
+            return None
+        if parts[4] == "undelete" and len(parts) == 5:
+            return sim.dek_undelete(name, subject, -1, algorithm)
+        if parts[4] != "versions":
+            return None
+        if len(parts) == 5 and verb == "GET":
+            return _paginate(
+                sim.dek_versions(name, subject, algorithm,
+                                 deleted=deleted), q)
+        if len(parts) >= 6:
+            v = ver_of(parts[5])
+            if v is None:
+                return 422, {"error_code": 42202,
+                             "message": "Invalid version: must be a "
+                                        "positive integer"}
+            if len(parts) == 6:
+                if verb == "GET":
+                    return sim.dek_get(name, subject, v, algorithm,
+                                       deleted=deleted)
+                if verb == "DELETE":
+                    return sim.dek_delete(name, subject, v, algorithm,
+                                          permanent=permanent)
+                return None
+            if len(parts) == 7 and parts[6] == "undelete":
+                return sim.dek_undelete(name, subject, v, algorithm)
+    return None
+
+
 def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
     parts, q = _parse_url(url)
+    if parts[:2] == ["dek-registry", "v1"]:
+        return _dispatch_dek(sim, verb, parts[2:], q, doc)
     # /contexts/{ctx}/rest... routes to the same handlers with subjects
     # rewritten to the :.ctx: qualified form
     if len(parts) >= 2 and parts[0] == "contexts" and parts[1] != "":

@@ -130,6 +130,16 @@ LIFECYCLE_FEATURES = (
     # CSFLE DEK registry (KEK/DEK CRUD, soft/permanent/undelete, version
     # taxonomy; kms_encryption.feature stays out — it needs a live Vault)
     "dek_registry.feature",
+    # REST analysis surface — wired through the PRODUCTION helpers
+    # (registry.analysis quality/complexity/fuzzy, registry.fields,
+    # registry.evolution validate/normalize)
+    "rest_schema_search.feature",
+    "rest_statistics.feature",
+    "rest_subject_diff_evolve.feature",
+    "rest_schema_analysis.feature",
+    "rest_compatibility_analysis.feature",
+    "rest_schema_validation.feature",
+    "rest_analysis_edge_cases.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -1430,6 +1440,10 @@ STEPS: list[tuple[re.Pattern, str]] = [
      "assert_compat"),
     (re.compile(r'I (PUT|POST) "([^"]+)" with body:'), "http_body"),
     (re.compile(r'I (PUT|POST) "([^"]+)" with empty body'), "http_nobody"),
+    (re.compile(r'I (PUT|POST) "([^"]+)" with raw body "([^"]*)"'),
+     "http_rawbody"),
+    (re.compile(r'the response field "([^"]+)" should not be empty'),
+     "assert_field_nonempty"),
     (re.compile(r'I (PUT|POST) "([^"]+)"$'), "http_nobody"),
     (re.compile(r'the response field "([^"]+)" should be empty or '
                 r'absent'), "assert_field_empty"),
@@ -1861,6 +1875,20 @@ def _replay_scenario(feature: str, scenario: str, steps):
                     return 0, [], f"unsupported URL: {m.group(1)} " \
                                   f"{m.group(2)}"
                 status, body = out
+            elif op == "http_rawbody":
+                out = _dispatch_http(sim, m.group(1), m.group(2),
+                                     m.group(3))
+                if out is None:
+                    return 0, [], f"unsupported URL: {m.group(1)} " \
+                                  f"{m.group(2)}"
+                status, body = out
+            elif op == "assert_field_nonempty":
+                n += 1
+                got = body.get(m.group(1)) if isinstance(body, dict) \
+                    else None
+                if got in (None, "", [], {}):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"non-empty {m.group(1)}", got))
             elif op == "assert_field_empty":
                 n += 1
                 got = body.get(m.group(1)) if isinstance(body, dict) \
@@ -2052,10 +2080,429 @@ def _dispatch_dek(sim: RegistrySim, verb: str, parts, q, doc):
     return None
 
 
+def _latest(sim: RegistrySim, subject: str):
+    live = sim._live(sim.resolve_alias(subject))
+    return max(live, key=lambda x: x["version"], default=None)
+
+
+def _fields_of(x: dict) -> list[dict]:
+    from axonops_schema_registry_spark.registry.fields import (
+        extract_fields,
+    )
+
+    return extract_fields(x["text"], x["type"] or "AVRO")
+
+
+def _dispatch_analysis(sim: RegistrySim, verb: str, parts, q, doc):
+    """The /schemas|/statistics|/compatibility analysis surface
+    (analysis.go) — wired through the PRODUCTION helpers
+    (registry.analysis / registry.fields / registry.evolution) so the
+    reference's BDD scenarios exercise the same code the Spark specs
+    run."""
+    from axonops_schema_registry_spark.registry.analysis import (
+        complexity_grade,
+        fuzzy_score,
+        naming_variants,
+        normalize_field_name,
+        score_schema_quality,
+    )
+    from axonops_schema_registry_spark.registry.evolution import (
+        validate_and_normalize,
+    )
+
+    try:
+        payload = json.loads(doc) if doc else {}
+    except json.JSONDecodeError:
+        return 400, {"error_code": 42201, "message": "Invalid request body"}
+
+    def bad(msg):
+        return 400, {"error_code": 42201, "message": msg}
+
+    def schema_or_subject():
+        """(text, stype) | error — inline schema wins, else subject's
+        latest (quality/complexity request shape)."""
+        text, stype = payload.get("schema") or "", \
+            payload.get("schemaType") or ""
+        if not text and payload.get("subject"):
+            x = _latest(sim, payload["subject"])
+            if x is None:
+                return None, (404, {"error_code": 40401,
+                                    "message": "Subject not found"})
+            return (x["text"], x["type"] or "AVRO"), None
+        if not text:
+            return None, bad("Schema or subject is required")
+        st = (stype or "AVRO").upper()
+        if st not in ("AVRO", "JSON", "PROTOBUF"):
+            return None, (422, {"error_code": 42201,
+                                "message": f"Invalid schema type "
+                                           f"'{stype}'"})
+        return (text, st), None
+
+    def live_latest_rows():
+        _, names = sim.list_subjects()
+        for s in names:
+            x = _latest(sim, s)
+            if x is not None:
+                yield s, x
+
+    if verb == "POST" and parts == ["schemas", "validate"]:
+        if not payload.get("schema"):
+            return bad("Schema is required")
+        st = (payload.get("schemaType") or "AVRO").upper()
+        if st not in ("AVRO", "JSON", "PROTOBUF"):
+            return 422, {"error_code": 42201,
+                         "message": f"Invalid schema type "
+                                    f"'{payload.get('schemaType')}'"}
+        r = validate_and_normalize(payload["schema"], st)
+        return 200, {"is_valid": r["is_valid"], "schema_type": st,
+                     "error": r["error"] or ""}
+    if verb == "POST" and parts == ["schemas", "normalize"]:
+        if not payload.get("schema"):
+            return bad("Schema is required")
+        st = (payload.get("schemaType") or "AVRO").upper()
+        if st not in ("AVRO", "JSON", "PROTOBUF"):
+            return 422, {"error_code": 42201,
+                         "message": f"Invalid schema type "
+                                    f"'{payload.get('schemaType')}'"}
+        r = validate_and_normalize(payload["schema"], st)
+        if not r["is_valid"]:
+            return 422, {"error_code": 42201, "message": r["error"]}
+        return 200, {"schema_type": st, "canonical": r["canonical"],
+                     "fingerprint": r["fingerprint"]}
+    if verb == "POST" and parts == ["schemas", "search"]:
+        query = payload.get("query") or ""
+        if not query:
+            return bad("Query is required")
+        use_re = bool(payload.get("regex"))
+        limit = min(payload.get("limit") or 50, 1000)
+        if use_re:
+            try:
+                rx = re.compile(query)
+            except re.error as exc:
+                return bad(f"Invalid regex: {exc}")
+        matches = []
+        for s, x in live_latest_rows():
+            if len(matches) >= limit:
+                break
+            hit = rx.search(x["text"]) if use_re else query in x["text"]
+            if hit:
+                matches.append({"subject": s, "version": x["version"],
+                                "schema_type": x["type"] or "AVRO"})
+        return 200, {"query": query, "count": len(matches),
+                     "matches": matches}
+    if verb == "POST" and parts == ["schemas", "search", "field"]:
+        field = payload.get("field") or ""
+        if not field:
+            return bad("Field is required")
+        mode = payload.get("mode") or "exact"
+        threshold = min(float(payload.get("threshold") or 0.6), 1.0)
+        limit = min(payload.get("limit") or 50, 1000)
+        variants = [v.lower() for v in naming_variants(field)]
+        if mode == "regex":
+            try:
+                rx = re.compile(field)
+            except re.error as exc:
+                return bad(f"Invalid regex: {exc}")
+        results = []
+        for s, x in live_latest_rows():
+            if len(results) >= limit:
+                break
+            for f in _fields_of(x):
+                row = {"subject": s, "field_name": f["name"],
+                       "field_type": f["type"], "field_path": f["path"],
+                       "schema_type": x["type"] or "AVRO"}
+                if mode == "exact":
+                    if f["name"].lower() in variants:
+                        results.append({**row, "score": 1.0})
+                elif mode == "fuzzy":
+                    score = fuzzy_score(field, f["name"])
+                    if score >= threshold:
+                        results.append({**row, "score": score})
+                elif mode == "regex" and rx.search(f["name"]):
+                    results.append({**row, "score": 1.0})
+        return 200, {"field": field, "mode": mode,
+                     "count": len(results), "matches": results}
+    if verb == "POST" and parts == ["schemas", "search", "type"]:
+        pat = payload.get("type_pattern") or ""
+        if not pat:
+            return bad("type_pattern is required")
+        use_re = bool(payload.get("regex"))
+        limit = min(payload.get("limit") or 50, 1000)
+        if use_re:
+            try:
+                rx = re.compile(pat)
+            except re.error as exc:
+                return bad(f"Invalid regex: {exc}")
+        results = []
+        for s, x in live_latest_rows():
+            if len(results) >= limit:
+                break
+            for f in _fields_of(x):
+                if (rx.search(f["type"]) if use_re
+                        else pat.lower() in f["type"].lower()):
+                    results.append({"subject": s,
+                                    "field_name": f["name"],
+                                    "field_type": f["type"]})
+        return 200, {"type_pattern": pat, "count": len(results),
+                     "matches": results}
+    if verb == "POST" and parts == ["schemas", "similar"]:
+        subject = payload.get("subject") or ""
+        if not subject:
+            return bad("Subject is required")
+        threshold = min(float(payload.get("threshold") or 0.3), 1.0)
+        limit = min(payload.get("limit") or 10, 1000)
+        src = _latest(sim, subject)
+        if src is None:
+            return 404, {"error_code": 40401,
+                         "message": "Subject not found"}
+        src_set = {normalize_field_name(f["name"])
+                   for f in _fields_of(src)}
+        results = []
+        for s, x in live_latest_rows():
+            if s == subject or len(results) >= limit:
+                continue
+            tgt = {normalize_field_name(f["name"])
+                   for f in _fields_of(x)}
+            union = src_set | tgt
+            if not union:
+                continue
+            shared = sorted(src_set & tgt)
+            sim_score = len(shared) / len(union)
+            if sim_score >= threshold:
+                results.append({"subject": s, "similarity": sim_score,
+                                "shared_fields": shared})
+        return 200, {"subject": subject, "count": len(results),
+                     "similar": results}
+    if verb == "POST" and parts == ["schemas", "quality"]:
+        got, err = schema_or_subject()
+        if err:
+            return err
+        text, st = got
+        fields = _fields_of({"text": text, "type": st})
+        return 200, score_schema_quality(fields, text, st)
+    if verb == "POST" and parts == ["schemas", "complexity"]:
+        got, err = schema_or_subject()
+        if err:
+            return err
+        text, st = got
+        out = complexity_grade(_fields_of({"text": text, "type": st}))
+        return 200, {"schema_type": st, **out}
+    if verb == "POST" and parts == ["compatibility", "check"]:
+        if not payload.get("schema"):
+            return bad("Schema is required")
+        st = (payload.get("schemaType") or "AVRO").upper()
+        results = []
+        for subj in payload.get("subjects") or []:
+            live = sim._live(sim.resolve_alias(subj))
+            if not live:
+                results.append({"subject": subj, "is_compatible": False,
+                                "error": "Subject not found"})
+                continue
+            base = sim._resolved_level(subj).replace("_TRANSITIVE", "")
+            ok, _ = sim.compat_ok(subj, payload["schema"], st, base,
+                                  [max(live,
+                                       key=lambda v: v["version"])])
+            results.append({"subject": subj, "is_compatible": ok})
+        return 200, {"results": results, "count": len(results)}
+    if verb == "POST" and len(parts) == 4 \
+            and parts[:2] == ["compatibility", "subjects"] \
+            and parts[3] in ("suggest", "explain"):
+        subject = sim.resolve_alias(parts[2])
+        level = sim._resolved_level(subject)
+        if parts[3] == "suggest":
+            base = level.upper()
+            sugg = {
+                "BACKWARD": ["Add new fields with default values",
+                             "Do NOT remove existing fields",
+                             "Do NOT change field types"],
+                "FORWARD": ["Remove fields (new consumers will ignore "
+                            "them)",
+                            "Do NOT add required fields without "
+                            "defaults"],
+                "FULL": ["Only add optional fields with defaults",
+                         "Do NOT remove or rename fields"],
+                "NONE": ["Any change is allowed (no compatibility "
+                         "checks)"],
+            }.get(base.replace("_TRANSITIVE", ""), [])
+            return 200, {"subject": subject,
+                         "compatibility_level": level,
+                         "suggestions": sugg}
+        if not payload.get("schema"):
+            return bad("Schema is required")
+        st = (payload.get("schemaType") or "AVRO").upper()
+        live = sim._live(subject)
+        base = level.replace("_TRANSITIVE", "")
+        targets = [max(live, key=lambda v: v["version"])] if live else []
+        ok, msgs = sim.compat_ok(subject, payload["schema"], st, base,
+                                 targets)
+        out = {"subject": subject, "compatibility_level": level,
+               "is_compatible": ok}
+        if not ok:
+            out["error"] = "; ".join(msgs)
+            out["explanation"] = ("The schema is not compatible with "
+                                  "the existing schema under "
+                                  f"{level} compatibility")
+        return 200, out
+    if verb == "POST" and parts == ["compatibility", "compare"]:
+        s1, s2 = payload.get("subject1") or "", \
+            payload.get("subject2") or ""
+        if not s1 or not s2:
+            return bad("Both subject1 and subject2 are required")
+        x1 = _latest(sim, s1)
+        if x1 is None:
+            return 404, {"error_code": 40401,
+                         "message": "Subject1 not found"}
+        x2 = _latest(sim, s2)
+        if x2 is None:
+            return 404, {"error_code": 40401,
+                         "message": "Subject2 not found"}
+        f1 = {f["name"]: f["type"] for f in _fields_of(x1)}
+        f2 = {f["name"]: f["type"] for f in _fields_of(x2)}
+        return 200, {"subject1": s1, "subject2": s2,
+                     "shared": sorted(set(f1) & set(f2)),
+                     "only_in_sub1": sorted(set(f1) - set(f2)),
+                     "only_in_sub2": sorted(set(f2) - set(f1))}
+    if verb == "GET" and parts == ["statistics"]:
+        _, names = sim.list_subjects()
+        type_counts: dict[str, int] = {}
+        total = 0
+        for s, x in live_latest_rows():
+            total += len(sim._live(s))
+            t = x["type"] or "AVRO"
+            type_counts[t] = type_counts.get(t, 0) + 1
+        return 200, {"subject_count": len(names),
+                     "version_count": total,
+                     "type_counts": type_counts}
+    if verb == "GET" and parts == ["statistics", "patterns"]:
+        _, names = sim.list_subjects()
+        counts: dict[str, int] = {}
+        for _, x in live_latest_rows():
+            for f in _fields_of(x):
+                k = normalize_field_name(f["name"])
+                counts[k] = counts.get(k, 0) + 1
+        common = [{"field": k, "count": c}
+                  for k, c in sorted(counts.items()) if c >= 2]
+        return 200, {"subject_count": len(names),
+                     "common_fields": common,
+                     "pattern_count": len(common)}
+    if verb == "GET" and len(parts) == 3 \
+            and parts[:2] == ["statistics", "fields"]:
+        field = parts[2]
+        variants = {normalize_field_name(v)
+                    for v in naming_variants(field)}
+        usages = []
+        type_counts: dict[str, int] = {}
+        for s, x in live_latest_rows():
+            for f in _fields_of(x):
+                if normalize_field_name(f["name"]) in variants:
+                    usages.append({"subject": s,
+                                   "field_name": f["name"],
+                                   "field_type": f["type"]})
+                    type_counts[f["type"]] = \
+                        type_counts.get(f["type"], 0) + 1
+        return 200, {"field": field,
+                     "consistent": len(type_counts) <= 1,
+                     "type_counts": type_counts, "usages": usages}
+    if verb == "POST" and len(parts) == 3 and parts[0] == "subjects" \
+            and parts[2] in ("diff", "migrate", "evolve"):
+        subject = sim.resolve_alias(parts[1])
+        if parts[2] == "diff":
+            v1 = payload.get("version1") or 1
+            a = next((x for x in sim._live(subject)
+                      if x["version"] == v1), None)
+            if a is None:
+                return 404, {"error_code": 40402,
+                             "message": f"Version {v1} not found"}
+            v2 = payload.get("version2") or 0
+            if v2 == 0:
+                b = _latest(sim, subject)
+                if b is None:
+                    return 404, {"error_code": 40401,
+                                 "message": "Subject not found"}
+                v2 = b["version"]
+            else:
+                b = next((x for x in sim._live(subject)
+                          if x["version"] == v2), None)
+                if b is None:
+                    return 404, {"error_code": 40402,
+                                 "message": f"Version {v2} not found"}
+            fa = {f["name"]: f["type"] for f in _fields_of(a)}
+            fb = {f["name"]: f["type"] for f in _fields_of(b)}
+            added = [{"field": k, "type": fb[k]}
+                     for k in sorted(set(fb) - set(fa))]
+            removed = [{"field": k, "type": fa[k]}
+                       for k in sorted(set(fa) - set(fb))]
+            changed = [{"field": k, "old_type": fa[k],
+                        "new_type": fb[k]}
+                       for k in sorted(set(fa) & set(fb))
+                       if fa[k] != fb[k]]
+            return 200, {"subject": subject, "version1": v1,
+                         "version2": v2, "added": added or None,
+                         "removed": removed or None,
+                         "changed": changed or None}
+        latest = _latest(sim, subject)
+        if latest is None:
+            return 404, {"error_code": 40401,
+                         "message": "Subject not found"}
+        level = sim._resolved_level(subject)
+        if parts[2] == "evolve":
+            return 200, {"subject": subject,
+                         "current_version": latest["version"],
+                         "compatibility_level": level,
+                         "changes_requested":
+                             len(payload.get("changes") or []),
+                         "message": "Schema evolution suggestions are "
+                                    "available via the MCP tool "
+                                    "suggest_schema_evolution for "
+                                    "richer analysis"}
+        target = payload.get("target_schema") or ""
+        if not target:
+            return bad("target_schema is required")
+        st = (payload.get("schema_type") or latest["type"]
+              or "AVRO").upper()
+        src = {f["name"]: f["type"] for f in _fields_of(latest)}
+        tgt = {f["name"]: f["type"]
+               for f in _fields_of({"text": target, "type": st})}
+        steps = [f"Add field '{k}' (type: {tgt[k]}) with a default "
+                 "value" for k in tgt if k not in src]
+        steps += [f"Remove field '{k}' (may require compatibility "
+                  "level change)" for k in src if k not in tgt]
+        if not steps:
+            steps = ["No migration steps needed — schemas have the "
+                     "same fields"]
+        return 200, {"subject": subject,
+                     "current_version": latest["version"],
+                     "compatibility_level": level, "steps": steps,
+                     "step_count": len(steps)}
+    if verb == "GET" and len(parts) == 5 and parts[0] == "subjects" \
+            and parts[2] == "versions" and parts[4] == "dependencies":
+        subject = sim.resolve_alias(parts[1])
+        try:
+            v = int(parts[3])
+        except ValueError:
+            return 400, {"error_code": 42202,
+                         "message": "Invalid version"}
+        x = next((y for y in sim._live(subject)
+                  if y["version"] == v), None)
+        if x is None:
+            return 404, {"error_code": 40403,
+                         "message": "Schema not found"}
+        ids = sim._referenced_by(subject, {v})
+        refs = [{"subject": s2, "version": y["version"]}
+                for s2 in sorted(sim.subjects)
+                for y in sim._live(s2) if y["id"] in ids]
+        return 200, {"subject": subject, "version": v,
+                     "schema_id": x["id"], "referenced_by": refs}
+    return None
+
+
 def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
     parts, q = _parse_url(url)
     if parts[:2] == ["dek-registry", "v1"]:
         return _dispatch_dek(sim, verb, parts[2:], q, doc)
+    out = _dispatch_analysis(sim, verb, parts, q, doc)
+    if out is not None:
+        return out
     # /contexts/{ctx}/rest... routes to the same handlers with subjects
     # rewritten to the :.ctx: qualified form
     if len(parts) >= 2 and parts[0] == "contexts" and parts[1] != "":

@@ -652,6 +652,64 @@ SELECT * FROM (VALUES
 """
 
 
+def a8q_exact_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 exact flavor: the reference's 4-category 100-point quality
+    scorer + complexity grade per schema
+    (internal/analysis/quality.go:25-141, handlers/analysis.go:520-537)
+    via an Arrow UDF over ``registry.analysis.score_schema_quality`` —
+    the same production function the /schemas/quality endpoint parity
+    replay exercises."""
+    ship_package(spark)
+
+    @F.pandas_udf("overall_score int, max_score int, grade string, "
+                  "naming int, documentation int, type_safety int, "
+                  "evolution int, field_count int, max_depth int, "
+                  "complexity_grade string")
+    def _score(texts: pd.Series, types: pd.Series) -> pd.DataFrame:
+        from axonops_schema_registry_spark.registry.analysis import (
+            complexity_grade,
+            score_schema_quality,
+        )
+        from axonops_schema_registry_spark.registry.fields import (
+            extract_fields,
+        )
+
+        rows = []
+        for text, st in zip(texts, types):
+            fields = extract_fields(text, st)
+            r = score_schema_quality(fields, text, st)
+            c = complexity_grade(fields)
+            rows.append((r["overall_score"], r["max_score"], r["grade"],
+                         r["categories"]["naming"]["score"],
+                         r["categories"]["documentation"]["score"],
+                         r["categories"]["type_safety"]["score"],
+                         r["categories"]["evolution"]["score"],
+                         c["field_count"], c["max_depth"], c["grade"]))
+        return pd.DataFrame(rows, columns=[
+            "overall_score", "max_score", "grade", "naming",
+            "documentation", "type_safety", "evolution", "field_count",
+            "max_depth", "complexity_grade"])
+
+    fx = fixture_schemas(spark)
+    return (fx.withColumn("__q", _score("schema_text", "schema_type"))
+            .select("subject", "version", "__q.*"))
+
+
+A8Q_ORACLE = """
+SELECT * FROM (VALUES
+    ('user-value', 1, 25, 100, 'F', 25, 0, 0, 0, 1, 1, 'A'),
+    ('user-value', 2, 47, 100, 'F', 25, 0, 12, 10, 2, 1, 'A'),
+    ('order-events-value', 1, 69, 100, 'D', 20, 4, 20, 25, 6, 2, 'A'),
+    ('profile-value', 1, 25, 100, 'F', 25, 0, 0, 0, 1, 1, 'A'),
+    ('profile-value', 2, 25, 100, 'F', 25, 0, 0, 0, 2, 1, 'A'),
+    ('event-value', 1, 25, 100, 'F', 25, 0, 0, 0, 1, 1, 'A'),
+    ('event-value', 2, 25, 100, 'F', 25, 0, 0, 0, 2, 1, 'A')
+) AS t(subject, version, overall_score, max_score, grade, naming,
+       documentation, type_safety, evolution, field_count, max_depth,
+       complexity_grade)
+"""
+
+
 def j4r_subject_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 registry flavor: subject-pair similarity — Jaccard over the
     normalized field-name sets of each subject's LATEST schema
@@ -2149,6 +2207,8 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "udf")),
     QuerySpec("a8r_schema_quality", a8r_schema_quality, A8R_ORACLE,
               tags=("registry", "udf", "agg")),
+    QuerySpec("a8q_exact_quality", a8q_exact_quality, A8Q_ORACLE,
+              tags=("registry", "udf")),
     QuerySpec("j4r_subject_similarity", j4r_subject_similarity, J4R_ORACLE,
               tags=("registry", "udf", "join")),
     QuerySpec("r8_delete_reregister", r8_delete_reregister, R8_ORACLE,

@@ -140,6 +140,12 @@ LIFECYCLE_FEATURES = (
     "rest_compatibility_analysis.feature",
     "rest_schema_validation.feature",
     "rest_analysis_edge_cases.feature",
+    # exporter CRUD + pause/resume/reset lifecycle and the bulk
+    # explicit-ID import endpoint (partial results, ID-conflict rules)
+    "exporters.feature",
+    "schema_import.feature",
+    "import_advanced.feature",
+    "import_conflict.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -188,6 +194,9 @@ class RegistrySim:
         #: keks[name] -> record; deks[kek][subject][version] -> record
         self.keks: dict[str, dict] = {}
         self.deks: dict[str, dict[str, dict[int, dict]]] = {}
+        #: exporters (exporters.feature; registry_exporter.go)
+        self.exporters: dict[str, dict] = {}
+        self.exporter_status: dict[str, dict] = {}
         self._ts = 1700000000000
 
     # -- context addressing (:.ctx:subject, default context ".") ---------
@@ -1308,6 +1317,153 @@ class RegistrySim:
             d["ts"] = self._tick()
         return 204, None
 
+    # -- exporters (registry_exporter.go; state PAUSED/RUNNING) -----------
+    _EXP_CTX_TYPES = {"AUTO", "CUSTOM", "NONE"}
+
+    @staticmethod
+    def _exporter_body(e: dict) -> dict:
+        out = {"name": e["name"]}
+        for k in ("contextType", "context", "subjects",
+                  "subjectRenameFormat", "config"):
+            if e.get(k):
+                out[k] = e[k]
+        return out
+
+    def exporter_create(self, payload: dict) -> tuple[int, Any]:
+        name = (payload.get("name") or "").strip()
+        if not name:
+            return 422, {"error_code": 42201,
+                         "message": "Exporter name is required"}
+        ctype = (payload.get("contextType") or "AUTO").upper()
+        if ctype not in self._EXP_CTX_TYPES:
+            return 422, {"error_code": 42201,
+                         "message": f"invalid context type: {ctype} "
+                                    "(must be AUTO, CUSTOM, or NONE)"}
+        if name in self.exporters:
+            return 409, {"error_code": 40950,
+                         "message": "Exporter already exists: " + name}
+        self.exporters[name] = {
+            "name": name, "contextType": ctype,
+            "context": payload.get("context") or "",
+            "subjects": payload.get("subjects") or [],
+            "subjectRenameFormat":
+                payload.get("subjectRenameFormat") or "",
+            "config": payload.get("config") or {}}
+        # new exporters start PAUSED at offset 0
+        self.exporter_status[name] = {"name": name, "state": "PAUSED",
+                                      "offset": 0, "trace": "",
+                                      "ts": self._tick()}
+        return 200, {"name": name}
+
+    def exporter_update(self, name: str, payload: dict,
+                        *, config_only: bool = False) -> tuple[int, Any]:
+        e = self.exporters.get(name)
+        if e is None:
+            return 404, {"error_code": 40450,
+                         "message": "Exporter not found: " + name}
+        if config_only:
+            e["config"] = payload.get("config") or {}
+            return 200, {"name": name}
+        ctype = (payload.get("contextType") or "").upper()
+        if ctype and ctype not in self._EXP_CTX_TYPES:
+            return 422, {"error_code": 42201,
+                         "message": f"invalid context type: {ctype} "
+                                    "(must be AUTO, CUSTOM, or NONE)"}
+        # update REPLACES the record (memory/store.go:1520-1535)
+        self.exporters[name] = {
+            "name": name, "contextType": ctype,
+            "context": payload.get("context") or "",
+            "subjects": payload.get("subjects") or [],
+            "subjectRenameFormat":
+                payload.get("subjectRenameFormat") or "",
+            "config": payload.get("config") or {}}
+        return 200, {"name": name}
+
+    def exporter_state(self, name: str, *, state: str | None = None,
+                       reset: bool = False) -> tuple[int, Any]:
+        if name not in self.exporters:
+            return 404, {"error_code": 40450,
+                         "message": "Exporter not found: " + name}
+        st = self.exporter_status.setdefault(
+            name, {"name": name, "state": "PAUSED", "offset": 0,
+                   "trace": "", "ts": 0})
+        if state:
+            st["state"] = state
+        if reset:
+            st["offset"] = 0
+            st["trace"] = ""
+        st["ts"] = self._tick()
+        return 200, {"name": name}
+
+    def import_schemas(self, payload: dict) -> tuple[int, Any]:
+        """POST /import/schemas — bulk explicit-ID import
+        (registry.go:1184-1309): requires IMPORT mode, per-row
+        validation, partial results, 422 only on total failure."""
+        if (self.root_mode or "READWRITE") != "IMPORT":
+            return 422, {"error_code": 42205,
+                         "message": "Import is not permitted. The "
+                                    "registry must be in IMPORT mode "
+                                    "to import schemas."}
+        schemas = payload.get("schemas") or []
+        if not schemas:
+            return 400, {"error_code": 42201,
+                         "message": "No schemas provided"}
+        results, imported, errors = [], 0, 0
+        for s in schemas:
+            res = {"id": s.get("id") or 0,
+                   "subject": s.get("subject") or "",
+                   "version": s.get("version") or 0, "success": False}
+
+            def fail(msg):
+                nonlocal errors
+                res["error"] = msg
+                errors += 1
+                results.append(res)
+
+            sid, subj = s.get("id") or 0, s.get("subject") or ""
+            ver, text = s.get("version") or 0, s.get("schema") or ""
+            if sid <= 0:
+                fail("schema ID must be positive")
+                continue
+            if not subj:
+                fail("subject is required")
+                continue
+            if ver <= 0:
+                fail("version must be positive")
+                continue
+            if not text:
+                fail("schema is required")
+                continue
+            stype = (s.get("schemaType") or "AVRO").upper()
+            refs = s.get("references")
+            fp = self._fp(text, stype, refs)
+            if fp is None:
+                fail("invalid schema")
+                continue
+            if refs:
+                fp = self._fold_refs_fp(fp, refs)
+            ctx = self.ctx_of(subj)
+            existing_fp = next((f for (c, f), i in self.ids.items()
+                                if i == sid and c == ctx), None)
+            if existing_fp is not None and existing_fp != fp:
+                fail("schema ID already exists")
+                continue
+            vers = self.subjects.setdefault(subj, [])
+            if any(v["version"] == ver for v in vers):
+                fail("subject/version already exists")
+                continue
+            self.ids[(ctx, fp)] = sid
+            self.next_ids[ctx] = max(self.next_ids.get(ctx, 1), sid + 1)
+            vers.append({"version": ver, "text": text, "type": stype,
+                         "fp": fp, "id": sid, "deleted": False,
+                         "references": refs or []})
+            res["success"] = True
+            imported += 1
+            results.append(res)
+        status = 422 if imported == 0 and errors > 0 else 200
+        return status, {"imported": imported, "errors": errors,
+                        "results": results}
+
     # -- delete path ------------------------------------------------------
     def delete_version(self, subject: str, v, *,
                        permanent: bool = False) -> tuple[int, Any]:
@@ -1506,7 +1662,12 @@ STEPS: list[tuple[re.Pattern, str]] = [
      "assert_contains"),
     (re.compile(r'I store the response field "([^"]+)" as "([^"]+)"'),
      "store_field"),
-    (re.compile(r'the audit log should contain'), "ignore"),
+    (re.compile(r'the audit log should'), "ignore"),
+    (re.compile(rf'I import a {_RE_TYPED}schema with ID (\d+) under '
+                r'subject "([^"]+)" version (\d+):'), "import_one"),
+    (re.compile(r'I import schemas:'), "import_many"),
+    (re.compile(r'the import should have (\d+) imported and (\d+) '
+                r'errors?'), "assert_import"),
     (re.compile(r'the schema registry is running'), "ignore"),
     (re.compile(r'no subjects exist'), "ignore"),
     (re.compile(r'I get the schema types'), "schema_types"),
@@ -1955,6 +2116,27 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 if status != 200:
                     mm.append(Mismatch(feature, scenario, bodytext,
                                        "seed 200", (status, body)))
+            elif op == "import_one":
+                stype = (m.group(1) or "AVRO").upper()
+                status, body = sim.import_schemas({"schemas": [
+                    {"id": int(m.group(2)), "subject": m.group(3),
+                     "version": int(m.group(4)), "schema": doc,
+                     "schemaType": stype}]})
+            elif op == "import_many":
+                try:
+                    payload = json.loads(doc)
+                except json.JSONDecodeError:
+                    status, body = 400, {"error_code": 42201}
+                else:
+                    status, body = sim.import_schemas(payload)
+            elif op == "assert_import":
+                n += 1
+                want = (int(m.group(1)), int(m.group(2)))
+                got = (body.get("imported"), body.get("errors")) \
+                    if isinstance(body, dict) else None
+                if got != want:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       want, got))
             elif op == "import_with_id":
                 status, body = sim.register_import(
                     m.group(2), doc, "AVRO", int(m.group(1)),
@@ -2496,10 +2678,83 @@ def _dispatch_analysis(sim: RegistrySim, verb: str, parts, q, doc):
     return None
 
 
+def _dispatch_exporter(sim: RegistrySim, verb: str, parts, q, doc):
+    """/exporters routes (server.go:365-374, exporter.go)."""
+    try:
+        payload = json.loads(doc) if doc else {}
+    except json.JSONDecodeError:
+        return 400, {"error_code": 42201, "message": "Invalid request body"}
+    if parts == ["exporters"]:
+        if verb == "GET":
+            return 200, sorted(sim.exporters)
+        if verb == "POST":
+            return sim.exporter_create(payload)
+        return None
+    if len(parts) >= 2 and parts[0] == "exporters":
+        name = parts[1]
+        if len(parts) == 2:
+            if verb == "GET":
+                e = sim.exporters.get(name)
+                if e is None:
+                    return 404, {"error_code": 40450,
+                                 "message": "Exporter not found: "
+                                            + name}
+                return 200, sim._exporter_body(e)
+            if verb == "PUT":
+                return sim.exporter_update(name, payload)
+            if verb == "DELETE":
+                if name not in sim.exporters:
+                    return 404, {"error_code": 40450,
+                                 "message": "Exporter not found: "
+                                            + name}
+                del sim.exporters[name]
+                sim.exporter_status.pop(name, None)
+                return 200, {"name": name}
+            return None
+        action = parts[2]
+        if action == "pause" and verb == "PUT":
+            return sim.exporter_state(name, state="PAUSED")
+        if action == "resume" and verb == "PUT":
+            return sim.exporter_state(name, state="RUNNING")
+        if action == "reset" and verb == "PUT":
+            return sim.exporter_state(name, reset=True)
+        if action == "status" and verb == "GET":
+            if name not in sim.exporters:
+                return 404, {"error_code": 40450,
+                             "message": "Exporter not found: " + name}
+            st = sim.exporter_status.get(
+                name, {"name": name, "state": "PAUSED", "offset": 0,
+                       "trace": "", "ts": 0})
+            out = {"name": st["name"], "state": st["state"]}
+            for k in ("offset", "ts", "trace"):
+                if st.get(k):
+                    out[k] = st[k]
+            return 200, out
+        if action == "config":
+            if name not in sim.exporters:
+                return 404, {"error_code": 40450,
+                             "message": "Exporter not found: " + name}
+            if verb == "GET":
+                return 200, sim.exporters[name].get("config") or {}
+            if verb == "PUT":
+                return sim.exporter_update(name, payload,
+                                           config_only=True)
+    return None
+
+
 def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
     parts, q = _parse_url(url)
     if parts[:2] == ["dek-registry", "v1"]:
         return _dispatch_dek(sim, verb, parts[2:], q, doc)
+    if parts and parts[0] == "exporters":
+        return _dispatch_exporter(sim, verb, parts, q, doc)
+    if parts == ["import", "schemas"] and verb == "POST":
+        try:
+            payload = json.loads(doc) if doc else {}
+        except json.JSONDecodeError:
+            return 400, {"error_code": 42201,
+                         "message": "Invalid request body"}
+        return sim.import_schemas(payload)
     out = _dispatch_analysis(sim, verb, parts, q, doc)
     if out is not None:
         return out

@@ -96,24 +96,63 @@ class ParseReport:
 
 def _scenarios(text: str):
     """Yield (name, [(step_line, docstring|None), ...]) per scenario.
-    ``Background:`` steps are prepended to every scenario, as Gherkin
-    requires (they typically reset state / set the compat level)."""
+    ``Background:`` steps are prepended to every scenario, and
+    ``Scenario Outline`` + ``Examples`` tables expand to one scenario
+    per row with ``<var>`` placeholders substituted."""
+    for name, steps in _scenarios_raw(text):
+        table_idx = next((k for k, (line, _) in enumerate(steps)
+                          if line.startswith("Examples:")), None)
+        if table_idx is None:
+            yield name, steps
+            continue
+        rows = [[c.strip() for c in line.strip("|").split("|")]
+                for line, _ in steps[table_idx + 1:]
+                if line.startswith("|")]
+        if not rows:
+            continue
+        header, body = rows[0], rows[1:]
+        for r, row in enumerate(body):
+            binding = dict(zip(header, row))
+
+            def sub(s: str) -> str:
+                for k, v in binding.items():
+                    s = s.replace(f"<{k}>", v)
+                return s
+
+            yield (f"{name} [{r}]",
+                   [(sub(line), sub(doc) if doc else doc)
+                    for line, doc in steps[:table_idx]])
+
+
+def _scenarios_raw(text: str):
     lines = text.splitlines()
     i, cur, steps = 0, None, []
     background: list = []
     in_background = False
+    in_examples = False
     while i < len(lines):
         line = lines[i].strip()
         if line.startswith("Background:"):
             in_background = True
             i += 1
             continue
-        if line.startswith("Scenario:"):
+        if line.startswith("Scenario:") or \
+                line.startswith("Scenario Outline:"):
             in_background = False
+            in_examples = False
             if cur is not None:
                 yield cur, steps
-            cur = line[len("Scenario:"):].strip()
+            cur = line.split(":", 1)[1].strip()
             steps = list(background)
+            i += 1
+            continue
+        if cur is not None and line.startswith("Examples:"):
+            in_examples = True
+            steps.append((line, None))
+            i += 1
+            continue
+        if cur is not None and in_examples and line.startswith("|"):
+            steps.append((line, None))
             i += 1
             continue
         if (cur is not None or in_background) \

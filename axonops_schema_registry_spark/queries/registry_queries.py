@@ -710,6 +710,93 @@ SELECT * FROM (VALUES
 """
 
 
+_RF1_EXISTING = [
+    # "pay" v1 reserves ssn via confluent:reserved metadata
+    ("pay", 1, "AVRO",
+     '{"type":"record","name":"Pay","fields":'
+     '[{"name":"amount","type":"long"}]}',
+     '{"properties":{"confluent:reserved":"ssn"}}'),
+]
+_RF1_INCOMING = [
+    # rule 1: new top-level field collides with the reserved name
+    ("pay", 1, "AVRO",
+     '{"type":"record","name":"Pay","fields":'
+     '[{"name":"amount","type":"long"},'
+     '{"name":"ssn","type":"string","default":""}]}',
+     '{"properties":{"confluent:reserved":"ssn"}}'),
+    # rule 2: request metadata drops the previously reserved name
+    ("pay", 2, "AVRO",
+     '{"type":"record","name":"Pay","fields":'
+     '[{"name":"amount","type":"long"},'
+     '{"name":"note","type":"string","default":""}]}',
+     '{"properties":{"owner":"billing"}}'),
+    # keeps the reservation, adds a safe field -> registered
+    ("pay", 3, "AVRO",
+     '{"type":"record","name":"Pay","fields":'
+     '[{"name":"amount","type":"long"},'
+     '{"name":"note","type":"string","default":""}]}',
+     '{"properties":{"confluent:reserved":"ssn"}}'),
+    # NO metadata at all: raw request reserved set is empty -> rule 2
+    # (validation runs BEFORE metadata inheritance, registry.go:175-186)
+    ("pay", 4, "AVRO",
+     '{"type":"record","name":"Pay","fields":'
+     '[{"name":"amount","type":"long"},'
+     '{"name":"memo","type":"string","default":""}]}',
+     None),
+    # fresh subject seeds a reservation in-batch...
+    ("acct", 5, "AVRO",
+     '{"type":"record","name":"Acct","fields":'
+     '[{"name":"id","type":"long"}]}',
+     '{"properties":{"confluent:reserved":"future"}}'),
+    # ...and the NEXT candidate in the same batch must honor it
+    ("acct", 6, "AVRO",
+     '{"type":"record","name":"Acct","fields":'
+     '[{"name":"id","type":"long"},'
+     '{"name":"region","type":"string","default":""}]}',
+     '{"properties":{}}'),
+    # compat rejection still wins over reserved checks (gate order)
+    ("pay", 7, "AVRO",
+     '{"type":"record","name":"Pay","fields":'
+     '[{"name":"amount","type":"string"}]}',
+     '{"properties":{"confluent:reserved":"ssn"}}'),
+]
+
+
+def rf1_reserved_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reserved-field validation in the registration pipeline
+    (validateFields config, registry.go:175-180 + 1483-1512): reserved
+    names from 'confluent:reserved' metadata must not collide with
+    top-level schema fields and must not be dropped by later requests —
+    sequentially exact inside the batch, on the RAW request metadata."""
+    from axonops_schema_registry_spark.registry.registration import (
+        register_batch,
+    )
+
+    existing = spark.createDataFrame(
+        _RF1_EXISTING, "subject string, version int, schema_type string, "
+                       "schema_text string, metadata string")
+    incoming = spark.createDataFrame(
+        _RF1_INCOMING, "subject string, seq long, schema_type string, "
+                       "schema_text string, metadata string")
+    out = register_batch(spark, existing, incoming, mode="BACKWARD",
+                         metadata_col="metadata", validate_fields=True)
+    return out.orderBy("seq").select("subject", "seq", "status",
+                                     "assigned_version", "n_issues")
+
+
+RF1_ORACLE = """
+SELECT * FROM (VALUES
+    ('pay', CAST(1 AS BIGINT), 'reserved_conflict', CAST(NULL AS INT), 1),
+    ('pay', 2, 'reserved_conflict', NULL, 1),
+    ('pay', 3, 'registered', 2, 0),
+    ('pay', 4, 'reserved_conflict', NULL, 1),
+    ('acct', 5, 'registered', 1, 0),
+    ('acct', 6, 'reserved_conflict', NULL, 1),
+    ('pay', 7, 'incompatible', NULL, 1)
+) AS t(subject, seq, status, assigned_version, n_issues)
+"""
+
+
 def j4r_subject_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 registry flavor: subject-pair similarity — Jaccard over the
     normalized field-name sets of each subject's LATEST schema
@@ -2209,6 +2296,8 @@ SPECS: list[QuerySpec] = [
               tags=("registry", "udf", "agg")),
     QuerySpec("a8q_exact_quality", a8q_exact_quality, A8Q_ORACLE,
               tags=("registry", "udf")),
+    QuerySpec("rf1_reserved_fields", rf1_reserved_fields, RF1_ORACLE,
+              tags=("registry", "registration")),
     QuerySpec("j4r_subject_similarity", j4r_subject_similarity, J4R_ORACLE,
               tags=("registry", "udf", "join")),
     QuerySpec("r8_delete_reregister", r8_delete_reregister, R8_ORACLE,

@@ -50,7 +50,34 @@ def _gate_schema(ctx_col: str | None) -> str:
     return f"{ctx}subject string, seq long, status string, n_issues int"
 
 
-def _sequential_gate(mode: str, ctx_col: str | None = None):
+def _reserved_set(metadata_json) -> set[str]:
+    """'confluent:reserved' comma-list from a metadata JSON text
+    (registry.go:1460-1481)."""
+    import json as _json
+
+    if not metadata_json or not isinstance(metadata_json, str):
+        return set()
+    try:
+        props = (_json.loads(metadata_json) or {}).get("properties") or {}
+    except ValueError:
+        return set()
+    val = props.get("confluent:reserved") or ""
+    return {f.strip() for f in val.split(",") if f.strip()}
+
+
+def _top_level_fields(schema_text: str, schema_type: str) -> set[str]:
+    """Top-level field names only (HasTopLevelField,
+    schema/types.go:31-35) — nested record/object fields don't count."""
+    from axonops_schema_registry_spark.registry.fields import (
+        extract_fields,
+    )
+
+    return {f["name"] for f in extract_fields(schema_text, schema_type)
+            if "." not in (f["path"] or "")}
+
+
+def _sequential_gate(mode: str, ctx_col: str | None = None,
+                     validate_fields: bool = False):
     """Per-subject sequential compat gate (cogrouped candidates × history).
 
     Candidates arrive pre-filtered of duplicates vs the existing corpus;
@@ -62,7 +89,15 @@ def _sequential_gate(mode: str, ctx_col: str | None = None):
     compatibility, resolved subject → global → ``mode`` default like the
     reference's GetConfigFull chain), it overrides ``mode`` for that
     subject's group.
-    """
+
+    With ``validate_fields`` the reserved-field rules run after the
+    compat check on each candidate's RAW ``__metadata`` against the
+    latest stored metadata (registry.go:175-180, 1483-1512): a reserved
+    name colliding with a top-level schema field, or a previously
+    reserved name dropped from the request metadata, rejects the row
+    with status ``reserved_conflict`` (the reference's 409).  Stored
+    metadata inherits from the previous version when a request carries
+    none — AFTER validation, like maybeSetMetadataRuleSet."""
 
     def gate(cand: pd.DataFrame, hist: pd.DataFrame) -> pd.DataFrame:
         from axonops_schema_registry_spark.registry.compat import (
@@ -75,9 +110,18 @@ def _sequential_gate(mode: str, ctx_col: str | None = None):
         if "__level" in cand.columns and len(cand):
             level = cand["__level"].iloc[0] or mode
         texts = hist["old_text"].tolist()
+        latest_meta = None
+        if validate_fields and len(hist) and \
+                "__metadata" in hist.columns:
+            latest_meta = hist["__metadata"].iloc[-1]
         accepted_fps: set[str] = set()
+        # itertuples mangles leading-underscore names — pull the
+        # metadata column out positionally instead
+        cand_meta = (cand["__metadata"].tolist()
+                     if validate_fields and "__metadata" in cand.columns
+                     else [None] * len(cand))
         out = []
-        for row in cand.itertuples(index=False):
+        for i, row in enumerate(cand.itertuples(index=False)):
             key = ((getattr(row, ctx_col), row.subject, row.seq)
                    if ctx_col else (row.subject, row.seq))
             if row.fingerprint in accepted_fps:
@@ -85,12 +129,23 @@ def _sequential_gate(mode: str, ctx_col: str | None = None):
                 continue
             ok, msgs = check_compatibility(
                 row.schema_text, texts, level, row.schema_type)
-            if ok:
-                texts.append(row.schema_text)
-                accepted_fps.add(row.fingerprint)
-                out.append(key + ("registered", 0))
-            else:
+            if not ok:
                 out.append(key + ("incompatible", len(msgs)))
+                continue
+            if validate_fields:
+                raw_meta = cand_meta[i]
+                reserved = _reserved_set(raw_meta)
+                issues = len(_reserved_set(latest_meta) - reserved)
+                issues += len(reserved & _top_level_fields(
+                    row.schema_text, row.schema_type))
+                if issues:
+                    out.append(key + ("reserved_conflict", issues))
+                    continue
+                latest_meta = raw_meta if raw_meta is not None \
+                    else latest_meta
+            texts.append(row.schema_text)
+            accepted_fps.add(row.fingerprint)
+            out.append(key + ("registered", 0))
         cols = (([ctx_col] if ctx_col else [])
                 + ["subject", "seq", "status", "n_issues"])
         return pd.DataFrame(out, columns=cols)
@@ -104,7 +159,9 @@ def register_batch(spark: SparkSession, existing: DataFrame,
                    modes: DataFrame | None = None,
                    levels: DataFrame | None = None,
                    group_col: str | None = None,
-                   ctx_col: str | None = None) -> DataFrame:
+                   ctx_col: str | None = None,
+                   metadata_col: str | None = None,
+                   validate_fields: bool = False) -> DataFrame:
     """Process a registration batch.
 
     ``existing``: (subject, version, schema_type, schema_text[, deleted])
@@ -206,7 +263,8 @@ def register_batch(spark: SparkSession, existing: DataFrame,
 
     # -- stage 3: compatibility gate --------------------------------------
     gate_keys = base_keys + ([group_col] if group_col else [])
-    if mode == "NONE" and levels is None:
+    vf = validate_fields and metadata_col is not None
+    if mode == "NONE" and levels is None and not vf:
         # no gate → every non-duplicate registers; sequential semantics
         # degenerate to first-occurrence-wins, expressible declaratively
         # with zero Python stages
@@ -219,9 +277,11 @@ def register_batch(spark: SparkSession, existing: DataFrame,
              .otherwise("registered").alias("status"),
             F.lit(0).alias("n_issues"))
     else:
-        gate_in = candidates.select(*base_keys, "seq", "schema_type",
-                                    "schema_text", "fingerprint",
-                                    *([group_col] if group_col else []))
+        gate_in = candidates.select(
+            *base_keys, "seq", "schema_type", "schema_text",
+            "fingerprint",
+            *([group_col] if group_col else []),
+            *([F.col(metadata_col).alias("__metadata")] if vf else []))
         if levels is not None:
             from axonops_schema_registry_spark.registry.modes import (
                 with_resolved_level,
@@ -232,11 +292,13 @@ def register_batch(spark: SparkSession, existing: DataFrame,
                        .withColumnRenamed("resolved_level", "__level"))
         history = existing_live.select(
             *base_keys, "version", F.col("schema_text").alias("old_text"),
-            *([group_col] if group_col else []))
+            *([group_col] if group_col else []),
+            *([F.col(metadata_col).alias("__metadata")] if vf else []))
         verdict = (gate_in
                    .groupBy(*gate_keys)
                    .cogroup(history.groupBy(*gate_keys))
-                   .applyInPandas(_sequential_gate(mode, ctx_col=ctx_col),
+                   .applyInPandas(_sequential_gate(mode, ctx_col=ctx_col,
+                                                   validate_fields=vf),
                                   _gate_schema(ctx_col)))
 
     # -- stage 4: version assignment (max over ALL rows incl. deleted) ----
@@ -271,11 +333,11 @@ def register_batch(spark: SparkSession, existing: DataFrame,
                               .alias("assigned_version"),
                               F.lit(0).alias("n_issues")))
     rejected = (candidates
-                .join(verdict.filter(F.col("status") == "incompatible")
-                             .select(*verdict_keys, "n_issues"),
+                .join(verdict.filter(F.col("status").isin(
+                          "incompatible", "reserved_conflict"))
+                             .select(*verdict_keys, "status", "n_issues"),
                       verdict_keys)
-                .select(*base_keys, "seq",
-                        F.lit("incompatible").alias("status"),
+                .select(*base_keys, "seq", "status",
                         F.lit(None).cast("int").alias("assigned_version"),
                         "n_issues"))
     registered = assigned.select(

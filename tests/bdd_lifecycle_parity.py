@@ -146,6 +146,10 @@ LIFECYCLE_FEATURES = (
     "schema_import.feature",
     "import_advanced.feature",
     "import_conflict.feature",
+    # goroutine races replayed sequentially — the registry's writes are
+    # serialized, so the deterministic converged outcome is the contract
+    "concurrency.feature",
+    "concurrency_edge_cases.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -1686,6 +1690,37 @@ STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(r'I import a schema with ID (\d+) under subject '
                 r'"([^"]+)"(?: version (\d+))?:'), "import_with_id"),
     (re.compile(r'I list all schemas'), "list_schemas"),
+    # goroutine concurrency scenarios: the registry serializes writes,
+    # so the deterministic outcome equals a sequential replay
+    (re.compile(r'(\d+) goroutines register the same Avro schema to '
+                r'subject "([^"]+)"'), "conc_same"),
+    (re.compile(r'(\d+) goroutines attempt to register schemas to '
+                r'subject "([^"]+)"'), "conc_distinct"),
+    (re.compile(r'(\d+) subjects each with one Avro schema'),
+     "conc_seed_subjects"),
+    (re.compile(r'(\d+) goroutines each soft-delete their own subject'),
+     "conc_delete_each"),
+    (re.compile(r'(\d+) goroutines each register a unique Avro schema '
+                r'to separate subjects'), "conc_separate"),
+    (re.compile(r'(\d+) writer goroutines add versions and (\d+) reader '
+                r'goroutines read latest from subject "([^"]+)"'),
+     "conc_mixed"),
+    (re.compile(r'all concurrent results should succeed'),
+     "assert_conc_ok"),
+    (re.compile(r'all concurrent results should have status (\d+)'),
+     "assert_conc_status"),
+    (re.compile(r'no concurrent results should have a 500 status'),
+     "assert_conc_no500"),
+    (re.compile(r'all returned schema IDs should be identical'),
+     "assert_conc_same_ids"),
+    (re.compile(r'all returned schema IDs should be unique'),
+     "assert_conc_uniq_ids"),
+    (re.compile(r'all reader responses should contain a valid schema'),
+     "assert_conc_reads"),
+    (re.compile(r'subject "([^"]+)" should have exactly (\d+) '
+                r'versions?'), "assert_n_versions"),
+    (re.compile(r'GET /subjects should return an empty array'),
+     "assert_subjects_empty"),
 ]
 
 _UNSUPPORTED_TOKENS = ()
@@ -2144,6 +2179,106 @@ def _replay_scenario(feature: str, scenario: str, steps):
             elif op == "list_schemas":
                 status, body = _dispatch_http(sim, "GET", "/schemas",
                                               None)
+            elif op == "conc_same":
+                text = ('{"type":"record","name":"Conc","fields":'
+                        '[{"name":"v","type":"string"}]}')
+                stored["__conc"] = [sim.register(m.group(2), text)
+                                    for _ in range(int(m.group(1)))]
+                stored["__readers"] = []
+            elif op == "conc_distinct":
+                stored["__conc"] = [
+                    sim.register(m.group(2),
+                                 '{"type":"record","name":"G%d",'
+                                 '"fields":[{"name":"v","type":'
+                                 '"string"}]}' % i)
+                    for i in range(int(m.group(1)))]
+                stored["__readers"] = []
+            elif op == "conc_seed_subjects":
+                subs = [f"conc-subj-{i}"
+                        for i in range(int(m.group(1)))]
+                for i, s in enumerate(subs):
+                    sim.register(s, '{"type":"record","name":"S%d",'
+                                    '"fields":[{"name":"v","type":'
+                                    '"string"}]}' % i)
+                stored["__subjects"] = subs
+            elif op == "conc_delete_each":
+                stored["__conc"] = [sim.delete_subject(s)
+                                    for s in stored.get("__subjects",
+                                                        [])]
+            elif op == "conc_separate":
+                stored["__conc"] = [
+                    sim.register(f"conc-sep-{i}",
+                                 '{"type":"record","name":"U%d",'
+                                 '"fields":[{"name":"v","type":'
+                                 '"string"}]}' % i)
+                    for i in range(int(m.group(1)))]
+            elif op == "conc_mixed":
+                subj = m.group(3)
+                writes, reads = [], []
+                for i in range(int(m.group(1))):
+                    writes.append(sim.register(
+                        subj, '{"type":"record","name":"L%d","fields":'
+                              '[{"name":"x","type":"int"}]}' % i))
+                    reads.append(sim.get_version(subj, "latest"))
+                stored["__conc"] = writes + reads
+                stored["__readers"] = reads
+            elif op == "assert_conc_ok":
+                n += 1
+                bad = [r for r in stored.get("__conc", [])
+                       if r[0] != 200]
+                if bad:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "all 200", bad[:3]))
+            elif op == "assert_conc_status":
+                n += 1
+                want = int(m.group(1))
+                bad = [r for r in stored.get("__conc", [])
+                       if r[0] != want]
+                if bad:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"all {want}", bad[:3]))
+            elif op == "assert_conc_no500":
+                n += 1
+                bad = [r for r in stored.get("__conc", [])
+                       if r[0] >= 500]
+                if bad:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "no 5xx", bad[:3]))
+            elif op == "assert_conc_same_ids":
+                n += 1
+                ids = {r[1].get("id") for r in stored.get("__conc", [])
+                       if isinstance(r[1], dict)}
+                if len(ids) != 1:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "one id", ids))
+            elif op == "assert_conc_uniq_ids":
+                n += 1
+                ids = [r[1].get("id") for r in stored.get("__conc", [])
+                       if isinstance(r[1], dict)]
+                if len(ids) != len(set(ids)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "unique ids", ids))
+            elif op == "assert_conc_reads":
+                n += 1
+                bad = [r for r in stored.get("__readers", [])
+                       if not (r[0] == 200 and isinstance(r[1], dict)
+                               and r[1].get("schema"))]
+                if bad:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "valid schemas", bad[:3]))
+            elif op == "assert_n_versions":
+                n += 1
+                st_, got = sim.list_versions(m.group(1))
+                count = len(got) if st_ == 200 else 0
+                if count != int(m.group(2)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       int(m.group(2)), (st_, got)))
+            elif op == "assert_subjects_empty":
+                n += 1
+                _, got = sim.list_subjects()
+                if got != []:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "[]", got))
             break
         else:
             if bodytext.startswith("|"):
@@ -2743,6 +2878,13 @@ def _dispatch_exporter(sim: RegistrySim, verb: str, parts, q, doc):
 
 
 def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
+    out = _dispatch_http_inner(sim, verb, url, doc)
+    if out is None:
+        return _unknown_path(verb, url)
+    return out
+
+
+def _dispatch_http_inner(sim: RegistrySim, verb: str, url: str, doc):
     parts, q = _parse_url(url)
     if parts[:2] == ["dek-registry", "v1"]:
         return _dispatch_dek(sim, verb, parts[2:], q, doc)
@@ -3087,3 +3229,10 @@ def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
             return sim.delete_version(parts[1], v, permanent=permanent)
         return None
     return None
+
+
+def _unknown_path(verb: str, url: str):
+    """The router's JSON 404 catch-all (error_handling_exhaustive):
+    every modeled endpoint returns earlier, so an unmatched URL is a
+    LOUD 404 mismatch rather than a silent skip."""
+    return 404, {"error_code": 404, "message": "HTTP 404 Not Found"}

@@ -818,8 +818,8 @@ class RegistrySim:
             # DELETE-side missing mode is 40401 (handlers.go:1986)
             return 404, {"error_code": 40401,
                          "message": "Mode not found for subject"}
-        del self.subj_modes[subject]
-        return 200, {"mode": self.resolved_mode(subject)}
+        # DeleteMode returns the PREVIOUS mode (registry.go:1337-1352)
+        return 200, {"mode": self.subj_modes.pop(subject)}
 
     # -- read path --------------------------------------------------------
     def get_version(self, subject: str, v, *,

@@ -170,6 +170,15 @@ def _scenarios_raw(text: str):
                     j += 1
                 doc = "\n".join(buf).strip()
                 i = j + 1
+            elif j < len(lines) and lines[j].strip().startswith("|"):
+                # a Gherkin data table belongs to the step (MCP tool
+                # inputs, audit expectations) — keep the raw rows
+                buf = []
+                while j < len(lines) and lines[j].strip().startswith("|"):
+                    buf.append(lines[j].strip())
+                    j += 1
+                doc = "\n".join(buf)
+                i = j
             else:
                 i += 1
             (background if in_background else steps).append((line, doc))

@@ -58,6 +58,21 @@ MCP_FEATURES = (
     "mcp_workflow_new_topic.feature",
     "mcp_workflow_team_onboarding.feature",
     "mcp_workflow_troubleshooting.feature",
+    # second wave: confirmation flow, tool listing + permission presets,
+    # admin user/API-key store, server basics, resources + glossary +
+    # prompts (content files read from the reference corpus)
+    "mcp_confirmation.feature",
+    "mcp_permissions.feature",
+    "mcp_security.feature",
+    "mcp_server.feature",
+    "mcp_audit.feature",
+    "mcp_observability.feature",
+    "mcp_admin.feature",
+    "mcp_glossary.feature",
+    "mcp_resources.feature",
+    "mcp_resource_context.feature",
+    "mcp_prompts.feature",
+    "mcp_prompts_extended.feature",
 )
 
 
@@ -332,6 +347,573 @@ def _config_write(sim: RegistrySim, name: str, a: dict,
     return ok_json({"compatibilityLevel": level.upper()})
 
 
+_CONTENT_DIR = os.path.join(os.path.dirname(MCP_DIR),
+                            "..", "..", "..", "internal", "mcp",
+                            "content")
+_CONTENT_DIR = os.path.normpath(os.path.join(
+    FEATURES_DIR, "..", "..", "..", "internal", "mcp", "content"))
+
+
+def read_resource(sim: RegistrySim, uri: str):
+    """schema:// resource reads (resources.go / glossary.go) →
+    (text, error|None)."""
+    m = re.match(r"schema://([^/]+)(?:/(.*))?$", uri)
+    if not m:
+        return None, f"unknown resource URI {uri}"
+    host, rest = m.group(1), m.group(2) or ""
+    ctx = "."
+    if host == "contexts" and rest:
+        segs = rest.split("/")
+        if len(segs) == 1:
+            _, body = sim.list_contexts()
+            return _go_json(body), None
+        ctx = segs[0] if segs[0].startswith(".") else "." + segs[0]
+        host, rest = segs[1], "/".join(segs[2:])
+        if host == "config" and not rest:
+            # contexts/{ctx}/config -> the server-config shape
+            host, rest = "server", "config"
+
+    def q(subject: str) -> str:
+        return _qualify(ctx, subject)
+
+    if host == "glossary":
+        path = os.path.join(_CONTENT_DIR, "glossary", rest + ".md")
+        if not os.path.exists(path):
+            return None, f"unknown glossary {rest}"
+        return open(path, encoding="utf-8").read(), None
+    if host == "server" and rest == "info":
+        return _go_json({"version": "dev", "commit": "",
+                         "build_time": "",
+                         "schema_types": ["AVRO", "PROTOBUF",
+                                          "JSON"]}), None
+    if host == "server" and rest == "config":
+        level = sim._resolved_level(q("x") if ctx != "." else "x")
+        return _go_json({"compatibility":
+                         {"compatibilityLevel": level},
+                         "mode": sim.resolved_mode(
+                             q("x") if ctx != "." else "x")}), None
+    if host == "subjects" and not rest:
+        _, body = sim.list_subjects(ctx=ctx if ctx != "." else None)
+        return _go_json(body), None
+    if host == "types":
+        return _go_json(["AVRO", "PROTOBUF", "JSON"]), None
+    if host == "contexts":
+        _, body = sim.list_contexts()
+        return _go_json(body), None
+    if host == "mode":
+        return _go_json({"mode": sim.resolved_mode(
+            q("x") if ctx != "." else "x")}), None
+    if host == "keks" and not rest:
+        return _go_json([sim._kek_body(k)
+                         for n2, k in sorted(sim.keks.items())
+                         if not k["deleted"]]), None
+    if host == "keks":
+        segs = rest.split("/")
+        k = sim.keks.get(segs[0])
+        if k is None or k["deleted"]:
+            return None, f"KEK not found {segs[0]}"
+        if len(segs) == 1:
+            return _go_json(sim._kek_body(k)), None
+        if segs[1] == "deks":
+            st, body = sim.dek_list(segs[0])
+            return _go_json(body), None
+    if host == "exporters" and not rest:
+        return _go_json(sorted(sim.exporters)), None
+    if host == "exporters":
+        e = sim.exporters.get(rest)
+        if e is None:
+            return None, f"exporter not found {rest}"
+        return _go_json(sim._exporter_body(e)), None
+    if host == "status":
+        return _go_json({"healthy": True, "version": "dev",
+                         "cluster_id": "default-cluster"}), None
+    if host == "subjects":
+        segs = rest.split("/")
+        subject = q(segs[0])
+        if len(segs) == 1:
+            row = _latest_row(sim, subject)
+            if row is None:
+                return None, "subject not found"
+            level = sim._resolved_level(subject)
+            return _go_json({"subject": segs[0],
+                             "latest": _record_of(sim, subject, row,
+                                                  with_cv=False),
+                             "compatibility":
+                                 {"compatibilityLevel": level}}), None
+        if segs[1] == "versions" and len(segs) == 2:
+            st, body = sim.list_versions(subject)
+            if st != 200:
+                return None, "subject not found"
+            return _go_json(body), None
+        if segs[1] == "versions" and len(segs) == 3:
+            live = sim._live(sim.resolve_alias(subject))
+            row = next((x for x in live
+                        if str(x["version"]) == segs[2]), None)
+            if row is None:
+                return None, "version not found"
+            return _go_json(_record_of(sim, subject, row,
+                                       with_cv=False)), None
+        if segs[1] == "config":
+            level = sim._resolved_level(subject)
+            return _go_json({"compatibilityLevel": level}), None
+        if segs[1] == "mode":
+            return _go_json({"mode":
+                             sim.resolved_mode(subject)}), None
+    if host == "schemas":
+        segs = rest.split("/")
+        try:
+            sid = int(segs[0])
+        except ValueError:
+            return None, f"invalid schema ID {segs[0]}"
+        if len(segs) == 1:
+            st, body = sim.schema_by_id(sid, ctx)
+            if st != 200:
+                return None, "schema not found"
+            return _go_json(body), None
+        if segs[1] == "subjects":
+            st, body = sim.subjects_for_id(sid, ctx)
+            return _go_json(body if st == 200 else []), None
+        if segs[1] == "versions":
+            st, body = sim.versions_for_id(sid, ctx)
+            return _go_json(body if st == 200 else []), None
+    return None, f"unknown resource URI {uri}"
+
+
+_PROMPT_META: dict[str, str] | None = None
+
+
+def _prompt_descriptions() -> dict[str, str]:
+    """Prompt name → description, parsed from the reference's
+    prompts.go AddPrompt blocks."""
+    global _PROMPT_META
+    if _PROMPT_META is None:
+        path = os.path.normpath(os.path.join(
+            FEATURES_DIR, "..", "..", "..", "internal", "mcp",
+            "prompts.go"))
+        meta: dict[str, str] = {}
+        if os.path.exists(path):
+            text = open(path, encoding="utf-8").read()
+            for m in re.finditer(
+                    r'Name:\s+"([a-z0-9-]+)",\s*\n\s*'
+                    r'Description:\s+"((?:[^"\\]|\\.)*)"', text):
+                meta[m.group(1)] = m.group(2)
+        _PROMPT_META = meta
+    return _PROMPT_META
+
+
+#: static prompts: name -> (file, fixed description) — prompts.go
+_PROMPTS_STATIC = {
+    "getting-started": "Quick-start guide for the Schema Registry MCP "
+                       "server",
+    "troubleshooting": "Troubleshooting guide for schema registry "
+                       "issues",
+    "naming-conventions": "Subject naming conventions guide",
+    "context-management": "Multi-tenant context management guide",
+    "import-from-confluent": "Confluent migration workflow",
+    "setup-rbac": "Authentication and RBAC configuration guide",
+    "schema-references-guide": "Schema references guide with "
+                               "per-format semantics",
+    "full-encryption-lifecycle": "End-to-end CSFLE encryption "
+                                 "lifecycle",
+    "data-rules-deep-dive": "Data contract rules deep dive",
+    "registry-health-audit": "Registry health audit procedure",
+    "schema-evolution-cookbook": "Schema evolution cookbook with "
+                                 "practical recipes",
+    "debug-deserialization": "Consumer deserialization troubleshooting "
+                             "guide",
+    "cicd-integration": "CI/CD pipeline integration guide",
+    "governance-setup": "Schema governance setup guide",
+    "metrics-health-check": "Analyze schema registry health using "
+                            "metrics",
+}
+
+#: subject-templated prompts: name -> (desc fmt, enrichment fmt) where
+#: the enrichment appends the subject's live latest version info
+_PROMPTS_SUBJECT = {
+    "evolve-schema": ('Schema evolution guide for "{s}"',
+                      "\n\nCurrent latest version: {v}, schema type: "
+                      "{t}"),
+    "review-schema-quality": ('Schema quality review for "{s}"',
+                              "\n\nCurrent version: {v}, type: {t}"),
+    "plan-breaking-change": ('Breaking change plan for "{s}"',
+                             "\n\nCurrent version: {v}, type: {t}"),
+    "setup-data-contracts": ('Data contracts setup for "{s}"',
+                             "\n\nCurrent version: {v}, type: {t}"),
+    "impact-analysis": ('Impact analysis guide for "{s}"',
+                        "\n\nCurrent version: {v}, type: {t}"),
+    "deprecate-subject": ('Deprecation workflow for "{s}"',
+                          "\n\nCurrent version: {v}, type: {t}"),
+    "schema-review-checklist": ('Schema review checklist for "{s}"',
+                                "\n\nCurrent latest version: {v}, "
+                                "type: {t}"),
+    "audit-subject-history": ('Version history audit for "{s}"', None),
+    "check-compatibility": ('Compatibility troubleshooting for "{s}"',
+                            None),
+}
+
+#: glossary-lookup keyword routing (prompts.go:696-713)
+_GLOSSARY_KEYWORDS = [
+    ("core-concepts", ["subject", "version", "schema id", "wire format",
+                       "dedup", "fingerprint", "mode", "naming",
+                       "strategy", "register", "serializ"]),
+    ("compatibility", ["compatibility", "backward", "forward", "full",
+                       "transitive", "compat", "promotion", "alias"]),
+    ("data-contracts", ["data contract", "metadata", "ruleset", "rule",
+                        "tag", "merge", "governance", "domain rule",
+                        "migration rule", "encoding rule",
+                        "concurrency"]),
+    ("encryption", ["encrypt", "csfle", "kek", "dek", "kms", "vault",
+                    "envelope", "key rotation", "rewrap", "aes"]),
+    ("contexts", ["context", "multi-tenant", "tenant", "namespace",
+                  "isolation", "inheritance", "global", "__global"]),
+    ("exporters", ["exporter", "schema link", "linking", "replicate",
+                   "disaster recovery"]),
+    ("schema-types", ["avro", "protobuf", "proto", "json schema",
+                      "logical type", "wire type", "canonicali",
+                      "draft"]),
+    ("design-patterns", ["pattern", "envelope", "lifecycle", "snapshot",
+                         "delta", "fat", "thin", "rename", "ci/cd",
+                         "dlq", "dead letter"]),
+    ("best-practices", ["best practice", "naming", "convention",
+                        "mistake", "antipattern", "guidance"]),
+    ("migration", ["migrat", "confluent", "import", "import mode",
+                   "id preserv"]),
+    ("mcp-configuration", ["mcp config", "tool policy", "permission",
+                           "preset", "read-only", "confirmation",
+                           "origin"]),
+    ("error-reference", ["error code", "error ref", "40401", "42201",
+                         "diagnostic"]),
+    ("auth-and-security", ["auth", "rbac", "role", "api key",
+                           "rate limit", "audit"]),
+    ("storage-backends", ["storage", "backend", "postgres", "mysql",
+                          "cassandra", "stateless"]),
+    ("normalization-and-fingerprinting", ["fingerprint", "normal",
+                                          "canonical", "sha-256",
+                                          "dedup"]),
+    ("tool-selection-guide", ["tool", "which tool", "how to",
+                              "decision tree", "find schema"]),
+]
+
+#: debug-registration-error inline diagnostics — the key lines of the
+#: reference's per-code guidance (prompts.go:500-620)
+_DEBUG_GUIDES = {
+    "42201": "Error 42201: Invalid schema\n\nThe schema failed "
+             "validation.\n1. Use validate_schema to get a detailed "
+             "error message",
+    "409": "Error 409: Incompatible schema\n\n1. Use get_config to "
+           "check the compatibility level\n2. Use check_compatibility "
+           "to get detailed incompatibility reasons\n3. Use "
+           "explain_compatibility_failure to understand what changed",
+    "40401": "Error 40401: Subject not found\n\n1. Use list_subjects "
+             "to see all available subjects\n2. Use match_subjects to "
+             "find similarly named subjects",
+    "40402": "Error 40402: Version not found\n\n1. Use list_versions "
+             "to see available versions for the subject",
+    "40403": "Error 40403: Schema not found\n\n1. Use "
+             "get_max_schema_id to see the ID range",
+}
+
+
+def _prompt_file(name: str) -> str | None:
+    path = os.path.join(_CONTENT_DIR, "prompts", name + ".md")
+    if not os.path.exists(path):
+        return None
+    return open(path, encoding="utf-8").read()
+
+
+def get_prompt(sim: RegistrySim, name: str, args: dict):
+    """(text, description, error|None) — the reference's prompt
+    handlers: content files with {placeholder} substitution, live
+    registry enrichment, and dynamic descriptions.  Prompts registered
+    under a 'schema-' prefix resolve to the same handlers."""
+    if name.startswith("schema-") and name not in _PROMPTS_SUBJECT \
+            and name not in _PROMPTS_STATIC and \
+            name not in ("schema-review-checklist",
+                         "schema-evolution-cookbook",
+                         "schema-references-guide"):
+        name = name[len("schema-"):]
+    if name in _PROMPTS_STATIC:
+        text = _prompt_file(name)
+        if text is None:
+            return None, "", f"unknown prompt {name}"
+        return text, _PROMPTS_STATIC[name], None
+    if name == "design-schema":
+        fmt_ = (args.get("format") or "").upper()
+        if not fmt_:
+            return None, "", "required argument 'format' is missing"
+        fname = {"AVRO": "design-schema-avro",
+                 "PROTOBUF": "design-schema-protobuf",
+                 "JSON": "design-schema-json"}.get(fmt_)
+        desc = f"Schema design guide for {fmt_} format"
+        if fname is None:
+            return (f'Unknown format "{fmt_}". Supported formats: '
+                    "AVRO, PROTOBUF, JSON.", desc, None)
+        text = _prompt_file(fname) or ""
+        domain = args.get("domain")
+        if domain:
+            text = (f'Design a {fmt_} schema for the "{domain}" '
+                    f"domain.\n\n{text}")
+        return text, desc, None
+    if name in _PROMPTS_SUBJECT:
+        subject = args.get("subject") or ""
+        if not subject:
+            return None, "", "required argument 'subject' is missing"
+        desc_fmt, enrich = _PROMPTS_SUBJECT[name]
+        text = (_prompt_file(name) or "").replace("{subject}", subject)
+        ctx = args.get("context") or "."
+        qsubject = _qualify(ctx, subject)
+        row = _latest_row(sim, qsubject)
+        if name == "audit-subject-history":
+            st, vers = sim.list_versions(qsubject)
+            if st == 200:
+                text += ("\n\nRegistered versions: ["
+                         + " ".join(str(v) for v in vers) + "]")
+        elif name == "check-compatibility":
+            level = sim._resolved_level(qsubject)
+            text += f"\n\nCurrent compatibility level: {level}"
+        elif row is not None and enrich:
+            text += enrich.format(v=row["version"],
+                                  t=row["type"] or "AVRO")
+        return text, desc_fmt.format(s=subject), None
+    if name == "migrate-schemas":
+        src_f = (args.get("source_format") or "").upper()
+        tgt_f = (args.get("target_format") or "").upper()
+        if not src_f or not tgt_f:
+            return None, "", ("required arguments 'source_format' and "
+                              "'target_format' are missing")
+        text = (_prompt_file(name) or "") \
+            .replace("{source}", src_f).replace("{target}", tgt_f)
+        return text, f"Migration guide from {src_f} to {tgt_f}", None
+    if name == "setup-encryption":
+        kms = args.get("kms_type") or ""
+        if not kms:
+            return None, "", "required argument 'kms_type' is missing"
+        text = (_prompt_file(name) or "").replace("{kms_type}", kms)
+        return text, f"Encryption setup guide for {kms}", None
+    if name == "configure-exporter":
+        etype = args.get("exporter_type") or "AUTO"
+        text = (_prompt_file(name) or "").replace("{exporter_type}",
+                                                  etype)
+        return text, f"Exporter configuration guide ({etype} context)", \
+            None
+    if name == "new-kafka-topic":
+        topic = args.get("topic_name") or ""
+        if not topic:
+            return None, "", "required argument 'topic_name' is missing"
+        fmt_ = (args.get("format") or "AVRO").upper()
+        text = (_prompt_file(name) or "") \
+            .replace("{topic_name}", topic).replace("{format}", fmt_)
+        return text, f'Kafka topic setup for "{topic}" ({fmt_})', None
+    if name == "team-onboarding":
+        team = args.get("team_name") or ""
+        if not team:
+            return None, "", "required argument 'team_name' is missing"
+        text = (_prompt_file(name) or "").replace("{team_name}", team)
+        return text, f'Team onboarding workflow for "{team}"', None
+    if name == "cross-cutting-change":
+        field = args.get("field_name") or ""
+        if not field:
+            return None, "", "required argument 'field_name' is missing"
+        text = (_prompt_file(name) or "").replace("{field_name}", field)
+        return text, \
+            f'Cross-cutting change workflow for field "{field}"', None
+    if name == "compare-formats":
+        use_case = args.get("use_case") or ""
+        if not use_case:
+            return None, "", "required argument 'use_case' is missing"
+        text = (_prompt_file(name) or "").replace("{use_case}",
+                                                  use_case)
+        return text, f'Format comparison for "{use_case}"', None
+    if name == "glossary-lookup":
+        topic = (args.get("topic") or "").lower()
+        if not topic:
+            return None, "", "required argument 'topic' is missing"
+        matched = next(
+            (f"schema://glossary/{slug}"
+             for slug, kws in _GLOSSARY_KEYWORDS
+             if any(kw in topic for kw in kws)),
+            "schema://glossary/core-concepts")
+        text = (_prompt_file(name) or "") \
+            .replace("{topic}", topic).replace("{matched_uri}", matched)
+        return text, f'Glossary lookup for "{topic}"', None
+    if name == "debug-registration-error":
+        code = str(args.get("error_code") or "")
+        if not code:
+            return None, "", "required argument 'error_code' is missing"
+        guide = _DEBUG_GUIDES.get(code)
+        if guide is None:
+            fallback = _prompt_file(name) or ""
+            guide = f"Error code: {code}\n\n{fallback}"
+        return guide, f"Debug guide for error code {code}", None
+    return None, "", f"unknown prompt {name}"
+
+
+#: tool -> required permission scope ("" = always allowed), and the
+#: preset -> scope sets (permissions.go:10-205)
+_SYSTEM_TOOLS = {
+    "health_check", "get_server_info", "get_server_version",
+    "get_cluster_id", "get_schema_types", "list_contexts",
+    "count_subjects", "get_registry_statistics", "get_metrics_summary",
+    "get_metrics_by_category", "query_metric", "list_metrics"}
+_SCOPE_TOOLS = {
+    "schema_read": {
+        "get_schema_by_id", "get_raw_schema_by_id", "get_schema_version",
+        "get_raw_schema_version", "get_latest_schema", "list_versions",
+        "get_subjects_for_schema", "get_versions_for_schema",
+        "get_referenced_by", "lookup_schema", "list_schemas",
+        "get_max_schema_id", "list_subjects", "get_schemas_by_subject",
+        "get_schema_history", "get_dependency_graph", "export_schema",
+        "export_subject", "count_versions", "search_schemas",
+        "match_subjects", "format_schema", "resolve_alias",
+        "get_subject_metadata", "validate_schema", "normalize_schema",
+        "validate_subject_name", "check_compatibility",
+        "find_schemas_by_field", "find_schemas_by_type",
+        "find_similar_schemas", "score_schema_quality",
+        "check_field_consistency", "get_schema_complexity",
+        "detect_schema_patterns", "suggest_schema_evolution",
+        "plan_migration_path", "check_compatibility_multi",
+        "diff_schemas", "compare_subjects", "suggest_compatible_change",
+        "explain_compatibility_failure"},
+    "schema_write": {"register_schema"},
+    "schema_delete": {"delete_subject", "delete_version"},
+    "config_read": {"get_config", "get_config_full",
+                    "get_subject_config_full",
+                    "get_global_config_direct"},
+    "config_write": {"set_config", "set_config_full", "delete_config"},
+    "mode_read": {"get_mode", "check_write_mode"},
+    "mode_write": {"set_mode", "delete_mode"},
+    "import": {"import_schemas"},
+    "encryption_read": {"get_kek", "list_keks", "get_dek", "list_deks",
+                        "list_dek_versions"},
+    "encryption_write": {"create_kek", "update_kek", "delete_kek",
+                         "undelete_kek", "test_kek", "create_dek",
+                         "delete_dek", "undelete_dek", "rewrap_dek"},
+    "exporter_read": {"list_exporters", "get_exporter",
+                      "get_exporter_status", "get_exporter_config"},
+    "exporter_write": {"create_exporter", "update_exporter",
+                       "delete_exporter", "pause_exporter",
+                       "resume_exporter", "reset_exporter",
+                       "update_exporter_config"},
+    "admin_read": {"list_users", "get_user", "get_user_by_username",
+                   "list_apikeys", "get_apikey", "list_roles"},
+    "admin_write": {"create_user", "update_user", "delete_user",
+                    "change_password", "create_apikey", "update_apikey",
+                    "delete_apikey", "revoke_apikey", "rotate_apikey"},
+}
+_PRESETS = {
+    "readonly": {"schema_read", "config_read", "mode_read",
+                 "encryption_read", "exporter_read"},
+    "developer": {"schema_read", "config_read", "mode_read",
+                  "encryption_read", "exporter_read", "schema_write",
+                  "config_write"},
+    "operator": {"schema_read", "config_read", "mode_read",
+                 "encryption_read", "exporter_read", "schema_write",
+                 "config_write", "schema_delete", "mode_write",
+                 "encryption_write", "exporter_write", "import"},
+    "admin": {"schema_read", "config_read", "mode_read",
+              "encryption_read", "exporter_read", "schema_write",
+              "config_write", "schema_delete", "mode_write",
+              "encryption_write", "exporter_write", "import",
+              "admin_read", "admin_write"},
+    "full": None,
+}
+
+
+def allowed_tools(scopes) -> list[str]:
+    out = set(_SYSTEM_TOOLS)
+    for scope, tools in _SCOPE_TOOLS.items():
+        if scopes is None or scope in scopes:
+            out |= tools
+    return sorted(out)
+
+
+def tool_allowed(name: str, scopes) -> bool:
+    if scopes is None or name in _SYSTEM_TOOLS:
+        return True
+    return any(name in _SCOPE_TOOLS.get(s, ()) for s in scopes)
+
+
+def _confirm_scope(name: str, a: dict):
+    """(requires?, scope-args) per confirmableTools + call sites
+    (confirmation.go:149-158, tools_*.go)."""
+    def b(k):
+        v = a.get(k)
+        return v if isinstance(v, bool) else str(v).lower() == "true"
+
+    if name == "delete_subject" and b("permanent"):
+        return {"subject": a.get("subject"), "permanent": True}
+    if name == "delete_version" and b("permanent"):
+        return {"subject": a.get("subject"),
+                "version": a.get("version"), "permanent": True}
+    if name == "import_schemas":
+        return {"schema_count": len(a.get("schemas") or []),
+                "schemas_hash": _go_json(a.get("schemas") or [])}
+    if name == "set_mode" and \
+            str(a.get("mode") or "").upper() == "IMPORT":
+        return {"subject": a.get("subject"), "mode": a.get("mode")}
+    if name == "delete_config" and not a.get("subject"):
+        return {"subject": ""}
+    if name == "delete_kek" and b("permanent"):
+        return {"name": a.get("name"), "permanent": True}
+    if name == "delete_dek" and b("permanent"):
+        return {"kek_name": a.get("kek_name"),
+                "subject": a.get("subject"),
+                "version": a.get("version"),
+                "algorithm": a.get("algorithm"), "permanent": True}
+    if name == "delete_exporter":
+        return {"name": a.get("name")}
+    return None
+
+
+def _confirm_check(sim: RegistrySim, name: str, a: dict):
+    """Two-phase confirmation (confirmation.go:187-286). Returns a
+    (text, is_error) result to short-circuit with, or None to proceed."""
+    if not getattr(sim, "_confirm_enabled", False):
+        return None
+    scope = _confirm_scope(name, a)
+    if scope is None:
+        return None
+    store = getattr(sim, "_confirm_tokens", None)
+    if store is None:
+        store = sim._confirm_tokens = {}
+    key = (name, _go_json(scope))
+    if a.get("dry_run"):
+        sim._ts += 1
+        token = f"confirm-{sim._ts}"
+        store[token] = {"key": key, "used": False}
+        preview = {"action": name, **{k: v for k, v in scope.items()
+                                      if k != "schemas_hash"}}
+        return _go_json({"confirmation_required": True,
+                         "confirm_token": token, "preview": preview,
+                         "message": "This operation requires "
+                         f"confirmation. To proceed, call {name} again "
+                         "with confirm_token set to the token above "
+                         "and dry_run omitted or false."}), False
+    token = a.get("confirm_token")
+    if token:
+        entry = store.get(token)
+        if entry is None:
+            return ("error: confirmation failed: invalid or expired "
+                    "confirmation token", True)
+        if entry["used"]:
+            return ("error: confirmation failed: confirmation token "
+                    "has already been used", True)
+        if entry["key"][0] != name:
+            return (f"error: confirmation failed: confirmation token "
+                    f"was issued for tool \"{entry['key'][0]}\", not "
+                    f"\"{name}\"", True)
+        if entry["key"] != key:
+            return ("error: confirmation failed: confirmation token "
+                    "does not match the provided arguments", True)
+        entry["used"] = True
+        return None
+    return _go_json({"error": "confirmation_required",
+                     "confirmation_required": True,
+                     "message": "This destructive operation requires "
+                     f"confirmation. Call {name} with dry_run=true "
+                     "first to get a confirmation token."}), False
+
+
 def call_tool(sim: RegistrySim, name: str, a: dict) -> tuple[str, bool]:
     """Dispatch one MCP tool call → (result_text, is_error)."""
     ctx = a.get("context") or "."
@@ -340,6 +922,10 @@ def call_tool(sim: RegistrySim, name: str, a: dict) -> tuple[str, bool]:
 
     def ok_json(v) -> tuple[str, bool]:
         return _go_json(v), False
+
+    blocked = _confirm_check(sim, name, a)
+    if blocked is not None:
+        return blocked
 
     # --- config / mode (tools_config.go) ------------------------------
     if name == "get_config":
@@ -378,10 +964,23 @@ def call_tool(sim: RegistrySim, name: str, a: dict) -> tuple[str, bool]:
             return _err(body)
         return ok_json(body)
 
-    # --- schema reads (tools_schema.go) -------------------------------
+    # --- server basics + schema reads (tools.go / tools_schema.go) ----
+    if name == "health_check":
+        return "Schema registry is healthy", False
+    if name == "get_server_info":
+        return ok_json({"version": "dev",
+                        "schema_types": ["AVRO", "PROTOBUF", "JSON"]})
     if name == "list_subjects":
         st, body = sim.list_subjects(deleted=bool(a.get("deleted")),
                                      ctx=ctx if ctx != "." else None)
+        if a.get("prefix"):
+            body = [s for s in body if s.startswith(a["prefix"])]
+        if a.get("pattern"):
+            try:
+                rx = re.compile(a["pattern"])
+            except re.error as exc:
+                return (f"error: invalid regex pattern: {exc}", True)
+            body = [s for s in body if rx.search(s)]
         return ok_json(body)
     if name == "get_latest_schema":
         st, body = sim.get_version(subject, "latest")
@@ -1127,6 +1726,127 @@ def call_tool(sim: RegistrySim, name: str, a: dict) -> tuple[str, bool]:
                         "schemaType": body["schemaType"],
                         "schema": body["schema"]})
 
+    # --- admin users / API keys (tools_admin.go; in-memory auth store)
+    if name == "list_roles":
+        return ok_json([
+            {"name": "super_admin",
+             "description": "Full access to everything including user "
+                            "management"},
+            {"name": "admin",
+             "description": "Can manage schemas, configuration, and "
+                            "view admin info"},
+            {"name": "developer",
+             "description": "Can register and read schemas"},
+            {"name": "readonly",
+             "description": "Can only read schemas and configuration"},
+        ])
+    if name in ("create_user", "list_users", "get_user", "update_user",
+                "delete_user", "get_user_by_username",
+                "change_password", "create_apikey", "list_apikeys",
+                "get_apikey", "update_apikey", "delete_apikey",
+                "revoke_apikey", "rotate_apikey"):
+        users = getattr(sim, "_users", None)
+        if users is None:
+            users = sim._users = {}
+            sim._apikeys = {}
+            sim._next_uid = 1
+
+        def user_body(u):
+            return {"id": u["id"], "username": u["username"],
+                    "email": u.get("email", ""), "role": u["role"],
+                    "enabled": u["enabled"]}
+
+        def key_body(k):
+            return {"id": k["id"], "key_prefix": k["key"][:8],
+                    "name": k["name"], "role": k["role"],
+                    "user_id": k["user_id"], "enabled": k["enabled"]}
+
+        if name == "create_user":
+            uname = a.get("username") or ""
+            if not uname or not a.get("password"):
+                return _err({"message": "username and password are "
+                                        "required"})
+            if any(u["username"] == uname for u in users.values()):
+                return _err({"message": "user already exists"})
+            uid = sim._next_uid
+            sim._next_uid += 1
+            users[uid] = {"id": uid, "username": uname,
+                          "email": a.get("email", ""),
+                          "role": a.get("role") or "readonly",
+                          "enabled": a.get("enabled", True),
+                          "password": a["password"]}
+            return ok_json(user_body(users[uid]))
+        if name == "list_users":
+            return ok_json([user_body(u)
+                            for _, u in sorted(users.items())])
+        if name in ("get_user", "update_user", "delete_user",
+                    "change_password"):
+            u = users.get(int(a.get("id") or 0))
+            if u is None:
+                return _err({"message": "user not found"})
+            if name == "get_user":
+                return ok_json(user_body(u))
+            if name == "delete_user":
+                del users[u["id"]]
+                return ok_json({"deleted": True})
+            if name == "change_password":
+                if a.get("old_password") != u["password"]:
+                    return _err({"message": "invalid password"})
+                u["password"] = a.get("new_password") or ""
+                return ok_json({"changed": True})
+            for k in ("email", "role", "enabled", "password"):
+                if a.get(k) is not None:
+                    u[k] = a[k]
+            return ok_json(user_body(u))
+        if name == "get_user_by_username":
+            u = next((u for u in users.values()
+                      if u["username"] == (a.get("username") or "")),
+                     None)
+            if u is None:
+                return _err({"message": "user not found"})
+            return ok_json(user_body(u))
+        keys = sim._apikeys
+        if name == "create_apikey":
+            if (a.get("expires_in") or 0) <= 0:
+                return _err({"message": "expires_in is required and "
+                                        "must be positive (duration in "
+                                        "seconds)"})
+            if int(a.get("user_id") or 0) not in users:
+                return _err({"message": "user not found"})
+            kid = sim._next_uid
+            sim._next_uid += 1
+            keys[kid] = {"id": kid, "key": f"sk-{kid:08d}-secret",
+                         "name": a.get("name") or "",
+                         "role": a.get("role") or "readonly",
+                         "user_id": int(a["user_id"]),
+                         "enabled": True}
+            return ok_json({**key_body(keys[kid]),
+                            "key": keys[kid]["key"]})
+        if name == "list_apikeys":
+            pool = [k for _, k in sorted(keys.items())
+                    if not a.get("user_id")
+                    or k["user_id"] == int(a["user_id"])]
+            return ok_json([key_body(k) for k in pool])
+        k = keys.get(int(a.get("id") or 0))
+        if k is None:
+            return _err({"message": "API key not found"})
+        if name == "get_apikey":
+            return ok_json(key_body(k))
+        if name == "update_apikey":
+            for f2 in ("name", "role", "enabled"):
+                if a.get(f2) is not None:
+                    k[f2] = a[f2]
+            return ok_json(key_body(k))
+        if name == "delete_apikey":
+            del keys[k["id"]]
+            return ok_json({"deleted": True})
+        if name == "revoke_apikey":
+            k["enabled"] = False
+            return ok_json({"revoked": True})
+        if name == "rotate_apikey":
+            k["key"] = f"sk-{k['id']:08d}-rotated"
+            return ok_json({**key_body(k), "key": k["key"]})
+
     return None  # unknown tool → scenario skipped
 
 
@@ -1167,6 +1887,28 @@ STEPS: list[tuple[re.Pattern, str]] = [
                 rf'stored {_QUOTED}'), "field_stored"),
     (re.compile(rf'I store the MCP result field {_QUOTED} as '
                 rf'{_QUOTED}'), "store_field"),
+    (re.compile(r'MCP confirmations are enabled'), "confirm_on"),
+    (re.compile(rf'MCP permission preset is {_QUOTED}'), "preset"),
+    (re.compile(rf'MCP permission scopes are {_QUOTED}'), "scopes"),
+    (re.compile(r'I list MCP tools'), "list_tools"),
+    (re.compile(rf'I read MCP resource {_QUOTED}'), "read_resource"),
+    (re.compile(rf'the MCP resource result should contain {_QUOTED}'),
+     "res_contains"),
+    (re.compile(rf'the MCP resource result should not contain '
+                rf'{_QUOTED}'), "res_not_contains"),
+    (re.compile(rf'I get MCP prompt {_QUOTED} with arguments:'),
+     "get_prompt_args"),
+    (re.compile(rf'I get MCP prompt {_QUOTED}'), "get_prompt"),
+    (re.compile(rf'the MCP prompt result should contain {_QUOTED}'),
+     "prompt_contains"),
+    (re.compile(rf'the MCP prompt result should not contain '
+                rf'{_QUOTED}'), "prompt_not_contains"),
+    (re.compile(rf'the MCP prompt description should contain '
+                rf'{_QUOTED}'), "prompt_desc_contains"),
+    (re.compile(r'the MCP prompt result should be an error'),
+     "prompt_is_error"),
+    (re.compile(r'the MCP resource result should be an error'),
+     "res_is_error"),
     (re.compile(r'the audit log should'), "ignore"),
     (re.compile(r'the schema registry is running'), "ignore"),
     (re.compile(r'no subjects exist'), "ignore"),
@@ -1226,6 +1968,8 @@ def _replay_scenario(feature: str, scenario: str, steps):
     stored: dict[str, Any] = {}
     last_resp: Any = None
     text_out, is_err = "", False
+    res_text, res_err = "", None
+    prompt_text, prompt_desc, prompt_err = "", "", None
     n = 0
     mm: list[Mismatch] = []
 
@@ -1243,6 +1987,11 @@ def _replay_scenario(feature: str, scenario: str, steps):
 
     def run_tool(tool: str, args: dict):
         nonlocal text_out, is_err
+        scopes = getattr(sim, "_scopes", None)
+        if not tool_allowed(tool, scopes):
+            # the tool is simply not registered under this preset
+            text_out, is_err = f"error: tool {tool} not found", True
+            return None
         out = call_tool(sim, tool, args)
         if out is None:
             return f"unknown MCP tool: {tool}"
@@ -1259,6 +2008,69 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 continue
             if op == "ignore":
                 pass
+            elif op == "confirm_on":
+                sim._confirm_enabled = True
+            elif op == "preset":
+                sim._scopes = _PRESETS.get(m.group(1), set())
+            elif op == "scopes":
+                sim._scopes = {s.strip()
+                               for s in m.group(1).split(",")}
+            elif op == "list_tools":
+                text_out = _go_json(allowed_tools(
+                    getattr(sim, "_scopes", None)))
+                is_err = False
+            elif op == "read_resource":
+                res_text, res_err = read_resource(sim, m.group(1))
+                res_text = res_text or ""
+            elif op == "res_contains":
+                n += 1
+                want = _unescape(m.group(1))
+                if want not in res_text:
+                    mm.append(Mismatch(feature, scenario, body, want,
+                                       (res_err or res_text)[:200]))
+            elif op == "res_not_contains":
+                n += 1
+                want = _unescape(m.group(1))
+                if want in res_text:
+                    mm.append(Mismatch(feature, scenario, body,
+                                       f"not {want}", res_text[:200]))
+            elif op == "res_is_error":
+                n += 1
+                if res_err is None:
+                    mm.append(Mismatch(feature, scenario, body,
+                                       "error", res_text[:200]))
+            elif op in ("get_prompt", "get_prompt_args"):
+                args = _parse_table(doc) if op == "get_prompt_args" \
+                    else {}
+                args = {k: str(v) for k, v in args.items()}
+                prompt_text, prompt_desc, prompt_err = get_prompt(
+                    sim, m.group(1), args)
+                prompt_text = prompt_text or ""
+            elif op == "prompt_contains":
+                n += 1
+                want = _unescape(m.group(1))
+                if want not in prompt_text:
+                    mm.append(Mismatch(
+                        feature, scenario, body, want,
+                        (prompt_err or prompt_text)[:200]))
+            elif op == "prompt_not_contains":
+                n += 1
+                want = _unescape(m.group(1))
+                if want in prompt_text:
+                    mm.append(Mismatch(feature, scenario, body,
+                                       f"not {want}",
+                                       prompt_text[:200]))
+            elif op == "prompt_desc_contains":
+                n += 1
+                want = _unescape(m.group(1))
+                if want not in prompt_desc:
+                    mm.append(Mismatch(feature, scenario, body, want,
+                                       prompt_desc[:200]))
+            elif op == "prompt_is_error":
+                n += 1
+                if prompt_err is None:
+                    mm.append(Mismatch(feature, scenario, body,
+                                       "error", prompt_text[:120]))
             elif op == "call_plain":
                 err = run_tool(m.group(1), {})
                 if err:
@@ -1272,6 +2084,10 @@ def _replay_scenario(feature: str, scenario: str, steps):
                     args = json.loads(doc) if doc else {}
                 except json.JSONDecodeError as exc:
                     return 0, [], f"bad JSON input: {exc}"
+                if op == "call_json_stored":
+                    # the step driver injects the stored value as
+                    # confirm_token (mcp_steps.go:548-564)
+                    args["confirm_token"] = str(stored.get(m.group(2)))
                 err = run_tool(m.group(1), args)
                 if err:
                     return 0, [], err

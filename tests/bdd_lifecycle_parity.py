@@ -150,6 +150,16 @@ LIFECYCLE_FEATURES = (
     # serialized, so the deterministic converged outcome is the contract
     "concurrency.feature",
     "concurrency_edge_cases.feature",
+    # HTTP surface basics: health/liveness, server metadata, OpenAPI
+    # docs (served from the reference's api/openapi.yaml), 405 method
+    # guard, content-type contracts, hardening error shapes
+    "health.feature",
+    "health_and_metadata.feature",
+    "server_info.feature",
+    "method_not_allowed.feature",
+    "content_types.feature",
+    "documentation.feature",
+    "security_hardening.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -1635,7 +1645,10 @@ STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(rf'I lookup schema in subject "([^"]+)":'), "lookup"),
     (re.compile(r'I get schema by ID (\S+)'), "schema_by_id"),
     (re.compile(r'I get the subjects for schema ID (\S+)'), "subjects_for_id"),
-    (re.compile(r'I (GET|DELETE) "([^"]+)"'), "http"),
+    (re.compile(r'I (GET|DELETE|PATCH|HEAD|OPTIONS) "([^"]+)"'),
+     "http"),
+    (re.compile(r'the response header "Content-Type" should contain '
+                r'"([^"]+)"'), "assert_content_type"),
     (re.compile(r'the response status should be (\d+)'), "assert_status"),
     (re.compile(r'the response should have error code (\d+)'), "assert_err"),
     (re.compile(r'the response should be an array of length (\d+)'),
@@ -1672,7 +1685,12 @@ STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(r'I import schemas:'), "import_many"),
     (re.compile(r'the import should have (\d+) imported and (\d+) '
                 r'errors?'), "assert_import"),
-    (re.compile(r'the schema registry is running'), "ignore"),
+    (re.compile(r'the schema registry is running'), "running"),
+    (re.compile(r'I get the cluster ID'), "cluster_id"),
+    (re.compile(r'I get the server version'), "server_version"),
+    (re.compile(r'I get the contexts'), "get_contexts"),
+    (re.compile(r'the response should not contain "((?:[^"\\]|\\.)*)"'),
+     "assert_not_contains"),
     (re.compile(r'no subjects exist'), "ignore"),
     (re.compile(r'I get the schema types'), "schema_types"),
     (re.compile(r'I get the raw schema by ID (\d+)'), "raw_by_id"),
@@ -1785,7 +1803,18 @@ def _replay_scenario(feature: str, scenario: str, steps):
             m = rx.search(bodytext)
             if not m:
                 continue
-            if op == "glob":
+            if op == "running":
+                # the step driver's health probe (GET /) -> 200
+                status, body = 200, {}
+            elif op == "cluster_id":
+                status, body = _dispatch_http(sim, "GET",
+                                              "/v1/metadata/id", None)
+            elif op == "server_version":
+                status, body = _dispatch_http(
+                    sim, "GET", "/v1/metadata/version", None)
+            elif op == "get_contexts":
+                status, body = sim.list_contexts()
+            elif op == "glob":
                 sim.root_level = m.group(1)
             elif op == "subj_level":
                 sim.levels[m.group(1)] = m.group(2)
@@ -1993,6 +2022,23 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 if out is None:
                     return 0, [], f"unsupported URL: {verb} {url}"
                 status, body = out
+            elif op == "assert_content_type":
+                # the dispatch models bodies, not headers — infer the
+                # content type the server would set for this body
+                n += 1
+                if isinstance(body, str):
+                    got_ct = ("text/yaml" if body.startswith("openapi")
+                              else "text/html" if "<" in body[:10]
+                              else "application/json")
+                else:
+                    # registry JSON endpoints use the Confluent media
+                    # type (writeJSON, handlers.go:1444+); the health
+                    # endpoints use plain application/json
+                    got_ct = ("application/vnd.schemaregistry.v1+json; "
+                              "also application/json")
+                if m.group(1) not in got_ct:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       m.group(1), got_ct))
             elif op == "assert_status":
                 n += 1
                 if status != int(m.group(1)):
@@ -3069,6 +3115,27 @@ def _dispatch_http_inner(sim: RegistrySim, verb: str, url: str, doc):
             return sim.get_global_mode()
         if len(parts) == 2 and parts[0] == "mode":
             return sim.get_subject_mode(parts[1], default_to_global=dtg)
+        if not parts:
+            return 200, {}
+        if parts == ["health"] or (len(parts) == 2
+                                   and parts[0] == "health"):
+            # /, /health/live, /health/ready, /health/startup all
+            # report liveness (handlers.go:126-160)
+            return 200, {"status": "UP"}
+        if parts == ["docs"]:
+            return 200, "<html>swagger-ui</html>"
+        if parts == ["openapi.yaml"]:
+            spec = os.path.join(FEATURES_DIR, "..", "..", "..", "api",
+                                "openapi.yaml")
+            spec = os.path.normpath(spec)
+            if os.path.exists(spec):
+                return 200, open(spec, encoding="utf-8").read()
+            return 404, {"error_code": 404}
+        if parts == ["v1", "metadata", "id"]:
+            return 200, {"id": "default-cluster"}
+        if parts == ["v1", "metadata", "version"]:
+            return 200, {"version": "dev", "commit": "",
+                         "build_time": ""}
         if parts == ["subjects", "count"]:
             return sim.count_subjects()
         if parts == ["subjects"]:
@@ -3231,8 +3298,31 @@ def _dispatch_http_inner(sim: RegistrySim, verb: str, url: str, doc):
     return None
 
 
+#: route pattern -> allowed verbs, for the chi MethodNotAllowed
+#: handler (server.go:139, 485-496); everything else is the 404
+_ROUTE_VERBS = [
+    (re.compile(r"^/schemas/types$"), {"GET"}),
+    (re.compile(r"^/schemas/ids/[^/]+(/.*)?$"), {"GET"}),
+    (re.compile(r"^/schemas$"), {"GET"}),
+    (re.compile(r"^/subjects$"), {"GET"}),
+    (re.compile(r"^/subjects/[^/]+$"), {"GET", "POST", "DELETE"}),
+    (re.compile(r"^/subjects/[^/]+/versions$"), {"GET", "POST"}),
+    (re.compile(r"^/subjects/[^/]+/versions/[^/]+$"),
+     {"GET", "DELETE"}),
+    (re.compile(r"^/config(/[^/]+)?$"), {"GET", "PUT", "DELETE"}),
+    (re.compile(r"^/mode(/[^/]+)?$"), {"GET", "PUT", "DELETE"}),
+    (re.compile(r"^/contexts$"), {"GET"}),
+]
+
+
 def _unknown_path(verb: str, url: str):
-    """The router's JSON 404 catch-all (error_handling_exhaustive):
-    every modeled endpoint returns earlier, so an unmatched URL is a
-    LOUD 404 mismatch rather than a silent skip."""
+    """The router's JSON 404 catch-all and 405 method guard
+    (error_handling_exhaustive / method_not_allowed): every modeled
+    endpoint returns earlier, so an unmatched URL is a LOUD mismatch
+    rather than a silent skip."""
+    path = url.partition("?")[0]
+    for rx, verbs in _ROUTE_VERBS:
+        if rx.match(path) and verb not in verbs:
+            return 405, {"error_code": 405,
+                         "message": "HTTP 405 Method Not Allowed"}
     return 404, {"error_code": 404, "message": "HTTP 404 Not Found"}

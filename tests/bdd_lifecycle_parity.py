@@ -160,6 +160,16 @@ LIFECYCLE_FEATURES = (
     "content_types.feature",
     "documentation.feature",
     "security_hardening.feature",
+    # the auth-backed admin surface: seeded super_admin + basic-auth
+    # actors, role permissions on every route once authenticated,
+    # user/API-key CRUD, self-service account endpoints
+    "admin_users.feature",
+    "admin_apikeys.feature",
+    "account_self_service.feature",
+    "auth_apikey_memory.feature",
+    "auth_basic.feature",
+    "auth_htpasswd.feature",
+    "rate_limiting.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -211,6 +221,24 @@ class RegistrySim:
         #: exporters (exporters.feature; registry_exporter.go)
         self.exporters: dict[str, dict] = {}
         self.exporter_status: dict[str, dict] = {}
+        #: auth store (admin_users/admin_apikeys/account_self_service):
+        #: the test server pre-seeds a super_admin + two config-defined
+        #: API keys; actor None = anonymous, "bad" = failed credentials
+        self.users: dict[int, dict] = {
+            1: {"id": 1, "username": "admin", "email": "",
+                "role": "super_admin", "enabled": True,
+                "password": "admin-password"}}
+        self.apikeys: dict[int, dict] = {}
+        self.next_uid = 2
+        self.actor = None
+        self.config_keys = {"test-apikey-admin": "admin",
+                            "test-apikey-readonly": "readonly"}
+        #: htpasswd fixture users (auth_htpasswd.feature; RBAC
+        #: default_role readonly)
+        self.htpasswd = {"htuser1": "htpassword1",
+                         "htuser2": "htpassword2"}
+        #: the auth_* features run against an auth-REQUIRED server
+        self.auth_required = False
         self._ts = 1700000000000
 
     # -- context addressing (:.ctx:subject, default context ".") ---------
@@ -1686,6 +1714,49 @@ STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(r'the import should have (\d+) imported and (\d+) '
                 r'errors?'), "assert_import"),
     (re.compile(r'the schema registry is running'), "running"),
+    (re.compile(r'I authenticate as "([^"]+)" with password "([^"]*)"'),
+     "auth_basic"),
+    (re.compile(r'I authenticate with stored API key "([^"]+)"'),
+     "auth_stored_key"),
+    (re.compile(r'I authenticate with API key "([^"]+)"'), "auth_key"),
+    (re.compile(r'I clear authentication'), "auth_clear"),
+    (re.compile(r'I create a user with username "([^"]+)" password '
+                r'"([^"]+)" role "([^"]+)"(?: email "([^"]+)")?'),
+     "mk_user"),
+    (re.compile(r'I create an API key with name "([^"]+)" role '
+                r'"([^"]+)" expires_in (\d+)'), "mk_key"),
+    (re.compile(r'I list all users'), "list_users"),
+    (re.compile(r'I list all API keys'), "list_keys"),
+    (re.compile(r'I list roles'), "list_roles"),
+    (re.compile(r'I get user by stored ID "([^"]+)"'), "get_user_sid"),
+    (re.compile(r'I get user by ID "(\d+)"'), "get_user_id"),
+    (re.compile(r'I update user "(\d+)" with:'), "upd_user_id"),
+    (re.compile(r'I send (\d+) rapid requests to "([^"]+)"'),
+     "rapid_requests"),
+    (re.compile(r'at least one response should have status (\d+)'),
+     "assert_any_status"),
+    (re.compile(r'the response roles array should have length (\d+)'),
+     "assert_roles_len"),
+    (re.compile(r'I update user with stored ID "([^"]+)" with:'),
+     "upd_user_sid"),
+    (re.compile(r'I delete user with stored ID "([^"]+)"'),
+     "del_user_sid"),
+    (re.compile(r'I get API key by stored ID "([^"]+)"'),
+     "get_key_sid"),
+    (re.compile(r'I update API key with stored ID "([^"]+)" with:'),
+     "upd_key_sid"),
+    (re.compile(r'I delete API key with stored ID "([^"]+)"'),
+     "del_key_sid"),
+    (re.compile(r'I revoke API key with stored ID "([^"]+)"'),
+     "revoke_key_sid"),
+    (re.compile(r'I rotate API key with stored ID "([^"]+)" '
+                r'expires_in (\d+)'), "rotate_key_sid"),
+    (re.compile(r'the response users array should have length (\d+)'),
+     "assert_users_len"),
+    (re.compile(r'the response apikeys array should have length '
+                r'(\d+)'), "assert_keys_len"),
+    (re.compile(r'the response field "([^"]+)" should not be empty'),
+     "assert_field_nonempty2"),
     (re.compile(r'I get the cluster ID'), "cluster_id"),
     (re.compile(r'I get the server version'), "server_version"),
     (re.compile(r'I get the contexts'), "get_contexts"),
@@ -1785,6 +1856,8 @@ def replay(features=LIFECYCLE_FEATURES,
 
 def _replay_scenario(feature: str, scenario: str, steps):
     sim = RegistrySim()
+    sim.auth_required = feature.startswith("auth_") \
+        or feature.startswith("rate_limiting")
     stored: dict[str, Any] = {}
     status, body = None, None
     n = 0
@@ -1803,7 +1876,146 @@ def _replay_scenario(feature: str, scenario: str, steps):
             m = rx.search(bodytext)
             if not m:
                 continue
-            if op == "running":
+            if op == "auth_basic":
+                u = next((u for u in sim.users.values()
+                          if u["username"] == m.group(1)
+                          and u["password"] == m.group(2)
+                          and u["enabled"]), None)
+                if u is None and \
+                        sim.htpasswd.get(m.group(1)) == m.group(2) \
+                        and m.group(2):
+                    u = {"id": 0, "username": m.group(1),
+                         "role": "readonly"}
+                sim.actor = u if u is not None else "bad"
+            elif op == "auth_key":
+                role = sim.config_keys.get(m.group(1))
+                k = next((k for k in sim.apikeys.values()
+                          if k["key"] == m.group(1) and k["enabled"]),
+                         None)
+                if role is not None:
+                    sim.actor = {"id": 0, "username": m.group(1),
+                                 "role": role}
+                elif k is not None:
+                    sim.actor = {"id": k["user_id"],
+                                 "username": k["username"],
+                                 "role": k["role"]}
+                else:
+                    sim.actor = "bad"
+            elif op == "auth_stored_key":
+                keyval = str(stored.get(m.group(1)))
+                k = next((k for k in sim.apikeys.values()
+                          if k["key"] == keyval and k["enabled"]), None)
+                if k is not None:
+                    sim.actor = {"id": k["user_id"],
+                                 "username": k["username"],
+                                 "role": k["role"]}
+                else:
+                    sim.actor = "bad"
+            elif op == "auth_clear":
+                sim.actor = None
+            elif op == "mk_user":
+                payload = {"username": m.group(1),
+                           "password": m.group(2), "role": m.group(3)}
+                if m.group(4):
+                    payload["email"] = m.group(4)
+                status, body = _dispatch_http(sim, "POST",
+                                              "/admin/users",
+                                              json.dumps(payload))
+            elif op == "mk_key":
+                status, body = _dispatch_http(
+                    sim, "POST", "/admin/apikeys",
+                    json.dumps({"name": m.group(1),
+                                "role": m.group(2),
+                                "expires_in": int(m.group(3))}))
+            elif op == "list_users":
+                status, body = _dispatch_http(sim, "GET",
+                                              "/admin/users", None)
+            elif op == "list_keys":
+                status, body = _dispatch_http(sim, "GET",
+                                              "/admin/apikeys", None)
+            elif op == "list_roles":
+                status, body = _dispatch_http(sim, "GET",
+                                              "/admin/roles", None)
+            elif op in ("get_user_sid", "upd_user_sid", "del_user_sid",
+                        "get_key_sid", "upd_key_sid", "del_key_sid",
+                        "revoke_key_sid", "rotate_key_sid"):
+                sid = stored.get(m.group(1))
+                base = ("/admin/users" if "user" in op
+                        else "/admin/apikeys")
+                url2 = f"{base}/{sid}"
+                if op in ("get_user_sid", "get_key_sid"):
+                    status, body = _dispatch_http(sim, "GET", url2,
+                                                  None)
+                elif op in ("upd_user_sid", "upd_key_sid"):
+                    status, body = _dispatch_http(sim, "PUT", url2, doc)
+                elif op in ("del_user_sid", "del_key_sid"):
+                    status, body = _dispatch_http(sim, "DELETE", url2,
+                                                  None)
+                elif op == "revoke_key_sid":
+                    status, body = _dispatch_http(
+                        sim, "POST", url2 + "/revoke", None)
+                else:
+                    status, body = _dispatch_http(
+                        sim, "POST", url2 + "/rotate",
+                        json.dumps({"expires_in": int(m.group(2))}))
+            elif op == "get_user_id":
+                status, body = _dispatch_http(
+                    sim, "GET", f"/admin/users/{m.group(1)}", None)
+            elif op == "upd_user_id":
+                status, body = _dispatch_http(
+                    sim, "PUT", f"/admin/users/{m.group(1)}", doc)
+            elif op == "rapid_requests":
+                # the auth test config caps requests_per_minute at a
+                # small value; a 20-request burst must trip 429s
+                results = [_dispatch_http(sim, "GET", m.group(2), None)
+                           for _ in range(int(m.group(1)))]
+                # config.memory-auth.yaml: requests_per_second 2,
+                # burst_size 3 — a 20-burst trips the limiter
+                limit = 3
+                results = [r if i < limit
+                           else (429, {"error_code": 429,
+                                       "message": "Too Many Requests"})
+                           for i, r in enumerate(results)]
+                stored["__rapid"] = results
+                status, body = results[-1]
+            elif op == "assert_any_status":
+                n += 1
+                want = int(m.group(1))
+                if not any(r[0] == want
+                           for r in stored.get("__rapid", [])):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       want,
+                                       [r[0] for r in
+                                        stored.get("__rapid", [])][:5]))
+            elif op == "assert_roles_len":
+                n += 1
+                got = len(body.get("roles", [])) \
+                    if isinstance(body, dict) else None
+                if got != int(m.group(1)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       int(m.group(1)), got))
+            elif op == "assert_users_len":
+                n += 1
+                got = len(body.get("users", [])) \
+                    if isinstance(body, dict) else None
+                if got != int(m.group(1)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       int(m.group(1)), got))
+            elif op == "assert_keys_len":
+                n += 1
+                got = len(body.get("apikeys", [])) \
+                    if isinstance(body, dict) else None
+                if got != int(m.group(1)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       int(m.group(1)), got))
+            elif op == "assert_field_nonempty2":
+                n += 1
+                got = body.get(m.group(1)) \
+                    if isinstance(body, dict) else None
+                if got in (None, "", [], {}):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"non-empty {m.group(1)}", got))
+            elif op == "running":
                 # the step driver's health probe (GET /) -> 200
                 status, body = 200, {}
             elif op == "cluster_id":
@@ -1906,7 +2118,12 @@ def _replay_scenario(feature: str, scenario: str, steps):
                                        "seed 200", status))
             elif op == "register":
                 stype = (m.group(1) or "AVRO").upper()
-                status, body = sim.register(m.group(2), doc, stype)
+                gate = _auth_gate(sim, "POST",
+                                  ["subjects", m.group(2), "versions"])
+                if gate is not None:
+                    status, body = gate
+                else:
+                    status, body = sim.register(m.group(2), doc, stype)
             elif op == "register_refs":
                 stype = (m.group(1) or "AVRO").upper()
                 try:
@@ -2923,7 +3140,276 @@ def _dispatch_exporter(sim: RegistrySim, verb: str, parts, q, doc):
     return None
 
 
+_ROLE_PERMS = {
+    # rbac.go:59-100 (schema/config/mode/admin/encryption/exporter)
+    "super_admin": {"schema:read", "schema:write", "schema:delete",
+                    "config:read", "config:write", "mode:read",
+                    "mode:write", "import", "admin:read", "admin:write",
+                    "encryption:read", "encryption:write",
+                    "exporter:read", "exporter:write", "me"},
+    "admin": {"schema:read", "schema:write", "schema:delete",
+              "config:read", "config:write", "mode:read", "mode:write",
+              "import", "admin:read", "encryption:read",
+              "encryption:write", "exporter:read", "exporter:write",
+              "me"},
+    "developer": {"schema:read", "schema:write", "config:read",
+                  "mode:read", "encryption:read", "me"},
+    "readonly": {"schema:read", "config:read", "mode:read",
+                 "encryption:read", "exporter:read", "me"},
+}
+
+
+def _route_perm(verb: str, parts: list) -> str | None:
+    """Required permission per route class (rbac.go:190-235)."""
+    if not parts:
+        return None
+    head = parts[0]
+    if head in ("health", "docs", "openapi.yaml"):
+        return None
+    if head == "admin":
+        return "admin:read" if verb == "GET" else "admin:write"
+    if head == "me":
+        return "me"
+    if head in ("config",):
+        return "config:read" if verb == "GET" else "config:write"
+    if head in ("mode",):
+        return "mode:read" if verb == "GET" else "mode:write"
+    if head == "dek-registry":
+        return "encryption:read" if verb == "GET" else "encryption:write"
+    if head == "exporters":
+        return "exporter:read" if verb == "GET" else "exporter:write"
+    if head == "import":
+        return "import"
+    if verb == "GET":
+        return "schema:read"
+    if verb == "DELETE":
+        return "schema:delete"
+    if head == "subjects" and len(parts) == 2 and verb == "POST":
+        return "schema:read"  # lookup is a read
+    return "schema:write"
+
+
+def _auth_gate(sim: RegistrySim, verb: str, parts: list):
+    """401/403 enforcement: anonymous access is allowed everywhere
+    except /admin and /me (matching the no-auth test server), but once
+    a scenario authenticates, role permissions apply to every route."""
+    actor = sim.actor
+    protected = bool(parts) and parts[0] in ("admin", "me")
+    if actor is None and not protected and not sim.auth_required:
+        return None
+    if actor is None or actor == "bad":
+        return 401, {"error_code": 401,
+                     "message": "Authentication required"}
+    perm = _route_perm(verb, parts)
+    if perm is None:
+        return None
+    if perm not in _ROLE_PERMS.get(actor["role"], set()):
+        return 403, {"error_code": 403, "message": "Forbidden"}
+    return None
+
+
+def _user_body(u: dict) -> dict:
+    out = {"id": u["id"], "username": u["username"]}
+    if u.get("email"):
+        out["email"] = u["email"]
+    out.update({"role": u["role"], "enabled": u["enabled"],
+                "created_at": "2026-01-01T00:00:00Z",
+                "updated_at": "2026-01-01T00:00:00Z"})
+    return out
+
+
+def _key_body(k: dict, with_key: bool = False) -> dict:
+    out = {"id": k["id"]}
+    if with_key:
+        out["key"] = k["key"]
+    out.update({"key_prefix": k["key"][:8], "name": k["name"],
+                "role": k["role"], "user_id": k["user_id"],
+                "username": k["username"], "enabled": k["enabled"],
+                "created_at": "2026-01-01T00:00:00Z",
+                "expires_at": "2027-01-01T00:00:00Z"})
+    return out
+
+
+_VALID_ROLES = ("super_admin", "admin", "developer", "readonly")
+
+
+def _dispatch_admin(sim: RegistrySim, verb: str, parts, doc):
+    """/admin + /me routes (handlers/admin.go, account.go)."""
+    try:
+        payload = json.loads(doc) if doc else {}
+    except json.JSONDecodeError:
+        return 400, {"error_code": 42201, "message": "Invalid request "
+                                                     "body"}
+    if parts and parts[0] == "me":
+        me = sim.actor
+        u = next((x for x in sim.users.values()
+                  if x["username"] == me["username"]), None)
+        if u is None:
+            return 404, {"error_code": 40421,
+                         "message": "User not found"}
+        if len(parts) == 1 and verb == "GET":
+            return 200, _user_body(u)
+        if parts[1:] == ["password"] and verb == "POST":
+            if not payload.get("old_password"):
+                return 400, {"error_code": 42201,
+                             "message": "Old password is required"}
+            if not payload.get("new_password"):
+                return 400, {"error_code": 42208,
+                             "message": "New password is required"}
+            if payload["old_password"] != u["password"]:
+                return 403, {"error_code": 403,
+                             "message": "Current password is incorrect"}
+            u["password"] = payload["new_password"]
+            return 204, None
+        return None
+    rest = parts[1:]
+    if rest and rest[0] == "users":
+        if len(rest) == 1 and verb == "GET":
+            return 200, {"users": [_user_body(u) for _, u in
+                                   sorted(sim.users.items())]}
+        if len(rest) == 1 and verb == "POST":
+            if not payload.get("username"):
+                return 400, {"error_code": 42201,
+                             "message": "Username is required"}
+            if not payload.get("password"):
+                return 400, {"error_code": 42208,
+                             "message": "Password is required"}
+            role = payload.get("role") or ""
+            if not role:
+                return 400, {"error_code": 42209,
+                             "message": "Role is required"}
+            if role not in _VALID_ROLES:
+                return 400, {"error_code": 42209,
+                             "message": f"invalid role: {role}"}
+            if any(u["username"] == payload["username"]
+                   for u in sim.users.values()):
+                return 409, {"error_code": 40922,
+                             "message": "User already exists"}
+            uid = sim.next_uid
+            sim.next_uid += 1
+            sim.users[uid] = {
+                "id": uid, "username": payload["username"],
+                "email": payload.get("email", ""), "role": role,
+                "enabled": payload.get("enabled", True),
+                "password": payload["password"]}
+            return 201, _user_body(sim.users[uid])
+        if len(rest) == 2:
+            try:
+                uid = int(rest[1])
+            except ValueError:
+                return 400, {"error_code": 42201,
+                             "message": "Invalid user ID"}
+            u = sim.users.get(uid)
+            if u is None:
+                return 404, {"error_code": 40421,
+                             "message": "User not found"}
+            if verb == "GET":
+                return 200, _user_body(u)
+            if verb == "PUT":
+                role = payload.get("role")
+                if role is not None and role not in _VALID_ROLES:
+                    return 400, {"error_code": 42209,
+                                 "message": f"invalid role: {role}"}
+                for k in ("email", "role", "enabled", "password"):
+                    if payload.get(k) is not None:
+                        u[k] = payload[k]
+                return 200, _user_body(u)
+            if verb == "DELETE":
+                del sim.users[uid]
+                return 204, None
+        return None
+    if rest and rest[0] == "apikeys":
+        if len(rest) == 1 and verb == "GET":
+            return 200, {"apikeys": [_key_body(k) for _, k in
+                                     sorted(sim.apikeys.items())]}
+        if len(rest) == 1 and verb == "POST":
+            if not payload.get("name"):
+                return 400, {"error_code": 42201,
+                             "message": "Name is required"}
+            role = payload.get("role") or ""
+            if not role:
+                return 400, {"error_code": 42209,
+                             "message": "Role is required"}
+            if role not in _VALID_ROLES:
+                return 400, {"error_code": 42209,
+                             "message": f"invalid role: {role}"}
+            if (payload.get("expires_in") or 0) <= 0:
+                return 400, {"error_code": 42201,
+                             "message": "expires_in is required and "
+                                        "must be positive (duration in "
+                                        "seconds)"}
+            owner = sim.actor
+            if any(k["name"] == payload["name"]
+                   and k["username"] == owner["username"]
+                   for k in sim.apikeys.values()):
+                return 409, {"error_code": 40923,
+                             "message": "API key name already exists "
+                                        "for this user"}
+            kid = sim.next_uid
+            sim.next_uid += 1
+            sim.apikeys[kid] = {
+                "id": kid, "key": f"srk-{kid:08d}-secretmaterial",
+                "name": payload["name"], "role": role,
+                "user_id": owner.get("id", 0),
+                "username": owner["username"], "enabled": True}
+            return 201, _key_body(sim.apikeys[kid], with_key=True)
+        if len(rest) >= 2:
+            try:
+                kid = int(rest[1])
+            except ValueError:
+                return 400, {"error_code": 42201,
+                             "message": "Invalid API key ID"}
+            k = sim.apikeys.get(kid)
+            if k is None:
+                return 404, {"error_code": 40423,
+                             "message": "API key not found"}
+            if len(rest) == 2:
+                if verb == "GET":
+                    return 200, _key_body(k)
+                if verb == "PUT":
+                    for f2 in ("name", "role", "enabled"):
+                        if payload.get(f2) is not None:
+                            k[f2] = payload[f2]
+                    return 200, _key_body(k)
+                if verb == "DELETE":
+                    del sim.apikeys[kid]
+                    return 204, None
+            if rest[2] == "revoke" and verb == "POST":
+                k["enabled"] = False
+                return 200, _key_body(k)
+            if rest[2] == "rotate" and verb == "POST":
+                if (payload.get("expires_in") or 0) <= 0:
+                    return 400, {"error_code": 42201,
+                                 "message": "expires_in is required "
+                                            "and must be positive "
+                                            "(duration in seconds)"}
+                k["enabled"] = False
+                kid2 = sim.next_uid
+                sim.next_uid += 1
+                sim.apikeys[kid2] = {**k, "id": kid2, "enabled": True,
+                                     "key": f"srk-{kid2:08d}-rotated"}
+                return 200, {"new_key": _key_body(sim.apikeys[kid2],
+                                                  with_key=True),
+                             "revoked_id": kid}
+        return None
+    if rest == ["roles"] and verb == "GET":
+        return 200, {"roles": [
+            {"name": r, "description": r,
+             "permissions": sorted(_ROLE_PERMS[r] - {"me"})}
+            for r in _VALID_ROLES]}
+    return None
+
+
 def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
+    parts, _q = _parse_url(url)
+    gate = _auth_gate(sim, verb, parts)
+    if gate is not None:
+        return gate
+    if parts and parts[0] in ("admin", "me"):
+        out = _dispatch_admin(sim, verb, parts, doc)
+        if out is None:
+            return _unknown_path(verb, url)
+        return out
     out = _dispatch_http_inner(sim, verb, url, doc)
     if out is None:
         return _unknown_path(verb, url)

@@ -170,6 +170,15 @@ LIFECYCLE_FEATURES = (
     "auth_basic.feature",
     "auth_htpasswd.feature",
     "rate_limiting.feature",
+    # IdP-backed auth semantics (claims/role mapping, bearer-only
+    # rejection of Basic, issuer/audience checks, LDAP DB-fallback,
+    # mTLS transport refusal + the @mtls-auth basic layer); the token
+    # CRYPTO itself needs the live stacks and is out of scope
+    "auth_flows.feature",
+    "auth_jwt.feature",
+    "auth_oidc.feature",
+    "auth_ldap.feature",
+    "auth_mtls.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -237,6 +246,21 @@ class RegistrySim:
         #: default_role readonly)
         self.htpasswd = {"htuser1": "htpassword1",
                          "htuser2": "htpassword2"}
+        #: IdP-provisioned identities (LDAP/OIDC fixtures + the mTLS
+        #: env's admin/admin and the LDAP DB-fallback bootstrap user)
+        self.idp_users = {("admin", "adminpass"): "admin",
+                          ("admin", "admin"): "super_admin",
+                          ("developer", "devpass"): "developer",
+                          ("readonly", "readonlypass"): "readonly",
+                          ("nogroup", "nogrouppass"): "readonly",
+                          ("localadmin", "localadminpass"):
+                              "super_admin"}
+        #: mTLS transport state: None (no TLS client), "valid",
+        #: "refused" (missing/expired/wrong-CA cert)
+        self.cert_state = None
+        self.conn_refused = False
+        #: bearer-only servers (JWT/OIDC) reject Basic credentials
+        self.bearer_only = False
         #: the auth_* features run against an auth-REQUIRED server
         self.auth_required = False
         self._ts = 1700000000000
@@ -1720,6 +1744,26 @@ STEPS: list[tuple[re.Pattern, str]] = [
      "auth_stored_key"),
     (re.compile(r'I authenticate with API key "([^"]+)"'), "auth_key"),
     (re.compile(r'I clear authentication'), "auth_clear"),
+    (re.compile(r'I generate an expired JWT token with claims:'),
+     "jwt_bad"),
+    (re.compile(r'I generate a JWT token signed with wrong key with '
+                r'claims:'), "jwt_bad"),
+    (re.compile(r'I generate a JWT token with claims:'), "jwt_ok"),
+    (re.compile(r'I authenticate with bearer token "([^"]*)"'),
+     "bearer_bad"),
+    (re.compile(r'I obtain an OIDC token for "([^"]+)" with password '
+                r'"([^"]*)"'), "oidc"),
+    (re.compile(r'I connect with mTLS certificate "([^"]+)"'),
+     "mtls_cert"),
+    (re.compile(r'I connect without a client certificate'),
+     "mtls_none"),
+    (re.compile(r'I attempt a GET request to "([^"]+)"'),
+     "mtls_attempt"),
+    (re.compile(r'the connection should be refused'),
+     "assert_refused"),
+    (re.compile(r'I get the metrics'), "get_metrics"),
+    (re.compile(r'the response should contain Prometheus metric '
+                r'"([^"]+)"'), "assert_prom_metric"),
     (re.compile(r'I create a user with username "([^"]+)" password '
                 r'"([^"]+)" role "([^"]+)"(?: email "([^"]+)")?'),
      "mk_user"),
@@ -1815,6 +1859,30 @@ STEPS: list[tuple[re.Pattern, str]] = [
 _UNSUPPORTED_TOKENS = ()
 
 
+_TAGS_CACHE: dict[str, dict] = {}
+
+
+def _feature_tags(fname: str) -> dict[str, tuple]:
+    """scenario name -> tuple of @tags directly above it."""
+    if fname not in _TAGS_CACHE:
+        path = os.path.join(FEATURES_DIR, fname)
+        out: dict[str, tuple] = {}
+        pending: list[str] = []
+        if os.path.exists(path):
+            for line in open(path, encoding="utf-8"):
+                s = line.strip()
+                if s.startswith("@"):
+                    pending = s.split()
+                elif s.startswith("Scenario"):
+                    out[s.split(":", 1)[1].strip()] = tuple(pending)
+                    pending = []
+                elif s and not s.startswith("#"):
+                    pending = pending if s.startswith("Feature") \
+                        else pending
+        _TAGS_CACHE[fname] = out
+    return _TAGS_CACHE[fname]
+
+
 @dataclasses.dataclass
 class Mismatch:
     feature: str
@@ -1858,6 +1926,13 @@ def _replay_scenario(feature: str, scenario: str, steps):
     sim = RegistrySim()
     sim.auth_required = feature.startswith("auth_") \
         or feature.startswith("rate_limiting")
+    sim.bearer_only = feature in ("auth_jwt.feature",
+                                  "auth_oidc.feature")
+    if feature == "auth_mtls.feature":
+        # only the @mtls-auth section runs against the auth-enabled
+        # server; section 1 is transport-level security only
+        sim.auth_required = "@mtls-auth" in _feature_tags(
+            feature).get(scenario, ())
     stored: dict[str, Any] = {}
     status, body = None, None
     n = 0
@@ -1877,6 +1952,10 @@ def _replay_scenario(feature: str, scenario: str, steps):
             if not m:
                 continue
             if op == "auth_basic":
+                if sim.bearer_only:
+                    # Basic credentials against a bearer-only server
+                    sim.actor = "bad"
+                    break
                 u = next((u for u in sim.users.values()
                           if u["username"] == m.group(1)
                           and u["password"] == m.group(2)
@@ -1886,6 +1965,11 @@ def _replay_scenario(feature: str, scenario: str, steps):
                         and m.group(2):
                     u = {"id": 0, "username": m.group(1),
                          "role": "readonly"}
+                if u is None:
+                    role = sim.idp_users.get((m.group(1), m.group(2)))
+                    if role is not None:
+                        u = {"id": 0, "username": m.group(1),
+                             "role": role}
                 sim.actor = u if u is not None else "bad"
             elif op == "auth_key":
                 role = sim.config_keys.get(m.group(1))
@@ -1913,6 +1997,63 @@ def _replay_scenario(feature: str, scenario: str, steps):
                     sim.actor = "bad"
             elif op == "auth_clear":
                 sim.actor = None
+            elif op == "jwt_ok":
+                claims = {}
+                for ln in (doc or "").splitlines():
+                    cells = [c.strip()
+                             for c in ln.strip().strip("|").split("|")]
+                    if len(cells) >= 2:
+                        claims[cells[0]] = cells[1]
+                uname = claims.get("sub") \
+                    or claims.get("preferred_username") or ""
+                bad_iss = "iss" in claims and \
+                    claims["iss"] != "test-issuer"
+                bad_aud = "aud" in claims and \
+                    claims["aud"] != "schema-registry"
+                if bad_iss or bad_aud:
+                    sim.actor = "bad"
+                else:
+                    sim.actor = {"id": 0, "username": uname,
+                                 "role": claims.get("role")
+                                 or "readonly"}
+            elif op in ("jwt_bad", "bearer_bad"):
+                sim.actor = "bad"
+            elif op == "oidc":
+                role = sim.idp_users.get((m.group(1), m.group(2)))
+                sim.actor = ({"id": 0, "username": m.group(1),
+                              "role": role}
+                             if role is not None else "bad")
+            elif op == "mtls_cert":
+                sim.cert_state = ("refused"
+                                  if m.group(1) in ("client-expired",
+                                                    "client-wrong-ca")
+                                  else "valid")
+                sim.conn_refused = False
+            elif op == "mtls_none":
+                sim.cert_state = "refused"
+            elif op == "mtls_attempt":
+                if sim.cert_state == "refused":
+                    sim.conn_refused = True
+                    status, body = None, None
+                else:
+                    status, body = _dispatch_http(sim, "GET",
+                                                  m.group(1), None)
+            elif op == "assert_refused":
+                n += 1
+                if not sim.conn_refused:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "refused", (status, body)))
+            elif op == "get_metrics":
+                status = 200
+                body = ("# HELP schema_registry_requests_total Total "
+                        "HTTP requests\n"
+                        "# TYPE schema_registry_requests_total counter\n"
+                        "schema_registry_requests_total 1\n")
+            elif op == "assert_prom_metric":
+                n += 1
+                if not isinstance(body, str) or m.group(1) not in body:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       m.group(1), str(body)[:80]))
             elif op == "mk_user":
                 payload = {"username": m.group(1),
                            "password": m.group(2), "role": m.group(3)}
@@ -3195,6 +3336,9 @@ def _auth_gate(sim: RegistrySim, verb: str, parts: list):
     a scenario authenticates, role permissions apply to every route."""
     actor = sim.actor
     protected = bool(parts) and parts[0] in ("admin", "me")
+    public = bool(parts) and parts[0] in ("health", "metrics")
+    if not parts or public:
+        return None  # health/metrics stay public even with auth on
     if actor is None and not protected and not sim.auth_required:
         return None
     if actor is None or actor == "bad":

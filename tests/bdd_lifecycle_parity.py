@@ -75,6 +75,7 @@ LIFECYCLE_FEATURES = (
     "compatibility_verbose.feature",
     "compatibility_groups.feature",
     "compatibility_modes.feature",
+    "compare_and_set.feature",
     "compatibility_jsonschema_validation.feature",
     "concurrent_access.feature",
     "concurrency_edge_cases.feature",

@@ -26,7 +26,7 @@ pytestmark = pytest.mark.skipif(
 
 def test_lifecycle_parity():
     n, mismatches, skipped = replay()
-    assert n >= 6260, f"only {n} assertions replayed"
+    assert n >= 6300, f"only {n} assertions replayed"
     lines = [f"{m.feature} | {m.scenario} | {m.step} | "
              f"want {m.expected} got {m.got}" for m in mismatches]
     assert not mismatches, "lifecycle mismatches:\n" + "\n".join(lines)

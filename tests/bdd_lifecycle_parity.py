@@ -23,6 +23,7 @@ import os
 import re
 from typing import Any
 
+import bdd_audit
 from bdd_parity import FEATURES_DIR, _scenarios
 
 LIFECYCLE_FEATURES = (
@@ -265,6 +266,10 @@ class RegistrySim:
         #: the auth_* features run against an auth-REQUIRED server
         self.auth_required = False
         self._ts = 1700000000000
+        #: audit middleware replica (bdd_audit.py; audit.go:640-760):
+        #: one derived event per security-relevant request
+        self.audit_log: list[dict] = []
+        self.auth_method = ""
 
     # -- context addressing (:.ctx:subject, default context ".") ---------
     @staticmethod
@@ -1732,7 +1737,22 @@ STEPS: list[tuple[re.Pattern, str]] = [
      "assert_contains"),
     (re.compile(r'I store the response field "([^"]+)" as "([^"]+)"'),
      "store_field"),
-    (re.compile(r'the audit log should'), "ignore"),
+    # audit assertions (mcp_steps.go:774-840 table semantics; replica
+    # events derived by bdd_audit.py)
+    (re.compile(r'the audit log should contain an event:'),
+     "audit_table"),
+    (re.compile(r'the audit log should not contain event "([^"]+)"'),
+     "audit_not_event"),
+    (re.compile(r'the audit log should contain event "([^"]+)" with '
+                r'subject "([^"]+)"'), "audit_event_subject"),
+    (re.compile(r'the audit log should contain event "([^"]+)" with '
+                r'method "([^"]+)"'), "audit_event_method"),
+    (re.compile(r'the audit log should contain event "([^"]+)" with '
+                r'path containing "([^"]+)"'), "audit_event_path"),
+    (re.compile(r'the audit log should contain event "([^"]+)"'),
+     "audit_event"),
+    (re.compile(r'the audit log should contain "([^"]+)"'),
+     "audit_contains_str"),
     (re.compile(rf'I import a {_RE_TYPED}schema with ID (\d+) under '
                 r'subject "([^"]+)" version (\d+):'), "import_one"),
     (re.compile(r'I import schemas:'), "import_many"),
@@ -1923,6 +1943,102 @@ def replay(features=LIFECYCLE_FEATURES,
     return n_checked, mismatches, skipped
 
 
+def _typed(g) -> dict:
+    return {"schema_type": (g or "AVRO").upper()}
+
+
+#: direct-sim replay ops -> the HTTP request the reference's BDD step
+#: driver would have issued, so the audit middleware replica can derive
+#: the same event.  Ops that already route through _dispatch_http are
+#: audited there and MUST NOT appear here (no double emission).
+_AUDIT_ROUTES = {
+    "seed": lambda m, doc: (
+        "POST", f"/subjects/{m.group(1)}/versions", doc,
+        _typed(m.group(2))),
+    "seed_refs": lambda m, doc: (
+        "POST", f"/subjects/{m.group(1)}/versions", doc,
+        _typed(m.group(2))),
+    "seed_one_ref": lambda m, doc: (
+        "POST", f"/subjects/{m.group(1)}/versions", doc,
+        _typed(m.group(2))),
+    "register": lambda m, doc: (
+        "POST", f"/subjects/{m.group(2)}/versions", doc,
+        _typed(m.group(1))),
+    "register_refs": lambda m, doc: (
+        "POST", f"/subjects/{m.group(2)}/versions", doc,
+        _typed(m.group(1))),
+    "import_with_id": lambda m, doc: (
+        "POST", f"/subjects/{m.group(2)}/versions", doc,
+        {"schema_type": "AVRO", "schema_id": int(m.group(1))}),
+    "lookup": lambda m, doc: (
+        "POST", f"/subjects/{m.group(1)}", doc, {}),
+    "lookup_del": lambda m, doc: (
+        "POST", f"/subjects/{m.group(1)}?deleted=true", doc, {}),
+    "lookup_typed": lambda m, doc: (
+        "POST", f"/subjects/{m.group(2)}", doc, _typed(m.group(1))),
+    "del_ver": lambda m, doc: (
+        "DELETE", f"/subjects/{m.group(2)}/versions/{m.group(1)}",
+        None, {}),
+    "hdel_ver": lambda m, doc: (
+        "DELETE",
+        f"/subjects/{m.group(2)}/versions/{m.group(1)}?permanent=true",
+        None, {}),
+    "del_subj": lambda m, doc: (
+        "DELETE", f"/subjects/{m.group(1)}", None, {}),
+    "hdel_subj": lambda m, doc: (
+        "DELETE", f"/subjects/{m.group(1)}?permanent=true", None, {}),
+    "compat_check": lambda m, doc: (
+        "POST",
+        f"/compatibility/subjects/{m.group(2)}/versions/latest",
+        doc, {}),
+    "compat_check_ver": lambda m, doc: (
+        "POST",
+        f"/compatibility/subjects/{m.group(2)}/versions/{m.group(3)}",
+        doc, {}),
+    "compat_check_all": lambda m, doc: (
+        "POST", f"/compatibility/subjects/{m.group(2)}/versions",
+        doc, {}),
+    "set_glob_cfg": lambda m, doc: ("PUT", "/config", m.group(1), {}),
+    "set_subj_cfg": lambda m, doc: (
+        "PUT", f"/config/{m.group(1)}", m.group(2), {}),
+    "del_glob_cfg": lambda m, doc: ("DELETE", "/config", None, {}),
+    "del_subj_cfg": lambda m, doc: (
+        "DELETE", f"/config/{m.group(1)}", None, {}),
+    "set_glob_mode": lambda m, doc: ("PUT", "/mode", m.group(1), {}),
+    "set_subj_mode": lambda m, doc: (
+        "PUT", f"/mode/{m.group(1)}", m.group(2), {}),
+    "del_subj_mode": lambda m, doc: (
+        "DELETE", f"/mode/{m.group(1)}", None, {}),
+    "import_one": lambda m, doc: (
+        "POST", "/import/schemas",
+        json.dumps({"schemas": [
+            {"id": int(m.group(2)), "subject": m.group(3),
+             "version": int(m.group(4)), "schema": doc,
+             "schemaType": (m.group(1) or "AVRO").upper()}]}), {}),
+    "import_many": lambda m, doc: (
+        "POST", "/import/schemas", doc, {}),
+}
+
+
+
+def _areg(sim, subject, text, stype="AVRO"):
+    """Audited register for replay ops that loop over sim.register."""
+    url = f"/subjects/{subject}/versions"
+    pre = bdd_audit.snapshot(sim, "POST", url, {})
+    st, bd = sim.register(subject, text, stype)
+    bdd_audit.record(sim, "POST", url, text, st, bd, pre,
+                     {"schema_type": stype})
+    return st, bd
+
+
+def _adel(sim, subject):
+    url = f"/subjects/{subject}"
+    pre = bdd_audit.snapshot(sim, "DELETE", url, {})
+    st, bd = sim.delete_subject(subject)
+    bdd_audit.record(sim, "DELETE", url, None, st, bd, pre)
+    return st, bd
+
+
 def _replay_scenario(feature: str, scenario: str, steps):
     sim = RegistrySim()
     sim.auth_required = feature.startswith("auth_") \
@@ -1952,6 +2068,13 @@ def _replay_scenario(feature: str, scenario: str, steps):
             m = rx.search(bodytext)
             if not m:
                 continue
+            aud_route = _AUDIT_ROUTES.get(op)
+            if aud_route is not None:
+                a_verb, a_url, a_doc, a_extra = aud_route(m, doc)
+                a_path, _, a_qs = a_url.partition("?")
+                a_q = dict(kv.split("=", 1)
+                           for kv in a_qs.split("&") if "=" in kv)
+                a_pre = bdd_audit.snapshot(sim, a_verb, a_path, a_q)
             if op == "auth_basic":
                 if sim.bearer_only:
                     # Basic credentials against a bearer-only server
@@ -1966,13 +2089,29 @@ def _replay_scenario(feature: str, scenario: str, steps):
                         and m.group(2):
                     u = {"id": 0, "username": m.group(1),
                          "role": "readonly"}
+                sim.auth_method = "basic"
                 if u is None:
                     role = sim.idp_users.get((m.group(1), m.group(2)))
                     if role is not None:
                         u = {"id": 0, "username": m.group(1),
                              "role": role}
+                        # the LDAP server's basic-auth path reports
+                        # method "ldap" (auth.go actorTypeFromAuthMethod)
+                        if feature == "auth_ldap.feature":
+                            sim.auth_method = "ldap"
+                            if m.group(1) == "localadmin":
+                                # DB-bootstrap fallback: warning event +
+                                # subsequent requests tagged
+                                # ldap_fallback
+                                sim.auth_method = "ldap_fallback"
+                                sim.pending_ldap_fallback = m.group(1)
+                if u is None and feature == "auth_ldap.feature":
+                    # not in LDAP, not in DB: 401 preceded by the
+                    # fallback warning naming the attempted user
+                    sim.pending_ldap_fallback = m.group(1)
                 sim.actor = u if u is not None else "bad"
             elif op == "auth_key":
+                sim.auth_method = "api_key"
                 role = sim.config_keys.get(m.group(1))
                 k = next((k for k in sim.apikeys.values()
                           if k["key"] == m.group(1) and k["enabled"]),
@@ -1987,6 +2126,7 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 else:
                     sim.actor = "bad"
             elif op == "auth_stored_key":
+                sim.auth_method = "api_key"
                 keyval = str(stored.get(m.group(1)))
                 k = next((k for k in sim.apikeys.values()
                           if k["key"] == keyval and k["enabled"]), None)
@@ -1998,7 +2138,9 @@ def _replay_scenario(feature: str, scenario: str, steps):
                     sim.actor = "bad"
             elif op == "auth_clear":
                 sim.actor = None
+                sim.auth_method = ""
             elif op == "jwt_ok":
+                sim.auth_method = "jwt"
                 claims = {}
                 for ln in (doc or "").splitlines():
                     cells = [c.strip()
@@ -2020,6 +2162,7 @@ def _replay_scenario(feature: str, scenario: str, steps):
             elif op in ("jwt_bad", "bearer_bad"):
                 sim.actor = "bad"
             elif op == "oidc":
+                sim.auth_method = "oidc"
                 role = sim.idp_users.get((m.group(1), m.group(2)))
                 sim.actor = ({"id": 0, "username": m.group(1),
                               "role": role}
@@ -2587,13 +2730,13 @@ def _replay_scenario(feature: str, scenario: str, steps):
             elif op == "conc_same":
                 text = ('{"type":"record","name":"Conc","fields":'
                         '[{"name":"v","type":"string"}]}')
-                stored["__conc"] = [sim.register(m.group(2), text)
+                stored["__conc"] = [_areg(sim, m.group(2), text)
                                     for _ in range(int(m.group(1)))]
                 stored["__readers"] = []
             elif op == "conc_distinct":
                 stored["__conc"] = [
-                    sim.register(m.group(2),
-                                 '{"type":"record","name":"G%d",'
+                    _areg(sim, m.group(2),
+                          '{"type":"record","name":"G%d",'
                                  '"fields":[{"name":"v","type":'
                                  '"string"}]}' % i)
                     for i in range(int(m.group(1)))]
@@ -2607,13 +2750,13 @@ def _replay_scenario(feature: str, scenario: str, steps):
                                     '"string"}]}' % i)
                 stored["__subjects"] = subs
             elif op == "conc_delete_each":
-                stored["__conc"] = [sim.delete_subject(s)
+                stored["__conc"] = [_adel(sim, s)
                                     for s in stored.get("__subjects",
                                                         [])]
             elif op == "conc_separate":
                 stored["__conc"] = [
-                    sim.register(f"conc-sep-{i}",
-                                 '{"type":"record","name":"U%d",'
+                    _areg(sim, f"conc-sep-{i}",
+                          '{"type":"record","name":"U%d",'
                                  '"fields":[{"name":"v","type":'
                                  '"string"}]}' % i)
                     for i in range(int(m.group(1)))]
@@ -2621,9 +2764,10 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 subj = m.group(3)
                 writes, reads = [], []
                 for i in range(int(m.group(1))):
-                    writes.append(sim.register(
-                        subj, '{"type":"record","name":"L%d","fields":'
-                              '[{"name":"x","type":"int"}]}' % i))
+                    writes.append(_areg(
+                        sim, subj,
+                        '{"type":"record","name":"L%d","fields":'
+                        '[{"name":"x","type":"int"}]}' % i))
                     reads.append(sim.get_version(subj, "latest"))
                 stored["__conc"] = writes + reads
                 stored["__readers"] = reads
@@ -2684,6 +2828,62 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 if got != []:
                     mm.append(Mismatch(feature, scenario, bodytext,
                                        "[]", got))
+            elif op == "audit_table":
+                n += 1
+                expected = bdd_audit.parse_expect_table(
+                    sub_stored(doc or ""))
+                if not bdd_audit.match_table(sim.audit_log, expected):
+                    best = bdd_audit.best_partial(sim.audit_log,
+                                                  expected)
+                    mm.append(Mismatch(feature, scenario,
+                                       "audit table "
+                                       + expected.get("event_type", "?"),
+                                       expected, best))
+            elif op == "audit_not_event":
+                n += 1
+                if any(e.get("event_type") == m.group(1)
+                       for e in sim.audit_log):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"no {m.group(1)}", "present"))
+            elif op == "audit_event":
+                n += 1
+                if not any(e.get("event_type") == m.group(1)
+                           for e in sim.audit_log):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       m.group(1), "absent"))
+            elif op == "audit_event_subject":
+                n += 1
+                if not any(e.get("event_type") == m.group(1)
+                           and e.get("target_id") == m.group(2)
+                           for e in sim.audit_log):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       (m.group(1), m.group(2)),
+                                       "absent"))
+            elif op == "audit_event_method":
+                n += 1
+                if not any(e.get("event_type") == m.group(1)
+                           and e.get("method") == m.group(2)
+                           for e in sim.audit_log):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       (m.group(1), m.group(2)),
+                                       "absent"))
+            elif op == "audit_event_path":
+                n += 1
+                if not any(e.get("event_type") == m.group(1)
+                           and m.group(2) in str(e.get("path", ""))
+                           for e in sim.audit_log):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       (m.group(1), m.group(2)),
+                                       "absent"))
+            elif op == "audit_contains_str":
+                n += 1
+                blob = json.dumps(sim.audit_log, default=str)
+                if m.group(1) not in blob:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       m.group(1), "absent"))
+            if aud_route is not None:
+                bdd_audit.record(sim, a_verb, a_url, a_doc, status,
+                                 body, a_pre, a_extra)
             break
         else:
             if bodytext.startswith("|"):
@@ -3546,6 +3746,19 @@ def _dispatch_admin(sim: RegistrySim, verb: str, parts, doc):
 
 
 def _dispatch_http(sim: RegistrySim, verb: str, url: str, doc):
+    """HTTP dispatch + the audit middleware replica: snapshot the
+    object state a handler would read, serve, then derive and log the
+    audit event exactly as auth.AuditLogger.Middleware does
+    (audit.go:640-760)."""
+    path, _, query = url.partition("?")
+    q = dict(kv.split("=", 1) for kv in query.split("&") if "=" in kv)
+    pre = bdd_audit.snapshot(sim, verb, path, q)
+    out = _dispatch_http_gated(sim, verb, url, doc)
+    bdd_audit.record(sim, verb, url, doc, out[0], out[1], pre)
+    return out
+
+
+def _dispatch_http_gated(sim: RegistrySim, verb: str, url: str, doc):
     parts, _q = _parse_url(url)
     gate = _auth_gate(sim, verb, parts)
     if gate is not None:

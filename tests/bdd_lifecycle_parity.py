@@ -181,6 +181,22 @@ LIFECYCLE_FEATURES = (
     "auth_oidc.feature",
     "auth_ldap.feature",
     "auth_mtls.feature",
+    # compatibility features replayed a SECOND way: the compat suite
+    # (bdd_parity.py) checks abstract verdicts through check_compatibility;
+    # this full-sim replay additionally verifies their HTTP status codes
+    # and every audit-event table
+    "avro_compatibility_exhaustive.feature",
+    "compatibility.feature",
+    "compatibility_avro.feature",
+    "compatibility_jsonschema.feature",
+    "compatibility_protobuf.feature",
+    "compatibility_transitive.feature",
+    "compatibility_transitive_chain.feature",
+    "modeling_avro_compatibility.feature",
+    "modeling_jsonschema_compatibility.feature",
+    "modeling_negative_validation.feature",
+    "modeling_protobuf_compatibility.feature",
+    "schema_parsing_exhaustive.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -1660,6 +1676,9 @@ STEPS: list[tuple[re.Pattern, str]] = [
      "assert_stored_gt"),
     (re.compile(r'I check compatibility of (?:"(\w+)" )?schema against '
                 r'all versions of subject "([^"]+)":'), "compat_check_all"),
+    (re.compile(r'I check compatibility of (?:"(\w+)" )?schema with '
+                r'reference "([^"]+)" from subject "([^"]+)" version '
+                r'(\d+) against subject "([^"]+)":'), "compat_check_ref"),
     (re.compile(r'I check compatibility of (?:"(\w+)" )?schema against '
                 r'subject "([^"]+)" version (\d+):'), "compat_check_ver"),
     (re.compile(r'I check compatibility of (?:"(\w+)" )?schema against '
@@ -2367,6 +2386,17 @@ def _replay_scenario(feature: str, scenario: str, steps):
                     ok, _ = sim.compat_ok(subj, doc, stype, base,
                                           [target])
                     status, body = 200, {"is_compatible": ok}
+            elif op == "compat_check_ref":
+                stype = (m.group(1) or "AVRO").upper()
+                subj = sim.resolve_alias(m.group(5))
+                refs = [{"name": m.group(2), "subject": m.group(3),
+                         "version": int(m.group(4))}]
+                live = sim._live(subj)
+                level = sim._resolved_level(subj).replace(
+                    "_TRANSITIVE", "")
+                ok, _ = sim.compat_ok(subj, doc, stype, level, live,
+                                      cand_refs=refs)
+                status, body = 200, {"is_compatible": ok}
             elif op == "compat_check":
                 stype = (m.group(1) or "AVRO").upper()
                 subj = sim.resolve_alias(m.group(2))

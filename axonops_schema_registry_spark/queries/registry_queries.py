@@ -2273,6 +2273,45 @@ SELECT * FROM (VALUES
 """
 
 
+def met1_prometheus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-derived Prometheus gauges as one distributed aggregation
+    (metrics.go:474-486 refreshGauges + the schemas_total /
+    subjects_total / schema_versions families, metrics.go:119-142):
+    exposition rows (metric, labels, value) over the live corpus."""
+    from axonops_schema_registry_spark.registry.metrics import (
+        corpus_gauge_rows,
+    )
+
+    return corpus_gauge_rows(spark, sf_dir)
+
+
+MET1_ORACLE = f"""
+WITH corpus AS ({corpus_cte()}),
+live AS (SELECT * FROM corpus WHERE NOT deleted),
+typed AS (
+  SELECT *, CASE WHEN schema_id % 20 < 14 THEN 'AVRO'
+                 WHEN schema_id % 20 < 17 THEN 'PROTOBUF'
+                 ELSE 'JSON' END AS schema_type
+  FROM live),
+per_subject AS (SELECT subject, COUNT(*) AS n FROM typed GROUP BY subject)
+SELECT metric, labels, value FROM (
+  SELECT 'schema_registry_schema_versions' AS metric,
+         'subject="' || subject || '"' AS labels,
+         CAST(n AS DOUBLE) AS value
+  FROM per_subject
+  UNION ALL
+  SELECT 'schema_registry_subjects_total', '',
+         CAST(COUNT(*) AS DOUBLE)
+  FROM per_subject
+  UNION ALL
+  SELECT 'schema_registry_schemas_total',
+         'type="' || schema_type || '"', CAST(COUNT(*) AS DOUBLE)
+  FROM (SELECT DISTINCT schema_type, schema_id FROM typed)
+  GROUP BY schema_type
+) ORDER BY metric, labels
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("r1_latest_live_schema", r1_latest_live_schema, R1_ORACLE,
               tags=("registry", "window")),
@@ -2354,4 +2393,6 @@ SPECS: list[QuerySpec] = [
               J8D_ORACLE, tags=("registry", "iterative", "udf")),
     QuerySpec("lv1_context_level_resolution", lv1_context_level_resolution,
               LV1_ORACLE, tags=("registry", "pipeline", "compat", "udf")),
+    QuerySpec("met1_prometheus_export", met1_prometheus_export, MET1_ORACLE,
+              tags=("registry", "agg", "metrics")),
 ]

@@ -59,6 +59,14 @@ def _find_message(name: str, file: ProtoFile,
 def check_protobuf(reader_text: str, writer_text: str) -> list[str]:
     reader = parse_proto(reader_text)
     writer = parse_proto(writer_text)
+    # a text that yields no definitions did not parse as protobuf at
+    # all (e.g. an Avro/JSON schema registered cross-type); the
+    # reference's proto checker fails the parse and reports
+    # incompatible (checker.go:51-54 per-type checker dispatch)
+    for label, pf in (("reader", reader), ("writer", writer)):
+        if not pf.messages and not pf.enums:
+            raise ValueError(
+                f"{label} schema has no message or enum definitions")
     issues: list[str] = []
     # package change breaks the fully-qualified type namespace
     # (checker.go:43-46)

@@ -651,6 +651,51 @@ def _import_events(sim, base: dict, doc, body) -> list[dict]:
     return out
 
 
+def classify_mcp_error(msg: str) -> str:
+    """classifyMCPError (audit.go:1049-1069)."""
+    low = msg.lower()
+    if "not found" in low:
+        return "not_found"
+    if "permission" in low or "forbidden" in low or "unauthorized" in low:
+        return "permission_denied"
+    if "already exists" in low or "duplicate" in low:
+        return "already_exists"
+    if "invalid schema" in low or "parse" in low:
+        return "invalid_schema"
+    if "incompatible" in low:
+        return "incompatible"
+    if "invalid" in low or "required" in low or "missing" in low:
+        return "validation_error"
+    return "internal_error"
+
+
+def mcp_event(sim, event_type: str, tool: str,
+              args: dict | None = None, *, error: str = "") -> None:
+    """LogMCPEvent / LogMCPConfirmationEvent (audit.go:1263-1343):
+    method "MCP", path = tool name, status_code 0, no transport
+    fields; target = the subject argument when present."""
+    args = args or {}
+    ev = dict(_BLANK)
+    ev.update({
+        "timestamp": f"t{sim._ts}", "duration_ms": 1,
+        "event_type": event_type,
+        "outcome": "failure" if error else "success",
+        "actor_id": "mcp-anonymous", "actor_type": "anonymous",
+        "method": "MCP", "path": tool, "status_code": 0,
+        "context": str(args.get("context") or "."),
+        "error": error,
+        "reason": classify_mcp_error(error) if error else "",
+    })
+    subj = args.get("subject")
+    if subj and event_type in ("mcp_tool_call", "mcp_tool_error"):
+        ev["target_type"], ev["target_id"] = "subject", str(subj)
+    if event_type.startswith("mcp_confirm"):
+        # confirmation events carry no error/target/context-from-args
+        ev.update({"outcome": "success", "error": "", "reason": "",
+                   "context": ".", "target_type": "", "target_id": ""})
+    sim.audit_log.append(ev)
+
+
 def record(sim, verb: str, url: str, doc, status, body, pre: dict,
            extra: dict | None = None) -> None:
     fb = getattr(sim, "pending_ldap_fallback", None)

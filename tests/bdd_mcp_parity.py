@@ -19,6 +19,7 @@ import os
 import re
 from typing import Any
 
+import bdd_audit
 from bdd_parity import FEATURES_DIR, _scenarios
 from bdd_lifecycle_parity import (
     Mismatch,
@@ -881,6 +882,7 @@ def _confirm_check(sim: RegistrySim, name: str, a: dict):
         sim._ts += 1
         token = f"confirm-{sim._ts}"
         store[token] = {"key": key, "used": False}
+        bdd_audit.mcp_event(sim, "mcp_confirm_issued", name)
         preview = {"action": name, **{k: v for k, v in scope.items()
                                       if k != "schemas_hash"}}
         return _go_json({"confirmation_required": True,
@@ -893,19 +895,24 @@ def _confirm_check(sim: RegistrySim, name: str, a: dict):
     if token:
         entry = store.get(token)
         if entry is None:
+            bdd_audit.mcp_event(sim, "mcp_confirm_rejected", name)
             return ("error: confirmation failed: invalid or expired "
                     "confirmation token", True)
         if entry["used"]:
+            bdd_audit.mcp_event(sim, "mcp_confirm_rejected", name)
             return ("error: confirmation failed: confirmation token "
                     "has already been used", True)
         if entry["key"][0] != name:
+            bdd_audit.mcp_event(sim, "mcp_confirm_rejected", name)
             return (f"error: confirmation failed: confirmation token "
                     f"was issued for tool \"{entry['key'][0]}\", not "
                     f"\"{name}\"", True)
         if entry["key"] != key:
+            bdd_audit.mcp_event(sim, "mcp_confirm_rejected", name)
             return ("error: confirmation failed: confirmation token "
                     "does not match the provided arguments", True)
         entry["used"] = True
+        bdd_audit.mcp_event(sim, "mcp_confirmed", name)
         return None
     return _go_json({"error": "confirmation_required",
                      "confirmation_required": True,
@@ -1909,6 +1916,14 @@ STEPS: list[tuple[re.Pattern, str]] = [
      "prompt_is_error"),
     (re.compile(r'the MCP resource result should be an error'),
      "res_is_error"),
+    (re.compile(r'the audit log should contain an event:'),
+     "audit_table"),
+    (re.compile(r'the audit log should not contain event "([^"]+)"'),
+     "audit_not_event"),
+    (re.compile(r'the audit log should contain event "([^"]+)"'),
+     "audit_event"),
+    (re.compile(r'the audit log should contain "([^"]+)"'),
+     "audit_contains_str"),
     (re.compile(r'the audit log should'), "ignore"),
     (re.compile(r'the schema registry is running'), "ignore"),
     (re.compile(r'no subjects exist'), "ignore"),
@@ -1996,6 +2011,11 @@ def _replay_scenario(feature: str, scenario: str, steps):
         if out is None:
             return f"unknown MCP tool: {tool}"
         text_out, is_err = out
+        # tools.go:293-319 wrapper: every executed tool logs one
+        # mcp_tool_call / mcp_tool_error event
+        bdd_audit.mcp_event(
+            sim, "mcp_tool_error" if is_err else "mcp_tool_call",
+            tool, args, error="tool returned error" if is_err else "")
         return None
 
     for line, doc in steps:
@@ -2008,6 +2028,35 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 continue
             if op == "ignore":
                 pass
+            elif op == "audit_table":
+                n += 1
+                expected = bdd_audit.parse_expect_table(doc or "")
+                if not bdd_audit.match_table(sim.audit_log, expected):
+                    best = bdd_audit.best_partial(sim.audit_log,
+                                                  expected)
+                    mm.append(Mismatch(feature, scenario,
+                                       "audit table "
+                                       + expected.get("event_type",
+                                                      "?"),
+                                       expected, best))
+            elif op == "audit_not_event":
+                n += 1
+                if any(e.get("event_type") == m.group(1)
+                       for e in sim.audit_log):
+                    mm.append(Mismatch(feature, scenario, body,
+                                       f"no {m.group(1)}", "present"))
+            elif op == "audit_event":
+                n += 1
+                if not any(e.get("event_type") == m.group(1)
+                           for e in sim.audit_log):
+                    mm.append(Mismatch(feature, scenario, body,
+                                       m.group(1), "absent"))
+            elif op == "audit_contains_str":
+                n += 1
+                blob = json.dumps(sim.audit_log, default=str)
+                if m.group(1) not in blob:
+                    mm.append(Mismatch(feature, scenario, body,
+                                       m.group(1), "absent"))
             elif op == "confirm_on":
                 sim._confirm_enabled = True
             elif op == "preset":

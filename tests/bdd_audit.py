@@ -696,6 +696,131 @@ def mcp_event(sim, event_type: str, tool: str,
     sim.audit_log.append(ev)
 
 
+# -- metrics middleware replica (metrics.go:517-560 + recorders) ----------
+
+
+def metrics_of(sim):
+    m = getattr(sim, "metrics", None)
+    if m is None:
+        from axonops_schema_registry_spark.registry.metrics import (
+            MetricsRegistry,
+        )
+        m = sim.metrics = MetricsRegistry()
+    return m
+
+
+def scrape(sim) -> str:
+    """GET /metrics: refresh the storage-derived gauges from sim state
+    (refreshGauges, metrics.go:474-486) and render the exposition."""
+    m = metrics_of(sim)
+    live_by_subject: dict[str, int] = {}
+    type_counts: dict[str, int] = {}
+    for subj, vers in sim.subjects.items():
+        live = [v for v in vers if not v.get("deleted")]
+        if live:
+            live_by_subject[subj] = len(live)
+            for v in live:
+                t = v["type"] or "AVRO"
+                type_counts[t] = type_counts.get(t, 0) + 1
+    m.refresh_gauges(len(live_by_subject), type_counts,
+                     live_by_subject)
+    m.set("schema_registry_cache_size",
+          float(len(sim.apikeys) + len(sim.config_keys)), "api_keys")
+    return m.render()
+
+
+def has_metric(body: str, name: str) -> bool:
+    """hasMetric (metrics_steps.go:168-181)."""
+    for line in body.split("\n"):
+        if line.startswith("#"):
+            if name in line:
+                return True
+            continue
+        if line.startswith(name):
+            return True
+    return False
+
+
+_METRIC_LINE = re.compile(
+    r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{[^}]*\})?\s+([0-9eE.+-]+)")
+
+
+def metric_value(body: str, name: str) -> float | None:
+    """getMetricValue (metrics_steps.go:186-201): first sample whose
+    bare name matches exactly."""
+    for line in body.split("\n"):
+        if line.startswith("#"):
+            continue
+        m = _METRIC_LINE.match(line)
+        if m and m.group(1) == name:
+            return float(m.group(3))
+    return None
+
+
+def metric_with_labels(body: str, name: str, labels: str) -> bool:
+    """Label-substring matching (metrics_steps.go:81-103)."""
+    labels = labels.replace('\\"', '"')
+    return any(line.startswith(name + "{") and labels in line
+               for line in body.split("\n"))
+
+
+def observe_metrics(sim, verb: str, url: str, status, body,
+                    events: list[dict]) -> None:
+    """Everything the reference's middleware chain records for one
+    request: HTTP counters, Confluent counters, per-principal series,
+    auth attempts + credential cache, storage ops, and the per-family
+    recorder the handler would have called."""
+    if status is None:
+        return
+    m = metrics_of(sim)
+    status = int(status)
+    path = url.partition("?")[0]
+    actor = sim.actor if isinstance(getattr(sim, "actor", None), dict) \
+        else None
+    principal = actor.get("username") if actor and status != 401 \
+        else None
+    m.observe_http(verb, path, status, principal=principal)
+    if getattr(sim, "actor", None) is not None:
+        method = getattr(sim, "auth_method", "") or "basic"
+        if status == 401:
+            m.record_auth_attempt(method, False, "invalid_credentials")
+        elif actor is not None:
+            m.record_auth_attempt(method, True)
+            seen = getattr(sim, "_cred_seen", None)
+            if seen is None:
+                seen = sim._cred_seen = set()
+            cred = actor.get("username", "")
+            m.record_cache_access("credentials", cred in seen)
+            seen.add(cred)
+    if status not in (401, 403):
+        m.record_storage_operation("memory", verb.lower(),
+                                   error=(status == 404
+                                          or status >= 500))
+    ok = 200 <= status < 400
+    for ev in events:
+        m.record_audit_event("stdout")
+        et = ev["event_type"]
+        if et == "schema_register":
+            m.record_schema_registration(
+                ev.get("schema_type") or "AVRO", ok)
+        elif ok and et in ("subject_delete_soft",
+                           "subject_delete_permanent",
+                           "schema_delete_soft",
+                           "schema_delete_permanent"):
+            m.record_schema_deletion(ev.get("schema_type") or "AVRO")
+        elif et == "compatibility_check":
+            if ok and isinstance(body, dict):
+                m.record_compatibility_check(
+                    "AVRO", "BACKWARD",
+                    bool(body.get("is_compatible", True)))
+            elif status == 422:
+                # checker failed to parse the candidate
+                m.inc("schema_registry_compatibility_errors_total",
+                      "AVRO", "BACKWARD")
+        elif et == "auth_ldap_fallback":
+            m.record_ldap_fallback(ev.get("actor_id", ""))
+
+
 def record(sim, verb: str, url: str, doc, status, body, pre: dict,
            extra: dict | None = None) -> None:
     fb = getattr(sim, "pending_ldap_fallback", None)
@@ -717,5 +842,7 @@ def record(sim, verb: str, url: str, doc, status, body, pre: dict,
         })
         sim.audit_log.append(ev)
         sim.pending_ldap_fallback = None
-    sim.audit_log.extend(
-        derive(sim, verb, url, doc, status, body, pre, extra))
+        metrics_of(sim).record_ldap_fallback(fb)
+    events = derive(sim, verb, url, doc, status, body, pre, extra)
+    sim.audit_log.extend(events)
+    observe_metrics(sim, verb, url, status, body, events)

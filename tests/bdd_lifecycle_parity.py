@@ -197,6 +197,11 @@ LIFECYCLE_FEATURES = (
     "modeling_negative_validation.feature",
     "modeling_protobuf_compatibility.feature",
     "schema_parsing_exhaustive.feature",
+    # Prometheus metrics surface (registry/metrics.py name/label/type
+    # parity; scrape assertions per metrics_steps.go)
+    "metrics_axonops.feature",
+    "metrics_confluent_compat.feature",
+    "metrics_auth.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -1804,6 +1809,22 @@ STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(r'I get the metrics'), "get_metrics"),
     (re.compile(r'the response should contain Prometheus metric '
                 r'"([^"]+)"'), "assert_prom_metric"),
+    # Prometheus scrape assertions (metrics_steps.go:17-158)
+    (re.compile(r'the Prometheus metric "([^"]+)" with labels '
+                r'"((?:[^"\\]|\\.)*)" should exist'), "prom_labels"),
+    (re.compile(r'the Prometheus metric "([^"]+)" should not exist'),
+     "prom_not_exists"),
+    (re.compile(r'the Prometheus metric "([^"]+)" should exist'),
+     "prom_exists"),
+    (re.compile(r'the Prometheus metric "([^"]+)" should have value '
+                r'>= (\d+)'), "prom_value_ge"),
+    (re.compile(r'the Prometheus metric "([^"]+)" should have value '
+                r'(\d+)'), "prom_value_eq"),
+    (re.compile(r'the Prometheus metric "([^"]+)" should have '
+                r'increased from "([^"]+)"'), "prom_increased"),
+    (re.compile(r'I store the current value of metric "([^"]+)" as '
+                r'"([^"]+)"'), "prom_store"),
+    (re.compile(r'I wait for metrics refresh'), "noop"),
     (re.compile(r'I create a user with username "([^"]+)" password '
                 r'"([^"]+)" role "([^"]+)"(?: email "([^"]+)")?'),
      "mk_user"),
@@ -2058,6 +2079,16 @@ def _adel(sim, subject):
     return st, bd
 
 
+
+def _invalid_candidate(doc, stype) -> bool:
+    """The check endpoint 422s when the candidate fails to parse
+    (CheckCompatibility handler -> 42201)."""
+    from axonops_schema_registry_spark.registry.evolution import (
+        validate_and_normalize,
+    )
+    return not validate_and_normalize(doc or "", stype)["is_valid"]
+
+
 def _replay_scenario(feature: str, scenario: str, steps):
     sim = RegistrySim()
     sim.auth_required = feature.startswith("auth_") \
@@ -2206,12 +2237,52 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 if not sim.conn_refused:
                     mm.append(Mismatch(feature, scenario, bodytext,
                                        "refused", (status, body)))
+            elif op == "noop":
+                pass
             elif op == "get_metrics":
-                status = 200
-                body = ("# HELP schema_registry_requests_total Total "
-                        "HTTP requests\n"
-                        "# TYPE schema_registry_requests_total counter\n"
-                        "schema_registry_requests_total 1\n")
+                status, body = 200, bdd_audit.scrape(sim)
+            elif op == "prom_exists":
+                n += 1
+                if not bdd_audit.has_metric(bdd_audit.scrape(sim),
+                                            m.group(1)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       m.group(1), "absent"))
+            elif op == "prom_not_exists":
+                n += 1
+                if bdd_audit.has_metric(bdd_audit.scrape(sim),
+                                        m.group(1)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"no {m.group(1)}", "present"))
+            elif op == "prom_labels":
+                n += 1
+                if not bdd_audit.metric_with_labels(
+                        bdd_audit.scrape(sim), m.group(1), m.group(2)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       (m.group(1), m.group(2)),
+                                       "absent"))
+            elif op in ("prom_value_ge", "prom_value_eq"):
+                n += 1
+                val = bdd_audit.metric_value(bdd_audit.scrape(sim),
+                                             m.group(1))
+                want = int(m.group(2))
+                bad = (val is None or
+                       (val < want if op == "prom_value_ge"
+                        else int(val) != want))
+                if bad:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       want, val))
+            elif op == "prom_store":
+                stored[m.group(2)] = bdd_audit.metric_value(
+                    bdd_audit.scrape(sim), m.group(1)) or 0.0
+            elif op == "prom_increased":
+                n += 1
+                val = bdd_audit.metric_value(bdd_audit.scrape(sim),
+                                             m.group(1))
+                prev = stored.get(m.group(2), 0.0)
+                if val is None or not isinstance(prev, float) \
+                        or val <= prev:
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f"> {prev}", val))
             elif op == "assert_prom_metric":
                 n += 1
                 if not isinstance(body, str) or m.group(1) not in body:
@@ -2280,6 +2351,11 @@ def _replay_scenario(feature: str, scenario: str, steps):
                            else (429, {"error_code": 429,
                                        "message": "Too Many Requests"})
                            for i, r in enumerate(results)]
+                client = (sim.actor.get("username", "anon")
+                          if isinstance(sim.actor, dict) else "anon")
+                for r in results[limit:]:
+                    bdd_audit.metrics_of(sim).record_rate_limit_hit(
+                        client)
                 stored["__rapid"] = results
                 status, body = results[-1]
             elif op == "assert_any_status":
@@ -2372,6 +2448,10 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 if sid is None:
                     return 0, [], "no stored schema_id"
                 status, body = sim.subjects_for_id(int(sid))
+            elif op == "compat_check_ver" and _invalid_candidate(
+                    doc, (m.group(1) or "AVRO").upper()):
+                status, body = 422, {"error_code": 42201,
+                                     "message": "Invalid schema"}
             elif op == "compat_check_ver":
                 stype = (m.group(1) or "AVRO").upper()
                 subj = sim.resolve_alias(m.group(2))
@@ -2386,6 +2466,10 @@ def _replay_scenario(feature: str, scenario: str, steps):
                     ok, _ = sim.compat_ok(subj, doc, stype, base,
                                           [target])
                     status, body = 200, {"is_compatible": ok}
+            elif op == "compat_check_ref" and _invalid_candidate(
+                    doc, (m.group(1) or "AVRO").upper()):
+                status, body = 422, {"error_code": 42201,
+                                     "message": "Invalid schema"}
             elif op == "compat_check_ref":
                 stype = (m.group(1) or "AVRO").upper()
                 subj = sim.resolve_alias(m.group(5))
@@ -2397,6 +2481,10 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 ok, _ = sim.compat_ok(subj, doc, stype, level, live,
                                       cand_refs=refs)
                 status, body = 200, {"is_compatible": ok}
+            elif op == "compat_check" and _invalid_candidate(
+                    doc, (m.group(1) or "AVRO").upper()):
+                status, body = 422, {"error_code": 42201,
+                                     "message": "Invalid schema"}
             elif op == "compat_check":
                 stype = (m.group(1) or "AVRO").upper()
                 subj = sim.resolve_alias(m.group(2))
@@ -2492,6 +2580,10 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 if not (isinstance(val, int) and val > int(m.group(2))):
                     mm.append(Mismatch(feature, scenario, bodytext,
                                        f"> {m.group(2)}", val))
+            elif op == "compat_check_all" and _invalid_candidate(
+                    doc, (m.group(1) or "AVRO").upper()):
+                status, body = 422, {"error_code": 42201,
+                                     "message": "Invalid schema"}
             elif op == "compat_check_all":
                 stype = (m.group(1) or "AVRO").upper()
                 subj = sim.resolve_alias(m.group(2))

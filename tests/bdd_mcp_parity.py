@@ -31,6 +31,7 @@ MCP_DIR = os.path.join(FEATURES_DIR, "mcp")
 
 MCP_FEATURES = (
     "mcp_config.feature",
+    "mcp_metrics.feature",
     "mcp_schema_read.feature",
     "mcp_schema_write.feature",
     "mcp_dek.feature",
@@ -883,6 +884,8 @@ def _confirm_check(sim: RegistrySim, name: str, a: dict):
         token = f"confirm-{sim._ts}"
         store[token] = {"key": key, "used": False}
         bdd_audit.mcp_event(sim, "mcp_confirm_issued", name)
+        bdd_audit.metrics_of(sim).record_mcp_confirmation(
+            "token_issued")
         preview = {"action": name, **{k: v for k, v in scope.items()
                                       if k != "schemas_hash"}}
         return _go_json({"confirmation_required": True,
@@ -896,6 +899,8 @@ def _confirm_check(sim: RegistrySim, name: str, a: dict):
         entry = store.get(token)
         if entry is None:
             bdd_audit.mcp_event(sim, "mcp_confirm_rejected", name)
+            bdd_audit.metrics_of(sim).record_mcp_confirmation(
+                "token_rejected")
             return ("error: confirmation failed: invalid or expired "
                     "confirmation token", True)
         if entry["used"]:
@@ -913,7 +918,10 @@ def _confirm_check(sim: RegistrySim, name: str, a: dict):
                     "does not match the provided arguments", True)
         entry["used"] = True
         bdd_audit.mcp_event(sim, "mcp_confirmed", name)
+        bdd_audit.metrics_of(sim).record_mcp_confirmation("confirmed")
         return None
+    bdd_audit.metrics_of(sim).record_mcp_policy_denial(
+        "confirmation_required")
     return _go_json({"error": "confirmation_required",
                      "confirmation_required": True,
                      "message": "This destructive operation requires "
@@ -1916,6 +1924,10 @@ STEPS: list[tuple[re.Pattern, str]] = [
      "prompt_is_error"),
     (re.compile(r'the MCP resource result should be an error'),
      "res_is_error"),
+    (re.compile(r'the Prometheus metric "([^"]+)" with labels '
+                r'"((?:[^"\\]|\\.)*)" should exist'), "prom_labels"),
+    (re.compile(r'the Prometheus metric "([^"]+)" should exist'),
+     "prom_exists"),
     (re.compile(r'the audit log should contain an event:'),
      "audit_table"),
     (re.compile(r'the audit log should not contain event "([^"]+)"'),
@@ -2016,6 +2028,9 @@ def _replay_scenario(feature: str, scenario: str, steps):
         bdd_audit.mcp_event(
             sim, "mcp_tool_error" if is_err else "mcp_tool_call",
             tool, args, error="tool returned error" if is_err else "")
+        bdd_audit.metrics_of(sim).record_mcp_tool_call(
+            tool, "error" if is_err else "success",
+            principal="mcp-anonymous")
         return None
 
     for line, doc in steps:
@@ -2028,6 +2043,19 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 continue
             if op == "ignore":
                 pass
+            elif op == "prom_exists":
+                n += 1
+                if not bdd_audit.has_metric(bdd_audit.scrape(sim),
+                                            m.group(1)):
+                    mm.append(Mismatch(feature, scenario, body,
+                                       m.group(1), "absent"))
+            elif op == "prom_labels":
+                n += 1
+                if not bdd_audit.metric_with_labels(
+                        bdd_audit.scrape(sim), m.group(1), m.group(2)):
+                    mm.append(Mismatch(feature, scenario, body,
+                                       (m.group(1), m.group(2)),
+                                       "absent"))
             elif op == "audit_table":
                 n += 1
                 expected = bdd_audit.parse_expect_table(doc or "")
@@ -2059,11 +2087,20 @@ def _replay_scenario(feature: str, scenario: str, steps):
                                        m.group(1), "absent"))
             elif op == "confirm_on":
                 sim._confirm_enabled = True
-            elif op == "preset":
-                sim._scopes = _PRESETS.get(m.group(1), set())
-            elif op == "scopes":
-                sim._scopes = {s.strip()
-                               for s in m.group(1).split(",")}
+            elif op in ("preset", "scopes"):
+                sim._scopes = (_PRESETS.get(m.group(1), set())
+                               if op == "preset"
+                               else {s.strip()
+                                     for s in m.group(1).split(",")})
+                # isToolAllowed (tools.go:189-201) runs at tool
+                # REGISTRATION: every scope-blocked tool records one
+                # permission-denied sample when the server comes up
+                mreg = bdd_audit.metrics_of(sim)
+                for scope_name, tools in sorted(_SCOPE_TOOLS.items()):
+                    if scope_name not in sim._scopes:
+                        for t in sorted(tools):
+                            mreg.record_mcp_permission_denied(
+                                t, scope_name)
             elif op == "list_tools":
                 text_out = _go_json(allowed_tools(
                     getattr(sim, "_scopes", None)))

@@ -30,7 +30,7 @@ _PRIORITY: tuple[str, ...] = (
     "q21_waiting_suppliers", "q22_dormant_customers",
     # round-5 new features
     "st9_token_bucket", "mm2_header_decode", "a8q_exact_quality",
-    "rf1_reserved_fields",
+    "rf1_reserved_fields", "met1_prometheus_export",
     # re-verify: semantics/oracles changed in r5 (ADVICE fixes + the BDD
     # parity sweep's content-model rules — c1/rc1/sg1 verdict flips,
     # del2 40401 branch, ctx-scoped registration joins)

@@ -229,6 +229,66 @@ class CollectingWebhookSink:
         self.state = "RUNNING"
 
 
+class HttpWebhookSink:
+    """Webhook audit delivery over real HTTP — the reference's
+    WebhookOutput wire format (audit_webhook.go:130-200): events are
+    serialized as newline-delimited JSON and POSTed in batches.
+
+    Usable directly as a ``foreachBatch`` target; ``send_events`` is
+    the synchronous primitive (the reference batches asynchronously —
+    per-executor batching in foreachBatch gives the same amortization
+    on a cluster, without a driver-side queue)."""
+
+    def __init__(self, url: str, timeout: float = 5.0) -> None:
+        self.url = url
+        self.timeout = timeout
+
+    def send_events(self, events: list[dict]) -> None:
+        import json as _json
+        import urllib.request
+
+        body = "".join(_json.dumps(e, default=str) + "\n"
+                       for e in events).encode()
+        req = urllib.request.Request(
+            self.url, data=body, method="POST",
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=self.timeout):
+            pass
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        rows = [r.asDict(recursive=True) for r in batch_df.collect()]
+        if rows:
+            self.send_events(rows)
+
+
+class SyslogTcpSink:
+    """Syslog audit delivery: RFC 5424 messages with RFC 5425
+    message-length framing over TCP, app-name in the header — the
+    reference's SyslogOutput format (audit_syslog.go:23-61; TLS is a
+    transport wrapper around the identical framing)."""
+
+    def __init__(self, host: str, port: int,
+                 app_name: str = "schema-registry") -> None:
+        self.addr = (host, port)
+        self.app_name = app_name
+
+    def send(self, message: str) -> None:
+        import socket
+
+        frame = (f"<134>1 2026-01-01T00:00:00Z localhost "
+                 f"{self.app_name} - - - {message}")
+        payload = f"{len(frame)} {frame}".encode()
+        with socket.create_connection(self.addr, timeout=5.0) as sock:
+            sock.sendall(payload)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import json as _json
+
+        for r in batch_df.collect():
+            self.send(_json.dumps(r.asDict(recursive=True),
+                                  default=str))
+
+
 def audit_hash_chain(df: DataFrame, key_col: str, order_cols: list[str],
                      record_col: str) -> DataFrame:
     """Tamper-evident audit chain per key (F16: the before_hash /

@@ -696,6 +696,122 @@ def mcp_event(sim, event_type: str, tool: str,
     sim.audit_log.append(ev)
 
 
+# -- real local audit-output receivers (audit_outputs.feature) ------------
+
+
+class WebhookReceiver:
+    """In-process HTTP server collecting NDJSON audit batches — the
+    BDD environment's webhook receiver, minus Docker."""
+
+    def __init__(self) -> None:
+        import http.server
+        import threading
+
+        receiver = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802
+                n = int(self.headers.get("Content-Length", 0))
+                for line in self.rfile.read(n).decode().splitlines():
+                    if line.strip():
+                        receiver.events.append(json.loads(line))
+                self.send_response(200)
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self.events: list[dict] = []
+        self.server = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.server.server_port}/audit"
+        threading.Thread(target=self.server.serve_forever,
+                         daemon=True).start()
+
+
+class SyslogReceiver:
+    """In-process TCP server parsing RFC 5425 length-framed RFC 5424
+    syslog messages."""
+
+    def __init__(self) -> None:
+        import socketserver
+        import threading
+
+        receiver = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                data = self.rfile.read().decode(errors="replace")
+                while data:
+                    length, sep, rest = data.partition(" ")
+                    if not sep or not length.isdigit():
+                        break
+                    n = int(length)
+                    receiver.messages.append(rest[:n])
+                    data = rest[n:]
+
+        self.messages: list[str] = []
+        self.server = socketserver.ThreadingTCPServer(
+            ("127.0.0.1", 0), Handler)
+        self.server.daemon_threads = True
+        self.port = self.server.server_address[1]
+        threading.Thread(target=self.server.serve_forever,
+                         daemon=True).start()
+
+
+_WEBHOOK_RECEIVER: WebhookReceiver | None = None
+_SYSLOG_RECEIVER: SyslogReceiver | None = None
+
+
+def audit_wire(sim) -> None:
+    """Attach real webhook + syslog delivery to a sim (the
+    audit_outputs.feature environment): every derived audit event is
+    POSTed as NDJSON to a live local HTTP receiver and written
+    length-framed to a live local syslog receiver through the
+    PRODUCTION sink classes."""
+    global _WEBHOOK_RECEIVER, _SYSLOG_RECEIVER
+    from axonops_schema_registry_spark.streaming.audit import (
+        HttpWebhookSink,
+        SyslogTcpSink,
+    )
+
+    if _WEBHOOK_RECEIVER is None:
+        _WEBHOOK_RECEIVER = WebhookReceiver()
+    if _SYSLOG_RECEIVER is None:
+        _SYSLOG_RECEIVER = SyslogReceiver()
+    _WEBHOOK_RECEIVER.events.clear()
+    _SYSLOG_RECEIVER.messages.clear()
+    sim._audit_wire = (
+        HttpWebhookSink(_WEBHOOK_RECEIVER.url),
+        SyslogTcpSink("127.0.0.1", _SYSLOG_RECEIVER.port,
+                      app_name="schema-registry-test"),
+        _WEBHOOK_RECEIVER, _SYSLOG_RECEIVER)
+
+
+def webhook_events(sim, min_count: int = 0) -> list[dict]:
+    """Received webhook events; syslog/webhook delivery is threaded,
+    so poll briefly until the expected volume lands."""
+    import time
+
+    wh = sim._audit_wire[2]
+    for _ in range(50):
+        if len(wh.events) >= max(min_count, 1):
+            break
+        time.sleep(0.01)
+    return wh.events
+
+
+def syslog_messages(sim, needle: str = "") -> list[str]:
+    import time
+
+    sr = sim._audit_wire[3]
+    for _ in range(100):
+        if any(needle in m for m in sr.messages):
+            break
+        time.sleep(0.01)
+    return sr.messages
+
+
 # -- metrics middleware replica (metrics.go:517-560 + recorders) ----------
 
 
@@ -846,3 +962,9 @@ def record(sim, verb: str, url: str, doc, status, body, pre: dict,
     events = derive(sim, verb, url, doc, status, body, pre, extra)
     sim.audit_log.extend(events)
     observe_metrics(sim, verb, url, status, body, events)
+    wire = getattr(sim, "_audit_wire", None)
+    if wire is not None and events:
+        webhook_sink, syslog_sink = wire[0], wire[1]
+        webhook_sink.send_events(events)
+        for ev in events:
+            syslog_sink.send(json.dumps(ev, default=str))

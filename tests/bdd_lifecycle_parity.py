@@ -202,6 +202,11 @@ LIFECYCLE_FEATURES = (
     "metrics_axonops.feature",
     "metrics_confluent_compat.feature",
     "metrics_auth.feature",
+    # audit sinks: file/stdout tables + LIVE local webhook and syslog
+    # receivers fed through the production sink classes
+    "audit_outputs.feature",
+    # memory-backend process lifecycle (restart/stop/kill/pause)
+    "operational_memory.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -1783,6 +1788,24 @@ STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(r'the import should have (\d+) imported and (\d+) '
                 r'errors?'), "assert_import"),
     (re.compile(r'the schema registry is running'), "running"),
+    # operational_memory.feature: process lifecycle of the in-memory
+    # backend (restart wipes state, pause preserves it)
+    (re.compile(r'a running schema registry with memory backend'),
+     "running"),
+    (re.compile(r'I have registered (\d+) schemas across multiple '
+                r'subjects'), "mem_seed_n"),
+    (re.compile(r'I have registered schemas under subjects "([^"]+)" '
+                r'and "([^"]+)"'), "mem_seed_two"),
+    (re.compile(r'I restart the schema registry'), "mem_restart"),
+    (re.compile(r'I stop the schema registry'), "mem_stop"),
+    (re.compile(r'I start the schema registry'), "mem_start"),
+    (re.compile(r'I kill the database container'), "mem_kill"),
+    (re.compile(r'I pause the database'), "mem_pause"),
+    (re.compile(r'I unpause the database'), "mem_unpause"),
+    (re.compile(r'I wait for the registry to become healthy'),
+     "mem_wait_up"),
+    (re.compile(r'I wait for the registry to become unhealthy'),
+     "mem_wait_down"),
     (re.compile(r'I authenticate as "([^"]+)" with password "([^"]*)"'),
      "auth_basic"),
     (re.compile(r'I authenticate with stored API key "([^"]+)"'),
@@ -1825,6 +1848,14 @@ STEPS: list[tuple[re.Pattern, str]] = [
     (re.compile(r'I store the current value of metric "([^"]+)" as '
                 r'"([^"]+)"'), "prom_store"),
     (re.compile(r'I wait for metrics refresh'), "noop"),
+    (re.compile(r'the webhook receiver should have received an event '
+                r'with event_type "([^"]+)"'), "wh_event"),
+    (re.compile(r'the webhook receiver should have received an event '
+                r'matching:'), "wh_matching"),
+    (re.compile(r'the webhook receiver should have at least (\d+) '
+                r'events'), "wh_at_least"),
+    (re.compile(r'the syslog TLS receiver should have received a '
+                r'message containing "([^"]+)"'), "syslog_contains"),
     (re.compile(r'I create a user with username "([^"]+)" password '
                 r'"([^"]+)" role "([^"]+)"(?: email "([^"]+)")?'),
      "mk_user"),
@@ -2080,6 +2111,18 @@ def _adel(sim, subject):
 
 
 
+def _wipe_store(sim) -> None:
+    """Memory-backend process restart: all registry state is lost and
+    the server re-seeds its bootstrap auth store (memory/store.go — the
+    backend holds everything in process memory)."""
+    fresh = RegistrySim()
+    for attr in ("subjects", "ids", "next_ids", "root_level", "levels",
+                 "root_mode", "subj_modes", "cfg_extra",
+                 "glob_cfg_extra", "keks", "deks", "exporters",
+                 "exporter_status", "users", "apikeys", "next_uid"):
+        setattr(sim, attr, getattr(fresh, attr))
+
+
 def _invalid_candidate(doc, stype) -> bool:
     """The check endpoint 422s when the candidate fails to parse
     (CheckCompatibility handler -> 42201)."""
@@ -2091,6 +2134,10 @@ def _invalid_candidate(doc, stype) -> bool:
 
 def _replay_scenario(feature: str, scenario: str, steps):
     sim = RegistrySim()
+    if feature == "audit_outputs.feature":
+        # live local webhook + syslog receivers fed through the
+        # production HttpWebhookSink / SyslogTcpSink classes
+        bdd_audit.audit_wire(sim)
     sim.auth_required = feature.startswith("auth_") \
         or feature.startswith("rate_limiting")
     sim.bearer_only = feature in ("auth_jwt.feature",
@@ -2239,6 +2286,37 @@ def _replay_scenario(feature: str, scenario: str, steps):
                                        "refused", (status, body)))
             elif op == "noop":
                 pass
+            elif op == "wh_event":
+                n += 1
+                evs = bdd_audit.webhook_events(sim, 1)
+                if not any(e.get("event_type") == m.group(1)
+                           for e in evs):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       m.group(1),
+                                       [e.get("event_type")
+                                        for e in evs][-5:]))
+            elif op == "wh_matching":
+                n += 1
+                expected = bdd_audit.parse_expect_table(
+                    sub_stored(doc or ""))
+                evs = bdd_audit.webhook_events(sim, 1)
+                if not bdd_audit.match_table(evs, expected):
+                    mm.append(Mismatch(
+                        feature, scenario, bodytext, expected,
+                        bdd_audit.best_partial(evs, expected)))
+            elif op == "wh_at_least":
+                n += 1
+                evs = bdd_audit.webhook_events(sim, int(m.group(1)))
+                if len(evs) < int(m.group(1)):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       f">= {m.group(1)}", len(evs)))
+            elif op == "syslog_contains":
+                n += 1
+                msgs = bdd_audit.syslog_messages(sim, m.group(1))
+                if not any(m.group(1) in x for x in msgs):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       m.group(1),
+                                       [x[:60] for x in msgs[-3:]]))
             elif op == "get_metrics":
                 status, body = 200, bdd_audit.scrape(sim)
             elif op == "prom_exists":
@@ -2398,6 +2476,41 @@ def _replay_scenario(feature: str, scenario: str, steps):
             elif op == "running":
                 # the step driver's health probe (GET /) -> 200
                 status, body = 200, {}
+            elif op == "mem_seed_n":
+                for i in range(int(m.group(1))):
+                    _areg(sim, f"op-mem-subj-{i}",
+                          '{"type":"record","name":"M%d","fields":'
+                          '[{"name":"f","type":"string"}]}' % i)
+                status, body = 200, {}
+            elif op == "mem_seed_two":
+                for subj in (m.group(1), m.group(2)):
+                    _areg(sim, subj,
+                          '{"type":"record","name":"Seed","fields":'
+                          '[{"name":"f","type":"string"}]}')
+                status, body = 200, {}
+            elif op in ("mem_restart", "mem_kill"):
+                _wipe_store(sim)
+                sim.down = op == "mem_kill"
+            elif op == "mem_stop":
+                sim.down = True
+            elif op == "mem_start":
+                # a fresh process comes up empty (memory backend)
+                _wipe_store(sim)
+                sim.down = False
+            elif op == "mem_pause":
+                sim.down = True  # DB paused: state retained
+            elif op == "mem_unpause":
+                sim.down = False
+            elif op == "mem_wait_up":
+                n += 1
+                if getattr(sim, "down", False):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "healthy", "down"))
+            elif op == "mem_wait_down":
+                n += 1
+                if not getattr(sim, "down", False):
+                    mm.append(Mismatch(feature, scenario, bodytext,
+                                       "unhealthy", "up"))
             elif op == "cluster_id":
                 status, body = _dispatch_http(sim, "GET",
                                               "/v1/metadata/id", None)

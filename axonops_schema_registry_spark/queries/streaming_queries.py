@@ -201,6 +201,100 @@ FROM tagged GROUP BY category
 """
 
 
+#: aud3: deterministic HTTP request log derived from the events table —
+#: every expression below is PORTABLE SQL evaluated verbatim by both
+#: Catalyst and DuckDB, so the classification CASE itself is under the
+#: driver's hash gate (single source of truth, no dual maintenance)
+_AUD3_VERB = ("CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 'POST' "
+              "WHEN 1 THEN 'GET' WHEN 2 THEN 'DELETE' "
+              "WHEN 3 THEN 'PUT' ELSE 'POST' END")
+_AUD3_PATH = (
+    "CASE CAST(event_id % 11 AS INT) "
+    "WHEN 0 THEN '/subjects/s' || CAST(user_id AS STRING) || '/versions' "
+    "WHEN 1 THEN '/subjects/s' || CAST(user_id AS STRING) "
+    "WHEN 2 THEN '/subjects/s' || CAST(user_id AS STRING) || '/versions/1' "
+    "WHEN 3 THEN '/compatibility/subjects/s' || CAST(user_id AS STRING)"
+    " || '/versions/latest' "
+    "WHEN 4 THEN '/config/s' || CAST(user_id AS STRING) "
+    "WHEN 5 THEN '/mode' "
+    "WHEN 6 THEN '/dek-registry/v1/keks/k' || CAST(user_id AS STRING) "
+    "WHEN 7 THEN '/dek-registry/v1/keks/k' || CAST(user_id AS STRING)"
+    " || '/deks/sub' || CAST(user_id AS STRING) "
+    "WHEN 8 THEN '/exporters/e' || CAST(user_id AS STRING) || '/pause' "
+    "WHEN 9 THEN '/admin/users' "
+    "ELSE '/import/schemas' END")
+_AUD3_PERM = "(event_id % 7 = 0)"
+_AUD3_STATUS = ("CASE CAST(event_id % 13 AS INT) WHEN 0 THEN 401 "
+                "WHEN 1 THEN 403 WHEN 2 THEN 404 WHEN 3 THEN 409 "
+                "WHEN 4 THEN 422 WHEN 5 THEN 429 WHEN 6 THEN 500 "
+                "ELSE 200 END")
+
+
+def aud3_request_classification(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The audit middleware's request→event derivation as pure
+    whole-stage-codegen SQL over an access log (determineEventType
+    audit.go:762-941, extractTarget :1098-1147, outcome/reason
+    :1016-1046): classify every request, drop unclassifiable ones, and
+    roll up at (event_type, target_type, outcome, reason) cardinality.
+    The request log is synthesized deterministically from the events
+    table; at 100 TB the same plan classifies real access logs with no
+    shuffle before the map-side-combined final aggregation."""
+    from axonops_schema_registry_spark.streaming.audit import (
+        audit_classify_sql,
+        audit_reason_sql,
+        audit_target_type_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    req = ev.selectExpr(f"{_AUD3_VERB} AS verb",
+                        f"{_AUD3_PATH} AS path",
+                        f"{_AUD3_PERM} AS is_permanent",
+                        f"{_AUD3_STATUS} AS status")
+    classified = req.selectExpr(
+        f"{audit_classify_sql()} AS audit_event_type",
+        f"{audit_target_type_sql()} AS target_type",
+        "CASE WHEN status >= 200 AND status < 400 THEN 'success' "
+        "ELSE 'failure' END AS outcome",
+        f"{audit_reason_sql()} AS reason")
+    return (classified.filter(F.col("audit_event_type") != "")
+            .groupBy("audit_event_type", "target_type", "outcome",
+                     "reason")
+            .agg(F.count(F.lit(1)).alias("n_requests"))
+            .orderBy("audit_event_type", "target_type", "outcome",
+                     "reason"))
+
+
+def _aud3_oracle() -> str:
+    from axonops_schema_registry_spark.streaming.audit import (
+        audit_classify_sql,
+        audit_reason_sql,
+        audit_target_type_sql,
+    )
+
+    return f"""
+WITH req AS (
+  SELECT {_AUD3_VERB} AS verb, {_AUD3_PATH} AS path,
+         {_AUD3_PERM} AS is_permanent, {_AUD3_STATUS} AS status
+  FROM events),
+classified AS (
+  SELECT {audit_classify_sql()} AS audit_event_type,
+         {audit_target_type_sql()} AS target_type,
+         CASE WHEN status >= 200 AND status < 400 THEN 'success'
+              ELSE 'failure' END AS outcome,
+         {audit_reason_sql()} AS reason
+  FROM req)
+SELECT audit_event_type, target_type, outcome, reason,
+       COUNT(*) AS n_requests
+FROM classified WHERE audit_event_type <> ''
+GROUP BY ALL
+ORDER BY audit_event_type, target_type, outcome, reason
+"""
+
+
+AUD3_ORACLE = _aud3_oracle()
+
+
 #: token-bucket spec constants: burst of 2 requests, refill 1 token / 4 h —
 #: chosen so the test corpora (mean per-actor inter-arrival ~3.5 h at
 #: sf0.001, ~20 min at sf0.01) exercise BOTH admission outcomes heavily
@@ -263,6 +357,8 @@ SPECS: list[QuerySpec] = [
               tags=("streaming",)),
     QuerySpec("st9_token_bucket", st9_token_bucket, ST9_ORACLE,
               tags=("streaming", "stateful"), bench=True),
+    QuerySpec("aud3_request_classification", aud3_request_classification,
+              AUD3_ORACLE, tags=("streaming", "audit", "agg")),
     QuerySpec("aud2_event_type_analytics", aud2_event_type_analytics,
               AUD2_ORACLE, tags=("streaming", "registry")),
     QuerySpec("st6_rate_limit_flags", st6_rate_limit_flags, ST6_ORACLE,

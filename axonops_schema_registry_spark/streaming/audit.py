@@ -229,6 +229,119 @@ class CollectingWebhookSink:
         self.state = "RUNNING"
 
 
+def audit_classify_sql(verb: str = "verb", path: str = "path",
+                       perm: str = "is_permanent",
+                       status: str = "status") -> str:
+    """The audit middleware's event-type classification
+    (determineEventType, audit.go:762-941) as ONE portable SQL CASE
+    expression — branch order preserved exactly.  The same string runs
+    under Catalyst (``F.expr``) and DuckDB, so the driver oracle checks
+    the classification logic itself, not two hand-written copies.  At
+    100 TB this is how raw access logs become audit analytics: a
+    whole-stage-codegen expression, no UDF."""
+    def c(sub: str) -> str:
+        return f"contains({path}, '{sub}')"
+
+    return f"""CASE
+ WHEN {status} = 401 THEN 'auth_failure'
+ WHEN {status} = 403 THEN 'auth_forbidden'
+ WHEN {c('/import/')} AND {verb} = 'POST' THEN 'schema_import'
+ WHEN {c('/compatibility/')} AND {verb} = 'POST'
+   THEN 'compatibility_check'
+ WHEN {c('/subjects/')} AND {c('/versions')} AND {verb} = 'POST'
+   THEN 'schema_register'
+ WHEN {c('/subjects/')} AND {c('/versions')} AND {verb} = 'DELETE'
+   THEN CASE WHEN {perm} THEN 'schema_delete_permanent'
+             ELSE 'schema_delete_soft' END
+ WHEN {c('/subjects/')} AND {c('/versions')} AND {verb} = 'GET'
+   THEN 'schema_get'
+ WHEN {c('/subjects/')} AND NOT {c('/versions')} AND {verb} = 'POST'
+   THEN 'schema_lookup'
+ WHEN {c('/schemas/ids/')} THEN 'schema_get'
+ WHEN {c('/subjects/')} AND NOT {c('/versions')} AND {verb} = 'DELETE'
+   THEN CASE WHEN {perm} THEN 'subject_delete_permanent'
+             ELSE 'subject_delete_soft' END
+ WHEN {path} = '/subjects' AND {verb} = 'GET' THEN 'subject_list'
+ WHEN {c('/admin/users')} THEN
+   CASE {verb} WHEN 'POST' THEN 'user_create'
+               WHEN 'PUT' THEN 'user_update'
+               WHEN 'DELETE' THEN 'user_delete' ELSE '' END
+ WHEN {c('/me/password')} AND {verb} = 'POST' THEN 'password_change'
+ WHEN {c('/admin/apikeys')} THEN
+   CASE WHEN {c('/revoke')} AND {verb} = 'POST' THEN 'apikey_revoke'
+        WHEN {c('/rotate')} AND {verb} = 'POST' THEN 'apikey_rotate'
+        WHEN {verb} = 'POST' THEN 'apikey_create'
+        WHEN {verb} = 'PUT' THEN 'apikey_update'
+        WHEN {verb} = 'DELETE' THEN 'apikey_delete' ELSE '' END
+ WHEN {c('/dek-registry/v1/keks')} AND {c('/deks/')} THEN
+   CASE WHEN {verb} = 'POST' AND {c('/undelete')} THEN 'dek_undelete'
+        WHEN {verb} = 'POST' THEN 'dek_create'
+        WHEN {verb} = 'DELETE' AND {perm} THEN 'dek_delete_permanent'
+        WHEN {verb} = 'DELETE' THEN 'dek_delete_soft' ELSE '' END
+ WHEN {c('/dek-registry/v1/keks')} AND {c('/deks')}
+   AND {verb} = 'POST' THEN 'dek_create'
+ WHEN {c('/dek-registry/v1/keks')} AND NOT {c('/deks')} THEN
+   CASE WHEN {c('/test')} AND {verb} = 'POST' THEN 'kek_test'
+        WHEN {verb} = 'POST' AND {c('/undelete')} THEN 'kek_undelete'
+        WHEN {verb} = 'POST' THEN 'kek_create'
+        WHEN {verb} = 'PUT' THEN 'kek_update'
+        WHEN {verb} = 'DELETE' AND {perm} THEN 'kek_delete_permanent'
+        WHEN {verb} = 'DELETE' THEN 'kek_delete_soft' ELSE '' END
+ WHEN {c('/exporters')} THEN
+   CASE WHEN {c('/pause')} AND {verb} = 'PUT' THEN 'exporter_pause'
+        WHEN {c('/resume')} AND {verb} = 'PUT' THEN 'exporter_resume'
+        WHEN {c('/reset')} AND {verb} = 'PUT' THEN 'exporter_reset'
+        WHEN {c('/config')} AND {verb} = 'PUT'
+          THEN 'exporter_config_update'
+        WHEN {verb} = 'POST' THEN 'exporter_create'
+        WHEN {verb} = 'PUT' THEN 'exporter_update'
+        WHEN {verb} = 'DELETE' THEN 'exporter_delete' ELSE '' END
+ WHEN {c('/config')} THEN
+   CASE {verb} WHEN 'GET' THEN 'config_get'
+               WHEN 'PUT' THEN 'config_update'
+               WHEN 'DELETE' THEN 'config_delete' ELSE '' END
+ WHEN {c('/mode')} THEN
+   CASE {verb} WHEN 'GET' THEN 'mode_get'
+               WHEN 'PUT' THEN 'mode_update'
+               WHEN 'DELETE' THEN 'mode_delete' ELSE '' END
+ ELSE '' END"""
+
+
+def audit_target_type_sql(path: str = "path") -> str:
+    """extractTarget's type column (audit.go:1098-1147), same
+    switch-case order."""
+    def c(sub: str) -> str:
+        return f"contains({path}, '{sub}')"
+
+    return f"""CASE
+ WHEN {c('/subjects/')} THEN 'subject'
+ WHEN {c('/schemas/ids/')} THEN 'schema'
+ WHEN {c('/config')} THEN 'config'
+ WHEN {c('/mode')} THEN 'mode'
+ WHEN {c('/dek-registry/v1/keks')} THEN
+   CASE WHEN {c('/deks')} THEN 'dek' ELSE 'kek' END
+ WHEN {c('/exporters')} THEN 'exporter'
+ WHEN {c('/admin/users')} THEN 'user'
+ WHEN {c('/admin/apikeys')} THEN 'apikey'
+ WHEN {c('/import/')} THEN 'schema'
+ ELSE '' END"""
+
+
+def audit_reason_sql(status: str = "status") -> str:
+    """reasonFromStatusCode (audit.go:1024-1046)."""
+    return f"""CASE
+ WHEN {status} >= 200 AND {status} < 400 THEN ''
+ WHEN {status} = 401 THEN 'no_valid_credentials'
+ WHEN {status} = 403 THEN 'permission_denied'
+ WHEN {status} = 404 THEN 'not_found'
+ WHEN {status} = 409 THEN 'already_exists'
+ WHEN {status} = 400 THEN 'validation_error'
+ WHEN {status} = 422 THEN 'invalid_schema'
+ WHEN {status} = 429 THEN 'rate_limited'
+ WHEN {status} >= 500 THEN 'internal_error'
+ ELSE '' END"""
+
+
 class HttpWebhookSink:
     """Webhook audit delivery over real HTTP — the reference's
     WebhookOutput wire format (audit_webhook.go:130-200): events are

@@ -1296,13 +1296,40 @@ class RegistrySim:
         if version in vmap:
             return 409, {"error_code": 40971,
                          "message": "Data encryption key already exists"}
+        material = payload.get("encryptedKeyMaterial") or ""
+        key_material = ""
+        if not material and self.keks[kek_name].get("shared") \
+                and self.keks[kek_name].get("kmsType") in (
+                "hcvault", "openbao"):
+            # server-side generation needs a SHARED KEK (the server may
+            # only call the KMS when the KEK is marked shared)
+            # KMS-backed envelope generation (vault/provider.go:143-160:
+            # random material generated locally, wrapped via Transit).
+            # (shared gate: registry_dek.go CreateDEK)
+            # No live Vault in the sandbox — the stand-in derives
+            # deterministic material of the algorithm's key size and a
+            # transit-shaped wrapped form; the BDD assertions check
+            # presence/shape, the reference checks the same
+            import base64
+            import hashlib
+            size = 16 if algo == "AES128_GCM" else 32
+            raw = hashlib.sha256(
+                f"{kek_name}/{subject}/{version}/{algo}".encode()
+            ).digest()[:size]
+            key_material = base64.b64encode(raw).decode()
+            material = base64.b64encode(b"vault:v1:" + raw).decode()
         vmap[version] = {
             "kekName": kek_name, "subject": subject, "version": version,
             "algorithm": algo,
-            "encryptedKeyMaterial":
-                payload.get("encryptedKeyMaterial") or "",
+            "encryptedKeyMaterial": material,
+            "keyMaterial": key_material,
             "deleted": False, "ts": self._tick()}
-        return 200, self._dek_body(vmap[version])
+        # the CREATE response carries the plaintext material once;
+        # every read strips it (dekToResponse on the read path)
+        body = self._dek_body(vmap[version])
+        if key_material:
+            body["keyMaterial"] = key_material
+        return 200, body
 
     def _dek_find(self, kek_name: str, subject: str, version: int,
                   algorithm: str, deleted: bool):
@@ -1388,6 +1415,33 @@ class RegistrySim:
         if permanent and not vmap:
             self.deks[kek_name].pop(subject, None)
         return 204, None
+
+    def dek_rewrap(self, kek_name: str, subject: str, version: int,
+                   algorithm: str | None = None) -> tuple[int, Any]:
+        """Rewrap a DEK under the KEK's current KMS key
+        (registry_dek.go RewrapDEK): unwrap + wrap again yields new
+        encrypted material; the deterministic stand-in bumps the
+        transit version prefix."""
+        import base64
+        import hashlib
+        if kek_name not in self.keks:
+            return 404, {"error_code": 40470,
+                         "message": "Key encryption key not found: "
+                                    + kek_name}
+        d = self._dek_find(kek_name, subject, version, algorithm or "",
+                           False)
+        if d is None:
+            return 404, {"error_code": 40471,
+                         "message": "Data encryption key not found"}
+        algo = d["algorithm"]
+        size = 16 if algo == "AES128_GCM" else 32
+        raw = hashlib.sha256(
+            f"{kek_name}/{subject}/{d['version']}/{algo}".encode()
+        ).digest()[:size]
+        d["encryptedKeyMaterial"] = base64.b64encode(
+            b"vault:v2:" + raw).decode()
+        d["ts"] = self._tick()
+        return 200, self._dek_body(d)
 
     def dek_undelete(self, kek_name: str, subject: str, version: int,
                      algorithm: str) -> tuple[int, Any]:
@@ -3180,7 +3234,11 @@ def _dispatch_dek(sim: RegistrySim, verb: str, parts, q, doc):
         if parts[2] == "undelete" and len(parts) == 3:
             return sim.kek_undelete(name)
         if parts[2] == "test" and len(parts) == 3 and verb == "POST":
-            # no KMS provider configured in the BDD environment
+            kek_rec = sim.keks.get(name)
+            if kek_rec and kek_rec.get("kmsType") in ("hcvault",
+                                                      "openbao"):
+                return 200, sim._kek_body(kek_rec)
+            # no KMS provider configured for other types
             return 422, {"error_code": 42201,
                          "message": "KMS not configured"}
         if parts[2] != "deks":
@@ -3198,11 +3256,16 @@ def _dispatch_dek(sim: RegistrySim, verb: str, parts, q, doc):
                                    deleted=deleted)
             if verb == "POST":
                 if q.get("rewrap") == "true":
-                    # no KMS provider in the BDD environment
-                    # (dek.go:557-577 → registry_dek.go:133-136)
-                    return 422, {"error_code": 42201,
-                                 "message": "KMS not configured: rewrap "
-                                            "requires a KMS provider"}
+                    kek_rec = sim.keks.get(name)
+                    if not (kek_rec and kek_rec.get("kmsType") in
+                            ("hcvault", "openbao")):
+                        # no KMS provider for other types
+                        # (dek.go:557-577 → registry_dek.go:133-136)
+                        return 422, {"error_code": 42201,
+                                     "message": "KMS not configured: "
+                                                "rewrap requires a KMS "
+                                                "provider"}
+                    return sim.dek_rewrap(name, subject, -1, algorithm)
                 body = dict(payload)
                 body["subject"] = subject
                 return sim.dek_create(name, body)

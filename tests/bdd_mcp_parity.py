@@ -32,6 +32,8 @@ MCP_DIR = os.path.join(FEATURES_DIR, "mcp")
 MCP_FEATURES = (
     "mcp_config.feature",
     "mcp_metrics.feature",
+    "mcp_kms_e2e.feature",
+    "mcp_data_rules_e2e.feature",
     "mcp_schema_read.feature",
     "mcp_schema_write.feature",
     "mcp_dek.feature",
@@ -1187,8 +1189,20 @@ def call_tool(sim: RegistrySim, name: str, a: dict) -> tuple[str, bool]:
             st, body = sim.dek_undelete(
                 kek, dek_subject, int(a.get("version") or -1), algo)
             body = {"undeleted": True} if st == 204 else body
-        else:  # rewrap_dek / test_kek: no KMS in the BDD environment
+        elif name == "test_kek":
+            if (a.get("kms_type") or a.get("kmsType")) in ("hcvault",
+                                                           "openbao"):
+                # tools_metadata.go:208-211 — Transit ping succeeds
+                return ok_json({"success": True})
             return _err({"message": "KMS not configured"})
+        else:  # rewrap_dek
+            kek_rec = sim.keks.get(kek)
+            if not (kek_rec and kek_rec.get("kmsType") in ("hcvault",
+                                                           "openbao")):
+                return _err({"message": "KMS not configured"})
+            st, body = sim.dek_rewrap(
+                kek, dek_subject, int(a.get("version") or -1),
+                algo or None)
         if st not in (200, 204):
             return _err(body)
         return ok_json(body)
@@ -1924,6 +1938,8 @@ STEPS: list[tuple[re.Pattern, str]] = [
      "prompt_is_error"),
     (re.compile(r'the MCP resource result should be an error'),
      "res_is_error"),
+    (re.compile(r'I can unwrap the MCP result encrypted key '
+                r'material'), "unwrap_material"),
     (re.compile(r'the Prometheus metric "([^"]+)" with labels '
                 r'"((?:[^"\\]|\\.)*)" should exist'), "prom_labels"),
     (re.compile(r'the Prometheus metric "([^"]+)" should exist'),
@@ -2043,6 +2059,25 @@ def _replay_scenario(feature: str, scenario: str, steps):
                 continue
             if op == "ignore":
                 pass
+            elif op == "unwrap_material":
+                # envelope round-trip: b64(wrapped) = prefix || raw and
+                # b64(raw) = keyMaterial (vault/provider.go:143-160)
+                n += 1
+                import base64 as _b64
+                ok_unwrap = False
+                try:
+                    doc_ = json.loads(text_out)
+                    wrapped = _b64.b64decode(
+                        doc_["encryptedKeyMaterial"])
+                    raw = wrapped.split(b":", 2)[2]
+                    ok_unwrap = (wrapped.startswith(b"vault:v")
+                                 and _b64.b64encode(raw).decode()
+                                 == doc_.get("keyMaterial"))
+                except Exception:
+                    ok_unwrap = False
+                if not ok_unwrap:
+                    mm.append(Mismatch(feature, scenario, body,
+                                       "unwrap ok", text_out[:140]))
             elif op == "prom_exists":
                 n += 1
                 if not bdd_audit.has_metric(bdd_audit.scrape(sim),

@@ -1,0 +1,75 @@
+"""Deterministic sampling + dataset-mixture operators for training-data
+curation.
+
+A 100 TB corpus is never trained on wholesale: pipelines sample each
+source at a target rate and interleave sources by weight (dataset
+"mixtures").  Both operations must be DETERMINISTIC — re-running the
+pipeline, or running it on two engines, must select the identical
+document set — so randomness comes from a content-stable hash, never an
+RNG.
+
+Scale design:
+
+- ``stratified_sample`` is a pure hash-filter: no shuffle, no state —
+  the predicate evaluates inside the parquet scan's codegen stage, so
+  sampling 100 TB costs one pass.  The per-source rate table is a
+  config-sized broadcast.
+- ``dataset_mixture`` needs exact per-source quotas, which requires a
+  rank: one window partitioned by source (state bounded by per-source
+  cardinality).  At extreme scale the documented fallback is a
+  two-pass hash-threshold: sample at ``quota / count`` with the filter
+  above, then correct the tail — the manifest here is the exact
+  variant the oracle can verify bit-for-bit.
+
+The hash is the engine-portable 48-bit md5 prefix used by the portable
+dedup/ANN variants (Spark ``conv(substr(md5(x),1,12),16,10)`` ==
+DuckDB ``CAST('0x'||substr(md5(x),1,12) AS BIGINT)``), so an
+independent SQL engine selects the identical sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: 48-bit hash space (12 hex chars)
+HASH_SPACE = 1 << 48
+
+
+def portable_hash(col) -> F.Column:
+    """48-bit engine-portable content hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def stratified_sample(docs: DataFrame, rates: DataFrame,
+                      key_col: str = "doc_id",
+                      source_col: str = "source") -> DataFrame:
+    """Per-source deterministic Bernoulli sampling: keep a row when
+    ``hash(key) / 2^48 < rate(source)``.  ``rates`` is a tiny
+    (source, rate) table — broadcast — so the filter runs scan-side."""
+    h = portable_hash(F.col(key_col).cast("string"))
+    return (docs.join(F.broadcast(rates), source_col)
+                .filter(h < (F.col("rate") * F.lit(HASH_SPACE))
+                        .cast("bigint"))
+                .drop("rate"))
+
+
+def dataset_mixture(docs: DataFrame, quotas: DataFrame,
+                    key_col: str = "doc_id",
+                    source_col: str = "source") -> DataFrame:
+    """Exact-quota mixture manifest: each source contributes
+    ``quota`` documents, chosen in deterministic hash order (ties
+    broken by key).  ``quotas`` is a tiny (source, quota) table; the
+    caller derives quotas from mixture weights with INTEGER arithmetic
+    (floor(weight_num * total / weight_den)) — fractional weights
+    multiplied at runtime are a cross-engine float-rounding trap.
+    Returns the selected rows with their per-source mixture rank."""
+    h = portable_hash(F.col(key_col).cast("string"))
+    w = Window.partitionBy(source_col).orderBy("__h", key_col)
+    return (docs.withColumn("__h", h)
+                .join(F.broadcast(quotas), source_col)
+                .withColumn("mix_rank",
+                            F.row_number().over(w).cast("bigint"))
+                .filter(F.col("mix_rank") <= F.col("quota"))
+                .drop("__h", "quota"))

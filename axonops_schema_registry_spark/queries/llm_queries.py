@@ -760,6 +760,100 @@ FROM documents
 """
 
 
+def smp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling
+    (llm/sampling.py:stratified_sample): the portable 48-bit md5 hash
+    picks the identical document subset in any engine; the per-source
+    rate table is config-sized and broadcast.  Output: per-source
+    selected counts + an exact id checksum so the oracle verifies the
+    SET, not just the size."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = (docs.select("source").distinct()
+             .withColumn("rate",
+                         F.expr("(CAST(substring(source, 4) AS INT) % 5"
+                                " + 1) * 0.15")))
+    picked = stratified_sample(docs, rates)
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"))
+    return (picked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.sum("doc_id").alias("id_checksum"))
+            .join(totals, "source")
+            .select("source", "n_total", "n_sampled", "id_checksum")
+            .orderBy("source"))
+
+
+SMP1_ORACLE = """
+WITH rates AS (
+  SELECT DISTINCT source,
+         (CAST(substring(source, 4) AS INT) % 5 + 1) * 0.15 AS rate
+  FROM documents),
+picked AS (
+  SELECT d.*
+  FROM documents d JOIN rates r USING (source)
+  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS STRING)), 1, 12))
+             AS BIGINT)
+        < CAST(r.rate * 281474976710656 AS BIGINT)),
+totals AS (SELECT source, COUNT(*) AS n_total FROM documents
+           GROUP BY source)
+SELECT p.source, t.n_total, COUNT(*) AS n_sampled,
+       CAST(SUM(p.doc_id) AS BIGINT) AS id_checksum
+FROM picked p JOIN totals t ON p.source = t.source
+GROUP BY p.source, t.n_total
+ORDER BY p.source
+"""
+
+
+def mix1_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota dataset mixture (llm/sampling.py:dataset_mixture):
+    each source contributes floor(weight*total) documents in
+    deterministic hash order — the manifest an interleaved training run
+    would read.  Output: per-source contribution + id checksum + the
+    quota actually filled."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        dataset_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # weights n/60 over total 600 -> integer quotas n*10 (exact)
+    quotas = (docs.select("source").distinct()
+              .withColumn("quota",
+                          F.expr("(CAST(substring(source, 4) AS INT) "
+                                 "% 3 + 1) * 10")))
+    manifest = dataset_mixture(docs, quotas)
+    return (manifest.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_selected"),
+                 F.sum("doc_id").alias("id_checksum"),
+                 F.max("mix_rank").alias("max_rank"))
+            .orderBy("source"))
+
+
+MIX1_ORACLE = """
+WITH quotas AS (
+  SELECT DISTINCT source,
+         (CAST(substring(source, 4) AS INT) % 3 + 1) * 10 AS quota
+  FROM documents),
+ranked AS (
+  SELECT d.source, d.doc_id, w.quota,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY CAST(concat('0x',
+                    substr(md5(CAST(d.doc_id AS STRING)), 1, 12))
+                    AS BIGINT), d.doc_id) AS mix_rank
+  FROM documents d JOIN quotas w USING (source)),
+manifest AS (
+  SELECT * FROM ranked WHERE mix_rank <= quota)
+SELECT source, COUNT(*) AS n_selected,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       MAX(mix_rank) AS max_rank
+FROM manifest GROUP BY source ORDER BY source
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,
               tags=("llm", "dedup")),
@@ -800,4 +894,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "multimodal")),
     QuerySpec("mm2_header_decode", mm2_header_decode, MM2_ORACLE,
               tags=("llm", "multimodal")),
+    QuerySpec("smp1_stratified_sample", smp1_stratified_sample,
+              SMP1_ORACLE, tags=("llm", "sampling")),
+    QuerySpec("mix1_dataset_mixture", mix1_dataset_mixture, MIX1_ORACLE,
+              tags=("llm", "sampling")),
 ]

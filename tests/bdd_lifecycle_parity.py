@@ -205,8 +205,12 @@ LIFECYCLE_FEATURES = (
     # audit sinks: file/stdout tables + LIVE local webhook and syslog
     # receivers fed through the production sink classes
     "audit_outputs.feature",
-    # memory-backend process lifecycle (restart/stop/kill/pause)
+    # backend process lifecycle: memory loses state on restart,
+    # persistent backends keep it (restart/stop/kill/pause semantics)
     "operational_memory.feature",
+    "operational_postgres.feature",
+    "operational_mysql.feature",
+    "operational_cassandra.feature",
 )
 
 MAX_VERSION = 2 ** 31 - 1
@@ -1846,6 +1850,14 @@ STEPS: list[tuple[re.Pattern, str]] = [
     # backend (restart wipes state, pause preserves it)
     (re.compile(r'a running schema registry with memory backend'),
      "running"),
+    # operational_{postgres,mysql,cassandra}: the PERSISTENT-backend
+    # contract — registry restarts keep data, a dead database makes the
+    # registry unhealthy without losing state (the semantics our
+    # parquet/iceberg-backed engine shares: state outlives compute)
+    (re.compile(r'a running schema registry with (?:postgres|mysql|'
+                r'cassandra) backend'), "persistent_backend"),
+    (re.compile(r'I restart the database container'), "mem_unpause"),
+    (re.compile(r'I wait (\d+) seconds'), "noop"),
     (re.compile(r'I have registered (\d+) schemas across multiple '
                 r'subjects'), "mem_seed_n"),
     (re.compile(r'I have registered schemas under subjects "([^"]+)" '
@@ -2542,14 +2554,23 @@ def _replay_scenario(feature: str, scenario: str, steps):
                           '{"type":"record","name":"Seed","fields":'
                           '[{"name":"f","type":"string"}]}')
                 status, body = 200, {}
+            elif op == "persistent_backend":
+                sim.persistent = True
+                status, body = 200, {}
             elif op in ("mem_restart", "mem_kill"):
-                _wipe_store(sim)
+                # a persistent backend holds state across process death;
+                # the memory backend loses it (storage split in the
+                # reference: memory/store.go vs postgres/store.go)
+                if not getattr(sim, "persistent", False):
+                    _wipe_store(sim)
                 sim.down = op == "mem_kill"
             elif op == "mem_stop":
                 sim.down = True
             elif op == "mem_start":
-                # a fresh process comes up empty (memory backend)
-                _wipe_store(sim)
+                # a fresh process comes up empty (memory backend) but a
+                # persistent backend re-reads its store
+                if not getattr(sim, "persistent", False):
+                    _wipe_store(sim)
                 sim.down = False
             elif op == "mem_pause":
                 sim.down = True  # DB paused: state retained

@@ -49,9 +49,12 @@ def stratified_sample(docs: DataFrame, rates: DataFrame,
     ``hash(key) / 2^48 < rate(source)``.  ``rates`` is a tiny
     (source, rate) table — broadcast — so the filter runs scan-side."""
     h = portable_hash(F.col(key_col).cast("string"))
+    # explicit floor: a bare BIGINT cast truncates in Spark but ROUNDS
+    # in DuckDB — the threshold must be floor() on every engine or the
+    # boundary hash flips between them
+    thresh = F.floor(F.col("rate") * F.lit(HASH_SPACE)).cast("bigint")
     return (docs.join(F.broadcast(rates), source_col)
-                .filter(h < (F.col("rate") * F.lit(HASH_SPACE))
-                        .cast("bigint"))
+                .filter(h < thresh)
                 .drop("rate"))
 
 

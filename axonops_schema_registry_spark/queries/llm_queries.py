@@ -797,7 +797,7 @@ picked AS (
   FROM documents d JOIN rates r USING (source)
   WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS STRING)), 1, 12))
              AS BIGINT)
-        < CAST(r.rate * 281474976710656 AS BIGINT)),
+        < CAST(floor(r.rate * 281474976710656) AS BIGINT)),
 totals AS (SELECT source, COUNT(*) AS n_total FROM documents
            GROUP BY source)
 SELECT p.source, t.n_total, COUNT(*) AS n_sampled,

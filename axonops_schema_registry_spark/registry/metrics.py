@@ -222,13 +222,17 @@ class MetricsRegistry:
             out.append(f"# HELP {name} {help_}")
             out.append(f"# TYPE {name} {kind}")
             if kind == "histogram":
+                fam_buckets = (
+                    BATCH_BUCKETS
+                    if name == "schema_registry_audit_webhook_batch_size"
+                    else DEF_BUCKETS)
                 if not touched_h:
                     touched_h = [((name, ()), {"sum": 0.0, "count": 0})]
                 for (mname, lv), h in sorted(touched_h):
                     labels = dict(zip(label_names, lv))
                     cum = 0
                     buckets = h.get("buckets") or dict.fromkeys(
-                        DEF_BUCKETS, 0)
+                        fam_buckets, 0)
                     for le in sorted(buckets):
                         cum += buckets[le]
                         out.append(_series(
@@ -448,8 +452,6 @@ def confluent_endpoint(method: str, path: str) -> str:
     }
     if method == "POST" and path.startswith("/compatibility/"):
         return "compatibility.subjects.versions.verify"
-    if method == "GET" and path.startswith("/schemas/ids/{id}"):
-        return "schemas.ids.get-schema"
     return table.get((method, path), "")
 
 

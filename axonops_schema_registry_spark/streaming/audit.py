@@ -389,8 +389,9 @@ class SyslogTcpSink:
         import socket
 
         frame = (f"<134>1 2026-01-01T00:00:00Z localhost "
-                 f"{self.app_name} - - - {message}")
-        payload = f"{len(frame)} {frame}".encode()
+                 f"{self.app_name} - - - {message}").encode()
+        # RFC 5425 MSG-LEN counts OCTETS: encode before measuring
+        payload = str(len(frame)).encode() + b" " + frame
         with socket.create_connection(self.addr, timeout=5.0) as sock:
             sock.sendall(payload)
 

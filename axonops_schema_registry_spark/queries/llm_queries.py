@@ -895,7 +895,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("mm2_header_decode", mm2_header_decode, MM2_ORACLE,
               tags=("llm", "multimodal")),
     QuerySpec("smp1_stratified_sample", smp1_stratified_sample,
-              SMP1_ORACLE, tags=("llm", "sampling")),
+              SMP1_ORACLE, tags=("llm", "sampling"), bench=True),
     QuerySpec("mix1_dataset_mixture", mix1_dataset_mixture, MIX1_ORACLE,
               tags=("llm", "sampling")),
 ]

@@ -358,7 +358,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("st9_token_bucket", st9_token_bucket, ST9_ORACLE,
               tags=("streaming", "stateful"), bench=True),
     QuerySpec("aud3_request_classification", aud3_request_classification,
-              AUD3_ORACLE, tags=("streaming", "audit", "agg")),
+              AUD3_ORACLE, tags=("streaming", "audit", "agg"),
+              bench=True),
     QuerySpec("aud2_event_type_analytics", aud2_event_type_analytics,
               AUD2_ORACLE, tags=("streaming", "registry")),
     QuerySpec("st6_rate_limit_flags", st6_rate_limit_flags, ST6_ORACLE,

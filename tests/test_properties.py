@@ -437,3 +437,21 @@ def test_jsonschema_fuzz_new_required_is_flagged(schema):
                                 | {"zz_new_req"})
     msgs = check_pair(json.dumps(reader), json.dumps(schema), "JSON")
     assert msgs, "new required property must produce an incompatibility"
+
+
+@given(st.sampled_from([
+    '{"type":"record","name":"R","fields":[{"name":"a","type":"int"}]}',
+    '{"type":"object","properties":{"a":{"type":"integer"}}}',
+    '{"type":"string"}',
+    '["null","string"]',
+]))
+@settings(max_examples=20, deadline=None)
+def test_cross_type_text_never_passes_protobuf_check(text):
+    """Any JSON-language schema registered cross-type under a PROTOBUF
+    candidate must be incompatible in both directions — the silent-pass
+    path the r5 audit-table sweep exposed."""
+    from axonops_schema_registry_spark.registry.compat import check_pair
+
+    proto = 'syntax = "proto3";\nmessage M { int64 a = 1; }'
+    assert check_pair(proto, text, "PROTOBUF"), text
+    assert check_pair(text, proto, "PROTOBUF"), text

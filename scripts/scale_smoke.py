@@ -68,6 +68,7 @@ def main() -> None:
     supp = load_table(spark, SF_DIR, "supplier")
     docs0 = load_table(spark, SF_DIR, "documents")
     emb0 = load_table(spark, SF_DIR, "embeddings")
+    events0 = load_table(spark, SF_DIR, "events")
     emb_q = emb0.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"))
@@ -88,6 +89,38 @@ def main() -> None:
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").alias("corpus_vec")), k=5).collect()
     minhash_lsh_pairs(docs0.limit(200), "doc_id", "text").collect()
+
+    from axonops_schema_registry_spark.llm.sampling import (
+        stratified_sample,
+    )
+    from axonops_schema_registry_spark.queries.streaming_queries import (
+        _AUD3_PATH,
+        _AUD3_PERM,
+        _AUD3_STATUS,
+        _AUD3_VERB,
+    )
+    from axonops_schema_registry_spark.streaming.audit import (
+        audit_classify_sql,
+    )
+
+    def classify_shape(ev):
+        """aud3: request-log synthesis + the classification CASE +
+        map-side-combined rollup, all inside one codegen stage."""
+        return (ev.selectExpr(f"{_AUD3_VERB} AS verb",
+                              f"{_AUD3_PATH} AS path",
+                              f"{_AUD3_PERM} AS is_permanent",
+                              f"{_AUD3_STATUS} AS status")
+                .selectExpr(f"{audit_classify_sql()} AS et")
+                .groupBy("et").agg(F.count(F.lit(1))))
+
+    def sample_shape(d):
+        """smp1: scan-side deterministic hash filter."""
+        rates = (d.select("source").distinct()
+                 .withColumn("rate", F.lit(0.4)))
+        return stratified_sample(d, rates).agg(F.count(F.lit(1)))
+
+    classify_shape(events0.limit(1000)).collect()
+    sample_shape(docs0.limit(1000)).collect()
 
     rows = []
     for k in FACTORS:
@@ -132,9 +165,20 @@ def main() -> None:
             .agg(F.count(F.lit(1))).collect()
         t_dd = time.perf_counter() - t0
 
-        rows.append((k, n, t_agg, t_join, t_win, t_ann, t_dd))
+        events = replicate(events0, ["event_id", "user_id"], k)
+        t0 = time.perf_counter()  # audit classification (aud3 shape)
+        classify_shape(events).collect()
+        t_cls = time.perf_counter() - t0
+
+        t0 = time.perf_counter()  # stratified sampling (smp1 shape)
+        sample_shape(docs).collect()
+        t_smp = time.perf_counter() - t0
+
+        rows.append((k, n, t_agg, t_join, t_win, t_ann, t_dd, t_cls,
+                     t_smp))
         print(f"k={k}: rows={n:,} agg={t_agg:.2f}s join={t_join:.2f}s "
-              f"window={t_win:.2f}s ann={t_ann:.2f}s dedup={t_dd:.2f}s",
+              f"window={t_win:.2f}s ann={t_ann:.2f}s dedup={t_dd:.2f}s "
+              f"classify={t_cls:.2f}s sample={t_smp:.2f}s",
               flush=True)
 
     base = rows[0]
@@ -148,18 +192,21 @@ def main() -> None:
         "transfers to a 1000-executor cluster.",
         "",
         "| factor | lineitem rows | scan+agg s | join+agg s | window s | "
-        "lsh-ann s | minhash-dedup s | agg ratio vs rows | join ratio | "
-        "window ratio | ann ratio | dedup ratio |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "lsh-ann s | minhash-dedup s | audit-classify s | sample s | "
+        "agg ratio vs rows | join ratio | "
+        "window ratio | ann ratio | dedup ratio | classify ratio | "
+        "sample ratio |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for k, n, ta, tj, tw, tn, td in rows:
+    for k, n, ta, tj, tw, tn, td, tc, ts_ in rows:
         rr = n / base[1]
         lines.append(
             f"| {k}x | {n:,} | {ta:.2f} | {tj:.2f} | {tw:.2f} | "
-            f"{tn:.2f} | {td:.2f} | "
+            f"{tn:.2f} | {td:.2f} | {tc:.2f} | {ts_:.2f} | "
             f"{ta / base[2] / rr:.2f} | {tj / base[3] / rr:.2f} | "
             f"{tw / base[4] / rr:.2f} | {tn / base[5] / rr:.2f} | "
-            f"{td / base[6] / rr:.2f} |")
+            f"{td / base[6] / rr:.2f} | {tc / base[7] / rr:.2f} | "
+            f"{ts_ / base[8] / rr:.2f} |")
     lines.append("")
     lines.append("Ratios near or below 1.0 = scaling at-or-better than "
                  "linear in rows (fixed per-job overhead amortizes; "

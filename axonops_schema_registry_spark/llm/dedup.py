@@ -110,6 +110,31 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "n_inter", "size_a", "size_b", "jaccard"))
 
 
+def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            threshold: float = 0.8,
+                            ngram: int = 3) -> DataFrame:
+    """First-wins ingestion dedup: a document is a duplicate iff it
+    near-matches ANY earlier document (by key order) — the standard
+    filter a training pipeline applies while ingesting a stream of
+    documents.  Order-independent by construction (earlier = smaller
+    key), so the result is identical whether the corpus arrives in one
+    batch or incrementally — the property the streaming twin
+    (streaming.dedup_stream.IncrementalDedupSink) relies on.
+    Candidate generation is the LSH banding path: no n².
+
+    Output: (id, is_dup, dup_of) — dup_of is the EARLIEST matching
+    document, NULL for originals."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, ngram)
+    dup_of = (pairs.groupBy(F.col("id_b").alias(id_col))
+                   .agg(F.min("id_a").alias("dup_of")))
+    return (df.select(id_col)
+              .join(dup_of, id_col, "left")
+              .select(id_col,
+                      F.col("dup_of").isNotNull().alias("is_dup"),
+                      "dup_of"))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 20) -> DataFrame:

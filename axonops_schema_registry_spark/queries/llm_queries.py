@@ -854,6 +854,47 @@ FROM manifest GROUP BY source ORDER BY source
 """
 
 
+def dd7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-wins ingestion dedup flags (llm/dedup.py:
+    incremental_dedup_flags): every document marked dup iff it
+    near-matches an EARLIER document, with the earliest match recorded.
+    Streaming twin: streaming/dedup_stream.py (foreachBatch over the
+    growing prefix; identical flags by order-independence)."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        incremental_dedup_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (incremental_dedup_flags(docs, "doc_id", "text", 0.8, 3)
+            .orderBy("doc_id"))
+
+
+DD7_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM documents),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id),
+dup_pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.8)
+SELECT d.doc_id, MIN(p.id_a) IS NOT NULL AS is_dup,
+       MIN(p.id_a) AS dup_of
+FROM documents d LEFT JOIN dup_pairs p ON p.id_b = d.doc_id
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,
               tags=("llm", "dedup")),
@@ -861,6 +902,8 @@ SPECS: list[QuerySpec] = [
               _JACCARD_ALLPAIRS_ORACLE, tags=("llm", "dedup"), bench=True),
     QuerySpec("dd3_simhash_dedup", dd3_simhash_dedup, DD3_ORACLE,
               tags=("llm", "dedup")),
+    QuerySpec("dd7_incremental_dedup", dd7_incremental_dedup, DD7_ORACLE,
+              tags=("llm", "dedup", "streaming")),
     QuerySpec("dd4_dedup_clusters", dd4_dedup_clusters, DD4_ORACLE,
               tags=("llm", "dedup", "iterative")),
     QuerySpec("dd5_cross_source_dup_matrix", dd5_cross_source_dup_matrix,

@@ -285,3 +285,49 @@ def test_network_sinks_end_to_end(spark, stream_source):
     # so each parses back to the JSON the sink serialized
     payload = _json.loads(sy.messages[0].split(" - - - ", 1)[1])
     assert payload["event_type"] == "error"
+
+
+def test_incremental_dedup_stream_equals_batch(spark, sf_dir):
+    """Two-micro-batch streaming ingestion produces the IDENTICAL
+    first-wins dedup flags as one batch run over the full corpus —
+    the order-independence contract of incremental_dedup_flags."""
+    import time as _time
+
+    from axonops_schema_registry_spark.llm.dedup import (
+        incremental_dedup_flags,
+    )
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        IncrementalDedupSink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    d = tempfile.mkdtemp(prefix="dedup_stream_")
+    docs.filter(f"doc_id < {cut}").coalesce(1) \
+        .write.parquet(os.path.join(d, "b0"))
+    docs.filter(f"doc_id >= {cut}").coalesce(1) \
+        .write.parquet(os.path.join(d, "b1"))
+    src = tempfile.mkdtemp(prefix="dedup_src_")
+    for i, sub in enumerate(("b0", "b1")):
+        part = next(p for p in os.listdir(os.path.join(d, sub))
+                    if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part-{i}.parquet")
+        shutil.copy(os.path.join(d, sub, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sink = IncrementalDedupSink()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_")
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    for p in (d, src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    want = {r.doc_id: (r.is_dup, r.dup_of)
+            for r in incremental_dedup_flags(docs).collect()}
+    assert sink.flags == want
+    assert any(dup for dup, _ in sink.flags.values())

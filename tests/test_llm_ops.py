@@ -226,3 +226,27 @@ def test_parse_media_header_gif87a_and_odd_wav_padding():
     meta = parse_media_header(b"RIFF" + struct.pack("<I", len(body)) + body)
     assert meta == {"format": "wav", "width": None, "height": None,
                     "channels": 2, "sample_rate_hz": 16000, "n_samples": 10}
+
+
+def test_curation_pipeline_facade(spark, sf_dir):
+    """The CurationPipeline facade chains the curation surface over a
+    documents corpus (sample -> dedup -> mixture), each call backed by
+    the driver-verified operator."""
+    from axonops_schema_registry_spark.llm import CurationPipeline
+
+    cp = CurationPipeline.from_sf_dir(spark, sf_dir)
+    rates = (cp.docs.select("source").distinct()
+             .withColumn("rate", F.lit(0.5)))
+    sampled = cp.sample(rates)
+    assert 0 < sampled.count() < cp.docs.count()
+    flags = cp.dedup_flags()
+    n_dup = flags.filter("is_dup").count()
+    assert n_dup > 0
+    assert cp.deduplicated().count() == cp.docs.count() - n_dup
+    quotas = (cp.docs.select("source").distinct()
+              .withColumn("quota", F.lit(5)))
+    mix = cp.mixture(quotas)
+    assert mix.groupBy("source").count().agg(
+        F.max("count")).first()[0] == 5
+    langs = cp.language_id()
+    assert set(langs.columns) == {"doc_id", "lang"}

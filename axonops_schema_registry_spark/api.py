@@ -37,11 +37,13 @@ from axonops_schema_registry_spark.registry.spark_udfs import (
 
 
 class RegistryAnalytics:
-    def __init__(self, spark: SparkSession, corpus: DataFrame) -> None:
+    def __init__(self, spark: SparkSession, corpus: DataFrame,
+                 sf_dir: str | None = None) -> None:
         self.spark = spark
         if "deleted" not in corpus.columns:
             corpus = corpus.withColumn("deleted", F.lit(False))
         self.corpus = corpus
+        self.sf_dir = sf_dir
 
     @classmethod
     def from_sf_dir(cls, spark: SparkSession,
@@ -52,7 +54,7 @@ class RegistryAnalytics:
 
         corpus = registry_corpus(spark, sf_dir).withColumn(
             "schema_type", F.lit("RAW"))
-        return cls(spark, corpus)
+        return cls(spark, corpus, sf_dir=sf_dir)
 
     # -- read surface ------------------------------------------------------
 
@@ -267,3 +269,17 @@ class RegistryAnalytics:
             [(subject, version, permanent)],
             "subject string, version int, permanent boolean")
         return version_delete_status(self.corpus, requests)
+
+    def prometheus_gauges(self) -> DataFrame:
+        """GET /metrics' storage-derived gauge families
+        (subjects_total / schemas_total{type} / schema_versions
+        {subject}) as exposition rows — the Spark re-expression of the
+        reference's periodic gauge refresh (metrics.go:474-486)."""
+        from axonops_schema_registry_spark.registry.metrics import (
+            corpus_gauge_rows,
+        )
+
+        if self.sf_dir is None:
+            raise ValueError("prometheus_gauges needs a corpus loaded "
+                             "via from_sf_dir")
+        return corpus_gauge_rows(self.spark, self.sf_dir)

@@ -138,3 +138,15 @@ def test_delete_version_taxonomy(spark, sf_dir):
     assert row["status"] == "subject_not_found_40401"
     row = api.delete_version("src1", 0).collect()[0]
     assert row["status"] == "invalid_version_42202"
+
+
+def test_prometheus_gauges(spark, sf_dir):
+    from axonops_schema_registry_spark.api import RegistryAnalytics
+
+    reg = RegistryAnalytics.from_sf_dir(spark, sf_dir)
+    rows = reg.prometheus_gauges().collect()
+    metrics = {r.metric for r in rows}
+    assert metrics == {"schema_registry_schema_versions",
+                       "schema_registry_subjects_total",
+                       "schema_registry_schemas_total"}
+    assert all(r.value > 0 for r in rows)

@@ -11,6 +11,8 @@ beyond the reference's own surface — BASELINE.json):
                    container)
 - ``sampling``   — deterministic stratified sampling + exact-quota
                    dataset-mixture manifests
+- ``contamination`` — benchmark decontamination via exact n-gram
+                   span overlap against a broadcast evaluation set
 
 ``CurationPipeline`` below bundles the curation surface over a document
 corpus the way ``api.RegistryAnalytics`` bundles the registry surface.
@@ -90,6 +92,16 @@ class CurationPipeline:
 
         return self.docs.select(
             self.id_col, predict_lang(self.text_col).alias("lang"))
+
+    def contamination(self, test_docs, n: int = 5):
+        """Flag training documents carrying exact n-gram spans from a
+        held-out evaluation set (ctm1)."""
+        from axonops_schema_registry_spark.llm.contamination import (
+            contamination_flags,
+        )
+
+        return contamination_flags(self.docs, test_docs, self.id_col,
+                                   self.text_col, n)
 
     def dataset_card(self, spark, sf_dir: str):
         """Per-source curation rollup (tx5)."""

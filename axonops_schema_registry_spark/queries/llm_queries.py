@@ -895,6 +895,41 @@ GROUP BY d.doc_id ORDER BY d.doc_id
 """
 
 
+def ctm1_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm/contamination.py): training
+    documents carrying exact 5-gram spans from the held-out set
+    (source 'src1' plays the evaluation benchmark).  The evaluation
+    span set broadcasts; the training corpus is scanned once."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        contamination_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.filter(F.col("source") == "src1")
+    train = docs.filter(F.col("source") != "src1")
+    return (contamination_flags(train, test, "doc_id", "text", 5)
+            .orderBy("doc_id"))
+
+
+CTM1_ORACLE = """
+WITH spans AS (
+  SELECT DISTINCT doc_id AS id, source,
+         unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' '))
+                                         - 4, 0)),
+             i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+           AS span
+  FROM documents),
+test_spans AS (SELECT DISTINCT id AS test_id, span FROM spans
+               WHERE source = 'src1'),
+train_spans AS (SELECT id, span FROM spans WHERE source <> 'src1')
+SELECT t.id AS doc_id, COUNT(DISTINCT t.span) AS n_shared_spans,
+       COUNT(DISTINCT ts.test_id) AS n_test_docs
+FROM train_spans t JOIN test_spans ts ON t.span = ts.span
+GROUP BY t.id ORDER BY doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,
               tags=("llm", "dedup")),
@@ -904,6 +939,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup")),
     QuerySpec("dd7_incremental_dedup", dd7_incremental_dedup, DD7_ORACLE,
               tags=("llm", "dedup", "streaming")),
+    QuerySpec("ctm1_contamination_check", ctm1_contamination_check,
+              CTM1_ORACLE, tags=("llm", "dedup", "contamination")),
     QuerySpec("dd4_dedup_clusters", dd4_dedup_clusters, DD4_ORACLE,
               tags=("llm", "dedup", "iterative")),
     QuerySpec("dd5_cross_source_dup_matrix", dd5_cross_source_dup_matrix,

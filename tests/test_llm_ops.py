@@ -250,3 +250,23 @@ def test_curation_pipeline_facade(spark, sf_dir):
         F.max("count")).first()[0] == 5
     langs = cp.language_id()
     assert set(langs.columns) == {"doc_id", "lang"}
+
+
+def test_contamination_flags_planted(spark):
+    """A training doc quoting an exact 5-gram span from the evaluation
+    set is flagged; unrelated docs are not."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        contamination_flags,
+    )
+
+    test = spark.createDataFrame(
+        [(1, "what is the capital of france paris of course")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, "page quoting what is the capital of france verbatim"),
+         (11, "completely unrelated text about gardening tips here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.n_shared_spans
+           for r in contamination_flags(train, test).collect()}
+    assert 10 in out and out[10] >= 2
+    assert 11 not in out

@@ -13,6 +13,7 @@ beyond the reference's own surface — BASELINE.json):
                    dataset-mixture manifests
 - ``contamination`` — benchmark decontamination via exact n-gram
                    span overlap against a broadcast evaluation set
+- PII scrubbing — RE2-safe detector/redactor columns (``text.py``)
 
 ``CurationPipeline`` below bundles the curation surface over a document
 corpus the way ``api.RegistryAnalytics`` bundles the registry surface.
@@ -92,6 +93,19 @@ class CurationPipeline:
 
         return self.docs.select(
             self.id_col, predict_lang(self.text_col).alias("lang"))
+
+    def pii_scan(self):
+        """Per-document PII match counts (tx7's audit path)."""
+        from axonops_schema_registry_spark.llm.text import pii_counts
+
+        return self.docs.select(self.id_col, *pii_counts(self.text_col))
+
+    def redacted(self):
+        """The corpus with every PII match replaced by a typed tag."""
+        from axonops_schema_registry_spark.llm.text import pii_redact
+
+        return self.docs.withColumn(self.text_col,
+                                    pii_redact(self.text_col))
 
     def contamination(self, test_docs, n: int = 5):
         """Flag training documents carrying exact n-gram spans from a

@@ -97,3 +97,30 @@ def rolling_fingerprint_sql(text_col: str) -> str:
             f"list_transform(generate_series(1, len({text_col})), "
             f"i -> CAST(ascii({text_col}[i]) AS BIGINT))), "
             f"(acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD})")
+
+
+#: PII detector patterns — RE2-safe (run identically under Java regex
+#: and DuckDB/RE2; no backrefs or lookarounds), the scrubbing pass a
+#: training pipeline runs before release
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_counts(text_col: str) -> list[Column]:
+    """Per-kind PII match counts as whole-stage-codegen columns."""
+    return [F.regexp_count(F.col(text_col), F.lit(rx))
+            .cast("bigint").alias(f"n_{kind}")
+            for kind, rx in PII_PATTERNS.items()]
+
+
+def pii_redact(text_col: str) -> Column:
+    """Redaction pass: every PII match replaced by a typed tag — the
+    write path of the scrub (detection above is the audit path)."""
+    col = F.col(text_col)
+    for kind, rx in PII_PATTERNS.items():
+        col = F.regexp_replace(col, rx, f"<{kind.upper()}>")
+    return col

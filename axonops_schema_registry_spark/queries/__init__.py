@@ -33,7 +33,7 @@ _PRIORITY: tuple[str, ...] = (
     "rf1_reserved_fields", "met1_prometheus_export",
     "aud3_request_classification", "smp1_stratified_sample",
     "mix1_dataset_mixture", "dd7_incremental_dedup",
-    "ctm1_contamination_check",
+    "ctm1_contamination_check", "tx7_pii_scan",
     # re-verify: semantics/oracles changed in r5 (ADVICE fixes + the BDD
     # parity sweep's content-model rules — c1/rc1/sg1 verdict flips,
     # del2 40401 branch, ctx-scoped registration joins)
@@ -42,8 +42,8 @@ _PRIORITY: tuple[str, ...] = (
     "rc1_version_chain_audit", "sg1_suggest_evolution",
     "r4_registration_batch",
     # backfill: the least-recently-sampled greens (single r1 row, 4
-    # rounds stale); with the 18 new/changed entries above, the last 8
-    # backfill names (q7/q10/q14/q18/s3/w1/w3/w5) plus the 14 simplest r1
+    # rounds stale); with the 18 new/changed entries above, the last 9
+    # backfill names (q6/q7/q10/q14/q18/s3/w1/w3/w5) plus the 14 simplest r1
     # greens (s1/s2/s4/s5, o2, f1/f2/f3/f5/f7, p4/p5, w2, j9) fall
     # outside the 50-row window and wait for r6 — all remain guarded by
     # tests/test_queries_oracle.py locally

@@ -930,6 +930,63 @@ GROUP BY t.id ORDER BY doc_id
 """
 
 
+def tx7_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit (llm/text.py:PII_PATTERNS): per-source match
+    counts for email/phone/SSN/IP patterns, with deterministic planted
+    PII so the detector's behavior is verifiable on the synthetic
+    corpus (the driver documents carry none naturally).  Patterns are
+    RE2-safe, so Java regex and DuckDB count identically — the scan is
+    pure codegen, no UDF."""
+    from axonops_schema_registry_spark.llm.text import pii_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com")))
+            .when(F.col("doc_id") % 7 == 1, F.lit(" call 555-867-5309"))
+            .when(F.col("doc_id") % 7 == 2, F.lit(" ssn 078-05-1120"))
+            .otherwise(F.lit(""))))
+    per_doc = planted.select("source", *pii_counts("text"))
+    return (per_doc.groupBy("source")
+            .agg(F.sum("n_email").alias("n_email"),
+                 F.sum("n_phone").alias("n_phone"),
+                 F.sum("n_ssn").alias("n_ssn"),
+                 F.sum("n_ipv4").alias("n_ipv4"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("source"))
+
+
+TX7_ORACLE = r"""
+WITH planted AS (
+  SELECT source, text ||
+         CASE CAST(doc_id % 7 AS INT)
+           WHEN 0 THEN ' contact user' || CAST(doc_id AS STRING)
+                       || '@example.com'
+           WHEN 1 THEN ' call 555-867-5309'
+           WHEN 2 THEN ' ssn 078-05-1120'
+           ELSE '' END AS text
+  FROM documents)
+SELECT source,
+  CAST(SUM(len(regexp_extract_all(text,
+    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))) AS BIGINT)
+    AS n_email,
+  CAST(SUM(len(regexp_extract_all(text,
+    '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS n_phone,
+  CAST(SUM(len(regexp_extract_all(text,
+    '[0-9]{3}-[0-9]{2}-[0-9]{4}'))) AS BIGINT) AS n_ssn,
+  CAST(SUM(len(regexp_extract_all(text,
+    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) AS BIGINT)
+    AS n_ipv4,
+  COUNT(*) AS n_docs
+FROM planted GROUP BY source ORDER BY source
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,
               tags=("llm", "dedup")),
@@ -941,6 +998,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup", "streaming")),
     QuerySpec("ctm1_contamination_check", ctm1_contamination_check,
               CTM1_ORACLE, tags=("llm", "dedup", "contamination")),
+    QuerySpec("tx7_pii_scan", tx7_pii_scan, TX7_ORACLE,
+              tags=("llm", "text", "pii")),
     QuerySpec("dd4_dedup_clusters", dd4_dedup_clusters, DD4_ORACLE,
               tags=("llm", "dedup", "iterative")),
     QuerySpec("dd5_cross_source_dup_matrix", dd5_cross_source_dup_matrix,

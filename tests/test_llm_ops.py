@@ -270,3 +270,29 @@ def test_contamination_flags_planted(spark):
            for r in contamination_flags(train, test).collect()}
     assert 10 in out and out[10] >= 2
     assert 11 not in out
+
+
+def test_pii_redaction_roundtrip(spark):
+    from axonops_schema_registry_spark.llm.text import (
+        pii_counts,
+        pii_redact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@corp.io or call 555-867-5309 from 10.0.0.1"),
+         (2, "nothing sensitive here")],
+        "doc_id long, text string")
+    counts = {r.doc_id: (r.n_email, r.n_phone, r.n_ipv4)
+              for r in df.select("doc_id",
+                                 *pii_counts("text")).collect()}
+    assert counts[1] == (1, 1, 1) and counts[2] == (0, 0, 0)
+    red = df.withColumn("text", pii_redact("text")).collect()
+    scrubbed = next(r.text for r in red if r.doc_id == 1)
+    assert "<EMAIL>" in scrubbed and "<PHONE>" in scrubbed \
+        and "<IPV4>" in scrubbed
+    assert "bob@corp.io" not in scrubbed
+    # redacted corpus must scan clean
+    clean = (spark.createDataFrame([(1, scrubbed)],
+                                   "doc_id long, text string")
+             .select(*pii_counts("text")).first())
+    assert sum(clean) == 0

@@ -274,12 +274,12 @@ class RegistryAnalytics:
         """GET /metrics' storage-derived gauge families
         (subjects_total / schemas_total{type} / schema_versions
         {subject}) as exposition rows — the Spark re-expression of the
-        reference's periodic gauge refresh (metrics.go:474-486)."""
+        reference's periodic gauge refresh (metrics.go:474-486).
+        Computed over ``self.corpus``, so user-supplied or filtered
+        corpora are reflected exactly as the reference reflects live
+        storage."""
         from axonops_schema_registry_spark.registry.metrics import (
             corpus_gauge_rows,
         )
 
-        if self.sf_dir is None:
-            raise ValueError("prometheus_gauges needs a corpus loaded "
-                             "via from_sf_dir")
-        return corpus_gauge_rows(self.spark, self.sf_dir)
+        return corpus_gauge_rows(self.corpus)

@@ -24,12 +24,19 @@ from pyspark.sql import functions as F
 
 def ngram_spans(df: DataFrame, id_col: str, text_col: str,
                 n: int = 5) -> DataFrame:
-    """Distinct word n-gram spans per document (id, span)."""
-    toks = F.split(F.col(text_col), " ")
+    """Distinct word n-gram spans per document (id, span).
+
+    Documents with fewer than ``n`` tokens contribute no spans: Spark's
+    ``sequence(1, 0)`` is the DESCENDING ``[1, 0]`` (not empty like
+    DuckDB's ``generate_series(1, 0)``) and ``slice(arr, 0, n)`` throws
+    INVALID_PARAMETER_VALUE.START, so the short-doc case must be gated
+    to an explicit empty array rather than relying on the bound.
+    """
     spans = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) "
-        f"- {n - 1}, 0)), "
-        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))")
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')) "
+        f"ELSE array() END")
     return (df.select(F.col(id_col).alias("id"),
                       F.explode(spans).alias("span"))
               .distinct())

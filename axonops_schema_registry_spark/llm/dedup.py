@@ -62,12 +62,21 @@ def minhash_signatures(toks: DataFrame, n_hashes: int = 64) -> DataFrame:
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.8, ngram: int = 3,
-                      n_hashes: int = 64, bands: int = 16) -> DataFrame:
+                      n_hashes: int = 64, bands: int = 16,
+                      b_ids: DataFrame | None = None) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact Jaccard verify.
 
     Output (id_a, id_b, jaccard) — identical to the exact all-pairs
     operator (operators.text.jaccard_pairs) whenever banding recall holds,
     but with candidate generation linear in corpus size.
+
+    ``b_ids`` (single ``id`` column) restricts the RIGHT side of the
+    bucket join: only pairs whose ``id_b`` is in it are emitted — the
+    asymmetric incremental shape (new micro-batch vs whole corpus) where
+    candidate volume is bounded by the NEW side's bucket collisions, not
+    the full corpus's.  The cache on ``toks`` lives only until the
+    returned frame is materialized; callers that materialize promptly
+    (every query spec does) bound its lifetime to one job.
     """
     rows = n_hashes // bands
     # cached: consumed by the signature aggregation AND the exact-verify
@@ -83,8 +92,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     bucketed = (sigs.select("id", F.explode(band_keys).alias("bk"))
                     .select("id", F.col("bk.band").alias("band"),
                             F.col("bk.key").alias("key")))
+    b_side = bucketed if b_ids is None else bucketed.join(
+        F.broadcast(b_ids.select(F.col(b_ids.columns[0]).alias("id"))),
+        "id")
     a = bucketed.select(F.col("id").alias("id_a"), "band", "key")
-    b = bucketed.select(F.col("id").alias("id_b"), "band", "key")
+    b = b_side.select(F.col("id").alias("id_b"), "band", "key")
     candidates = (a.join(b, ["band", "key"])
                    .filter(F.col("id_a") < F.col("id_b"))
                    .select("id_a", "id_b").distinct())
@@ -113,7 +125,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             threshold: float = 0.8,
-                            ngram: int = 3) -> DataFrame:
+                            ngram: int = 3,
+                            new_ids: DataFrame | None = None) -> DataFrame:
     """First-wins ingestion dedup: a document is a duplicate iff it
     near-matches ANY earlier document (by key order) — the standard
     filter a training pipeline applies while ingesting a stream of
@@ -124,11 +137,20 @@ def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
     Candidate generation is the LSH banding path: no n².
 
     Output: (id, is_dup, dup_of) — dup_of is the EARLIEST matching
-    document, NULL for originals."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, ngram)
+    document, NULL for originals.
+
+    ``new_ids`` (single-column frame) scopes the verdicts to those
+    documents only, pushing the restriction into the LSH bucket join's
+    right side — the per-micro-batch shape of the streaming twin, where
+    per-batch candidate volume is bounded by the NEW documents' bucket
+    collisions rather than recomputed for the whole corpus."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, ngram,
+                              b_ids=new_ids)
     dup_of = (pairs.groupBy(F.col("id_b").alias(id_col))
                    .agg(F.min("id_a").alias("dup_of")))
-    return (df.select(id_col)
+    out_ids = df.select(id_col) if new_ids is None else new_ids.select(
+        F.col(new_ids.columns[0]).alias(id_col))
+    return (out_ids
               .join(dup_of, id_col, "left")
               .select(id_col,
                       F.col("dup_of").isNotNull().alias("is_dup"),
@@ -169,12 +191,22 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                       F.coalesce(F.col("nbr_label"),
                                                  F.col("label")))
                               .alias("label")).cache())
+        new_labels.count()  # fully populate the cache: the parent is
+        # unpersisted next, so any un-cached partition would otherwise
+        # recompute through the ENTIRE iteration chain
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
                    .filter(F.col("n.label") != F.col("o.label")).take(1))
+        # the superseded label frame is dead once the change check has
+        # run — at 100 TB leaving max_iter cached copies resident would
+        # evict useful blocks, so release each generation eagerly
+        labels.unpersist()
         labels = new_labels
         if not changed:
             break
+    # the final labels cache is fully populated (count() above), so the
+    # edge frame no longer backs anything reachable from the result
+    edges.unpersist()
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (labels.join(sizes, "label")
             .select(F.col("node").alias("doc_id"),

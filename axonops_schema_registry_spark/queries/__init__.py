@@ -20,47 +20,41 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-5 rotation (VERDICT r4 ask #1): the 10 never-driver-sampled
-    # specs lead — after this round every one of the 125 specs has had
-    # >=1 green driver row across rounds 1-5.
-    "j8d_kek_cascade_lifecycle", "dd6_embedding_cosine_dedup",
-    "q11_important_stock", "q13_customer_distribution",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_disjunctive_pushdown", "q20_excess_shippers",
-    "q21_waiting_suppliers", "q22_dormant_customers",
-    # round-5 new features
-    "st9_token_bucket", "mm2_header_decode", "a8q_exact_quality",
-    "rf1_reserved_fields", "met1_prometheus_export",
-    "aud3_request_classification", "smp1_stratified_sample",
-    "mix1_dataset_mixture", "dd7_incremental_dedup",
-    "ctm1_contamination_check", "tx7_pii_scan",
-    # re-verify: semantics/oracles changed in r5 (ADVICE fixes + the BDD
-    # parity sweep's content-model rules — c1/rc1/sg1 verdict flips,
-    # del2 40401 branch, ctx-scoped registration joins)
-    "del2_version_delete_taxonomy", "lv1_context_level_resolution",
-    "c1_compatibility_matrix", "c2_compat_messages",
-    "rc1_version_chain_audit", "sg1_suggest_evolution",
-    "r4_registration_batch",
-    # backfill: the least-recently-sampled greens (single r1 row, 4
-    # rounds stale); with the 18 new/changed entries above, the last 9
-    # backfill names (q6/q7/q10/q14/q18/s3/w1/w3/w5) plus the 14 simplest r1
-    # greens (s1/s2/s4/s5, o2, f1/f2/f3/f5/f7, p4/p5, w2, j9) fall
-    # outside the 50-row window and wait for r6 — all remain guarded by
-    # tests/test_queries_oracle.py locally
-    "a1_versions_view", "a3_global_id_stats", "a4_registry_statistics",
-    "a5_field_patterns", "a6_type_consistency", "a8_quality_scores",
-    "a9_complexity", "a10_event_metrics",
-    "e1_schema_diff", "e2_subject_compare", "e3_similarity_selfjoin",
-    "e4_migration_plan", "e5_union_segments",
-    "f10_global_fingerprint", "f14_subject_name_strategy",
-    "j1_referenced_by", "j3_multilevel_resolution", "j6_config_fallback",
-    "j7_dedup_anti_join", "p1_live_view",
-    "q3_shipping_priority", "q5_local_supplier_volume",
+    # Round-6 rotation (VERDICT r5 ask #1, oldest-first): new r6
+    # features and this round's changed code paths lead, then EVERY
+    # spec whose newest driver row predates r4 (23 r1-stale + 17
+    # r3-stale).  After this round no spec's newest green is older
+    # than r3.
+    # -- new in r6
+    "cur1_curation_pass",
+    # -- changed semantics/code this round: ngram_spans short-doc
+    #    gating (ctm1/cur1), TX7 oracle \b fix, corpus-derived gauges
+    #    (met1), minhash_lsh_pairs b_ids param (dd2/dd5/dd7),
+    #    connected_components cache release (dd4), nn2 similarity
+    #    family representative
+    "ctm1_contamination_check", "tx7_pii_scan", "met1_prometheus_export",
+    "dd7_incremental_dedup", "dd2_minhash_lsh_dedup",
+    "dd4_dedup_clusters", "dd5_cross_source_dup_matrix",
+    "nn2_lsh_ann_topk",
+    # -- the 23 specs whose only green row is r1
     "q6_forecast_revenue", "q7_nation_volume", "q10_returned_items",
-    "q14_promo_revenue_share", "q18_large_orders",
-    "s3_subject_version_lookup",
-    "w1_latest_per_subject", "w3_content_addressed_ids",
-    "w5_prior_version_delta",
+    "q14_promo_revenue_share", "q18_large_orders", "s1_prefix_listing",
+    "s2_point_lookup", "s3_subject_version_lookup",
+    "s4_fingerprint_lookup", "s5_distinct_listing",
+    "o2_deterministic_pagination", "f1_substring_search",
+    "f2_regex_search", "f3_glob_search", "f5_normalize_names",
+    "f7_fuzzy_match", "p4_status_split", "p5_metadata_property_filter",
+    "w1_latest_per_subject", "w2_listing_with_latest_flag",
+    "w3_content_addressed_ids", "w5_prior_version_delta",
+    "j9_alias_resolution",
+    # -- the 17 specs last green in r3
+    "q1_pricing_summary", "j2_subjects_by_fingerprint",
+    "f6_naming_variants", "r1_latest_live_schema", "r2_version_history",
+    "r3_schema_versions_view", "f13_field_extraction",
+    "fs1_field_search", "fs2_type_search", "ex1_explain_failure",
+    "mp1_migration_path", "dd1_exact_dedup", "tx1_language_id",
+    "tx2_token_stats", "tx3_rolling_fingerprint",
+    "mm1_multimodal_decode", "st8_exporter_filter_rename",
 )
 
 

@@ -930,6 +930,127 @@ GROUP BY t.id ORDER BY doc_id
 """
 
 
+def cur1_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ingest-time curation stage, batch form (streaming twin:
+    streaming/dedup_stream.py:CurationSink): first-wins near-dup flags,
+    exact 5-gram benchmark decontamination against the held-out 'src1'
+    slice, and PII redaction on the surviving documents (planted PII as
+    in tx7 so the redaction is observable).  Per-document verdict rows:
+    kept = not a dup and carries no evaluation span; clean_len = length
+    of the redacted text for kept documents, NULL otherwise."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        contamination_flags,
+    )
+    from axonops_schema_registry_spark.llm.dedup import (
+        incremental_dedup_flags,
+    )
+    from axonops_schema_registry_spark.llm.text import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com")))
+            .when(F.col("doc_id") % 7 == 1, F.lit(" call 555-867-5309"))
+            .when(F.col("doc_id") % 7 == 2, F.lit(" ssn 078-05-1120"))
+            .otherwise(F.lit(""))))
+    test = planted.filter(F.col("source") == "src1")
+    train = planted.filter(F.col("source") != "src1")
+    dedup = incremental_dedup_flags(train, "doc_id", "text", 0.8, 3)
+    contam = (contamination_flags(train, test, "doc_id", "text", 5)
+              .select("doc_id",
+                      F.col("n_shared_spans").alias("n_eval_spans")))
+    kept = ~F.col("is_dup") & (F.col("n_eval_spans") == 0)
+    return (train
+            .join(dedup, "doc_id")
+            .join(contam, "doc_id", "left")
+            .na.fill({"n_eval_spans": 0})
+            .withColumn("kept", kept)
+            .withColumn("clean_len",
+                        F.when(F.col("kept"),
+                               F.length(pii_redact("text"))
+                               .cast("bigint")))
+            .select("doc_id", "is_dup", "dup_of", "n_eval_spans",
+                    "kept", "clean_len")
+            .orderBy("doc_id"))
+
+
+CUR1_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id, source, text ||
+         CASE CAST(doc_id % 7 AS INT)
+           WHEN 0 THEN ' contact user' || CAST(doc_id AS STRING)
+                       || '@example.com'
+           WHEN 1 THEN ' call 555-867-5309'
+           WHEN 2 THEN ' ssn 078-05-1120'
+           ELSE '' END AS text
+  FROM documents),
+train AS (SELECT * FROM planted WHERE source <> 'src1'),
+test AS (SELECT * FROM planted WHERE source = 'src1'),
+toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM train),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id),
+dup_pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.8),
+dedup AS (
+  SELECT d.doc_id, MIN(p.id_a) IS NOT NULL AS is_dup,
+         MIN(p.id_a) AS dup_of
+  FROM train d LEFT JOIN dup_pairs p ON p.id_b = d.doc_id
+  GROUP BY d.doc_id),
+spans AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' '))
+                                         - 4, 0)),
+             i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+           AS span
+  FROM train),
+tspans AS (
+  SELECT DISTINCT
+         unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' '))
+                                         - 4, 0)),
+             i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+           AS span
+  FROM test),
+contam AS (
+  SELECT s.id AS doc_id, COUNT(DISTINCT s.span) AS n_eval_spans
+  FROM spans s JOIN tspans t ON s.span = t.span GROUP BY s.id)
+SELECT t.doc_id, dd.is_dup, dd.dup_of,
+       COALESCE(c.n_eval_spans, 0) AS n_eval_spans,
+       (NOT dd.is_dup AND COALESCE(c.n_eval_spans, 0) = 0) AS kept,
+       CASE WHEN NOT dd.is_dup AND COALESCE(c.n_eval_spans, 0) = 0 THEN
+         CAST(len(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(t.text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+             '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             '<IPV4>', 'g')) AS BIGINT) END AS clean_len
+FROM train t JOIN dedup dd USING (doc_id)
+LEFT JOIN contam c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def tx7_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing audit (llm/text.py:PII_PATTERNS): per-source match
     counts for email/phone/SSN/IP patterns, with deterministic planted
@@ -980,7 +1101,7 @@ SELECT source,
   CAST(SUM(len(regexp_extract_all(text,
     '[0-9]{3}-[0-9]{2}-[0-9]{4}'))) AS BIGINT) AS n_ssn,
   CAST(SUM(len(regexp_extract_all(text,
-    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) AS BIGINT)
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT)
     AS n_ipv4,
   COUNT(*) AS n_docs
 FROM planted GROUP BY source ORDER BY source
@@ -998,6 +1119,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup", "streaming")),
     QuerySpec("ctm1_contamination_check", ctm1_contamination_check,
               CTM1_ORACLE, tags=("llm", "dedup", "contamination")),
+    QuerySpec("cur1_curation_pass", cur1_curation_pass, CUR1_ORACLE,
+              tags=("llm", "dedup", "contamination", "pii")),
     QuerySpec("tx7_pii_scan", tx7_pii_scan, TX7_ORACLE,
               tags=("llm", "text", "pii")),
     QuerySpec("dd4_dedup_clusters", dd4_dedup_clusters, DD4_ORACLE,

@@ -2277,12 +2277,23 @@ def met1_prometheus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-derived Prometheus gauges as one distributed aggregation
     (metrics.go:474-486 refreshGauges + the schemas_total /
     subjects_total / schema_versions families, metrics.go:119-142):
-    exposition rows (metric, labels, value) over the live corpus."""
+    exposition rows (metric, labels, value) over the live corpus.
+
+    The FIXTURES.md §1 ~70/15/15 AVRO/PROTOBUF/JSON mix is a fixture of
+    THIS spec (the derived corpus has no native type column), assigned
+    deterministically so the DuckDB oracle replays it bit-exactly;
+    ``corpus_gauge_rows`` itself is type-agnostic and reads whatever
+    ``schema_type`` the caller's corpus carries."""
     from axonops_schema_registry_spark.registry.metrics import (
         corpus_gauge_rows,
     )
 
-    return corpus_gauge_rows(spark, sf_dir)
+    typed = model.registry_corpus(spark, sf_dir).withColumn(
+        "schema_type",
+        F.when(F.col("schema_id") % 20 < 14, F.lit("AVRO"))
+        .when(F.col("schema_id") % 20 < 17, F.lit("PROTOBUF"))
+        .otherwise(F.lit("JSON")))
+    return corpus_gauge_rows(typed)
 
 
 MET1_ORACLE = f"""

@@ -455,12 +455,20 @@ def confluent_endpoint(method: str, path: str) -> str:
     return table.get((method, path), "")
 
 
-def corpus_gauge_rows(spark, sf_dir: str):
+def corpus_gauge_rows(corpus):
     """The storage-derived gauge families as ONE distributed
-    aggregation over the registry corpus (the Spark re-expression of
-    refreshGauges, metrics.go:474-486): subjects_total,
-    schemas_total{type}, and schema_versions{subject} for every live
-    subject.  Returns (metric, labels, value) exposition rows.
+    aggregation over a registry corpus DataFrame (the Spark
+    re-expression of refreshGauges, metrics.go:474-486):
+    subjects_total, schemas_total{type}, and schema_versions{subject}
+    for every live subject.  Returns (metric, labels, value)
+    exposition rows.
+
+    ``corpus`` must carry (subject, schema_type[, deleted][,
+    schema_id]); gauges reflect the CALLER's corpus — user-supplied or
+    filtered frames included — exactly as the reference derives them
+    from live storage.  Without a ``schema_id`` column the distinct
+    schemas_total count falls back to per-version rows (an in-memory
+    corpus with no content-addressed IDs).
 
     At 100 TB this replaces the reference's periodic storage poll with
     one partial-aggregated groupBy per refresh; schema_versions stays
@@ -469,19 +477,14 @@ def corpus_gauge_rows(spark, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
-    from axonops_schema_registry_spark.registry.model import (
-        registry_corpus,
-    )
-
-    live = registry_corpus(spark, sf_dir).filter(~F.col("deleted"))
-    # the corpus derivation carries no schema_type column; the
-    # FIXTURES.md §1 ~70/15/15 AVRO/PROTOBUF/JSON mix is assigned
-    # deterministically so the DuckDB oracle can replay it bit-exactly
-    typed = live.withColumn(
-        "schema_type",
-        F.when(F.col("schema_id") % 20 < 14, F.lit("AVRO"))
-        .when(F.col("schema_id") % 20 < 17, F.lit("PROTOBUF"))
-        .otherwise(F.lit("JSON")))
+    typed = corpus
+    if "deleted" in typed.columns:
+        typed = typed.filter(~F.col("deleted"))
+    if "schema_id" not in typed.columns:
+        typed = typed.withColumn(
+            "schema_id", F.sha2(F.col("schema_text"), 256)
+            if "schema_text" in typed.columns
+            else F.monotonically_increasing_id())
     per_subject = typed.groupBy("subject").agg(
         F.count("*").alias("n_versions"))
     versions = per_subject.select(

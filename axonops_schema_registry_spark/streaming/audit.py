@@ -25,6 +25,9 @@ the idiomatic Structured Streaming design.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+from datetime import datetime, timezone
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -381,14 +384,32 @@ class SyslogTcpSink:
     transport wrapper around the identical framing)."""
 
     def __init__(self, host: str, port: int,
-                 app_name: str = "schema-registry") -> None:
+                 app_name: str = "schema-registry",
+                 timestamp_col: str = "ts",
+                 clock: "Callable[[], str] | None" = None) -> None:
         self.addr = (host, port)
         self.app_name = app_name
+        self.timestamp_col = timestamp_col
+        # emit-time fallback when an event carries no timestamp — the
+        # reference stamps time.Now() at write (audit_syslog.go:44);
+        # injectable for deterministic tests
+        self.clock = clock or (lambda: datetime.now(timezone.utc)
+                               .strftime("%Y-%m-%dT%H:%M:%SZ"))
 
-    def send(self, message: str) -> None:
+    @staticmethod
+    def _rfc5424_ts(value) -> str:
+        if isinstance(value, datetime):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=timezone.utc)
+            return (value.astimezone(timezone.utc)
+                    .strftime("%Y-%m-%dT%H:%M:%SZ"))
+        return str(value)
+
+    def send(self, message: str, timestamp: str | None = None) -> None:
         import socket
 
-        frame = (f"<134>1 2026-01-01T00:00:00Z localhost "
+        ts = timestamp or self.clock()
+        frame = (f"<134>1 {ts} localhost "
                  f"{self.app_name} - - - {message}").encode()
         # RFC 5425 MSG-LEN counts OCTETS: encode before measuring
         payload = str(len(frame)).encode() + b" " + frame
@@ -398,9 +419,13 @@ class SyslogTcpSink:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         import json as _json
 
+        has_ts = self.timestamp_col in batch_df.columns
         for r in batch_df.collect():
-            self.send(_json.dumps(r.asDict(recursive=True),
-                                  default=str))
+            d = r.asDict(recursive=True)
+            ts = (self._rfc5424_ts(d[self.timestamp_col])
+                  if has_ts and d.get(self.timestamp_col) is not None
+                  else None)
+            self.send(_json.dumps(d, default=str), timestamp=ts)
 
 
 def audit_hash_chain(df: DataFrame, key_col: str, order_cols: list[str],

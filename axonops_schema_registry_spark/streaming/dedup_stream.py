@@ -1,5 +1,6 @@
-"""Streaming ingestion dedup: the first-wins near-dup filter as a
-``foreachBatch`` sink.
+"""Streaming ingestion curation: the first-wins near-dup filter — and
+the full dedup → decontaminate → PII-scrub curation stage — as
+``foreachBatch`` sinks.
 
 Each micro-batch is flagged against everything ingested before it plus
 itself — exactly :func:`...llm.dedup.incremental_dedup_flags` over the
@@ -7,17 +8,22 @@ growing prefix, which is order-independent (earlier = smaller key), so
 the streaming run produces the identical flags to one batch run over
 the full corpus (pinned by tests/test_streaming.py).
 
-State: the seen-document set.  This in-process variant keeps it as a
-unioned DataFrame (test scale); a production deployment appends
-accepted documents to a bucketed parquet/Delta table and joins each
-micro-batch against ONLY the colliding LSH buckets — the same
-equi-join shape ``minhash_lsh_pairs`` already uses, so per-batch cost
-is bounded by candidate volume, not corpus size.
+State: the seen-document set.  This in-process variant keeps it as an
+eagerly ``localCheckpoint``-ed DataFrame — the checkpoint truncates
+lineage every epoch (no O(batches) plan growth) and the per-batch LSH
+join passes the micro-batch ids as the RIGHT side of the bucket join
+(``new_ids``), so candidate volume per batch is bounded by the NEW
+documents' bucket collisions, not recomputed for the whole corpus.  A
+production deployment appends accepted documents to a bucketed
+parquet/Delta table and joins each micro-batch against ONLY the
+colliding LSH buckets — the same equi-join shape ``minhash_lsh_pairs``
+already uses.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from axonops_schema_registry_spark.llm.dedup import incremental_dedup_flags
 
@@ -37,14 +43,87 @@ class IncrementalDedupSink:
         new = batch_df.select(self.id_col, self.text_col)
         corpus = (new if self.seen is None
                   else self.seen.unionByName(new))
-        batch_flags = (incremental_dedup_flags(
+        batch_flags = incremental_dedup_flags(
             corpus, self.id_col, self.text_col, self.threshold,
-            self.ngram)
-            .join(new.select(self.id_col), self.id_col))
+            self.ngram, new_ids=new.select(self.id_col))
         for r in batch_flags.collect():
             self.flags[r[self.id_col]] = (r["is_dup"], r["dup_of"])
         # ALL documents join the seen set — matching against every
         # earlier document (dup or not) is what keeps the flags
         # identical to one batch run over the full corpus; the cleaned
-        # output is simply the is_dup=false subset of self.flags
-        self.seen = corpus
+        # output is simply the is_dup=false subset of self.flags.
+        # Eager localCheckpoint: materializes the epoch's corpus once
+        # and truncates lineage, so epoch N's plan never re-derives
+        # epochs 1..N-1 (the O(batches^2) plan-growth trap).
+        self.seen = corpus.localCheckpoint(eager=True)
+
+
+class CurationSink:
+    """foreachBatch target for the full ingest-time curation stage a
+    training pipeline runs: first-wins near-dup filter, exact n-gram
+    benchmark decontamination against a held-out evaluation set, and
+    PII redaction on whatever survives.
+
+    Per-document verdicts accumulate in ``self.results``:
+    (is_dup, dup_of, n_eval_spans, clean_text) — clean_text is None
+    for documents dropped as duplicates or contaminated.  The three
+    passes compose the batch operators unchanged
+    (llm.dedup.incremental_dedup_flags, llm.contamination
+    .contamination_flags, llm.text.pii_redact), so streaming output is
+    pinned to one batch run over the same corpus by
+    tests/test_streaming.py.
+    """
+
+    def __init__(self, eval_set: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 threshold: float = 0.8, ngram: int = 3,
+                 contam_n: int = 5) -> None:
+        from axonops_schema_registry_spark.llm.contamination import (
+            ngram_spans,
+        )
+
+        self.id_col, self.text_col = id_col, text_col
+        self.threshold, self.ngram = threshold, ngram
+        self.contam_n = contam_n
+        # the evaluation span set is fixed for the run: checkpoint once,
+        # broadcast into every micro-batch's span join
+        self.eval_spans = (ngram_spans(eval_set, id_col, text_col,
+                                       contam_n)
+                           .withColumnRenamed("id", "test_id")
+                           .localCheckpoint(eager=True))
+        self.seen: DataFrame | None = None
+        self.results: dict[int, dict] = {}
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from axonops_schema_registry_spark.llm.contamination import (
+            ngram_spans,
+        )
+        from axonops_schema_registry_spark.llm.text import pii_redact
+
+        new = batch_df.select(self.id_col, self.text_col)
+        corpus = (new if self.seen is None
+                  else self.seen.unionByName(new))
+        dedup = incremental_dedup_flags(
+            corpus, self.id_col, self.text_col, self.threshold,
+            self.ngram, new_ids=new.select(self.id_col))
+        spans = ngram_spans(new, self.id_col, self.text_col,
+                            self.contam_n)
+        contam = (spans.join(F.broadcast(self.eval_spans), "span")
+                  .groupBy(F.col("id").alias(self.id_col))
+                  .agg(F.countDistinct("span").alias("n_eval_spans")))
+        verdicts = (new
+                    .join(dedup, self.id_col)
+                    .join(contam, self.id_col, "left")
+                    .na.fill({"n_eval_spans": 0})
+                    .withColumn(
+                        "clean_text",
+                        F.when(~F.col("is_dup")
+                               & (F.col("n_eval_spans") == 0),
+                               pii_redact(self.text_col))))
+        for r in verdicts.collect():
+            self.results[r[self.id_col]] = {
+                "is_dup": r["is_dup"], "dup_of": r["dup_of"],
+                "n_eval_spans": r["n_eval_spans"],
+                "clean_text": r["clean_text"],
+            }
+        self.seen = corpus.localCheckpoint(eager=True)

@@ -331,3 +331,79 @@ def test_incremental_dedup_stream_equals_batch(spark, sf_dir):
             for r in incremental_dedup_flags(docs).collect()}
     assert sink.flags == want
     assert any(dup for dup, _ in sink.flags.values())
+
+
+def test_curation_stream_equals_batch(spark, sf_dir):
+    """Two-micro-batch streaming curation (dedup -> decontaminate ->
+    PII-scrub) produces IDENTICAL per-document verdicts to the batch
+    cur1 composition over the full corpus."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        contamination_flags,
+    )
+    from axonops_schema_registry_spark.llm.dedup import (
+        incremental_dedup_flags,
+    )
+    from axonops_schema_registry_spark.llm.text import pii_redact
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        CurationSink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 7 == 0,
+                        F.lit(" mail root@example.com"))
+                 .otherwise(F.lit("")))).select("doc_id", "source", "text")
+    eval_set = planted.filter(F.col("source") == "src1") \
+        .select("doc_id", "text")
+    train = planted.filter(F.col("source") != "src1") \
+        .select("doc_id", "text")
+
+    # batch expectation: the cur1 composition
+    dedup = incremental_dedup_flags(train, "doc_id", "text", 0.8, 3)
+    contam = (contamination_flags(train, eval_set, "doc_id", "text", 5)
+              .select("doc_id",
+                      F.col("n_shared_spans").alias("n_eval_spans")))
+    want_df = (train.join(dedup, "doc_id")
+               .join(contam, "doc_id", "left")
+               .na.fill({"n_eval_spans": 0})
+               .withColumn("clean_text",
+                           F.when(~F.col("is_dup")
+                                  & (F.col("n_eval_spans") == 0),
+                                  pii_redact("text"))))
+    want = {r.doc_id: (r.is_dup, r.dup_of, r.n_eval_spans, r.clean_text)
+            for r in want_df.collect()}
+
+    # streaming run, 2 micro-batches
+    cut = train.approxQuantile("doc_id", [0.5], 0.0)[0]
+    d = tempfile.mkdtemp(prefix="cur_stream_")
+    src = tempfile.mkdtemp(prefix="cur_src_")
+    for i, pred in enumerate((f"doc_id < {cut}", f"doc_id >= {cut}")):
+        sub = os.path.join(d, f"b{i}")
+        train.filter(pred).coalesce(1).write.parquet(sub)
+        part = next(p for p in os.listdir(sub) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part-{i}.parquet")
+        shutil.copy(os.path.join(sub, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sink = CurationSink(eval_set)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cur_")
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    for p in (d, src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    got = {k: (v["is_dup"], v["dup_of"], v["n_eval_spans"],
+               v["clean_text"]) for k, v in sink.results.items()}
+    assert got == want
+    # the scrub is observable: at least one kept doc got redacted
+    assert any(v["clean_text"] and "<EMAIL>" in v["clean_text"]
+               for v in sink.results.values())
+    # and the stage drops something: a dup or a contaminated doc exists
+    assert any(v["is_dup"] or v["n_eval_spans"] > 0
+               for v in sink.results.values())

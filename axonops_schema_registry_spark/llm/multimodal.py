@@ -2,12 +2,16 @@
 with Arrow-batched decode / feature-extraction over ``mapInPandas``.
 
 The Spark-side contract is real and tested: schema, batching shape, UDF
-signatures, partitioning notes.  The actual media kernels (image decode,
-audio resample, video frame-sample) are STUBBED — PIL/librosa/ffmpeg are
-not in this container.  ``decode_features(..., stub=True)`` runs a
-deterministic fake derived from the payload bytes so the pipeline is
-end-to-end testable; ``stub=False`` raises NotImplementedError at the
-exact point a real kernel would plug in.
+signatures, partitioning notes.  Two REAL kernels ship: container
+*header* decode (PNG/GIF/JPEG/WAV via stdlib struct,
+:func:`decode_headers`) and full PNG *pixel* decode (stdlib zlib +
+numpy un-filtering of all five scanline filter types,
+:func:`decode_pixels`).  Only audio/video *sample* decode — which
+genuinely needs codec libraries (librosa/ffmpeg) absent from this
+container — remains stubbed: ``decode_features(..., stub=True)`` runs a
+deterministic fake derived from the payload bytes so that pipeline
+shape stays end-to-end testable; ``stub=False`` raises
+NotImplementedError at the exact point a codec kernel would plug in.
 
 Scale notes: payloads stay opaque ``binary`` columns all the way to the
 decode stage (no driver round-trip); decode runs ``mapInPandas`` so one
@@ -70,9 +74,10 @@ def decode_features(df: DataFrame, stub: bool = True) -> DataFrame:
     """
     if not stub:
         raise NotImplementedError(
-            "pixel/sample decode kernels (PIL/librosa/ffmpeg) are not "
-            "available in this environment; run with stub=True, or use "
-            "decode_headers() for the dependency-free header kernel")
+            "audio/video sample decode kernels (librosa/ffmpeg) are not "
+            "available in this environment; run with stub=True, use "
+            "decode_headers() for the dependency-free header kernel, or "
+            "decode_pixels() for the real PNG pixel kernel")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -244,3 +249,192 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return df.select(F.col(id_col)).mapInPandas(
         synth, schema="doc_id bigint, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel-decode kernel: full PNG decode with stdlib zlib + numpy
+# ---------------------------------------------------------------------------
+#
+# A complete 8-bit RGB PNG decode needs no media library at all: chunk
+# walk → concatenated-IDAT zlib.decompress → per-scanline reversal of
+# the five PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+# This replaces the last stub the engine carried; only audio/video
+# sample decode (which genuinely needs codec libraries) stays gated.
+# The encoder below FORWARD-filters with a doc_id-cycled filter type per
+# scanline, so the decoder's un-filtering of all five types is exercised
+# on every run — a genuine encode→decode round-trip whose expected pixel
+# sums a SQL oracle derives from doc_id arithmetic alone.
+
+PIXEL_SCHEMA_DDL = ("doc_id bigint, width int, height int, channels int, "
+                    "n_pixels bigint, sum_r bigint, sum_g bigint, "
+                    "sum_b bigint")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _pixel_value(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """The deterministic pixel pattern — the oracle's ground truth."""
+    return ((doc_id + x + 2 * y) % 256,
+            (2 * doc_id + 3 * x + y) % 256,
+            (3 * doc_id + x + y) % 256)
+
+
+def synthesize_png_pixels(doc_id: int) -> bytes:
+    """A real 8-bit RGB PNG whose pixels follow :func:`_pixel_value`,
+    forward-filtered with filter type ``(doc_id + y) % 5`` per scanline
+    and zlib-compressed — decodable by any PNG reader."""
+    import struct
+    import zlib
+
+    w = doc_id % 16 + 1
+    h = doc_id % 12 + 1
+    bpp = 3
+    raw_rows: list[bytes] = []
+    for y in range(h):
+        raw_rows.append(bytes(v for x in range(w)
+                              for v in _pixel_value(doc_id, x, y)))
+    out = bytearray()
+    prev = bytes(w * bpp)
+    for y, row in enumerate(raw_rows):
+        ftype = (doc_id + y) % 5
+        out.append(ftype)
+        for i, v in enumerate(row):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                out.append(v)
+            elif ftype == 1:
+                out.append((v - left) % 256)
+            elif ftype == 2:
+                out.append((v - up) % 256)
+            elif ftype == 3:
+                out.append((v - (left + up) // 2) % 256)
+            else:
+                out.append((v - _paeth(left, up, ul)) % 256)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    idat = zlib.compress(bytes(out))
+    # split the stream into two IDAT chunks when possible: decoders must
+    # concatenate IDAT payloads before inflating, so this pins that path
+    mid = len(idat) // 2
+    idats = (chunk(b"IDAT", idat[:mid]) + chunk(b"IDAT", idat[mid:])
+             if mid else chunk(b"IDAT", idat))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idats
+            + chunk(b"IEND", b""))
+
+
+def decode_png_pixels(payload: bytes) -> dict:
+    """Full PNG pixel decode (stdlib zlib + numpy): chunk walk,
+    inflate, un-filter all five scanline filter types, per-channel
+    sums.  Supports 8-bit RGB (color type 2) and RGBA (6)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, ihdr, idat = 8, None, bytearray()
+    while i + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[i:i + 4])
+        ctype = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, bit_depth, color_type, _, _, interlace = ihdr
+    if bit_depth != 8 or color_type not in (2, 6) or interlace:
+        raise ValueError("unsupported PNG variant")
+    bpp = 3 if color_type == 2 else 4
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=y * (stride + 1) + 1).astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:
+            rec = (line + prev) % 256
+        else:
+            rec = np.zeros(stride, dtype=np.int32)
+            for i2 in range(stride):
+                left = int(rec[i2 - bpp]) if i2 >= bpp else 0
+                up = int(prev[i2])
+                ul = int(prev[i2 - bpp]) if i2 >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                elif ftype == 4:
+                    pred = _paeth(left, up, ul)
+                else:
+                    raise ValueError(f"bad filter type {ftype}")
+                rec[i2] = (int(line[i2]) + pred) % 256
+        img[y] = rec.astype(np.uint8)
+        prev = img[y].astype(np.int32)
+    px = img.reshape(h, w, bpp).astype(np.int64)
+    return {"width": int(w), "height": int(h), "channels": bpp,
+            "n_pixels": int(w) * int(h),
+            "sum_r": int(px[:, :, 0].sum()),
+            "sum_g": int(px[:, :, 1].sum()),
+            "sum_b": int(px[:, :, 2].sum())}
+
+
+def synthesize_png_media(df: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id) → (doc_id, payload binary) pixel-bearing PNGs."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "payload": [synthesize_png_pixels(int(i))
+                            for i in pdf[id_col]],
+            })
+
+    return df.select(F.col(id_col)).mapInPandas(
+        synth, schema="doc_id bigint, payload binary")
+
+
+def decode_pixels(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL pixel decode over (doc_id, payload) frames —
+    same mapInPandas shape as :func:`decode_headers`; payloads never
+    leave the executors."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows.append({"doc_id": doc_id,
+                             **decode_png_pixels(bytes(payload))})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "channels", "n_pixels",
+                "sum_r", "sum_g", "sum_b"])
+
+    return df.mapInPandas(decode_batches, schema=PIXEL_SCHEMA_DDL)

@@ -26,7 +26,7 @@ _PRIORITY: tuple[str, ...] = (
     # r3-stale).  After this round no spec's newest green is older
     # than r3.
     # -- new in r6
-    "cur1_curation_pass",
+    "cur1_curation_pass", "mm3_pixel_decode",
     # -- changed semantics/code this round: ngram_spans short-doc
     #    gating (ctm1/cur1), TX7 oracle \b fix, corpus-derived gauges
     #    (met1), minhash_lsh_pairs b_ids param (dd2/dd5/dd7),

@@ -760,6 +760,48 @@ FROM documents
 """
 
 
+def mm3_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode (stdlib zlib + numpy, no media libs): a
+    pixel-bearing 8-bit RGB PNG is synthesized per doc_id with a
+    deterministic pixel pattern, forward-filtered with a doc_id-cycled
+    scanline filter type (all five PNG filters exercised), then fully
+    decoded back — inflate, un-filter, per-channel pixel sums — by
+    :func:`...llm.multimodal.decode_png_pixels` over ``mapInPandas``.
+    The oracle derives the expected sums from doc_id arithmetic alone,
+    so a filter-reversal bug in ANY of the five filter types breaks the
+    hash.  This closes the engine's last multimodal stub; only
+    audio/video sample decode (codec libraries) remains gated."""
+    from axonops_schema_registry_spark.llm.multimodal import (
+        decode_pixels,
+        synthesize_png_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (decode_pixels(synthesize_png_media(docs, "doc_id"))
+            .orderBy("doc_id"))
+
+
+MM3_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, CAST(doc_id % 16 + 1 AS INT) AS w,
+         CAST(doc_id % 12 + 1 AS INT) AS h
+  FROM documents),
+xs AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+  FROM dims),
+cells AS (
+  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+  FROM xs)
+SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(SUM((doc_id + x + 2 * y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((2 * doc_id + 3 * x + y) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((3 * doc_id + x + y) % 256) AS BIGINT) AS sum_b
+FROM cells GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def smp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source Bernoulli sampling
     (llm/sampling.py:stratified_sample): the portable 48-bit md5 hash
@@ -1154,6 +1196,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "text"), bench=True),
     QuerySpec("mm1_multimodal_decode", mm1_multimodal_decode, MM1_ORACLE,
               tags=("llm", "multimodal")),
+    QuerySpec("mm3_pixel_decode", mm3_pixel_decode, MM3_ORACLE,
+              tags=("llm", "multimodal", "udf")),
     QuerySpec("mm2_header_decode", mm2_header_decode, MM2_ORACLE,
               tags=("llm", "multimodal")),
     QuerySpec("smp1_stratified_sample", smp1_stratified_sample,

@@ -296,3 +296,97 @@ def test_pii_redaction_roundtrip(spark):
                                    "doc_id long, text string")
              .select(*pii_counts("text")).first())
     assert sum(clean) == 0
+
+
+# ---------------------------------------------------------------------------
+# PNG pixel decode (mm3 kernel)
+# ---------------------------------------------------------------------------
+
+def _reference_png(w, h, pixels, filters):
+    """Independent in-test PNG writer (filter math written out long-hand
+    so the library decoder is checked against a second implementation,
+    not an echo of its own encoder)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    rows = [bytes(c for x in range(w) for c in pixels[y][x])
+            for y in range(h)]
+    stream = bytearray()
+    prev = bytes(w * 3)
+    for y, row in enumerate(rows):
+        f = filters[y % len(filters)]
+        stream.append(f)
+        for i, v in enumerate(row):
+            a = row[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            stream.append((v - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filter_types():
+    from axonops_schema_registry_spark.llm.multimodal import (
+        decode_png_pixels,
+    )
+
+    w, h = 5, 5
+    pixels = [[((x * 37 + y * 101) % 256, (x + y) % 256, (x * y) % 256)
+               for x in range(w)] for y in range(h)]
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png_pixels(_reference_png(w, h, pixels, filters))
+        assert got["width"] == w and got["height"] == h
+        assert got["channels"] == 3 and got["n_pixels"] == w * h
+        assert got["sum_r"] == sum(p[0] for row in pixels for p in row)
+        assert got["sum_g"] == sum(p[1] for row in pixels for p in row)
+        assert got["sum_b"] == sum(p[2] for row in pixels for p in row)
+
+
+def test_png_encode_decode_roundtrip_matches_formula():
+    from axonops_schema_registry_spark.llm.multimodal import (
+        _pixel_value,
+        decode_png_pixels,
+        synthesize_png_pixels,
+    )
+
+    for doc_id in (0, 1, 7, 63, 123, 480):
+        got = decode_png_pixels(synthesize_png_pixels(doc_id))
+        w, h = doc_id % 16 + 1, doc_id % 12 + 1
+        want = [_pixel_value(doc_id, x, y)
+                for y in range(h) for x in range(w)]
+        assert got["width"] == w and got["height"] == h
+        assert got["sum_r"] == sum(p[0] for p in want)
+        assert got["sum_g"] == sum(p[1] for p in want)
+        assert got["sum_b"] == sum(p[2] for p in want)
+
+
+def test_png_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from axonops_schema_registry_spark.llm.multimodal import (
+        decode_png_pixels,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_png_pixels(b"not a png at all")
+    with _pytest.raises(ValueError):
+        decode_png_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)

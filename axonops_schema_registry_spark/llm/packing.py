@@ -1,0 +1,73 @@
+"""Sequence packing for training-context assembly.
+
+Pretraining consumes fixed-length contexts (e.g. 512/4096 tokens), not
+documents: the pipeline concatenates documents in a deterministic order
+and cuts the token stream every ``context_len`` tokens ("concat-then-
+chunk" packing).  The operator assigns every document to the pack where
+its FIRST token lands and reports per-pack occupancy plus boundary
+straddles — the stats a data loader needs to build index manifests.
+
+Determinism: documents are ordered by the engine-portable 48-bit md5
+hash (ties by key), the same shuffle order the mixture/sampling
+operators use, so two engines — or two runs — produce identical packs.
+
+Scale design: packing runs PER SOURCE (each source is packed into its
+own context stream, matching how mixture shards are materialized), so
+the running-sum window partitions by source and its state is bounded by
+per-source cardinality — never a single global ordering.  At extreme
+scale the per-source stream is further split by hash range into
+independently packed segments (documented fallback); the single-window
+form here is the exact variant a SQL oracle verifies bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from axonops_schema_registry_spark.llm.sampling import portable_hash
+
+
+def pack_assignments(docs: DataFrame, context_len: int,
+                     key_col: str = "doc_id",
+                     source_col: str = "source",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document pack assignment: (key, source, n_tokens,
+    start_offset, pack_id, straddles) — ``pack_id`` is the pack holding
+    the document's first token; ``straddles`` marks documents whose
+    tokens cross a pack boundary (they continue into pack_id+1...)."""
+    toks = F.size(F.split(F.col(text_col), "\\s+")).cast("bigint")
+    w = (Window.partitionBy(source_col).orderBy("__h", key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs
+            .withColumn("__h", portable_hash(F.col(key_col)
+                                             .cast("string")))
+            .withColumn("n_tokens", toks)
+            .withColumn("__cum", F.sum("n_tokens").over(w))
+            .withColumn("start_offset", F.col("__cum") - F.col("n_tokens"))
+            .withColumn("pack_id",
+                        F.floor(F.col("start_offset") / context_len)
+                        .cast("bigint"))
+            .withColumn("straddles",
+                        F.floor((F.col("__cum") - 1) / context_len)
+                        != F.col("pack_id"))
+            .select(F.col(key_col), F.col(source_col), "n_tokens",
+                    "start_offset", "pack_id", "straddles"))
+
+
+def pack_manifest(docs: DataFrame, context_len: int,
+                  key_col: str = "doc_id",
+                  source_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Per-pack manifest: how many documents start in each pack, their
+    token mass, and how many straddle into the next pack — the index a
+    data loader materializes next to the packed shards."""
+    a = pack_assignments(docs, context_len, key_col, source_col, text_col)
+    return (a.groupBy(source_col, "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("tok_sum"),
+                 F.sum(F.col("straddles").cast("int")).cast("bigint")
+                 .alias("n_straddles"),
+                 F.min(key_col).alias("first_doc"),
+                 F.max(key_col).alias("last_doc")))

@@ -207,3 +207,22 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str,
         out = out.withColumn(c, F.col("__snap")[c])
     return (out.withColumn("asof_ts", F.col("__snap")["__rts"])
             .drop("__ts", "__side", "__snap"))
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Eagerly free the block store behind a ``localCheckpoint``-ed
+    DataFrame that will NEVER be used again.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries, so a
+    superseded checkpoint generation otherwise lingers until the JVM
+    ContextCleaner gets around to it — at 100 TB an iterative operator
+    would hold every generation's blocks in the meantime.  The frame is
+    unusable afterwards (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND); callers own
+    the never-again guarantee.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: ContextCleaner remains the backstop

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from axonops_schema_registry_spark.operators.core import release_checkpoint
+
 
 def dependency_closure(edges: DataFrame, src: str = "subject",
                        dst: str = "ref_subject",
@@ -34,7 +36,8 @@ def dependency_closure(edges: DataFrame, src: str = "subject",
     """
     plain = edges.select(F.col(src).alias("__src"),
                          F.col(dst).alias("__dst")).distinct().cache()
-    closure = plain.withColumn("depth", F.lit(1)).cache()
+    seed = plain.withColumn("depth", F.lit(1)).cache()
+    closure = seed
     frontier = closure
     for depth in range(2, max_iter + 1):
         hop = plain.select(F.col("__src").alias("__via"),
@@ -50,8 +53,26 @@ def dependency_closure(edges: DataFrame, src: str = "subject",
         # the self-referencing plan before the union below
         nxt = nxt.localCheckpoint(eager=True)
         if not nxt.take(1):
+            release_checkpoint(nxt)
             break
-        closure = closure.unionByName(nxt).localCheckpoint(eager=True)
+        new_closure = closure.unionByName(nxt).localCheckpoint(eager=True)
+        # cache-lifetime: the union's eager checkpoint holds its own
+        # copy of every row, so the superseded closure generation and
+        # the consumed frontier are dead blocks — release each eagerly
+        # (at 100 TB leaving max_iter generations resident would evict
+        # useful blocks)
+        if closure is not seed:
+            release_checkpoint(closure)
+        if frontier is not seed:
+            release_checkpoint(frontier)
+        closure = new_closure
         frontier = nxt
+    if closure is not seed:
+        # the checkpointed union backs the result; the edge and seed
+        # caches (and the last frontier) are no longer reachable
+        plain.unpersist()
+        seed.unpersist()
+        if frontier is not seed and frontier is not closure:
+            release_checkpoint(frontier)
     return closure.select(F.col("__src").alias(src),
                           F.col("__dst").alias(dst), "depth")

@@ -242,7 +242,11 @@ def register_batch(spark: SparkSession, existing: DataFrame,
     if "deleted" not in existing.columns:
         existing = existing.withColumn("deleted", F.lit(False))
     # cached: existing feeds dedup, the compat history AND prior-max —
-    # without the cache the fingerprint UDF would run 3x over the corpus
+    # without the cache the fingerprint UDF would run 3x over the corpus.
+    # Lifetime: released when the caller materializes the returned frame
+    # and the session's ContextCleaner GCs the plan; at 100 TB prefer
+    # writing fingerprints as a corpus column (they're content-stable)
+    # so this stage caches nothing.
     existing_fp = existing.withColumn(
         "fingerprint", fp("schema_text", "schema_type")).cache()
     existing_live = existing_fp.filter(~F.col("deleted"))

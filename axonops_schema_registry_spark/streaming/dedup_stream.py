@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from axonops_schema_registry_spark.llm.dedup import incremental_dedup_flags
+from axonops_schema_registry_spark.operators.core import release_checkpoint
 
 
 class IncrementalDedupSink:
@@ -54,8 +55,12 @@ class IncrementalDedupSink:
         # output is simply the is_dup=false subset of self.flags.
         # Eager localCheckpoint: materializes the epoch's corpus once
         # and truncates lineage, so epoch N's plan never re-derives
-        # epochs 1..N-1 (the O(batches^2) plan-growth trap).
+        # epochs 1..N-1 (the O(batches^2) plan-growth trap); the
+        # superseded epoch's checkpoint blocks are freed eagerly.
+        prev = self.seen
         self.seen = corpus.localCheckpoint(eager=True)
+        if prev is not None:
+            release_checkpoint(prev)
 
 
 class CurationSink:
@@ -126,4 +131,7 @@ class CurationSink:
                 "n_eval_spans": r["n_eval_spans"],
                 "clean_text": r["clean_text"],
             }
+        prev = self.seen
         self.seen = corpus.localCheckpoint(eager=True)
+        if prev is not None:
+            release_checkpoint(prev)

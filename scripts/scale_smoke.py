@@ -122,7 +122,50 @@ def main() -> None:
     classify_shape(events0.limit(1000)).collect()
     sample_shape(docs0.limit(1000)).collect()
 
+    # --- r5/r6 curation shapes -------------------------------------------
+    from axonops_schema_registry_spark.llm.contamination import (
+        contamination_flags,
+    )
+    from axonops_schema_registry_spark.llm.dedup import (
+        incremental_dedup_flags,
+    )
+    from axonops_schema_registry_spark.llm.sampling import dataset_mixture
+    from axonops_schema_registry_spark.llm.text import pii_counts
+
+    # the evaluation set stays FIXED while the training side grows —
+    # exactly the real decontamination shape (broadcast eval spans)
+    eval_docs = docs0.filter(F.col("source") == "src1") \
+        .select("doc_id", "text")
+
+    def dd7_shape(d):
+        """incremental dedup: LSH banding + groupBy-min + left join."""
+        return incremental_dedup_flags(d, "doc_id", "text", 0.8, 3) \
+            .agg(F.count(F.lit(1)), F.sum(F.col("is_dup").cast("int")))
+
+    def ctm1_shape(d):
+        """contamination: big-side span scan vs broadcast eval spans."""
+        return contamination_flags(d, eval_docs, "doc_id", "text", 5) \
+            .agg(F.count(F.lit(1)))
+
+    def tx7_shape(d):
+        """PII scan: whole-stage-codegen regexp_count rollup."""
+        return (d.select("source", *pii_counts("text"))
+                .groupBy("source")
+                .agg(F.sum("n_email"), F.sum("n_phone"), F.sum("n_ssn"),
+                     F.sum("n_ipv4")))
+
+    def mix1_shape(d):
+        """mixture manifest: one per-source window, fixed quotas."""
+        quotas = (d.select("source").distinct()
+                  .withColumn("quota", F.lit(100)))
+        return dataset_mixture(d, quotas).agg(
+            F.count(F.lit(1)), F.max("mix_rank"))
+
+    for shape in (dd7_shape, ctm1_shape, tx7_shape, mix1_shape):
+        shape(docs0.limit(200)).collect()  # warm-up
+
     rows = []
+    cur_rows = []
     for k in FACTORS:
         li = replicate(li0, ["l_orderkey"], k)
         orders = replicate(orders0, ["o_orderkey"], k)
@@ -133,46 +176,58 @@ def main() -> None:
                         F.col("embedding").alias("corpus_vec")),
             ["corpus_id"], k)
         n = li.count()
+        events = replicate(events0, ["event_id", "user_id"], k)
 
-        t0 = time.perf_counter()  # scan + agg (q1 shape)
-        li.groupBy("l_returnflag", "l_linestatus").agg(
+        def timed(thunk) -> float:
+            """min-of-3 with a cache clear before each run: the first
+            full-size run pays one-off codegen/broadcast costs, any
+            cache() inside an operator must not carry over, and this
+            host shows multi-second scheduling spikes (observed 3x on
+            an unchanged plan) — all would masquerade as
+            (anti-)scaling in the ratios."""
+            best = float("inf")
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                thunk().collect()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        # scan + agg (q1 shape)
+        t_agg = timed(lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             dsum("l_quantity", 2, "sq"),
             psum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
             .alias("sd"),
-            F.count(F.lit(1)).alias("c")).collect()
-        t_agg = time.perf_counter() - t0
+            F.count(F.lit(1)).alias("c")))
 
-        t0 = time.perf_counter()  # fact-fact join + agg (q5 shape)
-        (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-           .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-           .groupBy("s_name")
-           .agg(F.count(F.lit(1)).alias("c"))).collect()
-        t_join = time.perf_counter() - t0
+        # fact-fact join + agg (q5 shape)
+        t_join = timed(lambda: (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(supp),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .groupBy("s_name")
+              .agg(F.count(F.lit(1)).alias("c"))))
 
-        t0 = time.perf_counter()  # window (w1 shape)
+        # window (w1 shape)
         w = Window.partitionBy("o_custkey").orderBy(
             F.desc("o_orderdate"), F.desc("o_orderkey"))
-        (orders.withColumn("rn", F.row_number().over(w))
-               .filter(F.col("rn") == 1).agg(F.count(F.lit(1))).collect())
-        t_win = time.perf_counter() - t0
+        t_win = timed(lambda: (
+            orders.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1).agg(F.count(F.lit(1)))))
 
-        t0 = time.perf_counter()  # LSH-ANN (nn2, the similarity headline)
-        lsh_ann_topk(emb_q, corpus, k=5).agg(F.count(F.lit(1))).collect()
-        t_ann = time.perf_counter() - t0
+        # LSH-ANN (nn2, the similarity headline)
+        t_ann = timed(lambda: lsh_ann_topk(emb_q, corpus, k=5)
+                      .agg(F.count(F.lit(1))))
 
-        t0 = time.perf_counter()  # MinHash-LSH dedup (dd2 shape)
-        minhash_lsh_pairs(docs, "doc_id", "text") \
-            .agg(F.count(F.lit(1))).collect()
-        t_dd = time.perf_counter() - t0
+        # MinHash-LSH dedup (dd2 shape)
+        t_dd = timed(lambda: minhash_lsh_pairs(docs, "doc_id", "text")
+                     .agg(F.count(F.lit(1))))
 
-        events = replicate(events0, ["event_id", "user_id"], k)
-        t0 = time.perf_counter()  # audit classification (aud3 shape)
-        classify_shape(events).collect()
-        t_cls = time.perf_counter() - t0
+        # audit classification (aud3 shape)
+        t_cls = timed(lambda: classify_shape(events))
 
-        t0 = time.perf_counter()  # stratified sampling (smp1 shape)
-        sample_shape(docs).collect()
-        t_smp = time.perf_counter() - t0
+        # stratified sampling (smp1 shape)
+        t_smp = timed(lambda: sample_shape(docs))
 
         rows.append((k, n, t_agg, t_join, t_win, t_ann, t_dd, t_cls,
                      t_smp))
@@ -180,6 +235,15 @@ def main() -> None:
               f"window={t_win:.2f}s ann={t_ann:.2f}s dedup={t_dd:.2f}s "
               f"classify={t_cls:.2f}s sample={t_smp:.2f}s",
               flush=True)
+
+        n_docs = docs.count()
+        cur_times = [timed(lambda shape=shape: shape(docs))
+                     for shape in (dd7_shape, ctm1_shape, tx7_shape,
+                                   mix1_shape)]
+        cur_rows.append((k, n_docs, *cur_times))
+        print(f"k={k}: docs={n_docs:,} dd7={cur_times[0]:.2f}s "
+              f"ctm1={cur_times[1]:.2f}s tx7={cur_times[2]:.2f}s "
+              f"mix1={cur_times[3]:.2f}s", flush=True)
 
     base = rows[0]
     lines = [
@@ -215,6 +279,30 @@ def main() -> None:
                  "(salted), so candidate volume — and measured time — "
                  "must stay linear in corpus size; a cross-product would "
                  "show up as a k² ratio here.")
+    lines.append("")
+    lines.append("## Curation operators (r5/r6) at 1x / 4x / 10x")
+    lines.append("")
+    lines.append("Same content-distinct salted document replicas.  The "
+                 "contamination EVAL side stays fixed while the training "
+                 "side grows (the real decontamination shape: broadcast "
+                 "eval spans against one scan of the big side); dd7 "
+                 "composes LSH banding + groupBy-min + left join; tx7 is "
+                 "pure codegen regexp; mix1 is one per-source window with "
+                 "fixed quotas.")
+    lines.append("")
+    lines.append("| factor | document rows | dd7 incr-dedup s | "
+                 "ctm1 contamination s | tx7 pii-scan s | mix1 mixture s | "
+                 "dd7 ratio vs rows | ctm1 ratio | tx7 ratio | "
+                 "mix1 ratio |")
+    lines.append("|---|---|---|---|---|---|---|---|---|---|")
+    cbase = cur_rows[0]
+    for k, nd, t7, tc1, tp, tm in cur_rows:
+        rr = nd / cbase[1]
+        lines.append(
+            f"| {k}x | {nd:,} | {t7:.2f} | {tc1:.2f} | {tp:.2f} | "
+            f"{tm:.2f} | {t7 / cbase[2] / rr:.2f} | "
+            f"{tc1 / cbase[3] / rr:.2f} | {tp / cbase[4] / rr:.2f} | "
+            f"{tm / cbase[5] / rr:.2f} |")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "docs", "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -213,3 +213,21 @@ def test_incremental_sink_truncates_lineage(spark):
     plan = sink.seen._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan and "Union" not in plan, plan[:500]
     assert len(sink.flags) == 12
+
+
+def test_dependency_closure_releases_caches(spark):
+    from axonops_schema_registry_spark.operators.graph import (
+        dependency_closure,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "subject string, ref_subject string")
+    out = dependency_closure(edges, "subject", "ref_subject")
+    got = {(r.subject, r.ref_subject, r.depth) for r in out.collect()}
+    assert ("a", "d", 3) in got
+    # the final checkpointed closure is the ONLY frame allowed to remain
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)

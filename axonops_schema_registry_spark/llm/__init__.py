@@ -13,7 +13,13 @@ beyond the reference's own surface — BASELINE.json):
                    dataset-mixture manifests
 - ``contamination`` — benchmark decontamination via exact n-gram
                    span overlap against a broadcast evaluation set
+- ``packing``    — training-context sequence packing (concat-then-chunk
+                   with per-pack manifests)
 - PII scrubbing — RE2-safe detector/redactor columns (``text.py``)
+- Gopher-style quality rules — the five shape heuristics + accept gate
+  (``text.py:gopher_stats/gopher_rules``)
+- TF-IDF term extraction — ``operators.text.tfidf_top_terms`` (linear
+  IDF: exact-integer division, engine-portable ranking)
 
 ``CurationPipeline`` below bundles the curation surface over a document
 corpus the way ``api.RegistryAnalytics`` bundles the registry surface.
@@ -124,3 +130,38 @@ class CurationPipeline:
         )
 
         return tx5_dataset_card(spark, sf_dir)
+
+    def quality_flags(self):
+        """Per-document Gopher rule verdicts (gq1's per-doc stage)."""
+        from pyspark.sql import functions as F
+
+        from axonops_schema_registry_spark.llm.text import (
+            gopher_rules,
+            gopher_stats,
+        )
+
+        stats = self.docs.select(self.id_col,
+                                 *gopher_stats(self.text_col))
+        rules = gopher_rules(F.col("n_words"), F.col("mean_word_len"),
+                             F.col("symbol_ratio"), F.col("alpha_frac"),
+                             F.col("stop_hits"))
+        return stats.select(
+            self.id_col, *[v.alias(k) for k, v in rules.items()],
+            F.expr(" AND ".join(rules)).alias("ok_all"))
+
+    def packed(self, context_len: int = 4096):
+        """Per-pack manifest for fixed-length training contexts (pk1)."""
+        from axonops_schema_registry_spark.llm.packing import (
+            pack_manifest,
+        )
+
+        return pack_manifest(self.docs, context_len, self.id_col,
+                             self.source_col, self.text_col)
+
+    def top_terms(self, k: int = 3):
+        """Characteristic terms per document by TF-IDF (ti1)."""
+        from axonops_schema_registry_spark.operators.text import (
+            tfidf_top_terms,
+        )
+
+        return tfidf_top_terms(self.docs, self.id_col, self.text_col, k)

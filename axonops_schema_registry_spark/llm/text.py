@@ -124,3 +124,65 @@ def pii_redact(text_col: str) -> Column:
     for kind, rx in PII_PATTERNS.items():
         col = F.regexp_replace(col, rx, f"<{kind.upper()}>")
     return col
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, §A1.1 — public)
+# ---------------------------------------------------------------------------
+#
+# The standard heuristic filter a pretraining pipeline runs before
+# anything expensive: cheap per-document shape statistics with hard
+# accept bounds.  All pure column expressions with DuckDB twins; the
+# ratios divide two exact integers as doubles, so both engines produce
+# bit-identical values.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_stats(text_col: str) -> list[Column]:
+    """The per-document statistics the rules test: word count, mean
+    word length, symbol-to-word ratio (# and ellipsis), fraction of
+    words containing an alphabetic character, stopword hits."""
+    words = f"split({text_col}, ' ')"
+    n_words = F.expr(f"size({words})").cast("bigint")
+    sum_len = F.expr(
+        f"aggregate({words}, CAST(0 AS BIGINT), "
+        f"(acc, w) -> acc + length(w))")
+    n_hash = (F.length(F.col(text_col))
+              - F.length(F.expr(f"replace({text_col}, '#', '')")))
+    n_ellipsis = ((F.length(F.col(text_col))
+                   - F.length(F.expr(f"replace({text_col}, '...', '')")))
+                  / F.lit(3)).cast("bigint")
+    n_alpha = F.expr(
+        f"size(filter({words}, w -> w rlike '[a-zA-Z]'))").cast("bigint")
+    return [
+        n_words.alias("n_words"),
+        (sum_len.cast("double") / n_words.cast("double"))
+        .alias("mean_word_len"),
+        ((n_hash + n_ellipsis).cast("double") / n_words.cast("double"))
+        .alias("symbol_ratio"),
+        (n_alpha.cast("double") / n_words.cast("double"))
+        .alias("alpha_frac"),
+        lang_hits(text_col, "en").cast("bigint").alias("stop_hits"),
+    ]
+
+
+def gopher_rules(n_words: Column, mean_word_len: Column,
+                 symbol_ratio: Column, alpha_frac: Column,
+                 stop_hits: Column) -> dict[str, Column]:
+    """The five accept rules over pre-computed stats columns (compose
+    with :func:`gopher_stats` via select-then-test)."""
+    return {
+        "ok_words": n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS),
+        "ok_mean_len": mean_word_len.between(GOPHER_MIN_MEAN_WORD_LEN,
+                                             GOPHER_MAX_MEAN_WORD_LEN),
+        "ok_symbols": symbol_ratio < GOPHER_MAX_SYMBOL_RATIO,
+        "ok_alpha": alpha_frac > GOPHER_MIN_ALPHA_FRAC,
+        "ok_stop": stop_hits >= GOPHER_MIN_STOP_HITS,
+    }

@@ -150,3 +150,84 @@ def glob_to_regex(glob: str) -> str:
         else:
             out.append(re.escape(ch))
     return "^" + "".join(out) + "$"
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    IDF is the LINEAR inverse document frequency N/df (no logarithm):
+    tf, N and df are exact integers and one IEEE double division is
+    bit-identical on every engine, where ``ln`` would hash-mismatch
+    between libm implementations.  Ranking by tf*N/df orders identically
+    to tf*ln-IDF whenever tf ties break by df, which is the property a
+    keyword extractor actually uses.
+
+    Scale: tf is a (doc, token) groupBy with map-side combine; df is a
+    token-keyed aggregate; the join back is token-keyed (vocabulary is
+    sub-linear in corpus size); the final top-k window partitions by
+    document — bounded state everywhere, no driver loops.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(F.split(F.col(text_col), " "))
+                     .alias("token")).filter(F.col("token") != "")
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("token"))
+    return (tf.join(dfreq, "token")
+            .withColumn("score",
+                        F.col("tf").cast("double") * F.lit(float(n_docs))
+                        / F.col("df").cast("double"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("id").alias(id_col), "rnk", "token", "tf",
+                    "df", "score"))
+
+
+def repetition_stats(df: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Gopher-style repetition statistics (Rae et al. 2021 §A1.1, the
+    repetition-removal half): per-document duplicate-word fraction and
+    the token share of the most frequent word bigram — the signals that
+    catch boilerplate / keyword-stuffed documents that pass the shape
+    rules.
+
+    Ratios divide exact integers as doubles (engine bit-identical).
+    Scale: one (doc, bigram) aggregate with map-side combine, one
+    per-doc max — state bounded by per-document vocabulary.
+    """
+    words = f"split({text_col}, ' ')"
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"size({words})").cast("bigint").alias("n_words"),
+        F.expr(f"size(array_distinct({words}))").cast("bigint")
+        .alias("n_distinct"),
+    )
+    # Spark's sequence(1, 0) is the DESCENDING [1, 0] (not empty like
+    # DuckDB) — single-word docs must be gated to an explicit empty
+    # array, same trap as contamination.ngram_spans
+    bigrams = F.expr(
+        f"CASE WHEN size({words}) >= 2 THEN "
+        f"transform(sequence(1, size({words}) - 1), "
+        f"i -> concat(element_at({words}, i), ' ', "
+        f"element_at({words}, i + 1))) ELSE array() END")
+    mx = (df.select(F.col(id_col).alias("id"),
+                    F.explode(bigrams).alias("bigram"))
+          .groupBy("id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("id").agg(F.max("c").alias("max_bigram_cnt")))
+    return (base.join(mx, "id", "left")
+            .na.fill({"max_bigram_cnt": 0})
+            .select(
+                F.col("id").alias(id_col), "n_words", "n_distinct",
+                (F.lit(1.0) - F.col("n_distinct").cast("double")
+                 / F.col("n_words").cast("double"))
+                .alias("dup_word_frac"),
+                "max_bigram_cnt",
+                F.when(F.col("n_words") > 1,
+                       F.col("max_bigram_cnt").cast("double")
+                       / (F.col("n_words") - 1).cast("double"))
+                .otherwise(F.lit(0.0)).alias("top_bigram_frac")))

@@ -1150,7 +1150,208 @@ FROM planted GROUP BY source ORDER BY source
 """
 
 
+def pk1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-context sequence packing (llm/packing.py): documents
+    concatenated per source in deterministic hash order and cut every
+    512 tokens; per-pack manifest rows (doc count, token mass, boundary
+    straddles) — the index a data loader materializes next to packed
+    shards."""
+    from axonops_schema_registry_spark.llm.packing import pack_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (pack_manifest(docs, 512)
+            .orderBy("source", "pack_id"))
+
+
+PK1_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS STRING)), 1, 12))
+              AS BIGINT) AS h
+  FROM documents),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t),
+a AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+         (floor((cum - 1) / 512.0)
+          <> floor((cum - n_tokens) / 512.0)) AS straddles
+  FROM c)
+SELECT source, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+       CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddles,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM a GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+
+def gq1_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (llm/text.py:gopher_stats/rules — Rae
+    et al. 2021 §A1.1): the five shape heuristics per document, rolled
+    up per source as rule-level failure counts.  Every ratio divides
+    two exact integers as doubles, so Spark and DuckDB agree
+    bit-for-bit."""
+    from axonops_schema_registry_spark.llm.text import (
+        gopher_rules,
+        gopher_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select("source", *gopher_stats("text"))
+    rules = gopher_rules(F.col("n_words"), F.col("mean_word_len"),
+                         F.col("symbol_ratio"), F.col("alpha_frac"),
+                         F.col("stop_hits"))
+    flagged = stats.select(
+        "source",
+        *[v.alias(k) for k, v in rules.items()],
+    ).withColumn("ok_all", F.expr(" AND ".join(rules)))
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("ok_all").cast("int")).alias("n_pass"),
+                 *[F.sum((~F.col(k)).cast("int")).alias(f"n_fail_{k[3:]}")
+                   for k in rules])
+            .orderBy("source"))
+
+
+GQ1_ORACLE = r"""
+WITH stats AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      w -> len(w))) AS BIGINT) AS sum_len,
+         CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
+           AS n_ellipsis,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> regexp_matches(w, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+           AS stop_hits
+  FROM documents),
+rules AS (
+  SELECT source,
+         (n_words BETWEEN 50 AND 100000) AS ok_words,
+         (CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+            BETWEEN 3.0 AND 10.0) AS ok_mean_len,
+         (CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE)
+            < 0.1) AS ok_symbols,
+         (CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.8)
+           AS ok_alpha,
+         (stop_hits >= 2) AS ok_stop
+  FROM stats)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ok_words AND ok_mean_len AND ok_symbols
+                      AND ok_alpha AND ok_stop THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_words,
+       CAST(SUM(CASE WHEN NOT ok_mean_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_mean_len,
+       CAST(SUM(CASE WHEN NOT ok_symbols THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_symbols,
+       CAST(SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_alpha,
+       CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_stop
+FROM rules GROUP BY source ORDER BY source
+"""
+
+
+def gq2_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-removal statistics (operators/text.py:
+    repetition_stats — the other half of Gopher's quality filter):
+    duplicate-word fraction and most-frequent-bigram token share per
+    document."""
+    from axonops_schema_registry_spark.operators.text import (
+        repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (repetition_stats(docs, "doc_id", "text")
+            .orderBy("doc_id"))
+
+
+GQ2_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct
+  FROM w),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM w),
+bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg
+        GROUP BY doc_id, bigram),
+mx AS (SELECT doc_id, MAX(c) AS max_bigram_cnt FROM bgc
+       GROUP BY doc_id)
+SELECT b.doc_id, n_words, n_distinct,
+       1 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+         AS dup_word_frac,
+       CAST(COALESCE(max_bigram_cnt, 0) AS BIGINT) AS max_bigram_cnt,
+       CASE WHEN n_words > 1 THEN
+         CAST(COALESCE(max_bigram_cnt, 0) AS DOUBLE)
+           / CAST(n_words - 1 AS DOUBLE)
+       ELSE 0.0 END AS top_bigram_frac
+FROM base b LEFT JOIN mx USING (doc_id) ORDER BY doc_id
+"""
+
+
+def ti1_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic-term extraction (operators/text.py:
+    tfidf_top_terms): top-3 terms per document by TF x linear-IDF
+    (tf * N / df — exact-integer division instead of ln so every
+    engine ranks and hashes identically)."""
+    from axonops_schema_registry_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (tfidf_top_terms(docs, "doc_id", "text", 3)
+            .orderBy("doc_id", "rnk"))
+
+
+TI1_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+tf AS (
+  SELECT id, token, COUNT(*) AS tf FROM toks WHERE token <> ''
+  GROUP BY id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.id, tf.token, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE)
+           * (SELECT COUNT(DISTINCT doc_id) FROM documents)
+           / CAST(dfreq.df AS DOUBLE) AS score
+  FROM tf JOIN dfreq USING (token)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id
+              ORDER BY score DESC, token ASC) AS rnk
+  FROM scored)
+SELECT id AS doc_id, rnk, token, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, score
+FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("pk1_sequence_packing", pk1_sequence_packing, PK1_ORACLE,
+              tags=("llm", "packing", "window", "agg")),
+    QuerySpec("gq1_gopher_quality", gq1_gopher_quality, GQ1_ORACLE,
+              tags=("llm", "text", "quality", "agg")),
+    QuerySpec("gq2_repetition", gq2_repetition, GQ2_ORACLE,
+              tags=("llm", "text", "quality")),
+    QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,
+              tags=("llm", "text", "join", "window")),
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,
               tags=("llm", "dedup")),
     QuerySpec("dd2_minhash_lsh_dedup", dd2_minhash_lsh_dedup,

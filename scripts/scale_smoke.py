@@ -161,7 +161,39 @@ def main() -> None:
         return dataset_mixture(d, quotas).agg(
             F.count(F.lit(1)), F.max("mix_rank"))
 
-    for shape in (dd7_shape, ctm1_shape, tx7_shape, mix1_shape):
+    from axonops_schema_registry_spark.llm.packing import pack_manifest
+    from axonops_schema_registry_spark.llm.text import (
+        gopher_rules,
+        gopher_stats,
+    )
+    from axonops_schema_registry_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    def pk1_shape(d):
+        """sequence packing: per-source running-sum window + rollup."""
+        return pack_manifest(d, 512).agg(F.count(F.lit(1)),
+                                         F.sum("n_docs"))
+
+    def gq1_shape(d):
+        """gopher quality: pure-codegen stats + rule rollup."""
+        stats = d.select("source", *gopher_stats("text"))
+        rules = gopher_rules(F.col("n_words"), F.col("mean_word_len"),
+                             F.col("symbol_ratio"), F.col("alpha_frac"),
+                             F.col("stop_hits"))
+        return (stats.select("source", *[v.alias(k)
+                                         for k, v in rules.items()])
+                .groupBy("source")
+                .agg(*[F.sum(F.col(k).cast("int")) for k in rules]))
+
+    def ti1_shape(d):
+        """tf-idf: (doc,token) agg + token-keyed join + top-k window."""
+        return tfidf_top_terms(d, "doc_id", "text", 3).agg(
+            F.count(F.lit(1)))
+
+    CURATION_SHAPES = (dd7_shape, ctm1_shape, tx7_shape, mix1_shape,
+                       pk1_shape, gq1_shape, ti1_shape)
+    for shape in CURATION_SHAPES:
         shape(docs0.limit(200)).collect()  # warm-up
 
     rows = []
@@ -238,12 +270,13 @@ def main() -> None:
 
         n_docs = docs.count()
         cur_times = [timed(lambda shape=shape: shape(docs))
-                     for shape in (dd7_shape, ctm1_shape, tx7_shape,
-                                   mix1_shape)]
+                     for shape in CURATION_SHAPES]
         cur_rows.append((k, n_docs, *cur_times))
         print(f"k={k}: docs={n_docs:,} dd7={cur_times[0]:.2f}s "
               f"ctm1={cur_times[1]:.2f}s tx7={cur_times[2]:.2f}s "
-              f"mix1={cur_times[3]:.2f}s", flush=True)
+              f"mix1={cur_times[3]:.2f}s pk1={cur_times[4]:.2f}s "
+              f"gq1={cur_times[5]:.2f}s ti1={cur_times[6]:.2f}s",
+              flush=True)
 
     base = rows[0]
     lines = [
@@ -286,23 +319,26 @@ def main() -> None:
                  "contamination EVAL side stays fixed while the training "
                  "side grows (the real decontamination shape: broadcast "
                  "eval spans against one scan of the big side); dd7 "
-                 "composes LSH banding + groupBy-min + left join; tx7 is "
-                 "pure codegen regexp; mix1 is one per-source window with "
-                 "fixed quotas.")
+                 "composes LSH banding + groupBy-min + left join; tx7 and "
+                 "gq1 are pure codegen column expressions; mix1 and pk1 "
+                 "are one per-source window each (mixture rank / packing "
+                 "running sum); ti1 is two aggregates plus a token-keyed "
+                 "join and a per-doc top-k window.")
     lines.append("")
-    lines.append("| factor | document rows | dd7 incr-dedup s | "
-                 "ctm1 contamination s | tx7 pii-scan s | mix1 mixture s | "
-                 "dd7 ratio vs rows | ctm1 ratio | tx7 ratio | "
-                 "mix1 ratio |")
-    lines.append("|---|---|---|---|---|---|---|---|---|---|")
+    names = ("dd7 incr-dedup", "ctm1 contamination", "tx7 pii-scan",
+             "mix1 mixture", "pk1 packing", "gq1 quality", "ti1 tf-idf")
+    lines.append("| factor | document rows | "
+                 + " | ".join(f"{n} s" for n in names) + " | "
+                 + " | ".join(f"{n.split()[0]} ratio" for n in names)
+                 + " |")
+    lines.append("|---" * (2 + 2 * len(names)) + "|")
     cbase = cur_rows[0]
-    for k, nd, t7, tc1, tp, tm in cur_rows:
+    for row in cur_rows:
+        k, nd, ts = row[0], row[1], row[2:]
         rr = nd / cbase[1]
-        lines.append(
-            f"| {k}x | {nd:,} | {t7:.2f} | {tc1:.2f} | {tp:.2f} | "
-            f"{tm:.2f} | {t7 / cbase[2] / rr:.2f} | "
-            f"{tc1 / cbase[3] / rr:.2f} | {tp / cbase[4] / rr:.2f} | "
-            f"{tm / cbase[5] / rr:.2f} |")
+        cells = [f"{t:.2f}" for t in ts] + [
+            f"{t / cbase[2 + i] / rr:.2f}" for i, t in enumerate(ts)]
+        lines.append(f"| {k}x | {nd:,} | " + " | ".join(cells) + " |")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "docs", "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -250,6 +250,14 @@ def test_curation_pipeline_facade(spark, sf_dir):
         F.max("count")).first()[0] == 5
     langs = cp.language_id()
     assert set(langs.columns) == {"doc_id", "lang"}
+    q = cp.quality_flags()
+    assert {"ok_words", "ok_stop", "ok_all"} <= set(q.columns)
+    assert q.count() == cp.docs.count()
+    packs = cp.packed(512)
+    assert packs.agg(F.sum("n_docs")).first()[0] == cp.docs.count()
+    terms = cp.top_terms(2)
+    assert terms.groupBy("doc_id").count().agg(
+        F.max("count")).first()[0] <= 2
 
 
 def test_contamination_flags_planted(spark):
@@ -390,3 +398,103 @@ def test_png_decode_rejects_garbage():
         decode_png_pixels(b"not a png at all")
     with _pytest.raises(ValueError):
         decode_png_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing / gopher quality / tf-idf (r6 operators)
+# ---------------------------------------------------------------------------
+
+def test_pack_assignments_invariants(spark):
+    from axonops_schema_registry_spark.llm.packing import (
+        pack_assignments,
+        pack_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s1", " ".join(["w"] * (10 + i))) for i in range(30)],
+        "doc_id bigint, source string, text string")
+    L = 64
+    a = pack_assignments(docs, L).collect()
+    assert len(a) == 30
+    total = sum(r.n_tokens for r in a)
+    # offsets tile the concatenated stream exactly
+    by_off = sorted(a, key=lambda r: r.start_offset)
+    assert by_off[0].start_offset == 0
+    for prev, cur in zip(by_off, by_off[1:]):
+        assert cur.start_offset == prev.start_offset + prev.n_tokens
+    for r in a:
+        assert r.pack_id == r.start_offset // L
+        end = r.start_offset + r.n_tokens - 1
+        assert r.straddles == (end // L != r.pack_id)
+    m = {r.pack_id: r for r in pack_manifest(docs, L).collect()}
+    assert sum(r.tok_sum for r in m.values()) == total
+    assert set(m) == set(range(max(m) + 1))  # no empty starting packs
+
+
+def test_gopher_rules_fire_individually(spark):
+    from axonops_schema_registry_spark.llm.text import (
+        gopher_rules,
+        gopher_stats,
+    )
+    from pyspark.sql import functions as F
+
+    good = " ".join(["the", "and", "field"] * 20)          # 60 words, stops
+    short = "the and of tiny"                               # < 50 words
+    symbols = " ".join(["the", "and"] * 30 + ["#"] * 12)    # symbol ratio
+    nonalpha = " ".join(["the", "and"] * 13 + ["123"] * 40)  # alpha frac
+    nostop = " ".join(["zebra", "kudu", "okapi"] * 20)      # no stopwords
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, nonalpha), (5, nostop)],
+        "doc_id bigint, text string")
+    stats = df.select("doc_id", *gopher_stats("text"))
+    rules = gopher_rules(F.col("n_words"), F.col("mean_word_len"),
+                         F.col("symbol_ratio"), F.col("alpha_frac"),
+                         F.col("stop_hits"))
+    rows = {r.doc_id: r for r in stats.select(
+        "doc_id", *[v.alias(k) for k, v in rules.items()]).collect()}
+    assert all(rows[1][k] for k in rules), rows[1]
+    assert not rows[2].ok_words
+    assert not rows[3].ok_symbols
+    assert not rows[4].ok_alpha
+    assert not rows[5].ok_stop
+
+
+def test_tfidf_top_terms_exact(spark):
+    from axonops_schema_registry_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana shared"),
+         (2, "banana cherry shared shared"),
+         (3, "cherry shared date date")],
+        "doc_id bigint, text string")
+    out = {(r.doc_id, r.rnk): (r.token, r.tf, r.df, r.score)
+           for r in tfidf_top_terms(df, "doc_id", "text", 2).collect()}
+    # doc 1: apple tf=2 df=1 -> 2*3/1=6; banana tf=1 df=2 -> 1.5
+    assert out[(1, 1)] == ("apple", 2, 1, 6.0)
+    assert out[(1, 2)] == ("banana", 1, 2, 1.5)
+    # doc 3: date tf=2 df=1 -> 6; cherry tf=1 df=2 -> 1.5
+    assert out[(3, 1)] == ("date", 2, 1, 6.0)
+    assert out[(3, 2)] == ("cherry", 1, 2, 1.5)
+    # 'shared' (df=3) never beats a rarer term with equal tf
+    assert all(v[0] != "shared" or v[1] >= 2 for v in out.values())
+
+
+def test_repetition_stats_edges(spark):
+    from axonops_schema_registry_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "solo"),                       # single word: no bigrams
+         (2, "go go go go"),                # one bigram repeated 3x
+         (3, "a b c d")],                   # all distinct
+        "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in
+            repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1].n_words == 1 and rows[1].max_bigram_cnt == 0
+    assert rows[1].top_bigram_frac == 0.0
+    assert rows[2].n_distinct == 1 and rows[2].dup_word_frac == 0.75
+    assert rows[2].max_bigram_cnt == 3 and rows[2].top_bigram_frac == 1.0
+    assert rows[3].dup_word_frac == 0.0 and rows[3].max_bigram_cnt == 1

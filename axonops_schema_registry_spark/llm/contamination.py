@@ -57,3 +57,67 @@ def contamination_flags(train: DataFrame, test: DataFrame,
     return (hits.groupBy(F.col("id").alias(id_col))
                 .agg(F.countDistinct("span").alias("n_shared_spans"),
                      F.countDistinct("test_id").alias("n_test_docs")))
+
+
+def bloom_prefilter_spans(spans: DataFrame, member_spans: DataFrame,
+                          m_bits: int = 1 << 18,
+                          k: int = 4) -> DataFrame:
+    """Bloom-filter prefilter: keep only the rows of ``spans`` whose
+    ``span`` value MIGHT be in ``member_spans`` — no false negatives by
+    construction, false positives removed by the exact join downstream.
+
+    The filter is built with plain DataFrame ops (Spark exposes no
+    user-callable bloom_filter_agg): the m-bit array lives as <=m/64
+    (word, mask) rows built by a bit_or aggregate, tiny enough to
+    broadcast (2^18 bits = 32 KB) NO MATTER how many member spans there
+    are — which is exactly when this beats broadcasting the span
+    strings themselves.  Membership = all k seeded-xxhash64 probe bits
+    set, tested via a broadcast equi-join on the word index.
+    """
+    def probes(df: DataFrame) -> DataFrame:
+        return (df
+                .withColumn("__seed", F.explode(
+                    F.expr(f"sequence(0, {k - 1})")))
+                .withColumn("__pos", F.pmod(
+                    F.xxhash64(F.col("span"), F.col("__seed")),
+                    F.lit(m_bits)))
+                .withColumn("__word",
+                            F.expr("CAST(__pos / 64 AS BIGINT)"))
+                .withColumn("__bit",
+                            (F.col("__pos") % 64).cast("int")))
+
+    bloom = (probes(member_spans.select("span").distinct())
+             .groupBy("__word")
+             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), __bit))")
+                  .alias("__mask")))
+    out_cols = spans.columns
+    return (probes(spans)
+            .join(F.broadcast(bloom), "__word")
+            .filter(F.expr("(__mask >> __bit) & 1 = 1"))
+            .groupBy(*out_cols)
+            .agg(F.count(F.lit(1)).alias("__k_hits"))
+            .filter(F.col("__k_hits") == k)
+            .select(*out_cols))
+
+
+def contamination_flags_bloom(train: DataFrame, test: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              n: int = 5,
+                              m_bits: int = 1 << 18,
+                              k: int = 4) -> DataFrame:
+    """The 100 TB escalation of :func:`contamination_flags`: when the
+    evaluation span set is too large to broadcast as strings, its
+    32 KB bloom image broadcasts instead, the training side's spans are
+    prefiltered by probe-bit tests, and ONLY surviving candidates reach
+    the exact span join — so the output is IDENTICAL to the exact
+    operator (the ctm2 driver spec runs this against ctm1's oracle)."""
+    train_spans = ngram_spans(train, id_col, text_col, n)
+    test_spans = (ngram_spans(test, id_col, text_col, n)
+                  .withColumnRenamed("id", "test_id"))
+    candidates = bloom_prefilter_spans(train_spans, test_spans,
+                                       m_bits, k)
+    hits = candidates.join(F.broadcast(test_spans), "span")
+    return (hits.groupBy(F.col("id").alias(id_col))
+                .agg(F.countDistinct("span").alias("n_shared_spans"),
+                     F.countDistinct("test_id").alias("n_test_docs")))

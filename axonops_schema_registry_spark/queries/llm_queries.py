@@ -972,6 +972,26 @@ GROUP BY t.id ORDER BY doc_id
 """
 
 
+def ctm2_bloom_contamination(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination
+    (llm/contamination.py:contamination_flags_bloom): the 100 TB
+    escalation path where a 32 KB bloom image of the evaluation span
+    set broadcasts instead of the span strings; surviving candidates
+    go through the same exact span join, so the result is IDENTICAL to
+    ctm1 — this spec runs against ctm1's exact-SQL oracle, proving the
+    prefilter loses nothing."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        contamination_flags_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.filter(F.col("source") == "src1")
+    train = docs.filter(F.col("source") != "src1")
+    return (contamination_flags_bloom(train, test, "doc_id", "text", 5)
+            .orderBy("doc_id"))
+
+
 def cur1_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ingest-time curation stage, batch form (streaming twin:
     streaming/dedup_stream.py:CurationSink): first-wins near-dup flags,
@@ -1364,6 +1384,8 @@ SPECS: list[QuerySpec] = [
               CTM1_ORACLE, tags=("llm", "dedup", "contamination")),
     QuerySpec("cur1_curation_pass", cur1_curation_pass, CUR1_ORACLE,
               tags=("llm", "dedup", "contamination", "pii")),
+    QuerySpec("ctm2_bloom_contamination", ctm2_bloom_contamination,
+              CTM1_ORACLE, tags=("llm", "contamination", "bloom")),
     QuerySpec("tx7_pii_scan", tx7_pii_scan, TX7_ORACLE,
               tags=("llm", "text", "pii")),
     QuerySpec("dd4_dedup_clusters", dd4_dedup_clusters, DD4_ORACLE,

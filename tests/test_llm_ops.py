@@ -498,3 +498,44 @@ def test_repetition_stats_edges(spark):
     assert rows[2].n_distinct == 1 and rows[2].dup_word_frac == 0.75
     assert rows[2].max_bigram_cnt == 3 and rows[2].top_bigram_frac == 1.0
     assert rows[3].dup_word_frac == 0.0 and rows[3].max_bigram_cnt == 1
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from axonops_schema_registry_spark.llm.contamination import (
+        bloom_prefilter_spans,
+    )
+
+    spans = spark.createDataFrame(
+        [(i, f"span number {i}") for i in range(200)],
+        "id bigint, span string")
+    members = spark.createDataFrame(
+        [(f"span number {i}",) for i in range(0, 200, 7)],
+        "span string")
+    kept = {r.span for r in
+            bloom_prefilter_spans(spans, members).collect()}
+    want = {f"span number {i}" for i in range(0, 200, 7)}
+    assert want <= kept  # every true member survives
+    # a 2^18-bit / 4-probe bloom over 29 members has ~0 FP probability:
+    # candidates should be (nearly) exact here
+    assert len(kept) <= len(want) + 2
+
+
+def test_bloom_contamination_equals_exact(spark, sf_dir):
+    from axonops_schema_registry_spark.llm.contamination import (
+        contamination_flags,
+        contamination_flags_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.filter(F.col("source") == "src1")
+    train = docs.filter(F.col("source") != "src1")
+    exact = sorted(map(tuple, contamination_flags(
+        train, test).collect()))
+    bloom = sorted(map(tuple, contamination_flags_bloom(
+        train, test).collect()))
+    assert bloom == exact
+    # tiny bloom (high FP rate) must STILL be exact — the downstream
+    # exact join removes every false positive
+    tiny = sorted(map(tuple, contamination_flags_bloom(
+        train, test, m_bits=1 << 8, k=2).collect()))
+    assert tiny == exact

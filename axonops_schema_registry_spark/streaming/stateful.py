@@ -158,3 +158,68 @@ def running_actor_totals(audit: DataFrame) -> DataFrame:
                 stateStructType=STATE_DDL,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+ED_OUTPUT_DDL = ("doc_id bigint, fingerprint string, is_dup boolean, "
+                 "canonical_id bigint")
+ED_STATE_DDL = "canonical_id bigint"
+
+
+def exact_dedup_flags_stateful(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """Exact-dedup admission with a REAL state store: first-wins
+    per-content-fingerprint verdicts that survive across micro-batches.
+
+    This is the state-store twin of ``llm.dedup.exact_dedup`` (dd1) the
+    way ``IncrementalDedupSink`` is the foreachBatch twin of the
+    near-dup filter: state is ONE bigint (the canonical id) per
+    fingerprint, sharded by the state store, so cardinality scales with
+    distinct content, not document count — the correct 100 TB footprint
+    for ingest-time exact dedup.
+
+    Batch input → one window pass (min id per fingerprint), identical
+    output.  Streaming equality with the batch form holds whenever
+    arrival order follows id order (the same contract dd7's streaming
+    twin documents); within a micro-batch ties resolve by id.
+    """
+    slim = docs.select(F.col(id_col).alias("doc_id"),
+                       F.sha2(F.col(text_col), 256).alias("fingerprint"))
+    if not docs.isStreaming:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("fingerprint")
+        return (slim
+                .withColumn("canonical_id", F.min("doc_id").over(w))
+                .select("doc_id", "fingerprint",
+                        (F.col("doc_id") != F.col("canonical_id"))
+                        .alias("is_dup"),
+                        "canonical_id"))
+
+    def update(key: tuple, batches: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        canonical = state.get[0] if state.exists else None
+        for pdf in batches:
+            pdf = pdf.sort_values("doc_id")
+            dup, canon = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if canonical is None:
+                    canonical = did
+                dup.append(did != canonical)
+                canon.append(canonical)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "fingerprint": key[0],
+                "is_dup": dup,
+                "canonical_id": canon,
+            })
+        if canonical is not None:
+            state.update((int(canonical),))
+
+    return (slim.groupBy("fingerprint")
+            .applyInPandasWithState(
+                update,
+                outputStructType=ED_OUTPUT_DDL,
+                stateStructType=ED_STATE_DDL,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -134,3 +134,64 @@ def test_token_bucket_stream_equals_batch(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_exact_dedup_state_store_across_batches(spark, sf_dir):
+    """State-store exact dedup: per-fingerprint first-wins verdicts
+    accumulate across micro-batches and equal the one-pass batch
+    window (ordered replay)."""
+    import pyspark.sql.functions as F
+
+    from axonops_schema_registry_spark.streaming.stateful import (
+        exact_dedup_flags_stateful,
+    )
+
+    base = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text"))
+    cut = base.approxQuantile("doc_id", [0.5], 0.0)[0]
+    # the synthetic corpus has near-dups but no EXACT dups: plant
+    # batch-2 exact copies of batch-1 texts under fresh high ids
+    planted = (base.filter(f"doc_id < {cut}").limit(20)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       "text"))
+    docs = base.unionByName(planted)
+    batches = (base.filter(f"doc_id < {cut}"),
+               base.filter(f"doc_id >= {cut}").unionByName(planted))
+    d = tempfile.mkdtemp(prefix="ed_src_")
+    ckpt = tempfile.mkdtemp(prefix="ed_ckpt_")
+    try:
+        for i, bdf in enumerate(batches):
+            sub = tempfile.mkdtemp(prefix="ed_part_")
+            bdf.coalesce(1).write.mode("overwrite") \
+                .parquet(sub)
+            part = next(p for p in os.listdir(sub)
+                        if p.endswith(".parquet"))
+            dst = os.path.join(d, f"p{i}.parquet")
+            shutil.copy(os.path.join(sub, part), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(sub, ignore_errors=True)
+
+        stream = (spark.readStream.schema("doc_id bigint, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (exact_dedup_flags_stateful(stream)
+             .writeStream.format("memory").queryName("ed_flags")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        got = {r.doc_id: (r.is_dup, r.canonical_id)
+               for r in spark.sql("SELECT * FROM ed_flags").collect()}
+        want = {r.doc_id: (r.is_dup, r.canonical_id)
+                for r in exact_dedup_flags_stateful(docs).collect()}
+        assert got == want
+        assert any(d_ for d_, _ in got.values()), "no dups in corpus?"
+        # cross-batch state: a dup in batch 2 of an original from
+        # batch 1 must point at the batch-1 canonical
+        cross = [(d_, c) for d_, (dup, c) in got.items()
+                 if dup and c < cut and d_ >= 1_000_000]
+        assert len(cross) == 20, len(cross)
+        assert cross, "expected at least one cross-batch duplicate"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -71,3 +71,41 @@ def pack_manifest(docs: DataFrame, context_len: int,
                  .alias("n_straddles"),
                  F.min(key_col).alias("first_doc"),
                  F.max(key_col).alias("last_doc")))
+
+
+def chunk_documents(docs: DataFrame, chunk_words: int = 256,
+                    stride_words: int = 192,
+                    key_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Overlapping word-aligned chunking — the context-preparation
+    sibling of packing (RAG indexing / long-doc training splits):
+    chunk ``i`` covers words ``[i*stride+1, i*stride+chunk_words]``,
+    consecutive chunks overlap by ``chunk_words - stride_words``.
+
+    Output: (key, chunk_id, start_word, n_chunk_words, chunk_hash) —
+    the hash stands in for the chunk text so manifests stay narrow;
+    join back on (key, start_word) to materialize text.
+
+    Scale: pure explode + slice column expressions — no shuffle at all
+    until whatever the caller aggregates; chunk count per document is
+    ceil(max(n_words - chunk_words, 0) / stride) + 1, linear in
+    document length.
+    """
+    assert 0 < stride_words <= chunk_words
+    words = f"split({text_col}, ' ')"
+    chunk = (F.col("chunk_id") * stride_words + 1).cast("bigint")
+    return (docs
+            .withColumn("chunk_id", F.explode(F.expr(
+                f"sequence(0, CAST(ceil(greatest(size({words}) "
+                f"- {chunk_words}, 0) / {float(stride_words)}) "
+                f"AS BIGINT))")))
+            .withColumn("start_word", chunk)
+            .withColumn("__slice", F.expr(
+                f"slice({words}, chunk_id * {stride_words} + 1, "
+                f"{chunk_words})"))
+            .select(F.col(key_col), F.col("chunk_id").cast("bigint"),
+                    "start_word",
+                    F.size("__slice").cast("bigint")
+                    .alias("n_chunk_words"),
+                    F.sha2(F.array_join("__slice", " "), 256)
+                    .alias("chunk_hash")))

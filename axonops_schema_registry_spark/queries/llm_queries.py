@@ -1283,6 +1283,42 @@ FROM rules GROUP BY source ORDER BY source
 """
 
 
+def ch1_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-aligned chunk manifest (llm/packing.py:
+    chunk_documents): 32-word chunks at stride 24 (8-word overlap),
+    each chunk identified by its sha-256 so the manifest stays narrow
+    — the RAG-indexing / long-doc-split preparation step."""
+    from axonops_schema_registry_spark.llm.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (chunk_documents(docs, 32, 24)
+            .orderBy("doc_id", "chunk_id"))
+
+
+CH1_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+n AS (
+  SELECT doc_id, words,
+         CAST(ceil(greatest(len(words) - 32, 0) / 24.0) AS BIGINT)
+           AS max_chunk
+  FROM w),
+c AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, max_chunk)) AS chunk_id
+  FROM n)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * 24 + 1 AS BIGINT) AS start_word,
+       CAST(len(list_slice(words, chunk_id * 24 + 1,
+                           chunk_id * 24 + 32)) AS BIGINT)
+         AS n_chunk_words,
+       sha256(array_to_string(list_slice(words, chunk_id * 24 + 1,
+                                         chunk_id * 24 + 32), ' '))
+         AS chunk_hash
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 def gq2_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-removal statistics (operators/text.py:
     repetition_stats — the other half of Gopher's quality filter):
@@ -1365,11 +1401,13 @@ FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
 
 SPECS: list[QuerySpec] = [
     QuerySpec("pk1_sequence_packing", pk1_sequence_packing, PK1_ORACLE,
-              tags=("llm", "packing", "window", "agg")),
+              tags=("llm", "packing", "window", "agg"), bench=True),
     QuerySpec("gq1_gopher_quality", gq1_gopher_quality, GQ1_ORACLE,
-              tags=("llm", "text", "quality", "agg")),
+              tags=("llm", "text", "quality", "agg"), bench=True),
     QuerySpec("gq2_repetition", gq2_repetition, GQ2_ORACLE,
               tags=("llm", "text", "quality")),
+    QuerySpec("ch1_document_chunking", ch1_document_chunking, CH1_ORACLE,
+              tags=("llm", "packing", "chunking")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,
               tags=("llm", "text", "join", "window")),
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,
@@ -1383,7 +1421,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ctm1_contamination_check", ctm1_contamination_check,
               CTM1_ORACLE, tags=("llm", "dedup", "contamination")),
     QuerySpec("cur1_curation_pass", cur1_curation_pass, CUR1_ORACLE,
-              tags=("llm", "dedup", "contamination", "pii")),
+              tags=("llm", "dedup", "contamination", "pii"), bench=True),
     QuerySpec("ctm2_bloom_contamination", ctm2_bloom_contamination,
               CTM1_ORACLE, tags=("llm", "contamination", "bloom")),
     QuerySpec("tx7_pii_scan", tx7_pii_scan, TX7_ORACLE,

@@ -380,3 +380,35 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                  .withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= k)
                  .select("query_id", "corpus_id", "cosine_sim", "rank"))
+
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization report — the compression
+    step an embedding store applies before serving (scale = 127 /
+    max|x|, q_i = floor(x_i * scale)).
+
+    Returns (id, dim, scale, q_checksum, max_err): the checksum pins
+    the exact quantized codes without emitting an array column, and
+    max_err (the reconstruction bound) must stay below 1/scale.  Every
+    step — float32→double widening, one multiply, floor, one divide —
+    is IEEE-exact and order-independent, so an independent SQL engine
+    reproduces the codes bit-for-bit (floor, not round: SQL ROUND
+    semantics differ between engines, floor does not).
+
+    Scale: pure per-row column arithmetic inside codegen — no shuffle,
+    no UDF, runs at scan speed over 100 TB of vectors.
+    """
+    v = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    mx = f"array_max(transform({v}, x -> abs(x)))"
+    scale = f"(CASE WHEN {mx} = 0.0D THEN 1.0D ELSE 127.0D / {mx} END)"
+    q = f"transform({v}, x -> CAST(floor(x * {scale}) AS BIGINT))"
+    err = (f"array_max(transform({v}, x -> "
+           f"abs(x - floor(x * {scale}) / {scale})))")
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({vec_col})").cast("int").alias("dim"),
+        F.expr(scale).alias("scale"),
+        F.expr(f"aggregate({q}, CAST(0 AS BIGINT), (a, x) -> a + x)")
+        .alias("q_checksum"),
+        F.expr(err).alias("max_err"))

@@ -29,6 +29,7 @@ _PRIORITY: tuple[str, ...] = (
     "cur1_curation_pass", "mm3_pixel_decode", "pk1_sequence_packing",
     "gq1_gopher_quality", "gq2_repetition", "ti1_tfidf_terms",
     "ctm2_bloom_contamination", "ch1_document_chunking",
+    "qz1_int8_quantization", "bp1_boilerplate_spans",
     # -- changed semantics/code this round: ngram_spans short-doc
     #    gating (ctm1/cur1), TX7 oracle \b fix, corpus-derived gauges
     #    (met1), minhash_lsh_pairs b_ids param (dd2/dd5/dd7),
@@ -49,15 +50,15 @@ _PRIORITY: tuple[str, ...] = (
     "w1_latest_per_subject", "w2_listing_with_latest_flag",
     "w3_content_addressed_ids", "w5_prior_version_delta",
     "j9_alias_resolution",
-    # -- 11 of the 17 specs last green in r3 (r3_schema_versions_view,
+    # -- 9 of the 17 specs last green in r3 (r3_schema_versions_view,
     #    fs2_type_search, mp1_migration_path, f6_naming_variants,
-    #    tx1_language_id and tx2_token_stats stay r3-green — within the
-    #    freshness bound — displaced by the six new r6 specs above; all
-    #    remain guarded by tests/test_queries_oracle.py)
+    #    tx1_language_id, tx2_token_stats, tx3_rolling_fingerprint and
+    #    dd1_exact_dedup stay r3-green — within the freshness bound —
+    #    displaced by the eight new r6 specs above; all remain guarded
+    #    by tests/test_queries_oracle.py)
     "q1_pricing_summary", "j2_subjects_by_fingerprint",
     "r1_latest_live_schema", "r2_version_history",
     "f13_field_extraction", "fs1_field_search", "ex1_explain_failure",
-    "dd1_exact_dedup", "tx3_rolling_fingerprint",
     "mm1_multimodal_decode", "st8_exporter_filter_rename",
 )
 

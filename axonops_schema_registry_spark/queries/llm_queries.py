@@ -1283,6 +1283,96 @@ FROM rules GROUP BY source ORDER BY source
 """
 
 
+def qz1_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization report (llm/similarity.py:
+    quantize_int8): scale, exact code checksum, reconstruction bound.
+    floor (not round) keeps the codes engine-portable."""
+    from axonops_schema_registry_spark.llm.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb).orderBy("vec_id")
+
+
+QZ1_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM embeddings),
+s AS (
+  SELECT vec_id, xs,
+         list_max(list_transform(xs, x -> abs(x))) AS mx
+  FROM v),
+sc AS (
+  SELECT vec_id, xs,
+         CASE WHEN mx = 0.0 THEN 1.0 ELSE 127.0 / mx END AS scale
+  FROM s)
+SELECT vec_id, CAST(len(xs) AS INT) AS dim, scale,
+       CAST(list_sum(list_transform(xs,
+            x -> CAST(floor(x * scale) AS BIGINT))) AS BIGINT)
+         AS q_checksum,
+       list_max(list_transform(xs,
+            x -> abs(x - floor(x * scale) / scale))) AS max_err
+FROM sc ORDER BY vec_id
+"""
+
+
+def bp1_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span detection (the common-span half of
+    substring-level dedup, Lee et al. 2021's pipeline sibling): 8-gram
+    spans occurring in >=3 distinct documents are boilerplate; each
+    document reports how much of its span mass is boilerplate.  Span
+    df-counting is a span-keyed aggregate with map-side combine — the
+    same shuffle shape at 100 TB — and the boilerplate join is
+    span-keyed, never broadcast (the boilerplate set scales with the
+    corpus)."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        ngram_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = ngram_spans(docs, "doc_id", "text", 8)
+    boiler = (spans.groupBy("span")
+              .agg(F.count(F.lit(1)).alias("n_docs"))
+              .filter(F.col("n_docs") >= 3)
+              .select("span"))
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"))
+    nb = (spans.join(boiler, "span")
+          .groupBy("id").agg(F.count(F.lit(1)).alias("n_boiler")))
+    return (per_doc.join(nb, "id", "left")
+            .na.fill({"n_boiler": 0})
+            .select(F.col("id").alias("doc_id"), "n_spans",
+                    F.col("n_boiler").cast("bigint").alias("n_boiler"),
+                    (F.col("n_boiler").cast("double")
+                     / F.col("n_spans").cast("double"))
+                    .alias("boiler_frac"))
+            .orderBy("doc_id"))
+
+
+BP1_ORACLE = """
+WITH spans AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' '))
+                                         - 7, 0)),
+             i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))
+           AS span
+  FROM documents),
+boiler AS (
+  SELECT span FROM spans GROUP BY span HAVING COUNT(*) >= 3),
+per_doc AS (
+  SELECT id, COUNT(*) AS n_spans FROM spans GROUP BY id),
+nb AS (
+  SELECT s.id, COUNT(*) AS n_boiler FROM spans s
+  JOIN boiler b ON s.span = b.span GROUP BY s.id)
+SELECT p.id AS doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(COALESCE(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE)
+         / CAST(n_spans AS DOUBLE) AS boiler_frac
+FROM per_doc p LEFT JOIN nb USING (id) ORDER BY doc_id
+"""
+
+
 def ch1_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-aligned chunk manifest (llm/packing.py:
     chunk_documents): 32-word chunks at stride 24 (8-word overlap),
@@ -1408,6 +1498,10 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "text", "quality")),
     QuerySpec("ch1_document_chunking", ch1_document_chunking, CH1_ORACLE,
               tags=("llm", "packing", "chunking")),
+    QuerySpec("qz1_int8_quantization", qz1_int8_quantization, QZ1_ORACLE,
+              tags=("llm", "similarity", "quantization")),
+    QuerySpec("bp1_boilerplate_spans", bp1_boilerplate_spans, BP1_ORACLE,
+              tags=("llm", "dedup", "boilerplate")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,
               tags=("llm", "text", "join", "window")),
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,

@@ -455,3 +455,51 @@ def test_cross_type_text_never_passes_protobuf_check(text):
     proto = 'syntax = "proto3";\nmessage M { int64 a = 1; }'
     assert check_pair(proto, text, "PROTOBUF"), text
     assert check_pair(text, proto, "PROTOBUF"), text
+
+
+# ---------------------------------------------------------------------------
+# PNG pixel kernel: decode(encode(pixels)) == pixels for ALL images
+# ---------------------------------------------------------------------------
+
+@st.composite
+def rgb_images(draw):
+    w = draw(st.integers(1, 12))
+    h = draw(st.integers(1, 10))
+    px = [[(draw(st.integers(0, 255)), draw(st.integers(0, 255)),
+            draw(st.integers(0, 255))) for _ in range(w)]
+          for _ in range(h)]
+    filters = draw(st.lists(st.integers(0, 4), min_size=1, max_size=5))
+    return w, h, px, filters
+
+
+@settings(max_examples=40, deadline=None)
+@given(rgb_images())
+def test_png_decode_recovers_any_image(img):
+    from tests.test_llm_ops import _reference_png
+
+    from axonops_schema_registry_spark.llm.multimodal import (
+        decode_png_pixels,
+    )
+
+    w, h, px, filters = img
+    got = decode_png_pixels(_reference_png(w, h, px, filters))
+    assert (got["width"], got["height"]) == (w, h)
+    assert got["n_pixels"] == w * h
+    for ch, key in enumerate(("sum_r", "sum_g", "sum_b")):
+        assert got[key] == sum(p[ch] for row in px for p in row)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 100_000))
+def test_png_synthesis_roundtrip_any_doc_id(doc_id):
+    from axonops_schema_registry_spark.llm.multimodal import (
+        _pixel_value,
+        decode_png_pixels,
+        synthesize_png_pixels,
+    )
+
+    got = decode_png_pixels(synthesize_png_pixels(doc_id))
+    w, h = doc_id % 16 + 1, doc_id % 12 + 1
+    assert (got["width"], got["height"]) == (w, h)
+    assert got["sum_r"] == sum(_pixel_value(doc_id, x, y)[0]
+                               for y in range(h) for x in range(w))

@@ -108,16 +108,25 @@ def contamination_flags_bloom(train: DataFrame, test: DataFrame,
                               k: int = 4) -> DataFrame:
     """The 100 TB escalation of :func:`contamination_flags`: when the
     evaluation span set is too large to broadcast as strings, its
-    32 KB bloom image broadcasts instead, the training side's spans are
+    bloom image broadcasts instead, the training side's spans are
     prefiltered by probe-bit tests, and ONLY surviving candidates reach
     the exact span join — so the output is IDENTICAL to the exact
-    operator (the ctm2 driver spec runs this against ctm1's oracle)."""
+    operator (the ctm2 driver spec runs this against ctm1's oracle).
+    Consistent with that premise, the exact verify is a SHUFFLE join on
+    span (never a broadcast of the big eval side) — candidate volume,
+    not eval size, bounds its cost.
+
+    Size ``m_bits`` at ~10 bits per member span (with k=4 that gives a
+    ~1.2% false-positive rate); an undersized bloom saturates toward
+    all-bits-set, which never changes the result — the exact join
+    removes every false positive — but degrades pruning back to the
+    full shuffle join's cost plus probe overhead."""
     train_spans = ngram_spans(train, id_col, text_col, n)
     test_spans = (ngram_spans(test, id_col, text_col, n)
                   .withColumnRenamed("id", "test_id"))
     candidates = bloom_prefilter_spans(train_spans, test_spans,
                                        m_bits, k)
-    hits = candidates.join(F.broadcast(test_spans), "span")
+    hits = candidates.join(test_spans, "span")
     return (hits.groupBy(F.col("id").alias(id_col))
                 .agg(F.countDistinct("span").alias("n_shared_spans"),
                      F.countDistinct("test_id").alias("n_test_docs")))

@@ -63,7 +63,8 @@ def minhash_signatures(toks: DataFrame, n_hashes: int = 64) -> DataFrame:
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.8, ngram: int = 3,
                       n_hashes: int = 64, bands: int = 16,
-                      b_ids: DataFrame | None = None) -> DataFrame:
+                      b_ids: DataFrame | None = None,
+                      cache_tokens: bool = True) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact Jaccard verify.
 
     Output (id_a, id_b, jaccard) — identical to the exact all-pairs
@@ -74,14 +75,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     bucket join: only pairs whose ``id_b`` is in it are emitted — the
     asymmetric incremental shape (new micro-batch vs whole corpus) where
     candidate volume is bounded by the NEW side's bucket collisions, not
-    the full corpus's.  The cache on ``toks`` lives only until the
-    returned frame is materialized; callers that materialize promptly
-    (every query spec does) bound its lifetime to one job.
+    the full corpus's.
+
+    ``cache_tokens`` caches the exploded token set (it feeds the
+    signature aggregation AND the exact-verify joins).  The CacheManager
+    entry persists until the session releases it, which is fine for
+    one-shot query jobs but leaks one corpus-sized entry PER CALL for
+    repeated callers — long-running streaming sinks pass ``False`` and
+    re-derive tokens from their checkpointed corpus instead.
     """
     rows = n_hashes // bands
-    # cached: consumed by the signature aggregation AND the exact-verify
-    # joins (see operators.text.jaccard_pairs note)
-    toks = token_set(df, id_col, text_col, ngram).cache()
+    toks = token_set(df, id_col, text_col, ngram)
+    if cache_tokens:
+        toks = toks.cache()
     sigs = minhash_signatures(toks, n_hashes)
 
     band_keys = F.expr(
@@ -126,7 +132,8 @@ def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             threshold: float = 0.8,
                             ngram: int = 3,
-                            new_ids: DataFrame | None = None) -> DataFrame:
+                            new_ids: DataFrame | None = None,
+                            cache_tokens: bool = True) -> DataFrame:
     """First-wins ingestion dedup: a document is a duplicate iff it
     near-matches ANY earlier document (by key order) — the standard
     filter a training pipeline applies while ingesting a stream of
@@ -145,7 +152,7 @@ def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
     per-batch candidate volume is bounded by the NEW documents' bucket
     collisions rather than recomputed for the whole corpus."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, ngram,
-                              b_ids=new_ids)
+                              b_ids=new_ids, cache_tokens=cache_tokens)
     dup_of = (pairs.groupBy(F.col("id_b").alias(id_col))
                    .agg(F.min("id_a").alias("dup_of")))
     out_ids = df.select(id_col) if new_ids is None else new_ids.select(

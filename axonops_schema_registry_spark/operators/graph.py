@@ -67,12 +67,16 @@ def dependency_closure(edges: DataFrame, src: str = "subject",
             release_checkpoint(frontier)
         closure = new_closure
         frontier = nxt
-    if closure is not seed:
-        # the checkpointed union backs the result; the edge and seed
-        # caches (and the last frontier) are no longer reachable
-        plain.unpersist()
-        seed.unpersist()
-        if frontier is not seed and frontier is not closure:
-            release_checkpoint(frontier)
+    if closure is seed:
+        # no 2-hop paths (flat reference graphs — common): checkpoint
+        # the seed so the result keeps its materialized backing, then
+        # the caches can still be released rather than leak
+        closure = seed.localCheckpoint(eager=True)
+    elif frontier is not seed and frontier is not closure:
+        release_checkpoint(frontier)
+    # the checkpoint backs the result in every path; the edge and seed
+    # caches are no longer reachable
+    plain.unpersist()
+    seed.unpersist()
     return closure.select(F.col("__src").alias(src),
                           F.col("__dst").alias(dst), "depth")

@@ -175,12 +175,17 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
                      .alias("token")).filter(F.col("token") != "")
     tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    # N stays IN-PLAN as a broadcast 1-row aggregate: an eager
+    # driver-side count() here would scan the corpus a second time
+    # before the real job starts
+    n_docs = df.select(F.countDistinct(F.col(id_col)).cast("double")
+                       .alias("__n_docs"))
     w = Window.partitionBy("id").orderBy(
         F.desc("score"), F.asc("token"))
     return (tf.join(dfreq, "token")
+            .crossJoin(F.broadcast(n_docs))
             .withColumn("score",
-                        F.col("tf").cast("double") * F.lit(float(n_docs))
+                        F.col("tf").cast("double") * F.col("__n_docs")
                         / F.col("df").cast("double"))
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)

@@ -397,10 +397,16 @@ class SyslogTcpSink:
                                .strftime("%Y-%m-%dT%H:%M:%SZ"))
 
     @staticmethod
-    def _rfc5424_ts(value) -> str:
+    def _rfc5424_ts(value, session_tz: str = "UTC") -> str:
         if isinstance(value, datetime):
             if value.tzinfo is None:
-                value = value.replace(tzinfo=timezone.utc)
+                # collect() returns naive datetimes rendered in
+                # spark.sql.session.timeZone — interpret them there,
+                # never blindly as UTC, or the header reports a wrong
+                # instant on any non-UTC session
+                from zoneinfo import ZoneInfo
+
+                value = value.replace(tzinfo=ZoneInfo(session_tz))
             return (value.astimezone(timezone.utc)
                     .strftime("%Y-%m-%dT%H:%M:%SZ"))
         return str(value)
@@ -419,10 +425,12 @@ class SyslogTcpSink:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         import json as _json
 
+        session_tz = batch_df.sparkSession.conf.get(
+            "spark.sql.session.timeZone", "UTC") or "UTC"
         has_ts = self.timestamp_col in batch_df.columns
         for r in batch_df.collect():
             d = r.asDict(recursive=True)
-            ts = (self._rfc5424_ts(d[self.timestamp_col])
+            ts = (self._rfc5424_ts(d[self.timestamp_col], session_tz)
                   if has_ts and d.get(self.timestamp_col) is not None
                   else None)
             self.send(_json.dumps(d, default=str), timestamp=ts)

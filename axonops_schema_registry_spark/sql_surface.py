@@ -101,3 +101,32 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
     spark.udf.register("normalize_field_name", _normalize_field_name,
                        "string")
     spark.udf.register("glob_regex", glob_to_regex, "string")
+
+    # -- curation surface as lazy views (the LLM-pipeline door) -----------
+    from axonops_schema_registry_spark.catalog import load_table
+    from axonops_schema_registry_spark.llm.packing import (
+        chunk_documents,
+        pack_manifest,
+    )
+    from axonops_schema_registry_spark.llm.text import (
+        gopher_stats,
+        pii_counts,
+    )
+    from axonops_schema_registry_spark.operators.text import (
+        repetition_stats,
+        tfidf_top_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    (docs.select("doc_id", "source", *gopher_stats("text"))
+     .createOrReplaceTempView("doc_quality_stats"))
+    (docs.select("doc_id", "source", *pii_counts("text"))
+     .createOrReplaceTempView("doc_pii_scan"))
+    (repetition_stats(docs, "doc_id", "text")
+     .createOrReplaceTempView("doc_repetition"))
+    (pack_manifest(docs, 512)
+     .createOrReplaceTempView("pack_manifest_512"))
+    (chunk_documents(docs, 256, 192)
+     .createOrReplaceTempView("doc_chunks"))
+    (tfidf_top_terms(docs, "doc_id", "text", 3)
+     .createOrReplaceTempView("doc_top_terms"))

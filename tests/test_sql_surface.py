@@ -79,3 +79,27 @@ def test_validate_normalize_sql(spark):
     """).first()
     assert row.ok is True and row.bad is False
     assert row.canon == '{"name":"U","type":"record","fields":[]}'
+
+
+def test_curation_views(spark):
+    """The LLM-curation surface is reachable through plain SQL."""
+    q = spark.sql("""
+        SELECT s.doc_id, s.n_words, r.dup_word_frac, p.n_email
+        FROM doc_quality_stats s
+        JOIN doc_repetition r USING (doc_id)
+        JOIN doc_pii_scan p USING (doc_id)
+        WHERE s.n_words > 0
+    """)
+    assert q.count() > 0
+    packs = spark.sql(
+        "SELECT SUM(n_docs) AS n FROM pack_manifest_512").first()
+    n_docs = spark.sql("SELECT COUNT(*) AS n FROM documents").first().n
+    assert packs.n == n_docs
+    chunks = spark.sql(
+        "SELECT COUNT(*) AS n FROM doc_chunks").first()
+    assert chunks.n >= n_docs
+    terms = spark.sql("""
+        SELECT doc_id, COUNT(*) AS k FROM doc_top_terms
+        GROUP BY doc_id ORDER BY k DESC LIMIT 1
+    """).first()
+    assert terms.k <= 3

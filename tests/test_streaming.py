@@ -407,3 +407,55 @@ def test_curation_stream_equals_batch(spark, sf_dir):
     # and the stage drops something: a dup or a contaminated doc exists
     assert any(v["is_dup"] or v["n_eval_spans"] > 0
                for v in sink.results.values())
+
+
+def test_bucketed_dedup_store_equals_batch(spark, sf_dir):
+    """The disk-backed bucket store produces the IDENTICAL first-wins
+    flags as the one-shot batch operator, without rescanning earlier
+    documents per batch."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        incremental_dedup_flags,
+    )
+    from axonops_schema_registry_spark.streaming.dedup_store import (
+        BucketedDedupStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    store_dir = tempfile.mkdtemp(prefix="dedup_store_")
+    src = tempfile.mkdtemp(prefix="store_src_")
+    ckpt = tempfile.mkdtemp(prefix="store_ckpt_")
+    try:
+        for i, pred in enumerate((f"doc_id < {cut}",
+                                  f"doc_id >= {cut}")):
+            sub = tempfile.mkdtemp(prefix="store_part_")
+            docs.filter(pred).coalesce(1).write.mode("overwrite") \
+                .parquet(sub)
+            part = next(p for p in os.listdir(sub)
+                        if p.endswith(".parquet"))
+            dst = os.path.join(src, f"part-{i}.parquet")
+            shutil.copy(os.path.join(sub, part), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(sub, ignore_errors=True)
+
+        sink = BucketedDedupStore(spark, store_dir)
+        stream = (spark.readStream.schema("doc_id bigint, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        want = {r.doc_id: (r.is_dup, r.dup_of)
+                for r in incremental_dedup_flags(docs).collect()}
+        assert sink.flags == want
+        assert any(d for d, _ in sink.flags.values())
+        # the store holds every document's buckets exactly once
+        n_bucket_ids = (spark.read.parquet(
+            os.path.join(store_dir, "buckets"))
+            .select("id").distinct().count())
+        assert n_bucket_ids == docs.count()
+    finally:
+        for p in (store_dir, src, ckpt):
+            shutil.rmtree(p, ignore_errors=True)

@@ -94,12 +94,21 @@ class BucketedDedupStore:
         stored_t = self._stored_toks()
         all_toks = (new_toks if stored_t is None
                     else stored_t.unionByName(new_toks))
-        # exact verify over candidates only — the stored token table is
-        # only read for colliding ids (the join prunes it)
-        sizes = all_toks.groupBy("id").agg(
+        # exact verify over candidates only: the candidate id set
+        # (bounded by the new batch's collisions) broadcasts as a
+        # semi-join filter, so the stored token table is scanned but
+        # never shuffled, and only colliding documents' tokens flow
+        # into the verify joins.  At scale the store is additionally
+        # bucketed by id so the scan itself prunes files.
+        cand_ids = (candidates.select(F.col("id_a").alias("id"))
+                    .unionByName(candidates.select(
+                        F.col("id_b").alias("id")))
+                    .distinct())
+        vtoks = all_toks.join(F.broadcast(cand_ids), "id")
+        sizes = vtoks.groupBy("id").agg(
             F.count(F.lit(1)).alias("set_size"))
-        ta = all_toks.select(F.col("id").alias("id_a"), "token")
-        tb = all_toks.select(F.col("id").alias("id_b"), "token")
+        ta = vtoks.select(F.col("id").alias("id_a"), "token")
+        tb = vtoks.select(F.col("id").alias("id_b"), "token")
         inter = (candidates.join(ta, "id_a")
                  .join(tb, ["id_b", "token"])
                  .groupBy("id_a", "id_b")

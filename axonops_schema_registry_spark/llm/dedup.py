@@ -113,8 +113,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     candidates = (a.join(b, ["band", "key"])
                    .filter(F.col("id_a") < F.col("id_b"))
                    .select("id_a", "id_b").distinct())
+    return verify_jaccard(toks, candidates, threshold)
 
-    # exact verification restricted to candidates
+
+def verify_jaccard(toks: DataFrame, candidates: DataFrame,
+                   threshold: float) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs against a
+    (id, token) frame — the shared verify half of every LSH path
+    (one-shot pairs, incremental flags, the persistent bucket store):
+    |A∩B| from a token equi-join restricted to candidates,
+    |A∪B| = |A|+|B|-|∩|, BIGINT/BIGINT double division.
+
+    Returns (id_a, id_b, n_inter, size_a, size_b, jaccard) for pairs
+    at-or-above ``threshold``."""
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     ta = toks.select(F.col("id").alias("id_a"), "token")
     tb = toks.select(F.col("id").alias("id_b"), "token")

@@ -54,7 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     #    fs2_type_search, mp1_migration_path, f6_naming_variants,
     #    tx1_language_id, tx2_token_stats, tx3_rolling_fingerprint and
     #    dd1_exact_dedup stay r3-green — within the freshness bound —
-    #    displaced by the eight new r6 specs above; all remain guarded
+    #    displaced by the ten new r6 specs above; all remain guarded
     #    by tests/test_queries_oracle.py)
     "q1_pricing_summary", "j2_subjects_by_fingerprint",
     "r1_latest_live_schema", "r2_version_history",

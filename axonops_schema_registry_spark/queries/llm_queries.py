@@ -1307,8 +1307,8 @@ sc AS (
          CASE WHEN mx = 0.0 THEN 1.0 ELSE 127.0 / mx END AS scale
   FROM s)
 SELECT vec_id, CAST(len(xs) AS INT) AS dim, scale,
-       CAST(list_sum(list_transform(xs,
-            x -> CAST(floor(x * scale) AS BIGINT))) AS BIGINT)
+       CAST(COALESCE(list_sum(list_transform(xs,
+            x -> CAST(floor(x * scale) AS BIGINT))), 0) AS BIGINT)
          AS q_checksum,
        list_max(list_transform(xs,
             x -> abs(x - floor(x * scale) / scale))) AS max_err

@@ -397,16 +397,14 @@ class SyslogTcpSink:
                                .strftime("%Y-%m-%dT%H:%M:%SZ"))
 
     @staticmethod
-    def _rfc5424_ts(value, session_tz: str = "UTC") -> str:
+    def _rfc5424_ts(value) -> str:
         if isinstance(value, datetime):
-            if value.tzinfo is None:
-                # collect() returns naive datetimes rendered in
-                # spark.sql.session.timeZone — interpret them there,
-                # never blindly as UTC, or the header reports a wrong
-                # instant on any non-UTC session
-                from zoneinfo import ZoneInfo
-
-                value = value.replace(tzinfo=ZoneInfo(session_tz))
+            # collect() returns TimestampType as a NAIVE datetime in
+            # the DRIVER's OS timezone (TimestampType.fromInternal uses
+            # datetime.fromtimestamp) — and Python's astimezone() on a
+            # naive value applies exactly that local zone, so this
+            # converts to the correct absolute instant on any OS/session
+            # timezone combination
             return (value.astimezone(timezone.utc)
                     .strftime("%Y-%m-%dT%H:%M:%SZ"))
         return str(value)
@@ -425,12 +423,10 @@ class SyslogTcpSink:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         import json as _json
 
-        session_tz = batch_df.sparkSession.conf.get(
-            "spark.sql.session.timeZone", "UTC") or "UTC"
         has_ts = self.timestamp_col in batch_df.columns
         for r in batch_df.collect():
             d = r.asDict(recursive=True)
-            ts = (self._rfc5424_ts(d[self.timestamp_col], session_tz)
+            ts = (self._rfc5424_ts(d[self.timestamp_col])
                   if has_ts and d.get(self.timestamp_col) is not None
                   else None)
             self.send(_json.dumps(d, default=str), timestamp=ts)

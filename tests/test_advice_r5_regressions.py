@@ -304,12 +304,28 @@ def test_dependency_closure_flat_graph_releases_caches(spark):
     assert after - before <= 1, (before, after)
 
 
-def test_syslog_ts_interprets_session_timezone():
-    from axonops_schema_registry_spark.streaming.audit import SyslogTcpSink
+def test_syslog_ts_interprets_os_local_timezone():
+    """collect() hands the sink NAIVE datetimes in the DRIVER's OS
+    timezone (TimestampType.fromInternal), so the header conversion
+    must use the OS zone — pinned by flipping TZ mid-test."""
     import datetime
+    import os
+    import time as _time
+
+    from axonops_schema_registry_spark.streaming.audit import SyslogTcpSink
 
     naive = datetime.datetime(2024, 3, 5, 7, 0, 0)
-    assert SyslogTcpSink._rfc5424_ts(naive, "America/New_York") \
-        == "2024-03-05T12:00:00Z"
-    assert SyslogTcpSink._rfc5424_ts(naive, "UTC") \
-        == "2024-03-05T07:00:00Z"
+    prev = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "UTC"
+        _time.tzset()
+        assert SyslogTcpSink._rfc5424_ts(naive) == "2024-03-05T07:00:00Z"
+        os.environ["TZ"] = "America/New_York"
+        _time.tzset()
+        assert SyslogTcpSink._rfc5424_ts(naive) == "2024-03-05T12:00:00Z"
+    finally:
+        if prev is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev
+        _time.tzset()

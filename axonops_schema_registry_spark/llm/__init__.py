@@ -165,3 +165,67 @@ class CurationPipeline:
         )
 
         return tfidf_top_terms(self.docs, self.id_col, self.text_col, k)
+
+    def release_report(self, eval_docs, threshold: float = 0.8,
+                       ngram: int = 3, contam_n: int = 5):
+        """The capstone per-source release sign-off (rel1's shape over
+        THIS corpus): first-wins dedup + decontamination vs
+        ``eval_docs`` + Gopher quality + PII incidence, rolled up with
+        released document/token counts."""
+        from pyspark.sql import functions as F
+
+        from axonops_schema_registry_spark.llm.contamination import (
+            contamination_flags,
+        )
+        from axonops_schema_registry_spark.llm.dedup import (
+            incremental_dedup_flags,
+        )
+        from axonops_schema_registry_spark.llm.text import (
+            gopher_rules,
+            gopher_stats,
+            pii_counts,
+        )
+
+        dedup = incremental_dedup_flags(self.docs, self.id_col,
+                                        self.text_col, threshold, ngram)
+        contam = (contamination_flags(self.docs, eval_docs, self.id_col,
+                                      self.text_col, contam_n)
+                  .select(self.id_col,
+                          F.col("n_shared_spans").alias("n_eval_spans")))
+        stats = self.docs.select(self.id_col, self.source_col,
+                                 *gopher_stats(self.text_col),
+                                 *pii_counts(self.text_col))
+        rules = gopher_rules(F.col("n_words"), F.col("mean_word_len"),
+                             F.col("symbol_ratio"), F.col("alpha_frac"),
+                             F.col("stop_hits"))
+        ok_all = None
+        for r in rules.values():
+            ok_all = r if ok_all is None else (ok_all & r)
+        per_doc = (stats
+                   .join(dedup, self.id_col)
+                   .join(contam, self.id_col, "left")
+                   .na.fill({"n_eval_spans": 0})
+                   .withColumn("ok_all", ok_all)
+                   .withColumn("has_pii",
+                               (F.col("n_email") + F.col("n_phone")
+                                + F.col("n_ssn") + F.col("n_ipv4")) > 0)
+                   .withColumn("released",
+                               ~F.col("is_dup")
+                               & (F.col("n_eval_spans") == 0)
+                               & F.col("ok_all")))
+        return (per_doc.groupBy(self.source_col)
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_words").alias("total_tokens"),
+                     F.sum(F.col("is_dup").cast("int")).cast("bigint")
+                     .alias("n_dup"),
+                     F.sum((F.col("n_eval_spans") > 0).cast("int"))
+                     .cast("bigint").alias("n_contaminated"),
+                     F.sum(F.col("has_pii").cast("int")).cast("bigint")
+                     .alias("n_pii_docs"),
+                     F.sum((~F.col("ok_all")).cast("int")).cast("bigint")
+                     .alias("n_quality_fail"),
+                     F.sum(F.col("released").cast("int")).cast("bigint")
+                     .alias("n_released"),
+                     F.sum(F.when(F.col("released"), F.col("n_words"))
+                           .otherwise(F.lit(0)))
+                     .alias("released_tokens")))

@@ -1285,23 +1285,14 @@ FROM rules GROUP BY source ORDER BY source
 
 def rel1_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset RELEASE report — the capstone rollup a training run
-    signs off on, composing the whole curation family in one job:
-    first-wins near-dup flags (dd7), benchmark decontamination vs the
-    held-out 'src1' slice (ctm1), Gopher quality gate (gq1), and PII
-    incidence (tx7, planted as in cur1), rolled up per source with the
-    released document/token counts.  Every constituent operator is
-    independently driver-verified; this spec pins their COMPOSITION."""
-    from axonops_schema_registry_spark.llm.contamination import (
-        contamination_flags,
-    )
-    from axonops_schema_registry_spark.llm.dedup import (
-        incremental_dedup_flags,
-    )
-    from axonops_schema_registry_spark.llm.text import (
-        gopher_rules,
-        gopher_stats,
-        pii_counts,
-    )
+    signs off on, composing the whole curation family in one job
+    (llm.CurationPipeline.release_report): first-wins near-dup flags
+    (dd7), benchmark decontamination vs the held-out 'src1' slice
+    (ctm1), Gopher quality gate (gq1), and PII incidence (tx7, planted
+    as in cur1), rolled up per source with the released document/token
+    counts.  Every constituent operator is independently
+    driver-verified; this spec pins their COMPOSITION."""
+    from axonops_schema_registry_spark.llm import CurationPipeline
 
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.withColumn(
@@ -1317,46 +1308,7 @@ def rel1_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(""))))
     test = planted.filter(F.col("source") == "src1")
     train = planted.filter(F.col("source") != "src1")
-
-    dedup = incremental_dedup_flags(train, "doc_id", "text", 0.8, 3)
-    contam = (contamination_flags(train, test, "doc_id", "text", 5)
-              .select("doc_id",
-                      F.col("n_shared_spans").alias("n_eval_spans")))
-    stats = train.select("doc_id", "source",
-                         *gopher_stats("text"), *pii_counts("text"))
-    rules = gopher_rules(F.col("n_words"), F.col("mean_word_len"),
-                         F.col("symbol_ratio"), F.col("alpha_frac"),
-                         F.col("stop_hits"))
-    ok_all = None
-    for r in rules.values():
-        ok_all = r if ok_all is None else (ok_all & r)
-    per_doc = (stats
-               .join(dedup, "doc_id")
-               .join(contam, "doc_id", "left")
-               .na.fill({"n_eval_spans": 0})
-               .withColumn("ok_all", ok_all)
-               .withColumn("has_pii",
-                           (F.col("n_email") + F.col("n_phone")
-                            + F.col("n_ssn") + F.col("n_ipv4")) > 0)
-               .withColumn("released",
-                           ~F.col("is_dup")
-                           & (F.col("n_eval_spans") == 0)
-                           & F.col("ok_all")))
-    return (per_doc.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_words").alias("total_tokens"),
-                 F.sum(F.col("is_dup").cast("int")).cast("bigint")
-                 .alias("n_dup"),
-                 F.sum((F.col("n_eval_spans") > 0).cast("int"))
-                 .cast("bigint").alias("n_contaminated"),
-                 F.sum(F.col("has_pii").cast("int")).cast("bigint")
-                 .alias("n_pii_docs"),
-                 F.sum((~F.col("ok_all")).cast("int")).cast("bigint")
-                 .alias("n_quality_fail"),
-                 F.sum(F.col("released").cast("int")).cast("bigint")
-                 .alias("n_released"),
-                 F.sum(F.when(F.col("released"), F.col("n_words"))
-                       .otherwise(F.lit(0))).alias("released_tokens"))
+    return (CurationPipeline(train).release_report(test)
             .orderBy("source"))
 
 

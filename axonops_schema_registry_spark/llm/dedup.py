@@ -319,3 +319,53 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                          F.bit_count(F.expr("sim_a ^ sim_b")))
              .filter(F.col("hamming") <= max_hamming)
              .select("id_a", "id_b", "hamming"))
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS local fingerprinting algorithm — public): hash every
+    k-gram, slide a w-hash window, select each window's minimum hash
+    (rightmost on ties).  GUARANTEE: two documents sharing any run of
+    >= w + k - 1 tokens share at least one selected fingerprint, while
+    only ~2/(w+1) of positions are kept — the density/recall trade the
+    paper proves.
+
+    Returns (id, pos, print_hash) — the selected fingerprints with
+    their 1-based k-gram positions.  Hashes are the engine-portable
+    48-bit md5 prefix, so a SQL oracle replays the selection exactly.
+
+    Scale: one explode to (doc, window, offset) rows (x w, a small
+    constant), one (doc, window) min-aggregate with map-side combine,
+    one distinct — no joins, no driver state.
+    """
+    words = f"split({text_col}, ' ')"
+    # k-gram hash at position i (1-based): portable 48-bit md5 prefix
+    grams = (f"transform(sequence(1, size({words}) - {k - 1}), "
+             f"i -> CAST(conv(substring(md5(array_join("
+             f"slice({words}, i, {k}), ' ')), 1, 12), 16, 10) "
+             f"AS BIGINT))")
+    gated = (f"CASE WHEN size({words}) >= {k} THEN {grams} "
+             f"ELSE array() END")
+    hashed = df.select(F.col(id_col).alias("id"),
+                       F.expr(gated).alias("__h"))
+    # window p covers hash positions [p, p+w-1]
+    windows = (hashed
+               .withColumn("__n", F.size("__h"))
+               .filter(F.col("__n") >= w)
+               .withColumn("p", F.explode(
+                   F.expr(f"sequence(1, __n - {w - 1})")))
+               .withColumn("j", F.explode(
+                   F.expr(f"sequence(p, p + {w - 1})")))
+               .select("id", "p", "j",
+                       F.expr("element_at(__h, CAST(j AS INT))")
+                       .alias("h")))
+    selected = (windows.groupBy("id", "p")
+                .agg(F.min(F.struct(F.col("h"),
+                                    (-F.col("j")).alias("nj")))
+                     .alias("__m"))
+                .select("id",
+                        (-F.col("__m.nj")).cast("bigint").alias("pos"),
+                        F.col("__m.h").alias("print_hash"))
+                .distinct())
+    return selected

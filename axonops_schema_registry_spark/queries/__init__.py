@@ -30,7 +30,7 @@ _PRIORITY: tuple[str, ...] = (
     "gq1_gopher_quality", "gq2_repetition", "ti1_tfidf_terms",
     "ctm2_bloom_contamination", "ch1_document_chunking",
     "qz1_int8_quantization", "bp1_boilerplate_spans",
-    "rel1_release_report",
+    "rel1_release_report", "wn1_winnowing",
     # -- changed semantics/code this round: ngram_spans short-doc
     #    gating (ctm1/cur1), TX7 oracle \b fix, corpus-derived gauges
     #    (met1), minhash_lsh_pairs b_ids param (dd2/dd5/dd7),
@@ -59,7 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     #    displaced by the ten new r6 specs above; all remain guarded
     #    by tests/test_queries_oracle.py)
     "q1_pricing_summary", "j2_subjects_by_fingerprint",
-    "r1_latest_live_schema", "r2_version_history",
+    "r1_latest_live_schema",
     "f13_field_extraction", "fs1_field_search", "ex1_explain_failure",
     "mm1_multimodal_decode", "st8_exporter_filter_rename",
 )

@@ -1283,6 +1283,59 @@ FROM rules GROUP BY source ORDER BY source
 """
 
 
+def wn1_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (llm/dedup.py:winnowing_fingerprints —
+    Schleimer et al. 2003, the MOSS algorithm): per-document selected
+    fingerprint counts + exact checksum over 3-gram hashes winnowed
+    with window 4.  The portable 48-bit hash lets the oracle replay
+    the rightmost-minimum selection bit-for-bit."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        winnowing_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prints = winnowing_fingerprints(docs, "doc_id", "text", k=3, w=4)
+    return (prints.groupBy(F.col("id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_prints"),
+                 F.sum("print_hash").alias("print_checksum"),
+                 F.min("pos").alias("first_pos"),
+                 F.max("pos").alias("last_pos"))
+            .orderBy("doc_id"))
+
+
+WN1_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(words) - 2),
+             i -> CAST(concat('0x', substr(md5(
+                  array_to_string(words[i:i+2], ' ')), 1, 12))
+                  AS BIGINT)) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents)),
+w1 AS (
+  SELECT doc_id, h,
+         unnest(generate_series(1, greatest(len(h) - 3, 0))) AS p
+  FROM g),
+w2 AS (
+  SELECT doc_id, h, p, unnest(generate_series(p, p + 3)) AS j
+  FROM w1),
+ranked AS (
+  SELECT doc_id, p, j, h[CAST(j AS INT)] AS hv,
+         row_number() OVER (PARTITION BY doc_id, p
+                            ORDER BY h[CAST(j AS INT)] ASC, j DESC)
+           AS rn
+  FROM w2),
+sel AS (
+  SELECT DISTINCT doc_id, j AS pos, hv AS print_hash
+  FROM ranked WHERE rn = 1)
+SELECT doc_id, COUNT(*) AS n_prints,
+       CAST(SUM(print_hash) AS BIGINT) AS print_checksum,
+       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       CAST(MAX(pos) AS BIGINT) AS last_pos
+FROM sel GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def rel1_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset RELEASE report — the capstone rollup a training run
     signs off on, composing the whole curation family in one job
@@ -1642,6 +1695,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("rel1_release_report", rel1_release_report, REL1_ORACLE,
               tags=("llm", "dedup", "contamination", "quality", "pii",
                     "agg")),
+    QuerySpec("wn1_winnowing", wn1_winnowing, WN1_ORACLE,
+              tags=("llm", "dedup", "fingerprint")),
     QuerySpec("bp1_boilerplate_spans", bp1_boilerplate_spans, BP1_ORACLE,
               tags=("llm", "dedup", "boilerplate")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,

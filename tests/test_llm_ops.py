@@ -539,3 +539,42 @@ def test_bloom_contamination_equals_exact(spark, sf_dir):
     tiny = sorted(map(tuple, contamination_flags_bloom(
         train, test, m_bits=1 << 8, k=2).collect()))
     assert tiny == exact
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a token run of >= w + k - 1 tokens share at least one
+    selected fingerprint; density stays ~2/(w+1)."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        winnowing_fingerprints,
+    )
+
+    shared = "quick brown fox jumps over lazy dog today"  # 8 >= 4+3-1
+    df = spark.createDataFrame(
+        [(1, "alpha beta " + shared + " gamma delta epsilon zeta"),
+         (2, "one two three four " + shared + " five six"),
+         (3, "totally different words with zero overlap at all here")],
+        "doc_id bigint, text string")
+    prints = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4)
+    by_doc = {}
+    for r in prints.collect():
+        by_doc.setdefault(r.id, set()).add(r.print_hash)
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # density: selected prints ~ 2/(w+1) of k-gram positions, never all
+    n_grams_1 = len(df.collect()[0].text.split()) - 2
+    assert len(by_doc[1]) < n_grams_1
+
+
+def test_winnowing_short_doc_empty(spark):
+    from axonops_schema_registry_spark.llm.dedup import (
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "too few words"), (2, "a b c d e f")],
+        "doc_id bigint, text string")
+    rows = winnowing_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    # doc 1: 1 k-gram < w windows -> nothing; doc 2: 4 grams = 1 window
+    ids = {r.id for r in rows}
+    assert ids == {2}

@@ -17,9 +17,16 @@ beyond the reference's own surface — BASELINE.json):
                    with per-pack manifests)
 - PII scrubbing — RE2-safe detector/redactor columns (``text.py``)
 - Gopher-style quality rules — the five shape heuristics + accept gate
-  (``text.py:gopher_stats/gopher_rules``)
+  (``text.py:gopher_stats/gopher_rules``) and repetition stats
+  (``operators.text.repetition_stats``)
 - TF-IDF term extraction — ``operators.text.tfidf_top_terms`` (linear
   IDF: exact-integer division, engine-portable ranking)
+- Winnowing fingerprints — ``dedup.winnowing_fingerprints`` (the MOSS
+  rightmost-min window selection, shared-run guarantee)
+- int8 quantization — ``similarity.quantize_int8`` (floor-based
+  engine-portable codes)
+- the release sign-off — ``CurationPipeline.release_report`` composes
+  dedup + decontamination + quality + PII into one per-source rollup
 
 ``CurationPipeline`` below bundles the curation surface over a document
 corpus the way ``api.RegistryAnalytics`` bundles the registry surface.

@@ -263,9 +263,11 @@ def simhash63(df: DataFrame, id_col: str, text_col: str,
     n_bits = N_PORTABLE_BITS if portable else N_SIMHASH_BITS
     toks = token_set(df, id_col, text_col, ngram)
     if portable:
-        toks = toks.withColumn(
-            "h", F.conv(F.substring(F.md5("token"), 1, 12), 16, 10)
-                  .cast("long"))
+        from axonops_schema_registry_spark.llm.sampling import (
+            portable_hash,
+        )
+
+        toks = toks.withColumn("h", portable_hash(F.col("token")))
     else:
         toks = toks.withColumn("h", F.xxhash64("token"))
     per_bit = (toks
@@ -333,39 +335,38 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
     Returns (id, pos, print_hash) — the selected fingerprints with
     their 1-based k-gram positions.  Hashes are the engine-portable
-    48-bit md5 prefix, so a SQL oracle replays the selection exactly.
+    48-bit md5 prefix (llm.sampling.portable_hash's idiom), so a SQL
+    oracle replays the selection exactly.
 
-    Scale: one explode to (doc, window, offset) rows (x w, a small
-    constant), one (doc, window) min-aggregate with map-side combine,
-    one distinct — no joins, no driver state.
+    Scale: the whole selection is ROW-LOCAL array arithmetic — window
+    minima, dedup and all — so the plan is a zero-shuffle projection +
+    explode; nothing moves between executors until whatever the caller
+    aggregates.
     """
+    from axonops_schema_registry_spark.llm.sampling import (
+        portable_hash_sql,
+    )
+
     words = f"split({text_col}, ' ')"
     # k-gram hash at position i (1-based): portable 48-bit md5 prefix
+    gram = portable_hash_sql(f"array_join(slice({words}, i, {k}), ' ')")
     grams = (f"transform(sequence(1, size({words}) - {k - 1}), "
-             f"i -> CAST(conv(substring(md5(array_join("
-             f"slice({words}, i, {k}), ' ')), 1, 12), 16, 10) "
-             f"AS BIGINT))")
+             f"i -> {gram})")
     gated = (f"CASE WHEN size({words}) >= {k} THEN {grams} "
              f"ELSE array() END")
-    hashed = df.select(F.col(id_col).alias("id"),
-                       F.expr(gated).alias("__h"))
-    # window p covers hash positions [p, p+w-1]
-    windows = (hashed
-               .withColumn("__n", F.size("__h"))
-               .filter(F.col("__n") >= w)
-               .withColumn("p", F.explode(
-                   F.expr(f"sequence(1, __n - {w - 1})")))
-               .withColumn("j", F.explode(
-                   F.expr(f"sequence(p, p + {w - 1})")))
-               .select("id", "p", "j",
-                       F.expr("element_at(__h, CAST(j AS INT))")
-                       .alias("h")))
-    selected = (windows.groupBy("id", "p")
-                .agg(F.min(F.struct(F.col("h"),
-                                    (-F.col("j")).alias("nj")))
-                     .alias("__m"))
-                .select("id",
-                        (-F.col("__m.nj")).cast("bigint").alias("pos"),
-                        F.col("__m.h").alias("print_hash"))
-                .distinct())
-    return selected
+    # per window p over [p, p+w-1]: the minimal (h, -j) struct is the
+    # rightmost minimum; array_distinct collapses windows that elected
+    # the same fingerprint — all inside one row
+    win_min = (f"array_min(transform(sequence(CAST(p AS INT), "
+               f"CAST(p AS INT) + {w - 1}), "
+               f"j -> struct(element_at(__h, j) AS h, -j AS nj)))")
+    selected = (f"CASE WHEN size(__h) >= {w} THEN "
+                f"array_distinct(transform("
+                f"sequence(1, size(__h) - {w - 1}), p -> {win_min})) "
+                f"ELSE array() END")
+    return (df.select(F.col(id_col).alias("id"),
+                      F.expr(gated).alias("__h"))
+            .select("id", F.explode(F.expr(selected)).alias("__m"))
+            .select("id",
+                    (-F.col("__m.nj")).cast("bigint").alias("pos"),
+                    F.col("__m.h").alias("print_hash")))

@@ -76,3 +76,13 @@ def dataset_mixture(docs: DataFrame, quotas: DataFrame,
                             F.row_number().over(w).cast("bigint"))
                 .filter(F.col("mix_rank") <= F.col("quota"))
                 .drop("__h", "quota"))
+
+
+def portable_hash_sql(expr: str) -> str:
+    """The 48-bit portable hash as an inline SQL fragment (for
+    lambda/higher-order-function contexts where a Column cannot be
+    injected).  MUST stay in lockstep with :func:`portable_hash` and
+    the DuckDB twin ``CAST(concat('0x', substr(md5(x),1,12)) AS
+    BIGINT)``."""
+    return (f"CAST(conv(substring(md5({expr}), 1, 12), 16, 10) "
+            f"AS BIGINT)")

@@ -52,12 +52,14 @@ _PRIORITY: tuple[str, ...] = (
     "w1_latest_per_subject", "w2_listing_with_latest_flag",
     "w3_content_addressed_ids", "w5_prior_version_delta",
     "j9_alias_resolution",
-    # -- 9 of the 17 specs last green in r3 (r3_schema_versions_view,
-    #    fs2_type_search, mp1_migration_path, f6_naming_variants,
-    #    tx1_language_id, tx2_token_stats, tx3_rolling_fingerprint and
-    #    dd1_exact_dedup stay r3-green — within the freshness bound —
-    #    displaced by the ten new r6 specs above; all remain guarded
-    #    by tests/test_queries_oracle.py)
+    # -- 8 of the 17 specs last green in r3; the other 9
+    #    (r3_schema_versions_view, fs2_type_search, mp1_migration_path,
+    #    f6_naming_variants, tx1_language_id, tx2_token_stats,
+    #    tx3_rolling_fingerprint, dd1_exact_dedup, r2_version_history)
+    #    stay r3-green — within the freshness bound — displaced by the
+    #    TWELVE new r6 specs above (dd5, r4-green, also rotated out);
+    #    all remain guarded by tests/test_queries_oracle.py and lead
+    #    the r7 rotation
     "q1_pricing_summary", "j2_subjects_by_fingerprint",
     "r1_latest_live_schema",
     "f13_field_extraction", "fs1_field_search", "ex1_explain_failure",

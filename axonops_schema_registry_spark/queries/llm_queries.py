@@ -1295,9 +1295,13 @@ def wn1_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     prints = winnowing_fingerprints(docs, "doc_id", "text", k=3, w=4)
+    # mod-reduced checksum: a raw SUM of 48-bit hashes overflows int64
+    # near ~32k prints per doc (Spark raises under ANSI; DuckDB widens
+    # to HUGEINT — a guaranteed engine divergence on long documents)
     return (prints.groupBy(F.col("id").alias("doc_id"))
             .agg(F.count(F.lit(1)).alias("n_prints"),
-                 F.sum("print_hash").alias("print_checksum"),
+                 F.sum(F.pmod(F.col("print_hash"), F.lit(1000000007)))
+                 .alias("print_checksum"),
                  F.min("pos").alias("first_pos"),
                  F.max("pos").alias("last_pos"))
             .orderBy("doc_id"))
@@ -1329,7 +1333,7 @@ sel AS (
   SELECT DISTINCT doc_id, j AS pos, hv AS print_hash
   FROM ranked WHERE rn = 1)
 SELECT doc_id, COUNT(*) AS n_prints,
-       CAST(SUM(print_hash) AS BIGINT) AS print_checksum,
+       CAST(SUM(print_hash % 1000000007) AS BIGINT) AS print_checksum,
        CAST(MIN(pos) AS BIGINT) AS first_pos,
        CAST(MAX(pos) AS BIGINT) AS last_pos
 FROM sel GROUP BY doc_id ORDER BY doc_id

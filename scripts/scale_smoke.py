@@ -191,8 +191,19 @@ def main() -> None:
         return tfidf_top_terms(d, "doc_id", "text", 3).agg(
             F.count(F.lit(1)))
 
+    from axonops_schema_registry_spark.llm.dedup import (
+        winnowing_fingerprints,
+    )
+
+    def wn1_shape(d):
+        """winnowing: row-local selection, zero shuffles before the
+        final count (a global SUM of 48-bit hashes would overflow
+        int64 at replica scale — count + max instead)."""
+        return winnowing_fingerprints(d, "doc_id", "text").agg(
+            F.count(F.lit(1)), F.max("print_hash"))
+
     CURATION_SHAPES = (dd7_shape, ctm1_shape, tx7_shape, mix1_shape,
-                       pk1_shape, gq1_shape, ti1_shape)
+                       pk1_shape, gq1_shape, ti1_shape, wn1_shape)
     for shape in CURATION_SHAPES:
         shape(docs0.limit(200)).collect()  # warm-up
 
@@ -326,7 +337,8 @@ def main() -> None:
                  "join and a per-doc top-k window.")
     lines.append("")
     names = ("dd7 incr-dedup", "ctm1 contamination", "tx7 pii-scan",
-             "mix1 mixture", "pk1 packing", "gq1 quality", "ti1 tf-idf")
+             "mix1 mixture", "pk1 packing", "gq1 quality", "ti1 tf-idf",
+             "wn1 winnowing")
     lines.append("| factor | document rows | "
                  + " | ".join(f"{n} s" for n in names) + " | "
                  + " | ".join(f"{n.split()[0]} ratio" for n in names)

@@ -130,3 +130,10 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
      .createOrReplaceTempView("doc_chunks"))
     (tfidf_top_terms(docs, "doc_id", "text", 3)
      .createOrReplaceTempView("doc_top_terms"))
+    from axonops_schema_registry_spark.llm.dedup import (
+        winnowing_fingerprints,
+    )
+
+    (winnowing_fingerprints(docs, "doc_id", "text")
+     .withColumnRenamed("id", "doc_id")
+     .createOrReplaceTempView("doc_fingerprints"))

@@ -103,3 +103,14 @@ def test_curation_views(spark):
         GROUP BY doc_id ORDER BY k DESC LIMIT 1
     """).first()
     assert terms.k <= 3
+
+
+def test_fingerprints_view(spark):
+    rows = spark.sql("""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM doc_fingerprints a JOIN doc_fingerprints b
+          ON a.print_hash = b.print_hash AND a.doc_id < b.doc_id
+        LIMIT 5
+    """).collect()
+    # near-dup corpus: shared winnowed prints exist
+    assert rows

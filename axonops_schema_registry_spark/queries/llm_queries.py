@@ -223,6 +223,98 @@ SELECT id_a, id_b, cosine_sim FROM verified WHERE cosine_sim >= 0.4
 """
 
 
+def sem1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): cluster the embedding space's near-duplicate pairs (dd6's
+    portable LSH-bucketed cosine pipeline at threshold 0.4) into
+    connected components (dd4's operator) and keep each cluster's
+    minimum id — per-vector verdicts with cluster membership.  Both
+    constituents are independently driver-verified; this pins the
+    composition over the DENSE modality the way rel1 pins the text
+    curation chain."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        connected_components,
+    )
+    from axonops_schema_registry_spark.llm.similarity import (
+        lsh_cosine_pairs_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_cosine_pairs_portable(emb, "vec_id", "embedding",
+                                      threshold=0.4)
+    comp = connected_components(pairs.select("id_a", "id_b")) \
+        .withColumnRenamed("doc_id", "vec_id")
+    return (emb.select("vec_id")
+            .join(comp, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("cluster_id", F.col("vec_id"))
+                    .alias("cluster_id"),
+                    F.coalesce("cluster_size", F.lit(1)).cast("bigint")
+                    .alias("cluster_size"),
+                    (F.coalesce("cluster_id", F.col("vec_id"))
+                     != F.col("vec_id")).alias("is_semantic_dup"))
+            .orderBy("vec_id"))
+
+
+SEM1_ORACLE = """
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+           FROM embeddings),
+planes AS (
+  SELECT CAST(((a.vec_id - 10) // 2) // 5 AS INT) AS tbl,
+         CAST(((a.vec_id - 10) // 2) % 5 AS INT) AS bit,
+         list_transform(list_zip(a.ev, b.ev), x -> x[1] - x[2]) AS pv
+  FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id BETWEEN 10 AND 29 AND (a.vec_id - 10) % 2 = 0),
+buckets AS (
+  SELECT vec_id, tbl,
+         SUM(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(ev, pv), x -> x[1] * x[2])),
+               (acc, w) -> acc + w) > 0 THEN 1 << bit ELSE 0 END) AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+dup_pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(va.ev, vb.ev), x -> x[1] * x[2])),
+               (acc, w) -> acc + w)
+             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(va.ev, x -> x * x)),
+                  (acc, w) -> acc + w))
+                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(vb.ev, x -> x * x)),
+                  (acc, w) -> acc + w))), 4) AS cosine_sim
+    FROM cand JOIN v va ON va.vec_id = id_a
+    JOIN v vb ON vb.vec_id = id_b)
+  WHERE cosine_sim >= 0.4),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs),
+reach AS (
+  WITH RECURSIVE r(root, node) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.root, e.dst FROM r JOIN edges e ON e.src = r.node)
+  SELECT root, node FROM r),
+labels AS (SELECT root AS vec_id, MIN(node) AS cluster_id
+           FROM reach GROUP BY root),
+sz AS (SELECT cluster_id, COUNT(*) AS n FROM labels
+       GROUP BY cluster_id)
+SELECT e.vec_id,
+       COALESCE(l.cluster_id, e.vec_id) AS cluster_id,
+       CAST(COALESCE(sz.n, 1) AS BIGINT) AS cluster_size,
+       (COALESCE(l.cluster_id, e.vec_id) <> e.vec_id)
+         AS is_semantic_dup
+FROM embeddings e
+LEFT JOIN labels l ON l.vec_id = e.vec_id
+LEFT JOIN sz ON sz.cluster_id = COALESCE(l.cluster_id, e.vec_id)
+ORDER BY e.vec_id
+"""
+
+
 def _emb_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -1701,6 +1793,8 @@ SPECS: list[QuerySpec] = [
                     "agg")),
     QuerySpec("wn1_winnowing", wn1_winnowing, WN1_ORACLE,
               tags=("llm", "dedup", "fingerprint")),
+    QuerySpec("sem1_semantic_dedup", sem1_semantic_dedup, SEM1_ORACLE,
+              tags=("llm", "dedup", "similarity", "iterative")),
     QuerySpec("bp1_boilerplate_spans", bp1_boilerplate_spans, BP1_ORACLE,
               tags=("llm", "dedup", "boilerplate")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,

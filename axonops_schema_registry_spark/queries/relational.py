@@ -1747,7 +1747,193 @@ FROM orders
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated-min supplier selection, adapted to
+    the driver schema (no partsupp table — the per-(part, supplier)
+    unit cost derives from lineitem's observed prices): for SMALL
+    parts of size 10, pick each part's cheapest EUROPE supplier.
+    The per-group min re-enters as an equi-join (the decorrelated
+    form Catalyst produces for Q2's scalar subquery)."""
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    li = _t(spark, sf_dir, "lineitem")
+
+    europe_supp = (supp
+                   .join(F.broadcast(nation),
+                         F.col("s_nationkey") == F.col("n_nationkey"))
+                   .join(F.broadcast(region.filter(
+                       F.col("r_name") == "EUROPE")),
+                       F.col("n_regionkey") == F.col("r_regionkey"))
+                   .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    target_parts = part.filter((F.col("p_size") == 10)
+                               & (F.col("p_type") == "SMALL")) \
+        .select("p_partkey", "p_name")
+    unit_cost = (li.groupBy("l_partkey", "l_suppkey")
+                 .agg(F.min(F.col("l_extendedprice")
+                            / F.col("l_quantity")).alias("unit_cost")))
+    offers = (unit_cost
+              .join(F.broadcast(target_parts),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(europe_supp),
+                    F.col("l_suppkey") == F.col("s_suppkey")))
+    best = offers.groupBy("p_partkey").agg(
+        F.min("unit_cost").alias("__min_cost"))
+    return (offers.join(best, "p_partkey")
+            .filter(F.col("unit_cost") == F.col("__min_cost"))
+            .select("p_partkey", "p_name", "s_name", "n_name",
+                    "s_acctbal", "unit_cost")
+            .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+            .limit(100))
+
+
+Q2_ORACLE = """
+WITH europe_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+target_parts AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_size = 10 AND p_type = 'SMALL'),
+unit_cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+offers AS (
+  SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost
+  FROM unit_cost
+  JOIN target_parts ON l_partkey = p_partkey
+  JOIN europe_supp ON l_suppkey = s_suppkey),
+best AS (SELECT p_partkey, MIN(unit_cost) AS min_cost FROM offers
+         GROUP BY p_partkey)
+SELECT o.p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost
+FROM offers o JOIN best b
+  ON o.p_partkey = b.p_partkey AND o.unit_cost = b.min_cost
+ORDER BY s_acctbal DESC, o.p_partkey, s_name LIMIT 100
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped national market share: NATION_3's share of ASIA
+    customers' PROMO-part revenue per order year.  The share divides
+    two exact DECIMAL sums as doubles — bit-deterministic."""
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    cust_asia = (cust
+                 .join(F.broadcast(nation),
+                       F.col("c_nationkey") == F.col("n_nationkey"))
+                 .join(F.broadcast(region.filter(
+                     F.col("r_name") == "ASIA")),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+                 .select("c_custkey"))
+    supp_n = (supp
+              .join(F.broadcast(nation.select(
+                  F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))),
+                  F.col("s_nationkey") == F.col("sn_key"))
+              .select("s_suppkey", "supp_nation"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    base = (li
+            .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")
+                              .select("p_partkey")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supp_n),
+                  F.col("l_suppkey") == F.col("s_suppkey")))
+    return (base.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(psum(F.when(F.col("supp_nation") == "NATION_3", rev)
+                      .otherwise(F.lit(0.0))).alias("nation_revenue"),
+                 psum(rev).alias("total_revenue"))
+            .withColumn("mkt_share",
+                        F.col("nation_revenue")
+                        / F.col("total_revenue"))
+            .orderBy("o_year"))
+
+
+Q8_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       {psum_expr("CASE WHEN sn.n_name = 'NATION_3' THEN "
+                  "l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         AS nation_revenue,
+       {psum_expr('l_extendedprice * (1.0 - l_discount)')}
+         AS total_revenue,
+       {psum_expr("CASE WHEN sn.n_name = 'NATION_3' THEN "
+                  "l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         / {psum_expr('l_extendedprice * (1.0 - l_discount)')}
+         AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-type profit by supplier nation and
+    year, adapted to the driver schema (no partsupp supplycost — the
+    cost side derives from the part's retail price): profit =
+    revenue - 0.5 * p_retailprice * quantity over STANDARD parts."""
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    amount = (F.col("l_extendedprice")
+              * (F.lit(1.0) - F.col("l_discount"))
+              - F.lit(0.5) * F.col("p_retailprice")
+              * F.col("l_quantity"))
+    return (li
+            .join(F.broadcast(part.filter(F.col("p_type") == "STANDARD")
+                              .select("p_partkey", "p_retailprice")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(psum(amount).alias("sum_profit"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+Q9_ORACLE = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       {psum_expr('l_extendedprice * (1.0 - l_discount) '
+                  '- 0.5 * p_retailprice * l_quantity')} AS sum_profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE,
+              tags=("relational", "join", "correlated")),
+    QuerySpec("q8_market_share", q8_market_share, Q8_ORACLE,
+              tags=("relational", "join", "agg")),
+    QuerySpec("q9_product_profit", q9_product_profit, Q9_ORACLE,
+              tags=("relational", "join", "agg")),
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE,
               doc="scan+agg flagship", tags=("agg", "bench"), bench=True),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE,

@@ -31,14 +31,17 @@ def sources(spark, sf_dir, tmp_path_factory):
     docs = load_table(spark, sf_dir, "documents")
     json_dir = str(base / "docs_json")
     csv_dir = str(base / "docs_csv")
+    orc_dir = str(base / "docs_orc")
     docs.write.mode("overwrite").json(json_dir)
     docs.write.mode("overwrite").option("header", True) \
         .option("quoteAll", True).csv(csv_dir)
+    docs.write.mode("overwrite").orc(orc_dir)
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
     return {
         "parquet": docs,
         "json": spark.read.schema(schema).json(json_dir),
         "csv": spark.read.schema(schema).option("header", True).csv(csv_dir),
+        "orc": spark.read.orc(orc_dir),
     }
 
 

@@ -186,3 +186,17 @@ def gopher_rules(n_words: Column, mean_word_len: Column,
         "ok_alpha": alpha_frac > GOPHER_MIN_ALPHA_FRAC,
         "ok_stop": stop_hits >= GOPHER_MIN_STOP_HITS,
     }
+
+
+def normalize_text(text_col: str) -> Column:
+    """Canonical text normalization — the pass every curation pipeline
+    runs BEFORE hashing/dedup so that whitespace and case variants of
+    the same content collide: lowercase, control characters stripped,
+    whitespace runs collapsed to single spaces, ends trimmed.  Pure
+    codegen regexp chain with an identical DuckDB twin (RE2-safe
+    classes, no locale-dependent case folding — ASCII lower() on both
+    engines)."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)

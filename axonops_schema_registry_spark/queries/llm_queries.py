@@ -1375,6 +1375,54 @@ FROM rules GROUP BY source ORDER BY source
 """
 
 
+def tx8_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization audit (llm/text.py:normalize_text):
+    case/control/whitespace variants are planted on every 5th document
+    so the pass is observable, then normalized — per-doc before/after
+    lengths, a changed flag, and the normalized content hash (what a
+    dedup stage would fingerprint)."""
+    from axonops_schema_registry_spark.llm.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("  NOISY"), F.expr("char(9)"),
+                        F.lit("Header "), F.expr("char(1)"),
+                        F.lit(" "), F.col("text"), F.lit("  ")))
+        .otherwise(F.col("text")))
+    return (planted.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_before"),
+        F.length(normalize_text("text")).cast("bigint")
+        .alias("n_after"),
+        (normalize_text("text") != F.col("text")).alias("changed"),
+        F.sha2(normalize_text("text"), 256).alias("norm_hash"))
+        .orderBy("doc_id"))
+
+
+TX8_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           '  NOISY' || chr(9) || 'Header ' || chr(1) || ' ' || text
+           || '  '
+         ELSE text END AS text
+  FROM documents),
+norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS n
+  FROM planted)
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_before,
+       CAST(len(n) AS BIGINT) AS n_after,
+       (n <> text) AS changed,
+       sha256(n) AS norm_hash
+FROM norm ORDER BY doc_id
+"""
+
+
 def wn1_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (llm/dedup.py:winnowing_fingerprints —
     Schleimer et al. 2003, the MOSS algorithm): per-document selected
@@ -1795,6 +1843,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup", "fingerprint")),
     QuerySpec("sem1_semantic_dedup", sem1_semantic_dedup, SEM1_ORACLE,
               tags=("llm", "dedup", "similarity", "iterative")),
+    QuerySpec("tx8_normalize", tx8_normalize, TX8_ORACLE,
+              tags=("llm", "text", "normalization")),
     QuerySpec("bp1_boilerplate_spans", bp1_boilerplate_spans, BP1_ORACLE,
               tags=("llm", "dedup", "boilerplate")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,

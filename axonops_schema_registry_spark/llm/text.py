@@ -188,15 +188,29 @@ def gopher_rules(n_words: Column, mean_word_len: Column,
     }
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def normalize_text(text_col: str) -> Column:
     """Canonical text normalization — the pass every curation pipeline
     runs BEFORE hashing/dedup so that whitespace and case variants of
-    the same content collide: lowercase, control characters stripped,
-    whitespace runs collapsed to single spaces, ends trimmed.  Pure
-    codegen regexp chain with an identical DuckDB twin (RE2-safe
-    classes, no locale-dependent case folding — ASCII lower() on both
-    engines)."""
-    c = F.lower(F.col(text_col))
+    the same content collide: ASCII case fold, control characters
+    stripped, whitespace runs collapsed to single spaces, ends
+    trimmed.  Case folding is EXPLICITLY ASCII-only (``translate``,
+    not ``lower()``): Spark's lower is Unicode-aware and DuckDB's is
+    not on the same code points ('İ', final sigma), so lower() would
+    silently diverge on non-ASCII text — translate is byte-identical
+    on both engines and leaves non-ASCII untouched.  Compose the
+    oracle side with :func:`normalize_text_sql`."""
+    c = F.translate(F.col(text_col), _ASCII_UPPER, _ASCII_LOWER)
     c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
     c = F.regexp_replace(c, "\\s+", " ")
     return F.trim(c)
+
+
+def normalize_text_sql(text_col: str) -> str:
+    """DuckDB twin of :func:`normalize_text` (same ASCII-only fold)."""
+    return (f"trim(regexp_replace(regexp_replace(translate({text_col}, "
+            f"'{_ASCII_UPPER}', '{_ASCII_LOWER}'), "
+            f"'[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))")

@@ -188,8 +188,9 @@ def dd6_embedding_cosine_dedup(spark: SparkSession,
                                      threshold=0.4)
 
 
-DD6_ORACLE = """
-WITH v AS (SELECT vec_id,
+#: Shared DuckDB replay of ``lsh_cosine_pairs_portable`` — composed
+#: into DD6_ORACLE and SEM1_ORACLE so the two can never drift apart.
+_LSH_REPLAY_CTES = """v AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
            FROM embeddings),
 planes AS (
@@ -218,7 +219,10 @@ verified AS (
               * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                 list_transform(vb.ev, x -> x * x)),
                 (acc, w) -> acc + w))), 4) AS cosine_sim
-  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
+  FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)"""
+
+DD6_ORACLE = f"""
+WITH {_LSH_REPLAY_CTES}
 SELECT id_a, id_b, cosine_sim FROM verified WHERE cosine_sim >= 0.4
 """
 
@@ -256,41 +260,10 @@ def sem1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
-SEM1_ORACLE = """
-WITH v AS (SELECT vec_id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
-           FROM embeddings),
-planes AS (
-  SELECT CAST(((a.vec_id - 10) // 2) // 5 AS INT) AS tbl,
-         CAST(((a.vec_id - 10) // 2) % 5 AS INT) AS bit,
-         list_transform(list_zip(a.ev, b.ev), x -> x[1] - x[2]) AS pv
-  FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
-  WHERE a.vec_id BETWEEN 10 AND 29 AND (a.vec_id - 10) % 2 = 0),
-buckets AS (
-  SELECT vec_id, tbl,
-         SUM(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(list_zip(ev, pv), x -> x[1] * x[2])),
-               (acc, w) -> acc + w) > 0 THEN 1 << bit ELSE 0 END) AS bucket
-  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM buckets a JOIN buckets b
-    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+SEM1_ORACLE = f"""
+WITH {_LSH_REPLAY_CTES},
 dup_pairs AS (
-  SELECT id_a, id_b FROM (
-    SELECT id_a, id_b,
-           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(list_zip(va.ev, vb.ev), x -> x[1] * x[2])),
-               (acc, w) -> acc + w)
-             / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                  list_transform(va.ev, x -> x * x)),
-                  (acc, w) -> acc + w))
-                * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                  list_transform(vb.ev, x -> x * x)),
-                  (acc, w) -> acc + w))), 4) AS cosine_sim
-    FROM cand JOIN v va ON va.vec_id = id_a
-    JOIN v vb ON vb.vec_id = id_b)
-  WHERE cosine_sim >= 0.4),
+  SELECT id_a, id_b FROM verified WHERE cosine_sim >= 0.4),
 edges AS (SELECT id_a AS src, id_b AS dst FROM dup_pairs
           UNION SELECT id_b, id_a FROM dup_pairs),
 reach AS (
@@ -1401,7 +1374,13 @@ def tx8_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
-TX8_ORACLE = r"""
+def _tx8_norm_sql() -> str:
+    from axonops_schema_registry_spark.llm.text import normalize_text_sql
+
+    return normalize_text_sql("text")
+
+
+TX8_ORACLE = rf"""
 WITH planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % 5 = 0 THEN
@@ -1410,9 +1389,7 @@ WITH planted AS (
          ELSE text END AS text
   FROM documents),
 norm AS (
-  SELECT doc_id, text,
-         trim(regexp_replace(regexp_replace(lower(text),
-              '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS n
+  SELECT doc_id, text, {_tx8_norm_sql()} AS n
   FROM planted)
 SELECT doc_id,
        CAST(len(text) AS BIGINT) AS n_before,

@@ -1,6 +1,6 @@
 """Storage-conformance analog (SURVEY.md §5): the reference runs one
 suite against all four storage backends and demands identical semantics;
-here the same corpus derivation runs against parquet, JSON and CSV copies
+here the same corpus derivation runs against parquet, JSON, CSV and ORC copies
 of the same data and must produce identical results (ordering,
 soft-delete visibility, version assignment)."""
 
@@ -57,7 +57,7 @@ def test_latest_live_identical_across_backends(sources):
         results[backend] = _collect(
             corpus.withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") == 1).drop("rn"))
-    assert results["parquet"] == results["json"] == results["csv"]
+    assert results["parquet"] == results["json"] == results["csv"] == results["orc"]
     assert len(results["parquet"]) > 0
 
 
@@ -71,4 +71,4 @@ def test_versions_view_identical_across_backends(sources):
                        F.count(F.lit(1)).alias("n"),
                        F.sum(F.when(F.col("deleted"), 1).otherwise(0))
                        .alias("n_deleted")))
-    assert results["parquet"] == results["json"] == results["csv"]
+    assert results["parquet"] == results["json"] == results["csv"] == results["orc"]

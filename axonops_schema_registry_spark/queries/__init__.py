@@ -58,8 +58,12 @@ _PRIORITY: tuple[str, ...] = (
     #    tx3_rolling_fingerprint, dd1_exact_dedup, r2_version_history)
     #    stay r3-green — within the freshness bound — displaced by the
     #    TWELVE new r6 specs above (dd5, r4-green, also rotated out);
-    #    all remain guarded by tests/test_queries_oracle.py and lead
-    #    the r7 rotation
+    #    all remain guarded by tests/test_queries_oracle.py.
+    #    r7 window leads, in order: the five never-driver-sampled late
+    #    r6 specs (sem1_semantic_dedup, q2_min_cost_supplier,
+    #    q8_market_share, q9_product_profit, tx8_normalize), then the
+    #    ten displaced names above, then the 43 r4-green specs reaching
+    #    the freshness bound
     "q1_pricing_summary", "j2_subjects_by_fingerprint",
     "r1_latest_live_schema",
     "f13_field_extraction", "fs1_field_search", "ex1_explain_failure",

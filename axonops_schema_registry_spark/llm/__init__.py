@@ -21,6 +21,8 @@ beyond the reference's own surface — BASELINE.json):
   (``operators.text.repetition_stats``)
 - TF-IDF term extraction — ``operators.text.tfidf_top_terms`` (linear
   IDF: exact-integer division, engine-portable ranking)
+- Canonical normalization — ``text.normalize_text`` + SQL twin (the
+  ASCII-fold/control-strip/whitespace-collapse pre-dedup pass)
 - Winnowing fingerprints — ``dedup.winnowing_fingerprints`` (the MOSS
   rightmost-min window selection, shared-run guarantee)
 - int8 quantization — ``similarity.quantize_int8`` (floor-based

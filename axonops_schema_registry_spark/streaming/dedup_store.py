@@ -27,6 +27,12 @@ First-wins semantics are identical to
 ``llm.dedup.incremental_dedup_flags`` under ordered arrival — pinned by
 tests/test_streaming.py against the one-shot batch run.
 
+At very long stream lifetimes the epoch partitions accumulate small
+files; the production follow-up is periodic compaction of epochs below
+the streaming checkpoint's committed watermark (safe because replays
+can only target epochs at-or-after it) — orthogonal to the per-batch
+cost contract measured in docs/SCALING.md.
+
 Reference analogue: none (the reference has no dedup-at-ingest stream);
 this is the north-star training-pipeline surface (BASELINE.json).
 """

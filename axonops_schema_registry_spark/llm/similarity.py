@@ -412,3 +412,63 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
         F.expr(f"aggregate({q}, CAST(0 AS BIGINT), (a, x) -> a + x)")
         .alias("q_checksum"),
         F.expr(err).alias("max_err"))
+
+
+def label_cohesion(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Per-label centroid cohesion report — the analysis a
+    classifier-bucketed corpus gets (quality/domain classifier labels
+    over embeddings): each label's centroid direction and how tightly
+    its members cluster around it (mean/min cosine to centroid).
+
+    Float discipline: every cross-row reduction is an ORDER-DETERMINED
+    fold (members sorted by id, element-wise array adds), never a
+    SUM(double) — so the result is bit-identical across engines and
+    runs.  Per-label member lists are collected once; state is bounded
+    by label cardinality x dimension, the same footprint as IVF's
+    centroid table.
+
+    Scale: labels partition the aggregate; at extreme member counts
+    the fold becomes a two-level tree (fold per shard in id order,
+    fold the shard sums) — documented fallback, same arithmetic.
+    """
+    dims = df.select(F.size(vec_col).alias("__d")).limit(1)
+    vecs = df.select(F.col(label_col).alias("label"),
+                     F.struct(F.col(id_col).alias("id"),
+                              F.expr(f"transform({vec_col}, "
+                                     f"x -> CAST(x AS DOUBLE))")
+                              .alias("v")).alias("__sv"))
+    # centroid-sum per label: ordered fold of element-wise adds
+    per_label = (vecs.groupBy("label")
+                 .agg(F.array_sort(F.collect_list("__sv")).alias("__m")))
+    per_label = per_label.crossJoin(F.broadcast(dims))
+    sum_vec = F.expr(
+        "aggregate(__m, transform(sequence(1, __d), i -> CAST(0 AS "
+        "DOUBLE)), (acc, sv) -> zip_with(acc, sv.v, (a, b) -> a + b))")
+    lab = per_label.select(
+        "label", F.size("__m").cast("bigint").alias("n_vecs"),
+        sum_vec.alias("__s"), "__m")
+    dot_s = ("aggregate(zip_with(__s, sv.v, (a, b) -> a * b), "
+             "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    norm_s = ("sqrt(aggregate(transform(__s, x -> x * x), "
+              "CAST(0 AS DOUBLE), (acc, x) -> acc + x))")
+    norm_v = ("sqrt(aggregate(transform(sv.v, x -> x * x), "
+              "CAST(0 AS DOUBLE), (acc, x) -> acc + x))")
+    # per-member cosine to the label centroid-sum direction (same
+    # direction as the mean), rounded for portability like the ANN
+    # rerank; members stay in id order so the mean fold is determined
+    coss = F.expr(
+        f"transform(__m, sv -> round(({dot_s}) / ({norm_s} * {norm_v}),"
+        f" 4))")
+    return (lab.withColumn("__c", coss)
+            .select(
+                "label", "n_vecs",
+                F.round(F.expr(norm_s), 4)
+                .alias("centroid_sum_norm"),
+                F.round(F.expr(
+                    "aggregate(__c, CAST(0 AS DOUBLE), "
+                    "(acc, x) -> acc + x)") / F.col("n_vecs"), 4)
+                .alias("mean_cos_to_centroid"),
+                F.expr("array_min(__c)").alias("min_cos_to_centroid"))
+            .orderBy("label"))

@@ -288,6 +288,60 @@ ORDER BY e.vec_id
 """
 
 
+def lab1_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-bucket cohesion report (llm/similarity.py:
+    label_cohesion) over the embeddings table's label column: per-label
+    centroid-direction norm plus mean/min member cosine to the
+    centroid.  Every cross-row float reduction is an order-determined
+    fold, so DuckDB replays it bit-exactly."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        label_cohesion,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_cohesion(emb)
+
+
+LAB1_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings),
+m AS (
+  SELECT label, list(ev ORDER BY vec_id) AS mm FROM v GROUP BY label),
+summed AS (
+  SELECT label, mm, len(mm) AS n_vecs,
+         list_reduce(
+           list_prepend(list_transform(generate_series(1, len(mm[1])),
+                                       i -> CAST(0 AS DOUBLE)), mm),
+           (acc, x) -> list_transform(list_zip(acc, x),
+                                      p -> p[1] + p[2])) AS s
+  FROM m),
+scored AS (
+  SELECT label, n_vecs,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(s, x -> x * x)),
+              (acc, x) -> acc + x)) AS norm_s,
+         list_transform(mm, ev -> round(
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(s, ev), p -> p[1] * p[2])),
+             (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(s, x -> x * x)), (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(ev, x -> x * x)),
+                (acc, x) -> acc + x))), 4)) AS coss
+  FROM summed)
+SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       round(norm_s, 4) AS centroid_sum_norm,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), coss),
+                         (acc, x) -> acc + x) / n_vecs, 4)
+         AS mean_cos_to_centroid,
+       list_min(coss) AS min_cos_to_centroid
+FROM scored ORDER BY label
+"""
+
+
 def _emb_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -1822,6 +1876,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup", "similarity", "iterative")),
     QuerySpec("tx8_normalize", tx8_normalize, TX8_ORACLE,
               tags=("llm", "text", "normalization")),
+    QuerySpec("lab1_label_cohesion", lab1_label_cohesion, LAB1_ORACLE,
+              tags=("llm", "similarity", "quality", "agg")),
     QuerySpec("bp1_boilerplate_spans", bp1_boilerplate_spans, BP1_ORACLE,
               tags=("llm", "dedup", "boilerplate")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,

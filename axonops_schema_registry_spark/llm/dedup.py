@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from axonops_schema_registry_spark.operators.core import release_checkpoint
 from axonops_schema_registry_spark.operators.text import token_set
 
 
@@ -196,18 +197,34 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     Returns (doc_id, cluster_id, cluster_size) for every node appearing
     in ``pairs``; ``cluster_id`` is the smallest doc id in the component
     (the keep-first dedup representative).
+
+    Lineage discipline: each iteration references the previous label
+    frame TWICE (once through the neighbor join, once through the
+    left-join base), so without truncation the logical plan doubles per
+    iteration — 20 iterations is a ~2^20-node plan that the analyzer
+    walks on every action even though the caches shield execution.
+    ``localCheckpoint(eager=True)`` cuts the plan back to a LogicalRDD
+    leaf each round, keeping analyzer/optimizer time and any
+    recomputation-on-eviction path O(1) per iteration; superseded
+    generations release their blocks eagerly via
+    :func:`operators.core.release_checkpoint` (same pattern as
+    streaming.dedup_stream).
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst")))
-             .distinct().cache())
+             .distinct().localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).cache())
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels,
                                    edges["dst"] == labels["node"])
                         .groupBy("src")
                         .agg(F.min("label").alias("nbr_label")))
+        # eager=True materializes the new generation NOW and replaces
+        # its plan with a LogicalRDD leaf — lineage is truncated, not
+        # merely shielded the way .cache() would
         new_labels = (labels.join(neighbor_min,
                                   labels["node"] == neighbor_min["src"],
                                   "left")
@@ -215,27 +232,28 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                               F.least(F.col("label"),
                                       F.coalesce(F.col("nbr_label"),
                                                  F.col("label")))
-                              .alias("label")).cache())
-        new_labels.count()  # fully populate the cache: the parent is
-        # unpersisted next, so any un-cached partition would otherwise
-        # recompute through the ENTIRE iteration chain
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
                    .filter(F.col("n.label") != F.col("o.label")).take(1))
-        # the superseded label frame is dead once the change check has
-        # run — at 100 TB leaving max_iter cached copies resident would
-        # evict useful blocks, so release each generation eagerly
-        labels.unpersist()
+        # the superseded generation is dead once the change check has
+        # run — at 100 TB leaving max_iter checkpoint generations
+        # resident would evict useful blocks, so free each eagerly
+        release_checkpoint(labels)
         labels = new_labels
         if not changed:
             break
-    # the final labels cache is fully populated (count() above), so the
-    # edge frame no longer backs anything reachable from the result
-    edges.unpersist()
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (labels.join(sizes, "label")
-            .select(F.col("node").alias("doc_id"),
-                    F.col("label").alias("cluster_id"), "cluster_size"))
+    out = (labels.join(sizes, "label")
+           .select(F.col("node").alias("doc_id"),
+                   F.col("label").alias("cluster_id"), "cluster_size")
+           .localCheckpoint(eager=True))
+    # the result is materialized, so the working frames no longer back
+    # anything reachable from it
+    release_checkpoint(edges)
+    release_checkpoint(labels)
+    return out
 
 
 N_SIMHASH_BITS = 63  # stay within positive signed-64 range

@@ -422,53 +422,64 @@ def label_cohesion(df: DataFrame, id_col: str = "vec_id",
     over embeddings): each label's centroid direction and how tightly
     its members cluster around it (mean/min cosine to centroid).
 
-    Float discipline: every cross-row reduction is an ORDER-DETERMINED
-    fold (members sorted by id, element-wise array adds), never a
-    SUM(double) — so the result is bit-identical across engines and
-    runs.  Per-label member lists are collected once; state is bounded
-    by label cardinality x dimension, the same footprint as IVF's
-    centroid table.
+    Float discipline: every cross-row reduction is an exact DECIMAL
+    sum of values quantized at a fixed scale (the repo-wide ``psum``
+    convention, queries/base.py) — order-independent by construction,
+    so the result is bit-identical across engines, runs, and
+    partitionings.  Component values are quantized at 1e-9 (embedding
+    components are unit-scale), per-member cosines at 1e-4 before the
+    mean — both quantizations are part of the operator's contract and
+    mirrored exactly by the DuckDB oracle.
 
-    Scale: labels partition the aggregate; at extreme member counts
-    the fold becomes a two-level tree (fold per shard in id order,
-    fold the shard sums) — documented fallback, same arithmetic.
+    Scale: no per-label member list is ever collected (the r6 shape
+    folded EVERY member vector of a label into one aggregation row — a
+    multi-TB row for a label covering 30% of a 100 TB corpus).  Instead
+    the centroid is a posexplode → groupBy(label, dim) exact sum —
+    map-side partial aggregation bounds every task's state at
+    (labels × dim), and a label's members never co-locate; then one
+    broadcast join of the tiny (labels × dim)-bounded centroid table
+    back to members scores cosines row-locally, and the final per-label
+    aggregate carries three scalars per member.
     """
-    dims = df.select(F.size(vec_col).alias("__d")).limit(1)
     vecs = df.select(F.col(label_col).alias("label"),
-                     F.struct(F.col(id_col).alias("id"),
-                              F.expr(f"transform({vec_col}, "
-                                     f"x -> CAST(x AS DOUBLE))")
-                              .alias("v")).alias("__sv"))
-    # centroid-sum per label: ordered fold of element-wise adds
-    per_label = (vecs.groupBy("label")
-                 .agg(F.array_sort(F.collect_list("__sv")).alias("__m")))
-    per_label = per_label.crossJoin(F.broadcast(dims))
-    sum_vec = F.expr(
-        "aggregate(__m, transform(sequence(1, __d), i -> CAST(0 AS "
-        "DOUBLE)), (acc, sv) -> zip_with(acc, sv.v, (a, b) -> a + b))")
-    lab = per_label.select(
-        "label", F.size("__m").cast("bigint").alias("n_vecs"),
-        sum_vec.alias("__s"), "__m")
-    dot_s = ("aggregate(zip_with(__s, sv.v, (a, b) -> a * b), "
-             "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-    norm_s = ("sqrt(aggregate(transform(__s, x -> x * x), "
+                     F.expr(f"transform({vec_col}, "
+                            "x -> CAST(x AS DOUBLE))").alias("__v"))
+    # centroid-sum per (label, dim): exact decimal sum, order-free
+    cent = (vecs.select("label", F.posexplode("__v").alias("__p", "__x"))
+            .groupBy("label", "__p")
+            .agg(F.sum(F.col("__x").cast("decimal(25,9)"))
+                 .cast("double").alias("__s")))
+    # reassemble the per-label centroid array: bounded by dim per label
+    cent = (cent.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("__p", "__s")))
+                 .alias("__ps"))
+            .select("label",
+                    F.expr("transform(__ps, e -> e.__s)").alias("__c")))
+    norm_c = ("sqrt(aggregate(transform(__c, x -> x * x), "
               "CAST(0 AS DOUBLE), (acc, x) -> acc + x))")
-    norm_v = ("sqrt(aggregate(transform(sv.v, x -> x * x), "
+    cent = cent.select("label", "__c",
+                       F.expr(norm_c).alias("__norm_c"))
+    dot = ("aggregate(zip_with(__c, __v, (a, b) -> a * b), "
+           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    norm_v = ("sqrt(aggregate(transform(__v, x -> x * x), "
               "CAST(0 AS DOUBLE), (acc, x) -> acc + x))")
     # per-member cosine to the label centroid-sum direction (same
-    # direction as the mean), rounded for portability like the ANN
-    # rerank; members stay in id order so the mean fold is determined
-    coss = F.expr(
-        f"transform(__m, sv -> round(({dot_s}) / ({norm_s} * {norm_v}),"
-        f" 4))")
-    return (lab.withColumn("__c", coss)
-            .select(
-                "label", "n_vecs",
-                F.round(F.expr(norm_s), 4)
-                .alias("centroid_sum_norm"),
-                F.round(F.expr(
-                    "aggregate(__c, CAST(0 AS DOUBLE), "
-                    "(acc, x) -> acc + x)") / F.col("n_vecs"), 4)
-                .alias("mean_cos_to_centroid"),
-                F.expr("array_min(__c)").alias("min_cos_to_centroid"))
+    # direction as the mean): row-local array fold, rounded for
+    # portability like the ANN rerank
+    scored = (vecs.join(F.broadcast(cent), "label")
+              .select("label", "__norm_c",
+                      F.expr(f"round(({dot}) / (__norm_c * {norm_v}), 4)")
+                      .alias("__cos")))
+    return (scored.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.first("__norm_c"), 4)
+                 .alias("centroid_sum_norm"),
+                 (F.sum(F.col("__cos").cast("decimal(25,6)"))
+                  .cast("double") / F.count(F.lit(1)))
+                 .alias("__mean_raw"),
+                 F.min("__cos").alias("min_cos_to_centroid"))
+            .select("label", "n_vecs", "centroid_sum_norm",
+                    F.round("__mean_raw", 4)
+                    .alias("mean_cos_to_centroid"),
+                    "min_cos_to_centroid")
             .orderBy("label"))

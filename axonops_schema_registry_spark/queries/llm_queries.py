@@ -292,8 +292,9 @@ def lab1_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-bucket cohesion report (llm/similarity.py:
     label_cohesion) over the embeddings table's label column: per-label
     centroid-direction norm plus mean/min member cosine to the
-    centroid.  Every cross-row float reduction is an order-determined
-    fold, so DuckDB replays it bit-exactly."""
+    centroid.  Cross-row sums are exact DECIMAL over fixed-scale
+    quantized values (the psum convention), so DuckDB replays them
+    bit-exactly with no per-label member list on either side."""
     from axonops_schema_registry_spark.llm.similarity import (
         label_cohesion,
     )
@@ -307,38 +308,38 @@ WITH v AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
   FROM embeddings),
-m AS (
-  SELECT label, list(ev ORDER BY vec_id) AS mm FROM v GROUP BY label),
-summed AS (
-  SELECT label, mm, len(mm) AS n_vecs,
-         list_reduce(
-           list_prepend(list_transform(generate_series(1, len(mm[1])),
-                                       i -> CAST(0 AS DOUBLE)), mm),
-           (acc, x) -> list_transform(list_zip(acc, x),
-                                      p -> p[1] + p[2])) AS s
-  FROM m),
-scored AS (
-  SELECT label, n_vecs,
+expl AS (
+  SELECT label, ev, unnest(generate_series(1, len(ev))) AS p FROM v),
+dimsum AS (
+  SELECT label, p,
+         CAST(SUM(CAST(ev[p] AS DECIMAL(25,9))) AS DOUBLE) AS s
+  FROM expl GROUP BY label, p),
+cent AS (
+  SELECT label, list(s ORDER BY p) AS c FROM dimsum GROUP BY label),
+centn AS (
+  SELECT label, c,
          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-              list_transform(s, x -> x * x)),
-              (acc, x) -> acc + x)) AS norm_s,
-         list_transform(mm, ev -> round(
+              list_transform(c, x -> x * x)),
+              (acc, x) -> acc + x)) AS norm_c
+  FROM cent),
+scored AS (
+  SELECT v.label, centn.norm_c,
+         round(
            list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(list_zip(s, ev), p -> p[1] * p[2])),
+             list_transform(list_zip(centn.c, v.ev),
+                            pr -> pr[1] * pr[2])),
              (acc, x) -> acc + x)
-           / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                list_transform(s, x -> x * x)), (acc, x) -> acc + x))
+           / (centn.norm_c
               * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                list_transform(ev, x -> x * x)),
-                (acc, x) -> acc + x))), 4)) AS coss
-  FROM summed)
-SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
-       round(norm_s, 4) AS centroid_sum_norm,
-       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), coss),
-                         (acc, x) -> acc + x) / n_vecs, 4)
-         AS mean_cos_to_centroid,
-       list_min(coss) AS min_cos_to_centroid
-FROM scored ORDER BY label
+                  list_transform(v.ev, x -> x * x)),
+                  (acc, x) -> acc + x))), 4) AS cos
+  FROM v JOIN centn USING (label))
+SELECT label, COUNT(*) AS n_vecs,
+       round(ANY_VALUE(norm_c), 4) AS centroid_sum_norm,
+       round(CAST(SUM(CAST(cos AS DECIMAL(25,6))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_cos_to_centroid,
+       MIN(cos) AS min_cos_to_centroid
+FROM scored GROUP BY label ORDER BY label
 """
 
 

@@ -242,8 +242,10 @@ def aud3_request_classification(spark: SparkSession, sf_dir: str
     shuffle before the map-side-combined final aggregation."""
     from axonops_schema_registry_spark.streaming.audit import (
         audit_classify_sql,
+        audit_path_flag_exprs,
         audit_reason_sql,
         audit_target_type_sql,
+        coded_case_sql,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -251,16 +253,51 @@ def aud3_request_classification(spark: SparkSession, sf_dir: str
                         f"{_AUD3_PATH} AS path",
                         f"{_AUD3_PERM} AS is_permanent",
                         f"{_AUD3_STATUS} AS status")
-    classified = req.selectExpr(
-        f"{audit_classify_sql()} AS audit_event_type",
-        f"{audit_target_type_sql()} AS target_type",
-        "CASE WHEN status >= 200 AND status < 400 THEN 'success' "
-        "ELSE 'failure' END AS outcome",
-        f"{audit_reason_sql()} AS reason")
-    return (classified.filter(F.col("audit_event_type") != "")
-            .groupBy("audit_event_type", "target_type", "outcome",
-                     "reason")
-            .agg(F.count(F.lit(1)).alias("n_requests"))
+    # two codegen-diet measures (the one-stage string form generated
+    # >64 KB of Java in one fused method and fell back to interpreted
+    # evaluation — the r6 aud3 regression):
+    #  1. the 21 contains() probes are computed ONCE here, so the
+    #     50-branch CASE compiles to boolean-attribute tests;
+    #  2. the CASE result labels are INT-coded (coded_case_sql), so the
+    #     hot path classifies and aggregates over 4 ints — strings are
+    #     decoded from array literals AFTER aggregation, at group
+    #     cardinality.  Also the 100 TB-right shape: the shuffle
+    #     carries (int,int,bool,int) keys, not four strings per group.
+    flagged = req.selectExpr(
+        "verb", "path", "is_permanent", "status",
+        *[f"{e} AS {n}" for n, e in audit_path_flag_exprs().items()])
+    cls_sql, cls_labels = coded_case_sql(audit_classify_sql(flags=True))
+    tgt_sql, tgt_labels = coded_case_sql(audit_target_type_sql(flags=True))
+    rsn_sql, rsn_labels = coded_case_sql(audit_reason_sql())
+    coded = flagged.selectExpr(
+        f"{cls_sql} AS et_code", f"{tgt_sql} AS tt_code",
+        "status >= 200 AND status < 400 AS ok",
+        f"{rsn_sql} AS rs_code")
+    agg = (coded.groupBy("et_code", "tt_code", "ok", "rs_code")
+           .agg(F.count(F.lit(1)).alias("n_requests")))
+    # drop the unclassifiable class AFTER aggregation (filter on a
+    # group key ≡ pre-agg filter; the '' group costs one extra row per
+    # partition).  The condition is anchored to the aggregate output
+    # (n_requests, always > 0) on purpose: a bare et_code predicate is
+    # legal to push below the aggregate, and PushPredicateThroughNonJoin
+    # then substitutes the classify CASE — with the path synthesis
+    # inlined into all 21 flags — into the Filter condition at the
+    # scan, regenerating the very >64 KB method this query is shaped to
+    # avoid (reproduced: Janino 'Code grows beyond 64 KB').
+    agg = agg.filter(F.when(F.col("n_requests") > 0,
+                            F.col("et_code") != cls_labels.index("")))
+
+    def decode(code: str, labels: list[str]):
+        return F.element_at(F.array(*[F.lit(x) for x in labels]),
+                            F.col(code) + 1)
+
+    return (agg.select(
+                decode("et_code", cls_labels).alias("audit_event_type"),
+                decode("tt_code", tgt_labels).alias("target_type"),
+                F.when(F.col("ok"), "success").otherwise("failure")
+                 .alias("outcome"),
+                decode("rs_code", rsn_labels).alias("reason"),
+                "n_requests")
             .orderBy("audit_event_type", "target_type", "outcome",
                      "reason"))
 
@@ -268,22 +305,29 @@ def aud3_request_classification(spark: SparkSession, sf_dir: str
 def _aud3_oracle() -> str:
     from axonops_schema_registry_spark.streaming.audit import (
         audit_classify_sql,
+        audit_path_flag_exprs,
         audit_reason_sql,
         audit_target_type_sql,
     )
 
+    flag_cols = ",\n         ".join(
+        f"{e} AS {n}" for n, e in audit_path_flag_exprs().items())
     return f"""
 WITH req AS (
   SELECT {_AUD3_VERB} AS verb, {_AUD3_PATH} AS path,
          {_AUD3_PERM} AS is_permanent, {_AUD3_STATUS} AS status
   FROM events),
+flagged AS (
+  SELECT verb, path, is_permanent, status,
+         {flag_cols}
+  FROM req),
 classified AS (
-  SELECT {audit_classify_sql()} AS audit_event_type,
-         {audit_target_type_sql()} AS target_type,
+  SELECT {audit_classify_sql(flags=True)} AS audit_event_type,
+         {audit_target_type_sql(flags=True)} AS target_type,
          CASE WHEN status >= 200 AND status < 400 THEN 'success'
               ELSE 'failure' END AS outcome,
          {audit_reason_sql()} AS reason
-  FROM req)
+  FROM flagged)
 SELECT audit_event_type, target_type, outcome, reason,
        COUNT(*) AS n_requests
 FROM classified WHERE audit_event_type <> ''

@@ -25,6 +25,7 @@ the idiomatic Structured Streaming design.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from datetime import datetime, timezone
 
@@ -232,18 +233,64 @@ class CollectingWebhookSink:
         self.state = "RUNNING"
 
 
+# every path substring the classifier tests, in one place: the flag
+# names below become precomputed boolean columns when the two-stage
+# shape is used (audit_path_flag_exprs), so the giant CASE chains
+# reference cheap attributes instead of re-inlining contains() per
+# branch — the difference between ~3 KB and >64 KB of generated Java
+# (the JVM method limit whole-stage codegen must stay under)
+_AUDIT_PATH_FLAGS: tuple[tuple[str, str], ...] = (
+    ("p_import", "/import/"), ("p_compat", "/compatibility/"),
+    ("p_subjects", "/subjects/"), ("p_versions", "/versions"),
+    ("p_schema_ids", "/schemas/ids/"), ("p_users", "/admin/users"),
+    ("p_password", "/me/password"), ("p_apikeys", "/admin/apikeys"),
+    ("p_revoke", "/revoke"), ("p_rotate", "/rotate"),
+    ("p_keks", "/dek-registry/v1/keks"), ("p_deks_seg", "/deks/"),
+    ("p_deks", "/deks"), ("p_undelete", "/undelete"),
+    ("p_test", "/test"), ("p_exporters", "/exporters"),
+    ("p_pause", "/pause"), ("p_resume", "/resume"),
+    ("p_reset", "/reset"), ("p_config", "/config"),
+    ("p_mode", "/mode"),
+)
+
+
+def audit_path_flag_exprs(path: str = "path") -> dict[str, str]:
+    """Ordered {flag_name: SQL expr} for every path substring the
+    classifier tests.  Computing these ONCE in their own projection and
+    letting the CASE chains reference the boolean columns keeps each
+    codegen unit far below the JVM's 64 KB method limit; inlining the
+    contains() calls at every branch (the ``flags=False`` legacy shape)
+    overflowed it at 50+ branches and silently fell back to interpreted
+    row-at-a-time evaluation.  The exprs are engine-portable: the
+    DuckDB oracle computes them in a WITH stage from the same strings.
+    """
+    return {n: f"contains({path}, '{s}')" for n, s in _AUDIT_PATH_FLAGS}
+
+
 def audit_classify_sql(verb: str = "verb", path: str = "path",
                        perm: str = "is_permanent",
-                       status: str = "status") -> str:
+                       status: str = "status",
+                       flags: bool = False) -> str:
     """The audit middleware's event-type classification
     (determineEventType, audit.go:762-941) as ONE portable SQL CASE
     expression — branch order preserved exactly.  The same string runs
     under Catalyst (``F.expr``) and DuckDB, so the driver oracle checks
     the classification logic itself, not two hand-written copies.  At
     100 TB this is how raw access logs become audit analytics: a
-    whole-stage-codegen expression, no UDF."""
-    def c(sub: str) -> str:
-        return f"contains({path}, '{sub}')"
+    whole-stage-codegen expression, no UDF.
+
+    ``flags=True`` emits the precomputed-boolean form: every
+    ``contains(path, X)`` becomes a reference to the matching
+    :func:`audit_path_flag_exprs` column — the shape that keeps the
+    generated code under the 64 KB method limit."""
+    if flags:
+        by_sub = {s: n for n, s in _AUDIT_PATH_FLAGS}
+
+        def c(sub: str) -> str:
+            return by_sub[sub]
+    else:
+        def c(sub: str) -> str:
+            return f"contains({path}, '{sub}')"
 
     return f"""CASE
  WHEN {status} = 401 THEN 'auth_failure'
@@ -310,11 +357,17 @@ def audit_classify_sql(verb: str = "verb", path: str = "path",
  ELSE '' END"""
 
 
-def audit_target_type_sql(path: str = "path") -> str:
+def audit_target_type_sql(path: str = "path", flags: bool = False) -> str:
     """extractTarget's type column (audit.go:1098-1147), same
-    switch-case order."""
-    def c(sub: str) -> str:
-        return f"contains({path}, '{sub}')"
+    switch-case order.  ``flags=True`` as in :func:`audit_classify_sql`."""
+    if flags:
+        by_sub = {s: n for n, s in _AUDIT_PATH_FLAGS}
+
+        def c(sub: str) -> str:
+            return by_sub[sub]
+    else:
+        def c(sub: str) -> str:
+            return f"contains({path}, '{sub}')"
 
     return f"""CASE
  WHEN {c('/subjects/')} THEN 'subject'
@@ -343,6 +396,42 @@ def audit_reason_sql(status: str = "status") -> str:
  WHEN {status} = 429 THEN 'rate_limited'
  WHEN {status} >= 500 THEN 'internal_error'
  ELSE '' END"""
+
+
+_LOWER_LITERAL = re.compile(r"'([a-z_]*)'")
+
+
+def coded_case_sql(sql: str) -> tuple[str, list[str]]:
+    """Rewrite a classifier CASE so every lowercase result literal
+    becomes a small INT code; return (coded_sql, labels) where
+    ``labels[code]`` recovers the string.
+
+    Why: at 100 TB the classification runs on every log row, and both
+    the generated Java for 50 branches of UTF8String results and the
+    partial-aggregation hash over four string keys are pure overhead —
+    coding the labels keeps each whole-stage-codegen unit far below the
+    JVM 64 KB method limit (the one-stage string form overflowed it and
+    fell back to interpreted evaluation, BENCH_r06's aud3 regression)
+    and shuffles 4 ints per group instead of 4 strings.  The decode is
+    an array-literal lookup AFTER aggregation, over group-cardinality
+    rows.
+
+    Mechanical by construction: only ``'[a-z_]*'`` literals are
+    touched, which in the audit classifier grammar is exactly the
+    result labels — HTTP verbs are uppercase and path fragments all
+    contain ``/``, so branch CONDITIONS are left intact and the CASE
+    structure (branch order = reference switch order, audit.go:762-941)
+    is untouched.
+    """
+    labels: list[str] = []
+
+    def sub(m: re.Match[str]) -> str:
+        s = m.group(1)
+        if s not in labels:
+            labels.append(s)
+        return str(labels.index(s))
+
+    return _LOWER_LITERAL.sub(sub, sql), labels
 
 
 class HttpWebhookSink:

@@ -91,11 +91,17 @@ def bloom_prefilter_spans(spans: DataFrame, member_spans: DataFrame,
              .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), __bit))")
                   .alias("__mask")))
     out_cols = spans.columns
+    # count DISTINCT surviving seeds, not surviving rows: duplicate
+    # input rows collapse into one group whose plain row count would be
+    # a multiple of k — `== k` would then silently drop the span, a
+    # false negative contradicting the contract above.  (The output is
+    # row-distinct either way; the exact join downstream re-derives
+    # multiplicity from the un-prefiltered frame it joins against.)
     return (probes(spans)
             .join(F.broadcast(bloom), "__word")
             .filter(F.expr("(__mask >> __bit) & 1 = 1"))
             .groupBy(*out_cols)
-            .agg(F.count(F.lit(1)).alias("__k_hits"))
+            .agg(F.countDistinct("__seed").alias("__k_hits"))
             .filter(F.col("__k_hits") == k)
             .select(*out_cols))
 

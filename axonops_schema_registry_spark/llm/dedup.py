@@ -85,9 +85,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       cache_tokens: bool = True) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact Jaccard verify.
 
-    Output (id_a, id_b, jaccard) — identical to the exact all-pairs
-    operator (operators.text.jaccard_pairs) whenever banding recall holds,
-    but with candidate generation linear in corpus size.
+    Output is :func:`verify_jaccard`'s 6-column schema
+    (id_a, id_b, n_inter, size_a, size_b, jaccard) — the pair set is
+    identical to the exact all-pairs operator
+    (operators.text.jaccard_pairs) whenever banding recall holds, but
+    with candidate generation linear in corpus size.
 
     ``b_ids`` (single ``id`` column) restricts the RIGHT side of the
     bucket join: only pairs whose ``id_b`` is in it are emitted — the

@@ -2,11 +2,12 @@
 with Arrow-batched decode / feature-extraction over ``mapInPandas``.
 
 The Spark-side contract is real and tested: schema, batching shape, UDF
-signatures, partitioning notes.  Two REAL kernels ship: container
+signatures, partitioning notes.  Three REAL kernels ship: container
 *header* decode (PNG/GIF/JPEG/WAV via stdlib struct,
-:func:`decode_headers`) and full PNG *pixel* decode (stdlib zlib +
-numpy un-filtering of all five scanline filter types,
-:func:`decode_pixels`).  Only audio/video *sample* decode — which
+:func:`decode_headers`), full PNG *pixel* decode (stdlib zlib + numpy
+un-filtering of all five scanline filter types, :func:`decode_pixels`),
+and WAV PCM16 *sample* decode (RIFF chunk walk + int16 deinterleave,
+:func:`decode_samples`).  Only COMPRESSED audio/video decode — which
 genuinely needs codec libraries (librosa/ffmpeg) absent from this
 container — remains stubbed: ``decode_features(..., stub=True)`` runs a
 deterministic fake derived from the payload bytes so that pipeline
@@ -74,10 +75,11 @@ def decode_features(df: DataFrame, stub: bool = True) -> DataFrame:
     """
     if not stub:
         raise NotImplementedError(
-            "audio/video sample decode kernels (librosa/ffmpeg) are not "
-            "available in this environment; run with stub=True, use "
-            "decode_headers() for the dependency-free header kernel, or "
-            "decode_pixels() for the real PNG pixel kernel")
+            "compressed audio/video decode kernels (librosa/ffmpeg) are "
+            "not available in this environment; run with stub=True, or "
+            "use the dependency-free real kernels: decode_headers() "
+            "(container headers), decode_pixels() (PNG pixels), "
+            "decode_samples() (WAV PCM16 samples)")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -438,3 +440,117 @@ def decode_pixels(df: DataFrame) -> DataFrame:
                 "sum_r", "sum_g", "sum_b"])
 
     return df.mapInPandas(decode_batches, schema=PIXEL_SCHEMA_DDL)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio-sample decode kernel: WAV PCM16 with stdlib struct + numpy
+# ---------------------------------------------------------------------------
+#
+# PCM inside a RIFF container is struct-packed little-endian integers —
+# decoding it needs no codec library, the same way PNG needed none: RIFF
+# chunk walk (with word-alignment padding), fmt parse, int16 frame
+# deinterleave.  The synthesizer writes a deterministic sample pattern
+# whose aggregate a SQL oracle re-derives from doc_id arithmetic alone,
+# so the decoder's chunk walk, pad handling and sample math are all
+# hash-pinned.  This turns the last "could be real code" stub into real
+# code; only compressed audio/video (true codec territory) stays gated
+# in decode_features(stub=False).
+
+SAMPLE_SCHEMA_DDL = ("doc_id bigint, channels int, sample_rate_hz int, "
+                     "n_frames bigint, sum_amp bigint, peak_amp int")
+
+
+def _sample_value(doc_id: int, frame: int, ch: int) -> int:
+    """The deterministic PCM16 pattern — the oracle's ground truth."""
+    return ((doc_id * 7 + frame * 13 + ch * 5) % 4096) - 2048
+
+
+def synthesize_wav_pcm(doc_id: int) -> bytes:
+    """A real PCM16 WAV for doc_id: channels/rate/frame-count from
+    doc_id arithmetic, samples from :func:`_sample_value`, plus an
+    odd-sized LIST chunk before ``data`` so decoders must honor RIFF
+    word-alignment padding to find the sample chunk at all."""
+    import struct
+
+    channels = 1 + doc_id % 2
+    rate = 8000 * (1 + doc_id % 3)
+    n_frames = doc_id % 50 + 1
+    samples = b"".join(
+        struct.pack("<h", _sample_value(doc_id, i, ch))
+        for i in range(n_frames) for ch in range(channels))
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align,
+                      block_align, 16)
+    info = b"INFO" + b"x" * (doc_id % 7 * 2 + 1)  # odd length: pad byte
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+            + b"data" + struct.pack("<I", len(samples)) + samples)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(payload: bytes) -> dict:
+    """Full WAV PCM16 sample decode (stdlib struct + numpy): RIFF chunk
+    walk with word-alignment padding, fmt parse (PCM only), int16 frame
+    count + exact amplitude sum + peak magnitude."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4:i + 8])
+        chunk = payload[i + 8:i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+        i += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunks")
+    audio_format, channels, rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only uncompressed PCM16 is decodable here")
+    if len(data) % block_align:
+        raise ValueError("data chunk not frame-aligned")
+    pcm = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return {"channels": int(channels), "sample_rate_hz": int(rate),
+            "n_frames": len(data) // block_align,
+            "sum_amp": int(pcm.sum()),
+            "peak_amp": int(np.abs(pcm).max()) if pcm.size else 0}
+
+
+def synthesize_wav_media(df: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id) → (doc_id, payload binary) sample-bearing PCM16 WAVs."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "payload": [synthesize_wav_pcm(int(i))
+                            for i in pdf[id_col]],
+            })
+
+    return df.select(F.col(id_col)).mapInPandas(
+        synth, schema="doc_id bigint, payload binary")
+
+
+def decode_samples(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL sample decode over (doc_id, payload) frames —
+    the audio twin of :func:`decode_pixels`."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows.append({"doc_id": doc_id,
+                             **decode_wav_samples(bytes(payload))})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "channels", "sample_rate_hz", "n_frames",
+                "sum_amp", "peak_amp"])
+
+    return df.mapInPandas(decode_batches, schema=SAMPLE_SCHEMA_DDL)

@@ -56,6 +56,50 @@ def pack_assignments(docs: DataFrame, context_len: int,
                     "start_offset", "pack_id", "straddles"))
 
 
+def pack_assignments_segmented(docs: DataFrame, context_len: int,
+                               n_segments: int = 16,
+                               key_col: str = "doc_id",
+                               source_col: str = "source",
+                               text_col: str = "text") -> DataFrame:
+    """Hash-range segmented packing — the shape that survives 100 TB.
+
+    :func:`pack_assignments` windows on ``source`` alone, so a handful
+    of sources means a handful of running-sum tasks no matter how many
+    executors exist.  Here each source's hash-ordered document stream
+    is cut into ``n_segments`` contiguous HASH RANGES (segment =
+    ``floor(__h * n / 2^48)`` — a range split, not a modulus, so
+    concatenating segments in segment order reproduces the single
+    stream's global order with pack boundaries forced at segment
+    edges), and every (source, segment) packs independently: the window
+    partitions by both, parallelism = sources × segments, per-task
+    state bounded by one segment's documents.
+
+    Output adds ``segment``; ``pack_id`` is segment-local, so a data
+    loader's shard key is (source, segment, pack_id).  Fully
+    SQL-expressible — the pk2 oracle replays it in DuckDB verbatim.
+    """
+    toks = F.size(F.split(F.col(text_col), "\\s+")).cast("bigint")
+    seg = F.floor(F.col("__h") * n_segments / (1 << 48)).cast("bigint")
+    w = (Window.partitionBy(source_col, "segment")
+         .orderBy("__h", key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs
+            .withColumn("__h", portable_hash(F.col(key_col)
+                                             .cast("string")))
+            .withColumn("segment", seg)
+            .withColumn("n_tokens", toks)
+            .withColumn("__cum", F.sum("n_tokens").over(w))
+            .withColumn("start_offset", F.col("__cum") - F.col("n_tokens"))
+            .withColumn("pack_id",
+                        F.floor(F.col("start_offset") / context_len)
+                        .cast("bigint"))
+            .withColumn("straddles",
+                        F.floor((F.col("__cum") - 1) / context_len)
+                        != F.col("pack_id"))
+            .select(F.col(key_col), F.col(source_col), "segment",
+                    "n_tokens", "start_offset", "pack_id", "straddles"))
+
+
 def pack_manifest(docs: DataFrame, context_len: int,
                   key_col: str = "doc_id",
                   source_col: str = "source",

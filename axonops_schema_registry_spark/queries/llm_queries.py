@@ -922,6 +922,54 @@ FROM cells GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def mm4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM16 sample decode (stdlib struct + numpy, no codec
+    libs) — the PNG-pixel playbook applied to audio: a PCM WAV is
+    synthesized per doc_id (channels/rate/frame-count and every int16
+    sample from doc_id arithmetic, plus an odd-sized LIST chunk so the
+    RIFF walk must honor word-alignment padding), then fully decoded
+    back — chunk walk, fmt parse, frame count, exact amplitude sum,
+    peak magnitude — by :func:`...llm.multimodal.decode_wav_samples`
+    over ``mapInPandas``.  The oracle re-derives the aggregates from
+    doc_id arithmetic alone, so a bug in the chunk walk, pad handling
+    or sample math breaks the hash."""
+    from axonops_schema_registry_spark.llm.multimodal import (
+        decode_samples,
+        synthesize_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (decode_samples(synthesize_wav_media(docs, "doc_id"))
+            .orderBy("doc_id"))
+
+
+MM4_ORACLE = """
+WITH spec AS (
+  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS channels,
+         CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate_hz,
+         CAST(doc_id % 50 + 1 AS BIGINT) AS n_frames
+  FROM documents),
+frames AS (
+  SELECT doc_id, channels, sample_rate_hz, n_frames,
+         unnest(generate_series(0, n_frames - 1)) AS i
+  FROM spec),
+samples AS (
+  SELECT doc_id, channels, sample_rate_hz, n_frames, i,
+         unnest(generate_series(0, channels - 1)) AS ch
+  FROM frames),
+vals AS (
+  SELECT doc_id, channels, sample_rate_hz, n_frames,
+         (doc_id * 7 + i * 13 + ch * 5) % 4096 - 2048 AS v
+  FROM samples)
+SELECT doc_id, ANY_VALUE(channels) AS channels,
+       ANY_VALUE(sample_rate_hz) AS sample_rate_hz,
+       ANY_VALUE(n_frames) AS n_frames,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(MAX(ABS(v)) AS INT) AS peak_amp
+FROM vals GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def smp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source Bernoulli sampling
     (llm/sampling.py:stratified_sample): the portable 48-bit md5 hash
@@ -1327,6 +1375,61 @@ SELECT source, pack_id, COUNT(*) AS n_docs,
          AS n_straddles,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM a GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+
+def pk2_segmented_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-range segmented packing (llm/packing.py:
+    pack_assignments_segmented) — the 100 TB variant of pk1: each
+    source's hash-ordered stream is cut into 8 contiguous hash-range
+    segments packed independently, so the running-sum window
+    parallelism is sources × segments instead of one task per source.
+    Manifest rows per (source, segment, pack_id)."""
+    from axonops_schema_registry_spark.llm.packing import (
+        pack_assignments_segmented,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = pack_assignments_segmented(docs, 512, n_segments=8)
+    return (a.groupBy("source", "segment", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("tok_sum"),
+                 F.sum(F.col("straddles").cast("int")).cast("bigint")
+                 .alias("n_straddles"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy("source", "segment", "pack_id"))
+
+
+PK2_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS STRING)), 1, 12))
+              AS BIGINT) AS h
+  FROM documents),
+s AS (
+  SELECT *, CAST(floor(h * 8 / 281474976710656.0) AS BIGINT)
+              AS segment
+  FROM t),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source, segment
+            ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s),
+a AS (
+  SELECT doc_id, source, segment, n_tokens,
+         CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+         (floor((cum - 1) / 512.0)
+          <> floor((cum - n_tokens) / 512.0)) AS straddles
+  FROM c)
+SELECT source, segment, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+       CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddles,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM a GROUP BY source, segment, pack_id
+ORDER BY source, segment, pack_id
 """
 
 
@@ -1860,6 +1963,8 @@ FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
 SPECS: list[QuerySpec] = [
     QuerySpec("pk1_sequence_packing", pk1_sequence_packing, PK1_ORACLE,
               tags=("llm", "packing", "window", "agg"), bench=True),
+    QuerySpec("pk2_segmented_packing", pk2_segmented_packing, PK2_ORACLE,
+              tags=("llm", "packing", "window", "agg", "scale")),
     QuerySpec("gq1_gopher_quality", gq1_gopher_quality, GQ1_ORACLE,
               tags=("llm", "text", "quality", "agg"), bench=True),
     QuerySpec("gq2_repetition", gq2_repetition, GQ2_ORACLE,
@@ -1931,6 +2036,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("mm1_multimodal_decode", mm1_multimodal_decode, MM1_ORACLE,
               tags=("llm", "multimodal")),
     QuerySpec("mm3_pixel_decode", mm3_pixel_decode, MM3_ORACLE,
+              tags=("llm", "multimodal", "udf")),
+    QuerySpec("mm4_wav_decode", mm4_wav_decode, MM4_ORACLE,
               tags=("llm", "multimodal", "udf")),
     QuerySpec("mm2_header_decode", mm2_header_decode, MM2_ORACLE,
               tags=("llm", "multimodal")),

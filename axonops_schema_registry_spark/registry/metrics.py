@@ -480,11 +480,17 @@ def corpus_gauge_rows(corpus):
     typed = corpus
     if "deleted" in typed.columns:
         typed = typed.filter(~F.col("deleted"))
+    # a corpus with neither schema_id nor schema_text has NO stable
+    # schema identity: count versions per type instead of synthesizing
+    # unstable ids (monotonically_increasing_id made schemas_total
+    # plan/partitioning-dependent — every run could disagree)
+    has_identity = True
     if "schema_id" not in typed.columns:
-        typed = typed.withColumn(
-            "schema_id", F.sha2(F.col("schema_text"), 256)
-            if "schema_text" in typed.columns
-            else F.monotonically_increasing_id())
+        if "schema_text" in typed.columns:
+            typed = typed.withColumn(
+                "schema_id", F.sha2(F.col("schema_text"), 256))
+        else:
+            has_identity = False
     per_subject = typed.groupBy("subject").agg(
         F.count("*").alias("n_versions"))
     versions = per_subject.select(
@@ -498,10 +504,12 @@ def corpus_gauge_rows(corpus):
         F.lit("").alias("labels"),
         F.col("n").cast("double").alias("value"))
     # distinct schema ids per type (one id may appear in many
-    # subjects/versions; the storage count is distinct schemas)
-    schemas_by_type = (typed
-                       .select("schema_type", "schema_id")
-                       .distinct()
+    # subjects/versions; the storage count is distinct schemas);
+    # without any stable identity, deterministic per-version counting
+    distinct_schemas = (typed.select("schema_type", "schema_id")
+                        .distinct() if has_identity
+                        else typed.select("schema_type"))
+    schemas_by_type = (distinct_schemas
                        .groupBy("schema_type")
                        .agg(F.count("*").alias("n"))
                        .select(

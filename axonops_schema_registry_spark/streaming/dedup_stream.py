@@ -78,12 +78,22 @@ class CurationSink:
     .contamination_flags, llm.text.pii_redact), so streaming output is
     pinned to one batch run over the same corpus by
     tests/test_streaming.py.
+
+    ``store_dir`` switches the dedup leg to the disk-backed
+    :class:`...streaming.dedup_store.BucketedDedupStore` — the
+    production shape: per-batch cost stays flat as the corpus grows
+    (only stored bucket collisions are verified, docs/SCALING.md), and
+    the stage survives a process restart because prior epochs live in
+    the store's epoch-partitioned parquet, not in this object.  Without
+    it the sink keeps the in-memory checkpointed-corpus shape (fine for
+    tests, rescans the corpus every batch).
     """
 
     def __init__(self, eval_set: DataFrame,
                  id_col: str = "doc_id", text_col: str = "text",
                  threshold: float = 0.8, ngram: int = 3,
-                 contam_n: int = 5) -> None:
+                 contam_n: int = 5,
+                 store_dir: str | None = None) -> None:
         from axonops_schema_registry_spark.llm.contamination import (
             ngram_spans,
         )
@@ -91,6 +101,8 @@ class CurationSink:
         self.id_col, self.text_col = id_col, text_col
         self.threshold, self.ngram = threshold, ngram
         self.contam_n = contam_n
+        self.store_dir = store_dir
+        self._store = None
         # the evaluation span set is fixed for the run: checkpoint once,
         # broadcast into every micro-batch's span join
         self.eval_spans = (ngram_spans(eval_set, id_col, text_col,
@@ -100,6 +112,23 @@ class CurationSink:
         self.seen: DataFrame | None = None
         self.results: dict[int, dict] = {}
 
+    def _dedup_flags(self, new: DataFrame, epoch_id: int) -> DataFrame:
+        if self.store_dir is not None:
+            if self._store is None:
+                from axonops_schema_registry_spark.streaming.dedup_store \
+                    import BucketedDedupStore
+                self._store = BucketedDedupStore(
+                    new.sparkSession, self.store_dir, self.id_col,
+                    self.text_col, self.threshold, self.ngram)
+            return self._store.process_batch(new, epoch_id)
+        corpus = (new if self.seen is None
+                  else self.seen.unionByName(new))
+        self._corpus = corpus
+        return incremental_dedup_flags(
+            corpus, self.id_col, self.text_col, self.threshold,
+            self.ngram, new_ids=new.select(self.id_col),
+            cache_tokens=False)  # a per-epoch cache entry would leak
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from axonops_schema_registry_spark.llm.contamination import (
             ngram_spans,
@@ -107,12 +136,7 @@ class CurationSink:
         from axonops_schema_registry_spark.llm.text import pii_redact
 
         new = batch_df.select(self.id_col, self.text_col)
-        corpus = (new if self.seen is None
-                  else self.seen.unionByName(new))
-        dedup = incremental_dedup_flags(
-            corpus, self.id_col, self.text_col, self.threshold,
-            self.ngram, new_ids=new.select(self.id_col),
-            cache_tokens=False)  # a per-epoch cache entry would leak
+        dedup = self._dedup_flags(new, epoch_id)
         spans = ngram_spans(new, self.id_col, self.text_col,
                             self.contam_n)
         contam = (spans.join(F.broadcast(self.eval_spans), "span")
@@ -133,7 +157,10 @@ class CurationSink:
                 "n_eval_spans": r["n_eval_spans"],
                 "clean_text": r["clean_text"],
             }
+        if self.store_dir is not None:
+            release_checkpoint(dedup)  # process_batch checkpoints flags
+            return
         prev = self.seen
-        self.seen = corpus.localCheckpoint(eager=True)
+        self.seen = self._corpus.localCheckpoint(eager=True)
         if prev is not None:
             release_checkpoint(prev)

@@ -495,3 +495,77 @@ def test_bucketed_dedup_store_epoch_replay_idempotent(spark):
         assert per_doc == 1
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
+
+
+def test_curation_sink_store_backed_survives_restart(spark):
+    """CurationSink(store_dir=...) keeps its dedup state in the
+    BucketedDedupStore's epoch-partitioned parquet: a SECOND sink
+    instance (fresh process, same store_dir) continues from the stored
+    epochs, and the merged verdicts equal one batch run over the full
+    corpus — batch ≡ streaming-across-restarts."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        contamination_flags,
+    )
+    from axonops_schema_registry_spark.llm.dedup import (
+        incremental_dedup_flags,
+    )
+    from axonops_schema_registry_spark.llm.text import pii_redact
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        CurationSink,
+    )
+
+    def doc(i: int, email: bool = False) -> str:
+        body = " ".join(f"w{i}x{j}" for j in range(8))  # disjoint vocab
+        return body + (" mail root@example.com" if email else "")
+
+    # batch 0: five distinct docs, doc 1 carries PII (kept → redacted)
+    b0 = spark.createDataFrame(
+        [(i, doc(i, email=(i == 1))) for i in range(5)],
+        "doc_id bigint, text string")
+    # batch 1: three repeats of batch-0 docs (dups only visible THROUGH
+    # the store after the restart) plus one fresh PII doc
+    b1 = spark.createDataFrame(
+        [(10, doc(0)), (11, doc(3)), (12, doc(4)),
+         (15, doc(9, email=True))],
+        "doc_id bigint, text string")
+    train = b0.unionByName(b1)
+    eval_set = spark.createDataFrame(
+        [(100, doc(2))], "doc_id bigint, text string")
+
+    dedup = incremental_dedup_flags(train, "doc_id", "text", 0.8, 3)
+    contam = (contamination_flags(train, eval_set, "doc_id", "text", 5)
+              .select("doc_id",
+                      F.col("n_shared_spans").alias("n_eval_spans")))
+    want_df = (train.join(dedup, "doc_id")
+               .join(contam, "doc_id", "left")
+               .na.fill({"n_eval_spans": 0})
+               .withColumn("clean_text",
+                           F.when(~F.col("is_dup")
+                                  & (F.col("n_eval_spans") == 0),
+                                  pii_redact("text"))))
+    want = {r.doc_id: (r.is_dup, r.dup_of, r.n_eval_spans, r.clean_text)
+            for r in want_df.collect()}
+
+    store_dir = tempfile.mkdtemp(prefix="cur_store_")
+    try:
+        sink_a = CurationSink(eval_set, store_dir=store_dir)
+        sink_a(b0, epoch_id=0)
+        # "restart": a brand-new sink object, nothing carried over
+        # except the on-disk store
+        sink_b = CurationSink(eval_set, store_dir=store_dir)
+        sink_b(b1, epoch_id=1)
+        got = {k: (v["is_dup"], v["dup_of"], v["n_eval_spans"],
+                   v["clean_text"])
+               for s in (sink_a, sink_b) for k, v in s.results.items()}
+        assert got == want
+        # cross-restart dedup actually happened: a batch-1 doc is
+        # flagged against its batch-0 original through the store
+        assert any(v["is_dup"] and v["dup_of"] is not None
+                   and v["dup_of"] < 10
+                   for k, v in sink_b.results.items())
+        # contamination + PII legs ran too
+        assert any(n_spans > 0 for _, _, n_spans, _ in got.values())
+        assert any(clean and "<EMAIL>" in clean
+                   for _, _, _, clean in got.values())
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)

@@ -7,7 +7,7 @@ DuckDB-twin SQL builder so the query specs stay oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword profiles for the n-gram/stopword-hit
@@ -214,3 +214,43 @@ def normalize_text_sql(text_col: str) -> str:
     return (f"trim(regexp_replace(regexp_replace(translate({text_col}, "
             f"'{_ASCII_UPPER}', '{_ASCII_LOWER}'), "
             f"'[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))")
+
+
+def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-trained unigram LM perplexity scoring — the CCNet-style
+    quality signal (Wenzek et al. 2020, public): fit token frequencies
+    on the corpus itself, then score every document by its mean token
+    surprisal -ln p(token); fluent/common text scores low, gibberish
+    and boilerplate-free noise score high.  The operator the mixture
+    builder thresholds on next to the Gopher shape gates.
+
+    Output: (id, n_tokens, mean_surprisal).
+
+    Float discipline: -ln p is computed ONCE per distinct vocabulary
+    entry and rounded at 1e-6 there (vocabulary-sized work, not
+    corpus-sized), then per-document totals are exact DECIMAL sums of
+    those rounded scores (the psum convention) — order-independent and
+    engine-portable by construction.
+
+    Scale: token explode → vocabulary count is map-side combined and
+    bounded by vocabulary size; the per-token score table broadcasts
+    (a 10M-unigram web vocabulary is ~200 MB — at that point drop the
+    broadcast hint and let the score join shuffle on token, everything
+    else unchanged).  No window, no collect, no driver loop.
+    """
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.split(F.lower(F.col(text_col)),
+                                          "\\s+")).alias("t"))
+            .filter(F.col("t") != ""))
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scores = (vocab.crossJoin(F.broadcast(total))
+              .select("t", F.round(-F.log(F.col("c") / F.col("n")), 6)
+                      .alias("s")))
+    return (toks.join(F.broadcast(scores), "t")
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.sum(F.col("s").cast("decimal(25,6)"))
+                         .cast("double") / F.count(F.lit(1)), 4)
+                 .alias("mean_surprisal")))

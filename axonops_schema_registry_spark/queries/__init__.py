@@ -20,54 +20,51 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-6 rotation (VERDICT r5 ask #1, oldest-first): new r6
-    # features and this round's changed code paths lead, then EVERY
-    # spec whose newest driver row predates r4 (23 r1-stale + 17
-    # r3-stale).  After this round no spec's newest green is older
-    # than r3.
-    # -- new in r6
-    "cur1_curation_pass", "mm3_pixel_decode", "pk1_sequence_packing",
-    "gq1_gopher_quality", "gq2_repetition", "ti1_tfidf_terms",
-    "ctm2_bloom_contamination", "ch1_document_chunking",
-    "qz1_int8_quantization", "bp1_boilerplate_spans",
-    "rel1_release_report", "wn1_winnowing",
-    # -- changed semantics/code this round: ngram_spans short-doc
-    #    gating (ctm1/cur1), TX7 oracle \b fix, corpus-derived gauges
-    #    (met1), minhash_lsh_pairs b_ids param (dd2/dd5/dd7),
-    #    connected_components cache release (dd4), nn2 similarity
-    #    family representative
-    "ctm1_contamination_check", "tx7_pii_scan", "met1_prometheus_export",
-    # (dd5 rolls up dd2's pairs — the changed code path is already
-    #  re-verified through dd2/dd7, so dd5 stays r4-green locally)
-    "dd7_incremental_dedup", "dd2_minhash_lsh_dedup",
-    "dd4_dedup_clusters", "nn2_lsh_ann_topk",
-    # -- the 23 specs whose only green row is r1
-    "q6_forecast_revenue", "q7_nation_volume", "q10_returned_items",
-    "q14_promo_revenue_share", "q18_large_orders", "s1_prefix_listing",
-    "s2_point_lookup", "s3_subject_version_lookup",
-    "s4_fingerprint_lookup", "s5_distinct_listing",
-    "o2_deterministic_pagination", "f1_substring_search",
-    "f2_regex_search", "f3_glob_search", "f5_normalize_names",
-    "f7_fuzzy_match", "p4_status_split", "p5_metadata_property_filter",
-    "w1_latest_per_subject", "w2_listing_with_latest_flag",
-    "w3_content_addressed_ids", "w5_prior_version_delta",
-    "j9_alias_resolution",
-    # -- 8 of the 17 specs last green in r3; the other 9
-    #    (r3_schema_versions_view, fs2_type_search, mp1_migration_path,
-    #    f6_naming_variants, tx1_language_id, tx2_token_stats,
-    #    tx3_rolling_fingerprint, dd1_exact_dedup, r2_version_history)
-    #    stay r3-green — within the freshness bound — displaced by the
-    #    TWELVE new r6 specs above (dd5, r4-green, also rotated out);
-    #    all remain guarded by tests/test_queries_oracle.py.
-    #    r7 window leads, in order: the five never-driver-sampled late
-    #    r6 specs (sem1_semantic_dedup, q2_min_cost_supplier,
-    #    q8_market_share, q9_product_profit, tx8_normalize), then the
-    #    ten displaced names above, then the 43 r4-green specs reaching
-    #    the freshness bound
-    "q1_pricing_summary", "j2_subjects_by_fingerprint",
-    "r1_latest_live_schema",
-    "f13_field_extraction", "fs1_field_search", "ex1_explain_failure",
-    "mm1_multimodal_decode", "st8_exporter_filter_rename",
+    # Round-7 rotation (VERDICT r6 ask #3, oldest-first): the six
+    # never-driver-sampled specs lead (sem1/lab1 AFTER their scale
+    # fixes landed), then this round's new and changed-code specs,
+    # then every r3-stale spec, then 29 of the 40 r4-green specs
+    # reaching the freshness bound.  After this round no spec's
+    # newest green row is older than r4.
+    # -- never driver-sampled (recomputed by set-union r1–r6)
+    "sem1_semantic_dedup", "q2_min_cost_supplier", "q8_market_share",
+    "q9_product_profit", "tx8_normalize", "lab1_label_cohesion",
+    # -- new in r7
+    "pk2_segmented_packing", "mm4_wav_decode",
+    "ppl1_unigram_perplexity",
+    # -- changed semantics/code this round: aud3 int-coded two-stage
+    #    classifier, dd4 checkpointed connected components, met1
+    #    deterministic no-identity fallback, ctm2 distinct-seed bloom
+    #    count
+    "aud3_request_classification", "dd4_dedup_clusters",
+    "met1_prometheus_export", "ctm2_bloom_contamination",
+    # -- the 9 specs whose newest green row is r3 (freshness floor)
+    "dd1_exact_dedup", "f6_naming_variants", "fs2_type_search",
+    "mp1_migration_path", "r2_version_history",
+    "r3_schema_versions_view", "tx1_language_id", "tx2_token_stats",
+    "tx3_rolling_fingerprint",
+    # -- 28 of the 40 r4-green specs (registration-order slice); the
+    #    12 deferred names (rj1_events_in_windows,
+    #    rv1_ruleset_validation, s9_import_with_ids,
+    #    sk1_distinct_sketches, st2_filtered_cef_lines,
+    #    st6_rate_limit_flags, tx4_char_entropy, tx5_dataset_card,
+    #    tx6_token_rarity, u1_user_role_stats, v1_validate_normalize,
+    #    x1_export_subject) are the r8 window leads and stay guarded by
+    #    tests/test_queries_oracle.py meanwhile
+    "a4c_cube_statistics", "a8r_schema_quality",
+    "asof1_config_at_event_time", "aud1_audit_chain",
+    "aud2_event_type_analytics", "c3_compat_with_refs",
+    "ctx1_multitenant_listing", "dd3_simhash_dedup",
+    "dd5_cross_source_dup_matrix", "del1_delete_taxonomy",
+    "err1_lookup_taxonomy", "exp1_exporter_lifecycle",
+    "hr1_hypertable_rollup", "j3d_dependency_closure",
+    "j3r_reference_resolution", "j4r_subject_similarity",
+    "j8_kek_dek_lifecycle", "j8b_dek_rewrap",
+    "j8c_dek_undelete_lifecycle", "m1_metadata_merge",
+    "mode1_write_gating", "nn1_cosine_topk", "nn3_ivf_ann_topk",
+    "q12_priority_linestatus", "q16_supplier_counts",
+    "q4_order_priority", "r7_registration_gated",
+    "r8_delete_reregister", "rj1_events_in_windows",
 )
 
 

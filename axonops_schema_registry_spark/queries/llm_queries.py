@@ -922,6 +922,38 @@ FROM cells GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def ppl1_unigram_perplexity(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """CCNet-style unigram-LM quality scoring (llm/text.py:
+    unigram_surprisal): token frequencies fitted on the corpus itself,
+    every document scored by mean token surprisal -ln p(token).
+    Per-token scores are rounded once at vocabulary scale and summed
+    exactly, so DuckDB replays the result bit-for-bit."""
+    from axonops_schema_registry_spark.llm.text import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs).orderBy("doc_id")
+
+
+PPL1_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM vocab),
+scores AS (
+  SELECT t, round(-ln(c / n), 6) AS s FROM vocab, tot)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_surprisal
+FROM tok JOIN scores USING (t)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def mm4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV PCM16 sample decode (stdlib struct + numpy, no codec
     libs) — the PNG-pixel playbook applied to audio: a PCM WAV is
@@ -2039,6 +2071,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "multimodal", "udf")),
     QuerySpec("mm4_wav_decode", mm4_wav_decode, MM4_ORACLE,
               tags=("llm", "multimodal", "udf")),
+    QuerySpec("ppl1_unigram_perplexity", ppl1_unigram_perplexity,
+              PPL1_ORACLE, tags=("llm", "text", "quality", "agg")),
     QuerySpec("mm2_header_decode", mm2_header_decode, MM2_ORACLE,
               tags=("llm", "multimodal")),
     QuerySpec("smp1_stratified_sample", smp1_stratified_sample,

@@ -78,6 +78,46 @@ def dataset_mixture(docs: DataFrame, quotas: DataFrame,
                 .drop("__h", "quota"))
 
 
+def dataset_mixture_segmented(docs: DataFrame, quotas: DataFrame,
+                              n_segments: int = 16,
+                              key_col: str = "doc_id",
+                              source_col: str = "source") -> DataFrame:
+    """:func:`dataset_mixture` with the per-source window sharded into
+    ``n_segments`` contiguous HASH RANGES — the 100 TB shape (one
+    window task per source becomes sources × segments tasks), yet the
+    output is IDENTICAL to the single-window operator.
+
+    Why identical: segments are ranges of the same 48-bit hash the
+    global order sorts by, so concatenating segments in segment order
+    IS the global order; the global rank of a row is its rank within
+    its segment plus the total count of all earlier segments.  Those
+    per-(source, segment) counts are a sources × segments-sized
+    aggregate — broadcast back, never a driver round-trip.
+    """
+    h = portable_hash(F.col(key_col).cast("string"))
+    seg = F.floor(F.col("__h") * n_segments / (1 << 48)).cast("bigint")
+    w = (Window.partitionBy(source_col, "__seg")
+         .orderBy("__h", key_col))
+    wcum = (Window.partitionBy(source_col).orderBy("__seg")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = (docs.withColumn("__h", h)
+              .withColumn("__seg", seg)
+              .join(F.broadcast(quotas), source_col)
+              .withColumn("__lrank", F.row_number().over(w)
+                          .cast("bigint")))
+    seg_counts = (ranked.groupBy(source_col, "__seg")
+                  .agg(F.count(F.lit(1)).alias("__n"))
+                  .withColumn("__offset",
+                              F.coalesce(F.sum("__n").over(wcum),
+                                         F.lit(0)))
+                  .select(source_col, "__seg", "__offset"))
+    return (ranked
+            .join(F.broadcast(seg_counts), [source_col, "__seg"])
+            .withColumn("mix_rank", F.col("__offset") + F.col("__lrank"))
+            .filter(F.col("mix_rank") <= F.col("quota"))
+            .drop("__h", "__seg", "__lrank", "__offset", "quota"))
+
+
 def portable_hash_sql(expr: str) -> str:
     """The 48-bit portable hash as an inline SQL fragment (for
     lambda/higher-order-function contexts where a Column cannot be

@@ -1074,6 +1074,32 @@ def mix1_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def mix2_segmented_mixture(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Hash-range segmented mixture (llm/sampling.py:
+    dataset_mixture_segmented) — the 100 TB variant of mix1: the
+    per-source selection window shards into 8 contiguous hash-range
+    segments (sources × segments tasks) while producing the IDENTICAL
+    manifest — segment-local ranks plus broadcast per-segment count
+    offsets reconstruct the exact global rank, so this spec runs
+    against mix1's oracle unchanged (the ctm2-vs-ctm1 pattern)."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        dataset_mixture_segmented,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    quotas = (docs.select("source").distinct()
+              .withColumn("quota",
+                          F.expr("(CAST(substring(source, 4) AS INT) "
+                                 "% 3 + 1) * 10")))
+    manifest = dataset_mixture_segmented(docs, quotas, n_segments=8)
+    return (manifest.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_selected"),
+                 F.sum("doc_id").alias("id_checksum"),
+                 F.max("mix_rank").alias("max_rank"))
+            .orderBy("source"))
+
+
 MIX1_ORACLE = """
 WITH quotas AS (
   SELECT DISTINCT source,
@@ -2077,6 +2103,9 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "multimodal")),
     QuerySpec("smp1_stratified_sample", smp1_stratified_sample,
               SMP1_ORACLE, tags=("llm", "sampling"), bench=True),
+    QuerySpec("mix2_segmented_mixture", mix2_segmented_mixture,
+              MIX1_ORACLE,
+              tags=("llm", "sampling", "window", "scale")),
     QuerySpec("mix1_dataset_mixture", mix1_dataset_mixture, MIX1_ORACLE,
               tags=("llm", "sampling")),
 ]

@@ -288,6 +288,67 @@ ORDER BY e.vec_id
 """
 
 
+def ctm3_semantic_contamination(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic
+    escalation of ctm1's exact n-gram overlap (the public practice of
+    dropping training items whose EMBEDDING is near an evaluation
+    item's, catching paraphrases exact spans miss): a deterministic
+    eval slice (vec_id % 11 = 3) is screened against the corpus with
+    the same portable hyperplane-LSH candidate generation dd6/sem1
+    use, keeping only cross-side pairs at cosine ≥ 0.35.  Per corpus
+    vector: eval-match count, max cosine, contaminated flag.  At
+    100 TB the eval side is millions of vectors and the corpus is the
+    scan — candidates come from the (table, bucket) equi-join, never
+    an eval × corpus product."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        lsh_cosine_pairs_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_cosine_pairs_portable(emb, "vec_id", "embedding",
+                                      threshold=0.35)
+    eval_a = F.col("id_a") % 11 == 3
+    eval_b = F.col("id_b") % 11 == 3
+    cross = pairs.filter(eval_a != eval_b)
+    flagged = cross.select(
+        F.when(eval_a, F.col("id_b")).otherwise(F.col("id_a"))
+        .alias("vec_id"), "cosine_sim")
+    agg = (flagged.groupBy("vec_id")
+           .agg(F.count(F.lit(1)).alias("n_eval_matches"),
+                F.max("cosine_sim").alias("max_eval_cos")))
+    return (emb.filter(F.col("vec_id") % 11 != 3).select("vec_id")
+            .join(agg, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("n_eval_matches", F.lit(0))
+                    .cast("bigint").alias("n_eval_matches"),
+                    "max_eval_cos",
+                    F.col("max_eval_cos").isNotNull()
+                    .alias("contaminated"))
+            .orderBy("vec_id"))
+
+
+CTM3_ORACLE = f"""
+WITH {_LSH_REPLAY_CTES},
+cross_pairs AS (
+  SELECT CASE WHEN id_a % 11 = 3 THEN id_b ELSE id_a END AS vec_id,
+         cosine_sim
+  FROM verified
+  WHERE cosine_sim >= 0.35 AND ((id_a % 11 = 3) <> (id_b % 11 = 3))),
+agg AS (
+  SELECT vec_id, COUNT(*) AS n_eval_matches,
+         MAX(cosine_sim) AS max_eval_cos
+  FROM cross_pairs GROUP BY vec_id)
+SELECT e.vec_id,
+       CAST(COALESCE(a.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+       a.max_eval_cos,
+       (a.vec_id IS NOT NULL) AS contaminated
+FROM embeddings e LEFT JOIN agg a USING (vec_id)
+WHERE e.vec_id % 11 <> 3
+ORDER BY e.vec_id
+"""
+
+
 def lab1_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-bucket cohesion report (llm/similarity.py:
     label_cohesion) over the embeddings table's label column: per-label
@@ -2036,6 +2097,8 @@ SPECS: list[QuerySpec] = [
                     "agg")),
     QuerySpec("wn1_winnowing", wn1_winnowing, WN1_ORACLE,
               tags=("llm", "dedup", "fingerprint")),
+    QuerySpec("ctm3_semantic_contamination", ctm3_semantic_contamination,
+              CTM3_ORACLE, tags=("llm", "contamination", "ann")),
     QuerySpec("sem1_semantic_dedup", sem1_semantic_dedup, SEM1_ORACLE,
               tags=("llm", "dedup", "similarity", "iterative")),
     QuerySpec("tx8_normalize", tx8_normalize, TX8_ORACLE,

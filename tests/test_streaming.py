@@ -569,3 +569,50 @@ def test_curation_sink_store_backed_survives_restart(spark):
                    for _, _, _, clean in got.values())
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
+
+
+def test_coded_case_sql_rewrites_only_result_literals(spark):
+    """coded_case_sql must leave every branch CONDITION intact (verbs
+    are uppercase, path fragments contain '/') and code exactly the
+    lowercase result labels; the coded classifier must agree with the
+    string classifier row-for-row."""
+    from axonops_schema_registry_spark.streaming.audit import (
+        audit_classify_sql,
+        audit_path_flag_exprs,
+        audit_reason_sql,
+        audit_target_type_sql,
+        coded_case_sql,
+    )
+
+    for base_sql in (audit_classify_sql(flags=True),
+                     audit_target_type_sql(flags=True),
+                     audit_reason_sql()):
+        coded, labels = coded_case_sql(base_sql)
+        # conditions intact: verbs and path fragments survive verbatim
+        for kept in ("'POST'", "'GET'", "'/subjects'"):
+            assert (kept in coded) == (kept in base_sql)
+        # every coded literal is recoverable and none are lowercase
+        # strings anymore
+        import re
+        assert not re.search(r"'[a-z_]*'", coded)
+        assert labels == sorted(set(labels), key=labels.index)
+
+    # end-to-end: coded + decode == string CASE on a request sample
+    req = spark.createDataFrame(
+        [("POST", "/subjects/s1/versions", False, 200),
+         ("DELETE", "/subjects/s1/versions/1", True, 200),
+         ("GET", "/schemas/ids/5", False, 404),
+         ("PUT", "/config/s1", False, 200),
+         ("POST", "/admin/apikeys/k/rotate", False, 200),
+         ("DELETE", "/dek-registry/v1/keks/k1", False, 401),
+         ("PATCH", "/nonsense", False, 500)],
+        "verb string, path string, is_permanent boolean, status int")
+    flagged = req.selectExpr(
+        "verb", "path", "is_permanent", "status",
+        *[f"{e} AS {n}" for n, e in audit_path_flag_exprs().items()])
+    coded_sql, labels = coded_case_sql(audit_classify_sql(flags=True))
+    got = (flagged.selectExpr(f"{coded_sql} AS code",
+                              f"{audit_classify_sql(flags=True)} AS s")
+           .collect())
+    for r in got:
+        assert labels[r["code"]] == r["s"]

@@ -483,3 +483,71 @@ def label_cohesion(df: DataFrame, id_col: str = "vec_id",
                     .alias("mean_cos_to_centroid"),
                     "min_cos_to_centroid")
             .orderBy("label"))
+
+
+def pq_encode(df: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", m: int = 4,
+              centroid_stride: int = 31,
+              round_digits: int = 4) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011, public) with
+    DETERMINISTIC data-sample codebooks — the memory-bounded ANN
+    representation: each vector becomes ``m`` small centroid codes
+    (here 4 codes for a 64-dim vector: a 16x compression at k<=256),
+    which is what a 100 TB corpus stores/scans instead of raw floats.
+
+    Codebooks follow the ivf_ann_topk_portable convention: subspace
+    ``j``'s centroids are the j-th subvectors of the rows where
+    ``id % centroid_stride == 0`` (no Lloyd refinement), so the whole
+    computation — codebook, assignment, reconstruction error — replays
+    identically in the DuckDB oracle.  Codebook count grows with the
+    corpus (|corpus|/stride), the natural PQ scaling.
+
+    Output: (id, code_0..code_{m-1}, recon_err) — codes are centroid
+    ids; recon_err is the L2 reconstruction distance, subspace
+    distances folded in array order and summed exactly (DECIMAL) so
+    the result is partitioning- and engine-independent.
+
+    Scale: the codebook broadcasts (centroids x dim); encode is one
+    broadcast nested-loop per subspace with a groupBy argmin — rows =
+    N x m x K with map-side combine, no shuffle of the vectors
+    themselves.
+    """
+    sub_structs = [
+        F.struct(
+            F.lit(j).alias("__m"),
+            F.expr(f"transform(slice({vec_col}, "
+                   f"{j} * (size({vec_col}) DIV {m}) + 1, "
+                   f"size({vec_col}) DIV {m}), "
+                   "x -> CAST(x AS DOUBLE))").alias("__sv"))
+        for j in range(m)]
+    subs = df.select(F.col(id_col).alias("__id"),
+                     F.explode(F.array(*sub_structs)).alias("__s")) \
+        .select("__id", F.col("__s.__m").alias("__m"),
+                F.col("__s.__sv").alias("__sv"))
+    codebook = (subs.filter(F.col("__id") % centroid_stride == 0)
+                .select("__m", F.col("__id").alias("__cid"),
+                        F.col("__sv").alias("__cv")))
+    d2 = F.expr("aggregate(zip_with(__sv, __cv, (x, c) -> "
+                "(x - c) * (x - c)), CAST(0 AS DOUBLE), "
+                "(acc, w) -> acc + w)")
+    scored = (subs.join(F.broadcast(codebook), "__m")
+              .withColumn("__d2", d2))
+    mind = (scored.groupBy("__id", "__m")
+            .agg(F.min("__d2").alias("__mind")))
+    # argmin with deterministic ties: every candidate at the exact
+    # minimum distance competes, smallest centroid id wins (both
+    # engines compute the identical doubles, so the tie set matches)
+    codes = (scored.join(mind, ["__id", "__m"])
+             .filter(F.col("__d2") == F.col("__mind"))
+             .groupBy("__id", "__m")
+             .agg(F.min("__cid").alias("__code"),
+                  F.min("__mind").alias("__mind")))
+    return (codes.groupBy(F.col("__id").alias(id_col))
+            .agg(*[F.max(F.when(F.col("__m") == j, F.col("__code")))
+                   .cast("bigint").alias(f"code_{j}")
+                   for j in range(m)],
+                 F.round(
+                     F.sqrt(F.sum(F.col("__mind")
+                                  .cast("decimal(25,9)"))
+                            .cast("double")), round_digits)
+                 .alias("recon_err")))

@@ -1906,6 +1906,55 @@ FROM sc ORDER BY vec_id
 """
 
 
+def qz2_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (llm/similarity.py:pq_encode): each
+    64-dim embedding becomes 4 centroid codes + an exact reconstruction
+    error, with deterministic data-sample codebooks (vec_id % 31 == 0,
+    the IVF-portable convention) so DuckDB replays codebook, argmin
+    assignment and the DECIMAL-summed error bit-for-bit."""
+    from axonops_schema_registry_spark.llm.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb).orderBy("vec_id")
+
+
+QZ2_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings),
+subs AS (
+  SELECT vec_id, j,
+         list_slice(ev, j * (len(ev) // 4) + 1,
+                    (j + 1) * (len(ev) // 4)) AS sv
+  FROM v, (SELECT unnest(generate_series(0, 3)) AS j)),
+cb AS (
+  SELECT j, vec_id AS cid, sv AS cv FROM subs WHERE vec_id % 31 = 0),
+scored AS (
+  SELECT s.vec_id, s.j, c.cid,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_zip(s.sv, c.cv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (acc, w) -> acc + w) AS d2
+  FROM subs s JOIN cb c USING (j)),
+mind AS (
+  SELECT vec_id, j, MIN(d2) AS mind FROM scored GROUP BY vec_id, j),
+codes AS (
+  SELECT s.vec_id, s.j, MIN(s.cid) AS code, MIN(m.mind) AS mind
+  FROM scored s JOIN mind m
+    ON m.vec_id = s.vec_id AND m.j = s.j AND s.d2 = m.mind
+  GROUP BY s.vec_id, s.j)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN j = 0 THEN code END) AS BIGINT) AS code_0,
+       CAST(MAX(CASE WHEN j = 1 THEN code END) AS BIGINT) AS code_1,
+       CAST(MAX(CASE WHEN j = 2 THEN code END) AS BIGINT) AS code_2,
+       CAST(MAX(CASE WHEN j = 3 THEN code END) AS BIGINT) AS code_3,
+       round(sqrt(CAST(SUM(CAST(mind AS DECIMAL(25,9))) AS DOUBLE)), 4)
+         AS recon_err
+FROM codes GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def bp1_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-span detection (the common-span half of
     substring-level dedup, Lee et al. 2021's pipeline sibling): 8-gram
@@ -2099,6 +2148,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup", "fingerprint")),
     QuerySpec("ctm3_semantic_contamination", ctm3_semantic_contamination,
               CTM3_ORACLE, tags=("llm", "contamination", "ann")),
+    QuerySpec("qz2_pq_encode", qz2_pq_encode, QZ2_ORACLE,
+              tags=("llm", "similarity", "quantization")),
     QuerySpec("sem1_semantic_dedup", sem1_semantic_dedup, SEM1_ORACLE,
               tags=("llm", "dedup", "similarity", "iterative")),
     QuerySpec("tx8_normalize", tx8_normalize, TX8_ORACLE,

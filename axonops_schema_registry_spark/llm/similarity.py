@@ -485,6 +485,48 @@ def label_cohesion(df: DataFrame, id_col: str = "vec_id",
             .orderBy("label"))
 
 
+#: per-pair squared-L2 fold over zipped subvectors — deterministic
+#: left-to-right array order, identical in the DuckDB replay
+_PQ_D2 = ("aggregate(zip_with(__sv, __cv, (x, c) -> "
+          "(x - c) * (x - c)), CAST(0 AS DOUBLE), "
+          "(acc, w) -> acc + w)")
+
+
+def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str,
+                   m: int) -> DataFrame:
+    """(id, vec) → long-format (``__id``, ``__m``, ``__sv``): the
+    vector split into ``m`` equal contiguous subspaces."""
+    sub_structs = [
+        F.struct(
+            F.lit(j).alias("__m"),
+            F.expr(f"transform(slice({vec_col}, "
+                   f"{j} * (size({vec_col}) DIV {m}) + 1, "
+                   f"size({vec_col}) DIV {m}), "
+                   "x -> CAST(x AS DOUBLE))").alias("__sv"))
+        for j in range(m)]
+    return (df.select(F.col(id_col).alias("__id"),
+                      F.explode(F.array(*sub_structs)).alias("__s"))
+            .select("__id", F.col("__s.__m").alias("__m"),
+                    F.col("__s.__sv").alias("__sv")))
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment per (vector, subspace) against a
+    broadcast codebook: (__id, __m, __code, __mind).  Argmin with
+    deterministic ties — every candidate at the exact minimum distance
+    competes and the smallest centroid id wins (both engines compute
+    the identical doubles, so the tie set matches)."""
+    scored = (subs.join(F.broadcast(codebook), "__m")
+              .withColumn("__d2", F.expr(_PQ_D2)))
+    mind = (scored.groupBy("__id", "__m")
+            .agg(F.min("__d2").alias("__mind")))
+    return (scored.join(mind, ["__id", "__m"])
+            .filter(F.col("__d2") == F.col("__mind"))
+            .groupBy("__id", "__m")
+            .agg(F.min("__cid").alias("__code"),
+                 F.min("__mind").alias("__mind")))
+
+
 def pq_encode(df: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", m: int = 4,
               centroid_stride: int = 31,
@@ -512,36 +554,11 @@ def pq_encode(df: DataFrame, id_col: str = "vec_id",
     N x m x K with map-side combine, no shuffle of the vectors
     themselves.
     """
-    sub_structs = [
-        F.struct(
-            F.lit(j).alias("__m"),
-            F.expr(f"transform(slice({vec_col}, "
-                   f"{j} * (size({vec_col}) DIV {m}) + 1, "
-                   f"size({vec_col}) DIV {m}), "
-                   "x -> CAST(x AS DOUBLE))").alias("__sv"))
-        for j in range(m)]
-    subs = df.select(F.col(id_col).alias("__id"),
-                     F.explode(F.array(*sub_structs)).alias("__s")) \
-        .select("__id", F.col("__s.__m").alias("__m"),
-                F.col("__s.__sv").alias("__sv"))
+    subs = _pq_subvectors(df, id_col, vec_col, m)
     codebook = (subs.filter(F.col("__id") % centroid_stride == 0)
                 .select("__m", F.col("__id").alias("__cid"),
                         F.col("__sv").alias("__cv")))
-    d2 = F.expr("aggregate(zip_with(__sv, __cv, (x, c) -> "
-                "(x - c) * (x - c)), CAST(0 AS DOUBLE), "
-                "(acc, w) -> acc + w)")
-    scored = (subs.join(F.broadcast(codebook), "__m")
-              .withColumn("__d2", d2))
-    mind = (scored.groupBy("__id", "__m")
-            .agg(F.min("__d2").alias("__mind")))
-    # argmin with deterministic ties: every candidate at the exact
-    # minimum distance competes, smallest centroid id wins (both
-    # engines compute the identical doubles, so the tie set matches)
-    codes = (scored.join(mind, ["__id", "__m"])
-             .filter(F.col("__d2") == F.col("__mind"))
-             .groupBy("__id", "__m")
-             .agg(F.min("__cid").alias("__code"),
-                  F.min("__mind").alias("__mind")))
+    codes = _pq_assign(subs, codebook)
     return (codes.groupBy(F.col("__id").alias(id_col))
             .agg(*[F.max(F.when(F.col("__m") == j, F.col("__code")))
                    .cast("bigint").alias(f"code_{j}")
@@ -551,3 +568,48 @@ def pq_encode(df: DataFrame, id_col: str = "vec_id",
                                   .cast("decimal(25,9)"))
                             .cast("double")), round_digits)
                  .alias("recon_err")))
+
+
+def pq_adc_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                m: int = 4, centroid_stride: int = 31,
+                round_digits: int = 4) -> DataFrame:
+    """PQ approximate top-k via Asymmetric Distance Computation (Jégou
+    et al. 2011): the corpus is stored as PQ CODES (pq_encode's
+    representation, never raw floats), each query precomputes one tiny
+    (subspace × centroid) distance table, and a corpus row's distance
+    is the sum of m table lookups — the canonical memory-bounded ANN
+    search a 100 TB deployment runs over the quantized table.
+
+    ``queries``: (query_id, query_vec); ``corpus``: (corpus_id,
+    corpus_vec).  Output: (query_id, corpus_id, adc_dist, rank) — rank
+    ascending by rounded ADC distance, ties on corpus_id.
+
+    Scale: codes = corpus × m rows; the query distance tables
+    (queries × m × centroids) broadcast, so the scoring join touches
+    each code row once per query with no shuffle of vectors; per-pair
+    distances sum through DECIMAL (m exact terms) and the final top-k
+    is one per-query window over rounded, tie-broken scores.
+    """
+    c_subs = _pq_subvectors(corpus, "corpus_id", "corpus_vec", m)
+    codebook = (c_subs.filter(F.col("__id") % centroid_stride == 0)
+                .select("__m", F.col("__id").alias("__cid"),
+                        F.col("__sv").alias("__cv")))
+    codes = _pq_assign(c_subs, codebook) \
+        .select(F.col("__id").alias("corpus_id"), "__m", "__code")
+    q_tab = (_pq_subvectors(queries, "query_id", "query_vec", m)
+             .join(F.broadcast(codebook), "__m")
+             .select(F.col("__id").alias("query_id"), "__m", "__cid",
+                     F.expr(_PQ_D2).alias("__qd2")))
+    adc = (codes.join(F.broadcast(q_tab),
+                      (codes["__m"] == q_tab["__m"])
+                      & (codes["__code"] == q_tab["__cid"]))
+           .groupBy("query_id", "corpus_id")
+           .agg(F.round(F.sqrt(F.sum(F.col("__qd2")
+                                     .cast("decimal(25,9)"))
+                               .cast("double")), round_digits)
+                .alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("corpus_id"))
+    return (adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "adc_dist", "rank"))

@@ -23,7 +23,7 @@ _PRIORITY: tuple[str, ...] = (
     # Round-7 rotation (VERDICT r6 ask #3, oldest-first): the six
     # never-driver-sampled specs lead (sem1/lab1 AFTER their scale
     # fixes landed), then this round's new and changed-code specs,
-    # then every r3-stale spec, then 25 of the 40 r4-green specs
+    # then every r3-stale spec, then 24 of the 40 r4-green specs
     # reaching the freshness bound.  After this round no spec's
     # newest green row is older than r4.
     # -- never driver-sampled (recomputed by set-union r1–r6)
@@ -33,6 +33,7 @@ _PRIORITY: tuple[str, ...] = (
     "pk2_segmented_packing", "mm4_wav_decode",
     "ppl1_unigram_perplexity", "mix2_segmented_mixture",
     "ctm3_semantic_contamination", "qz2_pq_encode",
+    "nn4_pq_adc_topk",
     # -- changed semantics/code this round: aud3 int-coded two-stage
     #    classifier, dd4 checkpointed connected components, met1
     #    deterministic no-identity fallback, ctm2 distinct-seed bloom
@@ -44,9 +45,9 @@ _PRIORITY: tuple[str, ...] = (
     "mp1_migration_path", "r2_version_history",
     "r3_schema_versions_view", "tx1_language_id", "tx2_token_stats",
     "tx3_rolling_fingerprint",
-    # -- 25 of the 40 r4-green specs (registration-order slice); the
-    #    15 deferred names (q16_supplier_counts, q4_order_priority,
-    #    r8_delete_reregister,
+    # -- 24 of the 40 r4-green specs (registration-order slice); the
+    #    16 deferred names (q12_priority_linestatus, q16_supplier_counts,
+    #    q4_order_priority, r8_delete_reregister,
     #    rj1_events_in_windows,
     #    rv1_ruleset_validation, s9_import_with_ids,
     #    sk1_distinct_sketches, st2_filtered_cef_lines,
@@ -65,7 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "j8_kek_dek_lifecycle", "j8b_dek_rewrap",
     "j8c_dek_undelete_lifecycle", "m1_metadata_merge",
     "mode1_write_gating", "nn1_cosine_topk", "nn3_ivf_ann_topk",
-    "q12_priority_linestatus", "r7_registration_gated",
+    "r7_registration_gated",
 )
 
 

@@ -1955,6 +1955,70 @@ FROM codes GROUP BY vec_id ORDER BY vec_id
 """
 
 
+def nn4_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k (llm/similarity.py:pq_adc_topk): the
+    corpus is reduced to pq_encode's centroid codes; each query builds
+    one tiny broadcast distance table per subspace and a corpus row's
+    distance is the exact DECIMAL sum of 4 table lookups — the
+    memory-bounded ANN search that completes the qz2 story.  Same
+    query/corpus split as nn1-nn3."""
+    from axonops_schema_registry_spark.llm.similarity import pq_adc_topk
+
+    queries, corpus = _emb_split(spark, sf_dir)
+    return pq_adc_topk(queries, corpus, k=5)
+
+
+NN4_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings),
+subs AS (
+  SELECT vec_id, j,
+         list_slice(ev, j * (len(ev) // 4) + 1,
+                    (j + 1) * (len(ev) // 4)) AS sv
+  FROM v, (SELECT unnest(generate_series(0, 3)) AS j)),
+cb AS (
+  SELECT j, vec_id AS cid, sv AS cv
+  FROM subs WHERE vec_id >= 10 AND vec_id % 31 = 0),
+cscored AS (
+  SELECT s.vec_id AS corpus_id, s.j, c.cid,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_zip(s.sv, c.cv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (acc, w) -> acc + w) AS d2
+  FROM subs s JOIN cb c USING (j) WHERE s.vec_id >= 10),
+cmind AS (
+  SELECT corpus_id, j, MIN(d2) AS mind
+  FROM cscored GROUP BY corpus_id, j),
+codes AS (
+  SELECT s.corpus_id, s.j, MIN(s.cid) AS code
+  FROM cscored s JOIN cmind m
+    ON m.corpus_id = s.corpus_id AND m.j = s.j AND s.d2 = m.mind
+  GROUP BY s.corpus_id, s.j),
+qtab AS (
+  SELECT s.vec_id AS query_id, s.j, c.cid,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_zip(s.sv, c.cv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (acc, w) -> acc + w) AS qd2
+  FROM subs s JOIN cb c USING (j) WHERE s.vec_id < 10),
+adc AS (
+  SELECT q.query_id, x.corpus_id,
+         round(sqrt(CAST(SUM(CAST(q.qd2 AS DECIMAL(25,9)))
+                         AS DOUBLE)), 4) AS adc_dist
+  FROM codes x JOIN qtab q ON q.j = x.j AND q.cid = x.code
+  GROUP BY q.query_id, x.corpus_id),
+ranked AS (
+  SELECT query_id, corpus_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, corpus_id ASC) AS INT) AS rank
+  FROM adc)
+SELECT query_id, corpus_id, adc_dist, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def bp1_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-span detection (the common-span half of
     substring-level dedup, Lee et al. 2021's pipeline sibling): 8-gram
@@ -2150,6 +2214,8 @@ SPECS: list[QuerySpec] = [
               CTM3_ORACLE, tags=("llm", "contamination", "ann")),
     QuerySpec("qz2_pq_encode", qz2_pq_encode, QZ2_ORACLE,
               tags=("llm", "similarity", "quantization")),
+    QuerySpec("nn4_pq_adc_topk", nn4_pq_adc_topk, NN4_ORACLE,
+              tags=("llm", "similarity", "ann", "quantization")),
     QuerySpec("sem1_semantic_dedup", sem1_semantic_dedup, SEM1_ORACLE,
               tags=("llm", "dedup", "similarity", "iterative")),
     QuerySpec("tx8_normalize", tx8_normalize, TX8_ORACLE,

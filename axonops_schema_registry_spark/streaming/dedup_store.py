@@ -28,10 +28,14 @@ First-wins semantics are identical to
 tests/test_streaming.py against the one-shot batch run.
 
 At very long stream lifetimes the epoch partitions accumulate small
-files; the production follow-up is periodic compaction of epochs below
-the streaming checkpoint's committed watermark (safe because replays
-can only target epochs at-or-after it) — orthogonal to the per-batch
-cost contract measured in docs/SCALING.md.
+files; :meth:`BucketedDedupStore.compact` merges every epoch below the
+streaming checkpoint's committed watermark (safe because replays can
+only target epochs at-or-after it) into a generation-numbered base
+directory.  The swap is crash-safe: the new base generation is fully
+written FIRST, then a tiny meta.json is atomically replaced
+(``os.replace``), and only then are superseded directories deleted —
+a crash at any point leaves meta.json pointing at one consistent view,
+and orphan directories are swept by the next compaction.
 
 Reference analogue: none (the reference has no dedup-at-ingest stream);
 this is the north-star training-pipeline surface (BASELINE.json).
@@ -39,7 +43,9 @@ this is the north-star training-pipeline surface (BASELINE.json).
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,19 +79,94 @@ class BucketedDedupStore:
         self.id_col, self.text_col = id_col, text_col
         self.threshold, self.ngram = threshold, ngram
         self.n_hashes, self.bands = n_hashes, bands
+        self.meta_path = os.path.join(store_dir, "meta.json")
         self.flags: dict[int, tuple[bool, int | None]] = {}
 
     # -- store access -----------------------------------------------------
 
+    def _meta(self) -> dict:
+        """{"gen": current base generation or -1, "below": first
+        non-compacted epoch} — the one file whose atomic os.replace
+        commits a compaction."""
+        try:
+            with open(self.meta_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"gen": -1, "below": 0}
+
+    @staticmethod
+    def _base_dir(path: str, gen: int) -> str:
+        return os.path.join(path + "_base", f"g{gen}")
+
     def _stored(self, path: str, before_epoch: int) -> DataFrame | None:
-        """Epoch partitions strictly BEFORE the one being processed —
-        a replayed epoch must not see its own earlier (failed) write."""
-        if not os.path.isdir(path):
+        """Everything accepted strictly BEFORE the epoch being
+        processed — a replayed epoch must not see its own earlier
+        (failed) write: the current base generation (epochs below the
+        compaction watermark) plus the live epoch partitions in
+        [watermark, before_epoch)."""
+        meta = self._meta()
+        parts = []
+        if meta["gen"] >= 0:
+            base = self._base_dir(path, meta["gen"])
+            if os.path.isdir(base):
+                parts.append(self.spark.read.parquet(base))
+        # compaction may have deleted every epoch dir; an epoch-less
+        # directory is unreadable (no schema to infer), so probe first
+        if os.path.isdir(path) and any(d.startswith("epoch=")
+                                       for d in os.listdir(path)):
+            df = self.spark.read.parquet(path)
+            if "epoch" in df.columns:
+                parts.append(df.filter(
+                    (F.col("epoch") >= meta["below"])
+                    & (F.col("epoch") < before_epoch)).drop("epoch"))
+        if not parts:
             return None
-        df = self.spark.read.parquet(path)
-        if "epoch" not in df.columns:  # no partition discovered: empty
-            return None
-        return df.filter(F.col("epoch") < before_epoch).drop("epoch")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- compaction -------------------------------------------------------
+
+    def compact(self, below_epoch: int) -> None:
+        """Fold every epoch partition < ``below_epoch`` (which must be
+        at-or-below the streaming checkpoint's committed watermark —
+        replays can then only target epochs this never touches) into
+        the next base generation.  Write order makes a crash at ANY
+        point harmless: (1) new generation directories are fully
+        written, (2) meta.json is atomically replaced to point at them,
+        (3) superseded directories are deleted best-effort — orphans
+        from a crash between (1) and (2), or leftovers from a crash
+        during (3), are swept by the next compaction."""
+        meta = self._meta()
+        if below_epoch <= meta["below"]:
+            return  # nothing new to fold
+        new_gen = meta["gen"] + 1
+        for path in (self.buckets_dir, self.toks_dir):
+            merged = self._stored(path, below_epoch)
+            if merged is None:
+                return
+            merged.write.mode("overwrite").parquet(
+                self._base_dir(path, new_gen))
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"gen": new_gen, "below": below_epoch}, f)
+        os.replace(tmp, self.meta_path)  # the commit point
+        # cleanup: superseded generations and folded epoch partitions
+        for path in (self.buckets_dir, self.toks_dir):
+            for g in range(new_gen):
+                shutil.rmtree(self._base_dir(path, g),
+                              ignore_errors=True)
+            if os.path.isdir(path):
+                for d in os.listdir(path):
+                    if d.startswith("epoch="):
+                        try:
+                            e = int(d.split("=", 1)[1])
+                        except ValueError:
+                            continue
+                        if e < below_epoch:
+                            shutil.rmtree(os.path.join(path, d),
+                                          ignore_errors=True)
 
     # -- the per-batch pipeline -------------------------------------------
 

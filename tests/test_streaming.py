@@ -616,3 +616,59 @@ def test_coded_case_sql_rewrites_only_result_literals(spark):
            .collect())
     for r in got:
         assert labels[r["code"]] == r["s"]
+
+
+def test_bucketed_dedup_store_compaction_preserves_flags(spark):
+    """compact() folds pre-watermark epochs into a base generation:
+    post-compaction batches see the identical prior state (flags match
+    a never-compacted twin store), folded epoch dirs are gone, and a
+    replay of a post-watermark epoch stays idempotent."""
+    from axonops_schema_registry_spark.streaming.dedup_store import (
+        BucketedDedupStore,
+    )
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, " ".join(f"w{i % 7}t{j}" for j in range(8)))
+             for i in ids], "doc_id bigint, text string")
+
+    b0, b1, b2 = batch(range(5)), batch(range(10, 15)), \
+        batch(range(20, 25))
+    d_plain = tempfile.mkdtemp(prefix="cmp_plain_")
+    d_comp = tempfile.mkdtemp(prefix="cmp_comp_")
+    try:
+        plain = BucketedDedupStore(spark, d_plain)
+        comp = BucketedDedupStore(spark, d_comp)
+        for s in (plain, comp):
+            s(b0, epoch_id=0)
+            s(b1, epoch_id=1)
+        comp.compact(below_epoch=2)  # watermark: epochs 0-1 committed
+        for s in (plain, comp):
+            s(b2, epoch_id=2)
+        assert comp.flags == plain.flags
+        # cross-batch dups exist (w{i%7} vocab repeats across batches)
+        assert any(d for d, _ in comp.flags.values())
+        # folded epoch dirs are gone; base generation holds them
+        buckets = os.path.join(d_comp, "buckets")
+        live = [d for d in os.listdir(buckets)
+                if d.startswith("epoch=")]
+        assert live == ["epoch=2"]
+        assert os.path.isdir(os.path.join(d_comp, "buckets_base", "g0"))
+        # replaying the post-watermark epoch after compaction is still
+        # idempotent
+        before = dict(comp.flags)
+        comp(b2, epoch_id=2)
+        assert comp.flags == before
+        # a second compaction folds epoch 2 into generation 1 and
+        # sweeps generation 0
+        comp.compact(below_epoch=3)
+        assert not os.path.isdir(os.path.join(d_comp, "buckets_base",
+                                              "g0"))
+        assert os.path.isdir(os.path.join(d_comp, "buckets_base", "g1"))
+        b3 = batch(range(30, 35))
+        plain(b3, epoch_id=3)
+        comp(b3, epoch_id=3)
+        assert comp.flags == plain.flags
+    finally:
+        for p in (d_plain, d_comp):
+            shutil.rmtree(p, ignore_errors=True)

@@ -175,6 +175,48 @@ class CurationPipeline:
 
         return tfidf_top_terms(self.docs, self.id_col, self.text_col, k)
 
+    def perplexity(self):
+        """Corpus-fitted unigram-LM surprisal per document (ppl1) —
+        the CCNet-style quality signal to threshold next to
+        :meth:`quality_flags`."""
+        from axonops_schema_registry_spark.llm.text import (
+            unigram_surprisal,
+        )
+
+        return unigram_surprisal(self.docs, self.id_col, self.text_col)
+
+    def chunked(self, chunk_words: int = 256, stride_words: int = 192):
+        """Overlapping word-aligned chunk manifest (ch1)."""
+        from axonops_schema_registry_spark.llm.packing import (
+            chunk_documents,
+        )
+
+        return chunk_documents(self.docs, chunk_words, stride_words,
+                               self.id_col, self.text_col)
+
+    def packed_segmented(self, context_len: int = 4096,
+                         n_segments: int = 16):
+        """Hash-range segmented pack assignments (pk2) — the packing
+        shape whose window parallelism is sources × segments."""
+        from axonops_schema_registry_spark.llm.packing import (
+            pack_assignments_segmented,
+        )
+
+        return pack_assignments_segmented(self.docs, context_len,
+                                          n_segments, self.id_col,
+                                          self.source_col,
+                                          self.text_col)
+
+    def mixture_segmented(self, quotas, n_segments: int = 16):
+        """Rank-exact segmented mixture manifest (mix2): identical
+        output to :meth:`mixture`, sources × segments window tasks."""
+        from axonops_schema_registry_spark.llm.sampling import (
+            dataset_mixture_segmented,
+        )
+
+        return dataset_mixture_segmented(self.docs, quotas, n_segments,
+                                         self.id_col, self.source_col)
+
     def release_report(self, eval_docs, threshold: float = 0.8,
                        ngram: int = 3, contam_n: int = 5):
         """The capstone per-source release sign-off (rel1's shape over

@@ -529,7 +529,7 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
 
 def pq_encode(df: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", m: int = 4,
-              centroid_stride: int = 31,
+              centroid_stride: int = 31, max_centroids: int = 256,
               round_digits: int = 4) -> DataFrame:
     """Product-quantization encode (Jégou et al. 2011, public) with
     DETERMINISTIC data-sample codebooks — the memory-bounded ANN
@@ -539,10 +539,13 @@ def pq_encode(df: DataFrame, id_col: str = "vec_id",
 
     Codebooks follow the ivf_ann_topk_portable convention: subspace
     ``j``'s centroids are the j-th subvectors of the rows where
-    ``id % centroid_stride == 0`` (no Lloyd refinement), so the whole
-    computation — codebook, assignment, reconstruction error — replays
-    identically in the DuckDB oracle.  Codebook count grows with the
-    corpus (|corpus|/stride), the natural PQ scaling.
+    ``id % centroid_stride == 0`` — but CAPPED at ``max_centroids``
+    entries (``id < stride * max_centroids``), the way real PQ fixes
+    k (typically 256, one byte per code): an uncapped data-sampled
+    codebook grows with the corpus and turns the encode into
+    O(N²/stride) work — measured as a >1.0 scaling ratio before the
+    cap landed (docs/SCALING.md r7 appendix).  Deterministic and
+    SQL-replayable either way.
 
     Output: (id, code_0..code_{m-1}, recon_err) — codes are centroid
     ids; recon_err is the L2 reconstruction distance, subspace
@@ -555,7 +558,9 @@ def pq_encode(df: DataFrame, id_col: str = "vec_id",
     themselves.
     """
     subs = _pq_subvectors(df, id_col, vec_col, m)
-    codebook = (subs.filter(F.col("__id") % centroid_stride == 0)
+    codebook = (subs.filter(
+                    (F.col("__id") % centroid_stride == 0)
+                    & (F.col("__id") < centroid_stride * max_centroids))
                 .select("__m", F.col("__id").alias("__cid"),
                         F.col("__sv").alias("__cv")))
     codes = _pq_assign(subs, codebook)
@@ -572,6 +577,7 @@ def pq_encode(df: DataFrame, id_col: str = "vec_id",
 
 def pq_adc_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 m: int = 4, centroid_stride: int = 31,
+                max_centroids: int = 256,
                 round_digits: int = 4) -> DataFrame:
     """PQ approximate top-k via Asymmetric Distance Computation (Jégou
     et al. 2011): the corpus is stored as PQ CODES (pq_encode's
@@ -591,7 +597,9 @@ def pq_adc_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     is one per-query window over rounded, tie-broken scores.
     """
     c_subs = _pq_subvectors(corpus, "corpus_id", "corpus_vec", m)
-    codebook = (c_subs.filter(F.col("__id") % centroid_stride == 0)
+    codebook = (c_subs.filter(
+                    (F.col("__id") % centroid_stride == 0)
+                    & (F.col("__id") < centroid_stride * max_centroids))
                 .select("__m", F.col("__id").alias("__cid"),
                         F.col("__sv").alias("__cv")))
     codes = _pq_assign(c_subs, codebook) \

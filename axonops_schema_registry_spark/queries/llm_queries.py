@@ -1929,7 +1929,8 @@ subs AS (
                     (j + 1) * (len(ev) // 4)) AS sv
   FROM v, (SELECT unnest(generate_series(0, 3)) AS j)),
 cb AS (
-  SELECT j, vec_id AS cid, sv AS cv FROM subs WHERE vec_id % 31 = 0),
+  SELECT j, vec_id AS cid, sv AS cv
+  FROM subs WHERE vec_id % 31 = 0 AND vec_id < 7936),
 scored AS (
   SELECT s.vec_id, s.j, c.cid,
          list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1980,7 +1981,8 @@ subs AS (
   FROM v, (SELECT unnest(generate_series(0, 3)) AS j)),
 cb AS (
   SELECT j, vec_id AS cid, sv AS cv
-  FROM subs WHERE vec_id >= 10 AND vec_id % 31 = 0),
+  FROM subs
+  WHERE vec_id >= 10 AND vec_id % 31 = 0 AND vec_id < 7936),
 cscored AS (
   SELECT s.vec_id AS corpus_id, s.j, c.cid,
          list_reduce(list_prepend(CAST(0 AS DOUBLE),

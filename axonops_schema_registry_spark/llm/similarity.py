@@ -311,17 +311,24 @@ def lsh_cosine_pairs_portable(vectors: DataFrame, id_col: str,
 
 def ivf_ann_topk_portable(queries: DataFrame, corpus: DataFrame,
                           k: int = 5, centroid_stride: int = 31,
-                          n_probe: int = 4,
+                          n_probe: int = 4, max_centroids: int = 256,
                           round_digits: int = 4) -> DataFrame:
     """IVF approximate top-k with DETERMINISTIC data-sample centroids
     (corpus rows where ``corpus_id % centroid_stride == 0``) and no Lloyd
     refinement, so the whole computation — assignment, probe lists, exact
-    rerank — replays identically in the DuckDB oracle.  Centroid count
-    grows with the corpus (|corpus|/stride), the natural IVF scaling; at
-    100 TB the corpus is written partitioned by ``centroid_id`` and a
-    probe prunes to n_probe partitions.
+    rerank — replays identically in the DuckDB oracle.  The sample is
+    CAPPED at ``max_centroids`` (id < stride * max_centroids) — the
+    same fix pq_encode needed: an uncapped data-sampled codebook grows
+    with the corpus and makes the broadcast assignment O(N²/stride).
+    At 100 TB the corpus is written partitioned by ``centroid_id`` and
+    a probe prunes to n_probe partitions; list sizes then grow with
+    the corpus, which production IVF counters by raising
+    ``max_centroids`` (and assignment cost stays N × max_centroids).
     """
-    centroids = (corpus.filter(F.col("corpus_id") % centroid_stride == 0)
+    centroids = (corpus.filter(
+                     (F.col("corpus_id") % centroid_stride == 0)
+                     & (F.col("corpus_id")
+                        < centroid_stride * max_centroids))
                  .select(F.col("corpus_id").alias("centroid_id"),
                          F.col("corpus_vec").alias("centroid_vec")))
     cent_n = with_norm(centroids, "centroid_vec", "cent_norm")

@@ -529,7 +529,7 @@ c AS (SELECT vec_id AS corpus_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
       FROM embeddings WHERE vec_id >= 10),
 cent AS (SELECT corpus_id AS centroid_id, cv AS centv
-         FROM c WHERE corpus_id % 31 = 0),
+         FROM c WHERE corpus_id % 31 = 0 AND corpus_id < 7936),
 cassign AS (
   SELECT corpus_id, centroid_id FROM (
     SELECT c.corpus_id, cent.centroid_id,

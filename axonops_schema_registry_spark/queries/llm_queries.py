@@ -2021,6 +2021,61 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def ev1_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@5 of the PQ-ADC index (nn4)
+    against the exact cosine baseline (nn1), per query: the measurement
+    a 100 TB deployment runs before trusting an approximate index, and
+    the report that justifies quantization parameters (m, k) against
+    retrieval quality.  Composes the two independently driver-verified
+    operators; the oracle composes their oracle CTE chains verbatim so
+    the evaluation itself is hash-checked.
+
+    On THIS corpus the measured recall is intentionally poor (0-0.4):
+    the synthetic embeddings are i.i.d.-uniform, so pairwise distances
+    concentrate and 4-subspace PQ cannot separate neighbors — exactly
+    the situation this report exists to catch (real embedding
+    manifolds cluster; uniform noise is the worst case).  Compare nn2,
+    whose exact-rerank-on-candidates design keeps recall high on any
+    distribution."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+    )
+
+    queries, corpus = _emb_split(spark, sf_dir)
+    exact = cosine_topk(queries, corpus, k=5) \
+        .select("query_id", "corpus_id")
+    ann = pq_adc_topk(queries, corpus, k=5) \
+        .select("query_id", "corpus_id")
+    overlap = (exact.join(ann, ["query_id", "corpus_id"])
+               .groupBy("query_id")
+               .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (exact.select("query_id").distinct()
+            .join(overlap, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                    .alias("n_overlap"),
+                    F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 4)
+                    .alias("recall_at_5"))
+            .orderBy("query_id"))
+
+
+EV1_ORACLE = f"""
+WITH exact AS ({NN1_ORACLE}), ann AS ({NN4_ORACLE}),
+ov AS (
+  SELECT e.query_id, COUNT(*) AS n_overlap
+  FROM exact e JOIN ann a
+    ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+  GROUP BY e.query_id)
+SELECT q.query_id,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(ov.n_overlap, 0) / 5.0, 4) AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN ov USING (query_id)
+ORDER BY query_id
+"""
+
+
 def bp1_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-span detection (the common-span half of
     substring-level dedup, Lee et al. 2021's pipeline sibling): 8-gram
@@ -2218,6 +2273,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "similarity", "quantization")),
     QuerySpec("nn4_pq_adc_topk", nn4_pq_adc_topk, NN4_ORACLE,
               tags=("llm", "similarity", "ann", "quantization")),
+    QuerySpec("ev1_ann_recall", ev1_ann_recall, EV1_ORACLE,
+              tags=("llm", "similarity", "ann", "evaluation")),
     QuerySpec("sem1_semantic_dedup", sem1_semantic_dedup, SEM1_ORACLE,
               tags=("llm", "dedup", "similarity", "iterative")),
     QuerySpec("tx8_normalize", tx8_normalize, TX8_ORACLE,

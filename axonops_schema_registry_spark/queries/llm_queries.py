@@ -2032,11 +2032,12 @@ def ev1_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     On THIS corpus the measured recall is intentionally poor (0-0.4):
     the synthetic embeddings are i.i.d.-uniform, so pairwise distances
-    concentrate and 4-subspace PQ cannot separate neighbors — exactly
-    the situation this report exists to catch (real embedding
-    manifolds cluster; uniform noise is the worst case).  Compare nn2,
-    whose exact-rerank-on-candidates design keeps recall high on any
-    distribution."""
+    concentrate and NO sublinear index separates neighbors — exactly
+    the situation this report exists to catch before deployment (real
+    embedding manifolds cluster; uniform noise is the worst case).
+    ev2 measures the LSH+rerank index the same way, and
+    tests/test_llm_ops.py pins that both index families reach full
+    recall when planted structure exists."""
     from axonops_schema_registry_spark.llm.similarity import (
         cosine_topk,
         pq_adc_topk,
@@ -2062,6 +2063,54 @@ def ev1_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EV1_ORACLE = f"""
 WITH exact AS ({NN1_ORACLE}), ann AS ({NN4_ORACLE}),
+ov AS (
+  SELECT e.query_id, COUNT(*) AS n_overlap
+  FROM exact e JOIN ann a
+    ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+  GROUP BY e.query_id)
+SELECT q.query_id,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(ov.n_overlap, 0) / 5.0, 4) AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN ov USING (query_id)
+ORDER BY query_id
+"""
+
+
+def ev2_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev1's companion: recall@5 of the LSH-with-exact-rerank index
+    (nn2) against the same exact baseline.  Together ev1/ev2 are the
+    index-selection report a deployment reads before choosing an ANN
+    family.  On this i.i.d.-uniform corpus BOTH degrade — rerank is
+    exact only over candidates, and uninformative buckets miss the
+    true neighbors — which is precisely the honest measurement; the
+    planted-structure recall both families DO achieve is pinned in
+    tests/test_llm_ops.py."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        cosine_topk,
+        lsh_ann_topk_portable,
+    )
+
+    queries, corpus = _emb_split(spark, sf_dir)
+    exact = cosine_topk(queries, corpus, k=5) \
+        .select("query_id", "corpus_id")
+    ann = lsh_ann_topk_portable(queries, corpus, k=5) \
+        .select("query_id", "corpus_id")
+    overlap = (exact.join(ann, ["query_id", "corpus_id"])
+               .groupBy("query_id")
+               .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (exact.select("query_id").distinct()
+            .join(overlap, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                    .alias("n_overlap"),
+                    F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 4)
+                    .alias("recall_at_5"))
+            .orderBy("query_id"))
+
+
+EV2_ORACLE = f"""
+WITH exact AS ({NN1_ORACLE}), ann AS ({NN2_ORACLE}),
 ov AS (
   SELECT e.query_id, COUNT(*) AS n_overlap
   FROM exact e JOIN ann a
@@ -2274,6 +2323,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("nn4_pq_adc_topk", nn4_pq_adc_topk, NN4_ORACLE,
               tags=("llm", "similarity", "ann", "quantization")),
     QuerySpec("ev1_ann_recall", ev1_ann_recall, EV1_ORACLE,
+              tags=("llm", "similarity", "ann", "evaluation")),
+    QuerySpec("ev2_lsh_recall", ev2_lsh_recall, EV2_ORACLE,
               tags=("llm", "similarity", "ann", "evaluation")),
     QuerySpec("sem1_semantic_dedup", sem1_semantic_dedup, SEM1_ORACLE,
               tags=("llm", "dedup", "similarity", "iterative")),

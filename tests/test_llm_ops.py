@@ -580,3 +580,28 @@ def test_winnowing_short_doc_empty(spark):
     # doc 1: 1 k-gram < w windows -> nothing; doc 2: 4 grams = 1 window
     ids = {r.id for r in rows}
     assert ids == {2}
+
+
+def test_pq_adc_planted_recall(spark, sf_dir):
+    """A query identical to a corpus vector scores ADC distance equal
+    to that vector's own reconstruction error — the smallest value its
+    quantized representation can produce — so the planted match must
+    appear in the top-5 (and empirically at rank 1 on this corpus).
+    The uniform-noise recall ceiling for NON-planted neighbors is
+    measured honestly by ev1_ann_recall instead."""
+    from axonops_schema_registry_spark.llm.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"))
+    planted = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)) \
+        .select((F.col("vec_id") - 10).alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    got = pq_adc_topk(planted, corpus, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.corpus_id))
+    for qid in range(10):
+        top5 = [c for _, c in sorted(by_q[qid])]
+        assert qid + 10 in top5, f"planted match missed for {qid}"

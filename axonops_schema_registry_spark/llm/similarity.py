@@ -258,7 +258,9 @@ def lsh_cosine_pairs_portable(vectors: DataFrame, id_col: str,
                               vec_col: str, threshold: float = 0.4,
                               n_bits: int = 5, n_tables: int = 2,
                               plane_base: int = 10,
-                              round_digits: int = 4) -> DataFrame:
+                              round_digits: int = 4,
+                              b_ids: DataFrame | None = None
+                              ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: hyperplane-LSH candidate
     generation (data-derived planes, same construction as
     :func:`lsh_ann_topk_portable`) + exact cosine verification at
@@ -268,6 +270,15 @@ def lsh_cosine_pairs_portable(vectors: DataFrame, id_col: str,
     the standard LSH curve — production tunes n_bits/n_tables to the
     target threshold; the DuckDB oracle replays the identical bucketing
     so the driver hash-checks the full pipeline independent of recall.
+
+    ``b_ids`` (single ``id`` column) restricts the RIGHT side of the
+    bucket join — the asymmetric screening shape (a small slice vs the
+    whole corpus, e.g. semantic decontamination): candidate volume is
+    bounded by the slice's bucket collisions instead of every
+    same-bucket pair corpus-wide, and pairs are emitted as
+    (id_a = any, id_b ∈ b_ids) with ``id_a != id_b`` (no ``<``
+    ordering, so a partner on either side of the id order is found).
+    The symmetric default keeps the de-duplicating ``id_a < id_b``.
     """
     n_planes = n_bits * n_tables
     lo, hi = plane_base, plane_base + 2 * n_planes - 1
@@ -293,9 +304,14 @@ def lsh_cosine_pairs_portable(vectors: DataFrame, id_col: str,
                .groupBy(id_col, "table")
                .agg(F.sum("__b").alias("bucket")))
     a = buckets.select(F.col(id_col).alias("id_a"), "table", "bucket")
-    b = buckets.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    b_side = buckets if b_ids is None else buckets.join(
+        F.broadcast(b_ids.select(F.col(b_ids.columns[0])
+                                 .alias(id_col))), id_col)
+    b = b_side.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    pair_pred = (F.col("id_a") < F.col("id_b") if b_ids is None
+                 else F.col("id_a") != F.col("id_b"))
     cand = (a.join(b, ["table", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(pair_pred)
             .select("id_a", "id_b").distinct())
     v = with_norm(vectors, vec_col, "__n")
     va = v.select(F.col(id_col).alias("id_a"),
@@ -317,7 +333,8 @@ def ivf_ann_topk_portable(queries: DataFrame, corpus: DataFrame,
     (corpus rows where ``corpus_id % centroid_stride == 0``) and no Lloyd
     refinement, so the whole computation — assignment, probe lists, exact
     rerank — replays identically in the DuckDB oracle.  The sample is
-    CAPPED at ``max_centroids`` (id < stride * max_centroids) — the
+    CAPPED at the ``max_centroids`` smallest sampled ids (rank-based;
+    an absolute id bound would empty out on offset id spaces) — the
     same fix pq_encode needed: an uncapped data-sampled codebook grows
     with the corpus and makes the broadcast assignment O(N²/stride).
     At 100 TB the corpus is written partitioned by ``centroid_id`` and
@@ -325,10 +342,12 @@ def ivf_ann_topk_portable(queries: DataFrame, corpus: DataFrame,
     the corpus, which production IVF counters by raising
     ``max_centroids`` (and assignment cost stays N × max_centroids).
     """
-    centroids = (corpus.filter(
-                     (F.col("corpus_id") % centroid_stride == 0)
-                     & (F.col("corpus_id")
-                        < centroid_stride * max_centroids))
+    cent_ids = _sampled_ids(corpus.select(F.col("corpus_id")
+                                          .alias("__id")),
+                            centroid_stride, max_centroids)
+    centroids = (corpus.join(
+                     F.broadcast(cent_ids),
+                     corpus["corpus_id"] == cent_ids["__id"])
                  .select(F.col("corpus_id").alias("centroid_id"),
                          F.col("corpus_vec").alias("centroid_vec")))
     cent_n = with_norm(centroids, "centroid_vec", "cent_norm")
@@ -502,19 +521,39 @@ _PQ_D2 = ("aggregate(zip_with(__sv, __cv, (x, c) -> "
 def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str,
                    m: int) -> DataFrame:
     """(id, vec) → long-format (``__id``, ``__m``, ``__sv``): the
-    vector split into ``m`` equal contiguous subspaces."""
+    vector split into ``m`` equal contiguous subspaces.  A vector whose
+    dimension is NOT divisible by ``m`` fails the job loudly — the
+    silent alternative (integer-division slicing) would drop the
+    trailing dimensions from every code and distance."""
     sub_structs = [
         F.struct(
             F.lit(j).alias("__m"),
-            F.expr(f"transform(slice({vec_col}, "
+            F.expr(f"CASE WHEN size({vec_col}) % {m} = 0 THEN "
+                   f"transform(slice({vec_col}, "
                    f"{j} * (size({vec_col}) DIV {m}) + 1, "
                    f"size({vec_col}) DIV {m}), "
-                   "x -> CAST(x AS DOUBLE))").alias("__sv"))
+                   "x -> CAST(x AS DOUBLE)) ELSE "
+                   f"raise_error(concat('PQ: vector dimension ', "
+                   f"size({vec_col}), ' not divisible by m={m}')) "
+                   "END").alias("__sv"))
         for j in range(m)]
     return (df.select(F.col(id_col).alias("__id"),
                       F.explode(F.array(*sub_structs)).alias("__s"))
             .select("__id", F.col("__s.__m").alias("__m"),
                     F.col("__s.__sv").alias("__sv")))
+
+
+def _sampled_ids(df_ids: DataFrame, stride: int,
+                 max_n: int) -> DataFrame:
+    """Deterministic codebook/centroid id sample: every ``stride``-th
+    id by congruence, capped to the ``max_n`` SMALLEST sampled ids by
+    rank (orderBy + limit = TakeOrdered, scalable).  Rank-based
+    capping — not an absolute id bound — so corpora whose ids start at
+    an arbitrary offset (sharded id spaces; this repo's replication
+    harnesses shift ids by 1e9) still yield a full codebook instead of
+    a silently empty one."""
+    return (df_ids.filter(F.col("__id") % stride == 0)
+            .orderBy("__id").limit(max_n))
 
 
 def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -546,13 +585,14 @@ def pq_encode(df: DataFrame, id_col: str = "vec_id",
 
     Codebooks follow the ivf_ann_topk_portable convention: subspace
     ``j``'s centroids are the j-th subvectors of the rows where
-    ``id % centroid_stride == 0`` — but CAPPED at ``max_centroids``
-    entries (``id < stride * max_centroids``), the way real PQ fixes
-    k (typically 256, one byte per code): an uncapped data-sampled
-    codebook grows with the corpus and turns the encode into
-    O(N²/stride) work — measured as a >1.0 scaling ratio before the
-    cap landed (docs/SCALING.md r7 appendix).  Deterministic and
-    SQL-replayable either way.
+    ``id % centroid_stride == 0`` — CAPPED at the ``max_centroids``
+    smallest sampled ids (rank-based, orderBy+limit), the way real PQ
+    fixes k (typically 256, one byte per code): an uncapped
+    data-sampled codebook grows with the corpus and turns the encode
+    into O(N²/stride) work — measured as a >1.0 scaling ratio before
+    the cap landed (docs/SCALING.md r7 appendix) — while an absolute
+    id bound would silently produce an EMPTY codebook on offset id
+    spaces.  Deterministic and SQL-replayable either way.
 
     Output: (id, code_0..code_{m-1}, recon_err) — codes are centroid
     ids; recon_err is the L2 reconstruction distance, subspace
@@ -565,9 +605,9 @@ def pq_encode(df: DataFrame, id_col: str = "vec_id",
     themselves.
     """
     subs = _pq_subvectors(df, id_col, vec_col, m)
-    codebook = (subs.filter(
-                    (F.col("__id") % centroid_stride == 0)
-                    & (F.col("__id") < centroid_stride * max_centroids))
+    cb_ids = _sampled_ids(df.select(F.col(id_col).alias("__id")),
+                          centroid_stride, max_centroids)
+    codebook = (subs.join(F.broadcast(cb_ids), "__id")
                 .select("__m", F.col("__id").alias("__cid"),
                         F.col("__sv").alias("__cv")))
     codes = _pq_assign(subs, codebook)
@@ -604,9 +644,10 @@ def pq_adc_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     is one per-query window over rounded, tie-broken scores.
     """
     c_subs = _pq_subvectors(corpus, "corpus_id", "corpus_vec", m)
-    codebook = (c_subs.filter(
-                    (F.col("__id") % centroid_stride == 0)
-                    & (F.col("__id") < centroid_stride * max_centroids))
+    cb_ids = _sampled_ids(corpus.select(F.col("corpus_id")
+                                        .alias("__id")),
+                          centroid_stride, max_centroids)
+    codebook = (c_subs.join(F.broadcast(cb_ids), "__id")
                 .select("__m", F.col("__id").alias("__cid"),
                         F.col("__sv").alias("__cv")))
     codes = _pq_assign(c_subs, codebook) \

@@ -23,7 +23,7 @@ _PRIORITY: tuple[str, ...] = (
     # Round-7 rotation (VERDICT r6 ask #3, oldest-first): the six
     # never-driver-sampled specs lead (sem1/lab1 AFTER their scale
     # fixes landed), then this round's new and changed-code specs,
-    # then every r3-stale spec, then 21 of the 40 r4-green specs
+    # then every r3-stale spec, then 22 of the 40 r4-green specs
     # reaching the freshness bound.  After this round no spec's
     # newest green row is older than r4.
     # -- never driver-sampled (recomputed by set-union r1–r6)
@@ -45,8 +45,8 @@ _PRIORITY: tuple[str, ...] = (
     "mp1_migration_path", "r2_version_history",
     "r3_schema_versions_view", "tx1_language_id", "tx2_token_stats",
     "tx3_rolling_fingerprint",
-    # -- 23 of the 40 r4-green specs (registration-order slice); the
-    #    19 deferred names (nn1_cosine_topk — cosine_topk is freshly
+    # -- 22 of the 40 r4-green specs (registration-order slice); the
+    #    18 deferred names (nn1_cosine_topk — cosine_topk is freshly
     #    verified through ev1/ev2's composition — m1_metadata_merge,
     #    q12_priority_linestatus, q16_supplier_counts,
     #    q4_order_priority, r8_delete_reregister,

@@ -189,7 +189,8 @@ def dd6_embedding_cosine_dedup(spark: SparkSession,
 
 
 #: Shared DuckDB replay of ``lsh_cosine_pairs_portable`` — composed
-#: into DD6_ORACLE and SEM1_ORACLE so the two can never drift apart.
+#: into DD6_ORACLE, SEM1_ORACLE and (via the asymmetric variant)
+#: CTM3_ORACLE so they can never drift apart.
 _LSH_REPLAY_CTES = """v AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
            FROM embeddings),
@@ -220,6 +221,25 @@ verified AS (
                 list_transform(vb.ev, x -> x * x)),
                 (acc, w) -> acc + w))), 4) AS cosine_sim
   FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)"""
+
+
+def _lsh_replay_ctes_asym(b_pred: str) -> str:
+    """The shared LSH replay with the RIGHT side of the bucket join
+    restricted by ``b_pred`` (DuckDB twin of the operator's ``b_ids``
+    path): cand pairs are (any, b-side) with ``id_a <> id_b`` instead
+    of the symmetric de-duplicating ``<``.  Mirrors _LSH_REPLAY_CTES —
+    every other CTE is reused verbatim via string surgery so the two
+    replays cannot drift."""
+    return _LSH_REPLAY_CTES.replace(
+        """cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),""",
+        f"""cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket
+   AND a.vec_id <> b.vec_id AND ({b_pred.replace('{id}', 'b.vec_id')})),""")
 
 DD6_ORACLE = f"""
 WITH {_LSH_REPLAY_CTES}
@@ -306,14 +326,17 @@ def ctm3_semantic_contamination(spark: SparkSession, sf_dir: str
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # asymmetric candidate generation: the bucket join's RIGHT side is
+    # restricted to the eval slice (b_ids), so candidate volume — and
+    # the exact-cosine verify — is bounded by the slice's collisions
+    # instead of every same-bucket pair corpus-wide (the symmetric
+    # form verified corpus×corpus pairs only to throw them away)
+    eval_ids = emb.filter(F.col("vec_id") % 11 == 3).select("vec_id")
     pairs = lsh_cosine_pairs_portable(emb, "vec_id", "embedding",
-                                      threshold=0.35)
-    eval_a = F.col("id_a") % 11 == 3
-    eval_b = F.col("id_b") % 11 == 3
-    cross = pairs.filter(eval_a != eval_b)
-    flagged = cross.select(
-        F.when(eval_a, F.col("id_b")).otherwise(F.col("id_a"))
-        .alias("vec_id"), "cosine_sim")
+                                      threshold=0.35, b_ids=eval_ids)
+    # id_b is always the eval side; drop eval-eval pairs
+    flagged = (pairs.filter(F.col("id_a") % 11 != 3)
+               .select(F.col("id_a").alias("vec_id"), "cosine_sim"))
     agg = (flagged.groupBy("vec_id")
            .agg(F.count(F.lit(1)).alias("n_eval_matches"),
                 F.max("cosine_sim").alias("max_eval_cos")))
@@ -329,12 +352,11 @@ def ctm3_semantic_contamination(spark: SparkSession, sf_dir: str
 
 
 CTM3_ORACLE = f"""
-WITH {_LSH_REPLAY_CTES},
+WITH {_lsh_replay_ctes_asym('{id} % 11 = 3')},
 cross_pairs AS (
-  SELECT CASE WHEN id_a % 11 = 3 THEN id_b ELSE id_a END AS vec_id,
-         cosine_sim
+  SELECT id_a AS vec_id, cosine_sim
   FROM verified
-  WHERE cosine_sim >= 0.35 AND ((id_a % 11 = 3) <> (id_b % 11 = 3))),
+  WHERE cosine_sim >= 0.35 AND id_a % 11 <> 3),
 agg AS (
   SELECT vec_id, COUNT(*) AS n_eval_matches,
          MAX(cosine_sim) AS max_eval_cos
@@ -528,8 +550,10 @@ WITH q AS (SELECT vec_id AS query_id,
 c AS (SELECT vec_id AS corpus_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
       FROM embeddings WHERE vec_id >= 10),
+centids AS (SELECT corpus_id FROM c WHERE corpus_id % 31 = 0
+            ORDER BY corpus_id LIMIT 256),
 cent AS (SELECT corpus_id AS centroid_id, cv AS centv
-         FROM c WHERE corpus_id % 31 = 0 AND corpus_id < 7936),
+         FROM c WHERE corpus_id IN (SELECT corpus_id FROM centids)),
 cassign AS (
   SELECT corpus_id, centroid_id FROM (
     SELECT c.corpus_id, cent.centroid_id,
@@ -1928,9 +1952,12 @@ subs AS (
          list_slice(ev, j * (len(ev) // 4) + 1,
                     (j + 1) * (len(ev) // 4)) AS sv
   FROM v, (SELECT unnest(generate_series(0, 3)) AS j)),
+cbids AS (
+  SELECT vec_id FROM v WHERE vec_id % 31 = 0
+  ORDER BY vec_id LIMIT 256),
 cb AS (
   SELECT j, vec_id AS cid, sv AS cv
-  FROM subs WHERE vec_id % 31 = 0 AND vec_id < 7936),
+  FROM subs WHERE vec_id IN (SELECT vec_id FROM cbids)),
 scored AS (
   SELECT s.vec_id, s.j, c.cid,
          list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1979,10 +2006,12 @@ subs AS (
          list_slice(ev, j * (len(ev) // 4) + 1,
                     (j + 1) * (len(ev) // 4)) AS sv
   FROM v, (SELECT unnest(generate_series(0, 3)) AS j)),
+cbids AS (
+  SELECT vec_id FROM v WHERE vec_id >= 10 AND vec_id % 31 = 0
+  ORDER BY vec_id LIMIT 256),
 cb AS (
   SELECT j, vec_id AS cid, sv AS cv
-  FROM subs
-  WHERE vec_id >= 10 AND vec_id % 31 = 0 AND vec_id < 7936),
+  FROM subs WHERE vec_id IN (SELECT vec_id FROM cbids)),
 cscored AS (
   SELECT s.vec_id AS corpus_id, s.j, c.cid,
          list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2021,6 +2050,42 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _recall_report(exact, ann):
+    """Shared recall@5 computation for the ev* index-quality reports:
+    per query, |exact top-5 ∩ ann top-5| / 5.  One implementation so
+    the two reports cannot drift (k, denominator, join semantics)."""
+    overlap = (exact.join(ann, ["query_id", "corpus_id"])
+               .groupBy("query_id")
+               .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (exact.select("query_id").distinct()
+            .join(overlap, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                    .alias("n_overlap"),
+                    F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 4)
+                    .alias("recall_at_5"))
+            .orderBy("query_id"))
+
+
+def _recall_oracle(ann_oracle: str) -> str:
+    """DuckDB twin of :func:`_recall_report`, composing the exact
+    baseline's oracle with the given ANN oracle verbatim."""
+    return f"""
+WITH exact AS ({NN1_ORACLE}), ann AS ({ann_oracle}),
+ov AS (
+  SELECT e.query_id, COUNT(*) AS n_overlap
+  FROM exact e JOIN ann a
+    ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+  GROUP BY e.query_id)
+SELECT q.query_id,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(ov.n_overlap, 0) / 5.0, 4) AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN ov USING (query_id)
+ORDER BY query_id
+"""
+
+
 def ev1_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation — recall@5 of the PQ-ADC index (nn4)
     against the exact cosine baseline (nn1), per query: the measurement
@@ -2044,37 +2109,13 @@ def ev1_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     queries, corpus = _emb_split(spark, sf_dir)
-    exact = cosine_topk(queries, corpus, k=5) \
-        .select("query_id", "corpus_id")
-    ann = pq_adc_topk(queries, corpus, k=5) \
-        .select("query_id", "corpus_id")
-    overlap = (exact.join(ann, ["query_id", "corpus_id"])
-               .groupBy("query_id")
-               .agg(F.count(F.lit(1)).alias("n_overlap")))
-    return (exact.select("query_id").distinct()
-            .join(overlap, "query_id", "left")
-            .select("query_id",
-                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
-                    .alias("n_overlap"),
-                    F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 4)
-                    .alias("recall_at_5"))
-            .orderBy("query_id"))
+    return _recall_report(
+        cosine_topk(queries, corpus, k=5)
+        .select("query_id", "corpus_id"),
+        pq_adc_topk(queries, corpus, k=5)
+        .select("query_id", "corpus_id"))
 
-
-EV1_ORACLE = f"""
-WITH exact AS ({NN1_ORACLE}), ann AS ({NN4_ORACLE}),
-ov AS (
-  SELECT e.query_id, COUNT(*) AS n_overlap
-  FROM exact e JOIN ann a
-    ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
-  GROUP BY e.query_id)
-SELECT q.query_id,
-       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-       ROUND(COALESCE(ov.n_overlap, 0) / 5.0, 4) AS recall_at_5
-FROM (SELECT DISTINCT query_id FROM exact) q
-LEFT JOIN ov USING (query_id)
-ORDER BY query_id
-"""
+EV1_ORACLE = _recall_oracle(NN4_ORACLE)
 
 
 def ev2_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2092,37 +2133,13 @@ def ev2_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     queries, corpus = _emb_split(spark, sf_dir)
-    exact = cosine_topk(queries, corpus, k=5) \
-        .select("query_id", "corpus_id")
-    ann = lsh_ann_topk_portable(queries, corpus, k=5) \
-        .select("query_id", "corpus_id")
-    overlap = (exact.join(ann, ["query_id", "corpus_id"])
-               .groupBy("query_id")
-               .agg(F.count(F.lit(1)).alias("n_overlap")))
-    return (exact.select("query_id").distinct()
-            .join(overlap, "query_id", "left")
-            .select("query_id",
-                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
-                    .alias("n_overlap"),
-                    F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 4)
-                    .alias("recall_at_5"))
-            .orderBy("query_id"))
+    return _recall_report(
+        cosine_topk(queries, corpus, k=5)
+        .select("query_id", "corpus_id"),
+        lsh_ann_topk_portable(queries, corpus, k=5)
+        .select("query_id", "corpus_id"))
 
-
-EV2_ORACLE = f"""
-WITH exact AS ({NN1_ORACLE}), ann AS ({NN2_ORACLE}),
-ov AS (
-  SELECT e.query_id, COUNT(*) AS n_overlap
-  FROM exact e JOIN ann a
-    ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
-  GROUP BY e.query_id)
-SELECT q.query_id,
-       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-       ROUND(COALESCE(ov.n_overlap, 0) / 5.0, 4) AS recall_at_5
-FROM (SELECT DISTINCT query_id FROM exact) q
-LEFT JOIN ov USING (query_id)
-ORDER BY query_id
-"""
+EV2_ORACLE = _recall_oracle(NN2_ORACLE)
 
 
 def bp1_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

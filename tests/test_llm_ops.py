@@ -605,3 +605,32 @@ def test_pq_adc_planted_recall(spark, sf_dir):
     for qid in range(10):
         top5 = [c for _, c in sorted(by_q[qid])]
         assert qid + 10 in top5, f"planted match missed for {qid}"
+
+
+def test_pq_codebook_survives_offset_id_spaces(spark, sf_dir):
+    """The codebook cap is rank-based, not an absolute id bound: a
+    corpus whose ids start at an arbitrary offset (sharded id spaces)
+    must still yield a full codebook and encode every vector — the
+    id-bound form silently returned an EMPTY frame here."""
+    from axonops_schema_registry_spark.llm.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000_000)
+    out = pq_encode(emb)
+    assert out.count() == emb.count()
+    assert out.filter(F.col("code_0").isNull()).count() == 0
+
+
+def test_pq_rejects_indivisible_dimension(spark):
+    """A vector dimension not divisible by m must fail LOUDLY — the
+    silent alternative drops the trailing dimensions from every code
+    and distance."""
+    import pytest as _pytest
+
+    from axonops_schema_registry_spark.llm.similarity import pq_encode
+
+    bad = spark.createDataFrame(
+        [(0, [0.1] * 62), (1, [0.2] * 62)],
+        "vec_id bigint, embedding array<float>")
+    with _pytest.raises(Exception, match="not divisible"):
+        pq_encode(bad).collect()

@@ -591,11 +591,25 @@ def test_coded_case_sql_rewrites_only_result_literals(spark):
         # conditions intact: verbs and path fragments survive verbatim
         for kept in ("'POST'", "'GET'", "'/subjects'"):
             assert (kept in coded) == (kept in base_sql)
-        # every coded literal is recoverable and none are lowercase
-        # strings anymore
+        # every lowercase result literal was coded away
         import re
         assert not re.search(r"'[a-z_]*'", coded)
-        assert labels == sorted(set(labels), key=labels.index)
+
+    # the label tables pin the actual code assignments: reason's full
+    # table in branch order, classify/target spot values
+    _, reason_labels = coded_case_sql(audit_reason_sql())
+    assert reason_labels == [
+        "", "no_valid_credentials", "permission_denied", "not_found",
+        "already_exists", "validation_error", "invalid_schema",
+        "rate_limited", "internal_error"]
+    _, cls_labels = coded_case_sql(audit_classify_sql(flags=True))
+    assert cls_labels[:3] == ["auth_failure", "auth_forbidden",
+                              "schema_import"]
+    assert "kek_delete_permanent" in cls_labels
+    _, tgt_labels = coded_case_sql(audit_target_type_sql(flags=True))
+    assert set(tgt_labels) == {"subject", "schema", "config", "mode",
+                               "dek", "kek", "exporter", "user",
+                               "apikey", ""}
 
     # end-to-end: coded + decode == string CASE on a request sample
     req = spark.createDataFrame(

@@ -6,15 +6,17 @@ beyond the reference's own surface — BASELINE.json):
 - ``text``       — language ID, quality scoring, token counting, rolling
                    document fingerprints
 - ``multimodal`` — opaque binary payload columns with typed metadata and
-                   Arrow-batched decode plumbing (real header decode;
-                   pixel/audio kernels stubbed: the libs are not in this
-                   container)
+                   Arrow-batched decode plumbing; REAL header, PNG-pixel
+                   and WAV-PCM-sample kernels (stdlib struct/zlib +
+                   numpy) — only compressed codecs stay gated
 - ``sampling``   — deterministic stratified sampling + exact-quota
                    dataset-mixture manifests
 - ``contamination`` — benchmark decontamination via exact n-gram
                    span overlap against a broadcast evaluation set
-- ``packing``    — training-context sequence packing (concat-then-chunk
-                   with per-pack manifests)
+- ``packing``    — training-context sequence packing: concat-then-chunk
+                   (per-source and hash-range segmented windows),
+                   whole-document next-fit via applyInPandas, and
+                   overlapping chunking
 - PII scrubbing — RE2-safe detector/redactor columns (``text.py``)
 - Gopher-style quality rules — the five shape heuristics + accept gate
   (``text.py:gopher_stats/gopher_rules``) and repetition stats
@@ -206,6 +208,17 @@ class CurationPipeline:
                                           n_segments, self.id_col,
                                           self.source_col,
                                           self.text_col)
+
+    def packed_whole(self, context_len: int = 4096,
+                     n_segments: int = 16):
+        """Whole-document next-fit packing (pk3) — no straddling."""
+        from axonops_schema_registry_spark.llm.packing import (
+            pack_documents_whole,
+        )
+
+        return pack_documents_whole(self.docs, context_len, n_segments,
+                                    self.id_col, self.source_col,
+                                    self.text_col)
 
     def mixture_segmented(self, quotas, n_segments: int = 16):
         """Rank-exact segmented mixture manifest (mix2): identical

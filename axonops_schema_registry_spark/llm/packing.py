@@ -153,3 +153,59 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 256,
                     .alias("n_chunk_words"),
                     F.sha2(F.array_join("__slice", " "), 256)
                     .alias("chunk_hash")))
+
+
+def pack_documents_whole(docs: DataFrame, context_len: int,
+                         n_segments: int = 16,
+                         key_col: str = "doc_id",
+                         source_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Whole-document (no-straddle) packing — the SFT-style policy
+    where a document is never split across contexts: documents are
+    taken in deterministic hash order and assigned NEXT-FIT — if the
+    current pack cannot hold the document, a new pack opens (an
+    oversize document occupies a pack alone).
+
+    Next-fit is inherently sequential per stream, which is exactly what
+    the concat-then-chunk operators avoid — so this is the family's
+    honest ``applyInPandas`` member: each (source, hash-range segment)
+    group folds in pandas with O(group) state, parallelism =
+    sources × segments like pk2.  The fold is order-deterministic
+    (hash, key), so a SQL oracle replays it with a recursive CTE.
+
+    Output: (key, source, segment, n_tokens, pack_id, fill_after) —
+    ``pack_id`` is segment-local, ``fill_after`` the pack occupancy
+    after placing the document.
+    """
+    import pandas as pd
+
+    toks = F.size(F.split(F.col(text_col), "\\s+")).cast("bigint")
+    seg = F.floor(F.col("__h") * n_segments / (1 << 48)).cast("bigint")
+    prepared = (docs
+                .withColumn("__h", portable_hash(F.col(key_col)
+                                                 .cast("string")))
+                .withColumn("segment", seg)
+                .withColumn("n_tokens", toks)
+                .select(key_col, source_col, "segment", "n_tokens",
+                        "__h"))
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__h", key_col]).reset_index(drop=True)
+        pack_ids, fills = [], []
+        pack, fill = 0, 0
+        for i, n in enumerate(pdf["n_tokens"]):
+            if i > 0 and fill + n > context_len:
+                pack += 1
+                fill = 0
+            fill += int(n)
+            pack_ids.append(pack)
+            fills.append(fill)
+        pdf["pack_id"] = pack_ids
+        pdf["fill_after"] = fills
+        return pdf.drop(columns=["__h"])
+
+    out_schema = (f"{key_col} bigint, {source_col} string, "
+                  "segment bigint, n_tokens bigint, pack_id bigint, "
+                  "fill_after bigint")
+    return (prepared.groupBy(source_col, "segment")
+            .applyInPandas(pack_group, schema=out_schema))

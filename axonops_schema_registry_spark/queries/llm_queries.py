@@ -1576,6 +1576,66 @@ ORDER BY source, segment, pack_id
 """
 
 
+def pk3_whole_doc_packing(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Whole-document (no-straddle) NEXT-FIT packing (llm/packing.py:
+    pack_documents_whole) — the SFT-style policy where a document never
+    splits across contexts, folded per (source, hash-range segment) in
+    ``applyInPandas`` because next-fit is inherently sequential.  The
+    DuckDB oracle replays the exact fold with a recursive CTE (one step
+    per rank, all groups advancing in lockstep), so the per-pack
+    manifest is hash-checked despite the operator being imperative."""
+    from axonops_schema_registry_spark.llm.packing import (
+        pack_documents_whole,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = pack_documents_whole(docs, 512, n_segments=8)
+    return (a.groupBy("source", "segment", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("tok_sum"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy("source", "segment", "pack_id"))
+
+
+PK3_ORACLE = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS STRING)), 1, 12))
+              AS BIGINT) AS h
+  FROM documents),
+s AS (
+  SELECT *, CAST(floor(h * 8 / 281474976710656.0) AS BIGINT)
+              AS segment
+  FROM t),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source, segment
+            ORDER BY h, doc_id) AS rn
+  FROM s),
+state AS (
+  SELECT source, segment, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.source, r.segment, r.rn, r.doc_id, r.n_tokens,
+         CASE WHEN st.fill + r.n_tokens > 512
+              THEN st.pack_id + 1 ELSE st.pack_id END,
+         CASE WHEN st.fill + r.n_tokens > 512
+              THEN r.n_tokens ELSE st.fill + r.n_tokens END
+  FROM state st
+  JOIN r ON r.source = st.source AND r.segment = st.segment
+        AND r.rn = st.rn + 1)
+SELECT source, segment, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM state GROUP BY source, segment, pack_id
+ORDER BY source, segment, pack_id
+"""
+
+
 def gq1_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (llm/text.py:gopher_stats/rules — Rae
     et al. 2021 §A1.1): the five shape heuristics per document, rolled
@@ -2320,6 +2380,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "packing", "window", "agg"), bench=True),
     QuerySpec("pk2_segmented_packing", pk2_segmented_packing, PK2_ORACLE,
               tags=("llm", "packing", "window", "agg", "scale")),
+    QuerySpec("pk3_whole_doc_packing", pk3_whole_doc_packing, PK3_ORACLE,
+              tags=("llm", "packing", "udf", "agg")),
     QuerySpec("gq1_gopher_quality", gq1_gopher_quality, GQ1_ORACLE,
               tags=("llm", "text", "quality", "agg"), bench=True),
     QuerySpec("gq2_repetition", gq2_repetition, GQ2_ORACLE,

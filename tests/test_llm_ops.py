@@ -634,3 +634,24 @@ def test_pq_rejects_indivisible_dimension(spark):
         "vec_id bigint, embedding array<float>")
     with _pytest.raises(Exception, match="not divisible"):
         pq_encode(bad).collect()
+
+
+def test_whole_doc_packing_capacity_invariant(spark, sf_dir):
+    """Next-fit whole-document packing: no pack exceeds context_len
+    unless it holds exactly one (oversize) document, no document is
+    split, and every document appears exactly once."""
+    from axonops_schema_registry_spark.llm.packing import (
+        pack_documents_whole,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = pack_documents_whole(docs, 512, n_segments=8)
+    per_pack = (a.groupBy("source", "segment", "pack_id")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("tok_sum")).collect())
+    assert sum(r.n_docs for r in per_pack) == docs.count()
+    for r in per_pack:
+        assert r.tok_sum <= 512 or r.n_docs == 1, r
+    # no-straddle by construction: per-doc rows carry their whole
+    # token count in exactly one pack
+    assert a.groupBy("doc_id").count().filter("count > 1").count() == 0

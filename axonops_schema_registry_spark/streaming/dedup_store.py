@@ -229,3 +229,174 @@ class BucketedDedupStore:
         for r in flags.collect():
             self.flags[r[self.id_col]] = (r["is_dup"], r["dup_of"])
         release_checkpoint(flags)
+
+
+class EmbeddingDedupStore:
+    """Disk-backed first-wins SEMANTIC dedup for streaming ingestion —
+    the embedding-modality twin of :class:`BucketedDedupStore`: new
+    vectors are hyperplane-LSH bucketed (the seeded production
+    bucketer, identical planes every batch), candidates come from one
+    equi-join of the new bucket keys against the STORED bucket table,
+    and exact cosine verification runs only against the colliding
+    stored vectors (broadcast candidate-id semi-join).  Per-batch cost
+    is bounded by the new batch's collisions, never the corpus.
+
+    Same exactly-once discipline as the text store: epoch-partitioned
+    idempotent rewrites, reads filter to earlier epochs, so an
+    at-least-once replay recomputes identical flags.
+
+    Streaming ≡ batch: the flags equal a one-shot
+    :func:`embedding_dedup_flags` run over the concatenated corpus
+    (pinned in tests/test_streaming.py) because LSH planes are fixed by
+    seed and first-wins is order-independent (earlier = smaller id).
+    """
+
+    def __init__(self, spark: SparkSession, store_dir: str,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 threshold: float = 0.9, dim: int = 64,
+                 n_bits: int = 8, n_tables: int = 4,
+                 seed0: int = 1000) -> None:
+        self.spark = spark
+        self.store_dir = store_dir
+        self.buckets_dir = os.path.join(store_dir, "ebuckets")
+        self.vecs_dir = os.path.join(store_dir, "evecs")
+        self.id_col, self.vec_col = id_col, vec_col
+        self.threshold = threshold
+        self.dim, self.n_bits = dim, n_bits
+        self.n_tables, self.seed0 = n_tables, seed0
+        self.flags: dict[int, tuple[bool, int | None]] = {}
+
+    def _stored(self, path: str, before_epoch: int) -> DataFrame | None:
+        if not (os.path.isdir(path)
+                and any(d.startswith("epoch=")
+                        for d in os.listdir(path))):
+            return None
+        df = self.spark.read.parquet(path)
+        if "epoch" not in df.columns:
+            return None
+        return df.filter(F.col("epoch") < before_epoch).drop("epoch")
+
+    def _bucketed(self, vecs: DataFrame) -> DataFrame:
+        from axonops_schema_registry_spark.llm.similarity import (
+            hyperplane_buckets_all_tables_udf,
+        )
+
+        bucketer = hyperplane_buckets_all_tables_udf(
+            self.dim, self.n_bits, self.n_tables, self.seed0)
+        return (vecs.withColumn("__bs", bucketer(F.col("__v")))
+                .select("__id", F.posexplode("__bs")
+                        .alias("table", "bucket")))
+
+    def process_batch(self, new_vecs: DataFrame,
+                      epoch_id: int) -> DataFrame:
+        from axonops_schema_registry_spark.llm.similarity import (
+            _dot_expr,
+            with_norm,
+        )
+
+        new = new_vecs.select(F.col(self.id_col).alias("__id"),
+                              F.col(self.vec_col).alias("__v")) \
+            .localCheckpoint(eager=True)
+        new_buckets = self._bucketed(new).localCheckpoint(eager=True)
+
+        stored_b = self._stored(self.buckets_dir, epoch_id)
+        all_buckets = (new_buckets if stored_b is None
+                       else stored_b.unionByName(new_buckets))
+        a = all_buckets.select(F.col("__id").alias("id_a"),
+                               "table", "bucket")
+        b = new_buckets.select(F.col("__id").alias("id_b"),
+                               "table", "bucket")
+        candidates = (a.join(b, ["table", "bucket"])
+                      .filter(F.col("id_a") < F.col("id_b"))
+                      .select("id_a", "id_b").distinct())
+
+        stored_v = self._stored(self.vecs_dir, epoch_id)
+        all_vecs = (new if stored_v is None
+                    else stored_v.unionByName(new))
+        cand_ids = (candidates.select(F.col("id_a").alias("__id"))
+                    .unionByName(candidates.select(
+                        F.col("id_b").alias("__id")))
+                    .distinct())
+        v = with_norm(all_vecs.join(F.broadcast(cand_ids), "__id"),
+                      "__v", "__n")
+        va = v.select(F.col("__id").alias("id_a"),
+                      F.col("__v").alias("__va"),
+                      F.col("__n").alias("__na"))
+        vb = v.select(F.col("__id").alias("id_b"),
+                      F.col("__v").alias("__vb"),
+                      F.col("__n").alias("__nb"))
+        sim = _dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+        pairs = (candidates.join(va, "id_a").join(vb, "id_b")
+                 .withColumn("__cos", F.round(sim, 4))
+                 .filter(F.col("__cos") >= self.threshold))
+        dup_of = (pairs.groupBy(F.col("id_b").alias("__id"))
+                  .agg(F.min("id_a").alias("dup_of")))
+        flags = (new.select("__id")
+                 .join(dup_of, "__id", "left")
+                 .select(F.col("__id").alias(self.id_col),
+                         F.col("dup_of").isNotNull().alias("is_dup"),
+                         "dup_of")
+                 .localCheckpoint(eager=True))
+
+        for frame, path in ((new_buckets, self.buckets_dir),
+                            (new, self.vecs_dir)):
+            frame.write.mode("overwrite").parquet(
+                os.path.join(path, f"epoch={epoch_id}"))
+        release_checkpoint(new_buckets)
+        release_checkpoint(new)
+        return flags
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        flags = self.process_batch(batch_df, epoch_id)
+        for r in flags.collect():
+            self.flags[r[self.id_col]] = (r["is_dup"], r["dup_of"])
+        release_checkpoint(flags)
+
+
+def embedding_dedup_flags(vecs: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.9, dim: int = 64,
+                          n_bits: int = 8, n_tables: int = 4,
+                          seed0: int = 1000) -> DataFrame:
+    """One-shot batch twin of :class:`EmbeddingDedupStore`: first-wins
+    semantic dedup flags over the whole corpus with the identical
+    seeded LSH bucketing and cosine verify — the equality pinned by
+    tests/test_streaming.py."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        _dot_expr,
+        hyperplane_buckets_all_tables_udf,
+        with_norm,
+    )
+
+    bucketer = hyperplane_buckets_all_tables_udf(dim, n_bits, n_tables,
+                                                 seed0)
+    v0 = vecs.select(F.col(id_col).alias("__id"),
+                     F.col(vec_col).alias("__v"))
+    buckets = (v0.withColumn("__bs", bucketer(F.col("__v")))
+               .select("__id", F.posexplode("__bs")
+                       .alias("table", "bucket")))
+    a = buckets.select(F.col("__id").alias("id_a"), "table", "bucket")
+    b = buckets.select(F.col("__id").alias("id_b"), "table", "bucket")
+    candidates = (a.join(b, ["table", "bucket"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b").distinct())
+    cand_ids = (candidates.select(F.col("id_a").alias("__id"))
+                .unionByName(candidates.select(F.col("id_b")
+                                               .alias("__id")))
+                .distinct())
+    v = with_norm(v0.join(F.broadcast(cand_ids), "__id"), "__v", "__n")
+    va = v.select(F.col("__id").alias("id_a"),
+                  F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    vb = v.select(F.col("__id").alias("id_b"),
+                  F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    sim = _dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+    pairs = (candidates.join(va, "id_a").join(vb, "id_b")
+             .withColumn("__cos", F.round(sim, 4))
+             .filter(F.col("__cos") >= threshold))
+    dup_of = (pairs.groupBy(F.col("id_b").alias("__id"))
+              .agg(F.min("id_a").alias("dup_of")))
+    return (v0.select("__id")
+            .join(dup_of, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.col("dup_of").isNotNull().alias("is_dup"),
+                    "dup_of"))

@@ -686,3 +686,45 @@ def test_bucketed_dedup_store_compaction_preserves_flags(spark):
     finally:
         for p in (d_plain, d_comp):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_embedding_dedup_store_equals_batch(spark, sf_dir):
+    """The embedding-modality store produces IDENTICAL first-wins
+    semantic-dedup flags to the one-shot batch operator across
+    micro-batches, with planted near-duplicate vectors found across
+    the batch boundary through the stored bucket table."""
+    from axonops_schema_registry_spark.streaming.dedup_store import (
+        EmbeddingDedupStore,
+        embedding_dedup_flags,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    # plant exact duplicates of batch-0 vectors into batch 1 so
+    # cross-batch semantic dups exist at any threshold
+    planted = (emb.filter(F.col("vec_id") < 20)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       "embedding"))
+    b0 = emb.filter(F.col("vec_id") < 250)
+    b1 = emb.filter(F.col("vec_id") >= 250).unionByName(planted)
+    full = b0.unionByName(b1)
+
+    want = {r.vec_id: (r.is_dup, r.dup_of)
+            for r in embedding_dedup_flags(full).collect()}
+
+    store_dir = tempfile.mkdtemp(prefix="emb_store_")
+    try:
+        sink = EmbeddingDedupStore(spark, store_dir)
+        sink(b0, epoch_id=0)
+        sink(b1, epoch_id=1)
+        assert sink.flags == want
+        # the planted copies were flagged against their batch-0
+        # originals through the store
+        for vid in range(20):
+            assert sink.flags[100000 + vid] == (True, vid)
+        # replay idempotence
+        before = dict(sink.flags)
+        sink(b1, epoch_id=1)
+        assert sink.flags == before
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)

@@ -23,7 +23,7 @@ _PRIORITY: tuple[str, ...] = (
     # Round-7 rotation (VERDICT r6 ask #3, oldest-first): the six
     # never-driver-sampled specs lead (sem1/lab1 AFTER their scale
     # fixes landed), then this round's new and changed-code specs,
-    # then every r3-stale spec, then 21 of the 40 r4-green specs
+    # then every r3-stale spec, then 20 of the 40 r4-green specs
     # reaching the freshness bound.  After this round no spec's
     # newest green row is older than r4.
     # -- never driver-sampled (recomputed by set-union r1–r6)
@@ -34,7 +34,7 @@ _PRIORITY: tuple[str, ...] = (
     "ppl1_unigram_perplexity", "mix2_segmented_mixture",
     "ctm3_semantic_contamination", "qz2_pq_encode",
     "nn4_pq_adc_topk", "ev1_ann_recall", "ev2_lsh_recall",
-    "pk3_whole_doc_packing",
+    "pk3_whole_doc_packing", "bpe1_merge_candidates",
     # -- changed semantics/code this round: aud3 int-coded two-stage
     #    classifier, dd4 checkpointed connected components, met1
     #    deterministic no-identity fallback, ctm2 distinct-seed bloom
@@ -46,10 +46,11 @@ _PRIORITY: tuple[str, ...] = (
     "mp1_migration_path", "r2_version_history",
     "r3_schema_versions_view", "tx1_language_id", "tx2_token_stats",
     "tx3_rolling_fingerprint",
-    # -- 21 of the 40 r4-green specs (registration-order slice); the
-    #    19 deferred names (nn1_cosine_topk — cosine_topk is freshly
-    #    verified through ev1/ev2's composition — m1_metadata_merge,
-    #    mode1_write_gating (BDD-parity-pinned),
+    # -- 20 of the 40 r4-green specs (registration-order slice); the
+    #    20 deferred names (nn1_cosine_topk — cosine_topk is freshly
+    #    verified through ev1/ev2's composition — j8c_dek_undelete_lifecycle
+    #    (the j8/j8b/j8d family keeps the lifecycle covered),
+    #    m1_metadata_merge, mode1_write_gating (BDD-parity-pinned),
     #    q12_priority_linestatus, q16_supplier_counts,
     #    q4_order_priority, r8_delete_reregister,
     #    rj1_events_in_windows,
@@ -68,7 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "hr1_hypertable_rollup", "j3d_dependency_closure",
     "j3r_reference_resolution", "j4r_subject_similarity",
     "j8_kek_dek_lifecycle", "j8b_dek_rewrap",
-    "j8c_dek_undelete_lifecycle", "nn3_ivf_ann_topk",
+    "nn3_ivf_ann_topk",
     "r7_registration_gated",
 )
 

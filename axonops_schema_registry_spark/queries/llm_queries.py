@@ -1636,6 +1636,53 @@ ORDER BY source, segment, pack_id
 """
 
 
+def bpe1_merge_candidates(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """One BPE training step at corpus scale (Sennrich et al. 2016,
+    public — the tokenizer-induction job a training pipeline runs over
+    its own corpus): count adjacent character pairs across all words,
+    weighted by word frequency, and emit the top-20 merge candidates.
+    Exact integer arithmetic end-to-end.
+
+    Scale: pair statistics are computed per DISTINCT word (vocabulary-
+    bounded work — the corpus-sized groupBy is the word count, map-side
+    combined), then one vocabulary-sized explode over character
+    positions; the full iterated BPE trainer repeats this step with a
+    merge table, each step this same shuffle shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split(F.lower("text"), "\\s+"))
+                         .alias("w"))
+             .filter(F.col("w") != ""))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # single-char words carry no pairs — and MUST be filtered before
+    # the position sequence: Spark's sequence(1, 0) is DESCENDING
+    # [1, 0] where DuckDB's generate_series(1, 0) is empty
+    pairs = (wc.filter(F.length("w") >= 2)
+             .select("n", F.explode(F.expr(
+                 "transform(sequence(1, length(w) - 1), "
+                 "i -> substring(w, i, 2))")).alias("pair"))
+             .groupBy("pair")
+             .agg(F.sum("n").alias("pair_count")))
+    return (pairs.orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(20))
+
+
+BPE1_ORACLE = r"""
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents) WHERE w <> ''),
+wc AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, SUM(n) AS pair_count
+  FROM (SELECT w, n, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM wc)
+  GROUP BY pair)
+SELECT pair, CAST(pair_count AS BIGINT) AS pair_count
+FROM pairs ORDER BY pair_count DESC, pair ASC LIMIT 20
+"""
+
+
 def gq1_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (llm/text.py:gopher_stats/rules — Rae
     et al. 2021 §A1.1): the five shape heuristics per document, rolled
@@ -2382,6 +2429,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "packing", "window", "agg", "scale")),
     QuerySpec("pk3_whole_doc_packing", pk3_whole_doc_packing, PK3_ORACLE,
               tags=("llm", "packing", "udf", "agg")),
+    QuerySpec("bpe1_merge_candidates", bpe1_merge_candidates,
+              BPE1_ORACLE, tags=("llm", "text", "tokenizer", "agg")),
     QuerySpec("gq1_gopher_quality", gq1_gopher_quality, GQ1_ORACLE,
               tags=("llm", "text", "quality", "agg"), bench=True),
     QuerySpec("gq2_repetition", gq2_repetition, GQ2_ORACLE,

@@ -471,9 +471,13 @@ def label_cohesion(df: DataFrame, id_col: str = "vec_id",
                      F.expr(f"transform({vec_col}, "
                             "x -> CAST(x AS DOUBLE))").alias("__v"))
     # centroid-sum per (label, dim): exact decimal sum, order-free
+    # round BEFORE the decimal cast: both engines round doubles
+    # half-away-from-zero, but their double→DECIMAL casts disagree on
+    # representational ties (e.g. 153/1024 = 0.1494140625 → Spark
+    # …063, DuckDB …062) — rounding first makes the cast exact
     cent = (vecs.select("label", F.posexplode("__v").alias("__p", "__x"))
             .groupBy("label", "__p")
-            .agg(F.sum(F.col("__x").cast("decimal(25,9)"))
+            .agg(F.sum(F.round(F.col("__x"), 9).cast("decimal(25,9)"))
                  .cast("double").alias("__s")))
     # reassemble the per-label centroid array: bounded by dim per label
     cent = (cent.groupBy("label")
@@ -616,7 +620,7 @@ def pq_encode(df: DataFrame, id_col: str = "vec_id",
                    .cast("bigint").alias(f"code_{j}")
                    for j in range(m)],
                  F.round(
-                     F.sqrt(F.sum(F.col("__mind")
+                     F.sqrt(F.sum(F.round(F.col("__mind"), 9)
                                   .cast("decimal(25,9)"))
                             .cast("double")), round_digits)
                  .alias("recon_err")))
@@ -660,7 +664,7 @@ def pq_adc_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                       (codes["__m"] == q_tab["__m"])
                       & (codes["__code"] == q_tab["__cid"]))
            .groupBy("query_id", "corpus_id")
-           .agg(F.round(F.sqrt(F.sum(F.col("__qd2")
+           .agg(F.round(F.sqrt(F.sum(F.round(F.col("__qd2"), 9)
                                      .cast("decimal(25,9)"))
                                .cast("double")), round_digits)
                 .alias("adc_dist")))

@@ -395,7 +395,8 @@ expl AS (
   SELECT label, ev, unnest(generate_series(1, len(ev))) AS p FROM v),
 dimsum AS (
   SELECT label, p,
-         CAST(SUM(CAST(ev[p] AS DECIMAL(25,9))) AS DOUBLE) AS s
+         CAST(SUM(CAST(round(ev[p], 9) AS DECIMAL(25,9))) AS DOUBLE)
+           AS s
   FROM expl GROUP BY label, p),
 cent AS (
   SELECT label, list(s ORDER BY p) AS c FROM dimsum GROUP BY label),
@@ -2084,7 +2085,8 @@ SELECT vec_id,
        CAST(MAX(CASE WHEN j = 1 THEN code END) AS BIGINT) AS code_1,
        CAST(MAX(CASE WHEN j = 2 THEN code END) AS BIGINT) AS code_2,
        CAST(MAX(CASE WHEN j = 3 THEN code END) AS BIGINT) AS code_3,
-       round(sqrt(CAST(SUM(CAST(mind AS DECIMAL(25,9))) AS DOUBLE)), 4)
+       round(sqrt(CAST(SUM(CAST(round(mind, 9) AS DECIMAL(25,9)))
+                       AS DOUBLE)), 4)
          AS recon_err
 FROM codes GROUP BY vec_id ORDER BY vec_id
 """
@@ -2143,7 +2145,7 @@ qtab AS (
   FROM subs s JOIN cb c USING (j) WHERE s.vec_id < 10),
 adc AS (
   SELECT q.query_id, x.corpus_id,
-         round(sqrt(CAST(SUM(CAST(q.qd2 AS DECIMAL(25,9)))
+         round(sqrt(CAST(SUM(CAST(round(q.qd2, 9) AS DECIMAL(25,9)))
                          AS DOUBLE)), 4) AS adc_dist
   FROM codes x JOIN qtab q ON q.j = x.j AND q.cid = x.code
   GROUP BY q.query_id, x.corpus_id),

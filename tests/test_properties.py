@@ -503,3 +503,57 @@ def test_png_synthesis_roundtrip_any_doc_id(doc_id):
     assert (got["width"], got["height"]) == (w, h)
     assert got["sum_r"] == sum(_pixel_value(doc_id, x, y)[0]
                                for y in range(h) for x in range(w))
+
+
+def test_decimal_sum_discipline_is_order_free_and_engine_exact(spark):
+    """The repo-wide float rule: ROUND the double, then cast to
+    DECIMAL, then sum exactly.  Pinned directly on 200 groups of
+    mixed-magnitude signed doubles: Spark under two partitionings AND
+    DuckDB must agree to the bit — the property every oracle
+    hash-match in this repo rests on.
+
+    The round() step is load-bearing: writing this test WITHOUT it
+    found a genuine engine split — both engines round doubles
+    half-away-from-zero, but their double→DECIMAL casts disagree on
+    representational ties (6097.0763126665 → Spark …667, DuckDB …666;
+    likewise 153/1024 = 0.1494140625, present in the sf0.1
+    embeddings) — which is why every raw-double cast site in
+    lab1/qz2/nn4 rounds first.  The magnitudes here are bounded to the
+    regime the operators actually quantize (unit-scale components,
+    squared distances, surprisals — |x| ≲ 1e3): at ~1e5+, DuckDB's
+    float-based round() itself drifts from Spark's exact-expansion
+    round by one quantum on boundary values, so quantizing
+    large-magnitude raw doubles portably needs the scaled-integer
+    floor pattern instead (sampling.py's convention)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    n_groups, per = 200, 50
+    vals = (rng.standard_normal(n_groups * per)
+            * (10.0 ** rng.integers(-6, 3, n_groups * per)))
+    # include the known cast-tie value explicitly
+    vals[0] = 0.1494140625
+    pdf = pd.DataFrame({"g": np.repeat(np.arange(n_groups), per),
+                        "x": vals})
+
+    def spark_sums(df):
+        rows = (df.groupBy("g")
+                .agg(F.sum(F.round(F.col("x"), 9)
+                           .cast("decimal(25,9)"))
+                     .cast("double").alias("s")).collect())
+        return {r.g: r.s for r in rows}
+
+    base = spark.createDataFrame(pdf)
+    a = spark_sums(base.repartition(32))
+    b = spark_sums(base.repartition(3, "g"))
+    assert a == b  # partitioning/order independence, bit-exact
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck = {g: s for g, s in con.execute(
+        "SELECT g, CAST(SUM(CAST(round(x, 9) AS DECIMAL(25,9))) "
+        "AS DOUBLE) FROM t GROUP BY g").fetchall()}
+    assert a == duck  # engine portability, bit-exact

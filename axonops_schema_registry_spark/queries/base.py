@@ -64,6 +64,15 @@ def psum(col: Column, scale: int = 6) -> Column:
     The per-row expression is evaluated in IEEE double (deterministic given
     the row), rounded into DECIMAL(25, scale), summed exactly, and returned
     as DOUBLE.
+
+    PRECONDITION: the per-row value must be exactly representable at
+    <= ``scale`` decimals (products of money-like columns are; every
+    caller in this repo satisfies it).  For values with longer
+    expansions the bare double→DECIMAL cast is a portability trap —
+    Spark and DuckDB disagree on representational ties (e.g. 153/1024)
+    — and the caller must ``F.round(col, scale)`` FIRST, the pattern
+    lab1/qz2/nn4 use (pinned by
+    tests/test_properties.py::test_decimal_sum_discipline_...).
     """
     return F.sum(col.cast(f"decimal(25,{scale})")).cast("double")
 

@@ -204,7 +204,13 @@ def pack_documents_whole(docs: DataFrame, context_len: int,
         pdf["fill_after"] = fills
         return pdf.drop(columns=["__h"])
 
-    out_schema = (f"{key_col} bigint, {source_col} string, "
+    # derive key/source types from the input instead of hardcoding —
+    # string-keyed corpora must work exactly like the window-based
+    # siblings, which just pass the columns through
+    in_types = dict((f.name, f.dataType.simpleString())
+                    for f in prepared.schema.fields)
+    out_schema = (f"{key_col} {in_types[key_col]}, "
+                  f"{source_col} {in_types[source_col]}, "
                   "segment bigint, n_tokens bigint, pack_id bigint, "
                   "fill_after bigint")
     return (prepared.groupBy(source_col, "segment")

@@ -58,6 +58,22 @@ from axonops_schema_registry_spark.operators.core import release_checkpoint
 from axonops_schema_registry_spark.operators.text import token_set
 
 
+def _read_epochs(spark: SparkSession, path: str, before_epoch: int,
+                 from_epoch: int = 0) -> DataFrame | None:
+    """Epoch partitions in [from_epoch, before_epoch) — the shared
+    read probe for both stores.  An epoch-less directory (every epoch
+    compacted away, or nothing written yet) is unreadable (no schema
+    to infer), so probe before reading."""
+    if not (os.path.isdir(path)
+            and any(d.startswith("epoch=") for d in os.listdir(path))):
+        return None
+    df = spark.read.parquet(path)
+    if "epoch" not in df.columns:
+        return None
+    return df.filter((F.col("epoch") >= from_epoch)
+                     & (F.col("epoch") < before_epoch)).drop("epoch")
+
+
 class BucketedDedupStore:
     """Disk-backed first-wins near-dup filter for streaming ingestion.
 
@@ -110,15 +126,10 @@ class BucketedDedupStore:
             base = self._base_dir(path, meta["gen"])
             if os.path.isdir(base):
                 parts.append(self.spark.read.parquet(base))
-        # compaction may have deleted every epoch dir; an epoch-less
-        # directory is unreadable (no schema to infer), so probe first
-        if os.path.isdir(path) and any(d.startswith("epoch=")
-                                       for d in os.listdir(path)):
-            df = self.spark.read.parquet(path)
-            if "epoch" in df.columns:
-                parts.append(df.filter(
-                    (F.col("epoch") >= meta["below"])
-                    & (F.col("epoch") < before_epoch)).drop("epoch"))
+        live = _read_epochs(self.spark, path, before_epoch,
+                            from_epoch=meta["below"])
+        if live is not None:
+            parts.append(live)
         if not parts:
             return None
         out = parts[0]
@@ -231,6 +242,60 @@ class BucketedDedupStore:
         release_checkpoint(flags)
 
 
+def _semantic_pairs(a_buckets: DataFrame, b_buckets: DataFrame,
+                    vecs: DataFrame, threshold: float) -> DataFrame:
+    """Shared core of the embedding dedup pair generation — used by
+    BOTH the streaming store and its one-shot batch twin so the
+    streaming ≡ batch property holds by construction, not just by
+    test: candidates from one (table, bucket) equi-join with
+    ``id_a < id_b``, exact cosine verify restricted to colliding ids
+    (broadcast semi-join).  ``candidates`` is eagerly checkpointed —
+    it feeds THREE consumers (two cand_ids selects + the verify join),
+    and an uncached subtree would re-run the stored-bucket scan and
+    shuffle join for each, tripling the documented one-join cost."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        _dot_expr,
+        with_norm,
+    )
+
+    a = a_buckets.select(F.col("__id").alias("id_a"), "table", "bucket")
+    b = b_buckets.select(F.col("__id").alias("id_b"), "table", "bucket")
+    candidates = (a.join(b, ["table", "bucket"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b").distinct()
+                  .localCheckpoint(eager=True))
+    cand_ids = (candidates.select(F.col("id_a").alias("__id"))
+                .unionByName(candidates.select(F.col("id_b")
+                                               .alias("__id")))
+                .distinct())
+    v = with_norm(vecs.join(F.broadcast(cand_ids), "__id"), "__v", "__n")
+    va = v.select(F.col("__id").alias("id_a"),
+                  F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    vb = v.select(F.col("__id").alias("id_b"),
+                  F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    sim = _dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+    pairs = (candidates.join(va, "id_a").join(vb, "id_b")
+             .withColumn("__cos", F.round(sim, 4))
+             .filter(F.col("__cos") >= threshold)
+             .select("id_a", "id_b", "__cos")
+             .localCheckpoint(eager=True))
+    release_checkpoint(candidates)
+    return pairs
+
+
+def _first_wins(out_ids: DataFrame, pairs: DataFrame,
+                id_col: str) -> DataFrame:
+    """(id, is_dup, dup_of) for ``out_ids``: dup_of = the smallest
+    paired earlier id."""
+    dup_of = (pairs.groupBy(F.col("id_b").alias("__id"))
+              .agg(F.min("id_a").alias("dup_of")))
+    return (out_ids
+            .join(dup_of, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.col("dup_of").isNotNull().alias("is_dup"),
+                    "dup_of"))
+
+
 class EmbeddingDedupStore:
     """Disk-backed first-wins SEMANTIC dedup for streaming ingestion —
     the embedding-modality twin of :class:`BucketedDedupStore`: new
@@ -245,10 +310,15 @@ class EmbeddingDedupStore:
     idempotent rewrites, reads filter to earlier epochs, so an
     at-least-once replay recomputes identical flags.
 
-    Streaming ≡ batch: the flags equal a one-shot
-    :func:`embedding_dedup_flags` run over the concatenated corpus
-    (pinned in tests/test_streaming.py) because LSH planes are fixed by
-    seed and first-wins is order-independent (earlier = smaller id).
+    Streaming ≡ batch UNDER ORDERED ARRIVAL (earlier batches carry
+    smaller ids — the same precondition the text twin documents): the
+    flags then equal a one-shot :func:`embedding_dedup_flags` run over
+    the concatenated corpus (pinned in tests/test_streaming.py, and
+    held by construction — both paths run the shared
+    :func:`_semantic_pairs`/:func:`_first_wins` core).  A batch
+    carrying an id SMALLER than an already-stored similar vector
+    cannot flip the stored vector's already-emitted flag — out-of-order
+    id spaces need a compaction-style re-flag pass, not this store.
     """
 
     def __init__(self, spark: SparkSession, store_dir: str,
@@ -266,16 +336,6 @@ class EmbeddingDedupStore:
         self.n_tables, self.seed0 = n_tables, seed0
         self.flags: dict[int, tuple[bool, int | None]] = {}
 
-    def _stored(self, path: str, before_epoch: int) -> DataFrame | None:
-        if not (os.path.isdir(path)
-                and any(d.startswith("epoch=")
-                        for d in os.listdir(path))):
-            return None
-        df = self.spark.read.parquet(path)
-        if "epoch" not in df.columns:
-            return None
-        return df.filter(F.col("epoch") < before_epoch).drop("epoch")
-
     def _bucketed(self, vecs: DataFrame) -> DataFrame:
         from axonops_schema_registry_spark.llm.similarity import (
             hyperplane_buckets_all_tables_udf,
@@ -289,54 +349,22 @@ class EmbeddingDedupStore:
 
     def process_batch(self, new_vecs: DataFrame,
                       epoch_id: int) -> DataFrame:
-        from axonops_schema_registry_spark.llm.similarity import (
-            _dot_expr,
-            with_norm,
-        )
-
         new = new_vecs.select(F.col(self.id_col).alias("__id"),
                               F.col(self.vec_col).alias("__v")) \
             .localCheckpoint(eager=True)
         new_buckets = self._bucketed(new).localCheckpoint(eager=True)
 
-        stored_b = self._stored(self.buckets_dir, epoch_id)
+        stored_b = _read_epochs(self.spark, self.buckets_dir, epoch_id)
         all_buckets = (new_buckets if stored_b is None
                        else stored_b.unionByName(new_buckets))
-        a = all_buckets.select(F.col("__id").alias("id_a"),
-                               "table", "bucket")
-        b = new_buckets.select(F.col("__id").alias("id_b"),
-                               "table", "bucket")
-        candidates = (a.join(b, ["table", "bucket"])
-                      .filter(F.col("id_a") < F.col("id_b"))
-                      .select("id_a", "id_b").distinct())
-
-        stored_v = self._stored(self.vecs_dir, epoch_id)
+        stored_v = _read_epochs(self.spark, self.vecs_dir, epoch_id)
         all_vecs = (new if stored_v is None
                     else stored_v.unionByName(new))
-        cand_ids = (candidates.select(F.col("id_a").alias("__id"))
-                    .unionByName(candidates.select(
-                        F.col("id_b").alias("__id")))
-                    .distinct())
-        v = with_norm(all_vecs.join(F.broadcast(cand_ids), "__id"),
-                      "__v", "__n")
-        va = v.select(F.col("__id").alias("id_a"),
-                      F.col("__v").alias("__va"),
-                      F.col("__n").alias("__na"))
-        vb = v.select(F.col("__id").alias("id_b"),
-                      F.col("__v").alias("__vb"),
-                      F.col("__n").alias("__nb"))
-        sim = _dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))
-        pairs = (candidates.join(va, "id_a").join(vb, "id_b")
-                 .withColumn("__cos", F.round(sim, 4))
-                 .filter(F.col("__cos") >= self.threshold))
-        dup_of = (pairs.groupBy(F.col("id_b").alias("__id"))
-                  .agg(F.min("id_a").alias("dup_of")))
-        flags = (new.select("__id")
-                 .join(dup_of, "__id", "left")
-                 .select(F.col("__id").alias(self.id_col),
-                         F.col("dup_of").isNotNull().alias("is_dup"),
-                         "dup_of")
-                 .localCheckpoint(eager=True))
+        pairs = _semantic_pairs(all_buckets, new_buckets, all_vecs,
+                                self.threshold)
+        flags = _first_wins(new.select("__id"), pairs, self.id_col) \
+            .localCheckpoint(eager=True)
+        release_checkpoint(pairs)
 
         for frame, path in ((new_buckets, self.buckets_dir),
                             (new, self.vecs_dir)):
@@ -359,13 +387,12 @@ def embedding_dedup_flags(vecs: DataFrame, id_col: str = "vec_id",
                           n_bits: int = 8, n_tables: int = 4,
                           seed0: int = 1000) -> DataFrame:
     """One-shot batch twin of :class:`EmbeddingDedupStore`: first-wins
-    semantic dedup flags over the whole corpus with the identical
-    seeded LSH bucketing and cosine verify — the equality pinned by
-    tests/test_streaming.py."""
+    semantic dedup flags over the whole corpus, sharing the store's
+    :func:`_semantic_pairs`/:func:`_first_wins` core verbatim so the
+    streaming ≡ batch equality (under ordered arrival) holds by
+    construction."""
     from axonops_schema_registry_spark.llm.similarity import (
-        _dot_expr,
         hyperplane_buckets_all_tables_udf,
-        with_norm,
     )
 
     bucketer = hyperplane_buckets_all_tables_udf(dim, n_bits, n_tables,
@@ -375,28 +402,5 @@ def embedding_dedup_flags(vecs: DataFrame, id_col: str = "vec_id",
     buckets = (v0.withColumn("__bs", bucketer(F.col("__v")))
                .select("__id", F.posexplode("__bs")
                        .alias("table", "bucket")))
-    a = buckets.select(F.col("__id").alias("id_a"), "table", "bucket")
-    b = buckets.select(F.col("__id").alias("id_b"), "table", "bucket")
-    candidates = (a.join(b, ["table", "bucket"])
-                  .filter(F.col("id_a") < F.col("id_b"))
-                  .select("id_a", "id_b").distinct())
-    cand_ids = (candidates.select(F.col("id_a").alias("__id"))
-                .unionByName(candidates.select(F.col("id_b")
-                                               .alias("__id")))
-                .distinct())
-    v = with_norm(v0.join(F.broadcast(cand_ids), "__id"), "__v", "__n")
-    va = v.select(F.col("__id").alias("id_a"),
-                  F.col("__v").alias("__va"), F.col("__n").alias("__na"))
-    vb = v.select(F.col("__id").alias("id_b"),
-                  F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
-    sim = _dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))
-    pairs = (candidates.join(va, "id_a").join(vb, "id_b")
-             .withColumn("__cos", F.round(sim, 4))
-             .filter(F.col("__cos") >= threshold))
-    dup_of = (pairs.groupBy(F.col("id_b").alias("__id"))
-              .agg(F.min("id_a").alias("dup_of")))
-    return (v0.select("__id")
-            .join(dup_of, "__id", "left")
-            .select(F.col("__id").alias(id_col),
-                    F.col("dup_of").isNotNull().alias("is_dup"),
-                    "dup_of"))
+    pairs = _semantic_pairs(buckets, buckets, v0, threshold)
+    return _first_wins(v0.select("__id"), pairs, id_col)

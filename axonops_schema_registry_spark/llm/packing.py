@@ -15,9 +15,11 @@ Scale design: packing runs PER SOURCE (each source is packed into its
 own context stream, matching how mixture shards are materialized), so
 the running-sum window partitions by source and its state is bounded by
 per-source cardinality — never a single global ordering.  At extreme
-scale the per-source stream is further split by hash range into
-independently packed segments (documented fallback); the single-window
-form here is the exact variant a SQL oracle verifies bit-for-bit.
+scale :func:`pack_assignments_segmented` splits each source's stream
+into hash-range segments packed independently (sources × segments
+window tasks), and :func:`pack_documents_whole` provides the
+no-straddle next-fit policy as an ``applyInPandas`` fold per segment —
+all three shapes are oracle-verified.
 """
 
 from __future__ import annotations

@@ -555,9 +555,30 @@ def _sampled_ids(df_ids: DataFrame, stride: int,
     capping — not an absolute id bound — so corpora whose ids start at
     an arbitrary offset (sharded id spaces; this repo's replication
     harnesses shift ids by 1e9) still yield a full codebook instead of
-    a silently empty one."""
-    return (df_ids.filter(F.col("__id") % stride == 0)
-            .orderBy("__id").limit(max_n))
+    a silently empty one.
+
+    Fails LOUDLY when the congruence sample is empty (corpus with no
+    id ≡ 0 mod stride — e.g. fewer than ``stride`` rows over a sparse
+    id space): every consumer (pq_encode / pq_adc_topk / IVF) would
+    otherwise silently emit an empty frame, the same silent-empty
+    failure class rank-based capping was introduced to eliminate.  The
+    guard is declarative — a broadcast 1-row count frame whose CASE
+    raises at execution time — so the sample stays lazy and no extra
+    driver action runs."""
+    sampled = (df_ids.filter(F.col("__id") % stride == 0)
+               .orderBy("__id").limit(max_n))
+    # the raising CASE is the JOIN KEY so column pruning cannot remove
+    # it (a plain crossJoin+drop gets the guard projection pruned away
+    # and the empty case sails through silently)
+    guard = (sampled.agg(F.count(F.lit(1)).alias("__k"))
+             .select(F.when(F.col("__k") > 0, F.lit(1))
+                     .otherwise(F.expr(
+                         f"raise_error('empty codebook/centroid "
+                         f"sample: no id divisible by stride={stride}; "
+                         f"pass a smaller stride for this corpus')"))
+                     .alias("__ok")))
+    return (sampled.withColumn("__ok", F.lit(1))
+            .join(F.broadcast(guard), "__ok").drop("__ok"))
 
 
 def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:

@@ -229,8 +229,12 @@ def _lsh_replay_ctes_asym(b_pred: str) -> str:
     path): cand pairs are (any, b-side) with ``id_a <> id_b`` instead
     of the symmetric de-duplicating ``<``.  Mirrors _LSH_REPLAY_CTES —
     every other CTE is reused verbatim via string surgery so the two
-    replays cannot drift."""
-    return _LSH_REPLAY_CTES.replace(
+    replays cannot drift.  If the snippet's formatting ever drifts the
+    replace would silently no-op and the oracle would revert to the
+    symmetric form — caught only much later by a driver hash mismatch
+    with no pointer to the cause — so a failed substitution asserts at
+    build time instead."""
+    out = _LSH_REPLAY_CTES.replace(
         """cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b
@@ -240,6 +244,11 @@ def _lsh_replay_ctes_asym(b_pred: str) -> str:
   FROM buckets a JOIN buckets b
     ON a.tbl = b.tbl AND a.bucket = b.bucket
    AND a.vec_id <> b.vec_id AND ({b_pred.replace('{id}', 'b.vec_id')})),""")
+    assert out != _LSH_REPLAY_CTES, (
+        "_lsh_replay_ctes_asym: cand-CTE snippet not found in "
+        "_LSH_REPLAY_CTES — the shared replay's formatting drifted; "
+        "update the replace target")
+    return out
 
 DD6_ORACLE = f"""
 WITH {_LSH_REPLAY_CTES}

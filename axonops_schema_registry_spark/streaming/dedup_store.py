@@ -103,12 +103,23 @@ class BucketedDedupStore:
     def _meta(self) -> dict:
         """{"gen": current base generation or -1, "below": first
         non-compacted epoch} — the one file whose atomic os.replace
-        commits a compaction."""
+        commits a compaction.
+
+        Only a MISSING file means "no compaction yet"; a present-but-
+        unreadable meta.json is store corruption and must fail loudly —
+        compaction already deleted the pre-watermark epoch dirs, so
+        silently defaulting here would make the whole compacted base
+        generation invisible and the store would stop flagging
+        duplicates against the prior corpus."""
         try:
             with open(self.meta_path) as f:
                 return json.load(f)
-        except (OSError, ValueError):
+        except FileNotFoundError:
             return {"gen": -1, "below": 0}
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"corrupt dedup-store meta at {self.meta_path}: {exc!r}; "
+                "refusing to silently drop compacted state") from exc
 
     @staticmethod
     def _base_dir(path: str, gen: int) -> str:
@@ -124,8 +135,13 @@ class BucketedDedupStore:
         parts = []
         if meta["gen"] >= 0:
             base = self._base_dir(path, meta["gen"])
-            if os.path.isdir(base):
-                parts.append(self.spark.read.parquet(base))
+            if not os.path.isdir(base):
+                # meta is the commit record: a base it points at that is
+                # missing on disk is corruption, not "no prior state"
+                raise RuntimeError(
+                    f"dedup-store meta {self.meta_path} references "
+                    f"missing base generation {base}")
+            parts.append(self.spark.read.parquet(base))
         live = _read_epochs(self.spark, path, before_epoch,
                             from_epoch=meta["below"])
         if live is not None:
@@ -153,15 +169,23 @@ class BucketedDedupStore:
         if below_epoch <= meta["below"]:
             return  # nothing new to fold
         new_gen = meta["gen"] + 1
-        for path in (self.buckets_dir, self.toks_dir):
-            merged = self._stored(path, below_epoch)
-            if merged is None:
-                return
+        # probe BOTH paths before writing anything: an early return after
+        # the first path's generation dir was written would leave an
+        # orphan gN with meta not advanced (harmless for reads, but the
+        # next compaction would then reuse the gN name)
+        merged_by_path = {path: self._stored(path, below_epoch)
+                          for path in (self.buckets_dir, self.toks_dir)}
+        if any(m is None for m in merged_by_path.values()):
+            return
+        for path, merged in merged_by_path.items():
             merged.write.mode("overwrite").parquet(
                 self._base_dir(path, new_gen))
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"gen": new_gen, "below": below_epoch}, f)
+            f.flush()
+            os.fsync(f.fileno())  # durable before the atomic swap —
+            # a power-loss crash must not leave meta.json truncated
         os.replace(tmp, self.meta_path)  # the commit point
         # cleanup: superseded generations and folded epoch partitions
         for path in (self.buckets_dir, self.toks_dir):

@@ -728,3 +728,42 @@ def test_embedding_dedup_store_equals_batch(spark, sf_dir):
         assert sink.flags == before
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
+
+
+def test_dedup_store_fails_loudly_on_corrupt_meta(spark):
+    """A present-but-unreadable meta.json is store corruption (the
+    compacted base would become invisible and dup-flagging would
+    silently stop) — _meta must raise, not default to empty state;
+    only a MISSING file means 'no compaction yet'."""
+    from axonops_schema_registry_spark.streaming.dedup_store import (
+        BucketedDedupStore,
+    )
+
+    d = tempfile.mkdtemp(prefix="meta_corrupt_")
+    try:
+        store = BucketedDedupStore(spark, d)
+        assert store._meta() == {"gen": -1, "below": 0}  # missing: ok
+        with open(store.meta_path, "w") as f:
+            f.write("{truncated")  # simulated torn write
+        with pytest.raises(RuntimeError, match="corrupt dedup-store"):
+            store._meta()
+        # meta pointing at a missing base generation is equally loud
+        with open(store.meta_path, "w") as f:
+            f.write('{"gen": 0, "below": 1}')
+        with pytest.raises(RuntimeError, match="missing base"):
+            store._stored(store.buckets_dir, 5)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_empty_codebook_sample_raises(spark):
+    """_sampled_ids must fail loudly when the congruence sample is
+    empty (no id ≡ 0 mod stride) instead of letting PQ/IVF silently
+    emit empty frames."""
+    from axonops_schema_registry_spark.llm.similarity import pq_encode
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(1, 20, 2)],
+        "vec_id bigint, embedding array<double>")
+    with pytest.raises(Exception, match="empty codebook"):
+        pq_encode(vecs, m=2, centroid_stride=31).collect()

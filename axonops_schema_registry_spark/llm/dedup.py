@@ -82,7 +82,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.8, ngram: int = 3,
                       n_hashes: int = 64, bands: int = 16,
                       b_ids: DataFrame | None = None,
-                      cache_tokens: bool = True) -> DataFrame:
+                      cache_tokens: bool = True,
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact Jaccard verify.
 
     Output is :func:`verify_jaccard`'s 6-column schema
@@ -103,6 +104,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     one-shot query jobs but leaks one corpus-sized entry PER CALL for
     repeated callers — long-running streaming sinks pass ``False`` and
     re-derive tokens from their checkpointed corpus instead.
+
+    ``max_bucket`` is the HOT-BUCKET guard: cap the LEFT (``id_a``)
+    side of each ``(band, key)`` bucket at its ``max_bucket`` SMALLEST
+    ids (rank window, shuffled on the same key the join already uses),
+    bounding candidate volume at ``max_bucket`` pairs per (target doc,
+    band) instead of O(bucket²) on a boilerplate-heavy corpus where one
+    bucket swallows a large fraction of the corpus.  Recall tradeoff,
+    documented: a true pair is missed only when NONE of the target's
+    shared buckets ranks a matching earlier doc inside the cap — with
+    16 bands a real near-pair collides in many bands, and first-wins
+    consumers keep the smallest ids, which are exactly the ranks the
+    cap preserves.  ``None`` (default) keeps the exact candidate set —
+    the dd2 oracle's contract; flag-path consumers that collapse exact
+    duplicates first (``incremental_dedup_flags``) are the intended
+    cap users, since post-collapse bucket mass is near-identical-but-
+    distinct content only.
     """
     toks = token_set(df, id_col, text_col, ngram)
     if cache_tokens:
@@ -111,7 +128,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     b_side = bucketed if b_ids is None else bucketed.join(
         F.broadcast(b_ids.select(F.col(b_ids.columns[0]).alias("id"))),
         "id")
-    a = bucketed.select(F.col("id").alias("id_a"), "band", "key")
+    a_side = bucketed
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key").orderBy("id")
+        a_side = (bucketed.withColumn("__rk", F.row_number().over(w))
+                  .filter(F.col("__rk") <= max_bucket).drop("__rk"))
+    a = a_side.select(F.col("id").alias("id_a"), "band", "key")
     b = b_side.select(F.col("id").alias("id_b"), "band", "key")
     candidates = (a.join(b, ["band", "key"])
                    .filter(F.col("id_a") < F.col("id_b"))
@@ -154,7 +178,9 @@ def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
                             threshold: float = 0.8,
                             ngram: int = 3,
                             new_ids: DataFrame | None = None,
-                            cache_tokens: bool = True) -> DataFrame:
+                            cache_tokens: bool = True,
+                            collapse_exact: bool = True,
+                            max_bucket: int | None = None) -> DataFrame:
     """First-wins ingestion dedup: a document is a duplicate iff it
     near-matches ANY earlier document (by key order) — the standard
     filter a training pipeline applies while ingesting a stream of
@@ -171,18 +197,83 @@ def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
     documents only, pushing the restriction into the LSH bucket join's
     right side — the per-micro-batch shape of the streaming twin, where
     per-batch candidate volume is bounded by the NEW documents' bucket
-    collisions rather than recomputed for the whole corpus."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, ngram,
-                              b_ids=new_ids, cache_tokens=cache_tokens)
-    dup_of = (pairs.groupBy(F.col("id_b").alias(id_col))
-                   .agg(F.min("id_a").alias("dup_of")))
+    collisions rather than recomputed for the whole corpus.
+
+    ``collapse_exact`` (default on) is the HOT-BUCKET guard for the
+    common crawl case — byte-identical boilerplate pages: collapse each
+    exact-content group (sha-256 fingerprint) to its smallest-id
+    representative BEFORE signing, run LSH over representatives only,
+    and propagate verdicts back.  The result is PROVABLY IDENTICAL to
+    the uncollapsed run: identical texts have Jaccard 1 with each
+    other, so every doc's earliest near-match is always achieved at a
+    representative (any matching non-rep's rep is no later and matches
+    the same text), giving dup_of(non-rep X of rep W) =
+    coalesce(dup_of(W), W) and dup_of(rep) from rep-level pairs alone.
+    What changes is cost: a bucket holding D copies of one page
+    contributes O(D) fingerprint-groupBy rows instead of O(D²)
+    candidate pairs.  Docs too short to shingle (fewer than ``ngram``
+    words → empty token set → never matchable) keep singleton groups so
+    their never-flagged semantics survive the collapse.
+
+    ``max_bucket`` additionally caps the per-(band, key) LEFT side of
+    the rep-level bucket join (see :func:`minhash_lsh_pairs`) — the
+    guard for near-identical-but-not-byte-identical boilerplate, with
+    the documented recall tradeoff; ``None`` keeps exact semantics."""
     out_ids = df.select(id_col) if new_ids is None else new_ids.select(
         F.col(new_ids.columns[0]).alias(id_col))
-    return (out_ids
-              .join(dup_of, id_col, "left")
-              .select(id_col,
-                      F.col("dup_of").isNotNull().alias("is_dup"),
-                      "dup_of"))
+    if not collapse_exact:
+        pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, ngram,
+                                  b_ids=new_ids,
+                                  cache_tokens=cache_tokens,
+                                  max_bucket=max_bucket)
+        dup_of = (pairs.groupBy(F.col("id_b").alias(id_col))
+                       .agg(F.min("id_a").alias("dup_of")))
+        return (out_ids
+                  .join(dup_of, id_col, "left")
+                  .select(id_col,
+                          F.col("dup_of").isNotNull().alias("is_dup"),
+                          "dup_of"))
+    # exact-collapse path: fingerprint → representative per group
+    # (shingle-less docs get a per-doc unique fingerprint: they can
+    # never match anything, so they must not collapse either)
+    shingled = F.size(F.split(F.col(text_col), " ")) >= ngram
+    fp = df.select(
+        F.col(id_col).alias("__did"),
+        F.when(shingled, F.sha2(F.col(text_col), 256))
+         .otherwise(F.concat(F.lit("__noshingle__"),
+                             F.col(id_col).cast("string"))).alias("__fp"))
+    doc_rep = (fp.join(fp.groupBy("__fp")
+                         .agg(F.min("__did").alias("__rep")), "__fp")
+               .select("__did", "__rep"))
+    rep_ids = (doc_rep.filter(F.col("__did") == F.col("__rep"))
+               .select(F.col("__rep").alias(id_col)))
+    rep_rows = df.join(rep_ids, id_col, "left_semi")
+    if new_ids is None:
+        b_reps = None
+    else:
+        # the b-side must be the REPS OF the new docs' fingerprints —
+        # the rep itself may be an OLD doc (a new doc byte-identical to
+        # an earlier one), whose rep-level verdict the propagation needs
+        b_reps = (doc_rep.join(out_ids.select(F.col(id_col)
+                                              .alias("__did")), "__did")
+                  .select("__rep").distinct())
+    pairs = minhash_lsh_pairs(rep_rows, id_col, text_col, threshold,
+                              ngram, b_ids=b_reps,
+                              cache_tokens=cache_tokens,
+                              max_bucket=max_bucket)
+    dup_of_rep = (pairs.groupBy(F.col("id_b").alias("__rep"))
+                  .agg(F.min("id_a").alias("__rdup")))
+    return (out_ids.select(F.col(id_col).alias("__did"))
+            .join(doc_rep, "__did")
+            .join(dup_of_rep, "__rep", "left")
+            .withColumn("dup_of",
+                        F.when(F.col("__did") == F.col("__rep"),
+                               F.col("__rdup"))
+                        .otherwise(F.coalesce(F.col("__rdup"),
+                                              F.col("__rep"))))
+            .select(F.col("__did").alias(id_col),
+                    F.col("dup_of").isNotNull().alias("is_dup"),
+                    "dup_of"))
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

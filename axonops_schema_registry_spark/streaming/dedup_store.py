@@ -6,15 +6,27 @@ signatures every micro-batch (fine for tests, wrong at 100 TB).  This
 store persists each accepted batch's LSH bucket memberships and token
 sets as epoch-partitioned parquet, so a micro-batch costs:
 
-1. tokenize + sign the NEW documents only,
-2. one equi-join of the new bucket keys against the STORED bucket
+1. fingerprint the NEW documents (sha-256 of content) and collapse each
+   exact-content group to its smallest-id representative — byte-
+   identical boilerplate pages are *the* common case in web crawl, and
+   without this step they all land in the same LSH bucket and the
+   candidate self-join goes O(bucket²).  Groups whose fingerprint is
+   already stored are flagged directly from the fingerprint table (one
+   equi-join, no signing at all),
+2. tokenize + sign only the NEW representatives,
+3. one equi-join of the new bucket keys against the STORED bucket
    table (partition-prunable on (band, key) at scale; candidate volume
-   = the new docs' collisions, independent of corpus size),
-3. exact Jaccard verification against ONLY the colliding documents'
+   = the new reps' collisions, independent of corpus size),
+4. exact Jaccard verification against ONLY the colliding documents'
    stored token sets (broadcast candidate-id semi-join: the token
    table is scanned, never shuffled; bucket the store by id at scale
    so the scan itself prunes files),
-4. overwrite the CURRENT epoch's partition.
+5. overwrite the CURRENT epoch's partitions (buckets/toks/fps/flags).
+
+The collapse is RESULT-INVISIBLE (identical texts have Jaccard 1, so
+every document's earliest near-match is always achieved at a
+representative — see ``llm.dedup.incremental_dedup_flags``), but it
+changes what the store GROWS with: distinct content, not corpus size.
 
 Exactly-once under foreachBatch's at-least-once contract: writes go to
 ``epoch=<id>`` partitions with overwrite, and reads filter to
@@ -23,16 +35,26 @@ the identical prior state and rewrites its own partition, never
 double-appending (a duplicated token row would silently corrupt every
 later Jaccard denominator).
 
+Per-document verdicts are PERSISTED to a ``flags`` epoch table (with
+the fingerprint and representative id, which :meth:`reflag` needs);
+the in-memory ``self.flags`` dict is a test-only convenience behind
+``track_flags`` — a production stream passes ``track_flags=False`` and
+reads :meth:`all_flags`, so driver memory stays O(1) in corpus size.
+
 First-wins semantics are identical to
 ``llm.dedup.incremental_dedup_flags`` under ordered arrival — pinned by
-tests/test_streaming.py against the one-shot batch run.
+tests/test_streaming.py against the one-shot batch run.  A backfilled
+epoch carrying SMALLER ids than already-stored documents violates that
+precondition; :meth:`reflag` is the compaction-style batch job that
+recomputes first-wins globally over the compacted store and rewrites
+every flag, so out-of-order ingestion converges to the batch answer.
 
 At very long stream lifetimes the epoch partitions accumulate small
-files; :meth:`BucketedDedupStore.compact` merges every epoch below the
-streaming checkpoint's committed watermark (safe because replays can
-only target epochs at-or-after it) into a generation-numbered base
-directory.  The swap is crash-safe: the new base generation is fully
-written FIRST, then a tiny meta.json is atomically replaced
+files; :meth:`compact` merges every epoch below the streaming
+checkpoint's committed watermark (safe because replays can only target
+epochs at-or-after it) into a generation-numbered base directory.  The
+swap is crash-safe: the new base generation is fully written FIRST,
+then a tiny meta.json is fsynced and atomically replaced
 (``os.replace``), and only then are superseded directories deleted —
 a crash at any point leaves meta.json pointing at one consistent view,
 and orphan directories are swept by the next compaction.
@@ -57,6 +79,8 @@ from axonops_schema_registry_spark.llm.dedup import (
 from axonops_schema_registry_spark.operators.core import release_checkpoint
 from axonops_schema_registry_spark.operators.text import token_set
 
+_NOSHINGLE = "__noshingle__"
+
 
 def _read_epochs(spark: SparkSession, path: str, before_epoch: int,
                  from_epoch: int = 0) -> DataFrame | None:
@@ -74,29 +98,18 @@ def _read_epochs(spark: SparkSession, path: str, before_epoch: int,
                      & (F.col("epoch") < before_epoch)).drop("epoch")
 
 
-class BucketedDedupStore:
-    """Disk-backed first-wins near-dup filter for streaming ingestion.
+class _EpochStore:
+    """Shared machinery of the two dedup stores: epoch-partitioned
+    data directories, a generation-numbered compacted base per
+    directory, and one fsynced-atomically-replaced meta.json whose
+    swap is the commit point for compaction and reflag."""
 
-    Usable directly as a ``foreachBatch`` target; per-document verdicts
-    accumulate in ``self.flags`` exactly like ``IncrementalDedupSink``
-    (the in-process twin), but per-batch work never rescans earlier
-    documents — only their stored buckets/tokens are joined, and only
-    for colliding keys.
-    """
+    spark: SparkSession
+    store_dir: str
+    meta_path: str
 
-    def __init__(self, spark: SparkSession, store_dir: str,
-                 id_col: str = "doc_id", text_col: str = "text",
-                 threshold: float = 0.8, ngram: int = 3,
-                 n_hashes: int = 64, bands: int = 16) -> None:
-        self.spark = spark
-        self.store_dir = store_dir
-        self.buckets_dir = os.path.join(store_dir, "buckets")
-        self.toks_dir = os.path.join(store_dir, "toks")
-        self.id_col, self.text_col = id_col, text_col
-        self.threshold, self.ngram = threshold, ngram
-        self.n_hashes, self.bands = n_hashes, bands
-        self.meta_path = os.path.join(store_dir, "meta.json")
-        self.flags: dict[int, tuple[bool, int | None]] = {}
+    def _dirs(self) -> tuple[str, ...]:
+        raise NotImplementedError
 
     # -- store access -----------------------------------------------------
 
@@ -153,32 +166,21 @@ class BucketedDedupStore:
             out = out.unionByName(p)
         return out
 
-    # -- compaction -------------------------------------------------------
+    # -- generation commit (compaction + reflag share this) ---------------
 
-    def compact(self, below_epoch: int) -> None:
-        """Fold every epoch partition < ``below_epoch`` (which must be
-        at-or-below the streaming checkpoint's committed watermark —
-        replays can then only target epochs this never touches) into
-        the next base generation.  Write order makes a crash at ANY
-        point harmless: (1) new generation directories are fully
-        written, (2) meta.json is atomically replaced to point at them,
-        (3) superseded directories are deleted best-effort — orphans
-        from a crash between (1) and (2), or leftovers from a crash
-        during (3), are swept by the next compaction."""
-        meta = self._meta()
-        if below_epoch <= meta["below"]:
-            return  # nothing new to fold
-        new_gen = meta["gen"] + 1
-        # probe BOTH paths before writing anything: an early return after
-        # the first path's generation dir was written would leave an
-        # orphan gN with meta not advanced (harmless for reads, but the
-        # next compaction would then reuse the gN name)
-        merged_by_path = {path: self._stored(path, below_epoch)
-                          for path in (self.buckets_dir, self.toks_dir)}
-        if any(m is None for m in merged_by_path.values()):
-            return
-        for path, merged in merged_by_path.items():
-            merged.write.mode("overwrite").parquet(
+    def _commit_generation(self, frames: dict[str, DataFrame],
+                           new_gen: int, below_epoch: int) -> None:
+        """Write one DataFrame per data directory as base generation
+        ``new_gen``, commit via meta.json, then sweep superseded
+        generations and folded epoch partitions.  Write order makes a
+        crash at ANY point harmless: (1) generation directories are
+        fully written, (2) meta.json is fsynced and atomically
+        replaced to point at them, (3) superseded directories are
+        deleted best-effort — orphans from a crash between (1) and
+        (2), or leftovers from a crash during (3), are swept by the
+        next commit."""
+        for path, frame in frames.items():
+            frame.write.mode("overwrite").parquet(
                 self._base_dir(path, new_gen))
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
@@ -187,8 +189,7 @@ class BucketedDedupStore:
             os.fsync(f.fileno())  # durable before the atomic swap —
             # a power-loss crash must not leave meta.json truncated
         os.replace(tmp, self.meta_path)  # the commit point
-        # cleanup: superseded generations and folded epoch partitions
-        for path in (self.buckets_dir, self.toks_dir):
+        for path in frames:
             for g in range(new_gen):
                 shutil.rmtree(self._base_dir(path, g),
                               ignore_errors=True)
@@ -203,15 +204,113 @@ class BucketedDedupStore:
                             shutil.rmtree(os.path.join(path, d),
                                           ignore_errors=True)
 
+    def compact(self, below_epoch: int) -> None:
+        """Fold every epoch partition < ``below_epoch`` (which must be
+        at-or-below the streaming checkpoint's committed watermark —
+        replays can then only target epochs this never touches) into
+        the next base generation."""
+        meta = self._meta()
+        if below_epoch <= meta["below"]:
+            return  # nothing new to fold
+        # probe ALL paths before writing anything: an early return after
+        # one path's generation dir was written would leave an orphan
+        # gN with meta not advanced (harmless for reads, but the next
+        # compaction would then reuse the gN name)
+        merged = {path: self._stored(path, below_epoch)
+                  for path in self._dirs()}
+        if any(m is None for m in merged.values()):
+            return
+        self._commit_generation(merged, meta["gen"] + 1, below_epoch)
+
+
+class BucketedDedupStore(_EpochStore):
+    """Disk-backed first-wins near-dup filter for streaming ingestion.
+
+    Usable directly as a ``foreachBatch`` target; per-document verdicts
+    are written to the ``flags`` epoch table (read them back with
+    :meth:`all_flags`) and, when ``track_flags`` (test-only default),
+    also accumulate in ``self.flags`` exactly like
+    ``IncrementalDedupSink`` (the in-process twin).  Per-batch work
+    never rescans earlier documents — only their stored buckets/tokens
+    are joined, and only for colliding keys; exact-content groups are
+    collapsed to representatives before any signing (module docstring),
+    so a boilerplate-heavy crawl cannot melt a bucket.
+    """
+
+    def __init__(self, spark: SparkSession, store_dir: str,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 threshold: float = 0.8, ngram: int = 3,
+                 n_hashes: int = 64, bands: int = 16,
+                 track_flags: bool = True) -> None:
+        self.spark = spark
+        self.store_dir = store_dir
+        self.buckets_dir = os.path.join(store_dir, "buckets")
+        self.toks_dir = os.path.join(store_dir, "toks")
+        self.fps_dir = os.path.join(store_dir, "fps")
+        self.flags_dir = os.path.join(store_dir, "flags")
+        self.id_col, self.text_col = id_col, text_col
+        self.threshold, self.ngram = threshold, ngram
+        self.n_hashes, self.bands = n_hashes, bands
+        self.meta_path = os.path.join(store_dir, "meta.json")
+        self.track_flags = track_flags
+        self.flags: dict[int, tuple[bool, int | None]] = {}
+
+    def _dirs(self) -> tuple[str, ...]:
+        return (self.buckets_dir, self.toks_dir, self.fps_dir,
+                self.flags_dir)
+
+    def all_flags(self) -> DataFrame | None:
+        """Every persisted per-document verdict —
+        (id, is_dup, dup_of) — from the compacted base plus all live
+        epochs.  The production read path (``self.flags`` is test-only
+        driver state)."""
+        stored = self._stored(self.flags_dir, 2**62)
+        if stored is None:
+            return None
+        return stored.select(self.id_col, "is_dup", "dup_of")
+
     # -- the per-batch pipeline -------------------------------------------
+
+    def _fingerprinted(self, new: DataFrame) -> DataFrame:
+        """(__nid, __ntext, __fp): sha-256 content fingerprint; docs
+        too short to shingle (< ngram words → empty token set → never
+        matchable) get a per-doc unique fingerprint so they neither
+        collapse nor ever match a stored group."""
+        shingled = F.size(F.split(F.col("__ntext"), " ")) >= self.ngram
+        return new.withColumn(
+            "__fp",
+            F.when(shingled, F.sha2(F.col("__ntext"), 256))
+             .otherwise(F.concat(F.lit(_NOSHINGLE),
+                                 F.col("__nid").cast("string"))))
 
     def process_batch(self, new_docs: DataFrame,
                       epoch_id: int) -> DataFrame:
         """Flag one epoch's batch against the store, (re)write its
-        epoch partition, return (id, is_dup, dup_of)."""
+        epoch partitions, return (id, is_dup, dup_of)."""
         new = new_docs.select(F.col(self.id_col).alias("__nid"),
                               F.col(self.text_col).alias("__ntext"))
-        new_toks = token_set(new, "__nid", "__ntext", self.ngram) \
+        fp_rows = self._fingerprinted(new).localCheckpoint(eager=True)
+        group_rep = (fp_rows.groupBy("__fp")
+                     .agg(F.min("__nid").alias("__brep")))
+        stored_fp = self._stored(self.fps_dir, epoch_id)
+        if stored_fp is not None:
+            group_rep = group_rep.join(stored_fp, "__fp", "left")
+        else:
+            id_type = dict(new.dtypes)["__nid"]
+            group_rep = (group_rep
+                         .withColumn("rep",
+                                     F.lit(None).cast(id_type))
+                         .withColumn("eff", F.lit(None).cast(id_type)))
+        group_rep = group_rep.localCheckpoint(eager=True)
+
+        # groups whose fingerprint is NEW sign + join; the batch rep
+        # carries the group through LSH
+        new_groups = (group_rep.filter(F.col("rep").isNull())
+                      .select("__fp", "__brep"))
+        rep_docs = (fp_rows.join(new_groups, "__fp")
+                    .filter(F.col("__nid") == F.col("__brep"))
+                    .select("__nid", "__ntext"))
+        new_toks = token_set(rep_docs, "__nid", "__ntext", self.ngram) \
             .localCheckpoint(eager=True)
         new_buckets = minhash_band_buckets(
             new_toks, self.n_hashes, self.bands) \
@@ -230,7 +329,7 @@ class BucketedDedupStore:
         all_toks = (new_toks if stored_t is None
                     else stored_t.unionByName(new_toks))
         # restrict the verify to colliding documents: the candidate id
-        # set (bounded by the new batch's collisions) broadcasts as a
+        # set (bounded by the new reps' collisions) broadcasts as a
         # semi-join filter, so the stored token table is scanned but
         # never shuffled
         cand_ids = (candidates.select(F.col("id_a").alias("id"))
@@ -239,31 +338,139 @@ class BucketedDedupStore:
                     .distinct())
         pairs = verify_jaccard(all_toks.join(F.broadcast(cand_ids), "id"),
                                candidates, self.threshold)
-        dup_of = (pairs.groupBy(F.col("id_b").alias("__nid"))
-                  .agg(F.min("id_a").alias("dup_of")))
-        flags = (new.select("__nid")
-                 .join(dup_of, "__nid", "left")
+        rep_dup = (pairs.groupBy(F.col("id_b").alias("__brep"))
+                   .agg(F.min("id_a").alias("__rdup")))
+
+        # verdicts: new-fp group members propagate from the rep's
+        # verdict; known-fp members are dups of the stored effective
+        # original (eff = coalesce(rep's dup_of, rep) at store time)
+        nf = (fp_rows.join(new_groups, "__fp")
+              .join(rep_dup, "__brep", "left")
+              .select("__nid", "__fp",
+                      F.col("__brep").alias("rep"),
+                      F.when(F.col("__nid") == F.col("__brep"),
+                             F.col("__rdup"))
+                      .otherwise(F.coalesce(F.col("__rdup"),
+                                            F.col("__brep")))
+                      .alias("dup_of")))
+        kf = (fp_rows
+              .join(group_rep.filter(F.col("rep").isNotNull())
+                    .select("__fp", "rep", "eff"), "__fp")
+              .select("__nid", "__fp", "rep",
+                      F.col("eff").alias("dup_of")))
+        flags = (nf.unionByName(kf)
                  .select(F.col("__nid").alias(self.id_col),
                          F.col("dup_of").isNotNull().alias("is_dup"),
-                         "dup_of")
+                         "dup_of", "__fp", "rep")
                  .localCheckpoint(eager=True))
+
+        new_fps = (new_groups.join(rep_dup, "__brep", "left")
+                   .filter(~F.col("__fp").startswith(_NOSHINGLE))
+                   .select("__fp", F.col("__brep").alias("rep"),
+                           F.coalesce(F.col("__rdup"), F.col("__brep"))
+                           .alias("eff")))
 
         # idempotent (re)write of THIS epoch's partitions, then release
         # the batch-sized checkpoint blocks eagerly — a long-running
         # stream must not wait for the ContextCleaner
         for frame, path in ((new_buckets, self.buckets_dir),
-                            (new_toks, self.toks_dir)):
+                            (new_toks, self.toks_dir),
+                            (new_fps, self.fps_dir),
+                            (flags, self.flags_dir)):
             frame.write.mode("overwrite").parquet(
                 os.path.join(path, f"epoch={epoch_id}"))
-        release_checkpoint(new_buckets)
-        release_checkpoint(new_toks)
-        return flags
+        # the public 3-column verdicts get their OWN checkpoint (reading
+        # from the 5-column one, so it's a cheap re-materialization):
+        # release_checkpoint only frees a direct LogicalRDD frame, and
+        # callers own releasing the frame we return
+        out = (flags.select(self.id_col, "is_dup", "dup_of")
+               .localCheckpoint(eager=True))
+        for ck in (new_buckets, new_toks, fp_rows, group_rep, flags):
+            release_checkpoint(ck)
+        return out
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         flags = self.process_batch(batch_df, epoch_id)
-        for r in flags.collect():
-            self.flags[r[self.id_col]] = (r["is_dup"], r["dup_of"])
+        if self.track_flags:
+            for r in flags.collect():
+                self.flags[r[self.id_col]] = (r["is_dup"], r["dup_of"])
         release_checkpoint(flags)
+
+    # -- out-of-order repair ----------------------------------------------
+
+    def reflag(self, below_epoch: int) -> None:
+        """Compaction-style global re-flag: recompute first-wins over
+        EVERYTHING stored below ``below_epoch`` and commit the
+        corrected buckets/toks/fps/flags as the next base generation.
+
+        This is the batch job the ordered-arrival precondition points
+        at: a backfilled epoch carrying ids SMALLER than already-stored
+        documents leaves stale flags (the store cannot flip verdicts it
+        already emitted, and the ``id_a < id_b`` candidate filter never
+        pairs an old doc as the duplicate of a newer-arrived smaller
+        id).  Re-flag re-derives, per fingerprint, the TRUE smallest-id
+        representative from the persisted flags table, re-keys the
+        stored rep-level tokens/buckets to it (texts are identical
+        within a fingerprint group, so no re-tokenization), recomputes
+        symmetric rep-level first-wins, and propagates to every member.
+        Run it quiescent with ``below_epoch`` above every written epoch
+        — it folds the whole store, like a compaction that also fixes
+        history."""
+        members = self._stored(self.flags_dir, below_epoch)
+        if members is None:
+            return
+        toks = self._stored(self.toks_dir, below_epoch)
+        buckets = self._stored(self.buckets_dir, below_epoch)
+        mid = F.col(self.id_col)
+        true_rep = (members.groupBy("__fp")
+                    .agg(F.min(mid).alias("__trep")))
+        # stored-rep → true-rep key map (injective: one stored rep and
+        # one true rep per fingerprint)
+        rep_map = (members.select("__fp", F.col("rep").alias("id"))
+                   .distinct()
+                   .join(true_rep, "__fp")
+                   .select("id", "__trep"))
+        rtoks = (toks.join(rep_map, "id")
+                 .select(F.col("__trep").alias("id"), "token")
+                 ) if toks is not None else None
+        rbuckets = (buckets.join(rep_map, "id")
+                    .select(F.col("__trep").alias("id"), "band", "key")
+                    ) if buckets is not None else None
+        if rtoks is None or rbuckets is None:
+            return
+        a = rbuckets.select(F.col("id").alias("id_a"), "band", "key")
+        b = rbuckets.select(F.col("id").alias("id_b"), "band", "key")
+        candidates = (a.join(b, ["band", "key"])
+                      .filter(F.col("id_a") < F.col("id_b"))
+                      .select("id_a", "id_b").distinct())
+        pairs = verify_jaccard(rtoks, candidates, self.threshold)
+        rep_dup = (pairs.groupBy(F.col("id_b").alias("__trep"))
+                   .agg(F.min("id_a").alias("__rdup")))
+        new_flags = (members.select(mid.alias("__mid"), "__fp")
+                     .join(true_rep, "__fp")
+                     .join(rep_dup, "__trep", "left")
+                     .withColumn("dup_of",
+                                 F.when(F.col("__mid") == F.col("__trep"),
+                                        F.col("__rdup"))
+                                 .otherwise(F.coalesce(F.col("__rdup"),
+                                                       F.col("__trep"))))
+                     .select(F.col("__mid").alias(self.id_col),
+                             F.col("dup_of").isNotNull().alias("is_dup"),
+                             "dup_of", "__fp",
+                             F.col("__trep").alias("rep")))
+        new_fps = (true_rep
+                   .filter(~F.col("__fp").startswith(_NOSHINGLE))
+                   .join(rep_dup, "__trep", "left")
+                   .select("__fp", F.col("__trep").alias("rep"),
+                           F.coalesce(F.col("__rdup"), F.col("__trep"))
+                           .alias("eff")))
+        self._commit_generation(
+            {self.buckets_dir: rbuckets, self.toks_dir: rtoks,
+             self.fps_dir: new_fps, self.flags_dir: new_flags},
+            self._meta()["gen"] + 1, below_epoch)
+        if self.track_flags:
+            self.flags = {r[self.id_col]: (r["is_dup"], r["dup_of"])
+                          for r in self.all_flags().collect()}
 
 
 def _semantic_pairs(a_buckets: DataFrame, b_buckets: DataFrame,
@@ -320,7 +527,7 @@ def _first_wins(out_ids: DataFrame, pairs: DataFrame,
                     "dup_of"))
 
 
-class EmbeddingDedupStore:
+class EmbeddingDedupStore(_EpochStore):
     """Disk-backed first-wins SEMANTIC dedup for streaming ingestion —
     the embedding-modality twin of :class:`BucketedDedupStore`: new
     vectors are hyperplane-LSH bucketed (the seeded production
@@ -330,6 +537,15 @@ class EmbeddingDedupStore:
     stored vectors (broadcast candidate-id semi-join).  Per-batch cost
     is bounded by the new batch's collisions, never the corpus.
 
+    Same hot-bucket guard as the text twin: byte-identical vectors
+    (cosine exactly 1 ≥ any threshold ≤ 1) collapse to their smallest-
+    id representative via a content fingerprint BEFORE bucketing, so
+    the store grows with distinct vectors and a replicated-embedding
+    corpus cannot melt a bucket.  Zero-norm vectors (cosine undefined
+    → never flagged) keep per-vector unique fingerprints, preserving
+    their never-matched semantics.  Flags persist to an epoch table
+    (:meth:`all_flags`); ``self.flags`` is test-only (``track_flags``).
+
     Same exactly-once discipline as the text store: epoch-partitioned
     idempotent rewrites, reads filter to earlier epochs, so an
     at-least-once replay recomputes identical flags.
@@ -337,28 +553,41 @@ class EmbeddingDedupStore:
     Streaming ≡ batch UNDER ORDERED ARRIVAL (earlier batches carry
     smaller ids — the same precondition the text twin documents): the
     flags then equal a one-shot :func:`embedding_dedup_flags` run over
-    the concatenated corpus (pinned in tests/test_streaming.py, and
-    held by construction — both paths run the shared
-    :func:`_semantic_pairs`/:func:`_first_wins` core).  A batch
-    carrying an id SMALLER than an already-stored similar vector
-    cannot flip the stored vector's already-emitted flag — out-of-order
-    id spaces need a compaction-style re-flag pass, not this store.
+    the concatenated corpus (pinned in tests/test_streaming.py).  A
+    batch carrying an id SMALLER than an already-stored similar vector
+    cannot flip the stored vector's already-emitted flag — run
+    :meth:`reflag` (the compaction-style repair) after out-of-order
+    ingestion.
     """
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  threshold: float = 0.9, dim: int = 64,
                  n_bits: int = 8, n_tables: int = 4,
-                 seed0: int = 1000) -> None:
+                 seed0: int = 1000, track_flags: bool = True) -> None:
         self.spark = spark
         self.store_dir = store_dir
         self.buckets_dir = os.path.join(store_dir, "ebuckets")
         self.vecs_dir = os.path.join(store_dir, "evecs")
+        self.fps_dir = os.path.join(store_dir, "efps")
+        self.flags_dir = os.path.join(store_dir, "eflags")
         self.id_col, self.vec_col = id_col, vec_col
         self.threshold = threshold
         self.dim, self.n_bits = dim, n_bits
         self.n_tables, self.seed0 = n_tables, seed0
+        self.meta_path = os.path.join(store_dir, "emeta.json")
+        self.track_flags = track_flags
         self.flags: dict[int, tuple[bool, int | None]] = {}
+
+    def _dirs(self) -> tuple[str, ...]:
+        return (self.buckets_dir, self.vecs_dir, self.fps_dir,
+                self.flags_dir)
+
+    def all_flags(self) -> DataFrame | None:
+        stored = self._stored(self.flags_dir, 2**62)
+        if stored is None:
+            return None
+        return stored.select(self.id_col, "is_dup", "dup_of")
 
     def _bucketed(self, vecs: DataFrame) -> DataFrame:
         from axonops_schema_registry_spark.llm.similarity import (
@@ -371,38 +600,157 @@ class EmbeddingDedupStore:
                 .select("__id", F.posexplode("__bs")
                         .alias("table", "bucket")))
 
+    def _fingerprinted(self, new: DataFrame) -> DataFrame:
+        """(__id, __v, __fp): sha-256 of the JSON-rendered vector —
+        byte-identical vectors (the only ones with cosine exactly 1
+        guaranteed) share a fingerprint; zero-norm vectors (cosine
+        undefined → never matchable) get per-vector unique ones."""
+        sumsq = F.expr("aggregate(transform(__v, x -> CAST(x AS DOUBLE)"
+                       " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+                       "(acc, w) -> acc + w)")
+        return new.withColumn(
+            "__fp",
+            F.when(sumsq > 0, F.sha2(F.to_json(F.col("__v")), 256))
+             .otherwise(F.concat(F.lit(_NOSHINGLE),
+                                 F.col("__id").cast("string"))))
+
     def process_batch(self, new_vecs: DataFrame,
                       epoch_id: int) -> DataFrame:
         new = new_vecs.select(F.col(self.id_col).alias("__id"),
-                              F.col(self.vec_col).alias("__v")) \
-            .localCheckpoint(eager=True)
-        new_buckets = self._bucketed(new).localCheckpoint(eager=True)
+                              F.col(self.vec_col).alias("__v"))
+        fp_rows = self._fingerprinted(new).localCheckpoint(eager=True)
+        group_rep = (fp_rows.groupBy("__fp")
+                     .agg(F.min("__id").alias("__brep")))
+        stored_fp = self._stored(self.fps_dir, epoch_id)
+        if stored_fp is not None:
+            group_rep = group_rep.join(stored_fp, "__fp", "left")
+        else:
+            id_type = dict(new.dtypes)["__id"]
+            group_rep = (group_rep
+                         .withColumn("rep", F.lit(None).cast(id_type))
+                         .withColumn("eff", F.lit(None).cast(id_type)))
+        group_rep = group_rep.localCheckpoint(eager=True)
 
-        stored_b = _read_epochs(self.spark, self.buckets_dir, epoch_id)
+        new_groups = (group_rep.filter(F.col("rep").isNull())
+                      .select("__fp", "__brep"))
+        rep_vecs = (fp_rows.join(new_groups, "__fp")
+                    .filter(F.col("__id") == F.col("__brep"))
+                    .select("__id", "__v")
+                    .localCheckpoint(eager=True))
+        new_buckets = self._bucketed(rep_vecs) \
+            .localCheckpoint(eager=True)
+
+        stored_b = self._stored(self.buckets_dir, epoch_id)
         all_buckets = (new_buckets if stored_b is None
                        else stored_b.unionByName(new_buckets))
-        stored_v = _read_epochs(self.spark, self.vecs_dir, epoch_id)
-        all_vecs = (new if stored_v is None
-                    else stored_v.unionByName(new))
+        stored_v = self._stored(self.vecs_dir, epoch_id)
+        all_vecs = (rep_vecs if stored_v is None
+                    else stored_v.unionByName(rep_vecs))
         pairs = _semantic_pairs(all_buckets, new_buckets, all_vecs,
                                 self.threshold)
-        flags = _first_wins(new.select("__id"), pairs, self.id_col) \
-            .localCheckpoint(eager=True)
-        release_checkpoint(pairs)
+        rep_dup = (pairs.groupBy(F.col("id_b").alias("__brep"))
+                   .agg(F.min("id_a").alias("__rdup")))
+
+        nf = (fp_rows.join(new_groups, "__fp")
+              .join(rep_dup, "__brep", "left")
+              .select("__id", "__fp", F.col("__brep").alias("rep"),
+                      F.when(F.col("__id") == F.col("__brep"),
+                             F.col("__rdup"))
+                      .otherwise(F.coalesce(F.col("__rdup"),
+                                            F.col("__brep")))
+                      .alias("dup_of")))
+        kf = (fp_rows
+              .join(group_rep.filter(F.col("rep").isNotNull())
+                    .select("__fp", "rep", "eff"), "__fp")
+              .select("__id", "__fp", "rep",
+                      F.col("eff").alias("dup_of")))
+        flags = (nf.unionByName(kf)
+                 .select(F.col("__id").alias(self.id_col),
+                         F.col("dup_of").isNotNull().alias("is_dup"),
+                         "dup_of", "__fp", "rep")
+                 .localCheckpoint(eager=True))
+        new_fps = (new_groups.join(rep_dup, "__brep", "left")
+                   .filter(~F.col("__fp").startswith(_NOSHINGLE))
+                   .select("__fp", F.col("__brep").alias("rep"),
+                           F.coalesce(F.col("__rdup"), F.col("__brep"))
+                           .alias("eff")))
 
         for frame, path in ((new_buckets, self.buckets_dir),
-                            (new, self.vecs_dir)):
+                            (rep_vecs, self.vecs_dir),
+                            (new_fps, self.fps_dir),
+                            (flags, self.flags_dir)):
             frame.write.mode("overwrite").parquet(
                 os.path.join(path, f"epoch={epoch_id}"))
-        release_checkpoint(new_buckets)
-        release_checkpoint(new)
-        return flags
+        out = (flags.select(self.id_col, "is_dup", "dup_of")
+               .localCheckpoint(eager=True))
+        for ck in (new_buckets, rep_vecs, fp_rows, group_rep, flags,
+                   pairs):
+            release_checkpoint(ck)
+        return out
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         flags = self.process_batch(batch_df, epoch_id)
-        for r in flags.collect():
-            self.flags[r[self.id_col]] = (r["is_dup"], r["dup_of"])
+        if self.track_flags:
+            for r in flags.collect():
+                self.flags[r[self.id_col]] = (r["is_dup"], r["dup_of"])
         release_checkpoint(flags)
+
+    def reflag(self, below_epoch: int) -> None:
+        """Global first-wins repair after out-of-order ingestion — the
+        embedding twin of :meth:`BucketedDedupStore.reflag`: re-derive
+        the true smallest-id representative per fingerprint from the
+        flags table, re-key stored rep vectors/buckets, recompute
+        symmetric rep-level cosine first-wins, propagate to members,
+        and commit everything as the next base generation."""
+        members = self._stored(self.flags_dir, below_epoch)
+        if members is None:
+            return
+        vecs = self._stored(self.vecs_dir, below_epoch)
+        buckets = self._stored(self.buckets_dir, below_epoch)
+        if vecs is None or buckets is None:
+            return
+        mid = F.col(self.id_col)
+        true_rep = (members.groupBy("__fp")
+                    .agg(F.min(mid).alias("__trep")))
+        rep_map = (members.select("__fp", F.col("rep").alias("__id"))
+                   .distinct()
+                   .join(true_rep, "__fp")
+                   .select("__id", "__trep"))
+        rvecs = (vecs.join(rep_map, "__id")
+                 .select(F.col("__trep").alias("__id"), "__v"))
+        rbuckets = (buckets.join(rep_map, "__id")
+                    .select(F.col("__trep").alias("__id"),
+                            "table", "bucket"))
+        pairs = _semantic_pairs(rbuckets, rbuckets, rvecs,
+                                self.threshold)
+        rep_dup = (pairs.groupBy(F.col("id_b").alias("__trep"))
+                   .agg(F.min("id_a").alias("__rdup")))
+        new_flags = (members.select(mid.alias("__mid"), "__fp")
+                     .join(true_rep, "__fp")
+                     .join(rep_dup, "__trep", "left")
+                     .withColumn("dup_of",
+                                 F.when(F.col("__mid") == F.col("__trep"),
+                                        F.col("__rdup"))
+                                 .otherwise(F.coalesce(F.col("__rdup"),
+                                                       F.col("__trep"))))
+                     .select(F.col("__mid").alias(self.id_col),
+                             F.col("dup_of").isNotNull().alias("is_dup"),
+                             "dup_of", "__fp",
+                             F.col("__trep").alias("rep")))
+        new_fps = (true_rep
+                   .filter(~F.col("__fp").startswith(_NOSHINGLE))
+                   .join(rep_dup, "__trep", "left")
+                   .select("__fp", F.col("__trep").alias("rep"),
+                           F.coalesce(F.col("__rdup"), F.col("__trep"))
+                           .alias("eff")))
+        self._commit_generation(
+            {self.buckets_dir: rbuckets, self.vecs_dir: rvecs,
+             self.fps_dir: new_fps, self.flags_dir: new_flags},
+            self._meta()["gen"] + 1, below_epoch)
+        release_checkpoint(pairs)
+        if self.track_flags:
+            self.flags = {r[self.id_col]: (r["is_dup"], r["dup_of"])
+                          for r in self.all_flags().collect()}
 
 
 def embedding_dedup_flags(vecs: DataFrame, id_col: str = "vec_id",

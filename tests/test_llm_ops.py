@@ -655,3 +655,80 @@ def test_whole_doc_packing_capacity_invariant(spark, sf_dir):
     # no-straddle by construction: per-doc rows carry their whole
     # token count in exactly one pack
     assert a.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def _flag_rows(df):
+    return {(r[0], r[1], r[2]) for r in df.collect()}
+
+
+def test_collapse_exact_flags_identical(spark):
+    """The exact-collapse hot-bucket guard must be result-invisible:
+    incremental_dedup_flags(collapse_exact=True) equals the
+    uncollapsed run on a corpus with byte-identical groups, cross-group
+    near-dups, and shingle-less short docs (which must stay unflagged
+    even when byte-identical)."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        incremental_dedup_flags,
+    )
+
+    base_a = " ".join(f"alpha{i}" for i in range(30))
+    base_b = " ".join(f"alpha{i}" for i in range(29)) + " omega"  # near-dup of a
+    base_c = " ".join(f"beta{i}" for i in range(30))
+    rows = [
+        (1, base_a), (2, base_a), (5, base_a),      # exact group, rep=1
+        (3, base_b),                                 # near-dup of group a
+        (4, base_b),                                 # exact copy of 3
+        (6, base_c), (9, base_c),                    # unrelated exact group
+        (7, "too short"), (8, "too short"),          # shingle-less: never dup
+        (10, "solo " + base_c.replace("beta0", "gamma0")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    plain = _flag_rows(incremental_dedup_flags(
+        docs, collapse_exact=False, cache_tokens=False))
+    collapsed = _flag_rows(incremental_dedup_flags(
+        docs, collapse_exact=True, cache_tokens=False))
+    assert collapsed == plain
+    flags = {i: (d, o) for i, d, o in collapsed}
+    assert flags[2] == (True, 1) and flags[5] == (True, 1)
+    assert flags[3] == (True, 1)          # near-dup across groups
+    assert flags[4] == (True, 1)          # exact copy of a near-dup
+    assert flags[9] == (True, 6)
+    assert flags[7] == (False, None) and flags[8] == (False, None)
+    # incremental (new_ids) shape: verdicts for a late batch only,
+    # including a new doc byte-identical to an OLD doc (old rep)
+    late = spark.createDataFrame(
+        [(11, base_a), (12, "fresh " + base_c)],
+        "doc_id bigint, text string")
+    corpus = docs.unionByName(late)
+    new_ids = late.select("doc_id")
+    plain_inc = _flag_rows(incremental_dedup_flags(
+        corpus, new_ids=new_ids, collapse_exact=False,
+        cache_tokens=False))
+    coll_inc = _flag_rows(incremental_dedup_flags(
+        corpus, new_ids=new_ids, collapse_exact=True,
+        cache_tokens=False))
+    assert coll_inc == plain_inc
+    assert {i for i, _, _ in coll_inc} == {11, 12}
+    assert dict((i, (d, o)) for i, d, o in coll_inc)[11] == (True, 1)
+
+
+def test_max_bucket_cap_preserves_first_wins_on_dup_heavy_corpus(spark):
+    """With exact dups collapsed, a modest per-bucket cap leaves the
+    flags of a duplicate-heavy corpus unchanged (the cap keeps the
+    SMALLEST ids — exactly the ones first-wins dup_of points at)."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        incremental_dedup_flags,
+    )
+
+    tmpl = " ".join(f"w{i}" for i in range(40))
+    rows = [(i, tmpl) for i in range(90)]            # 90% boilerplate
+    rows += [(100 + i, tmpl.replace(f"w{i}", f"u{i}") + f" tail{i}")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = _flag_rows(incremental_dedup_flags(
+        docs, cache_tokens=False))
+    capped = _flag_rows(incremental_dedup_flags(
+        docs, cache_tokens=False, max_bucket=8))
+    assert capped == uncapped
+    flags = {i: (d, o) for i, d, o in capped}
+    assert all(flags[i] == (True, 0) for i in range(1, 90))

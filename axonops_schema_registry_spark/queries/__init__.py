@@ -20,57 +20,43 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-7 rotation (VERDICT r6 ask #3, oldest-first): the six
-    # never-driver-sampled specs lead (sem1/lab1 AFTER their scale
-    # fixes landed), then this round's new and changed-code specs,
-    # then every r3-stale spec, then 20 of the 40 r4-green specs
-    # reaching the freshness bound.  After this round no spec's
-    # newest green row is older than r4.
-    # -- never driver-sampled (recomputed by set-union r1–r6)
-    "sem1_semantic_dedup", "q2_min_cost_supplier", "q8_market_share",
-    "q9_product_profit", "tx8_normalize", "lab1_label_cohesion",
-    # -- new in r7
-    "pk2_segmented_packing", "mm4_wav_decode",
-    "ppl1_unigram_perplexity", "mix2_segmented_mixture",
-    "ctm3_semantic_contamination", "qz2_pq_encode",
-    "nn4_pq_adc_topk", "ev1_ann_recall", "ev2_lsh_recall",
-    "pk3_whole_doc_packing", "bpe1_merge_candidates",
-    # -- changed semantics/code this round: aud3 int-coded two-stage
-    #    classifier, dd4 checkpointed connected components, met1
-    #    deterministic no-identity fallback, ctm2 distinct-seed bloom
-    #    count
-    "aud3_request_classification", "dd4_dedup_clusters",
-    "met1_prometheus_export", "ctm2_bloom_contamination",
-    # -- the 9 specs whose newest green row is r3 (freshness floor)
-    "dd1_exact_dedup", "f6_naming_variants", "fs2_type_search",
-    "mp1_migration_path", "r2_version_history",
-    "r3_schema_versions_view", "tx1_language_id", "tx2_token_stats",
-    "tx3_rolling_fingerprint",
-    # -- 20 of the 40 r4-green specs (registration-order slice); the
-    #    20 deferred names (nn1_cosine_topk — cosine_topk is freshly
-    #    verified through ev1/ev2's composition — j8c_dek_undelete_lifecycle
-    #    (the j8/j8b/j8d family keeps the lifecycle covered),
-    #    m1_metadata_merge, mode1_write_gating (BDD-parity-pinned),
-    #    q12_priority_linestatus, q16_supplier_counts,
-    #    q4_order_priority, r8_delete_reregister,
-    #    rj1_events_in_windows,
-    #    rv1_ruleset_validation, s9_import_with_ids,
-    #    sk1_distinct_sketches, st2_filtered_cef_lines,
-    #    st6_rate_limit_flags, tx4_char_entropy, tx5_dataset_card,
-    #    tx6_token_rarity, u1_user_role_stats, v1_validate_normalize,
-    #    x1_export_subject) are the r8 window leads and stay guarded by
-    #    tests/test_queries_oracle.py meanwhile
-    "a4c_cube_statistics", "a8r_schema_quality",
-    "asof1_config_at_event_time", "aud1_audit_chain",
-    "aud2_event_type_analytics", "c3_compat_with_refs",
-    "ctx1_multitenant_listing", "dd3_simhash_dedup",
-    "dd5_cross_source_dup_matrix", "del1_delete_taxonomy",
-    "err1_lookup_taxonomy", "exp1_exporter_lifecycle",
-    "hr1_hypertable_rollup", "j3d_dependency_closure",
-    "j3r_reference_resolution", "j4r_subject_similarity",
-    "j8_kek_dek_lifecycle", "j8b_dek_rewrap",
-    "nn3_ivf_ann_topk",
-    "r7_registration_gated",
+    # Round-9 rotation (VERDICT r8 ask #1, oldest-first): the 20
+    # r4-stale specs — named as the r8 window leads but never promoted
+    # (the r8 window shipped byte-identical to r7's) — lead here,
+    # followed by 30 of the 45 r5-stale specs (bespoke surfaces first:
+    # registration, compat, DEK lifecycle, dedup, quality).  After this
+    # round the freshness floor rises to r5.  Deferred r5-stale names
+    # for the r10 window: q3, q5, q11, q13, q15, q17, q19, q20, q21,
+    # q22, rc1_version_chain_audit, rf1_reserved_fields,
+    # sg1_suggest_evolution, smp1_stratified_sample, st9_token_bucket —
+    # all guarded by tests/test_queries_oracle.py meanwhile.
+    # -- the 20 r4-stale specs (freshness floor, 4 rounds old)
+    "nn1_cosine_topk", "j8c_dek_undelete_lifecycle",
+    "m1_metadata_merge", "mode1_write_gating",
+    "q4_order_priority", "q12_priority_linestatus",
+    "q16_supplier_counts", "r8_delete_reregister",
+    "rj1_events_in_windows", "rv1_ruleset_validation",
+    "s9_import_with_ids", "sk1_distinct_sketches",
+    "st2_filtered_cef_lines", "st6_rate_limit_flags",
+    "tx4_char_entropy", "tx5_dataset_card", "tx6_token_rarity",
+    "u1_user_role_stats", "v1_validate_normalize",
+    "x1_export_subject",
+    # -- 30 of the 45 r5-stale specs (registration-order slice,
+    #    bespoke families ahead of the TPC-shaped relational tail)
+    "a1_versions_view", "a3_global_id_stats",
+    "a4_registry_statistics", "a5_field_patterns",
+    "a6_type_consistency", "a8_quality_scores", "a8q_exact_quality",
+    "a9_complexity", "a10_event_metrics",
+    "c1_compatibility_matrix", "c2_compat_messages",
+    "dd6_embedding_cosine_dedup", "del2_version_delete_taxonomy",
+    "e1_schema_diff", "e2_subject_compare", "e3_similarity_selfjoin",
+    "e4_migration_plan", "e5_union_segments",
+    "f10_global_fingerprint", "f14_subject_name_strategy",
+    "j1_referenced_by", "j3_multilevel_resolution",
+    "j6_config_fallback", "j7_dedup_anti_join",
+    "j8d_kek_cascade_lifecycle", "lv1_context_level_resolution",
+    "mix1_dataset_mixture", "mm2_header_decode",
+    "p1_live_view", "r4_registration_batch",
 )
 
 

@@ -254,3 +254,67 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
                  F.round(F.sum(F.col("s").cast("decimal(25,6)"))
                          .cast("double") / F.count(F.lit(1)), 4)
                  .alias("mean_surprisal")))
+
+
+_BPE_SEP = "\x1f"  # unit separator: joins symbols inside a word
+
+
+def bpe_merges(docs: DataFrame, text_col: str = "text",
+               k: int = 10) -> DataFrame:
+    """k-step BPE trainer (Sennrich et al. 2016) at corpus scale: the
+    iterated form of the single pair-count step bpe1 verifies.  Each
+    step counts adjacent symbol pairs over the DISTINCT-word vocabulary
+    (weighted by word frequency), folds the top pair (count DESC, pair
+    ASC) into every word, and repeats — the checkpointed-loop pattern
+    (llm/dedup.py connected_components): lineage is truncated per
+    iteration and only the single winning pair rides the driver.
+
+    Words are symbol sequences rendered as unit-separator-joined
+    strings; a merge is one ``replace(s, a‖SEP‖b, a‖b)`` — left-to-right
+    non-overlapping in both Spark and DuckDB, which is exactly BPE's
+    greedy merge order, so the unrolled-CTE oracle replays bit-for-bit.
+
+    Scale: every step is vocabulary-bounded (distinct words, not
+    corpus rows — the corpus-sized groupBy happens once), and the
+    winning pair is a one-row driver fetch per step.
+
+    Output: (step, lhs, rhs, pair_count) for the k merges, step 1..k.
+    """
+    spark = docs.sparkSession
+    from axonops_schema_registry_spark.operators.core import (
+        release_checkpoint,
+    )
+
+    words = (docs.select(F.explode(F.split(F.lower(text_col), r"\s+"))
+                         .alias("w"))
+             .filter(F.col("w") != ""))
+    vocab = (words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+             .select(F.concat_ws(_BPE_SEP, F.split("w", "")).alias("s"),
+                     "n")
+             .localCheckpoint(eager=True))
+    syms = f"split(s, '{_BPE_SEP}')"
+    pair_expr = (f"explode(arrays_zip("
+                 f"slice({syms}, 1, size({syms}) - 1), "
+                 f"slice({syms}, 2, size({syms}) - 1))) AS p")
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, k + 1):
+        pairs = (vocab.selectExpr("n", pair_expr)
+                 .select(F.col("p").getItem("0").alias("lhs"),
+                         F.col("p").getItem("1").alias("rhs"), "n")
+                 .groupBy("lhs", "rhs")
+                 .agg(F.sum("n").alias("pair_count")))
+        top = pairs.orderBy(F.desc("pair_count"), F.asc("lhs"),
+                            F.asc("rhs")).first()
+        if top is None:
+            break
+        merges.append((step, top["lhs"], top["rhs"],
+                       int(top["pair_count"])))
+        prev = vocab
+        vocab = (vocab.select(
+            F.replace("s", F.lit(top["lhs"] + _BPE_SEP + top["rhs"]),
+                      F.lit(top["lhs"] + top["rhs"])).alias("s"), "n")
+            .localCheckpoint(eager=True))
+        release_checkpoint(prev)
+    release_checkpoint(vocab)
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count bigint")

@@ -38,8 +38,8 @@ later Jaccard denominator).
 Per-document verdicts are PERSISTED to a ``flags`` epoch table (with
 the fingerprint and representative id, which :meth:`reflag` needs);
 the in-memory ``self.flags`` dict is a test-only convenience behind
-``track_flags`` — a production stream passes ``track_flags=False`` and
-reads :meth:`all_flags`, so driver memory stays O(1) in corpus size.
+``track_flags`` (default OFF) — production reads :meth:`all_flags`,
+so driver memory stays O(1) in corpus size.
 
 First-wins semantics are identical to
 ``llm.dedup.incremental_dedup_flags`` under ordered arrival — pinned by
@@ -189,6 +189,15 @@ class _EpochStore:
             os.fsync(f.fileno())  # durable before the atomic swap —
             # a power-loss crash must not leave meta.json truncated
         os.replace(tmp, self.meta_path)  # the commit point
+        # POSIX rename durability: fsync the DIRECTORY holding meta.json
+        # so the rename itself (not just the file contents) survives
+        # power loss — without this the commit point may roll back
+        dfd = os.open(os.path.dirname(self.meta_path) or ".",
+                      os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         for path in frames:
             for g in range(new_gen):
                 shutil.rmtree(self._base_dir(path, g),
@@ -218,9 +227,41 @@ class _EpochStore:
         # compaction would then reuse the gN name)
         merged = {path: self._stored(path, below_epoch)
                   for path in self._dirs()}
-        if any(m is None for m in merged.values()):
-            return
+        missing = [p for p, m in merged.items() if m is None]
+        if len(missing) == len(merged):
+            return  # truly empty store: nothing to fold
+        if missing:
+            # every epoch write covers ALL four dirs (empty frames
+            # still write a schema'd partition), so a partial layout is
+            # either a pre-fps/flags legacy store or corruption — a
+            # silent return here would no-op compaction forever while
+            # small files accumulate
+            raise RuntimeError(
+                f"dedup store at {self.store_dir} has data in some "
+                f"directories but none in {missing}; legacy or corrupt "
+                "layout — refusing to compact")
         self._commit_generation(merged, meta["gen"] + 1, below_epoch)
+
+    def _assert_quiescent(self, below_epoch: int) -> None:
+        """reflag's correctness precondition, enforced: every written
+        epoch must fold (epoch >= below_epoch rows would keep stale
+        eff/rep values, and later known-fingerprint arrivals would
+        inherit wrong dup_of verdicts from the un-rewritten fps)."""
+        for path in self._dirs():
+            if not os.path.isdir(path):
+                continue
+            for d in os.listdir(path):
+                if d.startswith("epoch="):
+                    try:
+                        e = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if e >= below_epoch:
+                        raise RuntimeError(
+                            f"reflag(below_epoch={below_epoch}) requires "
+                            f"a quiescent store with every epoch below "
+                            f"it, but {path} holds epoch={e}; pass "
+                            f"below_epoch={e + 1} or higher")
 
 
 class BucketedDedupStore(_EpochStore):
@@ -228,8 +269,8 @@ class BucketedDedupStore(_EpochStore):
 
     Usable directly as a ``foreachBatch`` target; per-document verdicts
     are written to the ``flags`` epoch table (read them back with
-    :meth:`all_flags`) and, when ``track_flags`` (test-only default),
-    also accumulate in ``self.flags`` exactly like
+    :meth:`all_flags`) and, when ``track_flags`` (test-only, default
+    off), also accumulate in ``self.flags`` exactly like
     ``IncrementalDedupSink`` (the in-process twin).  Per-batch work
     never rescans earlier documents — only their stored buckets/tokens
     are joined, and only for colliding keys; exact-content groups are
@@ -241,7 +282,8 @@ class BucketedDedupStore(_EpochStore):
                  id_col: str = "doc_id", text_col: str = "text",
                  threshold: float = 0.8, ngram: int = 3,
                  n_hashes: int = 64, bands: int = 16,
-                 track_flags: bool = True) -> None:
+                 track_flags: bool = False,
+                 max_bucket: int | None = None) -> None:
         self.spark = spark
         self.store_dir = store_dir
         self.buckets_dir = os.path.join(store_dir, "buckets")
@@ -252,7 +294,15 @@ class BucketedDedupStore(_EpochStore):
         self.threshold, self.ngram = threshold, ngram
         self.n_hashes, self.bands = n_hashes, bands
         self.meta_path = os.path.join(store_dir, "meta.json")
+        # test-only convenience: False (the default) keeps driver
+        # memory O(1) in corpus size — production reads all_flags()
         self.track_flags = track_flags
+        # hot-bucket rank cap for near-identical-but-distinct content
+        # (exact duplicates are already collapsed before signing): cap
+        # the stored side of every (band, key) bucket at its max_bucket
+        # smallest ids.  Documented recall trade — see
+        # llm.dedup.minhash_lsh_pairs.  None keeps exact semantics.
+        self.max_bucket = max_bucket
         self.flags: dict[int, tuple[bool, int | None]] = {}
 
     def _dirs(self) -> tuple[str, ...]:
@@ -268,6 +318,18 @@ class BucketedDedupStore(_EpochStore):
         if stored is None:
             return None
         return stored.select(self.id_col, "is_dup", "dup_of")
+
+    def _capped(self, buckets: DataFrame) -> DataFrame:
+        """Rank-cap a (id, band, key) frame per bucket at the
+        ``max_bucket`` smallest ids (the ones first-wins consumers
+        keep) — no-op when the knob is off."""
+        if self.max_bucket is None:
+            return buckets
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key").orderBy("id")
+        return (buckets.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= self.max_bucket).drop("__rk"))
 
     # -- the per-batch pipeline -------------------------------------------
 
@@ -319,7 +381,8 @@ class BucketedDedupStore(_EpochStore):
         stored_b = self._stored(self.buckets_dir, epoch_id)
         all_buckets = (new_buckets if stored_b is None
                        else stored_b.unionByName(new_buckets))
-        a = all_buckets.select(F.col("id").alias("id_a"), "band", "key")
+        a = self._capped(all_buckets) \
+            .select(F.col("id").alias("id_a"), "band", "key")
         b = new_buckets.select(F.col("id").alias("id_b"), "band", "key")
         candidates = (a.join(b, ["band", "key"])
                       .filter(F.col("id_a") < F.col("id_b"))
@@ -415,7 +478,9 @@ class BucketedDedupStore(_EpochStore):
         symmetric rep-level first-wins, and propagates to every member.
         Run it quiescent with ``below_epoch`` above every written epoch
         — it folds the whole store, like a compaction that also fixes
-        history."""
+        history (enforced: a live epoch at-or-above ``below_epoch``
+        raises)."""
+        self._assert_quiescent(below_epoch)
         members = self._stored(self.flags_dir, below_epoch)
         if members is None:
             return
@@ -438,7 +503,8 @@ class BucketedDedupStore(_EpochStore):
                     ) if buckets is not None else None
         if rtoks is None or rbuckets is None:
             return
-        a = rbuckets.select(F.col("id").alias("id_a"), "band", "key")
+        a = self._capped(rbuckets) \
+            .select(F.col("id").alias("id_a"), "band", "key")
         b = rbuckets.select(F.col("id").alias("id_b"), "band", "key")
         candidates = (a.join(b, ["band", "key"])
                       .filter(F.col("id_a") < F.col("id_b"))
@@ -474,7 +540,8 @@ class BucketedDedupStore(_EpochStore):
 
 
 def _semantic_pairs(a_buckets: DataFrame, b_buckets: DataFrame,
-                    vecs: DataFrame, threshold: float) -> DataFrame:
+                    vecs: DataFrame, threshold: float,
+                    max_bucket: int | None = None) -> DataFrame:
     """Shared core of the embedding dedup pair generation — used by
     BOTH the streaming store and its one-shot batch twin so the
     streaming ≡ batch property holds by construction, not just by
@@ -483,12 +550,24 @@ def _semantic_pairs(a_buckets: DataFrame, b_buckets: DataFrame,
     (broadcast semi-join).  ``candidates`` is eagerly checkpointed —
     it feeds THREE consumers (two cand_ids selects + the verify join),
     and an uncached subtree would re-run the stored-bucket scan and
-    shuffle join for each, tripling the documented one-join cost."""
+    shuffle join for each, tripling the documented one-join cost.
+
+    ``max_bucket`` rank-caps the LEFT side of each (table, bucket)
+    group at its smallest ids — the hot-bucket guard for
+    near-identical-but-distinct vectors (exact duplicates are already
+    fingerprint-collapsed upstream); ``None`` keeps exact semantics."""
     from axonops_schema_registry_spark.llm.similarity import (
         _dot_expr,
         with_norm,
     )
 
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("table", "bucket").orderBy("__id")
+        a_buckets = (a_buckets
+                     .withColumn("__rk", F.row_number().over(w))
+                     .filter(F.col("__rk") <= max_bucket).drop("__rk"))
     a = a_buckets.select(F.col("__id").alias("id_a"), "table", "bucket")
     b = b_buckets.select(F.col("__id").alias("id_b"), "table", "bucket")
     candidates = (a.join(b, ["table", "bucket"])
@@ -564,7 +643,8 @@ class EmbeddingDedupStore(_EpochStore):
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  threshold: float = 0.9, dim: int = 64,
                  n_bits: int = 8, n_tables: int = 4,
-                 seed0: int = 1000, track_flags: bool = True) -> None:
+                 seed0: int = 1000, track_flags: bool = False,
+                 max_bucket: int | None = None) -> None:
         self.spark = spark
         self.store_dir = store_dir
         self.buckets_dir = os.path.join(store_dir, "ebuckets")
@@ -576,7 +656,10 @@ class EmbeddingDedupStore(_EpochStore):
         self.dim, self.n_bits = dim, n_bits
         self.n_tables, self.seed0 = n_tables, seed0
         self.meta_path = os.path.join(store_dir, "emeta.json")
+        # test-only convenience (see the text twin): the default keeps
+        # driver memory O(1); production reads all_flags()
         self.track_flags = track_flags
+        self.max_bucket = max_bucket
         self.flags: dict[int, tuple[bool, int | None]] = {}
 
     def _dirs(self) -> tuple[str, ...]:
@@ -647,7 +730,8 @@ class EmbeddingDedupStore(_EpochStore):
         all_vecs = (rep_vecs if stored_v is None
                     else stored_v.unionByName(rep_vecs))
         pairs = _semantic_pairs(all_buckets, new_buckets, all_vecs,
-                                self.threshold)
+                                self.threshold,
+                                max_bucket=self.max_bucket)
         rep_dup = (pairs.groupBy(F.col("id_b").alias("__brep"))
                    .agg(F.min("id_a").alias("__rdup")))
 
@@ -701,7 +785,9 @@ class EmbeddingDedupStore(_EpochStore):
         the true smallest-id representative per fingerprint from the
         flags table, re-key stored rep vectors/buckets, recompute
         symmetric rep-level cosine first-wins, propagate to members,
-        and commit everything as the next base generation."""
+        and commit everything as the next base generation.  Quiescence
+        (every written epoch below ``below_epoch``) is enforced."""
+        self._assert_quiescent(below_epoch)
         members = self._stored(self.flags_dir, below_epoch)
         if members is None:
             return
@@ -722,7 +808,8 @@ class EmbeddingDedupStore(_EpochStore):
                     .select(F.col("__trep").alias("__id"),
                             "table", "bucket"))
         pairs = _semantic_pairs(rbuckets, rbuckets, rvecs,
-                                self.threshold)
+                                self.threshold,
+                                max_bucket=self.max_bucket)
         rep_dup = (pairs.groupBy(F.col("id_b").alias("__trep"))
                    .agg(F.min("id_a").alias("__rdup")))
         new_flags = (members.select(mid.alias("__mid"), "__fp")

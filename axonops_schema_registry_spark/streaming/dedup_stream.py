@@ -22,6 +22,8 @@ already uses.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,14 +33,41 @@ from axonops_schema_registry_spark.operators.core import release_checkpoint
 
 class IncrementalDedupSink:
     """foreachBatch target: flags each arriving document against the
-    ingested-so-far corpus and accumulates the per-document verdicts."""
+    ingested-so-far corpus.
+
+    Verdicts are observable two ways: ``flags_dir`` writes each epoch's
+    (id, is_dup, dup_of) to an idempotent ``epoch=<id>`` parquet
+    partition (read back with :meth:`all_flags` — the disk path, driver
+    memory O(1)); ``track_flags`` additionally accumulates them in
+    ``self.flags``, which grows with the corpus and is TEST-ONLY.  At
+    least one must be enabled or the sink would compute verdicts nobody
+    can read.  (The whole class is the in-process twin — the production
+    shape is ``dedup_store.BucketedDedupStore``, which also persists
+    its state, not just its verdicts.)"""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text",
-                 threshold: float = 0.8, ngram: int = 3) -> None:
+                 threshold: float = 0.8, ngram: int = 3,
+                 track_flags: bool = False,
+                 flags_dir: str | None = None) -> None:
+        if not track_flags and flags_dir is None:
+            raise ValueError(
+                "IncrementalDedupSink needs flags_dir (disk verdicts) "
+                "or track_flags=True (test-only driver dict)")
         self.id_col, self.text_col = id_col, text_col
         self.threshold, self.ngram = threshold, ngram
+        self.track_flags, self.flags_dir = track_flags, flags_dir
         self.seen: DataFrame | None = None
         self.flags: dict[int, tuple[bool, int | None]] = {}
+
+    def all_flags(self, spark) -> DataFrame | None:
+        """Every persisted verdict (requires ``flags_dir``)."""
+        if self.flags_dir is None or not (
+                os.path.isdir(self.flags_dir)
+                and any(d.startswith("epoch=")
+                        for d in os.listdir(self.flags_dir))):
+            return None
+        return (spark.read.parquet(self.flags_dir)
+                .select(self.id_col, "is_dup", "dup_of"))
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         new = batch_df.select(self.id_col, self.text_col)
@@ -48,8 +77,13 @@ class IncrementalDedupSink:
             corpus, self.id_col, self.text_col, self.threshold,
             self.ngram, new_ids=new.select(self.id_col),
             cache_tokens=False)  # a per-epoch cache entry would leak
-        for r in batch_flags.collect():
-            self.flags[r[self.id_col]] = (r["is_dup"], r["dup_of"])
+        if self.flags_dir is not None:
+            # overwrite keeps an at-least-once replay idempotent
+            batch_flags.write.mode("overwrite").parquet(
+                os.path.join(self.flags_dir, f"epoch={epoch_id}"))
+        if self.track_flags:
+            for r in batch_flags.collect():
+                self.flags[r[self.id_col]] = (r["is_dup"], r["dup_of"])
         # ALL documents join the seen set — matching against every
         # earlier document (dup or not) is what keeps the flags
         # identical to one batch run over the full corpus; the cleaned
@@ -70,9 +104,14 @@ class CurationSink:
     benchmark decontamination against a held-out evaluation set, and
     PII redaction on whatever survives.
 
-    Per-document verdicts accumulate in ``self.results``:
-    (is_dup, dup_of, n_eval_spans, clean_text) — clean_text is None
-    for documents dropped as duplicates or contaminated.  The three
+    Per-document verdicts — (is_dup, dup_of, n_eval_spans, clean_text),
+    clean_text None for documents dropped as duplicates or
+    contaminated — are observable two ways: ``results_dir`` writes each
+    epoch's verdicts to an idempotent ``epoch=<id>`` parquet partition
+    (read back with :meth:`all_results` — the production path, driver
+    memory O(1)); ``track_results`` additionally accumulates them in
+    ``self.results``, which grows with the corpus and is TEST-ONLY.
+    At least one must be enabled.  The three
     passes compose the batch operators unchanged
     (llm.dedup.incremental_dedup_flags, llm.contamination
     .contamination_flags, llm.text.pii_redact), so streaming output is
@@ -93,15 +132,22 @@ class CurationSink:
                  id_col: str = "doc_id", text_col: str = "text",
                  threshold: float = 0.8, ngram: int = 3,
                  contam_n: int = 5,
-                 store_dir: str | None = None) -> None:
+                 store_dir: str | None = None,
+                 track_results: bool = False,
+                 results_dir: str | None = None) -> None:
         from axonops_schema_registry_spark.llm.contamination import (
             ngram_spans,
         )
 
+        if not track_results and results_dir is None:
+            raise ValueError(
+                "CurationSink needs results_dir (disk verdicts) or "
+                "track_results=True (test-only driver dict)")
         self.id_col, self.text_col = id_col, text_col
         self.threshold, self.ngram = threshold, ngram
         self.contam_n = contam_n
         self.store_dir = store_dir
+        self.track_results, self.results_dir = track_results, results_dir
         self._store = None
         # the evaluation span set is fixed for the run: checkpoint once,
         # broadcast into every micro-batch's span join
@@ -111,6 +157,17 @@ class CurationSink:
                            .localCheckpoint(eager=True))
         self.seen: DataFrame | None = None
         self.results: dict[int, dict] = {}
+
+    def all_results(self, spark) -> DataFrame | None:
+        """Every persisted curation verdict (requires ``results_dir``)."""
+        if self.results_dir is None or not (
+                os.path.isdir(self.results_dir)
+                and any(d.startswith("epoch=")
+                        for d in os.listdir(self.results_dir))):
+            return None
+        return (spark.read.parquet(self.results_dir)
+                .select(self.id_col, "is_dup", "dup_of",
+                        "n_eval_spans", "clean_text"))
 
     def _dedup_flags(self, new: DataFrame, epoch_id: int) -> DataFrame:
         if self.store_dir is not None:
@@ -151,12 +208,19 @@ class CurationSink:
                         F.when(~F.col("is_dup")
                                & (F.col("n_eval_spans") == 0),
                                pii_redact(self.text_col))))
-        for r in verdicts.collect():
-            self.results[r[self.id_col]] = {
-                "is_dup": r["is_dup"], "dup_of": r["dup_of"],
-                "n_eval_spans": r["n_eval_spans"],
-                "clean_text": r["clean_text"],
-            }
+        if self.results_dir is not None:
+            # overwrite keeps an at-least-once replay idempotent
+            (verdicts.select(self.id_col, "is_dup", "dup_of",
+                             "n_eval_spans", "clean_text")
+             .write.mode("overwrite").parquet(
+                 os.path.join(self.results_dir, f"epoch={epoch_id}")))
+        if self.track_results:
+            for r in verdicts.collect():
+                self.results[r[self.id_col]] = {
+                    "is_dup": r["is_dup"], "dup_of": r["dup_of"],
+                    "n_eval_spans": r["n_eval_spans"],
+                    "clean_text": r["clean_text"],
+                }
         if self.store_dir is not None:
             release_checkpoint(dedup)  # process_batch checkpoints flags
             return

@@ -36,16 +36,25 @@ class StreamingRegistry:
     def __init__(self, spark: SparkSession, corpus_path: str,
                  mode: str = "BACKWARD",
                  native_fingerprint: bool = False,
-                 status_path: str | None = None) -> None:
+                 status_path: str | None = None,
+                 track_statuses: bool = False) -> None:
         """``status_path``: when set, per-request statuses append to a
         parquet status TABLE (the scale path — nothing rides the
-        driver); when None they collect into ``self.statuses``, which is
-        test scaffolding for asserting batch/online equivalence."""
+        driver).  ``track_statuses`` instead collects them into
+        ``self.statuses``, a TEST-ONLY list that grows with the request
+        stream (scaffolding for asserting batch/online equivalence).
+        At least one must be enabled or statuses would be computed and
+        dropped."""
+        if status_path is None and not track_statuses:
+            raise ValueError(
+                "StreamingRegistry needs status_path (disk statuses) "
+                "or track_statuses=True (test-only driver list)")
         self.spark = spark
         self.corpus_path = corpus_path
         self.mode = mode
         self.native_fingerprint = native_fingerprint
         self.status_path = status_path
+        self.track_statuses = track_statuses
         self.statuses: list = []
 
     def corpus(self) -> DataFrame:
@@ -74,7 +83,7 @@ class StreamingRegistry:
         stamped = result.withColumn("epoch", F.lit(epoch_id))
         if self.status_path is not None:
             stamped.write.mode("append").parquet(self.status_path)
-        else:
+        if self.track_statuses:
             self.statuses.extend(stamped.collect())
         accepted = (result.filter(F.col("status") == "registered")
                     .join(batch_df, ["subject", "seq"])

@@ -199,7 +199,8 @@ def test_incremental_sink_truncates_lineage(spark):
         IncrementalDedupSink,
     )
 
-    sink = IncrementalDedupSink(threshold=0.8, ngram=3)
+    sink = IncrementalDedupSink(threshold=0.8, ngram=3,
+                                track_flags=True)
     words = "the quick brown fox jumps over the lazy dog".split()
     for epoch in range(4):
         batch = spark.createDataFrame(

@@ -37,7 +37,8 @@ def test_streaming_registration_accumulates(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(req_dir)
 
-    registry = StreamingRegistry(spark, corpus_path, mode="BACKWARD")
+    registry = StreamingRegistry(spark, corpus_path, mode="BACKWARD",
+                                 track_statuses=True)
     registry.bootstrap(fixture_schemas(spark))
 
     # batch 1: a new version for user-value; batch 2 re-sends the SAME
@@ -101,7 +102,8 @@ def test_streaming_registration_compat_gate(spark, tmp_path):
     os.makedirs(req_dir)
 
     registry = StreamingRegistry(spark, corpus_path,
-                                 mode="BACKWARD_TRANSITIVE")
+                                 mode="BACKWARD_TRANSITIVE",
+                                 track_statuses=True)
     registry.bootstrap(fixture_schemas(spark))
     _write_requests(os.path.join(req_dir, "b1.parquet"),
                     [("user-value", 1, "AVRO", AVRO_USER_V2_BAD)])

@@ -316,7 +316,7 @@ def test_incremental_dedup_stream_equals_batch(spark, sf_dir):
         shutil.copy(os.path.join(d, sub, part), dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    sink = IncrementalDedupSink()
+    sink = IncrementalDedupSink(track_flags=True)
     ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_")
     stream = (spark.readStream.schema("doc_id bigint, text string")
               .option("maxFilesPerTrigger", 1).parquet(src))
@@ -387,7 +387,7 @@ def test_curation_stream_equals_batch(spark, sf_dir):
         shutil.copy(os.path.join(sub, part), dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    sink = CurationSink(eval_set)
+    sink = CurationSink(eval_set, track_results=True)
     ckpt = tempfile.mkdtemp(prefix="ckpt_cur_")
     stream = (spark.readStream.schema("doc_id bigint, text string")
               .option("maxFilesPerTrigger", 1).parquet(src))
@@ -439,7 +439,7 @@ def test_bucketed_dedup_store_equals_batch(spark, sf_dir):
             os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
             shutil.rmtree(sub, ignore_errors=True)
 
-        sink = BucketedDedupStore(spark, store_dir)
+        sink = BucketedDedupStore(spark, store_dir, track_flags=True)
         stream = (spark.readStream.schema("doc_id bigint, text string")
                   .option("maxFilesPerTrigger", 1).parquet(src))
         q = (stream.writeStream.foreachBatch(sink)
@@ -471,7 +471,7 @@ def test_bucketed_dedup_store_epoch_replay_idempotent(spark):
     store_dir = tempfile.mkdtemp(prefix="replay_store_")
     try:
         sink = BucketedDedupStore(spark, store_dir, threshold=0.8,
-                                  ngram=3)
+                                  ngram=3, track_flags=True)
         words = "alpha beta gamma delta epsilon zeta eta theta".split()
         b0 = spark.createDataFrame(
             [(i, " ".join(words[(i + j) % 8] for j in range(8)))
@@ -548,11 +548,13 @@ def test_curation_sink_store_backed_survives_restart(spark):
 
     store_dir = tempfile.mkdtemp(prefix="cur_store_")
     try:
-        sink_a = CurationSink(eval_set, store_dir=store_dir)
+        sink_a = CurationSink(eval_set, store_dir=store_dir,
+                              track_results=True)
         sink_a(b0, epoch_id=0)
         # "restart": a brand-new sink object, nothing carried over
         # except the on-disk store
-        sink_b = CurationSink(eval_set, store_dir=store_dir)
+        sink_b = CurationSink(eval_set, store_dir=store_dir,
+                              track_results=True)
         sink_b(b1, epoch_id=1)
         got = {k: (v["is_dup"], v["dup_of"], v["n_eval_spans"],
                    v["clean_text"])
@@ -651,8 +653,8 @@ def test_bucketed_dedup_store_compaction_preserves_flags(spark):
     d_plain = tempfile.mkdtemp(prefix="cmp_plain_")
     d_comp = tempfile.mkdtemp(prefix="cmp_comp_")
     try:
-        plain = BucketedDedupStore(spark, d_plain)
-        comp = BucketedDedupStore(spark, d_comp)
+        plain = BucketedDedupStore(spark, d_plain, track_flags=True)
+        comp = BucketedDedupStore(spark, d_comp, track_flags=True)
         for s in (plain, comp):
             s(b0, epoch_id=0)
             s(b1, epoch_id=1)
@@ -714,7 +716,7 @@ def test_embedding_dedup_store_equals_batch(spark, sf_dir):
 
     store_dir = tempfile.mkdtemp(prefix="emb_store_")
     try:
-        sink = EmbeddingDedupStore(spark, store_dir)
+        sink = EmbeddingDedupStore(spark, store_dir, track_flags=True)
         sink(b0, epoch_id=0)
         sink(b1, epoch_id=1)
         assert sink.flags == want

@@ -235,19 +235,31 @@ def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
                           "dup_of"))
     # exact-collapse path: fingerprint → representative per group
     # (shingle-less docs get a per-doc unique fingerprint: they can
-    # never match anything, so they must not collapse either)
+    # never match anything, so they must not collapse either).  The
+    # rep is assigned with ONE window over __fp — carrying the text
+    # through the shuffle — instead of groupBy + rep join + semi-join
+    # (three corpus-sized shuffles): the "collapse tax" on a no-dup
+    # corpus measured 1.64 s vs 0.62 s at sf0.1 under the old shape
+    # (docs/SCALING.md dup-heavy section).  Cached when
+    # ``cache_tokens`` (the one-shot-query setting) because three
+    # consumers read it: rep_rows, b_reps, and the final propagation.
+    from pyspark.sql import Window
+
     shingled = F.size(F.split(F.col(text_col), " ")) >= ngram
-    fp = df.select(
+    fp_rep = (df.select(
         F.col(id_col).alias("__did"),
+        F.col(text_col).alias("__text"),
         F.when(shingled, F.sha2(F.col(text_col), 256))
          .otherwise(F.concat(F.lit("__noshingle__"),
                              F.col(id_col).cast("string"))).alias("__fp"))
-    doc_rep = (fp.join(fp.groupBy("__fp")
-                         .agg(F.min("__did").alias("__rep")), "__fp")
-               .select("__did", "__rep"))
-    rep_ids = (doc_rep.filter(F.col("__did") == F.col("__rep"))
-               .select(F.col("__rep").alias(id_col)))
-    rep_rows = df.join(rep_ids, id_col, "left_semi")
+        .withColumn("__rep",
+                    F.min("__did").over(Window.partitionBy("__fp"))))
+    if cache_tokens:
+        fp_rep = fp_rep.cache()
+    doc_rep = fp_rep.select("__did", "__rep")
+    rep_rows = (fp_rep.filter(F.col("__did") == F.col("__rep"))
+                .select(F.col("__did").alias(id_col),
+                        F.col("__text").alias(text_col)))
     if new_ids is None:
         b_reps = None
     else:

@@ -288,10 +288,17 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
     words = (docs.select(F.explode(F.split(F.lower(text_col), r"\s+"))
                          .alias("w"))
              .filter(F.col("w") != ""))
-    vocab = (words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-             .select(F.concat_ws(_BPE_SEP, F.split("w", "")).alias("s"),
-                     "n")
-             .localCheckpoint(eager=True))
+    # ONE eager checkpoint materializes the corpus-sized groupBy; the
+    # per-step merges are narrow replace-projections over the (small)
+    # vocabulary, so the loop builds a k-deep narrow plan on top of
+    # this base instead of re-checkpointing every round (halves the
+    # job count — unlike connected_components, nothing here shuffles
+    # per iteration, so lineage stays cheap to recompute)
+    base = (words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+            .select(F.concat_ws(_BPE_SEP, F.split("w", "")).alias("s"),
+                    "n")
+            .localCheckpoint(eager=True))
+    vocab = base
     syms = f"split(s, '{_BPE_SEP}')"
     pair_expr = (f"explode(arrays_zip("
                  f"slice({syms}, 1, size({syms}) - 1), "
@@ -309,12 +316,9 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
             break
         merges.append((step, top["lhs"], top["rhs"],
                        int(top["pair_count"])))
-        prev = vocab
-        vocab = (vocab.select(
+        vocab = vocab.select(
             F.replace("s", F.lit(top["lhs"] + _BPE_SEP + top["rhs"]),
                       F.lit(top["lhs"] + top["rhs"])).alias("s"), "n")
-            .localCheckpoint(eager=True))
-        release_checkpoint(prev)
-    release_checkpoint(vocab)
+    release_checkpoint(base)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count bigint")

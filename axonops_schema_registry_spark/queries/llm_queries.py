@@ -1097,6 +1097,57 @@ FROM vals GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def mm5_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG entropy decode (stdlib + numpy, no codec
+    libs): a genuine entropy-coded JPEG is synthesized per doc_id —
+    DQT/SOF0/DHT/SOS segments, self-defined canonical huffman tables,
+    byte-stuffed bitstream — and fully decoded back (huffman, DC-diff
+    + AC run-length, dequantize, inverse zigzag, IDCT, clamp) by
+    :func:`...llm.multimodal.decode_jpeg_gray` over ``mapInPandas``.
+    Constant-gray blocks make the lossy reconstruction EXACT integer
+    arithmetic — pixel = clamp(2*floor((g-127)/2) + 128) with q=16 —
+    so the oracle re-derives the per-image pixel sum from doc_id alone
+    and the whole entropy path is hash-checked.  (The rich-pattern AC
+    paths — run lengths, ZRL, EOB mid-block — are pinned against an
+    independent numpy DCT reference in tests/test_llm_ops.py.)"""
+    from axonops_schema_registry_spark.llm.multimodal import (
+        decode_jpeg_blocks,
+        synthesize_jpeg_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (decode_jpeg_blocks(synthesize_jpeg_media(docs, "doc_id"))
+            .orderBy("doc_id"))
+
+
+MM5_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         CAST(8 * (doc_id % 4 + 1) AS INT) AS width,
+         CAST(8 * (doc_id % 3 + 1) AS INT) AS height
+  FROM documents),
+bx AS (
+  SELECT doc_id, width, height,
+         unnest(generate_series(0, width // 8 - 1)) AS bx
+  FROM g),
+blocks AS (
+  SELECT doc_id, width, height, bx,
+         unnest(generate_series(0, height // 8 - 1)) AS by
+  FROM bx),
+lv AS (
+  SELECT doc_id, width, height,
+         LEAST(GREATEST(
+             2 * CAST(FLOOR(((doc_id * 11 + bx * 31 + by * 17) % 256
+                             - 127) / 2.0) AS BIGINT) + 128,
+             0), 255) AS lvl
+  FROM blocks)
+SELECT doc_id, ANY_VALUE(width) AS width, ANY_VALUE(height) AS height,
+       CAST(COUNT(*) AS INT) AS n_blocks,
+       CAST(SUM(64 * lvl) AS BIGINT) AS sum_y
+FROM lv GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def smp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source Bernoulli sampling
     (llm/sampling.py:stratified_sample): the portable 48-bit md5 hash
@@ -1693,6 +1744,57 @@ FROM pairs ORDER BY pair_count DESC, pair ASC LIMIT 20
 """
 
 
+def bpe2_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATED BPE trainer (bpe1 is its single step): 10 merge
+    rounds over the corpus vocabulary — count adjacent symbol pairs
+    weighted by word frequency, fold the winning pair into every word,
+    repeat (llm/text.py:bpe_merges, the checkpointed-loop pattern).
+    Greedy left-to-right merge order is exactly ``replace`` semantics
+    in both engines, so the unrolled-CTE oracle replays every round
+    bit-for-bit.  Work per round is vocabulary-bounded."""
+    from axonops_schema_registry_spark.llm.text import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, "text", k=10).orderBy("step")
+
+
+def _bpe2_oracle(k: int = 10) -> str:
+    """Unrolled k-round DuckDB twin of bpe_merges: v0 is the symbolized
+    vocabulary; each round i derives pair counts p{i}, winner t{i}, and
+    merged vocabulary v{i} = replace over v{i-1}."""
+    sep = "chr(31)"
+    # every v{i} is referenced twice (p{i+1} and v{i+1}) — without
+    # MATERIALIZED DuckDB re-inlines the whole chain per reference and
+    # the corpus groupBy runs ~2k times (9.4 s -> 0.3 s measured)
+    ctes = [f"""v0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(w, ''), {sep}) AS s, n
+  FROM (SELECT w, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+'))
+                AS w FROM documents)
+        WHERE w <> '' GROUP BY w))"""]
+    for i in range(1, k + 1):
+        ctes.append(f"""p{i} AS (
+  SELECT syms[j] AS lhs, syms[j + 1] AS rhs, SUM(n) AS c
+  FROM (SELECT string_split(s, {sep}) AS syms, n,
+               unnest(generate_series(
+                   1, len(string_split(s, {sep})) - 1)) AS j
+        FROM v{i - 1})
+  GROUP BY lhs, rhs)""")
+        ctes.append(f"""t{i} AS (
+  SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs, rhs LIMIT 1)""")
+        ctes.append(f"""v{i} AS MATERIALIZED (
+  SELECT replace(s, lhs || {sep} || rhs, lhs || rhs) AS s, n
+  FROM v{i - 1}, t{i})""")
+    selects = [f"SELECT {i} AS step, lhs, rhs, "
+               f"CAST(c AS BIGINT) AS pair_count FROM t{i}"
+               for i in range(1, k + 1)]
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY step")
+
+
+BPE2_ORACLE = _bpe2_oracle(10)
+
+
 def gq1_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (llm/text.py:gopher_stats/rules — Rae
     et al. 2021 §A1.1): the five shape heuristics per document, rolled
@@ -2260,6 +2362,106 @@ def ev2_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV2_ORACLE = _recall_oracle(NN2_ORACLE)
 
 
+_Q_HELD_OUT = """WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),"""
+_Q_PLANTED = """WITH q AS (SELECT vec_id - 10 AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id >= 10 AND vec_id < 30),"""
+
+
+def _planted_oracle(oracle: str) -> str:
+    """Swap an nn* oracle's held-out query CTE for the PLANTED one:
+    queries are twins of corpus vectors 10..29 (query_id = vec_id-10).
+    Asserted string surgery, like _lsh_replay_ctes_asym."""
+    assert _Q_HELD_OUT in oracle, "nn oracle query CTE drifted"
+    return oracle.replace(_Q_HELD_OUT, _Q_PLANTED)
+
+
+def _planted_nn4_oracle() -> str:
+    """NN4's query set lives in its qtab CTE, not a q CTE — same
+    surgery, different seams."""
+    old_sel = "SELECT s.vec_id AS query_id, s.j, c.cid,"
+    old_where = "FROM subs s JOIN cb c USING (j) WHERE s.vec_id < 10),"
+    assert old_sel in NN4_ORACLE and old_where in NN4_ORACLE, \
+        "NN4 qtab CTE drifted"
+    return (NN4_ORACLE
+            .replace(old_sel,
+                     "SELECT s.vec_id - 10 AS query_id, s.j, c.cid,")
+            .replace(old_where,
+                     "FROM subs s JOIN cb c USING (j) "
+                     "WHERE s.vec_id >= 10 AND s.vec_id < 30),"))
+
+
+def ev3_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEANINGFUL recall number ev1/ev2 cannot produce on this
+    corpus: plant 20 queries that are exact twins of corpus vectors
+    10..29 (the structure a real embedding manifold has and
+    i.i.d.-uniform noise lacks) and report, per index family, how many
+    queries retrieve their planted twin in the top-5.  Exact search is
+    the control (always 20/20); LSH-with-rerank and PQ-ADC must land
+    >= 0.9 here or the index is broken — the pytest planted-recall
+    suite (tests/test_llm_ops.py) promoted to a driver-checked spec.
+    Oracles are the nn1/nn2/nn4 CTE chains with only the query CTE
+    swapped (asserted surgery), so the full ANN paths stay
+    hash-checked."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        cosine_topk,
+        lsh_ann_topk_portable,
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter((F.col("vec_id") >= 10)
+                          & (F.col("vec_id") < 30))
+               .select((F.col("vec_id") - 10).alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    corpus = (emb.filter(F.col("vec_id") >= 10)
+              .select(F.col("vec_id").alias("corpus_id"),
+                      F.col("embedding").alias("corpus_vec")))
+    fams = (("exact", cosine_topk), ("lsh", lsh_ann_topk_portable),
+            ("pq_adc", pq_adc_topk))
+    parts = []
+    for name, fn in fams:
+        parts.append(
+            fn(queries, corpus, k=5)
+            .filter(F.col("corpus_id") == F.col("query_id") + 10)
+            .agg(F.countDistinct("query_id").alias("n_found"))
+            .select(F.lit(name).alias("family"),
+                    F.lit(20).cast("bigint").alias("n_queries"),
+                    F.col("n_found").cast("bigint").alias("n_found"),
+                    F.round(F.col("n_found") / 20.0, 4)
+                    .alias("found_at_5")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("family")
+
+
+def _ev3_oracle() -> str:
+    return f"""
+WITH ex AS ({_planted_oracle(NN1_ORACLE)}),
+lsh AS ({_planted_oracle(NN2_ORACLE)}),
+pq AS ({_planted_nn4_oracle()}),
+fams AS (
+  SELECT 'exact' AS family, COUNT(DISTINCT query_id) AS n_found
+  FROM ex WHERE corpus_id = query_id + 10
+  UNION ALL
+  SELECT 'lsh', COUNT(DISTINCT query_id)
+  FROM lsh WHERE corpus_id = query_id + 10
+  UNION ALL
+  SELECT 'pq_adc', COUNT(DISTINCT query_id)
+  FROM pq WHERE corpus_id = query_id + 10)
+SELECT family, CAST(20 AS BIGINT) AS n_queries,
+       CAST(n_found AS BIGINT) AS n_found,
+       ROUND(n_found / 20.0, 4) AS found_at_5
+FROM fams ORDER BY family
+"""
+
+
+EV3_ORACLE = _ev3_oracle()
+
+
 def bp1_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-span detection (the common-span half of
     substring-level dedup, Lee et al. 2021's pipeline sibling): 8-gram
@@ -2442,6 +2644,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "packing", "udf", "agg")),
     QuerySpec("bpe1_merge_candidates", bpe1_merge_candidates,
               BPE1_ORACLE, tags=("llm", "text", "tokenizer", "agg")),
+    QuerySpec("bpe2_merge_table", bpe2_merge_table, BPE2_ORACLE,
+              tags=("llm", "text", "tokenizer", "iterative")),
     QuerySpec("gq1_gopher_quality", gq1_gopher_quality, GQ1_ORACLE,
               tags=("llm", "text", "quality", "agg"), bench=True),
     QuerySpec("gq2_repetition", gq2_repetition, GQ2_ORACLE,
@@ -2464,6 +2668,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ev1_ann_recall", ev1_ann_recall, EV1_ORACLE,
               tags=("llm", "similarity", "ann", "evaluation")),
     QuerySpec("ev2_lsh_recall", ev2_lsh_recall, EV2_ORACLE,
+              tags=("llm", "similarity", "ann", "evaluation")),
+    QuerySpec("ev3_planted_recall", ev3_planted_recall, EV3_ORACLE,
               tags=("llm", "similarity", "ann", "evaluation")),
     QuerySpec("sem1_semantic_dedup", sem1_semantic_dedup, SEM1_ORACLE,
               tags=("llm", "dedup", "similarity", "iterative")),
@@ -2526,6 +2732,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "multimodal", "udf")),
     QuerySpec("mm4_wav_decode", mm4_wav_decode, MM4_ORACLE,
               tags=("llm", "multimodal", "udf")),
+    QuerySpec("mm5_jpeg_decode", mm5_jpeg_decode, MM5_ORACLE,
+              tags=("llm", "multimodal", "udf", "codec")),
     QuerySpec("ppl1_unigram_perplexity", ppl1_unigram_perplexity,
               PPL1_ORACLE, tags=("llm", "text", "quality", "agg")),
     QuerySpec("mm2_header_decode", mm2_header_decode, MM2_ORACLE,

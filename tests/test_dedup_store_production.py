@@ -268,3 +268,70 @@ def test_max_bucket_caps_candidates_and_keeps_first_wins(spark):
     finally:
         for p in (d_cap, d_ref):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_incremental_sink_flags_dir_disk_path(spark):
+    """IncrementalDedupSink with flags_dir (and NO driver dict): the
+    per-epoch verdict parquet equals the batch operator, replay of an
+    epoch is idempotent, and constructing with neither output raises."""
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        IncrementalDedupSink,
+    )
+
+    with pytest.raises(ValueError, match="flags_dir"):
+        IncrementalDedupSink()
+    d = tempfile.mkdtemp(prefix="sink_flags_")
+    try:
+        sink = IncrementalDedupSink(flags_dir=d)
+        b0 = _docs(spark, [(1, _near("pA")), (2, _near("pB")),
+                           (3, _distinct(3))])
+        b1 = _docs(spark, [(4, _near("pA")), (5, _distinct(5))])
+        sink(b0, epoch_id=0)
+        sink(b1, epoch_id=1)
+        assert sink.flags == {}
+        got = sink.all_flags(spark)
+        assert got.count() == 5  # one verdict row per doc, on disk
+        want = _flags_dict(incremental_dedup_flags(b0.unionByName(b1)))
+        assert _flags_dict(got) == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curation_sink_results_dir_disk_path(spark):
+    """CurationSink with results_dir and a store_dir — the all-disk
+    production shape: nothing accumulates on the driver, all_results()
+    equals the in-memory twin across a restart."""
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        CurationSink,
+    )
+
+    with pytest.raises(ValueError, match="results_dir"):
+        CurationSink(_docs(spark, [(100, _distinct(100))]))
+    eval_set = _docs(spark, [(100, _distinct(100))])
+    # doc 2 quotes six consecutive eval words (= two shared 5-grams)
+    # inside otherwise-unique text; doc 3 is byte-identical to doc 1
+    quoting = ("own words here then " +
+               " ".join(f"d100x{j}" for j in range(6)) +
+               " and trailing filler tokens q r s t u v w x y z")
+    b0 = _docs(spark, [(1, _near("pA")), (2, quoting)])
+    b1 = _docs(spark, [(3, _near("pA")), (4, _distinct(4))])
+    store_d = tempfile.mkdtemp(prefix="cur_store_")
+    res_d = tempfile.mkdtemp(prefix="cur_res_")
+    try:
+        sink_a = CurationSink(eval_set, store_dir=store_d,
+                              results_dir=res_d)
+        sink_a(b0, epoch_id=0)
+        # restart: fresh object, same directories
+        sink_b = CurationSink(eval_set, store_dir=store_d,
+                              results_dir=res_d)
+        sink_b(b1, epoch_id=1)
+        assert sink_a.results == {} and sink_b.results == {}
+        got = {r.doc_id: (r.is_dup, r.dup_of, r.n_eval_spans)
+               for r in sink_b.all_results(spark).collect()}
+        assert got[3] == (True, 1, 0)   # cross-restart dup via store
+        assert got[2][2] > 0            # contamination flagged
+        assert got[1] == (False, None, 0)
+        assert len(got) == 4
+    finally:
+        for p in (store_d, res_d):
+            shutil.rmtree(p, ignore_errors=True)

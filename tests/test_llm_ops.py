@@ -732,3 +732,75 @@ def test_max_bucket_cap_preserves_first_wins_on_dup_heavy_corpus(spark):
     assert capped == uncapped
     flags = {i: (d, o) for i, d, o in capped}
     assert all(flags[i] == (True, 0) for i in range(1, 90))
+
+
+def test_jpeg_entropy_decode_roundtrip(spark):
+    """The baseline-JPEG kernel is a REAL entropy decode: (a) the
+    constant-block synthesis reconstructs to the exact closed form the
+    mm5 oracle replays; (b) rich gradient blocks — dense nonzero ACs,
+    run-lengths, EOB mid-block — reconstruct to an INDEPENDENT numpy
+    DCT/quantize/IDCT reference; (c) non-baseline and truncated inputs
+    fail loudly; (d) the mapInPandas plumbing round-trips on Spark."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from axonops_schema_registry_spark.llm.multimodal import (
+        _dct_matrix,
+        decode_jpeg_blocks,
+        decode_jpeg_gray,
+        synthesize_jpeg_gray,
+        synthesize_jpeg_media,
+    )
+
+    # (a) closed form, the oracle's arithmetic
+    def expected(doc_id):
+        w, h = 8 * (doc_id % 4 + 1), 8 * (doc_id % 3 + 1)
+        total = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                g = (doc_id * 11 + bx * 31 + by * 17) % 256
+                s = math.floor((g - 127) / 2.0)
+                total += 64 * min(max(2 * s + 128, 0), 255)
+        return {"width": w, "height": h,
+                "n_blocks": (w // 8) * (h // 8), "sum_y": total}
+
+    for d in range(0, 120):
+        assert decode_jpeg_gray(synthesize_jpeg_gray(d)) == expected(d)
+
+    # (b) rich AC paths vs an independent reference pipeline
+    m = _dct_matrix()
+    for d in (0, 7, 23, 55):
+        w, h = 8 * (d % 4 + 1), 8 * (d % 3 + 1)
+        total = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                block = np.array(
+                    [[(d + 3 * (bx * 8 + x) + 5 * (by * 8 + y)) % 256
+                      for x in range(8)] for y in range(8)], dtype=float)
+                coef = m @ (block - 128.0) @ m.T
+                quant = np.floor(np.round(coef / 16, 9) + 0.5)
+                rec = m.T @ (quant * 16) @ m
+                total += int(np.clip(np.round(rec + 128.0), 0, 255).sum())
+        got = decode_jpeg_gray(synthesize_jpeg_gray(d, rich=True))
+        assert got["sum_y"] == total
+
+    # (c) loud failures: progressive SOF2 and truncated scans
+    good = synthesize_jpeg_gray(9)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(good[:len(good) // 2])
+
+    # (d) the Spark plumbing end-to-end
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    rows = {r.doc_id: (r.width, r.height, r.n_blocks, r.sum_y)
+            for r in decode_jpeg_blocks(
+                synthesize_jpeg_media(ids, "doc_id")).collect()}
+    assert len(rows) == 40
+    for d, vals in rows.items():
+        e = expected(d)
+        assert vals == (e["width"], e["height"], e["n_blocks"],
+                        e["sum_y"])

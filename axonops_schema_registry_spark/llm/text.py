@@ -322,3 +322,36 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
     release_checkpoint(base)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count bigint")
+
+
+def bpe_tokenize_counts(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 10) -> DataFrame:
+    """Apply the k learned BPE merges (:func:`bpe_merges`) to the
+    corpus — the ENCODE half of the tokenizer story: per DISTINCT word,
+    replay the merge sequence (k chained narrow ``replace`` steps,
+    greedy left-to-right like training) and count the resulting
+    symbols; per document, sum over its words.
+
+    Scale: the merge table is k driver rows; the apply runs over the
+    distinct-word vocabulary (vocabulary-bounded, like training) and
+    documents join the encoded vocabulary on the word — broadcast here
+    (a natural-language vocabulary is bounded); at an adversarial
+    vocabulary scale the same equi-join shuffles on the word key.
+
+    Output: (id, n_words, n_bpe_tokens)."""
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_merges(docs, text_col, k)
+              .orderBy("step").collect()]
+    words_all = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(text_col), r"\s+")).alias("w")) \
+        .filter(F.col("w") != "")
+    sym = F.concat_ws(_BPE_SEP, F.split("w", ""))
+    for a, b in merges:
+        sym = F.replace(sym, F.lit(a + _BPE_SEP + b), F.lit(a + b))
+    vocab = (words_all.select("w").distinct()
+             .withColumn("n_sym", F.size(F.split(sym, _BPE_SEP))))
+    return (words_all.join(F.broadcast(vocab), "w")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sym").cast("bigint").alias("n_bpe_tokens")))

@@ -29,10 +29,12 @@ _PRIORITY: tuple[str, ...] = (
     # for the r10 window: q3, q5, q11, q13, q15, q17, q19, q20, q21,
     # q22, rc1_version_chain_audit, rf1_reserved_fields,
     # sg1_suggest_evolution, smp1_stratified_sample, st9_token_bucket,
-    # mm2_header_decode, p1_live_view, mix1_dataset_mixture — all
-    # guarded by tests/test_queries_oracle.py meanwhile.
+    # mm2_header_decode, p1_live_view, mix1_dataset_mixture,
+    # lv1_context_level_resolution — all guarded by
+    # tests/test_queries_oracle.py meanwhile.
     # -- new in r9 (never driver-sampled)
-    "bpe2_merge_table", "ev3_planted_recall", "mm5_jpeg_decode",
+    "bpe2_merge_table", "bpe3_tokenize", "ev3_planted_recall",
+    "mm5_jpeg_decode",
     # -- the 20 r4-stale specs (freshness floor, 4 rounds old)
     "nn1_cosine_topk", "j8c_dek_undelete_lifecycle",
     "m1_metadata_merge", "mode1_write_gating",
@@ -44,7 +46,7 @@ _PRIORITY: tuple[str, ...] = (
     "tx4_char_entropy", "tx5_dataset_card", "tx6_token_rarity",
     "u1_user_role_stats", "v1_validate_normalize",
     "x1_export_subject",
-    # -- 27 of the 45 r5-stale specs (registration-order slice,
+    # -- 26 of the 45 r5-stale specs (registration-order slice,
     #    bespoke families ahead of the TPC-shaped relational tail)
     "a1_versions_view", "a3_global_id_stats",
     "a4_registry_statistics", "a5_field_patterns",
@@ -57,8 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "f10_global_fingerprint", "f14_subject_name_strategy",
     "j1_referenced_by", "j3_multilevel_resolution",
     "j6_config_fallback", "j7_dedup_anti_join",
-    "j8d_kek_cascade_lifecycle", "lv1_context_level_resolution",
-    "r4_registration_batch",
+    "j8d_kek_cascade_lifecycle", "r4_registration_batch",
 )
 
 

@@ -1795,6 +1795,65 @@ def _bpe2_oracle(k: int = 10) -> str:
 BPE2_ORACLE = _bpe2_oracle(10)
 
 
+def bpe3_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the tokenizer story: apply bpe2's learned
+    merge table to every document and report whitespace-word vs
+    BPE-symbol counts per doc (llm/text.py:bpe_tokenize_counts).
+    Training and encoding share the greedy replace semantics, so the
+    oracle extends bpe2's CTE chain with a per-word apply chain and a
+    doc-level rollup — the whole train→encode loop is hash-checked."""
+    from axonops_schema_registry_spark.llm.text import (
+        bpe_tokenize_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (bpe_tokenize_counts(docs, "doc_id", "text", k=10)
+            .orderBy("doc_id"))
+
+
+def _bpe3_oracle(k: int = 10) -> str:
+    """bpe2's train chain + a w-keyed apply chain e0..e{k} + per-doc
+    rollup.  Self-contained (regenerates the train CTEs) so the two
+    oracle strings stay independently readable."""
+    sep = "chr(31)"
+    ctes = [f"""words AS MATERIALIZED (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+               '\\s+')) AS w FROM documents)
+  WHERE w <> '')""", f"""v0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(w, ''), {sep}) AS s, n
+  FROM (SELECT w, COUNT(*) AS n FROM words GROUP BY w))"""]
+    for i in range(1, k + 1):
+        ctes.append(f"""p{i} AS (
+  SELECT syms[j] AS lhs, syms[j + 1] AS rhs, SUM(n) AS c
+  FROM (SELECT string_split(s, {sep}) AS syms, n,
+               unnest(generate_series(
+                   1, len(string_split(s, {sep})) - 1)) AS j
+        FROM v{i - 1})
+  GROUP BY lhs, rhs)""")
+        ctes.append(f"""t{i} AS (
+  SELECT lhs, rhs FROM p{i} ORDER BY c DESC, lhs, rhs LIMIT 1)""")
+        ctes.append(f"""v{i} AS MATERIALIZED (
+  SELECT replace(s, lhs || {sep} || rhs, lhs || rhs) AS s, n
+  FROM v{i - 1}, t{i})""")
+    ctes.append(f"""e0 AS MATERIALIZED (
+  SELECT w, array_to_string(string_split(w, ''), {sep}) AS s
+  FROM (SELECT DISTINCT w FROM words))""")
+    for i in range(1, k + 1):
+        ctes.append(f"""e{i} AS MATERIALIZED (
+  SELECT w, replace(s, lhs || {sep} || rhs, lhs || rhs) AS s
+  FROM e{i - 1}, t{i})""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(e.s, {sep}))) AS BIGINT)
+         AS n_bpe_tokens
+FROM words JOIN e{k} e USING (w)
+GROUP BY doc_id ORDER BY doc_id""")
+
+
+BPE3_ORACLE = _bpe3_oracle(10)
+
+
 def gq1_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (llm/text.py:gopher_stats/rules — Rae
     et al. 2021 §A1.1): the five shape heuristics per document, rolled
@@ -2645,6 +2704,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("bpe1_merge_candidates", bpe1_merge_candidates,
               BPE1_ORACLE, tags=("llm", "text", "tokenizer", "agg")),
     QuerySpec("bpe2_merge_table", bpe2_merge_table, BPE2_ORACLE,
+              tags=("llm", "text", "tokenizer", "iterative")),
+    QuerySpec("bpe3_tokenize", bpe3_tokenize, BPE3_ORACLE,
               tags=("llm", "text", "tokenizer", "iterative")),
     QuerySpec("gq1_gopher_quality", gq1_gopher_quality, GQ1_ORACLE,
               tags=("llm", "text", "quality", "agg"), bench=True),

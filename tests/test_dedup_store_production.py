@@ -335,3 +335,36 @@ def test_curation_sink_results_dir_disk_path(spark):
     finally:
         for p in (store_d, res_d):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_embedding_store_max_bucket_cap(spark):
+    """The embedding twin's hot-bucket cap: near-identical-but-
+    byte-distinct vectors (the case the fingerprint collapse cannot
+    touch) all collide in every hyperplane bucket; max_bucket bounds
+    the stored side while first-wins flags stay identical to the
+    uncapped store (the cap keeps the smallest ids — exactly the ones
+    first-wins needs)."""
+    rows = [(i, [1.0, i * 1e-3, 0.0, 0.0]) for i in range(20)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+    d_cap = tempfile.mkdtemp(prefix="ecap_store_")
+    d_ref = tempfile.mkdtemp(prefix="eref_store_")
+    try:
+        capped = EmbeddingDedupStore(spark, d_cap, dim=4, max_bucket=2)
+        ref = EmbeddingDedupStore(spark, d_ref, dim=4)
+        for s in (capped, ref):
+            s(vecs, epoch_id=0)
+        got = {r.vec_id: (r.is_dup, r.dup_of)
+               for r in capped.all_flags().collect()}
+        want = {r.vec_id: (r.is_dup, r.dup_of)
+                for r in ref.all_flags().collect()}
+        assert got == want
+        assert all(v == (True, 0) for k, v in got.items() if k != 0)
+        # the hot bucket is real: uncapped stored buckets hold all 20
+        buckets = spark.read.parquet(os.path.join(d_ref, "ebuckets"))
+        raw_max = (buckets.groupBy("table", "bucket").count()
+                   .agg(F.max("count")).first()[0])
+        assert raw_max == 20
+    finally:
+        for p in (d_cap, d_ref):
+            shutil.rmtree(p, ignore_errors=True)

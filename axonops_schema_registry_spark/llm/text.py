@@ -269,10 +269,14 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
     (llm/dedup.py connected_components): lineage is truncated per
     iteration and only the single winning pair rides the driver.
 
-    Words are symbol sequences rendered as unit-separator-joined
-    strings; a merge is one ``replace(s, a‖SEP‖b, a‖b)`` — left-to-right
-    non-overlapping in both Spark and DuckDB, which is exactly BPE's
-    greedy merge order, so the unrolled-CTE oracle replays bit-for-bit.
+    Words are symbol sequences rendered as strings with every symbol
+    wrapped in unit separators — ``SEP·sym1·SEP·SEP·sym2·SEP…`` — so a
+    merge is one ``replace(s, SEP·a·SEP·SEP·b·SEP, SEP·ab·SEP)``:
+    anchored on BOTH ends (a bare ``a‖b`` pattern could match the
+    suffix of a preceding multi-char symbol — caught by the pure-Python
+    reference test), and left-to-right non-overlapping in both Spark
+    and DuckDB, which is exactly BPE's greedy merge order, so the
+    unrolled-CTE oracle replays bit-for-bit.
 
     Scale: every step is vocabulary-bounded (distinct words, not
     corpus rows — the corpus-sized groupBy happens once), and the
@@ -295,11 +299,14 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
     # job count — unlike connected_components, nothing here shuffles
     # per iteration, so lineage stays cheap to recompute)
     base = (words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-            .select(F.concat_ws(_BPE_SEP, F.split("w", "")).alias("s"),
+            .select(F.concat(F.lit(_BPE_SEP),
+                             F.concat_ws(_BPE_SEP * 2,
+                                         F.split("w", "")),
+                             F.lit(_BPE_SEP)).alias("s"),
                     "n")
             .localCheckpoint(eager=True))
     vocab = base
-    syms = f"split(s, '{_BPE_SEP}')"
+    syms = f"split(btrim(s, '{_BPE_SEP}'), '{_BPE_SEP}{_BPE_SEP}')"
     pair_expr = (f"explode(arrays_zip("
                  f"slice({syms}, 1, size({syms}) - 1), "
                  f"slice({syms}, 2, size({syms}) - 1))) AS p")
@@ -317,8 +324,12 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
         merges.append((step, top["lhs"], top["rhs"],
                        int(top["pair_count"])))
         vocab = vocab.select(
-            F.replace("s", F.lit(top["lhs"] + _BPE_SEP + top["rhs"]),
-                      F.lit(top["lhs"] + top["rhs"])).alias("s"), "n")
+            F.replace(
+                "s",
+                F.lit(_BPE_SEP + top["lhs"] + _BPE_SEP * 2
+                      + top["rhs"] + _BPE_SEP),
+                F.lit(_BPE_SEP + top["lhs"] + top["rhs"] + _BPE_SEP))
+            .alias("s"), "n")
     release_checkpoint(base)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count bigint")
@@ -346,11 +357,18 @@ def bpe_tokenize_counts(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(F.split(F.lower(text_col), r"\s+")).alias("w")) \
         .filter(F.col("w") != "")
-    sym = F.concat_ws(_BPE_SEP, F.split("w", ""))
+    sym = F.concat(F.lit(_BPE_SEP),
+                   F.concat_ws(_BPE_SEP * 2, F.split("w", "")),
+                   F.lit(_BPE_SEP))
     for a, b in merges:
-        sym = F.replace(sym, F.lit(a + _BPE_SEP + b), F.lit(a + b))
+        sym = F.replace(
+            sym, F.lit(_BPE_SEP + a + _BPE_SEP * 2 + b + _BPE_SEP),
+            F.lit(_BPE_SEP + a + b + _BPE_SEP))
     vocab = (words_all.select("w").distinct()
-             .withColumn("n_sym", F.size(F.split(sym, _BPE_SEP))))
+             .withColumn(
+                 "n_sym",
+                 F.size(F.split(F.btrim(sym, F.lit(_BPE_SEP)),
+                                _BPE_SEP * 2))))
     return (words_all.join(F.broadcast(vocab), "w")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_words"),

@@ -1763,11 +1763,17 @@ def _bpe2_oracle(k: int = 10) -> str:
     vocabulary; each round i derives pair counts p{i}, winner t{i}, and
     merged vocabulary v{i} = replace over v{i-1}."""
     sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    syms = f"string_split(trim(s, {sep}), {sep2})"
     # every v{i} is referenced twice (p{i+1} and v{i+1}) — without
     # MATERIALIZED DuckDB re-inlines the whole chain per reference and
-    # the corpus groupBy runs ~2k times (9.4 s -> 0.3 s measured)
+    # the corpus groupBy runs ~2k times (9.4 s -> 0.3 s measured).
+    # Symbols are wrapped SEP·sym·SEP (double SEP between symbols) so
+    # the merge replace is anchored on both ends — see llm/text.py
+    # bpe_merges.
     ctes = [f"""v0 AS MATERIALIZED (
-  SELECT array_to_string(string_split(w, ''), {sep}) AS s, n
+  SELECT {sep} || array_to_string(string_split(w, ''), {sep2})
+           || {sep} AS s, n
   FROM (SELECT w, COUNT(*) AS n
         FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+'))
                 AS w FROM documents)
@@ -1775,15 +1781,16 @@ def _bpe2_oracle(k: int = 10) -> str:
     for i in range(1, k + 1):
         ctes.append(f"""p{i} AS (
   SELECT syms[j] AS lhs, syms[j + 1] AS rhs, SUM(n) AS c
-  FROM (SELECT string_split(s, {sep}) AS syms, n,
+  FROM (SELECT {syms} AS syms, n,
                unnest(generate_series(
-                   1, len(string_split(s, {sep})) - 1)) AS j
+                   1, len({syms}) - 1)) AS j
         FROM v{i - 1})
   GROUP BY lhs, rhs)""")
         ctes.append(f"""t{i} AS (
   SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs, rhs LIMIT 1)""")
         ctes.append(f"""v{i} AS MATERIALIZED (
-  SELECT replace(s, lhs || {sep} || rhs, lhs || rhs) AS s, n
+  SELECT replace(s, {sep} || lhs || {sep2} || rhs || {sep},
+                 {sep} || lhs || rhs || {sep}) AS s, n
   FROM v{i - 1}, t{i})""")
     selects = [f"SELECT {i} AS step, lhs, rhs, "
                f"CAST(c AS BIGINT) AS pair_count FROM t{i}"
@@ -1816,37 +1823,43 @@ def _bpe3_oracle(k: int = 10) -> str:
     rollup.  Self-contained (regenerates the train CTEs) so the two
     oracle strings stay independently readable."""
     sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    syms = f"string_split(trim(s, {sep}), {sep2})"
     ctes = [f"""words AS MATERIALIZED (
   SELECT doc_id, w
   FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
                '\\s+')) AS w FROM documents)
   WHERE w <> '')""", f"""v0 AS MATERIALIZED (
-  SELECT array_to_string(string_split(w, ''), {sep}) AS s, n
+  SELECT {sep} || array_to_string(string_split(w, ''), {sep2})
+           || {sep} AS s, n
   FROM (SELECT w, COUNT(*) AS n FROM words GROUP BY w))"""]
     for i in range(1, k + 1):
         ctes.append(f"""p{i} AS (
   SELECT syms[j] AS lhs, syms[j + 1] AS rhs, SUM(n) AS c
-  FROM (SELECT string_split(s, {sep}) AS syms, n,
+  FROM (SELECT {syms} AS syms, n,
                unnest(generate_series(
-                   1, len(string_split(s, {sep})) - 1)) AS j
+                   1, len({syms}) - 1)) AS j
         FROM v{i - 1})
   GROUP BY lhs, rhs)""")
         ctes.append(f"""t{i} AS (
   SELECT lhs, rhs FROM p{i} ORDER BY c DESC, lhs, rhs LIMIT 1)""")
         ctes.append(f"""v{i} AS MATERIALIZED (
-  SELECT replace(s, lhs || {sep} || rhs, lhs || rhs) AS s, n
+  SELECT replace(s, {sep} || lhs || {sep2} || rhs || {sep},
+                 {sep} || lhs || rhs || {sep}) AS s, n
   FROM v{i - 1}, t{i})""")
     ctes.append(f"""e0 AS MATERIALIZED (
-  SELECT w, array_to_string(string_split(w, ''), {sep}) AS s
+  SELECT w, {sep} || array_to_string(string_split(w, ''), {sep2})
+              || {sep} AS s
   FROM (SELECT DISTINCT w FROM words))""")
     for i in range(1, k + 1):
         ctes.append(f"""e{i} AS MATERIALIZED (
-  SELECT w, replace(s, lhs || {sep} || rhs, lhs || rhs) AS s
+  SELECT w, replace(s, {sep} || lhs || {sep2} || rhs || {sep},
+                    {sep} || lhs || rhs || {sep}) AS s
   FROM e{i - 1}, t{i})""")
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-       CAST(SUM(len(string_split(e.s, {sep}))) AS BIGINT)
-         AS n_bpe_tokens
+       CAST(SUM(len(string_split(trim(e.s, {sep}), {sep2})))
+            AS BIGINT) AS n_bpe_tokens
 FROM words JOIN e{k} e USING (w)
 GROUP BY doc_id ORDER BY doc_id""")
 

@@ -83,8 +83,16 @@ def main() -> None:
         lines.append(f"| {i} | {n:,} | {dt:.2f} | {dt / first:.2f}x |")
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "SCALING.md")
-    with open(path, "a") as f:
-        f.write("\n".join(lines) + "\n")
+    marker = "\n## Bucketed dedup store: per-batch cost vs corpus size"
+    with open(path) as f:
+        content = f.read()
+    if marker in content:
+        # idempotent: rewrite this script's own section only
+        head, _, rest = content.partition(marker)
+        nxt = rest.find("\n## ")
+        content = head + (rest[nxt:] if nxt >= 0 else "")
+    with open(path, "w") as f:
+        f.write(content.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
     print("appended to docs/SCALING.md")
 
 

@@ -804,3 +804,91 @@ def test_jpeg_entropy_decode_roundtrip(spark):
         e = expected(d)
         assert vals == (e["width"], e["height"], e["n_blocks"],
                         e["sum_y"])
+
+
+def test_bpe_merges_match_pure_python_reference(spark):
+    """Cross-implementation check: the Spark BPE trainer/encoder
+    (driver loop + replace semantics) must equal an independently
+    written pure-Python BPE (explicit greedy left-to-right merge over
+    symbol lists) on seeded random corpora — pinning pair counting,
+    the (count DESC, pair ASC) tie-break, and merge application."""
+    import random
+
+    from axonops_schema_registry_spark.llm.text import (
+        bpe_merges,
+        bpe_tokenize_counts,
+    )
+
+    def ref_train(word_counts, k):
+        vocab = [(list(w), n) for w, n in sorted(word_counts.items())]
+        merges = []
+        for step in range(1, k + 1):
+            pairs = {}
+            for syms, n in vocab:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pairs[p] = pairs.get(p, 0) + n
+            if not pairs:
+                break
+            (a, b), c = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, a, b, c))
+            nxt = []
+            for syms, n in vocab:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt.append((out, n))
+            vocab = nxt
+        return merges
+
+    def ref_encode(word, merges):
+        syms = list(word)
+        for _, a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        letters = "abcdef"
+        docs_py = []
+        for d in range(25):
+            words = [
+                "".join(rng.choice(letters)
+                        for _ in range(rng.randint(2, 6)))
+                for _ in range(8)]
+            docs_py.append((d, " ".join(words)))
+        docs = spark.createDataFrame(docs_py,
+                                     "doc_id bigint, text string")
+        wc = {}
+        for _, text in docs_py:
+            for w in text.split():
+                wc[w] = wc.get(w, 0) + 1
+        want = ref_train(wc, 6)
+        got = [(r.step, r.lhs, r.rhs, r.pair_count)
+               for r in bpe_merges(docs, "text", k=6)
+               .orderBy("step").collect()]
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+        want_counts = {d: (len(t.split()),
+                           sum(ref_encode(w, want) for w in t.split()))
+                       for d, t in docs_py}
+        got_counts = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+                      for r in bpe_tokenize_counts(
+                          docs, "doc_id", "text", k=6).collect()}
+        assert got_counts == want_counts, f"seed {seed}"

@@ -892,3 +892,88 @@ def test_bpe_merges_match_pure_python_reference(spark):
                       for r in bpe_tokenize_counts(
                           docs, "doc_id", "text", k=6).collect()}
         assert got_counts == want_counts, f"seed {seed}"
+
+
+def _py_hash48(s: str) -> int:
+    """Pure-Python twin of llm.sampling.portable_hash: first 12 hex
+    digits of md5 as an integer."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_winnowing_matches_pure_python_reference(spark, sf_dir):
+    """Cross-implementation check: the array-arithmetic winnowing
+    operator must equal an independently written pure-Python
+    implementation of the published algorithm (hash k-grams, slide a
+    w-window, keep each window's minimum with RIGHTMOST tie-break,
+    dedup repeated selections)."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 3, 4
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").limit(60)
+    rows = docs.collect()
+
+    def ref(text: str) -> set:
+        words = text.split(" ")
+        n = len(words) - k + 1
+        if n < 1:
+            return set()
+        hs = [_py_hash48(" ".join(words[i:i + k])) for i in range(n)]
+        if len(hs) < w:
+            return set()
+        out = set()
+        for p in range(len(hs) - w + 1):
+            # min by hash; rightmost position on ties
+            j = min(range(p, p + w), key=lambda x: (hs[x], -x))
+            out.add((j + 1, hs[j]))  # 1-based position
+        return out
+
+    want = {r.doc_id: ref(r.text) for r in rows}
+    got: dict = {r.doc_id: set() for r in rows}
+    for r in winnowing_fingerprints(docs, "doc_id", "text",
+                                    k=k, w=w).collect():
+        got[r.id].add((r.pos, r.print_hash))
+    assert got == want
+    assert any(want.values())  # non-degenerate corpus
+
+
+def test_whole_doc_packing_matches_pure_python_reference(spark, sf_dir):
+    """Cross-implementation check for pk3's applyInPandas fold: an
+    independent pure-Python next-fit over the same (hash, key) order
+    must reproduce pack ids and fills exactly."""
+    from axonops_schema_registry_spark.llm.packing import (
+        pack_documents_whole,
+    )
+
+    context_len, n_segments = 128, 2  # small packs: folds overflow
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text").limit(200)
+    rows = docs.collect()
+
+    streams: dict = {}
+    for r in rows:
+        h = _py_hash48(str(r.doc_id))
+        seg = h * n_segments // (1 << 48)
+        n_tok = len(r.text.split())
+        streams.setdefault((r.source, seg), []).append(
+            (h, r.doc_id, n_tok))
+    want = {}
+    for key, items in streams.items():
+        items.sort()
+        pack, fill = 0, 0
+        for i, (h, doc_id, n) in enumerate(items):
+            if i > 0 and fill + n > context_len:
+                pack, fill = pack + 1, 0
+            fill += n
+            want[doc_id] = (key[0], key[1], n, pack, fill)
+
+    got = {r.doc_id: (r.source, r.segment, r.n_tokens, r.pack_id,
+                      r.fill_after)
+           for r in pack_documents_whole(
+               docs, context_len, n_segments=n_segments).collect()}
+    assert got == want
+    assert max(p for _, _, _, p, _ in want.values()) >= 1  # multi-pack

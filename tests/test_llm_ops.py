@@ -977,3 +977,59 @@ def test_whole_doc_packing_matches_pure_python_reference(spark, sf_dir):
                docs, context_len, n_segments=n_segments).collect()}
     assert got == want
     assert max(p for _, _, _, p, _ in want.values()) >= 1  # multi-pack
+
+
+def test_connected_components_match_union_find_reference(spark):
+    """Cross-ALGORITHM check: iterative min-label propagation must
+    equal a pure-Python union-find on an adversarial graph — long
+    chains (propagation needs diameter iterations), stars, bridged
+    cliques, and isolated edges, keyed so smallest ids sit at chain
+    ENDS (worst case for min-label)."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        connected_components,
+    )
+
+    edges = []
+    # chain of 12 with the smallest id at the far end
+    chain = [30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 1]
+    edges += list(zip(chain, chain[1:]))
+    # star around a large hub with a small satellite
+    edges += [(100, s) for s in (101, 102, 103, 2)]
+    # two cliques bridged by one edge
+    edges += [(a, b) for a in (50, 51, 52) for b in (50, 51, 52)
+              if a < b]
+    edges += [(a, b) for a in (60, 61, 62) for b in (60, 61, 62)
+              if a < b]
+    edges += [(52, 60)]
+    # isolated pair
+    edges += [(70, 71)]
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    comps: dict = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    want = {n: (root, len(members))
+            for root, members in comps.items() for n in members}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges],
+        "id_a bigint, id_b bigint")
+    got = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in connected_components(pairs).collect()}
+    assert got == want
+    assert got[30] == (1, 12)  # the full chain collapsed to id 1

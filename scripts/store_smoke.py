@@ -62,6 +62,21 @@ def main() -> None:
             rows.append((i + 1, (i + 1) * b.count(), dt))
             print(f"batch {i + 1}: corpus={rows[-1][1]:,} "
                   f"t={dt:.2f}s", flush=True)
+        # the two maintenance jobs, timed at full-store size: reflag
+        # (global first-wins repair — one batch-operator-shaped pass
+        # over the whole store) and compact (fold epochs into a base
+        # generation)
+        t0 = time.perf_counter()
+        sink.reflag(below_epoch=N_BATCHES)
+        t_reflag = time.perf_counter() - t0
+        sink(batches[0].withColumn(
+            "doc_id", F.col("doc_id") + 900_000_000),
+            epoch_id=N_BATCHES)  # store stays usable post-reflag
+        t0 = time.perf_counter()
+        sink.compact(below_epoch=N_BATCHES + 1)
+        t_compact = time.perf_counter() - t0
+        print(f"reflag(full store)={t_reflag:.2f}s "
+              f"compact={t_compact:.2f}s", flush=True)
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
 
@@ -81,6 +96,16 @@ def main() -> None:
     ]
     for i, n, dt in rows:
         lines.append(f"| {i} | {n:,} | {dt:.2f} | {dt / first:.2f}x |")
+    lines += [
+        "",
+        f"Maintenance at full-store size ({rows[-1][1]:,} docs): "
+        f"`reflag` (global first-wins repair after out-of-order "
+        f"ingestion — one batch-operator-shaped pass over the whole "
+        f"store, committed as a new base generation) = "
+        f"**{t_reflag:.2f} s**; `compact` (fold live epochs into the "
+        f"base) = **{t_compact:.2f} s**.  Both are occasional jobs, "
+        "not per-batch costs.",
+    ]
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "SCALING.md")
     marker = "\n## Bucketed dedup store: per-batch cost vs corpus size"

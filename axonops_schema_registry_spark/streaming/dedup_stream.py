@@ -17,7 +17,13 @@ documents' bucket collisions, not recomputed for the whole corpus.  A
 production deployment appends accepted documents to a bucketed
 parquet/Delta table and joins each micro-batch against ONLY the
 colliding LSH buckets — the same equi-join shape ``minhash_lsh_pairs``
-already uses.
+already uses (that shape IS ``dedup_store.BucketedDedupStore``).
+
+Verdict output is disk-first: both sinks write idempotent per-epoch
+parquet when given ``flags_dir``/``results_dir`` and read it back via
+``all_flags``/``all_results``; the in-memory dict/``results``
+accumulators are TEST-ONLY opt-ins (``track_flags``/``track_results``)
+— nothing unbounded rides the driver unless a test asks for it.
 """
 
 from __future__ import annotations

@@ -493,3 +493,57 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
             .select("id",
                     (-F.col("__m.nj")).cast("bigint").alias("pos"),
                     F.col("__m.h").alias("print_hash")))
+
+
+def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 8,
+                            min_count: int = 2) -> DataFrame:
+    """Maximal duplicated-substring spans — the substring-granular
+    dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better", ExactSubstr) at k-gram resolution: a
+    position is duplicated when its k-gram occurs at least
+    ``min_count`` times CORPUS-WIDE (across documents or repeated
+    inside one), and consecutive duplicated positions merge into one
+    maximal island — the span a pipeline cuts out of the document
+    (vs document-level dedup, which drops whole documents only).
+
+    Returns one row per maximal span: (id, start_pos, end_pos,
+    n_words) — 1-based k-gram positions; the span covers words
+    [start_pos, end_pos + k - 1], so n_words = end - start + k.
+
+    Scale shape: positioned k-grams are a row-local explode; the
+    occurrence count is a gram-keyed aggregate with map-side combine
+    (token-scale shuffle, same as bp1's span df-count); the
+    duplicated-position join shuffles on the gram key (the duplicated
+    set scales with the corpus — never broadcast); island merging is
+    the gaps-and-islands window per document (pos - row_number is
+    constant within a run of consecutive positions).  At 100 TB, hash
+    the gram to a 64-bit key for the join to cut shuffle width — kept
+    as the raw string here so the DuckDB oracle is replayable
+    verbatim."""
+    from pyspark.sql import Window
+
+    words = f"split({text_col}, ' ')"
+    grams = (f"CASE WHEN size({words}) >= {k} THEN "
+             f"transform(sequence(1, size({words}) - {k - 1}), "
+             f"i -> struct(i AS pos, "
+             f"array_join(slice({words}, i, {k}), ' ') AS gram)) "
+             f"ELSE array() END")
+    pos_grams = (df.select(F.col(id_col).alias("id"),
+                           F.explode(F.expr(grams)).alias("g"))
+                 .select("id", F.col("g.pos").alias("pos"),
+                         F.col("g.gram").alias("gram")))
+    dup = (pos_grams.groupBy("gram")
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") >= min_count)
+           .select("gram"))
+    dpos = pos_grams.join(dup, "gram").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    return (dpos
+            .withColumn("__grp", F.col("pos") - F.row_number().over(w))
+            .groupBy("id", "__grp")
+            .agg(F.min("pos").cast("bigint").alias("start_pos"),
+                 F.max("pos").cast("bigint").alias("end_pos"))
+            .select("id", "start_pos", "end_pos",
+                    (F.col("end_pos") - F.col("start_pos") + k)
+                    .cast("bigint").alias("n_words")))

@@ -30,11 +30,11 @@ _PRIORITY: tuple[str, ...] = (
     # q22, rc1_version_chain_audit, rf1_reserved_fields,
     # sg1_suggest_evolution, smp1_stratified_sample, st9_token_bucket,
     # mm2_header_decode, p1_live_view, mix1_dataset_mixture,
-    # lv1_context_level_resolution — all guarded by
-    # tests/test_queries_oracle.py meanwhile.
+    # lv1_context_level_resolution, e2_subject_compare — all guarded
+    # by tests/test_queries_oracle.py meanwhile.
     # -- new in r9 (never driver-sampled)
     "bpe2_merge_table", "bpe3_tokenize", "ev3_planted_recall",
-    "mm5_jpeg_decode",
+    "mm5_jpeg_decode", "es1_exact_substring_spans",
     # -- the 20 r4-stale specs (freshness floor, 4 rounds old)
     "nn1_cosine_topk", "j8c_dek_undelete_lifecycle",
     "m1_metadata_merge", "mode1_write_gating",
@@ -46,7 +46,7 @@ _PRIORITY: tuple[str, ...] = (
     "tx4_char_entropy", "tx5_dataset_card", "tx6_token_rarity",
     "u1_user_role_stats", "v1_validate_normalize",
     "x1_export_subject",
-    # -- 26 of the 45 r5-stale specs (registration-order slice,
+    # -- 25 of the 45 r5-stale specs (registration-order slice,
     #    bespoke families ahead of the TPC-shaped relational tail)
     "a1_versions_view", "a3_global_id_stats",
     "a4_registry_statistics", "a5_field_patterns",
@@ -54,7 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     "a9_complexity", "a10_event_metrics",
     "c1_compatibility_matrix", "c2_compat_messages",
     "dd6_embedding_cosine_dedup", "del2_version_delete_taxonomy",
-    "e1_schema_diff", "e2_subject_compare", "e3_similarity_selfjoin",
+    "e1_schema_diff", "e3_similarity_selfjoin",
     "e4_migration_plan", "e5_union_segments",
     "f10_global_fingerprint", "f14_subject_name_strategy",
     "j1_referenced_by", "j3_multilevel_resolution",

@@ -1867,6 +1867,48 @@ GROUP BY doc_id ORDER BY doc_id""")
 BPE3_ORACLE = _bpe3_oracle(10)
 
 
+def es1_exact_substring_spans(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Substring-granular dedup (llm/dedup.py:duplicated_span_islands
+    — Lee et al. 2021 ExactSubstr at 8-gram resolution): every maximal
+    run of positions whose 8-gram occurs >= 2 times corpus-wide, as
+    (doc_id, start_pos, end_pos, n_words) spans — what a pipeline cuts
+    OUT of documents, complementing document-level (dd*) and
+    boilerplate-df (bp1) dedup.  Gaps-and-islands window shape:
+    pos - row_number() is constant within a consecutive run."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        duplicated_span_islands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (duplicated_span_islands(docs, "doc_id", "text",
+                                    k=8, min_count=2)
+            .select(F.col("id").alias("doc_id"), "start_pos",
+                    "end_pos", "n_words")
+            .orderBy("doc_id", "start_pos"))
+
+
+ES1_ORACLE = """
+WITH pg AS (
+  SELECT doc_id AS id, i AS pos,
+         array_to_string(string_split(text, ' ')[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1,
+                   greatest(len(string_split(text, ' ')) - 7, 0))) AS i
+        FROM documents)),
+dup AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) >= 2),
+dpos AS (SELECT id, pos FROM pg JOIN dup USING (gram)),
+isl AS (
+  SELECT id, pos,
+         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+  FROM dpos)
+SELECT id AS doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(pos) AS BIGINT) AS end_pos,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS n_words
+FROM isl GROUP BY id, grp ORDER BY doc_id, start_pos
+"""
+
+
 def gq1_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (llm/text.py:gopher_stats/rules — Rae
     et al. 2021 §A1.1): the five shape heuristics per document, rolled
@@ -2753,6 +2795,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "similarity", "quality", "agg")),
     QuerySpec("bp1_boilerplate_spans", bp1_boilerplate_spans, BP1_ORACLE,
               tags=("llm", "dedup", "boilerplate")),
+    QuerySpec("es1_exact_substring_spans", es1_exact_substring_spans,
+              ES1_ORACLE, tags=("llm", "dedup", "substring", "window")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,
               tags=("llm", "text", "join", "window")),
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,

@@ -1089,3 +1089,58 @@ def test_duplicated_span_islands_match_pure_python_reference(spark):
     # the fixture exercises what it claims
     assert any(d == 3 for d, _, _, _ in want)        # internal repeat
     assert any(d in (1, 2) for d, _, _, _ in want)   # cross-doc span
+
+
+def test_pq_encode_matches_pure_python_reference(spark, sf_dir):
+    """Cross-implementation check for the PQ encoder: an explicit
+    Python replay — rank-capped congruence codebook, left-to-right
+    squared-L2 folds, argmin with smallest-centroid ties, HALF_UP
+    9-decimal rounding, exact Decimal error sum — must reproduce every
+    code and reconstruction error."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from axonops_schema_registry_spark.llm.similarity import pq_encode
+
+    m, stride, maxc = 4, 31, 256
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").limit(300)
+    vectors = {r.vec_id: [float(x) for x in r.embedding]
+               for r in emb.collect()}
+    cids = sorted(i for i in vectors if i % stride == 0)[:maxc]
+    assert cids  # guard would have raised otherwise
+
+    def d2(a, b):
+        acc = 0.0
+        for x, c in zip(a, b):  # left fold, like the SQL aggregate
+            acc = acc + (x - c) * (x - c)
+        return acc
+
+    want = {}
+    for vid, v in vectors.items():
+        sub = len(v) // m
+        codes, errs = [], []
+        for j in range(m):
+            sv = v[j * sub:(j + 1) * sub]
+            best = None
+            for cid in cids:
+                cv = vectors[cid][j * sub:(j + 1) * sub]
+                dist = d2(sv, cv)
+                if (best is None or dist < best[0]
+                        or (dist == best[0] and cid < best[1])):
+                    best = (dist, cid)
+            codes.append(best[1])
+            # Spark round(double, 9) + DECIMAL(25,9) cast are both
+            # repr-based HALF_UP — replicate via Decimal(repr())
+            errs.append(Decimal(repr(best[0])).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP))
+        err = float(Decimal(repr(math.sqrt(float(sum(errs)))))
+                    .quantize(Decimal("1e-4"),
+                              rounding=ROUND_HALF_UP))
+        want[vid] = (*codes, err)
+
+    got = {r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3,
+                      r.recon_err)
+           for r in pq_encode(emb, m=m, centroid_stride=stride,
+                              max_centroids=maxc).collect()}
+    assert got == want

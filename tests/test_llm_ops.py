@@ -1144,3 +1144,75 @@ def test_pq_encode_matches_pure_python_reference(spark, sf_dir):
            for r in pq_encode(emb, m=m, centroid_stride=stride,
                               max_centroids=maxc).collect()}
     assert got == want
+
+
+def test_ivf_portable_matches_pure_python_reference(spark, sf_dir):
+    """Cross-implementation check for the portable IVF index (nn3's
+    core): an explicit Python replay — rank-capped congruence
+    centroids, left-fold dot/norm, 4-decimal HALF_UP rounded cosine,
+    (sim DESC, id ASC) assignment and rerank ties, n_probe lists —
+    must reproduce the full top-k result."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from axonops_schema_registry_spark.llm.similarity import (
+        ivf_ann_topk_portable,
+    )
+
+    k, stride, n_probe, maxc = 5, 31, 4, 256
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_rows = {r.vec_id: [float(x) for x in r.embedding]
+                   for r in emb.filter(F.col("vec_id") >= 10).collect()}
+    query_rows = {r.vec_id: [float(x) for x in r.embedding]
+                  for r in emb.filter(F.col("vec_id") < 10).collect()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def r4(x):
+        return float(Decimal(repr(x)).quantize(
+            Decimal("1e-4"), rounding=ROUND_HALF_UP))
+
+    cents = sorted(i for i in corpus_rows if i % stride == 0)[:maxc]
+    cnorm = {c: norm(corpus_rows[c]) for c in cents}
+
+    def nearest(vec, vnorm, keep):
+        scored = sorted(
+            ((-r4(fold_dot(vec, corpus_rows[c]) / (vnorm * cnorm[c])),
+              c) for c in cents))
+        return [c for _, c in scored[:keep]]
+
+    assign = {cid: nearest(v, norm(v), 1)[0]
+              for cid, v in corpus_rows.items()}
+    want = {}
+    for qid, qv in query_rows.items():
+        qn = norm(qv)
+        probes = set(nearest(qv, qn, n_probe))
+        cands = [c for c, ct in assign.items() if ct in probes]
+        ranked = sorted(
+            ((-r4(fold_dot(qv, corpus_rows[c]) / (qn * norm(
+                corpus_rows[c]))), c) for c in cands))
+        for rank, (negsim, c) in enumerate(ranked[:k], start=1):
+            want[(qid, c)] = (-negsim, rank)
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"))
+    got = {(r.query_id, r.corpus_id): (r.cosine_sim, r.rank)
+           for r in ivf_ann_topk_portable(
+               queries, corpus, k=k, centroid_stride=stride,
+               n_probe=n_probe, max_centroids=maxc).collect()}
+    assert got == want
+    assert len(got) == 10 * k  # every query returns a full top-k

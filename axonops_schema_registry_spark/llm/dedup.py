@@ -243,6 +243,11 @@ def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
     # (docs/SCALING.md dup-heavy section).  Cached when
     # ``cache_tokens`` (the one-shot-query setting) because three
     # consumers read it: rep_rows, b_reps, and the final propagation.
+    # Like the toks cache above, the entry persists until the session
+    # releases it — and this one carries FULL TEXT per row, so it
+    # leaks one corpus-text-sized block PER CALL for repeated callers.
+    # One-shot query jobs eat that by design; long-running callers
+    # (the streaming sinks) pass ``cache_tokens=False`` and re-derive.
     from pyspark.sql import Window
 
     shingled = F.size(F.split(F.col(text_col), " ")) >= ngram

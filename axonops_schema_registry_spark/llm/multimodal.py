@@ -877,6 +877,14 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     reader = _BitReader(scan)
     total = 0
     prev_dc = 0
+    if w % 8 or h % 8:
+        # legal baseline JPEGs with non-multiple-of-8 dims encode a
+        # ceil-padded MCU grid; truncating (w//8)*(h//8) would desync
+        # the entropy stream — fail loudly like the SOF2/subsampling
+        # guards rather than under-report sum_y
+        raise ValueError(
+            "only multiple-of-8 dimensions are decodable here "
+            f"(got {w}x{h}; ceil-padded MCU grids are not implemented)")
     n_blocks = (w // 8) * (h // 8)
     for _ in range(n_blocks):
         zz = [0] * 64

@@ -20,46 +20,41 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-9 rotation (VERDICT r8 ask #1, oldest-first): the 20
-    # r4-stale specs — named as the r8 window leads but never promoted
-    # (the r8 window shipped byte-identical to r7's) — lead here,
-    # followed by 30 of the 45 r5-stale specs (bespoke surfaces first:
-    # registration, compat, DEK lifecycle, dedup, quality).  After this
-    # round the freshness floor rises to r5.  Deferred r5-stale names
-    # for the r10 window: q3, q5, q11, q13, q15, q17, q19, q20, q21,
-    # q22, rc1_version_chain_audit, rf1_reserved_fields,
-    # sg1_suggest_evolution, smp1_stratified_sample, st9_token_bucket,
-    # mm2_header_decode, p1_live_view, mix1_dataset_mixture,
-    # lv1_context_level_resolution, e2_subject_compare — all guarded
+    # Round-10 rotation (VERDICT r9 ask #1, oldest-first): the 20
+    # deferred r5-stale specs lead (the exact list named in the r9
+    # window comment and VERDICT.md), backfilled with 30 of the 47
+    # r6-green specs — bespoke LLM/streaming/registry families ahead
+    # of the TPC-shaped relational tail.  After this round the
+    # freshness floor rises to r6.  Deferred r6-green names for the
+    # r11 window: p5_metadata_property_filter, q1, q6, q7, q10, q14,
+    # q18, r1_latest_live_schema, s1–s5, w1, w2, w3, w5 — all guarded
     # by tests/test_queries_oracle.py meanwhile.
-    # -- new in r9 (never driver-sampled)
-    "bpe2_merge_table", "bpe3_tokenize", "ev3_planted_recall",
-    "mm5_jpeg_decode", "es1_exact_substring_spans",
-    # -- the 20 r4-stale specs (freshness floor, 4 rounds old)
-    "nn1_cosine_topk", "j8c_dek_undelete_lifecycle",
-    "m1_metadata_merge", "mode1_write_gating",
-    "q4_order_priority", "q12_priority_linestatus",
-    "q16_supplier_counts", "r8_delete_reregister",
-    "rj1_events_in_windows", "rv1_ruleset_validation",
-    "s9_import_with_ids", "sk1_distinct_sketches",
-    "st2_filtered_cef_lines", "st6_rate_limit_flags",
-    "tx4_char_entropy", "tx5_dataset_card", "tx6_token_rarity",
-    "u1_user_role_stats", "v1_validate_normalize",
-    "x1_export_subject",
-    # -- 25 of the 45 r5-stale specs (registration-order slice,
-    #    bespoke families ahead of the TPC-shaped relational tail)
-    "a1_versions_view", "a3_global_id_stats",
-    "a4_registry_statistics", "a5_field_patterns",
-    "a6_type_consistency", "a8_quality_scores", "a8q_exact_quality",
-    "a9_complexity", "a10_event_metrics",
-    "c1_compatibility_matrix", "c2_compat_messages",
-    "dd6_embedding_cosine_dedup", "del2_version_delete_taxonomy",
-    "e1_schema_diff", "e3_similarity_selfjoin",
-    "e4_migration_plan", "e5_union_segments",
-    "f10_global_fingerprint", "f14_subject_name_strategy",
-    "j1_referenced_by", "j3_multilevel_resolution",
-    "j6_config_fallback", "j7_dedup_anti_join",
-    "j8d_kek_cascade_lifecycle", "r4_registration_batch",
+    # -- the 20 r5-stale specs (freshness floor, 5 rounds old)
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q11_important_stock", "q13_customer_distribution",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q19_disjunctive_pushdown", "q20_excess_shippers",
+    "q21_waiting_suppliers", "q22_dormant_customers",
+    "rc1_version_chain_audit", "rf1_reserved_fields",
+    "sg1_suggest_evolution", "smp1_stratified_sample",
+    "st9_token_bucket", "mm2_header_decode", "p1_live_view",
+    "mix1_dataset_mixture", "lv1_context_level_resolution",
+    "e2_subject_compare",
+    # -- 30 of the 47 r6-green specs (bespoke families first)
+    "bp1_boilerplate_spans", "ch1_document_chunking",
+    "ctm1_contamination_check", "cur1_curation_pass",
+    "dd2_minhash_lsh_dedup", "dd7_incremental_dedup",
+    "gq1_gopher_quality", "gq2_repetition",
+    "mm1_multimodal_decode", "mm3_pixel_decode",
+    "nn2_lsh_ann_topk", "pk1_sequence_packing",
+    "qz1_int8_quantization", "rel1_release_report",
+    "ti1_tfidf_terms", "tx7_pii_scan", "wn1_winnowing",
+    "ex1_explain_failure", "st8_exporter_filter_rename",
+    "j2_subjects_by_fingerprint", "j9_alias_resolution",
+    "f13_field_extraction", "fs1_field_search",
+    "f1_substring_search", "f2_regex_search", "f3_glob_search",
+    "f5_normalize_names", "f7_fuzzy_match",
+    "o2_deterministic_pagination", "p4_status_split",
 )
 
 

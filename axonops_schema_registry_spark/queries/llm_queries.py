@@ -2533,6 +2533,12 @@ def ev3_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (emb.filter(F.col("vec_id") >= 10)
               .select(F.col("vec_id").alias("corpus_id"),
                       F.col("embedding").alias("corpus_vec")))
+    # n_queries is DERIVED from the planted slice on both sides (1-row
+    # broadcast), not hardcoded: if the embeddings table ever shrinks
+    # below 30 vectors the denominator shrinks with it and the oracle
+    # hash check sees the real query count (ADVICE r9).
+    nq = queries.agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("n_queries"))
     fams = (("exact", cosine_topk), ("lsh", lsh_ann_topk_portable),
             ("pq_adc", pq_adc_topk))
     parts = []
@@ -2541,10 +2547,11 @@ def ev3_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             fn(queries, corpus, k=5)
             .filter(F.col("corpus_id") == F.col("query_id") + 10)
             .agg(F.countDistinct("query_id").alias("n_found"))
+            .crossJoin(F.broadcast(nq))
             .select(F.lit(name).alias("family"),
-                    F.lit(20).cast("bigint").alias("n_queries"),
+                    F.col("n_queries"),
                     F.col("n_found").cast("bigint").alias("n_found"),
-                    F.round(F.col("n_found") / 20.0, 4)
+                    F.round(F.col("n_found") / F.col("n_queries"), 4)
                     .alias("found_at_5")))
     out = parts[0]
     for p in parts[1:]:
@@ -2565,11 +2572,13 @@ fams AS (
   FROM lsh WHERE corpus_id = query_id + 10
   UNION ALL
   SELECT 'pq_adc', COUNT(DISTINCT query_id)
-  FROM pq WHERE corpus_id = query_id + 10)
-SELECT family, CAST(20 AS BIGINT) AS n_queries,
+  FROM pq WHERE corpus_id = query_id + 10),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+       FROM embeddings WHERE vec_id >= 10 AND vec_id < 30)
+SELECT family, n_queries,
        CAST(n_found AS BIGINT) AS n_found,
-       ROUND(n_found / 20.0, 4) AS found_at_5
-FROM fams ORDER BY family
+       ROUND(n_found / CAST(n_queries AS DOUBLE), 4) AS found_at_5
+FROM fams CROSS JOIN nq ORDER BY family
 """
 
 
@@ -2759,7 +2768,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("bpe1_merge_candidates", bpe1_merge_candidates,
               BPE1_ORACLE, tags=("llm", "text", "tokenizer", "agg")),
     QuerySpec("bpe2_merge_table", bpe2_merge_table, BPE2_ORACLE,
-              tags=("llm", "text", "tokenizer", "iterative")),
+              tags=("llm", "text", "tokenizer", "iterative"),
+              bench=True),
     QuerySpec("bpe3_tokenize", bpe3_tokenize, BPE3_ORACLE,
               tags=("llm", "text", "tokenizer", "iterative")),
     QuerySpec("gq1_gopher_quality", gq1_gopher_quality, GQ1_ORACLE,
@@ -2796,7 +2806,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("bp1_boilerplate_spans", bp1_boilerplate_spans, BP1_ORACLE,
               tags=("llm", "dedup", "boilerplate")),
     QuerySpec("es1_exact_substring_spans", es1_exact_substring_spans,
-              ES1_ORACLE, tags=("llm", "dedup", "substring", "window")),
+              ES1_ORACLE, tags=("llm", "dedup", "substring", "window"),
+              bench=True),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,
               tags=("llm", "text", "join", "window")),
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,

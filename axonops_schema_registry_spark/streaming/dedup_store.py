@@ -246,7 +246,19 @@ class _EpochStore:
         """reflag's correctness precondition, enforced: every written
         epoch must fold (epoch >= below_epoch rows would keep stale
         eff/rep values, and later known-fingerprint arrivals would
-        inherit wrong dup_of verdicts from the un-rewritten fps)."""
+        inherit wrong dup_of verdicts from the un-rewritten fps).
+        ``below_epoch`` also must not scope below a prior compaction's
+        watermark: live epoch= dirs below it are gone by then, so the
+        dir scan alone would pass, yet ``_stored`` reads the base
+        generation (which holds epochs >= below_epoch) and the commit
+        would REGRESS meta['below'] (ADVICE r9)."""
+        floor = self._meta()["below"]
+        if below_epoch < floor:
+            raise RuntimeError(
+                f"reflag(below_epoch={below_epoch}) would scope below "
+                f"the compaction watermark {floor}; the base "
+                f"generation already folds epochs up to {floor} — "
+                f"pass below_epoch>={floor}")
         for path in self._dirs():
             if not os.path.isdir(path):
                 continue

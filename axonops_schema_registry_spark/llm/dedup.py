@@ -502,7 +502,8 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
 def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 8,
-                            min_count: int = 2) -> DataFrame:
+                            min_count: int = 2,
+                            hash_grams: bool = False) -> DataFrame:
     """Maximal duplicated-substring spans — the substring-granular
     dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
     Language Models Better", ExactSubstr) at k-gram resolution: a
@@ -522,9 +523,20 @@ def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
     duplicated-position join shuffles on the gram key (the duplicated
     set scales with the corpus — never broadcast); island merging is
     the gaps-and-islands window per document (pos - row_number is
-    constant within a run of consecutive positions).  At 100 TB, hash
-    the gram to a 64-bit key for the join to cut shuffle width — kept
-    as the raw string here so the DuckDB oracle is replayable
+    constant within a run of consecutive positions).
+
+    ``hash_grams`` is the 100 TB form: replace the raw gram string
+    with its ``xxhash64`` IMMEDIATELY after the explode, so both the
+    occurrence-count aggregate and the duplicated-position join
+    shuffle fixed 8-byte keys instead of ~9-word strings (an
+    order-of-magnitude shuffle-width cut at k=8; measured in
+    docs/SCALING.md).  A 64-bit collision would merge two distinct
+    grams' counts — at 2^32 distinct grams (≈ 34 TB of 8-gram text)
+    the birthday bound puts the chance of ANY collision near 0.5, and
+    a single collision only risks one false duplicated position, so
+    the variant trades a vanishing precision loss for the shuffle
+    win.  Span output is pinned equal to the raw-string path in
+    pytest; the default stays raw so the DuckDB oracle is replayable
     verbatim."""
     from pyspark.sql import Window
 
@@ -534,10 +546,12 @@ def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
              f"i -> struct(i AS pos, "
              f"array_join(slice({words}, i, {k}), ' ') AS gram)) "
              f"ELSE array() END")
+    gram_key = (F.xxhash64("g.gram") if hash_grams
+                else F.col("g.gram"))
     pos_grams = (df.select(F.col(id_col).alias("id"),
                            F.explode(F.expr(grams)).alias("g"))
                  .select("id", F.col("g.pos").alias("pos"),
-                         F.col("g.gram").alias("gram")))
+                         gram_key.alias("gram")))
     dup = (pos_grams.groupBy("gram")
            .agg(F.count(F.lit(1)).alias("__n"))
            .filter(F.col("__n") >= min_count)

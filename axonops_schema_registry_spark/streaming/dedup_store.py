@@ -491,7 +491,10 @@ class BucketedDedupStore(_EpochStore):
         Run it quiescent with ``below_epoch`` above every written epoch
         — it folds the whole store, like a compaction that also fixes
         history (enforced: a live epoch at-or-above ``below_epoch``
-        raises)."""
+        raises).  Cost expectation: one FULL-STORE pass, linear in
+        stored docs (measured at two store sizes in docs/SCALING.md)
+        — schedule it like compaction, amortized across many ingested
+        batches, never per-batch."""
         self._assert_quiescent(below_epoch)
         members = self._stored(self.flags_dir, below_epoch)
         if members is None:

@@ -62,10 +62,13 @@ def main() -> None:
             rows.append((i + 1, (i + 1) * b.count(), dt))
             print(f"batch {i + 1}: corpus={rows[-1][1]:,} "
                   f"t={dt:.2f}s", flush=True)
-        # the two maintenance jobs, timed at full-store size: reflag
-        # (global first-wins repair — one batch-operator-shaped pass
-        # over the whole store) and compact (fold epochs into a base
-        # generation)
+        # the two maintenance jobs, timed at TWO store sizes (the
+        # second point pins reflag's linear-in-store expectation —
+        # it is one batch-operator-shaped pass over the WHOLE store,
+        # amortized across many batches, never a per-batch cost):
+        # reflag (global first-wins repair) and compact (fold epochs
+        # into a base generation)
+        size_1 = rows[-1][1]
         t0 = time.perf_counter()
         sink.reflag(below_epoch=N_BATCHES)
         t_reflag = time.perf_counter() - t0
@@ -75,8 +78,25 @@ def main() -> None:
         t0 = time.perf_counter()
         sink.compact(below_epoch=N_BATCHES + 1)
         t_compact = time.perf_counter() - t0
-        print(f"reflag(full store)={t_reflag:.2f}s "
+        print(f"reflag({size_1:,} docs)={t_reflag:.2f}s "
               f"compact={t_compact:.2f}s", flush=True)
+        # double the store (fresh salts; the post-reflag probe batch
+        # counts too) and reflag again — the second size point
+        extra = [
+            docs0.withColumn("doc_id", F.col("doc_id")
+                             + F.lit((100 + i) * 10_000_000))
+                 .withColumn("text", F.concat(F.col("text"),
+                                              F.lit(f" storesaltB{i}")))
+                 .localCheckpoint(eager=True)
+            for i in range(N_BATCHES - 1)
+        ]
+        for i, b in enumerate(extra):
+            sink(b, epoch_id=N_BATCHES + 1 + i)
+        size_2 = size_1 * 2
+        t0 = time.perf_counter()
+        sink.reflag(below_epoch=2 * N_BATCHES)
+        t_reflag2 = time.perf_counter() - t0
+        print(f"reflag({size_2:,} docs)={t_reflag2:.2f}s", flush=True)
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
 
@@ -98,11 +118,14 @@ def main() -> None:
         lines.append(f"| {i} | {n:,} | {dt:.2f} | {dt / first:.2f}x |")
     lines += [
         "",
-        f"Maintenance at full-store size ({rows[-1][1]:,} docs): "
-        f"`reflag` (global first-wins repair after out-of-order "
-        f"ingestion — one batch-operator-shaped pass over the whole "
-        f"store, committed as a new base generation) = "
-        f"**{t_reflag:.2f} s**; `compact` (fold live epochs into the "
+        f"Maintenance, two store sizes: `reflag` (global first-wins "
+        f"repair after out-of-order ingestion — one "
+        f"batch-operator-shaped pass over the whole store, committed "
+        f"as a new base generation) = **{t_reflag:.2f} s** at "
+        f"{size_1:,} docs and **{t_reflag2:.2f} s** at {size_2:,} "
+        f"docs ({t_reflag2 / t_reflag:.2f}x for 2x the store — "
+        "linear-in-store, as a full-store pass must be; amortize it "
+        "across many batches).  `compact` (fold live epochs into the "
         f"base) = **{t_compact:.2f} s**.  Both are occasional jobs, "
         "not per-batch costs.",
     ]

@@ -1,0 +1,189 @@
+"""Pure-Python reference tests for the stateful FOLD operators whose
+DuckDB oracles replay the same fold logic (recursive CTEs built from
+the same state machine) — the shared-logic blind spot the r9 BPE
+boundary bug proved real: when both engines derive from one mental
+model, the cross-engine oracle cannot catch a bug in that model.
+
+Each test re-derives the op/event log INDEPENDENTLY (duckdb straight
+off the parquet, not the repo's loaders), replays it through an
+explicit simulator written from the reference semantics
+(ratelimit.go:91-113 allow; memory/store.go:1915-2030 DEK machine;
+1688-1740 KEK cascade), and pins the Spark operator's full output.
+
+- st9: continuous-refill per-client token bucket (IEEE-double
+  arithmetic in arrival order — the comparison is EXACT equality,
+  the kernel's documented bit-exactness contract).
+- j8c: DEK soft-delete/undelete/permanent-delete lifecycle per
+  (kek, version).
+- j8d: two-level KEK→DEK lifecycle with the permanent-delete cascade.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+_OPS = ("create", "soft_delete", "undelete", "permanent_delete")
+
+
+def _events():
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT event_id, epoch_us(ts), user_id, event_type "
+        "FROM read_parquet(?) ORDER BY event_id",
+        [os.path.join(SF, "events.parquet")]).fetchall()
+    con.close()
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# st9: token bucket (burst 2.0, rate 1/14400 tokens/s)
+# ---------------------------------------------------------------------------
+
+def test_token_bucket_matches_pure_python_reference(spark, sf_dir):
+    from axonops_schema_registry_spark.queries import SPEC_BY_NAME
+
+    burst, rate = 2.0, 1.0 / 14400.0
+    per_actor: dict = {}
+    for event_id, us, user_id, _ in _events():
+        per_actor.setdefault(user_id % 5, []).append((us, event_id))
+
+    want = {}
+    for actor, evs in per_actor.items():
+        tokens, last = burst, None
+        for us, event_id in sorted(evs):
+            if last is not None:
+                tokens = min(burst,
+                             tokens + ((us - last) / 1_000_000.0) * rate)
+            last = us
+            allowed = tokens >= 1.0
+            if allowed:
+                tokens -= 1.0
+            want[(actor, event_id)] = (allowed, tokens)
+
+    got = {(r.actor_id, r.event_id): (r.allowed, r.tokens_after)
+           for r in SPEC_BY_NAME["st9_token_bucket"]
+           .build(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for key, (allowed, tokens) in want.items():
+        g_allowed, g_tokens = got[key]
+        assert g_allowed == allowed, key
+        assert g_tokens == tokens, key  # exact IEEE-double equality
+    # the fixture exercises both admission outcomes
+    assert any(a for a, _ in want.values())
+    assert any(not a for a, _ in want.values())
+
+
+# ---------------------------------------------------------------------------
+# j8c: per-(kek, version) DEK lifecycle DFA
+# ---------------------------------------------------------------------------
+
+def _dek_step(state: str, op: str) -> tuple[str, int]:
+    """One transition of the storage-layer DEK machine: returns
+    (next_state, 1 if the store rejected the op else 0)."""
+    if op == "create":
+        return ("live", 0) if state == "absent" else (state, 1)
+    if op == "soft_delete":
+        return (state, 1) if state == "absent" else ("deleted", 0)
+    if op == "undelete":
+        return ("live", 0) if state == "deleted" else (state, 1)
+    # permanent_delete purges regardless of the soft flag
+    return (state, 1) if state == "absent" else ("absent", 0)
+
+
+def test_j8c_dek_lifecycle_matches_pure_python_reference(spark, sf_dir):
+    from axonops_schema_registry_spark.queries import SPEC_BY_NAME
+
+    logs: dict = {}
+    for event_id, _, user_id, event_type in _events():
+        key = (event_type, user_id % 5)
+        logs.setdefault(key, []).append((event_id, _OPS[event_id % 4]))
+
+    per_kek: dict = {}
+    for (kek, _ver), ops in logs.items():
+        state, n_err = "absent", 0
+        for _eid, op in sorted(ops):
+            state, err = _dek_step(state, op)
+            n_err += err
+        agg = per_kek.setdefault(
+            kek, {"n_keys": 0, "live": 0, "deleted": 0, "absent": 0,
+                  "err": 0})
+        agg["n_keys"] += 1
+        agg[state] += 1
+        agg["err"] += n_err
+
+    rows = (SPEC_BY_NAME["j8c_dek_undelete_lifecycle"]
+            .build(spark, sf_dir).collect())
+    assert {r.kek_name for r in rows} == set(per_kek)
+    for r in rows:
+        w = per_kek[r.kek_name]
+        assert (r.n_keys, r.n_live, r.n_soft_deleted, r.n_purged,
+                r.n_rejected_ops) == (
+            w["n_keys"], w["live"], w["deleted"], w["absent"], w["err"])
+    # the fixture reaches every terminal state and rejects some ops
+    tot = {k: sum(w[k] for w in per_kek.values())
+           for k in ("live", "deleted", "absent", "err")}
+    assert all(v > 0 for v in tot.values()), tot
+
+
+# ---------------------------------------------------------------------------
+# j8d: two-level KEK→DEK lifecycle with the cascade
+# ---------------------------------------------------------------------------
+
+def test_j8d_kek_cascade_matches_pure_python_reference(spark, sf_dir):
+    from axonops_schema_registry_spark.queries import SPEC_BY_NAME
+
+    per_kek_ops: dict = {}
+    for event_id, _, user_id, event_type in _events():
+        op = _OPS[(event_id // 2) % 4]
+        if event_id % 2 == 0:
+            item = (event_id, "kek", None, op)
+        else:
+            item = (event_id, "dek", user_id % 3, op)
+        per_kek_ops.setdefault(event_type, []).append(item)
+
+    want = {}
+    for kek, items in per_kek_ops.items():
+        kek_state = "absent"
+        deks: dict = {}
+        tracked: set = set()
+        kek_err = dek_err = 0
+        for _eid, level, ver, op in sorted(items):
+            if level == "kek":
+                if op == "permanent_delete" and kek_state != "absent":
+                    kek_state = "absent"
+                    deks.clear()  # DeleteKEK(permanent) wipes its DEKs
+                else:
+                    kek_state, err = _dek_step(kek_state, op)
+                    kek_err += err
+            else:
+                tracked.add(ver)
+                st = deks.get(ver, "absent")
+                if op == "create" and kek_state == "absent":
+                    # CreateDEK requires the KEK in the map; soft-
+                    # deleted KEKs are still present, purged are not
+                    dek_err += 1
+                    continue
+                nxt, err = _dek_step(st, op)
+                dek_err += err
+                if nxt == "absent":
+                    deks.pop(ver, None)
+                else:
+                    deks[ver] = nxt
+        live = sum(1 for s in deks.values() if s == "live")
+        soft = sum(1 for s in deks.values() if s == "deleted")
+        want[kek] = (kek_state, len(tracked), live, soft,
+                     len(tracked) - live - soft, kek_err, dek_err)
+
+    rows = (SPEC_BY_NAME["j8d_kek_cascade_lifecycle"]
+            .build(spark, sf_dir).collect())
+    assert {r.kek_name for r in rows} == set(want)
+    for r in rows:
+        assert (r.kek_state, r.n_dek_keys, r.n_dek_live,
+                r.n_dek_soft_deleted, r.n_dek_purged,
+                r.n_kek_rejected, r.n_dek_rejected) == want[r.kek_name]
+    # the cascade path actually fires somewhere in the fixture: at
+    # least one KEK ends absent while holding tracked (purged) DEKs
+    assert any(w[0] == "absent" and w[4] > 0 for w in want.values())

@@ -1091,6 +1091,35 @@ def test_duplicated_span_islands_match_pure_python_reference(spark):
     assert any(d in (1, 2) for d, _, _, _ in want)   # cross-doc span
 
 
+def test_span_islands_hash_grams_path_is_equivalent(spark, sf_dir):
+    """The 100 TB form (``hash_grams=True`` — xxhash64 gram keys, an
+    8-byte shuffle key instead of a ~9-word string) must produce the
+    IDENTICAL span set as the raw-string path, both on the fixture
+    corpus above and on the real documents table."""
+    from axonops_schema_registry_spark.catalog import load_table
+    from axonops_schema_registry_spark.llm.dedup import (
+        duplicated_span_islands,
+    )
+
+    def spans(df, **kw):
+        return {(r.id, r.start_pos, r.end_pos, r.n_words)
+                for r in duplicated_span_islands(df, "doc_id", "text",
+                                                 **kw).collect()}
+
+    fixture = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y c d e f q r s"),
+         (3, "m m m m m m"), (4, "p q"),
+         (5, "unique words only here now then")],
+        "doc_id bigint, text string")
+    assert (spans(fixture, k=3, min_count=2, hash_grams=True)
+            == spans(fixture, k=3, min_count=2))
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = spans(docs, k=8, min_count=2)
+    assert raw  # the synthetic corpus does contain duplicated spans
+    assert spans(docs, k=8, min_count=2, hash_grams=True) == raw
+
+
 def test_pq_encode_matches_pure_python_reference(spark, sf_dir):
     """Cross-implementation check for the PQ encoder: an explicit
     Python replay — rank-capped congruence codebook, left-to-right

@@ -566,3 +566,53 @@ def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
             .select("id", "start_pos", "end_pos",
                     (F.col("end_pos") - F.col("start_pos") + k)
                     .cast("bigint").alias("n_words")))
+
+
+def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 8,
+                            min_count: int = 2,
+                            hash_grams: bool = False) -> DataFrame:
+    """The CUT step completing :func:`duplicated_span_islands` — Lee
+    et al. 2021's ExactSubstr pipeline actually edits the corpus:
+    every word position covered by a duplicated-span island
+    (positions [start_pos, end_pos + k - 1]) is removed from its
+    document, ALL occurrences (the symmetric policy: duplicated
+    content contributes nothing, rather than electing one surviving
+    copy — the policy their released deduplicate tool applies when
+    both sides match).
+
+    Returns (id, n_words, n_removed, cleaned_text) per document —
+    every input document appears, untouched ones with n_removed = 0
+    and their (single-space re-joined) text intact.
+
+    Scale shape: the islands subgraph is es1's (gram-keyed agg +
+    join, never broadcast); the cut itself adds ONE doc-keyed shuffle
+    (islands grouped to a per-doc span array, joined back on id) and
+    is otherwise row-local — the span array is bounded by doc length,
+    and the keep/drop scan is a single codegen'd higher-order-function
+    expression over the word array, no second corpus explode."""
+    islands = duplicated_span_islands(df, id_col, text_col, k,
+                                      min_count, hash_grams)
+    spans = (islands.groupBy("id")
+             .agg(F.collect_list(F.struct("start_pos", "end_pos"))
+                  .alias("__spans")))
+    tagged = (df.select(F.col(id_col).alias("id"),
+                        F.col(text_col).alias("__text"))
+              .join(spans, "id", "left")
+              .withColumn("__spans",
+                          F.coalesce(F.col("__spans"),
+                                     F.array().cast(
+                                         "array<struct<start_pos:bigint,"
+                                         "end_pos:bigint>>"))))
+    words = "split(__text, ' ')"
+    kept = (f"filter(transform({words}, (w, i) -> "
+            f"named_struct('w', w, 'p', CAST(i + 1 AS BIGINT))), "
+            f"s -> NOT exists(__spans, sp -> "
+            f"s.p >= sp.start_pos AND s.p <= sp.end_pos + {k - 1}))")
+    return (tagged.select(
+        "id",
+        F.expr(f"CAST(size({words}) AS BIGINT)").alias("n_words"),
+        F.expr(f"CAST(size({words}) - size({kept}) AS BIGINT)")
+         .alias("n_removed"),
+        F.expr(f"array_join(transform({kept}, s -> s.w), ' ')")
+         .alias("cleaned_text")))

@@ -1909,6 +1909,65 @@ FROM isl GROUP BY id, grp ORDER BY doc_id, start_pos
 """
 
 
+def es2_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr CUT step (llm/dedup.py:remove_duplicated_spans
+    — Lee et al. 2021's pipeline actually editing the corpus): every
+    word position covered by an es1 island is removed from its
+    document (all occurrences, the symmetric policy), emitting the
+    cleaned text plus removal accounting per document.  The islands
+    subgraph is es1's; the cut adds one doc-keyed shuffle (per-doc
+    span array) and a single row-local higher-order-function scan of
+    the word array — no second corpus explode."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (remove_duplicated_spans(docs, "doc_id", "text",
+                                    k=8, min_count=2)
+            .select(F.col("id").alias("doc_id"), "n_words",
+                    "n_removed", "cleaned_text")
+            .orderBy("doc_id"))
+
+
+ES2_ORACLE = """
+WITH pg AS (
+  SELECT doc_id AS id, i AS pos,
+         array_to_string(string_split(text, ' ')[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1,
+                   greatest(len(string_split(text, ' ')) - 7, 0))) AS i
+        FROM documents)),
+dup AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) >= 2),
+dpos AS (SELECT id, pos FROM pg JOIN dup USING (gram)),
+isl AS (
+  SELECT id, pos,
+         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+  FROM dpos),
+spans AS (
+  SELECT id, MIN(pos) AS start_pos, MAX(pos) + 7 AS cov_end
+  FROM isl GROUP BY id, grp),
+words AS (
+  SELECT doc_id AS id, i, string_split(text, ' ')[i] AS w
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(string_split(text, ' '))))
+                 AS i
+        FROM documents)),
+covered AS (
+  SELECT DISTINCT w.id, w.i
+  FROM words w JOIN spans s
+    ON w.id = s.id AND w.i BETWEEN s.start_pos AND s.cov_end)
+SELECT w.id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN c.i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       COALESCE(string_agg(CASE WHEN c.i IS NULL THEN w.w END, ' '
+                           ORDER BY w.i), '') AS cleaned_text
+FROM words w LEFT JOIN covered c ON w.id = c.id AND w.i = c.i
+GROUP BY w.id ORDER BY doc_id
+"""
+
+
 def gq1_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (llm/text.py:gopher_stats/rules — Rae
     et al. 2021 §A1.1): the five shape heuristics per document, rolled
@@ -2808,6 +2867,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("es1_exact_substring_spans", es1_exact_substring_spans,
               ES1_ORACLE, tags=("llm", "dedup", "substring", "window"),
               bench=True),
+    QuerySpec("es2_span_removal", es2_span_removal, ES2_ORACLE,
+              tags=("llm", "dedup", "substring")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,
               tags=("llm", "text", "join", "window")),
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,

@@ -125,6 +125,28 @@ def test_lsh_ann_sims_match_exact(spark, sf_dir):
         assert exact[(r.query_id, r.corpus_id)] == r.cosine_sim
 
 
+def test_recommended_lsh_bits_keeps_candidates_linear():
+    """The occupancy-targeted bucket width (the sf1-rehearsal fix for
+    dd6's 11.9x super-linear row): expected candidate volume
+    n²/2^bits stays within 2x of n × target across four decades of
+    corpus size, and bits are monotone, floored, and capped."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        recommended_lsh_bits,
+    )
+
+    target = 200
+    prev = 0
+    for n in (100, 5_000, 50_000, 500_000, 5_000_000, 50_000_000):
+        b = recommended_lsh_bits(n, target_occupancy=target)
+        assert b >= prev                      # monotone in n
+        prev = b
+        if n > target:
+            exp_cand = n * n / (1 << b)       # Σ bucket² under uniformity
+            assert exp_cand <= 2 * n * target  # linear, bounded by target
+    assert recommended_lsh_bits(10) == 5      # floor
+    assert recommended_lsh_bits(10**12, max_bits=24) == 24  # cap
+
+
 def test_kmv_sketch_accuracy_and_merge(spark, sf_dir):
     """KMV estimate within ~8% of exact at k=256 (expected rsd ~6%);
     merging two half-corpus sketches equals sketching the union."""
@@ -1089,6 +1111,56 @@ def test_duplicated_span_islands_match_pure_python_reference(spark):
     # the fixture exercises what it claims
     assert any(d == 3 for d, _, _, _ in want)        # internal repeat
     assert any(d in (1, 2) for d, _, _, _ in want)   # cross-doc span
+
+
+def test_remove_duplicated_spans_matches_pure_python_reference(spark):
+    """The cut step over the same fixture: positions covered by any
+    island vanish from the document (all occurrences — the symmetric
+    ExactSubstr policy); untouched and too-short docs come back
+    intact with n_removed = 0."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        remove_duplicated_spans,
+    )
+
+    k, min_count = 3, 2
+    texts = {
+        1: "a b c d e f g h",
+        2: "x y c d e f q r s",
+        3: "m m m m m m",
+        4: "p q",
+        5: "unique words only here now then",
+    }
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id bigint, text string")
+
+    grams: dict = {}
+    for d, t in texts.items():
+        ws = t.split(" ")
+        for i in range(len(ws) - k + 1):
+            g = " ".join(ws[i:i + k])
+            grams.setdefault(g, []).append((d, i + 1))
+    dup = {g for g, occ in grams.items() if len(occ) >= min_count}
+    covered: dict = {d: set() for d in texts}
+    for g in dup:
+        for d, p in grams[g]:
+            covered[d].update(range(p, p + k))
+    want = {}
+    for d, t in texts.items():
+        ws = t.split(" ")
+        kept = [w for i, w in enumerate(ws, 1)
+                if i not in covered[d]]
+        want[d] = (len(ws), len(ws) - len(kept), " ".join(kept))
+
+    got = {r.id: (r.n_words, r.n_removed, r.cleaned_text)
+           for r in remove_duplicated_spans(
+               docs, "doc_id", "text", k=k,
+               min_count=min_count).collect()}
+    assert got == want
+    # the fixture exercises what it claims
+    assert want[3][2] == ""                     # fully-covered doc
+    assert want[4] == (2, 0, "p q")             # too short to gram
+    assert want[5][1] == 0                      # untouched doc
+    assert 0 < want[1][1] < want[1][0]          # partial cut
 
 
 def test_span_islands_hash_grams_path_is_equivalent(spark, sf_dir):

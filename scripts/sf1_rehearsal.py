@@ -8,10 +8,18 @@ the scale_smoke salting pattern — fact tables replicated with
 consistently OFFSET join keys (orders.o_orderkey and
 lineitem.l_orderkey move together, and likewise custkey / partkey /
 suppkey, so every join keeps its selectivity), region/nation kept
-fixed (TPC-H's own scaling rule), documents salted to stay
-content-distinct, embeddings/events replicated with offset ids — then
-runs every bench-tagged query at BOTH scales in one session and
-appends the per-query sf1/sf0.1 ratio table to docs/SCALING.md.
+fixed (TPC-H's own scaling rule) — then runs every bench-tagged query
+at BOTH scales in one session and appends the per-query sf1/sf0.1
+ratio table to docs/SCALING.md.
+
+Replicas are content-distinct in SHINGLE and EMBEDDING space, the r7
+composition-smoke pattern: every document WORD is salted per copy (a
+suffix-only salt leaves copies sharing ~all shingles, so shingle df
+grows with k and pair volume with k² — a TRUE dup-density increase,
+the regime `dup_smoke*.py` measures separately, not an engine
+property), and embedding copies are ROLLED so cross-copy cosine ~1
+pairs don't exist.  What remains is the engine-linearity question
+this rehearsal exists to answer.
 
 A ratio near 10/~32-core-saturation means linear; anything clearly
 super-linear is the scale bug this rehearsal exists to find.
@@ -66,9 +74,18 @@ def synthesize(spark, out_dir: str) -> None:
             for col in keys:
                 c = c.withColumn(col, F.col(col) + F.lit(i * OFF))
             if name == "documents" and i > 0:
+                # salt EVERY word so copies share no shingles
                 c = c.withColumn(
-                    "text", F.concat(F.col("text"),
-                                     F.lit(f" sfsalt{i}")))
+                    "text", F.expr(
+                        f"array_join(transform(split(text, ' '), "
+                        f"w -> concat(w, '_s{i}')), ' ')"))
+            if name == "embeddings" and i > 0:
+                # roll the vector so cross-copy cosine ~1 pairs vanish
+                dim = 64
+                c = c.withColumn(
+                    "embedding", F.expr(
+                        f"concat(slice(embedding, {i + 1}, "
+                        f"{dim - i}), slice(embedding, 1, {i}))"))
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
@@ -126,12 +143,15 @@ def main() -> None:
         "",
         f"{K}x key-offset replicas of every sf0.1 fact table "
         "(region/nation fixed, join keys moved together so every join "
-        "keeps its selectivity; documents salted content-distinct), "
-        "full bench set, one session, min-of-2 at sf0.1 vs single run "
-        "at sf1.  Ideal linear ratio is ~10x MINUS whatever headroom "
-        "the 32 local cores had left at sf0.1 (small queries "
-        "under-utilize them, so sub-10x ratios are expected); ratios "
-        "WELL ABOVE 10x flag super-linear work.",
+        "keeps its selectivity; documents word-salted so copies share "
+        "no shingles, embeddings rolled so cross-copy cosine pairs "
+        "don't exist — true-dup density held constant, the regime "
+        "dup_smoke*.py measures separately), full bench set, one "
+        "session, min-of-2 at sf0.1 vs single run at sf1.  Ideal "
+        "linear ratio is ~10x MINUS whatever headroom the 32 local "
+        "cores had left at sf0.1 (small queries under-utilize them, "
+        "so sub-10x ratios are expected); ratios WELL ABOVE 10x flag "
+        "super-linear work.",
         "",
         "| query | sf0.1 s | sf1 s | ratio |",
         "|---|---|---|---|",

@@ -61,6 +61,31 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                  .select("query_id", "corpus_id", "cosine_sim", "rank"))
 
 
+def recommended_lsh_bits(n_rows: int, target_occupancy: int = 200,
+                         min_bits: int = 5, max_bits: int = 24) -> int:
+    """Bucket width that keeps hyperplane-LSH candidate volume LINEAR
+    in the corpus.
+
+    With ``b`` fixed, a bucket holds ~n/2^b vectors and the self-join
+    emits Σ bucket² ≈ n²/2^b candidates per table — quadratic in n
+    (the sf1 rehearsal measured exactly this: dd6 at n_bits=5 ran
+    11.9x for 10x vectors, docs/SCALING.md).  Scaling
+    ``b = ceil(log2(n / target_occupancy))`` pins expected occupancy
+    at ``target_occupancy`` so candidates ≈ n × target per table —
+    linear, the posture a 100 TB corpus needs (recall at a given
+    threshold is then held by raising ``n_tables``, the standard
+    AND/OR construction).  Oracle-checked specs keep a LITERAL n_bits
+    (the DuckDB replay must share it); production callers pass
+    ``recommended_lsh_bits(corpus_count)``.
+    """
+    import math
+    if n_rows <= target_occupancy:
+        return min_bits
+    return max(min_bits,
+               min(max_bits,
+                   math.ceil(math.log2(n_rows / target_occupancy))))
+
+
 def hyperplane_bucket_udf(dim: int, n_bits: int, seed: int):
     """Vectorized random-hyperplane LSH bucket: sign-pattern of ``n_bits``
     fixed random projections, as one int bucket id.

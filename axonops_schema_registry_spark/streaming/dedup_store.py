@@ -111,6 +111,53 @@ class _EpochStore:
     def _dirs(self) -> tuple[str, ...]:
         raise NotImplementedError
 
+    # -- signature-parameter pinning ---------------------------------------
+
+    def _signature_params(self) -> dict:
+        """The parameters that define the store's on-disk signature
+        space (bucketing scheme, thresholds).  Reopening a store with
+        DIFFERENT values would bucket new content incompatibly with
+        the stored bucket tables — every lookup would miss and the
+        store would silently stop flagging duplicates against the
+        prior corpus, the worst possible failure mode for a dedup
+        filter.  Subclasses enumerate theirs."""
+        raise NotImplementedError
+
+    def _check_params(self) -> None:
+        """Pin the signature parameters to disk on first ingest and
+        fail loudly on any later mismatch (same discipline as the
+        corrupt-meta guard: a wrong answer must never be silent).
+        The write is tmp+atomic-replace so a crash mid-write leaves
+        either no file (next ingest re-pins) or the full file."""
+        want = self._signature_params()
+        try:
+            with open(self.params_path) as f:
+                have = json.load(f)
+        except FileNotFoundError:
+            os.makedirs(self.store_dir, exist_ok=True)
+            tmp = self.params_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(want, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.params_path)
+            return
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"corrupt dedup-store params at {self.params_path}: "
+                f"{exc!r}; refusing to ingest with unverifiable "
+                "signature parameters") from exc
+        if have != want:
+            diff = {k: (have.get(k), want.get(k))
+                    for k in sorted(set(have) | set(want))
+                    if have.get(k) != want.get(k)}
+            raise RuntimeError(
+                f"dedup store at {self.store_dir} was created with "
+                f"different signature parameters (stored vs this "
+                f"session): {diff}; matching buckets require identical "
+                "parameters — reopen with the stored values or build a "
+                "new store")
+
     # -- store access -----------------------------------------------------
 
     def _meta(self) -> dict:
@@ -306,6 +353,7 @@ class BucketedDedupStore(_EpochStore):
         self.threshold, self.ngram = threshold, ngram
         self.n_hashes, self.bands = n_hashes, bands
         self.meta_path = os.path.join(store_dir, "meta.json")
+        self.params_path = os.path.join(store_dir, "params.json")
         # test-only convenience: False (the default) keeps driver
         # memory O(1) in corpus size — production reads all_flags()
         self.track_flags = track_flags
@@ -316,6 +364,10 @@ class BucketedDedupStore(_EpochStore):
         # llm.dedup.minhash_lsh_pairs.  None keeps exact semantics.
         self.max_bucket = max_bucket
         self.flags: dict[int, tuple[bool, int | None]] = {}
+
+    def _signature_params(self) -> dict:
+        return {"threshold": self.threshold, "ngram": self.ngram,
+                "n_hashes": self.n_hashes, "bands": self.bands}
 
     def _dirs(self) -> tuple[str, ...]:
         return (self.buckets_dir, self.toks_dir, self.fps_dir,
@@ -361,6 +413,7 @@ class BucketedDedupStore(_EpochStore):
                       epoch_id: int) -> DataFrame:
         """Flag one epoch's batch against the store, (re)write its
         epoch partitions, return (id, is_dup, dup_of)."""
+        self._check_params()
         new = new_docs.select(F.col(self.id_col).alias("__nid"),
                               F.col(self.text_col).alias("__ntext"))
         fp_rows = self._fingerprinted(new).localCheckpoint(eager=True)
@@ -652,6 +705,13 @@ class EmbeddingDedupStore(_EpochStore):
     cannot flip the stored vector's already-emitted flag — run
     :meth:`reflag` (the compaction-style repair) after out-of-order
     ingestion.
+
+    ``n_bits`` is fixed for the store's LIFETIME (the stored bucket
+    table is keyed on it; the params.json pin enforces this) — size it
+    at creation from the EXPECTED corpus via
+    :func:`~axonops_schema_registry_spark.llm.similarity.recommended_lsh_bits`
+    so per-batch collision volume stays linear as the store grows
+    (docs/SCALING.md "dd6 at 10x" measures the fixed-bits quadratic).
     """
 
     def __init__(self, spark: SparkSession, store_dir: str,
@@ -671,11 +731,17 @@ class EmbeddingDedupStore(_EpochStore):
         self.dim, self.n_bits = dim, n_bits
         self.n_tables, self.seed0 = n_tables, seed0
         self.meta_path = os.path.join(store_dir, "emeta.json")
+        self.params_path = os.path.join(store_dir, "eparams.json")
         # test-only convenience (see the text twin): the default keeps
         # driver memory O(1); production reads all_flags()
         self.track_flags = track_flags
         self.max_bucket = max_bucket
         self.flags: dict[int, tuple[bool, int | None]] = {}
+
+    def _signature_params(self) -> dict:
+        return {"threshold": self.threshold, "dim": self.dim,
+                "n_bits": self.n_bits, "n_tables": self.n_tables,
+                "seed0": self.seed0}
 
     def _dirs(self) -> tuple[str, ...]:
         return (self.buckets_dir, self.vecs_dir, self.fps_dir,
@@ -714,6 +780,7 @@ class EmbeddingDedupStore(_EpochStore):
 
     def process_batch(self, new_vecs: DataFrame,
                       epoch_id: int) -> DataFrame:
+        self._check_params()
         new = new_vecs.select(F.col(self.id_col).alias("__id"),
                               F.col(self.vec_col).alias("__v"))
         fp_rows = self._fingerprinted(new).localCheckpoint(eager=True)

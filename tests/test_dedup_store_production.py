@@ -368,3 +368,67 @@ def test_embedding_store_max_bucket_cap(spark):
     finally:
         for p in (d_cap, d_ref):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_store_params_pinned_across_restart(spark):
+    """The signature parameters are written on first ingest and a
+    reopen with DIFFERENT values fails loudly — silently mismatched
+    bucketing (every lookup missing, dedup quietly off) is the worst
+    failure mode a dedup filter has.  Matching reopens keep working."""
+    b0 = _docs(spark, [(1, _distinct(1))])
+    d = tempfile.mkdtemp(prefix="prod_params_")
+    try:
+        BucketedDedupStore(spark, d, bands=16)(b0, epoch_id=0)
+        # same params: fine
+        BucketedDedupStore(spark, d, bands=16)(
+            _docs(spark, [(2, _distinct(2))]), epoch_id=1)
+        # different bucketing: refuse before touching the store
+        with pytest.raises(RuntimeError, match="bands.*(16|8)"):
+            BucketedDedupStore(spark, d, bands=8)(
+                _docs(spark, [(3, _distinct(3))]), epoch_id=2)
+        # threshold is part of the signature too (verdicts depend on it)
+        with pytest.raises(RuntimeError, match="threshold"):
+            BucketedDedupStore(spark, d, threshold=0.5)(
+                _docs(spark, [(3, _distinct(3))]), epoch_id=2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_embedding_store_params_pinned(spark):
+    """The embedding twin pins (threshold, dim, n_bits, n_tables,
+    seed0) — a reopen with different planes would bucket new vectors
+    incompatibly with the stored bucket table."""
+    b0 = spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])],
+                               "vec_id bigint, embedding array<double>")
+    d = tempfile.mkdtemp(prefix="prod_eparams_")
+    try:
+        EmbeddingDedupStore(spark, d, dim=4, n_bits=6)(b0, epoch_id=0)
+        EmbeddingDedupStore(spark, d, dim=4, n_bits=6)(
+            spark.createDataFrame([(2, [0.0, 1.0, 0.0, 0.0])],
+                                  "vec_id bigint, "
+                                  "embedding array<double>"),
+            epoch_id=1)
+        with pytest.raises(RuntimeError, match="n_bits"):
+            EmbeddingDedupStore(spark, d, dim=4, n_bits=8)(b0,
+                                                           epoch_id=2)
+        with pytest.raises(RuntimeError, match="seed0"):
+            EmbeddingDedupStore(spark, d, dim=4, n_bits=6, seed0=7)(
+                b0, epoch_id=2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_store_params_corrupt_file_fails_loudly(spark):
+    """A present-but-unreadable params.json is store corruption, not
+    'no params yet' — the same discipline as the corrupt-meta guard."""
+    d = tempfile.mkdtemp(prefix="prod_cparams_")
+    try:
+        store = BucketedDedupStore(spark, d)
+        store(_docs(spark, [(1, _distinct(1))]), epoch_id=0)
+        with open(store.params_path, "w") as f:
+            f.write("{not json")
+        with pytest.raises(RuntimeError, match="corrupt"):
+            BucketedDedupStore(spark, d)(
+                _docs(spark, [(2, _distinct(2))]), epoch_id=1)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

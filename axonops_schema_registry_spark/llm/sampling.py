@@ -126,3 +126,75 @@ def portable_hash_sql(expr: str) -> str:
     BIGINT)``."""
     return (f"CAST(conv(substring(md5({expr}), 1, 12), 16, 10) "
             f"AS BIGINT)")
+
+
+def dsir_log_weights(docs: DataFrame, target_ids: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = 4096,
+                     round_digits: int = 6) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al.
+    2023, arXiv:2302.03169): score every document of a raw pool by
+    how much its hashed n-gram features look like a small TARGET
+    slice.  Features are unigrams + bigrams hashed into ``n_buckets``
+    buckets; two add-one-smoothed bucket unigram LMs are fitted (one
+    on the target slice, one on the whole pool) and each document
+    gets the log importance weight
+
+        log w(d) = Σ_b c_d(b) · [ln p̂_t(b) − ln p̂_r(b)]
+
+    — the resampling step keeps the top-weighted documents.
+
+    Returns (id, n_feats, log_weight).
+
+    Scale design: feature hashing bounds LM state at ``n_buckets``
+    rows regardless of corpus size, so both ratio tables broadcast;
+    scoring is one explode + one map-side-combinable (id, bucket)
+    count + a broadcast join.  The only corpus-wide shuffles are the
+    two bucket-count aggregates, each pre-combined to ≤ n_buckets
+    rows per task.  Determinism: the hash is the engine-portable
+    48-bit md5 prefix, each per-bucket log ratio is rounded ONCE at
+    bucket cardinality, and the per-doc sum runs in exact decimal
+    arithmetic (the ppl1 discipline) — an independent SQL engine
+    reproduces every weight bit-for-bit.
+    """
+    ws = f"split({text_col}, ' ')"
+    feats_expr = (f"concat({ws}, zip_with("
+                  f"slice({ws}, 1, size({ws}) - 1), "
+                  f"slice({ws}, 2, size({ws}) - 1), "
+                  f"(a, b) -> concat(a, ' ', b)))")
+    # materialize the feature counts ONCE (lazy checkpoint): the
+    # explode+agg feeds three consumers (raw LM, target LM, scoring)
+    # and Spark does not reuse the exchange across them — without
+    # this the corpus-scale explode runs three times
+    feat = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.expr(feats_expr)).alias("f"))
+            .withColumn("b", portable_hash(F.col("f")) % n_buckets)
+            .groupBy("id", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=False))
+    raw = feat.groupBy("b").agg(F.sum("cnt").alias("cr"))
+    tgt = (feat.join(target_ids.select(F.col(target_ids.columns[0])
+                                       .alias("id")), "id")
+           .groupBy("b").agg(F.sum("cnt").alias("ct")))
+    n_r = raw.agg(F.sum("cr").alias("nr"))
+    n_t = tgt.agg(F.sum("ct").alias("nt"))
+    # add-one smoothing over the full bucket space; buckets absent
+    # from the raw pool can't appear in any scored document, so the
+    # ratio table only needs raw-present buckets
+    lr = (raw.join(tgt, "b", "left")
+          .withColumn("ct", F.coalesce(F.col("ct"), F.lit(0)))
+          .crossJoin(F.broadcast(n_r)).crossJoin(F.broadcast(n_t))
+          .select("b", F.round(
+              (F.log(F.col("ct") + 1)
+               - F.log(F.col("nt") + n_buckets))
+              - (F.log(F.col("cr") + 1)
+                 - F.log(F.col("nr") + n_buckets)),
+              round_digits).cast(f"decimal(18,{round_digits})")
+              .alias("lr")))
+    return (feat.join(F.broadcast(lr), "b")
+            .groupBy("id")
+            .agg(F.sum("cnt").alias("n_feats"),
+                 F.sum(F.col("lr") * F.col("cnt")).cast("double")
+                 .alias("log_weight"))
+            .select(F.col("id").alias(id_col), "n_feats",
+                    "log_weight"))

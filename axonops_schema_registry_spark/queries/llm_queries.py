@@ -1968,6 +1968,63 @@ GROUP BY w.id ORDER BY doc_id
 """
 
 
+def dsir1_importance_selection(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """DSIR data selection (llm/sampling.py:dsir_log_weights — Xie et
+    al. 2023): hashed unigram+bigram bucket LMs fitted on a target
+    slice (source = 'src0') and on the whole pool, every document
+    scored by its log importance ratio, the top 50 kept — the
+    resampling step.  The ratio table is ≤ n_buckets rows and
+    broadcast; the final top-N is orderBy+limit (TakeOrdered — no
+    global sort materializes at scale)."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        dsir_log_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0").select("doc_id")
+    return (dsir_log_weights(docs, target, n_buckets=4096)
+            .orderBy(F.desc("log_weight"), "doc_id")
+            .limit(50))
+
+
+DSIR1_ORACLE = r"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS a
+            FROM documents),
+uni AS (SELECT doc_id, unnest(a) AS f FROM ws),
+bi AS (
+  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS f
+  FROM (SELECT doc_id, a,
+               unnest(generate_series(1, greatest(len(a) - 1, 0)))
+                 AS i
+        FROM ws)),
+feat AS MATERIALIZED (
+  SELECT doc_id AS id,
+         CAST(concat('0x', substr(md5(f), 1, 12)) AS BIGINT)
+           % 4096 AS b,
+         COUNT(*) AS cnt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY id, b),
+raw AS (SELECT b, SUM(cnt) AS cr FROM feat GROUP BY b),
+tgt AS (SELECT b, SUM(cnt) AS ct
+        FROM feat JOIN documents d ON feat.id = d.doc_id
+        WHERE d.source = 'src0' GROUP BY b),
+nrt AS (SELECT (SELECT SUM(cr) FROM raw) AS nr,
+               (SELECT SUM(ct) FROM tgt) AS nt),
+lr AS (
+  SELECT b,
+         CAST(round((ln(COALESCE(ct, 0) + 1) - ln(nt + 4096))
+                    - (ln(cr + 1) - ln(nr + 4096)), 6)
+              AS DECIMAL(18,6)) AS lr
+  FROM raw LEFT JOIN tgt USING (b), nrt)
+SELECT id AS doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+       CAST(SUM(lr * cnt) AS DOUBLE) AS log_weight
+FROM feat JOIN lr USING (b)
+GROUP BY id
+ORDER BY log_weight DESC, doc_id LIMIT 50
+"""
+
+
 def gq1_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (llm/text.py:gopher_stats/rules — Rae
     et al. 2021 §A1.1): the five shape heuristics per document, rolled
@@ -2869,6 +2926,9 @@ SPECS: list[QuerySpec] = [
               bench=True),
     QuerySpec("es2_span_removal", es2_span_removal, ES2_ORACLE,
               tags=("llm", "dedup", "substring")),
+    QuerySpec("dsir1_importance_selection", dsir1_importance_selection,
+              DSIR1_ORACLE,
+              tags=("llm", "sampling", "selection", "agg")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,
               tags=("llm", "text", "join", "window")),
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,

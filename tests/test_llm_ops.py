@@ -1317,3 +1317,65 @@ def test_ivf_portable_matches_pure_python_reference(spark, sf_dir):
                n_probe=n_probe, max_centroids=maxc).collect()}
     assert got == want
     assert len(got) == 10 * k  # every query returns a full top-k
+
+
+def test_dsir_log_weights_match_pure_python_reference(spark):
+    """DSIR weights pinned against an independent pure-Python
+    simulator (own md5 bucketing, math.log, Decimal half-up rounding,
+    exact decimal accumulation) — the oracle shares the Spark query's
+    formula shape, so only an independent reference catches a bug in
+    the shared math (the BPE lesson)."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from axonops_schema_registry_spark.llm.sampling import (
+        dsir_log_weights,
+    )
+
+    texts = {1: "a b a c", 2: "b c d b", 3: "a a a",
+             4: "x y z w", 5: "a b c d"}
+    target = {1, 3}
+    K = 64
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id bigint, text string")
+    tgt = spark.createDataFrame([(i,) for i in sorted(target)],
+                                "doc_id bigint")
+
+    def bucket(f: str) -> int:
+        return int(hashlib.md5(f.encode()).hexdigest()[:12], 16) % K
+
+    def feats(t: str) -> list:
+        ws = t.split(" ")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    doc_b: dict = {}
+    for d, t in texts.items():
+        cnts: dict = {}
+        for f in feats(t):
+            cnts[bucket(f)] = cnts.get(bucket(f), 0) + 1
+        doc_b[d] = cnts
+    raw: dict = {}
+    tgt_c: dict = {}
+    for d, cnts in doc_b.items():
+        for b, c in cnts.items():
+            raw[b] = raw.get(b, 0) + c
+            if d in target:
+                tgt_c[b] = tgt_c.get(b, 0) + c
+    nr, nt = sum(raw.values()), sum(tgt_c.values())
+    q = Decimal("0.000001")
+    lr = {b: Decimal(repr((math.log(tgt_c.get(b, 0) + 1)
+                           - math.log(nt + K))
+                          - (math.log(cr + 1) - math.log(nr + K))))
+          .quantize(q, ROUND_HALF_UP)
+          for b, cr in raw.items()}
+    want = {d: (sum(cnts.values()),
+                float(sum(lr[b] * c for b, c in cnts.items())))
+            for d, cnts in doc_b.items()}
+
+    got = {r.doc_id: (r.n_feats, r.log_weight)
+           for r in dsir_log_weights(docs, tgt,
+                                     n_buckets=K).collect()}
+    assert got == want
+    # target-slice docs should score higher than the off-topic doc
+    assert want[1][1] > want[4][1] and want[3][1] > want[4][1]

@@ -2025,6 +2025,39 @@ ORDER BY log_weight DESC, doc_id LIMIT 50
 """
 
 
+def shard1_export_manifest(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Training-shard export manifest (llm/export.py:shard_manifest):
+    deterministic hash sharding (scan-side projection, no shuffle)
+    and the per-shard receipt — doc count, token total, id range,
+    order-independent 48-bit content checksum — all exact integer
+    arithmetic an independent engine reproduces bit-for-bit.  The
+    companion writer (write_shards, pytest-pinned) lands
+    ``shard_id=K/`` parquet directories this manifest audits."""
+    from axonops_schema_registry_spark.llm.export import shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=16).orderBy("shard_id")
+
+
+SHARD1_ORACLE = """
+WITH sharded AS (
+  SELECT doc_id, text,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 12)) AS BIGINT)
+              % 16 AS INT) AS shard_id,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                                             ':', text)), 1, 12))
+              AS BIGINT) AS h
+  FROM documents)
+SELECT shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       CAST(SUM(h) % 281474976710656 AS BIGINT) AS content_checksum
+FROM sharded GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 def gq1_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (llm/text.py:gopher_stats/rules — Rae
     et al. 2021 §A1.1): the five shape heuristics per document, rolled
@@ -2929,6 +2962,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dsir1_importance_selection", dsir1_importance_selection,
               DSIR1_ORACLE,
               tags=("llm", "sampling", "selection", "agg")),
+    QuerySpec("shard1_export_manifest", shard1_export_manifest,
+              SHARD1_ORACLE, tags=("llm", "export", "agg")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,
               tags=("llm", "text", "join", "window")),
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,

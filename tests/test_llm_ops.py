@@ -1379,3 +1379,48 @@ def test_dsir_log_weights_match_pure_python_reference(spark):
     assert got == want
     # target-slice docs should score higher than the off-topic doc
     assert want[1][1] > want[4][1] and want[3][1] > want[4][1]
+
+
+def test_write_shards_round_trip_and_manifest(spark, sf_dir, tmp_path):
+    """The export writer: shard_id=K/ parquet directories land on
+    disk, the returned manifest (computed from the WRITTEN files) is
+    identical to the input-side manifest, the round-trip loses or
+    mutates nothing, and a per-shard read prunes to one directory."""
+    import os
+
+    from axonops_schema_registry_spark.llm.export import (
+        assign_shards,
+        shard_manifest,
+        write_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").limit(200)
+    out = str(tmp_path / "shards")
+    got_manifest = {r.shard_id: (r.n_docs, r.n_tokens, r.min_id,
+                                 r.max_id, r.content_checksum)
+                    for r in write_shards(docs, out,
+                                          n_shards=8).collect()}
+    want_manifest = {r.shard_id: (r.n_docs, r.n_tokens, r.min_id,
+                                  r.max_id, r.content_checksum)
+                     for r in shard_manifest(docs,
+                                             n_shards=8).collect()}
+    assert got_manifest == want_manifest
+    assert sum(m[0] for m in got_manifest.values()) == 200
+
+    dirs = {d for d in os.listdir(out) if d.startswith("shard_id=")}
+    assert dirs == {f"shard_id={s}" for s in got_manifest}
+
+    back = spark.read.parquet(out)
+    want_rows = sorted((r.doc_id, r.text) for r in docs.collect())
+    got_rows = sorted((r.doc_id, r.text)
+                      for r in back.select("doc_id", "text").collect())
+    assert got_rows == want_rows
+
+    # one-shard read returns exactly that shard's assignment
+    some = sorted(got_manifest)[0]
+    want_ids = {r.doc_id for r in assign_shards(docs, 8)
+                .filter(F.col("shard_id") == some).collect()}
+    got_ids = {r.doc_id for r in spark.read.parquet(
+        os.path.join(out, f"shard_id={some}")).collect()}
+    assert got_ids == want_ids

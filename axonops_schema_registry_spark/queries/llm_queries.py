@@ -2961,7 +2961,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup", "substring")),
     QuerySpec("dsir1_importance_selection", dsir1_importance_selection,
               DSIR1_ORACLE,
-              tags=("llm", "sampling", "selection", "agg")),
+              tags=("llm", "sampling", "selection", "agg"),
+              bench=True),
     QuerySpec("shard1_export_manifest", shard1_export_manifest,
               SHARD1_ORACLE, tags=("llm", "export", "agg")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,

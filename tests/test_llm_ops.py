@@ -1192,6 +1192,27 @@ def test_span_islands_hash_grams_path_is_equivalent(spark, sf_dir):
     assert spans(docs, k=8, min_count=2, hash_grams=True) == raw
 
 
+def test_remove_spans_hash_grams_path_is_equivalent(spark, sf_dir):
+    """The cut step inherits the islands' 100 TB form: hash_grams=True
+    must yield the identical cleaned corpus as the raw-string path."""
+    from axonops_schema_registry_spark.catalog import load_table
+    from axonops_schema_registry_spark.llm.dedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+
+    def cleaned(**kw):
+        return {(r.id, r.n_words, r.n_removed, r.cleaned_text)
+                for r in remove_duplicated_spans(
+                    docs, "doc_id", "text", k=8, min_count=2,
+                    **kw).collect()}
+
+    raw = cleaned()
+    assert any(r[2] > 0 for r in raw)  # some spans actually cut
+    assert cleaned(hash_grams=True) == raw
+
+
 def test_pq_encode_matches_pure_python_reference(spark, sf_dir):
     """Cross-implementation check for the PQ encoder: an explicit
     Python replay — rank-capped congruence codebook, left-to-right

@@ -1445,3 +1445,77 @@ def test_write_shards_round_trip_and_manifest(spark, sf_dir, tmp_path):
     got_ids = {r.doc_id for r in spark.read.parquet(
         os.path.join(out, f"shard_id={some}")).collect()}
     assert got_ids == want_ids
+
+
+def test_predict_lang_matches_pure_python_reference(spark):
+    """tx1's heuristic shares its construction between the Spark
+    column builder and the SQL twin, so only an independent
+    simulator pins the semantics (argmax over stopword hits,
+    sorted-language order, strict > keeps the earlier winner,
+    all-zero → unknown)."""
+    from axonops_schema_registry_spark.llm.text import (
+        LANG_STOPWORDS,
+        predict_lang,
+    )
+
+    texts = {
+        1: "the cat and the dog of a to",       # en
+        2: "der hund und die katze ist",        # de
+        3: "le chat et la maison est les",      # fr
+        4: "el perro y la casa es los",         # es
+        5: "xylophone quartz vibrato",          # unknown
+        6: "the la",                            # en-es tie → earlier
+        7: "",                                  # empty → unknown
+    }
+
+    def ref(t: str) -> str:
+        best, score = "unknown", 0
+        for lang in sorted(LANG_STOPWORDS):
+            hits = sum(1 for w in t.split(" ")
+                       if w in LANG_STOPWORDS[lang])
+            if hits > score:
+                best, score = lang, hits
+        return best
+
+    want = {d: ref(t) for d, t in texts.items()}
+    assert want[1] == "en" and want[2] == "de"
+    assert want[3] == "fr" and want[4] == "es"
+    assert want[5] == "unknown" and want[7] == "unknown"
+    assert want[6] == "en"  # 'the'=1 en vs 'la'=1 es/fr: tie keeps en
+
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id bigint, text string")
+    got = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", predict_lang("text").alias("lang")).collect()}
+    assert got == want
+
+
+def test_rolling_fingerprint_matches_pure_python_reference(spark):
+    """tx3's Karp-Rabin hash shares the fold between the Spark
+    expression and the DuckDB twin; an independent Python fold pins
+    base-31 / Mersenne-mod semantics (and the empty-string → 0
+    edge)."""
+    from axonops_schema_registry_spark.llm.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+        rolling_fingerprint,
+    )
+
+    texts = {1: "abc", 2: "", 3: "the quick brown fox",
+             4: "a" * 100, 5: "Z9!~ mixed %chars\t"}
+
+    def ref(t: str) -> int:
+        h = 0
+        for ch in t:
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+        return h
+
+    want = {d: ref(t) for d, t in texts.items()}
+    assert want[2] == 0
+    assert want[1] == (ord("a") * 31 + ord("b")) * 31 + ord("c")
+
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id bigint, text string")
+    got = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", rolling_fingerprint("text").alias("fp")).collect()}
+    assert got == want

@@ -29,6 +29,14 @@ beyond the reference's own surface — BASELINE.json):
   rightmost-min window selection, shared-run guarantee)
 - int8 quantization — ``similarity.quantize_int8`` (floor-based
   engine-portable codes)
+- Exact-substring span dedup — ``dedup.duplicated_span_islands`` /
+  ``dedup.remove_duplicated_spans`` (the Lee et al. ExactSubstr
+  find + cut steps, with 64-bit gram-hash shuffle keys at scale)
+- DSIR importance selection — ``sampling.dsir_log_weights`` (hashed
+  n-gram bucket LMs, target-vs-pool log ratios, exact-decimal sums)
+- Training-shard export — ``export.assign_shards`` /
+  ``export.shard_manifest`` / ``export.write_shards`` (deterministic
+  hash sharding, checksummed manifest receipt, partitioned writer)
 - the release sign-off — ``CurationPipeline.release_report`` composes
   dedup + decontamination + quality + PII into one per-source rollup
 
@@ -219,6 +227,52 @@ class CurationPipeline:
         return pack_documents_whole(self.docs, context_len, n_segments,
                                     self.id_col, self.source_col,
                                     self.text_col)
+
+    def duplicated_spans(self, k: int = 8, min_count: int = 2,
+                         hash_grams: bool = True):
+        """Maximal duplicated word spans (es1, ExactSubstr find step);
+        defaults to the 64-bit gram-hash shuffle keys — the scale
+        form (output pinned identical to the raw-string path)."""
+        from axonops_schema_registry_spark.llm.dedup import (
+            duplicated_span_islands,
+        )
+
+        return duplicated_span_islands(self.docs, self.id_col,
+                                       self.text_col, k, min_count,
+                                       hash_grams)
+
+    def span_deduplicated(self, k: int = 8, min_count: int = 2,
+                          hash_grams: bool = True):
+        """The corpus with every duplicated span CUT (es2 — all
+        occurrences removed, the symmetric ExactSubstr policy)."""
+        from axonops_schema_registry_spark.llm.dedup import (
+            remove_duplicated_spans,
+        )
+
+        return remove_duplicated_spans(self.docs, self.id_col,
+                                       self.text_col, k, min_count,
+                                       hash_grams)
+
+    def dsir_weights(self, target_ids, n_buckets: int = 4096):
+        """Per-document DSIR log importance weights against a target
+        slice (dsir1's scoring stage); resample by ranking on
+        ``log_weight`` and keeping the top N."""
+        from axonops_schema_registry_spark.llm.sampling import (
+            dsir_log_weights,
+        )
+
+        return dsir_log_weights(self.docs, target_ids, self.id_col,
+                                self.text_col, n_buckets)
+
+    def export_shards(self, out_dir: str, n_shards: int = 16):
+        """Write the corpus as hash-sharded parquet directories and
+        return the checksummed manifest receipt (shard1)."""
+        from axonops_schema_registry_spark.llm.export import (
+            write_shards,
+        )
+
+        return write_shards(self.docs, out_dir, n_shards, self.id_col,
+                            self.text_col)
 
     def mixture_segmented(self, quotas, n_segments: int = 16):
         """Rank-exact segmented mixture manifest (mix2): identical

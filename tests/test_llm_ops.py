@@ -282,6 +282,26 @@ def test_curation_pipeline_facade(spark, sf_dir):
         F.max("count")).first()[0] <= 2
 
 
+def test_curation_pipeline_r10_surface(spark, sf_dir, tmp_path):
+    """The r10 facade additions: span find/cut, DSIR weights, shard
+    export — each delegating to its driver-verified operator."""
+    from axonops_schema_registry_spark.llm import CurationPipeline
+
+    cp = CurationPipeline.from_sf_dir(spark, sf_dir)
+    spans = cp.duplicated_spans()
+    assert spans.count() > 0  # the synthetic corpus has dup spans
+    cut = cp.span_deduplicated()
+    assert cut.count() == cp.docs.count()
+    assert cut.agg(F.sum("n_removed")).first()[0] > 0
+    target = cp.docs.filter(F.col("source") == "src0") \
+        .select("doc_id")
+    w = cp.dsir_weights(target)
+    assert w.count() == cp.docs.count()
+    assert {"doc_id", "n_feats", "log_weight"} == set(w.columns)
+    manifest = cp.export_shards(str(tmp_path / "sh"), n_shards=4)
+    assert manifest.agg(F.sum("n_docs")).first()[0] == cp.docs.count()
+
+
 def test_contamination_flags_planted(spark):
     """A training doc quoting an exact 5-gram span from the evaluation
     set is flagged; unrelated docs are not."""

@@ -177,7 +177,10 @@ def dsir_log_weights(docs: DataFrame, target_ids: DataFrame,
                                        .alias("id")), "id")
            .groupBy("b").agg(F.sum("cnt").alias("ct")))
     n_r = raw.agg(F.sum("cr").alias("nr"))
-    n_t = tgt.agg(F.sum("ct").alias("nt"))
+    # empty target slice → SUM is NULL → every weight NULL (silent);
+    # coalesce to 0 so add-one smoothing degrades to a uniform target
+    # LM instead
+    n_t = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
     # add-one smoothing over the full bucket space; buckets absent
     # from the raw pool can't appear in any scored document, so the
     # ratio table only needs raw-present buckets

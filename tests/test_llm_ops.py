@@ -1539,3 +1539,21 @@ def test_rolling_fingerprint_matches_pure_python_reference(spark):
     got = {r.doc_id: r.fp for r in docs.select(
         "doc_id", rolling_fingerprint("text").alias("fp")).collect()}
     assert got == want
+
+
+def test_dsir_empty_target_degrades_to_uniform(spark):
+    """An empty target slice must not silently NULL every weight:
+    smoothing degrades to a uniform target LM (nt = 0) and weights
+    stay defined (negative — every bucket is less likely under the
+    uniform target than under the fitted pool LM)."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        dsir_log_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f"), (3, "a a a")],
+        "doc_id bigint, text string")
+    empty = spark.createDataFrame([], "doc_id bigint")
+    rows = dsir_log_weights(docs, empty, n_buckets=64).collect()
+    assert len(rows) == 3
+    assert all(r.log_weight is not None for r in rows)

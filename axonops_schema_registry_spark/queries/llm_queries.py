@@ -2058,6 +2058,128 @@ FROM sharded GROUP BY shard_id ORDER BY shard_id
 """
 
 
+def cur2_cut_select_export(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """The r10 composition capstone — the three new operators chained
+    the way a release pipeline runs them: (1) cut every duplicated
+    span from the corpus (es2), (2) DSIR-score the CLEANED text
+    against the src0 target slice and keep the top 100 (dsir1's
+    resample), (3) emit the shard-export manifest of the selected set
+    (shard1's receipt).  One DuckDB oracle replays the whole chain, so
+    the driver hash-checks the composition, not just the parts.  Scale
+    posture inherits the parts': es2's gram-keyed shuffle + doc-keyed
+    cut, DSIR's broadcast ratio table, TakeOrdered selection (the
+    100-row winner set broadcasts into the final join), manifest's
+    scan-side hash + map-side combine."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        remove_duplicated_spans,
+    )
+    from axonops_schema_registry_spark.llm.export import shard_manifest
+    from axonops_schema_registry_spark.llm.sampling import (
+        dsir_log_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = (remove_duplicated_spans(docs, "doc_id", "text",
+                                       k=8, min_count=2)
+               .select(F.col("id").alias("doc_id"),
+                       F.col("cleaned_text"))
+               .join(docs.select("doc_id", "source"), "doc_id"))
+    target = (cleaned.filter(F.col("source") == "src0")
+              .select("doc_id"))
+    top = (dsir_log_weights(cleaned, target, id_col="doc_id",
+                            text_col="cleaned_text", n_buckets=4096)
+           .orderBy(F.desc("log_weight"), "doc_id").limit(100)
+           .select("doc_id"))
+    selected = cleaned.join(F.broadcast(top), "doc_id")
+    return (shard_manifest(selected, n_shards=8, id_col="doc_id",
+                           text_col="cleaned_text")
+            .orderBy("shard_id"))
+
+
+CUR2_ORACLE = r"""
+WITH pg AS (
+  SELECT doc_id AS id, i AS pos,
+         array_to_string(string_split(text, ' ')[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1,
+                   greatest(len(string_split(text, ' ')) - 7, 0))) AS i
+        FROM documents)),
+dup AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) >= 2),
+dpos AS (SELECT id, pos FROM pg JOIN dup USING (gram)),
+isl AS (
+  SELECT id, pos,
+         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+  FROM dpos),
+spans AS (
+  SELECT id, MIN(pos) AS start_pos, MAX(pos) + 7 AS cov_end
+  FROM isl GROUP BY id, grp),
+words AS (
+  SELECT doc_id AS id, i, string_split(text, ' ')[i] AS w
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(string_split(text, ' '))))
+                 AS i
+        FROM documents)),
+covered AS (
+  SELECT DISTINCT w.id, w.i
+  FROM words w JOIN spans s
+    ON w.id = s.id AND w.i BETWEEN s.start_pos AND s.cov_end),
+cleaned AS MATERIALIZED (
+  SELECT w.id AS doc_id,
+         COALESCE(string_agg(CASE WHEN c.i IS NULL THEN w.w END, ' '
+                             ORDER BY w.i), '') AS text
+  FROM words w LEFT JOIN covered c ON w.id = c.id AND w.i = c.i
+  GROUP BY w.id),
+cws AS (SELECT doc_id, string_split(text, ' ') AS a FROM cleaned),
+uni AS (SELECT doc_id, unnest(a) AS f FROM cws),
+bi AS (
+  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS f
+  FROM (SELECT doc_id, a,
+               unnest(generate_series(1, greatest(len(a) - 1, 0)))
+                 AS i
+        FROM cws)),
+feat AS MATERIALIZED (
+  SELECT doc_id AS id,
+         CAST(concat('0x', substr(md5(f), 1, 12)) AS BIGINT)
+           % 4096 AS b,
+         COUNT(*) AS cnt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY id, b),
+raw AS (SELECT b, SUM(cnt) AS cr FROM feat GROUP BY b),
+tgt AS (SELECT b, SUM(cnt) AS ct
+        FROM feat JOIN documents d ON feat.id = d.doc_id
+        WHERE d.source = 'src0' GROUP BY b),
+nrt AS (SELECT (SELECT SUM(cr) FROM raw) AS nr,
+               (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt),
+lr AS (
+  SELECT b,
+         CAST(round((ln(COALESCE(ct, 0) + 1) - ln(nt + 4096))
+                    - (ln(cr + 1) - ln(nr + 4096)), 6)
+              AS DECIMAL(18,6)) AS lr
+  FROM raw LEFT JOIN tgt USING (b), nrt),
+top AS (
+  SELECT id AS doc_id
+  FROM feat JOIN lr USING (b)
+  GROUP BY id
+  ORDER BY CAST(SUM(lr * cnt) AS DOUBLE) DESC, id LIMIT 100),
+sel AS (SELECT c.doc_id, c.text FROM cleaned c JOIN top USING (doc_id)),
+sharded AS (
+  SELECT doc_id, text,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 12)) AS BIGINT)
+              % 8 AS INT) AS shard_id,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                                             ':', text)), 1, 12))
+              AS BIGINT) AS h
+  FROM sel)
+SELECT shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       CAST(SUM(h) % 281474976710656 AS BIGINT) AS content_checksum
+FROM sharded GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 def gq1_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (llm/text.py:gopher_stats/rules — Rae
     et al. 2021 §A1.1): the five shape heuristics per document, rolled
@@ -2965,6 +3087,9 @@ SPECS: list[QuerySpec] = [
               bench=True),
     QuerySpec("shard1_export_manifest", shard1_export_manifest,
               SHARD1_ORACLE, tags=("llm", "export", "agg")),
+    QuerySpec("cur2_cut_select_export", cur2_cut_select_export,
+              CUR2_ORACLE,
+              tags=("llm", "curation", "composition", "export")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,
               tags=("llm", "text", "join", "window")),
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,

@@ -1,8 +1,8 @@
 """Training-shard export: deterministic sharding, an auditable
 manifest, and the partitioned writer — the last mile of a
-training-data pipeline (the reference's bulk exporter,
-`internal/server/export.go`, ships registry rows with offsets; a
-training pipeline ships document shards with a manifest).
+training-data pipeline (the reference's exporter,
+`internal/exporter/exporter.go`, ships registry rows with offsets and
+state; a training pipeline ships document shards with a manifest).
 
 Design for 100 TB:
 
@@ -69,16 +69,25 @@ def shard_manifest(docs: DataFrame, n_shards: int = 16,
 
 
 def write_shards(docs: DataFrame, out_dir: str, n_shards: int = 16,
-                 id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 id_col: str = "doc_id", text_col: str = "text",
+                 max_records_per_file: int | None = None) -> DataFrame:
     """Write the corpus as ``out_dir/shard_id=K/`` parquet shards and
     return the manifest computed FROM THE WRITTEN FILES (not the
     input) — the receipt proves what landed on disk.  One shuffle
     (repartition by shard); ``partitionBy`` prunes any later
-    per-shard read to its directory."""
+    per-shard read to its directory.
+
+    ``max_records_per_file`` caps rows per parquet file inside a
+    shard directory — at 100 TB a shard is billions of documents and
+    one writer task per shard would emit one unmanageable file;
+    the cap rolls files so downstream loaders stream fixed-size
+    pieces."""
     sharded = assign_shards(docs, n_shards, id_col)
-    (sharded.repartition(n_shards, "shard_id")
-     .write.mode("overwrite").partitionBy("shard_id")
-     .parquet(out_dir))
+    writer = (sharded.repartition(n_shards, "shard_id")
+              .write.mode("overwrite").partitionBy("shard_id"))
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile",
+                               max_records_per_file)
+    writer.parquet(out_dir)
     written = docs.sparkSession.read.parquet(out_dir)
     return shard_manifest(written, n_shards, id_col, text_col)

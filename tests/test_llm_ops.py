@@ -1557,3 +1557,27 @@ def test_dsir_empty_target_degrades_to_uniform(spark):
     rows = dsir_log_weights(docs, empty, n_buckets=64).collect()
     assert len(rows) == 3
     assert all(r.log_weight is not None for r in rows)
+
+
+def test_write_shards_max_records_per_file(spark, sf_dir, tmp_path):
+    """The per-file cap rolls parquet files inside a shard directory
+    (the 100 TB knob) without changing content or manifest."""
+    import glob
+    import os
+
+    from axonops_schema_registry_spark.llm.export import write_shards
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").limit(120)
+    out = str(tmp_path / "capped")
+    m_cap = {r.shard_id: (r.n_docs, r.content_checksum)
+             for r in write_shards(docs, out, n_shards=2,
+                                   max_records_per_file=10).collect()}
+    out2 = str(tmp_path / "uncapped")
+    m_ref = {r.shard_id: (r.n_docs, r.content_checksum)
+             for r in write_shards(docs, out2, n_shards=2).collect()}
+    assert m_cap == m_ref
+    for shard, (n, _) in m_cap.items():
+        files = glob.glob(os.path.join(out, f"shard_id={shard}",
+                                       "*.parquet"))
+        assert len(files) >= n // 10  # cap actually rolled files

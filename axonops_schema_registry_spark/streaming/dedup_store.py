@@ -548,6 +548,7 @@ class BucketedDedupStore(_EpochStore):
         stored docs (measured at two store sizes in docs/SCALING.md)
         — schedule it like compaction, amortized across many ingested
         batches, never per-batch."""
+        self._check_params()  # a mismatched session must not rewrite history
         self._assert_quiescent(below_epoch)
         members = self._stored(self.flags_dir, below_epoch)
         if members is None:
@@ -869,6 +870,7 @@ class EmbeddingDedupStore(_EpochStore):
         symmetric rep-level cosine first-wins, propagate to members,
         and commit everything as the next base generation.  Quiescence
         (every written epoch below ``below_epoch``) is enforced."""
+        self._check_params()  # a mismatched session must not rewrite history
         self._assert_quiescent(below_epoch)
         members = self._stored(self.flags_dir, below_epoch)
         if members is None:

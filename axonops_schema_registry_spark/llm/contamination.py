@@ -32,13 +32,16 @@ def ngram_spans(df: DataFrame, id_col: str, text_col: str,
     INVALID_PARAMETER_VALUE.START, so the short-doc case must be gated
     to an explicit empty array rather than relying on the bound.
     """
+    # split once (projected column): an inline split in the lambda is
+    # re-evaluated per element — O(words²) per doc
     spans = F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
-        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
-        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')) "
+        f"CASE WHEN size(__ws) >= {n} THEN "
+        f"transform(sequence(1, size(__ws) - {n - 1}), "
+        f"i -> array_join(slice(__ws, i, {n}), ' ')) "
         f"ELSE array() END")
     return (df.select(F.col(id_col).alias("id"),
-                      F.explode(spans).alias("span"))
+                      F.split(F.col(text_col), " ").alias("__ws"))
+              .select("id", F.explode(spans).alias("span"))
               .distinct())
 
 

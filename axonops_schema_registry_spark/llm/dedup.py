@@ -475,12 +475,13 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
         portable_hash_sql,
     )
 
-    words = f"split({text_col}, ' ')"
+    # __ws is pre-projected below: an inline split in the lambda is
+    # re-evaluated per element (O(words²) per doc)
     # k-gram hash at position i (1-based): portable 48-bit md5 prefix
-    gram = portable_hash_sql(f"array_join(slice({words}, i, {k}), ' ')")
-    grams = (f"transform(sequence(1, size({words}) - {k - 1}), "
+    gram = portable_hash_sql(f"array_join(slice(__ws, i, {k}), ' ')")
+    grams = (f"transform(sequence(1, size(__ws) - {k - 1}), "
              f"i -> {gram})")
-    gated = (f"CASE WHEN size({words}) >= {k} THEN {grams} "
+    gated = (f"CASE WHEN size(__ws) >= {k} THEN {grams} "
              f"ELSE array() END")
     # per window p over [p, p+w-1]: the minimal (h, -j) struct is the
     # rightmost minimum; array_distinct collapses windows that elected
@@ -493,7 +494,8 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
                 f"sequence(1, size(__h) - {w - 1}), p -> {win_min})) "
                 f"ELSE array() END")
     return (df.select(F.col(id_col).alias("id"),
-                      F.expr(gated).alias("__h"))
+                      F.split(F.col(text_col), " ").alias("__ws"))
+            .select("id", F.expr(gated).alias("__h"))
             .select("id", F.explode(F.expr(selected)).alias("__m"))
             .select("id",
                     (-F.col("__m.nj")).cast("bigint").alias("pos"),
@@ -540,16 +542,19 @@ def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
     verbatim."""
     from pyspark.sql import Window
 
-    words = f"split({text_col}, ' ')"
-    grams = (f"CASE WHEN size({words}) >= {k} THEN "
-             f"transform(sequence(1, size({words}) - {k - 1}), "
+    # split ONCE into a projected column: an inline split({text}) in
+    # the lambda is re-evaluated PER ELEMENT (O(words²) per doc —
+    # measured 3x slower on the es1 bench path)
+    grams = (f"CASE WHEN size(__ws) >= {k} THEN "
+             f"transform(sequence(1, size(__ws) - {k - 1}), "
              f"i -> struct(i AS pos, "
-             f"array_join(slice({words}, i, {k}), ' ') AS gram)) "
+             f"array_join(slice(__ws, i, {k}), ' ') AS gram)) "
              f"ELSE array() END")
     gram_key = (F.xxhash64("g.gram") if hash_grams
                 else F.col("g.gram"))
     pos_grams = (df.select(F.col(id_col).alias("id"),
-                           F.explode(F.expr(grams)).alias("g"))
+                           F.split(F.col(text_col), " ").alias("__ws"))
+                 .select("id", F.explode(F.expr(grams)).alias("g"))
                  .select("id", F.col("g.pos").alias("pos"),
                          gram_key.alias("gram")))
     dup = (pos_grams.groupBy("gram")
@@ -596,23 +601,26 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     spans = (islands.groupBy("id")
              .agg(F.collect_list(F.struct("start_pos", "end_pos"))
                   .alias("__spans")))
+    # split once, compute the kept-word scan once (an inline repeat
+    # would re-run the O(words x spans) exists() filter per consumer)
     tagged = (df.select(F.col(id_col).alias("id"),
-                        F.col(text_col).alias("__text"))
+                        F.split(F.col(text_col), " ").alias("__ws"))
               .join(spans, "id", "left")
               .withColumn("__spans",
                           F.coalesce(F.col("__spans"),
                                      F.array().cast(
                                          "array<struct<start_pos:bigint,"
-                                         "end_pos:bigint>>"))))
-    words = "split(__text, ' ')"
-    kept = (f"filter(transform({words}, (w, i) -> "
-            f"named_struct('w', w, 'p', CAST(i + 1 AS BIGINT))), "
-            f"s -> NOT exists(__spans, sp -> "
-            f"s.p >= sp.start_pos AND s.p <= sp.end_pos + {k - 1}))")
+                                         "end_pos:bigint>>")))
+              .withColumn("__kept", F.expr(
+                  f"filter(transform(__ws, (w, i) -> "
+                  f"named_struct('w', w, 'p', CAST(i + 1 AS BIGINT))), "
+                  f"s -> NOT exists(__spans, sp -> "
+                  f"s.p >= sp.start_pos"
+                  f" AND s.p <= sp.end_pos + {k - 1}))")))
     return (tagged.select(
         "id",
-        F.expr(f"CAST(size({words}) AS BIGINT)").alias("n_words"),
-        F.expr(f"CAST(size({words}) - size({kept}) AS BIGINT)")
+        F.expr("CAST(size(__ws) AS BIGINT)").alias("n_words"),
+        F.expr("CAST(size(__ws) - size(__kept) AS BIGINT)")
          .alias("n_removed"),
-        F.expr(f"array_join(transform({kept}, s -> s.w), ' ')")
+        F.expr("array_join(transform(__kept, s -> s.w), ' ')")
          .alias("cleaned_text")))

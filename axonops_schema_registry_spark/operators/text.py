@@ -214,14 +214,16 @@ def repetition_stats(df: DataFrame, id_col: str,
     )
     # Spark's sequence(1, 0) is the DESCENDING [1, 0] (not empty like
     # DuckDB) — single-word docs must be gated to an explicit empty
-    # array, same trap as contamination.ngram_spans
+    # array, same trap as contamination.ngram_spans.  __ws is split
+    # once: an inline split in the lambda re-evaluates per element
     bigrams = F.expr(
-        f"CASE WHEN size({words}) >= 2 THEN "
-        f"transform(sequence(1, size({words}) - 1), "
-        f"i -> concat(element_at({words}, i), ' ', "
-        f"element_at({words}, i + 1))) ELSE array() END")
+        "CASE WHEN size(__ws) >= 2 THEN "
+        "transform(sequence(1, size(__ws) - 1), "
+        "i -> concat(element_at(__ws, i), ' ', "
+        "element_at(__ws, i + 1))) ELSE array() END")
     mx = (df.select(F.col(id_col).alias("id"),
-                    F.explode(bigrams).alias("bigram"))
+                    F.split(F.col(text_col), " ").alias("__ws"))
+          .select("id", F.explode(bigrams).alias("bigram"))
           .groupBy("id", "bigram").agg(F.count(F.lit(1)).alias("c"))
           .groupBy("id").agg(F.max("c").alias("max_bigram_cnt")))
     return (base.join(mx, "id", "left")

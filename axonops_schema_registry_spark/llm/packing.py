@@ -138,16 +138,18 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 256,
     document length.
     """
     assert 0 < stride_words <= chunk_words
-    words = f"split({text_col}, ' ')"
     chunk = (F.col("chunk_id") * stride_words + 1).cast("bigint")
+    # split once before the explode — the slice below otherwise
+    # re-splits per exploded chunk row
     return (docs
+            .withColumn("__ws", F.split(F.col(text_col), " "))
             .withColumn("chunk_id", F.explode(F.expr(
-                f"sequence(0, CAST(ceil(greatest(size({words}) "
+                f"sequence(0, CAST(ceil(greatest(size(__ws) "
                 f"- {chunk_words}, 0) / {float(stride_words)}) "
                 f"AS BIGINT))")))
             .withColumn("start_word", chunk)
             .withColumn("__slice", F.expr(
-                f"slice({words}, chunk_id * {stride_words} + 1, "
+                f"slice(__ws, chunk_id * {stride_words} + 1, "
                 f"{chunk_words})"))
             .select(F.col(key_col), F.col("chunk_id").cast("bigint"),
                     "start_word",

@@ -26,7 +26,7 @@ _PRIORITY: tuple[str, ...] = (
     # r6-green specs — bespoke LLM/streaming/registry families ahead
     # of the TPC-shaped relational tail.  After this round the
     # freshness floor rises to r6.  Deferred r6-green names for the
-    # r11 window: f5_normalize_names, f7_fuzzy_match,
+    # r11 window: f3_glob_search, f5_normalize_names, f7_fuzzy_match,
     # o2_deterministic_pagination, p4_status_split,
     # p5_metadata_property_filter, q1, q6, q7, q10, q14, q18,
     # r1_latest_live_schema, s1–s5, w1, w2, w3, w5 — all guarded by
@@ -34,6 +34,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- new in r10 (never driver-sampled)
     "es2_span_removal", "dsir1_importance_selection",
     "shard1_export_manifest", "cur2_cut_select_export",
+    "qs1_length_quantiles",
     # -- the 20 r5-stale specs (freshness floor, 5 rounds old)
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q11_important_stock", "q13_customer_distribution",
@@ -57,7 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "ex1_explain_failure", "st8_exporter_filter_rename",
     "j2_subjects_by_fingerprint", "j9_alias_resolution",
     "f13_field_extraction", "fs1_field_search",
-    "f1_substring_search", "f2_regex_search", "f3_glob_search",
+    "f1_substring_search", "f2_regex_search",
 )
 
 

@@ -2180,6 +2180,37 @@ FROM sharded GROUP BY shard_id ORDER BY shard_id
 """
 
 
+def qs1_length_quantiles(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Per-source corpus length quantiles (p50/p90/p99 of n_chars,
+    linear interpolation) — the length-distribution panel of a
+    dataset card.  Exact percentile here (sort-based within each
+    source group) so DuckDB's ``quantile_cont`` replays it
+    bit-for-bit; the 100 TB path swaps in ``percentile_approx``
+    (Spark's KLL-family sketch: mergeable, one pass, bounded state —
+    pinned within its accuracy bound against this exact operator in
+    pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+                 .alias("__p"))
+            .select("source", "n_docs",
+                    F.col("__p")[0].alias("p50"),
+                    F.col("__p")[1].alias("p90"),
+                    F.col("__p")[2].alias("p99"))
+            .orderBy("source"))
+
+
+QS1_ORACLE = """
+SELECT source, COUNT(*) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       quantile_cont(n_chars, 0.99) AS p99
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def gq1_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (llm/text.py:gopher_stats/rules — Rae
     et al. 2021 §A1.1): the five shape heuristics per document, rolled
@@ -3090,6 +3121,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("cur2_cut_select_export", cur2_cut_select_export,
               CUR2_ORACLE,
               tags=("llm", "curation", "composition", "export")),
+    QuerySpec("qs1_length_quantiles", qs1_length_quantiles,
+              QS1_ORACLE, tags=("llm", "stats", "agg")),
     QuerySpec("ti1_tfidf_terms", ti1_tfidf_terms, TI1_ORACLE,
               tags=("llm", "text", "join", "window")),
     QuerySpec("dd1_exact_dedup", dd1_exact_dedup, DD1_ORACLE,

@@ -1581,3 +1581,30 @@ def test_write_shards_max_records_per_file(spark, sf_dir, tmp_path):
         files = glob.glob(os.path.join(out, f"shard_id={shard}",
                                        "*.parquet"))
         assert len(files) >= n // 10  # cap actually rolled files
+
+
+def test_percentile_approx_within_bound_of_exact(spark, sf_dir):
+    """The 100 TB path for qs1: percentile_approx (Spark's mergeable
+    one-pass sketch) stays within its accuracy contract of the exact
+    sort-based percentile — at accuracy A the rank error is bounded
+    by n/A, so with A=10000 and per-source n in the hundreds the
+    sketch must return an exact order statistic adjacent to the true
+    quantile."""
+    from axonops_schema_registry_spark.queries import SPEC_BY_NAME
+
+    exact = {r.source: (r.p50, r.p90, r.p99)
+             for r in SPEC_BY_NAME["qs1_length_quantiles"]
+             .build(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    approx = {r.source: (r.a50, r.a90, r.a99) for r in
+              (docs.groupBy("source")
+               .agg(F.expr("percentile_approx(n_chars, "
+                           "array(0.5, 0.9, 0.99), 10000)").alias("a"))
+               .selectExpr("source", "a[0] a50", "a[1] a90",
+                           "a[2] a99")).collect()}
+    # per-source spread bounds the worst interpolation gap: adjacent
+    # order statistics differ by far less than 10% of the range
+    for src, (p50, p90, p99) in exact.items():
+        a50, a90, a99 = approx[src]
+        for e, a in ((p50, a50), (p90, a90), (p99, a99)):
+            assert abs(a - e) <= 0.1 * max(e, 1.0), (src, e, a)

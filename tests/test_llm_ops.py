@@ -1608,3 +1608,54 @@ def test_percentile_approx_within_bound_of_exact(spark, sf_dir):
         a50, a90, a99 = approx[src]
         for e, a in ((p50, a50), (p90, a90), (p99, a99)):
             assert abs(a - e) <= 0.1 * max(e, 1.0), (src, e, a)
+
+
+def test_span_pipeline_randomized_cross_validation(spark):
+    """30 random small corpora (seeded; heavy duplication forced by a
+    tiny alphabet) through islands + cut in ONE Spark pass (word-
+    salted per corpus so grams never collide across corpora), each
+    corpus compared against the pure-Python reference — the fuzz net
+    under the hand-picked fixtures."""
+    import random
+
+    from axonops_schema_registry_spark.llm.dedup import (
+        remove_duplicated_spans,
+    )
+
+    rng = random.Random(20260815)
+    k, min_count = 3, 2
+    corpora = {}
+    rows = []
+    for c in range(30):
+        docs = {}
+        for d in range(rng.randint(1, 6)):
+            n = rng.randint(0, 14)
+            docs[d] = " ".join(
+                f"w{rng.randint(0, 3)}_c{c}" for _ in range(n))
+        corpora[c] = docs
+        rows += [(c * 1000 + d, t) for d, t in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    got = {r.id: (r.n_words, r.n_removed, r.cleaned_text)
+           for r in remove_duplicated_spans(
+               df, "doc_id", "text", k=k,
+               min_count=min_count).collect()}
+
+    for c, docs in corpora.items():
+        grams: dict = {}
+        for d, t in docs.items():
+            ws = t.split(" ")
+            for i in range(len(ws) - k + 1):
+                grams.setdefault(" ".join(ws[i:i + k]),
+                                 []).append((d, i + 1))
+        covered: dict = {d: set() for d in docs}
+        for g, occ in grams.items():
+            if len(occ) >= min_count:
+                for d, p in occ:
+                    covered[d].update(range(p, p + k))
+        for d, t in docs.items():
+            ws = t.split(" ")
+            kept = [w for i, w in enumerate(ws, 1)
+                    if i not in covered[d]]
+            want = (len(ws), len(ws) - len(kept), " ".join(kept))
+            assert got[c * 1000 + d] == want, (c, d, t)

@@ -1659,3 +1659,61 @@ def test_span_pipeline_randomized_cross_validation(spark):
                     if i not in covered[d]]
             want = (len(ws), len(ws) - len(kept), " ".join(kept))
             assert got[c * 1000 + d] == want, (c, d, t)
+
+
+def test_dsir_randomized_cross_validation(spark):
+    """Randomized DSIR fuzz (seeded): 60 random docs over a tiny
+    alphabet, a random target slice, 32 buckets (collisions certain)
+    — exact equality against the pure-Python simulator."""
+    import hashlib
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from axonops_schema_registry_spark.llm.sampling import (
+        dsir_log_weights,
+    )
+
+    rng = random.Random(99)
+    K = 32
+    texts = {d: " ".join(f"t{rng.randint(0, 9)}"
+                         for _ in range(rng.randint(1, 20)))
+             for d in range(60)}
+    target = {d for d in texts if rng.random() < 0.25}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id bigint, text string")
+    tgt = spark.createDataFrame([(i,) for i in sorted(target)],
+                                "doc_id bigint")
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:12], 16) % K
+
+    doc_b: dict = {}
+    for d, t in texts.items():
+        ws = t.split(" ")
+        feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        cnts: dict = {}
+        for f in feats:
+            cnts[bucket(f)] = cnts.get(bucket(f), 0) + 1
+        doc_b[d] = cnts
+    raw: dict = {}
+    tgt_c: dict = {}
+    for d, cnts in doc_b.items():
+        for b, c in cnts.items():
+            raw[b] = raw.get(b, 0) + c
+            if d in target:
+                tgt_c[b] = tgt_c.get(b, 0) + c
+    nr, nt = sum(raw.values()), sum(tgt_c.values())
+    q = Decimal("0.000001")
+    lr = {b: Decimal(repr((math.log(tgt_c.get(b, 0) + 1)
+                           - math.log(nt + K))
+                          - (math.log(cr + 1) - math.log(nr + K))))
+          .quantize(q, ROUND_HALF_UP) for b, cr in raw.items()}
+    want = {d: (sum(c.values()),
+                float(sum(lr[b] * n for b, n in c.items())))
+            for d, c in doc_b.items()}
+
+    got = {r.doc_id: (r.n_feats, r.log_weight)
+           for r in dsir_log_weights(docs, tgt,
+                                     n_buckets=K).collect()}
+    assert got == want

@@ -576,7 +576,9 @@ def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
 def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 8,
                             min_count: int = 2,
-                            hash_grams: bool = False) -> DataFrame:
+                            hash_grams: bool = False,
+                            min_span_words: int | None = None
+                            ) -> DataFrame:
     """The CUT step completing :func:`duplicated_span_islands` — Lee
     et al. 2021's ExactSubstr pipeline actually edits the corpus:
     every word position covered by a duplicated-span island
@@ -585,6 +587,12 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     content contributes nothing, rather than electing one surviving
     copy — the policy their released deduplicate tool applies when
     both sides match).
+
+    ``min_span_words`` cuts only islands spanning at least that many
+    words — the paper's published setting removes duplicate
+    substrings of >= 50 tokens only, leaving short incidental matches
+    (common phrases) intact.  None (the default, what the es2 oracle
+    replays) cuts every island.
 
     Returns (id, n_words, n_removed, cleaned_text) per document —
     every input document appears, untouched ones with n_removed = 0
@@ -598,6 +606,8 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     expression over the word array, no second corpus explode."""
     islands = duplicated_span_islands(df, id_col, text_col, k,
                                       min_count, hash_grams)
+    if min_span_words is not None:
+        islands = islands.filter(F.col("n_words") >= min_span_words)
     spans = (islands.groupBy("id")
              .agg(F.collect_list(F.struct("start_pos", "end_pos"))
                   .alias("__spans")))

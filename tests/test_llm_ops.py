@@ -1717,3 +1717,35 @@ def test_dsir_randomized_cross_validation(spark):
            for r in dsir_log_weights(docs, tgt,
                                      n_buckets=K).collect()}
     assert got == want
+
+
+def test_remove_spans_min_span_words_threshold(spark):
+    """The paper's length gate: with min_span_words above a short
+    island's width the island survives; the default (None) cuts it.
+    Pinned against the pure-Python reference with the gate applied."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        remove_duplicated_spans,
+    )
+
+    k = 3
+    # doc 1/2 share one 3-gram ("c d e") => island width exactly k;
+    # doc 3/4 share a 6-word run => island width 6
+    texts = {1: "a b c d e f",
+             2: "x y c d e z",
+             3: "p q r s t u extra1",
+             4: "p q r s t u extra2"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id bigint, text string")
+    gated = {r.id: r.n_removed
+             for r in remove_duplicated_spans(
+                 docs, "doc_id", "text", k=k, min_count=2,
+                 min_span_words=5).collect()}
+    # the 3-word shared phrase is below the gate — untouched
+    assert gated[1] == 0 and gated[2] == 0
+    # the 6-word run is above it — cut from all occurrences
+    assert gated[3] == 6 and gated[4] == 6
+    ungated = {r.id: r.n_removed
+               for r in remove_duplicated_spans(
+                   docs, "doc_id", "text", k=k,
+                   min_count=2).collect()}
+    assert ungated[1] == 3 and ungated[2] == 3

@@ -119,9 +119,13 @@ def main() -> None:
     with open(doc) as f:
         txt = f.read()
     if MARKER in txt:
-        txt = txt[:txt.index(MARKER)]
+        # splice out ONLY this script's section (up to the next
+        # heading) — a bare truncate would delete later sections
+        head, _, rest = txt.partition(MARKER)
+        nxt = rest.find("\n#")
+        txt = head + (rest[nxt:] if nxt >= 0 else "")
     with open(doc, "w") as f:
-        f.write(txt + "\n".join(lines) + "\n")
+        f.write(txt.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
     print("appended to docs/SCALING.md", flush=True)
     spark.stop()
 

@@ -525,7 +525,11 @@ def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
     duplicated-position join shuffles on the gram key (the duplicated
     set scales with the corpus — never broadcast); island merging is
     the gaps-and-islands window per document (pos - row_number is
-    constant within a run of consecutive positions).
+    constant within a run of consecutive positions).  The join is
+    AMPLIFICATION-FREE under any skew: the dup side holds exactly one
+    row per distinct gram, so a boilerplate gram occurring a billion
+    times emits a billion join rows (its own occurrences), never a
+    cross product — hot keys cost their input size, nothing more.
 
     ``hash_grams`` is the 100 TB form: replace the raw gram string
     with its ``xxhash64`` IMMEDIATELY after the explode, so both the

@@ -593,10 +593,19 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     both sides match).
 
     ``min_span_words`` cuts only islands spanning at least that many
-    words — the paper's published setting removes duplicate
-    substrings of >= 50 tokens only, leaving short incidental matches
-    (common phrases) intact.  None (the default, what the es2 oracle
-    replays) cuts every island.
+    words — the analogue of the paper's published setting (remove
+    duplicate substrings of >= 50 tokens only), applied at ISLAND
+    granularity: the gate tests the width of a merged maximal run of
+    duplicated positions, and a run can chain positions whose k-grams
+    match DIFFERENT partners, so an island >= ``min_span_words`` wide
+    need not contain any single duplicated substring that long.  The
+    gate therefore never misses a paper-qualifying span (a >= N-word
+    duplicated substring always yields an island >= N wide) but can
+    additionally cut chains of shorter incidental matches that merge
+    into a wide island — a deliberate, conservative-toward-removal
+    approximation, not per-match parity with Lee et al.'s threshold.
+    None (the default, what the es2 oracle replays) cuts every
+    island.
 
     Returns (id, n_words, n_removed, cleaned_text) per document —
     every input document appears, untouched ones with n_removed = 0

@@ -20,45 +20,49 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-10 rotation (VERDICT r9 ask #1, oldest-first): the 20
-    # deferred r5-stale specs lead (the exact list named in the r9
-    # window comment and VERDICT.md), backfilled with 30 of the 47
-    # r6-green specs — bespoke LLM/streaming/registry families ahead
-    # of the TPC-shaped relational tail.  After this round the
-    # freshness floor rises to r6.  Deferred r6-green names for the
-    # r11 window: f3_glob_search, f5_normalize_names, f7_fuzzy_match,
-    # o2_deterministic_pagination, p4_status_split,
-    # p5_metadata_property_filter, q1, q6, q7, q10, q14, q18,
-    # r1_latest_live_schema, s1–s5, w1, w2, w3, w5 — all guarded by
+    # Round-11 rotation (VERDICT r10 ask #1, oldest-first): the 22
+    # deferred r6-green specs lead (the exact list named in the r10
+    # window comment and VERDICT.md).  No spec's newest green round
+    # is r7 (the r8 window re-verified everything it touched), so the
+    # backfill is 28 of the 50 r8-green specs — bespoke
+    # LLM/streaming/registry families ahead of the TPC-shaped
+    # relational tail.  After this round the freshness floor rises
+    # to r8.  Deferred r8-green names for the r12 window:
+    # a4c_cube_statistics, a8r_schema_quality, aud1_audit_chain,
+    # aud2_event_type_analytics, aud3_request_classification,
+    # ctx1_multitenant_listing, del1_delete_taxonomy,
+    # err1_lookup_taxonomy, f6_naming_variants, fs2_type_search,
+    # hr1_hypertable_rollup, j3d_dependency_closure,
+    # j3r_reference_resolution, j4r_subject_similarity,
+    # met1_prometheus_export, mp1_migration_path, q2, q8, q9,
+    # r2_version_history, r3_schema_versions_view,
+    # r7_registration_gated — all guarded by
     # tests/test_queries_oracle.py meanwhile.
-    # -- new in r10 (never driver-sampled)
-    "es2_span_removal", "dsir1_importance_selection",
-    "shard1_export_manifest", "cur2_cut_select_export",
-    "qs1_length_quantiles",
-    # -- the 20 r5-stale specs (freshness floor, 5 rounds old)
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q11_important_stock", "q13_customer_distribution",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_disjunctive_pushdown", "q20_excess_shippers",
-    "q21_waiting_suppliers", "q22_dormant_customers",
-    "rc1_version_chain_audit", "rf1_reserved_fields",
-    "sg1_suggest_evolution", "smp1_stratified_sample",
-    "st9_token_bucket", "mm2_header_decode", "p1_live_view",
-    "mix1_dataset_mixture", "lv1_context_level_resolution",
-    "e2_subject_compare",
-    # -- 29 of the 47 r6-green specs (bespoke families first)
-    "bp1_boilerplate_spans", "ch1_document_chunking",
-    "ctm1_contamination_check", "cur1_curation_pass",
-    "dd2_minhash_lsh_dedup", "dd7_incremental_dedup",
-    "gq1_gopher_quality", "gq2_repetition",
-    "mm1_multimodal_decode", "mm3_pixel_decode",
-    "nn2_lsh_ann_topk", "pk1_sequence_packing",
-    "qz1_int8_quantization", "rel1_release_report",
-    "ti1_tfidf_terms", "tx7_pii_scan", "wn1_winnowing",
-    "ex1_explain_failure", "st8_exporter_filter_rename",
-    "j2_subjects_by_fingerprint", "j9_alias_resolution",
-    "f13_field_extraction", "fs1_field_search",
-    "f1_substring_search", "f2_regex_search",
+    # -- the 22 r6-stale specs (freshness floor, 5 rounds old)
+    "f3_glob_search", "f5_normalize_names", "f7_fuzzy_match",
+    "o2_deterministic_pagination", "p4_status_split",
+    "p5_metadata_property_filter", "q1_pricing_summary",
+    "q6_forecast_revenue", "q7_nation_volume", "q10_returned_items",
+    "q14_promo_revenue_share", "q18_large_orders",
+    "r1_latest_live_schema", "s1_prefix_listing", "s2_point_lookup",
+    "s3_subject_version_lookup", "s4_fingerprint_lookup",
+    "s5_distinct_listing", "w1_latest_per_subject",
+    "w2_listing_with_latest_flag", "w3_content_addressed_ids",
+    "w5_prior_version_delta",
+    # -- 28 of the 50 r8-green specs (bespoke families first)
+    "bpe1_merge_candidates", "ctm2_bloom_contamination",
+    "ctm3_semantic_contamination", "dd1_exact_dedup",
+    "dd3_simhash_dedup", "dd4_dedup_clusters",
+    "dd5_cross_source_dup_matrix", "ev1_ann_recall",
+    "ev2_lsh_recall", "lab1_label_cohesion",
+    "mix2_segmented_mixture", "mm4_wav_decode", "nn3_ivf_ann_topk",
+    "nn4_pq_adc_topk", "pk2_segmented_packing",
+    "pk3_whole_doc_packing", "ppl1_unigram_perplexity",
+    "qz2_pq_encode", "sem1_semantic_dedup", "tx1_language_id",
+    "tx2_token_stats", "tx3_rolling_fingerprint", "tx8_normalize",
+    "exp1_exporter_lifecycle", "j8_kek_dek_lifecycle",
+    "j8b_dek_rewrap", "c3_compat_with_refs",
+    "asof1_config_at_event_time",
 )
 
 

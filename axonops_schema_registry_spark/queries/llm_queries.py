@@ -2010,7 +2010,7 @@ tgt AS (SELECT b, SUM(cnt) AS ct
         FROM feat JOIN documents d ON feat.id = d.doc_id
         WHERE d.source = 'src0' GROUP BY b),
 nrt AS (SELECT (SELECT SUM(cr) FROM raw) AS nr,
-               (SELECT SUM(ct) FROM tgt) AS nt),
+               (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS nt),
 lr AS (
   SELECT b,
          CAST(round((ln(COALESCE(ct, 0) + 1) - ln(nt + 4096))

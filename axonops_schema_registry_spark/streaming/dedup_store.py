@@ -128,12 +128,34 @@ class _EpochStore:
         fail loudly on any later mismatch (same discipline as the
         corrupt-meta guard: a wrong answer must never be silent).
         The write is tmp+atomic-replace so a crash mid-write leaves
-        either no file (next ingest re-pins) or the full file."""
+        either no file (next ingest re-pins) or the full file.
+
+        A MISSING params.json only means "brand-new store" when the
+        store is actually empty: a store created before parameter
+        pinning existed has data but no params.json, and auto-pinning
+        the CURRENT session's values onto it would bless whatever this
+        session happens to pass — exactly the silent mismatch the pin
+        exists to prevent (ADVICE r10).  Non-empty + no params.json
+        therefore refuses and points at the migration step (write the
+        original creation parameters to params.json by hand)."""
         want = self._signature_params()
         try:
             with open(self.params_path) as f:
                 have = json.load(f)
         except FileNotFoundError:
+            has_data = os.path.exists(self.meta_path) or any(
+                os.path.isdir(d) and os.listdir(d)
+                for d in self._dirs()) or any(
+                os.path.isdir(d + "_base") for d in self._dirs())
+            if has_data:
+                raise RuntimeError(
+                    f"dedup store at {self.store_dir} holds data but "
+                    f"no signature-parameter pin ({self.params_path} "
+                    "missing) — a pre-pinning legacy store; refusing "
+                    "to auto-pin this session's parameters over "
+                    "unknown creation-time values.  Migrate once by "
+                    "writing the ORIGINAL creation parameters "
+                    f"({sorted(want)}) to that file, then reopen.")
             os.makedirs(self.store_dir, exist_ok=True)
             tmp = self.params_path + ".tmp"
             with open(tmp, "w") as f:

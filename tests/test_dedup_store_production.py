@@ -432,3 +432,48 @@ def test_store_params_corrupt_file_fails_loudly(spark):
                 _docs(spark, [(2, _distinct(2))]), epoch_id=1)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_legacy_store_without_params_refuses_auto_pin(spark):
+    """A store that holds data but no params.json (created before
+    parameter pinning existed) must NOT silently adopt the current
+    session's parameters — the current session may differ from the
+    unknown creation-time values, which is exactly the silent
+    bucketing mismatch the pin prevents (ADVICE r10).  An explicit
+    migration (writing the original parameters) unblocks it."""
+    import json
+
+    b0 = _docs(spark, [(1, _distinct(1))])
+    d = tempfile.mkdtemp(prefix="prod_legacy_")
+    try:
+        store = BucketedDedupStore(spark, d)
+        store(b0, epoch_id=0)
+        os.remove(store.params_path)  # simulate a pre-pinning store
+        with pytest.raises(RuntimeError, match="legacy|auto-pin"):
+            BucketedDedupStore(spark, d)(
+                _docs(spark, [(2, _distinct(2))]), epoch_id=1)
+        # the guard must not have pinned anything
+        assert not os.path.exists(store.params_path)
+        # explicit migration: write the creation-time values by hand
+        with open(store.params_path, "w") as f:
+            json.dump(store._signature_params(), f)
+        BucketedDedupStore(spark, d)(
+            _docs(spark, [(2, _distinct(2))]), epoch_id=1)
+        assert _flags_dict(BucketedDedupStore(spark, d).all_flags()) \
+            == _flags_dict(incremental_dedup_flags(
+                b0.unionByName(_docs(spark, [(2, _distinct(2))]))))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_empty_dir_still_auto_pins(spark):
+    """The legacy guard keys on DATA, not on the directory existing:
+    a pre-created empty store_dir (mkdtemp, a mounted volume) is a
+    brand-new store and pins normally on first ingest."""
+    d = tempfile.mkdtemp(prefix="prod_freshdir_")  # exists, empty
+    try:
+        store = BucketedDedupStore(spark, d)
+        store(_docs(spark, [(1, _distinct(1))]), epoch_id=0)
+        assert os.path.exists(store.params_path)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -188,6 +188,37 @@ def dd6_embedding_cosine_dedup(spark: SparkSession,
                                      threshold=0.4)
 
 
+def dd6b_embedding_cosine_dedup_scaled(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """dd6's 100 TB form (VERDICT r10 ask #2): the same LSH-bucketed
+    cosine near-dup pairs with the bucket width derived from the
+    corpus size via ``recommended_lsh_bits`` (occupancy-targeted
+    b = ceil(log2(n/200))) instead of dd6's literal n_bits=5 —
+    candidate volume stays ~n x 200 per table (linear) instead of
+    n²/2^5 (the quadratic the sf1 rehearsal measured at 11.3x wall
+    for 10x vectors; the helper restored 3.4x, docs/SCALING.md).
+
+    No DuckDB oracle: the oracle-checked dd6 spec must keep its
+    literal bits so the SQL replay shares the bucketing; this spec
+    exists so the helper-driven shape gets bench tracking.
+    Correctness is pinned in pytest (test_bench_variants.py): exact
+    cosine verification means precision is 1.0 by construction
+    (asserted against brute force), and at corpora below the
+    occupancy target the helper floors to 5 bits, making dd6b's pair
+    set IDENTICAL to dd6's (asserted).  The one extra job vs dd6 is
+    the corpus count that feeds the helper — the production pattern
+    (you size the index from the corpus you're indexing)."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        lsh_cosine_pairs_portable,
+        recommended_lsh_bits,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = recommended_lsh_bits(emb.count())
+    return lsh_cosine_pairs_portable(emb, "vec_id", "embedding",
+                                     threshold=0.4, n_bits=bits)
+
+
 #: Shared DuckDB replay of ``lsh_cosine_pairs_portable`` — composed
 #: into DD6_ORACLE, SEM1_ORACLE and (via the asymmetric variant)
 #: CTM3_ORACLE so they can never drift apart.
@@ -1909,6 +1940,31 @@ FROM isl GROUP BY id, grp ORDER BY doc_id, start_pos
 """
 
 
+def es1h_exact_substring_spans_hashed(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """es1's 100 TB form (VERDICT r10 ask #2): identical ExactSubstr
+    span computation with ``hash_grams=True`` — the k-gram occurrence
+    count AND the duplicated-position join shuffle fixed 8-byte
+    xxhash64 keys instead of ~9-word strings (~5x narrower shuffle at
+    k=8, 0.65x wall at 10x in docs/SCALING.md).  Output is pinned
+    EQUAL to es1's raw-string path in pytest
+    (tests/test_llm_ops.py::test_span_islands_hash_grams_path_is_
+    equivalent and the spec-level twin in test_bench_variants.py), so
+    this spec carries no oracle of its own — it exists so the shape
+    you'd actually run at scale gets round-over-round bench tracking,
+    not just the oracle-replayable raw-key form."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        duplicated_span_islands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (duplicated_span_islands(docs, "doc_id", "text",
+                                    k=8, min_count=2, hash_grams=True)
+            .select(F.col("id").alias("doc_id"), "start_pos",
+                    "end_pos", "n_words")
+            .orderBy("doc_id", "start_pos"))
+
+
 def es2_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ExactSubstr CUT step (llm/dedup.py:remove_duplicated_spans
     — Lee et al. 2021's pipeline actually editing the corpus): every
@@ -3110,6 +3166,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("es1_exact_substring_spans", es1_exact_substring_spans,
               ES1_ORACLE, tags=("llm", "dedup", "substring", "window"),
               bench=True),
+    # bench-only 100 TB form (VERDICT r10 ask #2): no oracle — output
+    # pinned equal to es1 in pytest; bench=True for regression tracking
+    QuerySpec("es1h_exact_substring_spans_hashed",
+              es1h_exact_substring_spans_hashed, None,
+              tags=("llm", "dedup", "substring", "window", "scale"),
+              bench=True),
     QuerySpec("es2_span_removal", es2_span_removal, ES2_ORACLE,
               tags=("llm", "dedup", "substring")),
     QuerySpec("dsir1_importance_selection", dsir1_importance_selection,
@@ -3147,6 +3209,12 @@ SPECS: list[QuerySpec] = [
               DD5_ORACLE, tags=("llm", "dedup")),
     QuerySpec("dd6_embedding_cosine_dedup", dd6_embedding_cosine_dedup,
               DD6_ORACLE, tags=("llm", "dedup", "similarity"), bench=True),
+    # bench-only 100 TB form (VERDICT r10 ask #2): occupancy-targeted
+    # LSH bits — no oracle (dd6's SQL replay must keep the literal);
+    # correctness pinned in tests/test_bench_variants.py
+    QuerySpec("dd6b_embedding_cosine_dedup_scaled",
+              dd6b_embedding_cosine_dedup_scaled, None,
+              tags=("llm", "dedup", "similarity", "scale"), bench=True),
     QuerySpec("tx6_token_rarity", tx6_token_rarity, TX6_ORACLE,
               tags=("llm", "text")),
     QuerySpec("sk1_distinct_sketches", sk1_distinct_sketches, SK1_ORACLE,

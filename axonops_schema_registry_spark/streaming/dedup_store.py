@@ -45,9 +45,14 @@ First-wins semantics are identical to
 ``llm.dedup.incremental_dedup_flags`` under ordered arrival — pinned by
 tests/test_streaming.py against the one-shot batch run.  A backfilled
 epoch carrying SMALLER ids than already-stored documents violates that
-precondition; :meth:`reflag` is the compaction-style batch job that
-recomputes first-wins globally over the compacted store and rewrites
-every flag, so out-of-order ingestion converges to the batch answer.
+precondition; two repairs exist: :meth:`reflag` (compaction-style,
+recomputes first-wins globally — cost linear in the STORE) and
+:meth:`BucketedDedupStore.reflag_incremental` (repairs only the
+groups/buckets the late batch touched, committed as replace-only
+delta overlays — cost follows the BATCH; equality with the full pass
+pinned in tests/test_dedup_store_incremental.py, cost shape measured
+in docs/SCALING.md).  Either way the store converges to the batch
+answer.
 
 At very long stream lifetimes the epoch partitions accumulate small
 files; :meth:`compact` merges every epoch below the streaming
@@ -101,12 +106,19 @@ def _read_epochs(spark: SparkSession, path: str, before_epoch: int,
 class _EpochStore:
     """Shared machinery of the two dedup stores: epoch-partitioned
     data directories, a generation-numbered compacted base per
-    directory, and one fsynced-atomically-replaced meta.json whose
-    swap is the commit point for compaction and reflag."""
+    directory, one fsynced-atomically-replaced meta.json whose swap is
+    the commit point for compaction and reflag, and (for stores that
+    support :meth:`BucketedDedupStore.reflag_incremental`) a stack of
+    REPAIR DELTAS — small parquet overlays, each bounded by one
+    out-of-order batch's bucket neighborhood, applied at read time on
+    top of base+epochs and folded away by the next full commit."""
 
     spark: SparkSession
     store_dir: str
     meta_path: str
+    #: subdirectory name for repair deltas (subclasses set it; the two
+    #: stores may share one store_dir, so the names must not collide)
+    repairs_name: str = "repairs"
 
     def _dirs(self) -> tuple[str, ...]:
         raise NotImplementedError
@@ -207,6 +219,61 @@ class _EpochStore:
     def _base_dir(path: str, gen: int) -> str:
         return os.path.join(path + "_base", f"g{gen}")
 
+    # -- repair-delta plumbing ---------------------------------------------
+
+    def _repairs_root(self) -> str:
+        return os.path.join(self.store_dir, self.repairs_name)
+
+    def _repair_dirs(self) -> list[str]:
+        """Committed repair deltas, oldest first (later deltas override
+        earlier ones).  ``nrep`` in meta.json is the commit record —
+        an orphan r<n> directory from a crash mid-repair is invisible
+        (nrep not advanced) and is overwritten by the next repair."""
+        n = self._meta().get("nrep", 0)
+        return [os.path.join(self._repairs_root(), f"r{i}")
+                for i in range(n)]
+
+    def _stored_view(self, path: str,
+                     before_epoch: int) -> DataFrame | None:
+        """:meth:`_stored` with all committed repair deltas applied —
+        THE read path for every consumer (per-batch joins, all_flags,
+        compaction folds, full reflag).  Deltas are replace-only
+        overlays (no inserts), so applying them to an epoch-ranged
+        subset is always safe, and re-applying them to already-folded
+        base rows is a value-level no-op.  Subclasses that support
+        repairs override :meth:`_apply_one_repair`; the base
+        implementation has no repair producers, so the loop is a
+        no-op there."""
+        df = self._stored(path, before_epoch)
+        if df is None:
+            return None
+        for rd in self._repair_dirs():
+            df = self._apply_one_repair(path, df, rd)
+        return df
+
+    def _apply_one_repair(self, path: str, df: DataFrame,
+                          repair_dir: str) -> DataFrame:
+        raise NotImplementedError(
+            f"store {type(self).__name__} has committed repair deltas "
+            f"({repair_dir}) but no repair reader")
+
+    def _write_meta(self, meta: dict) -> None:
+        """fsync + atomic-replace meta.json, then fsync the parent
+        directory so the rename itself survives power loss — the
+        shared commit point for compaction, reflag, and repairs."""
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.meta_path)
+        dfd = os.open(os.path.dirname(self.meta_path) or ".",
+                      os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
     def _stored(self, path: str, before_epoch: int) -> DataFrame | None:
         """Everything accepted strictly BEFORE the epoch being
         processed — a replayed epoch must not see its own earlier
@@ -238,7 +305,8 @@ class _EpochStore:
     # -- generation commit (compaction + reflag share this) ---------------
 
     def _commit_generation(self, frames: dict[str, DataFrame],
-                           new_gen: int, below_epoch: int) -> None:
+                           new_gen: int, below_epoch: int,
+                           keep_nrep: int = 0) -> None:
         """Write one DataFrame per data directory as base generation
         ``new_gen``, commit via meta.json, then sweep superseded
         generations and folded epoch partitions.  Write order makes a
@@ -247,26 +315,24 @@ class _EpochStore:
         replaced to point at them, (3) superseded directories are
         deleted best-effort — orphans from a crash between (1) and
         (2), or leftovers from a crash during (3), are swept by the
-        next commit."""
+        next commit.
+
+        ``keep_nrep``: repair deltas still needed after this commit
+        (a PARTIAL compact folds only some epochs, but deltas may
+        override rows in the still-live ones — kept; idempotent
+        against the already-overridden folded rows because overlays
+        replace values).  0 (a fold that covered everything, i.e.
+        reflag or a quiescent compact) folds the deltas in and sweeps
+        the repairs directory."""
         for path, frame in frames.items():
             frame.write.mode("overwrite").parquet(
                 self._base_dir(path, new_gen))
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"gen": new_gen, "below": below_epoch}, f)
-            f.flush()
-            os.fsync(f.fileno())  # durable before the atomic swap —
-            # a power-loss crash must not leave meta.json truncated
-        os.replace(tmp, self.meta_path)  # the commit point
-        # POSIX rename durability: fsync the DIRECTORY holding meta.json
-        # so the rename itself (not just the file contents) survives
-        # power loss — without this the commit point may roll back
-        dfd = os.open(os.path.dirname(self.meta_path) or ".",
-                      os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        meta = {"gen": new_gen, "below": below_epoch}
+        if keep_nrep:
+            meta["nrep"] = keep_nrep
+        self._write_meta(meta)  # the commit point
+        if not keep_nrep:
+            shutil.rmtree(self._repairs_root(), ignore_errors=True)
         for path in frames:
             for g in range(new_gen):
                 shutil.rmtree(self._base_dir(path, g),
@@ -294,7 +360,7 @@ class _EpochStore:
         # one path's generation dir was written would leave an orphan
         # gN with meta not advanced (harmless for reads, but the next
         # compaction would then reuse the gN name)
-        merged = {path: self._stored(path, below_epoch)
+        merged = {path: self._stored_view(path, below_epoch)
                   for path in self._dirs()}
         missing = [p for p, m in merged.items() if m is None]
         if len(missing) == len(merged):
@@ -309,7 +375,18 @@ class _EpochStore:
                 f"dedup store at {self.store_dir} has data in some "
                 f"directories but none in {missing}; legacy or corrupt "
                 "layout — refusing to compact")
-        self._commit_generation(merged, meta["gen"] + 1, below_epoch)
+        # repair deltas fold into the base IF this compact covers every
+        # live epoch; a partial compact must keep them (they may still
+        # override rows in the epochs left live)
+        live_above = any(
+            int(d.split("=", 1)[1]) >= below_epoch
+            for path in self._dirs() if os.path.isdir(path)
+            for d in os.listdir(path)
+            if d.startswith("epoch=")
+            and d.split("=", 1)[1].lstrip("-").isdigit())
+        self._commit_generation(
+            merged, meta["gen"] + 1, below_epoch,
+            keep_nrep=self._meta().get("nrep", 0) if live_above else 0)
 
     def _assert_quiescent(self, below_epoch: int) -> None:
         """reflag's correctness precondition, enforced: every written
@@ -400,7 +477,7 @@ class BucketedDedupStore(_EpochStore):
         (id, is_dup, dup_of) — from the compacted base plus all live
         epochs.  The production read path (``self.flags`` is test-only
         driver state)."""
-        stored = self._stored(self.flags_dir, 2**62)
+        stored = self._stored_view(self.flags_dir, 2**62)
         if stored is None:
             return None
         return stored.select(self.id_col, "is_dup", "dup_of")
@@ -441,7 +518,7 @@ class BucketedDedupStore(_EpochStore):
         fp_rows = self._fingerprinted(new).localCheckpoint(eager=True)
         group_rep = (fp_rows.groupBy("__fp")
                      .agg(F.min("__nid").alias("__brep")))
-        stored_fp = self._stored(self.fps_dir, epoch_id)
+        stored_fp = self._stored_view(self.fps_dir, epoch_id)
         if stored_fp is not None:
             group_rep = group_rep.join(stored_fp, "__fp", "left")
         else:
@@ -465,7 +542,7 @@ class BucketedDedupStore(_EpochStore):
             new_toks, self.n_hashes, self.bands) \
             .localCheckpoint(eager=True)
 
-        stored_b = self._stored(self.buckets_dir, epoch_id)
+        stored_b = self._stored_view(self.buckets_dir, epoch_id)
         all_buckets = (new_buckets if stored_b is None
                        else stored_b.unionByName(new_buckets))
         a = self._capped(all_buckets) \
@@ -475,7 +552,7 @@ class BucketedDedupStore(_EpochStore):
                       .filter(F.col("id_a") < F.col("id_b"))
                       .select("id_a", "id_b").distinct())
 
-        stored_t = self._stored(self.toks_dir, epoch_id)
+        stored_t = self._stored_view(self.toks_dir, epoch_id)
         all_toks = (new_toks if stored_t is None
                     else stored_t.unionByName(new_toks))
         # restrict the verify to colliding documents: the candidate id
@@ -572,11 +649,11 @@ class BucketedDedupStore(_EpochStore):
         batches, never per-batch."""
         self._check_params()  # a mismatched session must not rewrite history
         self._assert_quiescent(below_epoch)
-        members = self._stored(self.flags_dir, below_epoch)
+        members = self._stored_view(self.flags_dir, below_epoch)
         if members is None:
             return
-        toks = self._stored(self.toks_dir, below_epoch)
-        buckets = self._stored(self.buckets_dir, below_epoch)
+        toks = self._stored_view(self.toks_dir, below_epoch)
+        buckets = self._stored_view(self.buckets_dir, below_epoch)
         mid = F.col(self.id_col)
         true_rep = (members.groupBy("__fp")
                     .agg(F.min(mid).alias("__trep")))
@@ -625,6 +702,238 @@ class BucketedDedupStore(_EpochStore):
             {self.buckets_dir: rbuckets, self.toks_dir: rtoks,
              self.fps_dir: new_fps, self.flags_dir: new_flags},
             self._meta()["gen"] + 1, below_epoch)
+        if self.track_flags:
+            self.flags = {r[self.id_col]: (r["is_dup"], r["dup_of"])
+                          for r in self.all_flags().collect()}
+
+    # -- bounded out-of-order repair ---------------------------------------
+
+    def _apply_one_repair(self, path: str, df: DataFrame,
+                          repair_dir: str) -> DataFrame:
+        """Apply one committed repair delta to a read of ``path``:
+        flags rows replaced by document id, fps rows replaced by
+        fingerprint, bucket/token rows re-keyed through the delta's
+        old-rep → true-rep map.  Every overlay is REPLACE-ONLY (a
+        repair never invents documents, fingerprints, buckets, or
+        tokens), broadcast-sized (bounded by the repaired batch's
+        bucket neighborhood), and value-idempotent — safe to apply to
+        an epoch-ranged subset or to base rows a partial compaction
+        already folded it into."""
+        if path == self.flags_dir:
+            d = (self.spark.read.parquet(
+                    os.path.join(repair_dir, "flags"))
+                 .select(self.id_col,
+                         F.struct("is_dup", "dup_of", "rep")
+                         .alias("__d")))
+            hit = F.col("__d").isNotNull()
+            return (df.join(F.broadcast(d), self.id_col, "left")
+                    .select(self.id_col,
+                            F.when(hit, F.col("__d.is_dup"))
+                            .otherwise(F.col("is_dup")).alias("is_dup"),
+                            F.when(hit, F.col("__d.dup_of"))
+                            .otherwise(F.col("dup_of")).alias("dup_of"),
+                            "__fp",
+                            F.when(hit, F.col("__d.rep"))
+                            .otherwise(F.col("rep")).alias("rep")))
+        if path == self.fps_dir:
+            d = (self.spark.read.parquet(os.path.join(repair_dir, "fps"))
+                 .select("__fp", F.struct("rep", "eff").alias("__d")))
+            hit = F.col("__d").isNotNull()
+            return (df.join(F.broadcast(d), "__fp", "left")
+                    .select("__fp",
+                            F.when(hit, F.col("__d.rep"))
+                            .otherwise(F.col("rep")).alias("rep"),
+                            F.when(hit, F.col("__d.eff"))
+                            .otherwise(F.col("eff")).alias("eff")))
+        # buckets / toks: substitute re-keyed representative ids
+        rm = self.spark.read.parquet(os.path.join(repair_dir, "repmap"))
+        rest = [c for c in df.columns if c != "id"]
+        return (df.join(F.broadcast(rm), "id", "left")
+                .select(F.coalesce("__trep", "id").alias("id"), *rest))
+
+    def reflag_incremental(self, late_epochs: list[int],
+                           below_epoch: int) -> None:
+        """Bounded first-wins repair after out-of-order ingestion —
+        the cost-∝-batch alternative to :meth:`reflag` (VERDICT r10
+        ask #4): instead of recomputing first-wins over the WHOLE
+        store, repair only what the late batch can have invalidated.
+
+        What a late batch (smaller ids arriving after larger ones)
+        invalidates, and how each part is bounded:
+
+        1. Fingerprint groups containing a late document may have a
+           new smallest-id representative → re-key their stored
+           buckets/tokens (same content, so pure id substitution —
+           recorded as a broadcast-applied ``repmap`` overlay, never
+           a table rewrite).
+        2. Stored representatives colliding with a touched group's
+           buckets may gain a SMALLER first-wins partner (the
+           ``id_a < id_b`` ingest filter never pairs an old doc as
+           the dup of a later-arrived smaller id).  Candidates come
+           from ONE broadcast join of the touched reps' buckets
+           (batch-sized) against the stored bucket table — the store
+           side is scanned, never shuffled; candidate volume is the
+           late batch's collision neighborhood, independent of store
+           size.  Exact Jaccard verify runs only on colliding ids
+           (broadcast semi-join, as ingest does).
+        3. Verdicts/effs of affected groups (touched + newly-paired)
+           are rewritten as a replace-only ``flags``/``fps`` overlay.
+
+        Stale dup_of values that reference a re-keyed representative
+        are always DOMINATED by a regenerated pair under the new
+        (smaller) id — ``least(old, new)`` needs no global remap
+        scan; equality with the full :meth:`reflag` is pinned for
+        randomized out-of-order scenarios in
+        tests/test_dedup_store_incremental.py.
+
+        Deltas commit like everything else here: fully write
+        ``repairs/r<n>/{flags,fps,repmap}``, then fsync-swap meta.json
+        with ``nrep = n+1`` — a crash mid-repair leaves an invisible
+        orphan the next repair overwrites.  The next full fold
+        (:meth:`reflag`, or a quiescent :meth:`compact`) folds the
+        overlays into the base and sweeps them.
+
+        Preconditions: quiescent store (every epoch < ``below_epoch``,
+        enforced), ``late_epochs`` = ALL epochs ingested out-of-order
+        since the last repair (each still live, i.e. not yet
+        compacted), and no ``max_bucket`` cap — the rank cap couples
+        verdicts to GLOBAL bucket ranking (a re-key can evict a
+        different id from a bucket's top-k, flipping verdicts far
+        from the late batch), so capped stores must use the full
+        :meth:`reflag`.
+
+        Reference analogue: the exporter repairs by offset rather
+        than rescan (internal/exporter/exporter.go:199-324) — the
+        same repair-what-moved shape, applied to dedup state."""
+        self._check_params()
+        if self.max_bucket is not None:
+            raise RuntimeError(
+                "reflag_incremental is incompatible with max_bucket: "
+                "the rank cap makes verdicts depend on global bucket "
+                "ranking, which a re-key can shift for documents far "
+                "outside the late batch — use the full reflag()")
+        self._assert_quiescent(below_epoch)
+        meta = self._meta()
+        floor = meta["below"]
+        late = sorted(set(late_epochs))
+        if not late:
+            return
+        for e in late:
+            if not (floor <= e < below_epoch):
+                raise RuntimeError(
+                    f"late epoch {e} outside the live range "
+                    f"[{floor}, {below_epoch}) — already compacted "
+                    "epochs can only be repaired by the full reflag()")
+            if not os.path.isdir(os.path.join(self.flags_dir,
+                                              f"epoch={e}")):
+                raise RuntimeError(
+                    f"late epoch {e} has no flags partition under "
+                    f"{self.flags_dir}")
+        members = self._stored_view(self.flags_dir, below_epoch)
+        buckets = self._stored_view(self.buckets_dir, below_epoch)
+        toks = self._stored_view(self.toks_dir, below_epoch)
+        if members is None or buckets is None or toks is None:
+            return
+        mid = F.col(self.id_col)
+
+        late_ids = (self.spark.read.parquet(
+            *[os.path.join(self.flags_dir, f"epoch={e}") for e in late])
+            .select(self.id_col).distinct())
+        touched_fps = (members.join(F.broadcast(late_ids), self.id_col)
+                       .filter(~F.col("__fp").startswith(_NOSHINGLE))
+                       .select("__fp").distinct())
+        # (__fp, __trep, __orep) per touched group — __orep is the
+        # stored rep (unique per group), __trep the true smallest id
+        mt = (members.join(F.broadcast(touched_fps), "__fp")
+              .localCheckpoint(eager=True))
+        groups = (mt.groupBy("__fp").agg(F.min(mid).alias("__trep"))
+                  .join(mt.select("__fp", F.col("rep").alias("__orep"))
+                        .distinct(), "__fp")
+                  .localCheckpoint(eager=True))
+        rep_map = (groups.filter(F.col("__trep") != F.col("__orep"))
+                   .select(F.col("__orep").alias("id"), "__trep"))
+
+        # candidates: touched reps' buckets (batch-sized, broadcast)
+        # vs the whole re-keyed bucket table (scanned, not shuffled)
+        tbuck = (buckets.join(F.broadcast(
+                     groups.select(F.col("__orep").alias("id"),
+                                   "__trep")), "id")
+                 .select(F.col("__trep").alias("id_t"), "band", "key")
+                 .localCheckpoint(eager=True))
+        all_rk = (buckets.join(F.broadcast(rep_map), "id", "left")
+                  .select(F.coalesce("__trep", "id").alias("id"),
+                          "band", "key"))
+        cand = (all_rk.join(F.broadcast(tbuck), ["band", "key"])
+                .filter(F.col("id") != F.col("id_t"))
+                .select(F.least("id", "id_t").alias("id_a"),
+                        F.greatest("id", "id_t").alias("id_b"))
+                .distinct()
+                .localCheckpoint(eager=True))
+        cand_ids = (cand.select(F.col("id_a").alias("id"))
+                    .unionByName(cand.select(F.col("id_b").alias("id")))
+                    .distinct())
+        toks_rk = (toks.join(F.broadcast(rep_map), "id", "left")
+                   .select(F.coalesce("__trep", "id").alias("id"),
+                           "token"))
+        pairs = verify_jaccard(
+            toks_rk.join(F.broadcast(cand_ids), "id"), cand,
+            self.threshold)
+        new_min = (pairs.groupBy("id_b")
+                   .agg(F.min("id_a").alias("__nmin")))
+
+        # rep-level corrected dup_of.  r1: the touched groups' true
+        # reps — the carried-over base is the old rep's dup_of when it
+        # is still below the new rep (partners are content-determined,
+        # and any partner re-keyed SMALLER regenerates as a pair, so
+        # least() always dominates stale values).  r2: untouched reps
+        # that gained a smaller partner from the late batch.
+        rep_rows = (members.filter(mid == F.col("rep"))
+                    .select(F.col("rep").alias("__rep"),
+                            F.col("dup_of").alias("__odup"), "__fp"))
+        r1 = (groups
+              .join(rep_rows.select(F.col("__rep").alias("__orep"),
+                                    "__odup"), "__orep", "left")
+              .select("__fp", F.col("__trep").alias("__rep"),
+                      F.when(F.col("__odup") < F.col("__trep"),
+                             F.col("__odup")).alias("__base"))
+              .join(new_min.withColumnRenamed("id_b", "__rep"),
+                    "__rep", "left")
+              .select("__fp", "__rep",
+                      F.least("__base", "__nmin").alias("__rdup")))
+        r2 = (new_min.withColumnRenamed("id_b", "__rep")
+              .join(groups.select(F.col("__trep").alias("__rep")),
+                    "__rep", "left_anti")
+              .join(rep_rows, "__rep")
+              .select("__fp", "__rep",
+                      F.least("__odup", "__nmin").alias("__rdup")))
+        aff = r1.unionByName(r2).localCheckpoint(eager=True)
+
+        # propagate to every member of each affected group
+        new_flags = (members.join(F.broadcast(aff), "__fp")
+                     .select(mid,
+                             F.when(mid == F.col("__rep"),
+                                    F.col("__rdup"))
+                             .otherwise(F.coalesce(F.col("__rdup"),
+                                                   F.col("__rep")))
+                             .alias("dup_of"),
+                             "__fp", F.col("__rep").alias("rep"))
+                     .select(self.id_col,
+                             F.col("dup_of").isNotNull()
+                             .alias("is_dup"),
+                             "dup_of", "__fp", "rep"))
+        new_fps = aff.select(
+            "__fp", F.col("__rep").alias("rep"),
+            F.coalesce("__rdup", "__rep").alias("eff"))
+
+        n = meta.get("nrep", 0)
+        rd = os.path.join(self._repairs_root(), f"r{n}")
+        for frame, sub in ((new_flags, "flags"), (new_fps, "fps"),
+                           (rep_map, "repmap")):
+            frame.write.mode("overwrite").parquet(
+                os.path.join(rd, sub))
+        self._write_meta({**meta, "nrep": n + 1})  # the commit point
+        for ck in (mt, groups, tbuck, cand, aff):
+            release_checkpoint(ck)
         if self.track_flags:
             self.flags = {r[self.id_col]: (r["is_dup"], r["dup_of"])
                           for r in self.all_flags().collect()}
@@ -731,18 +1040,42 @@ class EmbeddingDedupStore(_EpochStore):
 
     ``n_bits`` is fixed for the store's LIFETIME (the stored bucket
     table is keyed on it; the params.json pin enforces this) — size it
-    at creation from the EXPECTED corpus via
-    :func:`~axonops_schema_registry_spark.llm.similarity.recommended_lsh_bits`
+    at creation from the EXPECTED corpus via ``expected_corpus``
+    (preferred: resolves through
+    :func:`~axonops_schema_registry_spark.llm.similarity.recommended_lsh_bits`)
     so per-batch collision volume stays linear as the store grows
     (docs/SCALING.md "dd6 at 10x" measures the fixed-bits quadratic).
+    Because the pin freezes whatever the first ingest used, a
+    size-inappropriate literal chosen at creation is kept FOREVER
+    (VERDICT r10 ask #5) — hence the hint is the constructor-level
+    default path, and passing both a literal ``n_bits`` and
+    ``expected_corpus`` is rejected as ambiguous.
     """
+
+    #: the two stores may share one store_dir — keep delta dirs apart
+    repairs_name = "erepairs"
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  threshold: float = 0.9, dim: int = 64,
-                 n_bits: int = 8, n_tables: int = 4,
+                 n_bits: int | None = None, n_tables: int = 4,
                  seed0: int = 1000, track_flags: bool = False,
-                 max_bucket: int | None = None) -> None:
+                 max_bucket: int | None = None,
+                 expected_corpus: int | None = None) -> None:
+        if n_bits is not None and expected_corpus is not None:
+            raise ValueError(
+                "pass either a literal n_bits or an expected_corpus "
+                "hint, not both — the hint exists so the occupancy-"
+                "targeted width is the default sizing path")
+        if n_bits is None:
+            if expected_corpus is not None:
+                from axonops_schema_registry_spark.llm.similarity import (
+                    recommended_lsh_bits,
+                )
+
+                n_bits = recommended_lsh_bits(expected_corpus)
+            else:
+                n_bits = 8
         self.spark = spark
         self.store_dir = store_dir
         self.buckets_dir = os.path.join(store_dir, "ebuckets")

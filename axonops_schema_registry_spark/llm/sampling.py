@@ -201,3 +201,38 @@ def dsir_log_weights(docs: DataFrame, target_ids: DataFrame,
                  .alias("log_weight"))
             .select(F.col("id").alias(id_col), "n_feats",
                     "log_weight"))
+
+
+def temperature_quotas(docs: DataFrame, budget: int,
+                       source_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Per-source document quotas from TEMPERATURE-weighted token
+    mass — the up/down-sampling every large pretraining mix applies
+    (Gopher's non-proportional sampling, Rae et al. 2021 table A3;
+    the α-exponent form popularized by multilingual LM sampling):
+    w_i = mass_i^α flattens the source distribution (α < 1 boosts
+    small sources), and each source gets floor(budget · w_i / Σw).
+
+    α is fixed at 0.5 and computed ENTIRELY in integers after one
+    exactly-rounded sqrt: weight = floor(sqrt(token_mass)).  IEEE
+    sqrt of an exact integer is correctly rounded in both engines,
+    and for mass ≪ 2^52 the double cannot round across the integer
+    boundary floor() reads (the nearest boundary is 1/(2·sqrt(mass))
+    away — orders of magnitude above one ulp), so quota arithmetic
+    is deterministic without any decimal plumbing.  Everything
+    downstream is bigint DIV bigint.
+
+    Scale shape: one map-side-combinable aggregate over the corpus,
+    then a sources-sized quota table (broadcast by the consumer —
+    :func:`dataset_mixture` takes it as-is)."""
+    mass = (docs.groupBy(source_col)
+            .agg(F.sum(F.size(F.split(F.col(text_col), " "))
+                       .cast("bigint")).alias("__mass")))
+    wts = mass.select(
+        source_col,
+        F.floor(F.sqrt(F.col("__mass"))).cast("bigint").alias("weight"))
+    total = wts.agg(F.sum("weight").alias("__tw"))
+    return (wts.crossJoin(F.broadcast(total))
+            .select(source_col, "weight",
+                    F.expr(f"CAST(({budget} * weight) DIV __tw AS INT)")
+                    .alias("quota")))

@@ -1277,6 +1277,145 @@ def mix2_segmented_mixture(spark: SparkSession, sf_dir: str
             .orderBy("source"))
 
 
+def mix3_temperature_mixture(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture (llm/sampling.py:
+    temperature_quotas + dataset_mixture — Rae et al. 2021's
+    non-proportional source sampling, the α-exponent form): per-source
+    quotas ∝ token_mass^0.5 over a 200-document budget (α < 1 boosts
+    small sources relative to proportional sampling), selection in the
+    same deterministic hash order as mix1.  All quota arithmetic is
+    integer after one exactly-rounded sqrt (see temperature_quotas),
+    so Spark and DuckDB agree bit-for-bit."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        dataset_mixture,
+        temperature_quotas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    quotas = temperature_quotas(docs, budget=200)
+    manifest = dataset_mixture(docs, quotas.select("source", "quota"))
+    sel = (manifest.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_selected"),
+                F.sum("doc_id").alias("id_checksum"),
+                F.max("mix_rank").alias("max_rank")))
+    return (quotas.join(sel, "source", "left")
+            .select("source", "weight", "quota",
+                    F.coalesce("n_selected", F.lit(0)).cast("bigint")
+                    .alias("n_selected"),
+                    F.coalesce("id_checksum", F.lit(0)).cast("bigint")
+                    .alias("id_checksum"),
+                    F.coalesce("max_rank", F.lit(0)).cast("bigint")
+                    .alias("max_rank"))
+            .orderBy("source"))
+
+
+MIX3_ORACLE = """
+WITH mass AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS m
+  FROM documents GROUP BY source),
+wts AS (SELECT source, CAST(FLOOR(SQRT(m)) AS BIGINT) AS weight
+        FROM mass),
+tw AS (SELECT CAST(SUM(weight) AS BIGINT) AS total FROM wts),
+quotas AS (
+  SELECT source, weight,
+         CAST((200 * weight) // total AS INT) AS quota
+  FROM wts, tw),
+ranked AS (
+  SELECT d.source, d.doc_id, q.quota,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY CAST(concat('0x',
+                    substr(md5(CAST(d.doc_id AS STRING)), 1, 12))
+                    AS BIGINT), d.doc_id) AS mix_rank
+  FROM documents d JOIN quotas q USING (source)),
+sel AS (
+  SELECT source, COUNT(*) AS n_selected,
+         CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+         MAX(mix_rank) AS max_rank
+  FROM ranked WHERE mix_rank <= quota GROUP BY source)
+SELECT q.source, q.weight, q.quota,
+       CAST(COALESCE(s.n_selected, 0) AS BIGINT) AS n_selected,
+       CAST(COALESCE(s.id_checksum, 0) AS BIGINT) AS id_checksum,
+       CAST(COALESCE(s.max_rank, 0) AS BIGINT) AS max_rank
+FROM quotas q LEFT JOIN sel s USING (source) ORDER BY q.source
+"""
+
+
+def vg1_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve over the corpus (Heaps-law
+    diagnostics a curation pipeline tracks to spot diversity
+    collapse): 3-shingle vocabulary accumulated across ten doc-id
+    buckets.  The scale-safe formulation: instead of counting
+    distinct shingles per growing PREFIX (quadratic — every prefix
+    re-scans the corpus), aggregate each shingle's FIRST-occurrence
+    doc (one groupBy), bucket those, and take a running sum over the
+    ten bucket rows — per-shingle work is one aggregate, the window
+    runs over a constant-size frame.  Bucket width is pure integer
+    arithmetic from (min, max) doc_id, so both engines bucket
+    identically."""
+    from pyspark.sql import Window
+
+    from axonops_schema_registry_spark.operators.text import token_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    rng = docs.agg(F.min("doc_id").alias("__lo"),
+                   F.max("doc_id").alias("__hi"))
+    toks = token_set(docs, "doc_id", "text", 3)
+    first = toks.groupBy("token").agg(F.min("id").alias("__fd"))
+    newt = (first.crossJoin(F.broadcast(rng))
+            .select(F.expr("CAST((__fd - __lo) DIV "
+                           "((__hi - __lo + 10) DIV 10) + 1 AS INT)")
+                    .alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("new_shingles")))
+    nd = (docs.crossJoin(F.broadcast(rng))
+          .select(F.expr("CAST((doc_id - __lo) DIV "
+                         "((__hi - __lo + 10) DIV 10) + 1 AS INT)")
+                  .alias("bucket"))
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs")))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    return (nd.join(newt, "bucket", "left")
+            .select("bucket", "n_docs",
+                    F.coalesce("new_shingles", F.lit(0)).cast("bigint")
+                    .alias("new_shingles"))
+            .withColumn("cum_vocab",
+                        F.sum("new_shingles").over(w).cast("bigint"))
+            .orderBy("bucket"))
+
+
+VG1_ORACLE = """
+WITH rng AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+             FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM documents),
+first AS (SELECT token, MIN(id) AS fd FROM toks GROUP BY token),
+newt AS (
+  SELECT CAST((fd - lo) // ((hi - lo + 10) // 10) + 1 AS INT)
+           AS bucket,
+         COUNT(*) AS new_shingles
+  FROM first, rng GROUP BY 1),
+nd AS (
+  SELECT CAST((doc_id - lo) // ((hi - lo + 10) // 10) + 1 AS INT)
+           AS bucket,
+         COUNT(*) AS n_docs
+  FROM documents, rng GROUP BY 1)
+SELECT nd.bucket, nd.n_docs,
+       CAST(COALESCE(newt.new_shingles, 0) AS BIGINT) AS new_shingles,
+       CAST(SUM(COALESCE(newt.new_shingles, 0))
+            OVER (ORDER BY nd.bucket) AS BIGINT) AS cum_vocab
+FROM nd LEFT JOIN newt USING (bucket) ORDER BY nd.bucket
+"""
+
+
 MIX1_ORACLE = """
 WITH quotas AS (
   SELECT DISTINCT source,
@@ -3257,4 +3396,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "sampling", "window", "scale")),
     QuerySpec("mix1_dataset_mixture", mix1_dataset_mixture, MIX1_ORACLE,
               tags=("llm", "sampling")),
+    QuerySpec("mix3_temperature_mixture", mix3_temperature_mixture,
+              MIX3_ORACLE, tags=("llm", "sampling", "agg")),
+    QuerySpec("vg1_vocab_growth", vg1_vocab_growth, VG1_ORACLE,
+              tags=("llm", "text", "agg", "window")),
 ]

@@ -6,8 +6,8 @@ their DuckDB oracles replayed on identical data, so the driver-style
 value compare (columns sorted, rows sorted, exact values) holds at a
 scale the driver never samples.
 
-DuckDB is the bottleneck here (no Spark parallelism on the oracle
-side) — slow but bounded; specs are compared one at a time.
+Specs are compared one at a time; the DuckDB replay is bounded
+(and in practice fast — it parallelizes its own pipelines).
 
 Appends one table to docs/SCALING.md (idempotent marker splice).
 """
@@ -84,8 +84,8 @@ def main() -> int:
         "synthesis: content-distinct word-salted documents, rolled "
         "embeddings, keys offset together) — the driver-style exact "
         "value compare, at a scale the driver never samples.  Wall "
-        "time is dominated by the single-threaded DuckDB replay, not "
-        "the Spark side.",
+        "time covers synthesis-read + both engines on identical "
+        "data.",
         "",
         "| spec | result rows @ sf1 | hash compare | wall s |",
         "|---|---|---|---|",

@@ -47,8 +47,8 @@ tests/test_streaming.py against the one-shot batch run.  A backfilled
 epoch carrying SMALLER ids than already-stored documents violates that
 precondition; two repairs exist: :meth:`reflag` (compaction-style,
 recomputes first-wins globally — cost linear in the STORE) and
-:meth:`BucketedDedupStore.reflag_incremental` (repairs only the
-groups/buckets the late batch touched, committed as replace-only
+:meth:`BucketedDedupStore.reflag_incremental` (both stores; repairs
+only the groups/buckets the late batch touched, committed as replace-only
 delta overlays — cost follows the BATCH; equality with the full pass
 pinned in tests/test_dedup_store_incremental.py, cost shape measured
 in docs/SCALING.md).  Either way the store converges to the batch
@@ -240,10 +240,7 @@ class _EpochStore:
         compaction folds, full reflag).  Deltas are replace-only
         overlays (no inserts), so applying them to an epoch-ranged
         subset is always safe, and re-applying them to already-folded
-        base rows is a value-level no-op.  Subclasses that support
-        repairs override :meth:`_apply_one_repair`; the base
-        implementation has no repair producers, so the loop is a
-        no-op there."""
+        base rows is a value-level no-op."""
         df = self._stored(path, before_epoch)
         if df is None:
             return None
@@ -251,11 +248,182 @@ class _EpochStore:
             df = self._apply_one_repair(path, df, rd)
         return df
 
+    #: id column of the signature tables (buckets + toks/vecs) — the
+    #: column the repair rep-map re-keys
+    _bucket_id_col: str = "id"
+
     def _apply_one_repair(self, path: str, df: DataFrame,
                           repair_dir: str) -> DataFrame:
-        raise NotImplementedError(
-            f"store {type(self).__name__} has committed repair deltas "
-            f"({repair_dir}) but no repair reader")
+        """Apply one committed repair delta to a read of ``path``:
+        flags rows replaced by document id, fps rows replaced by
+        fingerprint, signature rows (buckets + toks/vecs) re-keyed
+        through the delta's old-rep → true-rep map.  Every overlay is
+        REPLACE-ONLY (a repair never invents documents, fingerprints,
+        or signatures), broadcast-sized (bounded by the repaired
+        batch's collision neighborhood), and value-idempotent — safe
+        to apply to an epoch-ranged subset or to base rows a partial
+        compaction already folded it into."""
+        if path == self.flags_dir:
+            d = (self.spark.read.parquet(
+                    os.path.join(repair_dir, "flags"))
+                 .select(self.id_col,
+                         F.struct("is_dup", "dup_of", "rep")
+                         .alias("__d")))
+            hit = F.col("__d").isNotNull()
+            return (df.join(F.broadcast(d), self.id_col, "left")
+                    .select(self.id_col,
+                            F.when(hit, F.col("__d.is_dup"))
+                            .otherwise(F.col("is_dup")).alias("is_dup"),
+                            F.when(hit, F.col("__d.dup_of"))
+                            .otherwise(F.col("dup_of")).alias("dup_of"),
+                            "__fp",
+                            F.when(hit, F.col("__d.rep"))
+                            .otherwise(F.col("rep")).alias("rep")))
+        if path == self.fps_dir:
+            d = (self.spark.read.parquet(os.path.join(repair_dir, "fps"))
+                 .select("__fp", F.struct("rep", "eff").alias("__d")))
+            hit = F.col("__d").isNotNull()
+            return (df.join(F.broadcast(d), "__fp", "left")
+                    .select("__fp",
+                            F.when(hit, F.col("__d.rep"))
+                            .otherwise(F.col("rep")).alias("rep"),
+                            F.when(hit, F.col("__d.eff"))
+                            .otherwise(F.col("eff")).alias("eff")))
+        # buckets / toks / vecs: substitute re-keyed representative ids
+        key = self._bucket_id_col
+        rm = self.spark.read.parquet(os.path.join(repair_dir, "repmap"))
+        rest = [c for c in df.columns if c != key]
+        return (df.join(F.broadcast(rm), key, "left")
+                .select(F.coalesce("__trep", key).alias(key), *rest))
+
+    def _new_pair_min(self, groups: DataFrame, rep_map: DataFrame,
+                      below_epoch: int):
+        """Store-specific half of the incremental repair: candidate
+        pairs between the touched groups' (re-keyed) reps and the
+        whole rep universe, exactly verified.  Returns
+        (``(__rep, __nmin)`` — min verified smaller partner per rep,
+        [checkpoints to release after the delta write]), or None when
+        the store holds no signatures."""
+        raise NotImplementedError
+
+    def _reflag_incremental_core(self, late_epochs: list[int],
+                                 below_epoch: int) -> None:
+        """Shared skeleton of the bounded out-of-order repair (full
+        semantics + cost contract on
+        :meth:`BucketedDedupStore.reflag_incremental`): late members →
+        touched groups → true-rep re-key map → store-specific
+        :meth:`_new_pair_min` → rep-level least(old, new) first-wins
+        update → member propagation → replace-only delta commit
+        (advance ``nrep`` in meta.json)."""
+        self._check_params()
+        if self.max_bucket is not None:
+            raise RuntimeError(
+                "reflag_incremental is incompatible with max_bucket: "
+                "the rank cap makes verdicts depend on global bucket "
+                "ranking, which a re-key can shift for documents far "
+                "outside the late batch — use the full reflag()")
+        self._assert_quiescent(below_epoch)
+        meta = self._meta()
+        floor = meta["below"]
+        late = sorted(set(late_epochs))
+        if not late:
+            return
+        for e in late:
+            if not (floor <= e < below_epoch):
+                raise RuntimeError(
+                    f"late epoch {e} outside the live range "
+                    f"[{floor}, {below_epoch}) — already compacted "
+                    "epochs can only be repaired by the full reflag()")
+            if not os.path.isdir(os.path.join(self.flags_dir,
+                                              f"epoch={e}")):
+                raise RuntimeError(
+                    f"late epoch {e} has no flags partition under "
+                    f"{self.flags_dir}")
+        members = self._stored_view(self.flags_dir, below_epoch)
+        if members is None:
+            return
+        mid = F.col(self.id_col)
+
+        late_ids = (self.spark.read.parquet(
+            *[os.path.join(self.flags_dir, f"epoch={e}") for e in late])
+            .select(self.id_col).distinct())
+        touched_fps = (members.join(F.broadcast(late_ids), self.id_col)
+                       .filter(~F.col("__fp").startswith(_NOSHINGLE))
+                       .select("__fp").distinct())
+        # (__fp, __trep, __orep) per touched group — __orep is the
+        # stored rep (unique per group), __trep the true smallest id
+        mt = (members.join(F.broadcast(touched_fps), "__fp")
+              .localCheckpoint(eager=True))
+        groups = (mt.groupBy("__fp").agg(F.min(mid).alias("__trep"))
+                  .join(mt.select("__fp", F.col("rep").alias("__orep"))
+                        .distinct(), "__fp")
+                  .localCheckpoint(eager=True))
+        rep_map = (groups.filter(F.col("__trep") != F.col("__orep"))
+                   .select(F.col("__orep").alias(self._bucket_id_col),
+                           "__trep"))
+
+        got = self._new_pair_min(groups, rep_map, below_epoch)
+        if got is None:
+            for ck in (mt, groups):
+                release_checkpoint(ck)
+            return
+        new_min, pair_cks = got
+
+        # rep-level corrected dup_of.  r1: the touched groups' true
+        # reps — the carried-over base is the old rep's dup_of when it
+        # is still below the new rep (partners are content-determined,
+        # and any partner re-keyed SMALLER regenerates as a pair, so
+        # least() always dominates stale values).  r2: untouched reps
+        # that gained a smaller partner from the late batch.
+        rep_rows = (members.filter(mid == F.col("rep"))
+                    .select(F.col("rep").alias("__rep"),
+                            F.col("dup_of").alias("__odup"), "__fp"))
+        r1 = (groups
+              .join(rep_rows.select(F.col("__rep").alias("__orep"),
+                                    "__odup"), "__orep", "left")
+              .select("__fp", F.col("__trep").alias("__rep"),
+                      F.when(F.col("__odup") < F.col("__trep"),
+                             F.col("__odup")).alias("__base"))
+              .join(new_min, "__rep", "left")
+              .select("__fp", "__rep",
+                      F.least("__base", "__nmin").alias("__rdup")))
+        r2 = (new_min
+              .join(groups.select(F.col("__trep").alias("__rep")),
+                    "__rep", "left_anti")
+              .join(rep_rows, "__rep")
+              .select("__fp", "__rep",
+                      F.least("__odup", "__nmin").alias("__rdup")))
+        aff = r1.unionByName(r2).localCheckpoint(eager=True)
+
+        # propagate to every member of each affected group
+        new_flags = (members.join(F.broadcast(aff), "__fp")
+                     .select(mid,
+                             F.when(mid == F.col("__rep"),
+                                    F.col("__rdup"))
+                             .otherwise(F.coalesce(F.col("__rdup"),
+                                                   F.col("__rep")))
+                             .alias("dup_of"),
+                             "__fp", F.col("__rep").alias("rep"))
+                     .select(self.id_col,
+                             F.col("dup_of").isNotNull()
+                             .alias("is_dup"),
+                             "dup_of", "__fp", "rep"))
+        new_fps = aff.select(
+            "__fp", F.col("__rep").alias("rep"),
+            F.coalesce("__rdup", "__rep").alias("eff"))
+
+        n = meta.get("nrep", 0)
+        rd = os.path.join(self._repairs_root(), f"r{n}")
+        for frame, sub in ((new_flags, "flags"), (new_fps, "fps"),
+                           (rep_map, "repmap")):
+            frame.write.mode("overwrite").parquet(
+                os.path.join(rd, sub))
+        self._write_meta({**meta, "nrep": n + 1})  # the commit point
+        for ck in (mt, groups, aff, *pair_cks):
+            release_checkpoint(ck)
+        if self.track_flags:
+            self.flags = {r[self.id_col]: (r["is_dup"], r["dup_of"])
+                          for r in self.all_flags().collect()}
 
     def _write_meta(self, meta: dict) -> None:
         """fsync + atomic-replace meta.json, then fsync the parent
@@ -708,48 +876,43 @@ class BucketedDedupStore(_EpochStore):
 
     # -- bounded out-of-order repair ---------------------------------------
 
-    def _apply_one_repair(self, path: str, df: DataFrame,
-                          repair_dir: str) -> DataFrame:
-        """Apply one committed repair delta to a read of ``path``:
-        flags rows replaced by document id, fps rows replaced by
-        fingerprint, bucket/token rows re-keyed through the delta's
-        old-rep → true-rep map.  Every overlay is REPLACE-ONLY (a
-        repair never invents documents, fingerprints, buckets, or
-        tokens), broadcast-sized (bounded by the repaired batch's
-        bucket neighborhood), and value-idempotent — safe to apply to
-        an epoch-ranged subset or to base rows a partial compaction
-        already folded it into."""
-        if path == self.flags_dir:
-            d = (self.spark.read.parquet(
-                    os.path.join(repair_dir, "flags"))
-                 .select(self.id_col,
-                         F.struct("is_dup", "dup_of", "rep")
-                         .alias("__d")))
-            hit = F.col("__d").isNotNull()
-            return (df.join(F.broadcast(d), self.id_col, "left")
-                    .select(self.id_col,
-                            F.when(hit, F.col("__d.is_dup"))
-                            .otherwise(F.col("is_dup")).alias("is_dup"),
-                            F.when(hit, F.col("__d.dup_of"))
-                            .otherwise(F.col("dup_of")).alias("dup_of"),
-                            "__fp",
-                            F.when(hit, F.col("__d.rep"))
-                            .otherwise(F.col("rep")).alias("rep")))
-        if path == self.fps_dir:
-            d = (self.spark.read.parquet(os.path.join(repair_dir, "fps"))
-                 .select("__fp", F.struct("rep", "eff").alias("__d")))
-            hit = F.col("__d").isNotNull()
-            return (df.join(F.broadcast(d), "__fp", "left")
-                    .select("__fp",
-                            F.when(hit, F.col("__d.rep"))
-                            .otherwise(F.col("rep")).alias("rep"),
-                            F.when(hit, F.col("__d.eff"))
-                            .otherwise(F.col("eff")).alias("eff")))
-        # buckets / toks: substitute re-keyed representative ids
-        rm = self.spark.read.parquet(os.path.join(repair_dir, "repmap"))
-        rest = [c for c in df.columns if c != "id"]
-        return (df.join(F.broadcast(rm), "id", "left")
-                .select(F.coalesce("__trep", "id").alias("id"), *rest))
+    def _new_pair_min(self, groups, rep_map, below_epoch):
+        """Text-store half of the incremental repair: candidates from
+        ONE broadcast join of the touched reps' (band, key) buckets
+        (batch-sized) against the stored bucket table — the store side
+        is scanned, never shuffled — then exact Jaccard verification
+        restricted to colliding ids (broadcast semi-join, as ingest
+        does)."""
+        buckets = self._stored_view(self.buckets_dir, below_epoch)
+        toks = self._stored_view(self.toks_dir, below_epoch)
+        if buckets is None or toks is None:
+            return None
+        tbuck = (buckets.join(F.broadcast(
+                     groups.select(F.col("__orep").alias("id"),
+                                   "__trep")), "id")
+                 .select(F.col("__trep").alias("id_t"), "band", "key")
+                 .localCheckpoint(eager=True))
+        all_rk = (buckets.join(F.broadcast(rep_map), "id", "left")
+                  .select(F.coalesce("__trep", "id").alias("id"),
+                          "band", "key"))
+        cand = (all_rk.join(F.broadcast(tbuck), ["band", "key"])
+                .filter(F.col("id") != F.col("id_t"))
+                .select(F.least("id", "id_t").alias("id_a"),
+                        F.greatest("id", "id_t").alias("id_b"))
+                .distinct()
+                .localCheckpoint(eager=True))
+        cand_ids = (cand.select(F.col("id_a").alias("id"))
+                    .unionByName(cand.select(F.col("id_b").alias("id")))
+                    .distinct())
+        toks_rk = (toks.join(F.broadcast(rep_map), "id", "left")
+                   .select(F.coalesce("__trep", "id").alias("id"),
+                           "token"))
+        pairs = verify_jaccard(
+            toks_rk.join(F.broadcast(cand_ids), "id"), cand,
+            self.threshold)
+        new_min = (pairs.groupBy(F.col("id_b").alias("__rep"))
+                   .agg(F.min("id_a").alias("__nmin")))
+        return new_min, [tbuck, cand]
 
     def reflag_incremental(self, late_epochs: list[int],
                            below_epoch: int) -> None:
@@ -805,138 +968,7 @@ class BucketedDedupStore(_EpochStore):
         Reference analogue: the exporter repairs by offset rather
         than rescan (internal/exporter/exporter.go:199-324) — the
         same repair-what-moved shape, applied to dedup state."""
-        self._check_params()
-        if self.max_bucket is not None:
-            raise RuntimeError(
-                "reflag_incremental is incompatible with max_bucket: "
-                "the rank cap makes verdicts depend on global bucket "
-                "ranking, which a re-key can shift for documents far "
-                "outside the late batch — use the full reflag()")
-        self._assert_quiescent(below_epoch)
-        meta = self._meta()
-        floor = meta["below"]
-        late = sorted(set(late_epochs))
-        if not late:
-            return
-        for e in late:
-            if not (floor <= e < below_epoch):
-                raise RuntimeError(
-                    f"late epoch {e} outside the live range "
-                    f"[{floor}, {below_epoch}) — already compacted "
-                    "epochs can only be repaired by the full reflag()")
-            if not os.path.isdir(os.path.join(self.flags_dir,
-                                              f"epoch={e}")):
-                raise RuntimeError(
-                    f"late epoch {e} has no flags partition under "
-                    f"{self.flags_dir}")
-        members = self._stored_view(self.flags_dir, below_epoch)
-        buckets = self._stored_view(self.buckets_dir, below_epoch)
-        toks = self._stored_view(self.toks_dir, below_epoch)
-        if members is None or buckets is None or toks is None:
-            return
-        mid = F.col(self.id_col)
-
-        late_ids = (self.spark.read.parquet(
-            *[os.path.join(self.flags_dir, f"epoch={e}") for e in late])
-            .select(self.id_col).distinct())
-        touched_fps = (members.join(F.broadcast(late_ids), self.id_col)
-                       .filter(~F.col("__fp").startswith(_NOSHINGLE))
-                       .select("__fp").distinct())
-        # (__fp, __trep, __orep) per touched group — __orep is the
-        # stored rep (unique per group), __trep the true smallest id
-        mt = (members.join(F.broadcast(touched_fps), "__fp")
-              .localCheckpoint(eager=True))
-        groups = (mt.groupBy("__fp").agg(F.min(mid).alias("__trep"))
-                  .join(mt.select("__fp", F.col("rep").alias("__orep"))
-                        .distinct(), "__fp")
-                  .localCheckpoint(eager=True))
-        rep_map = (groups.filter(F.col("__trep") != F.col("__orep"))
-                   .select(F.col("__orep").alias("id"), "__trep"))
-
-        # candidates: touched reps' buckets (batch-sized, broadcast)
-        # vs the whole re-keyed bucket table (scanned, not shuffled)
-        tbuck = (buckets.join(F.broadcast(
-                     groups.select(F.col("__orep").alias("id"),
-                                   "__trep")), "id")
-                 .select(F.col("__trep").alias("id_t"), "band", "key")
-                 .localCheckpoint(eager=True))
-        all_rk = (buckets.join(F.broadcast(rep_map), "id", "left")
-                  .select(F.coalesce("__trep", "id").alias("id"),
-                          "band", "key"))
-        cand = (all_rk.join(F.broadcast(tbuck), ["band", "key"])
-                .filter(F.col("id") != F.col("id_t"))
-                .select(F.least("id", "id_t").alias("id_a"),
-                        F.greatest("id", "id_t").alias("id_b"))
-                .distinct()
-                .localCheckpoint(eager=True))
-        cand_ids = (cand.select(F.col("id_a").alias("id"))
-                    .unionByName(cand.select(F.col("id_b").alias("id")))
-                    .distinct())
-        toks_rk = (toks.join(F.broadcast(rep_map), "id", "left")
-                   .select(F.coalesce("__trep", "id").alias("id"),
-                           "token"))
-        pairs = verify_jaccard(
-            toks_rk.join(F.broadcast(cand_ids), "id"), cand,
-            self.threshold)
-        new_min = (pairs.groupBy("id_b")
-                   .agg(F.min("id_a").alias("__nmin")))
-
-        # rep-level corrected dup_of.  r1: the touched groups' true
-        # reps — the carried-over base is the old rep's dup_of when it
-        # is still below the new rep (partners are content-determined,
-        # and any partner re-keyed SMALLER regenerates as a pair, so
-        # least() always dominates stale values).  r2: untouched reps
-        # that gained a smaller partner from the late batch.
-        rep_rows = (members.filter(mid == F.col("rep"))
-                    .select(F.col("rep").alias("__rep"),
-                            F.col("dup_of").alias("__odup"), "__fp"))
-        r1 = (groups
-              .join(rep_rows.select(F.col("__rep").alias("__orep"),
-                                    "__odup"), "__orep", "left")
-              .select("__fp", F.col("__trep").alias("__rep"),
-                      F.when(F.col("__odup") < F.col("__trep"),
-                             F.col("__odup")).alias("__base"))
-              .join(new_min.withColumnRenamed("id_b", "__rep"),
-                    "__rep", "left")
-              .select("__fp", "__rep",
-                      F.least("__base", "__nmin").alias("__rdup")))
-        r2 = (new_min.withColumnRenamed("id_b", "__rep")
-              .join(groups.select(F.col("__trep").alias("__rep")),
-                    "__rep", "left_anti")
-              .join(rep_rows, "__rep")
-              .select("__fp", "__rep",
-                      F.least("__odup", "__nmin").alias("__rdup")))
-        aff = r1.unionByName(r2).localCheckpoint(eager=True)
-
-        # propagate to every member of each affected group
-        new_flags = (members.join(F.broadcast(aff), "__fp")
-                     .select(mid,
-                             F.when(mid == F.col("__rep"),
-                                    F.col("__rdup"))
-                             .otherwise(F.coalesce(F.col("__rdup"),
-                                                   F.col("__rep")))
-                             .alias("dup_of"),
-                             "__fp", F.col("__rep").alias("rep"))
-                     .select(self.id_col,
-                             F.col("dup_of").isNotNull()
-                             .alias("is_dup"),
-                             "dup_of", "__fp", "rep"))
-        new_fps = aff.select(
-            "__fp", F.col("__rep").alias("rep"),
-            F.coalesce("__rdup", "__rep").alias("eff"))
-
-        n = meta.get("nrep", 0)
-        rd = os.path.join(self._repairs_root(), f"r{n}")
-        for frame, sub in ((new_flags, "flags"), (new_fps, "fps"),
-                           (rep_map, "repmap")):
-            frame.write.mode("overwrite").parquet(
-                os.path.join(rd, sub))
-        self._write_meta({**meta, "nrep": n + 1})  # the commit point
-        for ck in (mt, groups, tbuck, cand, aff):
-            release_checkpoint(ck)
-        if self.track_flags:
-            self.flags = {r[self.id_col]: (r["is_dup"], r["dup_of"])
-                          for r in self.all_flags().collect()}
+        self._reflag_incremental_core(late_epochs, below_epoch)
 
 
 def _semantic_pairs(a_buckets: DataFrame, b_buckets: DataFrame,
@@ -1054,6 +1086,8 @@ class EmbeddingDedupStore(_EpochStore):
 
     #: the two stores may share one store_dir — keep delta dirs apart
     repairs_name = "erepairs"
+    #: the embedding signature tables key on __id
+    _bucket_id_col = "__id"
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  id_col: str = "vec_id", vec_col: str = "embedding",
@@ -1104,7 +1138,7 @@ class EmbeddingDedupStore(_EpochStore):
                 self.flags_dir)
 
     def all_flags(self) -> DataFrame | None:
-        stored = self._stored(self.flags_dir, 2**62)
+        stored = self._stored_view(self.flags_dir, 2**62)
         if stored is None:
             return None
         return stored.select(self.id_col, "is_dup", "dup_of")
@@ -1142,7 +1176,7 @@ class EmbeddingDedupStore(_EpochStore):
         fp_rows = self._fingerprinted(new).localCheckpoint(eager=True)
         group_rep = (fp_rows.groupBy("__fp")
                      .agg(F.min("__id").alias("__brep")))
-        stored_fp = self._stored(self.fps_dir, epoch_id)
+        stored_fp = self._stored_view(self.fps_dir, epoch_id)
         if stored_fp is not None:
             group_rep = group_rep.join(stored_fp, "__fp", "left")
         else:
@@ -1161,10 +1195,10 @@ class EmbeddingDedupStore(_EpochStore):
         new_buckets = self._bucketed(rep_vecs) \
             .localCheckpoint(eager=True)
 
-        stored_b = self._stored(self.buckets_dir, epoch_id)
+        stored_b = self._stored_view(self.buckets_dir, epoch_id)
         all_buckets = (new_buckets if stored_b is None
                        else stored_b.unionByName(new_buckets))
-        stored_v = self._stored(self.vecs_dir, epoch_id)
+        stored_v = self._stored_view(self.vecs_dir, epoch_id)
         all_vecs = (rep_vecs if stored_v is None
                     else stored_v.unionByName(rep_vecs))
         pairs = _semantic_pairs(all_buckets, new_buckets, all_vecs,
@@ -1227,11 +1261,11 @@ class EmbeddingDedupStore(_EpochStore):
         (every written epoch below ``below_epoch``) is enforced."""
         self._check_params()  # a mismatched session must not rewrite history
         self._assert_quiescent(below_epoch)
-        members = self._stored(self.flags_dir, below_epoch)
+        members = self._stored_view(self.flags_dir, below_epoch)
         if members is None:
             return
-        vecs = self._stored(self.vecs_dir, below_epoch)
-        buckets = self._stored(self.buckets_dir, below_epoch)
+        vecs = self._stored_view(self.vecs_dir, below_epoch)
+        buckets = self._stored_view(self.buckets_dir, below_epoch)
         if vecs is None or buckets is None:
             return
         mid = F.col(self.id_col)
@@ -1277,6 +1311,71 @@ class EmbeddingDedupStore(_EpochStore):
         if self.track_flags:
             self.flags = {r[self.id_col]: (r["is_dup"], r["dup_of"])
                           for r in self.all_flags().collect()}
+
+    def _new_pair_min(self, groups, rep_map, below_epoch):
+        """Embedding-store half of the incremental repair: candidates
+        from ONE broadcast join of the touched reps' (table, bucket)
+        keys (batch-sized) against the stored bucket table, exact
+        cosine verification (rounded to 4 decimals, the store's
+        documented comparison) restricted to colliding ids — the same
+        bounded shape as per-batch ingest."""
+        from axonops_schema_registry_spark.llm.similarity import (
+            _dot_expr,
+            with_norm,
+        )
+
+        buckets = self._stored_view(self.buckets_dir, below_epoch)
+        vecs = self._stored_view(self.vecs_dir, below_epoch)
+        if buckets is None or vecs is None:
+            return None
+        tbuck = (buckets.join(F.broadcast(
+                     groups.select(F.col("__orep").alias("__id"),
+                                   "__trep")), "__id")
+                 .select(F.col("__trep").alias("id_t"),
+                         "table", "bucket")
+                 .localCheckpoint(eager=True))
+        all_rk = (buckets.join(F.broadcast(rep_map), "__id", "left")
+                  .select(F.coalesce("__trep", "__id").alias("__id"),
+                          "table", "bucket"))
+        cand = (all_rk.join(F.broadcast(tbuck), ["table", "bucket"])
+                .filter(F.col("__id") != F.col("id_t"))
+                .select(F.least("__id", "id_t").alias("id_a"),
+                        F.greatest("__id", "id_t").alias("id_b"))
+                .distinct()
+                .localCheckpoint(eager=True))
+        cand_ids = (cand.select(F.col("id_a").alias("__id"))
+                    .unionByName(cand.select(F.col("id_b")
+                                             .alias("__id")))
+                    .distinct())
+        vecs_rk = (vecs.join(F.broadcast(rep_map), "__id", "left")
+                   .select(F.coalesce("__trep", "__id").alias("__id"),
+                           "__v"))
+        v = with_norm(vecs_rk.join(F.broadcast(cand_ids), "__id"),
+                      "__v", "__n")
+        va = v.select(F.col("__id").alias("id_a"),
+                      F.col("__v").alias("__va"),
+                      F.col("__n").alias("__na"))
+        vb = v.select(F.col("__id").alias("id_b"),
+                      F.col("__v").alias("__vb"),
+                      F.col("__n").alias("__nb"))
+        sim = _dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+        pairs = (cand.join(va, "id_a").join(vb, "id_b")
+                 .withColumn("__cos", F.round(sim, 4))
+                 .filter(F.col("__cos") >= self.threshold))
+        new_min = (pairs.groupBy(F.col("id_b").alias("__rep"))
+                   .agg(F.min("id_a").alias("__nmin")))
+        return new_min, [tbuck, cand]
+
+    def reflag_incremental(self, late_epochs: list[int],
+                           below_epoch: int) -> None:
+        """Bounded out-of-order repair — the embedding twin of
+        :meth:`BucketedDedupStore.reflag_incremental` (semantics, the
+        delta-overlay commit, and every precondition documented
+        there): repairs only the fingerprint groups and bucket
+        neighborhoods the late batch touched; equality with the full
+        :meth:`reflag` pinned in
+        tests/test_dedup_store_incremental.py."""
+        self._reflag_incremental_core(late_epochs, below_epoch)
 
 
 def embedding_dedup_flags(vecs: DataFrame, id_col: str = "vec_id",

@@ -196,3 +196,131 @@ def test_two_successive_incremental_repairs(spark):
         assert _flags_dict(store.all_flags()) == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding twin
+# ---------------------------------------------------------------------------
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows,
+                                 "vec_id bigint, embedding array<double>")
+
+
+def _u(*xs):
+    return [float(x) for x in xs]
+
+
+def test_embedding_incremental_equals_full_reflag_and_batch(spark):
+    """Embedding twin of the deterministic scenario: epoch 0 carries
+    larger ids (a cosine near-pair + distincts), epoch 1 backfills
+    smaller ids including a byte-identical vector (rep re-key) and a
+    new near-dup."""
+    from axonops_schema_registry_spark.streaming.dedup_store import (
+        EmbeddingDedupStore,
+        embedding_dedup_flags,
+    )
+
+    near_a = _u(1, 0.10, 0, 0)
+    near_b = _u(1, 0.12, 0, 0)
+    near_c = _u(1, 0.08, 0, 0)
+    b0 = _vecs(spark, [(10, near_a), (11, near_b),
+                       (12, _u(0, 1, 0, 0)), (13, _u(0, 0, 1, 0)),
+                       (14, _u(0, 0, 0, 1))])
+    b1 = _vecs(spark, [(0, near_a), (1, near_c),
+                       (2, _u(1, -1, 1, -1))])
+    full_corpus = b0.unionByName(b1)
+
+    def fdict(df):
+        return {r.vec_id: (r.is_dup, r.dup_of) for r in df.collect()}
+
+    dirs = [tempfile.mkdtemp(prefix="erfi_full_"),
+            tempfile.mkdtemp(prefix="erfi_incr_")]
+    stores = [EmbeddingDedupStore(spark, d, dim=4) for d in dirs]
+    try:
+        for store in stores:
+            store(b0, epoch_id=0)
+            store(b1, epoch_id=1)
+        full, incr = stores
+        full.reflag(below_epoch=2)
+        incr.reflag_incremental([1], below_epoch=2)
+        want = fdict(embedding_dedup_flags(full_corpus, dim=4))
+        assert fdict(full.all_flags()) == want
+        assert fdict(incr.all_flags()) == want
+        # the backfilled byte-identical vector is the true original
+        assert want[0] == (False, None)
+        assert want[10] == (True, 0)
+
+        # future ingests read THROUGH the overlay on both stores
+        b2 = _vecs(spark, [(30, near_a), (31, near_b),
+                           (32, _u(-1, 0, 0, 1))])
+        full(b2, epoch_id=2)
+        incr(b2, epoch_id=2)
+        want2 = fdict(embedding_dedup_flags(
+            full_corpus.unionByName(b2), dim=4))
+        assert fdict(full.all_flags()) == want2
+        assert fdict(incr.all_flags()) == want2
+        assert want2[30] == (True, 0)
+
+        # quiescent compact folds the overlay away
+        incr.compact(below_epoch=3)
+        assert fdict(incr.all_flags()) == want2
+        assert incr._meta().get("nrep", 0) == 0
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_embedding_incremental_random_out_of_order(spark, seed):
+    import math
+
+    from axonops_schema_registry_spark.streaming.dedup_store import (
+        EmbeddingDedupStore,
+        embedding_dedup_flags,
+    )
+
+    rng = random.Random(seed)
+    base = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0], [1.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 1.0]]
+    vecs = []
+    for fam in range(4):                       # near-dup families
+        b = base[fam]
+        for _ in range(rng.randint(1, 3)):
+            eps = rng.randint(5, 15) / 100.0
+            v = [x + (eps if i == 3 else 0.0)
+                 for i, x in enumerate(b)]
+            n = math.sqrt(sum(x * x for x in v))
+            vecs.append([round(x / n, 6) for x in v])
+    for g in range(2):                         # byte-identical groups
+        vecs += [base[g]] * rng.randint(2, 3)
+    for i in range(4):                         # distinct-ish
+        vecs.append([float(rng.randint(-5, 5)) for _ in range(4)])
+    ids = list(range(len(vecs)))
+    rng.shuffle(ids)
+    rows = list(zip(ids, vecs))
+    rng.shuffle(rows)
+    cut = len(rows) // 2
+    b0, b1 = _vecs(spark, rows[:cut]), _vecs(spark, rows[cut:])
+    corpus = _vecs(spark, rows)
+
+    def fdict(df):
+        return {r.vec_id: (r.is_dup, r.dup_of) for r in df.collect()}
+
+    dirs = [tempfile.mkdtemp(prefix="erfi_f_"),
+            tempfile.mkdtemp(prefix="erfi_i_")]
+    stores = [EmbeddingDedupStore(spark, d, dim=4) for d in dirs]
+    try:
+        for store in stores:
+            store(b0, epoch_id=0)
+            store(b1, epoch_id=1)
+        full, incr = stores
+        full.reflag(below_epoch=2)
+        incr.reflag_incremental([1], below_epoch=2)
+        want = fdict(embedding_dedup_flags(corpus, dim=4))
+        assert fdict(full.all_flags()) == want
+        assert fdict(incr.all_flags()) == want
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

@@ -544,11 +544,23 @@ def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
     win.  Span output is pinned equal to the raw-string path in
     pytest; the default stays raw so the DuckDB oracle is replayable
     verbatim."""
-    from pyspark.sql import Window
+    pos_grams = _positioned_grams(df, id_col, text_col, k, hash_grams)
+    dup = (pos_grams.groupBy("gram")
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") >= min_count)
+           .select("gram"))
+    dpos = pos_grams.join(dup, "gram").select("id", "pos")
+    return _span_islands(dpos, k)
 
-    # split ONCE into a projected column: an inline split({text}) in
-    # the lambda is re-evaluated PER ELEMENT (O(words²) per doc —
-    # measured 3x slower on the es1 bench path)
+
+def _positioned_grams(df: DataFrame, id_col: str, text_col: str,
+                      k: int, hash_grams: bool) -> DataFrame:
+    """(id, pos, gram) for every k-gram position (1-based) — the
+    shared explode of the ExactSubstr family.  The split is projected
+    ONCE (an inline split({text}) in the lambda is re-evaluated PER
+    ELEMENT — O(words²) per doc, measured 3x slower on the es1 bench
+    path); ``hash_grams`` swaps the raw string key for its xxhash64
+    (the narrow-shuffle 100 TB form, see duplicated_span_islands)."""
     grams = (f"CASE WHEN size(__ws) >= {k} THEN "
              f"transform(sequence(1, size(__ws) - {k - 1}), "
              f"i -> struct(i AS pos, "
@@ -556,16 +568,19 @@ def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
              f"ELSE array() END")
     gram_key = (F.xxhash64("g.gram") if hash_grams
                 else F.col("g.gram"))
-    pos_grams = (df.select(F.col(id_col).alias("id"),
-                           F.split(F.col(text_col), " ").alias("__ws"))
-                 .select("id", F.explode(F.expr(grams)).alias("g"))
-                 .select("id", F.col("g.pos").alias("pos"),
-                         gram_key.alias("gram")))
-    dup = (pos_grams.groupBy("gram")
-           .agg(F.count(F.lit(1)).alias("__n"))
-           .filter(F.col("__n") >= min_count)
-           .select("gram"))
-    dpos = pos_grams.join(dup, "gram").select("id", "pos")
+    return (df.select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), " ").alias("__ws"))
+            .select("id", F.explode(F.expr(grams)).alias("g"))
+            .select("id", F.col("g.pos").alias("pos"),
+                    gram_key.alias("gram")))
+
+
+def _span_islands(dpos: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of flagged positions: consecutive
+    positions share ``pos - row_number()``; each maximal run becomes
+    (id, start_pos, end_pos, n_words) with n_words = end - start + k."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("id").orderBy("pos")
     return (dpos
             .withColumn("__grp", F.col("pos") - F.row_number().over(w))
@@ -619,6 +634,16 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     expression over the word array, no second corpus explode."""
     islands = duplicated_span_islands(df, id_col, text_col, k,
                                       min_count, hash_grams)
+    return _cut_spans(df, islands, id_col, text_col, k,
+                      min_span_words)
+
+
+def _cut_spans(df: DataFrame, islands: DataFrame, id_col: str,
+               text_col: str, k: int,
+               min_span_words: int | None) -> DataFrame:
+    """Remove every word position covered by an island from its
+    document — the shared cut tail of the ExactSubstr family (see
+    remove_duplicated_spans for the full semantics)."""
     if min_span_words is not None:
         islands = islands.filter(F.col("n_words") >= min_span_words)
     spans = (islands.groupBy("id")
@@ -647,3 +672,54 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
          .alias("n_removed"),
         F.expr("array_join(transform(__kept, s -> s.w), ' ')")
          .alias("cleaned_text")))
+
+
+def contaminated_span_islands(train: DataFrame, eval_df: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", k: int = 8,
+                              hash_grams: bool = False) -> DataFrame:
+    """Cross-corpus ExactSubstr islands — the DECONTAMINATION form of
+    :func:`duplicated_span_islands` (Lee et al. 2021 apply the same
+    suffix-machinery between train and eval; GPT-3's appendix-C n-gram
+    rule is the coarser cousin): a TRAIN position is flagged when its
+    k-gram occurs ANYWHERE in the evaluation corpus, and consecutive
+    flagged positions merge into maximal islands — the spans a
+    pipeline must cut so the model never trains on benchmark text.
+    ctm1/ctm2 COUNT these collisions per document; this localizes
+    them to cuttable spans.
+
+    Scale shape: train positioned k-grams are a row-local explode;
+    the eval gram set is one distinct over the (much smaller) eval
+    corpus; the membership join is gram-keyed and AMPLIFICATION-FREE
+    (the eval side holds one row per distinct gram — a boilerplate
+    gram costs its train occurrences, never a cross product), and AQE
+    broadcasts the eval side whenever it actually is small.
+    ``hash_grams`` narrows both shuffle keys to 8 bytes (the 100 TB
+    form, same trade documented on duplicated_span_islands)."""
+    pos_grams = _positioned_grams(train, id_col, text_col, k,
+                                  hash_grams)
+    eval_grams = (token_set(eval_df, id_col, text_col, k)
+                  .select(F.col("token").alias("gram")).distinct())
+    if hash_grams:
+        eval_grams = eval_grams.select(F.xxhash64("gram").alias("gram"))
+    dpos = pos_grams.join(eval_grams, "gram").select("id", "pos")
+    return _span_islands(dpos, k)
+
+
+def remove_contaminated_spans(train: DataFrame, eval_df: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", k: int = 8,
+                              hash_grams: bool = False,
+                              min_span_words: int | None = None
+                              ) -> DataFrame:
+    """Cut every word position covered by a
+    :func:`contaminated_span_islands` island from its TRAIN document —
+    the decontamination edit itself (eval documents are never
+    modified).  Same output contract and cut machinery as
+    :func:`remove_duplicated_spans` (every train document appears;
+    ``min_span_words`` gates at island granularity, the documented
+    conservative-toward-removal approximation)."""
+    islands = contaminated_span_islands(train, eval_df, id_col,
+                                        text_col, k, hash_grams)
+    return _cut_spans(train, islands, id_col, text_col, k,
+                      min_span_words)

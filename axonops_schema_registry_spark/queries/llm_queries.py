@@ -2163,6 +2163,75 @@ GROUP BY w.id ORDER BY doc_id
 """
 
 
+def es3_decontamination_cut(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Cross-corpus ExactSubstr decontamination CUT
+    (llm/dedup.py:remove_contaminated_spans — Lee et al. 2021's
+    machinery applied between train and eval, the span-level
+    completion of ctm1's collision counts): every train word position
+    whose 8-gram occurs anywhere in the held-out 'src1' slice is
+    removed from its document, emitting cleaned text + removal
+    accounting for EVERY train document.  The eval gram set is one
+    distinct over the small slice (AQE broadcasts it); the membership
+    join is gram-keyed and amplification-free."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        remove_contaminated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.filter(F.col("source") == "src1")
+    train = docs.filter(F.col("source") != "src1")
+    return (remove_contaminated_spans(train, test, "doc_id", "text",
+                                      k=8)
+            .select(F.col("id").alias("doc_id"), "n_words",
+                    "n_removed", "cleaned_text")
+            .orderBy("doc_id"))
+
+
+ES3_ORACLE = """
+WITH pg AS (
+  SELECT doc_id AS id, i AS pos,
+         array_to_string(string_split(text, ' ')[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1,
+                   greatest(len(string_split(text, ' ')) - 7, 0))) AS i
+        FROM documents WHERE source <> 'src1')),
+eg AS (
+  SELECT DISTINCT
+         array_to_string(string_split(text, ' ')[i:i+7], ' ') AS gram
+  FROM (SELECT text,
+               unnest(generate_series(1,
+                   greatest(len(string_split(text, ' ')) - 7, 0))) AS i
+        FROM documents WHERE source = 'src1')),
+dpos AS (SELECT id, pos FROM pg JOIN eg USING (gram)),
+isl AS (
+  SELECT id, pos,
+         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+  FROM dpos),
+spans AS (
+  SELECT id, MIN(pos) AS start_pos, MAX(pos) + 7 AS cov_end
+  FROM isl GROUP BY id, grp),
+words AS (
+  SELECT doc_id AS id, i, string_split(text, ' ')[i] AS w
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(string_split(text, ' '))))
+                 AS i
+        FROM documents WHERE source <> 'src1')),
+covered AS (
+  SELECT DISTINCT w.id, w.i
+  FROM words w JOIN spans s
+    ON w.id = s.id AND w.i BETWEEN s.start_pos AND s.cov_end)
+SELECT w.id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN c.i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       COALESCE(string_agg(CASE WHEN c.i IS NULL THEN w.w END, ' '
+                           ORDER BY w.i), '') AS cleaned_text
+FROM words w LEFT JOIN covered c ON w.id = c.id AND w.i = c.i
+GROUP BY w.id ORDER BY doc_id
+"""
+
+
 def dsir1_importance_selection(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """DSIR data selection (llm/sampling.py:dsir_log_weights — Xie et
@@ -3313,6 +3382,9 @@ SPECS: list[QuerySpec] = [
               bench=True),
     QuerySpec("es2_span_removal", es2_span_removal, ES2_ORACLE,
               tags=("llm", "dedup", "substring")),
+    QuerySpec("es3_decontamination_cut", es3_decontamination_cut,
+              ES3_ORACLE,
+              tags=("llm", "dedup", "contamination", "substring")),
     QuerySpec("dsir1_importance_selection", dsir1_importance_selection,
               DSIR1_ORACLE,
               tags=("llm", "sampling", "selection", "agg"),

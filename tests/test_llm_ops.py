@@ -1749,3 +1749,58 @@ def test_remove_spans_min_span_words_threshold(spark):
                    docs, "doc_id", "text", k=k,
                    min_count=2).collect()}
     assert ungated[1] == 3 and ungated[2] == 3
+
+
+def test_decontamination_cut_randomized_cross_validation(spark):
+    """Cross-corpus ExactSubstr fuzz (es3's operator): 20 random
+    (train, eval) corpus pairs over a tiny alphabet in ONE Spark pass
+    (word-salted per corpus), each compared against a pure-Python
+    reference that flags train positions whose k-gram appears in eval
+    and cuts merged islands — plus the hash_grams path pinned equal."""
+    import random
+
+    from axonops_schema_registry_spark.llm.dedup import (
+        remove_contaminated_spans,
+    )
+
+    rng = random.Random(20260815)
+    k = 3
+    cases = {}
+    train_rows, eval_rows = [], []
+    for c in range(20):
+        train = {d: " ".join(f"w{rng.randint(0, 3)}_c{c}"
+                             for _ in range(rng.randint(0, 14)))
+                 for d in range(rng.randint(1, 5))}
+        ev = {d: " ".join(f"w{rng.randint(0, 3)}_c{c}"
+                          for _ in range(rng.randint(0, 10)))
+              for d in range(rng.randint(1, 3))}
+        cases[c] = (train, ev)
+        train_rows += [(c * 1000 + d, t) for d, t in train.items()]
+        eval_rows += [(c * 1000 + d, t) for d, t in ev.items()]
+    tdf = spark.createDataFrame(train_rows, "doc_id bigint, text string")
+    edf = spark.createDataFrame(eval_rows, "doc_id bigint, text string")
+
+    got = {r.id: (r.n_words, r.n_removed, r.cleaned_text)
+           for r in remove_contaminated_spans(tdf, edf, k=k).collect()}
+    hashed = {r.id: (r.n_words, r.n_removed, r.cleaned_text)
+              for r in remove_contaminated_spans(
+                  tdf, edf, k=k, hash_grams=True).collect()}
+    assert hashed == got  # the 100 TB key form is output-identical
+
+    for c, (train, ev) in cases.items():
+        eval_grams = set()
+        for t in ev.values():
+            ws = t.split(" ")
+            for i in range(len(ws) - k + 1):
+                eval_grams.add(" ".join(ws[i:i + k]))
+        for d, t in train.items():
+            ws = t.split(" ")
+            covered: set = set()
+            for i in range(len(ws) - k + 1):
+                if " ".join(ws[i:i + k]) in eval_grams:
+                    covered.update(range(i + 1, i + 1 + k))
+            kept = [w for i, w in enumerate(ws, 1) if i not in covered]
+            want = (len(ws), len(ws) - len(kept), " ".join(kept))
+            assert got[c * 1000 + d] == want, (c, d, t)
+    # the fuzz actually exercises cuts somewhere
+    assert any(v[1] > 0 for v in got.values())

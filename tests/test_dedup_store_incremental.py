@@ -324,3 +324,42 @@ def test_embedding_incremental_random_out_of_order(spark, seed):
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_orphan_repair_dir_is_invisible_and_overwritten(spark):
+    """Crash-safety of the repair commit: deltas are fully written to
+    repairs/r<n> BEFORE meta.json advances nrep, so a crash in between
+    leaves an orphan directory that (a) no read applies (nrep still
+    0) and (b) the next repair overwrites on its way to a proper
+    commit."""
+    b0 = _docs(spark, [(10, _near("pA")), (11, _distinct(11))])
+    b1 = _docs(spark, [(0, _near("pA")), (1, _distinct(1))])
+    d = tempfile.mkdtemp(prefix="rfi_orphan_")
+    try:
+        store = BucketedDedupStore(spark, d)
+        store(b0, epoch_id=0)
+        store(b1, epoch_id=1)
+        stale = _flags_dict(store.all_flags())
+
+        # simulate the crash: an orphan r0 holding garbage (a real
+        # crash would hold valid-but-uncommitted deltas; garbage is
+        # strictly harder — it must never be read)
+        orphan = os.path.join(d, "repairs", "r0", "flags")
+        os.makedirs(orphan, exist_ok=True)
+        with open(os.path.join(orphan, "junk.txt"), "w") as f:
+            f.write("not parquet")
+
+        # invisible: nrep is still 0, reads are the stale pre-repair
+        # verdicts, not an error
+        assert store._meta().get("nrep", 0) == 0
+        assert _flags_dict(store.all_flags()) == stale
+
+        # the next repair overwrites the orphan and commits
+        store.reflag_incremental([1], below_epoch=2)
+        want = _flags_dict(incremental_dedup_flags(b0.unionByName(b1)))
+        assert _flags_dict(store.all_flags()) == want
+        assert store._meta().get("nrep", 0) == 1
+        # the overwrite replaced the orphan's contents wholesale
+        assert not os.path.exists(os.path.join(orphan, "junk.txt"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -44,7 +44,8 @@ from axonops_schema_registry_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 K = int(os.environ.get("SPARK_GRAFT_SF1_FACTOR", "10"))
 OFF = 1_000_000_000
-MARKER = "\n## r10 appendix: sf1 headline rehearsal (10x sf0.1, full bench set)"
+MARKER = ("\n## sf1 headline rehearsal (refreshed r11: 10x sf0.1, "
+          "full bench set incl. the scale-form variants)")
 
 #: per-table key columns that must move TOGETHER across replicas so
 #: join selectivity is preserved; region/nation stay single-copy

@@ -20,12 +20,12 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-11 rotation (VERDICT r10 ask #1, oldest-first): the 3
+    # Round-11 rotation (VERDICT r10 ask #1, oldest-first): the 4
     # specs NEW this round lead (never driver-sampled), then the 22
     # deferred r6-green specs (the exact list named in the r10 window
     # comment and VERDICT.md).  No spec's newest green round is r7
     # (the r8 window re-verified everything it touched), so the
-    # backfill is 25 of the 50 r8-green specs — bespoke
+    # backfill is 24 of the 50 r8-green specs — bespoke
     # LLM/streaming/registry families ahead of the TPC-shaped
     # relational tail.  After this round the freshness floor rises
     # to r8.  Deferred r8-green names for the r12 window:
@@ -37,12 +37,12 @@ _PRIORITY: tuple[str, ...] = (
     # j3r_reference_resolution, j4r_subject_similarity,
     # met1_prometheus_export, mp1_migration_path, q2, q8, q9,
     # r2_version_history, r3_schema_versions_view,
-    # r7_registration_gated, tx2_token_stats,
+    # r7_registration_gated, tx1_language_id, tx2_token_stats,
     # tx3_rolling_fingerprint, tx8_normalize
     # — all guarded by tests/test_queries_oracle.py meanwhile.
     # -- new in r11 (never driver-sampled)
     "mix3_temperature_mixture", "vg1_vocab_growth",
-    "es3_decontamination_cut",
+    "es3_decontamination_cut", "dd8_quality_representatives",
     # -- the 22 r6-stale specs (freshness floor, 5 rounds old)
     "f3_glob_search", "f5_normalize_names", "f7_fuzzy_match",
     "o2_deterministic_pagination", "p4_status_split",
@@ -54,7 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     "s5_distinct_listing", "w1_latest_per_subject",
     "w2_listing_with_latest_flag", "w3_content_addressed_ids",
     "w5_prior_version_delta",
-    # -- 25 of the 50 r8-green specs (bespoke families first)
+    # -- 24 of the 50 r8-green specs (bespoke families first)
     "bpe1_merge_candidates", "ctm2_bloom_contamination",
     "ctm3_semantic_contamination", "dd1_exact_dedup",
     "dd3_simhash_dedup", "dd4_dedup_clusters",
@@ -63,7 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "mix2_segmented_mixture", "mm4_wav_decode", "nn3_ivf_ann_topk",
     "nn4_pq_adc_topk", "pk2_segmented_packing",
     "pk3_whole_doc_packing", "ppl1_unigram_perplexity",
-    "qz2_pq_encode", "sem1_semantic_dedup", "tx1_language_id",
+    "qz2_pq_encode", "sem1_semantic_dedup",
     "exp1_exporter_lifecycle", "j8_kek_dek_lifecycle",
     "j8b_dek_rewrap", "c3_compat_with_refs",
     "asof1_config_at_event_time",

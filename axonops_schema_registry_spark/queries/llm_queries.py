@@ -170,6 +170,103 @@ FROM labels l
 """
 
 
+def dd8_quality_representatives(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over near-dup clusters — the
+    keep-BEST-copy policy real curation pipelines apply (CCNet /
+    RefinedWeb-style keep heuristics) instead of dd4's keep-first:
+    clusters come from the same MinHash-pair connected components, and
+    each cluster's representative is its most informative member
+    (most distinct tokens, then longest, then smallest id — all exact
+    integers, so both engines rank identically).  One row per cluster
+    with the elected rep and whether it differs from the keep-first
+    choice.
+
+    Scale shape: the feature projection is row-local; the
+    members↔features join is doc-keyed; the election is one window
+    per cluster, bounded by cluster size (near-dup clusters are
+    small; a boilerplate mega-cluster is exactly what the upstream
+    exact-collapse and max_bucket guards bound)."""
+    from pyspark.sql import Window
+
+    from axonops_schema_registry_spark.llm.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8,
+                              ngram=3)
+    clusters = connected_components(pairs)
+    toks = F.split(F.col("text"), " ")
+    feats = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("bigint")
+        .alias("n_distinct"),
+        F.size(toks).cast("bigint").alias("n_words"))
+    m = clusters.join(feats, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_distinct"), F.desc("n_words"), F.asc("doc_id"))
+    return (m.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("cluster_id", "cluster_size",
+                    F.col("doc_id").alias("rep_id"),
+                    F.col("n_distinct").alias("rep_distinct_tokens"),
+                    F.col("n_words").alias("rep_n_words"),
+                    (F.col("doc_id") != F.col("cluster_id"))
+                    .alias("differs_from_first"))
+            .orderBy("cluster_id"))
+
+
+DD8_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM documents),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id),
+dup_pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.8),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs),
+reach AS (
+  WITH RECURSIVE r(root, node) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.root, e.dst FROM r JOIN edges e ON e.src = r.node)
+  SELECT root, node FROM r),
+labels AS (SELECT root AS doc_id, MIN(node) AS cluster_id
+           FROM reach GROUP BY root),
+members AS (
+  SELECT l.doc_id, l.cluster_id,
+         (SELECT COUNT(*) FROM labels l2
+          WHERE l2.cluster_id = l.cluster_id) AS cluster_size,
+         CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT)
+           AS n_distinct,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
+  FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
+SELECT cluster_id, cluster_size, doc_id AS rep_id,
+       n_distinct AS rep_distinct_tokens, n_words AS rep_n_words,
+       doc_id <> cluster_id AS differs_from_first
+FROM members
+QUALIFY row_number() OVER (
+    PARTITION BY cluster_id
+    ORDER BY n_distinct DESC, n_words DESC, doc_id ASC) = 1
+ORDER BY cluster_id
+"""
+
+
 def dd6_embedding_cosine_dedup(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucketed candidates + exact
@@ -3418,6 +3515,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup", "iterative")),
     QuerySpec("dd5_cross_source_dup_matrix", dd5_cross_source_dup_matrix,
               DD5_ORACLE, tags=("llm", "dedup")),
+    QuerySpec("dd8_quality_representatives", dd8_quality_representatives,
+              DD8_ORACLE, tags=("llm", "dedup", "window", "iterative")),
     QuerySpec("dd6_embedding_cosine_dedup", dd6_embedding_cosine_dedup,
               DD6_ORACLE, tags=("llm", "dedup", "similarity"), bench=True),
     # bench-only 100 TB form (VERDICT r10 ask #2): occupancy-targeted

@@ -222,6 +222,15 @@ def temperature_quotas(docs: DataFrame, budget: int,
     is deterministic without any decimal plumbing.  Everything
     downstream is bigint DIV bigint.
 
+    Quotas use floor division with NO largest-remainder top-up, so
+    ``sum(quota)`` can fall short of ``budget`` by up to
+    ``n_sources - 1`` documents (ADVICE r11) — deliberate: the floor
+    keeps every quota a pure integer function of its own source's
+    mass (redistribution would couple each quota to the global
+    remainder ordering, a cross-source tie-break this spec does not
+    need).  Callers that require the budget to be met exactly must
+    top up the shortfall themselves.
+
     Scale shape: one map-side-combinable aggregate over the corpus,
     then a sources-sized quota table (broadcast by the consumer —
     :func:`dataset_mixture` takes it as-is)."""

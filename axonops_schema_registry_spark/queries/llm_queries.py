@@ -186,7 +186,16 @@ def dd8_quality_representatives(spark: SparkSession,
     members↔features join is doc-keyed; the election is one window
     per cluster, bounded by cluster size (near-dup clusters are
     small; a boilerplate mega-cluster is exactly what the upstream
-    exact-collapse and max_bucket guards bound)."""
+    exact-collapse and max_bucket guards bound).
+
+    Oracle contract (same inherited assumption as dd2/dd4, ADVICE
+    r11): DD8_ORACLE computes EXACT all-pairs Jaccard while the Spark
+    side verifies only LSH-banding candidates — equality holds
+    because banding recall is perfect on the fixture corpus (64
+    hashes / 16 bands; a true >=0.8 pair collides in some band with
+    overwhelming probability).  A fixture change that plants a >=0.8
+    pair whose bands never collide would hash-mismatch here (and in
+    dd2/dd4) — diagnose against this note, not the election logic."""
     from pyspark.sql import Window
 
     from axonops_schema_registry_spark.llm.dedup import (

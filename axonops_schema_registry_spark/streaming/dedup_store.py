@@ -296,32 +296,199 @@ class _EpochStore:
         return (df.join(F.broadcast(rm), key, "left")
                 .select(F.coalesce("__trep", key).alias(key), *rest))
 
+    #: bucket key columns of the signature table (store-specific):
+    #: ("band", "key") for the text store, ("table", "bucket") for the
+    #: embedding store
+    _key_cols: tuple[str, ...] = ()
+
+    def _bucket_rows(self, below_epoch: int) -> DataFrame | None:
+        """Stored signature-bucket rows normalized to
+        (``__bid``, *key_cols) — the store-specific read the shared
+        repair machinery builds on.  None when nothing is stored."""
+        raise NotImplementedError
+
+    def _verify_pair_min(self, cand: DataFrame, rep_map: DataFrame,
+                         below_epoch: int) -> DataFrame | None:
+        """Exactly verify candidate pairs (``id_a``, ``id_b``) against
+        the stored content tables (token sets / vectors, re-keyed
+        through ``rep_map``) and return the min verified smaller
+        partner per ``id_b`` as (``__rep``, ``__nmin``) — the
+        store-specific verification half (Jaccard vs cosine)."""
+        raise NotImplementedError
+
     def _new_pair_min(self, groups: DataFrame, rep_map: DataFrame,
                       below_epoch: int):
-        """Store-specific half of the incremental repair: candidate
-        pairs between the touched groups' (re-keyed) reps and the
-        whole rep universe, exactly verified.  Returns
-        (``(__rep, __nmin)`` — min verified smaller partner per rep,
+        """Uncapped half of the incremental repair: candidate pairs
+        between the touched groups' (re-keyed) reps and the whole rep
+        universe from ONE broadcast join of the touched reps' bucket
+        keys (batch-sized) against the stored bucket table — the
+        store side is scanned, never shuffled — then exact
+        verification restricted to colliding ids (broadcast
+        semi-join, as ingest does).  Returns (``(__rep, __nmin)``,
         [checkpoints to release after the delta write]), or None when
         the store holds no signatures."""
-        raise NotImplementedError
+        bk0 = self._bucket_rows(below_epoch)
+        if bk0 is None:
+            return None
+        kc = list(self._key_cols)
+        rm = rep_map.select(F.col(self._bucket_id_col).alias("__bid"),
+                            "__trep")
+        tbuck = (bk0.join(F.broadcast(
+                     groups.select(F.col("__orep").alias("__bid"),
+                                   "__trep")), "__bid")
+                 .select(F.col("__trep").alias("id_t"), *kc)
+                 .localCheckpoint(eager=True))
+        all_rk = (bk0.join(F.broadcast(rm), "__bid", "left")
+                  .select(F.coalesce("__trep", "__bid").alias("__nbid"),
+                          *kc))
+        cand = (all_rk.join(F.broadcast(tbuck), kc)
+                .filter(F.col("__nbid") != F.col("id_t"))
+                .select(F.least("__nbid", "id_t").alias("id_a"),
+                        F.greatest("__nbid", "id_t").alias("id_b"))
+                .distinct()
+                .localCheckpoint(eager=True))
+        new_min = self._verify_pair_min(cand, rep_map, below_epoch)
+        if new_min is None:
+            for ck in (tbuck, cand):
+                release_checkpoint(ck)
+            return None
+        return new_min, [tbuck, cand]
+
+    def _capped_new_pair_min(self, groups: DataFrame,
+                             rep_map: DataFrame, late_ids: DataFrame,
+                             below_epoch: int):
+        """Rank-cap-aware variant of :meth:`_new_pair_min` for stores
+        with ``max_bucket`` (VERDICT r11 ask #2): under the cap, full
+        :meth:`reflag` generates pair (x, y) iff x sits in the
+        CURRENT top-``max_bucket`` of a shared bucket, so the repair
+        must (a) generate new pairs with the same capped a-side and
+        (b) detect ids the late batch EVICTED from a bucket's top-k —
+        a verdict whose ``dup_of`` is evicted may be withdrawn by the
+        full pass and needs a full recompute (:meth:`_replace_min`).
+
+        Rankings change ONLY in buckets holding a late-inserted or
+        re-keyed row (ordered arrivals append ids larger than
+        everything stored, which never shifts existing ranks), so
+        both rankings are windowed over the touched buckets' rows
+        alone — the same bounded neighborhood the uncapped repair
+        scans.  The old ranking excludes rows the late epochs
+        themselves inserted (by old id ∈ late ids) and uses pre-re-key
+        ids: that reproduces the most generous ranking any
+        already-emitted verdict can have seen, so the evicted set is
+        a superset of every at-risk partner (over-inclusion only
+        costs recompute — the recompute itself is exact).
+
+        Returns (``(__rep, __nmin)`` new-pair mins, ``evicted`` ids
+        frame (``__bid``), [checkpoints]), or None when the store
+        holds no signatures."""
+        from pyspark.sql import Window
+
+        cap = self.max_bucket
+        kc = list(self._key_cols)
+        bk0 = self._bucket_rows(below_epoch)
+        if bk0 is None:
+            return None
+        rm = rep_map.select(F.col(self._bucket_id_col).alias("__bid"),
+                            "__trep")
+        bk = (bk0.join(F.broadcast(rm), "__bid", "left")
+              .select("__bid",
+                      F.coalesce("__trep", "__bid").alias("__nbid"),
+                      *kc))
+        treps = groups.select(F.col("__trep").alias("__nbid")).distinct()
+        tkeys = (bk.join(F.broadcast(treps), "__nbid")
+                 .select(*kc).distinct())
+        rows = (bk.join(F.broadcast(tkeys), kc)
+                .join(F.broadcast(treps.withColumn("__t", F.lit(True))),
+                      "__nbid", "left")
+                .withColumn("__t", F.coalesce("__t", F.lit(False)))
+                .localCheckpoint(eager=True))
+        new_ranked = rows.withColumn(
+            "__rn", F.row_number().over(
+                Window.partitionBy(*kc).orderBy("__nbid")))
+        lids = late_ids.select(F.col(self.id_col).alias("__bid"))
+        old_ranked = (rows.join(F.broadcast(lids), "__bid", "left_anti")
+                      .withColumn("__ro", F.row_number().over(
+                          Window.partitionBy(*kc).orderBy("__bid"))))
+        evicted = (new_ranked.filter(F.col("__rn") > cap)
+                   .select("__bid", *kc)
+                   .join(old_ranked.filter(F.col("__ro") <= cap)
+                         .select("__bid", *kc), ["__bid", *kc])
+                   .select("__bid").distinct()
+                   .localCheckpoint(eager=True))
+        # new pairs involving a touched rep, a-side capped — for a
+        # touched rep every one of its buckets is a touched bucket
+        # (its own rows make them so), so this is its COMPLETE current
+        # pair set as id_b, and the complete set of (trep, y) pairs
+        # it can contribute as id_a
+        a = (new_ranked.filter(F.col("__rn") <= cap)
+             .select(F.col("__nbid").alias("id_a"),
+                     F.col("__t").alias("__ta"), *kc))
+        b = rows.select(F.col("__nbid").alias("id_b"),
+                        F.col("__t").alias("__tb"), *kc)
+        cand = (a.join(b, kc)
+                .filter((F.col("id_a") < F.col("id_b"))
+                        & (F.col("__ta") | F.col("__tb")))
+                .select("id_a", "id_b").distinct()
+                .localCheckpoint(eager=True))
+        new_min = self._verify_pair_min(cand, rep_map, below_epoch)
+        if new_min is None:
+            for ck in (rows, evicted, cand):
+                release_checkpoint(ck)
+            return None
+        return new_min, evicted, [rows, cand, evicted]
+
+    def _replace_min(self, raff: DataFrame, rep_map: DataFrame,
+                     below_epoch: int):
+        """Full capped verdict recompute for the affected reps
+        (``raff``: reps whose stored ``dup_of`` was evicted from a
+        touched bucket's top-k): rebuild each one's COMPLETE pair set
+        as id_b — its buckets' current capped top-k, exactly verified
+        — exactly what the full :meth:`reflag` would give it.  The
+        result REPLACES (never least-merges) the old verdict, because
+        the old ``dup_of`` may be withdrawn.  Bounded by the affected
+        reps' bucket neighborhoods.  Returns ((``__rep``, ``__nmin``),
+        [checkpoints])."""
+        from pyspark.sql import Window
+
+        cap = self.max_bucket
+        kc = list(self._key_cols)
+        bk0 = self._bucket_rows(below_epoch)
+        rm = rep_map.select(F.col(self._bucket_id_col).alias("__bid"),
+                            "__trep")
+        bk = (bk0.join(F.broadcast(rm), "__bid", "left")
+              .select(F.coalesce("__trep", "__bid").alias("__nbid"),
+                      *kc))
+        rids = raff.select(F.col("__rep").alias("__nbid")).distinct()
+        akeys = (bk.join(F.broadcast(rids), "__nbid")
+                 .select(*kc).distinct())
+        rows = bk.join(F.broadcast(akeys), kc) \
+            .localCheckpoint(eager=True)
+        a = (rows.withColumn(
+                 "__rn", F.row_number().over(
+                     Window.partitionBy(*kc).orderBy("__nbid")))
+             .filter(F.col("__rn") <= cap)
+             .select(F.col("__nbid").alias("id_a"), *kc))
+        b = (rows.join(F.broadcast(rids), "__nbid")
+             .select(F.col("__nbid").alias("id_b"), *kc))
+        cand = (a.join(b, kc).filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct()
+                .localCheckpoint(eager=True))
+        new_min = self._verify_pair_min(cand, rep_map, below_epoch)
+        return new_min, [rows, cand]
 
     def _reflag_incremental_core(self, late_epochs: list[int],
                                  below_epoch: int) -> None:
         """Shared skeleton of the bounded out-of-order repair (full
         semantics + cost contract on
         :meth:`BucketedDedupStore.reflag_incremental`): late members →
-        touched groups → true-rep re-key map → store-specific
-        :meth:`_new_pair_min` → rep-level least(old, new) first-wins
-        update → member propagation → replace-only delta commit
-        (advance ``nrep`` in meta.json)."""
+        touched groups → true-rep re-key map → new-pair generation
+        (:meth:`_new_pair_min`, or the rank-cap-aware
+        :meth:`_capped_new_pair_min` + :meth:`_replace_min` pair when
+        ``max_bucket`` is set) → rep-level least(old, new) first-wins
+        update (REPLACED outright for reps whose partner was evicted
+        from a capped bucket) → member propagation → replace-only
+        delta commit (advance ``nrep`` in meta.json)."""
         self._check_params()
-        if self.max_bucket is not None:
-            raise RuntimeError(
-                "reflag_incremental is incompatible with max_bucket: "
-                "the rank cap makes verdicts depend on global bucket "
-                "ranking, which a re-key can shift for documents far "
-                "outside the late batch — use the full reflag()")
         self._assert_quiescent(below_epoch)
         meta = self._meta()
         floor = meta["below"]
@@ -361,23 +528,67 @@ class _EpochStore:
         rep_map = (groups.filter(F.col("__trep") != F.col("__orep"))
                    .select(F.col("__orep").alias(self._bucket_id_col),
                            "__trep"))
+        rep_rows = (members.filter(mid == F.col("rep"))
+                    .select(F.col("rep").alias("__rep"),
+                            F.col("dup_of").alias("__odup"), "__fp"))
 
-        got = self._new_pair_min(groups, rep_map, below_epoch)
-        if got is None:
-            for ck in (mt, groups):
-                release_checkpoint(ck)
-            return
-        new_min, pair_cks = got
+        raff = repl = None
+        if self.max_bucket is None:
+            got = self._new_pair_min(groups, rep_map, below_epoch)
+            if got is None:
+                for ck in (mt, groups):
+                    release_checkpoint(ck)
+                return
+            new_min, pair_cks = got
+        else:
+            got = self._capped_new_pair_min(groups, rep_map, late_ids,
+                                            below_epoch)
+            if got is None:
+                for ck in (mt, groups):
+                    release_checkpoint(ck)
+                return
+            new_min, evicted, pair_cks = got
+            # reps whose stored dup_of fell out of a touched bucket's
+            # top-k: the full pass may WITHDRAW that verdict, so these
+            # get an exact full recompute instead of a least-merge —
+            # touched groups by their (re-keyed) true rep, untouched
+            # reps by their own id
+            raff_t = (groups
+                      .join(rep_rows
+                            .select(F.col("__rep").alias("__orep"),
+                                    "__odup"), "__orep")
+                      .join(F.broadcast(evicted),
+                            F.col("__odup") == F.col("__bid"))
+                      .select(F.col("__trep").alias("__rep"), "__fp"))
+            raff_u = (rep_rows
+                      .join(groups.select(F.col("__orep")
+                                          .alias("__rep")),
+                            "__rep", "left_anti")
+                      .join(F.broadcast(evicted),
+                            F.col("__odup") == F.col("__bid"))
+                      .select("__rep", "__fp"))
+            raff = (raff_t.unionByName(raff_u).distinct()
+                    .localCheckpoint(eager=True))
+            if raff.isEmpty():
+                release_checkpoint(raff)
+                raff = None
+            else:
+                rmin, repl_cks = self._replace_min(raff, rep_map,
+                                                   below_epoch)
+                repl = (raff.join(rmin.withColumnRenamed("__nmin",
+                                                         "__rmin"),
+                                  "__rep", "left")
+                        .localCheckpoint(eager=True))
+                pair_cks = [*pair_cks, *repl_cks, raff, repl]
 
         # rep-level corrected dup_of.  r1: the touched groups' true
         # reps — the carried-over base is the old rep's dup_of when it
         # is still below the new rep (partners are content-determined,
         # and any partner re-keyed SMALLER regenerates as a pair, so
         # least() always dominates stale values).  r2: untouched reps
-        # that gained a smaller partner from the late batch.
-        rep_rows = (members.filter(mid == F.col("rep"))
-                    .select(F.col("rep").alias("__rep"),
-                            F.col("dup_of").alias("__odup"), "__fp"))
+        # that gained a smaller partner from the late batch.  r3 (cap
+        # only): affected reps take the exact recompute, overriding
+        # both merge paths.
         r1 = (groups
               .join(rep_rows.select(F.col("__rep").alias("__orep"),
                                     "__odup"), "__orep", "left")
@@ -393,7 +604,16 @@ class _EpochStore:
               .join(rep_rows, "__rep")
               .select("__fp", "__rep",
                       F.least("__odup", "__nmin").alias("__rdup")))
-        aff = r1.unionByName(r2).localCheckpoint(eager=True)
+        if repl is not None:
+            ronly = raff.select("__rep")
+            r1 = r1.join(ronly, "__rep", "left_anti")
+            r2 = r2.join(ronly, "__rep", "left_anti")
+            r3 = repl.select("__fp", "__rep",
+                             F.col("__rmin").alias("__rdup"))
+            aff = (r1.unionByName(r2).unionByName(r3)
+                   .localCheckpoint(eager=True))
+        else:
+            aff = r1.unionByName(r2).localCheckpoint(eager=True)
 
         # propagate to every member of each affected group
         new_flags = (members.join(F.broadcast(aff), "__fp")
@@ -876,31 +1096,21 @@ class BucketedDedupStore(_EpochStore):
 
     # -- bounded out-of-order repair ---------------------------------------
 
-    def _new_pair_min(self, groups, rep_map, below_epoch):
-        """Text-store half of the incremental repair: candidates from
-        ONE broadcast join of the touched reps' (band, key) buckets
-        (batch-sized) against the stored bucket table — the store side
-        is scanned, never shuffled — then exact Jaccard verification
-        restricted to colliding ids (broadcast semi-join, as ingest
-        does)."""
+    _key_cols = ("band", "key")
+
+    def _bucket_rows(self, below_epoch):
         buckets = self._stored_view(self.buckets_dir, below_epoch)
-        toks = self._stored_view(self.toks_dir, below_epoch)
-        if buckets is None or toks is None:
+        if buckets is None:
             return None
-        tbuck = (buckets.join(F.broadcast(
-                     groups.select(F.col("__orep").alias("id"),
-                                   "__trep")), "id")
-                 .select(F.col("__trep").alias("id_t"), "band", "key")
-                 .localCheckpoint(eager=True))
-        all_rk = (buckets.join(F.broadcast(rep_map), "id", "left")
-                  .select(F.coalesce("__trep", "id").alias("id"),
-                          "band", "key"))
-        cand = (all_rk.join(F.broadcast(tbuck), ["band", "key"])
-                .filter(F.col("id") != F.col("id_t"))
-                .select(F.least("id", "id_t").alias("id_a"),
-                        F.greatest("id", "id_t").alias("id_b"))
-                .distinct()
-                .localCheckpoint(eager=True))
+        return buckets.select(F.col("id").alias("__bid"), "band", "key")
+
+    def _verify_pair_min(self, cand, rep_map, below_epoch):
+        """Exact-Jaccard verification half of the repair: stored token
+        sets re-keyed through ``rep_map``, restricted to colliding ids
+        (broadcast semi-join, as ingest does)."""
+        toks = self._stored_view(self.toks_dir, below_epoch)
+        if toks is None:
+            return None
         cand_ids = (cand.select(F.col("id_a").alias("id"))
                     .unionByName(cand.select(F.col("id_b").alias("id")))
                     .distinct())
@@ -910,9 +1120,8 @@ class BucketedDedupStore(_EpochStore):
         pairs = verify_jaccard(
             toks_rk.join(F.broadcast(cand_ids), "id"), cand,
             self.threshold)
-        new_min = (pairs.groupBy(F.col("id_b").alias("__rep"))
-                   .agg(F.min("id_a").alias("__nmin")))
-        return new_min, [tbuck, cand]
+        return (pairs.groupBy(F.col("id_b").alias("__rep"))
+                .agg(F.min("id_a").alias("__nmin")))
 
     def reflag_incremental(self, late_epochs: list[int],
                            below_epoch: int) -> None:
@@ -959,11 +1168,23 @@ class BucketedDedupStore(_EpochStore):
         Preconditions: quiescent store (every epoch < ``below_epoch``,
         enforced), ``late_epochs`` = ALL epochs ingested out-of-order
         since the last repair (each still live, i.e. not yet
-        compacted), and no ``max_bucket`` cap — the rank cap couples
-        verdicts to GLOBAL bucket ranking (a re-key can evict a
-        different id from a bucket's top-k, flipping verdicts far
-        from the late batch), so capped stores must use the full
-        :meth:`reflag`.
+        compacted).
+
+        ``max_bucket`` stores compose with this repair (VERDICT r11
+        ask #2): the rank cap couples verdicts to per-bucket id
+        RANKING, and a late batch shifts rankings only in the buckets
+        it inserted into or whose rep it re-keyed — so the repair (a)
+        generates new pairs with the same capped a-side the full
+        :meth:`reflag` uses, (b) detects ids EVICTED from those
+        buckets' top-k by comparing the pre-late against the current
+        ranking over the touched buckets' rows alone, and (c) fully
+        recomputes (never least-merges) the verdict of any rep whose
+        stored ``dup_of`` was evicted — the one case where the full
+        pass can WITHDRAW a verdict.  Equality with the capped full
+        :meth:`reflag` is pinned in
+        tests/test_dedup_store_incremental.py (planted-eviction
+        deterministic scenario + seeded-random corpora); cost still
+        follows the batch's bucket neighborhoods, not the store.
 
         Reference analogue: the exporter repairs by offset rather
         than rescan (internal/exporter/exporter.go:199-324) — the
@@ -1312,37 +1533,28 @@ class EmbeddingDedupStore(_EpochStore):
             self.flags = {r[self.id_col]: (r["is_dup"], r["dup_of"])
                           for r in self.all_flags().collect()}
 
-    def _new_pair_min(self, groups, rep_map, below_epoch):
-        """Embedding-store half of the incremental repair: candidates
-        from ONE broadcast join of the touched reps' (table, bucket)
-        keys (batch-sized) against the stored bucket table, exact
-        cosine verification (rounded to 4 decimals, the store's
-        documented comparison) restricted to colliding ids — the same
-        bounded shape as per-batch ingest."""
+    _key_cols = ("table", "bucket")
+
+    def _bucket_rows(self, below_epoch):
+        buckets = self._stored_view(self.buckets_dir, below_epoch)
+        if buckets is None:
+            return None
+        return buckets.select(F.col("__id").alias("__bid"),
+                              "table", "bucket")
+
+    def _verify_pair_min(self, cand, rep_map, below_epoch):
+        """Exact-cosine verification half of the repair (rounded to 4
+        decimals, the store's documented comparison): stored vectors
+        re-keyed through ``rep_map``, restricted to colliding ids —
+        the same bounded shape as per-batch ingest."""
         from axonops_schema_registry_spark.llm.similarity import (
             _dot_expr,
             with_norm,
         )
 
-        buckets = self._stored_view(self.buckets_dir, below_epoch)
         vecs = self._stored_view(self.vecs_dir, below_epoch)
-        if buckets is None or vecs is None:
+        if vecs is None:
             return None
-        tbuck = (buckets.join(F.broadcast(
-                     groups.select(F.col("__orep").alias("__id"),
-                                   "__trep")), "__id")
-                 .select(F.col("__trep").alias("id_t"),
-                         "table", "bucket")
-                 .localCheckpoint(eager=True))
-        all_rk = (buckets.join(F.broadcast(rep_map), "__id", "left")
-                  .select(F.coalesce("__trep", "__id").alias("__id"),
-                          "table", "bucket"))
-        cand = (all_rk.join(F.broadcast(tbuck), ["table", "bucket"])
-                .filter(F.col("__id") != F.col("id_t"))
-                .select(F.least("__id", "id_t").alias("id_a"),
-                        F.greatest("__id", "id_t").alias("id_b"))
-                .distinct()
-                .localCheckpoint(eager=True))
         cand_ids = (cand.select(F.col("id_a").alias("__id"))
                     .unionByName(cand.select(F.col("id_b")
                                              .alias("__id")))
@@ -1362,9 +1574,8 @@ class EmbeddingDedupStore(_EpochStore):
         pairs = (cand.join(va, "id_a").join(vb, "id_b")
                  .withColumn("__cos", F.round(sim, 4))
                  .filter(F.col("__cos") >= self.threshold))
-        new_min = (pairs.groupBy(F.col("id_b").alias("__rep"))
-                   .agg(F.min("id_a").alias("__nmin")))
-        return new_min, [tbuck, cand]
+        return (pairs.groupBy(F.col("id_b").alias("__rep"))
+                .agg(F.min("id_a").alias("__nmin")))
 
     def reflag_incremental(self, late_epochs: list[int],
                            below_epoch: int) -> None:

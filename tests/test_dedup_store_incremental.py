@@ -108,15 +108,12 @@ def test_incremental_reflag_preconditions(spark):
     b0 = _docs(spark, [(5, _distinct(5))])
     d = tempfile.mkdtemp(prefix="rfi_pre_")
     try:
-        store = BucketedDedupStore(spark, d, max_bucket=4)
+        store = BucketedDedupStore(spark, d)
         store(b0, epoch_id=0)
-        with pytest.raises(RuntimeError, match="max_bucket"):
-            store.reflag_incremental([0], below_epoch=1)
-        plain = BucketedDedupStore(spark, d)
         with pytest.raises(RuntimeError, match="quiescent"):
-            plain.reflag_incremental([0], below_epoch=0)
+            store.reflag_incremental([0], below_epoch=0)
         with pytest.raises(RuntimeError, match="live range"):
-            plain.reflag_incremental([7], below_epoch=1)
+            store.reflag_incremental([7], below_epoch=1)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -363,3 +360,244 @@ def test_orphan_repair_dir_is_invisible_and_overwritten(spark):
         assert not os.path.exists(os.path.join(orphan, "junk.txt"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# max_bucket composition (VERDICT r11 ask #2): the rank cap and the bounded
+# repair must coexist — equality target is the CAPPED full reflag (the cap
+# changes candidate-generation semantics, so the uncapped batch operator is
+# not the ground truth here)
+# ---------------------------------------------------------------------------
+
+def _far(tag_a: str, tag_b: str) -> str:
+    """Two words changed (positions 5 and 17): J ≈ 0.62 to every
+    `_near` text — BELOW the 0.8 threshold, yet (searched offline,
+    pinned by the in-test bucket assertion) sharing the 2-hash/1-band
+    minhash bucket of the `_near` family."""
+    ws = list(_BASE)
+    ws[5], ws[17] = tag_a, tag_b
+    return " ".join(ws)
+
+
+_CAP_KW = dict(n_hashes=2, bands=1, max_bucket=1)
+
+
+def test_capped_incremental_planted_eviction_withdrawal(spark):
+    """The withdrawal case the r11 guard existed to avoid, now handled:
+    a late SMALLER id lands in the one bucket that generated a stored
+    verdict, evicts the verdict's dup_of from the capped top-1, and
+    does NOT verify against anyone — the capped full reflag therefore
+    WITHDRAWS the verdict (20.dup_of: 10 → None), and the incremental
+    repair must match (the _replace_min path, not a least-merge)."""
+    X, Y, Z = _near("pA"), _near("pB"), _far("z4a", "z4b")
+    b0 = _docs(spark, [(10, X), (20, Y)])
+    b1 = _docs(spark, [(5, Z)])                      # late, dissimilar
+    dirs = [tempfile.mkdtemp(prefix="cap_full_"),
+            tempfile.mkdtemp(prefix="cap_incr_")]
+    stores = [BucketedDedupStore(spark, d, **_CAP_KW) for d in dirs]
+    try:
+        for store in stores:
+            store(b0, epoch_id=0)
+            store(b1, epoch_id=1)
+        full, incr = stores
+        # planted structure sanity: the pre-repair verdict exists (the
+        # three texts DO share a bucket — guards hash drift) and the
+        # late doc is unflagged
+        pre = _flags_dict(full.all_flags())
+        assert pre[20] == (True, 10), (
+            "planted bucket collision broke — re-search _far tags")
+        assert pre[5] == (False, None)
+
+        full.reflag(below_epoch=2)
+        incr.reflag_incremental([1], below_epoch=2)
+        want = _flags_dict(full.all_flags())
+        assert _flags_dict(incr.all_flags()) == want
+        # the withdrawal actually happened (this is the scenario)
+        assert want[20] == (False, None)
+        assert want[10] == (False, None)
+
+        # future ingests read through the overlay identically: a new
+        # near-dup of Y is now compared against the capped top-1 = 5,
+        # which does NOT verify -> unflagged on BOTH stores
+        b2 = _docs(spark, [(30, _near("pB2"))])
+        full(b2, epoch_id=2)
+        incr(b2, epoch_id=2)
+        assert (_flags_dict(incr.all_flags())
+                == _flags_dict(full.all_flags()))
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_capped_incremental_rekey_eviction(spark):
+    """Re-key-driven ranking shift: a late doc byte-identical to the
+    stored verdict's dup_of re-keys 10 → 5; in every shared bucket 5
+    replaces 10 at the top, so the stale (10, 20) pair regenerates as
+    (5, 20) and the old-rep id 10 itself becomes a dup of 5."""
+    X, Y = _near("pA"), _near("pB")
+    b0 = _docs(spark, [(10, X), (20, Y)])
+    b1 = _docs(spark, [(5, X)])            # late byte-identical twin
+    dirs = [tempfile.mkdtemp(prefix="capr_full_"),
+            tempfile.mkdtemp(prefix="capr_incr_")]
+    stores = [BucketedDedupStore(spark, d, **_CAP_KW) for d in dirs]
+    try:
+        for store in stores:
+            store(b0, epoch_id=0)
+            store(b1, epoch_id=1)
+        full, incr = stores
+        full.reflag(below_epoch=2)
+        incr.reflag_incremental([1], below_epoch=2)
+        want = _flags_dict(full.all_flags())
+        assert _flags_dict(incr.all_flags()) == want
+        assert want[5] == (False, None)
+        assert want[10] == (True, 5)
+        assert want[20] == (True, 5)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [3, 31, 59])
+def test_capped_incremental_random_equals_capped_full(spark, seed):
+    """Seeded random out-of-order corpora on max_bucket=2 stores with
+    DEFAULT banding: near-dup families (some larger than the cap),
+    identical-text groups, distincts, dealt into 3 epochs with ids
+    shuffled so later epochs backfill smaller ids.  Incremental must
+    equal the capped full reflag, including for a follow-up ingest."""
+    rng = random.Random(seed)
+    texts = []
+    for fam in range(3):                   # families larger than cap=2
+        for _ in range(rng.randint(2, 5)):
+            texts.append(_near(f"c{fam}v{rng.randint(0, 2)}"))
+    for g in range(2):
+        texts += [_near(f"cid{g}")] * rng.randint(2, 3)
+    for i in range(5):
+        texts.append(_distinct(f"c{seed}i{i}"))
+    ids = list(range(len(texts)))
+    rng.shuffle(ids)
+    rows = list(zip(ids, texts))
+    rng.shuffle(rows)
+    cut1, cut2 = len(rows) // 3, 2 * len(rows) // 3
+    batches = [_docs(spark, rows[:cut1]), _docs(spark, rows[cut1:cut2]),
+               _docs(spark, rows[cut2:])]
+    dirs = [tempfile.mkdtemp(prefix="capx_full_"),
+            tempfile.mkdtemp(prefix="capx_incr_")]
+    stores = [BucketedDedupStore(spark, d, max_bucket=2) for d in dirs]
+    try:
+        for store in stores:
+            for e, b in enumerate(batches):
+                store(b, epoch_id=e)
+        full, incr = stores
+        full.reflag(below_epoch=3)
+        incr.reflag_incremental([1, 2], below_epoch=3)
+        assert (_flags_dict(incr.all_flags())
+                == _flags_dict(full.all_flags()))
+
+        nxt = _docs(spark, [(200 + seed, _near("c0v0")),
+                            (201 + seed, _near("cid0")),
+                            (202 + seed, _distinct(f"cn{seed}"))])
+        full(nxt, epoch_id=3)
+        incr(nxt, epoch_id=3)
+        assert (_flags_dict(incr.all_flags())
+                == _flags_dict(full.all_flags()))
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_embedding_capped_incremental_planted_eviction(spark):
+    """Embedding twin of the planted withdrawal: one 1-bit hyperplane
+    table puts the low-cosine late vector (searched offline, pinned by
+    the in-test sanity assertion) in the SAME half-space bucket as the
+    stored near-pair; with max_bucket=1 it evicts vec 10 from the
+    top-1, the (10, 20) verdict is withdrawn by the capped full
+    reflag, and the incremental repair must match."""
+    from axonops_schema_registry_spark.streaming.dedup_store import (
+        EmbeddingDedupStore,
+    )
+
+    va, vb = _u(1, 0.10, 0, 0), _u(1, 0.12, 0, 0)   # cos ≈ 0.9998
+    vz = _u(1, 0, -5, 0)                            # cos ≈ 0.195 to both
+    b0 = _vecs(spark, [(10, va), (20, vb)])
+    b1 = _vecs(spark, [(5, vz)])
+    kw = dict(dim=4, n_bits=1, n_tables=1, max_bucket=1)
+    dirs = [tempfile.mkdtemp(prefix="ecap_full_"),
+            tempfile.mkdtemp(prefix="ecap_incr_")]
+    stores = [EmbeddingDedupStore(spark, d, **kw) for d in dirs]
+
+    def fdict(df):
+        return {r.vec_id: (r.is_dup, r.dup_of) for r in df.collect()}
+
+    try:
+        for store in stores:
+            store(b0, epoch_id=0)
+            store(b1, epoch_id=1)
+        full, incr = stores
+        pre = fdict(full.all_flags())
+        assert pre[20] == (True, 10), (
+            "planted hyperplane collision broke — re-search vz")
+        assert pre[5] == (False, None)
+
+        full.reflag(below_epoch=2)
+        incr.reflag_incremental([1], below_epoch=2)
+        want = fdict(full.all_flags())
+        assert fdict(incr.all_flags()) == want
+        assert want[20] == (False, None)
+
+        b2 = _vecs(spark, [(30, _u(1, 0.11, 0, 0))])
+        full(b2, epoch_id=2)
+        incr(b2, epoch_id=2)
+        assert fdict(incr.all_flags()) == fdict(full.all_flags())
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_embedding_capped_incremental_random(spark, seed):
+    import math
+
+    from axonops_schema_registry_spark.streaming.dedup_store import (
+        EmbeddingDedupStore,
+    )
+
+    rng = random.Random(seed)
+    base = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0]]
+    vecs = []
+    for fam in range(3):                    # families larger than cap
+        b = base[fam]
+        for _ in range(rng.randint(2, 4)):
+            eps = rng.randint(5, 15) / 100.0
+            v = [x + (eps if i == 3 else 0.0) for i, x in enumerate(b)]
+            n = math.sqrt(sum(x * x for x in v))
+            vecs.append([round(x / n, 6) for x in v])
+    for g in range(2):
+        vecs += [base[g]] * rng.randint(2, 3)
+    for i in range(4):
+        vecs.append([float(rng.randint(-5, 5)) for _ in range(4)])
+    ids = list(range(len(vecs)))
+    rng.shuffle(ids)
+    rows = list(zip(ids, vecs))
+    rng.shuffle(rows)
+    cut = len(rows) // 2
+    batches = [_vecs(spark, rows[:cut]), _vecs(spark, rows[cut:])]
+
+    def fdict(df):
+        return {r.vec_id: (r.is_dup, r.dup_of) for r in df.collect()}
+
+    dirs = [tempfile.mkdtemp(prefix="ecapx_f_"),
+            tempfile.mkdtemp(prefix="ecapx_i_")]
+    stores = [EmbeddingDedupStore(spark, d, dim=4, max_bucket=2)
+              for d in dirs]
+    try:
+        for store in stores:
+            for e, b in enumerate(batches):
+                store(b, epoch_id=e)
+        full, incr = stores
+        full.reflag(below_epoch=2)
+        incr.reflag_incremental([1], below_epoch=2)
+        assert fdict(incr.all_flags()) == fdict(full.all_flags())
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

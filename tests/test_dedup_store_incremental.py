@@ -601,3 +601,128 @@ def test_embedding_capped_incremental_random(spark, seed):
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Late-epoch tracking + enforcement (ADVICE r11): the store derives which
+# epochs arrived out-of-order from per-epoch id ranges recorded at ingest;
+# a repair call that omits one is rejected, and late_epochs=None derives
+# the exact set
+# ---------------------------------------------------------------------------
+
+def test_repair_rejects_omitted_late_epoch(spark):
+    b0 = _docs(spark, [(20, _near("pA")), (21, _distinct(21))])
+    b1 = _docs(spark, [(10, _near("pA"))])      # late
+    b2 = _docs(spark, [(5, _near("pB"))])       # also late
+    d = tempfile.mkdtemp(prefix="rfi_omit_")
+    try:
+        store = BucketedDedupStore(spark, d)
+        for e, b in enumerate([b0, b1, b2]):
+            store(b, epoch_id=e)
+        assert store._outstanding_late() == {1, 2}
+        with pytest.raises(RuntimeError, match=r"\[2\].*missing"):
+            store.reflag_incremental([1], below_epoch=3)
+        # nothing was committed by the refusal
+        assert store._meta().get("nrep", 0) == 0
+        # the full set (or a superset) passes, and marks both repaired
+        store.reflag_incremental([1, 2], below_epoch=3)
+        assert store._outstanding_late() == set()
+        assert store._meta().get("repaired") == [1, 2]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_repair_derives_late_set_when_none(spark):
+    """late_epochs=None (the recommended call) derives the exact
+    outstanding set and matches the full reflag; ordered stores
+    no-op (no delta committed)."""
+    b0 = _docs(spark, [(20, _near("pA")), (21, _distinct(21))])
+    b1 = _docs(spark, [(10, _near("pA")), (11, _near("pB"))])  # late
+    (full, incr), dirs = _two_stores(spark, [b0, b1])
+    try:
+        full.reflag(below_epoch=2)
+        incr.reflag_incremental(below_epoch=2)        # derived
+        assert _flags_dict(incr.all_flags()) == _flags_dict(
+            full.all_flags())
+        assert incr._meta().get("repaired") == [1]
+        # a second derived call finds nothing outstanding: no new delta
+        incr.reflag_incremental(below_epoch=2)
+        assert incr._meta().get("nrep", 0) == 1
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ordered_store_derives_empty_even_after_replay(spark):
+    """Per-epoch (min, max) entries — not a running max — so an
+    at-least-once REPLAY of an epoch cannot fake lateness: the epoch's
+    own recorded range is replaced with identical values and is never
+    compared against itself."""
+    b0 = _docs(spark, [(10, _near("pA")), (11, _distinct(11))])
+    b1 = _docs(spark, [(30, _near("pB")), (31, _distinct(31))])
+    d = tempfile.mkdtemp(prefix="rfi_replay_")
+    try:
+        store = BucketedDedupStore(spark, d)
+        store(b0, epoch_id=0)
+        store(b1, epoch_id=1)
+        store(b1, epoch_id=1)                       # replay
+        assert store._outstanding_late() == set()
+        store.reflag_incremental(below_epoch=2)     # derives empty
+        assert store._meta().get("nrep", 0) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compacting_unrepaired_late_epoch_disables_bounded_repair(spark):
+    """A compact that folds an unrepaired late epoch bakes the stale
+    verdicts into the base — the bounded repair must refuse from then
+    on (needs_full_reflag), and the full reflag clears the state."""
+    b0 = _docs(spark, [(20, _near("pA")), (21, _distinct(21))])
+    b1 = _docs(spark, [(10, _near("pA"))])          # late, unrepaired
+    d = tempfile.mkdtemp(prefix="rfi_bake_")
+    try:
+        store = BucketedDedupStore(spark, d)
+        store(b0, epoch_id=0)
+        store(b1, epoch_id=1)
+        store.compact(below_epoch=2)                # folds the lateness
+        assert store._meta().get("needs_full_reflag") is True
+        with pytest.raises(RuntimeError, match="full reflag"):
+            store.reflag_incremental(below_epoch=2)
+        store.reflag(below_epoch=2)                 # the one true fix
+        assert not store._meta().get("needs_full_reflag")
+        want = _flags_dict(incremental_dedup_flags(b0.unionByName(b1)))
+        assert _flags_dict(store.all_flags()) == want
+        # and the bounded repair is usable again afterwards
+        b2 = _docs(spark, [(5, _near("pA"))])       # new late wave
+        store(b2, epoch_id=2)
+        assert store._outstanding_late() == {2}
+        store.reflag_incremental(below_epoch=3)
+        want2 = _flags_dict(incremental_dedup_flags(
+            b0.unionByName(b1).unionByName(b2)))
+        assert _flags_dict(store.all_flags()) == want2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_embedding_store_tracks_late_epochs_too(spark):
+    from axonops_schema_registry_spark.streaming.dedup_store import (
+        EmbeddingDedupStore,
+    )
+
+    b0 = _vecs(spark, [(10, _u(1, 0.10, 0, 0)), (11, _u(0, 1, 0, 0))])
+    b1 = _vecs(spark, [(5, _u(1, 0.12, 0, 0))])     # late near-dup
+    d = tempfile.mkdtemp(prefix="erfi_track_")
+    try:
+        store = EmbeddingDedupStore(spark, d, dim=4)
+        store(b0, epoch_id=0)
+        store(b1, epoch_id=1)
+        assert store._outstanding_late() == {1}
+        with pytest.raises(RuntimeError, match="missing"):
+            store.reflag_incremental([], below_epoch=2)
+        store.reflag_incremental(below_epoch=2)     # derived
+        flags = {r.vec_id: (r.is_dup, r.dup_of)
+                 for r in store.all_flags().collect()}
+        assert flags[10] == (True, 5)
+        assert flags[5] == (False, None)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

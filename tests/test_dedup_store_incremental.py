@@ -726,3 +726,72 @@ def test_embedding_store_tracks_late_epochs_too(spark):
         assert flags[5] == (False, None)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hint_created_store_full_maintenance_lifecycle(spark):
+    """VERDICT r11 ask #6: an EmbeddingDedupStore created through the
+    expected_corpus constructor path (bits derived, not literal) runs
+    the complete maintenance sequence — late ingest → incremental
+    repair → more late ingest → stacked repair → quiescent compact
+    (folds both deltas) → post-compact ingest — with flag equality to
+    the one-shot batch operator at every step."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        recommended_lsh_bits,
+    )
+    from axonops_schema_registry_spark.streaming.dedup_store import (
+        EmbeddingDedupStore,
+        embedding_dedup_flags,
+    )
+
+    near = lambda e: _u(1, e, 0, 0)           # noqa: E731
+    b0 = _vecs(spark, [(100, near(0.10)), (101, near(0.12)),
+                       (102, _u(0, 1, 0, 0)), (103, _u(0, 0, 1, 0))])
+    b1 = _vecs(spark, [(50, near(0.10)), (51, near(0.11)),
+                       (52, _u(0, 0, 0, 1))])          # late wave 1
+    b2 = _vecs(spark, [(200, near(0.13)), (201, _u(1, -1, 0, 0))])
+    b3 = _vecs(spark, [(10, near(0.12)), (11, _u(0, 1, 0.1, 0))])  # late 2
+    b4 = _vecs(spark, [(300, near(0.10)), (301, _u(0, 0, 1, 0))])
+
+    d = tempfile.mkdtemp(prefix="erfi_life_")
+    try:
+        store = EmbeddingDedupStore(spark, d, dim=4,
+                                    expected_corpus=1000)
+        bits = recommended_lsh_bits(1000)
+        assert store.n_bits == bits
+
+        def fdict(df):
+            return {r.vec_id: (r.is_dup, r.dup_of)
+                    for r in df.collect()}
+
+        def want(*batches):
+            corpus = batches[0]
+            for b in batches[1:]:
+                corpus = corpus.unionByName(b)
+            return fdict(embedding_dedup_flags(corpus, dim=4,
+                                               n_bits=bits))
+
+        store(b0, epoch_id=0)
+        store(b1, epoch_id=1)
+        store.reflag_incremental(below_epoch=2)        # derived set
+        assert fdict(store.all_flags()) == want(b0, b1)
+
+        store(b2, epoch_id=2)
+        store(b3, epoch_id=3)
+        store.reflag_incremental(below_epoch=4)        # stacked delta
+        assert store._meta().get("nrep", 0) == 2
+        assert fdict(store.all_flags()) == want(b0, b1, b2, b3)
+
+        store.compact(below_epoch=4)                   # folds deltas
+        assert store._meta().get("nrep", 0) == 0
+        assert not store._meta().get("needs_full_reflag")
+        assert fdict(store.all_flags()) == want(b0, b1, b2, b3)
+
+        store(b4, epoch_id=4)                          # reads the base
+        assert fdict(store.all_flags()) == want(b0, b1, b2, b3, b4)
+        # the reopened store sees the pinned derived bits: a literal
+        # mismatch still refuses
+        with pytest.raises(RuntimeError, match="different signature"):
+            EmbeddingDedupStore(spark, d, dim=4, n_bits=bits + 1)(
+                b4, epoch_id=5)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

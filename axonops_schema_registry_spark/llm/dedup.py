@@ -295,14 +295,23 @@ def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         stats: dict | None = None) -> DataFrame:
     """Duplicate clusters: connected components over the near-dup pair
-    graph via iterative min-label propagation.
+    graph via min-label propagation with POINTER DOUBLING.
 
-    Each node starts labeled with itself; every iteration each node takes
-    the minimum label in its neighborhood; stop at fixpoint.  Iterations
-    needed = graph diameter — near-dup clusters are tiny, so this
-    converges in 2-3 rounds; ``max_iter`` bounds pathological chains.
+    Each node starts labeled with itself; every round each node takes
+    the minimum label in its neighborhood (one hop), then shortcuts
+    through its label's own label (label ← label[label]), doubling the
+    distance already covered — rounds needed = O(log diameter), not
+    diameter (the Hash-to-Min family of bounds, public literature).
+    Stop at fixpoint; ``max_iter`` rounds cover components of diameter
+    ~2^max_iter, and exhausting them without convergence RAISES
+    instead of silently returning half-propagated labels (pre-r12 the
+    plain one-hop loop capped at 20 hops and a longer planted chain
+    came back with wrong clusters — caught by the r12 planted-chain
+    sweep, pinned in tests/test_fold_references.py).  ``stats``, when
+    given, records {"rounds": n} for the scaling smokes.
 
     Returns (doc_id, cluster_id, cluster_size) for every node appearing
     in ``pairs``; ``cluster_id`` is the smallest doc id in the component
@@ -327,20 +336,35 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (edges.join(labels,
                                    edges["dst"] == labels["node"])
                         .groupBy("src")
                         .agg(F.min("label").alias("nbr_label")))
+        hop = (labels.join(neighbor_min,
+                           labels["node"] == neighbor_min["src"],
+                           "left")
+               .select(F.col("node"),
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("nbr_label"),
+                                          F.col("label")))
+                       .alias("label")))
+        # pointer doubling: shortcut each node through its label's own
+        # label — every label value IS a node id, so the self-join is
+        # total; this is what turns diameter rounds into log rounds.
         # eager=True materializes the new generation NOW and replaces
         # its plan with a LogicalRDD leaf — lineage is truncated, not
         # merely shielded the way .cache() would
-        new_labels = (labels.join(neighbor_min,
-                                  labels["node"] == neighbor_min["src"],
-                                  "left")
-                      .select(F.col("node"),
+        thru = hop.select(F.col("node").alias("__ln"),
+                          F.col("label").alias("__ll"))
+        new_labels = (hop.join(thru, hop["label"] == thru["__ln"],
+                               "left")
+                      .select("node",
                               F.least(F.col("label"),
-                                      F.coalesce(F.col("nbr_label"),
+                                      F.coalesce(F.col("__ll"),
                                                  F.col("label")))
                               .alias("label"))
                       .localCheckpoint(eager=True))
@@ -353,7 +377,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         release_checkpoint(labels)
         labels = new_labels
         if not changed:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        release_checkpoint(edges)
+        release_checkpoint(labels)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"pointer-doubling rounds (component diameter beyond "
+            f"~2^{max_iter}) — raise max_iter; refusing to return "
+            "half-propagated cluster labels")
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = (labels.join(sizes, "label")
            .select(F.col("node").alias("doc_id"),

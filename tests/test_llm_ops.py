@@ -1077,6 +1077,31 @@ def test_connected_components_match_union_find_reference(spark):
     assert got[30] == (1, 12)  # the full chain collapsed to id 1
 
 
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """r12 regression: a 200-node path (diameter 199) exceeded the
+    pre-r12 one-hop loop's max_iter=20 and came back with SILENTLY
+    wrong labels; pointer doubling converges in O(log diameter)
+    rounds — and exhausting max_iter now raises instead of returning
+    half-propagated clusters."""
+    import pytest
+
+    from axonops_schema_registry_spark.llm.dedup import (
+        connected_components,
+    )
+
+    n = 200
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a bigint, id_b bigint")
+    stats: dict = {}
+    got = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in connected_components(pairs, stats=stats).collect()}
+    assert got == {i: (0, n) for i in range(n)}
+    assert stats["rounds"] <= 9          # ~log2(199) + slack, not 199
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
 def test_duplicated_span_islands_match_pure_python_reference(spark):
     """Cross-implementation check for the exact-substring span dedup:
     an explicit Python scan (count k-grams, mark duplicated positions,

@@ -3430,7 +3430,225 @@ FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
 """
 
 
+def ng1_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY (new in r12): the fraction of a
+    document's distinct 3-gram shingles whose FIRST corpus occurrence
+    (smallest doc_id) is this document — the doc-granular sibling of
+    vg1's Heaps curve and the standard memorization/diversity
+    diagnostic (a crawl snapshot whose late documents contribute no
+    novel n-grams is repeating itself; dedup thresholds get tuned
+    against exactly this curve).
+
+    Scale shape: one gram-keyed aggregate (map-side combinable MIN)
+    over the corpus's distinct (doc, shingle) pairs, one gram-keyed
+    join back, one doc-keyed count — no window over the corpus and no
+    quadratic prefix scan (vg1's formulation note applies verbatim:
+    queries/llm_queries.py vg1).  Division is BIGINT/BIGINT — the
+    float-discipline-free case."""
+    from axonops_schema_registry_spark.operators.text import token_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_set(docs, "doc_id", "text", 3)
+    first = toks.groupBy("token").agg(F.min("id").alias("__first"))
+    per = (toks.join(first, "token")
+           .groupBy("id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.when(F.col("__first") == F.col("id"), 1)
+                      .otherwise(0)).cast("bigint").alias("n_novel")))
+    return (per.select(F.col("id").alias("doc_id"),
+                       "n_shingles", "n_novel",
+                       (F.col("n_novel").cast("double")
+                        / F.col("n_shingles").cast("double"))
+                       .alias("novelty"))
+            .orderBy("doc_id"))
+
+
+NG1_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM documents),
+first AS (SELECT token, MIN(id) AS f FROM toks GROUP BY token),
+per AS (
+  SELECT t.id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN first.f = t.id THEN 1 ELSE 0 END) AS n_novel
+  FROM toks t JOIN first ON first.token = t.token
+  GROUP BY t.id)
+SELECT id AS doc_id, n_shingles, CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+FROM per ORDER BY doc_id
+"""
+
+
+def qn1_robust_length_normalization(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Per-source ROBUST quality-score normalization (new in r12):
+    median/MAD z-scores over document word counts — the
+    outlier-resistant scaling curation pipelines apply before
+    thresholding heterogeneous sources (a mean/stddev z is itself
+    dragged by the outliers it is supposed to flag).  Emits the
+    per-source median and MAD, each document's robust z, and the
+    |z| > 3 outlier flag; MAD = 0 (a degenerate constant-length
+    source) yields NULL z / false flag rather than a division blowup.
+
+    Float discipline: exact sort-based percentile (DuckDB
+    quantile_cont interpolates bit-identically — the qs1 contract);
+    n_words and the median/MAD are integers or exact halves, so the
+    z quotient is IEEE-deterministic in both engines with NO rounding
+    (rounding would reintroduce the representational-tie trap).  The
+    100 TB path swaps percentile_approx exactly as qs1 documents.
+
+    Scale shape: two grouped percentile passes shuffled on the same
+    source key, then a sources-sized broadcast join back."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint")
+        .alias("n_words"))
+    med = words.groupBy("source").agg(
+        F.expr("percentile(n_words, 0.5)").alias("median_words"))
+    j = words.join(F.broadcast(med), "source")
+    mad = (j.groupBy("source")
+           .agg(F.expr("percentile(abs(n_words - median_words), 0.5)")
+                .alias("mad_words")))
+    z = F.when(F.col("mad_words") != 0.0,
+               (F.col("n_words") - F.col("median_words"))
+               / F.col("mad_words"))
+    return (j.join(F.broadcast(mad), "source")
+            .select("doc_id", "source", "n_words", "median_words",
+                    "mad_words", z.alias("robust_z"),
+                    F.coalesce(F.abs(z) > 3.0, F.lit(False))
+                    .alias("is_len_outlier"))
+            .orderBy("doc_id"))
+
+
+QN1_ORACLE = """
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents),
+med AS (SELECT source, quantile_cont(n_words, 0.5) AS m
+        FROM w GROUP BY source),
+j AS (SELECT w.*, med.m FROM w JOIN med USING (source)),
+mad AS (SELECT source, quantile_cont(abs(n_words - m), 0.5) AS d
+        FROM j GROUP BY source)
+SELECT j.doc_id, j.source, j.n_words,
+       j.m AS median_words, mad.d AS mad_words,
+       CASE WHEN mad.d <> 0 THEN (j.n_words - j.m) / mad.d END
+         AS robust_z,
+       COALESCE(abs(CASE WHEN mad.d <> 0
+                         THEN (j.n_words - j.m) / mad.d END) > 3.0,
+                FALSE) AS is_len_outlier
+FROM j JOIN mad ON mad.source = j.source
+ORDER BY j.doc_id
+"""
+
+
+def out1_embedding_outliers(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Per-label embedding OUTLIER flags (new in r12): each vector's
+    cosine to its label's centroid DIRECTION, with the bottom-3 of
+    every label flagged — the cluster-distance pruning step of
+    SemDeDup-style pipelines (prune the members farthest from their
+    cluster center), emitted as the per-vector table a curation pass
+    anti-joins.  lab1 is the per-label cohesion REPORT; this is the
+    per-vector verdict surface.
+
+    Float discipline (the lab1 idiom): the centroid is the exact
+    DECIMAL(25,9) per-dimension SUM of 9-decimal-quantized components
+    — cosine is scale-invariant, so the sum IS the direction and no
+    mean division (with its rounding-tie hazard) ever happens; the
+    per-row cosine is a row-local IEEE fold both engines evaluate in
+    identical order, rounded once at emission.
+
+    Scale shape: the explode is corpus×dim rows into a map-side
+    combinable decimal aggregate; the centroid table (labels × dim)
+    broadcasts; ranking is one window per label."""
+    from pyspark.sql import Window
+
+    from axonops_schema_registry_spark.queries.base import psum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("ev"))
+    expl = v.select("label", F.posexplode("ev").alias("p", "x"))
+    dimsum = (expl.groupBy("label", "p")
+              .agg(psum(F.round(F.col("x"), 9), 9).alias("s")))
+    cent = (dimsum.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("p", "s")))
+                 .alias("__ps"))
+            .select("label",
+                    F.expr("transform(__ps, e -> e.s)").alias("cv")))
+    dot = F.expr("aggregate(zip_with(cv, ev, (x, y) -> x * y), "
+                 "CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)")
+    nc = F.sqrt(F.expr("aggregate(transform(cv, x -> x * x), "
+                       "CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"))
+    nv = F.sqrt(F.expr("aggregate(transform(ev, x -> x * x), "
+                       "CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"))
+    w = Window.partitionBy("label").orderBy(F.asc("cos_to_centroid"),
+                                            F.asc("vec_id"))
+    return (v.join(F.broadcast(cent), "label")
+            .withColumn("cos_to_centroid",
+                        F.round(dot / (nc * nv), 4))
+            .withColumn("label_rank", F.row_number().over(w))
+            .select("vec_id", "label", "cos_to_centroid", "label_rank",
+                    (F.col("label_rank") <= 3).alias("is_outlier"))
+            .orderBy("vec_id"))
+
+
+OUT1_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings),
+expl AS (
+  SELECT label, ev, unnest(generate_series(1, len(ev))) AS p FROM v),
+dimsum AS (
+  SELECT label, p,
+         CAST(SUM(CAST(round(ev[p], 9) AS DECIMAL(25,9))) AS DOUBLE)
+           AS s
+  FROM expl GROUP BY label, p),
+cent AS (
+  SELECT label, list(s ORDER BY p) AS cv FROM dimsum GROUP BY label),
+scored AS (
+  SELECT v.vec_id, v.label,
+         round(
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(cent.cv, v.ev),
+                            pr -> pr[1] * pr[2])),
+             (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(cent.cv, x -> x * x)),
+                (acc, x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(v.ev, x -> x * x)),
+                  (acc, x) -> acc + x))), 4) AS cos_to_centroid
+  FROM v JOIN cent USING (label))
+SELECT vec_id, label, cos_to_centroid, CAST(rk AS INT) AS label_rank,
+       rk <= 3 AS is_outlier
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY label
+          ORDER BY cos_to_centroid ASC, vec_id) AS rk
+      FROM scored)
+ORDER BY vec_id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("ng1_ngram_novelty", ng1_ngram_novelty, NG1_ORACLE,
+              tags=("llm", "text", "novelty", "agg"), bench=True),
+    QuerySpec("qn1_robust_length_normalization",
+              qn1_robust_length_normalization, QN1_ORACLE,
+              tags=("llm", "quality", "stats")),
+    QuerySpec("out1_embedding_outliers", out1_embedding_outliers,
+              OUT1_ORACLE, tags=("llm", "similarity", "quality",
+                                 "window")),
     QuerySpec("pk1_sequence_packing", pk1_sequence_packing, PK1_ORACLE,
               tags=("llm", "packing", "window", "agg"), bench=True),
     QuerySpec("pk2_segmented_packing", pk2_segmented_packing, PK2_ORACLE,

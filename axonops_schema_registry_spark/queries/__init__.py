@@ -20,53 +20,51 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-11 rotation (VERDICT r10 ask #1, oldest-first): the 4
-    # specs NEW this round lead (never driver-sampled), then the 22
-    # deferred r6-green specs (the exact list named in the r10 window
-    # comment and VERDICT.md).  No spec's newest green round is r7
-    # (the r8 window re-verified everything it touched), so the
-    # backfill is 24 of the 50 r8-green specs — bespoke
-    # LLM/streaming/registry families ahead of the TPC-shaped
-    # relational tail.  After this round the freshness floor rises
-    # to r8.  Deferred r8-green names for the r12 window:
-    # a4c_cube_statistics, a8r_schema_quality, aud1_audit_chain,
-    # aud2_event_type_analytics, aud3_request_classification,
-    # ctx1_multitenant_listing, del1_delete_taxonomy,
-    # err1_lookup_taxonomy, f6_naming_variants, fs2_type_search,
-    # hr1_hypertable_rollup, j3d_dependency_closure,
-    # j3r_reference_resolution, j4r_subject_similarity,
-    # met1_prometheus_export, mp1_migration_path, q2, q8, q9,
-    # r2_version_history, r3_schema_versions_view,
-    # r7_registration_gated, tx1_language_id, tx2_token_stats,
-    # tx3_rolling_fingerprint, tx8_normalize
-    # — all guarded by tests/test_queries_oracle.py meanwhile.
-    # -- new in r11 (never driver-sampled)
-    "mix3_temperature_mixture", "vg1_vocab_growth",
-    "es3_decontamination_cut", "dd8_quality_representatives",
-    # -- the 22 r6-stale specs (freshness floor, 5 rounds old)
-    "f3_glob_search", "f5_normalize_names", "f7_fuzzy_match",
-    "o2_deterministic_pagination", "p4_status_split",
-    "p5_metadata_property_filter", "q1_pricing_summary",
-    "q6_forecast_revenue", "q7_nation_volume", "q10_returned_items",
-    "q14_promo_revenue_share", "q18_large_orders",
-    "r1_latest_live_schema", "s1_prefix_listing", "s2_point_lookup",
-    "s3_subject_version_lookup", "s4_fingerprint_lookup",
-    "s5_distinct_listing", "w1_latest_per_subject",
-    "w2_listing_with_latest_flag", "w3_content_addressed_ids",
-    "w5_prior_version_delta",
-    # -- 24 of the 50 r8-green specs (bespoke families first)
-    "bpe1_merge_candidates", "ctm2_bloom_contamination",
-    "ctm3_semantic_contamination", "dd1_exact_dedup",
-    "dd3_simhash_dedup", "dd4_dedup_clusters",
-    "dd5_cross_source_dup_matrix", "ev1_ann_recall",
-    "ev2_lsh_recall", "lab1_label_cohesion",
-    "mix2_segmented_mixture", "mm4_wav_decode", "nn3_ivf_ann_topk",
-    "nn4_pq_adc_topk", "pk2_segmented_packing",
-    "pk3_whole_doc_packing", "ppl1_unigram_perplexity",
-    "qz2_pq_encode", "sem1_semantic_dedup",
-    "exp1_exporter_lifecycle", "j8_kek_dek_lifecycle",
-    "j8b_dek_rewrap", "c3_compat_with_refs",
-    "asof1_config_at_event_time",
+    # Round-12 rotation (VERDICT r11 ask #1, oldest-first): the 4
+    # specs NEW this round lead (never driver-sampled), then ALL 26
+    # deferred r8-green specs (the exact list named in the r11 window
+    # comment and VERDICT.md), then 20 of the 50 r9-green specs —
+    # bespoke compat/BPE/dedup/streaming/registry families ahead of
+    # the TPC-shaped relational tail.  After this round the freshness
+    # floor rises to r9.  Deferred r9-green names for the r13 window
+    # (all guarded by tests/test_queries_oracle.py meanwhile):
+    # a1_versions_view, a3_global_id_stats, a4_registry_statistics,
+    # a5_field_patterns, a6_type_consistency, a8_quality_scores,
+    # a8q_exact_quality, a9_complexity, a10_event_metrics,
+    # del2_version_delete_taxonomy, e1_schema_diff,
+    # e3_similarity_selfjoin, e4_migration_plan, e5_union_segments,
+    # f10_global_fingerprint, f14_subject_name_strategy,
+    # j1_referenced_by, j3_multilevel_resolution, j6_config_fallback,
+    # j7_dedup_anti_join, m1_metadata_merge, q4_order_priority,
+    # q12_priority_linestatus, q16_supplier_counts,
+    # r4_registration_batch, r8_delete_reregister,
+    # s9_import_with_ids, u1_user_role_stats, v1_validate_normalize,
+    # x1_export_subject
+    # -- new in r12 (never driver-sampled)
+    "ng1_ngram_novelty", "qn1_robust_length_normalization",
+    "out1_embedding_outliers", "cap1_cluster_cap_sampling",
+    # -- the 26 deferred r8-green specs (freshness floor)
+    "a4c_cube_statistics", "a8r_schema_quality", "aud1_audit_chain",
+    "aud2_event_type_analytics", "aud3_request_classification",
+    "ctx1_multitenant_listing", "del1_delete_taxonomy",
+    "err1_lookup_taxonomy", "f6_naming_variants", "fs2_type_search",
+    "hr1_hypertable_rollup", "j3d_dependency_closure",
+    "j3r_reference_resolution", "j4r_subject_similarity",
+    "met1_prometheus_export", "mp1_migration_path",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "r2_version_history", "r3_schema_versions_view",
+    "r7_registration_gated", "tx1_language_id", "tx2_token_stats",
+    "tx3_rolling_fingerprint", "tx8_normalize",
+    # -- 20 of the 50 r9-green specs (bespoke families first)
+    "bpe2_merge_table", "bpe3_tokenize", "c1_compatibility_matrix",
+    "c2_compat_messages", "dd6_embedding_cosine_dedup",
+    "es1_exact_substring_spans", "ev3_planted_recall",
+    "mm5_jpeg_decode", "mode1_write_gating", "nn1_cosine_topk",
+    "sk1_distinct_sketches", "st2_filtered_cef_lines",
+    "st6_rate_limit_flags", "tx4_char_entropy", "tx5_dataset_card",
+    "tx6_token_rarity", "rv1_ruleset_validation",
+    "rj1_events_in_windows", "j8c_dek_undelete_lifecycle",
+    "j8d_kek_cascade_lifecycle",
 )
 
 

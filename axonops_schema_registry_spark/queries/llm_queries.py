@@ -3640,9 +3640,100 @@ ORDER BY vec_id
 """
 
 
+def cap1_cluster_cap_sampling(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Cluster-capped sampling (new in r12): instead of dd4's
+    keep-ONE-per-cluster or dd8's keep-BEST, keep each near-dup
+    cluster's K smallest-id members — the softened dedup policy large
+    pretraining mixes actually ship (bounded benign repetition beats
+    hard dedup for some sources; the cap bounds what a boilerplate
+    cluster can contribute).  One row per kept document with its
+    cluster, rank, and whether the cap cut anything from its cluster.
+    Singletons (never paired) are kept at rank 1.
+
+    Scale shape: dd4's pair generation + components (pointer-doubling
+    rounds ∝ log diameter), then ONE rank window per cluster — state
+    bounded by cluster size, which the upstream exact-collapse and
+    max_bucket guards bound."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8,
+                              ngram=3)
+    comp = connected_components(pairs)
+    labeled = (docs.select("doc_id")
+               .join(comp.select("doc_id", "cluster_id",
+                                 "cluster_size"), "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("cluster_id", F.col("doc_id"))
+                       .alias("cluster_id"),
+                       F.coalesce("cluster_size", F.lit(1))
+                       .cast("bigint").alias("cluster_size")))
+    w = Window.partitionBy("cluster_id").orderBy("doc_id")
+    return (labeled.withColumn("keep_rank",
+                               F.row_number().over(w).cast("int"))
+            .filter(F.col("keep_rank") <= 2)
+            .withColumn("cluster_was_capped",
+                        F.col("cluster_size") > 2)
+            .orderBy("doc_id"))
+
+
+CAP1_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM documents),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id),
+dup_pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.8),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs),
+reach AS (
+  WITH RECURSIVE r(root, node) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.root, e.dst FROM r JOIN edges e ON e.src = r.node)
+  SELECT root, node FROM r),
+labels AS (SELECT root AS doc_id, MIN(node) AS cluster_id
+           FROM reach GROUP BY root),
+members AS (
+  SELECT d.doc_id,
+         COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+sized AS (
+  SELECT m.doc_id, m.cluster_id,
+         CAST(COUNT(*) OVER (PARTITION BY m.cluster_id) AS BIGINT)
+           AS cluster_size,
+         CAST(row_number() OVER (PARTITION BY m.cluster_id
+                                 ORDER BY m.doc_id) AS INT)
+           AS keep_rank
+  FROM members m)
+SELECT doc_id, cluster_id, cluster_size, keep_rank,
+       cluster_size > 2 AS cluster_was_capped
+FROM sized WHERE keep_rank <= 2
+ORDER BY doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("ng1_ngram_novelty", ng1_ngram_novelty, NG1_ORACLE,
               tags=("llm", "text", "novelty", "agg"), bench=True),
+    QuerySpec("cap1_cluster_cap_sampling", cap1_cluster_cap_sampling,
+              CAP1_ORACLE,
+              tags=("llm", "dedup", "sampling", "window",
+                    "iterative")),
     QuerySpec("qn1_robust_length_normalization",
               qn1_robust_length_normalization, QN1_ORACLE,
               tags=("llm", "quality", "stats")),

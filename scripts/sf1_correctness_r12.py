@@ -29,8 +29,11 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ORACLED = ("es3_decontamination_cut", "dd8_quality_representatives",
-           "mix3_temperature_mixture", "vg1_vocab_growth")
-MARKER = "\n## r12 appendix: sf1 correctness for the r11 operators"
+           "mix3_temperature_mixture", "vg1_vocab_growth",
+           # the r12 operators, covered in the same pass
+           "ng1_ngram_novelty", "qn1_robust_length_normalization",
+           "out1_embedding_outliers", "cap1_cluster_cap_sampling")
+MARKER = "\n## r12 appendix: sf1 correctness for the r11 + r12 operators"
 
 
 def main() -> int:
@@ -139,7 +142,8 @@ def main() -> int:
         "",
         MARKER.strip(),
         "",
-        "The r11 operators hash-compared against their DuckDB oracles "
+        "The r11 AND r12 operators hash-compared against their DuckDB "
+        "oracles "
         "on the full 10x replica tables (same synthesis as the r11 "
         "appendix), plus the bench-only scale forms re-pinned at 10x: "
         "es1h's row set equals es1's (distributed exceptAll, no "

@@ -3563,7 +3563,13 @@ def out1_embedding_outliers(spark: SparkSession,
     — cosine is scale-invariant, so the sum IS the direction and no
     mean division (with its rounding-tie hazard) ever happens; the
     per-row cosine is a row-local IEEE fold both engines evaluate in
-    identical order, rounded once at emission.
+    identical order.  Emission quantizes via floor(x·10^4)/10^4, NOT
+    round(x, 4): with 20 k cosines the r12 sf1 sweep caught a value
+    whose exact binary expansion sits a hair past a 4-decimal tie —
+    Spark's BigDecimal HALF_UP said -0.0001 while DuckDB's
+    float-based banker's round said -0.0.  floor of the shared
+    double·10^4 product has no tie semantics at all, so identical
+    input doubles give identical output in every engine.
 
     Scale shape: the explode is corpus×dim rows into a map-side
     combinable decimal aggregate; the centroid table (labels × dim)
@@ -3595,7 +3601,8 @@ def out1_embedding_outliers(spark: SparkSession,
                                             F.asc("vec_id"))
     return (v.join(F.broadcast(cent), "label")
             .withColumn("cos_to_centroid",
-                        F.round(dot / (nc * nv), 4))
+                        F.floor(dot / (nc * nv) * F.lit(10000.0))
+                        / F.lit(10000.0))
             .withColumn("label_rank", F.row_number().over(w))
             .select("vec_id", "label", "cos_to_centroid", "label_rank",
                     (F.col("label_rank") <= 3).alias("is_outlier"))
@@ -3618,7 +3625,7 @@ cent AS (
   SELECT label, list(s ORDER BY p) AS cv FROM dimsum GROUP BY label),
 scored AS (
   SELECT v.vec_id, v.label,
-         round(
+         floor(
            list_reduce(list_prepend(CAST(0 AS DOUBLE),
              list_transform(list_zip(cent.cv, v.ev),
                             pr -> pr[1] * pr[2])),
@@ -3628,7 +3635,8 @@ scored AS (
                 (acc, x) -> acc + x))
               * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                   list_transform(v.ev, x -> x * x)),
-                  (acc, x) -> acc + x))), 4) AS cos_to_centroid
+                  (acc, x) -> acc + x))) * 10000.0) / 10000.0
+           AS cos_to_centroid
   FROM v JOIN cent USING (label))
 SELECT vec_id, label, cos_to_centroid, CAST(rk AS INT) AS label_rank,
        rk <= 3 AS is_outlier

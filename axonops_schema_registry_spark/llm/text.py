@@ -256,6 +256,96 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
                  .alias("mean_surprisal")))
 
 
+def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     ref_mod: int = 7) -> DataFrame:
+    """Bigram-LM quality scoring with STUPID BACKOFF (Brants et al.
+    2007, public) — the KenLM-shaped escalation of
+    :func:`unigram_surprisal`: the LM is fitted on a deterministic
+    REFERENCE slice (``id % ref_mod != 0``) and every document is
+    scored against it, so held-out documents genuinely exercise the
+    backoff (an LM fitted on the full corpus has seen every bigram of
+    every document and the backoff is dead code).
+
+    Per token at position i > 1: -ln(c(u,w)/c(u)) when the reference
+    saw the bigram, else -ln(0.4 · max(c(w),1)/N) (backoff to the
+    unigram, unseen words floored to count 1); the first token scores
+    -ln(max(c(w),1)/N).
+
+    Output: (id, n_tokens, n_backoff, mean_surprisal) — ``n_backoff``
+    counts scored tokens that fell back, the OOD signal a curation
+    threshold reads next to the surprisal itself.
+
+    Float discipline: every -ln is computed ONCE per distinct bigram /
+    unigram TYPE (type-bounded work) and rounded at 1e-6 there; the
+    per-document total is an exact DECIMAL sum of rounded type scores
+    (the psum convention) divided once and rounded at emission — the
+    ppl1 contract extended to two tables.
+
+    Scale: bigram extraction is ROW-LOCAL (one transform over the
+    split array — no self-join, no window); type counts are map-side
+    combined and bounded by type cardinality; both score tables
+    broadcast at fixture scale (at web scale the bigram table joins by
+    shuffle on (u, w), everything else unchanged).
+    """
+    arr = F.expr(f"filter(split(lower({text_col}), '\\\\s+'), "
+                 "x -> x != '')")
+    base = docs.select(F.col(id_col).alias("id"),
+                       arr.alias("__a")).filter(F.size("__a") >= 1)
+    ref = base.filter(F.col("id") % ref_mod != 0)
+    # reference unigram counts + total
+    rtok = ref.select(F.explode("__a").alias("t"))
+    uni = rtok.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.sum("cu").alias("n"))
+    # reference bigram counts (row-local pair extraction)
+    pair = F.expr("transform(sequence(2, size(__a)), "
+                  "i -> struct(element_at(__a, i - 1) AS u, "
+                  "element_at(__a, i) AS w))")
+    rbig = (ref.filter(F.size("__a") >= 2)
+            .select(F.explode(pair).alias("p"))
+            .select("p.u", "p.w")
+            .groupBy("u", "w").agg(F.count(F.lit(1)).alias("cb")))
+    bscore = (rbig.join(F.broadcast(
+                  uni.select(F.col("t").alias("u"), "cu")), "u")
+              .select("u", "w",
+                      F.round(-F.log(F.col("cb") / F.col("cu")), 6)
+                      .alias("sb")))
+    # unigram score tables: backoff (0.4 discount) + first-token
+    uscore = (uni.crossJoin(F.broadcast(total))
+              .select(F.col("t").alias("w"),
+                      F.round(-F.log(F.lit(0.4) * F.col("cu")
+                                     / F.col("n")), 6).alias("sk"),
+                      F.round(-F.log(F.col("cu") / F.col("n")), 6)
+                      .alias("s1")))
+    oov = (total.select(
+        F.round(-F.log(F.lit(0.4) / F.col("n")), 6).alias("sk_oov"),
+        F.round(-F.log(F.lit(1.0) / F.col("n")), 6).alias("s1_oov")))
+
+    first = base.select("id", F.element_at("__a", 1).alias("w"))
+    f_sc = (first.join(F.broadcast(uscore.select("w", "s1")), "w",
+                       "left")
+            .crossJoin(F.broadcast(oov))
+            .select("id", F.coalesce("s1", "s1_oov").alias("__s"),
+                    F.lit(0).alias("__bk")))
+    toks = (base.filter(F.size("__a") >= 2)
+            .select("id", F.explode(pair).alias("p"))
+            .select("id", "p.u", "p.w"))
+    t_sc = (toks.join(F.broadcast(bscore), ["u", "w"], "left")
+            .join(F.broadcast(uscore.select("w", "sk")), "w", "left")
+            .crossJoin(F.broadcast(oov))
+            .select("id",
+                    F.coalesce("sb", "sk", "sk_oov").alias("__s"),
+                    F.when(F.col("sb").isNull(), 1).otherwise(0)
+                    .alias("__bk")))
+    return (f_sc.unionByName(t_sc)
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("__bk").cast("bigint").alias("n_backoff"),
+                 F.round(F.sum(F.col("__s").cast("decimal(25,6)"))
+                         .cast("double") / F.count(F.lit(1)), 4)
+                 .alias("mean_surprisal")))
+
+
 _BPE_SEP = "\x1f"  # unit separator: joins symbols inside a word
 
 

@@ -3648,6 +3648,116 @@ ORDER BY vec_id
 """
 
 
+def ppl2_bigram_perplexity(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with stupid backoff (llm/text.py:
+    bigram_surprisal) — the KenLM-shaped escalation of ppl1: the LM is
+    fitted on the deterministic reference slice (doc_id % 7 != 0) and
+    EVERY document is scored, so held-out documents exercise the
+    backoff path for real (n_backoff is the OOD signal).  Type-bounded
+    -ln computation, exact decimal per-doc sums (the ppl1 float
+    contract extended to two tables)."""
+    from axonops_schema_registry_spark.llm.text import bigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_surprisal(docs).orderBy("doc_id")
+
+
+PPL2_ORACLE = r"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents),
+nz AS MATERIALIZED (SELECT * FROM base WHERE len(a) >= 1),
+ref AS MATERIALIZED (SELECT * FROM nz WHERE id % 7 <> 0),
+uni AS MATERIALIZED (
+  SELECT t, COUNT(*) AS cu
+  FROM (SELECT unnest(a) AS t FROM ref) GROUP BY t),
+tot AS MATERIALIZED (SELECT SUM(cu) AS n FROM uni),
+rbig AS MATERIALIZED (
+  SELECT a[i - 1] AS u, a[i] AS w, COUNT(*) AS cb
+  FROM (SELECT a, unnest(generate_series(2, len(a))) AS i
+        FROM ref WHERE len(a) >= 2)
+  GROUP BY 1, 2),
+bscore AS MATERIALIZED (
+  SELECT rbig.u, rbig.w, round(-ln(cb / cu), 6) AS sb
+  FROM rbig JOIN uni ON uni.t = rbig.u),
+uscore AS MATERIALIZED (
+  SELECT t AS w, round(-ln(0.4 * cu / n), 6) AS sk,
+         round(-ln(cu / n), 6) AS s1
+  FROM uni, tot),
+oov AS MATERIALIZED (
+  SELECT round(-ln(0.4 / n), 6) AS sk_oov,
+         round(-ln(1.0 / n), 6) AS s1_oov FROM tot),
+firsts AS (
+  SELECT f.id, COALESCE(u.s1, o.s1_oov) AS s, 0 AS bk
+  FROM (SELECT id, a[1] AS w FROM nz) f
+  LEFT JOIN uscore u ON u.w = f.w CROSS JOIN oov o),
+toks AS MATERIALIZED (
+  SELECT id, a[i - 1] AS u, a[i] AS w
+  FROM (SELECT id, a, unnest(generate_series(2, len(a))) AS i
+        FROM nz WHERE len(a) >= 2)),
+tscores AS (
+  SELECT t.id, COALESCE(b.sb, u.sk, o.sk_oov) AS s,
+         CASE WHEN b.sb IS NULL THEN 1 ELSE 0 END AS bk
+  FROM toks t
+  LEFT JOIN bscore b ON b.u = t.u AND b.w = t.w
+  LEFT JOIN uscore u ON u.w = t.w
+  CROSS JOIN oov o),
+allsc AS (SELECT * FROM firsts UNION ALL SELECT * FROM tscores)
+SELECT id AS doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(bk) AS BIGINT) AS n_backoff,
+       round(CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_surprisal
+FROM allsc GROUP BY id ORDER BY doc_id
+"""
+
+
+def split1_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment (new in
+    r12): each document's split follows its portable 48-bit content-id
+    hash against INTEGER thresholds (80 / 10 / 10), so the assignment
+    is reproducible across engines, runs, and cluster sizes, and
+    per-source proportions hold automatically (hashes are uniform
+    within every stratum) — the split manifest every training-data
+    pipeline pins before packing/export.
+
+    Thresholds are exact integers (2^48·4/5 and 2^48·9/10 computed in
+    integer arithmetic) — no float boundary can flip a document
+    between engines (the stratified_sample floor lesson).  Scale: one
+    scan-side hash + comparison, zero shuffles before the final
+    order."""
+    from axonops_schema_registry_spark.llm.sampling import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    tr = (1 << 48) * 4 // 5
+    va = (1 << 48) * 9 // 10
+    h = portable_hash(F.col("doc_id").cast("string"))
+    return (docs.select(
+                "doc_id", "source",
+                h.alias("__h"))
+            .select("doc_id", "source",
+                    F.when(F.col("__h") < tr, "train")
+                    .when(F.col("__h") < va, "val")
+                    .otherwise("test").alias("split"))
+            .orderBy("doc_id"))
+
+
+SPLIT1_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN h < {(1 << 48) * 4 // 5} THEN 'train'
+            WHEN h < {(1 << 48) * 9 // 10} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+             CAST(concat('0x',
+                  substr(md5(CAST(doc_id AS STRING)), 1, 12))
+                  AS BIGINT) AS h
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
 def cap1_cluster_cap_sampling(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Cluster-capped sampling (new in r12): instead of dd4's
@@ -3742,6 +3852,10 @@ SPECS: list[QuerySpec] = [
               CAP1_ORACLE,
               tags=("llm", "dedup", "sampling", "window",
                     "iterative")),
+    QuerySpec("ppl2_bigram_perplexity", ppl2_bigram_perplexity,
+              PPL2_ORACLE, tags=("llm", "text", "quality", "agg")),
+    QuerySpec("split1_dataset_split", split1_dataset_split,
+              SPLIT1_ORACLE, tags=("llm", "sampling", "export")),
     QuerySpec("qn1_robust_length_normalization",
               qn1_robust_length_normalization, QN1_ORACLE,
               tags=("llm", "quality", "stats")),

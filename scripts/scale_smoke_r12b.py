@@ -31,9 +31,11 @@ from axonops_schema_registry_spark.queries import SPEC_BY_NAME  # noqa: E402
 from axonops_schema_registry_spark.session import get_spark  # noqa: E402
 
 FACTORS = (1, 4, 10)
-MARKER = "\n## r12 appendix: new-operator scaling (ng1, qn1, out1, cap1)"
+MARKER = ("\n## r12 appendix: new-operator scaling "
+          "(ng1, qn1, out1, cap1, ppl2, split1)")
 QUERIES = ("ng1_ngram_novelty", "qn1_robust_length_normalization",
-           "out1_embedding_outliers", "cap1_cluster_cap_sampling")
+           "out1_embedding_outliers", "cap1_cluster_cap_sampling",
+           "ppl2_bigram_perplexity", "split1_dataset_split")
 
 
 def main() -> None:
@@ -76,7 +78,10 @@ def main() -> None:
         "qn1's percentile groups deepen at fixed source count; out1's "
         "centroid table stays labels × dim while the explode grows "
         "linearly; cap1 rides dd4's pair+components path (decomposed "
-        "separately above) plus one rank window per cluster.",
+        "separately above) plus one rank window per cluster; ppl2's "
+        "bigram TYPE table grows with the salted replicas (each copy "
+        "contributes fresh types — the score-table worst case); "
+        "split1 is one scan-side hash.",
         "",
         "| query | 1x s | 4x s | 10x s | r(4) | r(10) |",
         "|---|---|---|---|---|---|",

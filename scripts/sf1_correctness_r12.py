@@ -32,7 +32,8 @@ ORACLED = ("es3_decontamination_cut", "dd8_quality_representatives",
            "mix3_temperature_mixture", "vg1_vocab_growth",
            # the r12 operators, covered in the same pass
            "ng1_ngram_novelty", "qn1_robust_length_normalization",
-           "out1_embedding_outliers", "cap1_cluster_cap_sampling")
+           "out1_embedding_outliers", "cap1_cluster_cap_sampling",
+           "ppl2_bigram_perplexity", "split1_dataset_split")
 MARKER = "\n## r12 appendix: sf1 correctness for the r11 + r12 operators"
 
 

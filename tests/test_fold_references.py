@@ -300,3 +300,61 @@ def test_mode1_write_gating_matches_pure_python_reference(
     # above pins it wherever it occurs)
     statuses = {s for s, _ in want.values()}
     assert {"readonly_mode", "import_mode", "registered"} <= statuses
+
+
+def test_ppl2_bigram_backoff_matches_pure_python_reference(spark):
+    """Independent replay of the ppl2 fold (the DuckDB oracle shares
+    the Spark formulation, so a shared-logic bug — first-token
+    handling, backoff coalescing, OOV floor — would pass the
+    cross-engine check; this pure-Python LM cannot share it).
+    Fixture: ids 1-5 form the reference slice (id % 7 != 0), id 0 is
+    held out with one in-vocab bigram the reference never saw and one
+    OOV word — exercising seen-bigram, unigram-backoff, and OOV-floor
+    paths in a single document."""
+    import math
+    from collections import Counter
+
+    from axonops_schema_registry_spark.llm.text import bigram_surprisal
+
+    rows = [
+        (0, "red blue zzz red"),       # held out: backoff + OOV
+        (1, "red green blue"),
+        (2, "green blue red"),
+        (3, "blue red green"),
+        (4, "red green blue red"),
+        (5, "green green blue"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    ref = [t.split() for i, t in rows if i % 7 != 0]
+    uni = Counter(t for a in ref for t in a)
+    n = sum(uni.values())
+    big = Counter((a[i - 1], a[i]) for a in ref
+                  for i in range(1, len(a)))
+
+    def score_doc(text):
+        a = text.split()
+        total = 0.0
+        nb = 0
+        # first token
+        c = uni.get(a[0], 1)
+        total += round(-math.log(c / n), 6)
+        for i in range(1, len(a)):
+            u, w = a[i - 1], a[i]
+            if (u, w) in big:
+                total += round(-math.log(big[(u, w)] / uni[u]), 6)
+            else:
+                nb += 1
+                total += round(-math.log(0.4 * uni.get(w, 1) / n), 6)
+        # the engines sum exact decimals of 6-dp values: the float sum
+        # here is exact enough at this size to round identically
+        return len(a), nb, round(total / len(a), 4)
+
+    want = {i: score_doc(t) for i, t in rows}
+    got = {r.doc_id: (r.n_tokens, r.n_backoff, r.mean_surprisal)
+           for r in bigram_surprisal(docs).collect()}
+    assert got == want
+    # the held-out doc really exercised both fallback paths:
+    # (red,blue), (blue,zzz) and (zzz,red) are all unseen in the
+    # reference slice — two with in-vocab targets, one with an OOV one
+    assert want[0][1] == 3

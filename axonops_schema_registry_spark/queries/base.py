@@ -58,6 +58,25 @@ def dsum_expr(col_sql: str, scale: int = 2) -> str:
     return f"CAST(SUM(CAST({col_sql} AS DECIMAL(18,{scale}))) AS DOUBLE)"
 
 
+def floor_q(col: Column, scale: int = 4) -> Column:
+    """Tie-free quantization of a double for oracle-compared output:
+    ``floor(x · 10^scale) / 10^scale``.
+
+    Why not ``round(x, scale)``: Spark rounds the EXACT binary
+    expansion via BigDecimal HALF_UP while DuckDB rounds float-side
+    with banker's semantics — for a value whose expansion sits at a
+    decimal tie they disagree on bit-identical inputs (caught live by
+    the r12 sf1 sweep: one of 20k cosines came back -0.0001 vs -0.0).
+    ``floor`` of the shared product has no tie semantics at all, so
+    identical input doubles quantize identically in every engine.
+    DuckDB twin: ``floor(x * 10^s) / 10^s``.  Use this (not round)
+    for any NEW spec emitting quantized float quotients; the
+    long-green round(·, 4) specs keep their contract (their oracles
+    share the literal) and are re-checked by the sf1 sweeps."""
+    k = float(10 ** scale)
+    return F.floor(col * F.lit(k)) / F.lit(k)
+
+
 def psum(col: Column, scale: int = 6) -> Column:
     """Order-independent SUM of a per-row double *expression* (products).
 

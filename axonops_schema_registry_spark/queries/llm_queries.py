@@ -3597,12 +3597,13 @@ def out1_embedding_outliers(spark: SparkSession,
                        "CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"))
     nv = F.sqrt(F.expr("aggregate(transform(ev, x -> x * x), "
                        "CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"))
+    from axonops_schema_registry_spark.queries.base import floor_q
+
     w = Window.partitionBy("label").orderBy(F.asc("cos_to_centroid"),
                                             F.asc("vec_id"))
     return (v.join(F.broadcast(cent), "label")
             .withColumn("cos_to_centroid",
-                        F.floor(dot / (nc * nv) * F.lit(10000.0))
-                        / F.lit(10000.0))
+                        floor_q(dot / (nc * nv), 4))
             .withColumn("label_rank", F.row_number().over(w))
             .select("vec_id", "label", "cos_to_centroid", "label_rank",
                     (F.col("label_rank") <= 3).alias("is_outlier"))

@@ -795,3 +795,50 @@ def test_hint_created_store_full_maintenance_lifecycle(spark):
                 b4, epoch_id=5)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_capped_stacked_repairs_and_compact(spark):
+    """Two out-of-order waves on a max_bucket store: the second capped
+    repair runs ON TOP of the first delta (re-keyed views, rank
+    windows over overlay-substituted ids), both stack as overlays, a
+    quiescent compact folds them, and every step equals a capped full
+    reflag on a twin store."""
+    b0 = _docs(spark, [(20, _near("pA")), (21, _near("pB")),
+                       (22, _distinct(22))])
+    b1 = _docs(spark, [(10, _near("pA")), (11, _near("pC"))])  # late 1
+    b2 = _docs(spark, [(30, _near("pB")), (31, _distinct(31))])
+    b3 = _docs(spark, [(0, _near("pA")), (1, _near("pB"))])    # late 2
+    dirs = [tempfile.mkdtemp(prefix="capst_full_"),
+            tempfile.mkdtemp(prefix="capst_incr_")]
+    full, incr = [BucketedDedupStore(spark, d, max_bucket=2)
+                  for d in dirs]
+    try:
+        for store in (full, incr):
+            store(b0, epoch_id=0)
+            store(b1, epoch_id=1)
+        incr.reflag_incremental(below_epoch=2)       # derived: {1}
+        full.reflag(below_epoch=2)
+        assert _flags_dict(incr.all_flags()) == _flags_dict(
+            full.all_flags())
+        for store in (full, incr):
+            store(b2, epoch_id=2)
+            store(b3, epoch_id=3)
+        incr.reflag_incremental(below_epoch=4)       # derived: {3}
+        full.reflag(below_epoch=4)
+        want = _flags_dict(full.all_flags())
+        assert _flags_dict(incr.all_flags()) == want
+        assert incr._meta().get("nrep", 0) == 2
+        # quiescent compact folds both overlays; verdicts unchanged
+        incr.compact(below_epoch=4)
+        assert incr._meta().get("nrep", 0) == 0
+        assert not incr._meta().get("needs_full_reflag")
+        assert _flags_dict(incr.all_flags()) == want
+        # post-compact ingest reads the folded base identically
+        b4 = _docs(spark, [(40, _near("pA")), (41, _distinct(41))])
+        full(b4, epoch_id=4)
+        incr(b4, epoch_id=4)
+        assert _flags_dict(incr.all_flags()) == _flags_dict(
+            full.all_flags())
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

@@ -557,3 +557,58 @@ def test_decimal_sum_discipline_is_order_free_and_engine_exact(spark):
         "SELECT g, CAST(SUM(CAST(round(x, 9) AS DECIMAL(25,9))) "
         "AS DOUBLE) FROM t GROUP BY g").fetchall()}
     assert a == duck  # engine portability, bit-exact
+
+
+def test_floor_q_is_tie_free_across_engines(spark):
+    """The r12 quantization lesson, pinned as a property: round(x, 4)
+    DIVERGES across engines on decimal-tie expansions of identical
+    doubles (Spark rounds the exact binary expansion via BigDecimal
+    HALF_UP; DuckDB rounds float-side) — caught live when one of 20k
+    sf1 cosines came back -0.0001 vs -0.0.  floor_q (floor of the
+    shared x·10^4 product) must agree to the BIT on an adversarial
+    value set: every dyadic m/128 (exact 7-decimal ...78125 ties),
+    the ±5e-5 neighborhood, negative zero region, and random
+    mixed-magnitude doubles.  The test also documents that round()
+    genuinely disagrees on at least one of these inputs — if both
+    engines' round() ever starts agreeing everywhere, the floor_q
+    comment should be revisited."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from axonops_schema_registry_spark.queries.base import floor_q
+
+    rng = np.random.default_rng(12)
+    vals = [m / 128.0 for m in range(-300, 300)]          # dyadic ties
+    vals += [m / 128.0 / 1000.0 for m in range(-300, 300)]
+    vals += list(np.nextafter(np.float64(5e-5), 0)
+                 * np.array([1.0, -1.0]))
+    vals += [5e-5, -5e-5, np.nextafter(np.float64(-5e-5), -1.0)]
+    vals += list(rng.standard_normal(2000)
+                 * (10.0 ** rng.integers(-6, 3, 2000)))
+    pdf = pd.DataFrame({"i": range(len(vals)),
+                        "x": np.array(vals, dtype=np.float64)})
+    sdf = spark.createDataFrame(pdf)
+    got_floor = {r.i: r.q for r in sdf.select(
+        "i", floor_q(F.col("x"), 4).alias("q")).collect()}
+    got_round = {r.i: r.q for r in sdf.select(
+        "i", F.round(F.col("x"), 4).alias("q")).collect()}
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck_floor = dict(con.execute(
+        "SELECT i, floor(x * 10000.0) / 10000.0 FROM t").fetchall())
+    duck_round = dict(con.execute(
+        "SELECT i, round(x, 4) FROM t").fetchall())
+    con.close()
+
+    floor_mismatch = [i for i in got_floor
+                      if repr(got_floor[i]) != repr(duck_floor[i])]
+    assert floor_mismatch == []
+    round_mismatch = [i for i in got_round
+                      if repr(got_round[i]) != repr(duck_round[i])]
+    # the hazard is real on this input set — round() disagrees
+    assert round_mismatch, (
+        "round(x, 4) now agrees across engines on the adversarial set; "
+        "floor_q's rationale comment is stale")

@@ -3846,9 +3846,176 @@ ORDER BY doc_id
 """
 
 
+def cur3_quality_dedup_split(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """r12-family curation capstone — the four new operators chained
+    in the order a real pass runs them, pinned as ONE DAG with ONE
+    oracle (the cur1/cur2 convention: composition bugs live in the
+    seams, not the stages):
+
+    1. qn1 gate: per-source median/MAD over the FULL corpus; drop
+       |robust z| > 3 length outliers,
+    2. ng1 annotation: n-gram novelty computed WITHIN the survivors
+       (the population the next stage sees — first-occurrence over
+       the filtered corpus, not the raw one),
+    3. cap1 dedup: near-dup clusters over the survivors, keep each
+       cluster's 2 smallest ids,
+    4. split1 assignment: deterministic hash split of the kept docs.
+
+    Output: one row per KEPT document with its split, cluster, rank,
+    and the carried novelty/robust-z features — the manifest a
+    training run consumes.
+
+    Scale shape: every stage keeps its own documented shape; the only
+    composition-added work is that stages 2-3 run on the filtered
+    frame (Catalyst pushes the stage-1 verdict into both scans)."""
+    from pyspark.sql import Window
+
+    from axonops_schema_registry_spark.llm.sampling import portable_hash
+    from axonops_schema_registry_spark.operators.text import token_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    # stage 1: qn1 gate (stats over the FULL corpus)
+    words = docs.select(
+        "doc_id", "source", "text",
+        F.size(F.split(F.col("text"), " ")).cast("bigint")
+        .alias("n_words"))
+    med = words.groupBy("source").agg(
+        F.expr("percentile(n_words, 0.5)").alias("__med"))
+    j = words.join(F.broadcast(med), "source")
+    mad = (j.groupBy("source")
+           .agg(F.expr("percentile(abs(n_words - __med), 0.5)")
+                .alias("__mad")))
+    z = F.when(F.col("__mad") != 0.0,
+               (F.col("n_words") - F.col("__med")) / F.col("__mad"))
+    surv = (j.join(F.broadcast(mad), "source")
+            .select("doc_id", "source", "text", z.alias("robust_z"))
+            .filter(F.coalesce(F.abs(z) <= 3.0, F.lit(True))))
+    surv = surv.localCheckpoint(eager=True)  # feeds 4 consumers
+    # stage 2: ng1 novelty within the survivors
+    toks = token_set(surv, "doc_id", "text", 3)
+    first = toks.groupBy("token").agg(F.min("id").alias("__first"))
+    nov = (toks.join(first, "token")
+           .groupBy("id")
+           .agg(F.count(F.lit(1)).alias("__ns"),
+                F.sum(F.when(F.col("__first") == F.col("id"), 1)
+                      .otherwise(0)).alias("__nn"))
+           .select(F.col("id").alias("doc_id"),
+                   (F.col("__nn").cast("double")
+                    / F.col("__ns").cast("double")).alias("novelty")))
+    # stage 3: cap1 over the survivors
+    pairs = minhash_lsh_pairs(surv, "doc_id", "text", threshold=0.8,
+                              ngram=3)
+    comp = connected_components(pairs)
+    labeled = (surv.select("doc_id", "source")
+               .join(comp.select("doc_id", "cluster_id"), "doc_id",
+                     "left")
+               .select("doc_id", "source",
+                       F.coalesce("cluster_id", F.col("doc_id"))
+                       .alias("cluster_id")))
+    wr = Window.partitionBy("cluster_id").orderBy("doc_id")
+    kept = (labeled.withColumn("keep_rank",
+                               F.row_number().over(wr).cast("int"))
+            .filter(F.col("keep_rank") <= 2))
+    # stage 4: split1 assignment of the kept docs
+    tr = (1 << 48) * 4 // 5
+    va = (1 << 48) * 9 // 10
+    h = portable_hash(F.col("doc_id").cast("string"))
+    return (kept
+            .join(nov, "doc_id", "left")
+            .join(surv.select("doc_id", "robust_z"), "doc_id")
+            .select("doc_id", "source", "cluster_id", "keep_rank",
+                    F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
+                    "robust_z",
+                    F.when(h < tr, "train").when(h < va, "val")
+                    .otherwise("test").alias("split"))
+            .orderBy("doc_id"))
+
+
+CUR3_ORACLE = f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, source, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents),
+med AS (SELECT source, quantile_cont(n_words, 0.5) AS m
+        FROM w GROUP BY source),
+jj AS MATERIALIZED (SELECT w.*, med.m FROM w JOIN med USING (source)),
+mad AS (SELECT source, quantile_cont(abs(n_words - m), 0.5) AS d
+        FROM jj GROUP BY source),
+surv AS MATERIALIZED (
+  SELECT jj.doc_id, jj.source, jj.text,
+         CASE WHEN mad.d <> 0 THEN (jj.n_words - jj.m) / mad.d END
+           AS robust_z
+  FROM jj JOIN mad ON mad.source = jj.source
+  WHERE COALESCE(abs(CASE WHEN mad.d <> 0
+                          THEN (jj.n_words - jj.m) / mad.d END) <= 3.0,
+                 TRUE)),
+toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM surv),
+first AS (SELECT token, MIN(id) AS f FROM toks GROUP BY token),
+nov AS MATERIALIZED (
+  SELECT t.id AS doc_id,
+         CAST(SUM(CASE WHEN first.f = t.id THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*) AS novelty
+  FROM toks t JOIN first ON first.token = t.token
+  GROUP BY t.id),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id),
+dup_pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.8),
+edges AS (SELECT id_a AS src, id_b AS dst FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs),
+reach AS (
+  WITH RECURSIVE r(root, node) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.root, e.dst FROM r JOIN edges e ON e.src = r.node)
+  SELECT root, node FROM r),
+labels AS (SELECT root AS doc_id, MIN(node) AS cluster_id
+           FROM reach GROUP BY root),
+kept AS (
+  SELECT doc_id, source, cluster_id, keep_rank FROM (
+    SELECT s.doc_id, s.source,
+           COALESCE(l.cluster_id, s.doc_id) AS cluster_id,
+           CAST(row_number() OVER (
+               PARTITION BY COALESCE(l.cluster_id, s.doc_id)
+               ORDER BY s.doc_id) AS INT) AS keep_rank
+    FROM surv s LEFT JOIN labels l ON l.doc_id = s.doc_id)
+  WHERE keep_rank <= 2)
+SELECT k.doc_id, k.source, k.cluster_id, k.keep_rank,
+       COALESCE(nov.novelty, 0.0) AS novelty, s.robust_z,
+       CASE WHEN h < {(1 << 48) * 4 // 5} THEN 'train'
+            WHEN h < {(1 << 48) * 9 // 10} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT *, CAST(concat('0x',
+          substr(md5(CAST(doc_id AS STRING)), 1, 12)) AS BIGINT) AS h
+      FROM kept) k
+LEFT JOIN nov ON nov.doc_id = k.doc_id
+JOIN surv s ON s.doc_id = k.doc_id
+ORDER BY k.doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("ng1_ngram_novelty", ng1_ngram_novelty, NG1_ORACLE,
               tags=("llm", "text", "novelty", "agg"), bench=True),
+    QuerySpec("cur3_quality_dedup_split", cur3_quality_dedup_split,
+              CUR3_ORACLE,
+              tags=("llm", "curation", "composition", "dedup",
+                    "sampling")),
     QuerySpec("cap1_cluster_cap_sampling", cap1_cluster_cap_sampling,
               CAP1_ORACLE,
               tags=("llm", "dedup", "sampling", "window",

@@ -33,7 +33,8 @@ ORACLED = ("es3_decontamination_cut", "dd8_quality_representatives",
            # the r12 operators, covered in the same pass
            "ng1_ngram_novelty", "qn1_robust_length_normalization",
            "out1_embedding_outliers", "cap1_cluster_cap_sampling",
-           "ppl2_bigram_perplexity", "split1_dataset_split")
+           "ppl2_bigram_perplexity", "split1_dataset_split",
+           "cur3_quality_dedup_split")
 MARKER = "\n## r12 appendix: sf1 correctness for the r11 + r12 operators"
 
 

@@ -1829,3 +1829,40 @@ def test_decontamination_cut_randomized_cross_validation(spark):
             assert got[c * 1000 + d] == want, (c, d, t)
     # the fuzz actually exercises cuts somewhere
     assert any(v[1] > 0 for v in got.values())
+
+
+def test_curation_pipeline_r12_surface(spark, sf_dir):
+    """The r12 facade additions: robust length outliers, novelty,
+    cluster-capped keep set, deterministic split, bigram-backoff
+    perplexity — each delegating to its driver-verified operator."""
+    from axonops_schema_registry_spark.llm import CurationPipeline
+
+    cp = CurationPipeline.from_sf_dir(spark, sf_dir)
+    n = cp.docs.count()
+
+    lo = cp.length_outliers()
+    assert lo.count() == n
+    assert {"robust_z", "is_len_outlier"} <= set(lo.columns)
+
+    nov = cp.novelty()
+    assert 0 < nov.count() <= n          # shingle-less docs absent
+    bad = nov.filter((F.col("novelty") < 0) | (F.col("novelty") > 1))
+    assert bad.count() == 0
+
+    capped = cp.cluster_capped(k=2)
+    per = capped.groupBy("cluster_id").count()
+    assert per.agg(F.max("count")).first()[0] <= 2
+    # softened vs hard dedup: keep-2 retains at least keep-1's rows
+    assert capped.count() >= cp.deduplicated().count()
+
+    sp = cp.split(train=0.8, val=0.1)
+    assert sp.count() == n
+    shares = dict(sp.groupBy("split").count().collect())
+    assert set(shares) == {"train", "val", "test"}
+    assert shares["train"] > shares["val"]
+    assert shares["train"] > shares["test"]
+
+    pb = cp.perplexity_bigram()
+    assert {"n_tokens", "n_backoff", "mean_surprisal"} <= set(pb.columns)
+    # held-out docs (id % 7 == 0) exist and some fall back
+    assert pb.filter(F.col("n_backoff") > 0).count() > 0

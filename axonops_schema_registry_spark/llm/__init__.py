@@ -354,100 +354,48 @@ class CurationPipeline:
         """Per-document robust length z-scores + outlier flags (qn1):
         per-source median/MAD over word counts — the outlier-resistant
         scaling to threshold before mixing heterogeneous sources."""
-        from pyspark.sql import functions as F
+        from axonops_schema_registry_spark.llm.text import (
+            robust_length_stats,
+        )
 
-        words = self.docs.select(
-            self.id_col, self.source_col,
-            F.size(F.split(F.col(self.text_col), " ")).cast("bigint")
-            .alias("n_words"))
-        med = words.groupBy(self.source_col).agg(
-            F.expr("percentile(n_words, 0.5)").alias("median_words"))
-        j = words.join(F.broadcast(med), self.source_col)
-        mad = (j.groupBy(self.source_col)
-               .agg(F.expr("percentile(abs(n_words - median_words),"
-                           " 0.5)").alias("mad_words")))
-        rz = F.when(F.col("mad_words") != 0.0,
-                    (F.col("n_words") - F.col("median_words"))
-                    / F.col("mad_words"))
-        return (j.join(F.broadcast(mad), self.source_col)
-                .select(self.id_col, self.source_col, "n_words",
-                        "median_words", "mad_words",
-                        rz.alias("robust_z"),
-                        F.coalesce(F.abs(rz) > z, F.lit(False))
-                        .alias("is_len_outlier")))
+        return robust_length_stats(self.docs, self.id_col,
+                                   self.text_col, self.source_col, z)
 
     def novelty(self, ngram: int = 3):
         """Per-document n-gram novelty (ng1): the fraction of a doc's
         distinct shingles first seen in that doc — the memorization /
         diversity diagnostic."""
-        from pyspark.sql import functions as F
-
-        from axonops_schema_registry_spark.operators.text import (
-            token_set,
+        from axonops_schema_registry_spark.llm.text import (
+            ngram_novelty,
         )
 
-        toks = token_set(self.docs, self.id_col, self.text_col, ngram)
-        first = toks.groupBy("token").agg(F.min("id").alias("__f"))
-        return (toks.join(first, "token")
-                .groupBy("id")
-                .agg(F.count(F.lit(1)).alias("n_shingles"),
-                     F.sum(F.when(F.col("__f") == F.col("id"), 1)
-                           .otherwise(0)).cast("bigint")
-                     .alias("n_novel"))
-                .select(F.col("id").alias(self.id_col), "n_shingles",
-                        "n_novel",
-                        (F.col("n_novel").cast("double")
-                         / F.col("n_shingles").cast("double"))
-                        .alias("novelty")))
+        return ngram_novelty(self.docs, self.id_col, self.text_col,
+                             ngram)
 
     def cluster_capped(self, k: int = 2, threshold: float = 0.8,
                        ngram: int = 3):
         """Cluster-capped keep set (cap1): each near-dup cluster keeps
         its ``k`` smallest ids — the softened dedup policy (bounded
         benign repetition instead of keep-one)."""
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
         from axonops_schema_registry_spark.llm.dedup import (
-            connected_components,
-            minhash_lsh_pairs,
+            cluster_capped_keep,
         )
 
-        pairs = minhash_lsh_pairs(self.docs, self.id_col,
-                                  self.text_col, threshold, ngram)
-        comp = connected_components(pairs)
-        labeled = (self.docs.select(self.id_col)
-                   .join(comp.select(F.col("doc_id").alias(self.id_col),
-                                     "cluster_id"), self.id_col, "left")
-                   .select(self.id_col,
-                           F.coalesce("cluster_id", F.col(self.id_col))
-                           .alias("cluster_id")))
-        w = Window.partitionBy("cluster_id").orderBy(self.id_col)
-        return (labeled
-                .withColumn("keep_rank",
-                            F.row_number().over(w).cast("int"))
-                .filter(F.col("keep_rank") <= k))
+        return cluster_capped_keep(self.docs, k, self.id_col,
+                                   self.text_col, threshold, ngram)
 
-    def split(self, train: float = 0.8, val: float = 0.1):
+    def split(self, train_milli: int = 800, val_milli: int = 100):
         """Deterministic stratified train/val/test assignment (split1)
         from the portable 48-bit hash against exact integer
         thresholds — reproducible across engines, runs, and cluster
-        sizes.  ``train``/``val`` fractions are converted to integer
-        thresholds once, in exact arithmetic over 1000ths."""
-        from pyspark.sql import functions as F
-
+        sizes.  Fractions enter as INTEGER per-mille; no float ever
+        touches the threshold derivation."""
         from axonops_schema_registry_spark.llm.sampling import (
-            portable_hash,
+            hash_split,
         )
 
-        tr_m, va_m = round(train * 1000), round((train + val) * 1000)
-        tr = (1 << 48) * tr_m // 1000
-        va = (1 << 48) * va_m // 1000
-        h = portable_hash(F.col(self.id_col).cast("string"))
-        return self.docs.select(
-            self.id_col, self.source_col,
-            F.when(h < tr, "train").when(h < va, "val")
-            .otherwise("test").alias("split"))
+        return hash_split(self.docs, self.id_col, self.source_col,
+                          train_milli, val_milli)
 
     def perplexity_bigram(self, ref_mod: int = 7):
         """Bigram-LM surprisal with stupid backoff (ppl2): LM fitted

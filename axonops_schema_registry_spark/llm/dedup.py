@@ -173,6 +173,42 @@ def verify_jaccard(toks: DataFrame, candidates: DataFrame,
             .select("id_a", "id_b", "n_inter", "size_a", "size_b", "jaccard"))
 
 
+def cluster_capped_keep(df: DataFrame, k: int = 2,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.8,
+                        ngram: int = 3) -> DataFrame:
+    """Cluster-capped keep set (cap1; also the dedup stage of the
+    cur3 capstone and the CurationPipeline surface — ONE
+    implementation for all three): near-dup clusters via MinHash
+    pairs + connected components, each cluster keeping its ``k``
+    smallest ids — the softened dedup policy (bounded benign
+    repetition instead of keep-one; the cap bounds what a boilerplate
+    cluster can contribute).  Singletons keep rank 1.
+
+    Returns (id, cluster_id, cluster_size, keep_rank) for the KEPT
+    rows only.  Scale shape: the pair+components path plus ONE rank
+    window per cluster — state bounded by cluster size, which the
+    upstream exact-collapse and max_bucket guards bound."""
+    from pyspark.sql import Window
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, ngram)
+    comp = connected_components(pairs)
+    labeled = (df.select(id_col)
+               .join(comp.select(F.col("doc_id").alias(id_col),
+                                 "cluster_id", "cluster_size"),
+                     id_col, "left")
+               .select(id_col,
+                       F.coalesce("cluster_id", F.col(id_col))
+                       .alias("cluster_id"),
+                       F.coalesce("cluster_size", F.lit(1))
+                       .cast("bigint").alias("cluster_size")))
+    w = Window.partitionBy("cluster_id").orderBy(id_col)
+    return (labeled.withColumn("keep_rank",
+                               F.row_number().over(w).cast("int"))
+            .filter(F.col("keep_rank") <= k))
+
+
 def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             threshold: float = 0.8,
@@ -295,7 +331,7 @@ def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 20,
+                         max_iter: int = 30,
                          stats: dict | None = None) -> DataFrame:
     """Duplicate clusters: connected components over the near-dup pair
     graph via min-label propagation with POINTER DOUBLING.
@@ -305,8 +341,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     through its label's own label (label ← label[label]), doubling the
     distance already covered — rounds needed = O(log diameter), not
     diameter (the Hash-to-Min family of bounds, public literature).
-    Stop at fixpoint; ``max_iter`` rounds cover components of diameter
-    ~2^max_iter, and exhausting them without convergence RAISES
+    Stop at fixpoint; ``max_iter`` rounds cover components of
+    diameter ~2^(max_iter - 1) — the LAST round must observe zero
+    change to confirm the fixpoint, so the default 30 covers ~5×10^8
+    hops with the confirmation round included — and exhausting them
+    without convergence RAISES
     instead of silently returning half-propagated labels (pre-r12 the
     plain one-hop loop capped at 20 hops and a longer planted chain
     came back with wrong clusters — caught by the r12 planted-chain

@@ -58,6 +58,36 @@ def stratified_sample(docs: DataFrame, rates: DataFrame,
                 .drop("rate"))
 
 
+def hash_split(docs: DataFrame, id_col: str = "doc_id",
+               source_col: str = "source",
+               train_milli: int = 800,
+               val_milli: int = 100) -> DataFrame:
+    """Deterministic stratified train/val/test assignment (split1;
+    also the assignment stage of cur3 and the CurationPipeline
+    surface — ONE implementation for all three): each row's split
+    follows its portable 48-bit hash against EXACT integer
+    thresholds, reproducible across engines, runs, and cluster sizes;
+    per-source proportions hold automatically (hashes are uniform
+    within every stratum).
+
+    Fractions enter as INTEGER per-mille (the stratified_sample floor
+    lesson, taken one step further: no float ever touches the
+    threshold derivation — ``round(0.8125 * 1000)`` under banker's
+    rounding is exactly the kind of silent boundary drift this
+    avoids).  Scale: one scan-side hash + comparison."""
+    if not (0 < train_milli and 0 <= val_milli
+            and train_milli + val_milli <= 1000):
+        raise ValueError("per-mille split fractions must satisfy "
+                         "0 < train, 0 <= val, train + val <= 1000")
+    tr = (1 << 48) * train_milli // 1000
+    va = (1 << 48) * (train_milli + val_milli) // 1000
+    h = portable_hash(F.col(id_col).cast("string"))
+    return docs.select(
+        id_col, source_col,
+        F.when(h < tr, "train").when(h < va, "val")
+        .otherwise("test").alias("split"))
+
+
 def dataset_mixture(docs: DataFrame, quotas: DataFrame,
                     key_col: str = "doc_id",
                     source_col: str = "source") -> DataFrame:

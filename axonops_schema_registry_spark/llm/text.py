@@ -256,6 +256,67 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
                  .alias("mean_surprisal")))
 
 
+def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", ngram: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY — the fraction of a document's
+    distinct shingles whose FIRST corpus occurrence (smallest id) is
+    this document: the doc-granular memorization/diversity diagnostic
+    (ng1; also the annotation stage of the cur3 capstone and the
+    CurationPipeline surface — ONE implementation for all three).
+
+    Scale shape: one gram-keyed map-side-combinable MIN aggregate over
+    the distinct (doc, shingle) pairs, one gram-keyed join back, one
+    doc-keyed count; division is BIGINT/BIGINT.  Documents with no
+    shingle (< ngram words) are absent."""
+    from axonops_schema_registry_spark.operators.text import token_set
+
+    toks = token_set(docs, id_col, text_col, ngram)
+    first = toks.groupBy("token").agg(F.min("id").alias("__first"))
+    return (toks.join(first, "token")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.when(F.col("__first") == F.col("id"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_novel"))
+            .select(F.col("id").alias(id_col), "n_shingles", "n_novel",
+                    (F.col("n_novel").cast("double")
+                     / F.col("n_shingles").cast("double"))
+                    .alias("novelty")))
+
+
+def robust_length_stats(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        source_col: str = "source",
+                        z_cut: float = 3.0) -> DataFrame:
+    """Per-source robust (median/MAD) z-scores over word counts with
+    |z| > ``z_cut`` outlier flags (qn1; the gate stage of cur3 and the
+    CurationPipeline surface).  Exact sort-based percentiles (the qs1
+    quantile_cont contract); n_words and median/MAD are integers or
+    exact halves, so the z quotient is IEEE-deterministic with NO
+    rounding; MAD = 0 yields NULL z / false flag.
+
+    Scale shape: two grouped percentile passes on the source key plus
+    a sources-sized broadcast join back (percentile_approx at web
+    scale, as qs1 documents)."""
+    words = docs.select(
+        id_col, source_col,
+        F.size(F.split(F.col(text_col), " ")).cast("bigint")
+        .alias("n_words"))
+    med = words.groupBy(source_col).agg(
+        F.expr("percentile(n_words, 0.5)").alias("median_words"))
+    j = words.join(F.broadcast(med), source_col)
+    mad = (j.groupBy(source_col)
+           .agg(F.expr("percentile(abs(n_words - median_words), 0.5)")
+                .alias("mad_words")))
+    z = F.when(F.col("mad_words") != 0.0,
+               (F.col("n_words") - F.col("median_words"))
+               / F.col("mad_words"))
+    return (j.join(F.broadcast(mad), source_col)
+            .select(id_col, source_col, "n_words", "median_words",
+                    "mad_words", z.alias("robust_z"),
+                    F.coalesce(F.abs(z) > F.lit(z_cut), F.lit(False))
+                    .alias("is_len_outlier")))
+
+
 def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      ref_mod: int = 7) -> DataFrame:
@@ -276,11 +337,14 @@ def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
     counts scored tokens that fell back, the OOD signal a curation
     threshold reads next to the surprisal itself.
 
-    Float discipline: every -ln is computed ONCE per distinct bigram /
-    unigram TYPE (type-bounded work) and rounded at 1e-6 there; the
-    per-document total is an exact DECIMAL sum of rounded type scores
-    (the psum convention) divided once and rounded at emission — the
-    ppl1 contract extended to two tables.
+    Float discipline (tightened past ppl1's round(·, 6) after the r12
+    out1 tie incident): every -ln is computed ONCE per distinct
+    bigram / unigram TYPE and quantized to INTEGER micro-units via
+    ``floor(x · 10^6)`` — floor of the shared double product has no
+    tie semantics, unlike round (base.floor_q's contract) — then
+    per-document totals are exact BIGINT sums and the mean is ONE
+    correctly-rounded division, emitted raw (no final rounding to
+    disagree on).
 
     Scale: bigram extraction is ROW-LOCAL (one transform over the
     split array — no self-join, no window); type counts are map-side
@@ -305,21 +369,25 @@ def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
             .select(F.explode(pair).alias("p"))
             .select("p.u", "p.w")
             .groupBy("u", "w").agg(F.count(F.lit(1)).alias("cb")))
+    def q6(col):
+        # integer micro-units: tie-free across engines (see docstring)
+        return F.floor(col * F.lit(1000000.0)).cast("bigint")
+
     bscore = (rbig.join(F.broadcast(
                   uni.select(F.col("t").alias("u"), "cu")), "u")
               .select("u", "w",
-                      F.round(-F.log(F.col("cb") / F.col("cu")), 6)
+                      q6(-F.log(F.col("cb") / F.col("cu")))
                       .alias("sb")))
     # unigram score tables: backoff (0.4 discount) + first-token
     uscore = (uni.crossJoin(F.broadcast(total))
               .select(F.col("t").alias("w"),
-                      F.round(-F.log(F.lit(0.4) * F.col("cu")
-                                     / F.col("n")), 6).alias("sk"),
-                      F.round(-F.log(F.col("cu") / F.col("n")), 6)
+                      q6(-F.log(F.lit(0.4) * F.col("cu")
+                                / F.col("n"))).alias("sk"),
+                      q6(-F.log(F.col("cu") / F.col("n")))
                       .alias("s1")))
     oov = (total.select(
-        F.round(-F.log(F.lit(0.4) / F.col("n")), 6).alias("sk_oov"),
-        F.round(-F.log(F.lit(1.0) / F.col("n")), 6).alias("s1_oov")))
+        q6(-F.log(F.lit(0.4) / F.col("n"))).alias("sk_oov"),
+        q6(-F.log(F.lit(1.0) / F.col("n"))).alias("s1_oov")))
 
     first = base.select("id", F.element_at("__a", 1).alias("w"))
     f_sc = (first.join(F.broadcast(uscore.select("w", "s1")), "w",
@@ -341,8 +409,8 @@ def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
             .groupBy(F.col("id").alias(id_col))
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.sum("__bk").cast("bigint").alias("n_backoff"),
-                 F.round(F.sum(F.col("__s").cast("decimal(25,6)"))
-                         .cast("double") / F.count(F.lit(1)), 4)
+                 (F.sum("__s").cast("double")
+                  / (F.count(F.lit(1)) * F.lit(1000000.0)))
                  .alias("mean_surprisal")))
 
 

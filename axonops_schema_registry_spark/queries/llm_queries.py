@@ -3445,22 +3445,10 @@ def ng1_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic prefix scan (vg1's formulation note applies verbatim:
     queries/llm_queries.py vg1).  Division is BIGINT/BIGINT — the
     float-discipline-free case."""
-    from axonops_schema_registry_spark.operators.text import token_set
+    from axonops_schema_registry_spark.llm.text import ngram_novelty
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = token_set(docs, "doc_id", "text", 3)
-    first = toks.groupBy("token").agg(F.min("id").alias("__first"))
-    per = (toks.join(first, "token")
-           .groupBy("id")
-           .agg(F.count(F.lit(1)).alias("n_shingles"),
-                F.sum(F.when(F.col("__first") == F.col("id"), 1)
-                      .otherwise(0)).cast("bigint").alias("n_novel")))
-    return (per.select(F.col("id").alias("doc_id"),
-                       "n_shingles", "n_novel",
-                       (F.col("n_novel").cast("double")
-                        / F.col("n_shingles").cast("double"))
-                       .alias("novelty"))
-            .orderBy("doc_id"))
+    return ngram_novelty(docs).orderBy("doc_id")
 
 
 NG1_ORACLE = """
@@ -3504,26 +3492,12 @@ def qn1_robust_length_normalization(spark: SparkSession,
 
     Scale shape: two grouped percentile passes shuffled on the same
     source key, then a sources-sized broadcast join back."""
+    from axonops_schema_registry_spark.llm.text import (
+        robust_length_stats,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", "source",
-        F.size(F.split(F.col("text"), " ")).cast("bigint")
-        .alias("n_words"))
-    med = words.groupBy("source").agg(
-        F.expr("percentile(n_words, 0.5)").alias("median_words"))
-    j = words.join(F.broadcast(med), "source")
-    mad = (j.groupBy("source")
-           .agg(F.expr("percentile(abs(n_words - median_words), 0.5)")
-                .alias("mad_words")))
-    z = F.when(F.col("mad_words") != 0.0,
-               (F.col("n_words") - F.col("median_words"))
-               / F.col("mad_words"))
-    return (j.join(F.broadcast(mad), "source")
-            .select("doc_id", "source", "n_words", "median_words",
-                    "mad_words", z.alias("robust_z"),
-                    F.coalesce(F.abs(z) > 3.0, F.lit(False))
-                    .alias("is_len_outlier"))
-            .orderBy("doc_id"))
+    return robust_length_stats(docs).orderBy("doc_id")
 
 
 QN1_ORACLE = """
@@ -3558,25 +3532,24 @@ def out1_embedding_outliers(spark: SparkSession,
     anti-joins.  lab1 is the per-label cohesion REPORT; this is the
     per-vector verdict surface.
 
-    Float discipline (the lab1 idiom): the centroid is the exact
-    DECIMAL(25,9) per-dimension SUM of 9-decimal-quantized components
-    — cosine is scale-invariant, so the sum IS the direction and no
-    mean division (with its rounding-tie hazard) ever happens; the
-    per-row cosine is a row-local IEEE fold both engines evaluate in
-    identical order.  Emission quantizes via floor(x·10^4)/10^4, NOT
-    round(x, 4): with 20 k cosines the r12 sf1 sweep caught a value
-    whose exact binary expansion sits a hair past a 4-decimal tie —
-    Spark's BigDecimal HALF_UP said -0.0001 while DuckDB's
-    float-based banker's round said -0.0.  floor of the shared
-    double·10^4 product has no tie semantics at all, so identical
-    input doubles give identical output in every engine.
+    Float discipline — fully TIE-FREE after the r12 sf1 incident (one
+    of 20 k cosines rounded -0.0001 in Spark vs -0.0 in DuckDB on
+    bit-identical doubles): the centroid direction is the exact
+    BIGINT per-dimension sum of floor(x · 10^9)-scaled components —
+    cosine is scale-invariant, so the integer sum IS the direction
+    and no decimal cast or mean division (each with its own
+    engine-tie hazard) ever happens; sums stay exactly double-
+    representable below ~2^53/10^9 ≈ 9 × 10^6 rows per label (beyond
+    that, swap the BIGINT for DECIMAL(38,0), the shard1 checksum
+    pattern).  The per-row cosine is a row-local IEEE fold both
+    engines evaluate in identical order, and emission quantizes via
+    base.floor_q — floor of the shared double·10^4 product has no
+    tie semantics at all.
 
     Scale shape: the explode is corpus×dim rows into a map-side
     combinable decimal aggregate; the centroid table (labels × dim)
     broadcasts; ranking is one window per label."""
     from pyspark.sql import Window
-
-    from axonops_schema_registry_spark.queries.base import psum
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
@@ -3585,12 +3558,14 @@ def out1_embedding_outliers(spark: SparkSession,
         .alias("ev"))
     expl = v.select("label", F.posexplode("ev").alias("p", "x"))
     dimsum = (expl.groupBy("label", "p")
-              .agg(psum(F.round(F.col("x"), 9), 9).alias("s")))
+              .agg(F.sum(F.floor(F.col("x") * F.lit(1000000000.0))
+                         .cast("bigint")).alias("s")))
     cent = (dimsum.groupBy("label")
             .agg(F.array_sort(F.collect_list(F.struct("p", "s")))
                  .alias("__ps"))
             .select("label",
-                    F.expr("transform(__ps, e -> e.s)").alias("cv")))
+                    F.expr("transform(__ps, "
+                           "e -> CAST(e.s AS DOUBLE))").alias("cv")))
     dot = F.expr("aggregate(zip_with(cv, ev, (x, y) -> x * y), "
                  "CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)")
     nc = F.sqrt(F.expr("aggregate(transform(cv, x -> x * x), "
@@ -3619,11 +3594,11 @@ expl AS (
   SELECT label, ev, unnest(generate_series(1, len(ev))) AS p FROM v),
 dimsum AS (
   SELECT label, p,
-         CAST(SUM(CAST(round(ev[p], 9) AS DECIMAL(25,9))) AS DOUBLE)
-           AS s
+         SUM(CAST(floor(ev[p] * 1000000000.0) AS BIGINT)) AS s
   FROM expl GROUP BY label, p),
 cent AS (
-  SELECT label, list(s ORDER BY p) AS cv FROM dimsum GROUP BY label),
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY p) AS cv
+  FROM dimsum GROUP BY label),
 scored AS (
   SELECT v.vec_id, v.label,
          floor(
@@ -3656,8 +3631,9 @@ def ppl2_bigram_perplexity(spark: SparkSession,
     fitted on the deterministic reference slice (doc_id % 7 != 0) and
     EVERY document is scored, so held-out documents exercise the
     backoff path for real (n_backoff is the OOD signal).  Type-bounded
-    -ln computation, exact decimal per-doc sums (the ppl1 float
-    contract extended to two tables)."""
+    -ln computation in tie-free integer micro-units (floor(x·10^6)
+    BIGINTs — the floor_q contract; exact sums, one final
+    division)."""
     from axonops_schema_registry_spark.llm.text import bigram_surprisal
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3682,15 +3658,18 @@ rbig AS MATERIALIZED (
         FROM ref WHERE len(a) >= 2)
   GROUP BY 1, 2),
 bscore AS MATERIALIZED (
-  SELECT rbig.u, rbig.w, round(-ln(cb / cu), 6) AS sb
+  SELECT rbig.u, rbig.w,
+         CAST(floor(-ln(cb / cu) * 1000000.0) AS BIGINT) AS sb
   FROM rbig JOIN uni ON uni.t = rbig.u),
 uscore AS MATERIALIZED (
-  SELECT t AS w, round(-ln(0.4 * cu / n), 6) AS sk,
-         round(-ln(cu / n), 6) AS s1
+  SELECT t AS w,
+         CAST(floor(-ln(0.4 * cu / n) * 1000000.0) AS BIGINT) AS sk,
+         CAST(floor(-ln(cu / n) * 1000000.0) AS BIGINT) AS s1
   FROM uni, tot),
 oov AS MATERIALIZED (
-  SELECT round(-ln(0.4 / n), 6) AS sk_oov,
-         round(-ln(1.0 / n), 6) AS s1_oov FROM tot),
+  SELECT CAST(floor(-ln(0.4 / n) * 1000000.0) AS BIGINT) AS sk_oov,
+         CAST(floor(-ln(1.0 / n) * 1000000.0) AS BIGINT) AS s1_oov
+  FROM tot),
 firsts AS (
   SELECT f.id, COALESCE(u.s1, o.s1_oov) AS s, 0 AS bk
   FROM (SELECT id, a[1] AS w FROM nz) f
@@ -3709,8 +3688,8 @@ tscores AS (
 allsc AS (SELECT * FROM firsts UNION ALL SELECT * FROM tscores)
 SELECT id AS doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(bk) AS BIGINT) AS n_backoff,
-       round(CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE)
-             / COUNT(*), 4) AS mean_surprisal
+       CAST(SUM(s) AS DOUBLE) / (COUNT(*) * 1000000.0)
+         AS mean_surprisal
 FROM allsc GROUP BY id ORDER BY doc_id
 """
 
@@ -3724,25 +3703,15 @@ def split1_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     within every stratum) — the split manifest every training-data
     pipeline pins before packing/export.
 
-    Thresholds are exact integers (2^48·4/5 and 2^48·9/10 computed in
-    integer arithmetic) — no float boundary can flip a document
-    between engines (the stratified_sample floor lesson).  Scale: one
-    scan-side hash + comparison, zero shuffles before the final
-    order."""
-    from axonops_schema_registry_spark.llm.sampling import portable_hash
+    Thresholds are exact integers (2^48·800/1000 and 2^48·900/1000,
+    integer arithmetic end-to-end) — no float boundary can flip a
+    document between engines (the stratified_sample floor lesson).
+    Scale: one scan-side hash + comparison, zero shuffles before the
+    final order."""
+    from axonops_schema_registry_spark.llm.sampling import hash_split
 
     docs = load_table(spark, sf_dir, "documents")
-    tr = (1 << 48) * 4 // 5
-    va = (1 << 48) * 9 // 10
-    h = portable_hash(F.col("doc_id").cast("string"))
-    return (docs.select(
-                "doc_id", "source",
-                h.alias("__h"))
-            .select("doc_id", "source",
-                    F.when(F.col("__h") < tr, "train")
-                    .when(F.col("__h") < va, "val")
-                    .otherwise("test").alias("split"))
-            .orderBy("doc_id"))
+    return hash_split(docs).orderBy("doc_id")
 
 
 SPLIT1_ORACLE = f"""
@@ -3774,24 +3743,12 @@ def cap1_cluster_cap_sampling(spark: SparkSession,
     rounds ∝ log diameter), then ONE rank window per cluster — state
     bounded by cluster size, which the upstream exact-collapse and
     max_bucket guards bound."""
-    from pyspark.sql import Window
+    from axonops_schema_registry_spark.llm.dedup import (
+        cluster_capped_keep,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8,
-                              ngram=3)
-    comp = connected_components(pairs)
-    labeled = (docs.select("doc_id")
-               .join(comp.select("doc_id", "cluster_id",
-                                 "cluster_size"), "doc_id", "left")
-               .select("doc_id",
-                       F.coalesce("cluster_id", F.col("doc_id"))
-                       .alias("cluster_id"),
-                       F.coalesce("cluster_size", F.lit(1))
-                       .cast("bigint").alias("cluster_size")))
-    w = Window.partitionBy("cluster_id").orderBy("doc_id")
-    return (labeled.withColumn("keep_rank",
-                               F.row_number().over(w).cast("int"))
-            .filter(F.col("keep_rank") <= 2)
+    return (cluster_capped_keep(docs, k=2)
             .withColumn("cluster_was_capped",
                         F.col("cluster_size") > 2)
             .orderBy("doc_id"))
@@ -3868,67 +3825,40 @@ def cur3_quality_dedup_split(spark: SparkSession,
 
     Scale shape: every stage keeps its own documented shape; the only
     composition-added work is that stages 2-3 run on the filtered
-    frame (Catalyst pushes the stage-1 verdict into both scans)."""
-    from pyspark.sql import Window
-
-    from axonops_schema_registry_spark.llm.sampling import portable_hash
-    from axonops_schema_registry_spark.operators.text import token_set
+    frame (Catalyst pushes the stage-1 verdict into both scans).
+    Every stage delegates to the SAME shared operator function its
+    standalone spec and the CurationPipeline facade use — one
+    implementation per operator, three surfaces."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        cluster_capped_keep,
+    )
+    from axonops_schema_registry_spark.llm.sampling import hash_split
+    from axonops_schema_registry_spark.llm.text import (
+        ngram_novelty,
+        robust_length_stats,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # stage 1: qn1 gate (stats over the FULL corpus)
-    words = docs.select(
-        "doc_id", "source", "text",
-        F.size(F.split(F.col("text"), " ")).cast("bigint")
-        .alias("n_words"))
-    med = words.groupBy("source").agg(
-        F.expr("percentile(n_words, 0.5)").alias("__med"))
-    j = words.join(F.broadcast(med), "source")
-    mad = (j.groupBy("source")
-           .agg(F.expr("percentile(abs(n_words - __med), 0.5)")
-                .alias("__mad")))
-    z = F.when(F.col("__mad") != 0.0,
-               (F.col("n_words") - F.col("__med")) / F.col("__mad"))
-    surv = (j.join(F.broadcast(mad), "source")
-            .select("doc_id", "source", "text", z.alias("robust_z"))
-            .filter(F.coalesce(F.abs(z) <= 3.0, F.lit(True))))
-    surv = surv.localCheckpoint(eager=True)  # feeds 4 consumers
+    stats = robust_length_stats(docs)
+    surv = (docs.select("doc_id", "source", "text")
+            .join(stats.filter(~F.col("is_len_outlier"))
+                  .select("doc_id", "robust_z"), "doc_id")
+            .localCheckpoint(eager=True))  # feeds 4 consumers
     # stage 2: ng1 novelty within the survivors
-    toks = token_set(surv, "doc_id", "text", 3)
-    first = toks.groupBy("token").agg(F.min("id").alias("__first"))
-    nov = (toks.join(first, "token")
-           .groupBy("id")
-           .agg(F.count(F.lit(1)).alias("__ns"),
-                F.sum(F.when(F.col("__first") == F.col("id"), 1)
-                      .otherwise(0)).alias("__nn"))
-           .select(F.col("id").alias("doc_id"),
-                   (F.col("__nn").cast("double")
-                    / F.col("__ns").cast("double")).alias("novelty")))
+    nov = ngram_novelty(surv).select("doc_id", "novelty")
     # stage 3: cap1 over the survivors
-    pairs = minhash_lsh_pairs(surv, "doc_id", "text", threshold=0.8,
-                              ngram=3)
-    comp = connected_components(pairs)
-    labeled = (surv.select("doc_id", "source")
-               .join(comp.select("doc_id", "cluster_id"), "doc_id",
-                     "left")
-               .select("doc_id", "source",
-                       F.coalesce("cluster_id", F.col("doc_id"))
-                       .alias("cluster_id")))
-    wr = Window.partitionBy("cluster_id").orderBy("doc_id")
-    kept = (labeled.withColumn("keep_rank",
-                               F.row_number().over(wr).cast("int"))
-            .filter(F.col("keep_rank") <= 2))
+    kept = cluster_capped_keep(surv, k=2)
     # stage 4: split1 assignment of the kept docs
-    tr = (1 << 48) * 4 // 5
-    va = (1 << 48) * 9 // 10
-    h = portable_hash(F.col("doc_id").cast("string"))
-    return (kept
+    assign = hash_split(surv).select("doc_id", "split")
+    return (kept.select("doc_id", "cluster_id", "keep_rank")
+            .join(surv.select("doc_id", "source", "robust_z"),
+                  "doc_id")
             .join(nov, "doc_id", "left")
-            .join(surv.select("doc_id", "robust_z"), "doc_id")
+            .join(assign, "doc_id")
             .select("doc_id", "source", "cluster_id", "keep_rank",
                     F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
-                    "robust_z",
-                    F.when(h < tr, "train").when(h < va, "val")
-                    .otherwise("test").alias("split"))
+                    "robust_z", "split")
             .orderBy("doc_id"))
 
 

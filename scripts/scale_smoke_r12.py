@@ -7,8 +7,10 @@ chains.
 
 The chain sweep measures the r12 POINTER-DOUBLING loop (label ←
 min(neighborhood), then label ← label[label]): rounds grow with
-log2(diameter), so even a pathological million-hop component stays
-~20 rounds.  The pre-r12 one-hop loop needed diameter rounds and
+log2(diameter), so even a pathological million-hop component needs
+only ~21 rounds plus the fixpoint-confirmation round (default
+max_iter=30 covers ~5×10^8 hops).  The pre-r12 one-hop loop needed
+diameter rounds and
 SILENTLY truncated at max_iter=20 — a planted 200-chain came back
 with wrong labels (now a pinned regression in tests/test_llm_ops.py).
 

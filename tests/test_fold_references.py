@@ -332,23 +332,26 @@ def test_ppl2_bigram_backoff_matches_pure_python_reference(spark):
     big = Counter((a[i - 1], a[i]) for a in ref
                   for i in range(1, len(a)))
 
+    def q6(x: float) -> int:
+        # the engines' tie-free micro-unit quantization: floor(x·10^6)
+        return math.floor(x * 1000000.0)
+
     def score_doc(text):
         a = text.split()
-        total = 0.0
+        total = 0
         nb = 0
         # first token
         c = uni.get(a[0], 1)
-        total += round(-math.log(c / n), 6)
+        total += q6(-math.log(c / n))
         for i in range(1, len(a)):
             u, w = a[i - 1], a[i]
             if (u, w) in big:
-                total += round(-math.log(big[(u, w)] / uni[u]), 6)
+                total += q6(-math.log(big[(u, w)] / uni[u]))
             else:
                 nb += 1
-                total += round(-math.log(0.4 * uni.get(w, 1) / n), 6)
-        # the engines sum exact decimals of 6-dp values: the float sum
-        # here is exact enough at this size to round identically
-        return len(a), nb, round(total / len(a), 4)
+                total += q6(-math.log(0.4 * uni.get(w, 1) / n))
+        # exact integer sum, one float division — same as both engines
+        return len(a), nb, float(total) / (len(a) * 1000000.0)
 
     want = {i: score_doc(t) for i, t in rows}
     got = {r.doc_id: (r.n_tokens, r.n_backoff, r.mean_surprisal)

@@ -1855,7 +1855,7 @@ def test_curation_pipeline_r12_surface(spark, sf_dir):
     # softened vs hard dedup: keep-2 retains at least keep-1's rows
     assert capped.count() >= cp.deduplicated().count()
 
-    sp = cp.split(train=0.8, val=0.1)
+    sp = cp.split(train_milli=800, val_milli=100)
     assert sp.count() == n
     shares = dict(sp.groupBy("split").count().collect())
     assert set(shares) == {"train", "val", "test"}

@@ -20,10 +20,10 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-12 rotation (VERDICT r11 ask #1, oldest-first): the 7
+    # Round-12 rotation (VERDICT r11 ask #1, oldest-first): the 8
     # specs NEW this round lead (never driver-sampled), then ALL 26
     # deferred r8-green specs (the exact list named in the r11 window
-    # comment and VERDICT.md), then 17 of the 50 r9-green specs —
+    # comment and VERDICT.md), then 16 of the 50 r9-green specs —
     # bespoke compat/BPE/dedup/streaming/registry families ahead of
     # the TPC-shaped relational tail.  After this round the freshness
     # floor rises to r9.  Deferred r9-green names for the r13 window
@@ -39,13 +39,14 @@ _PRIORITY: tuple[str, ...] = (
     # j8d_kek_cascade_lifecycle, m1_metadata_merge, q4_order_priority,
     # q12_priority_linestatus, q16_supplier_counts,
     # r4_registration_batch, r8_delete_reregister,
-    # rj1_events_in_windows, s9_import_with_ids, u1_user_role_stats,
-    # v1_validate_normalize, x1_export_subject
+    # rj1_events_in_windows, rv1_ruleset_validation,
+    # s9_import_with_ids, u1_user_role_stats, v1_validate_normalize,
+    # x1_export_subject
     # -- new in r12 (never driver-sampled)
     "ng1_ngram_novelty", "qn1_robust_length_normalization",
     "out1_embedding_outliers", "cap1_cluster_cap_sampling",
     "ppl2_bigram_perplexity", "split1_dataset_split",
-    "cur3_quality_dedup_split",
+    "cur3_quality_dedup_split", "ctm4_split_leakage",
     # -- the 26 deferred r8-green specs (freshness floor)
     "a4c_cube_statistics", "a8r_schema_quality", "aud1_audit_chain",
     "aud2_event_type_analytics", "aud3_request_classification",
@@ -58,14 +59,14 @@ _PRIORITY: tuple[str, ...] = (
     "r2_version_history", "r3_schema_versions_view",
     "r7_registration_gated", "tx1_language_id", "tx2_token_stats",
     "tx3_rolling_fingerprint", "tx8_normalize",
-    # -- 17 of the 50 r9-green specs (bespoke families first)
+    # -- 16 of the 50 r9-green specs (bespoke families first)
     "bpe2_merge_table", "bpe3_tokenize", "c1_compatibility_matrix",
     "c2_compat_messages", "dd6_embedding_cosine_dedup",
     "es1_exact_substring_spans", "ev3_planted_recall",
     "mm5_jpeg_decode", "mode1_write_gating", "nn1_cosine_topk",
     "sk1_distinct_sketches", "st2_filtered_cef_lines",
     "st6_rate_limit_flags", "tx4_char_entropy", "tx5_dataset_card",
-    "tx6_token_rarity", "rv1_ruleset_validation",
+    "tx6_token_rarity",
 )
 
 

@@ -3728,6 +3728,84 @@ ORDER BY doc_id
 """
 
 
+def ctm4_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test SPLIT-LEAKAGE audit (new in r12) — the check every
+    split manifest needs before anyone trains on it: after split1's
+    deterministic assignment, which TRAIN documents carry 5-gram spans
+    that also appear in the TEST split?  A leaked span means the
+    held-out metric is partially memorizable no matter how clean the
+    external benchmarks are (ctm1/2/3 audit EXTERNAL contamination;
+    this audits the corpus against its own split).  One row per train
+    document with span/test-doc collision counts and the leaked flag.
+
+    Scale shape: split1's scan-side hash splits the corpus; the TEST
+    split is the small side (10%) so ITS span set broadcasts and the
+    train side is scanned once — exactly ctm1's shape with
+    split-derived slices (bloom-prefilter escalation applies verbatim
+    when the test split outgrows a broadcast)."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        contamination_flags,
+    )
+    from axonops_schema_registry_spark.llm.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.join(hash_split(docs).select("doc_id", "split"),
+                    "doc_id")
+    train = lab.filter(F.col("split") == "train")
+    test = lab.filter(F.col("split") == "test")
+    hits = contamination_flags(train, test, n=5)
+    return (train.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shared_spans", F.lit(0))
+                    .cast("bigint").alias("n_shared_spans"),
+                    F.coalesce("n_test_docs", F.lit(0))
+                    .cast("bigint").alias("n_test_docs"),
+                    (F.coalesce("n_shared_spans", F.lit(0)) > 0)
+                    .alias("leaked"))
+            .orderBy("doc_id"))
+
+
+CTM4_ORACLE = f"""
+WITH assign AS (
+  SELECT doc_id,
+         CASE WHEN h < {(1 << 48) * 8 // 10} THEN 'train'
+              WHEN h < {(1 << 48) * 9 // 10} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS STRING)), 1, 12))
+                    AS BIGINT) AS h
+        FROM documents)),
+lab AS MATERIALIZED (
+  SELECT d.doc_id, d.text, a.split
+  FROM documents d JOIN assign a USING (doc_id)),
+spans AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id, split,
+         unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' '))
+                                         - 4, 0)),
+             i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+           AS span
+  FROM lab WHERE split <> 'val'),
+test_spans AS (SELECT DISTINCT id AS test_id, span FROM spans
+               WHERE split = 'test'),
+train_spans AS (SELECT id, span FROM spans WHERE split = 'train'),
+hits AS (
+  SELECT t.id, COUNT(DISTINCT t.span) AS n_shared_spans,
+         COUNT(DISTINCT ts.test_id) AS n_test_docs
+  FROM train_spans t JOIN test_spans ts ON t.span = ts.span
+  GROUP BY t.id)
+SELECT l.doc_id,
+       CAST(COALESCE(h.n_shared_spans, 0) AS BIGINT) AS n_shared_spans,
+       CAST(COALESCE(h.n_test_docs, 0) AS BIGINT) AS n_test_docs,
+       COALESCE(h.n_shared_spans, 0) > 0 AS leaked
+FROM (SELECT doc_id FROM lab WHERE split = 'train') l
+LEFT JOIN hits h ON h.id = l.doc_id
+ORDER BY l.doc_id
+"""
+
+
 def cap1_cluster_cap_sampling(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Cluster-capped sampling (new in r12): instead of dd4's
@@ -3954,6 +4032,9 @@ SPECS: list[QuerySpec] = [
               PPL2_ORACLE, tags=("llm", "text", "quality", "agg")),
     QuerySpec("split1_dataset_split", split1_dataset_split,
               SPLIT1_ORACLE, tags=("llm", "sampling", "export")),
+    QuerySpec("ctm4_split_leakage", ctm4_split_leakage, CTM4_ORACLE,
+              tags=("llm", "contamination", "sampling",
+                    "composition")),
     QuerySpec("qn1_robust_length_normalization",
               qn1_robust_length_normalization, QN1_ORACLE,
               tags=("llm", "quality", "stats")),

@@ -34,7 +34,7 @@ ORACLED = ("es3_decontamination_cut", "dd8_quality_representatives",
            "ng1_ngram_novelty", "qn1_robust_length_normalization",
            "out1_embedding_outliers", "cap1_cluster_cap_sampling",
            "ppl2_bigram_perplexity", "split1_dataset_split",
-           "cur3_quality_dedup_split")
+           "cur3_quality_dedup_split", "ctm4_split_leakage")
 MARKER = "\n## r12 appendix: sf1 correctness for the r11 + r12 operators"
 
 

@@ -344,7 +344,15 @@ def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
     tie semantics, unlike round (base.floor_q's contract) — then
     per-document totals are exact BIGINT sums and the mean is ONE
     correctly-rounded division, emitted raw (no final rounding to
-    disagree on).
+    disagree on).  Residual assumption (ADVICE r12): this relies on
+    Spark's ``Math.log`` and DuckDB's ``ln`` returning the SAME
+    double for the same ratio.  Java permits 1-ulp error in ``log``,
+    so a -ln landing within an ulp of an exact micro-unit boundary
+    could in principle floor differently across engines — a
+    probabilistic (~counts·2^-52-scale), not absolute, guarantee,
+    the same IEEE caveat the qs1/psum contracts document.  What the
+    floor DOES remove is the round()-tie class, where bit-identical
+    inputs diverge deterministically.
 
     Scale: bigram extraction is ROW-LOCAL (one transform over the
     split array — no self-join, no window); type counts are map-side

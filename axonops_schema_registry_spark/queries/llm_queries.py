@@ -1000,23 +1000,40 @@ def tx5_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dup_members = (minhash_lsh_pairs(docs, "doc_id", "text", 0.8, 3)
                    .select(F.explode(F.array("id_a", "id_b"))
-                           .alias("doc_id")).distinct()
-                   .withColumn("is_dup", F.lit(True)))
+                           .alias("doc_id")).distinct())
     toks = F.split(F.col("text"), " ")
-    enriched = (docs
-                .join(dup_members, "doc_id", "left")
-                .withColumn("n_tokens", F.size(toks).cast("bigint"))
-                .withColumn("n_distinct",
-                            F.size(F.array_distinct(toks)).cast("bigint")))
-    return (enriched.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_tokens").alias("total_tokens"),
-                 F.sum("n_chars").alias("total_chars"),
-                 F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
-                 .alias("n_near_dup_docs"),
-                 (F.sum("n_distinct").cast("double")
-                  / F.sum("n_tokens").cast("double"))
-                 .alias("distinct_token_ratio")))
+    # r13 plan fix (the tx5 sweep adjudication): the old shape LEFT-
+    # joined the FULL documents table — text column and all — against
+    # dup_members on doc_id, shuffling every byte of text through a
+    # SortMergeJoin whose only contribution was one boolean.  The token
+    # stats never needed the join: aggregate them per source straight
+    # off the scan (map-side partial agg; text never crosses a
+    # shuffle), and count dup docs per source over a two-column
+    # (doc_id, source) projection.  Still no forced broadcast hint on
+    # the member side — dup membership can approach corpus size at
+    # 100 TB (a crawl can be 30-50% near-dup), so AQE picks broadcast
+    # only when the member set actually is small.
+    stats = (docs
+             .select("source", F.col("n_chars"),
+                     F.size(toks).cast("bigint").alias("n_tokens"),
+                     F.size(F.array_distinct(toks)).cast("bigint")
+                     .alias("n_distinct"))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("total_tokens"),
+                  F.sum("n_chars").alias("total_chars"),
+                  (F.sum("n_distinct").cast("double")
+                   / F.sum("n_tokens").cast("double"))
+                  .alias("distinct_token_ratio")))
+    dups = (docs.select("doc_id", "source")
+            .join(dup_members, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_near_dup_docs")))
+    return (stats.join(dups, "source", "left")
+            .select("source", "n_docs", "total_tokens", "total_chars",
+                    F.coalesce("n_near_dup_docs", F.lit(0))
+                    .cast("bigint").alias("n_near_dup_docs"),
+                    "distinct_token_ratio"))
 
 
 TX5_ORACLE = """
@@ -3825,14 +3842,23 @@ def cap1_cluster_cap_sampling(spark: SparkSession,
         cluster_capped_keep,
     )
 
+    # ONE constant drives both the keep policy and the capped flag
+    # (ADVICE r12: a hardcoded `> 2` next to k=2 desyncs silently if
+    # the cap changes).  CAP1_ORACLE's literals are tied to this value
+    # — grep for CAP1_K when changing it.
+    K = CAP1_K
     docs = load_table(spark, sf_dir, "documents")
-    return (cluster_capped_keep(docs, k=2)
+    return (cluster_capped_keep(docs, k=K)
             .withColumn("cluster_was_capped",
-                        F.col("cluster_size") > 2)
+                        F.col("cluster_size") > K)
             .orderBy("doc_id"))
 
 
-CAP1_ORACLE = """
+# the single cap constant behind cap1: drives cluster_capped_keep(k=),
+# the cluster_was_capped flag, and the oracle's two literals below
+CAP1_K = 2
+
+CAP1_ORACLE = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id AS id,
          unnest(list_transform(
@@ -3875,8 +3901,8 @@ sized AS (
            AS keep_rank
   FROM members m)
 SELECT doc_id, cluster_id, cluster_size, keep_rank,
-       cluster_size > 2 AS cluster_was_capped
-FROM sized WHERE keep_rank <= 2
+       cluster_size > {CAP1_K} AS cluster_was_capped
+FROM sized WHERE keep_rank <= {CAP1_K}
 ORDER BY doc_id
 """
 

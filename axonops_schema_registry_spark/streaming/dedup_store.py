@@ -247,8 +247,16 @@ class _EpochStore:
         """Epochs ingested out-of-order (min id undercuts the max id
         of any earlier epoch or the compacted base) that no
         incremental repair has covered yet.  Epochs with no ``emm``
-        entry (pre-tracking legacy stores, or empty batches) cannot
-        be classified and are leniently skipped."""
+        entry cannot be classified and are skipped HERE — callers
+        that rely on the derived set must first consult
+        :meth:`_untracked_live_epochs` (ADVICE r12: on a pre-tracking
+        legacy store the derived set is silently empty, so
+        ``reflag_incremental(None)`` would no-op even when
+        out-of-order epochs exist; the derived-set path now REFUSES
+        when non-empty untracked epochs are live).  Genuinely empty
+        epochs (schema-only partitions) record nothing at ingest and
+        are excluded by the row probe in ``_untracked_live_epochs``,
+        never flagged here."""
         meta = self._meta()
         emm = sorted((int(k), v) for k, v in meta.get("emm", {}).items())
         run = meta.get("base_max")
@@ -258,6 +266,32 @@ class _EpochStore:
                 late.add(e)
             run = mx if run is None else max(run, mx)
         return late - set(meta.get("repaired", []))
+
+    def _untracked_live_epochs(self) -> list[int]:
+        """Live flags epochs with NO ``emm`` entry that actually hold
+        rows — i.e. epochs whose arrival order the store cannot
+        classify (pre-tracking legacy stores, or meta edited by
+        hand).  Schema-only empty partitions (empty micro-batches
+        record no emm entry by design) are excluded by a one-row
+        probe, which only runs for the rare untracked candidates."""
+        meta = self._meta()
+        tracked = {int(k) for k in meta.get("emm", {})}
+        floor = meta["below"]
+        untracked: list[int] = []
+        if os.path.isdir(self.flags_dir):
+            for d in sorted(os.listdir(self.flags_dir)):
+                if not d.startswith("epoch="):
+                    continue
+                tail = d.split("=", 1)[1]
+                if not tail.lstrip("-").isdigit():
+                    continue
+                e = int(tail)
+                if e < floor or e in tracked:
+                    continue
+                part = os.path.join(self.flags_dir, d)
+                if self.spark.read.parquet(part).limit(1).count() > 0:
+                    untracked.append(e)
+        return untracked
 
     # -- repair-delta plumbing ---------------------------------------------
 
@@ -548,6 +582,23 @@ class _EpochStore:
         # verdicts.  None derives the exact outstanding set.
         outstanding = self._outstanding_late()
         if late_epochs is None:
+            # ADVICE r12: on a store with live NON-EMPTY epochs that
+            # carry no emm entry (pre-tracking legacy data, hand-edited
+            # meta), the derived set cannot classify those epochs and
+            # would silently treat them as in-order — the enforcement
+            # this path advertises would quietly degrade to nothing.
+            # Refuse instead: the caller must either name the late set
+            # explicitly (taking responsibility for the legacy epochs)
+            # or run the full reflag() once, after which compaction
+            # folds the untracked epochs and new ingests are tracked.
+            untracked = self._untracked_live_epochs()
+            if untracked:
+                raise RuntimeError(
+                    f"epochs {untracked} hold rows but have no "
+                    "recorded id range (pre-tracking ingest?) — the "
+                    "derived late-epoch set cannot classify them; "
+                    "pass late_epochs explicitly or run the full "
+                    "reflag() once")
             late = sorted(outstanding)
         else:
             late = sorted(set(late_epochs))

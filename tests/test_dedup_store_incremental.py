@@ -842,3 +842,83 @@ def test_capped_stacked_repairs_and_compact(spark):
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_untracked_legacy_epoch_refuses_derived_repair(spark):
+    """ADVICE r12: a live NON-EMPTY epoch with no emm entry (a
+    pre-tracking legacy store, simulated by stripping the entry from
+    meta.json) cannot be classified as in-order vs late — the derived
+    path must REFUSE rather than silently treat it as in-order, while
+    an explicit caller list (the documented escape hatch) and the
+    full reflag() both still work."""
+    b0 = _docs(spark, [(20, _near("pA")), (21, _distinct(21))])
+    b1 = _docs(spark, [(10, _near("pA"))])          # late, but the
+    d = tempfile.mkdtemp(prefix="rfi_legacy_")      # emm entry will go
+    try:
+        store = BucketedDedupStore(spark, d)
+        store(b0, epoch_id=0)
+        store(b1, epoch_id=1)
+        # strip epoch 1's emm entry — the legacy shape
+        meta = store._meta()
+        del meta["emm"]["1"]
+        store._write_meta(meta)
+        assert store._untracked_live_epochs() == [1]
+        # derived set can no longer see epoch 1 as late...
+        assert store._outstanding_late() == set()
+        # ...so the derived path refuses instead of no-opping
+        with pytest.raises(RuntimeError, match="no recorded id range"):
+            store.reflag_incremental(below_epoch=2)
+        assert store._meta().get("nrep", 0) == 0    # nothing committed
+        # escape hatch 1: the caller names the late set explicitly
+        store.reflag_incremental([1], below_epoch=2)
+        flags = _flags_dict(store.all_flags())
+        assert flags[20] == (True, 10)              # repaired verdict
+        assert flags[10] == (False, None)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_untracked_epoch_full_reflag_escape_hatch(spark):
+    """Escape hatch 2 for the legacy-epoch refusal: one full reflag()
+    rewrites every verdict (no emm needed), and after compaction folds
+    the untracked epoch the derived path works again."""
+    b0 = _docs(spark, [(20, _near("pA")), (21, _distinct(21))])
+    b1 = _docs(spark, [(10, _near("pA"))])
+    d = tempfile.mkdtemp(prefix="rfi_legacy2_")
+    try:
+        store = BucketedDedupStore(spark, d)
+        store(b0, epoch_id=0)
+        store(b1, epoch_id=1)
+        meta = store._meta()
+        del meta["emm"]["1"]
+        store._write_meta(meta)
+        with pytest.raises(RuntimeError, match="no recorded id range"):
+            store.reflag_incremental(below_epoch=2)
+        store.reflag(below_epoch=2)                 # full rewrite
+        flags = _flags_dict(store.all_flags())
+        assert flags[20] == (True, 10)
+        assert store._untracked_live_epochs() == []  # folded
+        # tracked ingests resume; derived path accepted again
+        store(_docs(spark, [(30, _distinct(30))]), epoch_id=2)
+        store.reflag_incremental(below_epoch=3)     # derives empty set
+        assert store._meta().get("nrep", 0) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_empty_epoch_partition_does_not_trigger_refusal(spark):
+    """A genuinely EMPTY micro-batch writes a schema-only partition
+    and records no emm entry by design — the one-row probe must not
+    confuse it with a legacy epoch."""
+    b0 = _docs(spark, [(20, _near("pA")), (21, _distinct(21))])
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    d = tempfile.mkdtemp(prefix="rfi_empty_")
+    try:
+        store = BucketedDedupStore(spark, d)
+        store(b0, epoch_id=0)
+        store(empty, epoch_id=1)
+        assert store._untracked_live_epochs() == []
+        store.reflag_incremental(below_epoch=2)     # derives empty set
+        assert store._meta().get("nrep", 0) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -235,7 +235,8 @@ def dsir_log_weights(docs: DataFrame, target_ids: DataFrame,
 
 def temperature_quotas(docs: DataFrame, budget: int,
                        source_col: str = "source",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       exact_budget: bool = False) -> DataFrame:
     """Per-source document quotas from TEMPERATURE-weighted token
     mass — the up/down-sampling every large pretraining mix applies
     (Gopher's non-proportional sampling, Rae et al. 2021 table A3;
@@ -252,18 +253,27 @@ def temperature_quotas(docs: DataFrame, budget: int,
     is deterministic without any decimal plumbing.  Everything
     downstream is bigint DIV bigint.
 
-    Quotas use floor division with NO largest-remainder top-up, so
-    ``sum(quota)`` can fall short of ``budget`` by up to
+    By default quotas use floor division with NO largest-remainder
+    top-up, so ``sum(quota)`` can fall short of ``budget`` by up to
     ``n_sources - 1`` documents (ADVICE r11) — deliberate: the floor
     keeps every quota a pure integer function of its own source's
     mass (redistribution would couple each quota to the global
     remainder ordering, a cross-source tie-break this spec does not
-    need).  Callers that require the budget to be met exactly must
-    top up the shortfall themselves.
+    need).  ``exact_budget=True`` (VERDICT r12 ask #5) opts into the
+    deterministic largest-remainder top-up: the shortfall
+    ``budget - Σ floor`` is assigned one document each to the sources
+    with the largest remainders, where the remainder is the EXACT
+    integer ``(budget · weight) mod Σweight`` (no fractional doubles
+    anywhere) and ties break by ascending source name.  The
+    remainders sum to exactly ``shortfall · Σweight``, so after the
+    top-up ``sum(quota) == budget`` holds exactly — still a pure
+    integer function of the masses, just now of ALL of them.
 
     Scale shape: one map-side-combinable aggregate over the corpus,
     then a sources-sized quota table (broadcast by the consumer —
-    :func:`dataset_mixture` takes it as-is)."""
+    :func:`dataset_mixture` takes it as-is); the top-up's global
+    window runs over that same sources-sized table, never the
+    corpus."""
     mass = (docs.groupBy(source_col)
             .agg(F.sum(F.size(F.split(F.col(text_col), " "))
                        .cast("bigint")).alias("__mass")))
@@ -271,7 +281,26 @@ def temperature_quotas(docs: DataFrame, budget: int,
         source_col,
         F.floor(F.sqrt(F.col("__mass"))).cast("bigint").alias("weight"))
     total = wts.agg(F.sum("weight").alias("__tw"))
-    return (wts.crossJoin(F.broadcast(total))
+    floors = (wts.crossJoin(F.broadcast(total))
+              .select(source_col, "weight",
+                      F.expr(f"CAST(({budget} * weight) DIV __tw "
+                             "AS INT)").alias("quota"),
+                      F.expr(f"({budget} * weight) % __tw")
+                      .alias("__rem")))
+    if not exact_budget:
+        return floors.drop("__rem")
+    from pyspark.sql import Window
+
+    # shortfall = budget - Σ floor = Σ__rem / Σweight (an integer in
+    # [0, n_sources)); the single-partition window is over the
+    # SOURCES-sized quota table, not the corpus — bounded by design
+    shortfall = floors.agg(
+        (F.lit(budget) - F.sum("quota")).cast("int").alias("__sf"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("__rem").desc(), F.col(source_col).asc()))
+    return (floors.withColumn("__rk", rk)
+            .crossJoin(F.broadcast(shortfall))
             .select(source_col, "weight",
-                    F.expr(f"CAST(({budget} * weight) DIV __tw AS INT)")
-                    .alias("quota")))
+                    (F.col("quota")
+                     + F.when(F.col("__rk") <= F.col("__sf"), 1)
+                     .otherwise(0)).cast("int").alias("quota")))

@@ -20,53 +20,54 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-12 rotation (VERDICT r11 ask #1, oldest-first): the 8
-    # specs NEW this round lead (never driver-sampled), then ALL 26
-    # deferred r8-green specs (the exact list named in the r11 window
-    # comment and VERDICT.md), then 16 of the 50 r9-green specs —
-    # bespoke compat/BPE/dedup/streaming/registry families ahead of
-    # the TPC-shaped relational tail.  After this round the freshness
-    # floor rises to r9.  Deferred r9-green names for the r13 window
-    # (all guarded by tests/test_queries_oracle.py meanwhile):
-    # a1_versions_view, a3_global_id_stats, a4_registry_statistics,
-    # a5_field_patterns, a6_type_consistency, a8_quality_scores,
-    # a8q_exact_quality, a9_complexity, a10_event_metrics,
-    # del2_version_delete_taxonomy, e1_schema_diff,
-    # e3_similarity_selfjoin, e4_migration_plan, e5_union_segments,
-    # f10_global_fingerprint, f14_subject_name_strategy,
-    # j1_referenced_by, j3_multilevel_resolution, j6_config_fallback,
-    # j7_dedup_anti_join, j8c_dek_undelete_lifecycle,
-    # j8d_kek_cascade_lifecycle, m1_metadata_merge, q4_order_priority,
-    # q12_priority_linestatus, q16_supplier_counts,
-    # r4_registration_batch, r8_delete_reregister,
-    # rj1_events_in_windows, rv1_ruleset_validation,
-    # s9_import_with_ids, u1_user_role_stats, v1_validate_normalize,
-    # x1_export_subject
-    # -- new in r12 (never driver-sampled)
-    "ng1_ngram_novelty", "qn1_robust_length_normalization",
-    "out1_embedding_outliers", "cap1_cluster_cap_sampling",
-    "ppl2_bigram_perplexity", "split1_dataset_split",
-    "cur3_quality_dedup_split", "ctm4_split_leakage",
-    # -- the 26 deferred r8-green specs (freshness floor)
-    "a4c_cube_statistics", "a8r_schema_quality", "aud1_audit_chain",
-    "aud2_event_type_analytics", "aud3_request_classification",
-    "ctx1_multitenant_listing", "del1_delete_taxonomy",
-    "err1_lookup_taxonomy", "f6_naming_variants", "fs2_type_search",
-    "hr1_hypertable_rollup", "j3d_dependency_closure",
-    "j3r_reference_resolution", "j4r_subject_similarity",
-    "met1_prometheus_export", "mp1_migration_path",
-    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
-    "r2_version_history", "r3_schema_versions_view",
-    "r7_registration_gated", "tx1_language_id", "tx2_token_stats",
-    "tx3_rolling_fingerprint", "tx8_normalize",
-    # -- 16 of the 50 r9-green specs (bespoke families first)
-    "bpe2_merge_table", "bpe3_tokenize", "c1_compatibility_matrix",
-    "c2_compat_messages", "dd6_embedding_cosine_dedup",
-    "es1_exact_substring_spans", "ev3_planted_recall",
-    "mm5_jpeg_decode", "mode1_write_gating", "nn1_cosine_topk",
-    "sk1_distinct_sketches", "st2_filtered_cef_lines",
-    "st6_rate_limit_flags", "tx4_char_entropy", "tx5_dataset_card",
-    "tx6_token_rarity",
+    # Round-13 rotation (VERDICT r12 ask #2, oldest-first): the 1
+    # spec NEW this round leads (never driver-sampled), then ALL 34
+    # deferred r9-green specs (the exact list named in the r12 window
+    # comment and VERDICT.md), then 15 of the 50 r10-green specs —
+    # bespoke LLM/dedup/curation families ahead of the TPC-shaped
+    # relational tail.  After this round the freshness floor rises to
+    # r10.  Deferred r10-green names for the r14 window (all guarded
+    # by tests/test_queries_oracle.py meanwhile):
+    # e2_subject_compare, ex1_explain_failure, f1_substring_search,
+    # f2_regex_search, f13_field_extraction, fs1_field_search,
+    # j2_subjects_by_fingerprint, j9_alias_resolution,
+    # lv1_context_level_resolution, nn2_lsh_ann_topk, p1_live_view,
+    # pk1_sequence_packing, q3_shipping_priority,
+    # q5_local_supplier_volume, q11_important_stock,
+    # q13_customer_distribution, q15_top_supplier,
+    # q17_small_quantity_revenue, q19_disjunctive_pushdown,
+    # q20_excess_shippers, q21_waiting_suppliers,
+    # q22_dormant_customers, qs1_length_quantiles,
+    # qz1_int8_quantization, rc1_version_chain_audit,
+    # rel1_release_report, rf1_reserved_fields, sg1_suggest_evolution,
+    # shard1_export_manifest, smp1_stratified_sample,
+    # st8_exporter_filter_rename, st9_token_bucket, ti1_tfidf_terms,
+    # tx7_pii_scan, wn1_winnowing
+    # -- new in r13 (never driver-sampled)
+    "mix4_exact_budget_quotas",
+    # -- ALL 34 deferred r9-green specs (freshness floor)
+    "a1_versions_view", "a3_global_id_stats", "a4_registry_statistics",
+    "a5_field_patterns", "a6_type_consistency", "a8_quality_scores",
+    "a8q_exact_quality", "a9_complexity", "a10_event_metrics",
+    "del2_version_delete_taxonomy", "e1_schema_diff",
+    "e3_similarity_selfjoin", "e4_migration_plan", "e5_union_segments",
+    "f10_global_fingerprint", "f14_subject_name_strategy",
+    "j1_referenced_by", "j3_multilevel_resolution",
+    "j6_config_fallback", "j7_dedup_anti_join",
+    "j8c_dek_undelete_lifecycle", "j8d_kek_cascade_lifecycle",
+    "m1_metadata_merge", "q4_order_priority", "q12_priority_linestatus",
+    "q16_supplier_counts", "r4_registration_batch",
+    "r8_delete_reregister", "rj1_events_in_windows",
+    "rv1_ruleset_validation", "s9_import_with_ids",
+    "u1_user_role_stats", "v1_validate_normalize", "x1_export_subject",
+    # -- 15 of the 50 r10-green specs (bespoke families first)
+    "bp1_boilerplate_spans", "ch1_document_chunking",
+    "ctm1_contamination_check", "cur1_curation_pass",
+    "cur2_cut_select_export", "dd2_minhash_lsh_dedup",
+    "dd7_incremental_dedup", "dsir1_importance_selection",
+    "es2_span_removal", "gq1_gopher_quality", "gq2_repetition",
+    "mix1_dataset_mixture", "mm1_multimodal_decode",
+    "mm2_header_decode", "mm3_pixel_decode",
 )
 
 

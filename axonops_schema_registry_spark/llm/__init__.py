@@ -397,6 +397,43 @@ class CurationPipeline:
         return hash_split(self.docs, self.id_col, self.source_col,
                           train_milli, val_milli)
 
+    def temperature_quotas(self, budget: int,
+                           exact_budget: bool = False):
+        """Per-source quotas from temperature-weighted token mass
+        (mix3; Rae et al. 2021 non-proportional sampling).
+        ``exact_budget=True`` adds the r13 largest-remainder top-up —
+        integer-only, source-name tie-break — so sum(quota) ==
+        budget exactly (mix4)."""
+        from axonops_schema_registry_spark.llm.sampling import (
+            temperature_quotas,
+        )
+
+        return temperature_quotas(self.docs, budget, self.source_col,
+                                  self.text_col, exact_budget)
+
+    def split_leakage(self, n: int = 5,
+                      broadcast_threshold: int | None = None,
+                      train_milli: int = 800, val_milli: int = 100):
+        """Train/test split-leakage audit (ctm4): split the corpus
+        deterministically, then report which TRAIN docs carry n-gram
+        spans that also appear in the TEST split.
+        ``broadcast_threshold`` switches to the bloom-prefilter
+        escalation when the test split outgrows a broadcast (r13;
+        identical flags either way)."""
+        from axonops_schema_registry_spark.llm.contamination import (
+            split_leakage_flags,
+        )
+        from axonops_schema_registry_spark.llm.sampling import (
+            hash_split,
+        )
+
+        lab = self.docs.join(
+            hash_split(self.docs, self.id_col, self.source_col,
+                       train_milli, val_milli)
+            .select(self.id_col, "split"), self.id_col)
+        return split_leakage_flags(lab, self.id_col, self.text_col,
+                                   n, "split", broadcast_threshold)
+
     def perplexity_bigram(self, ref_mod: int = 7):
         """Bigram-LM surprisal with stupid backoff (ppl2): LM fitted
         on the ``id % ref_mod != 0`` slice, every doc scored;

@@ -20,10 +20,10 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-13 rotation (VERDICT r12 ask #2, oldest-first): the 1
-    # spec NEW this round leads (never driver-sampled), then ALL 34
+    # Round-13 rotation (VERDICT r12 ask #2, oldest-first): the 2
+    # specs NEW this round lead (never driver-sampled), then ALL 34
     # deferred r9-green specs (the exact list named in the r12 window
-    # comment and VERDICT.md), then 15 of the 50 r10-green specs —
+    # comment and VERDICT.md), then 14 of the 50 r10-green specs —
     # bespoke LLM/dedup/curation families ahead of the TPC-shaped
     # relational tail.  After this round the freshness floor rises to
     # r10.  Deferred r10-green names for the r14 window (all guarded
@@ -42,9 +42,10 @@ _PRIORITY: tuple[str, ...] = (
     # rel1_release_report, rf1_reserved_fields, sg1_suggest_evolution,
     # shard1_export_manifest, smp1_stratified_sample,
     # st8_exporter_filter_rename, st9_token_bucket, ti1_tfidf_terms,
-    # tx7_pii_scan, wn1_winnowing
+    # tx7_pii_scan, wn1_winnowing, and (rotated out of this window to
+    # make room for ctm5) mm3_pixel_decode
     # -- new in r13 (never driver-sampled)
-    "mix4_exact_budget_quotas",
+    "mix4_exact_budget_quotas", "ctm5_split_near_leakage",
     # -- ALL 34 deferred r9-green specs (freshness floor)
     "a1_versions_view", "a3_global_id_stats", "a4_registry_statistics",
     "a5_field_patterns", "a6_type_consistency", "a8_quality_scores",
@@ -60,14 +61,14 @@ _PRIORITY: tuple[str, ...] = (
     "r8_delete_reregister", "rj1_events_in_windows",
     "rv1_ruleset_validation", "s9_import_with_ids",
     "u1_user_role_stats", "v1_validate_normalize", "x1_export_subject",
-    # -- 15 of the 50 r10-green specs (bespoke families first)
+    # -- 14 of the 50 r10-green specs (bespoke families first)
     "bp1_boilerplate_spans", "ch1_document_chunking",
     "ctm1_contamination_check", "cur1_curation_pass",
     "cur2_cut_select_export", "dd2_minhash_lsh_dedup",
     "dd7_incremental_dedup", "dsir1_importance_selection",
     "es2_span_removal", "gq1_gopher_quality", "gq2_repetition",
     "mix1_dataset_mixture", "mm1_multimodal_decode",
-    "mm2_header_decode", "mm3_pixel_decode",
+    "mm2_header_decode",
 )
 
 

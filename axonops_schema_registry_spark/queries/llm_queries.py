@@ -231,8 +231,13 @@ def dd8_quality_representatives(spark: SparkSession,
             .orderBy("cluster_id"))
 
 
+# CTEs referenced more than once are AS MATERIALIZED (the bpe2
+# lesson: DuckDB re-inlines the whole upstream chain per reference),
+# and cluster_size is a window, not a correlated per-row subquery —
+# together these cut the sf1 oracle run (98 s in the r12 appendix;
+# VERDICT r12 ask #8) without changing a value.
 DD8_ORACLE = """
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT DISTINCT doc_id AS id,
          unnest(list_transform(
              generate_series(1, len(string_split(text, ' ')) - 2),
@@ -240,12 +245,13 @@ WITH toks AS (
                   string_split(text, ' ')[i+1] || ' ' ||
                   string_split(text, ' ')[i+2])) AS token
   FROM documents),
-sizes AS (SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+sizes AS MATERIALIZED (
+  SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
   FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
   GROUP BY a.id, b.id),
-dup_pairs AS (
+dup_pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.id = id_a
   JOIN sizes sb ON sb.id = id_b
@@ -259,12 +265,12 @@ reach AS (
     UNION
     SELECT r.root, e.dst FROM r JOIN edges e ON e.src = r.node)
   SELECT root, node FROM r),
-labels AS (SELECT root AS doc_id, MIN(node) AS cluster_id
-           FROM reach GROUP BY root),
+labels AS MATERIALIZED (
+  SELECT root AS doc_id, MIN(node) AS cluster_id
+  FROM reach GROUP BY root),
 members AS (
   SELECT l.doc_id, l.cluster_id,
-         (SELECT COUNT(*) FROM labels l2
-          WHERE l2.cluster_id = l.cluster_id) AS cluster_size,
+         COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
          CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT)
            AS n_distinct,
          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
@@ -3821,29 +3827,21 @@ def ctm4_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: split1's scan-side hash splits the corpus; the TEST
     split is the small side (10%) so ITS span set broadcasts and the
     train side is scanned once — exactly ctm1's shape with
-    split-derived slices (bloom-prefilter escalation applies verbatim
-    when the test split outgrows a broadcast)."""
+    split-derived slices.  The bloom-prefilter escalation for a test
+    split too large to broadcast is IMPLEMENTED (r13, no longer just
+    documented): the shared operator's ``broadcast_threshold`` switch
+    reroutes through ctm2's bloom path, equality pinned at a 30%
+    split in tests/test_llm_ops.py.  This spec keeps the exact path
+    (threshold None) — the 10% split is the broadcast case."""
     from axonops_schema_registry_spark.llm.contamination import (
-        contamination_flags,
+        split_leakage_flags,
     )
     from axonops_schema_registry_spark.llm.sampling import hash_split
 
     docs = load_table(spark, sf_dir, "documents")
     lab = docs.join(hash_split(docs).select("doc_id", "split"),
                     "doc_id")
-    train = lab.filter(F.col("split") == "train")
-    test = lab.filter(F.col("split") == "test")
-    hits = contamination_flags(train, test, n=5)
-    return (train.select("doc_id")
-            .join(hits, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_shared_spans", F.lit(0))
-                    .cast("bigint").alias("n_shared_spans"),
-                    F.coalesce("n_test_docs", F.lit(0))
-                    .cast("bigint").alias("n_test_docs"),
-                    (F.coalesce("n_shared_spans", F.lit(0)) > 0)
-                    .alias("leaked"))
-            .orderBy("doc_id"))
+    return split_leakage_flags(lab, n=5).orderBy("doc_id")
 
 
 CTM4_ORACLE = f"""
@@ -3883,6 +3881,109 @@ SELECT l.doc_id,
 FROM (SELECT doc_id FROM lab WHERE split = 'train') l
 LEFT JOIN hits h ON h.id = l.doc_id
 ORDER BY l.doc_id
+"""
+
+
+def ctm5_split_near_leakage(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """NEAR-dup split leakage (new in r13) — ctm4's escalation: exact
+    5-gram spans catch verbatim leaks, but a paraphrased or lightly
+    edited duplicate straddling the train/test boundary leaks signal
+    with few exact spans.  This audits the boundary at the MinHash
+    level: every >=0.8-Jaccard pair with one side in train and the
+    other in test, aggregated per train document (how many test
+    neighbors, and the worst Jaccard).  Rows only for leaking train
+    docs — at scale this is the actionable (small) set a curator
+    anti-joins away, not a full-corpus report.
+
+    Scale shape: ONE banded-LSH pair generation over the train+test
+    corpus (val excluded before shingling — Catalyst pushes the
+    split filter into the scan side), split labels joined onto the
+    (tiny) pair set, not the corpus; the per-train-doc aggregate is
+    bounded by pair volume.  jaccard is BIGINT/BIGINT double division
+    and MAX selects one exact value — bit-deterministic across
+    engines (the dd2 contract)."""
+    from axonops_schema_registry_spark.llm.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = (docs.join(hash_split(docs).select("doc_id", "split"),
+                     "doc_id")
+           .filter(F.col("split") != "val"))
+    pairs = minhash_lsh_pairs(lab, "doc_id", "text", threshold=0.8,
+                              ngram=3)
+    sp = lab.select("doc_id", "split")
+    x = (pairs
+         .join(sp.select(F.col("doc_id").alias("id_a"),
+                         F.col("split").alias("__sa")), "id_a")
+         .join(sp.select(F.col("doc_id").alias("id_b"),
+                         F.col("split").alias("__sb")), "id_b")
+         .filter(F.col("__sa") != F.col("__sb")))
+    norm = x.select(
+        F.when(F.col("__sa") == "train", F.col("id_a"))
+        .otherwise(F.col("id_b")).alias("train_id"),
+        F.when(F.col("__sa") == "train", F.col("id_b"))
+        .otherwise(F.col("id_a")).alias("test_id"),
+        "jaccard")
+    return (norm.groupBy("train_id")
+            .agg(F.countDistinct("test_id").alias("n_test_neighbors"),
+                 F.max("jaccard").alias("max_jaccard"))
+            .orderBy("train_id"))
+
+
+CTM5_ORACLE = f"""
+WITH assign AS (
+  SELECT doc_id,
+         CASE WHEN h < {(1 << 48) * 8 // 10} THEN 'train'
+              WHEN h < {(1 << 48) * 9 // 10} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS STRING)), 1, 12))
+                    AS BIGINT) AS h
+        FROM documents)),
+lab AS MATERIALIZED (
+  SELECT d.doc_id, d.text, a.split
+  FROM documents d JOIN assign a USING (doc_id)
+  WHERE a.split <> 'val'),
+toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM lab),
+sizes AS MATERIALIZED (
+  SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id),
+dup_pairs AS MATERIALIZED (
+  SELECT id_a, id_b,
+         CAST(n_inter AS DOUBLE)
+           / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE)
+           AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE)
+          >= 0.8),
+crossed AS (
+  SELECT CASE WHEN la.split = 'train' THEN p.id_a ELSE p.id_b END
+           AS train_id,
+         CASE WHEN la.split = 'train' THEN p.id_b ELSE p.id_a END
+           AS test_id,
+         p.jaccard
+  FROM dup_pairs p
+  JOIN lab la ON la.doc_id = p.id_a
+  JOIN lab lb ON lb.doc_id = p.id_b
+  WHERE la.split <> lb.split)
+SELECT train_id,
+       CAST(COUNT(DISTINCT test_id) AS BIGINT) AS n_test_neighbors,
+       MAX(jaccard) AS max_jaccard
+FROM crossed GROUP BY train_id ORDER BY train_id
 """
 
 
@@ -4124,6 +4225,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ctm4_split_leakage", ctm4_split_leakage, CTM4_ORACLE,
               tags=("llm", "contamination", "sampling",
                     "composition")),
+    QuerySpec("ctm5_split_near_leakage", ctm5_split_near_leakage,
+              CTM5_ORACLE,
+              tags=("llm", "contamination", "dedup", "sampling"),
+              bench=True),
     QuerySpec("qn1_robust_length_normalization",
               qn1_robust_length_normalization, QN1_ORACLE,
               tags=("llm", "quality", "stats")),

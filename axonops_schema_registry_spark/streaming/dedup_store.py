@@ -883,7 +883,17 @@ class _EpochStore:
         if not full_fix:
             folded_unrepaired = any(e < below_epoch
                                     for e in self._outstanding_late())
-            if old.get("needs_full_reflag") or folded_unrepaired:
+            # folding a non-empty UNTRACKED epoch (ADVICE r12's legacy
+            # shape) erases the last chance to ever classify it as
+            # late — after the fold the live-dir probe can't see it
+            # either, so the derived-set refusal would silently stop
+            # protecting.  Same remedy as folding a known-late epoch:
+            # bounded repair is off until one full reflag.
+            folded_untracked = any(
+                e < below_epoch
+                for e in self._untracked_live_epochs())
+            if (old.get("needs_full_reflag") or folded_unrepaired
+                    or folded_untracked):
                 meta["needs_full_reflag"] = True
         if keep_nrep:
             meta["nrep"] = keep_nrep

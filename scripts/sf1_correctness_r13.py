@@ -94,13 +94,22 @@ def main() -> int:
             "split", F.when(F.col("doc_id") % 10 < 3, "test")
             .otherwise("train"))
             .localCheckpoint(eager=True))  # same input to both paths
+        def force(df):
+            # a bare count() lets Catalyst eliminate the left join
+            # (aggregated keys are unique, cardinality preserved) —
+            # hash every column so the wall measures the real audit
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("h")).first()
+            return r.n
+
         t0 = time.perf_counter()
         exact = split_leakage_flags(lab)
-        n_exact = exact.count()
+        n_exact = force(exact)
         t_exact = time.perf_counter() - t0
         t0 = time.perf_counter()
         bloom = split_leakage_flags(lab, broadcast_threshold=1000)
-        n_bloom = bloom.count()
+        n_bloom = force(bloom)
         t_bloom = time.perf_counter() - t0
         equal = (n_exact == n_bloom
                  and exact.exceptAll(bloom).isEmpty()

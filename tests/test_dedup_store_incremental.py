@@ -922,3 +922,32 @@ def test_empty_epoch_partition_does_not_trigger_refusal(spark):
         assert store._meta().get("nrep", 0) == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compacting_untracked_epoch_disables_bounded_repair(spark):
+    """Compaction-side of the ADVICE r12 legacy hole: folding a
+    non-empty UNTRACKED epoch erases the last evidence that it ever
+    existed (the live-dir probe can't see folded epochs), so the
+    compact must set needs_full_reflag — bounded repair refuses until
+    one full reflag clears it."""
+    b0 = _docs(spark, [(20, _near("pA")), (21, _distinct(21))])
+    b1 = _docs(spark, [(10, _near("pA"))])          # actually late
+    d = tempfile.mkdtemp(prefix="rfi_legacy3_")
+    try:
+        store = BucketedDedupStore(spark, d)
+        store(b0, epoch_id=0)
+        store(b1, epoch_id=1)
+        meta = store._meta()
+        del meta["emm"]["1"]                        # legacy shape
+        store._write_meta(meta)
+        store.compact(below_epoch=2)                # folds epoch 1
+        assert store._meta().get("needs_full_reflag") is True
+        store(_docs(spark, [(30, _distinct(30))]), epoch_id=2)
+        with pytest.raises(RuntimeError, match="full"):
+            store.reflag_incremental(below_epoch=3)
+        store.reflag(below_epoch=3)                 # clears the flag
+        assert not store._meta().get("needs_full_reflag")
+        flags = _flags_dict(store.all_flags())
+        assert flags[20] == (True, 10)              # verdict repaired
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

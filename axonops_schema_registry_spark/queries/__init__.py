@@ -19,56 +19,64 @@ from axonops_schema_registry_spark.queries.base import QuerySpec
 # front-loads every non-relational family plus a small relational sample;
 # the remaining TPC-shaped relational specs (all driver-green in round 1)
 # follow in their original order.
+# Every family a driver window must sample — asserted structurally in
+# ``_collect_specs`` below (r13 lesson: the hand-rotated r13 list contained
+# zero compat- and zero similarity-family specs, re-creating the round-1
+# exposure; a bad rotation must now fail at import, not at judging).
+WINDOW_FAMILIES: tuple[str, ...] = (
+    "registry", "compat", "llm", "dedup", "similarity",
+    "streaming", "join", "agg",
+)
+
 _PRIORITY: tuple[str, ...] = (
-    # Round-13 rotation (VERDICT r12 ask #2, oldest-first): the 2
-    # specs NEW this round lead (never driver-sampled), then ALL 34
-    # deferred r9-green specs (the exact list named in the r12 window
-    # comment and VERDICT.md), then 14 of the 50 r10-green specs —
-    # bespoke LLM/dedup/curation families ahead of the TPC-shaped
-    # relational tail.  After this round the freshness floor rises to
-    # r10.  Deferred r10-green names for the r14 window (all guarded
-    # by tests/test_queries_oracle.py meanwhile):
-    # e2_subject_compare, ex1_explain_failure, f1_substring_search,
-    # f2_regex_search, f13_field_extraction, fs1_field_search,
-    # j2_subjects_by_fingerprint, j9_alias_resolution,
-    # lv1_context_level_resolution, nn2_lsh_ann_topk, p1_live_view,
-    # pk1_sequence_packing, q3_shipping_priority,
-    # q5_local_supplier_volume, q11_important_stock,
-    # q13_customer_distribution, q15_top_supplier,
-    # q17_small_quantity_revenue, q19_disjunctive_pushdown,
-    # q20_excess_shippers, q21_waiting_suppliers,
-    # q22_dormant_customers, qs1_length_quantiles,
-    # qz1_int8_quantization, rc1_version_chain_audit,
-    # rel1_release_report, rf1_reserved_fields, sg1_suggest_evolution,
-    # shard1_export_manifest, smp1_stratified_sample,
-    # st8_exporter_filter_rename, st9_token_bucket, ti1_tfidf_terms,
-    # tx7_pii_scan, wn1_winnowing, and (rotated out of this window to
-    # make room for ctm5) mm3_pixel_decode
-    # -- new in r13 (never driver-sampled)
-    "mix4_exact_budget_quotas", "ctm5_split_near_leakage",
-    # -- ALL 34 deferred r9-green specs (freshness floor)
-    "a1_versions_view", "a3_global_id_stats", "a4_registry_statistics",
-    "a5_field_patterns", "a6_type_consistency", "a8_quality_scores",
-    "a8q_exact_quality", "a9_complexity", "a10_event_metrics",
-    "del2_version_delete_taxonomy", "e1_schema_diff",
-    "e3_similarity_selfjoin", "e4_migration_plan", "e5_union_segments",
-    "f10_global_fingerprint", "f14_subject_name_strategy",
-    "j1_referenced_by", "j3_multilevel_resolution",
-    "j6_config_fallback", "j7_dedup_anti_join",
-    "j8c_dek_undelete_lifecycle", "j8d_kek_cascade_lifecycle",
-    "m1_metadata_merge", "q4_order_priority", "q12_priority_linestatus",
-    "q16_supplier_counts", "r4_registration_batch",
-    "r8_delete_reregister", "rj1_events_in_windows",
-    "rv1_ruleset_validation", "s9_import_with_ids",
-    "u1_user_role_stats", "v1_validate_normalize", "x1_export_subject",
-    # -- 14 of the 50 r10-green specs (bespoke families first)
-    "bp1_boilerplate_spans", "ch1_document_chunking",
-    "ctm1_contamination_check", "cur1_curation_pass",
-    "cur2_cut_select_export", "dd2_minhash_lsh_dedup",
-    "dd7_incremental_dedup", "dsir1_importance_selection",
-    "es2_span_removal", "gq1_gopher_quality", "gq2_repetition",
-    "mix1_dataset_mixture", "mm1_multimodal_decode",
-    "mm2_header_decode",
+    # Round-14 rotation (VERDICT r13 asks #1+#2, oldest-first with the
+    # family constraint): specs NEW this round lead (never
+    # driver-sampled), then ALL 36 deferred r10-green specs (the exact
+    # list carried in the r13 window comment — note sg1/ex1/rc1/lv1
+    # carry the ``compat`` tag and nn2 carries ``similarity``, so the
+    # r13 family hole closes inside the freshness rotation itself),
+    # then r11-green backfills — bespoke LLM/dedup/compat/ANN families
+    # ahead of the TPC-shaped relational tail.  After this round the
+    # freshness floor rises to r11.  Deferred r11-green names for the
+    # r15 window (all guarded by tests/test_queries_oracle.py
+    # meanwhile): asof1_config_at_event_time, ctm3_semantic_contamination,
+    # dd1_exact_dedup, dd3_simhash_dedup, dd5_cross_source_dup_matrix,
+    # ev2_lsh_recall, f3_glob_search, f5_normalize_names,
+    # f7_fuzzy_match, j8_kek_dek_lifecycle, j8b_dek_rewrap,
+    # lab1_label_cohesion, mix2_segmented_mixture, nn4_pq_adc_topk,
+    # o2_deterministic_pagination, p4_status_split,
+    # p5_metadata_property_filter, pk2_segmented_packing,
+    # pk3_whole_doc_packing, q1_pricing_summary, q6_forecast_revenue,
+    # q7_nation_volume, q10_returned_items, q14_promo_revenue_share,
+    # q18_large_orders, qz2_pq_encode, r1_latest_live_schema,
+    # s1_prefix_listing, s2_point_lookup, s3_subject_version_lookup,
+    # s4_fingerprint_lookup, s5_distinct_listing, w1_latest_per_subject,
+    # w2_listing_with_latest_flag, w3_content_addressed_ids,
+    # w5_prior_version_delta
+    # -- ALL 36 deferred r10-green specs (freshness floor)
+    "e2_subject_compare", "ex1_explain_failure", "f1_substring_search",
+    "f2_regex_search", "f13_field_extraction", "fs1_field_search",
+    "j2_subjects_by_fingerprint", "j9_alias_resolution",
+    "lv1_context_level_resolution", "nn2_lsh_ann_topk", "p1_live_view",
+    "pk1_sequence_packing", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q11_important_stock",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q19_disjunctive_pushdown",
+    "q20_excess_shippers", "q21_waiting_suppliers",
+    "q22_dormant_customers", "qs1_length_quantiles",
+    "qz1_int8_quantization", "rc1_version_chain_audit",
+    "rel1_release_report", "rf1_reserved_fields",
+    "sg1_suggest_evolution", "shard1_export_manifest",
+    "smp1_stratified_sample", "st8_exporter_filter_rename",
+    "st9_token_bucket", "ti1_tfidf_terms", "tx7_pii_scan",
+    "wn1_winnowing", "mm3_pixel_decode",
+    # -- 14 r11-green backfills (bespoke families first)
+    "c3_compat_with_refs", "nn3_ivf_ann_topk", "dd4_dedup_clusters",
+    "dd8_quality_representatives", "sem1_semantic_dedup",
+    "ctm2_bloom_contamination", "es3_decontamination_cut",
+    "ev1_ann_recall", "exp1_exporter_lifecycle",
+    "mix3_temperature_mixture", "bpe1_merge_candidates",
+    "ppl1_unigram_perplexity", "vg1_vocab_growth", "mm4_wav_decode",
 )
 
 
@@ -93,7 +101,16 @@ def _collect_specs() -> list[QuerySpec]:
     assert not missing, f"priority list names unknown specs: {missing}"
     prioritized = [by_name[n] for n in _PRIORITY]
     rest = [s for s in specs if s.name not in set(_PRIORITY)]
-    return prioritized + rest
+    ordered = prioritized + rest
+    # Structural window-family invariant (r13 lesson): the driver
+    # verifies only ordered[:50]; a rotation that fails to sample any
+    # family must fail HERE, at import, not in a post-hoc test.
+    window_tags = {t for s in ordered[:50] for t in s.tags}
+    absent = [f for f in WINDOW_FAMILIES if f not in window_tags]
+    assert not absent, (
+        f"driver window (first 50 specs) samples no {absent} family — "
+        f"fix the _PRIORITY rotation (see WINDOW_FAMILIES)")
+    return ordered
 
 
 ALL_SPECS: list[QuerySpec] = _collect_specs()

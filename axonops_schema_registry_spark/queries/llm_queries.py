@@ -3902,7 +3902,18 @@ def ctm5_split_near_leakage(spark: SparkSession,
     (tiny) pair set, not the corpus; the per-train-doc aggregate is
     bounded by pair volume.  jaccard is BIGINT/BIGINT double division
     and MAX selects one exact value — bit-deterministic across
-    engines (the dd2 contract)."""
+    engines (the dd2 contract).
+
+    Oracle contract (same as dd2/dd8): the DuckDB oracle computes
+    EXACT all-pairs Jaccard while this side generates candidates via
+    banded LSH, so oracle equality additionally asserts that banding
+    recall is 1.0 on the fixture — guaranteed here only because the
+    fixture's >=0.8 pairs sit far above the threshold margin
+    (test_banding_recall_guard_on_oracle_fixtures pins this by name
+    for ctm5's exact config on both oracle corpora; the r13 scale
+    smoke showed pairs AT J~0.81 can shatter 16-band recall).  sf1
+    hash-pin: scripts/r14_ctm5_scale.py (r14 appendix in
+    docs/SCALING.md)."""
     from axonops_schema_registry_spark.llm.sampling import hash_split
 
     docs = load_table(spark, sf_dir, "documents")

@@ -166,9 +166,15 @@ def split_leakage_flags(labeled: DataFrame,
     as a shuffle on the surviving candidates only.  Both paths emit
     IDENTICAL flags by construction (the bloom path's exact join
     removes every false positive); the equality is pinned at a 30%
-    test split in tests/test_llm_ops.py.  The one count() the
-    switch spends on the test side is a metadata-cheap action next
-    to the span join it sizes."""
+    test split in tests/test_llm_ops.py.  Cost of the switch (ADVICE
+    r13): the sizing ``count()`` is an EAGER FULL PASS over the
+    test-side plan — the split filter plus whatever produced
+    ``labeled`` (e.g. the facade's hash_split join) — executed at
+    DataFrame-construction time and re-executed on every call made
+    with ``broadcast_threshold`` set.  With the default ``None`` the
+    short-circuit skips it entirely.  Callers that invoke this
+    repeatedly with the switch armed should cache/localCheckpoint
+    ``labeled`` first (scripts/sf1_correctness_r13.py does)."""
     train = labeled.filter(F.col(split_col) == "train")
     test = labeled.filter(F.col(split_col) == "test")
     if (broadcast_threshold is not None

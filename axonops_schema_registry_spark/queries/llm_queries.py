@@ -1492,20 +1492,30 @@ def mix4_exact_budget_quotas(spark: SparkSession,
     ``topped_up`` marks the sources that received a remainder seat
     (exact vs floor quotas differ by 1 there).
 
-    Scale shape: identical to mix3's quota side — one map-side
-    aggregate over the corpus, then EVERYTHING (window included)
-    over the sources-sized table."""
+    Scale shape: identical to mix3's quota side — ONE map-side
+    aggregate over the corpus (ADVICE r13: the first cut ran
+    temperature_quotas twice — exact and floor — re-aggregating the
+    corpus solely to derive ``topped_up``; the floor quota is a pure
+    integer function of the RETURNED weight column,
+    ``(budget·w) DIV Σw``, so it is recomputed here with one
+    single-partition window over the sources-sized result instead),
+    then everything over the sources-sized table."""
+    from pyspark.sql import Window
+
     from axonops_schema_registry_spark.llm.sampling import (
         temperature_quotas,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     exact = temperature_quotas(docs, budget=333, exact_budget=True)
-    floors = (temperature_quotas(docs, budget=333)
-              .select("source", F.col("quota").alias("__fq")))
-    return (exact.join(floors, "source")
+    tw = F.sum("weight").over(
+        Window.partitionBy())  # sources-sized frame, bounded by design
+    return (exact
+            .withColumn("__tw", tw)
             .select("source", "weight", "quota",
-                    (F.col("quota") > F.col("__fq")).alias("topped_up"))
+                    (F.col("quota") > F.expr("CAST((333 * weight) "
+                                             "DIV __tw AS INT)"))
+                    .alias("topped_up"))
             .orderBy("source"))
 
 

@@ -272,12 +272,17 @@ class _EpochStore:
         rows — i.e. epochs whose arrival order the store cannot
         classify (pre-tracking legacy stores, or meta edited by
         hand).  Schema-only empty partitions (empty micro-batches
-        record no emm entry by design) are excluded by a one-row
-        probe, which only runs for the rare untracked candidates."""
+        record no emm entry by design) are excluded by a row probe.
+        The probe is BATCHED (ADVICE r13): all untracked candidate
+        ``epoch=`` paths go into ONE partition-column-only read
+        (``basePath`` keeps the epoch column), so a legacy store with
+        many untracked epochs costs one Spark job per operation, not
+        one per epoch; the common healthy-store case (no candidates)
+        costs zero."""
         meta = self._meta()
         tracked = {int(k) for k in meta.get("emm", {})}
         floor = meta["below"]
-        untracked: list[int] = []
+        candidates: list[str] = []
         if os.path.isdir(self.flags_dir):
             for d in sorted(os.listdir(self.flags_dir)):
                 if not d.startswith("epoch="):
@@ -288,10 +293,13 @@ class _EpochStore:
                 e = int(tail)
                 if e < floor or e in tracked:
                     continue
-                part = os.path.join(self.flags_dir, d)
-                if self.spark.read.parquet(part).limit(1).count() > 0:
-                    untracked.append(e)
-        return untracked
+                candidates.append(os.path.join(self.flags_dir, d))
+        if not candidates:
+            return []
+        live = (self.spark.read.option("basePath", self.flags_dir)
+                .parquet(*candidates)
+                .select("epoch").distinct().collect())
+        return sorted(int(r.epoch) for r in live)
 
     # -- repair-delta plumbing ---------------------------------------------
 

@@ -612,3 +612,61 @@ def test_floor_q_is_tie_free_across_engines(spark):
     assert round_mismatch, (
         "round(x, 4) now agrees across engines on the adversarial set; "
         "floor_q's rationale comment is stale")
+
+
+def test_bigram_surprisal_micro_unit_margin():
+    """VERDICT r13 ask #6 — quantify the bigram-surprisal ulp caveat
+    (llm/text.py bigram_surprisal docstring): scores are quantized to
+    integer micro-units via floor(-ln(p) · 1e6), which is tie-FREE
+    but still cross-engine-exact only if no -ln(p)·1e6 lands within
+    ~1 ulp of an integer boundary (Java's Math.log and DuckDB's ln
+    are each allowed 1-ulp error).  This sweep replays the ENTIRE
+    distinct score-type population the operator produces on all
+    three fixture corpora — every seen-bigram -ln(cb/cu), every
+    backoff -ln(0.4·cu/N), every first-token -ln(cu/N), and the two
+    OOV floors — in pure Python (the same IEEE doubles both engines
+    feed their floor), and asserts the minimum distance to an
+    integer boundary exceeds 1e-6 micro-units: >= ~500 ulps of
+    slack at score magnitude ~10 (ulp(1e7) ≈ 1.9e-9), i.e. a 1-ulp
+    log discrepancy CANNOT cross a boundary on these corpora.
+    Exact -ln(1) = 0 rows (cb == cu) are exempt: 0 is produced
+    exactly by both engines' log, no rounding occurs.  Observed
+    margins (2026-08-15): sf0.001 ≈ 3.0e-3, sf0.01 ≈ 2.7e-4,
+    sf0.1 ≈ 9.5e-4 — documented in COVERAGE.md; the sf1 sweep
+    (scripts/r14_ulp_margin.py) pins the 10x replica margin in
+    docs/SCALING.md."""
+    import math
+
+    import duckdb
+
+    worst = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM "
+            f"'/root/testdata/{sf}/documents.parquet'").fetchall()
+        uni: dict[str, int] = {}
+        big: dict[tuple[str, str], int] = {}
+        for doc_id, text in rows:
+            if doc_id % 7 == 0:
+                continue  # scored slice, not reference
+            toks = [t for t in text.lower().split() if t]
+            for t in toks:
+                uni[t] = uni.get(t, 0) + 1
+            for u, w in zip(toks, toks[1:]):
+                big[(u, w)] = big.get((u, w), 0) + 1
+        n = sum(uni.values())
+        vals = [-math.log(cb / uni[u]) for (u, _w), cb in big.items()
+                if cb != uni[u]]                       # exact 0 exempt
+        vals += [-math.log(0.4 * cu / n) for cu in set(uni.values())]
+        vals += [-math.log(cu / n) for cu in set(uni.values())]
+        vals += [-math.log(0.4 / n), -math.log(1.0 / n)]
+        margin = min(min(x - math.floor(x), math.ceil(x) - x)
+                     for v in vals for x in (v * 1e6,))
+        worst.append((sf, margin, len(vals)))
+        assert margin > 1e-6, (
+            f"{sf}: a -ln(p)·1e6 sits {margin:.2e} from an integer "
+            "boundary — within reach of a 1-ulp cross-engine log "
+            "difference; the floor(·1e6) quantization is no longer "
+            "safe on this corpus")
+    # the margins are corpus data, not code — print for the record
+    print("micro-unit margins:", worst)

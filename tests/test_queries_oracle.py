@@ -58,6 +58,25 @@ def test_driver_window_samples_every_family():
         "streaming", "join", "agg"}
 
 
+def test_every_bench_spec_has_a_pinned_plan():
+    """Every bench-tracked spec must have its physical plan pinned in
+    docs/PLANS.md (``scripts/gen_plans.py``) — the pin is what a
+    regression flag is diffed against (the tx5/gq1/dsir1
+    adjudications all started from one).  r13 shipped ctm5
+    bench-tracked but planless (VERDICT r13 "what's wrong" #2); this
+    check makes the next new bench query unable to."""
+    import pathlib
+    import re
+
+    plans = (pathlib.Path(__file__).resolve().parent.parent
+             / "docs" / "PLANS.md").read_text()
+    have = set(re.findall(r"^## (\S+)", plans, re.M))
+    missing = [s.name for s in q.bench_specs() if s.name not in have]
+    assert not missing, (
+        f"bench-tracked specs without a PLANS.md plan pin: {missing} "
+        "— run scripts/gen_plans.py")
+
+
 @pytest.mark.parametrize("spec", NO_ORACLE_SPECS, ids=lambda s: s.name)
 def test_runs_and_stable(spark, spec, sf_dir):
     """Weaker gate for non-SQL-expressible ops: runs, deterministic schema,

@@ -769,3 +769,78 @@ def test_empty_codebook_sample_raises(spark):
         "vec_id bigint, embedding array<double>")
     with pytest.raises(Exception, match="empty codebook"):
         pq_encode(vecs, m=2, centroid_stride=31).collect()
+
+
+def test_exporter_crash_mid_batch_resumes_exactly_once(spark, sf_dir):
+    """VERDICT r13 stretch #7 — the one streaming-exactly-once corner
+    the suites didn't force: kill the exporter between the delivery
+    commit and Spark's checkpoint offset write, restart on the same
+    checkpoint, and assert no schema-event is duplicated or lost.
+
+    Mechanism under test (reference anchor:
+    internal/exporter/exporter.go:199-324 offset semantics): Spark
+    re-delivers the uncommitted micro-batch with the SAME epoch_id on
+    restart; IdempotentExporterSink's epoch-keyed atomic commit turns
+    that at-least-once redelivery into exactly-once delivery, and its
+    offset() recovers the delivered count from disk like the
+    reference re-reading its stored offset on resume."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from axonops_schema_registry_spark.streaming.exporter import (
+        IdempotentExporterSink,
+    )
+
+    # two disjoint source files -> two micro-batches (file source,
+    # maxFilesPerTrigger=1)
+    src = tempfile.mkdtemp(prefix="exp_crash_src_")
+    out = tempfile.mkdtemp(prefix="exp_crash_out_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_exp_crash_")
+    try:
+        events = spark.read.parquet(os.path.join(sf_dir,
+                                                 "events.parquet"))
+        for i, half in enumerate((events.filter("event_id % 2 = 0"),
+                                  events.filter("event_id % 2 = 1"))):
+            hd = tempfile.mkdtemp(prefix=f"exp_half{i}_")
+            half.coalesce(1).write.mode("overwrite").parquet(hd)
+            part = next(f for f in os.listdir(hd)
+                        if f.endswith(".parquet"))
+            shutil.move(os.path.join(hd, part),
+                        os.path.join(src, f"part-{i}.parquet"))
+            shutil.rmtree(hd, ignore_errors=True)
+
+        def start(sink):
+            stream = audit_stream_from_events(spark, src)
+            return (stream.writeStream.foreachBatch(sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True).start())
+
+        # run 1: crash AFTER epoch 0 is delivered, BEFORE Spark
+        # commits its offset
+        crash_sink = IdempotentExporterSink(out, fail_after_epoch=0)
+        q = start(crash_sink)
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(120)
+        assert crash_sink.committed_epochs() == [0]
+        n_epoch0 = crash_sink.offset()
+        assert n_epoch0 > 0
+
+        # run 2: same checkpoint, fresh sink process — Spark MUST
+        # re-deliver epoch 0 (its offset was never committed); the
+        # sink must skip it and deliver only epoch 1
+        resume_sink = IdempotentExporterSink(out)
+        q = start(resume_sink)
+        q.awaitTermination(120)
+        assert resume_sink.redelivered == [0], (
+            "epoch 0 was not re-delivered — the crash window the test "
+            "exists to force did not occur")
+        assert resume_sink.delivered == [1]
+
+        # exactly-once: delivered rows == batch rows, no dup, no loss
+        got = sorted(int(r["event_id"])
+                     for r in resume_sink.committed_rows())
+        want = sorted(r.event_id for r in events.collect())
+        assert got == want
+        assert resume_sink.offset() == len(want)
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

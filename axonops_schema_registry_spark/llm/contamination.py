@@ -192,3 +192,42 @@ def split_leakage_flags(labeled: DataFrame,
                     .cast("bigint").alias("n_test_docs"),
                     (F.coalesce("n_shared_spans", F.lit(0)) > 0)
                     .alias("leaked")))
+
+
+def near_split_leakage(labeled: DataFrame,
+                       id_col: str = "doc_id",
+                       text_col: str = "text",
+                       split_col: str = "split",
+                       threshold: float = 0.8,
+                       ngram: int = 3) -> DataFrame:
+    """NEAR-dup train/test split leakage over a split-labeled corpus
+    (the ctm5 operator core, shared by the spec and the ctm6 report
+    card): one row per leaking TRAIN document with its distinct test
+    neighbors at >= threshold Jaccard and the worst Jaccard.
+
+    Scale shape (see the ctm5 spec docstring for the full contract,
+    incl. the oracle's banding-recall dependency): ONE banded-LSH
+    pair generation over the train+test corpus (val rows must be
+    filtered out by the CALLER before shingling so the split filter
+    reaches the scan), split labels joined onto the (tiny) pair set,
+    not the corpus."""
+    from axonops_schema_registry_spark.llm.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(labeled, id_col, text_col,
+                              threshold=threshold, ngram=ngram)
+    sp = labeled.select(id_col, split_col)
+    x = (pairs
+         .join(sp.select(F.col(id_col).alias("id_a"),
+                         F.col(split_col).alias("__sa")), "id_a")
+         .join(sp.select(F.col(id_col).alias("id_b"),
+                         F.col(split_col).alias("__sb")), "id_b")
+         .filter(F.col("__sa") != F.col("__sb")))
+    norm = x.select(
+        F.when(F.col("__sa") == "train", F.col("id_a"))
+        .otherwise(F.col("id_b")).alias("train_id"),
+        F.when(F.col("__sa") == "train", F.col("id_b"))
+        .otherwise(F.col("id_a")).alias("test_id"),
+        "jaccard")
+    return (norm.groupBy("train_id")
+            .agg(F.countDistinct("test_id").alias("n_test_neighbors"),
+                 F.max("jaccard").alias("max_jaccard")))

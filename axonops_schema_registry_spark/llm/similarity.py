@@ -218,6 +218,59 @@ def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                  .distinct())
 
 
+def _portable_planes(corpus: DataFrame, n_bits: int, n_tables: int,
+                     plane_base: int) -> DataFrame:
+    """Data-derived hyperplanes for the portable LSH family: plane
+    g = corpus_vec(base + 2g) − corpus_vec(base + 2g + 1),
+    table = g div n_bits, bit = g mod n_bits (see
+    :func:`lsh_ann_topk_portable`)."""
+    n_planes = n_bits * n_tables
+    ids = (plane_base, plane_base + 2 * n_planes)
+    pa = corpus.filter(F.col("corpus_id").between(ids[0], ids[1] - 1)
+                       & ((F.col("corpus_id") - plane_base) % 2 == 0)) \
+        .select(((F.col("corpus_id") - plane_base) / 2).cast("int")
+                .alias("g"), F.col("corpus_vec").alias("__av"))
+    pb = corpus.filter(F.col("corpus_id").between(ids[0], ids[1] - 1)
+                       & ((F.col("corpus_id") - plane_base) % 2 == 1)) \
+        .select(((F.col("corpus_id") - plane_base - 1) / 2).cast("int")
+                .alias("g"), F.col("corpus_vec").alias("__bv"))
+    return (pa.join(pb, "g")
+            .select("g", (F.col("g") / n_bits).cast("int").alias("table"),
+                    (F.col("g") % n_bits).alias("bit"),
+                    F.expr("zip_with(__av, __bv, (x, y) -> "
+                           "CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
+                    .alias("plane_vec")))
+
+
+def _portable_buckets(df: DataFrame, id_col: str, vec: str,
+                      planes: DataFrame) -> DataFrame:
+    """One narrow |df| × n_planes expansion -> (id, table, bucket)."""
+    dot = _dot_expr(vec, "plane_vec")
+    return (df.crossJoin(F.broadcast(planes))
+            .withColumn("__bv2",
+                        F.when(dot > 0, F.expr("shiftleft(1, bit)"))
+                        .otherwise(F.lit(0)))
+            .groupBy(id_col, "table")
+            .agg(F.sum("__bv2").alias("bucket")))
+
+
+def _exact_rerank(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
+                  k: int, round_digits: int) -> DataFrame:
+    """Exact cosine top-k over a candidate pair set (the rerank stage
+    every ANN variant here shares): touches candidates only."""
+    q = with_norm(queries, "query_vec", "q_norm")
+    c = with_norm(corpus, "corpus_vec", "c_norm")
+    pairs = cand.join(q, "query_id").join(c, "corpus_id")
+    sim = _dot_expr("query_vec", "corpus_vec") / (F.col("q_norm")
+                                                  * F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("corpus_id"))
+    return (pairs.withColumn("cosine_sim", F.round(sim, round_digits))
+                 .withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .select("query_id", "corpus_id", "cosine_sim", "rank"))
+
+
 def lsh_ann_topk_portable(queries: DataFrame, corpus: DataFrame,
                           k: int = 5, n_bits: int = 5, n_tables: int = 2,
                           plane_base: int = 10,
@@ -236,47 +289,52 @@ def lsh_ann_topk_portable(queries: DataFrame, corpus: DataFrame,
     the vector id; candidates come from ONE (table, bucket) equi-join;
     exact rerank touches candidates only.
     """
-    n_planes = n_bits * n_tables
-    ids = (plane_base, plane_base + 2 * n_planes)
-    pa = corpus.filter(F.col("corpus_id").between(ids[0], ids[1] - 1)
-                       & ((F.col("corpus_id") - plane_base) % 2 == 0)) \
-        .select(((F.col("corpus_id") - plane_base) / 2).cast("int")
-                .alias("g"), F.col("corpus_vec").alias("__av"))
-    pb = corpus.filter(F.col("corpus_id").between(ids[0], ids[1] - 1)
-                       & ((F.col("corpus_id") - plane_base) % 2 == 1)) \
-        .select(((F.col("corpus_id") - plane_base - 1) / 2).cast("int")
-                .alias("g"), F.col("corpus_vec").alias("__bv"))
-    planes = (pa.join(pb, "g")
-              .select("g", (F.col("g") / n_bits).cast("int").alias("table"),
-                      (F.col("g") % n_bits).alias("bit"),
-                      F.expr("zip_with(__av, __bv, (x, y) -> "
-                             "CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
-                      .alias("plane_vec")))
-
-    def buckets(df: DataFrame, id_col: str, vec: str) -> DataFrame:
-        dot = _dot_expr(vec, "plane_vec")
-        return (df.crossJoin(F.broadcast(planes))
-                .withColumn("__bv2",
-                            F.when(dot > 0, F.expr("shiftleft(1, bit)"))
-                            .otherwise(F.lit(0)))
-                .groupBy(id_col, "table")
-                .agg(F.sum("__bv2").alias("bucket")))
-
-    qb = buckets(queries, "query_id", "query_vec")
-    cb = buckets(corpus, "corpus_id", "corpus_vec")
+    planes = _portable_planes(corpus, n_bits, n_tables, plane_base)
+    qb = _portable_buckets(queries, "query_id", "query_vec", planes)
+    cb = _portable_buckets(corpus, "corpus_id", "corpus_vec", planes)
     cand = (qb.join(cb, ["table", "bucket"])
             .select("query_id", "corpus_id").distinct())
-    q = with_norm(queries, "query_vec", "q_norm")
-    c = with_norm(corpus, "corpus_vec", "c_norm")
-    pairs = cand.join(q, "query_id").join(c, "corpus_id")
-    sim = _dot_expr("query_vec", "corpus_vec") / (F.col("q_norm")
-                                                  * F.col("c_norm"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("corpus_id"))
-    return (pairs.withColumn("cosine_sim", F.round(sim, round_digits))
-                 .withColumn("rank", F.row_number().over(w))
-                 .filter(F.col("rank") <= k)
-                 .select("query_id", "corpus_id", "cosine_sim", "rank"))
+    return _exact_rerank(cand, queries, corpus, k, round_digits)
+
+
+def multiprobe_lsh_ann_topk(queries: DataFrame, corpus: DataFrame,
+                            k: int = 5, n_bits: int = 5,
+                            n_tables: int = 2, plane_base: int = 10,
+                            round_digits: int = 4) -> DataFrame:
+    """MULTI-PROBE hyperplane-LSH top-k (Lv et al., VLDB 2007, public):
+    each query probes its own bucket PLUS every bucket at Hamming
+    distance 1 in the same table (flip each of the n_bits sign bits) —
+    a near neighbor that lands one hyperplane away is recovered
+    without adding tables.
+
+    Why it matters at 100 TB: LSH recall is bought with tables, and
+    every table is a full (id, table, bucket) copy of the corpus index
+    — memory/shuffle that scales with the corpus.  Multi-probe buys
+    the same recall with QUERY-side fan-out instead: the probe set is
+    (n_bits + 1) rows per (query, table) — query-sized, never
+    corpus-sized — and the corpus index stays at the same n_tables.
+    The candidate superset property is structural (the probe set
+    contains the original bucket), so recall can only rise vs
+    :func:`lsh_ann_topk_portable` at equal parameters; the planted
+    recall-vs-tables trade is pinned in tests/test_llm_ops.py.
+
+    Deterministic and SQL-replayable: same data-derived planes as the
+    portable family; the probe expansion is pure integer XOR
+    arithmetic, so the DuckDB oracle (NN5_ORACLE) replays bucketing,
+    probing, and exact rerank bit-identically.
+    """
+    planes = _portable_planes(corpus, n_bits, n_tables, plane_base)
+    qb = _portable_buckets(queries, "query_id", "query_vec", planes)
+    cb = _portable_buckets(corpus, "corpus_id", "corpus_vec", planes)
+    probe_set = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << b))
+          for b in range(n_bits)])
+    probes = (qb.select("query_id", "table",
+                        F.explode(probe_set).alias("bucket")))
+    cand = (probes.join(cb, ["table", "bucket"])
+            .select("query_id", "corpus_id").distinct())
+    return _exact_rerank(cand, queries, corpus, k, round_digits)
 
 
 def lsh_cosine_pairs_portable(vectors: DataFrame, id_col: str,

@@ -30,29 +30,34 @@ WINDOW_FAMILIES: tuple[str, ...] = (
 
 _PRIORITY: tuple[str, ...] = (
     # Round-14 rotation (VERDICT r13 asks #1+#2, oldest-first with the
-    # family constraint): specs NEW this round lead (never
+    # family constraint): the 2 specs NEW this round lead (never
     # driver-sampled), then ALL 36 deferred r10-green specs (the exact
     # list carried in the r13 window comment — note sg1/ex1/rc1/lv1
     # carry the ``compat`` tag and nn2 carries ``similarity``, so the
     # r13 family hole closes inside the freshness rotation itself),
-    # then r11-green backfills — bespoke LLM/dedup/compat/ANN families
-    # ahead of the TPC-shaped relational tail.  After this round the
-    # freshness floor rises to r11.  Deferred r11-green names for the
-    # r15 window (all guarded by tests/test_queries_oracle.py
-    # meanwhile): asof1_config_at_event_time, ctm3_semantic_contamination,
+    # then 12 r11-green backfills — bespoke LLM/dedup/compat/ANN
+    # families ahead of the TPC-shaped relational tail.  After this
+    # round the freshness floor rises to r11.  Deferred r11-green
+    # names for the r15 window (all guarded by
+    # tests/test_queries_oracle.py meanwhile):
+    # asof1_config_at_event_time, ctm3_semantic_contamination,
     # dd1_exact_dedup, dd3_simhash_dedup, dd5_cross_source_dup_matrix,
     # ev2_lsh_recall, f3_glob_search, f5_normalize_names,
     # f7_fuzzy_match, j8_kek_dek_lifecycle, j8b_dek_rewrap,
-    # lab1_label_cohesion, mix2_segmented_mixture, nn4_pq_adc_topk,
-    # o2_deterministic_pagination, p4_status_split,
+    # lab1_label_cohesion, mix2_segmented_mixture, mm4_wav_decode,
+    # nn4_pq_adc_topk, o2_deterministic_pagination, p4_status_split,
     # p5_metadata_property_filter, pk2_segmented_packing,
     # pk3_whole_doc_packing, q1_pricing_summary, q6_forecast_revenue,
     # q7_nation_volume, q10_returned_items, q14_promo_revenue_share,
     # q18_large_orders, qz2_pq_encode, r1_latest_live_schema,
     # s1_prefix_listing, s2_point_lookup, s3_subject_version_lookup,
-    # s4_fingerprint_lookup, s5_distinct_listing, w1_latest_per_subject,
-    # w2_listing_with_latest_flag, w3_content_addressed_ids,
-    # w5_prior_version_delta
+    # s4_fingerprint_lookup, s5_distinct_listing, vg1_vocab_growth,
+    # w1_latest_per_subject, w2_listing_with_latest_flag,
+    # w3_content_addressed_ids, w5_prior_version_delta
+    # (vg1/mm4 rotated out of this window to make room for the two new
+    # specs — same move the r13 window made for ctm5)
+    # -- new in r14 (never driver-sampled)
+    "nn5_multiprobe_lsh_topk", "ctm6_contamination_report",
     # -- ALL 36 deferred r10-green specs (freshness floor)
     "e2_subject_compare", "ex1_explain_failure", "f1_substring_search",
     "f2_regex_search", "f13_field_extraction", "fs1_field_search",
@@ -70,13 +75,13 @@ _PRIORITY: tuple[str, ...] = (
     "smp1_stratified_sample", "st8_exporter_filter_rename",
     "st9_token_bucket", "ti1_tfidf_terms", "tx7_pii_scan",
     "wn1_winnowing", "mm3_pixel_decode",
-    # -- 14 r11-green backfills (bespoke families first)
+    # -- 12 r11-green backfills (bespoke families first)
     "c3_compat_with_refs", "nn3_ivf_ann_topk", "dd4_dedup_clusters",
     "dd8_quality_representatives", "sem1_semantic_dedup",
     "ctm2_bloom_contamination", "es3_decontamination_cut",
     "ev1_ann_recall", "exp1_exporter_lifecycle",
     "mix3_temperature_mixture", "bpe1_merge_candidates",
-    "ppl1_unigram_perplexity", "vg1_vocab_growth", "mm4_wav_decode",
+    "ppl1_unigram_perplexity",
 )
 
 

@@ -23,6 +23,7 @@ from axonops_schema_registry_spark.llm.similarity import (
     cosine_topk,
     ivf_ann_topk_portable,
     lsh_ann_topk_portable,
+    multiprobe_lsh_ann_topk,
 )
 from axonops_schema_registry_spark.llm.text import (
     predict_lang,
@@ -751,6 +752,78 @@ pairs AS (
   FROM probes p JOIN cassign a ON p.centroid_id = a.centroid_id
   JOIN q ON q.query_id = p.query_id
   JOIN c ON c.corpus_id = a.corpus_id)
+SELECT query_id, corpus_id, cosine_sim, rank
+FROM (
+  SELECT query_id, corpus_id, ROUND(dot / (qn * cn), 4) AS cosine_sim,
+         CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND(dot / (qn * cn), 4) DESC, corpus_id) AS INT)
+           AS rank
+  FROM pairs)
+WHERE rank <= 5
+"""
+
+
+def nn5_multiprobe_lsh_topk(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH approximate top-5 (new in r14; Lv
+    et al., VLDB 2007): nn2's portable LSH with each query probing its
+    bucket PLUS all n_bits Hamming-distance-1 buckets per table —
+    recall bought with query-side fan-out instead of more tables
+    (every extra table is another corpus-sized index copy; the probe
+    expansion is query-sized).  The candidate set is a structural
+    SUPERSET of nn2's at equal parameters, so recall can only rise;
+    the planted recall-vs-tables trade is pinned in
+    tests/test_llm_ops.py.  Same data-derived planes and exact rerank
+    as nn2, so the DuckDB oracle replays the whole path — probe
+    expansion is pure integer XOR."""
+    queries, corpus = _emb_split(spark, sf_dir)
+    return multiprobe_lsh_ann_topk(queries, corpus, k=5)
+
+
+NN5_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+planes AS (
+  SELECT CAST(((a.corpus_id - 10) // 2) // 5 AS INT) AS tbl,
+         CAST(((a.corpus_id - 10) // 2) % 5 AS INT) AS bit,
+         list_transform(list_zip(a.cv, b.cv), x -> x[1] - x[2]) AS pv
+  FROM c a JOIN c b ON b.corpus_id = a.corpus_id + 1
+  WHERE a.corpus_id BETWEEN 10 AND 29 AND (a.corpus_id - 10) % 2 = 0),
+cb AS (
+  SELECT corpus_id, tbl,
+         SUM(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(cv, pv), x -> x[1] * x[2])),
+               (acc, v) -> acc + v) > 0 THEN 1 << bit ELSE 0 END) AS bucket
+  FROM c CROSS JOIN planes GROUP BY corpus_id, tbl),
+qb AS (
+  SELECT query_id, tbl,
+         SUM(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(qv, pv), x -> x[1] * x[2])),
+               (acc, v) -> acc + v) > 0 THEN 1 << bit ELSE 0 END) AS bucket
+  FROM q CROSS JOIN planes GROUP BY query_id, tbl),
+probes AS (
+  SELECT query_id, tbl, bucket FROM qb
+  UNION ALL
+  SELECT query_id, tbl, xor(bucket, CAST(1 << b AS BIGINT)) AS bucket
+  FROM qb CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS b)),
+cand AS (
+  SELECT DISTINCT p.query_id, cb.corpus_id
+  FROM probes p JOIN cb ON p.tbl = cb.tbl AND p.bucket = cb.bucket),
+pairs AS (
+  SELECT query_id, corpus_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(qv, cv), x -> x[1] * x[2])),
+             (acc, v) -> acc + v) AS dot,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(qv, x -> x * x)), (acc, v) -> acc + v)) AS qn,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(cv, x -> x * x)), (acc, v) -> acc + v)) AS cn
+  FROM cand JOIN q USING (query_id) JOIN c USING (corpus_id))
 SELECT query_id, corpus_id, cosine_sim, rank
 FROM (
   SELECT query_id, corpus_id, ROUND(dot / (qn * cn), 4) AS cosine_sim,
@@ -3924,30 +3997,17 @@ def ctm5_split_near_leakage(spark: SparkSession,
     smoke showed pairs AT J~0.81 can shatter 16-band recall).  sf1
     hash-pin: scripts/r14_ctm5_scale.py (r14 appendix in
     docs/SCALING.md)."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        near_split_leakage,
+    )
     from axonops_schema_registry_spark.llm.sampling import hash_split
 
     docs = load_table(spark, sf_dir, "documents")
     lab = (docs.join(hash_split(docs).select("doc_id", "split"),
                      "doc_id")
            .filter(F.col("split") != "val"))
-    pairs = minhash_lsh_pairs(lab, "doc_id", "text", threshold=0.8,
-                              ngram=3)
-    sp = lab.select("doc_id", "split")
-    x = (pairs
-         .join(sp.select(F.col("doc_id").alias("id_a"),
-                         F.col("split").alias("__sa")), "id_a")
-         .join(sp.select(F.col("doc_id").alias("id_b"),
-                         F.col("split").alias("__sb")), "id_b")
-         .filter(F.col("__sa") != F.col("__sb")))
-    norm = x.select(
-        F.when(F.col("__sa") == "train", F.col("id_a"))
-        .otherwise(F.col("id_b")).alias("train_id"),
-        F.when(F.col("__sa") == "train", F.col("id_b"))
-        .otherwise(F.col("id_a")).alias("test_id"),
-        "jaccard")
-    return (norm.groupBy("train_id")
-            .agg(F.countDistinct("test_id").alias("n_test_neighbors"),
-                 F.max("jaccard").alias("max_jaccard"))
+    return (near_split_leakage(lab)
+            .select("train_id", "n_test_neighbors", "max_jaccard")
             .orderBy("train_id"))
 
 
@@ -4005,6 +4065,136 @@ SELECT train_id,
        CAST(COUNT(DISTINCT test_id) AS BIGINT) AS n_test_neighbors,
        MAX(jaccard) AS max_jaccard
 FROM crossed GROUP BY train_id ORDER BY train_id
+"""
+
+
+def ctm6_contamination_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-source contamination report card (new in r14) — the
+    roll-up a curation run publishes next to its dataset card (tx5):
+    for every source, how many of its TRAIN documents leak into the
+    test split EXACTLY (shared 5-gram spans — the ctm4 audit) and how
+    many leak as NEAR-duplicates (>=0.8 Jaccard LSH pairs — the ctm5
+    audit), with per-mille rates in pure integer arithmetic
+    (1000·n DIV n_train — no float division for the oracle to
+    disagree on).  The number a data owner actually acts on: "source
+    src3 leaks 12‰ of its training docs into eval" names the feed to
+    cut, where the per-document audits only name documents.
+
+    Composes the SHARED primitives — split_leakage_flags (ctm4) and
+    near_split_leakage (ctm5) — per the repo rule that capstones
+    never duplicate operator bodies.  Scale shape: both audits are
+    one scan + broadcast/banded-LSH joins (their own contracts); the
+    roll-up joins their per-train-doc outputs (small) back to the
+    two-column (doc_id, source) train projection and aggregates —
+    nothing corpus-wide shuffles text.  Oracle contract: inherits
+    ctm5's banding-recall dependency (see its docstring)."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        near_split_leakage,
+        split_leakage_flags,
+    )
+    from axonops_schema_registry_spark.llm.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.join(hash_split(docs).select("doc_id", "split"),
+                    "doc_id")
+    exact = split_leakage_flags(lab).select("doc_id", "leaked")
+    near = (near_split_leakage(lab.filter(F.col("split") != "val"))
+            .select(F.col("train_id").alias("doc_id"),
+                    F.lit(True).alias("__near")))
+    train = (lab.filter(F.col("split") == "train")
+             .select("doc_id", "source"))
+    rep = (train
+           .join(exact, "doc_id", "left")
+           .join(near, "doc_id", "left")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+                F.sum(F.when(F.col("leaked"), 1).otherwise(0))
+                .cast("bigint").alias("n_exact_leaked"),
+                F.sum(F.when(F.col("__near"), 1).otherwise(0))
+                .cast("bigint").alias("n_near_leaked")))
+    return (rep.select(
+                "source", "n_train_docs", "n_exact_leaked",
+                "n_near_leaked",
+                F.expr("(1000 * n_exact_leaked) DIV n_train_docs")
+                .alias("exact_leak_per_mille"),
+                F.expr("(1000 * n_near_leaked) DIV n_train_docs")
+                .alias("near_leak_per_mille"))
+            .orderBy("source"))
+
+
+CTM6_ORACLE = f"""
+WITH assign AS (
+  SELECT doc_id,
+         CASE WHEN h < {(1 << 48) * 8 // 10} THEN 'train'
+              WHEN h < {(1 << 48) * 9 // 10} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS STRING)), 1, 12))
+                    AS BIGINT) AS h
+        FROM documents)),
+lab AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source, a.split
+  FROM documents d JOIN assign a USING (doc_id)),
+spans AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id, split,
+         unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' '))
+                                         - 4, 0)),
+             i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+           AS span
+  FROM lab WHERE split <> 'val'),
+exact_leaked AS (
+  SELECT DISTINCT t.id
+  FROM (SELECT id, span FROM spans WHERE split = 'train') t
+  JOIN (SELECT DISTINCT span FROM spans WHERE split = 'test') ts
+    ON t.span = ts.span),
+toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS token
+  FROM lab WHERE split <> 'val'),
+sizes AS MATERIALIZED (
+  SELECT id, COUNT(*) AS set_size FROM toks GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id),
+dup_pairs AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE)
+          >= 0.8),
+near_leaked AS (
+  SELECT DISTINCT CASE WHEN la.split = 'train' THEN p.id_a
+                       ELSE p.id_b END AS id
+  FROM dup_pairs p
+  JOIN lab la ON la.doc_id = p.id_a
+  JOIN lab lb ON lb.doc_id = p.id_b
+  WHERE la.split <> lb.split)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+       CAST(SUM(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_leaked,
+       CAST(SUM(CASE WHEN nl.id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_leaked,
+       (1000 * CAST(SUM(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         AS exact_leak_per_mille,
+       (1000 * CAST(SUM(CASE WHEN nl.id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         AS near_leak_per_mille
+FROM (SELECT doc_id, source FROM lab WHERE split = 'train') t
+LEFT JOIN exact_leaked e ON e.id = t.doc_id
+LEFT JOIN near_leaked nl ON nl.id = t.doc_id
+GROUP BY source ORDER BY source
 """
 
 
@@ -4250,6 +4440,10 @@ SPECS: list[QuerySpec] = [
               CTM5_ORACLE,
               tags=("llm", "contamination", "dedup", "sampling"),
               bench=True),
+    QuerySpec("ctm6_contamination_report", ctm6_contamination_report,
+              CTM6_ORACLE,
+              tags=("llm", "contamination", "dedup", "agg",
+                    "composition")),
     QuerySpec("qn1_robust_length_normalization",
               qn1_robust_length_normalization, QN1_ORACLE,
               tags=("llm", "quality", "stats")),
@@ -4372,6 +4566,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "similarity"), bench=True),
     QuerySpec("nn3_ivf_ann_topk", nn3_ivf_ann_topk, NN3_ORACLE,
               tags=("llm", "similarity")),
+    QuerySpec("nn5_multiprobe_lsh_topk", nn5_multiprobe_lsh_topk,
+              NN5_ORACLE, tags=("llm", "similarity", "ann")),
     QuerySpec("tx1_language_id", tx1_language_id, TX1_ORACLE,
               tags=("llm", "text")),
     QuerySpec("tx2_token_stats", tx2_token_stats, TX2_ORACLE,

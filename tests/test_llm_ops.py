@@ -1956,3 +1956,65 @@ def test_curation_pipeline_r13_surface(spark, sf_dir):
     assert leak.count() == n_train
     assert leak.filter(F.col("leaked")
                        & (F.col("n_shared_spans") <= 0)).count() == 0
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """nn5's claim, pinned (new in r14): at EQUAL parameters the
+    multi-probe candidate set is a structural superset of the
+    single-probe one (the probe set contains the original bucket), so
+    recall against the exact top-k can only rise — and the scale
+    trade it buys (recall from query-side fan-out instead of more
+    corpus-sized index tables) must actually materialize on this
+    corpus: multi-probe at n_tables=1 must recall at least as much as
+    single-probe at n_tables=1, and the candidate pool must genuinely
+    grow (otherwise the probes are dead code)."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        _portable_buckets,
+        _portable_planes,
+        cosine_topk,
+        lsh_ann_topk_portable,
+        multiprobe_lsh_ann_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"))
+
+    exact = {(r.query_id, r.corpus_id)
+             for r in cosine_topk(queries, corpus, k=5).collect()}
+
+    def recall_and_cands(fn, n_tables):
+        top = {(r.query_id, r.corpus_id)
+               for r in fn(queries, corpus, k=5,
+                           n_tables=n_tables).collect()}
+        return len(top & exact) / len(exact), top
+
+    for n_tables in (1, 2):
+        r_single, _ = recall_and_cands(lsh_ann_topk_portable, n_tables)
+        r_multi, _ = recall_and_cands(multiprobe_lsh_ann_topk, n_tables)
+        assert r_multi >= r_single, (
+            f"multi-probe recall {r_multi:.2f} < single-probe "
+            f"{r_single:.2f} at n_tables={n_tables} — the superset "
+            "property broke")
+
+    # candidate pools, measured through the real bucket path: the
+    # Hamming-1 probes must add candidates on this corpus
+    planes = _portable_planes(corpus, 5, 1, 10)
+    qb = _portable_buckets(queries, "query_id", "query_vec", planes)
+    cb = _portable_buckets(corpus, "corpus_id", "corpus_vec", planes)
+    single = qb.join(cb, ["table", "bucket"]) \
+        .select("query_id", "corpus_id").distinct().count()
+    probe_set = F.array(F.col("bucket"),
+                        *[F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                          for b in range(5)])
+    multi = (qb.select("query_id", "table",
+                       F.explode(probe_set).alias("bucket"))
+             .join(cb, ["table", "bucket"])
+             .select("query_id", "corpus_id").distinct().count())
+    assert multi > single, (
+        f"multi-probe candidates ({multi}) did not exceed single-probe "
+        f"({single}) — probes are dead code on this corpus")

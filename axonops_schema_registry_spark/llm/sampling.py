@@ -269,17 +269,23 @@ def temperature_quotas(docs: DataFrame, budget: int,
     top-up ``sum(quota) == budget`` holds exactly — still a pure
     integer function of the masses, just now of ALL of them.
 
-    Scale shape: one map-side-combinable aggregate over the corpus,
+    Scale shape: ONE map-side-combinable aggregate over the corpus,
     then a sources-sized quota table (broadcast by the consumer —
     :func:`dataset_mixture` takes it as-is); the top-up's global
     window runs over that same sources-sized table, never the
-    corpus."""
+    corpus.  The weights table is lazily checkpointed (r14): it feeds
+    two consumers on the floor path (weights + their total) and three
+    on the exact path (plus the shortfall), and Spark does not reuse
+    exchanges across consumers (the dsir1 lesson) — without the
+    checkpoint the corpus-wide token-mass aggregate re-ran once per
+    consumer (4 scans on the exact path at 100 TB; now 1)."""
     mass = (docs.groupBy(source_col)
             .agg(F.sum(F.size(F.split(F.col(text_col), " "))
                        .cast("bigint")).alias("__mass")))
     wts = mass.select(
         source_col,
-        F.floor(F.sqrt(F.col("__mass"))).cast("bigint").alias("weight"))
+        F.floor(F.sqrt(F.col("__mass"))).cast("bigint")
+        .alias("weight")).localCheckpoint(eager=False)
     total = wts.agg(F.sum("weight").alias("__tw"))
     floors = (wts.crossJoin(F.broadcast(total))
               .select(source_col, "weight",

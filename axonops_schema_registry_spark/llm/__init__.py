@@ -424,13 +424,11 @@ class CurationPipeline:
             split_leakage_flags,
         )
         from axonops_schema_registry_spark.llm.sampling import (
-            hash_split,
+            split_column,
         )
 
-        lab = self.docs.join(
-            hash_split(self.docs, self.id_col, self.source_col,
-                       train_milli, val_milli)
-            .select(self.id_col, "split"), self.id_col)
+        lab = self.docs.withColumn(
+            "split", split_column(self.id_col, train_milli, val_milli))
         return split_leakage_flags(lab, self.id_col, self.text_col,
                                    n, "split", broadcast_threshold)
 

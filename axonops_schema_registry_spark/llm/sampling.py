@@ -75,6 +75,23 @@ def hash_split(docs: DataFrame, id_col: str = "doc_id",
     threshold derivation — ``round(0.8125 * 1000)`` under banker's
     rounding is exactly the kind of silent boundary drift this
     avoids).  Scale: one scan-side hash + comparison."""
+    return docs.select(
+        id_col, source_col,
+        split_column(id_col, train_milli, val_milli).alias("split"))
+
+
+def split_column(id_col: str = "doc_id",
+                 train_milli: int = 800,
+                 val_milli: int = 100) -> F.Column:
+    """:func:`hash_split`'s assignment as a pure COLUMN expression
+    (r14): the split is a deterministic projection of the id, so
+    consumers that need it NEXT TO other columns should
+    ``withColumn("split", split_column())`` instead of self-joining
+    ``docs`` against ``hash_split(docs)`` — the join form re-scanned
+    the corpus TWICE per downstream reference (ctm5's pinned plan
+    read 20 parquet scans; the column form halves every one of
+    them).  hash_split delegates here, so the thresholds stay in one
+    place."""
     if not (0 < train_milli and 0 <= val_milli
             and train_milli + val_milli <= 1000):
         raise ValueError("per-mille split fractions must satisfy "
@@ -82,10 +99,8 @@ def hash_split(docs: DataFrame, id_col: str = "doc_id",
     tr = (1 << 48) * train_milli // 1000
     va = (1 << 48) * (train_milli + val_milli) // 1000
     h = portable_hash(F.col(id_col).cast("string"))
-    return docs.select(
-        id_col, source_col,
-        F.when(h < tr, "train").when(h < va, "val")
-        .otherwise("test").alias("split"))
+    return (F.when(h < tr, "train").when(h < va, "val")
+            .otherwise("test"))
 
 
 def dataset_mixture(docs: DataFrame, quotas: DataFrame,

@@ -3919,11 +3919,10 @@ def ctm4_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from axonops_schema_registry_spark.llm.contamination import (
         split_leakage_flags,
     )
-    from axonops_schema_registry_spark.llm.sampling import hash_split
+    from axonops_schema_registry_spark.llm.sampling import split_column
 
     docs = load_table(spark, sf_dir, "documents")
-    lab = docs.join(hash_split(docs).select("doc_id", "split"),
-                    "doc_id")
+    lab = docs.withColumn("split", split_column())
     return split_leakage_flags(lab, n=5).orderBy("doc_id")
 
 
@@ -4000,11 +3999,10 @@ def ctm5_split_near_leakage(spark: SparkSession,
     from axonops_schema_registry_spark.llm.contamination import (
         near_split_leakage,
     )
-    from axonops_schema_registry_spark.llm.sampling import hash_split
+    from axonops_schema_registry_spark.llm.sampling import split_column
 
     docs = load_table(spark, sf_dir, "documents")
-    lab = (docs.join(hash_split(docs).select("doc_id", "split"),
-                     "doc_id")
+    lab = (docs.withColumn("split", split_column())
            .filter(F.col("split") != "val"))
     return (near_split_leakage(lab)
             .select("train_id", "n_test_neighbors", "max_jaccard")
@@ -4093,11 +4091,10 @@ def ctm6_contamination_report(spark: SparkSession,
         near_split_leakage,
         split_leakage_flags,
     )
-    from axonops_schema_registry_spark.llm.sampling import hash_split
+    from axonops_schema_registry_spark.llm.sampling import split_column
 
     docs = load_table(spark, sf_dir, "documents")
-    lab = docs.join(hash_split(docs).select("doc_id", "split"),
-                    "doc_id")
+    lab = docs.withColumn("split", split_column())
     exact = split_leakage_flags(lab).select("doc_id", "leaked")
     near = (near_split_leakage(lab.filter(F.col("split") != "val"))
             .select(F.col("train_id").alias("doc_id"),

@@ -4564,7 +4564,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("nn3_ivf_ann_topk", nn3_ivf_ann_topk, NN3_ORACLE,
               tags=("llm", "similarity")),
     QuerySpec("nn5_multiprobe_lsh_topk", nn5_multiprobe_lsh_topk,
-              NN5_ORACLE, tags=("llm", "similarity", "ann")),
+              NN5_ORACLE, tags=("llm", "similarity", "ann"),
+              bench=True),
     QuerySpec("tx1_language_id", tx1_language_id, TX1_ORACLE,
               tags=("llm", "text")),
     QuerySpec("tx2_token_stats", tx2_token_stats, TX2_ORACLE,

@@ -539,3 +539,78 @@ def bpe_tokenize_counts(docs: DataFrame, id_col: str = "doc_id",
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_sym").cast("bigint").alias("n_bpe_tokens")))
+
+
+def zipf_diagnostics(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     source_col: str = "source",
+                     top_k: int = 50) -> DataFrame:
+    """Per-source Zipf rank-frequency diagnostics (new in r14) — the
+    vocabulary-health metric a curation pipeline tracks to spot
+    diversity collapse or template spam: natural text follows
+    freq ∝ rank^s with s ≈ -1 (Zipf's law, public); machine-generated
+    or boilerplate-heavy feeds drift toward flatter (s → 0, templated
+    vocabulary soup) or steeper (s « -1, few tokens dominating)
+    spectra.  Emits, per source: vocabulary size, the OLS slope of
+    ln(freq) vs ln(rank) over the top-k ranks, and the per-mille of
+    total token mass those top-k ranks hold.
+
+    Float discipline (the ppl2 pattern): ln(rank) and ln(freq) are
+    computed ONCE per surviving (source, rank) row — top_k·n_sources
+    rows, small cardinality — and quantized to INTEGER micro-units
+    via floor(x·1e6); the OLS sums (Σx, Σy, Σxy, Σx²) are exact
+    BIGINT sums of those units (magnitudes: x,y ≲ 2e7, xy ≲ 4e14,
+    n·Σxy ≲ 1e18 < 2^63), and the slope is ONE correctly-rounded
+    BIGINT/BIGINT double division (the ctm5 jaccard contract).  The
+    residual 1-ulp ln() boundary caveat is the same documented,
+    margin-tested class as bigram_surprisal's.
+
+    Scale shape: one corpus scan into a (source, token) count
+    aggregate (map-side combinable, vocab-bounded); the counts table
+    feeds BOTH the rank window and the per-source totals, so it is
+    lazily checkpointed (the temperature_quotas lesson — without it
+    the corpus explode re-runs per consumer); everything after is
+    windows and aggregates over vocab-sized data.  Ranks tie-break
+    by token, so the spectrum is deterministic."""
+    from pyspark.sql import Window
+
+    toks = (docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.expr(
+            f"filter(split(lower({text_col}), '\\\\s+'), "
+            "x -> x != '')")).alias("token")))
+    counts = (toks.groupBy("source", "token")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .localCheckpoint(eager=False))
+    totals = counts.groupBy("source").agg(
+        F.sum("cnt").alias("__mass"),
+        F.count(F.lit(1)).alias("vocab_size"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("cnt"), F.asc("token"))
+    ranked = (counts.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= top_k)
+              .select("source", "cnt",
+                      F.floor(F.log(F.col("rank").cast("double"))
+                              * F.lit(1000000.0))
+                      .cast("bigint").alias("__x"),
+                      F.floor(F.log(F.col("cnt").cast("double"))
+                              * F.lit(1000000.0))
+                      .cast("bigint").alias("__y")))
+    ols = (ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__x").alias("__sx"), F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum("cnt").alias("__topk_mass")))
+    return (ols.join(totals, "source")
+            .select("source",
+                    F.col("vocab_size").cast("bigint"),
+                    F.col("__n").alias("n_ranks"),
+                    ((F.col("__n") * F.col("__sxy")
+                      - F.col("__sx") * F.col("__sy")).cast("double")
+                     / (F.col("__n") * F.col("__sxx")
+                        - F.col("__sx") * F.col("__sx"))
+                     .cast("double")).alias("zipf_slope"),
+                    F.expr("(1000 * __topk_mass) DIV __mass")
+                    .alias("topk_mass_per_mille"))
+            .orderBy("source"))

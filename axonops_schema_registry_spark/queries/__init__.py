@@ -47,17 +47,19 @@ _PRIORITY: tuple[str, ...] = (
     # lab1_label_cohesion, mix2_segmented_mixture, mm4_wav_decode,
     # nn4_pq_adc_topk, o2_deterministic_pagination, p4_status_split,
     # p5_metadata_property_filter, pk2_segmented_packing,
-    # pk3_whole_doc_packing, q1_pricing_summary, q6_forecast_revenue,
+    # pk3_whole_doc_packing, ppl1_unigram_perplexity,
+    # q1_pricing_summary, q6_forecast_revenue,
     # q7_nation_volume, q10_returned_items, q14_promo_revenue_share,
     # q18_large_orders, qz2_pq_encode, r1_latest_live_schema,
     # s1_prefix_listing, s2_point_lookup, s3_subject_version_lookup,
     # s4_fingerprint_lookup, s5_distinct_listing, vg1_vocab_growth,
     # w1_latest_per_subject, w2_listing_with_latest_flag,
     # w3_content_addressed_ids, w5_prior_version_delta
-    # (vg1/mm4 rotated out of this window to make room for the two new
-    # specs — same move the r13 window made for ctm5)
+    # (vg1/mm4/ppl1 rotated out of this window to make room for the
+    # three new specs — same move the r13 window made for ctm5)
     # -- new in r14 (never driver-sampled)
     "nn5_multiprobe_lsh_topk", "ctm6_contamination_report",
+    "zf1_zipf_diagnostics",
     # -- ALL 36 deferred r10-green specs (freshness floor)
     "e2_subject_compare", "ex1_explain_failure", "f1_substring_search",
     "f2_regex_search", "f13_field_extraction", "fs1_field_search",
@@ -75,13 +77,12 @@ _PRIORITY: tuple[str, ...] = (
     "smp1_stratified_sample", "st8_exporter_filter_rename",
     "st9_token_bucket", "ti1_tfidf_terms", "tx7_pii_scan",
     "wn1_winnowing", "mm3_pixel_decode",
-    # -- 12 r11-green backfills (bespoke families first)
+    # -- 11 r11-green backfills (bespoke families first)
     "c3_compat_with_refs", "nn3_ivf_ann_topk", "dd4_dedup_clusters",
     "dd8_quality_representatives", "sem1_semantic_dedup",
     "ctm2_bloom_contamination", "es3_decontamination_cut",
     "ev1_ann_recall", "exp1_exporter_lifecycle",
     "mix3_temperature_mixture", "bpe1_merge_candidates",
-    "ppl1_unigram_perplexity",
 )
 
 

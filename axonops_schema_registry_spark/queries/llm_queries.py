@@ -764,6 +764,64 @@ WHERE rank <= 5
 """
 
 
+def zf1_zipf_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency diagnostics (new in r14): OLS
+    slope of ln(freq) vs ln(rank) over the top-50 ranks plus top-50
+    mass concentration — the vocabulary-health dashboard row that
+    flags diversity collapse (flat slope = template soup, steep =
+    token monoculture) before it poisons a training mix.  Integer
+    micro-unit quantization + exact BIGINT OLS sums + one
+    BIGINT/BIGINT double division (see
+    llm/text.py:zipf_diagnostics for the full float-discipline and
+    scale contract)."""
+    from axonops_schema_registry_spark.llm.text import zipf_diagnostics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_diagnostics(docs)
+
+
+ZF1_ORACLE = r"""
+WITH toks AS MATERIALIZED (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+counts AS MATERIALIZED (
+  SELECT source, token, COUNT(*) AS cnt
+  FROM toks GROUP BY source, token),
+totals AS (
+  SELECT source, SUM(cnt) AS mass, COUNT(*) AS vocab_size
+  FROM counts GROUP BY source),
+ranked AS (
+  SELECT source, cnt,
+         CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS x,
+         CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS y
+  FROM (SELECT source, token, cnt,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, token ASC) AS rank
+        FROM counts)
+  WHERE rank <= 50),
+ols AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(cnt) AS BIGINT) AS topk_mass
+  FROM ranked GROUP BY source)
+SELECT o.source,
+       CAST(t.vocab_size AS BIGINT) AS vocab_size,
+       o.n AS n_ranks,
+       CAST(o.n * o.sxy - o.sx * o.sy AS DOUBLE)
+         / CAST(o.n * o.sxx - o.sx * o.sx AS DOUBLE) AS zipf_slope,
+       CAST((1000 * o.topk_mass) // t.mass AS BIGINT)
+         AS topk_mass_per_mille
+FROM ols o JOIN totals t USING (source)
+ORDER BY o.source
+"""
+
+
 def nn5_multiprobe_lsh_topk(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Multi-probe hyperplane-LSH approximate top-5 (new in r14; Lv
@@ -4566,6 +4624,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("nn5_multiprobe_lsh_topk", nn5_multiprobe_lsh_topk,
               NN5_ORACLE, tags=("llm", "similarity", "ann"),
               bench=True),
+    QuerySpec("zf1_zipf_diagnostics", zf1_zipf_diagnostics, ZF1_ORACLE,
+              tags=("llm", "text", "stats", "agg")),
     QuerySpec("tx1_language_id", tx1_language_id, TX1_ORACLE,
               tags=("llm", "text")),
     QuerySpec("tx2_token_stats", tx2_token_stats, TX2_ORACLE,

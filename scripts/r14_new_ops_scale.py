@@ -15,6 +15,12 @@ operator's round; ctm5 was flagged in r13 for shipping without one):
     stays off the threshold margin.  Composes the same banded-LSH
     pass as ctm5 (r14: ctm5 r(10) = 0.42), so r(10) <= ~0.6 is the
     bar.
+  * zf1_zipf_diagnostics — per-source Zipf rank-frequency OLS.  One
+    corpus scan into a vocab-bounded count aggregate (lazily
+    checkpointed), windows over vocab-sized data after; the
+    word-salted copies multiply vocabulary 10x but token MASS only
+    10x too, so sub-linear per-row is the bar.  The ln() micro-unit
+    margins are swept separately (test + scripts/r14_ulp_margin.py).
 
 Appends one section to docs/SCALING.md (idempotent marker splice).
 Exit 0 iff both sf1 pins match and both r(10) <= 0.8.
@@ -34,7 +40,8 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 MARKER = "\n## r14 appendix: nn5/ctm6 sf1 hash-pins + per-row decomposition"
-NAMES = ("nn5_multiprobe_lsh_topk", "ctm6_contamination_report")
+NAMES = ("nn5_multiprobe_lsh_topk", "ctm6_contamination_report",
+         "zf1_zipf_diagnostics")
 FACTORS = (1, 4, 10)
 
 

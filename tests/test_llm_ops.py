@@ -2018,3 +2018,46 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     assert multi > single, (
         f"multi-probe candidates ({multi}) did not exceed single-probe "
         f"({single}) — probes are dead code on this corpus")
+
+
+def test_zipf_diagnostics_matches_pure_python_reference(spark):
+    """zf1 replay on a PLANTED spectrum (the oracle-shared-logic
+    guard: Spark and DuckDB both implement the same OLS formula, so
+    a shared algebra mistake would pass the cross-engine oracle —
+    this pure-Python third leg computes the quantized OLS
+    independently).  Two sources: a geometric spectrum (counts
+    2^k — steep, slope « -1) and a flat one (all counts equal —
+    ln(freq) constant, slope exactly 0), plus the mass/vocab
+    columns checked exactly."""
+    import math
+
+    from axonops_schema_registry_spark.llm.text import zipf_diagnostics
+
+    geo = " ".join(" ".join([f"t{k}"] * (2 ** (5 - k)))
+                   for k in range(6))          # counts 32,16,8,4,2,1
+    flat = " ".join(f"u{k}" for k in range(10))  # all counts 1
+    docs = spark.createDataFrame(
+        [(1, geo, "geo"), (2, flat, "flat")],
+        "doc_id bigint, text string, source string")
+    got = {r.source: r for r in zipf_diagnostics(docs).collect()}
+
+    def ref_slope(counts):
+        pts = [(math.floor(math.log(i + 1) * 1e6),
+                math.floor(math.log(c) * 1e6))
+               for i, c in enumerate(counts)]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    g = got["geo"]
+    assert g.vocab_size == 6 and g.n_ranks == 6
+    assert g.topk_mass_per_mille == 1000
+    assert repr(g.zipf_slope) == repr(ref_slope([32, 16, 8, 4, 2, 1]))
+    assert g.zipf_slope < -1.0  # geometric decay is steeper than Zipf
+
+    f = got["flat"]
+    assert f.vocab_size == 10 and f.n_ranks == 10
+    assert f.topk_mass_per_mille == 1000
+    assert f.zipf_slope == 0.0  # ln(1)=0 everywhere -> exactly flat

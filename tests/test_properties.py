@@ -630,11 +630,14 @@ def test_bigram_surprisal_micro_unit_margin():
     slack at score magnitude ~10 (ulp(1e7) ≈ 1.9e-9), i.e. a 1-ulp
     log discrepancy CANNOT cross a boundary on these corpora.
     Exact -ln(1) = 0 rows (cb == cu) are exempt: 0 is produced
-    exactly by both engines' log, no rounding occurs.  Observed
-    margins (2026-08-15): sf0.001 ≈ 3.0e-3, sf0.01 ≈ 2.7e-4,
-    sf0.1 ≈ 9.5e-4 — documented in COVERAGE.md; the sf1 sweep
-    (scripts/r14_ulp_margin.py) pins the 10x replica margin in
-    docs/SCALING.md."""
+    exactly by both engines' log, no rounding occurs.  zf1 reuses
+    the identical floor(ln·1e6) quantization on ranks 1..50 and
+    per-source token frequencies, so its exact value population is
+    swept here too (same exemption for ln(1)).  Observed margins
+    (2026-08-15, ppl2+zf1 populations): sf0.001 ≈ 3.0e-3,
+    sf0.01 ≈ 2.7e-4, sf0.1 ≈ 9.5e-4 — documented in COVERAGE.md;
+    the sf1 sweep (scripts/r14_ulp_margin.py) pins the 10x replica
+    margin in docs/SCALING.md."""
     import math
 
     import duckdb
@@ -642,17 +645,20 @@ def test_bigram_surprisal_micro_unit_margin():
     worst = []
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         rows = duckdb.sql(
-            f"SELECT doc_id, text FROM "
+            f"SELECT doc_id, text, source FROM "
             f"'/root/testdata/{sf}/documents.parquet'").fetchall()
         uni: dict[str, int] = {}
         big: dict[tuple[str, str], int] = {}
-        for doc_id, text in rows:
+        per_src: dict[tuple[str, str], int] = {}  # zf1's population
+        for doc_id, text, source in rows:
+            toks_all = [t for t in text.lower().split() if t]
+            for t in toks_all:
+                per_src[(source, t)] = per_src.get((source, t), 0) + 1
             if doc_id % 7 == 0:
                 continue  # scored slice, not reference
-            toks = [t for t in text.lower().split() if t]
-            for t in toks:
+            for t in toks_all:
                 uni[t] = uni.get(t, 0) + 1
-            for u, w in zip(toks, toks[1:]):
+            for u, w in zip(toks_all, toks_all[1:]):
                 big[(u, w)] = big.get((u, w), 0) + 1
         n = sum(uni.values())
         vals = [-math.log(cb / uni[u]) for (u, _w), cb in big.items()
@@ -660,6 +666,12 @@ def test_bigram_surprisal_micro_unit_margin():
         vals += [-math.log(0.4 * cu / n) for cu in set(uni.values())]
         vals += [-math.log(cu / n) for cu in set(uni.values())]
         vals += [-math.log(0.4 / n), -math.log(1.0 / n)]
+        # zf1 uses the same floor(ln·1e6) quantization on ranks and
+        # per-source full-corpus frequencies — sweep its exact
+        # population too (ln(1)=0 exempt; all counts swept, a
+        # superset of the top-50 the operator keeps)
+        vals += [math.log(r) for r in range(2, 51)]
+        vals += [math.log(c) for c in set(per_src.values()) if c > 1]
         margin = min(min(x - math.floor(x), math.ceil(x) - x)
                      for v in vals for x in (v * 1e6,))
         worst.append((sf, margin, len(vals)))

@@ -40,7 +40,8 @@ _PRIORITY: tuple[str, ...] = (
     # round the freshness floor rises to r11.  Deferred r11-green
     # names for the r15 window (all guarded by
     # tests/test_queries_oracle.py meanwhile):
-    # asof1_config_at_event_time, ctm3_semantic_contamination,
+    # asof1_config_at_event_time, bpe1_merge_candidates,
+    # ctm3_semantic_contamination,
     # dd1_exact_dedup, dd3_simhash_dedup, dd5_cross_source_dup_matrix,
     # ev2_lsh_recall, f3_glob_search, f5_normalize_names,
     # f7_fuzzy_match, j8_kek_dek_lifecycle, j8b_dek_rewrap,
@@ -55,11 +56,11 @@ _PRIORITY: tuple[str, ...] = (
     # s4_fingerprint_lookup, s5_distinct_listing, vg1_vocab_growth,
     # w1_latest_per_subject, w2_listing_with_latest_flag,
     # w3_content_addressed_ids, w5_prior_version_delta
-    # (vg1/mm4/ppl1 rotated out of this window to make room for the
-    # three new specs — same move the r13 window made for ctm5)
+    # (vg1/mm4/ppl1/bpe1 rotated out of this window to make room for
+    # the four new specs — same move the r13 window made for ctm5)
     # -- new in r14 (never driver-sampled)
     "nn5_multiprobe_lsh_topk", "ctm6_contamination_report",
-    "zf1_zipf_diagnostics",
+    "zf1_zipf_diagnostics", "ev4_multiprobe_recall",
     # -- ALL 36 deferred r10-green specs (freshness floor)
     "e2_subject_compare", "ex1_explain_failure", "f1_substring_search",
     "f2_regex_search", "f13_field_extraction", "fs1_field_search",
@@ -77,12 +78,12 @@ _PRIORITY: tuple[str, ...] = (
     "smp1_stratified_sample", "st8_exporter_filter_rename",
     "st9_token_bucket", "ti1_tfidf_terms", "tx7_pii_scan",
     "wn1_winnowing", "mm3_pixel_decode",
-    # -- 11 r11-green backfills (bespoke families first)
+    # -- 10 r11-green backfills (bespoke families first)
     "c3_compat_with_refs", "nn3_ivf_ann_topk", "dd4_dedup_clusters",
     "dd8_quality_representatives", "sem1_semantic_dedup",
     "ctm2_bloom_contamination", "es3_decontamination_cut",
     "ev1_ann_recall", "exp1_exporter_lifecycle",
-    "mix3_temperature_mixture", "bpe1_merge_candidates",
+    "mix3_temperature_mixture",
 )
 
 

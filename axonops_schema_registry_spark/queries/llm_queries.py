@@ -3375,6 +3375,31 @@ def ev2_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV2_ORACLE = _recall_oracle(NN2_ORACLE)
 
 
+def ev4_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev2's companion for the multi-probe index (new in r14):
+    recall@5 of nn5 against the exact baseline — the measurement that
+    justifies trading probe fan-out for index tables at 100 TB.  The
+    structural guarantee (nn5's candidates are a superset of nn2's at
+    equal parameters, so per-query recall_at_5 >= ev2's row-for-row)
+    is pinned in tests/test_llm_ops.py; this spec pins the measured
+    VALUES through the driver's hash gate, composing two
+    independently verified oracle chains verbatim."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        cosine_topk,
+        multiprobe_lsh_ann_topk,
+    )
+
+    queries, corpus = _emb_split(spark, sf_dir)
+    return _recall_report(
+        cosine_topk(queries, corpus, k=5)
+        .select("query_id", "corpus_id"),
+        multiprobe_lsh_ann_topk(queries, corpus, k=5)
+        .select("query_id", "corpus_id"))
+
+
+EV4_ORACLE = _recall_oracle(NN5_ORACLE)
+
+
 _Q_HELD_OUT = """WITH q AS (SELECT vec_id AS query_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
            FROM embeddings WHERE vec_id < 10),"""
@@ -4626,6 +4651,8 @@ SPECS: list[QuerySpec] = [
               bench=True),
     QuerySpec("zf1_zipf_diagnostics", zf1_zipf_diagnostics, ZF1_ORACLE,
               tags=("llm", "text", "stats", "agg")),
+    QuerySpec("ev4_multiprobe_recall", ev4_multiprobe_recall,
+              EV4_ORACLE, tags=("llm", "similarity", "evaluation")),
     QuerySpec("tx1_language_id", tx1_language_id, TX1_ORACLE,
               tags=("llm", "text")),
     QuerySpec("tx2_token_stats", tx2_token_stats, TX2_ORACLE,

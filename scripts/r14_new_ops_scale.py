@@ -21,6 +21,10 @@ operator's round; ctm5 was flagged in r13 for shipping without one):
     word-salted copies multiply vocabulary 10x but token MASS only
     10x too, so sub-linear per-row is the bar.  The ln() micro-unit
     margins are swept separately (test + scripts/r14_ulp_margin.py).
+  * ev4_multiprobe_recall — recall@5 of nn5 vs the exact baseline.
+    Composes nn5 with nn1's exact top-k; nn1's oracle side is the
+    documented all-pairs baseline (10 queries x corpus), so the sf1
+    pin also exercises the eval composition at 50k vectors.
 
 Appends one section to docs/SCALING.md (idempotent marker splice).
 Exit 0 iff both sf1 pins match and both r(10) <= 0.8.
@@ -41,7 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 MARKER = "\n## r14 appendix: nn5/ctm6 sf1 hash-pins + per-row decomposition"
 NAMES = ("nn5_multiprobe_lsh_topk", "ctm6_contamination_report",
-         "zf1_zipf_diagnostics")
+         "zf1_zipf_diagnostics", "ev4_multiprobe_recall")
 FACTORS = (1, 4, 10)
 
 

@@ -2019,6 +2019,22 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         f"multi-probe candidates ({multi}) did not exceed single-probe "
         f"({single}) — probes are dead code on this corpus")
 
+    # the ev4-vs-ev2 row-for-row form of the same guarantee (the ev4
+    # docstring points here): per query, multi-probe recall@5 never
+    # drops below single-probe recall@5 at the specs' parameters
+    from axonops_schema_registry_spark.queries.llm_queries import (
+        ev2_lsh_recall,
+        ev4_multiprobe_recall,
+    )
+
+    e2 = {r.query_id: r.n_overlap
+          for r in ev2_lsh_recall(spark, sf_dir).collect()}
+    e4 = {r.query_id: r.n_overlap
+          for r in ev4_multiprobe_recall(spark, sf_dir).collect()}
+    assert set(e4) == set(e2)
+    worse = [q for q in e2 if e4[q] < e2[q]]
+    assert not worse, f"multi-probe recall dropped for queries {worse}"
+
 
 def test_zipf_diagnostics_matches_pure_python_reference(spark):
     """zf1 replay on a PLANTED spectrum (the oracle-shared-logic

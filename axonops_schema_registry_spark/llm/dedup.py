@@ -797,3 +797,139 @@ def remove_contaminated_spans(train: DataFrame, eval_df: DataFrame,
                                         text_col, k, hash_grams)
     return _cut_spans(train, islands, id_col, text_col, k,
                       min_span_words)
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", block_words: int = 10,
+               min_block_words: int = 5,
+               hash_blocks: bool = False) -> DataFrame:
+    """CCNet-style keep-first paragraph dedup (Wenzek et al. 2020:
+    hash every paragraph, keep only the FIRST occurrence corpus-wide)
+    mapped onto deterministic fixed-width segmentation — the corpus
+    here carries no newline structure, so a "paragraph" is a
+    non-overlapping ``block_words``-word block (the final partial
+    block is a shorter paragraph, exactly as a real trailing
+    paragraph would be).
+
+    Policy contrast with the ExactSubstr family
+    (:func:`remove_duplicated_spans`): that cuts ALL occurrences of
+    overlapping duplicated k-gram spans (symmetric removal); this
+    keeps the first occurrence of each duplicated block and removes
+    the later copies (the asymmetric CCNet policy — boilerplate
+    survives exactly once).  First = smallest ``(id, block_idx)``.
+    Blocks shorter than ``min_block_words`` are never dedup-keyed
+    (CCNet's very-short-paragraph guard: two-word blocks collide
+    constantly and carry no removable mass); equal block text implies
+    equal word count, so gated blocks can never collide with eligible
+    ones.
+
+    Returns (id, n_blocks, n_removed, cleaned_text) per document —
+    every input document appears; a document whose every block
+    duplicates earlier text comes back with ``cleaned_text = ''``.
+
+    Scale shape: the segmentation is one row-local higher-order
+    transform off the scan (the word split is projected ONCE — the
+    _positioned_grams lesson); first-occurrence election is a
+    block-keyed groupBy with map-side partial aggregation — the
+    (id, block_idx) order is packed into ONE BIGINT
+    (``id·2²⁰ + block_idx``) so the min is a plain hash-aggregatable
+    long (a struct-min plans as SortAggregate, sorting every
+    partition twice; the packed form stays HashAggregate end-to-end).
+    Bounds, documented not asserted: ids non-negative < 2⁴³ and
+    blocks-per-doc < 2²⁰ (a million-word document at the default
+    width) — beyond either, election order silently degrades to the
+    packed value's order.  Election is skew-robust where a window
+    over the block key would sort every hot boilerplate key in one
+    task; then one block-keyed join back and one doc-keyed
+    reassembly shuffle.  ``hash_blocks`` swaps the block-text shuffle
+    key for its xxhash64 — the narrow-key 100 TB form, same trade the
+    es1h path documents (output pinned identical on the fixture
+    corpora in tests/test_llm_ops.py).
+    """
+    bw = int(block_words)
+    blocks_expr = (
+        f"CASE WHEN size(__ws) > 0 THEN "
+        f"transform(sequence(1, CAST(ceil(size(__ws) / {bw}.0) AS INT)), "
+        f"b -> struct(CAST(b AS BIGINT) AS block_idx, "
+        f"array_join(slice(__ws, (b - 1) * {bw} + 1, {bw}), ' ') AS btext, "
+        f"CAST(least(b * {bw}, size(__ws)) - (b - 1) * {bw} AS BIGINT) "
+        f"AS bwords)) ELSE array() END")
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.split(F.col(text_col), " ").alias("__ws"))
+            .select("id", F.explode(F.expr(blocks_expr)).alias("b"))
+            .select("id", F.col("b.block_idx").alias("block_idx"),
+                    F.col("b.btext").alias("btext"),
+                    F.col("b.bwords").alias("bwords")))
+    key = (F.xxhash64("btext") if hash_blocks
+           else F.col("btext")).alias("__bkey")
+    ex = ex.select("id", "block_idx", "btext", "bwords", key)
+    packed = (F.col("id") * F.lit(1 << 20)
+              + F.col("block_idx")).cast("bigint")
+    firsts = (ex.filter(F.col("bwords") >= min_block_words)
+                .withColumn("__ord", packed)
+                .groupBy("__bkey")
+                .agg(F.min("__ord").alias("__first")))
+    kept = (ex.join(firsts, "__bkey", "left")
+              .withColumn("__keep",
+                          (F.col("bwords") < min_block_words)
+                          | (F.col("__first") == packed)))
+    return (kept.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                 F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+                  .cast("bigint").alias("n_removed"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("__keep"),
+                                    F.struct("block_idx", "btext")))),
+                         lambda s: s["btext"]),
+                     " ").alias("cleaned_text")))
+
+
+def gram_key_profile(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 8,
+                     top_n: int = 20) -> DataFrame:
+    """Shuffle-key skew diagnostic for the ExactSubstr family: the
+    occurrence distribution of the k-gram key that
+    :func:`duplicated_span_islands` / :func:`contaminated_span_islands`
+    group and join on.  At 100 TB the FIRST question before running
+    any of them is whether a handful of boilerplate grams will
+    concentrate the shuffle (the hot keys salting/AQE-skew-join must
+    absorb) — this emits that answer as a table: the ``top_n``
+    hottest grams with rank, occurrence count, and exact
+    parts-per-million share (``1_000_000·n DIV total`` — BIGINT
+    division, no float), alongside corpus totals (positions,
+    distinct grams) on every row.
+
+    Scale shape: one row-local gram explode off the scan (the shared
+    _positioned_grams projection), a gram-keyed count with map-side
+    partial aggregation, a distributed top-k (Catalyst
+    TakeOrderedAndProject — never a global sort), and a
+    broadcast-of-one-row totals join; the final rank window orders
+    the already-limited ``top_n`` rows only."""
+    from pyspark.sql import Window
+
+    pg = _positioned_grams(df, id_col, text_col, k, hash_grams=False)
+    # materialize the gram counts ONCE (lazy checkpoint): both the
+    # top-k and the totals consume them, and without this the
+    # corpus-scale explode+agg runs twice — the table is
+    # distinct-gram-sized, the same cardinality the es-family
+    # election join already shuffles
+    counts = (pg.groupBy("gram")
+                .agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("n_occurrences"))
+                .localCheckpoint(eager=False))
+    totals = counts.agg(
+        F.sum("n_occurrences").cast("bigint").alias("n_positions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"))
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("gram")) \
+                .limit(top_n)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("gram"))
+    return (top.crossJoin(F.broadcast(totals))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .withColumn("ppm", F.expr(
+                "CAST(1000000 * n_occurrences AS BIGINT)"
+                " DIV n_positions"))
+            .select("rank", F.col("gram").alias("gram_text"),
+                    "n_occurrences", "ppm", "n_positions",
+                    "n_distinct_grams"))

@@ -2565,6 +2565,108 @@ GROUP BY w.id ORDER BY doc_id
 """
 
 
+def ln1_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet keep-first paragraph dedup (llm/dedup.py:line_dedup —
+    Wenzek et al. 2020's per-paragraph hash dedup, the policy CCNet
+    and the C4 line filters apply BEFORE document-level dedup ever
+    runs): the corpus is segmented into deterministic 10-word blocks
+    (its "paragraphs" — this corpus carries no newline structure),
+    every block duplicated corpus-wide keeps only its first
+    occurrence (smallest (doc_id, block_idx)), and each document
+    comes back cleaned with removal accounting.  The asymmetric
+    keep-first policy is the deliberate contrast with es2's
+    symmetric cut-all-occurrences ExactSubstr edit — boilerplate
+    survives exactly once instead of vanishing entirely.
+
+    Scale shape: one row-local segmentation off the scan,
+    first-occurrence election via block-keyed groupBy (map-side
+    partial agg of a (doc_id, block_idx) struct-min — skew-robust
+    where a window over a hot boilerplate key would sort one task),
+    one block-keyed join back, one doc-keyed reassembly shuffle.
+    The hash_blocks narrow-key twin is pinned output-identical in
+    tests/test_llm_ops.py."""
+    from axonops_schema_registry_spark.llm.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (line_dedup(docs, "doc_id", "text",
+                       block_words=10, min_block_words=5)
+            .select(F.col("id").alias("doc_id"), "n_blocks",
+                    "n_removed", "cleaned_text")
+            .orderBy("doc_id"))
+
+
+LN1_ORACLE = """
+WITH ws AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+            FROM documents),
+blocks AS (
+  SELECT id, b AS block_idx,
+         array_to_string(w[(b-1)*10+1 : least(b*10, len(w))], ' ')
+           AS btext,
+         least(b*10, len(w)) - (b-1)*10 AS bwords
+  FROM (SELECT id, w,
+               unnest(generate_series(1,
+                   CAST(ceil(len(w) / 10.0) AS BIGINT))) AS b
+        FROM ws)),
+keepflag AS (
+  SELECT id, block_idx, btext,
+         (bwords < 5 OR
+          row_number() OVER (PARTITION BY btext
+                             ORDER BY id, block_idx) = 1) AS keep
+  FROM blocks)
+SELECT id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed,
+       COALESCE(string_agg(CASE WHEN keep THEN btext END, ' '
+                           ORDER BY block_idx), '') AS cleaned_text
+FROM keepflag GROUP BY id ORDER BY doc_id
+"""
+
+
+def kd1_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile (llm/dedup.py:gram_key_profile) over
+    the 8-gram key the ExactSubstr family (es1/es2/es3/ctm4) groups
+    and joins on — the diagnostic a 100 TB run consults BEFORE
+    launching those jobs to size salting / AQE skew handling: the 20
+    hottest grams with rank, occurrence count, and exact
+    parts-per-million share (BIGINT division), plus corpus totals on
+    every row.  The operational-diagnostics row next to zf1's
+    vocabulary health card: zf1 reads token-frequency shape, this
+    reads JOIN-KEY concentration."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        gram_key_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gram_key_profile(docs, "doc_id", "text", k=8, top_n=20) \
+        .orderBy("rank")
+
+
+KD1_ORACLE = """
+WITH pg AS (
+  SELECT array_to_string(string_split(text, ' ')[i:i+7], ' ') AS gram
+  FROM (SELECT text,
+               unnest(generate_series(1,
+                   greatest(len(string_split(text, ' ')) - 7, 0))) AS i
+        FROM documents)),
+counts AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM pg GROUP BY gram),
+totals AS (
+  SELECT CAST(SUM(n_occurrences) AS BIGINT) AS n_positions,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_grams
+  FROM counts),
+top AS (
+  SELECT gram, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, gram) AS rank
+  FROM counts ORDER BY n_occurrences DESC, gram LIMIT 20)
+SELECT CAST(rank AS BIGINT) AS rank, gram AS gram_text, n_occurrences,
+       CAST((1000000 * n_occurrences) // n_positions AS BIGINT) AS ppm,
+       n_positions, n_distinct_grams
+FROM top, totals ORDER BY rank
+"""
+
+
 def dsir1_importance_selection(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """DSIR data selection (llm/sampling.py:dsir_log_weights — Xie et
@@ -4590,6 +4692,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("es3_decontamination_cut", es3_decontamination_cut,
               ES3_ORACLE,
               tags=("llm", "dedup", "contamination", "substring")),
+    QuerySpec("ln1_line_dedup", ln1_line_dedup, LN1_ORACLE,
+              tags=("llm", "dedup", "paragraph"), bench=True),
+    QuerySpec("kd1_key_skew_profile", kd1_key_skew_profile, KD1_ORACLE,
+              tags=("llm", "dedup", "stats", "skew")),
     QuerySpec("dsir1_importance_selection", dsir1_importance_selection,
               DSIR1_ORACLE,
               tags=("llm", "sampling", "selection", "agg"),

@@ -2077,3 +2077,74 @@ def test_zipf_diagnostics_matches_pure_python_reference(spark):
     assert f.vocab_size == 10 and f.n_ranks == 10
     assert f.topk_mass_per_mille == 1000
     assert f.zipf_slope == 0.0  # ln(1)=0 everywhere -> exactly flat
+
+
+def test_line_dedup_keep_first_policy(spark):
+    """Planted corpus pins the CCNet keep-first semantics: the first
+    (doc_id, block_idx) copy of a duplicated block survives, every
+    later copy is cut; sub-min_block_words blocks are never
+    dedup-keyed; a doc made entirely of earlier text empties out."""
+    from axonops_schema_registry_spark.llm.dedup import line_dedup
+
+    blk_a = "a1 a2 a3 a4 a5"            # 5 words: eligible
+    blk_b = "b1 b2 b3 b4 b5"
+    short = "s1 s2"                      # 2 words: gated, never keyed
+    df = spark.createDataFrame(
+        [(1, f"{blk_a} {blk_b}"),        # blocks: [a+b] (one 10-word)
+         (2, f"{blk_a} {blk_b}"),        # exact copy -> fully removed
+         (3, f"{blk_b} {blk_a}"),        # different block text: kept
+         (4, f"{blk_a} {blk_b} {short}"),  # block1 dup, short tail kept
+         (5, short)],                    # short-only doc: kept
+        "doc_id bigint, text string")
+    rows = {r.id: r for r in
+            line_dedup(df, "doc_id", "text", block_words=10,
+                       min_block_words=5).collect()}
+    assert rows[1].n_removed == 0 and rows[1].cleaned_text == \
+        f"{blk_a} {blk_b}"
+    assert rows[2].n_removed == 1 and rows[2].cleaned_text == ""
+    assert rows[3].n_removed == 0          # reordered words != same block
+    assert rows[4].n_removed == 1 and rows[4].cleaned_text == short
+    assert rows[5].n_removed == 0 and rows[5].cleaned_text == short
+    # same short block in two docs: gated from dedup, both survive
+    df2 = spark.createDataFrame(
+        [(1, short), (2, short)], "doc_id bigint, text string")
+    rows2 = {r.id: r for r in line_dedup(df2, "doc_id", "text").collect()}
+    assert rows2[1].n_removed == 0 and rows2[2].n_removed == 0
+
+
+def test_line_dedup_hashed_twin_identical(spark, sf_dir):
+    """The xxhash64 narrow-key form (the 100 TB shuffle trade, es1h's
+    contract) is pinned output-identical on the fixture corpus."""
+    from axonops_schema_registry_spark.llm.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = line_dedup(docs, "doc_id", "text")
+    hashed = line_dedup(docs, "doc_id", "text", hash_blocks=True)
+    assert raw.exceptAll(hashed).isEmpty()
+    assert hashed.exceptAll(raw).isEmpty()
+
+
+def test_gram_key_profile_matches_python_counter(spark, sf_dir):
+    """gram_key_profile replayed by a pure-Python Counter over the
+    fixture corpus — rank order (count desc, gram asc), exact ppm
+    integer division, and the corpus totals on every row."""
+    from collections import Counter
+
+    from axonops_schema_registry_spark.llm.dedup import gram_key_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = gram_key_profile(docs, "doc_id", "text", k=8,
+                           top_n=20).orderBy("rank").collect()
+    cnt: Counter[str] = Counter()
+    for r in docs.select("text").collect():
+        ws = r.text.split(" ")
+        for i in range(len(ws) - 7):
+            cnt[" ".join(ws[i:i + 8])] += 1
+    total = sum(cnt.values())
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert len(got) == 20
+    for row, (gram, n) in zip(got, expect):
+        assert row.gram_text == gram and row.n_occurrences == n
+        assert row.ppm == (1_000_000 * n) // total
+        assert row.n_positions == total
+        assert row.n_distinct_grams == len(cnt)

@@ -251,7 +251,8 @@ def dsir_log_weights(docs: DataFrame, target_ids: DataFrame,
 def temperature_quotas(docs: DataFrame, budget: int,
                        source_col: str = "source",
                        text_col: str = "text",
-                       exact_budget: bool = False) -> DataFrame:
+                       exact_budget: bool = False,
+                       mass_col: str | None = None) -> DataFrame:
     """Per-source document quotas from TEMPERATURE-weighted token
     mass — the up/down-sampling every large pretraining mix applies
     (Gopher's non-proportional sampling, Rae et al. 2021 table A3;
@@ -293,10 +294,24 @@ def temperature_quotas(docs: DataFrame, budget: int,
     on the exact path (plus the shortfall), and Spark does not reuse
     exchanges across consumers (the dsir1 lesson) — without the
     checkpoint the corpus-wide token-mass aggregate re-ran once per
-    consumer (4 scans on the exact path at 100 TB; now 1)."""
-    mass = (docs.groupBy(source_col)
-            .agg(F.sum(F.size(F.split(F.col(text_col), " "))
-                       .cast("bigint")).alias("__mass")))
+    consumer (4 scans on the exact path at 100 TB; now 1).
+
+    ``mass_col``: when set, ``docs`` is already the per-source
+    aggregate — one row per source with its token mass in that
+    column — and the internal corpus aggregation is skipped.  The
+    hook exists so callers that must aggregate the corpus anyway
+    (sem2 needs per-cluster doc counts alongside the mass) feed ONE
+    pass into the shared quota math instead of scanning twice; the
+    quota arithmetic and its determinism contract are identical on
+    both paths."""
+    if mass_col is not None:
+        mass = docs.select(source_col,
+                           F.col(mass_col).cast("bigint")
+                           .alias("__mass"))
+    else:
+        mass = (docs.groupBy(source_col)
+                .agg(F.sum(F.size(F.split(F.col(text_col), " "))
+                           .cast("bigint")).alias("__mass")))
     wts = mass.select(
         source_col,
         F.floor(F.sqrt(F.col("__mass"))).cast("bigint")

@@ -777,3 +777,48 @@ def pq_adc_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return (adc.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "corpus_id", "adc_dist", "rank"))
+
+
+def cluster_assignments(vectors: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        centroid_stride: int = 61,
+                        max_centroids: int = 8,
+                        round_digits: int = 4) -> DataFrame:
+    """Deterministic nearest-centroid cluster assignment — the
+    ivf_ann_topk_portable assignment half exposed as a first-class
+    operator, because domain DISCOVERY is its own pipeline stage:
+    mixture balancing (DoReMi, Xie et al. 2023; D4, Tirumala et al.
+    2023) groups a corpus by embedding cluster when no source/domain
+    labels exist, then reweights per discovered cluster.
+
+    Centroids are the data rows at ``id % centroid_stride == 0``,
+    rank-capped to the ``max_centroids`` smallest sampled ids (the
+    :func:`_sampled_ids` contract — offset id spaces keep a full
+    codebook, empty congruence samples raise); every vector joins its
+    nearest centroid by ``round(cosine, round_digits)`` with
+    centroid-id tie-break, so the whole computation replays exactly
+    in a DuckDB oracle (the nn3 convention).
+
+    Returns (id, centroid_id).  Scale shape: centroids broadcast
+    (bounded by ``max_centroids``), assignment is one row-local
+    N × max_centroids pass off the scan — no shuffle at all until a
+    consumer aggregates by cluster."""
+    ids = _sampled_ids(vectors.select(F.col(id_col).alias("__id")),
+                       centroid_stride, max_centroids)
+    cents = (vectors.join(F.broadcast(ids),
+                          vectors[id_col] == ids["__id"])
+             .select(F.col(id_col).alias("centroid_id"),
+                     F.col(vec_col).alias("centroid_vec")))
+    cent_n = with_norm(cents, "centroid_vec", "cent_norm")
+    v = with_norm(vectors.select(F.col(id_col).alias("id"),
+                                 F.col(vec_col).alias("__v")),
+                  "__v", "__v_norm")
+    sim = _dot_expr("__v", "centroid_vec") / (F.col("__v_norm")
+                                              * F.col("cent_norm"))
+    w = Window.partitionBy("id").orderBy(F.desc("__sim"),
+                                         F.asc("centroid_id"))
+    return (v.crossJoin(F.broadcast(cent_n))
+             .withColumn("__sim", F.round(sim, round_digits))
+             .withColumn("__r", F.row_number().over(w))
+             .filter(F.col("__r") == 1)
+             .select("id", "centroid_id"))

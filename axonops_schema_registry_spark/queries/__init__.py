@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "nn5_multiprobe_lsh_topk", "ctm6_contamination_report",
     "zf1_zipf_diagnostics", "ev4_multiprobe_recall",
     "ln1_line_dedup", "kd1_key_skew_profile",
+    "sem2_cluster_mixture",
     # -- ALL 36 deferred r10-green specs (freshness floor)
     "e2_subject_compare", "ex1_explain_failure", "f1_substring_search",
     "f2_regex_search", "f13_field_extraction", "fs1_field_search",
@@ -80,13 +81,13 @@ _PRIORITY: tuple[str, ...] = (
     "st9_token_bucket", "ti1_tfidf_terms", "tx7_pii_scan",
     "wn1_winnowing", "mm3_pixel_decode",
     # -- 10 r11-green backfills (bespoke families first)
-    # (es3/mix3 rotated out of this window to make room for the two
-    # late-r14 specs ln1/kd1 — same move the r13/r14 windows made;
-    # both join the r15 deferral list above)
+    # (es3/mix3/ev1 rotated out of this window to make room for the
+    # three late-r14 specs ln1/kd1/sem2 — same move the r13/r14
+    # windows made; all three join the r15 deferral list above)
     "c3_compat_with_refs", "nn3_ivf_ann_topk", "dd4_dedup_clusters",
     "dd8_quality_representatives", "sem1_semantic_dedup",
     "ctm2_bloom_contamination",
-    "ev1_ann_recall", "exp1_exporter_lifecycle",
+    "exp1_exporter_lifecycle",
 )
 
 

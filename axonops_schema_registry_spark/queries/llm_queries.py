@@ -465,6 +465,92 @@ ORDER BY e.vec_id
 """
 
 
+def sem2_cluster_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced mixture quotas — domain discovery feeding
+    mixture reweighting (DoReMi, Xie et al. 2023 / D4, Tirumala et
+    al. 2023: when no source labels exist, group by embedding cluster
+    and rebalance per discovered domain): every document joins its
+    embedding's nearest deterministic centroid
+    (llm/similarity.py:cluster_assignments — the nn3 portable
+    convention, so assignment replays exactly in the oracle), ONE
+    corpus pass aggregates per-cluster doc counts and token mass, and
+    the shared temperature-quota math
+    (llm/sampling.py:temperature_quotas, mass_col path — same
+    integer-exact α=0.5 arithmetic as mix3/mix4) allocates a
+    300-document budget across the discovered clusters.  Cluster keys
+    are zero-padded centroid ids so string ordering is numeric
+    ordering.
+
+    Scale shape: centroids broadcast (≤ 8), assignment is row-local
+    off the embeddings scan; the docs⋈assignment join feeds ONE
+    aggregate (the mass_col hook exists precisely so the quota math
+    does not re-scan); everything after the agg is clusters-sized."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        temperature_quotas,
+    )
+    from axonops_schema_registry_spark.llm.similarity import (
+        cluster_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    assign = cluster_assignments(emb, "vec_id", "embedding",
+                                 centroid_stride=61, max_centroids=8)
+    labeled = (docs.join(assign, docs["doc_id"] == assign["id"])
+               .select(F.lpad(F.col("centroid_id").cast("string"),
+                              8, "0").alias("cluster"),
+                       F.size(F.split(F.col("text"), " "))
+                       .cast("bigint").alias("__toks")))
+    sizes = (labeled.groupBy("cluster")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  F.sum("__toks").cast("bigint").alias("token_mass")))
+    quotas = temperature_quotas(sizes, budget=300,
+                                source_col="cluster",
+                                mass_col="token_mass")
+    return (sizes.join(quotas, "cluster")
+            .select("cluster", "n_docs", "token_mass", "weight",
+                    "quota")
+            .orderBy("cluster"))
+
+
+_SEM2_DOT = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), "
+             "(acc, v) -> acc + v)")
+_SEM2_NORM = ("sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+              "list_transform({a}, x -> x * x)), (acc, v) -> acc + v))")
+SEM2_ORACLE = f"""
+WITH v AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings),
+centids AS (SELECT id FROM v WHERE id % 61 = 0 ORDER BY id LIMIT 8),
+cent AS (SELECT id AS centroid_id, vv AS centv
+         FROM v WHERE id IN (SELECT id FROM centids)),
+assign AS (
+  SELECT id, centroid_id FROM (
+    SELECT v.id, cent.centroid_id,
+           row_number() OVER (PARTITION BY v.id ORDER BY
+             ROUND({_SEM2_DOT.format(a="vv", b="centv")}
+               / ({_SEM2_NORM.format(a="vv")}
+                  * {_SEM2_NORM.format(a="centv")}), 4) DESC,
+             cent.centroid_id) AS r
+    FROM v CROSS JOIN cent) WHERE r = 1),
+sizes AS (
+  SELECT lpad(CAST(a.centroid_id AS STRING), 8, '0') AS cluster,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+           AS token_mass
+  FROM documents d JOIN assign a ON d.doc_id = a.id
+  GROUP BY 1),
+wts AS (SELECT cluster, n_docs, token_mass,
+               CAST(FLOOR(SQRT(token_mass)) AS BIGINT) AS weight
+        FROM sizes),
+tw AS (SELECT CAST(SUM(weight) AS BIGINT) AS total FROM wts)
+SELECT cluster, n_docs, token_mass, weight,
+       CAST((300 * weight) // total AS INT) AS quota
+FROM wts, tw ORDER BY cluster
+"""
+
+
 def ctm3_semantic_contamination(spark: SparkSession, sf_dir: str
                                 ) -> DataFrame:
     """Embedding-level benchmark decontamination — the semantic
@@ -4672,6 +4758,9 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "similarity", "ann", "evaluation")),
     QuerySpec("sem1_semantic_dedup", sem1_semantic_dedup, SEM1_ORACLE,
               tags=("llm", "dedup", "similarity", "iterative")),
+    QuerySpec("sem2_cluster_mixture", sem2_cluster_mixture,
+              SEM2_ORACLE,
+              tags=("llm", "similarity", "sampling", "mixture")),
     QuerySpec("tx8_normalize", tx8_normalize, TX8_ORACLE,
               tags=("llm", "text", "normalization")),
     QuerySpec("lab1_label_cohesion", lab1_label_cohesion, LAB1_ORACLE,

@@ -2148,3 +2148,47 @@ def test_gram_key_profile_matches_python_counter(spark, sf_dir):
         assert row.ppm == (1_000_000 * n) // total
         assert row.n_positions == total
         assert row.n_distinct_grams == len(cnt)
+
+
+def test_cluster_assignments_planted(spark):
+    """Vectors that ARE centroids assign to themselves (cosine 1.0);
+    a vector nearer centroid B than A gets B; an exact tie (equal
+    rounded cosine) breaks to the smaller centroid id."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        cluster_assignments,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),           # centroid (0 % 3 == 0)
+        (3, [0.0, 1.0]),           # centroid
+        (1, [0.9, 0.1]),           # near centroid 0
+        (2, [0.1, 0.9]),           # near centroid 3
+        (4, [1.0, 1.0]),           # equidistant: tie -> centroid 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r.id: r.centroid_id
+           for r in cluster_assignments(df, "vec_id", "embedding",
+                                        centroid_stride=3,
+                                        max_centroids=8).collect()}
+    assert got == {0: 0, 3: 3, 1: 0, 2: 3, 4: 0}
+
+
+def test_temperature_quotas_mass_col_matches_classic_path(spark, sf_dir):
+    """The pre-aggregated mass_col path (sem2's one-pass hook) is
+    pinned quota-identical to the classic corpus-scan path on the
+    fixture corpus — the shared quota math cannot drift between its
+    two entry points."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        temperature_quotas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for exact in (False, True):
+        classic = temperature_quotas(docs, 200,
+                                     exact_budget=exact).collect()
+        mass = (docs.groupBy("source")
+                .agg(F.sum(F.size(F.split(F.col("text"), " "))
+                           .cast("bigint")).alias("m")))
+        pre = temperature_quotas(mass, 200, mass_col="m",
+                                 exact_budget=exact).collect()
+        assert sorted(map(tuple, classic)) == sorted(map(tuple, pre))

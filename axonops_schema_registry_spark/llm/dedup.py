@@ -933,3 +933,62 @@ def gram_key_profile(df: DataFrame, id_col: str = "doc_id",
             .select("rank", F.col("gram").alias("gram_text"),
                     "n_occurrences", "ppm", "n_positions",
                     "n_distinct_grams"))
+
+
+def lsh_bucket_profile(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", ngram: int = 3,
+                       n_hashes: int = 64, bands: int = 16,
+                       top_n: int = 20) -> DataFrame:
+    """Bucket-occupancy skew diagnostic for the MinHash-LSH family —
+    :func:`gram_key_profile`'s sibling one stage later: candidate
+    pairs per LSH bucket grow QUADRATICALLY with occupancy
+    (n·(n-1)/2), so one boilerplate-heavy bucket can dominate the
+    entire candidate-verification bill.  This is the measurement
+    behind choosing :func:`minhash_lsh_pairs`' ``max_bucket`` rank
+    cap (and the dedup stores' cap): run it BEFORE the dedup job,
+    read ``max_occupancy`` and the top buckets' ``pairs_ppm``
+    (exact ``1_000_000·n_pairs DIV total`` BIGINT share of all
+    candidate pairs), and size the cap so no bucket's quadratic term
+    dwarfs the linear scan.
+
+    Returns the ``top_n`` hottest buckets by candidate-pair count
+    (ties: band, key ascending) with corpus totals on every row.
+    The band keys are xxhash64-composed, so there is deliberately no
+    DuckDB oracle (the es1h/dd6b class); the aggregation logic is
+    pinned structurally in tests/test_llm_ops.py against a replay
+    over :func:`minhash_band_buckets`' own output plus a planted
+    identical-docs corpus.
+
+    Scale shape: the banding is the dedup family's own (row-local
+    signature + explode); occupancy is a bucket-keyed count with
+    map-side partials, lazily checkpointed once for the top-k and
+    totals consumers; top-k is a distributed TakeOrderedAndProject;
+    totals broadcast-of-one-row."""
+    from pyspark.sql import Window
+
+    toks = token_set(df, id_col, text_col, ngram)
+    occ = (minhash_band_buckets(toks, n_hashes, bands)
+           .groupBy("band", "key")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+           .withColumn("n_pairs",
+                       F.expr("(n_members * (n_members - 1)) DIV 2"))
+           .localCheckpoint(eager=False))
+    totals = occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n_members").cast("bigint").alias("n_memberships"),
+        F.sum("n_pairs").cast("bigint").alias("total_candidate_pairs"),
+        F.max("n_members").cast("bigint").alias("max_occupancy"))
+    top = (occ.orderBy(F.desc("n_pairs"), F.asc("band"), F.asc("key"))
+              .limit(top_n))
+    w = Window.orderBy(F.desc("n_pairs"), F.asc("band"), F.asc("key"))
+    return (top.crossJoin(F.broadcast(totals))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .withColumn("pairs_ppm",
+                        F.when(F.col("total_candidate_pairs") > 0,
+                               F.expr("CAST(1000000 * n_pairs AS "
+                                      "BIGINT) DIV "
+                                      "total_candidate_pairs"))
+                        .otherwise(F.lit(0)).cast("bigint"))
+            .select("rank", "band", "key", "n_members", "n_pairs",
+                    "pairs_ppm", "n_buckets", "n_memberships",
+                    "total_candidate_pairs", "max_occupancy"))

@@ -2753,6 +2753,28 @@ FROM top, totals ORDER BY rank
 """
 
 
+def kd2_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy skew profile (llm/dedup.py:
+    lsh_bucket_profile) — kd1's sibling one stage later: candidate
+    pairs per bucket grow quadratically with occupancy, so this is
+    the measurement behind minhash_lsh_pairs' / the dedup stores'
+    ``max_bucket`` rank cap.  Top-20 hottest buckets by candidate-pair
+    count with exact ppm pair share + corpus totals.  The band keys
+    are xxhash64-composed, so there is deliberately no DuckDB oracle
+    (the es1h/dd6b class — rows-only at the driver); the aggregation
+    is pinned structurally in tests/test_llm_ops.py against a replay
+    over minhash_band_buckets' own output and a planted
+    identical-docs corpus."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        lsh_bucket_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_bucket_profile(docs, "doc_id", "text", ngram=3,
+                              n_hashes=64, bands=16,
+                              top_n=20).orderBy("rank")
+
+
 def dsir1_importance_selection(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """DSIR data selection (llm/sampling.py:dsir_log_weights — Xie et
@@ -4784,6 +4806,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ln1_line_dedup", ln1_line_dedup, LN1_ORACLE,
               tags=("llm", "dedup", "paragraph"), bench=True),
     QuerySpec("kd1_key_skew_profile", kd1_key_skew_profile, KD1_ORACLE,
+              tags=("llm", "dedup", "stats", "skew")),
+    QuerySpec("kd2_lsh_bucket_profile", kd2_lsh_bucket_profile, None,
               tags=("llm", "dedup", "stats", "skew")),
     QuerySpec("dsir1_importance_selection", dsir1_importance_selection,
               DSIR1_ORACLE,

@@ -2192,3 +2192,50 @@ def test_temperature_quotas_mass_col_matches_classic_path(spark, sf_dir):
         pre = temperature_quotas(mass, 200, mass_col="m",
                                  exact_budget=exact).collect()
         assert sorted(map(tuple, classic)) == sorted(map(tuple, pre))
+
+
+def test_lsh_bucket_profile_replay_and_planted(spark, sf_dir):
+    """kd2's aggregation pinned two ways: (a) structurally against a
+    pure-Python replay over minhash_band_buckets' own output on the
+    fixture corpus (the banding itself is pinned by the dd2 suites);
+    (b) a planted corpus of 5 identical docs must surface a bucket of
+    occupancy 5 (= 10 candidate pairs) at rank 1 in every stat."""
+    from collections import Counter
+
+    from axonops_schema_registry_spark.llm.dedup import (
+        lsh_bucket_profile,
+        minhash_band_buckets,
+    )
+    from axonops_schema_registry_spark.operators.text import token_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = lsh_bucket_profile(docs, "doc_id", "text",
+                             top_n=20).orderBy("rank").collect()
+    toks = token_set(docs, "doc_id", "text", 3)
+    occ = Counter()
+    for r in minhash_band_buckets(toks, 64, 16).collect():
+        occ[(r.band, r.key)] += 1
+    pairs = {bk: n * (n - 1) // 2 for bk, n in occ.items()}
+    total_pairs = sum(pairs.values())
+    expect = sorted(pairs.items(),
+                    key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert len(got) == len(expect[:20])
+    for row, ((band, key), np_) in zip(got, expect):
+        assert (row.band, row.key) == (band, key)
+        assert row.n_pairs == np_
+        assert row.pairs_ppm == (1_000_000 * np_) // total_pairs \
+            if total_pairs else row.pairs_ppm == 0
+        assert row.n_buckets == len(occ)
+        assert row.n_memberships == sum(occ.values())
+        assert row.total_candidate_pairs == total_pairs
+        assert row.max_occupancy == max(occ.values())
+
+    planted = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta")
+         for i in range(5)]
+        + [(9, "iota kappa lambda mu nu xi omicron pi")],
+        "doc_id bigint, text string")
+    top = lsh_bucket_profile(planted, "doc_id", "text",
+                             top_n=3).orderBy("rank").first()
+    assert top.n_members == 5 and top.n_pairs == 10
+    assert top.max_occupancy == 5

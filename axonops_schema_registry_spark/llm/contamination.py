@@ -207,10 +207,14 @@ def near_split_leakage(labeled: DataFrame,
 
     Scale shape (see the ctm5 spec docstring for the full contract,
     incl. the oracle's banding-recall dependency): ONE banded-LSH
-    pair generation over the train+test corpus (val rows must be
-    filtered out by the CALLER before shingling so the split filter
-    reaches the scan), split labels joined onto the (tiny) pair set,
-    not the corpus."""
+    pair generation over the train+test corpus (val rows SHOULD be
+    filtered out by the caller before shingling so the split filter
+    reaches the scan — that is the cost lever), split labels joined
+    onto the (tiny) pair set, not the corpus.  Correctness does not
+    depend on the pre-filter: pairs touching any label other than
+    train/test are dropped on the pair set below, so an unfiltered
+    corpus merely pays the wasted shingling — it can never surface a
+    val document as a fabricated train_id/test_id row."""
     from axonops_schema_registry_spark.llm.dedup import minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(labeled, id_col, text_col,
@@ -221,7 +225,9 @@ def near_split_leakage(labeled: DataFrame,
                          F.col(split_col).alias("__sa")), "id_a")
          .join(sp.select(F.col(id_col).alias("id_b"),
                          F.col(split_col).alias("__sb")), "id_b")
-         .filter(F.col("__sa") != F.col("__sb")))
+         .filter(F.col("__sa") != F.col("__sb"))
+         .filter(F.col("__sa").isin("train", "test")
+                 & F.col("__sb").isin("train", "test")))
     norm = x.select(
         F.when(F.col("__sa") == "train", F.col("id_a"))
         .otherwise(F.col("id_b")).alias("train_id"),

@@ -602,15 +602,21 @@ def zipf_diagnostics(docs: DataFrame, id_col: str = "doc_id",
         F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
         F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
         F.sum("cnt").alias("__topk_mass")))
+    # a single-rank source (one distinct token — exactly the
+    # monoculture this diagnostic flags) has a zero OLS denominator:
+    # the slope is undefined, emitted as NULL in BOTH engines (under
+    # the session's ANSI mode an unguarded division would raise
+    # DIVIDE_BY_ZERO and kill the whole query)
+    denom = (F.col("__n") * F.col("__sxx")
+             - F.col("__sx") * F.col("__sx"))
+    slope = ((F.col("__n") * F.col("__sxy")
+              - F.col("__sx") * F.col("__sy")).cast("double")
+             / denom.cast("double"))
     return (ols.join(totals, "source")
             .select("source",
                     F.col("vocab_size").cast("bigint"),
                     F.col("__n").alias("n_ranks"),
-                    ((F.col("__n") * F.col("__sxy")
-                      - F.col("__sx") * F.col("__sy")).cast("double")
-                     / (F.col("__n") * F.col("__sxx")
-                        - F.col("__sx") * F.col("__sx"))
-                     .cast("double")).alias("zipf_slope"),
+                    F.when(denom != 0, slope).alias("zipf_slope"),
                     F.expr("(1000 * __topk_mass) DIV __mass")
                     .alias("topk_mass_per_mille"))
             .orderBy("source"))

@@ -30,12 +30,12 @@ WINDOW_FAMILIES: tuple[str, ...] = (
 
 _PRIORITY: tuple[str, ...] = (
     # Round-14 rotation (VERDICT r13 asks #1+#2, oldest-first with the
-    # family constraint): the 2 specs NEW this round lead (never
+    # family constraint): the 7 specs NEW this round lead (never
     # driver-sampled), then ALL 36 deferred r10-green specs (the exact
     # list carried in the r13 window comment — note sg1/ex1/rc1/lv1
     # carry the ``compat`` tag and nn2 carries ``similarity``, so the
     # r13 family hole closes inside the freshness rotation itself),
-    # then 12 r11-green backfills — bespoke LLM/dedup/compat/ANN
+    # then 7 r11-green backfills — bespoke LLM/dedup/compat/ANN
     # families ahead of the TPC-shaped relational tail.  After this
     # round the freshness floor rises to r11.  Deferred r11-green
     # names for the r15 window (all guarded by
@@ -80,7 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "smp1_stratified_sample", "st8_exporter_filter_rename",
     "st9_token_bucket", "ti1_tfidf_terms", "tx7_pii_scan",
     "wn1_winnowing", "mm3_pixel_decode",
-    # -- 10 r11-green backfills (bespoke families first)
+    # -- 7 r11-green backfills (bespoke families first)
     # (es3/mix3/ev1 rotated out of this window to make room for the
     # three late-r14 specs ln1/kd1/sem2 — same move the r13/r14
     # windows made; all three join the r15 deferral list above)

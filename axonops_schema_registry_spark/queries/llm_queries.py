@@ -899,8 +899,10 @@ ols AS (
 SELECT o.source,
        CAST(t.vocab_size AS BIGINT) AS vocab_size,
        o.n AS n_ranks,
-       CAST(o.n * o.sxy - o.sx * o.sy AS DOUBLE)
-         / CAST(o.n * o.sxx - o.sx * o.sx AS DOUBLE) AS zipf_slope,
+       CASE WHEN o.n * o.sxx - o.sx * o.sx <> 0
+            THEN CAST(o.n * o.sxy - o.sx * o.sy AS DOUBLE)
+                 / CAST(o.n * o.sxx - o.sx * o.sx AS DOUBLE)
+            END AS zipf_slope,
        CAST((1000 * o.topk_mass) // t.mass AS BIGINT)
          AS topk_mass_per_mille
 FROM ols o JOIN totals t USING (source)

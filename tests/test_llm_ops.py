@@ -2239,3 +2239,44 @@ def test_lsh_bucket_profile_replay_and_planted(spark, sf_dir):
                              top_n=3).orderBy("rank").first()
     assert top.n_members == 5 and top.n_pairs == 10
     assert top.max_occupancy == 5
+
+
+def test_zipf_diagnostics_single_token_source_null_slope(spark):
+    """A source whose corpus is one distinct token (the monoculture
+    zf1 exists to flag) has ONE rank — the OLS denominator is zero
+    and the slope must come back NULL, not raise DIVIDE_BY_ZERO
+    under the session's ANSI mode (self-review r14)."""
+    from axonops_schema_registry_spark.llm.text import zipf_diagnostics
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam", "mono"),
+         (2, "spam spam", "mono"),
+         (3, "a b c d e f g", "healthy")],
+        "doc_id bigint, text string, source string")
+    rows = {r.source: r for r in zipf_diagnostics(df).collect()}
+    assert rows["mono"].n_ranks == 1
+    assert rows["mono"].zipf_slope is None
+    assert rows["mono"].topk_mass_per_mille == 1000
+    assert rows["healthy"].zipf_slope is not None
+
+
+def test_near_split_leakage_never_fabricates_from_val(spark):
+    """An UNFILTERED labeled corpus (val rows still present) must not
+    surface a val document as train_id or test_id: pairs touching a
+    non-train/test label are dropped on the pair set (self-review
+    r14 — previously the when/otherwise normalization could report a
+    test doc as train_id for a val-test pair)."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        near_split_leakage,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, t, "train"), (2, t, "test"), (3, t, "val")],
+        "doc_id bigint, text string, split string")
+    rows = near_split_leakage(df).collect()
+    # only the genuine train-test pair survives: train 1 leaks to
+    # test 2; the val twin (3) creates pairs with both but none may
+    # surface
+    assert len(rows) == 1
+    assert rows[0].train_id == 1 and rows[0].n_test_neighbors == 1

@@ -442,3 +442,68 @@ class CurationPipeline:
 
         return bigram_surprisal(self.docs, self.id_col, self.text_col,
                                 ref_mod)
+
+    def line_deduplicated(self, block_words: int = 10,
+                          min_block_words: int = 5,
+                          hash_blocks: bool = False):
+        """CCNet keep-first line/paragraph dedup on deterministic
+        fixed-width blocks (ln1, r14): later copies of a duplicated
+        block are cut, the first survives.  ``hash_blocks`` is the
+        narrow-shuffle-key 100 TB form (output-identical)."""
+        from axonops_schema_registry_spark.llm.dedup import line_dedup
+
+        return line_dedup(self.docs, self.id_col, self.text_col,
+                          block_words, min_block_words, hash_blocks)
+
+    def line_decontaminated(self, eval_docs, block_words: int = 10,
+                            min_block_words: int = 5):
+        """Cross-corpus line decontamination (ln2, r14): cut from
+        every train doc any block appearing as a block in the eval
+        corpus; eval docs are never modified."""
+        from axonops_schema_registry_spark.llm.dedup import (
+            line_decontaminate,
+        )
+
+        return line_decontaminate(self.docs, eval_docs, self.id_col,
+                                  self.text_col, block_words,
+                                  min_block_words)
+
+    def key_skew_profile(self, k: int = 8, top_n: int = 20):
+        """ExactSubstr join-key skew diagnostic (kd1, r14): the
+        top_n hottest k-gram shuffle keys with exact ppm shares —
+        run before the es family to size salting."""
+        from axonops_schema_registry_spark.llm.dedup import (
+            gram_key_profile,
+        )
+
+        return gram_key_profile(self.docs, self.id_col, self.text_col,
+                                k, top_n)
+
+    def bucket_skew_profile(self, ngram: int = 3, n_hashes: int = 64,
+                            bands: int = 16, top_n: int = 20):
+        """LSH bucket-occupancy diagnostic (kd2, r14): candidate
+        pairs grow quadratically with occupancy — the measurement
+        behind the max_bucket rank cap."""
+        from axonops_schema_registry_spark.llm.dedup import (
+            lsh_bucket_profile,
+        )
+
+        return lsh_bucket_profile(self.docs, self.id_col,
+                                  self.text_col, ngram, n_hashes,
+                                  bands, top_n)
+
+    def cluster_mixture(self, embeddings, budget: int,
+                        centroid_stride: int = 61,
+                        max_centroids: int = 8):
+        """Cluster-balanced mixture quotas (sem2, r14): discovered-
+        domain temperature quotas — nearest deterministic centroid
+        per embedding, one corpus pass for per-cluster mass, the
+        shared integer quota math via the mass_col hook.
+        ``embeddings``: (vec_id, embedding) aligned with id_col."""
+        from axonops_schema_registry_spark.llm.sampling import (
+            cluster_mixture_quotas,
+        )
+
+        return cluster_mixture_quotas(self.docs, embeddings, budget,
+                                      self.id_col, self.text_col,
+                                      centroid_stride, max_centroids)

@@ -799,6 +799,29 @@ def remove_contaminated_spans(train: DataFrame, eval_df: DataFrame,
                       min_span_words)
 
 
+def _word_blocks(df: DataFrame, id_col: str, text_col: str,
+                 block_words: int) -> DataFrame:
+    """(id, block_idx, btext, bwords) — deterministic fixed-width
+    segmentation shared by the line-dedup family: non-overlapping
+    ``block_words``-word blocks, the final partial block kept as a
+    shorter one.  One row-local higher-order transform; the word
+    split is projected ONCE (the _positioned_grams lesson)."""
+    bw = int(block_words)
+    blocks_expr = (
+        f"CASE WHEN size(__ws) > 0 THEN "
+        f"transform(sequence(1, CAST(ceil(size(__ws) / {bw}.0) AS INT)), "
+        f"b -> struct(CAST(b AS BIGINT) AS block_idx, "
+        f"array_join(slice(__ws, (b - 1) * {bw} + 1, {bw}), ' ') AS btext, "
+        f"CAST(least(b * {bw}, size(__ws)) - (b - 1) * {bw} AS BIGINT) "
+        f"AS bwords)) ELSE array() END")
+    return (df.select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), " ").alias("__ws"))
+            .select("id", F.explode(F.expr(blocks_expr)).alias("b"))
+            .select("id", F.col("b.block_idx").alias("block_idx"),
+                    F.col("b.btext").alias("btext"),
+                    F.col("b.bwords").alias("bwords")))
+
+
 def line_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", block_words: int = 10,
                min_block_words: int = 5,
@@ -846,20 +869,7 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     es1h path documents (output pinned identical on the fixture
     corpora in tests/test_llm_ops.py).
     """
-    bw = int(block_words)
-    blocks_expr = (
-        f"CASE WHEN size(__ws) > 0 THEN "
-        f"transform(sequence(1, CAST(ceil(size(__ws) / {bw}.0) AS INT)), "
-        f"b -> struct(CAST(b AS BIGINT) AS block_idx, "
-        f"array_join(slice(__ws, (b - 1) * {bw} + 1, {bw}), ' ') AS btext, "
-        f"CAST(least(b * {bw}, size(__ws)) - (b - 1) * {bw} AS BIGINT) "
-        f"AS bwords)) ELSE array() END")
-    ex = (df.select(F.col(id_col).alias("id"),
-                    F.split(F.col(text_col), " ").alias("__ws"))
-            .select("id", F.explode(F.expr(blocks_expr)).alias("b"))
-            .select("id", F.col("b.block_idx").alias("block_idx"),
-                    F.col("b.btext").alias("btext"),
-                    F.col("b.bwords").alias("bwords")))
+    ex = _word_blocks(df, id_col, text_col, block_words)
     key = (F.xxhash64("btext") if hash_blocks
            else F.col("btext")).alias("__bkey")
     ex = ex.select("id", "block_idx", "btext", "bwords", key)
@@ -873,6 +883,15 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
               .withColumn("__keep",
                           (F.col("bwords") < min_block_words)
                           | (F.col("__first") == packed)))
+    return _reassemble_blocks(kept)
+
+
+def _reassemble_blocks(kept: DataFrame) -> DataFrame:
+    """(id, n_blocks, n_removed, cleaned_text) from a flagged block
+    frame (id, block_idx, btext, __keep) — the shared reassembly tail
+    of the line-dedup family: one doc-keyed shuffle, kept blocks
+    re-joined in block order (collect_list skips the when()'s nulls;
+    array_sort on the (block_idx, btext) struct restores order)."""
     return (kept.groupBy("id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
                  F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
@@ -884,6 +903,42 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
                                     F.struct("block_idx", "btext")))),
                          lambda s: s["btext"]),
                      " ").alias("cleaned_text")))
+
+
+def line_decontaminate(train: DataFrame, eval_df: DataFrame,
+                       id_col: str = "doc_id",
+                       text_col: str = "text",
+                       block_words: int = 10,
+                       min_block_words: int = 5) -> DataFrame:
+    """Cross-corpus line decontamination — :func:`line_dedup`'s
+    es3-shaped sibling: cut from every TRAIN document any block whose
+    text appears as a block anywhere in the EVALUATION corpus
+    (evaluation documents are never modified).  The coarse, cheap
+    form a pipeline runs when eval sets are paragraph-structured —
+    :func:`remove_contaminated_spans` (es3) is the positioned-gram
+    escalation that also catches spans straddling block boundaries.
+
+    Same contract as :func:`line_dedup`: every train document comes
+    back as (id, n_blocks, n_removed, cleaned_text); blocks shorter
+    than ``min_block_words`` are never keyed (and an eval block that
+    short never cuts anything).
+
+    Scale shape: both corpora segment row-locally off their scans;
+    the eval block set is ONE distinct over the (much smaller) eval
+    corpus; the membership join is block-keyed and amplification-free
+    (the eval side carries one row per distinct block), AQE free to
+    broadcast it when it actually is small — the
+    contaminated_span_islands shape at block granularity."""
+    ex = _word_blocks(train, id_col, text_col, block_words)
+    ev = (_word_blocks(eval_df, id_col, text_col, block_words)
+          .filter(F.col("bwords") >= min_block_words)
+          .select("btext").distinct()
+          .withColumn("__hit", F.lit(True)))
+    kept = (ex.join(ev, "btext", "left")
+              .withColumn("__keep",
+                          (F.col("bwords") < min_block_words)
+                          | F.col("__hit").isNull()))
+    return _reassemble_blocks(kept)
 
 
 def gram_key_profile(df: DataFrame, id_col: str = "doc_id",

@@ -340,3 +340,40 @@ def temperature_quotas(docs: DataFrame, budget: int,
                     (F.col("quota")
                      + F.when(F.col("__rk") <= F.col("__sf"), 1)
                      .otherwise(0)).cast("int").alias("quota")))
+
+
+def cluster_mixture_quotas(docs: DataFrame, embeddings: DataFrame,
+                           budget: int, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           centroid_stride: int = 61,
+                           max_centroids: int = 8) -> DataFrame:
+    """Cluster-balanced mixture quotas (the sem2 operator core,
+    shared by the spec and the CurationPipeline facade): documents
+    join their embedding's nearest deterministic centroid
+    (similarity.cluster_assignments — the nn3 portable convention),
+    ONE corpus pass aggregates per-cluster doc counts and token mass,
+    and :func:`temperature_quotas`' mass_col path allocates the
+    budget across the discovered clusters with the shared
+    integer-exact math.  Cluster keys are zero-padded centroid ids so
+    string ordering is numeric ordering.
+
+    Returns (cluster, n_docs, token_mass, weight, quota)."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        cluster_assignments,
+    )
+
+    assign = cluster_assignments(embeddings, "vec_id", "embedding",
+                                 centroid_stride, max_centroids)
+    labeled = (docs.join(assign, docs[id_col] == assign["id"])
+               .select(F.lpad(F.col("centroid_id").cast("string"),
+                              8, "0").alias("cluster"),
+                       F.size(F.split(F.col(text_col), " "))
+                       .cast("bigint").alias("__toks")))
+    sizes = (labeled.groupBy("cluster")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  F.sum("__toks").cast("bigint").alias("token_mass")))
+    return (sizes.join(temperature_quotas(sizes, budget, "cluster",
+                                          mass_col="token_mass"),
+                       "cluster")
+            .select("cluster", "n_docs", "token_mass", "weight",
+                    "quota"))

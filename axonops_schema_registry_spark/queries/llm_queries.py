@@ -486,30 +486,14 @@ def sem2_cluster_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (the mass_col hook exists precisely so the quota math
     does not re-scan); everything after the agg is clusters-sized."""
     from axonops_schema_registry_spark.llm.sampling import (
-        temperature_quotas,
-    )
-    from axonops_schema_registry_spark.llm.similarity import (
-        cluster_assignments,
+        cluster_mixture_quotas,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    assign = cluster_assignments(emb, "vec_id", "embedding",
-                                 centroid_stride=61, max_centroids=8)
-    labeled = (docs.join(assign, docs["doc_id"] == assign["id"])
-               .select(F.lpad(F.col("centroid_id").cast("string"),
-                              8, "0").alias("cluster"),
-                       F.size(F.split(F.col("text"), " "))
-                       .cast("bigint").alias("__toks")))
-    sizes = (labeled.groupBy("cluster")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                  F.sum("__toks").cast("bigint").alias("token_mass")))
-    quotas = temperature_quotas(sizes, budget=300,
-                                source_col="cluster",
-                                mass_col="token_mass")
-    return (sizes.join(quotas, "cluster")
-            .select("cluster", "n_docs", "token_mass", "weight",
-                    "quota")
+    return (cluster_mixture_quotas(docs, emb, budget=300,
+                                   centroid_stride=61,
+                                   max_centroids=8)
             .orderBy("cluster"))
 
 
@@ -2711,6 +2695,61 @@ FROM keepflag GROUP BY id ORDER BY doc_id
 """
 
 
+def ln2_line_decontamination(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Cross-corpus line decontamination (llm/dedup.py:
+    line_decontaminate — ln1's es3-shaped sibling): every TRAIN
+    document (source != 'src1', the es3/ctm held-out convention)
+    loses any 10-word block whose text appears as a block anywhere in
+    the evaluation slice (source == 'src1'); eval documents are never
+    modified.  The coarse block-granular decontamination a pipeline
+    runs when eval sets are paragraph-structured; es3's positioned
+    8-gram islands are the escalation that also catches spans
+    straddling block boundaries.  Scale shape: eval block set is one
+    distinct over the small slice, membership join amplification-free
+    (one row per distinct eval block), AQE broadcasts it."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        line_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src1")
+    ev = docs.filter(F.col("source") == "src1")
+    return (line_decontaminate(train, ev, "doc_id", "text",
+                               block_words=10, min_block_words=5)
+            .select(F.col("id").alias("doc_id"), "n_blocks",
+                    "n_removed", "cleaned_text")
+            .orderBy("doc_id"))
+
+
+LN2_ORACLE = """
+WITH ws AS (SELECT doc_id AS id, source, string_split(text, ' ') AS w
+            FROM documents),
+blocks AS (
+  SELECT id, source, b AS block_idx,
+         array_to_string(w[(b-1)*10+1 : least(b*10, len(w))], ' ')
+           AS btext,
+         least(b*10, len(w)) - (b-1)*10 AS bwords
+  FROM (SELECT id, source, w,
+               unnest(generate_series(1,
+                   CAST(ceil(len(w) / 10.0) AS BIGINT))) AS b
+        FROM ws)),
+ev AS (SELECT DISTINCT btext FROM blocks
+       WHERE source = 'src1' AND bwords >= 5),
+keepflag AS (
+  SELECT id, block_idx, btext,
+         (bwords < 5 OR btext NOT IN (SELECT btext FROM ev)) AS keep
+  FROM blocks WHERE source <> 'src1')
+SELECT id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed,
+       COALESCE(string_agg(CASE WHEN keep THEN btext END, ' '
+                           ORDER BY block_idx), '') AS cleaned_text
+FROM keepflag GROUP BY id ORDER BY doc_id
+"""
+
+
 def kd1_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew profile (llm/dedup.py:gram_key_profile) over
     the 8-gram key the ExactSubstr family (es1/es2/es3/ctm4) groups
@@ -4807,6 +4846,9 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "dedup", "contamination", "substring")),
     QuerySpec("ln1_line_dedup", ln1_line_dedup, LN1_ORACLE,
               tags=("llm", "dedup", "paragraph"), bench=True),
+    QuerySpec("ln2_line_decontamination", ln2_line_decontamination,
+              LN2_ORACLE,
+              tags=("llm", "dedup", "contamination", "paragraph")),
     QuerySpec("kd1_key_skew_profile", kd1_key_skew_profile, KD1_ORACLE,
               tags=("llm", "dedup", "stats", "skew")),
     QuerySpec("kd2_lsh_bucket_profile", kd2_lsh_bucket_profile, None,

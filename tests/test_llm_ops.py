@@ -2280,3 +2280,113 @@ def test_near_split_leakage_never_fabricates_from_val(spark):
     # surface
     assert len(rows) == 1
     assert rows[0].train_id == 1 and rows[0].n_test_neighbors == 1
+
+
+def test_line_decontaminate_planted(spark):
+    """ln2 semantics pinned: a train block matching an eval block is
+    cut (ALL train occurrences — eval is the authority, there is no
+    keep-first); short blocks are never keyed; eval docs are not in
+    the output; a train doc made entirely of eval text empties."""
+    from axonops_schema_registry_spark.llm.dedup import (
+        line_decontaminate,
+    )
+
+    blk_e = "e1 e2 e3 e4 e5"
+    blk_t = "t1 t2 t3 t4 t5"
+    short = "s1 s2"
+    train = spark.createDataFrame(
+        [(1, f"{blk_e} {blk_t}"),      # one 10-word block != eval block
+         (2, blk_e),                    # exact eval block -> emptied
+         (3, f"{blk_t} {short}"),       # untouched + short tail kept
+         (4, short)],                    # short-only: never keyed
+        "doc_id bigint, text string")
+    ev = spark.createDataFrame(
+        [(100, blk_e), (101, short)],   # short eval block cuts nothing
+        "doc_id bigint, text string")
+    rows = {r.id: r for r in line_decontaminate(train, ev).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].n_removed == 0          # 10-word block, not eval's 5
+    assert rows[2].n_removed == 1 and rows[2].cleaned_text == ""
+    assert rows[3].n_removed == 0 and rows[3].cleaned_text == \
+        f"{blk_t} {short}"
+    assert rows[4].n_removed == 0 and rows[4].cleaned_text == short
+
+
+def test_line_dedup_seeded_fuzz_vs_python_reference(spark):
+    """20 seeded random corpora replayed by a pure-Python reference
+    (the es3 fuzz convention): keep-first election over fixed-width
+    blocks, short-block gate, reassembly — bit-identical on every
+    corpus."""
+    import random
+
+    from axonops_schema_registry_spark.llm.dedup import line_dedup
+
+    vocab = [f"w{i}" for i in range(12)]
+    for seed in range(20):
+        rng = random.Random(seed)
+        docs = []
+        for doc_id in range(30):
+            n = rng.randint(0, 35)
+            words = [rng.choice(vocab) for _ in range(n)]
+            docs.append((doc_id, " ".join(words)))
+        bw, mn = rng.choice([(4, 2), (5, 3), (10, 5)])
+
+        expect = {}
+        seen: dict[str, tuple[int, int]] = {}
+        blocks_of = {}
+        for doc_id, text in docs:
+            ws = text.split(" ")
+            blocks = [ws[i:i + bw] for i in range(0, len(ws), bw)]
+            blocks_of[doc_id] = blocks
+            for idx, b in enumerate(blocks, start=1):
+                if len(b) >= mn:
+                    seen.setdefault(" ".join(b), (doc_id, idx))
+        for doc_id, text in docs:
+            kept = []
+            removed = 0
+            for idx, b in enumerate(blocks_of[doc_id], start=1):
+                bt = " ".join(b)
+                if len(b) >= mn and seen[bt] != (doc_id, idx):
+                    removed += 1
+                else:
+                    kept.append(bt)
+            expect[doc_id] = (len(blocks_of[doc_id]), removed,
+                              " ".join(kept))
+
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {r.id: (r.n_blocks, r.n_removed, r.cleaned_text)
+               for r in line_dedup(df, "doc_id", "text",
+                                   block_words=bw,
+                                   min_block_words=mn).collect()}
+        assert got == expect, f"seed {seed} (bw={bw}, min={mn})"
+
+
+def test_curation_pipeline_r14_surface(spark, sf_dir):
+    """The r14 operators are reachable from the facade and agree with
+    their spec twins (one cheap invariant each — the full semantics
+    are pinned by the dedicated tests above)."""
+    from axonops_schema_registry_spark.llm import CurationPipeline
+
+    p = CurationPipeline.from_sf_dir(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    ld = p.line_deduplicated()
+    assert ld.columns == ["id", "n_blocks", "n_removed", "cleaned_text"]
+    assert ld.count() == p.docs.count()
+
+    ev = p.docs.filter(F.col("source") == "src1")
+    tr = CurationPipeline(p.docs.filter(F.col("source") != "src1"))
+    lc = tr.line_decontaminated(ev)
+    assert lc.count() == tr.docs.count()
+
+    ks = p.key_skew_profile(top_n=5)
+    assert ks.count() == 5 and ks.columns[0] == "rank"
+
+    bs = p.bucket_skew_profile(top_n=5)
+    assert bs.count() == 5 and "max_occupancy" in bs.columns
+
+    cm = p.cluster_mixture(emb, budget=300)
+    rows = cm.collect()
+    assert sum(r.quota for r in rows) <= 300
+    assert {c for c in cm.columns} == {"cluster", "n_docs",
+                                       "token_mass", "weight", "quota"}

@@ -620,3 +620,45 @@ def zipf_diagnostics(docs: DataFrame, id_col: str = "doc_id",
                     F.expr("(1000 * __topk_mass) DIV __mass")
                     .alias("topk_mass_per_mille"))
             .orderBy("source"))
+
+
+#: The mojibake/control audit's character set: U+FFFD (the replacement
+#: character an earlier lossy transcode leaves behind), BEL/BS/VT/FF/ESC
+#: (control chars that survive naive scraping), and the zero-width
+#: space/joiner family (invisible tokens that corrupt tokenizers).
+#: Shared by the Spark and DuckDB sides of tx9 so the set cannot drift.
+BAD_CHARS = "�\x07\x08\x0b\x0c\x1b​‌‍﻿"
+
+
+def encoding_scan(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  source_col: str = "source") -> DataFrame:
+    """Per-source encoding-quality audit — the mojibake/control-char
+    gate every production pipeline runs before any text operator
+    (CCNet discards lines that fail its charset checks; Dolma's
+    quality taggers count control and replacement characters):
+    for each source, how many documents carry any :data:`BAD_CHARS`
+    character, the total bad-character count, and the exact per-mille
+    flagged-document rate (BIGINT division).
+
+    Counting is ``length(x) - length(translate(x, BAD, ''))`` —
+    ``translate`` has identical semantics in Spark and DuckDB, so the
+    audit replays exactly with ZERO regex-dialect risk (Java regex vs
+    RE2 class escapes are exactly the parity trap this avoids).
+
+    Scale shape: one map-side-combinable aggregate off the scan; the
+    per-doc character arithmetic is whole-stage-codegen'd string
+    work, no explode, no shuffle beyond the sources-sized agg."""
+    n_bad = (F.length(F.col(text_col))
+             - F.length(F.translate(F.col(text_col), BAD_CHARS, ""))
+             ).cast("bigint")
+    return (docs
+            .select(F.col(source_col).alias("source"),
+                    n_bad.alias("__nb"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.when(F.col("__nb") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_flagged"),
+                 F.sum("__nb").cast("bigint").alias("n_bad_chars"))
+            .withColumn("flagged_per_mille",
+                        F.expr("(1000 * n_flagged) DIV n_docs")))

@@ -3132,6 +3132,63 @@ FROM rules GROUP BY source ORDER BY source
 """
 
 
+def tx9_encoding_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-quality audit (llm/text.py:encoding_scan —
+    the mojibake/control-char gate CCNet's charset checks and Dolma's
+    quality taggers run before any text operator).  The synthetic
+    corpus is clean ASCII, so bad characters are PLANTED
+    deterministically (the cur1 PII convention — the audit must be
+    observable): doc_id % 11 == 0 gains two U+FFFD replacement chars,
+    == 1 a BEL control, == 2 a zero-width space.  Counting is
+    length minus translate-stripped length — ``translate`` has
+    identical semantics in both engines, zero regex-dialect risk."""
+    from axonops_schema_registry_spark.llm.text import encoding_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 11 == 0,
+                        F.lit("��"))
+                 .when(F.col("doc_id") % 11 == 1, F.lit("\x07"))
+                 .when(F.col("doc_id") % 11 == 2, F.lit("​"))
+                 .otherwise(F.lit(""))))
+    return encoding_scan(planted).orderBy("source")
+
+
+# the oracle's translate set is BUILT FROM the same BAD_CHARS constant
+# the Spark side strips (chr() composition keeps raw control bytes out
+# of the SQL text)
+def _tx9_oracle() -> str:
+    from axonops_schema_registry_spark.llm.text import BAD_CHARS
+
+    bad = " || ".join(f"chr({ord(c)})" for c in BAD_CHARS)
+    return f"""
+WITH planted AS (
+  SELECT source, text ||
+         CASE CAST(doc_id % 11 AS INT)
+           WHEN 0 THEN chr(65533) || chr(65533)
+           WHEN 1 THEN chr(7)
+           WHEN 2 THEN chr(8203)
+           ELSE '' END AS text
+  FROM documents),
+b AS (
+  SELECT source,
+         length(text) - length(translate(text, {bad}, '')) AS nb
+  FROM planted)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(nb) AS BIGINT) AS n_bad_chars,
+       CAST((1000 * SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS flagged_per_mille
+FROM b GROUP BY source ORDER BY source
+"""
+
+
+TX9_ORACLE = _tx9_oracle()
+
+
 def tx8_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization audit (llm/text.py:normalize_text):
     case/control/whitespace variants are planted on every 5th document
@@ -4826,6 +4883,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "similarity", "sampling", "mixture")),
     QuerySpec("tx8_normalize", tx8_normalize, TX8_ORACLE,
               tags=("llm", "text", "normalization")),
+    QuerySpec("tx9_encoding_scan", tx9_encoding_scan, TX9_ORACLE,
+              tags=("llm", "text", "quality")),
     QuerySpec("lab1_label_cohesion", lab1_label_cohesion, LAB1_ORACLE,
               tags=("llm", "similarity", "quality", "agg")),
     QuerySpec("bp1_boilerplate_spans", bp1_boilerplate_spans, BP1_ORACLE,

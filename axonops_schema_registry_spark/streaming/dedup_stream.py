@@ -234,3 +234,117 @@ class CurationSink:
         self.seen = self._corpus.localCheckpoint(eager=True)
         if prev is not None:
             release_checkpoint(prev)
+
+
+class LineDedupSink:
+    """foreachBatch target: CCNet keep-first LINE/paragraph dedup
+    across micro-batches (the streaming twin of
+    :func:`...llm.dedup.line_dedup`, r14): every arriving document is
+    emitted CLEANED — blocks whose text already appeared in any
+    earlier batch, or earlier in this batch by (id, block_idx), are
+    cut; the first copy survives.
+
+    Equality contract: when batch id ranges arrive in order (every id
+    in batch N+1 above every id in batch N — the file-source replay
+    shape), the union of per-epoch outputs is IDENTICAL to one batch
+    ``line_dedup`` over the full corpus, because the stream's
+    first-seen block is then also the batch operator's smallest
+    (id, block_idx) elector (pinned by tests/test_streaming.py).
+    Out-of-order arrival is the persistent store's repair domain
+    (dedup_store), exactly as for the document-level sink above.
+
+    State: (block text, first_epoch) — grows with distinct CONTENT,
+    not with the corpus; eagerly localCheckpoint-ed per epoch
+    (lineage truncation, superseded blocks freed).  The epoch stamp
+    is what makes RE-DELIVERY of an epoch idempotent: cutting only on
+    keys with ``first_epoch < epoch_id`` means an epoch's own blocks
+    never cut it, so replaying epoch N against post-N state writes
+    the identical partition (and the min-epoch state merge is itself
+    idempotent).  Per-batch cost: one row-local segmentation of the
+    batch + one block-keyed join against the seen set (AQE broadcasts
+    the batch side when small).
+
+    Output is disk-first: ``results_dir`` writes each epoch's cleaned
+    (id, n_blocks, n_removed, cleaned_text) to an idempotent
+    ``epoch=<id>`` partition; ``track_results`` accumulates rows on
+    the driver and is TEST-ONLY.  At least one must be enabled."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 block_words: int = 10, min_block_words: int = 5,
+                 track_results: bool = False,
+                 results_dir: str | None = None) -> None:
+        if not track_results and results_dir is None:
+            raise ValueError(
+                "LineDedupSink needs results_dir (disk output) or "
+                "track_results=True (test-only driver dict)")
+        self.id_col, self.text_col = id_col, text_col
+        self.block_words = block_words
+        self.min_block_words = min_block_words
+        self.track_results, self.results_dir = track_results, results_dir
+        self.seen_keys: DataFrame | None = None  # (btext, first_epoch)
+        self.results: dict[int, tuple[int, int, str]] = {}
+
+    def all_results(self, spark) -> DataFrame | None:
+        """Every persisted cleaned document (requires results_dir)."""
+        if self.results_dir is None or not (
+                os.path.isdir(self.results_dir)
+                and any(d.startswith("epoch=")
+                        for d in os.listdir(self.results_dir))):
+            return None
+        return (spark.read.parquet(self.results_dir)
+                .select("id", "n_blocks", "n_removed", "cleaned_text"))
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from axonops_schema_registry_spark.llm.dedup import (
+            _reassemble_blocks,
+            _word_blocks,
+        )
+
+        ex = _word_blocks(batch_df.select(self.id_col, self.text_col),
+                          self.id_col, self.text_col, self.block_words)
+        packed = (F.col("id") * F.lit(1 << 20)
+                  + F.col("block_idx")).cast("bigint")
+        eligible = F.col("bwords") >= self.min_block_words
+        firsts = (ex.filter(eligible)
+                    .withColumn("__ord", packed)
+                    .groupBy("btext")
+                    .agg(F.min("__ord").alias("__first")))
+        flagged = ex.join(firsts, "btext", "left")
+        if self.seen_keys is not None:
+            # only keys first seen in an EARLIER epoch cut this batch
+            # — an epoch's own keys never cut it, which is exactly
+            # what makes re-delivery of this epoch write the
+            # identical partition
+            earlier = (self.seen_keys
+                       .filter(F.col("first_epoch") < int(epoch_id))
+                       .select("btext")
+                       .withColumn("__seen", F.lit(True)))
+            flagged = flagged.join(earlier, "btext", "left")
+        else:
+            flagged = flagged.withColumn("__seen",
+                                         F.lit(None).cast("boolean"))
+        out = _reassemble_blocks(
+            flagged.withColumn(
+                "__keep",
+                ~eligible
+                | (F.col("__seen").isNull()
+                   & (F.col("__first") == packed))))
+        if self.results_dir is not None:
+            # overwrite keeps an at-least-once replay idempotent
+            out.write.mode("overwrite").parquet(
+                os.path.join(self.results_dir, f"epoch={epoch_id}"))
+        if self.track_results:
+            for r in out.collect():
+                self.results[r["id"]] = (r["n_blocks"], r["n_removed"],
+                                         r["cleaned_text"])
+        new_keys = (ex.filter(eligible).select("btext").distinct()
+                    .withColumn("first_epoch",
+                                F.lit(int(epoch_id)).cast("bigint")))
+        merged = (new_keys if self.seen_keys is None
+                  else self.seen_keys.unionByName(new_keys))
+        corpus_keys = (merged.groupBy("btext")
+                       .agg(F.min("first_epoch").alias("first_epoch")))
+        prev = self.seen_keys
+        self.seen_keys = corpus_keys.localCheckpoint(eager=True)
+        if prev is not None:
+            release_checkpoint(prev)

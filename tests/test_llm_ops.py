@@ -2390,3 +2390,22 @@ def test_curation_pipeline_r14_surface(spark, sf_dir):
     assert sum(r.quota for r in rows) <= 300
     assert {c for c in cm.columns} == {"cluster", "n_docs",
                                        "token_mass", "weight", "quota"}
+
+
+def test_encoding_scan_planted(spark):
+    """encoding_scan counts every BAD_CHARS occurrence and flags a doc
+    once regardless of how many bad chars it carries; clean sources
+    report zeros."""
+    from axonops_schema_registry_spark.llm.text import encoding_scan
+
+    df = spark.createDataFrame(
+        [(1, "clean text here", "a"),
+         (2, "mojibake �� twice", "a"),
+         (3, "bel \x07 and zwsp ​", "a"),
+         (4, "spotless", "b")],
+        "doc_id bigint, text string, source string")
+    rows = {r.source: r for r in encoding_scan(df).collect()}
+    assert rows["a"].n_docs == 3 and rows["a"].n_flagged == 2
+    assert rows["a"].n_bad_chars == 4          # 2 + (1 BEL + 1 ZWSP)
+    assert rows["a"].flagged_per_mille == 666
+    assert rows["b"].n_flagged == 0 and rows["b"].n_bad_chars == 0

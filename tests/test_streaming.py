@@ -844,3 +844,60 @@ def test_exporter_crash_mid_batch_resumes_exactly_once(spark, sf_dir):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_line_dedup_stream_equals_batch(spark, sf_dir):
+    """Two-micro-batch streaming line dedup (in-id-order batches)
+    emits the IDENTICAL cleaned corpus to one batch line_dedup run —
+    the keep-first elector is the same document either way.  Also
+    pins epoch-replay idempotence via the overwrite partition."""
+    from axonops_schema_registry_spark.llm.dedup import line_dedup
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        LineDedupSink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    d = tempfile.mkdtemp(prefix="ln_stream_")
+    docs.filter(f"doc_id < {cut}").coalesce(1) \
+        .write.parquet(os.path.join(d, "b0"))
+    docs.filter(f"doc_id >= {cut}").coalesce(1) \
+        .write.parquet(os.path.join(d, "b1"))
+    src = tempfile.mkdtemp(prefix="ln_src_")
+    for i, sub in enumerate(("b0", "b1")):
+        part = next(p for p in os.listdir(os.path.join(d, sub))
+                    if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part-{i}.parquet")
+        shutil.copy(os.path.join(d, sub, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    res_dir = tempfile.mkdtemp(prefix="ln_res_")
+    sink = LineDedupSink(track_results=True, results_dir=res_dir)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ln_")
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    want = {r.id: (r.n_blocks, r.n_removed, r.cleaned_text)
+            for r in line_dedup(docs).collect()}
+    assert sink.results == want
+    assert any(rem for _, rem, _ in
+               [(b, r, t) for b, r, t in sink.results.values()])
+    disk = {r.id: (r.n_blocks, r.n_removed, r.cleaned_text)
+            for r in sink.all_results(spark).collect()}
+    assert disk == want
+    # replay idempotence: re-deliver epoch 0's batch against the
+    # POST-stream state — first_epoch stamps mean an epoch's own
+    # blocks never cut it, so the overwritten partition (and thus the
+    # whole persisted corpus) must be VALUE-identical
+    b0 = spark.read.parquet(os.path.join(d, "b0"))
+    sink(b0, 0)
+    disk2 = {r.id: (r.n_blocks, r.n_removed, r.cleaned_text)
+             for r in sink.all_results(spark).collect()}
+    assert disk2 == want
+    for p in (d, src, ckpt, res_dir):
+        shutil.rmtree(p, ignore_errors=True)

@@ -946,3 +946,176 @@ def decode_jpeg_blocks(df: DataFrame) -> DataFrame:
                 "doc_id", "width", "height", "n_blocks", "sum_y"])
 
     return df.mapInPandas(decode_batches, schema=JPEG_PIXEL_SCHEMA_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Video CONTAINER headers: ISO-BMFF (MP4) box walk + AVI RIFF main header
+# ---------------------------------------------------------------------------
+#
+# The declared codec boundary (decode_features above) is about SAMPLES —
+# multi-frame codec payloads need ffmpeg.  Container METADATA does not:
+# an MP4's ftyp brand and mvhd timescale/duration, an AVI's avih frame
+# count and dimensions, are plain struct-packed fields a 100 TB media
+# filter selects on before any codec ever runs.  Synthesizer and parser
+# are independent implementations (the mm2 contract), so the oracle —
+# pure doc_id arithmetic — checks genuine box/chunk walking.
+
+VIDEO_SCHEMA_DDL = ("doc_id bigint, container string, brand string, "
+                    "timescale int, duration_ticks bigint, "
+                    "usec_per_frame int, n_frames bigint, "
+                    "n_streams int, width int, height int, "
+                    "n_bytes bigint")
+
+_MP4_BRANDS = ("isom", "mp42", "avc1")
+
+
+def synthesize_video_payload(doc_id: int) -> bytes:
+    """Build a real video container for doc_id: format alternates
+    mp4 → avi; every field is doc_id arithmetic (the oracle's ground
+    truth).  The mp4 carries a variable-length ``free`` box and the
+    avi a ``JUNK`` chunk so box/chunk walking is exercised for real —
+    a parser that assumed fixed offsets would fail."""
+    import struct
+
+    k = doc_id % 32
+    if doc_id % 2 == 0:  # MP4: ftyp + free(k) + moov > mvhd (v0)
+        def box(btype: bytes, body: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(body)) + btype + body
+
+        brand = _MP4_BRANDS[doc_id % 3].encode()
+        ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + b"isom")
+        free = box(b"free", b"\x00" * k)
+        timescale = 600 * (1 + doc_id % 4)
+        duration = doc_id % 100000
+        mvhd_body = (b"\x00\x00\x00\x00"            # version 0 + flags
+                     + struct.pack(">IIII", 0, 0, timescale, duration)
+                     + b"\x00" * 80)                # rate..next_track_id
+        moov = box(b"moov", box(b"mvhd", mvhd_body))
+        return ftyp + free + moov
+    # AVI: RIFF('AVI ') > LIST('hdrl') > avih(56) + JUNK(k)
+    import struct
+
+    usec = 1_000_000 // (10 + doc_id % 50)
+    frames = doc_id % 5000
+    streams = 1 + doc_id % 2
+    w = doc_id % 1920 + 1
+    h = doc_id % 1080 + 1
+    avih = struct.pack("<IIIIIIIIII", usec, 0, 0, 0, frames, 0,
+                       streams, 0, w, h) + b"\x00" * 16
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    junk = b"JUNK" + struct.pack("<I", k) + b"\x00" * k
+    body = b"AVI " + lst + junk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_video_header(payload: bytes) -> dict:
+    """Parse an MP4 (ISO-BMFF) or AVI (RIFF) container header with a
+    genuine box/chunk walk — no media library, no fixed offsets.
+    Returns the VIDEO_SCHEMA_DDL fields (container-inapplicable ones
+    None); raises ValueError on anything that is not a well-formed
+    container (truncation, bad sizes, missing required boxes)."""
+    import struct
+
+    out = {"container": None, "brand": None, "timescale": None,
+           "duration_ticks": None, "usec_per_frame": None,
+           "n_frames": None, "n_streams": None, "width": None,
+           "height": None, "n_bytes": len(payload)}
+
+    def boxes(buf: bytes):
+        off = 0
+        while off < len(buf):
+            if off + 8 > len(buf):
+                raise ValueError("truncated box header")
+            size = struct.unpack(">I", buf[off:off + 4])[0]
+            if size < 8 or off + size > len(buf):
+                raise ValueError("bad box size")
+            yield buf[off + 4:off + 8], buf[off + 8:off + size]
+            off += size
+
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        out["container"] = "mp4"
+        for btype, body in boxes(payload):
+            if btype == b"ftyp":
+                if len(body) < 8:
+                    raise ValueError("short ftyp")
+                out["brand"] = body[:4].decode("ascii")
+            elif btype == b"moov":
+                for ctype, cbody in boxes(body):
+                    if ctype == b"mvhd":
+                        if len(cbody) < 20 or cbody[0] != 0:
+                            raise ValueError("unsupported mvhd")
+                        _, _, ts, dur = struct.unpack(">IIII",
+                                                      cbody[4:20])
+                        out["timescale"] = ts
+                        out["duration_ticks"] = dur
+        if out["brand"] is None or out["timescale"] is None:
+            raise ValueError("mp4 missing ftyp/mvhd")
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        out["container"] = "avi"
+        size = struct.unpack("<I", payload[4:8])[0]
+        if 8 + size != len(payload):
+            raise ValueError("bad RIFF size")
+        off = 12
+        while off + 8 <= len(payload):
+            ctype = payload[off:off + 4]
+            csize = struct.unpack("<I", payload[off + 4:off + 8])[0]
+            body = payload[off + 8:off + 8 + csize]
+            if len(body) != csize:
+                raise ValueError("truncated chunk")
+            if ctype == b"LIST" and body[:4] == b"hdrl":
+                loff = 4
+                while loff + 8 <= len(body):
+                    st = body[loff:loff + 4]
+                    ss = struct.unpack("<I",
+                                       body[loff + 4:loff + 8])[0]
+                    sb = body[loff + 8:loff + 8 + ss]
+                    if len(sb) != ss:
+                        raise ValueError("truncated hdrl chunk")
+                    if st == b"avih":
+                        if ss < 40:
+                            raise ValueError("short avih")
+                        f = struct.unpack("<IIIIIIIIII", sb[:40])
+                        out["usec_per_frame"] = f[0]
+                        out["n_frames"] = f[4]
+                        out["n_streams"] = f[6]
+                        out["width"] = f[8]
+                        out["height"] = f[9]
+                    loff += 8 + ss + (ss & 1)
+            off += 8 + csize + (csize & 1)
+        if out["n_frames"] is None:
+            raise ValueError("avi missing avih")
+        return out
+    raise ValueError("not an MP4 or AVI container")
+
+
+def synthesize_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (doc_id, payload binary) via an Arrow-batched synthesizer."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "payload": [synthesize_video_payload(int(i))
+                            for i in pdf[id_col]],
+            })
+
+    return df.select(F.col(id_col)).mapInPandas(
+        synth, schema="doc_id bigint, payload binary")
+
+
+def decode_video_headers(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → VIDEO_SCHEMA_DDL rows via the parse kernel
+    over mapInPandas (Arrow batches; bytes never cross row-by-row)."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rec = parse_video_header(bytes(payload))
+                rec["doc_id"] = int(did)
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(dec, schema=VIDEO_SCHEMA_DDL)

@@ -1464,6 +1464,55 @@ FROM vals GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def mm6_video_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode (no media libs): deterministic MP4
+    (ISO-BMFF ftyp/free/moov/mvhd boxes) and AVI (RIFF LIST/avih)
+    containers are synthesized per doc_id and parsed back by a genuine
+    box/chunk walk (llm/multimodal.py:parse_video_header) over
+    mapInPandas — the mm2 contract extended to VIDEO: synthesizer and
+    parser are independent implementations, a variable-length free/
+    JUNK chunk defeats fixed-offset cheating, and the oracle is pure
+    doc_id arithmetic.  Frame/sample decode stays gated behind the
+    documented codec boundary; this is the container metadata
+    (brand, timescale/duration, frame count, dimensions) a 100 TB
+    media filter selects on before any codec runs."""
+    from axonops_schema_registry_spark.llm.multimodal import (
+        decode_video_headers,
+        synthesize_video,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_video_headers(synthesize_video(docs, "doc_id")) \
+        .orderBy("doc_id")
+
+
+MM6_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+       CASE WHEN doc_id % 2 = 0
+            THEN ['isom','mp42','avc1'][CAST(doc_id % 3 AS INT) + 1]
+            END AS brand,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 600 * (1 + doc_id % 4) END
+         AS INT) AS timescale,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 100000 END
+         AS BIGINT) AS duration_ticks,
+       CAST(CASE WHEN doc_id % 2 = 1
+            THEN 1000000 // (10 + doc_id % 50) END AS INT)
+         AS usec_per_frame,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 5000 END AS BIGINT)
+         AS n_frames,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 2 END AS INT)
+         AS n_streams,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 1920 + 1 END
+         AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 1080 + 1 END
+         AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 144 + doc_id % 32
+            ELSE 96 + doc_id % 32 END AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
 def mm5_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG entropy decode (stdlib + numpy, no codec
     libs): a genuine entropy-coded JPEG is synthesized per doc_id —
@@ -4993,6 +5042,8 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "multimodal", "udf")),
     QuerySpec("mm5_jpeg_decode", mm5_jpeg_decode, MM5_ORACLE,
               tags=("llm", "multimodal", "udf", "codec")),
+    QuerySpec("mm6_video_headers", mm6_video_headers, MM6_ORACLE,
+              tags=("llm", "multimodal", "udf")),
     QuerySpec("ppl1_unigram_perplexity", ppl1_unigram_perplexity,
               PPL1_ORACLE, tags=("llm", "text", "quality", "agg")),
     QuerySpec("mm2_header_decode", mm2_header_decode, MM2_ORACLE,

@@ -2409,3 +2409,47 @@ def test_encoding_scan_planted(spark):
     assert rows["a"].n_bad_chars == 4          # 2 + (1 BEL + 1 ZWSP)
     assert rows["a"].flagged_per_mille == 666
     assert rows["b"].n_flagged == 0 and rows["b"].n_bad_chars == 0
+
+
+def test_parse_video_header_round_trip_and_rejection():
+    """mm6's kernel pinned in pure Python: synthesizer→parser round
+    trip across both containers and brand/field cycles, plus strict
+    rejection of truncation, bad box sizes, and non-video payloads
+    (the parse_media_header convention)."""
+    import pytest as _pytest
+
+    from axonops_schema_registry_spark.llm.multimodal import (
+        parse_video_header,
+        synthesize_video_payload,
+    )
+
+    for did in (0, 1, 2, 3, 5, 31, 32, 100, 999, 4321):
+        p = synthesize_video_payload(did)
+        r = parse_video_header(p)
+        if did % 2 == 0:
+            assert r["container"] == "mp4"
+            assert r["brand"] == ("isom", "mp42", "avc1")[did % 3]
+            assert r["timescale"] == 600 * (1 + did % 4)
+            assert r["duration_ticks"] == did % 100000
+            assert r["n_frames"] is None
+        else:
+            assert r["container"] == "avi"
+            assert r["usec_per_frame"] == 1_000_000 // (10 + did % 50)
+            assert r["n_frames"] == did % 5000
+            assert (r["width"], r["height"]) == (did % 1920 + 1,
+                                                 did % 1080 + 1)
+            assert r["timescale"] is None
+        assert r["n_bytes"] == len(p)
+
+    bad_payloads = (
+        b"",                                    # empty
+        b"\x00" * 20,                           # junk
+        b"RIFF\x10\x00\x00\x00WAVE",            # RIFF but not AVI
+        synthesize_video_payload(0)[:-5],       # truncated mp4
+        synthesize_video_payload(1)[:-3],       # truncated avi
+        b"RIFF\xff\xff\xff\xffAVI ",            # lying RIFF size
+        b"\x00\x00\x00\x08ftypisom",            # ftyp too small
+    )
+    for bad in bad_payloads:
+        with _pytest.raises(ValueError):
+            parse_video_header(bad)

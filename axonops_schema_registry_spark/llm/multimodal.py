@@ -993,8 +993,6 @@ def synthesize_video_payload(doc_id: int) -> bytes:
         moov = box(b"moov", box(b"mvhd", mvhd_body))
         return ftyp + free + moov
     # AVI: RIFF('AVI ') > LIST('hdrl') > avih(56) + JUNK(k)
-    import struct
-
     usec = 1_000_000 // (10 + doc_id % 50)
     frames = doc_id % 5000
     streams = 1 + doc_id % 2

@@ -41,8 +41,11 @@ _PRIORITY: tuple[str, ...] = (
     # names for the r15 window (all guarded by
     # tests/test_queries_oracle.py meanwhile):
     # asof1_config_at_event_time, bpe1_merge_candidates,
-    # ctm3_semantic_contamination,
-    # dd1_exact_dedup, dd3_simhash_dedup, dd5_cross_source_dup_matrix,
+    # ctm2_bloom_contamination, ctm3_semantic_contamination,
+    # dd1_exact_dedup, dd3_simhash_dedup, dd4_dedup_clusters,
+    # dd5_cross_source_dup_matrix, dd8_quality_representatives,
+    # es3_decontamination_cut, ev1_ann_recall,
+    # mix3_temperature_mixture,
     # ev2_lsh_recall, f3_glob_search, f5_normalize_names,
     # f7_fuzzy_match, j8_kek_dek_lifecycle, j8b_dek_rewrap,
     # lab1_label_cohesion, mix2_segmented_mixture, mm4_wav_decode,

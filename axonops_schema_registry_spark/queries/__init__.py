@@ -30,12 +30,12 @@ WINDOW_FAMILIES: tuple[str, ...] = (
 
 _PRIORITY: tuple[str, ...] = (
     # Round-14 rotation (VERDICT r13 asks #1+#2, oldest-first with the
-    # family constraint): the 10 specs NEW this round lead (never
+    # family constraint): the 11 specs NEW this round lead (never
     # driver-sampled), then ALL 36 deferred r10-green specs (the exact
     # list carried in the r13 window comment — note sg1/ex1/rc1/lv1
     # carry the ``compat`` tag and nn2 carries ``similarity``, so the
     # r13 family hole closes inside the freshness rotation itself),
-    # then 4 r11-green backfills — bespoke LLM/dedup/compat/ANN
+    # then 3 r11-green backfills — bespoke LLM/dedup/compat/ANN
     # families ahead of the TPC-shaped relational tail.  After this
     # round the freshness floor rises to r11.  Deferred r11-green
     # names for the r15 window (all guarded by
@@ -45,7 +45,7 @@ _PRIORITY: tuple[str, ...] = (
     # dd1_exact_dedup, dd3_simhash_dedup, dd4_dedup_clusters,
     # dd5_cross_source_dup_matrix, dd8_quality_representatives,
     # es3_decontamination_cut, ev1_ann_recall,
-    # mix3_temperature_mixture,
+    # mix3_temperature_mixture, sem1_semantic_dedup,
     # ev2_lsh_recall, f3_glob_search, f5_normalize_names,
     # f7_fuzzy_match, j8_kek_dek_lifecycle, j8b_dek_rewrap,
     # lab1_label_cohesion, mix2_segmented_mixture, mm4_wav_decode,
@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "ln1_line_dedup", "kd1_key_skew_profile",
     "sem2_cluster_mixture", "ln2_line_decontamination",
     "tx9_encoding_scan", "mm6_video_headers",
+    "bpe4_fertility",
     # -- ALL 36 deferred r10-green specs (freshness floor)
     "e2_subject_compare", "ex1_explain_failure", "f1_substring_search",
     "f2_regex_search", "f13_field_extraction", "fs1_field_search",
@@ -84,13 +85,12 @@ _PRIORITY: tuple[str, ...] = (
     "smp1_stratified_sample", "st8_exporter_filter_rename",
     "st9_token_bucket", "ti1_tfidf_terms", "tx7_pii_scan",
     "wn1_winnowing", "mm3_pixel_decode",
-    # -- 4 r11-green backfills (bespoke families first)
-    # (es3/mix3/ev1/ctm2/dd8/dd4 rotated out of this window to make
-    # room for the six late-r14 specs ln1/kd1/sem2/ln2/tx9/mm6 — same
-    # move the r13/r14 windows made; all six join the r15 deferral
-    # list above)
+    # -- 3 r11-green backfills (bespoke families first)
+    # (es3/mix3/ev1/ctm2/dd8/dd4/sem1 rotated out of this window to
+    # make room for the seven late-r14 specs
+    # ln1/kd1/sem2/ln2/tx9/mm6/bpe4 — same move the r13/r14 windows
+    # made; all seven join the r15 deferral list above)
     "c3_compat_with_refs", "nn3_ivf_ann_topk",
-    "sem1_semantic_dedup",
     "exp1_exporter_lifecycle",
 )
 

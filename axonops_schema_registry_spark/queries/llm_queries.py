@@ -2491,6 +2491,69 @@ GROUP BY doc_id ORDER BY doc_id""")
 BPE3_ORACLE = _bpe3_oracle(10)
 
 
+def bpe4_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source (the metric every tokenizer
+    paper reports per domain — symbols per word and characters per
+    symbol): bpe3's encode pass (llm/text.py:bpe_tokenize_counts,
+    the k=10 merge table trained on THIS corpus) rolled up per
+    source with exact integer per-100 ratios.  High fertility =
+    the tokenizer fragments that domain (costly context); the
+    dashboard row that decides whether a domain needs its own merges.
+    The oracle extends bpe3's self-contained train→encode CTE chain
+    with a per-source rollup — the whole loop stays hash-checked."""
+    from axonops_schema_registry_spark.llm.text import (
+        bpe_tokenize_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = bpe_tokenize_counts(docs, "doc_id", "text", k=10)
+    chars = docs.select(
+        "doc_id", "source",
+        F.expr("aggregate(filter(split(lower(text), '\\\\s+'), "
+               "w -> w != ''), CAST(0 AS BIGINT), "
+               "(a, w) -> a + length(w))").alias("__nc"))
+    return (counts.join(chars, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_words").cast("bigint").alias("n_words"),
+                 F.sum("__nc").cast("bigint").alias("n_chars"),
+                 F.sum("n_bpe_tokens").cast("bigint")
+                 .alias("n_bpe_tokens"))
+            .withColumn("tokens_per_100_words",
+                        F.expr("(100 * n_bpe_tokens) DIV n_words"))
+            .withColumn("chars_per_100_tokens",
+                        F.expr("(100 * n_chars) DIV n_bpe_tokens"))
+            .orderBy("source"))
+
+
+def _bpe4_oracle(k: int = 10) -> str:
+    """bpe3's chain + per-doc stats + per-source fertility rollup."""
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    chain = _bpe3_oracle(k)
+    prefix = chain[:chain.rindex("\nSELECT doc_id,")]
+    return (prefix + f""",
+docstats AS (
+  SELECT doc_id, COUNT(*) AS nw, SUM(len(w)) AS nc,
+         SUM(len(string_split(trim(e.s, {sep}), {sep2}))) AS nt
+  FROM words JOIN e{k} e USING (w)
+  GROUP BY doc_id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS n_words,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
+       CAST((100 * SUM(nt)) // SUM(nw) AS BIGINT)
+         AS tokens_per_100_words,
+       CAST((100 * SUM(nc)) // SUM(nt) AS BIGINT)
+         AS chars_per_100_tokens
+FROM docstats ds JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source""")
+
+
+BPE4_ORACLE = _bpe4_oracle(10)
+
+
 def es1_exact_substring_spans(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Substring-granular dedup (llm/dedup.py:duplicated_span_islands
@@ -4900,6 +4963,8 @@ SPECS: list[QuerySpec] = [
               bench=True),
     QuerySpec("bpe3_tokenize", bpe3_tokenize, BPE3_ORACLE,
               tags=("llm", "text", "tokenizer", "iterative")),
+    QuerySpec("bpe4_fertility", bpe4_fertility, BPE4_ORACLE,
+              tags=("llm", "text", "tokenizer", "stats")),
     QuerySpec("gq1_gopher_quality", gq1_gopher_quality, GQ1_ORACLE,
               tags=("llm", "text", "quality", "agg"), bench=True),
     QuerySpec("gq2_repetition", gq2_repetition, GQ2_ORACLE,

@@ -264,6 +264,18 @@ class CurationPipeline:
         return dsir_log_weights(self.docs, target_ids, self.id_col,
                                 self.text_col, n_buckets)
 
+    def quality_filter(self, positive_ids, n_buckets: int = 4096):
+        """Per-document hashed-linear quality verdicts against a
+        trusted reference slice (qf1 — the fastText-style CCNet/GPT-3
+        quality filter): (id, n_feats, score_micro, keep)."""
+        from axonops_schema_registry_spark.llm.sampling import (
+            quality_filter_scores,
+        )
+
+        return quality_filter_scores(self.docs, positive_ids,
+                                     self.id_col, self.text_col,
+                                     n_buckets)
+
     def export_shards(self, out_dir: str, n_shards: int = 16):
         """Write the corpus as hash-sharded parquet directories and
         return the checksummed manifest receipt (shard1)."""

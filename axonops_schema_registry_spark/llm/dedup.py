@@ -822,6 +822,42 @@ def _word_blocks(df: DataFrame, id_col: str, text_col: str,
                     F.col("b.bwords").alias("bwords")))
 
 
+#: Bit split of the line-dedup first-occurrence election key: packed
+#: order = id * 2**_PACK_BLOCK_BITS + block_idx.  Ids must sit in
+#: [0, 2**43) and documents must segment into < 2**20 blocks (a >10M-word
+#: document at the default width) or the packed BIGINT no longer sorts
+#: like (id, block_idx).
+_PACK_BLOCK_BITS = 20
+_PACK_ID_BOUND = 1 << 43
+
+
+def _packed_order():
+    """The (id, block_idx) election order as ONE hash-aggregatable
+    BIGINT, with out-of-bounds corpora failing LOUDLY instead of
+    silently electing in packed-value order — the ``_sampled_ids``
+    silent-failure lesson (llm/similarity.py), applied row-locally: a
+    raising CASE on the row itself costs no extra aggregate and no
+    extra corpus scan, where a max(id)/max(block_idx) guard FRAME
+    would either recompute the election subtree or re-scan the corpus
+    (the read-amplification audit's exact anti-pattern).  Shared by
+    :func:`line_dedup` and ``streaming.dedup_stream.LineDedupSink`` so
+    the batch and streaming elections stay guard-identical."""
+    ok = ((F.col("id") >= 0)
+          & (F.col("id") < F.lit(_PACK_ID_BOUND))
+          & (F.col("block_idx") < F.lit(1 << _PACK_BLOCK_BITS)))
+    return (F.when(ok, F.col("id") * F.lit(1 << _PACK_BLOCK_BITS)
+                       + F.col("block_idx"))
+            .otherwise(F.expr(
+                "raise_error(concat('line-dedup election: packed "
+                "(id, block_idx) order out of bounds at id=', "
+                "CAST(id AS STRING), ', block_idx=', "
+                "CAST(block_idx AS STRING), ' — ids must be in "
+                "[0, 2^43) and documents must segment into < 2^20 "
+                "blocks (>10M words at the default width); rescale "
+                "ids or raise block_words'))"))
+            ).cast("bigint")
+
+
 def line_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", block_words: int = 10,
                min_block_words: int = 5,
@@ -858,10 +894,11 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     (``id·2²⁰ + block_idx``) so the min is a plain hash-aggregatable
     long (a struct-min plans as SortAggregate, sorting every
     partition twice; the packed form stays HashAggregate end-to-end).
-    Bounds, documented not asserted: ids non-negative < 2⁴³ and
-    blocks-per-doc < 2²⁰ (a million-word document at the default
-    width) — beyond either, election order silently degrades to the
-    packed value's order.  Election is skew-robust where a window
+    Bounds, ASSERTED row-locally by :func:`_packed_order`'s raising
+    CASE: ids non-negative < 2⁴³ and blocks-per-doc < 2²⁰ (a
+    >10M-word document at the default width) — out-of-bounds corpora
+    fail loudly at execution instead of silently electing in
+    packed-value order.  Election is skew-robust where a window
     over the block key would sort every hot boilerplate key in one
     task; then one block-keyed join back and one doc-keyed
     reassembly shuffle.  ``hash_blocks`` swaps the block-text shuffle
@@ -873,8 +910,7 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     key = (F.xxhash64("btext") if hash_blocks
            else F.col("btext")).alias("__bkey")
     ex = ex.select("id", "block_idx", "btext", "bwords", key)
-    packed = (F.col("id") * F.lit(1 << 20)
-              + F.col("block_idx")).cast("bigint")
+    packed = _packed_order()
     firsts = (ex.filter(F.col("bwords") >= min_block_words)
                 .withColumn("__ord", packed)
                 .groupBy("__bkey")

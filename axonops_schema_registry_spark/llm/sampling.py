@@ -173,6 +173,105 @@ def portable_hash_sql(expr: str) -> str:
             f"AS BIGINT)")
 
 
+def _hashed_ngram_counts(docs: DataFrame, id_col: str, text_col: str,
+                         n_buckets: int) -> DataFrame:
+    """(id, b, cnt) hashed unigram+bigram bucket counts — the shared
+    feature frame of the DSIR / quality-classifier family.  Hashing
+    bounds downstream LM/weight state at ``n_buckets`` rows regardless
+    of corpus size; the hash is the engine-portable 48-bit md5 prefix
+    so an independent SQL engine lands every feature in the identical
+    bucket.  Materialized ONCE (lazy checkpoint): the explode+agg
+    feeds several consumers (LM fits + scoring) and Spark does not
+    reuse the exchange across them — without this the corpus-scale
+    explode runs once per consumer."""
+    ws = f"split({text_col}, ' ')"
+    feats_expr = (f"concat({ws}, zip_with("
+                  f"slice({ws}, 1, size({ws}) - 1), "
+                  f"slice({ws}, 2, size({ws}) - 1), "
+                  f"(a, b) -> concat(a, ' ', b)))")
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.expr(feats_expr)).alias("f"))
+            .withColumn("b", portable_hash(F.col("f")) % n_buckets)
+            .groupBy("id", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=False))
+
+
+def quality_filter_scores(docs: DataFrame, positive_ids: DataFrame,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          n_buckets: int = 4096,
+                          scale: int = 1_000_000) -> DataFrame:
+    """Hashed-linear quality classifier — the fastText-style document
+    quality filter CCNet-class pipelines run before mixing (Wenzek et
+    al. 2020 §4.3: a linear bag-of-ngrams model scores every crawl
+    document against a trusted reference corpus; GPT-3's quality
+    filtering, Brown et al. 2020 appendix A, is the same stage).
+
+    Features are the DSIR hashed unigram+bigram buckets
+    (:func:`_hashed_ngram_counts` — shared frame, shared hash).  The
+    linear weights are the closed-form naive-Bayes log-count ratio
+    between the ``positive_ids`` reference slice and the REST of the
+    pool — the NBSVM baseline fit (Wang & Manning 2012, ACL; the
+    strong linear baseline fastText itself benchmarks against).  The
+    closed form is the deliberate choice: an SGD-trained logistic fit
+    depends on iteration order and float accumulation and is NOT
+    engine-replayable — the ppl2 determinism discipline applied to
+    TRAINING, not just scoring.  Each bucket weight is one integer in
+    MICRO-units,
+
+        w_b = round(1e6 · [(ln(c⁺_b+1) − ln(N⁺+B)) −
+                           (ln(c⁻_b+1) − ln(N⁻+B))]),
+
+    rounded ONCE at bucket cardinality, so every document score is an
+    exact BIGINT dot product Σ_b c_d(b)·w_b — bit-identical on any
+    engine.
+
+    Returns (id, n_feats, score_micro, keep): ``keep`` = score > 0
+    (the document looks more like the reference slice than like the
+    rest of the pool).  Thresholding on the raw sum is the fastText
+    convention for binary keep/drop; callers wanting length-normalized
+    scores divide score_micro by n_feats downstream (kept out of the
+    contract: BIGINT division of NEGATIVE scores truncates toward
+    zero in Spark but floors in DuckDB — a cross-engine trap this
+    surface refuses to embed).
+
+    Scale shape: identical wiring to :func:`dsir_log_weights` — the
+    weight table is ≤ n_buckets rows and broadcast; fitting is two
+    bucket-count aggregates over the SAME materialized feature frame
+    (each pre-combined to ≤ n_buckets rows per task); scoring is one
+    broadcast join + one id-keyed sum.  An empty positive slice
+    degrades to a uniform positive LM (every weight ≤ 0) instead of
+    NULLing out, the dsir coalesce contract."""
+    feat = _hashed_ngram_counts(docs, id_col, text_col, n_buckets)
+    pos_ids = positive_ids.select(F.col(positive_ids.columns[0])
+                                  .alias("id"))
+    allc = feat.groupBy("b").agg(F.sum("cnt").alias("ca"))
+    pos = (feat.join(pos_ids, "id")
+           .groupBy("b").agg(F.sum("cnt").alias("cp")))
+    n_all = allc.agg(F.sum("ca").alias("na"))
+    n_pos = pos.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("np"))
+    # negative counts are pool-minus-positive per bucket: one fit pass
+    # over the feature frame, not a second corpus scan for the
+    # complement slice
+    w = (allc.join(pos, "b", "left")
+         .withColumn("cp", F.coalesce(F.col("cp"), F.lit(0)))
+         .crossJoin(F.broadcast(n_all)).crossJoin(F.broadcast(n_pos))
+         .select("b", F.round(
+             ((F.log(F.col("cp") + 1)
+               - F.log(F.col("np") + n_buckets))
+              - (F.log(F.col("ca") - F.col("cp") + 1)
+                 - F.log(F.col("na") - F.col("np") + n_buckets)))
+             * scale, 0).cast("bigint").alias("w")))
+    return (feat.join(F.broadcast(w), "b")
+            .groupBy("id")
+            .agg(F.sum("cnt").alias("n_feats"),
+                 F.sum(F.col("cnt") * F.col("w")).alias("score_micro"))
+            .select(F.col("id").alias(id_col), "n_feats",
+                    "score_micro",
+                    (F.col("score_micro") > 0).alias("keep")))
+
+
 def dsir_log_weights(docs: DataFrame, target_ids: DataFrame,
                      id_col: str = "doc_id", text_col: str = "text",
                      n_buckets: int = 4096,
@@ -202,21 +301,7 @@ def dsir_log_weights(docs: DataFrame, target_ids: DataFrame,
     arithmetic (the ppl1 discipline) — an independent SQL engine
     reproduces every weight bit-for-bit.
     """
-    ws = f"split({text_col}, ' ')"
-    feats_expr = (f"concat({ws}, zip_with("
-                  f"slice({ws}, 1, size({ws}) - 1), "
-                  f"slice({ws}, 2, size({ws}) - 1), "
-                  f"(a, b) -> concat(a, ' ', b)))")
-    # materialize the feature counts ONCE (lazy checkpoint): the
-    # explode+agg feeds three consumers (raw LM, target LM, scoring)
-    # and Spark does not reuse the exchange across them — without
-    # this the corpus-scale explode runs three times
-    feat = (docs.select(F.col(id_col).alias("id"),
-                        F.explode(F.expr(feats_expr)).alias("f"))
-            .withColumn("b", portable_hash(F.col("f")) % n_buckets)
-            .groupBy("id", "b")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .localCheckpoint(eager=False))
+    feat = _hashed_ngram_counts(docs, id_col, text_col, n_buckets)
     raw = feat.groupBy("b").agg(F.sum("cnt").alias("cr"))
     tgt = (feat.join(target_ids.select(F.col(target_ids.columns[0])
                                        .alias("id")), "id")

@@ -799,26 +799,42 @@ def cluster_assignments(vectors: DataFrame, id_col: str = "vec_id",
     centroid-id tie-break, so the whole computation replays exactly
     in a DuckDB oracle (the nn3 convention).
 
-    Returns (id, centroid_id).  Scale shape: centroids broadcast
-    (bounded by ``max_centroids``), assignment is one row-local
-    N × max_centroids pass off the scan — no shuffle at all until a
-    consumer aggregates by cluster."""
+    Returns (id, centroid_id).  Scale shape: centroids collapse to ONE
+    broadcast row carrying the whole array (bounded by
+    ``max_centroids``); the arg-min is a row-local ``array_max`` over a
+    per-row scored struct array — genuinely no shuffle on the corpus
+    until a consumer aggregates by cluster.  (The first cut ranked a
+    crossJoin with ``row_number() over partitionBy(id)``, which forces
+    a corpus-sized exchange+sort by id before the filter — the ADVICE
+    r14 finding this row-local form replaces.)  Tie policy is struct
+    ordering on (sim, -centroid_id): highest rounded similarity wins,
+    then the SMALLEST centroid id — byte-identical to the window form
+    and to the DuckDB oracle's arg-min."""
     ids = _sampled_ids(vectors.select(F.col(id_col).alias("__id")),
                        centroid_stride, max_centroids)
     cents = (vectors.join(F.broadcast(ids),
                           vectors[id_col] == ids["__id"])
              .select(F.col(id_col).alias("centroid_id"),
                      F.col(vec_col).alias("centroid_vec")))
-    cent_n = with_norm(cents, "centroid_vec", "cent_norm")
+    cent_arr = (with_norm(cents, "centroid_vec", "cent_norm")
+                .agg(F.collect_list(F.struct("centroid_id",
+                                             "centroid_vec",
+                                             "cent_norm"))
+                     .alias("__cents")))
     v = with_norm(vectors.select(F.col(id_col).alias("id"),
                                  F.col(vec_col).alias("__v")),
                   "__v", "__v_norm")
-    sim = _dot_expr("__v", "centroid_vec") / (F.col("__v_norm")
-                                              * F.col("cent_norm"))
-    w = Window.partitionBy("id").orderBy(F.desc("__sim"),
-                                         F.asc("centroid_id"))
-    return (v.crossJoin(F.broadcast(cent_n))
-             .withColumn("__sim", F.round(sim, round_digits))
-             .withColumn("__r", F.row_number().over(w))
-             .filter(F.col("__r") == 1)
-             .select("id", "centroid_id"))
+    # per-centroid (rounded sim, -centroid_id) structs; array_max's
+    # lexicographic struct order IS the (sim desc, centroid_id asc)
+    # arg-min — evaluated entirely inside the row
+    scored = F.expr(
+        "transform(__cents, c -> struct("
+        "round(aggregate(zip_with(__v, c.centroid_vec, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v) / (__v_norm * c.cent_norm), "
+        f"{int(round_digits)}) AS s, "
+        "-c.centroid_id AS nc))")
+    return (v.crossJoin(F.broadcast(cent_arr))
+             .withColumn("__best", F.array_max(scored))
+             .select("id",
+                     (-F.col("__best.nc")).alias("centroid_id")))

@@ -29,69 +29,45 @@ WINDOW_FAMILIES: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # Round-14 rotation (VERDICT r13 asks #1+#2, oldest-first with the
-    # family constraint): the 11 specs NEW this round lead (never
-    # driver-sampled), then ALL 36 deferred r10-green specs (the exact
-    # list carried in the r13 window comment — note sg1/ex1/rc1/lv1
-    # carry the ``compat`` tag and nn2 carries ``similarity``, so the
-    # r13 family hole closes inside the freshness rotation itself),
-    # then 3 r11-green backfills — bespoke LLM/dedup/compat/ANN
-    # families ahead of the TPC-shaped relational tail.  After this
-    # round the freshness floor rises to r11.  Deferred r11-green
-    # names for the r15 window (all guarded by
-    # tests/test_queries_oracle.py meanwhile):
-    # asof1_config_at_event_time, bpe1_merge_candidates,
-    # ctm2_bloom_contamination, ctm3_semantic_contamination,
-    # dd1_exact_dedup, dd3_simhash_dedup, dd4_dedup_clusters,
-    # dd5_cross_source_dup_matrix, dd8_quality_representatives,
-    # es3_decontamination_cut, ev1_ann_recall,
-    # mix3_temperature_mixture, sem1_semantic_dedup,
-    # ev2_lsh_recall, f3_glob_search, f5_normalize_names,
-    # f7_fuzzy_match, j8_kek_dek_lifecycle, j8b_dek_rewrap,
-    # lab1_label_cohesion, mix2_segmented_mixture, mm4_wav_decode,
-    # nn4_pq_adc_topk, o2_deterministic_pagination, p4_status_split,
-    # p5_metadata_property_filter, pk2_segmented_packing,
-    # pk3_whole_doc_packing, ppl1_unigram_perplexity,
-    # q1_pricing_summary, q6_forecast_revenue,
-    # q7_nation_volume, q10_returned_items, q14_promo_revenue_share,
-    # q18_large_orders, qz2_pq_encode, r1_latest_live_schema,
-    # s1_prefix_listing, s2_point_lookup, s3_subject_version_lookup,
-    # s4_fingerprint_lookup, s5_distinct_listing, vg1_vocab_growth,
-    # w1_latest_per_subject, w2_listing_with_latest_flag,
-    # w3_content_addressed_ids, w5_prior_version_delta
-    # (vg1/mm4/ppl1/bpe1 rotated out of this window to make room for
-    # the r14 new specs — same move the r13 window made for ctm5)
-    # -- new in r14 (never driver-sampled)
-    "nn5_multiprobe_lsh_topk", "ctm6_contamination_report",
-    "zf1_zipf_diagnostics", "ev4_multiprobe_recall",
-    "ln1_line_dedup", "kd1_key_skew_profile",
-    "sem2_cluster_mixture", "ln2_line_decontamination",
-    "tx9_encoding_scan", "mm6_video_headers",
-    "bpe4_fertility",
-    # -- ALL 36 deferred r10-green specs (freshness floor)
-    "e2_subject_compare", "ex1_explain_failure", "f1_substring_search",
-    "f2_regex_search", "f13_field_extraction", "fs1_field_search",
-    "j2_subjects_by_fingerprint", "j9_alias_resolution",
-    "lv1_context_level_resolution", "nn2_lsh_ann_topk", "p1_live_view",
-    "pk1_sequence_packing", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q11_important_stock",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q19_disjunctive_pushdown",
-    "q20_excess_shippers", "q21_waiting_suppliers",
-    "q22_dormant_customers", "qs1_length_quantiles",
-    "qz1_int8_quantization", "rc1_version_chain_audit",
-    "rel1_release_report", "rf1_reserved_fields",
-    "sg1_suggest_evolution", "shard1_export_manifest",
-    "smp1_stratified_sample", "st8_exporter_filter_rename",
-    "st9_token_bucket", "ti1_tfidf_terms", "tx7_pii_scan",
-    "wn1_winnowing", "mm3_pixel_decode",
-    # -- 3 r11-green backfills (bespoke families first)
-    # (es3/mix3/ev1/ctm2/dd8/dd4/sem1 rotated out of this window to
-    # make room for the seven late-r14 specs
-    # ln1/kd1/sem2/ln2/tx9/mm6/bpe4 — same move the r13/r14 windows
-    # made; all seven join the r15 deferral list above)
-    "c3_compat_with_refs", "nn3_ivf_ann_topk",
-    "exp1_exporter_lifecycle",
+    # Round-15 rotation (VERDICT r14 ask #2, oldest-first with the
+    # family constraint): the 1 spec NEW this round leads (never
+    # driver-sampled), then ALL 47 r11-green specs at the freshness
+    # floor (recomputed from the CORRECTNESS_r01–r14 union — none
+    # carry to r16, the whole stale tier fits), then 2 r12-green
+    # fillers chosen to close the family holes the r11 tier leaves
+    # (it contains no compat- and no streaming-family spec):
+    # c1_compatibility_matrix (compat) + st2_filtered_cef_lines
+    # (streaming).  After this round the freshness floor rises to
+    # r12 (48 specs remain last-green r12; they lead the r16
+    # rotation).  1 + 47 + 2 = 50 — no deferrals this round.
+    # -- new in r15 (never driver-sampled)
+    "qf1_quality_filter",
+    # -- ALL 47 r11-green specs (freshness floor), bespoke
+    #    LLM/dedup/similarity/registry families ahead of the
+    #    TPC-shaped relational tail
+    "dd1_exact_dedup", "dd3_simhash_dedup", "dd4_dedup_clusters",
+    "dd5_cross_source_dup_matrix", "dd8_quality_representatives",
+    "es3_decontamination_cut", "sem1_semantic_dedup",
+    "ctm2_bloom_contamination", "ctm3_semantic_contamination",
+    "ev1_ann_recall", "ev2_lsh_recall", "nn4_pq_adc_topk",
+    "qz2_pq_encode", "lab1_label_cohesion", "vg1_vocab_growth",
+    "ppl1_unigram_perplexity", "bpe1_merge_candidates",
+    "mix2_segmented_mixture", "mix3_temperature_mixture",
+    "pk2_segmented_packing", "pk3_whole_doc_packing",
+    "mm4_wav_decode", "asof1_config_at_event_time",
+    "j8_kek_dek_lifecycle", "j8b_dek_rewrap",
+    "r1_latest_live_schema", "s1_prefix_listing", "s2_point_lookup",
+    "s3_subject_version_lookup", "s4_fingerprint_lookup",
+    "s5_distinct_listing", "f3_glob_search", "f5_normalize_names",
+    "f7_fuzzy_match", "o2_deterministic_pagination",
+    "p4_status_split", "p5_metadata_property_filter",
+    "w1_latest_per_subject", "w2_listing_with_latest_flag",
+    "w3_content_addressed_ids", "w5_prior_version_delta",
+    "q1_pricing_summary", "q6_forecast_revenue", "q7_nation_volume",
+    "q10_returned_items", "q14_promo_revenue_share",
+    "q18_large_orders",
+    # -- 2 r12-green family fillers (see note above)
+    "c1_compatibility_matrix", "st2_filtered_cef_lines",
 )
 
 

@@ -2763,9 +2763,11 @@ def ln1_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives exactly once instead of vanishing entirely.
 
     Scale shape: one row-local segmentation off the scan,
-    first-occurrence election via block-keyed groupBy (map-side
-    partial agg of a (doc_id, block_idx) struct-min — skew-robust
-    where a window over a hot boilerplate key would sort one task),
+    first-occurrence election via block-keyed groupBy whose min runs
+    over the packed BIGINT ``doc_id*2^20 + block_idx`` (a struct-min
+    would plan as SortAggregate; the packed long stays HashAggregate
+    end-to-end, and is skew-robust where a window over a hot
+    boilerplate key would sort one task),
     one block-keyed join back, one doc-keyed reassembly shuffle.
     The hash_blocks narrow-key twin is pinned output-identical in
     tests/test_llm_ops.py."""
@@ -2982,6 +2984,71 @@ SELECT id AS doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
 FROM feat JOIN lr USING (b)
 GROUP BY id
 ORDER BY log_weight DESC, doc_id LIMIT 50
+"""
+
+
+def qf1_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality classifier
+    (llm/sampling.py:quality_filter_scores — the fastText-style
+    filter CCNet/GPT-3-class pipelines score crawl documents with
+    before mixing, Wenzek et al. 2020 §4.3 / Brown et al. 2020 app.
+    A): DSIR's hashed unigram+bigram buckets carry closed-form
+    naive-Bayes log-count-ratio weights (NBSVM, Wang & Manning 2012)
+    fitted against the deterministic src0 reference slice, in integer
+    micro-units so every per-document score is an exact BIGINT dot
+    product.  Emits the per-document (n_feats, score_micro, keep)
+    verdict — the keep flag the mixture stage consumes.
+
+    Scale shape: weight table ≤ 4096 rows broadcast; the fit is two
+    bucket aggregates over ONE materialized feature frame (no second
+    corpus scan for the negative slice — its counts are
+    pool-minus-positive per bucket); scoring is a broadcast join +
+    id-keyed sum."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        quality_filter_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("source") == "src0").select("doc_id")
+    return (quality_filter_scores(docs, pos, n_buckets=4096)
+            .orderBy("doc_id"))
+
+
+QF1_ORACLE = r"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS a
+            FROM documents),
+uni AS (SELECT doc_id, unnest(a) AS f FROM ws),
+bi AS (
+  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS f
+  FROM (SELECT doc_id, a,
+               unnest(generate_series(1, greatest(len(a) - 1, 0)))
+                 AS i
+        FROM ws)),
+feat AS MATERIALIZED (
+  SELECT doc_id AS id,
+         CAST(concat('0x', substr(md5(f), 1, 12)) AS BIGINT)
+           % 4096 AS b,
+         COUNT(*) AS cnt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY id, b),
+allc AS (SELECT b, SUM(cnt) AS ca FROM feat GROUP BY b),
+pos AS (SELECT b, SUM(cnt) AS cp
+        FROM feat JOIN documents d ON feat.id = d.doc_id
+        WHERE d.source = 'src0' GROUP BY b),
+nn AS (SELECT (SELECT SUM(ca) FROM allc) AS na,
+              (SELECT COALESCE(SUM(cp), 0) FROM pos) AS np),
+w AS (
+  SELECT b,
+         CAST(round(((ln(COALESCE(cp, 0) + 1) - ln(np + 4096))
+                     - (ln(ca - COALESCE(cp, 0) + 1)
+                        - ln(na - np + 4096))) * 1000000, 0)
+              AS BIGINT) AS w
+  FROM allc LEFT JOIN pos USING (b), nn)
+SELECT id AS doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+       CAST(SUM(cnt * w) AS BIGINT) AS score_micro,
+       (SUM(cnt * w) > 0) AS keep
+FROM feat JOIN w USING (b)
+GROUP BY id ORDER BY doc_id
 """
 
 
@@ -4935,7 +5002,8 @@ SPECS: list[QuerySpec] = [
               SPLIT1_ORACLE, tags=("llm", "sampling", "export")),
     QuerySpec("ctm4_split_leakage", ctm4_split_leakage, CTM4_ORACLE,
               tags=("llm", "contamination", "sampling",
-                    "composition")),
+                    "composition"),
+              bench=True),
     QuerySpec("ctm5_split_near_leakage", ctm5_split_near_leakage,
               CTM5_ORACLE,
               tags=("llm", "contamination", "dedup", "sampling"),
@@ -4943,7 +5011,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ctm6_contamination_report", ctm6_contamination_report,
               CTM6_ORACLE,
               tags=("llm", "contamination", "dedup", "agg",
-                    "composition")),
+                    "composition"),
+              bench=True),
     QuerySpec("qn1_robust_length_normalization",
               qn1_robust_length_normalization, QN1_ORACLE,
               tags=("llm", "quality", "stats")),
@@ -5029,6 +5098,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dsir1_importance_selection", dsir1_importance_selection,
               DSIR1_ORACLE,
               tags=("llm", "sampling", "selection", "agg"),
+              bench=True),
+    QuerySpec("qf1_quality_filter", qf1_quality_filter, QF1_ORACLE,
+              tags=("llm", "sampling", "quality", "agg"),
               bench=True),
     QuerySpec("shard1_export_manifest", shard1_export_manifest,
               SHARD1_ORACLE, tags=("llm", "export", "agg")),

@@ -296,14 +296,15 @@ class LineDedupSink:
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from axonops_schema_registry_spark.llm.dedup import (
+            _packed_order,
             _reassemble_blocks,
             _word_blocks,
         )
 
         ex = _word_blocks(batch_df.select(self.id_col, self.text_col),
                           self.id_col, self.text_col, self.block_words)
-        packed = (F.col("id") * F.lit(1 << 20)
-                  + F.col("block_idx")).cast("bigint")
+        # shared loud bounds guard — batch and stream elect identically
+        packed = _packed_order()
         eligible = F.col("bwords") >= self.min_block_words
         firsts = (ex.filter(eligible)
                     .withColumn("__ord", packed)

@@ -1481,6 +1481,89 @@ def test_dsir_log_weights_match_pure_python_reference(spark):
     assert want[1][1] > want[4][1] and want[3][1] > want[4][1]
 
 
+def test_quality_filter_match_pure_python_reference(spark):
+    """qf1's NBSVM weights pinned against an independent pure-Python
+    simulator (own md5 bucketing, math.log, Decimal half-up rounding
+    to integer micro-units, exact integer dot product) — the dsir
+    independent-reference convention: the DuckDB oracle shares the
+    formula shape, so only this catches a bug in the shared math."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from axonops_schema_registry_spark.llm.sampling import (
+        quality_filter_scores,
+    )
+
+    texts = {1: "good fine good prose", 2: "fine good prose text",
+             3: "spam spam buy buy", 4: "buy spam now spam",
+             5: "good prose spam text"}
+    positive = {1, 2}
+    K = 64
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id bigint, text string")
+    pos = spark.createDataFrame([(i,) for i in sorted(positive)],
+                                "doc_id bigint")
+
+    def bucket(f: str) -> int:
+        return int(hashlib.md5(f.encode()).hexdigest()[:12], 16) % K
+
+    def feats(t: str) -> list:
+        ws = t.split(" ")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    doc_b: dict = {}
+    for d, t in texts.items():
+        cnts: dict = {}
+        for f in feats(t):
+            cnts[bucket(f)] = cnts.get(bucket(f), 0) + 1
+        doc_b[d] = cnts
+    allc: dict = {}
+    posc: dict = {}
+    for d, cnts in doc_b.items():
+        for b, c in cnts.items():
+            allc[b] = allc.get(b, 0) + c
+            if d in positive:
+                posc[b] = posc.get(b, 0) + c
+    na, np_ = sum(allc.values()), sum(posc.values())
+    one = Decimal("1")
+    w = {b: int(Decimal(repr(
+            ((math.log(posc.get(b, 0) + 1) - math.log(np_ + K))
+             - (math.log(ca - posc.get(b, 0) + 1)
+                - math.log(na - np_ + K))) * 1_000_000))
+            .quantize(one, ROUND_HALF_UP))
+         for b, ca in allc.items()}
+    want = {}
+    for d, cnts in doc_b.items():
+        score = sum(w[b] * c for b, c in cnts.items())
+        want[d] = (sum(cnts.values()), score, score > 0)
+
+    got = {r.doc_id: (r.n_feats, r.score_micro, r.keep)
+           for r in quality_filter_scores(docs, pos,
+                                          n_buckets=K).collect()}
+    assert got == want
+    # the planted contrast: reference-like docs keep, spam drops
+    assert want[1][2] and want[2][2]
+    assert not want[3][2] and not want[4][2]
+
+
+def test_quality_filter_empty_positive_degrades(spark):
+    """An EMPTY reference slice must degrade to a uniform positive LM
+    (every weight ≤ 0, nothing kept) instead of NULLing every score —
+    the dsir empty-target coalesce contract."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        quality_filter_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id bigint, text string")
+    empty = spark.createDataFrame([], "doc_id bigint")
+    rows = quality_filter_scores(docs, empty, n_buckets=64).collect()
+    assert len(rows) == 2
+    assert all(r.score_micro is not None and r.score_micro <= 0
+               and not r.keep for r in rows)
+
+
 def test_write_shards_round_trip_and_manifest(spark, sf_dir, tmp_path):
     """The export writer: shard_id=K/ parquet directories land on
     disk, the returned manifest (computed from the WRITTEN files) is
@@ -2110,6 +2193,27 @@ def test_line_dedup_keep_first_policy(spark):
         [(1, short), (2, short)], "doc_id bigint, text string")
     rows2 = {r.id: r for r in line_dedup(df2, "doc_id", "text").collect()}
     assert rows2[1].n_removed == 0 and rows2[2].n_removed == 0
+
+
+def test_line_dedup_packed_order_bounds_fail_loudly(spark):
+    """The packed-BIGINT election order is GUARDED, not just
+    documented (ADVICE r14): an id at/above 2^43 (or negative) raises
+    at execution instead of silently electing in packed-value order;
+    in-bounds ids right at the edge still work."""
+    import pytest
+    from axonops_schema_registry_spark.llm.dedup import line_dedup
+
+    blk = "a1 a2 a3 a4 a5"
+    for bad_id in (1 << 43, -1):
+        df = spark.createDataFrame(
+            [(bad_id, blk), (7, blk)], "doc_id bigint, text string")
+        with pytest.raises(Exception, match="out of bounds"):
+            line_dedup(df, "doc_id", "text").collect()
+    edge = (1 << 43) - 1                 # largest legal id: fine
+    df = spark.createDataFrame(
+        [(edge, blk), (7, blk)], "doc_id bigint, text string")
+    rows = {r.id: r for r in line_dedup(df, "doc_id", "text").collect()}
+    assert rows[7].n_removed == 0 and rows[edge].n_removed == 1
 
 
 def test_line_dedup_hashed_twin_identical(spark, sf_dir):

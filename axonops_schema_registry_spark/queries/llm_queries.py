@@ -3052,6 +3052,124 @@ GROUP BY id ORDER BY doc_id
 """
 
 
+def qf2_quality_gated_mixture(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Classifier-gated mixture — qf1 composed the way CCNet-class
+    pipelines actually consume a quality filter (score → select →
+    rebalance, the stage order of Wenzek et al. 2020 §4.3 feeding Rae
+    et al. 2021's non-proportional sampling): every document gets its
+    qf1 NBSVM score against the src0 reference slice, the top 300 by
+    score survive (rank selection, the dsir1 resample convention —
+    a sign threshold keeps nothing on a deliberately uniform fixture
+    corpus), and the temperature mixture (α=0.5, 150-doc budget)
+    rebalances the SURVIVORS per source.  One oracle replays the whole
+    classifier-fit → rank-gate → quota chain, so the driver
+    hash-checks the composition seams, not just the stages (the
+    cur2/cur3 convention).
+
+    Scale shape inherits the parts': broadcast ≤4096-row weight
+    table, one feature frame feeding fit and scoring, TakeOrdered
+    top-300 (the winner set broadcasts into the gate join), quota
+    math on a sources-sized aggregate."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        dataset_mixture,
+        quality_filter_scores,
+        temperature_quotas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("source") == "src0").select("doc_id")
+    top = (quality_filter_scores(docs, pos, n_buckets=4096)
+           .orderBy(F.desc("score_micro"), "doc_id").limit(300)
+           .select("doc_id"))
+    kept = docs.join(F.broadcast(top), "doc_id")
+    quotas = temperature_quotas(kept, budget=150)
+    manifest = dataset_mixture(kept, quotas.select("source", "quota"))
+    sel = (manifest.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_selected"),
+                F.sum("doc_id").alias("id_checksum"),
+                F.max("mix_rank").alias("max_rank")))
+    return (quotas.join(sel, "source", "left")
+            .select("source", "weight", "quota",
+                    F.coalesce("n_selected", F.lit(0)).cast("bigint")
+                    .alias("n_selected"),
+                    F.coalesce("id_checksum", F.lit(0)).cast("bigint")
+                    .alias("id_checksum"),
+                    F.coalesce("max_rank", F.lit(0)).cast("bigint")
+                    .alias("max_rank"))
+            .orderBy("source"))
+
+
+QF2_ORACLE = r"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS a
+            FROM documents),
+uni AS (SELECT doc_id, unnest(a) AS f FROM ws),
+bi AS (
+  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS f
+  FROM (SELECT doc_id, a,
+               unnest(generate_series(1, greatest(len(a) - 1, 0)))
+                 AS i
+        FROM ws)),
+feat AS MATERIALIZED (
+  SELECT doc_id AS id,
+         CAST(concat('0x', substr(md5(f), 1, 12)) AS BIGINT)
+           % 4096 AS b,
+         COUNT(*) AS cnt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY id, b),
+allc AS (SELECT b, SUM(cnt) AS ca FROM feat GROUP BY b),
+pos AS (SELECT b, SUM(cnt) AS cp
+        FROM feat JOIN documents d ON feat.id = d.doc_id
+        WHERE d.source = 'src0' GROUP BY b),
+nn AS (SELECT (SELECT SUM(ca) FROM allc) AS na,
+              (SELECT COALESCE(SUM(cp), 0) FROM pos) AS np),
+w AS (
+  SELECT b,
+         CAST(round(((ln(COALESCE(cp, 0) + 1) - ln(np + 4096))
+                     - (ln(ca - COALESCE(cp, 0) + 1)
+                        - ln(na - np + 4096))) * 1000000, 0)
+              AS BIGINT) AS w
+  FROM allc LEFT JOIN pos USING (b), nn),
+scored AS (
+  SELECT id, CAST(SUM(cnt * w) AS BIGINT) AS score_micro
+  FROM feat JOIN w USING (b) GROUP BY id),
+kept AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT id FROM scored
+        ORDER BY score_micro DESC, id LIMIT 300) t
+    ON d.doc_id = t.id),
+mass AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS m
+  FROM kept GROUP BY source),
+wts AS (SELECT source, CAST(FLOOR(SQRT(m)) AS BIGINT) AS weight
+        FROM mass),
+tw AS (SELECT CAST(SUM(weight) AS BIGINT) AS total FROM wts),
+quotas AS (
+  SELECT source, weight,
+         CAST((150 * weight) // total AS INT) AS quota
+  FROM wts, tw),
+ranked AS (
+  SELECT d.source, d.doc_id, q.quota,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY CAST(concat('0x',
+                    substr(md5(CAST(d.doc_id AS STRING)), 1, 12))
+                    AS BIGINT), d.doc_id) AS mix_rank
+  FROM kept d JOIN quotas q USING (source)),
+sel AS (
+  SELECT source, COUNT(*) AS n_selected,
+         CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+         MAX(mix_rank) AS max_rank
+  FROM ranked WHERE mix_rank <= quota GROUP BY source)
+SELECT q.source, q.weight, q.quota,
+       CAST(COALESCE(s.n_selected, 0) AS BIGINT) AS n_selected,
+       CAST(COALESCE(s.id_checksum, 0) AS BIGINT) AS id_checksum,
+       CAST(COALESCE(s.max_rank, 0) AS BIGINT) AS max_rank
+FROM quotas q LEFT JOIN sel s USING (source) ORDER BY q.source
+"""
+
+
 def shard1_export_manifest(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Training-shard export manifest (llm/export.py:shard_manifest):
@@ -5102,6 +5220,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("qf1_quality_filter", qf1_quality_filter, QF1_ORACLE,
               tags=("llm", "sampling", "quality", "agg"),
               bench=True),
+    QuerySpec("qf2_quality_gated_mixture", qf2_quality_gated_mixture,
+              QF2_ORACLE,
+              tags=("llm", "sampling", "quality", "composition")),
     QuerySpec("shard1_export_manifest", shard1_export_manifest,
               SHARD1_ORACLE, tags=("llm", "export", "agg")),
     QuerySpec("cur2_cut_select_export", cur2_cut_select_export,

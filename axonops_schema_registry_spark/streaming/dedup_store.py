@@ -1811,3 +1811,207 @@ def embedding_dedup_flags(vecs: DataFrame, id_col: str = "vec_id",
                        .alias("table", "bucket")))
     pairs = _semantic_pairs(buckets, buckets, v0, threshold)
     return _first_wins(v0.select("__id"), pairs, id_col)
+
+
+class LineDedupStore:
+    """Persistent BLOCK-keyed line-dedup store — ln1's out-of-order
+    repair domain (VERDICT r14 ask #5): ``LineDedupSink`` documents
+    out-of-order arrival as "the persistent store's repair domain";
+    this is that store.  State is the first-occurrence election per
+    block key plus each epoch's segmented blocks, all epoch-partitioned
+    parquet, so a late-arriving batch whose doc ids SORT BEFORE
+    already-stored documents can be repaired to the exact batch
+    :func:`...llm.dedup.line_dedup` answer without reprocessing the
+    stream.
+
+    Per-batch semantics are the SINK's (keep-first by arrival): a block
+    key seen in any earlier epoch cuts every copy in this batch; within
+    the batch the smallest packed (id, block_idx) keeps (the shared
+    :func:`...llm.dedup._packed_order` guard applies — out-of-bounds
+    corpora fail loudly here too).  Under ordered id arrival that IS
+    the batch answer (pinned in tests); under out-of-order arrival the
+    arrival-first keeper and the batch-global winner diverge for the
+    late keys only, and :meth:`repair` moves the keep — the delta is
+    exactly {arrival keeper doc, batch winner doc} per changed key.
+
+    Exactly-once under foreachBatch's at-least-once contract: reads
+    filter ``epoch < current``, writes overwrite ``epoch=<id>``
+    partitions — a replayed epoch recomputes identical output from
+    identical prior state (the BucketedDedupStore contract).
+
+    Repair cost shape: victims are found on the ELECTIONS table alone
+    (bounded by distinct block keys, never corpus rows); only the
+    affected documents' blocks are re-cleaned against the global
+    election, and corrections land as replace-only delta overlays
+    (``repairs/rep_<k>``) that :meth:`all_results` applies latest-wins
+    — cost follows the LATE BATCH's key set, not the store.  At 100 TB
+    bucket ``blocks/`` by id so the affected-doc re-read prunes files
+    (documented, not needed at test scale).
+
+    State grows with corpus BLOCKS (unlike the content-bounded sink
+    set) because re-cleaning a document needs its block text back; the
+    blocks table is the price of repairability, and compaction of
+    superseded result partitions follows the _EpochStore pattern when
+    needed."""
+
+    def __init__(self, spark: SparkSession, store_dir: str,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 block_words: int = 10, min_block_words: int = 5,
+                 hash_blocks: bool = False) -> None:
+        self.spark = spark
+        self.store_dir = store_dir
+        self.id_col, self.text_col = id_col, text_col
+        self.block_words = block_words
+        self.min_block_words = min_block_words
+        self.hash_blocks = hash_blocks
+        self.blocks_dir = os.path.join(store_dir, "blocks")
+        self.elections_dir = os.path.join(store_dir, "elections")
+        self.results_dir = os.path.join(store_dir, "results")
+        self.repairs_dir = os.path.join(store_dir, "line_repairs")
+        os.makedirs(store_dir, exist_ok=True)
+
+    # -- shared segmentation ----------------------------------------------
+
+    def _segmented(self, docs: DataFrame) -> DataFrame:
+        """(id, block_idx, btext, bwords, __bkey, __ord) — the exact
+        line_dedup segmentation + key + guarded packed order."""
+        from axonops_schema_registry_spark.llm.dedup import (
+            _packed_order,
+            _word_blocks,
+        )
+
+        ex = _word_blocks(docs.select(self.id_col, self.text_col),
+                          self.id_col, self.text_col, self.block_words)
+        key = (F.xxhash64("btext") if self.hash_blocks
+               else F.col("btext")).alias("__bkey")
+        return ex.select("id", "block_idx", "btext", "bwords", key,
+                         _packed_order().alias("__ord"))
+
+    def _eligible(self):
+        return F.col("bwords") >= self.min_block_words
+
+    # -- ingestion ----------------------------------------------------------
+
+    def process_batch(self, new_docs: DataFrame,
+                      epoch_id: int) -> DataFrame:
+        """Clean one epoch's batch against the stored elections,
+        (re)write its epoch partitions, return the cleaned
+        (id, n_blocks, n_removed, cleaned_text)."""
+        from axonops_schema_registry_spark.llm.dedup import (
+            _reassemble_blocks,
+        )
+
+        ex = self._segmented(new_docs).localCheckpoint(eager=True)
+        batch_el = (ex.filter(self._eligible())
+                    .groupBy("__bkey")
+                    .agg(F.min("__ord").alias("__first")))
+        stored = _read_epochs(self.spark, self.elections_dir,
+                              before_epoch=epoch_id)
+        flagged = ex.join(batch_el, "__bkey", "left")
+        if stored is not None:
+            seen = (stored.select("__bkey").distinct()
+                    .withColumn("__seen", F.lit(True)))
+            flagged = flagged.join(seen, "__bkey", "left")
+        else:
+            flagged = flagged.withColumn("__seen",
+                                         F.lit(None).cast("boolean"))
+        out = _reassemble_blocks(
+            flagged.withColumn(
+                "__keep",
+                ~self._eligible()
+                | (F.col("__seen").isNull()
+                   & (F.col("__first") == F.col("__ord"))))) \
+            .localCheckpoint(eager=True)
+        for frame, path in ((ex, self.blocks_dir),
+                            (batch_el, self.elections_dir),
+                            (out, self.results_dir)):
+            frame.write.mode("overwrite").parquet(
+                os.path.join(path, f"epoch={epoch_id}"))
+        release_checkpoint(ex)
+        return out
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        out = self.process_batch(batch_df, int(epoch_id))
+        release_checkpoint(out)
+
+    # -- reads --------------------------------------------------------------
+
+    def _repair_dirs(self) -> list[str]:
+        if not os.path.isdir(self.repairs_dir):
+            return []
+        return sorted(
+            (os.path.join(self.repairs_dir, d)
+             for d in os.listdir(self.repairs_dir)
+             if d.startswith("rep_")),
+            key=lambda p: int(os.path.basename(p).split("_")[1]))
+
+    def all_results(self) -> DataFrame | None:
+        """Every stored cleaned document with repair overlays applied
+        latest-wins: (id, n_blocks, n_removed, cleaned_text)."""
+        base = _read_epochs(self.spark, self.results_dir,
+                            before_epoch=1 << 62)
+        if base is None:
+            return None
+        cols = ["id", "n_blocks", "n_removed", "cleaned_text"]
+        out = base.select(*cols)
+        for rep in self._repair_dirs():
+            delta = self.spark.read.parquet(rep).select(*cols)
+            out = (out.join(delta.select("id").withColumn(
+                       "__hit", F.lit(True)), "id", "left")
+                   .filter(F.col("__hit").isNull()).drop("__hit")
+                   .unionByName(delta))
+        return out
+
+    # -- out-of-order repair --------------------------------------------
+
+    def repair(self) -> int:
+        """Move every keep from its arrival-first keeper to the
+        batch-global winner; returns the number of repaired documents.
+
+        Victim detection runs on the ELECTIONS table alone: for each
+        block key, the arrival owner is the election row of the
+        earliest epoch containing it (under the sink rule, later
+        epochs always cut stored keys), the batch winner is the global
+        packed min; they differ exactly when a later epoch carried a
+        smaller (id, block_idx).  Affected docs = both sides' doc ids
+        (packed DIV 2^20 — the shared bit split); each is re-cleaned
+        against the GLOBAL election and committed as a replace-only
+        delta overlay.  Idempotent: a second repair finds the same
+        winners and writes an identical delta."""
+        from axonops_schema_registry_spark.llm.dedup import (
+            _PACK_BLOCK_BITS,
+            _reassemble_blocks,
+        )
+
+        if not (os.path.isdir(self.elections_dir)
+                and any(d.startswith("epoch=")
+                        for d in os.listdir(self.elections_dir))):
+            return 0
+        el = self.spark.read.parquet(self.elections_dir)
+        per_key = (el.groupBy("__bkey")
+                   .agg(F.min("__first").alias("__gmin"),
+                        F.min_by("__first", "epoch").alias("__own")))
+        changed = per_key.filter(F.col("__gmin") < F.col("__own"))
+        doc_of = (lambda c: (F.col(c) / F.lit(1 << _PACK_BLOCK_BITS))
+                  .cast("bigint"))
+        affected = (changed.select(doc_of("__gmin").alias("id"))
+                    .unionByName(
+                        changed.select(doc_of("__own").alias("id")))
+                    .distinct().localCheckpoint(eager=True))
+        n = affected.count()
+        if n == 0:
+            release_checkpoint(affected)
+            return 0
+        gwin = el.groupBy("__bkey").agg(F.min("__first").alias("__gw"))
+        blocks = self.spark.read.parquet(self.blocks_dir)
+        mine = blocks.join(F.broadcast(affected), "id")
+        corrected = _reassemble_blocks(
+            mine.join(gwin, "__bkey", "left")
+                .withColumn("__keep",
+                            ~self._eligible()
+                            | (F.col("__gw") == F.col("__ord"))))
+        k = len(self._repair_dirs())
+        corrected.write.mode("overwrite").parquet(
+            os.path.join(self.repairs_dir, f"rep_{k}"))
+        release_checkpoint(affected)
+        return n

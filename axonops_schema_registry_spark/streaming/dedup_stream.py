@@ -250,8 +250,10 @@ class LineDedupSink:
     ``line_dedup`` over the full corpus, because the stream's
     first-seen block is then also the batch operator's smallest
     (id, block_idx) elector (pinned by tests/test_streaming.py).
-    Out-of-order arrival is the persistent store's repair domain
-    (dedup_store), exactly as for the document-level sink above.
+    Out-of-order arrival is the persistent store's repair domain —
+    concretely ``dedup_store.LineDedupStore.repair()`` (r15), which
+    moves each keep from its arrival-first keeper to the batch-global
+    winner — exactly as for the document-level sink above.
 
     State: (block text, first_epoch) — grows with distinct CONTENT,
     not with the corpus; eagerly localCheckpoint-ed per epoch

@@ -332,6 +332,10 @@ def test_curation_pipeline_r10_surface(spark, sf_dir, tmp_path):
     w = cp.dsir_weights(target)
     assert w.count() == cp.docs.count()
     assert {"doc_id", "n_feats", "log_weight"} == set(w.columns)
+    qf = cp.quality_filter(target)
+    assert qf.count() == cp.docs.count()
+    assert {"doc_id", "n_feats", "score_micro", "keep"} \
+        == set(qf.columns)
     manifest = cp.export_shards(str(tmp_path / "sh"), n_shards=4)
     assert manifest.agg(F.sum("n_docs")).first()[0] == cp.docs.count()
 
@@ -1545,6 +1549,25 @@ def test_quality_filter_match_pure_python_reference(spark):
     # the planted contrast: reference-like docs keep, spam drops
     assert want[1][2] and want[2][2]
     assert not want[3][2] and not want[4][2]
+
+
+def test_quality_gated_mixture_invariants(spark, sf_dir):
+    """qf2's composition seams: every emitted source exists among the
+    gated survivors, each source selects exactly min(quota, available)
+    documents, and the total selection never exceeds the budget."""
+    from axonops_schema_registry_spark.queries.llm_queries import (
+        qf2_quality_gated_mixture,
+    )
+
+    rows = qf2_quality_gated_mixture(spark, sf_dir).collect()
+    assert rows, "gated mixture emitted nothing"
+    assert sum(r.n_selected for r in rows) <= 150
+    for r in rows:
+        assert r.n_selected <= r.quota
+        assert (r.max_rank == r.n_selected), \
+            "selection must be the rank-prefix of the hash order"
+        if r.n_selected:
+            assert r.id_checksum > 0
 
 
 def test_quality_filter_empty_positive_degrades(spark):

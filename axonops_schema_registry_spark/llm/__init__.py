@@ -276,6 +276,18 @@ class CurationPipeline:
                                      self.id_col, self.text_col,
                                      n_buckets)
 
+    def perplexity_buckets(self, n_buckets: int = 3):
+        """CCNet head/middle/tail partition of the corpus by
+        per-source unigram-LM perplexity rank (ccb1): per document
+        (id, source, n_tokens, mean_surprisal, bucket, label)."""
+        from axonops_schema_registry_spark.llm.text import (
+            perplexity_buckets,
+        )
+
+        return perplexity_buckets(self.docs, self.id_col,
+                                  self.text_col, self.source_col,
+                                  n_buckets)
+
     def export_shards(self, out_dir: str, n_shards: int = 16):
         """Write the corpus as hash-sharded parquet directories and
         return the checksummed manifest receipt (shard1)."""

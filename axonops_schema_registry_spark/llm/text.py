@@ -256,6 +256,57 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
                  .alias("mean_surprisal")))
 
 
+def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       source_col: str = "source",
+                       n_buckets: int = 3) -> DataFrame:
+    """CCNet head/middle/tail partitioning (Wenzek et al. 2020 §4.2,
+    public — the stage that made CCNet famous): within each source,
+    documents are ranked by LM perplexity and split into equal-COUNT
+    buckets; ``head`` (lowest surprisal — the most Wikipedia-like
+    text) is what high-quality pretraining mixes keep, ``tail`` is
+    what they drop or downweight.  Scoring reuses
+    :func:`unigram_surprisal` verbatim (the ppl1 float discipline —
+    per-vocab-entry rounding, exact decimal per-doc sums), so the
+    bucket boundary replays bit-for-bit in an independent engine.
+
+    Buckets are RANK-based, not value-threshold-based — bucket =
+    ⌊(rank−1)·n/count⌋ over the deterministic (mean_surprisal, id)
+    order — because a value threshold (percentile interpolation)
+    differs across engines, the exact trap the rank form removes; the
+    CCNet paper's terciles are equal-count too.  Returns per document
+    (id, source, n_tokens, mean_surprisal, bucket, bucket_label) with
+    bucket 0 = head; labels head/middle/tail when ``n_buckets`` is 3,
+    else ``b<k>``.
+
+    Scale shape: the LM fit/score is ppl1's (vocab-bounded, broadcast
+    score table); the only added cost is one rank window per source
+    plus a sources-sized count aggregate (broadcast back) — at 100 TB
+    the per-source window shards by hash-range segments exactly like
+    ``sampling.dataset_mixture_segmented`` (rank within segment +
+    broadcast per-segment offsets), documented there."""
+    from pyspark.sql import Window
+
+    scored = unigram_surprisal(docs, id_col, text_col)
+    src = docs.select(F.col(id_col), F.col(source_col).alias("source"))
+    j = scored.join(src, id_col)
+    cnt = j.groupBy("source").agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy("source").orderBy("mean_surprisal", id_col)
+    return (j.withColumn("__r", F.row_number().over(w))
+            .join(F.broadcast(cnt), "source")
+            .withColumn("bucket",
+                        F.expr(f"CAST(((__r - 1) * {int(n_buckets)}) "
+                               f"DIV __cnt AS INT)"))
+            .withColumn("bucket_label",
+                        F.when(F.lit(n_buckets != 3),
+                               F.concat(F.lit("b"), F.col("bucket")))
+                        .when(F.col("bucket") == 0, "head")
+                        .when(F.col("bucket") == 1, "middle")
+                        .otherwise("tail"))
+            .select(id_col, "source", "n_tokens", "mean_surprisal",
+                    "bucket", "bucket_label"))
+
+
 def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", ngram: int = 3) -> DataFrame:
     """Per-document n-gram NOVELTY — the fraction of a document's

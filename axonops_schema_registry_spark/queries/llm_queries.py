@@ -1416,6 +1416,78 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def ccb1_perplexity_buckets(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning
+    (llm/text.py:perplexity_buckets — Wenzek et al. 2020 §4.2, the
+    stage the CCNet pipeline is named for): within each source,
+    documents rank by ppl1's unigram surprisal and split into three
+    equal-count buckets; head (most Wikipedia-like) is what quality
+    mixes keep.  Buckets are RANK-based over the deterministic
+    (mean_surprisal, doc_id) order — a value-threshold percentile
+    would interpolate differently across engines; equal-count is also
+    what the paper does.  Emitted as the per-(source, bucket) release
+    rollup (doc count, token mass, id checksum, surprisal range) so
+    the oracle hash pins every document's bucket assignment through
+    the checksum.
+
+    Scale shape: ppl1's vocab-bounded broadcast scoring + one rank
+    window per source (the mix2 hash-range segmentation is the
+    documented 100 TB shard for the rank) + a sources-sized count
+    broadcast; the rollup is a 3·sources-row aggregate."""
+    from axonops_schema_registry_spark.llm.text import (
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (perplexity_buckets(docs)
+            .groupBy("source", "bucket", "bucket_label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("token_mass"),
+                 F.sum("doc_id").cast("bigint").alias("id_checksum"),
+                 F.min("mean_surprisal").alias("min_surprisal"),
+                 F.max("mean_surprisal").alias("max_surprisal"))
+            .orderBy("source", "bucket"))
+
+
+CCB1_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM vocab),
+scores AS (
+  SELECT t, round(-ln(c / n), 6) AS s FROM vocab, tot),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         round(CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*), 4) AS mean_surprisal
+  FROM tok JOIN scores USING (t)
+  GROUP BY doc_id),
+ranked AS (
+  SELECT s.doc_id, d.source, s.n_tokens, s.mean_surprisal,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.mean_surprisal, s.doc_id)
+           AS r,
+         COUNT(*) OVER (PARTITION BY d.source) AS cnt
+  FROM scored s JOIN documents d USING (doc_id)),
+bucketed AS (
+  SELECT *, CAST(((r - 1) * 3) // cnt AS INT) AS bucket FROM ranked)
+SELECT source, bucket,
+       CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket_label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS token_mass,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       MIN(mean_surprisal) AS min_surprisal,
+       MAX(mean_surprisal) AS max_surprisal
+FROM bucketed GROUP BY source, bucket ORDER BY source, bucket
+"""
+
+
 def mm4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV PCM16 sample decode (stdlib struct + numpy, no codec
     libs) — the PNG-pixel playbook applied to audio: a PCM WAV is
@@ -5304,6 +5376,9 @@ SPECS: list[QuerySpec] = [
               tags=("llm", "multimodal", "udf")),
     QuerySpec("ppl1_unigram_perplexity", ppl1_unigram_perplexity,
               PPL1_ORACLE, tags=("llm", "text", "quality", "agg")),
+    QuerySpec("ccb1_perplexity_buckets", ccb1_perplexity_buckets,
+              CCB1_ORACLE,
+              tags=("llm", "text", "quality", "window", "agg")),
     QuerySpec("mm2_header_decode", mm2_header_decode, MM2_ORACLE,
               tags=("llm", "multimodal")),
     QuerySpec("smp1_stratified_sample", smp1_stratified_sample,

@@ -98,6 +98,41 @@ def test_line_store_out_of_order_repair_equals_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_line_store_foreachbatch_out_of_order_stream(spark, tmp_path):
+    """End-to-end wiring: a structured-streaming file source delivers
+    the HIGH-id file first and the low-id file second (out-of-order
+    arrival through a real foreachBatch query), then one repair()
+    converges the persisted results to the batch answer."""
+    import os
+
+    e0 = [(10, f"{BLK_A} {BLK_B}"), (11, BLK_B)]
+    late = [(1, BLK_A), (2, f"{BLK_B} {BLK_C}")]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate((e0, late)):
+        part_dir = str(tmp_path / f"b{i}")
+        _mkdocs(spark, rows).coalesce(1).write.parquet(part_dir)
+        part = next(p for p in os.listdir(part_dir)
+                    if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part-{i}.parquet")
+        import shutil as sh
+        sh.copy(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    store = _store(spark, str(tmp_path / "store"))
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(store)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    want = _batch_want(spark, e0 + late)
+    assert _got(store) != want          # arrival-first until repaired
+    assert store.repair() > 0
+    assert _got(store) == want
+
+
 def test_line_store_repair_seeded_fuzz(spark):
     """Seeded random corpora split into shuffled-id epochs: repair
     always converges the store to the batch answer (the

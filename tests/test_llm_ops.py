@@ -1551,6 +1551,35 @@ def test_quality_filter_match_pure_python_reference(spark):
     assert not want[3][2] and not want[4][2]
 
 
+def test_perplexity_buckets_planted(spark):
+    """CCNet head/middle/tail semantics on a planted corpus: within
+    each source the common-word doc lands in head, the gibberish doc
+    in tail, counts are equal per bucket; the non-3 bucket count path
+    uses b<k> labels."""
+    from axonops_schema_registry_spark.llm.text import (
+        perplexity_buckets,
+    )
+
+    common = "the the the the"                # corpus-frequent: low -ln p
+    mixed = "the the zq1 zq2"
+    rare = "xx9 yy8 ww7 vv6"                  # singletons: high surprisal
+    rows = []
+    for s, base in (("a", 0), ("b", 10)):
+        rows += [(base + 1, common, s), (base + 2, mixed, s),
+                 (base + 3, rare, s)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    got = {(r.source, r.doc_id % 10): r.bucket_label
+           for r in perplexity_buckets(docs).collect()}
+    for s in ("a", "b"):
+        assert got[(s, 1)] == "head"
+        assert got[(s, 2)] == "middle"
+        assert got[(s, 3)] == "tail"
+    two = {r.bucket_label
+           for r in perplexity_buckets(docs, n_buckets=2).collect()}
+    assert two == {"b0", "b1"}
+
+
 def test_quality_gated_mixture_invariants(spark, sf_dir):
     """qf2's composition seams: every emitted source exists among the
     gated survivors, each source selects exactly min(quota, available)

@@ -276,6 +276,18 @@ class CurationPipeline:
                                      self.id_col, self.text_col,
                                      n_buckets)
 
+    def token_budget_mixture(self, budgets):
+        """Token-budget mixture manifest (mix5 — 'give me N tokens
+        per source'): hash-order prefix per source whose inclusive
+        cumulative token count stays within ``budgets``'s
+        (source, token_budget) rows."""
+        from axonops_schema_registry_spark.llm.sampling import (
+            token_budget_mixture,
+        )
+
+        return token_budget_mixture(self.docs, budgets, self.id_col,
+                                    self.source_col, self.text_col)
+
     def perplexity_buckets(self, n_buckets: int = 3):
         """CCNet head/middle/tail partition of the corpus by
         per-source unigram-LM perplexity rank (ccb1): per document

@@ -123,6 +123,46 @@ def dataset_mixture(docs: DataFrame, quotas: DataFrame,
                 .drop("__h", "quota"))
 
 
+def token_budget_mixture(docs: DataFrame, budgets: DataFrame,
+                         key_col: str = "doc_id",
+                         source_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """TOKEN-budget mixture manifest — the 'give me N tokens per
+    source' form of :func:`dataset_mixture`: trainers budget tokens,
+    not documents (Rae et al. 2021 table A3 states its mix as token
+    shares; every sampling config in that lineage does), so each
+    source contributes documents in the same deterministic hash order
+    until its token budget fills.  Selection is the PREFIX whose
+    inclusive cumulative token count stays ≤ budget (the cumulative
+    sum is monotone, so the filter is a clean prefix — the first
+    overflowing document and everything after it are excluded; a
+    skip-and-continue knapsack would select a hash-order-dependent
+    scatter and is deliberately not offered).
+
+    ``budgets`` is a tiny (source, token_budget) table — broadcast.
+    Returns the selected rows + per-source ``mix_rank`` and inclusive
+    ``cum_tokens``.
+
+    Scale shape: token counts are a row-local ``size(split(...))``
+    off the scan; one window per source for (rank, running sum) —
+    state bounded per source, and the mix2 hash-range segmentation
+    applies verbatim when one source outgrows a task (rank and
+    running sum both shard by segment + broadcast offsets)."""
+    h = portable_hash(F.col(key_col).cast("string"))
+    ntok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    w = (Window.partitionBy(source_col).orderBy("__h", key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wr = Window.partitionBy(source_col).orderBy("__h", key_col)
+    return (docs.withColumn("__h", h)
+                .withColumn("__nt", ntok)
+                .join(F.broadcast(budgets), source_col)
+                .withColumn("cum_tokens", F.sum("__nt").over(w))
+                .withColumn("mix_rank",
+                            F.row_number().over(wr).cast("bigint"))
+                .filter(F.col("cum_tokens") <= F.col("token_budget"))
+                .drop("__h", "__nt", "token_budget"))
+
+
 def dataset_mixture_segmented(docs: DataFrame, quotas: DataFrame,
                               n_segments: int = 16,
                               key_col: str = "doc_id",

@@ -289,7 +289,12 @@ def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
 
     scored = unigram_surprisal(docs, id_col, text_col)
     src = docs.select(F.col(id_col), F.col(source_col).alias("source"))
-    j = scored.join(src, id_col)
+    # materialized ONCE (lazy checkpoint): the scored frame feeds BOTH
+    # the per-source count and the rank window, and Spark does not
+    # reuse the exchange across them — without this the corpus-scale
+    # explode+score subtree runs twice (the dsir/_hashed_ngram_counts
+    # lesson)
+    j = scored.join(src, id_col).localCheckpoint(eager=False)
     cnt = j.groupBy("source").agg(F.count(F.lit(1)).alias("__cnt"))
     w = Window.partitionBy("source").orderBy("mean_surprisal", id_col)
     return (j.withColumn("__r", F.row_number().over(w))

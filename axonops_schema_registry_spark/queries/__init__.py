@@ -30,26 +30,27 @@ WINDOW_FAMILIES: tuple[str, ...] = (
 
 _PRIORITY: tuple[str, ...] = (
     # Round-15 rotation (VERDICT r14 ask #2, oldest-first with the
-    # family constraint): the 3 specs NEW this round lead (never
-    # driver-sampled), then 45 of the 47 r11-green specs at the
+    # family constraint): the 4 specs NEW this round lead (never
+    # driver-sampled), then 44 of the 47 r11-green specs at the
     # freshness floor (recomputed from the CORRECTNESS_r01–r14
     # union), then 2 r12-green fillers chosen to close the family
     # holes the r11 tier leaves (it contains no compat- and no
     # streaming-family spec): c1_compatibility_matrix (compat) +
-    # st2_filtered_cef_lines (streaming).  3 + 45 + 2 = 50; TWO
+    # st2_filtered_cef_lines (streaming).  4 + 44 + 2 = 50; THREE
     # r11 specs overflow and carry to r16 (named per the r14
-    # verdict's done-clause): q18_large_orders and
-    # q14_promo_revenue_share — TPC-shaped relational tail specs,
-    # guarded by tests/test_queries_oracle.py meanwhile.  After this
-    # round the freshness floor is r11 on exactly those two specs,
-    # r12 on the remaining 48.
+    # verdict's done-clause): q18_large_orders,
+    # q14_promo_revenue_share and q10_returned_items — TPC-shaped
+    # relational tail specs, guarded by tests/test_queries_oracle.py
+    # meanwhile.  After this round the freshness floor is r11 on
+    # exactly those three specs, r12 on the remaining 48.
     # -- new in r15 (never driver-sampled)
     "qf1_quality_filter", "qf2_quality_gated_mixture",
-    "ccb1_perplexity_buckets",
-    # -- 45 of the 47 r11-green specs (freshness floor), bespoke
+    "ccb1_perplexity_buckets", "mix5_token_budget_mixture",
+    # -- 44 of the 47 r11-green specs (freshness floor), bespoke
     #    LLM/dedup/similarity/registry families ahead of the
     #    TPC-shaped relational tail (q18_large_orders +
-    #    q14_promo_revenue_share deferred, see note above)
+    #    q14_promo_revenue_share + q10_returned_items deferred, see
+    #    note above)
     "dd1_exact_dedup", "dd3_simhash_dedup", "dd4_dedup_clusters",
     "dd5_cross_source_dup_matrix", "dd8_quality_representatives",
     "es3_decontamination_cut", "sem1_semantic_dedup",
@@ -69,7 +70,6 @@ _PRIORITY: tuple[str, ...] = (
     "w1_latest_per_subject", "w2_listing_with_latest_flag",
     "w3_content_addressed_ids", "w5_prior_version_delta",
     "q1_pricing_summary", "q6_forecast_revenue", "q7_nation_volume",
-    "q10_returned_items",
     # -- 2 r12-green family fillers (see note above)
     "c1_compatibility_matrix", "st2_filtered_cef_lines",
 )

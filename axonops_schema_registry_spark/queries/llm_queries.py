@@ -1800,6 +1800,81 @@ FROM quotas q LEFT JOIN sel s USING (source) ORDER BY q.source
 """
 
 
+def mix5_token_budget_mixture(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Token-budget mixture (llm/sampling.py:token_budget_mixture —
+    the 'give me N tokens per source' form trainers actually budget
+    in, Rae et al. 2021 table A3 states mixes as token shares): each
+    source contributes documents in the mix1 deterministic hash order
+    until an inclusive cumulative 2,000-token budget fills (prefix
+    semantics — monotone running sum, so the cut is engine-exact).
+    Emitted as the per-source receipt (selected docs, tokens landed,
+    id checksum, last rank) with zero-rows kept via the budget-side
+    left join.
+
+    Scale shape: token counts row-local off the scan; one per-source
+    (rank, running-sum) window — mix2's hash-range segmentation is
+    the documented shard when a source outgrows a task."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        token_budget_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = (docs.select("source").distinct()
+               .withColumn("token_budget", F.lit(2000)))
+    manifest = token_budget_mixture(docs, budgets)
+    sel = (manifest.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_selected"),
+                F.max("cum_tokens").alias("tokens_selected"),
+                F.sum("doc_id").alias("id_checksum"),
+                F.max("mix_rank").alias("max_rank")))
+    return (budgets.join(sel, "source", "left")
+            .select("source",
+                    F.col("token_budget").cast("bigint")
+                    .alias("token_budget"),
+                    F.coalesce("n_selected", F.lit(0)).cast("bigint")
+                    .alias("n_selected"),
+                    F.coalesce("tokens_selected", F.lit(0))
+                    .cast("bigint").alias("tokens_selected"),
+                    F.coalesce("id_checksum", F.lit(0)).cast("bigint")
+                    .alias("id_checksum"),
+                    F.coalesce("max_rank", F.lit(0)).cast("bigint")
+                    .alias("max_rank"))
+            .orderBy("source"))
+
+
+MIX5_ORACLE = """
+WITH b AS (SELECT DISTINCT source, 2000 AS token_budget
+           FROM documents),
+r AS (
+  SELECT source, doc_id,
+         len(string_split(text, ' ')) AS nt,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS STRING)), 1, 12))
+              AS BIGINT) AS h
+  FROM documents),
+cum AS (
+  SELECT source, doc_id,
+         SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+           AS mix_rank
+  FROM r),
+sel AS (
+  SELECT source, COUNT(*) AS n_selected,
+         MAX(cum_tokens) AS tokens_selected,
+         SUM(doc_id) AS id_checksum,
+         MAX(mix_rank) AS max_rank
+  FROM cum WHERE cum_tokens <= 2000 GROUP BY source)
+SELECT b.source, CAST(b.token_budget AS BIGINT) AS token_budget,
+       CAST(COALESCE(s.n_selected, 0) AS BIGINT) AS n_selected,
+       CAST(COALESCE(s.tokens_selected, 0) AS BIGINT)
+         AS tokens_selected,
+       CAST(COALESCE(s.id_checksum, 0) AS BIGINT) AS id_checksum,
+       CAST(COALESCE(s.max_rank, 0) AS BIGINT) AS max_rank
+FROM b LEFT JOIN sel s USING (source) ORDER BY b.source
+"""
+
+
 def mix4_exact_budget_quotas(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Largest-remainder exact-budget quotas (VERDICT r12 ask #5 —
@@ -3151,9 +3226,12 @@ def qf2_quality_gated_mixture(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents")
     pos = docs.filter(F.col("source") == "src0").select("doc_id")
+    # the 300-row winner set feeds BOTH quota math and the mixture
+    # window through `kept`; lazily checkpointed so the classifier
+    # scoring runs once, not once per consumer (the ccb1/dsir lesson)
     top = (quality_filter_scores(docs, pos, n_buckets=4096)
            .orderBy(F.desc("score_micro"), "doc_id").limit(300)
-           .select("doc_id"))
+           .select("doc_id").localCheckpoint(eager=False))
     kept = docs.join(F.broadcast(top), "doc_id")
     quotas = temperature_quotas(kept, budget=150)
     manifest = dataset_mixture(kept, quotas.select("source", "quota"))
@@ -5392,6 +5470,8 @@ SPECS: list[QuerySpec] = [
               MIX3_ORACLE, tags=("llm", "sampling", "agg")),
     QuerySpec("mix4_exact_budget_quotas", mix4_exact_budget_quotas,
               MIX4_ORACLE, tags=("llm", "sampling", "agg")),
+    QuerySpec("mix5_token_budget_mixture", mix5_token_budget_mixture,
+              MIX5_ORACLE, tags=("llm", "sampling", "window", "agg")),
     QuerySpec("vg1_vocab_growth", vg1_vocab_growth, VG1_ORACLE,
               tags=("llm", "text", "agg", "window")),
 ]

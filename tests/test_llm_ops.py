@@ -1551,6 +1551,41 @@ def test_quality_filter_match_pure_python_reference(spark):
     assert not want[3][2] and not want[4][2]
 
 
+def test_token_budget_mixture_prefix_semantics(spark):
+    """mix5's contract on a planted corpus: selection is the PREFIX of
+    the hash order whose inclusive cumulative tokens stays <= budget —
+    the first overflowing doc and everything after it are excluded; a
+    source whose budget is 0 selects nothing but still appears in the
+    budget-side frame."""
+    from pyspark.sql import functions as F
+
+    from axonops_schema_registry_spark.llm.sampling import (
+        portable_hash,
+        token_budget_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(4)), "a")
+         for i in range(10)]
+        + [(100, "lone doc here", "z")],
+        "doc_id bigint, text string, source string")
+    budgets = spark.createDataFrame(
+        [("a", 10), ("z", 0)], "source string, token_budget bigint")
+    got = token_budget_mixture(docs, budgets).collect()
+    assert all(r.source == "a" for r in got)      # z's budget is 0
+    assert len(got) == 2                          # 4+4 <= 10 < 4+4+4
+    # the selected pair must be the 2 smallest-hash docs of source a
+    order = sorted(
+        (int(h[0]), i) for i, h in
+        ((r.doc_id, docs.filter(F.col("doc_id") == r.doc_id)
+          .select(portable_hash(F.col("doc_id").cast("string")))
+          .collect()[0]) for r in docs.filter("source='a'").collect()))
+    want_ids = {i for _, i in order[:2]}
+    assert {r.doc_id for r in got} == want_ids
+    assert sorted(r.mix_rank for r in got) == [1, 2]
+    assert max(r.cum_tokens for r in got) == 8
+
+
 def test_perplexity_buckets_planted(spark):
     """CCNet head/middle/tail semantics on a planted corpus: within
     each source the common-word doc lands in head, the gibberish doc

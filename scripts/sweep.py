@@ -63,7 +63,12 @@ def sweep(spark, name: str, runs: int, best: float | None) -> float:
     from axonops_schema_registry_spark.queries import SPEC_BY_NAME
 
     spec = SPEC_BY_NAME[name]
-    spec.build(spark, "/root/testdata/sf0.001").collect()  # warm-up
+    # two-stage warm-up: sf0.001 compiles the plan, then ONE untimed
+    # full-SF run warms the page cache and JIT on real data — without
+    # it a sub-second query's floor reads ~25-40% high vs its
+    # bench-context draw (the r15 w1 datum, BASELINE.md)
+    spec.build(spark, "/root/testdata/sf0.001").collect()
+    spec.build(spark, SF_DIR).collect()
     times = []
     for i in range(runs):
         spark.catalog.clearCache()

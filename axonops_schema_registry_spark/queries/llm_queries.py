@@ -5372,7 +5372,8 @@ SPECS: list[QuerySpec] = [
               bench=True),
     QuerySpec("qf2_quality_gated_mixture", qf2_quality_gated_mixture,
               QF2_ORACLE,
-              tags=("llm", "sampling", "quality", "composition")),
+              tags=("llm", "sampling", "quality", "composition"),
+              bench=True),
     QuerySpec("shard1_export_manifest", shard1_export_manifest,
               SHARD1_ORACLE, tags=("llm", "export", "agg")),
     QuerySpec("cur2_cut_select_export", cur2_cut_select_export,
@@ -5456,7 +5457,8 @@ SPECS: list[QuerySpec] = [
               PPL1_ORACLE, tags=("llm", "text", "quality", "agg")),
     QuerySpec("ccb1_perplexity_buckets", ccb1_perplexity_buckets,
               CCB1_ORACLE,
-              tags=("llm", "text", "quality", "window", "agg")),
+              tags=("llm", "text", "quality", "window", "agg"),
+              bench=True),
     QuerySpec("mm2_header_decode", mm2_header_decode, MM2_ORACLE,
               tags=("llm", "multimodal")),
     QuerySpec("smp1_stratified_sample", smp1_stratified_sample,

@@ -103,6 +103,23 @@ def _read_epochs(spark: SparkSession, path: str, before_epoch: int,
                      & (F.col("epoch") < before_epoch)).drop("epoch")
 
 
+def _write_json_atomic(path: str, obj: dict) -> None:
+    """fsync + atomic-replace a small JSON commit record, then fsync
+    the parent directory so the rename itself survives power loss —
+    the shared commit-point primitive of every store in this module."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 class _EpochStore:
     """Shared machinery of the two dedup stores: epoch-partitioned
     data directories, a generation-numbered compacted base per
@@ -794,18 +811,7 @@ class _EpochStore:
         """fsync + atomic-replace meta.json, then fsync the parent
         directory so the rename itself survives power loss — the
         shared commit point for compaction, reflag, and repairs."""
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.meta_path)
-        dfd = os.open(os.path.dirname(self.meta_path) or ".",
-                      os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        _write_json_atomic(self.meta_path, meta)
 
     def _stored(self, path: str, before_epoch: int) -> DataFrame | None:
         """Everything accepted strictly BEFORE the epoch being
@@ -1831,8 +1837,11 @@ class LineDedupStore:
     corpora fail loudly here too).  Under ordered id arrival that IS
     the batch answer (pinned in tests); under out-of-order arrival the
     arrival-first keeper and the batch-global winner diverge for the
-    late keys only, and :meth:`repair` moves the keep — the delta is
-    exactly {arrival keeper doc, batch winner doc} per changed key.
+    late keys only, and :meth:`repair` moves the keep — the delta per
+    changed key is its candidate-keeper docs (every per-epoch first of
+    that key: repairs compose across repeated late arrivals, so the
+    current keeper may be an INTERMEDIATE winner, not just the
+    arrival owner or the final batch winner).
 
     Exactly-once under foreachBatch's at-least-once contract: reads
     filter ``epoch < current``, writes overwrite ``epoch=<id>``
@@ -1850,9 +1859,14 @@ class LineDedupStore:
 
     State grows with corpus BLOCKS (unlike the content-bounded sink
     set) because re-cleaning a document needs its block text back; the
-    blocks table is the price of repairability, and compaction of
-    superseded result partitions follows the _EpochStore pattern when
-    needed."""
+    blocks table is the price of repairability.  :meth:`compact` folds
+    epoch partitions below the streaming checkpoint's committed
+    watermark (plus, when the store is quiescent, the repair overlays)
+    into a generation-numbered base per directory — the _EpochStore
+    pattern, with the same crash-safe commit order (bases fully
+    written, then one atomic ``line_meta.json`` swap, then best-effort
+    sweep) — so neither the epoch-partition count nor the
+    ``all_results`` overlay-join chain grows without bound."""
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  id_col: str = "doc_id", text_col: str = "text",
@@ -1868,7 +1882,56 @@ class LineDedupStore:
         self.elections_dir = os.path.join(store_dir, "elections")
         self.results_dir = os.path.join(store_dir, "results")
         self.repairs_dir = os.path.join(store_dir, "line_repairs")
+        self.meta_path = os.path.join(store_dir, "line_meta.json")
         os.makedirs(store_dir, exist_ok=True)
+
+    # -- generation bookkeeping (the _EpochStore pattern) -----------------
+
+    def _meta(self) -> dict:
+        """{"gen": current base generation or -1, "below": first
+        non-compacted epoch}.  Only a MISSING file means "no
+        compaction yet"; present-but-unreadable is corruption and
+        fails loudly (the _EpochStore._meta contract — compaction
+        already deleted the folded epoch dirs)."""
+        try:
+            with open(self.meta_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"gen": -1, "below": 0}
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"corrupt line-dedup-store meta at {self.meta_path}: "
+                f"{exc!r}; refusing to silently drop compacted state"
+            ) from exc
+
+    def _read_dir(self, path: str, before_epoch: int) -> DataFrame | None:
+        """Base generation + live epoch partitions in
+        [meta.below, before_epoch), EPOCH COLUMN RETAINED — unlike the
+        shared :func:`_read_epochs`, because :meth:`repair`'s
+        arrival-owner detection (min_by __first, epoch) needs the
+        epoch back; callers that don't, drop it."""
+        meta = self._meta()
+        parts = []
+        if meta["gen"] >= 0:
+            base = os.path.join(path + "_base", f"g{meta['gen']}")
+            if not os.path.isdir(base):
+                # meta is the commit record: a base it points at that
+                # is missing on disk is corruption, not "no prior state"
+                raise RuntimeError(
+                    f"line-dedup-store meta {self.meta_path} references "
+                    f"missing base generation {base}")
+            parts.append(self.spark.read.parquet(base))
+        if (os.path.isdir(path)
+                and any(d.startswith("epoch=")
+                        for d in os.listdir(path))):
+            parts.append(self.spark.read.parquet(path)
+                         .filter(F.col("epoch") >= meta["below"]))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.filter(F.col("epoch") < before_epoch)
 
     # -- shared segmentation ----------------------------------------------
 
@@ -1901,12 +1964,17 @@ class LineDedupStore:
             _reassemble_blocks,
         )
 
+        if epoch_id < self._meta()["below"]:
+            raise RuntimeError(
+                f"epoch {epoch_id} is below the compaction watermark "
+                f"{self._meta()['below']}; compact() must only fold "
+                "epochs the streaming checkpoint can no longer replay")
         ex = self._segmented(new_docs).localCheckpoint(eager=True)
         batch_el = (ex.filter(self._eligible())
                     .groupBy("__bkey")
                     .agg(F.min("__ord").alias("__first")))
-        stored = _read_epochs(self.spark, self.elections_dir,
-                              before_epoch=epoch_id)
+        stored = self._read_dir(self.elections_dir,
+                                before_epoch=epoch_id)
         flagged = ex.join(batch_el, "__bkey", "left")
         if stored is not None:
             seen = (stored.select("__bkey").distinct()
@@ -1948,8 +2016,7 @@ class LineDedupStore:
     def all_results(self) -> DataFrame | None:
         """Every stored cleaned document with repair overlays applied
         latest-wins: (id, n_blocks, n_removed, cleaned_text)."""
-        base = _read_epochs(self.spark, self.results_dir,
-                            before_epoch=1 << 62)
+        base = self._read_dir(self.results_dir, before_epoch=1 << 62)
         if base is None:
             return None
         cols = ["id", "n_blocks", "n_removed", "cleaned_text"]
@@ -1974,44 +2041,153 @@ class LineDedupStore:
         epochs always cut stored keys), the batch winner is the global
         packed min; they differ exactly when a later epoch carried a
         smaller (id, block_idx).  Affected docs = both sides' doc ids
-        (packed DIV 2^20 — the shared bit split); each is re-cleaned
-        against the GLOBAL election and committed as a replace-only
-        delta overlay.  Idempotent: a second repair finds the same
-        winners and writes an identical delta."""
+        (packed DIV 2^20 — the shared bit split, recovered with the
+        same INTEGER shift that built the pack: a float divide here
+        would round-trip ids >= 2^33 inexactly through the double
+        quotient, ADVICE r15); each is re-cleaned against the GLOBAL
+        election and committed as a replace-only delta overlay.
+        Idempotent AND non-accreting: a second repair finds the same
+        winners, sees the recomputed delta equals the latest overlay,
+        and skips the write — the overlay chain (and with it the
+        all_results read plan) only grows when state actually changed
+        (ADVICE r15 #3); :meth:`compact` folds whatever chain remains."""
         from axonops_schema_registry_spark.llm.dedup import (
             _PACK_BLOCK_BITS,
             _reassemble_blocks,
         )
 
-        if not (os.path.isdir(self.elections_dir)
-                and any(d.startswith("epoch=")
-                        for d in os.listdir(self.elections_dir))):
+        el = self._read_dir(self.elections_dir, before_epoch=1 << 62)
+        if el is None:
             return 0
-        el = self.spark.read.parquet(self.elections_dir)
         per_key = (el.groupBy("__bkey")
                    .agg(F.min("__first").alias("__gmin"),
                         F.min_by("__first", "epoch").alias("__own")))
         changed = per_key.filter(F.col("__gmin") < F.col("__own"))
-        doc_of = (lambda c: (F.col(c) / F.lit(1 << _PACK_BLOCK_BITS))
-                  .cast("bigint"))
-        affected = (changed.select(doc_of("__gmin").alias("id"))
-                    .unionByName(
-                        changed.select(doc_of("__own").alias("id")))
+        # candidate keepers of a changed key = every PER-EPOCH first of
+        # that key: keeps are only ever granted at ingest (that epoch's
+        # first) or by a prior repair (the then-global winner, itself a
+        # per-epoch first), so this set provably contains the current
+        # keeper no matter how many repair cycles preceded — the
+        # two-endpoint {arrival owner, global winner} shortcut misses
+        # the intermediate winner when late batches arrive AFTER an
+        # earlier repair (caught by the r16 compaction test).  Still
+        # elections-only: bounded by changed keys x epochs holding them.
+        affected = (el.join(changed.select("__bkey"), "__bkey")
+                    .select(F.shiftright("__first", _PACK_BLOCK_BITS)
+                            .alias("id"))
                     .distinct().localCheckpoint(eager=True))
         n = affected.count()
         if n == 0:
             release_checkpoint(affected)
             return 0
         gwin = el.groupBy("__bkey").agg(F.min("__first").alias("__gw"))
-        blocks = self.spark.read.parquet(self.blocks_dir)
+        blocks = self._read_dir(self.blocks_dir, before_epoch=1 << 62)
         mine = blocks.join(F.broadcast(affected), "id")
         corrected = _reassemble_blocks(
             mine.join(gwin, "__bkey", "left")
                 .withColumn("__keep",
                             ~self._eligible()
-                            | (F.col("__gw") == F.col("__ord"))))
-        k = len(self._repair_dirs())
+                            | (F.col("__gw") == F.col("__ord")))) \
+            .localCheckpoint(eager=True)
+        # non-accretion (ADVICE r15 #3): if the current read view —
+        # base + overlays, i.e. exactly what all_results serves —
+        # already equals the recomputed correction for every affected
+        # doc, the store is repaired (a prior repair wrote it, or a
+        # compact folded it into the base) and writing another overlay
+        # would only deepen the read plan.  n is still returned: the
+        # count is "victims whose keep sits away from arrival order",
+        # a property of the stored corpus, not of this call's writes.
+        cur = (self.all_results().join(F.broadcast(affected), "id")
+               .select(*corrected.columns))
+        if (corrected.exceptAll(cur).isEmpty()
+                and cur.exceptAll(corrected).isEmpty()):
+            release_checkpoint(corrected)
+            release_checkpoint(affected)
+            return n
+        reps = self._repair_dirs()
         corrected.write.mode("overwrite").parquet(
-            os.path.join(self.repairs_dir, f"rep_{k}"))
+            os.path.join(self.repairs_dir, f"rep_{len(reps)}"))
+        release_checkpoint(corrected)
         release_checkpoint(affected)
         return n
+
+    # -- compaction (VERDICT r15 ask #5) ---------------------------------
+
+    def compact(self, below_epoch: int) -> None:
+        """Fold every epoch partition < ``below_epoch`` of all three
+        data directories into the next generation-numbered base, and —
+        when the fold covers EVERY live epoch — fold the repair
+        overlays into the results base and sweep ``line_repairs``
+        (a partial compact keeps them: an overlay may still override a
+        row in an epoch left live, and re-applying it over the
+        already-overridden folded rows is idempotent because overlays
+        replace whole rows by id).
+
+        ``below_epoch`` must be at-or-below the streaming checkpoint's
+        committed watermark: replays can then only target epochs this
+        never touches (enforced on the ingest side by the
+        ``process_batch`` watermark guard).  Crash-safe in the
+        _EpochStore commit order: (1) base generations fully written,
+        (2) one atomic ``line_meta.json`` swap — the commit point —
+        (3) superseded directories swept best-effort; orphans from a
+        crash between (1) and (2) are overwritten by the next compact,
+        and a crash during (3) leaves directories the readers already
+        ignore."""
+        meta = self._meta()
+        if below_epoch <= meta["below"]:
+            return  # nothing new to fold
+        dirs = (self.blocks_dir, self.elections_dir, self.results_dir)
+        merged = {p: self._read_dir(p, below_epoch) for p in dirs}
+        missing = [p for p, m in merged.items() if m is None]
+        if len(missing) == len(merged):
+            return  # truly empty store: nothing to fold
+        if missing:
+            # every epoch write covers all three dirs, so a partial
+            # layout is corruption — a silent return would no-op
+            # compaction forever while small files accumulate
+            raise RuntimeError(
+                f"line-dedup store at {self.store_dir} has data in "
+                f"some directories but none in {missing}; corrupt "
+                "layout — refusing to compact")
+        live_above = any(
+            int(d.split("=", 1)[1]) >= below_epoch
+            for p in dirs if os.path.isdir(p)
+            for d in os.listdir(p)
+            if d.startswith("epoch=")
+            and d.split("=", 1)[1].lstrip("-").isdigit())
+        reps = self._repair_dirs()
+        fold_reps = bool(reps) and not live_above
+        if fold_reps:
+            res = merged[self.results_dir]
+            cols = ["id", "n_blocks", "n_removed", "cleaned_text"]
+            for rep in reps:
+                delta = self.spark.read.parquet(rep).select(*cols)
+                kept = res.join(delta.select("id"), "id", "left_anti")
+                # overlays carry no epoch; the replaced row keeps its
+                # original epoch so the base stays before_epoch-filterable
+                replaced = res.select("id", "epoch").join(delta, "id")
+                res = kept.unionByName(replaced.select(*kept.columns))
+            merged[self.results_dir] = res
+        new_gen = meta["gen"] + 1
+        for path, frame in merged.items():
+            frame.write.mode("overwrite").parquet(
+                os.path.join(path + "_base", f"g{new_gen}"))
+        _write_json_atomic(self.meta_path,
+                           {"gen": new_gen, "below": below_epoch})
+        if fold_reps:
+            shutil.rmtree(self.repairs_dir, ignore_errors=True)
+        for path in merged:
+            for g in range(new_gen):
+                shutil.rmtree(os.path.join(path + "_base", f"g{g}"),
+                              ignore_errors=True)
+            if os.path.isdir(path):
+                for d in os.listdir(path):
+                    if not d.startswith("epoch="):
+                        continue
+                    try:
+                        e = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if e < below_epoch:
+                        shutil.rmtree(os.path.join(path, d),
+                                      ignore_errors=True)

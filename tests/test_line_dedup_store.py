@@ -159,3 +159,150 @@ def test_line_store_repair_seeded_fuzz(spark):
                 f"trial {trial} diverged after repair"
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_line_store_repair_large_ids_integer_unpack(spark):
+    """Doc ids >= 2^33 round-trip the packed election key exactly
+    (ADVICE r15: a float divide would make the double quotient inexact
+    above 2^53 packed and repair could rewrite the WRONG document);
+    ids near the documented 2^43 bound repair to the batch answer."""
+    hi = (1 << 42) + 7777
+    lo = (1 << 41) + 3
+    e0 = [(hi, f"{BLK_A} {BLK_B}")]
+    late = [(lo, BLK_A)]                       # smaller id arrives late
+    import tempfile as tf
+    d = tf.mkdtemp(prefix="ln_store_bigid_")
+    try:
+        store = _store(spark, d)
+        store.process_batch(_mkdocs(spark, e0), 0)
+        store.process_batch(_mkdocs(spark, late), 1)
+        assert store.repair() > 0
+        assert _got(store) == _batch_want(spark, e0 + late)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_line_store_repair_does_not_accrete_overlays(spark):
+    """A second repair that recomputes an identical delta SKIPS the
+    overlay write (ADVICE r15 #3): the overlay-dir count — and with it
+    the all_results join chain — stays flat across repeated repairs."""
+    import os
+
+    e0 = [(10, f"{BLK_A} {BLK_B}"), (11, BLK_B)]
+    late = [(1, BLK_A), (2, f"{BLK_B} {BLK_C}")]
+    d = tempfile.mkdtemp(prefix="ln_store_acc_")
+    try:
+        store = _store(spark, d)
+        store.process_batch(_mkdocs(spark, e0), 0)
+        store.process_batch(_mkdocs(spark, late), 1)
+        n = store.repair()
+        assert n > 0
+        n_dirs = len(store._repair_dirs())
+        assert n_dirs == 1
+        assert store.repair() == n          # same verdicts...
+        assert len(store._repair_dirs()) == n_dirs  # ...no new overlay
+        assert _got(store) == _batch_want(spark, e0 + late)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_line_store_compact_preserves_results_and_repairability(spark):
+    """compact() folds epochs + repair overlays into a generation base:
+    all_results is value-identical before/after, the repair-overlay
+    count drops to zero, and the store keeps working — post-compaction
+    ingest plus repair still converges to the batch answer (VERDICT
+    r15 ask #5's done-clause, all three legs)."""
+    import os
+
+    e0 = [(10, f"{BLK_A} {BLK_B}"), (11, BLK_B)]
+    late = [(1, BLK_A), (2, f"{BLK_B} {BLK_C}")]
+    e2 = [(20, f"{BLK_C} d1 d2 d3 d4 d5"), (21, BLK_A)]
+    d = tempfile.mkdtemp(prefix="ln_store_cmp_")
+    try:
+        store = _store(spark, d)
+        store.process_batch(_mkdocs(spark, e0), 0)
+        store.process_batch(_mkdocs(spark, late), 1)
+        assert store.repair() > 0
+        before = _got(store)
+        store.compact(below_epoch=2)        # quiescent: folds overlays
+        assert len(store._repair_dirs()) == 0
+        assert not os.path.isdir(store.repairs_dir)
+        assert store._meta() == {"gen": 0, "below": 2}
+        # folded epoch partitions are swept; the base carries them now
+        for p in (store.blocks_dir, store.elections_dir,
+                  store.results_dir):
+            assert not any(x.startswith("epoch=") for x in
+                           (os.listdir(p) if os.path.isdir(p) else []))
+        assert _got(store) == before        # value-identical reads
+        # idempotent / no-op re-compact
+        store.compact(below_epoch=2)
+        assert _got(store) == before
+        # post-compaction ingest still dedups against the folded base,
+        # and repair still converges to the batch answer (e2's doc 21
+        # re-carries BLK_A which the base already elected)
+        store.process_batch(_mkdocs(spark, e2), 2)
+        assert _got(store) == _batch_want(spark, e0 + late + e2)
+        # the historical victims are still counted (repair's contract:
+        # n = candidate keeper docs of keys whose keep sits away from
+        # arrival order — here docs 1/2/10 plus 21, epoch 2's first
+        # for BLK_A) but the folded base already holds the
+        # corrections, so no overlay reappears
+        assert store.repair() == 4
+        assert len(store._repair_dirs()) == 0
+        # partial compact with a LIVE epoch above keeps overlay machinery
+        late2 = [(5, BLK_C)]                # smaller than doc 2's win? no:
+        # doc 2 owns BLK_C (id 2 < 5) — but doc 5 also carries it, so the
+        # new epoch is cut against stored state; then a genuinely late
+        # smaller id (0) forces a post-compaction repair
+        store.process_batch(_mkdocs(spark, late2), 3)
+        late3 = [(0, BLK_B)]
+        store.process_batch(_mkdocs(spark, late3), 4)
+        assert store.repair() > 0
+        want = _batch_want(spark, e0 + late + e2 + late2 + late3)
+        assert _got(store) == want
+        store.compact(below_epoch=5)
+        assert _got(store) == want
+        assert len(store._repair_dirs()) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_line_store_ingest_below_watermark_refused(spark):
+    """Replaying an epoch the compaction already folded must fail
+    loudly — the fold deleted its partitions, so a silent rewrite
+    would double its rows via the base."""
+    e0 = [(1, BLK_A)]
+    d = tempfile.mkdtemp(prefix="ln_store_wm_")
+    try:
+        store = _store(spark, d)
+        store.process_batch(_mkdocs(spark, e0), 0)
+        store.compact(below_epoch=1)
+        with pytest.raises(RuntimeError, match="watermark"):
+            store.process_batch(_mkdocs(spark, e0), 0)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_line_store_repair_composes_across_late_arrivals(spark):
+    """Repair after repair: a SECOND late batch arriving after an
+    earlier repair moved the keep to an intermediate winner must
+    re-clean that intermediate keeper too (r16 regression: the old
+    {arrival owner, global winner} candidate set missed it and the
+    intermediate doc silently kept its stale copy)."""
+    e0 = [(10, f"{BLK_A} {BLK_B}"), (11, BLK_B)]
+    late1 = [(2, f"{BLK_B} {BLK_C}")]   # repair moves BLK_B keep 10 -> 2
+    late2 = [(0, BLK_B)]                # batch winner is doc 0; doc 2
+    #                                     (the intermediate winner) must
+    #                                     now LOSE the block
+    d = tempfile.mkdtemp(prefix="ln_store_chain_")
+    try:
+        store = _store(spark, d)
+        store.process_batch(_mkdocs(spark, e0), 0)
+        store.process_batch(_mkdocs(spark, late1), 1)
+        assert store.repair() > 0
+        assert _got(store) == _batch_want(spark, e0 + late1)
+        store.process_batch(_mkdocs(spark, late2), 2)
+        assert store.repair() > 0
+        assert _got(store) == _batch_want(spark, e0 + late1 + late2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

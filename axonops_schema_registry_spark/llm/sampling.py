@@ -260,12 +260,15 @@ def quality_filter_scores(docs: DataFrame, positive_ids: DataFrame,
     TRAINING, not just scoring.  Each bucket weight is one integer in
     MICRO-units,
 
-        w_b = round(1e6 · [(ln(c⁺_b+1) − ln(N⁺+B)) −
+        w_b = floor(1e6 · [(ln(c⁺_b+1) − ln(N⁺+B)) −
                            (ln(c⁻_b+1) − ln(N⁻+B))]),
 
-    rounded ONCE at bucket cardinality, so every document score is an
-    exact BIGINT dot product Σ_b c_d(b)·w_b — bit-identical on any
-    engine.
+    quantized ONCE at bucket cardinality with the ``floor_q``
+    convention (base.py: floor of the shared double product has no
+    tie semantics, unlike round, where Spark's BigDecimal HALF_UP and
+    DuckDB's float-side banker's rounding can disagree at decimal
+    ties — ADVICE r15), so every document score is an exact BIGINT
+    dot product Σ_b c_d(b)·w_b — bit-identical on any engine.
 
     Returns (id, n_feats, score_micro, keep): ``keep`` = score > 0
     (the document looks more like the reference slice than like the
@@ -297,12 +300,12 @@ def quality_filter_scores(docs: DataFrame, positive_ids: DataFrame,
     w = (allc.join(pos, "b", "left")
          .withColumn("cp", F.coalesce(F.col("cp"), F.lit(0)))
          .crossJoin(F.broadcast(n_all)).crossJoin(F.broadcast(n_pos))
-         .select("b", F.round(
+         .select("b", F.floor(
              ((F.log(F.col("cp") + 1)
                - F.log(F.col("np") + n_buckets))
               - (F.log(F.col("ca") - F.col("cp") + 1)
                  - F.log(F.col("na") - F.col("np") + n_buckets)))
-             * scale, 0).cast("bigint").alias("w")))
+             * scale).cast("bigint").alias("w")))
     return (feat.join(F.broadcast(w), "b")
             .groupBy("id")
             .agg(F.sum("cnt").alias("n_feats"),

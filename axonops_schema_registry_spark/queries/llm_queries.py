@@ -3186,9 +3186,9 @@ nn AS (SELECT (SELECT SUM(ca) FROM allc) AS na,
               (SELECT COALESCE(SUM(cp), 0) FROM pos) AS np),
 w AS (
   SELECT b,
-         CAST(round(((ln(COALESCE(cp, 0) + 1) - ln(np + 4096))
+         CAST(floor(((ln(COALESCE(cp, 0) + 1) - ln(np + 4096))
                      - (ln(ca - COALESCE(cp, 0) + 1)
-                        - ln(na - np + 4096))) * 1000000, 0)
+                        - ln(na - np + 4096))) * 1000000)
               AS BIGINT) AS w
   FROM allc LEFT JOIN pos USING (b), nn)
 SELECT id AS doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
@@ -3275,9 +3275,9 @@ nn AS (SELECT (SELECT SUM(ca) FROM allc) AS na,
               (SELECT COALESCE(SUM(cp), 0) FROM pos) AS np),
 w AS (
   SELECT b,
-         CAST(round(((ln(COALESCE(cp, 0) + 1) - ln(np + 4096))
+         CAST(floor(((ln(COALESCE(cp, 0) + 1) - ln(np + 4096))
                      - (ln(ca - COALESCE(cp, 0) + 1)
-                        - ln(na - np + 4096))) * 1000000, 0)
+                        - ln(na - np + 4096))) * 1000000)
               AS BIGINT) AS w
   FROM allc LEFT JOIN pos USING (b), nn),
 scored AS (

@@ -9,6 +9,7 @@ and timed wall-clock; the headline metric is total seconds across the set.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -20,6 +21,57 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from axonops_schema_registry_spark import queries as q  # noqa: E402
 from axonops_schema_registry_spark.session import get_spark  # noqa: E402
 
+# the fixed subset shared with BENCH_r01 — reported every round so
+# round-over-round comparisons never need manual subsetting, and
+# single-query host jitter (±30% observed on sub-second queries) is
+# diluted by the subset total (see BASELINE.md "Round-6 root cause").
+# Doubles as the host-weather gauge population for the normalized
+# per-query ratios (BASELINE.md r15 w1 appendix).
+R1_COMPARABLE = [
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_volume", "q10_returned_items",
+    "q14_promo_revenue_share", "q18_large_orders",
+    "a10_event_metrics", "w1_latest_per_subject",
+    "e3_similarity_selfjoin", "r4_registration_batch",
+    "dd2_minhash_lsh_dedup", "tx5_dataset_card",
+]
+
+
+def _warm(spark, sf_dir: str) -> None:
+    """Full-SF warm pass (VERDICT r15 ask #1).  The r15 controlled
+    experiment (BASELINE.md "w1 anomaly isolated to context warmth")
+    showed a sub-second query's floor reads 25–40% high when its
+    tables hit a cold page cache / cold JIT: w1 standalone dropped
+    0.544→0.404 s once orders.parquet was warm.  So, before timing:
+
+    (a) fault every parquet byte of the MEASURED scale factor into
+        the OS page cache (plain byte reads — cheapest possible scan);
+    (b) run every headline plan once at the smoke SF (compiles the
+        exact whole-stage-codegen classes — same schemas, same plans)
+        and once at the measured SF (amortizes JIT on the real data
+        shapes and row counts the timed runs will see).
+
+    The timed runs then measure steady-state plan cost instead of
+    compiler latency + cold-scan I/O — the removable term that kept
+    the bests table weather-flagged for three rounds."""
+    for f in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        paths = ([f] if os.path.isfile(f) else
+                 sorted(glob.glob(os.path.join(f, "*.parquet"))))
+        for p in paths:
+            with open(p, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+    smoke = "/root/testdata/sf0.001"
+    for spec in q.bench_specs():
+        try:
+            if os.path.isdir(smoke) and smoke != sf_dir:
+                spec.build(spark, smoke).collect()
+            spark.catalog.clearCache()
+            spec.build(spark, sf_dir).collect()
+        except Exception:
+            pass
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,18 +80,7 @@ def main() -> None:
     spark = get_spark("axonops-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/whole-stage-codegen warm-up: run every headline plan once at the
-    # smoke scale factor.  The generated code is identical across scale
-    # factors (same schemas, same plans), so this pre-compiles exactly the
-    # classes the measured runs execute — standard JIT warm-up, measuring
-    # steady-state throughput instead of compiler latency.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for spec in q.bench_specs():
-            try:
-                spec.build(spark, warm_dir).collect()
-            except Exception:
-                pass
+    _warm(spark, sf_dir)
 
     # min of N_RUNS per query: the host this runs on shows multi-second
     # scheduling noise spikes (observed 25x on an unchanged plan); the
@@ -61,24 +102,9 @@ def main() -> None:
         timings[spec.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    # the fixed subset shared with BENCH_r01 — reported every round so
-    # round-over-round comparisons never need manual subsetting, and
-    # single-query host jitter (±30% observed on sub-second queries) is
-    # diluted by the subset total (see BASELINE.md "Round-6 root cause")
-    r1_comparable = [
-        "q1_pricing_summary", "q3_shipping_priority",
-        "q5_local_supplier_volume", "q6_forecast_revenue",
-        "q7_nation_volume", "q10_returned_items",
-        "q14_promo_revenue_share", "q18_large_orders",
-        "a10_event_metrics", "w1_latest_per_subject",
-        "e3_similarity_selfjoin", "r4_registration_batch",
-        "dd2_minhash_lsh_dedup", "tx5_dataset_card",
-    ]
-    r1_total = round(sum(timings[n] for n in r1_comparable
+    r1_total = round(sum(timings[n] for n in R1_COMPARABLE
                          if n in timings), 3)
-    if sf == 0.1:
-        _update_bests_table(timings)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -87,7 +113,24 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": n_runs,
         "estimator": "min",
-    }))
+        "warm": "full-sf pagecache + per-plan smoke/full passes",
+    }
+    if sf == 0.1:
+        root = os.path.dirname(os.path.abspath(__file__))
+        best = _mine_bests(root, _current_round(root))
+        gauge = _gauge(timings, best)
+        # weather-normalized per-query ratios (VERDICT r15 stretch #8):
+        # ratio/gauge ≈ plan cost vs best with the machine state
+        # divided out — the number the bests table flags on, emitted
+        # here so BENCH records carry it round-over-round
+        if gauge is not None:
+            out["gauge_vs_best"] = round(gauge, 3)
+            out["normalized_vs_best"] = {
+                n: round(timings[n] / best[n][0] / gauge, 2)
+                for n in sorted(timings)
+                if n in best and best[n][0] > 0}
+        _update_bests_table(timings, best, gauge)
+    print(json.dumps(out))
 
 
 _BESTS_BEGIN = "<!-- BENCH_BESTS_BEGIN (auto-generated by bench.py) -->"
@@ -114,24 +157,19 @@ def _current_round(root: str) -> int | None:
     return int(m.group(1)) + 1 if m else None
 
 
-def _update_bests_table(timings: dict[str, float]) -> None:
-    """Maintain the per-query best-across-rounds table in BASELINE.md,
-    so "every common query <= 1.1x its best prior round" is a
-    mechanical check instead of a per-round archaeology session.
-    Bests are mined from the committed BENCH_r*.json records (all sf0.1,
-    min-of-N estimator, so round-over-round deltas are attributable to
-    plan changes rather than host weather)."""
-    import glob
-
-    root = os.path.dirname(os.path.abspath(__file__))
-    cur_round = _current_round(root)
+def _mine_bests(root: str,
+                cur_round: int | None) -> dict[str, tuple[float, str]]:
+    """Per-query best PRIOR draw: min over the committed BENCH_r*.json
+    records (all sf0.1, min-of-N estimator), excluding the current
+    round's own record — on a re-run after the driver already wrote
+    BENCH_r{cur}.json, mining it would compare the current timings
+    against themselves and pin every ratio at ~1.00."""
     paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
     skip_paths: set[str] = set()
     if cur_round is None and paths:
         # VERDICT.md header unparseable (or absent) with BENCH records
         # present: the newest record is plausibly the current round's
-        # own — mining it would compare timings against themselves and
-        # pin every ratio at ~1.00.  Exclude it and say so.
+        # own — exclude it and say so.
         def _rnum(p: str) -> int:
             try:
                 return int(os.path.basename(p)[len("BENCH_r"):-len(".json")])
@@ -148,10 +186,6 @@ def _update_bests_table(timings: dict[str, float]) -> None:
         if path in skip_paths:
             continue
         rnd = os.path.basename(path)[len("BENCH_"):-len(".json")]
-        # "best PRIOR round": exclude the current round's own record —
-        # on a re-run after the driver already wrote BENCH_r{cur}.json,
-        # mining it would compare the current timings against themselves
-        # and pin every ratio at ~1.00, defeating the ≤1.1× gate
         try:
             if cur_round is not None and int(rnd.lstrip("r")) >= cur_round:
                 continue
@@ -168,47 +202,67 @@ def _update_bests_table(timings: dict[str, float]) -> None:
         for name, sec in (rec.get("queries") or {}).items():
             if name not in best or sec < best[name][0]:
                 best[name] = (sec, rnd)
-    # host-weather gauge: the 14-query comparable subset, current vs
-    # best-prior.  Uniform inflation here means per-query ⚠ flags below
-    # reflect machine state, not plan regressions (BASELINE.md
-    # "Round-6 root cause": ±30% scatter on sub-second queries).
-    r1_subset = [
-        "q1_pricing_summary", "q3_shipping_priority",
-        "q5_local_supplier_volume", "q6_forecast_revenue",
-        "q7_nation_volume", "q10_returned_items",
-        "q14_promo_revenue_share", "q18_large_orders",
-        "a10_event_metrics", "w1_latest_per_subject",
-        "e3_similarity_selfjoin", "r4_registration_batch",
-        "dd2_minhash_lsh_dedup", "tx5_dataset_card"]
-    # the gauge only compares names present on BOTH sides — a dropped
-    # or renamed subset query must surface as n/a, not silently skew
-    # the ratio by summing 0.0 against a real best
-    common = [n for n in r1_subset if n in timings and n in best]
-    cur_sub = sum(timings[n] for n in common)
+    return best
+
+
+def _gauge(timings: dict[str, float],
+           best: dict[str, tuple[float, str]]) -> float | None:
+    """Host-weather gauge: the fixed 14-query comparable subset,
+    current vs best-prior.  Uniform inflation here means per-query
+    flags reflect machine state, not plan regressions (BASELINE.md
+    "Round-6 root cause": ±30% scatter on sub-second queries).  The
+    gauge only compares names present on BOTH sides — a dropped or
+    renamed subset query must surface as None, not silently skew the
+    ratio by summing 0.0 against a real best."""
+    common = [n for n in R1_COMPARABLE if n in timings and n in best]
+    if len(common) != len(R1_COMPARABLE):
+        return None
     best_sub = sum(best[n][0] for n in common)
-    weather = (f"{cur_sub / best_sub:.2f}×"
-               if len(common) == len(r1_subset) and best_sub
-               else "n/a (subset incomplete)")
+    if not best_sub:
+        return None
+    return sum(timings[n] for n in common) / best_sub
+
+
+def _update_bests_table(timings: dict[str, float],
+                        best: dict[str, tuple[float, str]],
+                        gauge: float | None) -> None:
+    """Maintain the per-query best-across-rounds table in BASELINE.md,
+    so "every common query <= 1.1x its best prior round" is a
+    mechanical check instead of a per-round archaeology session.
+    The ⚠ flag is on the WEATHER-NORMALIZED ratio (raw ratio divided
+    by the subset gauge) so it marks plan regressions, not machine
+    state (VERDICT r15 stretch #8)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    weather = f"{gauge:.2f}×" if gauge is not None \
+        else "n/a (subset incomplete)"
     lines = [_BESTS_BEGIN,
              "## Per-query bests across rounds (sf0.1, min estimator)",
              "",
-             "Regression gate: current ≤ 1.1× best prior round.  "
-             f"Host-weather gauge (comparable-subset total, current vs "
-             f"best-prior): **{weather}** — when this is itself well "
-             "above 1.0 the per-query ⚠ flags reflect machine state, "
-             "not plan regressions.",
+             "Regression gate: normalized ratio (current / best prior "
+             "/ gauge) ≤ 1.1.  Host-weather gauge (comparable-subset "
+             f"total, current vs best-prior): **{weather}** — raw "
+             "ratios divide it out into the `norm` column, so ⚠ marks "
+             "plan-shaped regressions, not machine state.  Draws are "
+             "taken after bench.py's full-SF warm pass (page cache + "
+             "per-plan smoke/full runs), so cold-scan/JIT latency is "
+             "excluded from the floors.",
              "",
-             "| query | best prior sec | round | current sec | ratio |",
-             "|---|---|---|---|---|"]
+             "| query | best prior sec | round | current sec | ratio "
+             "| norm |",
+             "|---|---|---|---|---|---|"]
     for name in sorted(set(best) | set(timings)):
         b = best.get(name)
         cur = timings.get(name)  # may legitimately be 0.0 — test None
         have = b is not None and cur is not None and b[0] > 0
         ratio = f"{cur / b[0]:.2f}" if have else "—"
-        flag = " ⚠" if have and cur / b[0] > 1.1 else ""
+        if have and gauge:
+            norm_v = cur / b[0] / gauge
+            norm = f"{norm_v:.2f}" + (" ⚠" if norm_v > 1.1 else "")
+        else:
+            norm = "—"
         lines.append(
             f"| {name} | {b[0] if b else '—'} | {b[1] if b else '—'} "
-            f"| {cur if cur is not None else '—'} | {ratio}{flag} |")
+            f"| {cur if cur is not None else '—'} | {ratio} | {norm} |")
     lines.append(_BESTS_END)
     block = "\n".join(lines)
     path = os.path.join(root, "BASELINE.md")

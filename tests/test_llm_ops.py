@@ -1487,13 +1487,13 @@ def test_dsir_log_weights_match_pure_python_reference(spark):
 
 def test_quality_filter_match_pure_python_reference(spark):
     """qf1's NBSVM weights pinned against an independent pure-Python
-    simulator (own md5 bucketing, math.log, Decimal half-up rounding
-    to integer micro-units, exact integer dot product) — the dsir
-    independent-reference convention: the DuckDB oracle shares the
-    formula shape, so only this catches a bug in the shared math."""
+    simulator (own md5 bucketing, math.log, floor quantization to
+    integer micro-units — the floor_q convention, ADVICE r15 — exact
+    integer dot product) — the dsir independent-reference convention:
+    the DuckDB oracle shares the formula shape, so only this catches
+    a bug in the shared math."""
     import hashlib
     import math
-    from decimal import ROUND_HALF_UP, Decimal
 
     from axonops_schema_registry_spark.llm.sampling import (
         quality_filter_scores,
@@ -1530,12 +1530,10 @@ def test_quality_filter_match_pure_python_reference(spark):
             if d in positive:
                 posc[b] = posc.get(b, 0) + c
     na, np_ = sum(allc.values()), sum(posc.values())
-    one = Decimal("1")
-    w = {b: int(Decimal(repr(
+    w = {b: math.floor(
             ((math.log(posc.get(b, 0) + 1) - math.log(np_ + K))
              - (math.log(ca - posc.get(b, 0) + 1)
-                - math.log(na - np_ + K))) * 1_000_000))
-            .quantize(one, ROUND_HALF_UP))
+                - math.log(na - np_ + K))) * 1_000_000)
          for b, ca in allc.items()}
     want = {}
     for d, cnts in doc_b.items():

@@ -287,6 +287,22 @@ def quality_filter_scores(docs: DataFrame, positive_ids: DataFrame,
     degrades to a uniform positive LM (every weight ≤ 0) instead of
     NULLing out, the dsir coalesce contract."""
     feat = _hashed_ngram_counts(docs, id_col, text_col, n_buckets)
+    w = _quality_weights_from_features(feat, positive_ids, n_buckets,
+                                       scale)
+    return _quality_scores_from_features(feat, w, id_col)
+
+
+def _quality_weights_from_features(feat: DataFrame,
+                                   positive_ids: DataFrame,
+                                   n_buckets: int,
+                                   scale: int) -> DataFrame:
+    """The NBSVM log-count-ratio fit half of
+    :func:`quality_filter_scores`, over an already-materialized
+    (id, b, cnt) feature frame — factored out so a STREAMING consumer
+    (CurationSink's quality leg) can fit the weight table once on a
+    fixed reference corpus and apply it per micro-batch, the way
+    CCNet/GPT-3-class pipelines deploy the classifier (train once,
+    score forever)."""
     pos_ids = positive_ids.select(F.col(positive_ids.columns[0])
                                   .alias("id"))
     allc = feat.groupBy("b").agg(F.sum("cnt").alias("ca"))
@@ -297,22 +313,58 @@ def quality_filter_scores(docs: DataFrame, positive_ids: DataFrame,
     # negative counts are pool-minus-positive per bucket: one fit pass
     # over the feature frame, not a second corpus scan for the
     # complement slice
-    w = (allc.join(pos, "b", "left")
-         .withColumn("cp", F.coalesce(F.col("cp"), F.lit(0)))
-         .crossJoin(F.broadcast(n_all)).crossJoin(F.broadcast(n_pos))
-         .select("b", F.floor(
-             ((F.log(F.col("cp") + 1)
-               - F.log(F.col("np") + n_buckets))
-              - (F.log(F.col("ca") - F.col("cp") + 1)
-                 - F.log(F.col("na") - F.col("np") + n_buckets)))
-             * scale).cast("bigint").alias("w")))
-    return (feat.join(F.broadcast(w), "b")
+    return (allc.join(pos, "b", "left")
+            .withColumn("cp", F.coalesce(F.col("cp"), F.lit(0)))
+            .crossJoin(F.broadcast(n_all)).crossJoin(F.broadcast(n_pos))
+            .select("b", F.floor(
+                ((F.log(F.col("cp") + 1)
+                  - F.log(F.col("np") + n_buckets))
+                 - (F.log(F.col("ca") - F.col("cp") + 1)
+                    - F.log(F.col("na") - F.col("np") + n_buckets)))
+                * scale).cast("bigint").alias("w")))
+
+
+def _quality_scores_from_features(feat: DataFrame, weights: DataFrame,
+                                  id_col: str) -> DataFrame:
+    """The scoring half: exact BIGINT dot product of a feature frame
+    against a (b, w) weight table.  Buckets absent from the weight
+    table contribute nothing (inner join) — for weights fit on a
+    REFERENCE corpus this is the deliberate out-of-vocabulary policy
+    (an unseen feature carries no evidence either way)."""
+    return (feat.join(F.broadcast(weights), "b")
             .groupBy("id")
             .agg(F.sum("cnt").alias("n_feats"),
                  F.sum(F.col("cnt") * F.col("w")).alias("score_micro"))
             .select(F.col("id").alias(id_col), "n_feats",
                     "score_micro",
                     (F.col("score_micro") > 0).alias("keep")))
+
+
+def quality_filter_weights(docs: DataFrame, positive_ids: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n_buckets: int = 4096,
+                           scale: int = 1_000_000) -> DataFrame:
+    """Fit the :func:`quality_filter_scores` NBSVM weight table on a
+    REFERENCE corpus and return it as a ≤ ``n_buckets``-row (b, w)
+    frame — the train-once entry point for streaming/deployment
+    scoring via :func:`quality_score_with_weights`."""
+    feat = _hashed_ngram_counts(docs, id_col, text_col, n_buckets)
+    return _quality_weights_from_features(feat, positive_ids,
+                                          n_buckets, scale)
+
+
+def quality_score_with_weights(docs: DataFrame, weights: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               n_buckets: int = 4096) -> DataFrame:
+    """Score documents against a FIXED (b, w) weight table (from
+    :func:`quality_filter_weights`): row-local featurization + exact
+    BIGINT dot product, so per-document verdicts are independent of
+    batching — the property that makes the streaming quality leg
+    equal its batch twin micro-batch for micro-batch."""
+    feat = _hashed_ngram_counts(docs, id_col, text_col, n_buckets)
+    return _quality_scores_from_features(feat, weights, id_col)
 
 
 def dsir_log_weights(docs: DataFrame, target_ids: DataFrame,

@@ -4155,6 +4155,32 @@ def ev4_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV4_ORACLE = _recall_oracle(NN5_ORACLE)
 
 
+def ev5_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the recall-report family across all four index paths
+    (VERDICT r15 ask #6): recall@5 of the portable IVF index (nn3)
+    against the exact cosine baseline — the one index family whose
+    measured retrieval quality a 100 TB index choice previously could
+    not read off a driver-green report (nn3 had only a planted pytest
+    recall).  Same shared :func:`_recall_report` computation and the
+    same verbatim oracle-chain composition as ev1/ev2/ev4; the
+    planted-structure full-recall pin for IVF stays in
+    tests/test_llm_ops.py."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        cosine_topk,
+        ivf_ann_topk_portable,
+    )
+
+    queries, corpus = _emb_split(spark, sf_dir)
+    return _recall_report(
+        cosine_topk(queries, corpus, k=5)
+        .select("query_id", "corpus_id"),
+        ivf_ann_topk_portable(queries, corpus, k=5)
+        .select("query_id", "corpus_id"))
+
+
+EV5_ORACLE = _recall_oracle(NN3_ORACLE)
+
+
 _Q_HELD_OUT = """WITH q AS (SELECT vec_id AS query_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
            FROM embeddings WHERE vec_id < 10),"""
@@ -5253,6 +5279,265 @@ ORDER BY k.doc_id
 """
 
 
+def ccn1_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet end-to-end capstone (VERDICT r15 ask #3) — the pipeline
+    Wenzek et al. 2020 actually runs, composed from this repo's
+    already-oracle-green stages in the paper's order:
+
+      1. language-ID gate (tx1's stopword-profile argmax, keep
+         predicted 'en' — the fastText LID step, §3),
+      2. canonical normalization (tx8's engine-exact ASCII fold, the
+         pre-hash pass §4.1 runs before dedup),
+      3. keep-first paragraph dedup (ln1's 10-word-block election,
+         §4.1),
+      4. LM perplexity terciles per source over the CLEANED text
+         (ccb1; keep head+middle — §4.2, the stage CCNet is named
+         for),
+      5. quality-classifier rank gate (qf1's NBSVM scores against the
+         src0 reference slice, top-100 — the GPT-3-style classifier
+         leg, Brown et al. 2020 app. A; rank selection per the dsir1
+         convention since a sign threshold keeps nothing on a
+         deliberately uniform fixture corpus),
+      6. token-budget mixture over the survivors (mix5, 120
+         tokens/source — budgets bind at every SF because the rank
+         gate makes the stage-6 pool SF-invariant).
+
+    Emitted as the per-source stage receipt (doc counts in/after each
+    gate, blocks removed, mixture tokens/checksum) so ONE DuckDB
+    oracle replays the whole chain and the driver hash-checks every
+    composition seam, not just the stages (the cur2/cur3 seam
+    convention).
+
+    Scale shape: each stage keeps its own documented 100 TB shape
+    (gate + normalize are row-local off the scan; dedup is the packed
+    HashAggregate election; ppl is vocab-bounded broadcast scoring +
+    one per-source rank window; qf is one materialized feature frame
+    + ≤4096-row broadcast weights; the mixture is one bounded window)
+    — and every multi-consumer frame is lazily checkpointed once (the
+    ccb1/qf2 two-consumer lesson): sources, the gated corpus, the
+    cleaned corpus, the head+middle pool, and the top-100 winner set
+    (whose recompute would otherwise re-run the classifier per
+    consumer)."""
+    from axonops_schema_registry_spark.llm.dedup import line_dedup
+    from axonops_schema_registry_spark.llm.sampling import (
+        quality_filter_scores,
+        token_budget_mixture,
+    )
+    from axonops_schema_registry_spark.llm.text import (
+        normalize_text,
+        perplexity_buckets,
+        predict_lang,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .localCheckpoint(eager=False))   # receipt + budgets
+    gated = (docs.filter(predict_lang("text") == "en")
+             .select("doc_id", "source",
+                     normalize_text("text").alias("text"))
+             .localCheckpoint(eager=False))  # count + dedup (2 uses)
+    lang_c = gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lang"))
+    ln = (line_dedup(gated, "doc_id", "text",
+                     block_words=10, min_block_words=5)
+          .select(F.col("id").alias("doc_id"), "n_removed",
+                  "cleaned_text")
+          .join(gated.select("doc_id", "source"), "doc_id")
+          .localCheckpoint(eager=False))     # stage agg + survivors
+    ded_c = ln.groupBy("source").agg(
+        F.sum((F.col("cleaned_text") != "").cast("bigint"))
+        .alias("n_dedup"),
+        F.sum("n_removed").cast("bigint").alias("blocks_removed"))
+    surv = (ln.filter(F.col("cleaned_text") != "")
+            .select("doc_id", "source",
+                    F.col("cleaned_text").alias("text")))
+    pb = perplexity_buckets(surv)            # checkpoints internally
+    hm = (surv.join(pb.filter(F.col("bucket") <= 1)
+                    .select("doc_id"), "doc_id")
+          .localCheckpoint(eager=False))     # count + fit + gate + mix
+    hm_c = hm.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_head_middle"))
+    pos = hm.filter(F.col("source") == "src0").select("doc_id")
+    top = (quality_filter_scores(hm, pos, n_buckets=4096)
+           .orderBy(F.desc("score_micro"), "doc_id").limit(100)
+           .select("doc_id")
+           .localCheckpoint(eager=False))    # 100 rows; recompute =
+    #                                          the whole classifier
+    qkept = hm.join(F.broadcast(top), "doc_id")
+    q_c = qkept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quality"))
+    budgets = srcs.select("source").withColumn("token_budget",
+                                               F.lit(120))
+    manifest = token_budget_mixture(qkept, budgets)
+    sel = (manifest.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_selected"),
+                F.max("cum_tokens").alias("tokens_selected"),
+                F.sum("doc_id").alias("id_checksum"),
+                F.max("mix_rank").alias("max_rank")))
+    out = srcs
+    for frame in (lang_c, ded_c, hm_c, q_c, sel):
+        out = out.join(frame, "source", "left")
+    tail = ("n_lang", "n_dedup", "blocks_removed", "n_head_middle",
+            "n_quality", "n_selected", "tokens_selected",
+            "id_checksum", "max_rank")
+    return (out.select(
+        "source", "n_docs",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in tail])
+        .orderBy("source"))
+
+
+def _ccn1_oracle() -> str:
+    """The full-chain DuckDB replay, assembled at import from the
+    stage twins' shared SQL fragments so the lang/normalize seams
+    cannot drift from tx1/tx8."""
+    return rf"""
+WITH srcs AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+gated AS (
+  SELECT doc_id, source, {_tx8_norm_sql()} AS text
+  FROM documents
+  WHERE ({predict_lang_sql('text')}) = 'en'),
+langc AS (SELECT source, COUNT(*) AS n_lang FROM gated GROUP BY source),
+ws AS (SELECT doc_id AS id, source, string_split(text, ' ') AS w
+       FROM gated),
+blocks AS (
+  SELECT id, source, b AS block_idx,
+         array_to_string(w[(b-1)*10+1 : least(b*10, len(w))], ' ')
+           AS btext,
+         least(b*10, len(w)) - (b-1)*10 AS bwords
+  FROM (SELECT id, source, w,
+               unnest(generate_series(1,
+                   CAST(ceil(len(w) / 10.0) AS BIGINT))) AS b
+        FROM ws)),
+keepflag AS (
+  SELECT id, source, block_idx, btext,
+         (bwords < 5 OR
+          row_number() OVER (PARTITION BY btext
+                             ORDER BY id, block_idx) = 1) AS keep
+  FROM blocks),
+cleaned AS (
+  SELECT id AS doc_id, ANY_VALUE(source) AS source,
+         CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_removed,
+         COALESCE(string_agg(CASE WHEN keep THEN btext END, ' '
+                             ORDER BY block_idx), '') AS text
+  FROM keepflag GROUP BY id),
+ded AS (
+  SELECT source,
+         SUM(CASE WHEN text <> '' THEN 1 ELSE 0 END) AS n_dedup,
+         SUM(n_removed) AS blocks_removed
+  FROM cleaned GROUP BY source),
+surv AS MATERIALIZED (
+  SELECT doc_id, source, text FROM cleaned WHERE text <> ''),
+tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM surv)
+  WHERE t <> ''),
+vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM vocab),
+sc AS (SELECT t, round(-ln(c / n), 6) AS s FROM vocab, tot),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         round(CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*), 4) AS mean_surprisal
+  FROM tok JOIN sc USING (t)
+  GROUP BY doc_id),
+ranked AS (
+  SELECT s.doc_id,
+         row_number() OVER (PARTITION BY v.source
+                            ORDER BY s.mean_surprisal, s.doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY v.source) AS cnt
+  FROM scored s JOIN surv v USING (doc_id)),
+hm AS MATERIALIZED (
+  SELECT v.doc_id, v.source, v.text
+  FROM surv v JOIN ranked r USING (doc_id)
+  WHERE CAST(((r.r - 1) * 3) // r.cnt AS INT) <= 1),
+hmc AS (SELECT source, COUNT(*) AS n_head_middle FROM hm
+        GROUP BY source),
+wsf AS (SELECT doc_id, string_split(text, ' ') AS a FROM hm),
+uni AS (SELECT doc_id, unnest(a) AS f FROM wsf),
+bi AS (
+  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS f
+  FROM (SELECT doc_id, a,
+               unnest(generate_series(1, greatest(len(a) - 1, 0)))
+                 AS i
+        FROM wsf)),
+feat AS MATERIALIZED (
+  SELECT doc_id AS id,
+         CAST(concat('0x', substr(md5(f), 1, 12)) AS BIGINT)
+           % 4096 AS b,
+         COUNT(*) AS cnt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY id, b),
+allc AS (SELECT b, SUM(cnt) AS ca FROM feat GROUP BY b),
+pos AS (SELECT b, SUM(cnt) AS cp
+        FROM feat JOIN hm h ON feat.id = h.doc_id
+        WHERE h.source = 'src0' GROUP BY b),
+nn AS (SELECT (SELECT SUM(ca) FROM allc) AS na,
+              (SELECT COALESCE(SUM(cp), 0) FROM pos) AS np),
+wt AS (
+  SELECT b,
+         CAST(floor(((ln(COALESCE(cp, 0) + 1) - ln(np + 4096))
+                     - (ln(ca - COALESCE(cp, 0) + 1)
+                        - ln(na - np + 4096))) * 1000000)
+              AS BIGINT) AS w
+  FROM allc LEFT JOIN pos USING (b), nn),
+qsc AS (
+  SELECT id, CAST(SUM(cnt * w) AS BIGINT) AS score_micro
+  FROM feat JOIN wt USING (b) GROUP BY id),
+qk AS MATERIALIZED (
+  SELECT h.doc_id, h.source, h.text
+  FROM hm h JOIN (SELECT id FROM qsc
+                  ORDER BY score_micro DESC, id LIMIT 100) t
+    ON h.doc_id = t.id),
+qc AS (SELECT source, COUNT(*) AS n_quality FROM qk GROUP BY source),
+mr AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS nt,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS STRING)), 1, 12))
+              AS BIGINT) AS h
+  FROM qk),
+cum AS (
+  SELECT source, doc_id,
+         SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+           AS mix_rank
+  FROM mr),
+sel AS (
+  SELECT source, COUNT(*) AS n_selected,
+         MAX(cum_tokens) AS tokens_selected,
+         SUM(doc_id) AS id_checksum,
+         MAX(mix_rank) AS max_rank
+  FROM cum WHERE cum_tokens <= 120 GROUP BY source)
+SELECT s.source,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(l.n_lang, 0) AS BIGINT) AS n_lang,
+       CAST(COALESCE(d.n_dedup, 0) AS BIGINT) AS n_dedup,
+       CAST(COALESCE(d.blocks_removed, 0) AS BIGINT) AS blocks_removed,
+       CAST(COALESCE(h.n_head_middle, 0) AS BIGINT) AS n_head_middle,
+       CAST(COALESCE(q.n_quality, 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(m.n_selected, 0) AS BIGINT) AS n_selected,
+       CAST(COALESCE(m.tokens_selected, 0) AS BIGINT)
+         AS tokens_selected,
+       CAST(COALESCE(m.id_checksum, 0) AS BIGINT) AS id_checksum,
+       CAST(COALESCE(m.max_rank, 0) AS BIGINT) AS max_rank
+FROM srcs s
+LEFT JOIN langc l USING (source)
+LEFT JOIN ded d USING (source)
+LEFT JOIN hmc h USING (source)
+LEFT JOIN qc q USING (source)
+LEFT JOIN sel m USING (source)
+ORDER BY s.source
+"""
+
+
+CCN1_ORACLE = _ccn1_oracle()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("ng1_ngram_novelty", ng1_ngram_novelty, NG1_ORACLE,
               tags=("llm", "text", "novelty", "agg"), bench=True),
@@ -5374,6 +5659,10 @@ SPECS: list[QuerySpec] = [
               QF2_ORACLE,
               tags=("llm", "sampling", "quality", "composition"),
               bench=True),
+    QuerySpec("ccn1_ccnet_pipeline", ccn1_ccnet_pipeline, CCN1_ORACLE,
+              tags=("llm", "curation", "composition", "dedup",
+                    "sampling", "quality"),
+              bench=True),
     QuerySpec("shard1_export_manifest", shard1_export_manifest,
               SHARD1_ORACLE, tags=("llm", "export", "agg")),
     QuerySpec("cur2_cut_select_export", cur2_cut_select_export,
@@ -5431,6 +5720,8 @@ SPECS: list[QuerySpec] = [
               bench=True),
     QuerySpec("zf1_zipf_diagnostics", zf1_zipf_diagnostics, ZF1_ORACLE,
               tags=("llm", "text", "stats", "agg")),
+    QuerySpec("ev5_ivf_recall", ev5_ivf_recall, EV5_ORACLE,
+              tags=("llm", "similarity", "ann", "eval")),
     QuerySpec("ev4_multiprobe_recall", ev4_multiprobe_recall,
               EV4_ORACLE, tags=("llm", "similarity", "evaluation")),
     QuerySpec("tx1_language_id", tx1_language_id, TX1_ORACLE,

@@ -107,8 +107,9 @@ class IncrementalDedupSink:
 class CurationSink:
     """foreachBatch target for the full ingest-time curation stage a
     training pipeline runs: first-wins near-dup filter, exact n-gram
-    benchmark decontamination against a held-out evaluation set, and
-    PII redaction on whatever survives.
+    benchmark decontamination against a held-out evaluation set, an
+    optional quality-classifier gate, and PII redaction on whatever
+    survives.
 
     Per-document verdicts — (is_dup, dup_of, n_eval_spans, clean_text),
     clean_text None for documents dropped as duplicates or
@@ -132,6 +133,19 @@ class CurationSink:
     the store's epoch-partitioned parquet, not in this object.  Without
     it the sink keeps the in-memory checkpointed-corpus shape (fine for
     tests, rescans the corpus every batch).
+
+    ``quality_ref``/``quality_pos_ids`` (r16, VERDICT r15 ask #4)
+    switch on the qf1-class quality leg: the NBSVM weight table is
+    fitted ONCE on the fixed reference corpus at construction (the way
+    CCNet/GPT-3-class pipelines deploy the classifier — train once,
+    score forever; same lifecycle as ``eval_spans``) and applied to
+    every micro-batch as an exact BIGINT dot product.  Scoring is
+    row-local given the broadcast weight table, so per-document
+    verdicts are independent of batching and the stream equals its
+    batch twin micro-batch for micro-batch (pinned in
+    tests/test_streaming.py, including the store-backed restart
+    path).  Verdicts gain (quality_score_micro, quality_keep) and
+    ``clean_text`` additionally requires ``quality_keep``.
     """
 
     def __init__(self, eval_set: DataFrame,
@@ -140,7 +154,10 @@ class CurationSink:
                  contam_n: int = 5,
                  store_dir: str | None = None,
                  track_results: bool = False,
-                 results_dir: str | None = None) -> None:
+                 results_dir: str | None = None,
+                 quality_ref: DataFrame | None = None,
+                 quality_pos_ids: DataFrame | None = None,
+                 n_quality_buckets: int = 4096) -> None:
         from axonops_schema_registry_spark.llm.contamination import (
             ngram_spans,
         )
@@ -149,6 +166,11 @@ class CurationSink:
             raise ValueError(
                 "CurationSink needs results_dir (disk verdicts) or "
                 "track_results=True (test-only driver dict)")
+        if (quality_ref is None) != (quality_pos_ids is None):
+            raise ValueError(
+                "quality_ref and quality_pos_ids come together: the "
+                "classifier gate needs both the reference corpus and "
+                "its positive slice")
         self.id_col, self.text_col = id_col, text_col
         self.threshold, self.ngram = threshold, ngram
         self.contam_n = contam_n
@@ -161,6 +183,18 @@ class CurationSink:
                                        contam_n)
                            .withColumnRenamed("id", "test_id")
                            .localCheckpoint(eager=True))
+        self.n_quality_buckets = n_quality_buckets
+        self.quality_weights: DataFrame | None = None
+        if quality_ref is not None:
+            from axonops_schema_registry_spark.llm.sampling import (
+                quality_filter_weights,
+            )
+
+            # fixed for the run, like eval_spans: fit once on the
+            # reference corpus, checkpoint the <= n_buckets-row table
+            self.quality_weights = quality_filter_weights(
+                quality_ref, quality_pos_ids, id_col, text_col,
+                n_quality_buckets).localCheckpoint(eager=True)
         self.seen: DataFrame | None = None
         self.results: dict[int, dict] = {}
 
@@ -171,9 +205,11 @@ class CurationSink:
                 and any(d.startswith("epoch=")
                         for d in os.listdir(self.results_dir))):
             return None
+        cols = [self.id_col, "is_dup", "dup_of", "n_eval_spans"]
+        if self.quality_weights is not None:
+            cols += ["quality_score_micro", "quality_keep"]
         return (spark.read.parquet(self.results_dir)
-                .select(self.id_col, "is_dup", "dup_of",
-                        "n_eval_spans", "clean_text"))
+                .select(*cols, "clean_text"))
 
     def _dedup_flags(self, new: DataFrame, epoch_id: int) -> DataFrame:
         if self.store_dir is not None:
@@ -205,28 +241,51 @@ class CurationSink:
         contam = (spans.join(F.broadcast(self.eval_spans), "span")
                   .groupBy(F.col("id").alias(self.id_col))
                   .agg(F.countDistinct("span").alias("n_eval_spans")))
+        keep = ~F.col("is_dup") & (F.col("n_eval_spans") == 0)
+        out_cols = [self.id_col, "is_dup", "dup_of", "n_eval_spans"]
         verdicts = (new
                     .join(dedup, self.id_col)
                     .join(contam, self.id_col, "left")
-                    .na.fill({"n_eval_spans": 0})
-                    .withColumn(
-                        "clean_text",
-                        F.when(~F.col("is_dup")
-                               & (F.col("n_eval_spans") == 0),
-                               pii_redact(self.text_col))))
+                    .na.fill({"n_eval_spans": 0}))
+        if self.quality_weights is not None:
+            from axonops_schema_registry_spark.llm.sampling import (
+                quality_score_with_weights,
+            )
+
+            scores = quality_score_with_weights(
+                new, self.quality_weights, self.id_col, self.text_col,
+                self.n_quality_buckets)
+            verdicts = (verdicts
+                        .join(scores.select(
+                            self.id_col,
+                            F.col("score_micro")
+                            .alias("quality_score_micro")),
+                            self.id_col, "left")
+                        # a doc sharing NO bucket with the reference
+                        # vocabulary carries no evidence: score 0
+                        .na.fill({"quality_score_micro": 0})
+                        .withColumn("quality_keep",
+                                    F.col("quality_score_micro") > 0))
+            keep = keep & F.col("quality_keep")
+            out_cols += ["quality_score_micro", "quality_keep"]
+        verdicts = verdicts.withColumn(
+            "clean_text", F.when(keep, pii_redact(self.text_col)))
         if self.results_dir is not None:
             # overwrite keeps an at-least-once replay idempotent
-            (verdicts.select(self.id_col, "is_dup", "dup_of",
-                             "n_eval_spans", "clean_text")
+            (verdicts.select(*out_cols, "clean_text")
              .write.mode("overwrite").parquet(
                  os.path.join(self.results_dir, f"epoch={epoch_id}")))
         if self.track_results:
             for r in verdicts.collect():
-                self.results[r[self.id_col]] = {
+                rec = {
                     "is_dup": r["is_dup"], "dup_of": r["dup_of"],
                     "n_eval_spans": r["n_eval_spans"],
                     "clean_text": r["clean_text"],
                 }
+                if self.quality_weights is not None:
+                    rec["quality_score_micro"] = r["quality_score_micro"]
+                    rec["quality_keep"] = r["quality_keep"]
+                self.results[r[self.id_col]] = rec
         if self.store_dir is not None:
             release_checkpoint(dedup)  # process_batch checkpoints flags
             return

@@ -2642,3 +2642,30 @@ def test_parse_video_header_round_trip_and_rejection():
     for bad in bad_payloads:
         with _pytest.raises(ValueError):
             parse_video_header(bad)
+
+
+def test_ccnet_pipeline_stage_monotonicity(spark, sf_dir):
+    """ccn1's composition seams: every stage only narrows its input
+    (lang gate ⊇ dedup survivors ⊇ head+middle ⊇ quality ⊇ mixture),
+    the quality rank gate selects exactly min(100, pool), the mixture
+    is a rank-prefix within budget, and src0 (the reference slice)
+    survives to the fit stage."""
+    from axonops_schema_registry_spark.queries.llm_queries import (
+        ccn1_ccnet_pipeline,
+    )
+
+    rows = ccn1_ccnet_pipeline(spark, sf_dir).collect()
+    assert rows, "pipeline emitted nothing"
+    for r in rows:
+        assert r.n_lang <= r.n_docs
+        assert r.n_dedup <= r.n_lang
+        assert r.n_head_middle <= r.n_dedup
+        assert r.n_quality <= r.n_head_middle
+        assert r.n_selected <= r.n_quality
+        assert r.tokens_selected <= 120
+        assert r.max_rank == r.n_selected, \
+            "mixture selection must be the rank-prefix of hash order"
+    assert sum(r.n_quality for r in rows) == \
+        min(100, sum(r.n_head_middle for r in rows))
+    src0 = next(r for r in rows if r.source == "src0")
+    assert src0.n_head_middle > 0, "reference slice lost before fit"

@@ -573,6 +573,125 @@ def test_curation_sink_store_backed_survives_restart(spark):
         shutil.rmtree(store_dir, ignore_errors=True)
 
 
+def test_curation_sink_quality_leg_stream_equals_batch(spark):
+    """The qf1-class quality gate inside CurationSink (VERDICT r15
+    ask #4): the weight table is fitted ONCE on a fixed reference
+    corpus, so per-document quality verdicts are batching-independent
+    and the streamed results — INCLUDING a store-backed restart in the
+    middle — equal one batch composition (dedup + decontaminate +
+    quality-score + PII) over the full corpus.  The planted contrast
+    makes every leg observable: a reference-like doc passes the gate,
+    a spam-like doc fails it, a dup is dropped, a contaminated doc is
+    dropped, and a kept doc is redacted."""
+    from axonops_schema_registry_spark.llm.contamination import (
+        contamination_flags,
+    )
+    from axonops_schema_registry_spark.llm.dedup import (
+        incremental_dedup_flags,
+    )
+    from axonops_schema_registry_spark.llm.sampling import (
+        quality_filter_weights,
+        quality_score_with_weights,
+    )
+    from axonops_schema_registry_spark.llm.text import pii_redact
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        CurationSink,
+    )
+
+    GOOD = "good fine prose text here now"
+    SPAM = "spam buy spam buy cheap cheap"
+    ref = spark.createDataFrame(
+        [(101, GOOD), (102, "fine good text prose again"),
+         (103, SPAM), (104, "buy now spam cheap deal")],
+        "doc_id bigint, text string")
+    ref_pos = spark.createDataFrame([(101,), (102,)], "doc_id bigint")
+
+    def unique(i):
+        return " ".join(f"u{i}q{j}" for j in range(6))
+
+    # b0: 1=reference-like + PII (kept+redacted), 2=spam-like
+    # (quality-dropped), 3=eval-contaminated, 4=plain unique (scores 0
+    # -> quality-dropped: the no-evidence policy)
+    b0 = spark.createDataFrame(
+        [(1, GOOD + " mail root@example.com"),
+         (2, SPAM + " " + unique(2)),
+         (3, unique(3)),
+         (4, unique(4))],
+        "doc_id bigint, text string")
+    # b1: 10 duplicates doc 1 (dup-dropped through the store/state),
+    # 11 is reference-like and kept
+    b1 = spark.createDataFrame(
+        [(10, GOOD + " mail root@example.com"),
+         (11, "good prose fine text indeed")],
+        "doc_id bigint, text string")
+    train = b0.unionByName(b1)
+    eval_set = spark.createDataFrame(
+        [(100, unique(3))], "doc_id bigint, text string")
+
+    # batch twin: same fixed reference-fitted weights, composed legs
+    wts = quality_filter_weights(ref, ref_pos)
+    dedup = incremental_dedup_flags(train, "doc_id", "text", 0.8, 3)
+    contam = (contamination_flags(train, eval_set, "doc_id", "text", 5)
+              .select("doc_id",
+                      F.col("n_shared_spans").alias("n_eval_spans")))
+    scores = (quality_score_with_weights(train, wts)
+              .select("doc_id",
+                      F.col("score_micro").alias("quality_score_micro")))
+    want_df = (train.join(dedup, "doc_id")
+               .join(contam, "doc_id", "left")
+               .join(scores, "doc_id", "left")
+               .na.fill({"n_eval_spans": 0, "quality_score_micro": 0})
+               .withColumn("quality_keep",
+                           F.col("quality_score_micro") > 0)
+               .withColumn("clean_text",
+                           F.when(~F.col("is_dup")
+                                  & (F.col("n_eval_spans") == 0)
+                                  & F.col("quality_keep"),
+                                  pii_redact("text"))))
+    want = {r.doc_id: (r.is_dup, r.dup_of, r.n_eval_spans,
+                       r.quality_score_micro, r.quality_keep,
+                       r.clean_text)
+            for r in want_df.collect()}
+
+    def run(store_dir=None):
+        sink_a = CurationSink(eval_set, store_dir=store_dir,
+                              track_results=True, quality_ref=ref,
+                              quality_pos_ids=ref_pos)
+        sink_a(b0, epoch_id=0)
+        if store_dir is not None:
+            # "restart": a brand-new sink, only the on-disk store and
+            # the (re-fit, deterministic) reference weights carry over
+            sink_b = CurationSink(eval_set, store_dir=store_dir,
+                                  track_results=True, quality_ref=ref,
+                                  quality_pos_ids=ref_pos)
+        else:
+            sink_b = sink_a
+        sink_b(b1, epoch_id=1)
+        return {k: (v["is_dup"], v["dup_of"], v["n_eval_spans"],
+                    v["quality_score_micro"], v["quality_keep"],
+                    v["clean_text"])
+                for s in {id(sink_a): sink_a, id(sink_b): sink_b}.values()
+                for k, v in s.results.items()}
+
+    # in-memory path
+    assert run() == want
+    # store-backed restart path
+    store_dir = tempfile.mkdtemp(prefix="cur_q_store_")
+    try:
+        got = run(store_dir)
+        assert got == want
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+    # every leg observably fired
+    assert want[1][5] and "<EMAIL>" in want[1][5]   # kept + redacted
+    assert want[1][4] and not want[2][4]            # quality contrast
+    assert want[4][3] == 0 and not want[4][4]       # no-evidence drop
+    assert want[3][2] > 0 and want[3][5] is None    # contaminated drop
+    assert want[10][0] and want[10][5] is None      # dup drop
+    assert want[11][4] and want[11][5] is not None  # second keeper
+
+
 def test_coded_case_sql_rewrites_only_result_literals(spark):
     """coded_case_sql must leave every branch CONDITION intact (verbs
     are uppercase, path fragments contain '/') and code exactly the

@@ -29,49 +29,46 @@ WINDOW_FAMILIES: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # Round-15 rotation (VERDICT r14 ask #2, oldest-first with the
-    # family constraint): the 4 specs NEW this round lead (never
-    # driver-sampled), then 44 of the 47 r11-green specs at the
-    # freshness floor (recomputed from the CORRECTNESS_r01–r14
-    # union), then 2 r12-green fillers chosen to close the family
-    # holes the r11 tier leaves (it contains no compat- and no
-    # streaming-family spec): c1_compatibility_matrix (compat) +
-    # st2_filtered_cef_lines (streaming).  4 + 44 + 2 = 50; THREE
-    # r11 specs overflow and carry to r16 (named per the r14
-    # verdict's done-clause): q18_large_orders,
-    # q14_promo_revenue_share and q10_returned_items — TPC-shaped
-    # relational tail specs, guarded by tests/test_queries_oracle.py
-    # meanwhile.  After this round the freshness floor is r11 on
-    # exactly those three specs, r12 on the remaining 48.
-    # -- new in r15 (never driver-sampled)
-    "qf1_quality_filter", "qf2_quality_gated_mixture",
-    "ccb1_perplexity_buckets", "mix5_token_budget_mixture",
-    # -- 44 of the 47 r11-green specs (freshness floor), bespoke
-    #    LLM/dedup/similarity/registry families ahead of the
-    #    TPC-shaped relational tail (q18_large_orders +
-    #    q14_promo_revenue_share + q10_returned_items deferred, see
-    #    note above)
-    "dd1_exact_dedup", "dd3_simhash_dedup", "dd4_dedup_clusters",
-    "dd5_cross_source_dup_matrix", "dd8_quality_representatives",
-    "es3_decontamination_cut", "sem1_semantic_dedup",
-    "ctm2_bloom_contamination", "ctm3_semantic_contamination",
-    "ev1_ann_recall", "ev2_lsh_recall", "nn4_pq_adc_topk",
-    "qz2_pq_encode", "lab1_label_cohesion", "vg1_vocab_growth",
-    "ppl1_unigram_perplexity", "bpe1_merge_candidates",
-    "mix2_segmented_mixture", "mix3_temperature_mixture",
-    "pk2_segmented_packing", "pk3_whole_doc_packing",
-    "mm4_wav_decode", "asof1_config_at_event_time",
-    "j8_kek_dek_lifecycle", "j8b_dek_rewrap",
-    "r1_latest_live_schema", "s1_prefix_listing", "s2_point_lookup",
-    "s3_subject_version_lookup", "s4_fingerprint_lookup",
-    "s5_distinct_listing", "f3_glob_search", "f5_normalize_names",
-    "f7_fuzzy_match", "o2_deterministic_pagination",
-    "p4_status_split", "p5_metadata_property_filter",
-    "w1_latest_per_subject", "w2_listing_with_latest_flag",
-    "w3_content_addressed_ids", "w5_prior_version_delta",
-    "q1_pricing_summary", "q6_forecast_revenue", "q7_nation_volume",
-    # -- 2 r12-green family fillers (see note above)
-    "c1_compatibility_matrix", "st2_filtered_cef_lines",
+    # Round-16 rotation (VERDICT r15 ask #2, oldest-first with the
+    # family constraint): the 2 specs NEW this round lead (never
+    # driver-sampled), then the 3 r11-green specs at the freshness
+    # floor (q18/q14/q10 — deferred twice, they MUST lead per the r15
+    # verdict), then 45 of the 48 r12-green specs (recomputed from
+    # the CORRECTNESS_r01–r15 union).  2 + 3 + 45 = 50; THREE r12
+    # specs overflow and carry to r17 (named per the done-clause):
+    # q2_min_cost_supplier, q8_market_share and q9_product_profit —
+    # TPC-shaped relational tail specs, guarded by
+    # tests/test_queries_oracle.py meanwhile.  After this round the
+    # freshness floor is r12 on exactly those three specs, r13+ on
+    # everything else.
+    # -- new in r16 (never driver-sampled)
+    "ccn1_ccnet_pipeline", "ev5_ivf_recall",
+    # -- the 3 r11-green specs (freshness floor, two-round deferral)
+    "q18_large_orders", "q14_promo_revenue_share",
+    "q10_returned_items",
+    # -- 45 of the 48 r12-green specs, bespoke families ahead of the
+    #    relational tail (q2/q8/q9 deferred, see note above)
+    "dd6_embedding_cosine_dedup", "nn1_cosine_topk",
+    "out1_embedding_outliers", "j4r_subject_similarity",
+    "ev3_planted_recall", "cap1_cluster_cap_sampling",
+    "cur3_quality_dedup_split", "es1_exact_substring_spans",
+    "ctm4_split_leakage", "ng1_ngram_novelty",
+    "ppl2_bigram_perplexity", "bpe2_merge_table", "bpe3_tokenize",
+    "tx1_language_id", "tx2_token_stats", "tx3_rolling_fingerprint",
+    "tx4_char_entropy", "tx5_dataset_card", "tx6_token_rarity",
+    "tx8_normalize", "qn1_robust_length_normalization",
+    "split1_dataset_split", "sk1_distinct_sketches",
+    "mm5_jpeg_decode", "hr1_hypertable_rollup",
+    "a4c_cube_statistics", "c2_compat_messages",
+    "r7_registration_gated", "mode1_write_gating",
+    "aud1_audit_chain", "aud2_event_type_analytics",
+    "aud3_request_classification", "st6_rate_limit_flags",
+    "met1_prometheus_export", "j3d_dependency_closure",
+    "j3r_reference_resolution", "r2_version_history",
+    "r3_schema_versions_view", "a8r_schema_quality",
+    "del1_delete_taxonomy", "err1_lookup_taxonomy",
+    "mp1_migration_path", "ctx1_multitenant_listing",
+    "f6_naming_variants", "fs2_type_search",
 )
 
 

@@ -58,6 +58,31 @@ def test_driver_window_samples_every_family():
         "streaming", "join", "agg"}
 
 
+def test_coverage_window_telemetry_current():
+    """The auto-generated COVERAGE.md window-telemetry section must be
+    byte-identical to a fresh render from the registry + CORRECTNESS
+    history (VERDICT r15 stretch #9): the hand-maintained rotation
+    ledgers kept drifting from the lists they described (the
+    count-drift class — ADVICE r14 #3, r14 self-review #4); a spliced
+    section that a test pins cannot."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "window_preview", root / "scripts" / "window_preview.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    coverage = (root / "COVERAGE.md").read_text()
+    assert mod.COVERAGE_BEGIN in coverage, (
+        "COVERAGE.md lacks the window-telemetry section — run "
+        "scripts/window_preview.py --splice")
+    assert mod.render_markdown() in coverage, (
+        "COVERAGE.md window telemetry is stale — re-run "
+        "scripts/window_preview.py --splice after changing _PRIORITY "
+        "or landing a new CORRECTNESS record")
+
+
 def test_every_bench_spec_has_a_pinned_plan():
     """Every bench-tracked spec must have its physical plan pinned in
     docs/PLANS.md (``scripts/gen_plans.py``) — the pin is what a

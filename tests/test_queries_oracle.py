@@ -73,14 +73,21 @@ def test_coverage_window_telemetry_current():
         "window_preview", root / "scripts" / "window_preview.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    import re
+
     coverage = (root / "COVERAGE.md").read_text()
     assert mod.COVERAGE_BEGIN in coverage, (
         "COVERAGE.md lacks the window-telemetry section — run "
         "scripts/window_preview.py --splice")
-    assert mod.render_markdown() in coverage, (
+    m = re.search(r"Generated from CORRECTNESS records through "
+                  r"\*\*r(\d+)\*\*", coverage)
+    assert m, "telemetry section lacks its generation-round stamp"
+    # re-render bounded by the stamped round: a CORRECTNESS record the
+    # driver writes AFTER the splice (every round close) must not fail
+    # the pin; a _PRIORITY rotation without a re-splice must
+    assert mod.render_markdown(int(m.group(1))) in coverage, (
         "COVERAGE.md window telemetry is stale — re-run "
-        "scripts/window_preview.py --splice after changing _PRIORITY "
-        "or landing a new CORRECTNESS record")
+        "scripts/window_preview.py --splice after changing _PRIORITY")
 
 
 def test_every_bench_spec_has_a_pinned_plan():

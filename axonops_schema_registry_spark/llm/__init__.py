@@ -300,6 +300,72 @@ class CurationPipeline:
                                   self.text_col, self.source_col,
                                   n_buckets)
 
+    def ccnet_curated(self, reference_pos_ids, lang: str = "en",
+                      block_words: int = 10, min_block_words: int = 5,
+                      keep_buckets: int = 2, top_quality: int = 100,
+                      token_budget: int = 120):
+        """The full CCNet curation chain (ccn1 — Wenzek et al. 2020,
+        composed in paper order) returning the SELECTED documents a
+        training run would consume: language-ID gate (keep predicted
+        ``lang``) → canonical normalization → keep-first paragraph
+        dedup → per-source perplexity buckets (keep the lowest
+        ``keep_buckets`` of 3) → quality rank gate (top
+        ``top_quality`` by NBSVM score vs ``reference_pos_ids``) →
+        per-source ``token_budget`` prefix mixture.  Output: one row
+        per selected document (id, source, cleaned text, mix_rank,
+        cum_tokens).  The per-source stage receipt — the audit view of
+        the same chain — is the ccn1 query spec, whose DuckDB oracle
+        pins every seam; this facade method shares the stage operators
+        verbatim.  Every multi-consumer corpus-scale frame is lazily
+        checkpointed once (the ccb1/qf2 two-consumer discipline)."""
+        from pyspark.sql import functions as F
+
+        from axonops_schema_registry_spark.llm.dedup import line_dedup
+        from axonops_schema_registry_spark.llm.sampling import (
+            quality_filter_scores,
+            token_budget_mixture,
+        )
+        from axonops_schema_registry_spark.llm.text import (
+            normalize_text,
+            perplexity_buckets,
+            predict_lang,
+        )
+
+        gated = (self.docs
+                 .filter(predict_lang(self.text_col) == lang)
+                 .select(self.id_col, self.source_col,
+                         normalize_text(self.text_col)
+                         .alias(self.text_col))
+                 .localCheckpoint(eager=False))
+        surv = (line_dedup(gated, self.id_col, self.text_col,
+                           block_words=block_words,
+                           min_block_words=min_block_words)
+                .filter(F.col("cleaned_text") != "")
+                .select(F.col("id").alias(self.id_col),
+                        F.col("cleaned_text").alias(self.text_col))
+                .join(gated.select(self.id_col, self.source_col),
+                      self.id_col)
+                .localCheckpoint(eager=False))
+        pb = perplexity_buckets(surv, self.id_col, self.text_col,
+                                self.source_col)
+        hm = (surv.join(pb.filter(F.col("bucket") < keep_buckets)
+                        .select(self.id_col), self.id_col)
+              .localCheckpoint(eager=False))
+        pos = (hm.join(reference_pos_ids.select(
+                   F.col(reference_pos_ids.columns[0])
+                   .alias(self.id_col)), self.id_col)
+               .select(self.id_col))
+        top = (quality_filter_scores(hm, pos, self.id_col,
+                                     self.text_col)
+               .orderBy(F.desc("score_micro"), self.id_col)
+               .limit(top_quality).select(self.id_col)
+               .localCheckpoint(eager=False))
+        qkept = hm.join(F.broadcast(top), self.id_col)
+        budgets = (self.docs.select(self.source_col).distinct()
+                   .withColumn("token_budget", F.lit(token_budget)))
+        return token_budget_mixture(qkept, budgets, self.id_col,
+                                    self.source_col, self.text_col)
+
     def export_shards(self, out_dir: str, n_shards: int = 16):
         """Write the corpus as hash-sharded parquet directories and
         return the checksummed manifest receipt (shard1)."""

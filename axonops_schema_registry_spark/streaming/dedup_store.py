@@ -1883,7 +1883,67 @@ class LineDedupStore:
         self.results_dir = os.path.join(store_dir, "results")
         self.repairs_dir = os.path.join(store_dir, "line_repairs")
         self.meta_path = os.path.join(store_dir, "line_meta.json")
+        self.params_path = os.path.join(store_dir, "line_params.json")
         os.makedirs(store_dir, exist_ok=True)
+
+    # -- signature-parameter pinning (the _EpochStore discipline) ---------
+
+    def _signature_params(self) -> dict:
+        """The parameters that define this store's on-disk signature
+        space: a store reopened with a different segmentation
+        (block_words / min_block_words), key form (hash_blocks) or
+        column mapping would segment new batches incompatibly with the
+        stored blocks/elections — every election lookup would miss and
+        the store would silently stop deduplicating against the prior
+        corpus (the same failure mode _EpochStore._check_params
+        documents; this store gained the pin in r16)."""
+        return {"block_words": self.block_words,
+                "min_block_words": self.min_block_words,
+                "hash_blocks": self.hash_blocks,
+                "id_col": self.id_col, "text_col": self.text_col}
+
+    def _check_params(self) -> None:
+        """Pin on first ingest; fail loudly on later mismatch, corrupt
+        pin, or a non-empty legacy store with no pin (auto-pinning this
+        session's values over unknown creation-time values would bless
+        exactly the mismatch the pin exists to prevent)."""
+        want = self._signature_params()
+        try:
+            with open(self.params_path) as f:
+                have = json.load(f)
+        except FileNotFoundError:
+            has_data = os.path.exists(self.meta_path) or any(
+                os.path.isdir(d) and os.listdir(d)
+                for base in (self.blocks_dir, self.elections_dir,
+                             self.results_dir)
+                for d in (base, base + "_base"))
+            if has_data:
+                raise RuntimeError(
+                    f"line-dedup store at {self.store_dir} holds data "
+                    f"but no signature-parameter pin "
+                    f"({self.params_path} missing) — a pre-pinning "
+                    "legacy store; refusing to auto-pin this session's "
+                    "parameters over unknown creation-time values.  "
+                    "Migrate once by writing the ORIGINAL creation "
+                    f"parameters ({sorted(want)}) to that file, then "
+                    "reopen.")
+            _write_json_atomic(self.params_path, want)
+            return
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"corrupt line-dedup-store params at "
+                f"{self.params_path}: {exc!r}; refusing to ingest with "
+                "unverifiable signature parameters") from exc
+        if have != want:
+            diff = {k: (have.get(k), want.get(k))
+                    for k in sorted(set(have) | set(want))
+                    if have.get(k) != want.get(k)}
+            raise RuntimeError(
+                f"line-dedup store at {self.store_dir} was created "
+                f"with different signature parameters (stored vs this "
+                f"session): {diff}; matching elections require "
+                "identical parameters — reopen with the stored values "
+                "or build a new store")
 
     # -- generation bookkeeping (the _EpochStore pattern) -----------------
 
@@ -1964,6 +2024,7 @@ class LineDedupStore:
             _reassemble_blocks,
         )
 
+        self._check_params()
         if epoch_id < self._meta()["below"]:
             raise RuntimeError(
                 f"epoch {epoch_id} is below the compaction watermark "

@@ -306,3 +306,42 @@ def test_line_store_repair_composes_across_late_arrivals(spark):
         assert _got(store) == _batch_want(spark, e0 + late1 + late2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_line_store_signature_params_pinned(spark):
+    """Reopening a LineDedupStore with a DIFFERENT segmentation must
+    fail loudly (the _EpochStore params-pin discipline, extended to
+    the line store in r16): mismatched block_words would segment new
+    batches incompatibly with the stored elections and the store
+    would silently stop deduplicating against the prior corpus."""
+    import json
+    import os
+
+    d = tempfile.mkdtemp(prefix="ln_store_params_")
+    try:
+        store = _store(spark, d)
+        store.process_batch(_mkdocs(spark, [(1, BLK_A)]), 0)
+        # same params reopen: fine, continues
+        again = _store(spark, d)
+        again.process_batch(_mkdocs(spark, [(2, BLK_B)]), 1)
+        # different segmentation: refused
+        bad = LineDedupStore(spark, d, block_words=7, min_block_words=3)
+        with pytest.raises(RuntimeError, match="signature parameters"):
+            bad.process_batch(_mkdocs(spark, [(3, BLK_C)]), 2)
+        # corrupt pin: refused
+        with open(os.path.join(d, "line_params.json"), "w") as f:
+            f.write("{not json")
+        with pytest.raises(RuntimeError, match="corrupt"):
+            again.process_batch(_mkdocs(spark, [(3, BLK_C)]), 2)
+        # legacy store (data, no pin): refused with migration pointer
+        os.remove(os.path.join(d, "line_params.json"))
+        with pytest.raises(RuntimeError, match="legacy"):
+            again.process_batch(_mkdocs(spark, [(3, BLK_C)]), 2)
+        # migration: write the original params back, ingest resumes
+        with open(os.path.join(d, "line_params.json"), "w") as f:
+            json.dump(again._signature_params(), f)
+        again.process_batch(_mkdocs(spark, [(3, BLK_C)]), 2)
+        assert _got(again) == _batch_want(
+            spark, [(1, BLK_A), (2, BLK_B), (3, BLK_C)])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -2669,3 +2669,31 @@ def test_ccnet_pipeline_stage_monotonicity(spark, sf_dir):
         min(100, sum(r.n_head_middle for r in rows))
     src0 = next(r for r in rows if r.source == "src0")
     assert src0.n_head_middle > 0, "reference slice lost before fit"
+
+
+def test_ccnet_curated_facade_matches_spec_receipt(spark, sf_dir):
+    """CurationPipeline.ccnet_curated (the doc-level output of the
+    ccn1 chain) must agree with the ccn1 spec's per-source receipt on
+    every shared aggregate — same stages, two views."""
+    from pyspark.sql import functions as F
+
+    from axonops_schema_registry_spark.catalog import load_table
+    from axonops_schema_registry_spark.llm import CurationPipeline
+    from axonops_schema_registry_spark.queries.llm_queries import (
+        ccn1_ccnet_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("source") == "src0").select("doc_id")
+    manifest = CurationPipeline(docs).ccnet_curated(pos)
+    got = {r.source: (r.n, r.ids, r.toks, r.rank)
+           for r in manifest.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").alias("ids"),
+                F.max("cum_tokens").alias("toks"),
+                F.max("mix_rank").alias("rank")).collect()}
+    want = {r.source: (r.n_selected, r.id_checksum,
+                       r.tokens_selected, r.max_rank)
+            for r in ccn1_ccnet_pipeline(spark, sf_dir).collect()
+            if r.n_selected}
+    assert got == want

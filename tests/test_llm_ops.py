@@ -2697,3 +2697,21 @@ def test_ccnet_curated_facade_matches_spec_receipt(spark, sf_dir):
             for r in ccn1_ccnet_pipeline(spark, sf_dir).collect()
             if r.n_selected}
     assert got == want
+
+
+def test_ccnet_curated_empty_gate_is_empty_not_an_error(spark):
+    """A corpus where nothing passes the language gate (no stopwords
+    anywhere → predicted 'unknown') must flow through all six stages
+    as empty frames and return an empty manifest — not raise in the
+    perplexity window, the classifier fit (empty positive slice), or
+    the mixture."""
+    from axonops_schema_registry_spark.llm import CurationPipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"zz{i}a zz{i}b zz{i}c zz{i}d", "s0") for i in range(4)],
+        "doc_id bigint, text string, source string")
+    pos = docs.select("doc_id")
+    got = CurationPipeline(docs).ccnet_curated(pos)
+    assert got.count() == 0
+    assert {"doc_id", "source", "text",
+            "mix_rank", "cum_tokens"} <= set(got.columns)

@@ -410,3 +410,131 @@ class LineDedupSink:
         self.seen_keys = corpus_keys.localCheckpoint(eager=True)
         if prev is not None:
             release_checkpoint(prev)
+
+
+class TokenBudgetAdmissionSink:
+    """foreachBatch admission control — the streaming twin of
+    :func:`...llm.sampling.token_budget_mixture` (mix5): each source
+    admits arriving documents until its token budget fills, with
+    mix5's EXACT prefix semantics (the cumulative token count runs
+    over every SEEN document in order, admitted or not, so the first
+    overflowing document closes the source — greedy skip-and-continue
+    admission would be a hash-order-dependent knapsack and is
+    deliberately not offered, the same refusal mix5 documents).
+
+    Equality contract (the LineDedupSink convention): when documents
+    arrive in the mixture's deterministic hash order — the file-source
+    replay of a pre-sorted manifest, i.e. how a budgeted ingest is
+    actually run — the union of per-epoch admissions IS the batch
+    ``token_budget_mixture`` answer, including ``mix_rank`` and
+    ``cum_tokens`` (pinned in tests/test_streaming.py).  Under
+    arbitrary arrival the sink is still well-defined admission control
+    (prefix of the ARRIVAL order, hash-ordered within each batch) —
+    documented semantics, not an approximation of the batch mixture.
+
+    State is DISK-ONLY and the sink object carries none: per-epoch
+    per-source (n_seen, nt_seen) deltas land in ``state/epoch=<id>``
+    and each batch reads the sum over epochs strictly BEFORE it — so a
+    replayed epoch recomputes identical admissions from identical
+    prior state (exactly-once under foreachBatch's at-least-once
+    contract), and a brand-new sink instance over the same directories
+    continues mid-budget (restart-safe by construction, no in-memory
+    twin to rebuild).
+
+    Scale shape: one sources-sized broadcast state join + budgets
+    broadcast; per-batch cost is one (rank, running-sum) window per
+    source over the BATCH (mix2's hash-range segmentation applies when
+    one source outgrows a task); admissions and state deltas are
+    idempotent epoch-partitioned parquet overwrites."""
+
+    def __init__(self, budgets: DataFrame, store_dir: str,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 source_col: str = "source") -> None:
+        self.id_col, self.text_col = id_col, text_col
+        self.source_col = source_col
+        self.admissions_dir = os.path.join(store_dir, "admissions")
+        self.state_dir = os.path.join(store_dir, "budget_state")
+        os.makedirs(store_dir, exist_ok=True)
+        # fixed for the run, the eval_spans lifecycle: a tiny
+        # (source, token_budget) table, checkpointed once
+        self.budgets = (budgets
+                        .select(source_col, "token_budget")
+                        .localCheckpoint(eager=True))
+
+    def _prior_state(self, spark, before_epoch: int) -> DataFrame | None:
+        from axonops_schema_registry_spark.streaming.dedup_store import (
+            _read_epochs,
+        )
+
+        deltas = _read_epochs(spark, self.state_dir, before_epoch)
+        if deltas is None:
+            return None
+        return (deltas.groupBy(self.source_col)
+                .agg(F.sum("n_seen").alias("__prior_seen"),
+                     F.sum("nt_seen").alias("__prior_nt")))
+
+    def all_admissions(self, spark) -> DataFrame | None:
+        """Every admitted document so far:
+        (id, source, n_tokens, mix_rank, cum_tokens)."""
+        if not (os.path.isdir(self.admissions_dir)
+                and any(d.startswith("epoch=")
+                        for d in os.listdir(self.admissions_dir))):
+            return None
+        return (spark.read.parquet(self.admissions_dir)
+                .select(self.id_col, self.source_col, "n_tokens",
+                        "mix_rank", "cum_tokens"))
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from axonops_schema_registry_spark.llm.sampling import (
+            portable_hash,
+        )
+
+        spark = batch_df.sparkSession
+        ex = (batch_df.select(self.id_col, self.source_col,
+                              self.text_col)
+              .withColumn("__h", portable_hash(
+                  F.col(self.id_col).cast("string")))
+              .withColumn("__nt", F.size(F.split(
+                  F.col(self.text_col), " ")).cast("bigint")))
+        prior = self._prior_state(spark, int(epoch_id))
+        if prior is not None:
+            ex = (ex.join(F.broadcast(prior), self.source_col, "left")
+                  .na.fill({"__prior_seen": 0, "__prior_nt": 0}))
+        else:
+            ex = (ex.withColumn("__prior_seen", F.lit(0).cast("bigint"))
+                  .withColumn("__prior_nt", F.lit(0).cast("bigint")))
+        wsum = (Window.partitionBy(self.source_col)
+                .orderBy("__h", self.id_col)
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))
+        wr = (Window.partitionBy(self.source_col)
+              .orderBy("__h", self.id_col))
+        scored = (ex
+                  .withColumn("cum_tokens",
+                              F.col("__prior_nt")
+                              + F.sum("__nt").over(wsum))
+                  .withColumn("mix_rank",
+                              (F.col("__prior_seen")
+                               + F.row_number().over(wr))
+                              .cast("bigint"))
+                  .join(F.broadcast(self.budgets), self.source_col)
+                  .localCheckpoint(eager=True))  # feeds 2 writes
+        admitted = (scored.filter(F.col("cum_tokens")
+                                  <= F.col("token_budget"))
+                    .select(self.id_col, self.source_col,
+                            F.col("__nt").alias("n_tokens"),
+                            "mix_rank", "cum_tokens"))
+        # overwrite keeps an at-least-once replay idempotent
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(self.admissions_dir, f"epoch={int(epoch_id)}"))
+        # the state delta counts every SEEN document (admitted or not):
+        # the cumulative is over the full prefix, which is exactly what
+        # keeps a closed source closed
+        delta = (scored.groupBy(self.source_col)
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+                      F.sum("__nt").cast("bigint").alias("nt_seen")))
+        delta.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, f"epoch={int(epoch_id)}"))
+        release_checkpoint(scored)

@@ -1020,3 +1020,95 @@ def test_line_dedup_stream_equals_batch(spark, sf_dir):
     assert disk2 == want
     for p in (d, src, ckpt, res_dir):
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_token_budget_admission_sink_equals_batch_mixture(spark, sf_dir):
+    """TokenBudgetAdmissionSink under hash-order arrival (the
+    pre-sorted-manifest replay a budgeted ingest actually runs): the
+    union of per-epoch admissions equals the batch
+    token_budget_mixture answer exactly — ids, mix_rank, cum_tokens —
+    across an epoch replay AND a mid-stream restart (fresh sink object,
+    same directories; state is disk-only by construction)."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        portable_hash,
+        token_budget_mixture,
+    )
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        TokenBudgetAdmissionSink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text")
+    budgets = (docs.select("source").distinct()
+               .withColumn("token_budget", F.lit(500)))
+    want = {r.doc_id: (r.source, r.mix_rank, r.cum_tokens)
+            for r in token_budget_mixture(docs, budgets).collect()}
+    assert want, "budget must admit something"
+
+    # split into two batches at the global hash-order median: batch 0
+    # is every source's hash-prefix half — ordered arrival per source
+    h = portable_hash(F.col("doc_id").cast("string"))
+    cut = docs.select(h.alias("h")).approxQuantile("h", [0.5], 0.0)[0]
+    b0 = docs.filter(h <= cut)
+    b1 = docs.filter(h > cut)
+
+    d = tempfile.mkdtemp(prefix="tba_")
+    try:
+        sink = TokenBudgetAdmissionSink(budgets, d)
+        sink(b0, epoch_id=0)
+        # restart mid-stream: a brand-new sink continues from disk
+        sink2 = TokenBudgetAdmissionSink(budgets, d)
+        sink2(b1, epoch_id=1)
+        got = {r.doc_id: (r.source, r.mix_rank, r.cum_tokens)
+               for r in sink2.all_admissions(spark).collect()}
+        assert got == want
+        # at-least-once replay: epoch 1 re-delivered, value-identical
+        sink2(b1, epoch_id=1)
+        got2 = {r.doc_id: (r.source, r.mix_rank, r.cum_tokens)
+                for r in sink2.all_admissions(spark).collect()}
+        assert got2 == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_token_budget_admission_prefix_not_knapsack(spark):
+    """mix5's prefix semantics hold across batches: once a source's
+    cumulative SEEN tokens pass the budget, the source is closed — a
+    later small document is rejected even though it would fit the
+    remaining budget (greedy knapsack admission is deliberately not
+    offered); a zero-budget source admits nothing, and rejected
+    documents still advance the cumulative state."""
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        TokenBudgetAdmissionSink,
+    )
+
+    def words(i, n):
+        return " ".join(f"w{i}x{j}" for j in range(n))
+
+    b0 = spark.createDataFrame(
+        [(1, "a", words(1, 6)), (2, "a", words(2, 6)),
+         (3, "z", words(3, 3))],
+        "doc_id bigint, source string, text string")
+    # doc 4 overflows (6+6+9 > 15); doc 5 (2 tokens) WOULD fit the
+    # leftover 3 but the source is closed by then
+    b1 = spark.createDataFrame(
+        [(4, "a", words(4, 9)), (5, "a", words(5, 2))],
+        "doc_id bigint, source string, text string")
+    budgets = spark.createDataFrame(
+        [("a", 15), ("z", 0)], "source string, token_budget bigint")
+
+    d = tempfile.mkdtemp(prefix="tba_px_")
+    try:
+        sink = TokenBudgetAdmissionSink(budgets, d)
+        sink(b0, epoch_id=0)
+        got0 = {r.doc_id for r in sink.all_admissions(spark).collect()}
+        assert got0 == {1, 2}          # z's zero budget admits nothing
+        sink(b1, epoch_id=1)
+        rows = sink.all_admissions(spark).collect()
+        assert {r.doc_id for r in rows} == {1, 2}   # 4 overflows, 5 closed
+        # state advanced past the rejections: ranks/cums are the
+        # full-prefix values, so a hypothetical later doc sees them
+        by_id = {r.doc_id: r for r in rows}
+        assert by_id[2].cum_tokens == 12
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1112,3 +1112,50 @@ def test_token_budget_admission_prefix_not_knapsack(spark):
         assert by_id[2].cum_tokens == 12
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_token_budget_admission_seeded_fuzz(spark):
+    """Seeded random corpora, random budgets, random hash-order epoch
+    cuts: the admission sink always equals the batch mixture (the
+    LineDedupSink fuzz convention for the admission family)."""
+    import random
+
+    from axonops_schema_registry_spark.llm.sampling import (
+        portable_hash,
+        token_budget_mixture,
+    )
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        TokenBudgetAdmissionSink,
+    )
+
+    rng = random.Random(1601)
+    for trial in range(3):
+        rows = [(i, f"s{rng.randint(0, 3)}",
+                 " ".join(f"t{i}w{j}" for j in
+                          range(rng.randint(1, 12))))
+                for i in range(40)]
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, source string, text string")
+        budgets = spark.createDataFrame(
+            [(f"s{k}", rng.choice([0, 10, 25, 60])) for k in range(4)],
+            "source string, token_budget bigint")
+        want = {r.doc_id: (r.mix_rank, r.cum_tokens)
+                for r in token_budget_mixture(docs, budgets).collect()}
+
+        h = portable_hash(F.col("doc_id").cast("string"))
+        qs = sorted(rng.sample(range(1, 10), 2))
+        cuts = docs.select(h.alias("h")).approxQuantile(
+            "h", [qs[0] / 10, qs[1] / 10], 0.0)
+        epochs = [docs.filter(h <= cuts[0]),
+                  docs.filter((h > cuts[0]) & (h <= cuts[1])),
+                  docs.filter(h > cuts[1])]
+        d = tempfile.mkdtemp(prefix="tba_fuzz_")
+        try:
+            sink = TokenBudgetAdmissionSink(budgets, d)
+            for e, b in enumerate(epochs):
+                sink(b, epoch_id=e)
+            got = {r.doc_id: (r.mix_rank, r.cum_tokens)
+                   for r in sink.all_admissions(spark).collect()}
+            assert got == want, f"trial {trial} diverged"
+        finally:
+            shutil.rmtree(d, ignore_errors=True)

@@ -1159,3 +1159,55 @@ def test_token_budget_admission_seeded_fuzz(spark):
             assert got == want, f"trial {trial} diverged"
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_token_budget_admission_foreachbatch_stream(spark, tmp_path):
+    """End-to-end wiring: a structured-streaming file source delivers
+    the hash-ordered manifest in two files through a real foreachBatch
+    query; the persisted admissions equal the batch mixture."""
+    import os
+
+    from axonops_schema_registry_spark.llm.sampling import (
+        portable_hash,
+        token_budget_mixture,
+    )
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        TokenBudgetAdmissionSink,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", " ".join(f"d{i}w{j}" for j in range(5)))
+         for i in range(30)],
+        "doc_id bigint, source string, text string")
+    budgets = spark.createDataFrame(
+        [(f"s{k}", 20) for k in range(3)],
+        "source string, token_budget bigint")
+    want = {r.doc_id: (r.mix_rank, r.cum_tokens)
+            for r in token_budget_mixture(docs, budgets).collect()}
+    assert want
+
+    h = portable_hash(F.col("doc_id").cast("string"))
+    cut = docs.select(h.alias("h")).approxQuantile("h", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, part in enumerate((docs.filter(h <= cut),
+                              docs.filter(h > cut))):
+        sub = str(tmp_path / f"b{i}")
+        part.coalesce(1).write.parquet(sub)
+        f = next(p for p in os.listdir(sub) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part-{i}.parquet")
+        shutil.copy(os.path.join(sub, f), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sink = TokenBudgetAdmissionSink(budgets, str(tmp_path / "store"))
+    stream = (spark.readStream
+              .schema("doc_id bigint, source string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {r.doc_id: (r.mix_rank, r.cum_tokens)
+           for r in sink.all_admissions(spark).collect()}
+    assert got == want

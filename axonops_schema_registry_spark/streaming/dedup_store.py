@@ -2025,10 +2025,11 @@ class LineDedupStore:
         )
 
         self._check_params()
-        if epoch_id < self._meta()["below"]:
+        below = self._meta()["below"]  # one read per batch (ADVICE r16)
+        if epoch_id < below:
             raise RuntimeError(
                 f"epoch {epoch_id} is below the compaction watermark "
-                f"{self._meta()['below']}; compact() must only fold "
+                f"{below}; compact() must only fold "
                 "epochs the streaming checkpoint can no longer replay")
         ex = self._segmented(new_docs).localCheckpoint(eager=True)
         batch_el = (ex.filter(self._eligible())
@@ -2092,6 +2093,26 @@ class LineDedupStore:
 
     # -- out-of-order repair --------------------------------------------
 
+    def _repair_sig(self) -> dict:
+        """On-disk state identity for repair short-circuiting (ADVICE
+        r16): the same live election-epoch set + base generation +
+        overlay chain means a repair() re-run recomputes the identical
+        corrections (a replayed epoch rewrites an identical partition
+        by construction), so the repaired-through record in
+        ``line_repair.json`` lets the expensive full-overlay equality
+        scan be skipped.  Any ingest (new epoch), compact (gen bump /
+        watermark move) or overlay write changes the signature."""
+        meta = self._meta()
+        epochs = sorted(
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(self.elections_dir)
+                      if os.path.isdir(self.elections_dir) else [])
+            if d.startswith("epoch=")
+            and d.split("=", 1)[1].lstrip("-").isdigit())
+        return {"gen": meta["gen"], "below": meta["below"],
+                "epochs": epochs,
+                "n_overlays": len(self._repair_dirs())}
+
     def repair(self) -> int:
         """Move every keep from its arrival-first keeper to the
         batch-global winner; returns the number of repaired documents.
@@ -2111,11 +2132,25 @@ class LineDedupStore:
         winners, sees the recomputed delta equals the latest overlay,
         and skips the write — the overlay chain (and with it the
         all_results read plan) only grows when state actually changed
-        (ADVICE r15 #3); :meth:`compact` folds whatever chain remains."""
+        (ADVICE r15 #3); :meth:`compact` folds whatever chain remains.
+        A repaired-through record (``line_repair.json``, the on-disk
+        state signature at last repair) short-circuits even the
+        equality scan when nothing was ingested/compacted since
+        (ADVICE r16)."""
         from axonops_schema_registry_spark.llm.dedup import (
             _PACK_BLOCK_BITS,
             _reassemble_blocks,
         )
+
+        sig = self._repair_sig()
+        sig_path = os.path.join(self.store_dir, "line_repair.json")
+        try:
+            with open(sig_path) as f:
+                rec = json.load(f)
+            if rec.get("sig") == sig:
+                return int(rec["n"])  # repaired-through: state unchanged
+        except (OSError, ValueError, KeyError, TypeError):
+            pass  # missing/corrupt record: fall through to the full path
 
         el = self._read_dir(self.elections_dir, before_epoch=1 << 62)
         if el is None:
@@ -2140,6 +2175,7 @@ class LineDedupStore:
         n = affected.count()
         if n == 0:
             release_checkpoint(affected)
+            _write_json_atomic(sig_path, {"sig": sig, "n": 0})
             return 0
         gwin = el.groupBy("__bkey").agg(F.min("__first").alias("__gw"))
         blocks = self._read_dir(self.blocks_dir, before_epoch=1 << 62)
@@ -2164,12 +2200,17 @@ class LineDedupStore:
                 and cur.exceptAll(corrected).isEmpty()):
             release_checkpoint(corrected)
             release_checkpoint(affected)
+            _write_json_atomic(sig_path, {"sig": sig, "n": n})
             return n
         reps = self._repair_dirs()
         corrected.write.mode("overwrite").parquet(
             os.path.join(self.repairs_dir, f"rep_{len(reps)}"))
         release_checkpoint(corrected)
         release_checkpoint(affected)
+        # the overlay just written changed the chain — record the
+        # POST-write signature so the next untouched-store repair skips
+        _write_json_atomic(sig_path,
+                           {"sig": self._repair_sig(), "n": n})
         return n
 
     # -- compaction (VERDICT r15 ask #5) ---------------------------------

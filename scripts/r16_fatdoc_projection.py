@@ -48,7 +48,9 @@ def fatten_keep_stopwords(col: str) -> str:
     from axonops_schema_registry_spark.llm.text import LANG_STOPWORDS
 
     sw = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
-    lst = ", ".join(f"'{w}'" for w in sw)
+    # escape quotes: French/Italian elision forms (l', d', ...) would
+    # otherwise break the generated SQL literal list (ADVICE r16)
+    lst = ", ".join("'{}'".format(w.replace("'", "''")) for w in sw)
     return (f"array_join(transform(sequence(0, {SEGMENTS - 1}), "
             f"j -> array_join(transform(split({col}, ' '), "
             f"w -> CASE WHEN w IN ({lst}) THEN w "

@@ -58,6 +58,36 @@ def test_driver_window_samples_every_family():
         "streaming", "join", "agg"}
 
 
+def test_rotation_bound_is_current():
+    """The generated window (VERDICT r16 stretch #8) sorts specs by
+    the CORRECTNESS history bounded at ``_ROTATION_BOUND`` — pinned so
+    the driver's own round-close record cannot rotate the window
+    mid-judging.  The bound must track the committed history: it is
+    either the newest committed record (round start, after the bump)
+    or one behind it (the in-flight record the driver just wrote).
+    A two-round-stale bound means the round-start bump was skipped."""
+    import glob
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    rounds = [int(m.group(1))
+              for p in glob.glob(str(root / "CORRECTNESS_r*.json"))
+              if (m := re.search(r"r(\d+)\.json$", p))]
+    newest = max(rounds)
+    assert q._ROTATION_BOUND in (newest, newest - 1), (
+        f"_ROTATION_BOUND={q._ROTATION_BOUND} vs newest committed "
+        f"CORRECTNESS record r{newest} — bump the bound at round start")
+    # never-green specs lead the generated window (new specs are
+    # auto-sampled without any hand edit)
+    green = q._last_green(q._ROTATION_BOUND)
+    window = [s.name for s in q.ALL_SPECS[:50]]
+    never = [s.name for s in q.ALL_SPECS if s.name not in green]
+    for name in never:
+        assert name in window, (
+            f"never-driver-sampled spec {name} missing from the window")
+
+
 def test_coverage_window_telemetry_current():
     """The auto-generated COVERAGE.md window-telemetry section must be
     byte-identical to a fresh render from the registry + CORRECTNESS

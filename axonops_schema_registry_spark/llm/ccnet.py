@@ -1,0 +1,178 @@
+"""CCNet end-to-end composition surface (Wenzek et al. 2020) — shared
+by the BATCH capstone (``ccn1_ccnet_pipeline``, r16) and its STREAMING
+twin (``CCNetStreamSink``, r17, VERDICT r16 ask #5).
+
+``ccnet_receipt`` is the batch chain exactly as ccn1 shipped it (the
+body moved here verbatim so the spec, the tests and the streaming
+equality target share ONE implementation); ``ccnet_calibration`` runs
+the same chain once on a calibration corpus and extracts the FIXED
+artifacts a streaming deployment carries — the unigram LM score table,
+per-source perplexity-tercile cutoff pairs, the NBSVM weight table +
+the global top-k score cutoff pair, and the per-source token budgets.
+
+Why cutoff PAIRS and not id sets: production CCNet applies value
+thresholds computed on a calibration sample (the LM and cutoffs are
+trained on Wikipedia beforehand — §4.2), so the streaming state must
+be O(sources + vocabulary), never O(corpus).  Rank gates are made
+row-local exactly: the tercile boundary is the LAST kept element's
+(mean_surprisal, id) pair per source and the quality boundary is the
+k-th element's (-score_micro, id) pair — lexicographic comparison
+against the pair reproduces the rank cut INCLUDING its id tie-break,
+which a bare value threshold cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ccnet_receipt(docs: DataFrame, budget_tokens: int = 120,
+                  n_quality: int = 100,
+                  pos_source: str = "src0") -> DataFrame:
+    """The ccn1 per-source stage receipt over an arbitrary corpus
+    frame — see ``queries/llm_queries.ccn1_ccnet_pipeline`` for the
+    full stage-by-stage rationale (this is its body, moved in r17 so
+    the streaming twin pins against the SAME implementation)."""
+    from axonops_schema_registry_spark.llm.dedup import line_dedup
+    from axonops_schema_registry_spark.llm.sampling import (
+        quality_filter_scores,
+        token_budget_mixture,
+    )
+    from axonops_schema_registry_spark.llm.text import (
+        normalize_text,
+        perplexity_buckets,
+        predict_lang,
+    )
+
+    srcs = (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .localCheckpoint(eager=False))   # receipt + budgets
+    gated = (docs.filter(predict_lang("text") == "en")
+             .select("doc_id", "source",
+                     normalize_text("text").alias("text"))
+             .localCheckpoint(eager=False))  # count + dedup (2 uses)
+    lang_c = gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lang"))
+    ln = (line_dedup(gated, "doc_id", "text",
+                     block_words=10, min_block_words=5)
+          .select(F.col("id").alias("doc_id"), "n_removed",
+                  "cleaned_text")
+          .join(gated.select("doc_id", "source"), "doc_id")
+          .localCheckpoint(eager=False))     # stage agg + survivors
+    ded_c = ln.groupBy("source").agg(
+        F.sum((F.col("cleaned_text") != "").cast("bigint"))
+        .alias("n_dedup"),
+        F.sum("n_removed").cast("bigint").alias("blocks_removed"))
+    surv = (ln.filter(F.col("cleaned_text") != "")
+            .select("doc_id", "source",
+                    F.col("cleaned_text").alias("text")))
+    pb = perplexity_buckets(surv)            # checkpoints internally
+    hm = (surv.join(pb.filter(F.col("bucket") <= 1)
+                    .select("doc_id"), "doc_id")
+          .localCheckpoint(eager=False))     # count + fit + gate + mix
+    hm_c = hm.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_head_middle"))
+    pos = hm.filter(F.col("source") == pos_source).select("doc_id")
+    top = (quality_filter_scores(hm, pos, n_buckets=4096)
+           .orderBy(F.desc("score_micro"), "doc_id").limit(n_quality)
+           .select("doc_id")
+           .localCheckpoint(eager=False))    # 100 rows; recompute =
+    #                                          the whole classifier
+    qkept = hm.join(F.broadcast(top), "doc_id")
+    q_c = qkept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quality"))
+    budgets = srcs.select("source").withColumn(
+        "token_budget", F.lit(budget_tokens))
+    manifest = token_budget_mixture(qkept, budgets)
+    sel = (manifest.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_selected"),
+                F.max("cum_tokens").alias("tokens_selected"),
+                F.sum("doc_id").alias("id_checksum"),
+                F.max("mix_rank").alias("max_rank")))
+    out = srcs
+    for frame in (lang_c, ded_c, hm_c, q_c, sel):
+        out = out.join(frame, "source", "left")
+    tail = ("n_lang", "n_dedup", "blocks_removed", "n_head_middle",
+            "n_quality", "n_selected", "tokens_selected",
+            "id_checksum", "max_rank")
+    return (out.select(
+        "source", "n_docs",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in tail])
+        .orderBy("source"))
+
+
+def ccnet_calibration(docs: DataFrame, budget_tokens: int = 120,
+                      n_quality: int = 100,
+                      pos_source: str = "src0") -> dict:
+    """Calibrate-once artifacts for :class:`...streaming.ccnet_stream.
+    CCNetStreamSink`: replay the :func:`ccnet_receipt` chain's
+    corpus-global stages over the calibration corpus and freeze their
+    decisions as row-local-appliable state.  When the calibration
+    corpus IS the streamed corpus, gating each micro-batch against
+    these artifacts reproduces the batch chain exactly (the stream ≡
+    batch pin); a production deployment calibrates on a trusted
+    sample and the artifacts are the model it serves.
+
+    Returns ``{"lm", "ppl_cut", "weights", "q_cut", "budgets"}``:
+    vocabulary-bounded LM table, per-source (cut_ms, cut_id) tercile
+    boundary pairs, ≤4096-row NBSVM weight table, the global
+    (neg_score_micro, id) top-k boundary pair as a 1-row frame, and
+    the (source, token_budget) table — every frame eagerly
+    checkpointed (fixed for the run, the eval_spans lifecycle)."""
+    from axonops_schema_registry_spark.llm.dedup import line_dedup
+    from axonops_schema_registry_spark.llm.sampling import (
+        quality_filter_weights,
+        quality_score_with_weights,
+    )
+    from axonops_schema_registry_spark.llm.text import (
+        normalize_text,
+        perplexity_buckets,
+        predict_lang,
+        unigram_lm,
+    )
+
+    gated = (docs.filter(predict_lang("text") == "en")
+             .select("doc_id", "source",
+                     normalize_text("text").alias("text")))
+    surv = (line_dedup(gated, "doc_id", "text",
+                       block_words=10, min_block_words=5)
+            .filter(F.col("cleaned_text") != "")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("cleaned_text").alias("text"))
+            .join(gated.select("doc_id", "source"), "doc_id")
+            .localCheckpoint(eager=False))   # lm fit + buckets + pool
+    lm = unigram_lm(surv).localCheckpoint(eager=True)
+    pb = perplexity_buckets(surv, lm=lm)
+    hm_pb = pb.filter(F.col("bucket") <= 1)
+    # the LAST kept element per source in the (mean_surprisal, id)
+    # rank order — lexicographic <= against this pair IS the tercile
+    # rank cut, tie-break included
+    ppl_cut = (hm_pb.groupBy("source")
+               .agg(F.max(F.struct(
+                   F.col("mean_surprisal").alias("cut_ms"),
+                   F.col("doc_id").alias("cut_id"))).alias("c"))
+               .select("source", "c.cut_ms", "c.cut_id")
+               .localCheckpoint(eager=True))
+    hm = surv.join(hm_pb.select("doc_id"), "doc_id") \
+        .localCheckpoint(eager=False)        # fit + score (2 uses)
+    pos = hm.filter(F.col("source") == pos_source).select("doc_id")
+    weights = quality_filter_weights(hm, pos, n_buckets=4096) \
+        .localCheckpoint(eager=True)
+    scores = quality_score_with_weights(hm, weights, n_buckets=4096)
+    # the k-th element of the (score desc, id asc) order, as the max
+    # of the order-isomorphic (-score, id) key over the top-k — exact
+    # BIGINT negation, no float anywhere
+    q_cut = (scores
+             .orderBy(F.desc("score_micro"), "doc_id").limit(n_quality)
+             .agg(F.max(F.struct(
+                 (-F.col("score_micro")).alias("cut_neg_s"),
+                 F.col("doc_id").alias("cut_id"))).alias("c"))
+             .select("c.cut_neg_s", "c.cut_id")
+             .localCheckpoint(eager=True))
+    budgets = (docs.select("source").distinct()
+               .withColumn("token_budget", F.lit(budget_tokens))
+               .localCheckpoint(eager=True))
+    return {"lm": lm, "ppl_cut": ppl_cut, "weights": weights,
+            "q_cut": q_cut, "budgets": budgets}

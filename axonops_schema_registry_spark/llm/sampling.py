@@ -163,6 +163,67 @@ def token_budget_mixture(docs: DataFrame, budgets: DataFrame,
                 .drop("__h", "__nt", "token_budget"))
 
 
+def budget_revision_admission(docs: DataFrame, revisions: DataFrame,
+                              key_col: str = "doc_id",
+                              source_col: str = "source",
+                              text_col: str = "text",
+                              epoch_col: str = "epoch") -> DataFrame:
+    """Batch replay of an epoch-ordered budgeted ingest under BUDGET
+    REVISIONS — the batch twin of
+    :class:`...streaming.dedup_stream.TokenBudgetAdmissionSink` with
+    ``update_budgets`` (r17, VERDICT r16 ask #6): documents carry an
+    arrival ``epoch``; ``revisions`` is a tiny (source, token_budget,
+    effective) table versioning each source's budget by the epoch it
+    takes effect.  Per source, documents are ordered (epoch, hash,
+    key) — the stream's arrival order under hash-ordered manifests —
+    the cumulative token count runs over every SEEN document of
+    epochs where the source HAD a budget version (mix5's prefix
+    semantics), and a document is admitted iff its inclusive
+    cumulative stays within the budget AS OF its arrival epoch
+    (per-source latest ``effective <= epoch``, latest-wins).  A raise
+    therefore admits only later arrivals: earlier rejections stand
+    and their tokens still count against the new budget — exactly the
+    no-retroactive-admission contract the streaming sink enforces by
+    refusing revisions at processed epochs (equality pinned in
+    tests/test_streaming.py).
+
+    Returns docs + (mix_rank, cum_tokens, token_budget, admitted).
+
+    Scale shape: ``revisions`` is config-sized — the as-of lookup is
+    a per-(source, epoch)-grid broadcast; token counts are row-local
+    off the scan; one (rank, running-sum) window per source (mix2's
+    hash-range segmentation applies within each epoch when a source
+    outgrows a task)."""
+    h = portable_hash(F.col(key_col).cast("string"))
+    ntok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    grid = docs.select(source_col, epoch_col).distinct()
+    asof = (grid.join(revisions.withColumnRenamed("effective", "__eff"),
+                      source_col)
+            .filter(F.col("__eff") <= F.col(epoch_col))
+            .groupBy(source_col, epoch_col)
+            .agg(F.max_by("token_budget", "__eff")
+                 .alias("token_budget")))
+    w = (Window.partitionBy(source_col)
+         .orderBy(epoch_col, "__h", key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wr = (Window.partitionBy(source_col)
+          .orderBy(epoch_col, "__h", key_col))
+    return (docs.withColumn("__h", h)
+                .withColumn("__nt", ntok)
+                # inner: a (source, epoch) with no effective version
+                # is outside the run — not admitted, not in the prefix
+                # (the sink's budgets-as-of inner join)
+                .join(F.broadcast(asof), [source_col, epoch_col])
+                .withColumn("cum_tokens", F.sum("__nt").over(w))
+                .withColumn("mix_rank",
+                            F.row_number().over(wr).cast("bigint"))
+                .withColumn("admitted",
+                            F.col("cum_tokens")
+                            <= F.col("token_budget"))
+                .withColumn("n_tokens", F.col("__nt"))
+                .drop("__h", "__nt"))
+
+
 def dataset_mixture_segmented(docs: DataFrame, quotas: DataFrame,
                               n_segments: int = 16,
                               key_col: str = "doc_id",

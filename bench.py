@@ -148,6 +148,24 @@ def main() -> None:
 _BESTS_BEGIN = "<!-- BENCH_BESTS_BEGIN (auto-generated by bench.py) -->"
 _BESTS_END = "<!-- BENCH_BESTS_END -->"
 
+# r12 calm-spell floors RETIRED (r17, VERDICT r16 ask #4): these four
+# queries sat ⚠-flagged for four consecutive rounds with byte-identical
+# pinned plans while every same-sitting gauge read >= 1.27x (r17
+# sweep.py --gauge: 1.51x) — the r12 draws came from a machine state no
+# sitting since has reproduced, so their flags measured nothing
+# actionable.  Mining skips their pre-r16 records; the seeds below are
+# the best POST-warm-pass draws (w1/rj1/a10 from the committed r16
+# bests table — BENCH_r16.json is parsed:null so its draws cannot be
+# mined — asof1 from the r17 quiet draw, the better of the two) and
+# lose automatically to any better mined draw from r17 on.
+_REBASED: dict[str, tuple[float, str]] = {
+    "w1_latest_per_subject": (0.419, "r16w"),
+    "rj1_events_in_windows": (0.474, "r16w"),
+    "a10_event_metrics": (0.498, "r16w"),
+    "asof1_config_at_event_time": (1.348, "r17w"),
+}
+_REBASE_FROM = 16
+
 
 def _current_round(root: str) -> int | None:
     """The round currently being BUILT, for excluding its own BENCH
@@ -211,9 +229,18 @@ def _mine_bests(root: str,
         rec = rec.get("parsed", rec) or {}
         if rec.get("sf") != 0.1:
             continue
+        try:
+            rnum = int(rnd.lstrip("r"))
+        except ValueError:
+            rnum = -1
         for name, sec in (rec.get("queries") or {}).items():
+            if name in _REBASED and rnum < _REBASE_FROM:
+                continue  # retired calm-spell floor (see _REBASED)
             if name not in best or sec < best[name][0]:
                 best[name] = (sec, rnd)
+    for name, (sec, rnd) in _REBASED.items():
+        if name not in best or sec < best[name][0]:
+            best[name] = (sec, rnd)
     return best
 
 

@@ -148,6 +148,7 @@ def main() -> int:
                             .getPersistentRDDs().values()):
                 rdd.unpersist(True)
 
+        aqe_noted = []
         for name in QUERIES:
             spec = SPEC_BY_NAME[name]
             spec.build(spark, "/root/testdata/sf0.001").collect()
@@ -191,6 +192,19 @@ def main() -> int:
                 wall = f"{2.5e10 / (dps * 8000 / 32) / 3600:.1f} h"
             lines.append(f"| {name} | {t[1]:.2f} | {t[4]:.2f} "
                          f"| {t[10]:.2f} | {rate} | {wall} |")
+            if leg:
+                aqe_noted.append(name)
+        if aqe_noted:
+            lines += ["", "Note (VERDICT r16 stretch #9): "
+                      + ", ".join(aqe_noted) + " read a 1x point "
+                      "ABOVE 4x — the AQE small-input artifact "
+                      "(adaptive partition coalescing folds the tiny "
+                      "1x input below the 32-core task count; probed "
+                      "~4 s of ccn1's gap in r16, the rest is fixed "
+                      "small-size plan cost).  The projection uses "
+                      "the monotone 4x-10x leg for these rows; at "
+                      "cluster scale inputs never sit below the core "
+                      "count, so the artifact does not project."]
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "docs", "SCALING.md")
         content = open(path).read()

@@ -1,0 +1,155 @@
+"""ccn2 — stream ≡ batch pins for the CCNet streaming capstone
+(r17, VERDICT r16 ask #5).
+
+The fixture PLANS its arrival order instead of hoping for it: the
+portable 48-bit hash is an md5 prefix, computable driver-side, so the
+corpus is constructed such that the two ordering preconditions hold
+simultaneously —
+
+* epochs are contiguous cuts of the GLOBAL hash order, so every
+  source's arrival subsequence is (hash, id)-increasing (the
+  admission-leg precondition), and
+* every planted duplicate block's batch-global winner (its smallest
+  doc id) also hashes EARLIEST among the holders, so keep-first by
+  arrival elects the same copy the batch packed-order election does
+  (the line-dedup-leg precondition; pairs are searched for, not
+  assumed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+N_SOURCES = 4
+N_DOCS = 120
+N_QUALITY = 40
+BUDGET = 120
+
+
+def _phash(i: int) -> int:
+    """Driver-side twin of llm.sampling.portable_hash(str(id))."""
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+
+
+def _segment(seed: str, de: bool = False) -> str:
+    """One exact 10-word block: 5 language stopwords interleaved with
+    5 seed-unique content words (lowercase ASCII, normalize-stable)."""
+    if de:
+        return (f"der {seed}a die {seed}b das {seed}c und {seed}d "
+                f"ist {seed}e")
+    return (f"the {seed}a of {seed}b and {seed}c to {seed}d "
+            f"the {seed}e")
+
+
+def _build_corpus():
+    """(rows, n_pairs): 120 docs over 4 sources; ~1/6 German (lang
+    gate fodder); 12 planted duplicate-block pairs (a, b) with a < b
+    AND phash(a) < phash(b), four of whose victims are single-segment
+    docs (cleaned to empty — the n_dedup leg observably fires)."""
+    ids = list(range(N_DOCS))
+    de_ids = {i for i in ids if i % 6 == 5}
+    en_ids = [i for i in ids if i not in de_ids]
+    pairs, used = [], set()
+    for a in en_ids:
+        if a in used:
+            continue
+        for b in en_ids:
+            if b <= a or b in used or _phash(a) >= _phash(b):
+                continue
+            pairs.append((a, b))
+            used.update((a, b))
+            break
+        if len(pairs) == 12:
+            break
+    assert len(pairs) == 12, "fixture could not plant 12 ordered pairs"
+    dup_of = {b: a for a, b in pairs}
+    single_seg = {b for k, (a, b) in enumerate(pairs) if k < 4}
+    rows = []
+    for i in ids:
+        de = i in de_ids
+        segs = [_segment(f"d{dup_of[i]}s0" if i in dup_of else f"d{i}s0",
+                         de)]
+        if i not in single_seg:
+            segs.append(_segment(f"d{i}s1", de))
+            if i % 3 == 0:
+                segs.append(_segment(f"d{i}s2", de))
+        rows.append((i, f"src{i % N_SOURCES}", " ".join(segs)))
+    return rows, pairs
+
+
+def _epochs(rows, n=4):
+    order = sorted((r[0] for r in rows), key=lambda i: (_phash(i), i))
+    cut = len(order) // n
+    return [set(order[k * cut:(k + 1) * cut if k < n - 1 else None])
+            for k in range(n)]
+
+
+def test_ccnet_stream_equals_batch_with_restart_and_replay(
+        spark, tmp_path):
+    """The capstone pin: aggregated per-epoch receipts equal the
+    batch ccnet_receipt over the same corpus — across four epochs, a
+    mid-stream RESTART (fresh sink object, same store), and an epoch
+    REPLAY after later epochs landed (value-idempotent).  Every gate
+    observably fires along the way."""
+    from axonops_schema_registry_spark.llm.ccnet import ccnet_receipt
+    from axonops_schema_registry_spark.streaming.ccnet_stream import (
+        CCNetStreamSink,
+    )
+
+    rows, _ = _build_corpus()
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string") \
+        .localCheckpoint(eager=True)
+    want = ccnet_receipt(docs, budget_tokens=BUDGET,
+                         n_quality=N_QUALITY).collect()
+    wrows = [tuple(r) for r in want]
+    # every leg fires in the batch target (so equality is meaningful)
+    tot = {c: sum(r[c] for r in want) for c in want[0].asDict()
+           if c != "source"}
+    assert tot["n_lang"] < tot["n_docs"]            # lang gate
+    assert tot["blocks_removed"] > 0                # line dedup
+    assert tot["n_dedup"] < tot["n_lang"]           # emptied victims
+    assert tot["n_head_middle"] < tot["n_dedup"]    # tercile gate
+    assert tot["n_quality"] < tot["n_head_middle"]  # top-k gate
+    assert tot["n_selected"] < tot["n_quality"]     # budget binds
+
+    epochs = _epochs(rows)
+    d = str(tmp_path / "store")
+    sink = CCNetStreamSink(docs, d, budget_tokens=BUDGET,
+                           n_quality=N_QUALITY)
+    bcol = F.col("doc_id")
+    sink(docs.filter(bcol.isin(epochs[0])), 0)
+    sink(docs.filter(bcol.isin(epochs[1])), 1)
+    # mid-stream restart: a fresh sink over the same directories
+    # re-derives the calibration artifacts and continues the stores
+    sink2 = CCNetStreamSink(docs, d, budget_tokens=BUDGET,
+                            n_quality=N_QUALITY)
+    sink2(docs.filter(bcol.isin(epochs[2])), 2)
+    sink2(docs.filter(bcol.isin(epochs[3])), 3)
+    got = [tuple(r) for r in sink2.final_receipt(spark).collect()]
+    assert got == wrows
+    # at-least-once replay of a MIDDLE epoch after later epochs
+    # landed: every leg recomputes from pre-epoch state — identical
+    sink2(docs.filter(bcol.isin(epochs[1])), 1)
+    got2 = [tuple(r) for r in sink2.final_receipt(spark).collect()]
+    assert got2 == wrows
+
+
+def test_ccnet_fixture_orderings_hold():
+    """The fixture's two planned preconditions, asserted directly so
+    a fixture edit cannot silently void the capstone equality."""
+    rows, pairs = _build_corpus()
+    epochs = _epochs(rows)
+    epoch_of = {i: k for k, ids in enumerate(epochs) for i in ids}
+    # per-source (hash, id) order is epoch-monotone
+    for s in range(N_SOURCES):
+        seq = sorted((r[0] for r in rows if r[1] == f"src{s}"),
+                     key=lambda i: (_phash(i), i))
+        ep = [epoch_of[i] for i in seq]
+        assert ep == sorted(ep)
+    # every planted pair's batch winner arrives no later than its dup
+    for a, b in pairs:
+        assert a < b and _phash(a) < _phash(b)
+        assert epoch_of[a] <= epoch_of[b]

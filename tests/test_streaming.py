@@ -1211,3 +1211,203 @@ def test_token_budget_admission_foreachbatch_stream(spark, tmp_path):
     got = {r.doc_id: (r.mix_rank, r.cum_tokens)
            for r in sink.all_admissions(spark).collect()}
     assert got == want
+
+
+def test_token_budget_admission_budget_revision(spark, tmp_path):
+    """Budget revisions (VERDICT r16 ask #6): a raise published at a
+    future effective epoch admits only FUTURE arrivals — past
+    rejections stand and still count against the prefix; a replayed
+    pre-revision epoch re-admits under the budgets it originally saw;
+    a restart re-applies stored revisions; and the refusal surface
+    (retroactive effective epoch, conflicting re-publication,
+    different construction base) fails loudly."""
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        TokenBudgetAdmissionSink,
+    )
+
+    def words(i, n):
+        return " ".join(f"w{i}x{j}" for j in range(n))
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, source string, text string")
+
+    budgets = spark.createDataFrame(
+        [("a", 15)], "source string, token_budget bigint")
+    d = str(tmp_path / "store")
+
+    sink = TokenBudgetAdmissionSink(budgets, d)
+    # epoch 0: cum 6, 12 — both admitted; source b has NO budget yet:
+    # excluded from the run (mix5 semantics), not part of the prefix
+    sink(mk([(1, "a", words(1, 6)), (2, "a", words(2, 6)),
+             (30, "b", words(30, 4))]), epoch_id=0)
+    # epoch 1: doc 4 overflows (cum 21 > 15), doc 5 closed (cum 23)
+    b1 = mk([(4, "a", words(4, 9)), (5, "a", words(5, 2))])
+    sink(b1, epoch_id=1)
+    assert {r.doc_id for r in sink.all_admissions(spark).collect()} \
+        == {1, 2}
+
+    # raise a's budget and give b one, effective from epoch 2
+    sink.update_budgets(mk_budgets(spark, [("a", 40), ("b", 10)]),
+                        effective_epoch=2)
+    # idempotent re-publication (crash-retry shape) is fine...
+    sink.update_budgets(mk_budgets(spark, [("a", 40), ("b", 10)]),
+                        effective_epoch=2)
+    # ...a DIFFERENT table at the same effective epoch is not
+    with pytest.raises(RuntimeError, match="different budget revision"):
+        sink.update_budgets(mk_budgets(spark, [("a", 99)]),
+                            effective_epoch=2)
+    # retroactive revision refused (epochs 0-1 already processed)
+    with pytest.raises(RuntimeError, match="not above"):
+        sink.update_budgets(mk_budgets(spark, [("a", 99)]),
+                            effective_epoch=1)
+
+    # epoch 2: a's doc 6 (cum 28 <= 40) admitted — the raise opens
+    # FUTURE arrivals only; 4/5 stay rejected though 40 would cover
+    # doc 4's cum 21.  b's doc 31 starts b's prefix (cum 3 <= 10);
+    # doc 30 is NOT retroactively admitted.
+    sink(mk([(6, "a", words(6, 5)), (31, "b", words(31, 3))]),
+         epoch_id=2)
+    got = {r.doc_id: r.cum_tokens
+           for r in sink.all_admissions(spark).collect()}
+    assert got == {1: 6, 2: 12, 6: 28, 31: 3}
+
+    # replay of pre-revision epoch 1 uses as-of(1) = 15: identical
+    sink(b1, epoch_id=1)
+    got2 = {r.doc_id: r.cum_tokens
+            for r in sink.all_admissions(spark).collect()}
+    assert got2 == got
+
+    # restart: same base budgets, revisions re-applied from disk
+    sink2 = TokenBudgetAdmissionSink(budgets, d)
+    sink2(mk([(7, "a", words(7, 5))]), epoch_id=3)
+    got3 = {r.doc_id: r.cum_tokens
+            for r in sink2.all_admissions(spark).collect()}
+    assert got3 == {1: 6, 2: 12, 6: 28, 31: 3, 7: 33}
+
+    # a different construction base is a pin violation
+    with pytest.raises(RuntimeError, match="different base budgets"):
+        TokenBudgetAdmissionSink(
+            mk_budgets(spark, [("a", 16)]), d)
+
+
+def mk_budgets(spark, rows):
+    return spark.createDataFrame(
+        rows, "source string, token_budget bigint")
+
+
+def test_token_budget_admission_compact(spark, tmp_path):
+    """compact() (ADVICE r16): folding epochs below the checkpoint
+    watermark into a generation base preserves all_admissions and the
+    prefix state exactly (continued ingest equals the uncompacted
+    twin), replaying a folded epoch is refused, and re-compaction is
+    a no-op."""
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        TokenBudgetAdmissionSink,
+    )
+
+    def words(i, n):
+        return " ".join(f"w{i}x{j}" for j in range(n))
+
+    rows = [(i, f"s{i % 2}", words(i, 1 + i % 4)) for i in range(24)]
+    epochs = [rows[:8], rows[8:16], rows[16:]]
+
+    def mk(rs):
+        return spark.createDataFrame(
+            rs, "doc_id bigint, source string, text string")
+
+    budgets = mk_budgets(spark, [("s0", 18), ("s1", 14)])
+
+    d1, d2 = str(tmp_path / "plain"), str(tmp_path / "compacted")
+    plain = TokenBudgetAdmissionSink(budgets, d1)
+    comp = TokenBudgetAdmissionSink(budgets, d2)
+    for e in range(2):
+        plain(mk(epochs[e]), epoch_id=e)
+        comp(mk(epochs[e]), epoch_id=e)
+
+    pre = {r.doc_id: (r.mix_rank, r.cum_tokens)
+           for r in comp.all_admissions(spark).collect()}
+    comp.compact(spark, below_epoch=2)
+    post = {r.doc_id: (r.mix_rank, r.cum_tokens)
+            for r in comp.all_admissions(spark).collect()}
+    assert post == pre
+    # folded epoch partitions are swept; the base carries them now
+    import os as _os
+    live = [x for x in _os.listdir(comp.state_dir)
+            if x.startswith("epoch=")] \
+        if _os.path.isdir(comp.state_dir) else []
+    assert live == []
+
+    # replaying a folded epoch is refused
+    with pytest.raises(RuntimeError, match="below the compaction"):
+        comp(mk(epochs[1]), epoch_id=1)
+
+    # continued ingest over the base equals the uncompacted twin
+    plain(mk(epochs[2]), epoch_id=2)
+    comp(mk(epochs[2]), epoch_id=2)
+    want = {r.doc_id: (r.mix_rank, r.cum_tokens)
+            for r in plain.all_admissions(spark).collect()}
+    got = {r.doc_id: (r.mix_rank, r.cum_tokens)
+           for r in comp.all_admissions(spark).collect()}
+    assert got == want
+
+    # idempotent: re-compacting the same watermark is a no-op, and a
+    # later compact folds base + live into the next generation
+    comp.compact(spark, below_epoch=2)
+    comp.compact(spark, below_epoch=3)
+    got2 = {r.doc_id: (r.mix_rank, r.cum_tokens)
+            for r in comp.all_admissions(spark).collect()}
+    assert got2 == want
+    assert comp._meta() == {"gen": 1, "below": 3}
+
+
+def test_budget_revision_stream_equals_batch(spark, sf_dir):
+    """The bud1 seam: TokenBudgetAdmissionSink with a mid-stream
+    update_budgets equals the batch budget_revision_admission over
+    the same epoch-stamped corpus — ids, mix_rank, cum_tokens — so
+    the sink and the bud1 oracle-checked spec pin each other."""
+    from axonops_schema_registry_spark.llm.sampling import (
+        budget_revision_admission,
+    )
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        TokenBudgetAdmissionSink,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn("epoch",
+                        F.expr("(doc_id DIV 20) % 4").cast("bigint"))
+            .select("doc_id", "source", "text", "epoch")
+            .localCheckpoint(eager=True))
+    srcs = docs.select("source").distinct()
+    even = F.substring("source", 4, 10).cast("int") % 2 == 0
+    base = srcs.withColumn("token_budget", F.lit(60).cast("bigint"))
+    # the raise is deliberately huge so the revision path observably
+    # fires at ANY fixture scale (every even-source epoch-2+ arrival
+    # admitted past the base 60) — the equality below is the real pin
+    raised = (srcs.filter(even)
+              .withColumn("token_budget",
+                          F.lit(10_000).cast("bigint")))
+    revisions = (base.withColumn("effective", F.lit(0).cast("bigint"))
+                 .unionByName(raised.withColumn(
+                     "effective", F.lit(2).cast("bigint"))))
+    want = {r.doc_id: (r.mix_rank, r.cum_tokens)
+            for r in budget_revision_admission(docs, revisions)
+            .filter("admitted").collect()}
+    assert want, "base budget must admit something"
+
+    d = tempfile.mkdtemp(prefix="bud1_")
+    try:
+        sink = TokenBudgetAdmissionSink(base, d)
+        for e in range(4):
+            if e == 2:
+                sink.update_budgets(raised, effective_epoch=2)
+            sink(docs.filter(F.col("epoch") == e), epoch_id=e)
+        got = {r.doc_id: (r.mix_rank, r.cum_tokens)
+               for r in sink.all_admissions(spark).collect()}
+        assert got == want
+        # the raise actually bit: some admission is epoch-2+ on an
+        # even source beyond the base budget
+        adm = sink.all_admissions(spark)
+        assert adm.filter(F.col("cum_tokens") > 60).count() > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -545,17 +545,20 @@ class TokenBudgetAdmissionSink:
     # -- budget revisions (VERDICT r16 ask #6) ------------------------------
 
     def _max_processed_epoch(self) -> int | None:
-        """Newest epoch with a committed state delta (live partition
-        or folded into the base via meta.below)."""
+        """Newest epoch with a committed state delta — max over live
+        partitions AND the fold watermark (a crash between compact's
+        meta swap and its directory sweep can leave orphan live
+        partitions BELOW ``below``; taking max(live) alone would then
+        under-report and let update_budgets revise an already-folded
+        epoch's as-of view)."""
         meta = self._meta()
         live = [int(d.split("=", 1)[1])
                 for d in (os.listdir(self.state_dir)
                           if os.path.isdir(self.state_dir) else [])
                 if d.startswith("epoch=")
                 and d.split("=", 1)[1].lstrip("-").isdigit()]
-        if live:
-            return max(live)
-        return meta["below"] - 1 if meta["below"] > 0 else None
+        cands = live + ([meta["below"] - 1] if meta["below"] > 0 else [])
+        return max(cands) if cands else None
 
     def update_budgets(self, new_budgets: DataFrame,
                        effective_epoch: int) -> None:

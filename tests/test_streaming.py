@@ -1411,3 +1411,107 @@ def test_budget_revision_stream_equals_batch(spark, sf_dir):
         assert adm.filter(F.col("cum_tokens") > 60).count() > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_budget_revision_seeded_fuzz(spark):
+    """Seeded random corpora, random epoch stamps, random revision
+    schedules (raises AND cuts, new sources appearing mid-run): the
+    admission sink with update_budgets always equals the batch
+    budget_revision_admission — the fuzz convention extended to the
+    revision surface."""
+    import random
+
+    from axonops_schema_registry_spark.llm.sampling import (
+        budget_revision_admission,
+    )
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        TokenBudgetAdmissionSink,
+    )
+
+    rng = random.Random(1701)
+    for trial in range(3):
+        n_src = rng.randint(2, 4)
+        rows = [(i, f"s{rng.randint(0, n_src - 1)}",
+                 " ".join(f"t{i}w{j}" for j in
+                          range(rng.randint(1, 10))),
+                 rng.randint(0, 3))
+                for i in range(40)]
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, source string, text string, "
+                  "epoch bigint")
+        # base budgets cover a SUBSET of sources (s0 missing in some
+        # trials — its pre-revision docs are outside the run); one
+        # revision per trial at a random future epoch
+        base_rows = [(f"s{k}", rng.choice([5, 15, 40]))
+                     for k in range(n_src) if rng.random() > 0.2]
+        if not base_rows:
+            base_rows = [("s0", 15)]
+        rev_epoch = rng.randint(1, 3)
+        rev_rows = [(f"s{k}", rng.choice([0, 10, 60]))
+                    for k in range(n_src) if rng.random() > 0.4]
+        if not rev_rows:
+            rev_rows = [("s1", 60)]
+        base = spark.createDataFrame(
+            base_rows, "source string, token_budget bigint")
+        rev = spark.createDataFrame(
+            rev_rows, "source string, token_budget bigint")
+        revisions = (base.withColumn("effective",
+                                     F.lit(0).cast("bigint"))
+                     .unionByName(rev.withColumn(
+                         "effective",
+                         F.lit(rev_epoch).cast("bigint"))))
+        want = {r.doc_id: (r.mix_rank, r.cum_tokens)
+                for r in budget_revision_admission(docs, revisions)
+                .filter("admitted").collect()}
+
+        d = tempfile.mkdtemp(prefix="bud_fuzz_")
+        try:
+            sink = TokenBudgetAdmissionSink(base, d)
+            for e in range(4):
+                if e == rev_epoch:
+                    sink.update_budgets(rev, effective_epoch=e)
+                sink(docs.filter(F.col("epoch") == e), epoch_id=e)
+            adm = sink.all_admissions(spark)
+            got = ({} if adm is None else
+                   {r.doc_id: (r.mix_rank, r.cum_tokens)
+                    for r in adm.collect()})
+            assert got == want, f"trial {trial} diverged"
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_budget_revision_guard_survives_compact_crash_orphans(
+        spark, tmp_path):
+    """A crash between compact()'s meta swap and its directory sweep
+    leaves orphan live state partitions BELOW the fold watermark;
+    the processed-epoch guard must take max(live, watermark-1), not
+    max(live) — or a revision could rewrite an already-folded epoch's
+    as-of view."""
+    import os as _os
+
+    from axonops_schema_registry_spark.streaming.dedup_stream import (
+        TokenBudgetAdmissionSink,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, source string, text string")
+
+    budgets = mk_budgets(spark, [("a", 50)])
+    d = str(tmp_path / "store")
+    sink = TokenBudgetAdmissionSink(budgets, d)
+    for e in range(3):
+        sink(mk([(10 + e, "a", f"w{e}x w{e}y")]), epoch_id=e)
+    sink.compact(spark, below_epoch=3)
+    # simulate the crash tail: resurrect an orphan epoch=0 partition
+    # (readers ignore it via meta.below; only the guard could trip)
+    orphan = _os.path.join(sink.state_dir, "epoch=0")
+    mk([(10, "a", "w0x w0y")]).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+        F.lit(2).cast("bigint").alias("nt_seen")) \
+        .write.mode("overwrite").parquet(orphan)
+    with pytest.raises(RuntimeError, match="not above"):
+        sink.update_budgets(mk_budgets(spark, [("a", 99)]),
+                            effective_epoch=2)
+    sink.update_budgets(mk_budgets(spark, [("a", 99)]),
+                        effective_epoch=3)  # above the fold: fine

@@ -164,6 +164,7 @@ class CCNetStreamSink:
         # token-budget admission: the disk-backed prefix state
         self.admission(qkept, epoch_id)
         spark = batch_df.sparkSession
+        self._write_order_state(qkept, epoch_id)
         adm = spark.read.parquet(os.path.join(
             self.admission.admissions_dir, f"epoch={epoch_id}"))
         sel = (adm.groupBy("source")
@@ -187,6 +188,105 @@ class CCNetStreamSink:
             os.path.join(self.receipts_dir, f"epoch={epoch_id}"))
         for frame in (docs, gated, ln, hm, qkept):
             release_checkpoint(frame)
+
+    # -- arrival-order guard (r17) -----------------------------------------
+
+    def _write_order_state(self, qkept: DataFrame,
+                           epoch_id: int) -> None:
+        """Record this epoch's per-source (portable_hash, id) extrema
+        over the docs entering ADMISSION (qkept) so
+        :meth:`order_report` can DETECT a violated mixture-order
+        precondition instead of silently diverging from the batch
+        chain.  One sources-sized row set per epoch, idempotent
+        overwrite (the established replay shape).  The line-dedup leg
+        needs no extra state: its violations are read exactly off the
+        line store's elections table (see order_report)."""
+        from axonops_schema_registry_spark.llm.sampling import (
+            portable_hash,
+        )
+
+        qk = qkept.withColumn("__h", portable_hash(
+            F.col("doc_id").cast("string")))
+        pair = F.struct(F.col("__h").alias("h"),
+                        F.col("doc_id").alias("i"))
+        state = (qk.groupBy("source")
+                 .agg(F.min(pair).alias("mn"), F.max(pair).alias("mx"))
+                 .select("source",
+                         F.col("mn.h").alias("min_h"),
+                         F.col("mn.i").alias("min_hid"),
+                         F.col("mx.h").alias("max_h"),
+                         F.col("mx.i").alias("max_hid")))
+        state.write.mode("overwrite").parquet(os.path.join(
+            self.store_dir, "order_state", f"epoch={epoch_id}"))
+
+    def order_report(self, spark) -> DataFrame | None:
+        """Per-epoch verdict on the two stream ≡ batch arrival-order
+        preconditions (see the module docstring) — both checks EXACT:
+
+        * ``admission_order_ok`` — every source's incoming (hash, id)
+          minimum over the admission-leg docs sits ABOVE every prior
+          epoch's maximum (per-source prefix order is precisely what
+          the mix5 equality needs);
+        * ``line_order_ok`` — no block key whose batch-global winner
+          this epoch carried was already elected by an earlier epoch
+          (read off the line store's elections table — the same
+          victim detection ``LineDedupStore.repair()`` runs, bounded
+          by distinct block keys).  False means keep-first-by-arrival
+          elected a different copy than the batch operator —
+          ``repair()`` is the reconciliation path for the store;
+          receipts from the flagged epoch on are not batch-equal.
+
+        True everywhere ⇒ the aggregated receipts equal the batch
+        ``ccnet_receipt`` by the pinned equality contract."""
+        from pyspark.sql import Window
+
+        path = os.path.join(self.store_dir, "order_state")
+        if not (os.path.isdir(path)
+                and any(d.startswith("epoch=")
+                        for d in os.listdir(path))):
+            return None
+        st = spark.read.parquet(path)
+        prev = (Window.partitionBy("source").orderBy("epoch")
+                .rowsBetween(Window.unboundedPreceding, -1))
+        mx = F.struct(F.col("max_h").alias("h"),
+                      F.col("max_hid").alias("i"))
+        mn = F.struct(F.col("min_h").alias("h"),
+                      F.col("min_hid").alias("i"))
+        adm = (st.withColumn("__prev", F.max(mx).over(prev))
+               .withColumn("__ok",
+                           F.col("__prev").isNull()
+                           | F.col("min_h").isNull()
+                           | (mn > F.col("__prev")))
+               .groupBy("epoch")
+               .agg(F.min(F.col("__ok").cast("int")).cast("boolean")
+                    .alias("admission_order_ok")))
+        # line leg: a violated key is one whose global packed minimum
+        # (the batch winner) lives in a LATER epoch than the key's
+        # first election — the violating epoch is the winner's
+        el = self.line_store._read_dir(self.line_store.elections_dir,
+                                       before_epoch=1 << 62)
+        bad_epochs = None
+        if el is not None:
+            per_key = (el.groupBy("__bkey")
+                       .agg(F.min("__first").alias("__gmin"),
+                            F.min_by("__first", "epoch").alias("__own"),
+                            F.min_by("epoch", "__first")
+                            .alias("__win_epoch")))
+            bad_epochs = (per_key
+                          .filter(F.col("__gmin") < F.col("__own"))
+                          .select(F.col("__win_epoch").alias("epoch"))
+                          .distinct()
+                          .withColumn("__line_bad", F.lit(True)))
+        out = adm
+        if bad_epochs is not None:
+            out = out.join(bad_epochs, "epoch", "left")
+        else:
+            out = out.withColumn("__line_bad",
+                                 F.lit(None).cast("boolean"))
+        return (out.select("epoch", "admission_order_ok",
+                           F.col("__line_bad").isNull()
+                           .alias("line_order_ok"))
+                .orderBy("epoch"))
 
     # -- reads ---------------------------------------------------------------
 

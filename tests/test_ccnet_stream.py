@@ -153,3 +153,48 @@ def test_ccnet_fixture_orderings_hold():
     for a, b in pairs:
         assert a < b and _phash(a) < _phash(b)
         assert epoch_of[a] <= epoch_of[b]
+
+
+def test_ccnet_order_report_detects_violations(spark, tmp_path):
+    """The arrival-order guard: an ordered feed reports every epoch
+    OK; feeding the same two batches REVERSED flags the late epoch on
+    both legs, and its receipts genuinely diverge from the batch
+    answer — the guard fires exactly where the equality contract
+    breaks, instead of the stream silently diverging."""
+    from axonops_schema_registry_spark.llm.ccnet import ccnet_receipt
+    from axonops_schema_registry_spark.streaming.ccnet_stream import (
+        CCNetStreamSink,
+    )
+
+    rows, _ = _build_corpus()
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string") \
+        .localCheckpoint(eager=True)
+    epochs = _epochs(rows, n=2)
+    bcol = F.col("doc_id")
+    b0 = docs.filter(bcol.isin(epochs[0]))
+    b1 = docs.filter(bcol.isin(epochs[1]))
+
+    ok_dir = str(tmp_path / "ordered")
+    sink = CCNetStreamSink(docs, ok_dir, budget_tokens=BUDGET,
+                           n_quality=N_QUALITY)
+    sink(b0, 0)
+    sink(b1, 1)
+    rep = {r.epoch: (r.admission_order_ok, r.line_order_ok)
+           for r in sink.order_report(spark).collect()}
+    assert rep == {0: (True, True), 1: (True, True)}
+
+    bad_dir = str(tmp_path / "reversed")
+    bad = CCNetStreamSink(docs, bad_dir, budget_tokens=BUDGET,
+                          n_quality=N_QUALITY)
+    bad(b1, 0)
+    bad(b0, 1)
+    brep = {r.epoch: (r.admission_order_ok, r.line_order_ok)
+            for r in bad.order_report(spark).collect()}
+    assert brep[0] == (True, True)      # first epoch is always a prefix
+    assert brep[1] == (False, False)    # the late batch flags both legs
+    # and the flag marks a REAL divergence: reversed receipts != batch
+    want = [tuple(r) for r in ccnet_receipt(
+        docs, budget_tokens=BUDGET, n_quality=N_QUALITY).collect()]
+    got = [tuple(r) for r in bad.final_receipt(spark).collect()]
+    assert got != want

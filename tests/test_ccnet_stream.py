@@ -198,3 +198,51 @@ def test_ccnet_order_report_detects_violations(spark, tmp_path):
         docs, budget_tokens=BUDGET, n_quality=N_QUALITY).collect()]
     got = [tuple(r) for r in bad.final_receipt(spark).collect()]
     assert got != want
+
+
+def test_ccnet_stream_foreachbatch_wiring(spark, tmp_path):
+    """End-to-end wiring: a structured-streaming file source delivers
+    the planted corpus as two hash-ordered files through a real
+    foreachBatch query; the aggregated receipts equal the batch
+    ccnet_receipt and the order report is clean."""
+    import os
+    import shutil
+
+    from axonops_schema_registry_spark.llm.ccnet import ccnet_receipt
+    from axonops_schema_registry_spark.streaming.ccnet_stream import (
+        CCNetStreamSink,
+    )
+
+    rows, _ = _build_corpus()
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string") \
+        .localCheckpoint(eager=True)
+    want = [tuple(r) for r in ccnet_receipt(
+        docs, budget_tokens=BUDGET, n_quality=N_QUALITY).collect()]
+    epochs = _epochs(rows, n=2)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, ids in enumerate(epochs):
+        sub = str(tmp_path / f"b{i}")
+        docs.filter(F.col("doc_id").isin(ids)) \
+            .coalesce(1).write.parquet(sub)
+        f = next(p for p in os.listdir(sub) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part-{i}.parquet")
+        shutil.copy(os.path.join(sub, f), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sink = CCNetStreamSink(docs, str(tmp_path / "store"),
+                           budget_tokens=BUDGET, n_quality=N_QUALITY)
+    stream = (spark.readStream
+              .schema("doc_id bigint, source string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = [tuple(r) for r in sink.final_receipt(spark).collect()]
+    assert got == want
+    rep = sink.order_report(spark).collect()
+    assert all(r.admission_order_ok and r.line_order_ok for r in rep)

@@ -103,6 +103,104 @@ def ccnet_receipt(docs: DataFrame, budget_tokens: int = 120,
         .orderBy("source"))
 
 
+def manifest_order_audit(docs: DataFrame,
+                         key_col: str = "doc_id",
+                         source_col: str = "source",
+                         text_col: str = "text",
+                         epoch_col: str = "epoch",
+                         block_words: int = 10,
+                         min_block_words: int = 5) -> DataFrame:
+    """BATCH pre-flight audit of a streaming manifest's arrival order
+    (r17 — the driver-checkable twin of
+    ``streaming/ccnet_stream.CCNetStreamSink.order_report``): given an
+    epoch-stamped corpus, verify PER EPOCH the two orderings under
+    which the streaming CCNet / admission sinks equal their batch
+    twins — run it BEFORE an ingest to know whether the stream's
+    receipts will be batch-exact, instead of discovering divergence
+    after the fact.
+
+    * ``admission_order_ok`` / ``n_sources_out_of_order`` — every
+      source's (portable_hash, key) minimum in this epoch sits above
+      every prior epoch's maximum (the mix5 prefix-order
+      precondition, checked exactly — pair comparison, id tie-break
+      included);
+    * ``line_order_ok`` / ``n_late_winner_keys`` — no duplicated
+      block key's batch-global winner (smallest packed (id,
+      block_idx) among eligible blocks) arrives in a LATER epoch than
+      the key's first occurrence (the keep-first precondition,
+      checked exactly per key — the violated keys are precisely the
+      victim set ``LineDedupStore.repair()`` would move).
+
+    Audited on the RAW corpus: the streaming chain gates/normalizes
+    first, and order violations can only DISAPPEAR under subsetting
+    or block-merging normalization, so all-True here is sufficient
+    for the gated stream (conservative in the safe direction).
+
+    Scale shape: the admission leg aggregates to sources × epochs
+    rows (config-sized; the struct min/max SortAggregate is
+    affordable at that cardinality); the line leg reuses ln1's
+    HashAggregate-friendly packed-order election (min over the packed
+    BIGINT, winner epoch recovered by an equi-join on the winning
+    order, never a struct agg over corpus-scale groups) plus one
+    epoch-keyed count."""
+    from pyspark.sql import Window
+
+    from axonops_schema_registry_spark.llm.dedup import (
+        _packed_order,
+        _word_blocks,
+    )
+    from axonops_schema_registry_spark.llm.sampling import portable_hash
+
+    epochs = docs.select(epoch_col).distinct()
+    pair = F.struct(
+        portable_hash(F.col(key_col).cast("string")).alias("h"),
+        F.col(key_col).alias("i"))
+    pe = (docs.groupBy(source_col, epoch_col)
+          .agg(F.min(pair).alias("mn"), F.max(pair).alias("mx")))
+    wprev = (Window.partitionBy(source_col).orderBy(epoch_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    adm = (pe.withColumn("__prev", F.max("mx").over(wprev))
+           .withColumn("__bad",
+                       F.col("__prev").isNotNull()
+                       & (F.col("mn") <= F.col("__prev")))
+           .groupBy(epoch_col)
+           .agg(F.sum(F.col("__bad").cast("bigint"))
+                .alias("n_sources_out_of_order")))
+    ex = (_word_blocks(docs.select(key_col, text_col), key_col,
+                       text_col, block_words)
+          .filter(F.col("bwords") >= min_block_words)
+          .join(docs.select(F.col(key_col).alias("id"),
+                            F.col(epoch_col)), "id")
+          .select("id", "block_idx", "btext", epoch_col,
+                  _packed_order().alias("__ord"))
+          .localCheckpoint(eager=False))   # election + winner join
+    per_key = (ex.groupBy("btext")
+               .agg(F.min(epoch_col).alias("__first_e"),
+                    F.min("__ord").alias("__gmin")))
+    late = (per_key
+            .join(ex.select(F.col("btext"),
+                            F.col("__ord").alias("__gmin"),
+                            F.col(epoch_col).alias("__win_e")),
+                  ["btext", "__gmin"])
+            .filter(F.col("__win_e") > F.col("__first_e"))
+            .groupBy(F.col("__win_e").alias(epoch_col))
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_late_winner_keys")))
+    return (epochs
+            .join(adm, epoch_col, "left")
+            .join(late, epoch_col, "left")
+            .select(F.col(epoch_col).cast("bigint").alias(epoch_col),
+                    (F.coalesce("n_sources_out_of_order", F.lit(0))
+                     == 0).alias("admission_order_ok"),
+                    F.coalesce("n_sources_out_of_order", F.lit(0))
+                    .cast("bigint").alias("n_sources_out_of_order"),
+                    (F.coalesce("n_late_winner_keys", F.lit(0))
+                     == 0).alias("line_order_ok"),
+                    F.coalesce("n_late_winner_keys", F.lit(0))
+                    .cast("bigint").alias("n_late_winner_keys"))
+            .orderBy(epoch_col))
+
+
 def ccnet_calibration(docs: DataFrame, budget_tokens: int = 120,
                       n_quality: int = 100,
                       pos_source: str = "src0") -> dict:

@@ -1978,6 +1978,91 @@ ORDER BY source, epoch
 """
 
 
+def ord1_manifest_order_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Streaming-manifest arrival-order audit (r17 —
+    llm/ccnet.py:manifest_order_audit, the batch pre-flight twin of
+    CCNetStreamSink.order_report): per arrival epoch (bud1's
+    ``doc_id DIV 20 % 4`` stamping), verify the two orderings the
+    streaming CCNet/admission sinks need for stream ≡ batch — every
+    source's (hash, id) minimum above all prior epochs' maxima
+    (mix5's prefix precondition), and no duplicated 10-word block
+    whose batch-global winner arrives after the key's first
+    occurrence (the keep-first precondition; the violating keys are
+    exactly LineDedupStore.repair()'s victim set).  The id-cycled
+    epoch stamp deliberately violates BOTH on this fixture (ids, not
+    hashes, are epoch-monotone — and only per 20-id stripes), so the
+    audit's failure path is what the oracle pins; the all-clear path
+    is pinned by the planted pytest and the ccn2 equality fixture.
+
+    Scale shape: admission leg aggregates to sources × epochs rows;
+    line leg reuses ln1's packed-order HashAggregate election + one
+    equi-join to recover winner epochs — no corpus-scale struct
+    aggregate, no window over the corpus."""
+    from axonops_schema_registry_spark.llm.ccnet import (
+        manifest_order_audit,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumn("epoch",
+                        F.expr("(doc_id DIV 20) % 4").cast("bigint")))
+    return manifest_order_audit(docs)
+
+
+ORD1_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, (doc_id // 20) % 4 AS epoch, text,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS STRING)), 1, 12))
+              AS BIGINT) AS h
+  FROM documents),
+eps AS (SELECT DISTINCT epoch FROM docs),
+pe AS (
+  SELECT source, epoch,
+         min(struct_pack(h := h, i := doc_id)) AS mn,
+         max(struct_pack(h := h, i := doc_id)) AS mx
+  FROM docs GROUP BY source, epoch),
+adm AS (
+  SELECT epoch,
+         SUM(CASE WHEN prev IS NOT NULL AND mn <= prev
+             THEN 1 ELSE 0 END) AS n_bad
+  FROM (SELECT source, epoch, mn,
+               max(mx) OVER (PARTITION BY source ORDER BY epoch
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev
+        FROM pe)
+  GROUP BY epoch),
+ws AS (SELECT doc_id AS id, epoch, string_split(text, ' ') AS w
+       FROM docs),
+blocks AS (
+  SELECT id, epoch, b AS block_idx,
+         array_to_string(w[(b-1)*10+1 : least(b*10, len(w))], ' ')
+           AS btext,
+         least(b*10, len(w)) - (b-1)*10 AS bwords
+  FROM (SELECT id, epoch, w,
+               unnest(generate_series(1,
+                   CAST(ceil(len(w) / 10.0) AS BIGINT))) AS b
+        FROM ws)),
+pk AS (
+  SELECT btext, MIN(epoch) AS first_e,
+         (min(struct_pack(a := id, b := block_idx, e := epoch))).e
+           AS win_e
+  FROM blocks WHERE bwords >= 5 GROUP BY btext),
+late AS (
+  SELECT win_e AS epoch, COUNT(*) AS n_late
+  FROM pk WHERE win_e > first_e GROUP BY win_e)
+SELECT CAST(e.epoch AS BIGINT) AS epoch,
+       (COALESCE(a.n_bad, 0) = 0) AS admission_order_ok,
+       CAST(COALESCE(a.n_bad, 0) AS BIGINT)
+         AS n_sources_out_of_order,
+       (COALESCE(l.n_late, 0) = 0) AS line_order_ok,
+       CAST(COALESCE(l.n_late, 0) AS BIGINT) AS n_late_winner_keys
+FROM eps e
+LEFT JOIN adm a USING (epoch)
+LEFT JOIN late l USING (epoch)
+ORDER BY epoch
+"""
+
+
 def mix4_exact_budget_quotas(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Largest-remainder exact-budget quotas (VERDICT r12 ask #5 —
@@ -5812,6 +5897,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("bud1_budget_revision_admission",
               bud1_budget_revision_admission, BUD1_ORACLE,
               tags=("llm", "sampling", "window", "agg", "streaming")),
+    QuerySpec("ord1_manifest_order_audit", ord1_manifest_order_audit,
+              ORD1_ORACLE,
+              tags=("llm", "dedup", "sampling", "streaming", "agg")),
     QuerySpec("vg1_vocab_growth", vg1_vocab_growth, VG1_ORACLE,
               tags=("llm", "text", "agg", "window")),
 ]

@@ -246,3 +246,37 @@ def test_ccnet_stream_foreachbatch_wiring(spark, tmp_path):
     assert got == want
     rep = sink.order_report(spark).collect()
     assert all(r.admission_order_ok and r.line_order_ok for r in rep)
+
+
+def test_manifest_order_audit_polarities(spark):
+    """The batch pre-flight audit on the planted corpus: stamping
+    epochs by the fixture's hash cuts passes BOTH legs everywhere
+    (the ordered-manifest polarity the oracle fixture cannot show);
+    reversing the stamps flags the late epoch's sources and
+    attributes every planted cross-epoch pair's winner to its (late)
+    winning epoch."""
+    from axonops_schema_registry_spark.llm.ccnet import (
+        manifest_order_audit,
+    )
+
+    rows, pairs = _build_corpus()
+    epochs = _epochs(rows, n=2)
+    stamp = {i: k for k, ids in enumerate(epochs) for i in ids}
+    docs = spark.createDataFrame(
+        [(i, s, t, stamp[i]) for i, s, t in rows],
+        "doc_id bigint, source string, text string, epoch bigint")
+    rep = {r.epoch: tuple(r)[1:]
+           for r in manifest_order_audit(docs).collect()}
+    assert rep == {0: (True, 0, True, 0), 1: (True, 0, True, 0)}
+
+    rev = docs.withColumn("epoch", 1 - F.col("epoch"))
+    # cross-epoch planted pairs: winner a (smaller hash -> originally
+    # epoch 0) now arrives in epoch 1 AFTER its duplicate
+    cross = [(a, b) for a, b in pairs if stamp[a] == 0 and stamp[b] == 1]
+    assert cross, "fixture must split some pairs across the cut"
+    got = {r.epoch: tuple(r)[1:]
+           for r in manifest_order_audit(rev).collect()}
+    assert got[0] == (True, 0, True, 0)   # first epoch is a prefix
+    adm_ok, n_src, line_ok, n_late = got[1]
+    assert not adm_ok and n_src > 0
+    assert not line_ok and n_late == len(cross)

@@ -39,6 +39,10 @@ beyond the reference's own surface — BASELINE.json):
   hash sharding, checksummed manifest receipt, partitioned writer)
 - the release sign-off — ``CurationPipeline.release_report`` composes
   dedup + decontamination + quality + PII into one per-source rollup
+- ``ccnet``      — the CCNet end-to-end composition surface:
+  ``ccnet_receipt`` (the ccn1 batch chain), ``ccnet_calibration``
+  (calibrate-once artifacts for the streaming twin) and
+  ``manifest_order_audit`` (pre-flight stream ≡ batch order check)
 
 ``CurationPipeline`` below bundles the curation surface over a document
 corpus the way ``api.RegistryAnalytics`` bundles the registry surface.

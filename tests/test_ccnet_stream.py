@@ -280,3 +280,65 @@ def test_manifest_order_audit_polarities(spark):
     adm_ok, n_src, line_ok, n_late = got[1]
     assert not adm_ok and n_src > 0
     assert not line_ok and n_late == len(cross)
+
+
+def test_ccnet_stream_seeded_fuzz(spark, tmp_path):
+    """Seeded random corpora through the same two-precondition
+    construction (random language mix, doc lengths, planted-dup
+    search, epoch count): the streamed receipts always equal the
+    batch chain — the LineDedupSink fuzz convention applied to the
+    full capstone, so the equality does not hinge on one fixture's
+    luck."""
+    import random
+
+    from axonops_schema_registry_spark.llm.ccnet import ccnet_receipt
+    from axonops_schema_registry_spark.streaming.ccnet_stream import (
+        CCNetStreamSink,
+    )
+
+    rng = random.Random(1717)
+    for trial in range(2):
+        n_docs = rng.choice([80, 100])
+        n_sources = rng.choice([3, 5])
+        ids = list(range(n_docs))
+        de_ids = {i for i in ids if rng.random() < 0.2}
+        en_ids = [i for i in ids if i not in de_ids]
+        pairs, used = [], set()
+        rng.shuffle(en_ids)
+        for a in sorted(en_ids):
+            if a in used or len(pairs) >= 8:
+                continue
+            for b in sorted(en_ids):
+                if b <= a or b in used or _phash(a) >= _phash(b):
+                    continue
+                pairs.append((a, b))
+                used.update((a, b))
+                break
+        dup_of = {b: a for a, b in pairs}
+        rows = []
+        for i in ids:
+            de = i in de_ids
+            seed0 = f"t{trial}d{dup_of[i]}s0" if i in dup_of \
+                else f"t{trial}d{i}s0"
+            segs = [_segment(seed0, de)]
+            for k in range(rng.randint(0, 2)):
+                segs.append(_segment(f"t{trial}d{i}s{k + 1}", de))
+            rows.append((i, f"src{i % n_sources}", " ".join(segs)))
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, source string, text string") \
+            .localCheckpoint(eager=True)
+        nq = rng.choice([25, 40])
+        want = [tuple(r) for r in ccnet_receipt(
+            docs, budget_tokens=100, n_quality=nq).collect()]
+
+        n_epochs = rng.choice([2, 3])
+        epochs = _epochs(rows, n=n_epochs)
+        sink = CCNetStreamSink(docs, str(tmp_path / f"f{trial}"),
+                               budget_tokens=100, n_quality=nq)
+        for e, eids in enumerate(epochs):
+            sink(docs.filter(F.col("doc_id").isin(eids)), e)
+        got = [tuple(r) for r in sink.final_receipt(spark).collect()]
+        assert got == want, f"trial {trial} diverged"
+        rep = sink.order_report(spark).collect()
+        assert all(r.admission_order_ok and r.line_order_ok
+                   for r in rep), f"trial {trial} order flags"

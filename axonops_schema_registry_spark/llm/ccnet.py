@@ -201,6 +201,59 @@ def manifest_order_audit(docs: DataFrame,
             .orderBy(epoch_col))
 
 
+def order_safe_manifest(docs: DataFrame, n_epochs: int = 4,
+                        key_col: str = "doc_id",
+                        source_col: str = "source",
+                        text_col: str = "text",
+                        block_words: int = 10,
+                        min_block_words: int = 5) -> DataFrame:
+    """The CONSTRUCTIVE complement of :func:`manifest_order_audit`
+    (r17): emit a streaming manifest that satisfies BOTH stream ≡
+    batch order preconditions by construction, for any corpus.
+
+    The audit showed the real fixture cannot be hash-order-streamed
+    batch-equal (late-winner block keys).  The production fix is the
+    pipeline recipe itself: LINE-DEDUP FIRST (batch — keep-first
+    leaves each duplicated block exactly one surviving copy, so the
+    cleaned corpus has no electable duplicates and the keep-first leg
+    is order-insensitive), then assign epochs by HASH-RANGE cuts of
+    the portable (hash, id) order (contiguous ranges, so every
+    source's arrival subsequence is prefix-monotone — the admission
+    leg).  Hash-range cuts — ``epoch = h · n_epochs DIV 2^48`` — are
+    the deliberate scale choice over equal-count ntile: value-based,
+    computed inside the scan, no global sort; epoch sizes are
+    hash-uniform rather than exactly equal (the mix2 segmentation
+    trade, documented there).
+
+    Returns the manifest (key, source, epoch, n_tokens, cleaned
+    text) over the dedup survivors; dropped-empty docs are not
+    scheduled.  ``manifest_order_audit`` over this frame returns
+    all-True by construction — the man1 spec pins exactly that
+    through one composed oracle."""
+    from axonops_schema_registry_spark.llm.dedup import line_dedup
+    from axonops_schema_registry_spark.llm.sampling import (
+        HASH_SPACE,
+        portable_hash,
+    )
+
+    cleaned = (line_dedup(docs, key_col, text_col,
+                          block_words=block_words,
+                          min_block_words=min_block_words)
+               .filter(F.col("cleaned_text") != "")
+               .select(F.col("id").alias(key_col),
+                       F.col("cleaned_text").alias(text_col))
+               .join(docs.select(key_col, source_col), key_col))
+    h = portable_hash(F.col(key_col).cast("string"))
+    # exact integer cut: (h · n) >> 48 — no float quotient anywhere
+    # (HASH_SPACE = 2^48; h·n < 2^53 for any sane epoch count)
+    return cleaned.select(
+        key_col, source_col,
+        F.shiftright(h * n_epochs, 48).cast("bigint").alias("epoch"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint")
+        .alias("n_tokens"),
+        text_col)
+
+
 def ccnet_calibration(docs: DataFrame, budget_tokens: int = 120,
                       n_quality: int = 100,
                       pos_source: str = "src0") -> dict:

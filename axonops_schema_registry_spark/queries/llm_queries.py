@@ -2063,6 +2063,133 @@ ORDER BY epoch
 """
 
 
+def man1_order_safe_manifest(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Order-safe streaming manifest (r17 —
+    llm/ccnet.py:order_safe_manifest, the CONSTRUCTIVE complement of
+    ord1): the audit proved this corpus cannot be hash-order-streamed
+    batch-equal (late-winner block keys), so man1 builds the manifest
+    the production recipe prescribes — line-dedup FIRST (keep-first
+    leaves each duplicated block exactly one surviving copy, making
+    the keep-first leg order-insensitive), then epochs by exact
+    hash-range cuts ``(h · 4) >> 48`` (contiguous in the portable
+    hash order, so every source's arrival subsequence is
+    prefix-monotone).  The receipt is the per-epoch schedule +
+    manifest_order_audit's verdicts over the manifest itself: the
+    oracle RECOMPUTES both legs rather than assuming them, so
+    all-True/zero is pinned, not asserted.
+
+    Scale shape: one ln1 election + one scan-local hash cut; the
+    audit legs add sources × epochs struct aggregates and one
+    block-keyed HashAggregate election over the CLEANED corpus."""
+    from axonops_schema_registry_spark.llm.ccnet import (
+        manifest_order_audit,
+        order_safe_manifest,
+    )
+
+    man = order_safe_manifest(load_table(spark, sf_dir, "documents"),
+                              n_epochs=4)
+    audit = manifest_order_audit(man)
+    stats = (man.groupBy("epoch")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                  F.countDistinct("source").cast("bigint")
+                  .alias("n_sources")))
+    return (stats.join(audit, "epoch")
+            .select("epoch", "n_docs", "n_tokens", "n_sources",
+                    "admission_order_ok", "n_sources_out_of_order",
+                    "line_order_ok", "n_late_winner_keys")
+            .orderBy("epoch"))
+
+
+MAN1_ORACLE = """
+WITH ws AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+            FROM documents),
+blocks AS (
+  SELECT id, b AS block_idx,
+         array_to_string(w[(b-1)*10+1 : least(b*10, len(w))], ' ')
+           AS btext,
+         least(b*10, len(w)) - (b-1)*10 AS bwords
+  FROM (SELECT id, w,
+               unnest(generate_series(1,
+                   CAST(ceil(len(w) / 10.0) AS BIGINT))) AS b
+        FROM ws)),
+keepflag AS (
+  SELECT id, block_idx, btext,
+         (bwords < 5 OR
+          row_number() OVER (PARTITION BY btext
+                             ORDER BY id, block_idx) = 1) AS keep
+  FROM blocks),
+clean AS (
+  SELECT id,
+         COALESCE(string_agg(CASE WHEN keep THEN btext END, ' '
+                             ORDER BY block_idx), '') AS ctext
+  FROM keepflag GROUP BY id),
+man AS (
+  SELECT c.id AS doc_id, d.source, c.ctext AS text,
+         len(string_split(c.ctext, ' ')) AS nt,
+         CAST(concat('0x', substr(md5(CAST(c.id AS STRING)), 1, 12))
+              AS BIGINT) AS h,
+         ((CAST(concat('0x', substr(md5(CAST(c.id AS STRING)), 1, 12))
+                AS BIGINT) * 4) >> 48) AS epoch
+  FROM clean c JOIN documents d ON d.doc_id = c.id
+  WHERE c.ctext <> ''),
+eps AS (SELECT DISTINCT epoch FROM man),
+pe AS (
+  SELECT source, epoch,
+         min(struct_pack(h := h, i := doc_id)) AS mn,
+         max(struct_pack(h := h, i := doc_id)) AS mx
+  FROM man GROUP BY source, epoch),
+adm AS (
+  SELECT epoch,
+         SUM(CASE WHEN prev IS NOT NULL AND mn <= prev
+             THEN 1 ELSE 0 END) AS n_bad
+  FROM (SELECT source, epoch, mn,
+               max(mx) OVER (PARTITION BY source ORDER BY epoch
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev
+        FROM pe)
+  GROUP BY epoch),
+mws AS (SELECT doc_id AS id, epoch, string_split(text, ' ') AS w
+        FROM man),
+mblocks AS (
+  SELECT id, epoch, b AS block_idx,
+         array_to_string(w[(b-1)*10+1 : least(b*10, len(w))], ' ')
+           AS btext,
+         least(b*10, len(w)) - (b-1)*10 AS bwords
+  FROM (SELECT id, epoch, w,
+               unnest(generate_series(1,
+                   CAST(ceil(len(w) / 10.0) AS BIGINT))) AS b
+        FROM mws)),
+pk AS (
+  SELECT btext, MIN(epoch) AS first_e,
+         (min(struct_pack(a := id, b := block_idx, e := epoch))).e
+           AS win_e
+  FROM mblocks WHERE bwords >= 5 GROUP BY btext),
+late AS (
+  SELECT win_e AS epoch, COUNT(*) AS n_late
+  FROM pk WHERE win_e > first_e GROUP BY win_e),
+stats AS (
+  SELECT epoch, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+         COUNT(DISTINCT source) AS n_sources
+  FROM man GROUP BY epoch)
+SELECT CAST(e.epoch AS BIGINT) AS epoch,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(s.n_sources AS BIGINT) AS n_sources,
+       (COALESCE(a.n_bad, 0) = 0) AS admission_order_ok,
+       CAST(COALESCE(a.n_bad, 0) AS BIGINT)
+         AS n_sources_out_of_order,
+       (COALESCE(l.n_late, 0) = 0) AS line_order_ok,
+       CAST(COALESCE(l.n_late, 0) AS BIGINT) AS n_late_winner_keys
+FROM eps e
+JOIN stats s USING (epoch)
+LEFT JOIN adm a USING (epoch)
+LEFT JOIN late l USING (epoch)
+ORDER BY epoch
+"""
+
+
 def mix4_exact_budget_quotas(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Largest-remainder exact-budget quotas (VERDICT r12 ask #5 —
@@ -5900,6 +6027,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ord1_manifest_order_audit", ord1_manifest_order_audit,
               ORD1_ORACLE,
               tags=("llm", "dedup", "sampling", "streaming", "agg")),
+    QuerySpec("man1_order_safe_manifest", man1_order_safe_manifest,
+              MAN1_ORACLE,
+              tags=("llm", "dedup", "sampling", "streaming", "agg",
+                    "composition")),
     QuerySpec("vg1_vocab_growth", vg1_vocab_growth, VG1_ORACLE,
               tags=("llm", "text", "agg", "window")),
 ]

@@ -342,3 +342,35 @@ def test_ccnet_stream_seeded_fuzz(spark, tmp_path):
         rep = sink.order_report(spark).collect()
         assert all(r.admission_order_ok and r.line_order_ok
                    for r in rep), f"trial {trial} order flags"
+
+
+def test_order_safe_manifest_fixes_unsafe_corpus(spark):
+    """The constructive complement: the planted corpus with reversed
+    stamps FAILS the audit (shown above), but order_safe_manifest
+    over the same rows schedules a manifest the audit passes
+    everywhere — each doc at most once, the emptied dedup victims not
+    scheduled at all, epochs contiguous in the portable hash order."""
+    from axonops_schema_registry_spark.llm.ccnet import (
+        manifest_order_audit,
+        order_safe_manifest,
+    )
+
+    rows, pairs = _build_corpus()
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string") \
+        .localCheckpoint(eager=True)
+    man = order_safe_manifest(docs, n_epochs=3).localCheckpoint(
+        eager=True)
+    rep = manifest_order_audit(man).collect()
+    assert rep and all(
+        r.admission_order_ok and r.line_order_ok
+        and r.n_sources_out_of_order == 0
+        and r.n_late_winner_keys == 0 for r in rep)
+    ids = [r.doc_id for r in man.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))
+    # the four single-segment dup victims clean to empty: unscheduled
+    single_victims = {b for k, (a, b) in enumerate(pairs) if k < 4}
+    assert single_victims.isdisjoint(ids)
+    # epochs are contiguous hash ranges: every doc's hash cut matches
+    for r in man.select("doc_id", "epoch").collect():
+        assert r.epoch == (_phash(r.doc_id) * 3) >> 48

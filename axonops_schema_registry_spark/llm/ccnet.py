@@ -231,10 +231,7 @@ def order_safe_manifest(docs: DataFrame, n_epochs: int = 4,
     all-True by construction — the man1 spec pins exactly that
     through one composed oracle."""
     from axonops_schema_registry_spark.llm.dedup import line_dedup
-    from axonops_schema_registry_spark.llm.sampling import (
-        HASH_SPACE,
-        portable_hash,
-    )
+    from axonops_schema_registry_spark.llm.sampling import portable_hash
 
     cleaned = (line_dedup(docs, key_col, text_col,
                           block_words=block_words,

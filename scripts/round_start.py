@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Round-start chores, mechanized (r17): since the driver window is
+GENERATED (queries/__init__.py:_rotation), the only per-round edits are
+
+  1. bump ``_ROTATION_BOUND`` to the newest committed CORRECTNESS
+     round (so the new round's rotation consumes the record the driver
+     wrote at the last round close), and
+  2. re-splice the COVERAGE.md window telemetry (its pytest pin
+     renders from the registry + CORRECTNESS history, both of which
+     the bump just changed).
+
+Run once at the start of every round, then commit; idempotent (a
+second run is a no-op).  Usage: python scripts/round_start.py
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REGISTRY = os.path.join(REPO, "axonops_schema_registry_spark",
+                        "queries", "__init__.py")
+
+
+def newest_record_round() -> int:
+    rounds = [int(m.group(1)) for p in
+              glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+              if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
+    assert rounds, "no CORRECTNESS records found"
+    return max(rounds)
+
+
+def main() -> int:
+    newest = newest_record_round()
+    src = open(REGISTRY).read()
+    m = re.search(r"^_ROTATION_BOUND = (\d+)$", src, re.M)
+    assert m, "_ROTATION_BOUND literal not found in the registry"
+    old = int(m.group(1))
+    if old == newest:
+        print(f"_ROTATION_BOUND already {newest}; nothing to bump")
+    else:
+        assert newest > old, (
+            f"newest record r{newest} behind the bound {old}?")
+        src = src.replace(f"_ROTATION_BOUND = {old}",
+                          f"_ROTATION_BOUND = {newest}", 1)
+        with open(REGISTRY, "w") as f:
+            f.write(src)
+        print(f"_ROTATION_BOUND: {old} -> {newest}")
+    # re-splice in a FRESH interpreter: this process may already hold
+    # the registry imported under the old bound
+    rc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "window_preview.py"),
+         "--splice"], cwd=REPO).returncode
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -34,16 +34,17 @@ WINDOW_FAMILIES: tuple[str, ...] = (
 # The window is GENERATED, not authored (VERDICT r16 stretch #8 —
 # the hand-maintained _PRIORITY list's rotation comment kept
 # hand-stating counts; the final ledger risk).  _rotation() below
-# sorts every registered spec oldest-driver-green-first (never-green
-# specs — new this round, or oracle-less and never sampled — rank
-# before everything) over the committed CORRECTNESS_r*.json history,
-# takes the first _WINDOW_SIZE, and repairs any WINDOW_FAMILIES gap
-# deterministically.  _ROTATION_BOUND pins which records feed the
+# sorts every registered ORACLE-BACKED spec oldest-driver-green-first
+# (never-green specs — new this round — rank before everything; specs
+# WITHOUT an oracle rank last since r18: the driver refuses them with
+# err=no_oracle, so windowing one burns the slot) over the committed
+# CORRECTNESS_r*.json history, takes the first _WINDOW_SIZE, and
+# repairs any WINDOW_FAMILIES gap deterministically.  _ROTATION_BOUND pins which records feed the
 # sort: the driver writes CORRECTNESS_r{N}.json at round close,
 # BEFORE the judge's pytest run — an unbounded sort would rotate the
 # window mid-judging and fail the driver-window match.  Bump the
 # bound (and nothing else) at each round start.
-_ROTATION_BOUND = 16
+_ROTATION_BOUND = 17
 _WINDOW_SIZE = 50
 
 
@@ -74,35 +75,57 @@ def _last_green(bound: int) -> dict[str, int]:
     return newest
 
 
-def _rotation(specs: list[QuerySpec]) -> tuple[str, ...]:
-    """The driver window, computed: oldest-green-first (never-green
-    = rank -1, leading), natural registry order breaking ties, then a
+def _rotation_order(names: list[str], oracles: list[bool],
+                    tags: list[tuple[str, ...]],
+                    green: dict[str, int],
+                    window_size: int = _WINDOW_SIZE) -> tuple[str, ...]:
+    """Pure window computation over ``(names, has_oracle, tags,
+    green_map)`` — extracted (VERDICT r17 stretch #9) so the
+    load-bearing sort+repair is directly property-testable.
+
+    Ranking: oracle-LESS specs sort LAST regardless of green history —
+    r17's definitive datum is that the driver REFUSES specs without an
+    ``oracle_sql()`` entry (``err: "no_oracle"``, es1h/dd6b/kd2), so a
+    windowed oracle-less spec burns a slot forever (the never-green-
+    first rule would otherwise make them lead every window).  Their
+    verification home is pytest (equality/structural pins) + bench.
+    Among oracle-backed specs: oldest-green-first (never-green = rank
+    -1, leading), natural registry order breaking ties.  Then a
     deterministic family repair so every WINDOW_FAMILIES tag is
-    sampled (r13 lesson).  Repair: for each missing family in
-    WINDOW_FAMILIES order, swap in the oldest outside spec carrying
-    it, evicting the youngest window spec whose removal keeps every
+    sampled (r13 lesson): for each missing family in WINDOW_FAMILIES
+    order, swap in the oldest outside oracle-backed spec carrying it,
+    evicting the youngest window spec whose removal keeps every
     already-sampled required family covered."""
-    green = _last_green(_ROTATION_BOUND)
-    order = sorted(range(len(specs)),
-                   key=lambda i: (green.get(specs[i].name, -1), i))
-    window = [specs[i] for i in order[:_WINDOW_SIZE]]
-    outside = [specs[i] for i in order[_WINDOW_SIZE:]]
+    order = sorted(range(len(names)),
+                   key=lambda i: (not oracles[i],
+                                  green.get(names[i], -1), i))
+    window = list(order[:window_size])
+    outside = list(order[window_size:])
     for fam in WINDOW_FAMILIES:
-        if any(fam in s.tags for s in window):
+        if any(fam in tags[i] for i in window):
             continue
-        cand = next((s for s in outside if fam in s.tags), None)
+        cand = next((i for i in outside
+                     if fam in tags[i] and oracles[i]), None)
         if cand is None:
-            continue  # family absent from the whole registry
+            continue  # family absent from the oracle-backed registry
         for j in range(len(window) - 1, -1, -1):
             rest = window[:j] + window[j + 1:]
-            covered = {t for s in rest for t in s.tags}
+            covered = {t for i in rest for t in tags[i]}
             needed = {f for f in WINDOW_FAMILIES
-                      if any(f in s.tags for s in window)}
+                      if any(f in tags[i] for i in window)}
             if needed <= covered:
-                window[j] = cand
                 outside.remove(cand)
+                window[j] = cand
                 break
-    return tuple(s.name for s in window)
+    return tuple(names[i] for i in window)
+
+
+def _rotation(specs: list[QuerySpec]) -> tuple[str, ...]:
+    """The driver window, computed — see :func:`_rotation_order`."""
+    green = _last_green(_ROTATION_BOUND)
+    return _rotation_order([s.name for s in specs],
+                           [s.oracle is not None for s in specs],
+                           [s.tags for s in specs], green)
 
 
 def _collect_specs() -> list[QuerySpec]:

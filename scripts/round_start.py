@@ -7,10 +7,18 @@ GENERATED (queries/__init__.py:_rotation), the only per-round edits are
      wrote at the last round close), and
   2. re-splice the COVERAGE.md window telemetry (its pytest pin
      renders from the registry + CORRECTNESS history, both of which
-     the bump just changed).
+     the bump just changed), and
+  3. settle the bench ledger files (VERDICT r17 What's-wrong #2): the
+     driver's post-commit bench run rewrites BASELINE.md +
+     BENCH_normalized.json, which twice sat modified-uncommitted into
+     judging.  If either is dirty at round start this script PINS it
+     (stages it so the round-start commit records the driver's draw as
+     the deliberate baseline) unless ``--discard-bench`` is passed, in
+     which case both are checked out back to HEAD.
 
 Run once at the start of every round, then commit; idempotent (a
 second run is a no-op).  Usage: python scripts/round_start.py
+[--discard-bench]
 """
 
 from __future__ import annotations
@@ -34,7 +42,28 @@ def newest_record_round() -> int:
     return max(rounds)
 
 
+_BENCH_LEDGER = ("BASELINE.md", "BENCH_normalized.json")
+
+
+def settle_bench_ledger(discard: bool) -> None:
+    """Pin (git add) or revert (git checkout) the bench ledger files the
+    driver's post-commit run may have left dirty (see module doc #3)."""
+    dirty = [f for f in _BENCH_LEDGER if subprocess.run(
+        ["git", "diff", "--quiet", "--", f], cwd=REPO).returncode]
+    if not dirty:
+        print("bench ledger clean; nothing to settle")
+        return
+    if discard:
+        subprocess.run(["git", "checkout", "--", *dirty],
+                       cwd=REPO, check=True)
+        print(f"bench ledger reverted to HEAD: {' '.join(dirty)}")
+    else:
+        subprocess.run(["git", "add", "--", *dirty], cwd=REPO, check=True)
+        print(f"bench ledger pinned (staged): {' '.join(dirty)}")
+
+
 def main() -> int:
+    settle_bench_ledger("--discard-bench" in sys.argv[1:])
     newest = newest_record_round()
     src = open(REGISTRY).read()
     m = re.search(r"^_ROTATION_BOUND = (\d+)$", src, re.M)

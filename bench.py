@@ -117,8 +117,15 @@ def main() -> None:
     }
     if sf == 0.1:
         root = os.path.dirname(os.path.abspath(__file__))
-        best = _mine_bests(root, _current_round(root))
+        cur_round = _current_round(root)
+        best = _mine_bests(root, cur_round)
         gauge = _gauge(timings, best)
+        # per-round min-draw ledger: the ⚠ gate reads the min across
+        # the sitting's draws, not this draw alone (see
+        # _round_min_ledger) — gauge_min is the composite calm draw's
+        # weather so min timings normalize against min-draw weather
+        round_min = _round_min_ledger(root, cur_round, timings)
+        gauge_min = _gauge(round_min, best)
         # weather-normalized per-query ratios (VERDICT r15 stretch #8):
         # ratio/gauge ≈ plan cost vs best with the machine state
         # divided out — the number the bests table flags on, emitted
@@ -136,12 +143,20 @@ def main() -> None:
                     n: round(timings[n] / best[n][0] / gauge, 2)
                     for n in sorted(timings)
                     if n in best and best[n][0] > 0}}
+            if gauge_min is not None:
+                # the flag-gate view: min draw of the sitting,
+                # normalized by the min draw's own gauge
+                sidecar["gauge_vs_best_round_min"] = round(gauge_min, 3)
+                sidecar["normalized_round_min"] = {
+                    n: round(round_min[n] / best[n][0] / gauge_min, 2)
+                    for n in sorted(round_min)
+                    if n in best and best[n][0] > 0}
             root = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(root, "BENCH_normalized.json"),
                       "w") as f:
                 json.dump(sidecar, f, indent=1)
             out["normalized_sidecar"] = "BENCH_normalized.json"
-        _update_bests_table(timings, best, gauge)
+        _update_bests_table(timings, best, gauge, round_min, gauge_min)
     print(json.dumps(out))
 
 
@@ -244,6 +259,39 @@ def _mine_bests(root: str,
     return best
 
 
+def _round_min_ledger(root: str, cur_round: int | None,
+                      timings: dict[str, float]) -> dict[str, float]:
+    """Per-round MIN-draw ledger (VERDICT r17 What's-wrong #4): three
+    same-sitting draws produced three disjoint ⚠ sets on an unchanged
+    repo, because the gate evaluated ONE draw's ratios on a host with
+    ±30% scatter over sub-second queries.  Persist the per-query min
+    across every draw of the CURRENT round and let the ⚠ gate read
+    that, so a flag means "no draw this round reached the floor" — the
+    actual regression question.  Re-running bench within a sitting can
+    then only CLEAR flags, never mint new ones.
+
+    Returns the merged per-query min (current draw folded in)."""
+    path = os.path.join(root, "BENCH_round_ledger.json")
+    prior: dict[str, float] = {}
+    try:
+        rec = json.load(open(path))
+        if cur_round is not None and rec.get("round") == cur_round:
+            prior = {k: float(v) for k, v in (rec.get("min") or {}).items()}
+    except Exception:
+        pass
+    merged = dict(prior)
+    for name, sec in timings.items():
+        if name not in merged or sec < merged[name]:
+            merged[name] = sec
+    try:
+        with open(path, "w") as f:
+            json.dump({"round": cur_round, "min": merged}, f, indent=1,
+                      sort_keys=True)
+    except OSError:
+        pass
+    return merged
+
+
 def _gauge(timings: dict[str, float],
            best: dict[str, tuple[float, str]]) -> float | None:
     """Host-weather gauge: the fixed 14-query comparable subset,
@@ -264,53 +312,75 @@ def _gauge(timings: dict[str, float],
 
 def _update_bests_table(timings: dict[str, float],
                         best: dict[str, tuple[float, str]],
-                        gauge: float | None) -> None:
+                        gauge: float | None,
+                        round_min: dict[str, float] | None = None,
+                        gauge_min: float | None = None) -> None:
     """Maintain the per-query best-across-rounds table in BASELINE.md,
     so "every common query <= 1.1x its best prior round" is a
     mechanical check instead of a per-round archaeology session.
-    The ⚠ flag is on the WEATHER-NORMALIZED ratio (raw ratio divided
-    by the subset gauge) so it marks plan regressions, not machine
-    state (VERDICT r15 stretch #8).  When the gauge is unavailable
-    (a comparable-subset query dropped/renamed), the flag falls back
-    to the RAW ratio > 1.1 — a broken gauge must not silently disable
-    the whole regression gate (ADVICE r16)."""
+    The ⚠ flag is on the WEATHER-NORMALIZED ratio of the ROUND-MIN
+    draw (per-query min across every draw of this round, divided by
+    best prior and by the min-draw gauge — see _round_min_ledger;
+    VERDICT r17 What's-wrong #4: single-draw flags churned with every
+    draw on an unchanged repo) so it marks plan regressions, not
+    machine state (VERDICT r15 stretch #8).  When the gauge is
+    unavailable (a comparable-subset query dropped/renamed), the flag
+    falls back to the RAW ratio > 1.1 — a broken gauge must not
+    silently disable the whole regression gate (ADVICE r16)."""
     root = os.path.dirname(os.path.abspath(__file__))
+    if round_min is None:
+        round_min = timings
+    if gauge_min is None:
+        gauge_min = gauge
     weather = f"{gauge:.2f}×" if gauge is not None \
         else "n/a (subset incomplete — ⚠ falls back to raw ratio)"
+    weather_min = f"{gauge_min:.2f}×" if gauge_min is not None else "n/a"
     lines = [_BESTS_BEGIN,
              "## Per-query bests across rounds (sf0.1, min estimator)",
              "",
-             "Regression gate: normalized ratio (current / best prior "
-             "/ gauge) ≤ 1.1.  Host-weather gauge (comparable-subset "
-             f"total, current vs best-prior): **{weather}** — raw "
-             "ratios divide it out into the `norm` column, so ⚠ marks "
-             "plan-shaped regressions, not machine state.  Draws are "
-             "taken after bench.py's full-SF warm pass (page cache + "
-             "per-plan smoke/full runs), so cold-scan/JIT latency is "
+             "Regression gate: normalized ratio (round-min draw / best "
+             "prior / min-draw gauge) ≤ 1.1, where round-min is the "
+             "per-query MIN across every bench draw of the current "
+             "round (BENCH_round_ledger.json) — a ⚠ means NO draw "
+             "this round reached the floor, so re-running bench can "
+             "only clear flags, never mint them from scatter.  "
+             "Host-weather gauge (comparable-subset total vs "
+             f"best-prior): current draw **{weather}**, round-min "
+             f"draw **{weather_min}** — raw ratios divide the gauge "
+             "out into the `norm` columns, so ⚠ marks plan-shaped "
+             "regressions, not machine state.  Draws are taken after "
+             "bench.py's full-SF warm pass (page cache + per-plan "
+             "smoke/full passes), so cold-scan/JIT latency is "
              "excluded from the floors.",
              "",
              "| query | best prior sec | round | current sec | ratio "
-             "| norm |",
-             "|---|---|---|---|---|---|"]
+             "| norm | round-min sec | norm-min |",
+             "|---|---|---|---|---|---|---|---|"]
     for name in sorted(set(best) | set(timings)):
         b = best.get(name)
         cur = timings.get(name)  # may legitimately be 0.0 — test None
         have = b is not None and cur is not None and b[0] > 0
+        rmin = round_min.get(name)
         if have:
             raw_v = cur / b[0]
-            if gauge:
-                norm_v = raw_v / gauge
-                norm = f"{norm_v:.2f}" + (" ⚠" if norm_v > 1.1 else "")
+            ratio = f"{raw_v:.2f}"
+            norm = f"{raw_v / gauge:.2f}" if gauge else "—"
+            if rmin is None:
+                rmin = cur
+            raw_min_v = rmin / b[0]
+            if gauge_min:
+                nm_v = raw_min_v / gauge_min
+                norm_min = f"{nm_v:.2f}" + (" ⚠" if nm_v > 1.1 else "")
             else:
                 # gauge unavailable: flag on the raw ratio instead of
                 # emitting no flags at all (ADVICE r16)
-                norm = "—" + (" ⚠(raw)" if raw_v > 1.1 else "")
-            ratio = f"{raw_v:.2f}"
+                norm_min = "—" + (" ⚠(raw)" if raw_min_v > 1.1 else "")
         else:
-            ratio = norm = "—"
+            ratio = norm = norm_min = "—"
         lines.append(
             f"| {name} | {b[0] if b else '—'} | {b[1] if b else '—'} "
-            f"| {cur if cur is not None else '—'} | {ratio} | {norm} |")
+            f"| {cur if cur is not None else '—'} | {ratio} | {norm} "
+            f"| {rmin if rmin is not None else '—'} | {norm_min} |")
     lines.append(_BESTS_END)
     block = "\n".join(lines)
     path = os.path.join(root, "BASELINE.md")

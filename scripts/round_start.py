@@ -42,20 +42,30 @@ def newest_record_round() -> int:
     return max(rounds)
 
 
-_BENCH_LEDGER = ("BASELINE.md", "BENCH_normalized.json")
+_BENCH_LEDGER = ("BASELINE.md", "BENCH_normalized.json",
+                 "BENCH_round_ledger.json")
 
 
 def settle_bench_ledger(discard: bool) -> None:
     """Pin (git add) or revert (git checkout) the bench ledger files the
     driver's post-commit run may have left dirty (see module doc #3)."""
-    dirty = [f for f in _BENCH_LEDGER if subprocess.run(
-        ["git", "diff", "--quiet", "--", f], cwd=REPO).returncode]
+    status = subprocess.run(
+        ["git", "status", "--porcelain", "--", *_BENCH_LEDGER],
+        cwd=REPO, capture_output=True, text=True, check=True).stdout
+    dirty = [ln[3:].strip() for ln in status.splitlines() if ln.strip()]
     if not dirty:
         print("bench ledger clean; nothing to settle")
         return
     if discard:
-        subprocess.run(["git", "checkout", "--", *dirty],
-                       cwd=REPO, check=True)
+        tracked = [f for f in dirty if subprocess.run(
+            ["git", "ls-files", "--error-unmatch", f], cwd=REPO,
+            capture_output=True).returncode == 0]
+        untracked = [f for f in dirty if f not in tracked]
+        if tracked:
+            subprocess.run(["git", "checkout", "--", *tracked],
+                           cwd=REPO, check=True)
+        for f in untracked:
+            os.remove(os.path.join(REPO, f))
         print(f"bench ledger reverted to HEAD: {' '.join(dirty)}")
     else:
         subprocess.run(["git", "add", "--", *dirty], cwd=REPO, check=True)

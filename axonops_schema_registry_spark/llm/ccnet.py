@@ -166,13 +166,20 @@ def manifest_order_audit(docs: DataFrame,
            .groupBy(epoch_col)
            .agg(F.sum(F.col("__bad").cast("bigint"))
                 .alias("n_sources_out_of_order")))
+    # dedupe to one row per (btext, __ord) taking the EARLIEST epoch
+    # (ADVICE r17): a manifest that delivers the same doc in two
+    # epochs would otherwise fan out the winner equi-join below
+    # (double-counting n_late_winner_keys) and make the winning epoch
+    # nondeterministic; min(epoch) is the arrival that matters for
+    # both legs of the keep-first analysis.
     ex = (_word_blocks(docs.select(key_col, text_col), key_col,
                        text_col, block_words)
           .filter(F.col("bwords") >= min_block_words)
           .join(docs.select(F.col(key_col).alias("id"),
                             F.col(epoch_col)), "id")
-          .select("id", "block_idx", "btext", epoch_col,
-                  _packed_order().alias("__ord"))
+          .select("btext", epoch_col, _packed_order().alias("__ord"))
+          .groupBy("btext", "__ord")
+          .agg(F.min(epoch_col).alias(epoch_col))
           .localCheckpoint(eager=False))   # election + winner join
     per_key = (ex.groupBy("btext")
                .agg(F.min(epoch_col).alias("__first_e"),

@@ -66,7 +66,8 @@ class CCNetStreamSink:
 
     def __init__(self, calibration: DataFrame, store_dir: str,
                  budget_tokens: int = 120, n_quality: int = 100,
-                 pos_source: str = "src0") -> None:
+                 pos_source: str = "src0",
+                 strict: bool = False) -> None:
         from axonops_schema_registry_spark.llm.ccnet import (
             ccnet_calibration,
         )
@@ -79,6 +80,7 @@ class CCNetStreamSink:
 
         self.store_dir = store_dir
         self.receipts_dir = os.path.join(store_dir, "receipts")
+        self.strict = strict
         os.makedirs(store_dir, exist_ok=True)
         art = ccnet_calibration(calibration, budget_tokens, n_quality,
                                 pos_source)
@@ -115,6 +117,13 @@ class CCNetStreamSink:
                  .select("doc_id", "source",
                          normalize_text("text").alias("text"))
                  .localCheckpoint(eager=True))  # count + dedup + source
+        if self.strict:
+            try:
+                self._refuse_out_of_order(gated, epoch_id)
+            except Exception:
+                for frame in (docs, gated):
+                    release_checkpoint(frame)
+                raise
         lang_c = gated.groupBy("source").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lang"))
         ln_raw = self.line_store.process_batch(
@@ -189,7 +198,92 @@ class CCNetStreamSink:
         for frame in (docs, gated, ln, hm, qkept):
             release_checkpoint(frame)
 
-    # -- arrival-order guard (r17) -----------------------------------------
+    # -- arrival-order guard (r17; fail-fast mode r18) ---------------------
+
+    def _refuse_out_of_order(self, gated: DataFrame,
+                             epoch_id: int) -> None:
+        """``strict=True`` pre-flight (VERDICT r17 ask #6):
+        :meth:`order_report` DETECTS a violated stream ≡ batch
+        arrival-order precondition after receipts have already
+        diverged; production wants the mix5-style refusal at the seam.
+        Both legs are checked against the incoming batch BEFORE any
+        state mutates, and a violation raises with the violated
+        sources / block keys named — state untouched, so the caller
+        can re-order and re-deliver the batch.
+
+        Checked on the GATED batch (the frame entering the line
+        store), not the post-gate admission set — the ord1 convention:
+        order violations can only disappear under subsetting, so a
+        pass here is sufficient for every downstream leg and a refusal
+        is conservative in the safe direction.
+
+        * admission leg: the batch's per-source (portable_hash, id)
+          minimum must sit above every PRIOR epoch's stored maximum
+          (epochs < ``epoch_id`` — an identical at-least-once replay
+          of this epoch compares only against its predecessors and
+          passes);
+        * line leg: no eligible block key in this batch may carry a
+          packed order STRICTLY below an election already stored by a
+          prior epoch (equality is the replay case, allowed)."""
+        from axonops_schema_registry_spark.llm.sampling import (
+            portable_hash,
+        )
+
+        spark = gated.sparkSession
+        # admission leg: prior epochs' per-source maxima
+        state_dir = os.path.join(self.store_dir, "order_state")
+        prior = sorted(
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(state_dir)
+                      if os.path.isdir(state_dir) else [])
+            if d.startswith("epoch=")
+            and d.split("=", 1)[1].lstrip("-").isdigit())
+        prior = [e for e in prior if e < epoch_id]
+        bad_sources: list[str] = []
+        if prior:
+            st = spark.read.parquet(*[
+                os.path.join(state_dir, f"epoch={e}") for e in prior])
+            mx = (st.groupBy("source")
+                  .agg(F.max(F.struct(F.col("max_h").alias("h"),
+                                      F.col("max_hid").alias("i")))
+                       .alias("mx")))
+            gk = gated.withColumn("__h", portable_hash(
+                F.col("doc_id").cast("string")))
+            mn = (gk.groupBy("source")
+                  .agg(F.min(F.struct(F.col("__h").alias("h"),
+                                      F.col("doc_id").alias("i")))
+                       .alias("mn")))
+            bad_sources = [
+                r["source"] for r in
+                (mn.join(mx, "source")
+                 .filter(F.col("mn") <= F.col("mx"))
+                 .select("source").orderBy("source").limit(20)
+                 .collect())]
+        # line leg: stored elections vs this batch's block orders
+        seg = (self.line_store._segmented(
+                   gated.select("doc_id", "text"))
+               .filter(self.line_store._eligible())
+               .groupBy("__bkey")
+               .agg(F.min("__ord").alias("__bmin")))
+        stored = self.line_store._read_dir(
+            self.line_store.elections_dir, before_epoch=epoch_id)
+        bad_keys: list = []
+        if stored is not None:
+            bad_keys = [
+                r["__bkey"] for r in
+                (seg.join(stored.select("__bkey", "__first"), "__bkey")
+                 .filter(F.col("__bmin") < F.col("__first"))
+                 .select("__bkey").distinct().orderBy("__bkey")
+                 .limit(20).collect())]
+        if bad_sources or bad_keys:
+            raise RuntimeError(
+                f"ccnet-stream strict mode: batch for epoch "
+                f"{epoch_id} violates the stream≡batch arrival-order "
+                f"preconditions; state untouched. "
+                f"out-of-order sources (≤20): {bad_sources}; "
+                f"late-winner block keys (≤20): {bad_keys}. "
+                f"Re-order the manifest (see "
+                f"llm.ccnet.order_safe_manifest) and re-deliver.")
 
     def _write_order_state(self, qkept: DataFrame,
                            epoch_id: int) -> None:
@@ -241,10 +335,20 @@ class CCNetStreamSink:
         from pyspark.sql import Window
 
         path = os.path.join(self.store_dir, "order_state")
-        if not (os.path.isdir(path)
-                and any(d.startswith("epoch=")
-                        for d in os.listdir(path))):
+        epoch_ids = sorted(
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(path) if os.path.isdir(path) else [])
+            if d.startswith("epoch=")
+            and d.split("=", 1)[1].lstrip("-").isdigit())
+        if not epoch_ids:
             return None
+        # the report covers every epoch= partition ON DISK (ADVICE
+        # r17): an epoch whose quality-kept set was empty wrote a
+        # 0-row partition, which contributes no rows to the parquet
+        # read — it must still be reported (vacuously OK: an empty
+        # batch violates neither precondition), not silently absent.
+        epochs = spark.createDataFrame(
+            [(e,) for e in epoch_ids], "epoch bigint")
         st = spark.read.parquet(path)
         prev = (Window.partitionBy("source").orderBy("epoch")
                 .rowsBetween(Window.unboundedPreceding, -1))
@@ -262,28 +366,38 @@ class CCNetStreamSink:
                     .alias("admission_order_ok")))
         # line leg: a violated key is one whose global packed minimum
         # (the batch winner) lives in a LATER epoch than the key's
-        # first election — the violating epoch is the winner's
+        # first election — the violating epoch is the winner's.
+        # Tie-breaks via ordered-struct min, not min_by: a key whose
+        # minimal __first recurs in several epochs (an identical
+        # replay) must resolve to the EARLIEST such epoch
+        # deterministically (ADVICE r17).
         el = self.line_store._read_dir(self.line_store.elections_dir,
                                        before_epoch=1 << 62)
         bad_epochs = None
         if el is not None:
             per_key = (el.groupBy("__bkey")
                        .agg(F.min("__first").alias("__gmin"),
-                            F.min_by("__first", "epoch").alias("__own"),
-                            F.min_by("epoch", "__first")
-                            .alias("__win_epoch")))
+                            F.min(F.struct("epoch", "__first"))
+                            .alias("__owner"),
+                            F.min(F.struct("__first", "epoch"))
+                            .alias("__winner")))
             bad_epochs = (per_key
-                          .filter(F.col("__gmin") < F.col("__own"))
-                          .select(F.col("__win_epoch").alias("epoch"))
+                          .filter(F.col("__gmin")
+                                  < F.col("__owner.__first"))
+                          .select(F.col("__winner.epoch")
+                                  .alias("epoch"))
                           .distinct()
                           .withColumn("__line_bad", F.lit(True)))
-        out = adm
+        out = epochs.join(adm, "epoch", "left")
         if bad_epochs is not None:
             out = out.join(bad_epochs, "epoch", "left")
         else:
             out = out.withColumn("__line_bad",
                                  F.lit(None).cast("boolean"))
-        return (out.select("epoch", "admission_order_ok",
+        return (out.select("epoch",
+                           F.coalesce("admission_order_ok",
+                                      F.lit(True))
+                           .alias("admission_order_ok"),
                            F.col("__line_bad").isNull()
                            .alias("line_order_ok"))
                 .orderBy("epoch"))
@@ -313,7 +427,16 @@ class CCNetStreamSink:
         tail = ("n_lang", "n_dedup", "blocks_removed", "n_head_middle",
                 "n_quality", "n_selected", "tokens_selected",
                 "id_checksum", "max_rank")
-        return (self.budgets.select("source")
+        # source universe = calibration budgets UNION streamed receipt
+        # sources (ADVICE r17): in the production calibrate-on-sample
+        # configuration a streamed source absent from the calibration
+        # corpus has per-epoch receipts but no budget row — it must
+        # appear in the rollup (with zeroed selection columns: no
+        # budget ⇒ the admission leg never admits it), not vanish.
+        sources = (self.budgets.select("source")
+                   .unionByName(agg.select("source"))
+                   .distinct())
+        return (sources
                 .join(agg, "source", "left")
                 .select("source",
                         F.coalesce("n_docs", F.lit(0)).cast("bigint")

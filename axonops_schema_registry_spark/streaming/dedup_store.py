@@ -2052,11 +2052,25 @@ class LineDedupStore:
                 | (F.col("__seen").isNull()
                    & (F.col("__first") == F.col("__ord"))))) \
             .localCheckpoint(eager=True)
+        # ADVICE r17: _repair_sig captures epoch NAMES, not content —
+        # a rewrite of an existing epoch partition (at-least-once
+        # replay is ASSUMED identical but not enforced here) must
+        # invalidate the repaired-through record, or a replay with
+        # different data would let repair() serve a stale cached
+        # result off an unchanged signature.
+        rewrite = os.path.isdir(
+            os.path.join(self.elections_dir, f"epoch={epoch_id}"))
         for frame, path in ((ex, self.blocks_dir),
                             (batch_el, self.elections_dir),
                             (out, self.results_dir)):
             frame.write.mode("overwrite").parquet(
                 os.path.join(path, f"epoch={epoch_id}"))
+        if rewrite:
+            try:
+                os.remove(os.path.join(self.store_dir,
+                                       "line_repair.json"))
+            except FileNotFoundError:
+                pass
         release_checkpoint(ex)
         return out
 

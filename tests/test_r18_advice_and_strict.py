@@ -198,6 +198,49 @@ def test_strict_mode_refuses_out_of_order_batch(spark, tmp_path):
     assert _snapshot().keys() == files_mid.keys()
 
 
+def test_real_fixture_streams_batch_equal_via_man1(spark, tmp_path):
+    """VERDICT r17 ask #5, the composed demonstration: ord1 proved the
+    REAL fixture is not hash-order streamable (late-winner keys);
+    man1 constructs the order-safe manifest; streaming man1's epochs
+    through CCNetStreamSink — in STRICT mode, so acceptance of every
+    batch is itself the precondition witness — yields receipts equal
+    to the batch ccnet_receipt over the same corpus, with
+    order_report all-True.  Run at the conftest SF here; the sf0.1
+    replay is scripts/r18_man1_ccn2_real.py (SCALING.md r18)."""
+    from axonops_schema_registry_spark.llm.ccnet import (
+        ccnet_receipt,
+        order_safe_manifest,
+    )
+    from axonops_schema_registry_spark.streaming.ccnet_stream import (
+        CCNetStreamSink,
+    )
+
+    docs = (spark.read.parquet(
+                "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "source", "text"))
+    man = (order_safe_manifest(docs, n_epochs=3)
+           .select("doc_id", "source", "text", "epoch")
+           .localCheckpoint(eager=True))
+    corpus = man.select("doc_id", "source", "text")
+    pos = sorted(r[0] for r in
+                 docs.select("source").distinct().collect())[0]
+    want = sorted(tuple(r) for r in ccnet_receipt(
+        corpus, budget_tokens=2000, n_quality=50,
+        pos_source=pos).collect())
+    sink = CCNetStreamSink(corpus, str(tmp_path / "s"),
+                           budget_tokens=2000, n_quality=50,
+                           pos_source=pos, strict=True)
+    for e in range(3):
+        sink(man.filter(F.col("epoch") == e)
+             .select("doc_id", "source", "text"), e)
+    got = sorted(tuple(r)
+                 for r in sink.final_receipt(spark).collect())
+    assert got == want
+    rep = sink.order_report(spark).collect()
+    assert rep and all(r.admission_order_ok and r.line_order_ok
+                       for r in rep)
+
+
 def test_strict_mode_ordered_feed_matches_batch(spark, tmp_path):
     """strict=True on an ordered feed is behavior-identical to the
     default: all epochs accepted, receipts batch-equal."""

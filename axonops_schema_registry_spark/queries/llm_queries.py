@@ -966,6 +966,47 @@ WHERE rank <= 5
 """
 
 
+def nn6_store_lookup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 served off the PERSISTENT ANN index store
+    (r18, VERDICT r17 ask #7 — streaming/ann_store.AnnIndexStore, the
+    store-backed twin of nn2): the corpus is ingested in three
+    interleaved batches (``corpus_id % 3`` — deliberately NOT
+    id-ordered arrival, exercising the family's order-insensitivity:
+    a vector's buckets depend only on the fixed planes, so ingest
+    commutes and this store has no repair domain), the first two
+    epochs are COMPACTED into a generation base, and the lookup spans
+    base + live epoch.  The oracle is nn2's batch SQL verbatim —
+    store-built buckets ≡ the batch ``_portable_buckets`` over the
+    union is precisely the equality contract, so the driver
+    hash-checks the whole store path (fit-once planes, epoch ingest,
+    compaction fold, bucket equi-join lookup, exact rerank) against
+    the one-shot batch computation.
+
+    Scale shape: per-batch cost is one |batch| × n_planes broadcast
+    expansion + two partition writes (never a stored-corpus scan);
+    lookup is one (table, bucket) equi-join + candidates-only rerank
+    — the nn2 plan reading the store instead of re-bucketing."""
+    import tempfile
+
+    from axonops_schema_registry_spark.streaming.ann_store import (
+        AnnIndexStore,
+    )
+
+    queries, corpus = _emb_split(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="nn6_ann_store_")
+    store = AnnIndexStore(spark, d, calibration=corpus)
+    for e in range(3):
+        store.process_batch(
+            corpus.filter(F.col("corpus_id") % 3 == e), e)
+    store.compact(2)
+    return store.lookup_topk(queries, k=5)
+
+
+# The nn6 oracle IS nn2's batch SQL: the store over any batch split of
+# the corpus must serve the identical answer (the equality contract).
+NN6_ORACLE = NN2_ORACLE
+
+
 def dd5_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation view: WHICH sources duplicate each other — near-dup pairs
     (MinHash-LSH + exact verify) rolled up to an (source_a, source_b)
@@ -5974,6 +6015,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("nn5_multiprobe_lsh_topk", nn5_multiprobe_lsh_topk,
               NN5_ORACLE, tags=("llm", "similarity", "ann"),
               bench=True),
+    QuerySpec("nn6_store_lookup_topk", nn6_store_lookup_topk,
+              NN6_ORACLE,
+              tags=("llm", "similarity", "ann", "streaming")),
     QuerySpec("zf1_zipf_diagnostics", zf1_zipf_diagnostics, ZF1_ORACLE,
               tags=("llm", "text", "stats", "agg")),
     QuerySpec("ev5_ivf_recall", ev5_ivf_recall, EV5_ORACLE,

@@ -47,6 +47,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from axonops_schema_registry_spark.operators.core import release_checkpoint
+from axonops_schema_registry_spark.streaming.dedup_store import (
+    _write_json_atomic,
+)
 
 
 class CCNetStreamSink:
@@ -109,6 +112,12 @@ class CCNetStreamSink:
         )
 
         epoch_id = int(epoch_id)
+        if epoch_id < self._receipts_meta()["below"]:
+            raise RuntimeError(
+                f"epoch {epoch_id} is below the receipt compaction "
+                f"watermark {self._receipts_meta()['below']}; "
+                "compact_receipts() must only fold epochs the "
+                "streaming checkpoint can no longer replay")
         docs = (batch_df.select("doc_id", "source", "text")
                 .localCheckpoint(eager=True))  # arrivals + gate input
         n_docs = docs.groupBy("source").agg(
@@ -402,6 +411,136 @@ class CCNetStreamSink:
                            .alias("line_order_ok"))
                 .orderBy("epoch"))
 
+    # -- receipt compaction (r18, VERDICT r17 stretch #8) --------------------
+
+    def _receipts_meta(self) -> dict:
+        """{"gen": current receipt base generation or -1, "below":
+        first non-folded epoch} — the _EpochStore meta contract:
+        missing file = no compaction yet; present-but-unreadable is
+        corruption and fails loudly (compaction already deleted the
+        folded epoch dirs)."""
+        import json
+
+        path = os.path.join(self.store_dir, "receipts_meta.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"gen": -1, "below": 0}
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"corrupt receipt meta at {path}: {exc!r}; refusing "
+                "to silently drop folded receipts") from exc
+
+    def _receipts_view(self, spark) -> DataFrame | None:
+        """Folded base (one pre-aggregated row per source — sums and
+        maxes are associative, so it composes with live epochs under
+        the same aggregate) + live epoch partitions >= the
+        watermark."""
+        meta = self._receipts_meta()
+        cols = ["source", "n_docs", "n_lang", "n_dedup",
+                "blocks_removed", "n_head_middle", "n_quality",
+                "n_selected", "tokens_selected", "id_checksum",
+                "max_rank"]
+        parts = []
+        if meta["gen"] >= 0:
+            base = os.path.join(self.receipts_dir + "_base",
+                                f"g{meta['gen']}")
+            if not os.path.isdir(base):
+                raise RuntimeError(
+                    f"receipt meta references missing base "
+                    f"generation {base}")
+            parts.append(spark.read.parquet(base).select(*cols))
+        if (os.path.isdir(self.receipts_dir)
+                and any(d.startswith("epoch=")
+                        for d in os.listdir(self.receipts_dir))):
+            live = spark.read.parquet(self.receipts_dir)
+            parts.append(live.filter(F.col("epoch") >= meta["below"])
+                         .select(*cols))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def compact_receipts(self, spark, below_epoch: int) -> None:
+        """Fold every ``receipts/epoch=`` partition < ``below_epoch``
+        into the next generation-numbered base — one row per source
+        (the receipt columns are additive by source except the two
+        monotone maxes, so the fold is the same groupBy
+        ``final_receipt`` runs) — bounding the per-epoch small-file
+        count exactly like the two stores' compact() (the growth
+        class admission/compact closed in r17).  ``below_epoch`` must
+        be at-or-below the streaming checkpoint's committed watermark
+        (enforced on the ingest side by the ``__call__`` guard).
+        Crash-safe in the _EpochStore commit order: base fully
+        written, one atomic ``receipts_meta.json`` swap, superseded
+        directories swept best-effort.
+
+        ``order_state/epoch=`` partitions deliberately do NOT fold:
+        each is a sources-sized row set whose PER-EPOCH granularity is
+        the whole point of ``order_report`` (a folded verdict history
+        would erase which epoch violated); their growth is
+        O(sources × epochs) rows — config-sized per epoch, the same
+        accepted bound as the audit trail itself."""
+        import shutil
+
+        meta = self._receipts_meta()
+        if below_epoch <= meta["below"]:
+            return
+        view = self._receipts_view(spark)
+        if view is None:
+            return
+        # the base must hold ONLY rows below the new watermark: the
+        # current base (all < old below) + live epochs < below_epoch
+        live_keep = []
+        if os.path.isdir(self.receipts_dir):
+            for d in os.listdir(self.receipts_dir):
+                if (d.startswith("epoch=")
+                        and d.split("=", 1)[1].lstrip("-").isdigit()
+                        and meta["below"] <= int(d.split("=", 1)[1])
+                        < below_epoch):
+                    live_keep.append(os.path.join(self.receipts_dir, d))
+        parts = []
+        if meta["gen"] >= 0:
+            parts.append(spark.read.parquet(os.path.join(
+                self.receipts_dir + "_base", f"g{meta['gen']}")))
+        if live_keep:
+            parts.append(spark.read.option(
+                "basePath", self.receipts_dir).parquet(*live_keep)
+                .drop("epoch"))
+        if not parts:
+            return
+        folded = parts[0]
+        for p in parts[1:]:
+            folded = folded.unionByName(p)
+        agg = (folded.groupBy("source")
+               .agg(*[F.sum(c).cast("bigint").alias(c)
+                      for c in ("n_docs", "n_lang", "n_dedup",
+                                "blocks_removed", "n_head_middle",
+                                "n_quality", "n_selected",
+                                "id_checksum")],
+                    F.max("tokens_selected").cast("bigint")
+                    .alias("tokens_selected"),
+                    F.max("max_rank").cast("bigint")
+                    .alias("max_rank")))
+        new_gen = meta["gen"] + 1
+        agg.select("source", "n_docs", "n_lang", "n_dedup",
+                   "blocks_removed", "n_head_middle", "n_quality",
+                   "n_selected", "tokens_selected", "id_checksum",
+                   "max_rank") \
+            .write.mode("overwrite").parquet(os.path.join(
+                self.receipts_dir + "_base", f"g{new_gen}"))
+        _write_json_atomic(
+            os.path.join(self.store_dir, "receipts_meta.json"),
+            {"gen": new_gen, "below": below_epoch})
+        for g in range(new_gen):
+            shutil.rmtree(os.path.join(self.receipts_dir + "_base",
+                                       f"g{g}"), ignore_errors=True)
+        for p in live_keep:
+            shutil.rmtree(p, ignore_errors=True)
+
     # -- reads ---------------------------------------------------------------
 
     def final_receipt(self, spark) -> DataFrame | None:
@@ -409,12 +548,11 @@ class CCNetStreamSink:
         stream ≡ batch pin compares against ``ccnet_receipt``:
         additive columns sum across epochs; ``tokens_selected`` /
         ``max_rank`` take the max (the admission prefix is monotone
-        across epochs)."""
-        if not (os.path.isdir(self.receipts_dir)
-                and any(d.startswith("epoch=")
-                        for d in os.listdir(self.receipts_dir))):
+        across epochs).  Reads the folded base + live epochs (see
+        :meth:`compact_receipts`)."""
+        eps = self._receipts_view(spark)
+        if eps is None:
             return None
-        eps = spark.read.parquet(self.receipts_dir)
         agg = (eps.groupBy("source")
                .agg(*[F.sum(c).cast("bigint").alias(c)
                       for c in ("n_docs", "n_lang", "n_dedup",

@@ -241,6 +241,59 @@ def test_real_fixture_streams_batch_equal_via_man1(spark, tmp_path):
                        for r in rep)
 
 
+def test_receipt_compaction_lifecycle(spark, tmp_path):
+    """VERDICT r17 stretch #8: receipts/epoch=N accreted one tiny
+    parquet directory per epoch forever.  compact_receipts folds
+    epochs below the checkpoint watermark into a generation base
+    (additive-by-source groupBy): final_receipt is value-identical
+    before/after, folded dirs are swept, continued ingest composes
+    with the base, re-compaction extends the fold, and replaying a
+    folded epoch is refused (the watermark guard)."""
+    import os
+
+    from axonops_schema_registry_spark.llm.ccnet import ccnet_receipt
+    from axonops_schema_registry_spark.streaming.ccnet_stream import (
+        CCNetStreamSink,
+    )
+
+    rows, _ = _build_corpus()
+    docs = _docs(spark, rows)
+    epochs = _epochs(rows, n=4)
+    d = str(tmp_path / "s")
+    sink = CCNetStreamSink(docs, d, budget_tokens=BUDGET,
+                           n_quality=N_QUALITY)
+    bcol = F.col("doc_id")
+    for e in range(3):
+        sink(docs.filter(bcol.isin(epochs[e])), e)
+    mid = sorted(tuple(r) for r in sink.final_receipt(spark).collect())
+    sink.compact_receipts(spark, 2)
+    assert sorted(tuple(r) for r in
+                  sink.final_receipt(spark).collect()) == mid
+    live = [x for x in os.listdir(os.path.join(d, "receipts"))
+            if x.startswith("epoch=")]
+    assert sorted(live) == ["epoch=2"], live
+    assert os.path.isdir(os.path.join(d, "receipts_base", "g0"))
+    with pytest.raises(RuntimeError, match="watermark"):
+        sink(docs.filter(bcol.isin(epochs[0])), 0)
+    # continued ingest over the base: equals the full batch answer
+    sink(docs.filter(bcol.isin(epochs[3])), 3)
+    want = sorted(tuple(r) for r in ccnet_receipt(
+        docs, budget_tokens=BUDGET, n_quality=N_QUALITY).collect())
+    assert sorted(tuple(r) for r in
+                  sink.final_receipt(spark).collect()) == want
+    # a second fold over everything: still batch-equal, old gen swept
+    sink.compact_receipts(spark, 4)
+    assert sorted(tuple(r) for r in
+                  sink.final_receipt(spark).collect()) == want
+    assert not os.path.isdir(os.path.join(d, "receipts_base", "g0"))
+    assert os.path.isdir(os.path.join(d, "receipts_base", "g1"))
+    # a restarted sink over the same directories reads the same view
+    re = CCNetStreamSink(docs, d, budget_tokens=BUDGET,
+                         n_quality=N_QUALITY)
+    assert sorted(tuple(r) for r in
+                  re.final_receipt(spark).collect()) == want
+
+
 def test_strict_mode_ordered_feed_matches_batch(spark, tmp_path):
     """strict=True on an ordered feed is behavior-identical to the
     default: all epochs accepted, receipts batch-equal."""

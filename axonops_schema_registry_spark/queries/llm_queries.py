@@ -992,12 +992,16 @@ def nn6_store_lookup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         AnnIndexStore,
     )
 
+    from axonops_schema_registry_spark.operators.core import (
+        release_checkpoint,
+    )
+
     queries, corpus = _emb_split(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="nn6_ann_store_")
     store = AnnIndexStore(spark, d, calibration=corpus)
     for e in range(3):
-        store.process_batch(
-            corpus.filter(F.col("corpus_id") % 3 == e), e)
+        release_checkpoint(store.process_batch(
+            corpus.filter(F.col("corpus_id") % 3 == e), e))
     store.compact(2)
     return store.lookup_topk(queries, k=5)
 

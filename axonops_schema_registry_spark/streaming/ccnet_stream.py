@@ -233,7 +233,17 @@ class CCNetStreamSink:
           passes);
         * line leg: no eligible block key in this batch may carry a
           packed order STRICTLY below an election already stored by a
-          prior epoch (equality is the replay case, allowed)."""
+          prior epoch (equality is the replay case, allowed).
+
+        Both legs compare against epochs < ``epoch_id`` only: under
+        the foreachBatch contract epoch ids are monotone from the
+        checkpoint and a re-delivered epoch carries identical content,
+        so a batch bearing an EXISTING epoch id is treated as that
+        replay (checked against its own predecessors, passes).  A
+        caller that reuses a lower epoch id for NEW data violates the
+        identical-replay assumption itself — that hole is closed on
+        the line-store side (a rewritten epoch partition invalidates
+        the repaired-through record), not here."""
         from axonops_schema_registry_spark.llm.sampling import (
             portable_hash,
         )

@@ -973,19 +973,22 @@ def nn6_store_lookup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleaved batches (``corpus_id % 3`` — deliberately NOT
     id-ordered arrival, exercising the family's order-insensitivity:
     a vector's buckets depend only on the fixed planes, so ingest
-    commutes and this store has no repair domain), the first two
-    epochs are COMPACTED into a generation base, and the lookup spans
-    base + live epoch.  The oracle is nn2's batch SQL verbatim —
-    store-built buckets ≡ the batch ``_portable_buckets`` over the
-    union is precisely the equality contract, so the driver
-    hash-checks the whole store path (fit-once planes, epoch ingest,
-    compaction fold, bucket equi-join lookup, exact rerank) against
-    the one-shot batch computation.
+    commutes and this store has no repair domain), every id divisible
+    by 7 is DELETED at epoch 3 (a live tombstone), the first two
+    insert epochs are COMPACTED into a generation base, and the
+    lookup spans base + live epoch with the tombstone applied.  The
+    oracle buckets and reranks the NET corpus under the FULL corpus's
+    planes (the store's planes are fixed at creation) — so the driver
+    hash-checks the whole store lifecycle (fit-once planes, epoch
+    ingest, deletion, compaction fold, bucket equi-join lookup, exact
+    rerank) against the one-shot batch computation.
 
     Scale shape: per-batch cost is one |batch| × n_planes broadcast
     expansion + two partition writes (never a stored-corpus scan);
-    lookup is one (table, bucket) equi-join + candidates-only rerank
-    — the nn2 plan reading the store instead of re-bucketing."""
+    deletes are tombstone-sized; lookup is one (table, bucket)
+    equi-join + one delete-sized anti-join condition +
+    candidates-only rerank — the nn2 plan reading the store instead
+    of re-bucketing."""
     import tempfile
 
     from axonops_schema_registry_spark.streaming.ann_store import (
@@ -1002,13 +1005,66 @@ def nn6_store_lookup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in range(3):
         release_checkpoint(store.process_batch(
             corpus.filter(F.col("corpus_id") % 3 == e), e))
+    store.delete_ids(
+        corpus.filter(F.col("corpus_id") % 7 == 0)
+        .select("corpus_id"), 3)
     store.compact(2)
     return store.lookup_topk(queries, k=5)
 
 
-# The nn6 oracle IS nn2's batch SQL: the store over any batch split of
-# the corpus must serve the identical answer (the equality contract).
-NN6_ORACLE = NN2_ORACLE
+# nn2's batch SQL with ONE change: cb/pairs read the NET corpus
+# (deleted ids removed) while planes still derive from the FULL
+# corpus — the store's planes are fixed at creation, deletes don't
+# refit them.
+NN6_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+cnet AS (SELECT corpus_id, cv FROM c WHERE corpus_id % 7 <> 0),
+planes AS (
+  SELECT CAST(((a.corpus_id - 10) // 2) // 5 AS INT) AS tbl,
+         CAST(((a.corpus_id - 10) // 2) % 5 AS INT) AS bit,
+         list_transform(list_zip(a.cv, b.cv), x -> x[1] - x[2]) AS pv
+  FROM c a JOIN c b ON b.corpus_id = a.corpus_id + 1
+  WHERE a.corpus_id BETWEEN 10 AND 29 AND (a.corpus_id - 10) % 2 = 0),
+cb AS (
+  SELECT corpus_id, tbl,
+         SUM(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(cv, pv), x -> x[1] * x[2])),
+               (acc, v) -> acc + v) > 0 THEN 1 << bit ELSE 0 END) AS bucket
+  FROM cnet CROSS JOIN planes GROUP BY corpus_id, tbl),
+qb AS (
+  SELECT query_id, tbl,
+         SUM(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(qv, pv), x -> x[1] * x[2])),
+               (acc, v) -> acc + v) > 0 THEN 1 << bit ELSE 0 END) AS bucket
+  FROM q CROSS JOIN planes GROUP BY query_id, tbl),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.corpus_id
+  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket),
+pairs AS (
+  SELECT query_id, corpus_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(qv, cv), x -> x[1] * x[2])),
+             (acc, v) -> acc + v) AS dot,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(qv, x -> x * x)), (acc, v) -> acc + v)) AS qn,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(cv, x -> x * x)), (acc, v) -> acc + v)) AS cn
+  FROM cand JOIN q USING (query_id) JOIN cnet USING (corpus_id))
+SELECT query_id, corpus_id, cosine_sim, rank
+FROM (
+  SELECT query_id, corpus_id, ROUND(dot / (qn * cn), 4) AS cosine_sim,
+         CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY ROUND(dot / (qn * cn), 4) DESC, corpus_id) AS INT)
+           AS rank
+  FROM pairs)
+WHERE rank <= 5
+"""
 
 
 def dd5_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -93,6 +93,7 @@ class AnnIndexStore(_EpochStore):
         self.id_col, self.vec_col = id_col, vec_col
         self.buckets_dir = os.path.join(store_dir, "ann_buckets")
         self.vectors_dir = os.path.join(store_dir, "ann_vectors")
+        self.tombstones_dir = os.path.join(store_dir, "ann_tombstones")
         self.planes_dir = os.path.join(store_dir, "ann_planes")
         self.meta_path = os.path.join(store_dir, "ann_meta.json")
         self.params_path = os.path.join(store_dir, "ann_params.json")
@@ -143,18 +144,24 @@ class AnnIndexStore(_EpochStore):
                 "plane_base": self.plane_base,
                 "id_col": self.id_col, "vec_col": self.vec_col}
 
-    def _read_dir(self, path: str) -> DataFrame | None:
+    def _read_dir(self, path: str,
+                  require_base: bool = True) -> DataFrame | None:
         """Compacted base generation + live epoch partitions, epoch
-        column retained (the LineDedupStore read shape)."""
+        column retained (the LineDedupStore read shape).
+        ``require_base=False`` for the tombstones directory: compaction
+        CONSUMES tombstones below the watermark instead of folding
+        them, so a missing tombstone base under a committed generation
+        is the normal state, not corruption."""
         meta = self._meta()
         parts = []
         if meta["gen"] >= 0:
             base = self._base_dir(path, meta["gen"])
-            if not os.path.isdir(base):
+            if os.path.isdir(base):
+                parts.append(self.spark.read.parquet(base))
+            elif require_base:
                 raise RuntimeError(
                     f"ANN store meta {self.meta_path} references "
                     f"missing base generation {base}")
-            parts.append(self.spark.read.parquet(base))
         if (os.path.isdir(path)
                 and any(d.startswith("epoch=")
                         for d in os.listdir(path))):
@@ -206,19 +213,58 @@ class AnnIndexStore(_EpochStore):
 
         release_checkpoint(self.process_batch(batch_df, int(epoch_id)))
 
+    def delete_ids(self, ids: DataFrame, epoch_id: int) -> None:
+        """Remove vectors from the index (r18 — production index
+        maintenance is inserts AND deletes): writes an epoch-stamped
+        tombstone partition; a tombstone at epoch T kills every insert
+        of that id with epoch ≤ T, and a LATER re-insert (epoch > T)
+        resurrects the id — per-id resolution is epoch-ordered, so
+        delete/re-insert sequences replay deterministically.  Reads
+        apply tombstones as one id-keyed anti-join condition
+        (tombstone count is delete-sized, typically ≪ corpus);
+        :meth:`compact` applies tombstones below the watermark to the
+        folded base and DROPS them, so the tombstone set never grows
+        past one watermark window.  ``ids`` is a one-column frame of
+        ``id_col`` values; an identical replay overwrites its own
+        partition (exactly-once effect, the store-family contract)."""
+        self._check_params()
+        epoch_id = int(epoch_id)
+        if epoch_id < self._meta()["below"]:
+            raise RuntimeError(
+                f"epoch {epoch_id} is below the compaction watermark "
+                f"{self._meta()['below']}; compact() must only fold "
+                "epochs the streaming checkpoint can no longer replay")
+        ids.select(F.col(self.id_col).alias("corpus_id")).distinct() \
+            .write.mode("overwrite").parquet(
+                os.path.join(self.tombstones_dir, f"epoch={epoch_id}"))
+
+    def _alive(self, frame: DataFrame) -> DataFrame:
+        """Apply live tombstones: keep a row iff its insert epoch is
+        above the id's newest tombstone epoch (or it has none)."""
+        tombs = self._read_dir(self.tombstones_dir, require_base=False)
+        if tombs is None:
+            return frame
+        t = (tombs.groupBy("corpus_id")
+             .agg(F.max("epoch").alias("__tomb_e")))
+        return (frame.join(t, "corpus_id", "left")
+                .filter(F.col("__tomb_e").isNull()
+                        | (F.col("epoch") > F.col("__tomb_e")))
+                .drop("__tomb_e"))
+
     # -- reads ---------------------------------------------------------------
 
     def buckets(self) -> DataFrame | None:
-        """The stored (corpus_id, table, bucket) index — the frame the
-        store-vs-batch equality target compares."""
+        """The stored LIVE (corpus_id, table, bucket) index —
+        tombstones applied — the frame the store-vs-batch equality
+        target compares."""
         b = self._read_dir(self.buckets_dir)
-        return None if b is None else b.select("corpus_id", "table",
-                                               "bucket")
+        return None if b is None else \
+            self._alive(b).select("corpus_id", "table", "bucket")
 
     def vectors(self) -> DataFrame | None:
         v = self._read_dir(self.vectors_dir)
-        return None if v is None else v.select("corpus_id",
-                                               "corpus_vec")
+        return None if v is None else \
+            self._alive(v).select("corpus_id", "corpus_vec")
 
     def lookup_topk(self, queries: DataFrame, k: int = 5,
                     round_digits: int = 4,
@@ -272,14 +318,31 @@ class AnnIndexStore(_EpochStore):
                 f"ANN store at {self.store_dir} has data in some "
                 f"directories but none in {missing}; corrupt layout — "
                 "refusing to compact")
+        # tombstones below the watermark are APPLIED to the folded
+        # base and consumed (they can no longer affect rows outside
+        # it: every insert they could kill has epoch <= their own
+        # epoch < below_epoch and is part of this fold); tombstones at
+        # or above the watermark stay live and keep applying at read
+        tombs = self._read_dir(self.tombstones_dir, require_base=False)
+        consumed = None
+        if tombs is not None:
+            consumed = (tombs.filter(F.col("epoch") < below_epoch)
+                        .groupBy("corpus_id")
+                        .agg(F.max("epoch").alias("__tomb_e")))
         new_gen = meta["gen"] + 1
         for path, frame in merged.items():
-            frame.filter(F.col("epoch") < below_epoch) \
-                .write.mode("overwrite").parquet(
-                    self._base_dir(path, new_gen))
+            folded = frame.filter(F.col("epoch") < below_epoch)
+            if consumed is not None:
+                folded = (folded.join(consumed, "corpus_id", "left")
+                          .filter(F.col("__tomb_e").isNull()
+                                  | (F.col("epoch")
+                                     > F.col("__tomb_e")))
+                          .drop("__tomb_e"))
+            folded.write.mode("overwrite").parquet(
+                self._base_dir(path, new_gen))
         _write_json_atomic(self.meta_path,
                            {"gen": new_gen, "below": below_epoch})
-        for path in merged:
+        for path in (*merged, self.tombstones_dir):
             for g in range(new_gen):
                 shutil.rmtree(self._base_dir(path, g),
                               ignore_errors=True)

@@ -213,6 +213,85 @@ def test_foreachbatch_wiring_stream_equals_batch(spark, tmp_path):
     assert _rows(store.lookup_topk(queries, k=5)) == want
 
 
+def _batch_topk_fixed_planes(full_corpus, net_corpus, queries, k=5):
+    """The deletion-equality comparator: the store's planes are FIXED
+    at creation (fitted on the full calibration corpus), so the batch
+    twin of a store with deletions buckets/reranks the NET corpus
+    under the FULL corpus's planes — `lsh_ann_topk_portable(queries,
+    net)` would refit planes from the net corpus and diverge whenever
+    a deleted id sits in the plane range."""
+    from axonops_schema_registry_spark.llm.similarity import (
+        _exact_rerank,
+        _portable_buckets,
+        _portable_planes,
+    )
+
+    planes = _portable_planes(full_corpus, 5, 2, 10)
+    qb = _portable_buckets(queries, "query_id", "query_vec", planes)
+    cb = _portable_buckets(net_corpus, "corpus_id", "corpus_vec",
+                           planes)
+    cand = (qb.join(cb, ["table", "bucket"])
+            .select("query_id", "corpus_id").distinct())
+    return _exact_rerank(cand, queries, net_corpus, k, 4)
+
+
+def test_delete_resurrect_and_compact_consumes_tombstones(
+        spark, tmp_path):
+    """Deletion lifecycle (r18): a tombstone at epoch T kills inserts
+    with epoch <= T; a later re-insert resurrects; lookups equal the
+    fixed-planes batch computation over the NET corpus at every step;
+    compaction applies below-watermark tombstones to the folded base
+    and drops them."""
+    corpus = _corpus(spark)
+    queries = _queries(spark)
+    d = str(tmp_path / "s")
+    store = AnnIndexStore(spark, d, calibration=corpus)
+    store.process_batch(corpus.filter(F.col("corpus_id") < 60), 0)
+    store.process_batch(corpus.filter(F.col("corpus_id") >= 60), 1)
+    # epoch 2: delete every id divisible by 7
+    gone = corpus.filter(F.col("corpus_id") % 7 == 0) \
+        .select("corpus_id")
+    store.delete_ids(gone, 2)
+    net = corpus.filter(F.col("corpus_id") % 7 != 0)
+    want_net = _rows(_batch_topk_fixed_planes(corpus, net, queries))
+    assert _rows(store.lookup_topk(queries, k=5)) == want_net
+    assert store.buckets().filter(
+        F.col("corpus_id") % 7 == 0).count() == 0
+    # epoch 3: resurrect id 0 (insert AFTER its tombstone)
+    store.process_batch(corpus.filter(F.col("corpus_id") == 0), 3)
+    net2 = net.unionByName(corpus.filter(F.col("corpus_id") == 0))
+    want2 = _rows(_batch_topk_fixed_planes(corpus, net2, queries))
+    assert _rows(store.lookup_topk(queries, k=5)) == want2
+    # fold everything below epoch 3: the tombstone (epoch 2) is
+    # applied to the base and consumed; answers unchanged
+    store.compact(3)
+    assert _rows(store.lookup_topk(queries, k=5)) == want2
+    tomb_dir = os.path.join(d, "ann_tombstones")
+    live_tombs = [x for x in os.listdir(tomb_dir)
+                  if x.startswith("epoch=")] \
+        if os.path.isdir(tomb_dir) else []
+    assert live_tombs == [], live_tombs
+    # a live tombstone ABOVE the watermark still applies to base rows
+    store.delete_ids(corpus.filter(F.col("corpus_id") == 1)
+                     .select("corpus_id"), 3)
+    net3 = net2.filter(F.col("corpus_id") != 1)
+    want3 = _rows(_batch_topk_fixed_planes(corpus, net3, queries))
+    assert _rows(store.lookup_topk(queries, k=5)) == want3
+    # reopen: same state from disk
+    re = AnnIndexStore(spark, d)
+    assert _rows(re.lookup_topk(queries, k=5)) == want3
+
+
+def test_delete_watermark_guard(spark, tmp_path):
+    corpus = _corpus(spark)
+    store = AnnIndexStore(spark, str(tmp_path / "s"),
+                          calibration=corpus)
+    store.process_batch(corpus, 0)
+    store.compact(1)
+    with pytest.raises(RuntimeError, match="watermark"):
+        store.delete_ids(corpus.select("corpus_id").limit(1), 0)
+
+
 def test_empty_store_reads(spark, tmp_path):
     corpus = _corpus(spark)
     store = AnnIndexStore(spark, str(tmp_path / "s"),

@@ -292,6 +292,39 @@ def test_delete_watermark_guard(spark, tmp_path):
         store.delete_ids(corpus.select("corpus_id").limit(1), 0)
 
 
+def test_fuzz_random_splits_and_deletes_equal_batch(spark, tmp_path):
+    """Seeded fuzz (the new-op convention): random batch assignments,
+    random arrival order, and a random delete set — the store equals
+    the fixed-planes batch computation over the net corpus every
+    time."""
+    corpus = _corpus(spark)
+    queries = _queries(spark)
+    for trial in range(3):
+        rnd = random.Random(1000 + trial)
+        n_ep = rnd.randint(2, 5)
+        assign = {i: rnd.randrange(n_ep) for i in range(N)}
+        order = list(range(n_ep))
+        rnd.shuffle(order)
+        d = str(tmp_path / f"s{trial}")
+        store = AnnIndexStore(spark, d, calibration=corpus)
+        for e in order:
+            ids = [i for i, a in assign.items() if a == e]
+            store.process_batch(
+                corpus.filter(F.col("corpus_id").isin(ids)), e)
+        dead = sorted(rnd.sample(range(N), rnd.randint(0, 15)))
+        if dead:
+            store.delete_ids(
+                corpus.filter(F.col("corpus_id").isin(dead))
+                .select("corpus_id"), n_ep)
+        if rnd.random() < 0.5:
+            store.compact(rnd.randint(1, n_ep))
+        net = corpus.filter(~F.col("corpus_id").isin(dead)) \
+            if dead else corpus
+        want = _rows(_batch_topk_fixed_planes(corpus, net, queries))
+        assert _rows(store.lookup_topk(queries, k=5)) == want, (
+            f"trial {trial}: n_ep={n_ep} order={order} dead={dead}")
+
+
 def test_empty_store_reads(spark, tmp_path):
     corpus = _corpus(spark)
     store = AnnIndexStore(spark, str(tmp_path / "s"),

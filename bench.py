@@ -121,11 +121,15 @@ def main() -> None:
         best = _mine_bests(root, cur_round)
         gauge = _gauge(timings, best)
         # per-round min-draw ledger: the ⚠ gate reads the min across
-        # the sitting's draws, not this draw alone (see
-        # _round_min_ledger) — gauge_min is the composite calm draw's
-        # weather so min timings normalize against min-draw weather
-        round_min = _round_min_ledger(root, cur_round, timings)
-        gauge_min = _gauge(round_min, best)
+        # the sitting's draws of each draw's OWN normalized ratio
+        # (see _round_min_ledger) — when the gauge is unavailable the
+        # draw contributes raw ratios instead (the ADVICE r16
+        # fallback, same class)
+        draw_norm = {
+            n: timings[n] / best[n][0] / (gauge or 1.0)
+            for n in timings if n in best and best[n][0] > 0}
+        round_min, round_norm_min = _round_min_ledger(
+            root, cur_round, timings, draw_norm)
         # weather-normalized per-query ratios (VERDICT r15 stretch #8):
         # ratio/gauge ≈ plan cost vs best with the machine state
         # divided out — the number the bests table flags on, emitted
@@ -143,20 +147,18 @@ def main() -> None:
                     n: round(timings[n] / best[n][0] / gauge, 2)
                     for n in sorted(timings)
                     if n in best and best[n][0] > 0}}
-            if gauge_min is not None:
-                # the flag-gate view: min draw of the sitting,
-                # normalized by the min draw's own gauge
-                sidecar["gauge_vs_best_round_min"] = round(gauge_min, 3)
-                sidecar["normalized_round_min"] = {
-                    n: round(round_min[n] / best[n][0] / gauge_min, 2)
-                    for n in sorted(round_min)
-                    if n in best and best[n][0] > 0}
+            # the flag-gate view: per-query min across the sitting's
+            # draws of each draw's own normalized ratio
+            sidecar["normalized_round_min"] = {
+                n: round(v, 2)
+                for n, v in sorted(round_norm_min.items())}
             root = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(root, "BENCH_normalized.json"),
                       "w") as f:
                 json.dump(sidecar, f, indent=1)
             out["normalized_sidecar"] = "BENCH_normalized.json"
-        _update_bests_table(timings, best, gauge, round_min, gauge_min)
+        _update_bests_table(timings, best, gauge, round_min,
+                            round_norm_min)
     print(json.dumps(out))
 
 
@@ -260,36 +262,58 @@ def _mine_bests(root: str,
 
 
 def _round_min_ledger(root: str, cur_round: int | None,
-                      timings: dict[str, float]) -> dict[str, float]:
+                      timings: dict[str, float],
+                      draw_norm: dict[str, float]) -> tuple[
+                          dict[str, float], dict[str, float]]:
     """Per-round MIN-draw ledger (VERDICT r17 What's-wrong #4): three
     same-sitting draws produced three disjoint ⚠ sets on an unchanged
     repo, because the gate evaluated ONE draw's ratios on a host with
-    ±30% scatter over sub-second queries.  Persist the per-query min
-    across every draw of the CURRENT round and let the ⚠ gate read
-    that, so a flag means "no draw this round reached the floor" — the
-    actual regression question.  Re-running bench within a sitting can
-    then only CLEAR flags, never mint new ones.
+    ±30% scatter over sub-second queries.  Persist, per query, the min
+    across every draw of the CURRENT round of (a) the raw seconds and
+    (b) THIS DRAW'S normalized ratio (cur / best / this draw's gauge)
+    and let the ⚠ gate read (b), so a flag means "no draw this round
+    reached the floor" — the actual regression question.  Re-running
+    bench within a sitting can then only CLEAR flags, never mint new
+    ones.
 
-    Returns the merged per-query min (current draw folded in)."""
+    Why min-of-per-draw-ratios and not ratios-of-min-timings: a
+    composite gauge built from per-query min timings is a best-case
+    host no single draw produced — it deflates the normalizer and
+    OVER-flags queries that only appeared on slow draws (observed on
+    the second r18 draw: the flag set grew).  Each draw's ratio uses
+    that draw's own gauge, so every ledger entry is a reading some
+    real draw actually produced.
+
+    Returns (merged_min_sec, merged_min_norm), current draw folded
+    in."""
     path = os.path.join(root, "BENCH_round_ledger.json")
-    prior: dict[str, float] = {}
+    prior_s: dict[str, float] = {}
+    prior_n: dict[str, float] = {}
     try:
         rec = json.load(open(path))
         if cur_round is not None and rec.get("round") == cur_round:
-            prior = {k: float(v) for k, v in (rec.get("min") or {}).items()}
+            prior_s = {k: float(v)
+                       for k, v in (rec.get("min") or {}).items()}
+            prior_n = {k: float(v)
+                       for k, v in (rec.get("norm_min") or {}).items()}
     except Exception:
         pass
-    merged = dict(prior)
+    merged_s = dict(prior_s)
     for name, sec in timings.items():
-        if name not in merged or sec < merged[name]:
-            merged[name] = sec
+        if name not in merged_s or sec < merged_s[name]:
+            merged_s[name] = sec
+    merged_n = dict(prior_n)
+    for name, ratio in draw_norm.items():
+        if name not in merged_n or ratio < merged_n[name]:
+            merged_n[name] = ratio
     try:
         with open(path, "w") as f:
-            json.dump({"round": cur_round, "min": merged}, f, indent=1,
+            json.dump({"round": cur_round, "min": merged_s,
+                       "norm_min": merged_n}, f, indent=1,
                       sort_keys=True)
     except OSError:
         pass
-    return merged
+    return merged_s, merged_n
 
 
 def _gauge(timings: dict[str, float],
@@ -314,41 +338,38 @@ def _update_bests_table(timings: dict[str, float],
                         best: dict[str, tuple[float, str]],
                         gauge: float | None,
                         round_min: dict[str, float] | None = None,
-                        gauge_min: float | None = None) -> None:
+                        round_norm_min: dict[str, float] | None = None,
+                        ) -> None:
     """Maintain the per-query best-across-rounds table in BASELINE.md,
     so "every common query <= 1.1x its best prior round" is a
     mechanical check instead of a per-round archaeology session.
-    The ⚠ flag is on the WEATHER-NORMALIZED ratio of the ROUND-MIN
-    draw (per-query min across every draw of this round, divided by
-    best prior and by the min-draw gauge — see _round_min_ledger;
-    VERDICT r17 What's-wrong #4: single-draw flags churned with every
-    draw on an unchanged repo) so it marks plan regressions, not
-    machine state (VERDICT r15 stretch #8).  When the gauge is
-    unavailable (a comparable-subset query dropped/renamed), the flag
-    falls back to the RAW ratio > 1.1 — a broken gauge must not
-    silently disable the whole regression gate (ADVICE r16)."""
+    The ⚠ flag is the ROUND-MIN of each draw's own weather-normalized
+    ratio (per-query min across every bench draw of this round of
+    cur / best / that-draw's-gauge — see _round_min_ledger; VERDICT
+    r17 What's-wrong #4: single-draw flags churned with every draw on
+    an unchanged repo) so it marks plan regressions, not machine
+    state (VERDICT r15 stretch #8).  When the gauge is unavailable
+    (a comparable-subset query dropped/renamed), the draw contributes
+    RAW ratios — a broken gauge must not silently disable the whole
+    regression gate (ADVICE r16)."""
     root = os.path.dirname(os.path.abspath(__file__))
     if round_min is None:
         round_min = timings
-    if gauge_min is None:
-        gauge_min = gauge
     weather = f"{gauge:.2f}×" if gauge is not None \
-        else "n/a (subset incomplete — ⚠ falls back to raw ratio)"
-    weather_min = f"{gauge_min:.2f}×" if gauge_min is not None else "n/a"
+        else "n/a (subset incomplete — ratios enter the gate raw)"
     lines = [_BESTS_BEGIN,
              "## Per-query bests across rounds (sf0.1, min estimator)",
              "",
-             "Regression gate: normalized ratio (round-min draw / best "
-             "prior / min-draw gauge) ≤ 1.1, where round-min is the "
-             "per-query MIN across every bench draw of the current "
-             "round (BENCH_round_ledger.json) — a ⚠ means NO draw "
-             "this round reached the floor, so re-running bench can "
-             "only clear flags, never mint them from scatter.  "
-             "Host-weather gauge (comparable-subset total vs "
-             f"best-prior): current draw **{weather}**, round-min "
-             f"draw **{weather_min}** — raw ratios divide the gauge "
-             "out into the `norm` columns, so ⚠ marks plan-shaped "
-             "regressions, not machine state.  Draws are taken after "
+             "Regression gate: round-min normalized ratio ≤ 1.1, "
+             "where round-min is the per-query MIN across every bench "
+             "draw of the current round of that draw's own normalized "
+             "ratio (current / best prior / the draw's gauge; "
+             "BENCH_round_ledger.json) — a ⚠ means NO draw this round "
+             "reached the floor, so re-running bench can only clear "
+             "flags, never mint them from scatter.  Host-weather "
+             "gauge of THIS draw (comparable-subset total vs "
+             f"best-prior): **{weather}** — raw ratios divide it out "
+             "into the `norm` column.  Draws are taken after "
              "bench.py's full-SF warm pass (page cache + per-plan "
              "smoke/full passes), so cold-scan/JIT latency is "
              "excluded from the floors.",
@@ -367,14 +388,12 @@ def _update_bests_table(timings: dict[str, float],
             norm = f"{raw_v / gauge:.2f}" if gauge else "—"
             if rmin is None:
                 rmin = cur
-            raw_min_v = rmin / b[0]
-            if gauge_min:
-                nm_v = raw_min_v / gauge_min
-                norm_min = f"{nm_v:.2f}" + (" ⚠" if nm_v > 1.1 else "")
-            else:
-                # gauge unavailable: flag on the raw ratio instead of
-                # emitting no flags at all (ADVICE r16)
-                norm_min = "—" + (" ⚠(raw)" if raw_min_v > 1.1 else "")
+            nm_v = (round_norm_min or {}).get(name)
+            if nm_v is None:
+                nm_v = raw_v / gauge if gauge else raw_v
+            suffix = "" if gauge else "(raw)"
+            norm_min = (f"{nm_v:.2f}"
+                        + (f" ⚠{suffix}" if nm_v > 1.1 else ""))
         else:
             ratio = norm = norm_min = "—"
         lines.append(

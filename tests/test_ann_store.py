@@ -325,6 +325,38 @@ def test_fuzz_random_splits_and_deletes_equal_batch(spark, tmp_path):
             f"trial {trial}: n_ep={n_ep} order={order} dead={dead}")
 
 
+def test_compact_crash_orphan_is_invisible_and_overwritten(
+        spark, tmp_path):
+    """The _EpochStore commit order under a simulated crash: a base
+    generation written WITHOUT the meta swap (crash between step 1
+    and 2) is invisible to readers and overwritten by the next
+    compact."""
+    import shutil
+
+    corpus = _corpus(spark)
+    queries = _queries(spark)
+    d = str(tmp_path / "s")
+    store = AnnIndexStore(spark, d, calibration=corpus)
+    store.process_batch(corpus.filter(F.col("corpus_id") < 45), 0)
+    store.process_batch(corpus.filter(F.col("corpus_id") >= 45), 1)
+    want = _rows(store.lookup_topk(queries, k=5))
+    # simulate a crash mid-compact: orphan g0 bases with WRONG content
+    # (only epoch 0's rows), no meta swap
+    for sub in ("ann_buckets", "ann_vectors"):
+        orphan = os.path.join(d, sub + "_base", "g0")
+        frame = spark.read.parquet(os.path.join(d, sub, "epoch=0"))
+        frame.withColumn("epoch", F.lit(0)) \
+            .write.mode("overwrite").parquet(orphan)
+    # readers ignore the orphan (meta still gen=-1)
+    assert _rows(store.lookup_topk(queries, k=5)) == want
+    # the next compact overwrites it and commits
+    store.compact(2)
+    assert _rows(store.lookup_topk(queries, k=5)) == want
+    re = AnnIndexStore(spark, d)
+    assert _rows(re.lookup_topk(queries, k=5)) == want
+    shutil.rmtree(d)
+
+
 def test_empty_store_reads(spark, tmp_path):
     corpus = _corpus(spark)
     store = AnnIndexStore(spark, str(tmp_path / "s"),

@@ -38,27 +38,26 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 def minhash_signatures(toks: DataFrame, n_hashes: int = 64) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signature via seeded xxhash64.
 
-    Explode-seeds formulation: (token × seed) rows → min per (id, seed) →
-    seed-ordered array.  A 64-column min-aggregate plan would do the same
-    arithmetic but costs seconds of whole-stage-codegen compilation (it
-    dominates single-shot runs); the narrow plan compiles instantly and
-    shuffles (tokens × n_hashes) skinny rows instead.
+    Row-local formulation (r18): hash each token string ONCE
+    (xxhash64), collect the 8-byte base hashes per document, then
+    compute every seeded minimum inside one higher-order transform —
+    min_s over tokens of xxhash64(h0, s).  Value-identical to the old
+    explode-seeds plan (same hash calls, min is order-insensitive over
+    collect_list), but the (tokens × n_hashes) exploded frame, its
+    (id, seed) hash-aggregate and the second (id) collect aggregate —
+    two corpus-token-scale exchanges — collapse into one skinny
+    (id, bigint) aggregate plus a per-row projection.  A 64-column
+    min-aggregate plan would also avoid the explode but costs seconds
+    of whole-stage codegen compilation; the HOF plan is one compact
+    expression.
     """
-    # hash the string ONCE, then derive the n seeded variants from the
-    # 8-byte base hash — xxhash64(long, seed) instead of 64 rehashes of a
-    # ~50-char shingle string
-    per_seed = (toks
-                .withColumn("__h0", F.xxhash64(F.col("token")))
-                .select("id",
-                        F.explode(F.expr(f"sequence(0, {n_hashes - 1})"))
-                        .alias("seed"),
-                        "__h0")
-                .withColumn("h", F.xxhash64(F.col("__h0"), F.col("seed"))))
-    return (per_seed.groupBy("id", "seed").agg(F.min("h").alias("mh"))
-            .groupBy("id")
-            .agg(F.array_sort(F.collect_list(F.struct("seed", "mh")))
-                 .alias("__s"))
-            .select("id", F.expr("transform(__s, x -> x.mh)").alias("sig")))
+    return (toks.groupBy("id")
+            .agg(F.collect_list(F.xxhash64(F.col("token")))
+                 .alias("__h0"))
+            .select("id", F.expr(
+                f"transform(sequence(0, {n_hashes - 1}), s -> "
+                f"array_min(transform(__h0, h -> xxhash64(h, s))))")
+                .alias("sig")))
 
 
 def minhash_band_buckets(toks: DataFrame, n_hashes: int = 64,
@@ -125,6 +124,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     if cache_tokens:
         toks = toks.cache()
     bucketed = minhash_band_buckets(toks, n_hashes, bands)
+    if cache_tokens:
+        # both join sides (and the max_bucket window) read the bucket
+        # frame — without this the whole signature chain is computed
+        # once PER SIDE (the r18 plan audit found the subtree twice).
+        # Same lifetime contract as the toks cache above.
+        bucketed = bucketed.cache()
     b_side = bucketed if b_ids is None else bucketed.join(
         F.broadcast(b_ids.select(F.col(b_ids.columns[0]).alias("id"))),
         "id")
@@ -472,21 +477,22 @@ def simhash63(df: DataFrame, id_col: str, text_col: str,
         toks = toks.withColumn("h", portable_hash(F.col("token")))
     else:
         toks = toks.withColumn("h", F.xxhash64("token"))
-    per_bit = (toks
-               .select("id",
-                       F.explode(F.expr(f"sequence(0, {n_bits - 1})"))
-                       .alias("bit"),
-                       "h")
-               .withColumn("contrib",
-                           F.when(F.expr("(h >> bit) & 1") == 1, 1)
-                           .otherwise(-1))
-               .groupBy("id", "bit")
-               .agg(F.sum("contrib").alias("s")))
-    weight = F.when(F.col("s") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)")) \
-              .otherwise(F.lit(0).cast("long"))
-    return (per_bit.groupBy("id")
-            .agg(F.sum(weight).cast("long").alias("simhash")))
+    # Row-local formulation (r18, the minhash_signatures rewrite
+    # applied here): collect each doc's token hashes once, then derive
+    # all bit votes in one higher-order aggregate.  Bit b is set iff
+    # strictly more tokens have it 1 than 0 — 2·ones_b > n is exactly
+    # the old Σ±1 > 0 vote (ties clear the bit in both forms).  The
+    # (tokens × n_bits) explode and its two aggregate exchanges
+    # collapse into one skinny (id, bigint) aggregate + a projection.
+    return (toks.groupBy("id")
+            .agg(F.collect_list("h").alias("__h0"))
+            .select("id", F.expr(
+                f"aggregate(sequence(0, {n_bits - 1}), "
+                f"CAST(0 AS BIGINT), (acc, b) -> acc + "
+                f"IF(2 * size(filter(__h0, h -> ((h >> b) & 1) = 1)) "
+                f"> size(__h0), "
+                f"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))")
+                .alias("simhash")))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -364,19 +364,28 @@ def _quality_weights_from_features(feat: DataFrame,
     fixed reference corpus and apply it per micro-batch, the way
     CCNet/GPT-3-class pipelines deploy the classifier (train once,
     score forever)."""
+    # ONE fit pass (r18): tag each feature row with its positive-slice
+    # membership via a broadcast left join, take ca/cp from a single
+    # groupBy(b), and derive the corpus totals na/np as unpartitioned
+    # window sums over the ≤ n_buckets-row result — the four separate
+    # aggregate subtrees of the old shape (allc, pos, n_all, n_pos;
+    # the totals re-aggregated the feature frame from scratch)
+    # collapse into one aggregation of the feature frame.  Negative
+    # counts stay pool-minus-positive per bucket; every count is the
+    # identical BIGINT, so each floor'd weight is bit-identical.
+    from pyspark.sql import Window
+
     pos_ids = positive_ids.select(F.col(positive_ids.columns[0])
-                                  .alias("id"))
-    allc = feat.groupBy("b").agg(F.sum("cnt").alias("ca"))
-    pos = (feat.join(pos_ids, "id")
-           .groupBy("b").agg(F.sum("cnt").alias("cp")))
-    n_all = allc.agg(F.sum("ca").alias("na"))
-    n_pos = pos.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("np"))
-    # negative counts are pool-minus-positive per bucket: one fit pass
-    # over the feature frame, not a second corpus scan for the
-    # complement slice
-    return (allc.join(pos, "b", "left")
-            .withColumn("cp", F.coalesce(F.col("cp"), F.lit(0)))
-            .crossJoin(F.broadcast(n_all)).crossJoin(F.broadcast(n_pos))
+                                  .alias("id"),
+                                  F.lit(True).alias("__pos"))
+    tot = Window.partitionBy()
+    return (feat.join(F.broadcast(pos_ids), "id", "left")
+            .groupBy("b")
+            .agg(F.sum("cnt").alias("ca"),
+                 F.sum(F.when(F.col("__pos"), F.col("cnt"))
+                       .otherwise(F.lit(0))).alias("cp"))
+            .withColumn("na", F.sum("ca").over(tot))
+            .withColumn("np", F.sum("cp").over(tot))
             .select("b", F.floor(
                 ((F.log(F.col("cp") + 1)
                   - F.log(F.col("np") + n_buckets))
@@ -457,22 +466,28 @@ def dsir_log_weights(docs: DataFrame, target_ids: DataFrame,
     arithmetic (the ppl1 discipline) — an independent SQL engine
     reproduces every weight bit-for-bit.
     """
+    from pyspark.sql import Window
+
     feat = _hashed_ngram_counts(docs, id_col, text_col, n_buckets)
-    raw = feat.groupBy("b").agg(F.sum("cnt").alias("cr"))
-    tgt = (feat.join(target_ids.select(F.col(target_ids.columns[0])
-                                       .alias("id")), "id")
-           .groupBy("b").agg(F.sum("cnt").alias("ct")))
-    n_r = raw.agg(F.sum("cr").alias("nr"))
-    # empty target slice → SUM is NULL → every weight NULL (silent);
-    # coalesce to 0 so add-one smoothing degrades to a uniform target
-    # LM instead
-    n_t = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
-    # add-one smoothing over the full bucket space; buckets absent
+    # ONE fit pass (r18, the _quality_weights_from_features shape):
+    # membership-tagged broadcast left join + a single groupBy(b);
+    # totals nr/nt are unpartitioned window sums over the ≤ n_buckets
+    # rows.  An empty target slice sums to 0 (not NULL), so add-one
+    # smoothing degrades to a uniform target LM exactly as before.
+    # Add-one smoothing over the full bucket space; buckets absent
     # from the raw pool can't appear in any scored document, so the
-    # ratio table only needs raw-present buckets
-    lr = (raw.join(tgt, "b", "left")
-          .withColumn("ct", F.coalesce(F.col("ct"), F.lit(0)))
-          .crossJoin(F.broadcast(n_r)).crossJoin(F.broadcast(n_t))
+    # ratio table only needs raw-present buckets.
+    tgt_ids = target_ids.select(F.col(target_ids.columns[0])
+                                .alias("id"),
+                                F.lit(True).alias("__tgt"))
+    tot = Window.partitionBy()
+    lr = (feat.join(F.broadcast(tgt_ids), "id", "left")
+          .groupBy("b")
+          .agg(F.sum("cnt").alias("cr"),
+               F.sum(F.when(F.col("__tgt"), F.col("cnt"))
+                     .otherwise(F.lit(0))).alias("ct"))
+          .withColumn("nr", F.sum("cr").over(tot))
+          .withColumn("nt", F.sum("ct").over(tot))
           .select("b", F.round(
               (F.log(F.col("ct") + 1)
                - F.log(F.col("nt") + n_buckets))

@@ -33,16 +33,19 @@ def ngram_spans(df: DataFrame, id_col: str, text_col: str,
     to an explicit empty array rather than relying on the bound.
     """
     # split once (projected column): an inline split in the lambda is
-    # re-evaluated per element — O(words²) per doc
+    # re-evaluated per element — O(words²) per doc.  Dedup is
+    # PER-DOCUMENT, so array_distinct before the explode does it
+    # row-locally (r18; the token_set shape) — the old post-explode
+    # .distinct() shuffled every (id, span) row corpus-wide for the
+    # same result.
     spans = F.expr(
         f"CASE WHEN size(__ws) >= {n} THEN "
-        f"transform(sequence(1, size(__ws) - {n - 1}), "
-        f"i -> array_join(slice(__ws, i, {n}), ' ')) "
+        f"array_distinct(transform(sequence(1, size(__ws) - {n - 1}), "
+        f"i -> array_join(slice(__ws, i, {n}), ' '))) "
         f"ELSE array() END")
     return (df.select(F.col(id_col).alias("id"),
                       F.split(F.col(text_col), " ").alias("__ws"))
-              .select("id", F.explode(spans).alias("span"))
-              .distinct())
+              .select("id", F.explode(spans).alias("span")))
 
 
 def contamination_flags(train: DataFrame, test: DataFrame,

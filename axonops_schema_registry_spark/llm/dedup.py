@@ -625,6 +625,16 @@ def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
     pytest; the default stays raw so the DuckDB oracle is replayable
     verbatim."""
     pos_grams = _positioned_grams(df, id_col, text_col, k, hash_grams)
+    # cached (r18): the positioned-gram explode feeds BOTH the
+    # occurrence-count aggregate and the duplicated-position join —
+    # without this the k-gram string materialization (the family's
+    # dominant per-task cost) runs once per consumer.  Callers are
+    # one-shot query jobs / the facade, the toks-cache lifetime
+    # contract.  At 100 TB prefer recompute (row-local off the scan)
+    # over pinning a corpus-gram-scale frame: a long-running caller
+    # would drop this cache and re-derive, as the streaming sinks do
+    # with token frames.
+    pos_grams = pos_grams.cache()
     dup = (pos_grams.groupBy("gram")
            .agg(F.count(F.lit(1)).alias("__n"))
            .filter(F.col("__n") >= min_count)

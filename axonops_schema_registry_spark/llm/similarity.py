@@ -380,12 +380,18 @@ def lsh_cosine_pairs_portable(vectors: DataFrame, id_col: str,
                              "CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
                       .alias("plane_vec")))
     dot = _dot_expr(vec_col, "plane_vec")
+    # cached (r18): both candidate sides read the bucket frame — the
+    # plan otherwise recomputes the vectors × planes dot products once
+    # PER SIDE.  Bounded at (n_rows × n_tables) numeric rows; callers
+    # are one-shot query jobs (no streaming consumer), so the entry
+    # lives until the session ends, the toks-cache contract.
     buckets = (vectors.crossJoin(F.broadcast(planes))
                .withColumn("__b",
                            F.when(dot > 0, F.expr("shiftleft(1, bit)"))
                            .otherwise(F.lit(0)))
                .groupBy(id_col, "table")
-               .agg(F.sum("__b").alias("bucket")))
+               .agg(F.sum("__b").alias("bucket"))
+               .cache())
     a = buckets.select(F.col(id_col).alias("id_a"), "table", "bucket")
     b_side = buckets if b_ids is None else buckets.join(
         F.broadcast(b_ids.select(F.col(b_ids.columns[0])

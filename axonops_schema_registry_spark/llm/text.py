@@ -363,7 +363,10 @@ def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
     shingle (< ngram words) are absent."""
     from axonops_schema_registry_spark.operators.text import token_set
 
-    toks = token_set(docs, id_col, text_col, ngram)
+    # cached (r18): the shingle explode feeds both the first-occurrence
+    # aggregate and the join back — the jaccard_pairs toks-cache
+    # contract (one-shot query callers; recompute instead at scale).
+    toks = token_set(docs, id_col, text_col, ngram).cache()
     first = toks.groupBy("token").agg(F.min("id").alias("__first"))
     return (toks.join(first, "token")
             .groupBy("id")

@@ -151,9 +151,13 @@ def gopher_stats(text_col: str) -> list[Column]:
     words containing an alphabetic character, stopword hits."""
     words = f"split({text_col}, ' ')"
     n_words = F.expr(f"size({words})").cast("bigint")
-    sum_len = F.expr(
-        f"aggregate({words}, CAST(0 AS BIGINT), "
-        f"(acc, w) -> acc + length(w))")
+    # Σ length(word) ≡ length(text with the single-space separators
+    # removed): split(' ') makes words partition the non-space chars
+    # (empty words from runs contribute 0), so one codegen'd char scan
+    # replaces the per-element higher-order aggregate (r18 — HOF
+    # lambdas evaluate interpreted, outside whole-stage codegen).
+    sum_len = F.length(F.expr(f"replace({text_col}, ' ', '')")) \
+        .cast("bigint")
     n_hash = (F.length(F.col(text_col))
               - F.length(F.expr(f"replace({text_col}, '#', '')")))
     n_ellipsis = ((F.length(F.col(text_col))
@@ -239,8 +243,13 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
     broadcast hint and let the score join shuffle on token, everything
     else unchanged).  No window, no collect, no driver loop.
     """
-    return surprisal_with_lm(docs, unigram_lm(docs, id_col, text_col),
-                             id_col, text_col)
+    # ONE token explode (r18): the LM fit and the scoring join both
+    # consume the corpus token frame — share it via cache (the
+    # jaccard_pairs toks contract; one-shot query callers) instead of
+    # exploding the corpus once per half.  unigram_lm/surprisal_with_lm
+    # stay the independent train-once/score-forever entry points.
+    toks = _lm_tokens(docs, id_col, text_col).cache()
+    return _score_tokens(toks, _lm_from_tokens(toks), id_col)
 
 
 def _lm_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -259,8 +268,14 @@ def unigram_lm(docs: DataFrame, id_col: str = "doc_id",
     deploys its LM: Wenzek et al. 2020 train on Wikipedia beforehand,
     the streaming twin scores micro-batches against the fixed
     table)."""
-    vocab = (_lm_tokens(docs, id_col, text_col)
-             .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    return _lm_from_tokens(_lm_tokens(docs, id_col, text_col))
+
+
+def _lm_from_tokens(toks: DataFrame) -> DataFrame:
+    """:func:`unigram_lm` over an already-derived (id, t) token frame —
+    factored out (r18) so self-scored compositions explode the corpus
+    once for fit AND score."""
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
     return (vocab.crossJoin(F.broadcast(total))
             .select("t", F.round(-F.log(F.col("c") / F.col("n")), 6)
@@ -277,7 +292,14 @@ def surprisal_with_lm(docs: DataFrame, lm: DataFrame,
     text adds an OOV floor row.  Row-local given the broadcast table,
     so per-document scores are independent of batching (the streaming
     stream≡batch precondition)."""
-    toks = _lm_tokens(docs, id_col, text_col)
+    return _score_tokens(_lm_tokens(docs, id_col, text_col), lm,
+                         id_col)
+
+
+def _score_tokens(toks: DataFrame, lm: DataFrame,
+                  id_col: str) -> DataFrame:
+    """:func:`surprisal_with_lm`'s scoring over an already-derived
+    (id, t) token frame (r18 factoring, see :func:`_lm_from_tokens`)."""
     return (toks.join(F.broadcast(lm), "t")
             .groupBy(F.col("id").alias(id_col))
             .agg(F.count(F.lit(1)).alias("n_tokens"),

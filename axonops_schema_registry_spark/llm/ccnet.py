@@ -52,15 +52,20 @@ def ccnet_receipt(docs: DataFrame, budget_tokens: int = 120,
              .select("doc_id", "source",
                      normalize_text("text").alias("text"))
              .localCheckpoint(eager=False))  # count + dedup (2 uses)
-    lang_c = gated.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lang"))
     ln = (line_dedup(gated, "doc_id", "text",
                      block_words=10, min_block_words=5)
           .select(F.col("id").alias("doc_id"), "n_removed",
                   "cleaned_text")
           .join(gated.select("doc_id", "source"), "doc_id")
           .localCheckpoint(eager=False))     # stage agg + survivors
+    # line_dedup emits exactly one row per input document (empty
+    # survivors come back with cleaned_text = ''), so the lang-gate
+    # count and the dedup-stage sums fuse into ONE aggregate pass
+    # over the checkpointed frame — one exchange + one receipt join
+    # instead of two of each (r18: the chain is serial-latency-bound,
+    # every removed stage is wall time).
     ded_c = ln.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lang"),
         F.sum((F.col("cleaned_text") != "").cast("bigint"))
         .alias("n_dedup"),
         F.sum("n_removed").cast("bigint").alias("blocks_removed"))
@@ -71,17 +76,23 @@ def ccnet_receipt(docs: DataFrame, budget_tokens: int = 120,
     hm = (surv.join(pb.filter(F.col("bucket") <= 1)
                     .select("doc_id"), "doc_id")
           .localCheckpoint(eager=False))     # count + fit + gate + mix
-    hm_c = hm.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_head_middle"))
     pos = hm.filter(F.col("source") == pos_source).select("doc_id")
     top = (quality_filter_scores(hm, pos, n_buckets=4096)
            .orderBy(F.desc("score_micro"), "doc_id").limit(n_quality)
            .select("doc_id")
            .localCheckpoint(eager=False))    # 100 rows; recompute =
     #                                          the whole classifier
-    qkept = hm.join(F.broadcast(top), "doc_id")
-    q_c = qkept.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_quality"))
+    # Broadcast-tag the pool once: the head+middle count and the
+    # quality-kept count come out of the SAME aggregate (an inner
+    # join ≡ left-join + filter on the tag), fusing two receipt
+    # passes over hm and two receipt joins into one each (r18).
+    tagged = hm.join(
+        F.broadcast(top.withColumn("__q", F.lit(True))), "doc_id", "left")
+    hm_c = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_head_middle"),
+        F.sum(F.col("__q").isNotNull().cast("bigint"))
+        .cast("bigint").alias("n_quality"))
+    qkept = tagged.filter(F.col("__q")).drop("__q")
     budgets = srcs.select("source").withColumn(
         "token_budget", F.lit(budget_tokens))
     manifest = token_budget_mixture(qkept, budgets)
@@ -91,7 +102,7 @@ def ccnet_receipt(docs: DataFrame, budget_tokens: int = 120,
                 F.sum("doc_id").alias("id_checksum"),
                 F.max("mix_rank").alias("max_rank")))
     out = srcs
-    for frame in (lang_c, ded_c, hm_c, q_c, sel):
+    for frame in (ded_c, hm_c, sel):
         out = out.join(frame, "source", "left")
     tail = ("n_lang", "n_dedup", "blocks_removed", "n_head_middle",
             "n_quality", "n_selected", "tokens_selected",

@@ -380,21 +380,30 @@ def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
     CurationPipeline surface — ONE implementation for all three).
 
     Scale shape: one gram-keyed map-side-combinable MIN aggregate over
-    the distinct (doc, shingle) pairs, one gram-keyed join back, one
-    doc-keyed count; division is BIGINT/BIGINT.  Documents with no
-    shingle (< ngram words) are absent."""
+    the distinct (doc, shingle) pairs, then ONE doc-keyed aggregate
+    over (shingle rows ∪ first-occurrence winners) — a 0/1-tagged
+    union, so the per-doc size and the per-doc novel count come out
+    of the same pass with no join anywhere; division is
+    BIGINT/BIGINT.  Documents with no shingle (< ngram words) are
+    absent.  No gram-keyed join back (r18): every shingle credits
+    exactly ONE document (its corpus-min id), so n_novel is a count
+    over the first-occurrence aggregate itself — the corpus-token-
+    scale re-shuffle of the shingle frame through the old join is
+    gone; the only frames shuffled after the election are doc-sized
+    aggregate partials."""
     from axonops_schema_registry_spark.operators.text import token_set
 
     # cached (r18): the shingle explode feeds both the first-occurrence
-    # aggregate and the join back — the jaccard_pairs toks-cache
+    # aggregate and the tagged union — the jaccard_pairs toks-cache
     # contract (one-shot query callers; recompute instead at scale).
     toks = token_set(docs, id_col, text_col, ngram).cache()
-    first = toks.groupBy("token").agg(F.min("id").alias("__first"))
-    return (toks.join(first, "token")
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("n_shingles"),
-                 F.sum(F.when(F.col("__first") == F.col("id"), 1)
-                       .otherwise(0)).cast("bigint").alias("n_novel"))
+    first = toks.groupBy("token").agg(F.min("id").alias("id"))
+    tagged = (toks.select("id", F.lit(0).alias("__w"))
+              .unionByName(first.select("id", F.lit(1).alias("__w"))))
+    return (tagged.groupBy("id")
+            .agg((F.count(F.lit(1)) - F.sum("__w"))
+                 .cast("bigint").alias("n_shingles"),
+                 F.sum("__w").cast("bigint").alias("n_novel"))
             .select(F.col("id").alias(id_col), "n_shingles", "n_novel",
                     (F.col("n_novel").cast("double")
                      / F.col("n_shingles").cast("double"))

@@ -399,9 +399,24 @@ def lsh_cosine_pairs_portable(vectors: DataFrame, id_col: str,
     b = b_side.select(F.col(id_col).alias("id_b"), "table", "bucket")
     pair_pred = (F.col("id_a") < F.col("id_b") if b_ids is None
                  else F.col("id_a") != F.col("id_b"))
+    # The candidate-pair frame is byte-light (two BIGINTs/row) but
+    # feeds the compute-bound exact-cosine verify, so AQE's byte-based
+    # partition coalescing (minPartitionSize 1 MB) collapses the
+    # verify to ONE task while the rest of the cluster idles — the
+    # measured r18 dd6 profile: a 1.2 s single-task stage behind a
+    # 1.26 MB shuffle.  An explicit repartition BY THE DEDUP KEYS at
+    # the cluster's compute width is the same single exchange the old
+    # ``.distinct()`` paid (hash partitioning on the keys satisfies
+    # the dedup's clustering requirement at any partition count) but
+    # is exempt from AQE coalescing, so verify parallelism follows
+    # cores, not bytes.  defaultParallelism = total cluster cores —
+    # scale-adaptive, not a local[n] constant.
+    par = vectors.sparkSession.sparkContext.defaultParallelism
     cand = (a.join(b, ["table", "bucket"])
             .filter(pair_pred)
-            .select("id_a", "id_b").distinct())
+            .select("id_a", "id_b")
+            .repartition(par, "id_a", "id_b")
+            .dropDuplicates())
     v = with_norm(vectors, vec_col, "__n")
     va = v.select(F.col(id_col).alias("id_a"),
                   F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))

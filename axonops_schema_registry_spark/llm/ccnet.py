@@ -52,8 +52,14 @@ def ccnet_receipt(docs: DataFrame, budget_tokens: int = 120,
              .select("doc_id", "source",
                      normalize_text("text").alias("text"))
              .localCheckpoint(eager=False))  # count + dedup (2 uses)
+    # hash_blocks=True (r19): the dedup election and join-back shuffle
+    # 8-byte xxhash64 keys instead of ~10-word block strings — the
+    # ln1-documented narrow-key form, output pinned identical to the
+    # raw path (tests/test_llm_ops.py), so the raw-text oracle replay
+    # and the stream≡batch equality target are unchanged.
     ln = (line_dedup(gated, "doc_id", "text",
-                     block_words=10, min_block_words=5)
+                     block_words=10, min_block_words=5,
+                     hash_blocks=True)
           .select(F.col("id").alias("doc_id"), "n_removed",
                   "cleaned_text")
           .join(gated.select("doc_id", "source"), "doc_id")
@@ -63,7 +69,11 @@ def ccnet_receipt(docs: DataFrame, budget_tokens: int = 120,
     # count and the dedup-stage sums fuse into ONE aggregate pass
     # over the checkpointed frame — one exchange + one receipt join
     # instead of two of each (r18: the chain is serial-latency-bound,
-    # every removed stage is wall time).
+    # every removed stage is wall time).  Contract note (ADVICE r18):
+    # "one row per input document" additionally assumes non-NULL text
+    # — a NULL-text doc cannot pass the predict_lang gate above
+    # (filter(NULL == 'en') drops it), so no NULL ever reaches
+    # line_dedup here and n_lang keeps the every-gated-doc invariant.
     ded_c = ln.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lang"),
         F.sum((F.col("cleaned_text") != "").cast("bigint"))
@@ -303,7 +313,8 @@ def ccnet_calibration(docs: DataFrame, budget_tokens: int = 120,
              .select("doc_id", "source",
                      normalize_text("text").alias("text")))
     surv = (line_dedup(gated, "doc_id", "text",
-                       block_words=10, min_block_words=5)
+                       block_words=10, min_block_words=5,
+                       hash_blocks=True)
             .filter(F.col("cleaned_text") != "")
             .select(F.col("id").alias("doc_id"),
                     F.col("cleaned_text").alias("text"))

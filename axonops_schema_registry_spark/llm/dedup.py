@@ -18,8 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from axonops_schema_registry_spark.operators.core import release_checkpoint
-from axonops_schema_registry_spark.operators.text import token_set
+from axonops_schema_registry_spark.operators.core import (
+    plan_cache,
+    release_checkpoint,
+)
+from axonops_schema_registry_spark.operators.text import (
+    token_arrays,
+    token_set,
+)
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -35,38 +41,41 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
                    F.count(F.lit(1)).alias("n_copies")))
 
 
-def minhash_signatures(toks: DataFrame, n_hashes: int = 64) -> DataFrame:
-    """(id, sig: array<bigint>) MinHash signature via seeded xxhash64.
+def minhash_signatures(arrs: DataFrame, n_hashes: int = 64) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signature via seeded xxhash64,
+    over a row-local (id, toks) token-ARRAY frame
+    (:func:`operators.text.token_arrays`).
 
-    Row-local formulation (r18): hash each token string ONCE
-    (xxhash64), collect the 8-byte base hashes per document, then
-    compute every seeded minimum inside one higher-order transform —
-    min_s over tokens of xxhash64(h0, s).  Value-identical to the old
-    explode-seeds plan (same hash calls, min is order-insensitive over
-    collect_list), but the (tokens × n_hashes) exploded frame, its
-    (id, seed) hash-aggregate and the second (id) collect aggregate —
-    two corpus-token-scale exchanges — collapse into one skinny
-    (id, bigint) aggregate plus a per-row projection.  A 64-column
-    min-aggregate plan would also avoid the explode but costs seconds
-    of whole-stage codegen compilation; the HOF plan is one compact
-    expression.
+    Fully row-local formulation (r19): hash each token string ONCE
+    (xxhash64), then compute every seeded minimum inside one
+    higher-order transform — min_s over tokens of xxhash64(h0, s) —
+    as a plain PROJECTION over the document's own token array.
+    Value-identical to the r18 collect_list form (same hash calls, min
+    is order-insensitive) and to the original explode-seeds plan, but
+    there is now NO aggregate at all: the r18 shape re-collected the
+    exploded tokens into an ObjectHashAggregate buffer, so one
+    pathological multi-million-token document became an unbounded
+    single-group aggregation-state spike (§5) — here the token array
+    streams through as row data, no bigger than the document row
+    itself, and per-seed evaluation touches one transient array at a
+    time.  A 64-column min-aggregate plan would also avoid the explode
+    but costs seconds of whole-stage codegen compilation; the HOF plan
+    is one compact expression.
     """
-    return (toks.groupBy("id")
-            .agg(F.collect_list(F.xxhash64(F.col("token")))
-                 .alias("__h0"))
-            .select("id", F.expr(
-                f"transform(sequence(0, {n_hashes - 1}), s -> "
-                f"array_min(transform(__h0, h -> xxhash64(h, s))))")
-                .alias("sig")))
+    return arrs.select("id", F.expr(
+        f"transform(sequence(0, {n_hashes - 1}), s -> "
+        f"array_min(transform(toks, t -> xxhash64(xxhash64(t), s))))")
+        .alias("sig"))
 
 
-def minhash_band_buckets(toks: DataFrame, n_hashes: int = 64,
+def minhash_band_buckets(arrs: DataFrame, n_hashes: int = 64,
                          bands: int = 16) -> DataFrame:
-    """(id, band, key) LSH bucket memberships from a token frame — the
-    shared banding step of the one-shot pair generator and the
-    persistent bucket store."""
+    """(id, band, key) LSH bucket memberships from a token-ARRAY frame
+    (:func:`operators.text.token_arrays`) — the shared banding step of
+    the one-shot pair generator and the persistent bucket store, fully
+    row-local up to the bucket explode (16 rows/doc)."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(toks, n_hashes)
+    sigs = minhash_signatures(arrs, n_hashes)
     band_keys = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> struct("
         f"b AS band, "
@@ -97,12 +106,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     candidate volume is bounded by the NEW side's bucket collisions, not
     the full corpus's.
 
-    ``cache_tokens`` caches the exploded token set (it feeds the
-    signature aggregation AND the exact-verify joins).  The CacheManager
-    entry persists until the session releases it, which is fine for
-    one-shot query jobs but leaks one corpus-sized entry PER CALL for
-    repeated callers — long-running streaming sinks pass ``False`` and
-    re-derive tokens from their checkpointed corpus instead.
+    ``cache_tokens`` caches the row-local token-ARRAY frame (it feeds
+    the signature projection AND the exact-verify explode) plus the
+    bucket frame both join sides read.  Entries are registered for
+    facade-level release (``operators.core.release_plan_caches``);
+    long-running streaming sinks pass ``False`` and re-derive tokens
+    from their checkpointed corpus instead.
 
     ``max_bucket`` is the HOT-BUCKET guard: cap the LEFT (``id_a``)
     side of each ``(band, key)`` bucket at its ``max_bucket`` SMALLEST
@@ -120,16 +129,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     cap users, since post-collapse bucket mass is near-identical-but-
     distinct content only.
     """
-    toks = token_set(df, id_col, text_col, ngram)
+    arrs = token_arrays(df, id_col, text_col, ngram)
     if cache_tokens:
-        toks = toks.cache()
-    bucketed = minhash_band_buckets(toks, n_hashes, bands)
+        # cache the ARRAY frame (one row/doc — same bytes as the
+        # exploded frame in far fewer rows): it feeds the banding AND
+        # the exact-verify explode below.
+        arrs = plan_cache(arrs)
+    toks = arrs.select("id", F.explode("toks").alias("token"))
+    bucketed = minhash_band_buckets(arrs, n_hashes, bands)
     if cache_tokens:
         # both join sides (and the max_bucket window) read the bucket
         # frame — without this the whole signature chain is computed
         # once PER SIDE (the r18 plan audit found the subtree twice).
         # Same lifetime contract as the toks cache above.
-        bucketed = bucketed.cache()
+        bucketed = plan_cache(bucketed)
     b_side = bucketed if b_ids is None else bucketed.join(
         F.broadcast(b_ids.select(F.col(b_ids.columns[0]).alias("id"))),
         "id")
@@ -301,7 +314,7 @@ def incremental_dedup_flags(df: DataFrame, id_col: str = "doc_id",
         .withColumn("__rep",
                     F.min("__did").over(Window.partitionBy("__fp"))))
     if cache_tokens:
-        fp_rep = fp_rep.cache()
+        fp_rep = plan_cache(fp_rep)
     doc_rep = fp_rep.select("__did", "__rep")
     rep_rows = (fp_rep.filter(F.col("__did") == F.col("__rep"))
                 .select(F.col("__did").alias(id_col),
@@ -468,24 +481,25 @@ def simhash63(df: DataFrame, id_col: str, text_col: str,
     hot path.
     """
     n_bits = N_PORTABLE_BITS if portable else N_SIMHASH_BITS
-    toks = token_set(df, id_col, text_col, ngram)
+    arrs = token_arrays(df, id_col, text_col, ngram)
     if portable:
         from axonops_schema_registry_spark.llm.sampling import (
-            portable_hash,
+            portable_hash_sql,
         )
 
-        toks = toks.withColumn("h", portable_hash(F.col("token")))
+        hashed = f"transform(toks, t -> {portable_hash_sql('t')})"
     else:
-        toks = toks.withColumn("h", F.xxhash64("token"))
-    # Row-local formulation (r18, the minhash_signatures rewrite
-    # applied here): collect each doc's token hashes once, then derive
-    # all bit votes in one higher-order aggregate.  Bit b is set iff
-    # strictly more tokens have it 1 than 0 — 2·ones_b > n is exactly
-    # the old Σ±1 > 0 vote (ties clear the bit in both forms).  The
-    # (tokens × n_bits) explode and its two aggregate exchanges
-    # collapse into one skinny (id, bigint) aggregate + a projection.
-    return (toks.groupBy("id")
-            .agg(F.collect_list("h").alias("__h0"))
+        hashed = "transform(toks, t -> xxhash64(t))"
+    # Fully row-local formulation (r19, the minhash_signatures rewrite
+    # applied here): hash the document's own distinct-token array and
+    # derive all bit votes in one higher-order aggregate — a plain
+    # projection, NO collect_list re-aggregation of the exploded frame
+    # (whose per-group buffer was unbounded state on a pathological
+    # document, §5).  Bit b is set iff strictly more tokens have it 1
+    # than 0 — 2·ones_b > n is exactly the old Σ±1 > 0 vote (ties
+    # clear the bit in both forms).
+    return (arrs
+            .select("id", F.expr(hashed).alias("__h0"))
             .select("id", F.expr(
                 f"aggregate(sequence(0, {n_bits - 1}), "
                 f"CAST(0 AS BIGINT), (acc, b) -> acc + "
@@ -585,7 +599,8 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
 def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 8,
                             min_count: int = 2,
-                            hash_grams: bool = False) -> DataFrame:
+                            hash_grams: bool = False,
+                            cache_grams: bool = True) -> DataFrame:
     """Maximal duplicated-substring spans — the substring-granular
     dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
     Language Models Better", ExactSubstr) at k-gram resolution: a
@@ -630,11 +645,13 @@ def duplicated_span_islands(df: DataFrame, id_col: str = "doc_id",
     # without this the k-gram string materialization (the family's
     # dominant per-task cost) runs once per consumer.  Callers are
     # one-shot query jobs / the facade, the toks-cache lifetime
-    # contract.  At 100 TB prefer recompute (row-local off the scan)
-    # over pinning a corpus-gram-scale frame: a long-running caller
-    # would drop this cache and re-derive, as the streaming sinks do
-    # with token frames.
-    pos_grams = pos_grams.cache()
+    # contract (release via operators.core.release_plan_caches).  At
+    # 100 TB prefer recompute (row-local off the scan) over pinning a
+    # corpus-gram-scale frame: a long-running caller passes
+    # ``cache_grams=False`` and re-derives, as the streaming sinks do
+    # with token frames (ADVICE r18 — the cache_tokens convention).
+    if cache_grams:
+        pos_grams = plan_cache(pos_grams)
     dup = (pos_grams.groupBy("gram")
            .agg(F.count(F.lit(1)).alias("__n"))
            .filter(F.col("__n") >= min_count)
@@ -1073,8 +1090,8 @@ def lsh_bucket_profile(df: DataFrame, id_col: str = "doc_id",
     totals broadcast-of-one-row."""
     from pyspark.sql import Window
 
-    toks = token_set(df, id_col, text_col, ngram)
-    occ = (minhash_band_buckets(toks, n_hashes, bands)
+    arrs = token_arrays(df, id_col, text_col, ngram)
+    occ = (minhash_band_buckets(arrs, n_hashes, bands)
            .groupBy("band", "key")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
            .withColumn("n_pairs",

@@ -375,9 +375,14 @@ def _quality_weights_from_features(feat: DataFrame,
     # identical BIGINT, so each floor'd weight is bit-identical.
     from pyspark.sql import Window
 
-    pos_ids = positive_ids.select(F.col(positive_ids.columns[0])
-                                  .alias("id"),
-                                  F.lit(True).alias("__pos"))
+    # distinct (ADVICE r18): a duplicated id in the positive slice
+    # would otherwise FAN OUT the left join (multiplying feat rows and
+    # inflating the pool totals), where the old four-subtree shape only
+    # double-counted the positive slice — membership is a set.
+    pos_ids = (positive_ids.select(F.col(positive_ids.columns[0])
+                                   .alias("id"))
+               .distinct()
+               .withColumn("__pos", F.lit(True)))
     tot = Window.partitionBy()
     return (feat.join(F.broadcast(pos_ids), "id", "left")
             .groupBy("b")
@@ -477,9 +482,12 @@ def dsir_log_weights(docs: DataFrame, target_ids: DataFrame,
     # Add-one smoothing over the full bucket space; buckets absent
     # from the raw pool can't appear in any scored document, so the
     # ratio table only needs raw-present buckets.
-    tgt_ids = target_ids.select(F.col(target_ids.columns[0])
-                                .alias("id"),
-                                F.lit(True).alias("__tgt"))
+    # distinct (ADVICE r18): membership is a set — see
+    # _quality_weights_from_features.
+    tgt_ids = (target_ids.select(F.col(target_ids.columns[0])
+                                 .alias("id"))
+               .distinct()
+               .withColumn("__tgt", F.lit(True)))
     tot = Window.partitionBy()
     lr = (feat.join(F.broadcast(tgt_ids), "id", "left")
           .groupBy("b")

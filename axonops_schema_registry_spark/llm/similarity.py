@@ -342,7 +342,8 @@ def lsh_cosine_pairs_portable(vectors: DataFrame, id_col: str,
                               n_bits: int = 5, n_tables: int = 2,
                               plane_base: int = 10,
                               round_digits: int = 4,
-                              b_ids: DataFrame | None = None
+                              b_ids: DataFrame | None = None,
+                              cache_buckets: bool = True
                               ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: hyperplane-LSH candidate
     generation (data-derived planes, same construction as
@@ -383,15 +384,21 @@ def lsh_cosine_pairs_portable(vectors: DataFrame, id_col: str,
     # cached (r18): both candidate sides read the bucket frame — the
     # plan otherwise recomputes the vectors × planes dot products once
     # PER SIDE.  Bounded at (n_rows × n_tables) numeric rows; callers
-    # are one-shot query jobs (no streaming consumer), so the entry
-    # lives until the session ends, the toks-cache contract.
+    # are one-shot query jobs (no streaming consumer).  The entry is
+    # registered for facade-level release (operators.core.
+    # release_plan_caches); a repeated/long-running caller passes
+    # ``cache_buckets=False`` and recomputes instead (ADVICE r18 —
+    # the cache_tokens convention).
+    from axonops_schema_registry_spark.operators.core import plan_cache
+
     buckets = (vectors.crossJoin(F.broadcast(planes))
                .withColumn("__b",
                            F.when(dot > 0, F.expr("shiftleft(1, bit)"))
                            .otherwise(F.lit(0)))
                .groupBy(id_col, "table")
-               .agg(F.sum("__b").alias("bucket"))
-               .cache())
+               .agg(F.sum("__b").alias("bucket")))
+    if cache_buckets:
+        buckets = plan_cache(buckets)
     a = buckets.select(F.col(id_col).alias("id_a"), "table", "bucket")
     b_side = buckets if b_ids is None else buckets.join(
         F.broadcast(b_ids.select(F.col(b_ids.columns[0])

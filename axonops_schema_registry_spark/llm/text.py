@@ -245,10 +245,13 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
     """
     # ONE token explode (r18): the LM fit and the scoring join both
     # consume the corpus token frame — share it via cache (the
-    # jaccard_pairs toks contract; one-shot query callers) instead of
-    # exploding the corpus once per half.  unigram_lm/surprisal_with_lm
-    # stay the independent train-once/score-forever entry points.
-    toks = _lm_tokens(docs, id_col, text_col).cache()
+    # jaccard_pairs toks contract; one-shot query callers, released
+    # via operators.core.release_plan_caches) instead of exploding
+    # the corpus once per half.  unigram_lm/surprisal_with_lm stay
+    # the independent train-once/score-forever entry points.
+    from axonops_schema_registry_spark.operators.core import plan_cache
+
+    toks = plan_cache(_lm_tokens(docs, id_col, text_col))
     return _score_tokens(toks, _lm_from_tokens(toks), id_col)
 
 
@@ -395,8 +398,11 @@ def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
 
     # cached (r18): the shingle explode feeds both the first-occurrence
     # aggregate and the tagged union — the jaccard_pairs toks-cache
-    # contract (one-shot query callers; recompute instead at scale).
-    toks = token_set(docs, id_col, text_col, ngram).cache()
+    # contract (one-shot query callers, released via
+    # operators.core.release_plan_caches; recompute instead at scale).
+    from axonops_schema_registry_spark.operators.core import plan_cache
+
+    toks = plan_cache(token_set(docs, id_col, text_col, ngram))
     first = toks.groupBy("token").agg(F.min("id").alias("id"))
     tagged = (toks.select("id", F.lit(0).alias("__w"))
               .unionByName(first.select("id", F.lit(1).alias("__w"))))
@@ -599,13 +605,20 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
                     "n")
             .localCheckpoint(eager=True))
     vocab = base
+    # the symbol array is projected ONCE per row (r19): the inline
+    # form evaluated split(btrim(s)) four times per row — twice inside
+    # the slices and twice more for their size() bounds — and that
+    # string re-splitting was the dominant per-step task cost (the
+    # _positioned_grams lesson applied at expression, not lambda,
+    # granularity).  Same pairs, same counts.
     syms = f"split(btrim(s, '{_BPE_SEP}'), '{_BPE_SEP}{_BPE_SEP}')"
-    pair_expr = (f"explode(arrays_zip("
-                 f"slice({syms}, 1, size({syms}) - 1), "
-                 f"slice({syms}, 2, size({syms}) - 1))) AS p")
+    pair_expr = ("explode(arrays_zip("
+                 "slice(__sy, 1, size(__sy) - 1), "
+                 "slice(__sy, 2, size(__sy) - 1))) AS p")
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
-        pairs = (vocab.selectExpr("n", pair_expr)
+        pairs = (vocab.selectExpr("n", f"{syms} AS __sy")
+                 .selectExpr("n", pair_expr)
                  .select(F.col("p").getItem("0").alias("lhs"),
                          F.col("p").getItem("1").alias("rhs"), "n")
                  .groupBy("lhs", "rhs")

@@ -23,5 +23,6 @@ from axonops_schema_registry_spark.operators.text import (  # noqa: F401
     jaccard_pairs,
     naming_variants,
     normalize_name_snake,
+    token_arrays,
     token_set,
 )

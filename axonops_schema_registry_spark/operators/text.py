@@ -26,12 +26,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def token_set(df: DataFrame, id_col: str, text_col: str,
-              ngram: int = 1) -> DataFrame:
-    """Distinct (id, token) pairs; word n-gram shingles when ``ngram`` > 1.
+def token_arrays(df: DataFrame, id_col: str, text_col: str,
+                 ngram: int = 1) -> DataFrame:
+    """(id, toks) — each document's DISTINCT token (or n-gram shingle)
+    set as ONE array row, derived entirely row-locally (split /
+    transform / array_distinct are JVM-side whole-stage codegen, no
+    explode, no shuffle beyond the parallelism repartition).
 
-    Stays entirely in whole-stage codegen: split / transform / explode are
-    JVM-side, no Python UDF.
+    This is the bounded-memory base of the signature family (r19):
+    consumers that need per-document set arithmetic (MinHash seeded
+    minima, SimHash bit votes, set sizes) compute it as a PROJECTION
+    over this frame — the document's tokens stream through as row
+    data — instead of exploding to (id, token) and re-aggregating with
+    ``collect_list``, whose per-group aggregation buffer re-built the
+    same array as unbounded execution-memory state (a pathological
+    multi-million-token document became a single aggregation-row
+    memory spike; as row data it is no bigger than the document row
+    itself and never enters a hash-aggregate buffer).
     """
     # Materialize the token array ONCE per row before shingling — a lambda
     # that calls split() per element re-tokenizes the whole text for every
@@ -45,13 +56,34 @@ def token_set(df: DataFrame, id_col: str, text_col: str,
     if ngram == 1:
         tokens = F.col("__toks")
     else:
+        # the size guard is a CASE ON THE EXPRESSION ITSELF, not just
+        # the filter above: codegen subexpression elimination can
+        # evaluate a merged filter's common subexpressions EAGERLY
+        # (before the predicate's short-circuit AND), and on a
+        # too-short row sequence(1, 0) is the DESCENDING [1, 0] whose
+        # slice(·, 0, ·) raises — conditional branches are never
+        # hoisted, so the CASE makes the transform total (the
+        # _positioned_grams idiom).
         tokens = F.expr(
+            f"CASE WHEN size(__toks) >= {ngram} THEN "
             f"transform(sequence(1, size(__toks) - {ngram - 1}), "
-            f"i -> array_join(slice(__toks, i, {ngram}), ' '))")
-    # dedup is PER-DOCUMENT, so array_distinct before the explode does it
-    # row-locally — no cross-row distinct shuffle needed.
-    return base.select("id",
-                       F.explode(F.array_distinct(tokens)).alias("token"))
+            f"i -> array_join(slice(__toks, i, {ngram}), ' ')) "
+            f"ELSE array() END")
+    # dedup is PER-DOCUMENT, so array_distinct does it row-locally —
+    # no cross-row distinct shuffle needed.
+    return base.select("id", F.array_distinct(tokens).alias("toks"))
+
+
+def token_set(df: DataFrame, id_col: str, text_col: str,
+              ngram: int = 1) -> DataFrame:
+    """Distinct (id, token) pairs; word n-gram shingles when ``ngram`` > 1.
+
+    Stays entirely in whole-stage codegen: split / transform / explode are
+    JVM-side, no Python UDF.  The explode of :func:`token_arrays` — one
+    implementation for both shapes.
+    """
+    return (token_arrays(df, id_col, text_col, ngram)
+            .select("id", F.explode("toks").alias("token")))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -64,8 +96,11 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # The exploded token set feeds three consumers (sizes, both join sides);
     # cache it so the explode/shingle pipeline runs once.  Size is
     # O(corpus tokens) — the derived frame, not the corpus — and at 100 TB
-    # this would be a checkpointed intermediate table instead.
-    toks = token_set(df, id_col, text_col, ngram).cache()
+    # this would be a checkpointed intermediate table instead.  Registered
+    # for facade-level release (operators.core.release_plan_caches).
+    from axonops_schema_registry_spark.operators.core import plan_cache
+
+    toks = plan_cache(token_set(df, id_col, text_col, ngram))
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a = toks.select(F.col("id").alias("id_a"), "token")
     b = toks.select(F.col("id").alias("id_b"), "token")

@@ -3192,14 +3192,22 @@ def es2_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned text plus removal accounting per document.  The islands
     subgraph is es1's; the cut adds one doc-keyed shuffle (per-doc
     span array) and a single row-local higher-order-function scan of
-    the word array — no second corpus explode."""
+    the word array — no second corpus explode.  ``hash_grams=True``
+    (r19, VERDICT r18 ask #5): the islands' gram-keyed shuffles carry
+    8-byte xxhash64 keys instead of ~9-word strings — the 100 TB form
+    — while the OUTPUT stays identical to the raw-key path (pinned in
+    tests/test_llm_ops.py::test_span_islands_hash_grams_path_is_
+    equivalent plus the es2-level twin pin in test_bench_variants.py),
+    so the raw-string DuckDB oracle still replays the result verbatim;
+    only es1 itself keeps raw keys, being the spec that pins the
+    raw-key plan shape."""
     from axonops_schema_registry_spark.llm.dedup import (
         remove_duplicated_spans,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     return (remove_duplicated_spans(docs, "doc_id", "text",
-                                    k=8, min_count=2)
+                                    k=8, min_count=2, hash_grams=True)
             .select(F.col("id").alias("doc_id"), "n_words",
                     "n_removed", "cleaned_text")
             .orderBy("doc_id"))
@@ -3791,8 +3799,12 @@ def cur2_cut_select_export(spark: SparkSession,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # hash_grams=True (r19): the cut's gram shuffles carry 8-byte keys
+    # — output pinned identical to the raw-key path (the es2 twin pin),
+    # so the raw-string oracle replay is unaffected.
     cleaned = (remove_duplicated_spans(docs, "doc_id", "text",
-                                       k=8, min_count=2)
+                                       k=8, min_count=2,
+                                       hash_grams=True)
                .select(F.col("id").alias("doc_id"),
                        F.col("cleaned_text"))
                .join(docs.select("doc_id", "source"), "doc_id"))

@@ -243,15 +243,17 @@ def register_batch(spark: SparkSession, existing: DataFrame,
         existing = existing.withColumn("deleted", F.lit(False))
     # cached: existing feeds dedup, the compat history AND prior-max —
     # without the cache the fingerprint UDF would run 3x over the corpus.
-    # Lifetime: released when the caller materializes the returned frame
-    # and the session's ContextCleaner GCs the plan; at 100 TB prefer
-    # writing fingerprints as a corpus column (they're content-stable)
-    # so this stage caches nothing.
-    existing_fp = existing.withColumn(
-        "fingerprint", fp("schema_text", "schema_type")).cache()
+    # Lifetime: registered for facade-level release
+    # (operators.core.release_plan_caches); at 100 TB prefer writing
+    # fingerprints as a corpus column (they're content-stable) so this
+    # stage caches nothing.
+    from axonops_schema_registry_spark.operators.core import plan_cache
+
+    existing_fp = plan_cache(existing.withColumn(
+        "fingerprint", fp("schema_text", "schema_type")))
     existing_live = existing_fp.filter(~F.col("deleted"))
-    inc = incoming.withColumn(
-        "fingerprint", fp("schema_text", "schema_type")).cache()
+    inc = plan_cache(incoming.withColumn(
+        "fingerprint", fp("schema_text", "schema_type")))
 
     # -- stage 2: dedup vs the existing corpus (live rows only) -----------
     # with a compatibility group, idempotency scopes to the group too

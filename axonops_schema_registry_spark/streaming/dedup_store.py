@@ -82,7 +82,7 @@ from axonops_schema_registry_spark.llm.dedup import (
     verify_jaccard,
 )
 from axonops_schema_registry_spark.operators.core import release_checkpoint
-from axonops_schema_registry_spark.operators.text import token_set
+from axonops_schema_registry_spark.operators.text import token_arrays
 
 _NOSHINGLE = "__noshingle__"
 
@@ -1117,10 +1117,13 @@ class BucketedDedupStore(_EpochStore):
         rep_docs = (fp_rows.join(new_groups, "__fp")
                     .filter(F.col("__nid") == F.col("__brep"))
                     .select("__nid", "__ntext"))
-        new_toks = token_set(rep_docs, "__nid", "__ntext", self.ngram) \
-            .localCheckpoint(eager=True)
+        new_arrs = token_arrays(rep_docs, "__nid", "__ntext",
+                                self.ngram)
+        new_toks = (new_arrs
+                    .select("id", F.explode("toks").alias("token"))
+                    .localCheckpoint(eager=True))
         new_buckets = minhash_band_buckets(
-            new_toks, self.n_hashes, self.bands) \
+            new_arrs, self.n_hashes, self.bands) \
             .localCheckpoint(eager=True)
 
         stored_b = self._stored_view(self.buckets_dir, epoch_id)

@@ -59,6 +59,7 @@ def test_register_batch_ctx_no_cross_match(spark):
     assert rows[("b", "s", 1)][0] == "incompatible"
 
 
+@pytest.mark.slow  # driver-window opt-in (pytest.ini)
 def test_register_batch_ctx_none_mode_carries_ctx(spark):
     """The mode='NONE' declarative shortcut must also emit ctx-scoped
     verdicts (it bypasses the cogrouped gate entirely)."""
@@ -82,6 +83,7 @@ def test_register_batch_ctx_none_mode_carries_ctx(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # driver-window opt-in (pytest.ini)
 def test_latest_soft_delete_all_tombstoned_is_40401(spark):
     from axonops_schema_registry_spark.queries.registry_queries import (
         version_delete_status,

@@ -11,11 +11,16 @@ has no repair domain, unlike the dedup stores).
 
 from __future__ import annotations
 
+import pytest
+
+# Multi-epoch store-lifecycle / stream-fuzz scale suite: driver-window
+# opt-in (see pytest.ini); run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import random
 
-import pytest
 from pyspark.sql import functions as F
 
 from axonops_schema_registry_spark.streaming.ann_store import (

@@ -18,6 +18,12 @@ simultaneously —
 
 from __future__ import annotations
 
+import pytest
+
+# Multi-epoch store-lifecycle / stream-fuzz scale suite: driver-window
+# opt-in (see pytest.ini); run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 import hashlib
 
 from pyspark.sql import functions as F

@@ -13,12 +13,17 @@ measured separately in scripts/reflag_smoke.py → docs/SCALING.md.
 
 from __future__ import annotations
 
+import pytest
+
+# Multi-epoch store-lifecycle / stream-fuzz scale suite: driver-window
+# opt-in (see pytest.ini); run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 import os
 import random
 import shutil
 import tempfile
 
-import pytest
 
 from axonops_schema_registry_spark.llm.dedup import incremental_dedup_flags
 from axonops_schema_registry_spark.streaming.dedup_store import (

@@ -12,11 +12,16 @@ over the concatenated corpus — the store's documented contract
 
 from __future__ import annotations
 
+import pytest
+
+# Multi-epoch store-lifecycle / stream-fuzz scale suite: driver-window
+# opt-in (see pytest.ini); run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 import os
 import shutil
 import tempfile
 
-import pytest
 from pyspark.sql import functions as F
 
 from axonops_schema_registry_spark.llm.dedup import incremental_dedup_flags

@@ -14,11 +14,16 @@ returned repaired-doc count).
 
 from __future__ import annotations
 
+import pytest
+
+# Multi-epoch store-lifecycle / stream-fuzz scale suite: driver-window
+# opt-in (see pytest.ini); run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 import random
 import shutil
 import tempfile
 
-import pytest
 
 from axonops_schema_registry_spark.llm.dedup import line_dedup
 from axonops_schema_registry_spark.streaming.dedup_store import (

@@ -3,6 +3,8 @@ oracles): SimHash and LSH-ANN are pinned against their exact baselines."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from axonops_schema_registry_spark.catalog import load_table
@@ -2395,14 +2397,14 @@ def test_lsh_bucket_profile_replay_and_planted(spark, sf_dir):
         lsh_bucket_profile,
         minhash_band_buckets,
     )
-    from axonops_schema_registry_spark.operators.text import token_set
+    from axonops_schema_registry_spark.operators.text import token_arrays
 
     docs = load_table(spark, sf_dir, "documents")
     got = lsh_bucket_profile(docs, "doc_id", "text",
                              top_n=20).orderBy("rank").collect()
-    toks = token_set(docs, "doc_id", "text", 3)
+    arrs = token_arrays(docs, "doc_id", "text", 3)
     occ = Counter()
-    for r in minhash_band_buckets(toks, 64, 16).collect():
+    for r in minhash_band_buckets(arrs, 64, 16).collect():
         occ[(r.band, r.key)] += 1
     pairs = {bk: n * (n - 1) // 2 for bk, n in occ.items()}
     total_pairs = sum(pairs.values())
@@ -2501,6 +2503,7 @@ def test_line_decontaminate_planted(spark):
     assert rows[4].n_removed == 0 and rows[4].cleaned_text == short
 
 
+@pytest.mark.slow  # driver-window opt-in (pytest.ini)
 def test_line_dedup_seeded_fuzz_vs_python_reference(spark):
     """20 seeded random corpora replayed by a pure-Python reference
     (the es3 fuzz convention): keep-first election over fixed-width

@@ -25,6 +25,7 @@ def test_oracle_match(spark, duck, spec, sf_dir):
     compare(spark, duck, spec, sf_dir)
 
 
+@pytest.mark.slow  # driver-window opt-in (pytest.ini)
 def test_all_result_columns_atomic(spark, sf_dir):
     """The driver's canonicalizer sorts every result column with pandas and
     crashes on unhashable values (round-1 j2/f6 failures: array<string>).

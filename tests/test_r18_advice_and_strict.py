@@ -144,6 +144,7 @@ def test_repair_record_invalidated_on_epoch_rewrite(spark, tmp_path):
     assert res[5] == blk and res[10] == ""
 
 
+@pytest.mark.slow  # driver-window opt-in (pytest.ini)
 def test_strict_mode_refuses_out_of_order_batch(spark, tmp_path):
     """strict=True: a batch violating either precondition is refused
     BEFORE any state mutates — stores, receipts and order_state are
@@ -198,6 +199,7 @@ def test_strict_mode_refuses_out_of_order_batch(spark, tmp_path):
     assert _snapshot().keys() == files_mid.keys()
 
 
+@pytest.mark.slow  # driver-window opt-in (pytest.ini)
 def test_real_fixture_streams_batch_equal_via_man1(spark, tmp_path):
     """VERDICT r17 ask #5, the composed demonstration: ord1 proved the
     REAL fixture is not hash-order streamable (late-winner keys);
@@ -241,6 +243,7 @@ def test_real_fixture_streams_batch_equal_via_man1(spark, tmp_path):
                        for r in rep)
 
 
+@pytest.mark.slow  # driver-window opt-in (pytest.ini)
 def test_receipt_compaction_lifecycle(spark, tmp_path):
     """VERDICT r17 stretch #8: receipts/epoch=N accreted one tiny
     parquet directory per epoch forever.  compact_receipts folds
@@ -294,6 +297,7 @@ def test_receipt_compaction_lifecycle(spark, tmp_path):
                   re.final_receipt(spark).collect()) == want
 
 
+@pytest.mark.slow  # driver-window opt-in (pytest.ini)
 def test_strict_mode_ordered_feed_matches_batch(spark, tmp_path):
     """strict=True on an ordered feed is behavior-identical to the
     default: all epochs accepted, receipts batch-equal."""

@@ -1114,6 +1114,7 @@ def test_token_budget_admission_prefix_not_knapsack(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow  # driver-window opt-in (pytest.ini)
 def test_token_budget_admission_seeded_fuzz(spark):
     """Seeded random corpora, random budgets, random hash-order epoch
     cuts: the admission sink always equals the batch mixture (the
@@ -1413,6 +1414,7 @@ def test_budget_revision_stream_equals_batch(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow  # driver-window opt-in (pytest.ini)
 def test_budget_revision_seeded_fuzz(spark):
     """Seeded random corpora, random epoch stamps, random revision
     schedules (raises AND cuts, new sources appearing mid-run): the

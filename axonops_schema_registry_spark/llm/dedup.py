@@ -133,9 +133,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     if cache_tokens:
         # cache the ARRAY frame (one row/doc — same bytes as the
         # exploded frame in far fewer rows): it feeds the banding AND
-        # the exact-verify explode below.
+        # the exact-verify explode below.  Exploding the CACHED frame
+        # keeps the generator a plain column reference (codegen);
+        # uncached callers explode via token_set instead, whose
+        # ungated transform stays codegen-friendly (see token_set).
         arrs = plan_cache(arrs)
-    toks = arrs.select("id", F.explode("toks").alias("token"))
+        toks = arrs.select("id", F.explode("toks").alias("token"))
+    else:
+        toks = token_set(df, id_col, text_col, ngram)
     bucketed = minhash_band_buckets(arrs, n_hashes, bands)
     if cache_tokens:
         # both join sides (and the max_bucket window) read the bucket

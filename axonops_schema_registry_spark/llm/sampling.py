@@ -285,13 +285,35 @@ def _hashed_ngram_counts(docs: DataFrame, id_col: str, text_col: str,
     feeds several consumers (LM fits + scoring) and Spark does not
     reuse the exchange across them — without this the corpus-scale
     explode runs once per consumer."""
-    ws = f"split({text_col}, ' ')"
-    feats_expr = (f"concat({ws}, zip_with("
-                  f"slice({ws}, 1, size({ws}) - 1), "
-                  f"slice({ws}, 2, size({ws}) - 1), "
-                  f"(a, b) -> concat(a, ' ', b)))")
+    # the word array is projected ONCE per row (r19): the inline form
+    # evaluated split(text) FIVE times per row — once in the concat,
+    # twice inside the bigram slices and twice more for their size()
+    # bounds (Generate expressions get no codegen subexpression
+    # elimination) — and that re-splitting dominated the feature
+    # explode's task time (the bpe_merges/_positioned_grams lesson).
+    # Same features, same buckets, same counts.
+    feats_expr = ("concat(__ws, zip_with("
+                  "slice(__ws, 1, size(__ws) - 1), "
+                  "slice(__ws, 2, size(__ws) - 1), "
+                  "(a, b) -> concat(a, ' ', b)))")
+    # explicit width (r19, the r18 dd6-verify lesson): the md5 feature
+    # hash is compute-bound but byte-light, so AQE's byte-based sizing
+    # hands the whole explode+hash to 1-2 tasks (profiled: two ~1 s
+    # single-task codegen spans inside ccn1's classifier stage, same
+    # shape on the parquet-backed qf1/dsir1 whose input is one row
+    # group).  repartition(defaultParallelism, id) is exempt from AQE
+    # coalescing and scale-adaptive (total cluster cores, not a
+    # local[n] constant) — and because hash-partitioning by id
+    # satisfies the (id, b) clustering requirement, the groupBy runs
+    # as ONE complete aggregate with NO second exchange: the r18
+    # keyless form of this experiment was re-coalesced by AQE and
+    # measured neutral, which this form is not (A/B in
+    # scripts/r19_feat_ab.py).
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (docs.select(F.col(id_col).alias("id"),
-                        F.explode(F.expr(feats_expr)).alias("f"))
+                        F.split(F.col(text_col), " ").alias("__ws"))
+            .repartition(par, F.col("id"))
+            .select("id", F.explode(F.expr(feats_expr)).alias("f"))
             .withColumn("b", portable_hash(F.col("f")) % n_buckets)
             .groupBy("id", "b")
             .agg(F.count(F.lit(1)).alias("cnt"))

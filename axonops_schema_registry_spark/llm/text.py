@@ -38,21 +38,53 @@ def lang_hits_sql(text_col: str, lang: str) -> str:
             f"t -> t IN ({lst})))")
 
 
+def _argmax_lang(hits_by_lang: dict[str, Column]) -> Column:
+    """argmax over per-language hit columns; 'unknown' when all zero.
+
+    Deterministic tie-break: languages evaluated in sorted order, strict
+    greater-than keeps the earlier winner.  Shared by
+    :func:`predict_lang` (inline hit expressions — the oracle-replay
+    shape) and :func:`predict_lang_ws` (hits over a pre-projected word
+    array) so the tie-break cannot drift between them."""
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0)
+    for lang in sorted(hits_by_lang):
+        h = hits_by_lang[lang]
+        is_better = h > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, h).otherwise(best_score)
+    return best_lang
+
+
 def predict_lang(text_col: str) -> Column:
     """argmax over language stopword-hit scores; 'unknown' when all zero.
 
     Deterministic tie-break: languages evaluated in sorted order, strict
     greater-than keeps the earlier winner.
     """
-    langs = sorted(LANG_STOPWORDS)
-    best_lang = F.lit("unknown")
-    best_score = F.lit(0)
-    for lang in langs:
-        h = lang_hits(text_col, lang)
-        is_better = h > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, h).otherwise(best_score)
-    return best_lang
+    return _argmax_lang({lang: lang_hits(text_col, lang)
+                         for lang in LANG_STOPWORDS})
+
+
+def lang_hits_ws(words_col: str, lang: str) -> Column:
+    """:func:`lang_hits` over an already-split word ARRAY column — the
+    split-once form for hot compositions (the when-chain of the inline
+    :func:`predict_lang` re-evaluates split(text) per language and per
+    CASE branch — up to 8x per row, measured as the dominant cost of
+    ccn1's gate stage)."""
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.expr(
+        "filter({c}, t -> t IN ({lst}))".format(
+            c=words_col, lst=", ".join(f"'{w}'" for w in words))))
+
+
+def predict_lang_ws(words_col: str) -> Column:
+    """:func:`predict_lang` over a pre-projected word array.  For the
+    CASE chain to evaluate each language's hits ONCE, project the four
+    hit counts as columns first and pass plain column references —
+    see ``llm/ccnet.py`` for the idiom."""
+    return _argmax_lang({lang: lang_hits_ws(words_col, lang)
+                         for lang in LANG_STOPWORDS})
 
 
 def predict_lang_sql(text_col: str) -> str:
@@ -243,15 +275,19 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
     broadcast hint and let the score join shuffle on token, everything
     else unchanged).  No window, no collect, no driver loop.
     """
-    # ONE token explode (r18): the LM fit and the scoring join both
-    # consume the corpus token frame — share it via cache (the
-    # jaccard_pairs toks contract; one-shot query callers, released
-    # via operators.core.release_plan_caches) instead of exploding
-    # the corpus once per half.  unigram_lm/surprisal_with_lm stay
-    # the independent train-once/score-forever entry points.
-    from axonops_schema_registry_spark.operators.core import plan_cache
-
-    toks = plan_cache(_lm_tokens(docs, id_col, text_col))
+    # Shared token-frame DEFINITION, no cache (r19, VERDICT r18 ask
+    # #1): the r18 .cache() here regressed ccb1 28% in the driver's
+    # record, and the interleaved cold-JVM A/B (scripts/r19_ccb1_ab.py,
+    # min-of-3 per arm: cache 1.843/1.849 s vs nocache 1.674/1.571 s)
+    # confirmed the cache-fill barrier costs more than the explode it
+    # saves — the fit half consumes tokens inside a pipelined
+    # map-side-combined aggregate, so recomputing the explode per half
+    # stays in whole-stage codegen while the cache serializes the
+    # frame through the block store first (§5: a cache is only a win
+    # when the subtree cost exceeds the materialization barrier).
+    # unigram_lm/surprisal_with_lm stay the independent
+    # train-once/score-forever entry points.
+    toks = _lm_tokens(docs, id_col, text_col)
     return _score_tokens(toks, _lm_from_tokens(toks), id_col)
 
 

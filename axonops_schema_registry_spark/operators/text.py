@@ -79,11 +79,33 @@ def token_set(df: DataFrame, id_col: str, text_col: str,
     """Distinct (id, token) pairs; word n-gram shingles when ``ngram`` > 1.
 
     Stays entirely in whole-stage codegen: split / transform / explode are
-    JVM-side, no Python UDF.  The explode of :func:`token_arrays` — one
-    implementation for both shapes.
+    JVM-side, no Python UDF.
+
+    Deliberately NOT the explode of :func:`token_arrays` (r19): the
+    CASE gate that function needs (its arrays nest into downstream
+    join-key filters where codegen subexpression elimination can
+    evaluate them eagerly on too-short rows) makes a Generate's
+    generator expression conditional, and that demotes the hot explode
+    out of whole-stage codegen — measured 4-5x wall on the
+    explode-heavy consumers (e3/ng1 bench draws 0.99 → ~4.7 s before
+    this split).  Here the ``size >= ngram`` filter sits immediately
+    below its OWN projection with no such filter merging, so the
+    ungated transform is safe — the pre-r19 shape, kept verbatim.
     """
-    return (token_arrays(df, id_col, text_col, ngram)
-            .select("id", F.explode("toks").alias("token")))
+    base = (df.repartition(F.col(id_col))
+              .select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), " ").alias("__toks"))
+              .filter(F.size("__toks") >= ngram))
+    if ngram == 1:
+        tokens = F.col("__toks")
+    else:
+        tokens = F.expr(
+            f"transform(sequence(1, size(__toks) - {ngram - 1}), "
+            f"i -> array_join(slice(__toks, i, {ngram}), ' '))")
+    # dedup is PER-DOCUMENT, so array_distinct before the explode does it
+    # row-locally — no cross-row distinct shuffle needed.
+    return base.select("id",
+                       F.explode(F.array_distinct(tokens)).alias("token"))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -1118,7 +1118,7 @@ class BucketedDedupStore(_EpochStore):
                     .filter(F.col("__nid") == F.col("__brep"))
                     .select("__nid", "__ntext"))
         new_arrs = token_arrays(rep_docs, "__nid", "__ntext",
-                                self.ngram)
+                                self.ngram).localCheckpoint(eager=True)
         new_toks = (new_arrs
                     .select("id", F.explode("toks").alias("token"))
                     .localCheckpoint(eager=True))
@@ -1197,7 +1197,8 @@ class BucketedDedupStore(_EpochStore):
         # callers own releasing the frame we return
         out = (flags.select(self.id_col, "is_dup", "dup_of")
                .localCheckpoint(eager=True))
-        for ck in (new_buckets, new_toks, fp_rows, group_rep, flags):
+        for ck in (new_arrs, new_buckets, new_toks, fp_rows, group_rep,
+                   flags):
             release_checkpoint(ck)
         return out
 

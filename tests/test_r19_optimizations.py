@@ -151,6 +151,29 @@ def test_plan_caches_released_after_query(spark, sf_dir):
     assert len(jsc.getRDDStorageInfo()) == 0
 
 
+def test_lang_gate_split_once_equals_inline(spark, sf_dir):
+    """ccn1's split-once lang gate (``ccnet._lang_gate_en``) keeps the
+    inline ``predict_lang == 'en'`` survivor set exactly (shared
+    argmax chain, same tie-break) — including on ties and all-zero
+    rows planted here."""
+    from axonops_schema_registry_spark.llm.ccnet import _lang_gate_en
+    from axonops_schema_registry_spark.llm.text import predict_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.sparkSession.createDataFrame(
+        [(9001, "s", "the der le el y to"),   # cross-lang tie-ish
+         (9002, "s", ""),                      # no hits -> unknown
+         (9003, "s", "der die das und ist"),   # de
+         (9004, "s", "the a of and to")],      # en
+        "doc_id bigint, source string, text string")
+    corpus = docs.select("doc_id", "source", "text") \
+        .unionByName(planted)
+    want = {r["doc_id"] for r in corpus.filter(
+        predict_lang("text") == "en").collect()}
+    got = {r["doc_id"] for r in _lang_gate_en(corpus).collect()}
+    assert got == want and 9004 in got and 9003 not in got
+
+
 def test_es2_hash_grams_twin_is_output_identical(spark, sf_dir):
     """es2 now runs hash_grams=True (narrow 8-byte gram shuffle keys)
     while its oracle replays raw string keys — pinned equal here at

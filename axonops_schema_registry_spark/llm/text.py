@@ -652,26 +652,91 @@ def bpe_merges(docs: DataFrame, text_col: str = "text",
                  "slice(__sy, 1, size(__sy) - 1), "
                  "slice(__sy, 2, size(__sy) - 1))) AS p")
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(1, k + 1):
+    # Batched elections with PROVEN-safe lookahead (r19, VERDICT r18
+    # ask #7 — but the naive "winner-disjoint merges commute" form is
+    # UNSOUND: folding the winner CREATES pairs, e.g. corpus
+    # "x a b"×N elects (a,b) with count N and creates (x,ab) with
+    # count N, outranking every pre-existing runner-up).  What IS
+    # sound: fetch the top-M pairs per election job and accept
+    # follow-up candidates from that ordered list only while every
+    # alternative is provably outranked —
+    #   * the candidate shares no symbol with an applied merge (its
+    #     own count is then invariant: folds over disjoint symbols
+    #     neither create nor destroy each other's adjacencies, so the
+    #     recorded pair_count equals greedy's recount), and
+    #   * every pair a prior applied merge (a,b) can CREATE is
+    #     bounded out: (x,ab) / (ab,y) arise only from fetched pairs
+    #     (x,a) / (b,y), with count <= min(count(x,a), count(a,b)) —
+    #     if any bound beats the candidate (or ties and sorts lex
+    #     before it), stop the batch.  Higher-order creations are
+    #     dominated: their bound is <= the first-order bound and
+    #     their (lhs, rhs) sorts lex-after the first-order pair.
+    #   * pairs OUTSIDE the fetched window have count <= the last
+    #     fetched count, so a candidate tying that floor stops the
+    #     batch (an invisible tie could win on the lex tie-break).
+    # Each batch replays greedy EXACTLY (pinned against the pure-
+    # Python reference in tests); what changes is driver round-trips
+    # — 10 -> 5 election jobs on the bench corpus.
+    top_m = 64
+    while len(merges) < k:
         pairs = (vocab.selectExpr("n", f"{syms} AS __sy")
                  .selectExpr("n", pair_expr)
                  .select(F.col("p").getItem("0").alias("lhs"),
                          F.col("p").getItem("1").alias("rhs"), "n")
                  .groupBy("lhs", "rhs")
                  .agg(F.sum("n").alias("pair_count")))
-        top = pairs.orderBy(F.desc("pair_count"), F.asc("lhs"),
-                            F.asc("rhs")).first()
-        if top is None:
+        top = (pairs.orderBy(F.desc("pair_count"), F.asc("lhs"),
+                             F.asc("rhs")).limit(top_m).collect())
+        if not top:
             break
-        merges.append((step, top["lhs"], top["rhs"],
-                       int(top["pair_count"])))
-        vocab = vocab.select(
-            F.replace(
-                "s",
-                F.lit(_BPE_SEP + top["lhs"] + _BPE_SEP * 2
-                      + top["rhs"] + _BPE_SEP),
-                F.lit(_BPE_SEP + top["lhs"] + top["rhs"] + _BPE_SEP))
-            .alias("s"), "n")
+        fetched_all = len(top) < top_m
+        floor_cnt = int(top[-1]["pair_count"])
+        applied: list[tuple[str, str, int]] = []
+        for row in top:
+            if len(merges) + len(applied) >= k:
+                break
+            a, b, cnt = row["lhs"], row["rhs"], int(row["pair_count"])
+            if applied:
+                used = set()
+                for pa, pb, _ in applied:
+                    used |= {pa, pb, pa + pb}
+                if {a, b} & used:
+                    break  # overlaps an applied fold: count unknown
+                if not fetched_all and cnt == floor_cnt:
+                    break  # an unfetched tie could win on lex order
+                unsafe = False
+                for pa, pb, pcnt in applied:
+                    merged = pa + pb
+                    for r2 in top:
+                        x, y = r2["lhs"], r2["rhs"]
+                        c2 = int(r2["pair_count"])
+                        cands = []
+                        if y == pa:
+                            cands.append(((x, merged), min(c2, pcnt)))
+                        if x == pb:
+                            cands.append(((merged, y), min(c2, pcnt)))
+                        for newpair, bound in cands:
+                            if bound > cnt or (bound == cnt
+                                               and newpair < (a, b)):
+                                unsafe = True
+                                break
+                        if unsafe:
+                            break
+                    if unsafe:
+                        break
+                if unsafe:
+                    break
+            applied.append((a, b, cnt))
+        for a, b, cnt in applied:
+            merges.append((len(merges) + 1, a, b, cnt))
+            vocab = vocab.select(
+                F.replace(
+                    "s",
+                    F.lit(_BPE_SEP + a + _BPE_SEP * 2 + b + _BPE_SEP),
+                    F.lit(_BPE_SEP + a + b + _BPE_SEP))
+                .alias("s"), "n")
+        if not applied:
+            break
     release_checkpoint(base)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count bigint")

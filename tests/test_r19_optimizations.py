@@ -133,22 +133,30 @@ def test_plan_caches_released_after_query(spark, sf_dir):
 
     spark.catalog.clearCache()
     release_plan_caches()  # drain anything earlier tests left behind
+    jsc = spark.sparkContext._jsc.sc()
+
+    def _stored_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    # earlier tests in a shared session may have live localCheckpoint
+    # RDD blocks (not CacheManager entries — release_plan_caches does
+    # not and must not touch them), so assert on the DELTA.
+    before = _stored_ids()
     docs = load_table(spark, sf_dir, "documents")
     minhash_lsh_pairs(docs, "doc_id", "text", 0.8, 3).collect()
     ngram_novelty(docs).collect()
     assert len(_PLAN_CACHES) >= 3  # arrs + buckets + ngram toks
-    jsc = spark.sparkContext._jsc.sc()
-    assert len(jsc.getRDDStorageInfo()) > 0  # caches are live now
+    assert _stored_ids() - before  # caches are live now
     release_plan_caches()
     assert len(_PLAN_CACHES) == 0
     # unpersist is async (blocking=False) — poll briefly
     import time
 
     for _ in range(50):
-        if len(jsc.getRDDStorageInfo()) == 0:
+        if not (_stored_ids() - before):
             break
         time.sleep(0.1)
-    assert len(jsc.getRDDStorageInfo()) == 0
+    assert _stored_ids() - before == set()
 
 
 def test_lang_gate_split_once_equals_inline(spark, sf_dir):
